@@ -1,13 +1,525 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AnalysisFunctions => A, TextFunctions => T, VectorFunctions => V}
+import graft.operators.{BatchOps, Dedupe, FlowControl, Similarity}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a thin binding of a library operator
+  * (graft.operators / graft.functions) to the driver-provided tables;
+  * [[oracleSql]] carries the DuckDB-equivalent ANSI SQL for the
+  * correctness gate. Determinism rules used throughout:
+  *   - aggregates over doubles go through DECIMAL so sums are exact and
+  *     order-independent, then CAST to DOUBLE for a stable output type;
+  *   - every result has a total ORDER BY;
+  *   - column names are aliased identically on both sides.
+  */
 object SparkEntry {
+
+  /** Exact decimal view of a double column (2-decimal money/qty data). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+  private val revenue: Column = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── core relational ───────────────────────────────────────────────
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q2_top_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "q3_segment_revenue" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q4_region_supplier" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+      val na = Tables.nation(s, d)
+      val re = Tables.region(s, d)
+      su.join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sumd(col("s_acctbal")).as("total_acctbal"))
+        .orderBy(col("r_name"))
+    }),
+
+    "q5_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n_orders"), col("total_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    "q6_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q7_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "q8_anti_join" -> ((s, d) =>
+      // customers with no high-value order
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "q9_except" -> ((s, d) => {
+      // high-value error users who never made a high-value purchase
+      val ev = Tables.events(s, d).filter(col("value") > 180)
+      ev.filter(col("event_type") === "error").select(col("user_id")).distinct()
+        .except(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+
+    "q10_events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("total_value"))
+        .select(unix_micros(col("w.start")).as("hour_start_us"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(col("hour_start_us"), col("event_type"))),
+
+    "q11_asof_join" -> ((s, d) => {
+      // As-of join: for each purchase, the most recent signup (ts <=
+      // purchase ts) of the same user. Single shuffle on user_id via a
+      // range-window fold over the unioned stream — no per-row lookup.
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_signup_us",
+          max(when(col("event_type") === "signup", unix_micros(col("ts")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("last_signup_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── reference processors (SURVEY.md §2) ──────────────────────────
+    "p_mapping" -> ((s, d) =>
+      // `mapping` processor: projection + computed fields (mapping.adoc:26)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_uc"),
+        length(col("text")).as("text_len"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        substring(col("text"), 1, 40).as("head"))
+        .orderBy(col("doc_id"))),
+
+    "p_bounds_check" -> ((s, d) =>
+      BatchOps.boundsCheck(Tables.documents(s, d), col("text"), 200, 1500)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))),
+
+    "p_switch" -> ((s, d) =>
+      // `switch` processor: first-matching-case routing (switch.adoc:26)
+      Tables.events(s, d).withColumn("route",
+        FlowControl.switch(Seq(
+          (col("event_type") === "error", lit("alerts")),
+          (col("event_type").isin("purchase", "signup"), lit("conversions")),
+          (col("value") > 150, lit("big"))), lit("archive")))
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))),
+
+    "p_group_by_value" -> ((s, d) =>
+      BatchOps.groupByValue(Tables.documents(s, d), col("source"),
+          Seq(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
+        .orderBy(col("source"))),
+
+    "p_archive" -> ((s, d) =>
+      BatchOps.archiveLines(
+          Tables.documents(s, d).filter(col("doc_id") < 40),
+          col("lang"), substring(col("text"), 1, 20), "\n")
+        .orderBy(col("key"))),
+
+    "p_unarchive" -> ((s, d) =>
+      // `unarchive`/`string_split`: explode payload into parts
+      BatchOps.unarchiveLines(
+          Tables.documents(s, d).filter(col("doc_id") < 40)
+            .select(col("doc_id"), col("text")),
+          col("text"), " ")
+        .filter(length(col("part")) > 0)
+        .groupBy(col("part")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("part"))
+        .limit(25)),
+
+    "p_select_parts" -> ((s, d) =>
+      BatchOps.selectParts(
+          Tables.documents(s, d), col("source"), col("doc_id"), Seq(0, 2))
+        .select(col("source"), col("batch_idx"), col("doc_id"))
+        .orderBy(col("source"), col("batch_idx"))),
+
+    "p_split" -> ((s, d) =>
+      BatchOps.splitBatches(Tables.documents(s, d), col("lang"), col("doc_id"), 25)
+        .groupBy(col("lang"), col("sub_batch")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("sub_batch"))),
+
+    "p_try_catch" -> ((s, d) => {
+      // error-channel discipline: failed JSON extraction marks the row,
+      // catch recovers with a default (try.adoc:26 / catch.adoc:26)
+      val parsed = get_json_object(col("props"), "$.k").cast("int")
+      val tried = FlowControl.tryColumn(
+        Tables.events(s, d), "k", parsed,
+        parsed.isNull, concat(lit("bad props: "), col("props")))
+      tried.withColumn("k", coalesce(col("k"), lit(-1)))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    "p_text_chunker" -> ((s, d) =>
+      // text_chunker (internal/impl/text/text_chunker_processor.go:33)
+      Tables.documents(s, d).filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          posexplode(T.chunks(col("text"), 100, 20)))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // ── training-data ops ─────────────────────────────────────────────
+    "t_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "t_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "t_dedupe_exact" -> ((s, d) =>
+      Dedupe.exact(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("fp"))),
+
+    "t_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), A.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "t_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), A.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "t_ngram_jaccard" -> ((s, d) =>
+      Dedupe.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "t_minhash_lsh" -> ((s, d) =>
+      // probabilistic recall — rows-only check (no oracle)
+      Dedupe.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+          3, 16, 4, 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "t_simhash" -> ((s, d) =>
+      // xxhash-based fingerprints — rows-only check (no oracle)
+      Dedupe.simhashPairs(Tables.documents(s, d), "text", "doc_id", 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "s_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s_cosine_lsh" -> ((s, d) => {
+      // probabilistic recall — rows-only check (no oracle)
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, 8)
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q3_segment_revenue" ->
+      s"""SELECT o_orderkey, CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_region_supplier" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q5_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q6_window_rank" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q7_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q9_except" ->
+      """SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'error' AND value > 180
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value > 180
+        |ORDER BY user_id""".stripMargin,
+
+    "q10_events_hourly" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS hour_start_us,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_asof_join" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  (SELECT MAX(epoch_us(s.ts)) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND s.ts <= e.ts) AS last_signup_us
+        |FROM events e WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "p_mapping" ->
+      """SELECT doc_id, UPPER(lang) AS lang_uc, CAST(LENGTH(text) AS INT) AS text_len,
+        |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |    t -> LEN(t) > 0)) AS BIGINT) AS n_tokens,
+        |  SUBSTR(text, 1, 40) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p_bounds_check" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INT) AS text_len FROM documents
+        |WHERE LENGTH(text) BETWEEN 200 AND 1500 ORDER BY doc_id""".stripMargin,
+
+    "p_switch" ->
+      """SELECT CASE
+        |  WHEN event_type = 'error' THEN 'alerts'
+        |  WHEN event_type IN ('purchase','signup') THEN 'conversions'
+        |  WHEN value > 150 THEN 'big'
+        |  ELSE 'archive' END AS route, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_group_by_value" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "p_archive" ->
+      """SELECT lang AS key,
+        |  STRING_AGG(SUBSTR(text, 1, 20), chr(10) ORDER BY SUBSTR(text, 1, 20)) AS archived,
+        |  COUNT(*) AS n
+        |FROM documents WHERE doc_id < 40
+        |GROUP BY lang ORDER BY key""".stripMargin,
+
+    "p_unarchive" ->
+      """SELECT part, COUNT(*) AS freq FROM (
+        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS part
+        |  FROM documents WHERE doc_id < 40) t
+        |WHERE LENGTH(part) > 0
+        |GROUP BY part ORDER BY freq DESC, part LIMIT 25""".stripMargin,
+
+    "p_select_parts" ->
+      """SELECT source, CAST(batch_idx AS INT) AS batch_idx, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS batch_idx
+        |  FROM documents) t
+        |WHERE batch_idx IN (0, 2) ORDER BY source, batch_idx""".stripMargin,
+
+    "p_split" ->
+      """SELECT lang, sub_batch, COUNT(*) AS n FROM (
+        |  SELECT lang, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY doc_id) - 1) / 25) AS BIGINT) AS sub_batch
+        |  FROM documents) t
+        |GROUP BY lang, sub_batch ORDER BY lang, sub_batch""".stripMargin,
+
+    "p_try_catch" ->
+      """SELECT COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INT), -1) AS k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_text_chunker" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  SUBSTR(text, 1 + i * 80, 100) AS chunk
+        |FROM documents, LATERAL (
+        |  SELECT UNNEST(GENERATE_SERIES(0,
+        |    CAST(CEIL(LENGTH(text) / 80.0) AS BIGINT) - 1)) AS i) g
+        |WHERE doc_id < 30
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t_token_count" ->
+      """SELECT doc_id,
+        |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |    t -> LEN(t) > 0)) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_dedupe_exact" ->
+      """SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "t_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, LENGTH(text) AS len,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |      t -> LEN(t) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len = 0 THEN 0 ELSE
+        |      LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) / CAST(len AS DOUBLE) END AS alpha_ratio,
+        |    CASE WHEN len = 0 THEN 0 ELSE
+        |      LENGTH(REGEXP_REPLACE(text, '[^ \t\n]', '', 'g')) / CAST(len AS DOUBLE) END AS space_ratio,
+        |    CASE WHEN LEN(toks) = 0 THEN 0 ELSE
+        |      LEN(LIST_FILTER(toks, t -> LOWER(t) IN
+        |        ('the','a','of','and','to','in','is','it'))) / CAST(LEN(toks) AS DOUBLE) END AS stop_ratio,
+        |    LEAST(len / 500.0, 1.0) AS len_score
+        |  FROM f)
+        |SELECT doc_id, ROUND(0.35 * alpha_ratio + 0.25 * LEAST(stop_ratio * 4, 1.0)
+        |  + 0.20 * len_score + 0.20 * LEAST(space_ratio * 5, 1.0), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t_langid" ->
+      """WITH f AS (
+        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |    t -> LEN(t) > 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    LEN(LIST_FILTER(toks, t -> LOWER(t) IN ('the','and','of','is','a'))) AS en,
+        |    LEN(LIST_FILTER(toks, t -> LOWER(t) IN ('der','und','die','ist','das'))) AS de,
+        |    LEN(LIST_FILTER(toks, t -> LOWER(t) IN ('le','la','et','est','les'))) AS fr,
+        |    LEN(LIST_FILTER(toks, t -> LOWER(t) IN ('el','los','es','y','una'))) AS es
+        |  FROM f)
+        |SELECT doc_id, CASE
+        |  WHEN GREATEST(en, de, fr, es) = 0 THEN 'unknown'
+        |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |  WHEN de >= fr AND de >= es THEN 'de'
+        |  WHEN fr >= es THEN 'fr'
+        |  ELSE 'es' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t_ngram_jaccard" ->
+      """WITH f AS (
+        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |    t -> LEN(t) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN LEN(toks) < 3 THEN [] ELSE
+        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+        |  FROM f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+        |    (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE LEN(a.s) + LEN(b.s) > 0
+        |  AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+        |    (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "s_cosine_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |      (SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |       SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |      , 6) AS sim
+        |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is composed from built-in Catalyst expressions
+  * (higher-order array functions, hash functions, regexes) so the whole
+  * pipeline stays inside WholeStageCodegen — no UDFs, no serialization
+  * boundary, scales linearly with executors.
+  *
+  * Reference behaviors covered: text chunking
+  * (reference: internal/impl/text/text_chunker_processor.go:33-101),
+  * string splitting (internal/impl/text/processor_string_split.go),
+  * hashing/fingerprinting (bloblang `hash` method,
+  * docs/modules/guides/pages/bloblang/methods.adoc:3737-3953).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Word n-gram shingles: contiguous n-token windows joined by a space.
+    * Empty array when the document has fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ts) - n),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")))
+  }
+
+  /** Distinct shingle set (for Jaccard similarity). */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(wordShingles(text, n))
+
+  /** Canonical fingerprint of a document: md5 of whitespace-normalized,
+    * lowercased text. Deterministic and reproducible in any engine.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** MinHash signature of length k over the document's distinct word
+    * n-gram shingles. Hash family = xxhash64 seeded by the slot index
+    * (xxhash64 hashes (shingle, slot) jointly). Empty docs get MaxValue
+    * sentinels so they never collide with real content.
+    */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = shingleSet(text, shingleN)
+    when(size(sh) === 0,
+         array_repeat(lit(Long.MaxValue), k))
+      .otherwise(transform(sequence(lit(0), lit(k - 1)),
+        slot => array_min(transform(sh, s => xxhash64(s, slot)))))
+  }
+
+  /** LSH band keys for a minhash signature: one 64-bit bucket key per
+    * band (hash of the band index + that band's signature slice).
+    * Docs sharing any band key are near-dup candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Per-bit SimHash vote counts: +1 where the token hash has the bit
+    * set, -1 where clear; accumulated across tokens with a fold.
+    *
+    * IMPORTANT: materialize this as its own column before calling
+    * [[simhashFromVotes]] — if the votes expression is nested inside the
+    * bit-assembly fold, Catalyst re-evaluates the whole token fold on
+    * every one of the 64 assembly steps (64× per row).
+    */
+  def simhashVotes(text: Column): Column =
+    aggregate(
+      // hash each token ONCE here — an xxhash64 nested inside the
+      // zip_with lambda below would be re-evaluated per bit (64×/token)
+      transform(tokens(text), t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(h.bitwiseAND(call_function(
+            "shiftleft", lit(1L), i)) =!= 0, lit(1L)).otherwise(lit(-1L))))
+
+  /** Assemble the sign bits of a 64-slot vote array into one long.
+    * Statically unrolled (64 terms): the many references to `votes` also
+    * stop CollapseProject from inlining the expensive vote fold back
+    * into this expression.
+    */
+  def simhashFromVotes(votes: Column): Column =
+    (0 until 64).map { i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** 64-bit SimHash over whitespace tokens (unweighted). Convenience
+    * single-expression form — prefer the two-step
+    * [[simhashVotes]]/[[simhashFromVotes]] with an intermediate column
+    * in hot paths (see note on [[simhashVotes]]).
+    */
+  def simhash64(text: Column): Column = simhashFromVotes(simhashVotes(text))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact Jaccard similarity of two pre-computed distinct shingle sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0, lit(0d)).otherwise(inter / uni)
+  }
+
+  /** Fixed-size overlapping character chunks: starts at 1, 1+step,
+    * 1+2*step, ... while start <= length(text); each chunk is
+    * substr(text, start, size). step = size - overlap.
+    * Mirrors the reference text_chunker's fixed-window strategy
+    * (internal/impl/text/text_chunker_processor.go:58-79) re-expressed as
+    * a codegen'd sequence+transform instead of a row-at-a-time loop.
+    */
+  def chunkStarts(text: Column, step: Int): Column =
+    when(length(text) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), length(text), lit(step)))
+
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(overlap < size, "overlap must be < size")
+    transform(chunkStarts(text, size - overlap),
+      p => substring(text, p, lit(size)))
+  }
+
+  /** Deterministic 64-bit rolling-style document fingerprint over token
+    * sequence (order-sensitive, unlike [[fingerprint]]): fold of
+    * hash(acc, token).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}
