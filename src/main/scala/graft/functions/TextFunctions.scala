@@ -25,15 +25,25 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Word n-gram shingles from a PRE-MATERIALIZED tokens column.
+    * `toks` must be a column attribute (e.g. projected via
+    * `.withColumn("toks", tokens(col("text")))`) — if a whole tokenize
+    * expression is passed, it ends up inside the transform lambda and is
+    * re-evaluated once per shingle index. element_at on an attribute is
+    * O(1) per element.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
   /** Word n-gram shingles: contiguous n-token windows joined by a space.
     * Empty array when the document has fewer than n tokens.
+    * Convenience single-expression form — hot paths should tokenize into
+    * a column first and use [[shinglesFromTokens]] (see its note).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(ts) - n),
-        i => array_join(slice(ts, i + 1, lit(n)), " ")))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Distinct shingle set (for Jaccard similarity). */
   def shingleSet(text: Column, n: Int): Column =

@@ -1,0 +1,122 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot per-row kernels where the
+  * higher-order-function formulations (aggregate/zip_with — interpreted,
+  * never codegen'd) are too slow: dense-vector dot product, MinHash
+  * signatures, SimHash fingerprints.
+  *
+  * Each expression implements `doGenCode` as a single static call into
+  * [[HashOps]], so it participates in WholeStageCodegen like a builtin.
+  * Registered under `graft_*` names by [[GraftFunctions.register]] or the
+  * `spark.sql.extensions` class [[graft.GraftExtensions]].
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left, right).map(_.dataType), Seq.fill(2)(ArrayType(FloatType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_f"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.dotF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.HashOps.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    HashOps.minhashSig(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashOps.minhashSig($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    HashOps.simhash(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashOps.simhash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Runtime registration of the graft_* expression surface (the same
+  * builders are injected by `spark.sql.extensions=graft.GraftExtensions`).
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+
+  /** Structural type check ignoring nullability of array elements. */
+  private[expressions] def requireTypes(name: String, actual: Seq[DataType],
+      expected: Seq[DataType]): TypeCheckResult = {
+    val ok = actual.length == expected.length &&
+      actual.zip(expected).forall { case (a, e) => DataType.equalsIgnoreNullability(a, e) }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects ${expected.mkString(", ")} but got ${actual.mkString(", ")}")
+  }
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case lit if lit.foldable =>
+      lit.eval().asInstanceOf[Number].intValue()
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  val builders: Seq[(String, FunctionBuilder)] = Seq(
+    "graft_dot_f" -> ((es: Seq[Expression]) => DotProductFloat(es(0), es(1))),
+    "graft_minhash" -> ((es: Seq[Expression]) =>
+      MinHashSignature(es(0), intArg(es(1), "k"))),
+    "graft_simhash" -> ((es: Seq[Expression]) => SimHash64(es(0))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  def expressionInfo(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+
+  def identifiers: Seq[FunctionIdentifier] =
+    builders.map { case (n, _) => FunctionIdentifier(n) }
+}

@@ -1,0 +1,87 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the custom Catalyst expressions. Called from
+  * both interpreted `eval` and generated Java (Scala objects emit static
+  * forwarders, so `HashOps.dotF(...)` is directly referenceable from
+  * codegen'd code).
+  *
+  * Hash parity: these produce EXACTLY the same values as the built-in
+  * `xxhash64` expression (seed 42, string → hashUTF8String, int chained
+  * via hashInt), so plans can mix the HOF formulations in
+  * [[graft.functions.TextFunctions]] with these kernels and stay
+  * result-identical.
+  */
+object HashOps {
+  final val Seed = 42L
+
+  /** Sequential-fold dot product of two float arrays in double
+    * precision — same accumulation order as the zip_with/aggregate HOF
+    * formulation, so results are bit-identical.
+    */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0d
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** MinHash signature: slot j = min over shingles of
+    * xxhash64(shingle, j). Matches TextFunctions.minhashSignature
+    * (xxhash64(s, slot) == hashInt(slot, hashUTF8String(s, 42))).
+    * Empty input → Long.MaxValue sentinels.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h0 = XXH64.hashUTF8String(
+        shingles.get(i, org.apache.spark.sql.types.StringType)
+          .asInstanceOf[UTF8String], Seed)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashInt(j, h0)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over a token array; token hash = built-in
+    * xxhash64(token) (hashUTF8String, seed 42) — matches
+    * TextFunctions.simhashVotes/simhashFromVotes bit-for-bit.
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Long](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(
+        tokens.get(i, org.apache.spark.sql.types.StringType)
+          .asInstanceOf[UTF8String], Seed)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if ((h & (1L << b)) != 0) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

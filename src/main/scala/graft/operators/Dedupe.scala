@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.expressions.GraftFunctions
 
 /** Deduplication operators for document corpora, designed for the
   * 100 TB path: every variant is a pure DataFrame plan (scan → narrow
@@ -26,8 +27,11 @@ object Dedupe {
 
   private def shingleSets(docs: DataFrame, textCol: String,
                           idCol: String, shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-      shingleSet(col(textCol), shingleN).as("sh"))
+    // two-step projection: tokens materialize as a column so the shingle
+    // lambda reads them via element_at instead of re-tokenizing per index
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(shinglesFromTokens(col("toks"), shingleN)).as("sh"))
 
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
@@ -52,13 +56,30 @@ object Dedupe {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
+    // Shingle sets are distinct per doc, so the number of co-occurring
+    // (id_a, id_b) rows after the inverted-index self-join IS the
+    // intersection size — Jaccard falls straight out of one groupBy,
+    // with no distinct() pass and no re-join against the shingle sets.
     val sets = shingleSets(docs, textCol, idCol, shingleN)
-    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    val cand = inv.as("a").join(inv.as("b"),
+    // Shingles are joined by their 64-bit hash, not the string: the
+    // shuffle moves 8-byte keys instead of n-gram text (collisions are
+    // ~|shingles|²/2⁶⁴ — vanishing, and only ever inflate one count).
+    // `sz` must be projected BEFORE the explode: computed alongside it,
+    // Catalyst moves size(sh) after the Generate and then carries (and
+    // unsafe-copies) the whole shingle array on every exploded row.
+    val inv = sets.withColumn("sz", size(col("sh")))
+      .select(col("id"), col("sz"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("sz"), xxhash64(col("s0")).as("s"))
+    val inter = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyJaccard(cand, sets, threshold)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** MinHash + LSH near-dup pairs: signatures of k = bands*rowsPerBand
@@ -72,11 +93,10 @@ object Dedupe {
                       shingleN: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
+    GraftFunctions.register(docs.sparkSession)
     val sets = shingleSets(docs, textCol, idCol, shingleN)
     val withSig = sets.withColumn("sig",
-      when(size(col("sh")) === 0, array_repeat(lit(Long.MaxValue), k))
-        .otherwise(transform(sequence(lit(0), lit(k - 1)),
-          slot => array_min(transform(col("sh"), s => xxhash64(s, slot))))))
+      call_function("graft_minhash", col("sh"), lit(k)))
     val banded = withSig.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
     val cand = banded.as("a").join(banded.as("b"),
@@ -93,9 +113,9 @@ object Dedupe {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
-    val fp = docs
-      .select(col(idCol).as("id"), simhashVotes(col(textCol)).as("votes"))
-      .select(col("id"), simhashFromVotes(col("votes")).as("sh"))
+    GraftFunctions.register(docs.sparkSession)
+    val fp = docs.select(col(idCol).as("id"),
+      call_function("graft_simhash", tokens(col(textCol))).as("sh"))
     val blocks = fp.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         concat_ws(":", b.cast("string"),

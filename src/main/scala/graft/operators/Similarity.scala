@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.GraftFunctions
 
 /** Approximate-nearest-neighbor / similarity search over an
   * `array<float>` embedding column.
@@ -25,13 +26,14 @@ object Similarity {
     * when query volume grows.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val scored = corpus.as("c")
       .join(broadcast(queries.as("q")),
         col("c.vec_id") =!= col("q.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        round(cosine(col("q.embedding"), col("c.embedding")), 6).as("sim"))
+        round(cosineFast(col("q.embedding"), col("c.embedding")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -49,6 +51,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val cb = corpus.withColumn("bucket", cosineLshKey(col("embedding"), planes))
     val qb = queries.withColumn("bucket", cosineLshKey(col("embedding"), planes))
     val scored = cb.as("c").join(qb.as("q"),
@@ -57,7 +60,7 @@ object Similarity {
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        round(cosine(col("q.embedding"), col("c.embedding")), 6).as("sim"))
+        round(cosineFast(col("q.embedding"), col("c.embedding")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
