@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.functions.expressions.GraftFunctions
+
+/** Benchmark main — one JSON line with per-query wall seconds.
+  *
+  * Every query is fully MATERIALIZED through a `noop`-format write (the
+  * datasource evaluates and discards each row), not `.count()`: under a
+  * count, Catalyst prunes unreferenced projections and EliminateSorts
+  * drops orderings, so map-heavy queries would time little more than the
+  * parquet scan.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,9 +20,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

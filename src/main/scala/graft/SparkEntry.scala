@@ -204,8 +204,12 @@ object SparkEntry {
 
     "p_try_catch" -> ((s, d) => {
       // error-channel discipline: failed JSON extraction marks the row,
-      // catch recovers with a default (try.adoc:26 / catch.adoc:26)
-      val parsed = get_json_object(col("props"), "$.k").cast("int")
+      // catch recovers with a default (try.adoc:26 / catch.adoc:26).
+      // Validity = integer regex on BOTH sides: Spark's non-ANSI cast
+      // and DuckDB's TRY_CAST disagree on non-integer numerics ('1.5'),
+      // so neither engine's cast defines the semantics.
+      val raw = get_json_object(col("props"), "$.k")
+      val parsed = when(raw.rlike("^-?\\d{1,9}$"), raw.cast("int"))
       val tried = FlowControl.tryColumn(
         Tables.events(s, d), "k", parsed,
         parsed.isNull, concat(lit("bad props: "), col("props")))
@@ -259,8 +263,10 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "t_simhash" -> ((s, d) =>
-      // xxhash-based fingerprints — rows-only check (no oracle)
-      Dedupe.simhashPairs(Tables.documents(s, d), "text", "doc_id", 10)
+      // xxhash-based fingerprints — rows-only check (no oracle).
+      // maxHamming=3 → 4 blocks of 16 bits: candidate recall is exactly
+      // 1.0 for the advertised radius (see Dedupe.simhashPairs).
+      Dedupe.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "s_cosine_topk" -> ((s, d) => {
@@ -365,7 +371,7 @@ object SparkEntry {
 
     "p_mapping" ->
       """SELECT doc_id, UPPER(lang) AS lang_uc, CAST(LENGTH(text) AS INT) AS text_len,
-        |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
         |    t -> LEN(t) > 0)) AS BIGINT) AS n_tokens,
         |  SUBSTR(text, 1, 40) AS head
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -415,7 +421,9 @@ object SparkEntry {
         |GROUP BY lang, sub_batch ORDER BY lang, sub_batch""".stripMargin,
 
     "p_try_catch" ->
-      """SELECT COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INT), -1) AS k,
+      """SELECT COALESCE(CASE WHEN regexp_full_match(
+        |    json_extract_string(props, '$.k'), '-?\d{1,9}')
+        |  THEN CAST(json_extract_string(props, '$.k') AS INT) END, -1) AS k,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -430,24 +438,24 @@ object SparkEntry {
 
     "t_token_count" ->
       """SELECT doc_id,
-        |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
         |    t -> LEN(t) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,
-        |  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp
+        |  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_dedupe_exact" ->
-      """SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp,
+      """SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "t_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id, text, LENGTH(text) AS len,
-        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
         |      t -> LEN(t) > 0) AS toks
         |  FROM documents),
         |m AS (
@@ -467,7 +475,7 @@ object SparkEntry {
 
     "t_langid" ->
       """WITH f AS (
-        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
         |    t -> LEN(t) > 0) AS toks
         |  FROM documents),
         |h AS (
@@ -487,7 +495,7 @@ object SparkEntry {
 
     "t_ngram_jaccard" ->
       """WITH f AS (
-        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
         |    t -> LEN(t) > 0) AS toks
         |  FROM documents),
         |sh AS (

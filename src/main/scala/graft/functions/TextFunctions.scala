@@ -18,9 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Whitespace class shared by every tokenizer/normalizer here AND by
+    * the DuckDB oracle SQL. Deliberately an explicit class, not `\s`:
+    * Java `\s` is `[ \t\n\x0B\f\r]` while RE2's is `[ \t\n\f\r]` — a
+    * document containing a vertical tab would tokenize differently
+    * across the two engines and break the hash gate.
+    */
+  final val WhitespaceRe = "[ \\t\\n\\f\\r]+"
+
   /** Whitespace tokens, empty tokens removed. */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    filter(split(trim(text), WhitespaceRe), t => length(t) > 0)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
@@ -53,7 +61,7 @@ object TextFunctions {
     * lowercased text. Deterministic and reproducible in any engine.
     */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(lower(regexp_replace(trim(text), WhitespaceRe, " ")))
 
   /** MinHash signature of length k over the document's distinct word
     * n-gram shingles. Hash family = xxhash64 seeded by the slot index

@@ -58,6 +58,46 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    HashOps.shingleHashes(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashOps.shingleHashes($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashFromHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(ArrayType(LongType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_h"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    HashOps.minhashSigFromHashes(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashOps.minhashSigFromHashes($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -105,12 +145,21 @@ object GraftFunctions {
     "graft_dot_f" -> ((es: Seq[Expression]) => DotProductFloat(es(0), es(1))),
     "graft_minhash" -> ((es: Seq[Expression]) =>
       MinHashSignature(es(0), intArg(es(1), "k"))),
+    "graft_minhash_h" -> ((es: Seq[Expression]) =>
+      MinHashFromHashes(es(0), intArg(es(1), "k"))),
+    "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
+      ShingleHashes(es(0), intArg(es(1), "n"))),
     "graft_simhash" -> ((es: Seq[Expression]) => SimHash64(es(0))))
 
+  /** Idempotent: re-registering an existing name is skipped, so calling
+    * this per-operator neither spams "replaced a previously registered
+    * function" warnings nor races under concurrent query builds.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 

@@ -57,6 +57,64 @@ object HashOps {
     new GenericArrayData(sig)
   }
 
+  /** Distinct word-n-gram shingle hashes of a token array: each shingle
+    * is the space-joined n-token window, hashed exactly like the builtin
+    * `xxhash64(concat_ws(' ', …))` (hashUTF8String, seed 42) — so these
+    * values are interchangeable with string-shingle pipelines hashed via
+    * `xxhash64`. First-occurrence order, duplicates removed.
+    *
+    * This kernel exists because the HOF formulation
+    * (transform + element_at over a tokens attribute) is destroyed by
+    * predicate pushdown: a filter referencing the shingle column gets the
+    * WHOLE tokenizer re-inlined into every element_at lambda —
+    * O(tokens²) per document. One opaque codegen'd call keeps the work
+    * O(tokens) no matter how many times Catalyst duplicates the tree.
+    */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](m - n + 1)
+    val sep = UTF8String.fromString(" ")
+    var cnt = 0
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = toks.get(i + j, org.apache.spark.sql.types.StringType)
+          .asInstanceOf[UTF8String]
+        j += 1
+      }
+      val h = XXH64.hashUTF8String(UTF8String.concatWs(sep, parts: _*), Seed)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** MinHash signature from PRE-HASHED shingles (the output of
+    * [[shingleHashes]]): slot j = min over shingles of hashInt(j, h0).
+    * Bit-identical to [[minhashSig]] on the corresponding strings because
+    * h0 there is the same hashUTF8String value.
+    */
+  def minhashSigFromHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h0 = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashInt(j, h0)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** 64-bit SimHash over a token array; token hash = built-in
     * xxhash64(token) (hashUTF8String, seed 42) — matches
     * TextFunctions.simhashVotes/simhashFromVotes bit-for-bit.

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 import graft.functions.expressions.GraftFunctions
 
@@ -25,14 +26,24 @@ object Dedupe {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Per-doc distinct shingle sets as 64-bit HASHES (one codegen'd
+    * kernel — see HashOps.shingleHashes for why the HOF formulation is
+    * not survivable under predicate pushdown). Downstream joins and
+    * intersections move 8-byte longs, never n-gram text.
+    */
   private def shingleSets(docs: DataFrame, textCol: String,
-                          idCol: String, shingleN: Int): DataFrame =
-    // two-step projection: tokens materialize as a column so the shingle
-    // lambda reads them via element_at instead of re-tokenizing per index
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        array_distinct(shinglesFromTokens(col("toks"), shingleN)).as("sh"))
+                          idCol: String, shingleN: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      call_function("graft_shingle_hashes",
+        tokens(col(textCol)), lit(shingleN)).as("sh"))
+  }
 
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets. Threshold is applied to the UNROUNDED ratio (matching
+    * the documented "Jaccard >= threshold" semantics and the DuckDB
+    * oracle); rounding happens only in the output projection.
+    */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
     cand
@@ -40,54 +51,64 @@ object Dedupe {
       .drop("id")
       .join(sets.select(col("id"), col("sh").as("sh_b")), col("id_b") === col("id"))
       .drop("id")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("jaccard_raw", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 4).as("jaccard"))
 
   /** All near-duplicate pairs (idA < idB) with word-`shingleN`-gram
-    * Jaccard >= threshold — EXACT result. Candidate generation is an
-    * inverted-index self-join on shingles (any qualifying pair must share
-    * at least one shingle), so the expensive Jaccard runs only on pairs
-    * that share content, never on the full cross product.
+    * Jaccard >= threshold — EXACT result via an inverted-index self-join
+    * on hashed shingles whose co-occurrence COUNT is the intersection
+    * size, so Jaccard falls out of one aggregation with no per-pair
+    * array verify and no array columns in any shuffle.
     *
-    * Scale notes: the shuffle key is the shingle string; ubiquitous
-    * shingles create skew — raise shingleN, or pre-filter shingles by
-    * document frequency (trades exactness) when the corpus demands it.
+    * Scale notes: join fan-out is Σ_s C(df(s), 2) over shingle document
+    * frequencies — benign while shingles are near-unique (word trigrams
+    * of real text are ~90% df=1), quadratic on any ubiquitous shingle.
+    * The length-ratio predicate prunes cross-size pairs inside the join.
+    * At corpus scale where boilerplate shingles appear (headers, license
+    * text), this op stays exact but the right default is
+    * [[minhashLshPairs]] — banded candidates track duplicate density,
+    * not df² — keeping this as the exact oracle for sampled validation.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
-    // Shingle sets are distinct per doc, so the number of co-occurring
-    // (id_a, id_b) rows after the inverted-index self-join IS the
-    // intersection size — Jaccard falls straight out of one groupBy,
-    // with no distinct() pass and no re-join against the shingle sets.
     val sets = shingleSets(docs, textCol, idCol, shingleN)
-    // Shingles are joined by their 64-bit hash, not the string: the
-    // shuffle moves 8-byte keys instead of n-gram text (collisions are
-    // ~|shingles|²/2⁶⁴ — vanishing, and only ever inflate one count).
+    // Shingle sets are distinct per doc, so the count of co-occurring
+    // (id_a, id_b) rows after the inverted-index self-join IS the
+    // intersection size — Jaccard falls straight out of one groupBy with
+    // no verify join and no array columns in any shuffle (8-byte hashed
+    // shingles only; collisions ~|shingles|²/2⁶⁴ — vanishing).
     // `sz` must be projected BEFORE the explode: computed alongside it,
     // Catalyst moves size(sh) after the Generate and then carries (and
     // unsafe-copies) the whole shingle array on every exploded row.
     val inv = sets.withColumn("sz", size(col("sh")))
-      .select(col("id"), col("sz"), explode(col("sh")).as("s0"))
-      .select(col("id"), col("sz"), xxhash64(col("s0")).as("s"))
+      .filter(col("sz") > 0)
+      .select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    // The length-ratio predicate (Jaccard >= t forces t <= |A|/|B| <= 1/t)
+    // prunes join output before the pair aggregation; the 1e-9 slack keeps
+    // fp rounding from ever dropping a boundary pair.
     val inter = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") >= col("b.sz") * threshold - 1e-9 &&
+          col("b.sz") >= col("a.sz") * threshold - 1e-9)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
+    // Threshold applies to the UNROUNDED ratio (documented semantics and
+    // the oracle's); rounding only in the output projection.
     inter
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("jaccard_raw", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** MinHash + LSH near-dup pairs: signatures of k = bands*rowsPerBand
     * minhashes; docs sharing any band bucket become candidates, verified
     * with exact shingle Jaccard. Probabilistic recall (standard S-curve),
     * exact precision thanks to the verify step. One shuffle on the band
-    * key — this is the 100 TB path: candidate volume tracks true-duplicate
-    * density, not corpus size squared.
+    * key — this is the 100 TB default: candidate volume tracks
+    * true-duplicate density, not corpus size squared.
     */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       shingleN: Int, bands: Int, rowsPerBand: Int,
@@ -96,7 +117,7 @@ object Dedupe {
     GraftFunctions.register(docs.sparkSession)
     val sets = shingleSets(docs, textCol, idCol, shingleN)
     val withSig = sets.withColumn("sig",
-      call_function("graft_minhash", col("sh"), lit(k)))
+      call_function("graft_minhash_h", col("sh"), lit(k)))
     val banded = withSig.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
     val cand = banded.as("a").join(banded.as("b"),
@@ -106,21 +127,38 @@ object Dedupe {
     verifyJaccard(cand, sets, threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprints; candidates share one of
-    * four 16-bit sub-blocks (Charikar/Manku block-permuted scheme — any
-    * pair within Hamming distance 3 must agree on a full block), then
-    * verified by Hamming distance <= maxHamming.
+  /** SimHash near-dup pairs (Charikar fingerprints, Manku block-permuted
+    * candidate scheme): the 64-bit fingerprint is cut into
+    * `maxHamming + 1` blocks, so by pigeonhole any pair within Hamming
+    * distance `maxHamming` agrees on at least one FULL block — candidate
+    * recall is exactly 1.0 for the advertised radius (the round-1 scheme
+    * fixed 4 blocks but accepted radii > 3, silently losing pairs).
+    * Candidates are then verified by exact Hamming distance.
+    *
+    * Scale notes: block width = floor(64/(maxHamming+1)); keep
+    * maxHamming small (<= 5) so each block retains >= 10 bits =
+    * >= 1024 buckets of near-uniform fingerprint bits; beyond that the
+    * per-block bucket count collapses and the within-bucket join goes
+    * quadratic — at billions of docs use minhashLshPairs instead.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0,32)")
     GraftFunctions.register(docs.sparkSession)
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks // floor; last block absorbs the remainder
     val fp = docs.select(col(idCol).as("id"),
       call_function("graft_simhash", tokens(col(textCol))).as("sh"))
+    val blockKey: Int => Column = b => {
+      val lo = b * width
+      val w = if (b == nBlocks - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      concat_ws(":", lit(b).cast("string"),
+        call_function("shiftright", col("sh"), lit(lo))
+          .bitwiseAND(lit(mask)).cast("string"))
+    }
     val blocks = fp.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)), b =>
-        concat_ws(":", b.cast("string"),
-          call_function("shiftright", col("sh"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).cast("string")))).as("blk"))
+      explode(array((0 until nBlocks).map(blockKey): _*)).as("blk"))
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkEntry
+import graft.functions.expressions.GraftFunctions
+
+/** Dev harness: time one or more SparkEntry queries (or print a plan)
+  * outside the full Bench loop.
+  *
+  * Usage: runMain graft.tools.PlanLab [explain] <queryName> [queryName…]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
+  */
+object PlanLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    val (explain, names) =
+      if (args.headOption.contains("explain")) (true, args.tail) else (false, args)
+    names.foreach { name =>
+      val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+      if (explain) {
+        println(s"=== $name ==="); df.explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
