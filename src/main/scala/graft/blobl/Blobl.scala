@@ -1,0 +1,143 @@
+package graft.blobl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Ast._
+import Values._
+import Values.{BT, BV}
+
+/** Public API of the Bloblang-subset mapping engine.
+  *
+  * The reference's `mapping` processor produces a NEW document per
+  * message and `mutation` edits in place (docs/modules/components/pages/
+  * processors/mapping.adoc:26, mutation.adoc:26); `root = deleted()`
+  * drops the message. Both compile here to a single Catalyst projection
+  * + filter over the input DataFrame — fully distributed, no
+  * row-at-a-time interpreter.
+  */
+object Blobl {
+
+  /** `mapping` over a JSON payload column: builds a fresh document.
+    *
+    * Input: `df` with `valueCol` (JSON string) and optionally
+    * `metadataCol` (map<string,string>). Output: same shape —
+    * `value` (normalized JSON, sorted keys), `metadata` when bound —
+    * with `root = deleted()` rows filtered out.
+    */
+  def mapping(df: DataFrame, src: String,
+              envVars: Map[String, String] = Map.empty,
+              valueCol: String = "value",
+              metadataCol: Option[String] = None): DataFrame =
+    run(df, src, envVars, valueCol, metadataCol, fresh = true)
+
+  /** `mutation`: like mapping but assignments overlay the input doc. */
+  def mutation(df: DataFrame, src: String,
+               envVars: Map[String, String] = Map.empty,
+               valueCol: String = "value",
+               metadataCol: Option[String] = None): DataFrame =
+    run(df, src, envVars, valueCol, metadataCol, fresh = false)
+
+  private def run(df: DataFrame, src: String, envVars: Map[String, String],
+                  valueCol: String, metadataCol: Option[String],
+                  fresh: Boolean): DataFrame = {
+    Compiler.prepare(df)
+    val m = Parser.parse(src)
+    val withThis = df.withColumn("__this", parse_json(col(valueCol)))
+    val env = Compiler.Env(Compiler.Json(col("__this")), Map.empty,
+      metadataCol.map(col), envVars)
+    val init: Column =
+      if (fresh) lit("{}")
+      else call_function("graft_json_normalize", col(valueCol))
+    val res = Compiler.runStatements(m.stmts, init, env)
+    val out = withThis
+      .withColumn(valueCol, call_function("graft_json_normalize", res.rootJson))
+      .filter(!res.deleted)
+      .drop("__this")
+    (metadataCol, res.meta) match {
+      case (Some(mc), Some(mv)) => out.withColumn(mc, mv)
+      case _ => out
+    }
+  }
+
+  /** `mapping` in TYPED mode: `this.<field>` binds to typed columns and
+    * every `root.<name> = …` assignment becomes an output column named
+    * `<name>` (nested paths unsupported here — use JSON mode). The fast
+    * path for schema-known sources: plans stay fully codegen'd with
+    * pushdown-friendly column pruning.
+    */
+  def mappingTyped(df: DataFrame, src: String,
+                   envVars: Map[String, String] = Map.empty): DataFrame = {
+    Compiler.prepare(df)
+    val m = Parser.parse(src)
+    var env = Compiler.Env(Compiler.Typed(df), Map.empty, None, envVars)
+    var outCols = Vector.empty[(String, Column)]
+    var deleteCond: Column = lit(false)
+
+    def applyStmts(stmts: Seq[Stmt], cond: Option[Column]): Unit = stmts.foreach {
+      case LetAssign(name, value) =>
+        env = env.withVar(name, Compiler.compile(value, env))
+      case RootAssign(Seq(), value) =>
+        Compiler.compile(value, env) match {
+          case BV(_, BT.Del, _) => deleteCond = deleteCond || cond.getOrElse(lit(true))
+          case _ => throw new IllegalArgumentException(
+            "whole-root assignment in typed mode supports only deleted()")
+        }
+      case RootAssign(Seq(name), value) =>
+        val v0 = Compiler.compile(value, env)
+        val prev = outCols.find(_._1 == name).map(_._2)
+        val c = cond match {
+          case Some(cc) =>
+            // conditional assignment falls back to the prior value of
+            // the field (if/else branches compose via coalesce)
+            prev.map(p => coalesce(when(cc, v0.col), p))
+              .getOrElse(when(cc, v0.col))
+          case None => v0.col
+        }
+        outCols = outCols.filterNot(_._1 == name) :+ (name -> c)
+      case RootAssign(segs, _) =>
+        throw new IllegalArgumentException(
+          s"nested path root.${segs.mkString(".")} unsupported in typed mode")
+      case MetaAssign(k, _) =>
+        throw new IllegalArgumentException(s"meta $k unsupported in typed mode")
+      case IfStmt(c, thn, els) =>
+        val cc = coalesce(asBool(Compiler.compile(c, env)), lit(false))
+        val thenCond = cond.map(_ && cc).getOrElse(cc)
+        applyStmts(thn, Some(thenCond))
+        if (els.nonEmpty)
+          applyStmts(els, Some(cond.map(_ && !cc).getOrElse(!cc)))
+    }
+
+    applyStmts(m.stmts, None)
+    df.filter(!deleteCond)
+      .select(outCols.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Compile a standalone Bloblang expression to a Column in typed mode
+    * (for `${! … }` interpolation and predicate fields).
+    */
+  def exprTyped(df: DataFrame, src: String,
+                envVars: Map[String, String] = Map.empty): Column = {
+    Compiler.prepare(df)
+    val env = Compiler.Env(Compiler.Typed(df), Map.empty, None, envVars)
+    Compiler.compile(Parser.parseExpr(src), env).col
+  }
+
+  /** Interpolation string `text ${! expr } text` → one string Column
+    * (reference: docs/…/configuration — `${! … }` in any field).
+    */
+  def interpolate(df: DataFrame, template: String,
+                  envVars: Map[String, String] = Map.empty): Column = {
+    val parts = scala.collection.mutable.Buffer.empty[Column]
+    val re = java.util.regex.Pattern.compile("\\$\\{!([^}]*)\\}")
+    val mt = re.matcher(template)
+    var last = 0
+    while (mt.find()) {
+      if (mt.start() > last) parts += lit(template.substring(last, mt.start()))
+      parts += exprTyped(df, mt.group(1).trim, envVars).cast("string")
+      last = mt.end()
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+  }
+}

@@ -1,0 +1,365 @@
+package graft.blobl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.GraftFunctions
+
+import Ast._
+import Values._
+import Values.BT._
+import Methods.{MArg, MLam, MVal}
+
+/** Compiles a parsed Bloblang mapping to Catalyst Column trees.
+  *
+  * Two bindings for `this`:
+  *   - [[Compiler.Json]]: the document is a JSON payload in a string
+  *     column — `this` is `parse_json(value)` (VariantType), paths are
+  *     `variant_get`. The reference's native mode (every message is a
+  *     lazily-parsed JSON tree, bloblang/about.adoc:62-68).
+  *   - [[Compiler.Typed]]: `this.<field>` binds to a typed top-level
+  *     column — the fast path when the source schema is known (SURVEY.md
+  *     §1.3 "typed fast-path").
+  *
+  * Error semantics: the reference flags per-message errors and `catch`/
+  * `|` recover (about.adoc:365-403). Catalyst expressions return null
+  * instead of erroring; `catch`/`|` compile to coalesce — absence and
+  * error collapse into null. Observable divergence is limited to
+  * mappings that distinguish `null` values from errors.
+  */
+object Compiler {
+
+  sealed trait Binding {
+    /** Resolve `this.<segs>` to a value. */
+    def resolveThis(segs: Seq[String]): BV
+  }
+
+  /** `this` = parse_json(<valueCol>) (projected once by [[Blobl]]). */
+  case class Json(thisCol: Column) extends Binding {
+    def resolveThis(segs: Seq[String]): BV =
+      if (segs.isEmpty) BV(thisCol, V)
+      else BV(variant_get(thisCol, "$." + segs.mkString("."), "variant"), V)
+  }
+
+  /** `this.<field>` = typed column; deeper segs use struct access. */
+  case class Typed(df: DataFrame) extends Binding {
+    private val types: Map[String, BT] =
+      df.schema.fields.map { f =>
+        f.name -> (f.dataType.typeName match {
+          case "string" => S
+          case "long" | "integer" | "short" | "byte" => I
+          case "double" | "float" => F
+          case "boolean" => B
+          case "timestamp" => TS
+          case "binary" => Bin
+          case t if t.startsWith("array") => A(V)
+          case _ => V
+        })
+      }.toMap
+
+    def resolveThis(segs: Seq[String]): BV = segs match {
+      case Seq() =>
+        throw new IllegalArgumentException(
+          "`this` without a field path is not supported in typed mode")
+      case head +: rest =>
+        val base = BV(col(head), types.getOrElse(head,
+          throw new IllegalArgumentException(s"unknown column: $head")))
+        rest.foldLeft(base)((b, seg) =>
+          BV(variant_get(asVariant(b), s"$$.$seg", "variant"), V))
+    }
+  }
+
+  case class Env(binding: Binding,
+                 vars: Map[String, BV],          // lambda params + lets
+                 metaCol: Option[Column],
+                 envVars: Map[String, String],
+                 thisOverride: Option[BV] = None) {
+    def withVar(name: String, v: BV): Env = copy(vars = vars + (name -> v))
+    /** Rebind `this` to a value — expression-form lambda bodies
+      * (`items.map_each($d.merge(this))`) see the ELEMENT as `this`.
+      */
+    def withThis(v: BV): Env = copy(thisOverride = Some(v))
+    def resolveThis(segs: Seq[String]): BV = thisOverride match {
+      case Some(base) =>
+        segs.foldLeft(base)((b, seg) =>
+          BV(variant_get(asVariant(b), s"$$.$seg", "variant"), V))
+      case None => binding.resolveThis(segs)
+    }
+  }
+
+  /** Compile one expression. */
+  def compile(e: Expr, env: Env): BV = e match {
+    case StrLit(s) => BV(lit(s), S)
+    case IntLit(n) => BV(lit(n), I)
+    case FloatLit(n) => BV(lit(n), F)
+    case BoolLit(b) => BV(lit(b), B)
+    case NullLit => BV(lit(null), N)
+
+    case ArrLit(items) =>
+      val vs = items.map(compile(_, env))
+      // deleted() and false if-without-else REMOVE the element
+      // (reference: config/test/bloblang/literals.yaml:14-25); a plain
+      // null literal stays
+      val needFilter = vs.exists(v0 => v0.t == Del || v0.omitNull)
+      val elems = array(vs.map { v0 =>
+        if (v0.t == Del) lit(DeletedSentinel).cast("variant")
+        else if (v0.omitNull)
+          coalesce(asVariant(v0), lit(DeletedSentinel).cast("variant"))
+        else asVariant(v0)
+      }: _*)
+      val cleaned =
+        if (needFilter)
+          filter(elems, x => !(x.cast("string") <=> lit(DeletedSentinel)))
+        else elems
+      BV(cleaned, A(V))
+
+    case ObjLit(fields) =>
+      // if-without-else and deleted() omit the key (literals.yaml:1-25):
+      // nulls are dropped by to_json(ignoreNullFields=true)
+      val fvs = fields.map { case (k, fe) =>
+        val v0 = compile(fe, env)
+        val c = if (v0.t == Del) lit(null).cast("string") else dropDeleted(v0)
+        c.as(k)
+      }
+      BV(to_json(struct(fvs: _*), Map("ignoreNullFields" -> "true")), J)
+
+    case ThisPath(segs) => env.resolveThis(segs)
+
+    case BarePath(segs) =>
+      env.vars.get(segs.head) match {
+        case Some(base) =>
+          segs.tail.foldLeft(base)((b, seg) =>
+            BV(variant_get(asVariant(b), s"$$.$seg", "variant"), V))
+        case None => env.resolveThis(segs)
+      }
+
+    case VarRef(name) =>
+      env.vars.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown variable: $$$name"))
+
+    case MetaRef(key) =>
+      val m = env.metaCol.getOrElse(
+        throw new IllegalArgumentException("no metadata column bound"))
+      key match {
+        case Some(k) => BV(element_at(m, k), S)
+        case None => BV(to_json(m), J)
+      }
+
+    case FnCall(name, args) => Functions(name, args, env)
+
+    case MethodCall(recv, "fold", args) if args.length == 2 =>
+      // fold(init, expr) — expr sees `tally` (accumulator) and `value`
+      // (element), reference: config/test/bloblang/windowed.yaml:4-8
+      val arr = asArray(compile(recv, env))
+      val init = compile(args(0), env)
+      BV(aggregate(arr.col, asVariant(init), (acc, x) => {
+        val env2 = env.withVar("tally", BV(acc, V)).withVar("value", BV(x, Methods.elemT(arr)))
+        asVariant(compile(args(1), env2))
+      }), V)
+
+    case MethodCall(recv, "format", args) =>
+      val fmt = recv match {
+        case StrLit(s) => s
+        case other => throw new IllegalArgumentException(
+          s"format receiver must be a literal string, got $other")
+      }
+      Methods(BV(lit(fmt), S), "format",
+        MVal(BV(lit(fmt), S), Some(fmt)) +: args.map(a => MVal(compile(a, env))))
+
+    case MethodCall(recv, name, args) =>
+      val r = compile(recv, env)
+      val lambdaTaking = Set("map_each", "filter", "all", "any", "find")
+      val margs: Seq[MArg] = args.map {
+        case Lambda(p, body) =>
+          MLam(x => compile(body, env.withVar(p, x)))
+        case body if lambdaTaking(name) =>
+          // expression-form lambda: `this` = element
+          MLam(x => compile(body, env.withThis(x)))
+        case lit0 @ StrLit(s) => MVal(compile(lit0, env), Some(s))
+        case a => MVal(compile(a, env))
+      }
+      Methods(r, name, margs)
+
+    case Lambda(_, _) =>
+      throw new IllegalArgumentException("lambda outside method argument")
+
+    case UnOp("!", x) => BV(!asBool(compile(x, env)), B)
+    case UnOp("-", x) =>
+      val v0 = compile(x, env)
+      if (v0.t == I) BV(-asLong(v0), I) else BV(-asDouble(v0), F)
+    case UnOp(op, _) =>
+      throw new IllegalArgumentException(s"unknown unary op $op")
+
+    case BinOp(op, le, re) =>
+      val l = compile(le, env)
+      val r = compile(re, env)
+      op match {
+        case "+" =>
+          if (l.t == S || r.t == S) BV(concat(asString(l), asString(r)), S)
+          else if (isArr(l) && isArr(r)) BV(concat(asArray(l).col, asArray(r).col), A(V))
+          else numeric(l, r, _ + _)
+        case "-" => numeric(l, r, _ - _)
+        case "*" => numeric(l, r, _ * _)
+        case "/" => BV(asDouble(l) / asDouble(r), F)
+        case "%" => BV(asLong(l) % asLong(r), I)
+        case "==" => BV(cmpOperand(l, r)._1 === cmpOperand(l, r)._2, B)
+        case "!=" => BV(cmpOperand(l, r)._1 =!= cmpOperand(l, r)._2, B)
+        case "<" => BV(cmpOperand(l, r)._1 < cmpOperand(l, r)._2, B)
+        case "<=" => BV(cmpOperand(l, r)._1 <= cmpOperand(l, r)._2, B)
+        case ">" => BV(cmpOperand(l, r)._1 > cmpOperand(l, r)._2, B)
+        case ">=" => BV(cmpOperand(l, r)._1 >= cmpOperand(l, r)._2, B)
+        case "&&" => BV(asBool(l) && asBool(r), B)
+        case "||" => BV(asBool(l) || asBool(r), B)
+        case other => throw new IllegalArgumentException(s"unknown op $other")
+      }
+
+    case Pipe(le, re) => Methods.coalesce2(compile(le, env), compile(re, env))
+
+    case IfExpr(cond, thn, els) =>
+      val c = asBool(compile(cond, env))
+      val t = compile(thn, env)
+      val e2 = els.map(compile(_, env))
+      (t.t, e2) match {
+        case (Del, Some(e)) if e.t != Del =>
+          // then-branch deletes: value only when cond false
+          BV(when(!coalesce(c, lit(false)), asType(e, e.t)), e.t, omitNull = true)
+        case (Del, _) => BV(lit(null), Del)
+        case (_, Some(e)) if e.t == Del =>
+          BV(when(coalesce(c, lit(false)), asType(t, t.t)), t.t, omitNull = true)
+        case (_, Some(e)) =>
+          val ut = unify(t.t, e.t)
+          BV(when(c, asType(t, ut)).otherwise(asType(e, ut)), ut,
+            t.omitNull || e.omitNull)
+        case (_, None) =>
+          // if-without-else: absent when false (key omission handled by
+          // the surrounding object/array/assignment context)
+          BV(when(c, asType(t, t.t)), t.t, omitNull = true)
+      }
+
+    case MatchExpr(target, cases) =>
+      val env2 = target match {
+        case Some(te) => env.withVar("__match", compile(te, env))
+        case None => env
+      }
+      val compiled = cases.map { case (condOpt, body) =>
+        (condOpt.map(ce => asBool(compile(ce, env2))), compile(body, env2))
+      }
+      val ut = compiled.map(_._2.t).reduce(unify)
+      val init: Column = compiled.collectFirst {
+        case (None, body) => asType(body, ut)
+      }.getOrElse(asType(BV(lit(null), N), ut))
+      val out = compiled.filter(_._1.isDefined).foldRight(init) {
+        case ((Some(c), body), acc) => when(c, asType(body, ut)).otherwise(acc)
+        case (_, acc) => acc
+      }
+      BV(out, ut)
+  }
+
+  private def isArr(v0: BV): Boolean = v0.t match {
+    case A(_) => true
+    case _ => false
+  }
+
+  private def numeric(l: BV, r: BV, f: (Column, Column) => Column): BV = {
+    val t = numericResult(l, r)
+    BV(f(numOperand(l, t), numOperand(r, t)), t)
+  }
+
+  /** Comparison operands: pick the more specific side's type. */
+  private def cmpOperand(l: BV, r: BV): (Column, Column) = {
+    val t = (l.t, r.t) match {
+      case (V, o) if o != V => o
+      case (o, V) if o != V => o
+      case (a, b) => unify(a, b)
+    }
+    t match {
+      case S => (asString(l), asString(r))
+      case I => (asLong(l), asLong(r))
+      case F => (asDouble(l), asDouble(r))
+      case B => (asBool(l), asBool(r))
+      case TS => (asTimestamp(l), asTimestamp(r))
+      case _ => (asString(l), asString(r))
+    }
+  }
+
+  private def dropDeleted(v0: BV): Column = v0.t match {
+    case Del => lit(null).cast("string")
+    case _ => v0.col
+  }
+
+  // ── statement execution (JSON mode) ──────────────────────────────────
+
+  /** Result of running a mapping's statements over a JSON document. */
+  case class DocResult(rootJson: Column, deleted: Column,
+                       meta: Option[Column])
+
+  /** Fold statements into (rootJson, deletedCond, meta). `rootInit` is
+    * "{}" for `mapping` (fresh doc) or the normalized input for
+    * `mutation`.
+    */
+  def runStatements(stmts: Seq[Stmt], rootInit: Column, env0: Env): DocResult = {
+    var root = rootInit
+    var deleted: Column = lit(false)
+    var env = env0
+    var meta = env0.metaCol
+
+    def apply(ss: Seq[Stmt], cond: Column): Unit = ss.foreach {
+      case LetAssign(name, value) =>
+        env = env.withVar(name, compile(value, env))
+
+      case RootAssign(Seq(), value) =>
+        compile(value, env) match {
+          case BV(_, Del, _) =>
+            deleted = deleted || cond
+          case v0 if v0.omitNull =>
+            // e.g. root = if c { deleted() } else { expr } — null means
+            // the deleting branch fired
+            deleted = deleted || (cond && v0.col.isNull)
+            root = when(cond && v0.col.isNotNull, serializeRoot(v0)).otherwise(root)
+          case v0 =>
+            root = when(cond, serializeRoot(v0)).otherwise(root)
+        }
+
+      case RootAssign(segs, value) =>
+        // nested one-path patch {a:{b:<v>}} deep-merged into the doc;
+        // nulls preserved so an assigned null survives into the merge —
+        // except omit-null values (false if-without-else), which skip
+        // the assignment entirely
+        val v0 = compile(value, env)
+        val patch = nestedPatch(segs, v0)
+        val assignCond = if (v0.omitNull) cond && v0.col.isNotNull else cond
+        root = when(assignCond,
+          call_function("graft_json_merge", root, patch)).otherwise(root)
+
+      case MetaAssign(key, value) =>
+        val m = meta.getOrElse(map().cast("map<string,string>"))
+        val v0 = asString(compile(value, env))
+        meta = Some(when(cond, map_concat(m, map(lit(key), v0))).otherwise(m))
+
+      case IfStmt(c, thn, els) =>
+        val cc = asBool(compile(c, env))
+        apply(thn, cond && coalesce(cc, lit(false)))
+        if (els.nonEmpty) apply(els, cond && !coalesce(cc, lit(false)))
+    }
+
+    apply(stmts, lit(true))
+    DocResult(root, deleted, meta)
+  }
+
+  /** JSON text of a nested one-path patch: {a:{b:{c: value}}}. */
+  private def nestedPatch(segs: Seq[String], v0: BV): Column = {
+    val leaf: Column = v0.t match {
+      case Del => lit(DeletedSentinel).cast("variant")
+      case N => lit(null).cast("variant")
+      case _ => asVariant(v0)
+    }
+    val nested = segs.tail.foldRight(leaf)((seg, acc) =>
+      parse_json(to_json(struct(acc.as(seg)), Map("ignoreNullFields" -> "false"))))
+    to_json(struct(nested.as(segs.head)), Map("ignoreNullFields" -> "false"))
+  }
+
+  private def serializeRoot(v0: BV): Column = toJsonText(v0)
+
+  /** Register required runtime functions for a session. */
+  def prepare(df: DataFrame): Unit = GraftFunctions.register(df.sparkSession)
+}

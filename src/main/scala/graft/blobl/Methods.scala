@@ -1,0 +1,427 @@
+package graft.blobl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import Values._
+import Values.BT._
+
+/** Bloblang method registry → Catalyst expressions.
+  *
+  * Coverage targets the high-frequency members of every category of the
+  * reference's method surface (docs/modules/guides/pages/bloblang/
+  * methods.adoc: strings :35-796, regexp :797-954, numbers :955-1580,
+  * timestamps :1581-2060, coercion :2061-2256, object & array
+  * :2257-3318, parsing :3319-3736, encoding & crypto :3737-3953).
+  * Every method is a pure Column transform — builtins where they exist,
+  * graft_* custom expressions otherwise; no UDFs.
+  */
+object Methods {
+
+  sealed trait MArg
+  /** Compiled value; `litS` carries the source literal when the argument
+    * was a string literal (several methods — regex patterns, encodings,
+    * separators — are compile-time parameters in Catalyst builtins).
+    */
+  case class MVal(v: BV, litS: Option[String] = None) extends MArg
+  case class MLam(f: BV => BV) extends MArg
+
+  private def v(a: MArg): BV = a match {
+    case MVal(x, _) => x
+    case _ => throw new IllegalArgumentException("expected value, got lambda")
+  }
+  private def lam(a: MArg): BV => BV = a match {
+    case MLam(f) => f
+    case _ => throw new IllegalArgumentException("expected lambda")
+  }
+  private def litStr(a: MArg): String = a match {
+    case MVal(_, Some(s)) => s
+    case _ => throw new IllegalArgumentException("expected a string literal argument")
+  }
+
+  /** Pattern letters emitted by the layout translators; any OTHER letter
+    * remaining after substitution is literal text and must be quoted for
+    * java.time ('T' in ISO timestamps, a literal 'Z', …).
+    */
+  private val patternLetters = "yMdHhmsSXxzEaD".toSet
+
+  private def quoteLiterals(pattern: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c.isLetter && !patternLetters(c)) {
+        sb.append('\'')
+        while (i < pattern.length && pattern.charAt(i).isLetter &&
+          !patternLetters(pattern.charAt(i))) { sb.append(pattern.charAt(i)); i += 1 }
+        sb.append('\'')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Go reference-time layout → java.time pattern (the reference's
+    * ts_parse/ts_format take Go layouts, methods.adoc:1581-2060).
+    */
+  def goLayoutToJava(layout: String): String = {
+    // longest-first so "01" doesn't shadow "01/02"
+    val subs = Seq(
+      "2006" -> "yyyy", "01" -> "MM", "02" -> "dd", "15" -> "HH",
+      "03" -> "hh", "04" -> "mm", "05" -> "ss", ".999999999" -> ".SSSSSSSSS",
+      ".999999" -> ".SSSSSS", ".999" -> ".SSS", "Z07:00" -> "XXX",
+      "-07:00" -> "xxx", "Z0700" -> "XX", "-0700" -> "xx",
+      "MST" -> "zzz", "Jan" -> "MMM", "Mon" -> "EEE", "PM" -> "a", "06" -> "yy")
+    var out = layout
+    // protect pattern-letter collisions in literal text by substituting
+    // placeholders first
+    subs.foreach { case (go, java) => out = out.replace(go, java) }
+    quoteLiterals(out)
+  }
+
+  /** strftime → java.time pattern (ts_strftime/ts_strptime). */
+  def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy"); case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM");   case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH");   case 'I' => sb.append("hh")
+          case 'M' => sb.append("mm");   case 'S' => sb.append("ss")
+          case 'j' => sb.append("DDD");  case 'a' => sb.append("EEE")
+          case 'A' => sb.append("EEEE"); case 'b' => sb.append("MMM")
+          case 'B' => sb.append("MMMM"); case 'p' => sb.append("a")
+          case 'z' => sb.append("xx");   case 'Z' => sb.append("zzz")
+          case '%' => sb.append('%')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    quoteLiterals(sb.toString)
+  }
+
+  private val hashAlgos = Set("md5", "sha1", "sha256", "sha512", "xxhash64", "crc32")
+
+  /** Apply method `name` to `recv` with `args`. */
+  def apply(recv: BV, name: String, args: Seq[MArg]): BV = name match {
+    // ── string (methods.adoc:35-796) ──────────────────────────────────
+    case "uppercase" => BV(upper(asString(recv)), S)
+    case "lowercase" => BV(lower(asString(recv)), S)
+    case "capitalize" => BV(initcap(asString(recv)), S)
+    case "trim" => BV(trim(asString(recv)), S)
+    case "trim_prefix" =>
+      val p = asString(v(args(0)))
+      val s = asString(recv)
+      BV(when(s.startsWith(p), expr_substr(s, length(p) + 1)).otherwise(s), S)
+    case "trim_suffix" =>
+      val p = asString(v(args(0)))
+      val s = asString(recv)
+      BV(when(s.endsWith(p), substring(s, lit(1), length(s) - length(p))).otherwise(s), S)
+    case "has_prefix" => BV(asString(recv).startsWith(asString(v(args(0)))), B)
+    case "has_suffix" => BV(asString(recv).endsWith(asString(v(args(0)))), B)
+    case "contains" => recv.t match {
+      case A(_) => BV(array_contains(asArray(recv).col, v(args(0)).col), B)
+      case _ => BV(asString(recv).contains(asString(v(args(0)))), B)
+    }
+    case "index_of" => BV((instr(asString(recv), asString(v(args(0)))) - 1).cast("long"), I)
+    case "length" => recv.t match {
+      case A(_) => BV(size(asArray(recv).col).cast("long"), I)
+      case V =>
+        // dynamic dispatch on the variant's runtime kind (CaseWhen only
+        // evaluates the matched branch, so the array cast never runs on
+        // scalars)
+        BV(when(schema_of_variant(recv.col).startsWith("ARRAY"),
+            size(recv.col.cast("array<variant>")).cast("long"))
+          .otherwise(length(recv.col.cast("string")).cast("long")), I)
+      case _ => BV(length(asString(recv)).cast("long"), I)
+    }
+    case "slice" =>
+      // slice(low, high?) — 0-based, high exclusive; negatives count
+      // from the end (methods.adoc slice)
+      recv.t match {
+        case A(_) =>
+          val arr = asArray(recv)
+          val lo = asLong(v(args(0)))
+          val hi = if (args.length > 1) asLong(v(args(1))) else size(arr.col).cast("long")
+          val n = size(arr.col).cast("long")
+          val lo1 = when(lo < 0, greatest(n + lo, lit(0L))).otherwise(least(lo, n))
+          val hi1 = when(hi < 0, greatest(n + hi, lit(0L))).otherwise(least(hi, n))
+          BV(slice(arr.col, (lo1 + 1).cast("int"), greatest(hi1 - lo1, lit(0L)).cast("int")),
+            recv.t)
+        case _ =>
+          val s = asString(recv)
+          val n = length(s).cast("long")
+          val lo = asLong(v(args(0)))
+          val hi = if (args.length > 1) asLong(v(args(1))) else n
+          val lo1 = when(lo < 0, greatest(n + lo, lit(0L))).otherwise(least(lo, n))
+          val hi1 = when(hi < 0, greatest(n + hi, lit(0L))).otherwise(least(hi, n))
+          BV(s.substr((lo1 + 1).cast("int"), greatest(hi1 - lo1, lit(0L)).cast("int")), S)
+      }
+    case "split" => BV(split(asString(recv),
+      java.util.regex.Pattern.quote(litStr(args(0)))), A(S))
+    case "replace_all" => BV(replace(asString(recv), asString(v(args(0))),
+      asString(v(args(1)))), S)
+    case "reverse" => recv.t match {
+      case A(_) => BV(reverse(asArray(recv).col), recv.t)
+      case _ => BV(reverse(asString(recv)), S)
+    }
+    case "repeat" => BV(repeat(asString(recv), asLong(v(args(0))).cast("int")), S)
+    case "quote" => BV(to_json(asVariant(BV(asString(recv), S))), S)
+    case "format" =>
+      // receiver must be a literal format string ("%s-%d".format(a, b));
+      // the Compiler routes the literal through the first pseudo-arg
+      val fmt = litStr(args.head)
+      BV(format_string(fmt, args.tail.map(a => v(a).col): _*), S)
+    case "escape_url_query" => BV(url_encode(asString(recv)), S)
+    case "unescape_url_query" => BV(url_decode(asString(recv)), S)
+    case "slug" =>
+      BV(regexp_replace(regexp_replace(lower(trim(asString(recv))),
+        "[^a-z0-9\\s-]", ""), "[\\s-]+", "-"), S)
+
+    // ── regexp (methods.adoc:797-954) ─────────────────────────────────
+    case "re_match" => BV(asString(recv).rlike(litStr(args(0))), B)
+    case "re_replace_all" => BV(regexp_replace(asString(recv),
+      lit(litStr(args(0))), asString(v(args(1)))), S)
+    case "re_find_all" => BV(regexp_extract_all(asString(recv),
+      lit(litStr(args(0))), lit(0)), A(S))
+    case "re_find_all_submatch" => BV(regexp_extract_all(asString(recv),
+      lit(litStr(args(0))), lit(1)), A(S))
+
+    // ── numbers (methods.adoc:955-1580) ───────────────────────────────
+    case "abs" => BV(abs(numOperand(recv, recv.t)),
+      if (recv.t == I) I else F)
+    case "ceil" => BV(ceil(asDouble(recv)).cast("long"), I)
+    case "floor" => BV(floor(asDouble(recv)).cast("long"), I)
+    case "round" => BV(round(asDouble(recv), 0).cast("long"), I)
+    case "log" => BV(log(asDouble(recv)), F)
+    case "log10" => BV(log10(asDouble(recv)), F)
+    case "pow" => BV(pow(asDouble(recv), asDouble(v(args(0)))), F)
+    case "sqrt" => BV(sqrt(asDouble(recv)), F)
+    case "max" if args.nonEmpty => BV(greatest(asDouble(recv), asDouble(v(args(0)))), F)
+    case "min" if args.nonEmpty => BV(least(asDouble(recv), asDouble(v(args(0)))), F)
+
+    // ── coercion (methods.adoc:2061-2256) ─────────────────────────────
+    case "string" => BV(asString(recv), S)
+    case "number" => BV(asDouble(recv), F)
+    case "bool" => BV(asBool(recv), B)
+    case "int8" | "int16" | "int32" | "int64" => BV(asLong(recv), I)
+    case "uint8" | "uint16" | "uint32" | "uint64" => BV(asLong(recv), I)
+    case "float32" | "float64" => BV(asDouble(recv), F)
+    case "bytes" => BV(asString(recv).cast("binary"), Bin)
+    case "not_null" => BV(assert_true_or(recv), recv.t)
+    case "not_empty" => recv.t match {
+      case A(_) => BV(when(size(asArray(recv).col) > 0, recv.col), recv.t)
+      case _ => BV(when(length(asString(recv)) > 0, recv.col), recv.t)
+    }
+    case "catch" => coalesce2(recv, v(args(0)))
+    case "or" => coalesce2(recv, v(args(0)))
+    case "timestamp" => BV(asTimestamp(recv), TS)
+    case "type" =>
+      val tn = recv.t match {
+        case S => lit("string")
+        case I => lit("number")
+        case F => lit("number")
+        case B => lit("bool")
+        case A(_) => lit("array")
+        case TS => lit("timestamp")
+        case _ =>
+          val sv = schema_of_variant(asVariant(recv))
+          when(sv.startsWith("ARRAY"), "array")
+            .when(sv.startsWith("OBJECT") || sv.startsWith("STRUCT"), "object")
+            .when(sv === "STRING", "string")
+            .when(sv === "BOOLEAN", "bool")
+            .when(sv.startsWith("DECIMAL") ||
+              sv.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE",
+                "FLOAT"), "number")
+            .otherwise(lower(sv))
+      }
+      BV(tn, S)
+
+    // ── timestamps (methods.adoc:1581-2060) ───────────────────────────
+    case "ts_parse" =>
+      BV(to_timestamp(asString(recv), goLayoutToJava(litStr(args(0)))), TS)
+    case "ts_format" =>
+      BV(date_format(asTimestamp(recv), goLayoutToJava(litStr(args(0)))), S)
+    case "ts_strptime" =>
+      BV(to_timestamp(asString(recv), strftimeToJava(litStr(args(0)))), TS)
+    case "ts_strftime" =>
+      BV(date_format(asTimestamp(recv), strftimeToJava(litStr(args(0)))), S)
+    case "ts_unix" => BV(unix_timestamp(asTimestamp(recv)), I)
+    case "ts_unix_milli" => BV((unix_micros(asTimestamp(recv)) / 1000L), I)
+    case "ts_unix_micro" => BV(unix_micros(asTimestamp(recv)), I)
+    case "ts_unix_nano" => BV(unix_micros(asTimestamp(recv)) * 1000L, I)
+    case "ts_round" =>
+      // round to given duration (seconds granularity)
+      val secs = asLong(v(args(0)))
+      val ts = unix_timestamp(asTimestamp(recv))
+      BV(timestamp_seconds(round(ts.cast("double") / secs, 0).cast("long") * secs), TS)
+    case "ts_sub" =>
+      BV(unix_micros(asTimestamp(recv)) - unix_micros(asTimestamp(v(args(0)))), I)
+
+    // ── object & array (methods.adoc:2257-3318) ───────────────────────
+    case "map_each" =>
+      // elements coerce to variant so dynamic/JSON lambda results nest
+      // correctly in the output array
+      val f = lam(args(0))
+      val arr = asArray(recv)
+      BV(transform(arr.col, x => asVariant(f(BV(x, elemT(arr))))), A(V))
+    case "filter" =>
+      val f = lam(args(0))
+      val arr = asArray(recv)
+      BV(filter(arr.col, x => asBool(f(BV(x, elemT(arr))))), arr.t)
+    case "all" =>
+      val f = lam(args(0))
+      val arr = asArray(recv)
+      BV(forall(arr.col, x => asBool(f(BV(x, elemT(arr))))), B)
+    case "any" =>
+      val f = lam(args(0))
+      val arr = asArray(recv)
+      BV(exists(arr.col, x => asBool(f(BV(x, elemT(arr))))), B)
+    case "sum" =>
+      val arr = asArray(recv)
+      BV(aggregate(arr.col, lit(0.0),
+        (acc, x) => acc + asDouble(BV(x, elemT(arr)))), F)
+    case "fold" =>
+      // fold(init, lambda) where the lambda context exposes `tally` and
+      // `value` — compiled by Compiler into a two-arg closure packed as
+      // MLam over a struct; see Compiler.foldCall
+      throw new IllegalArgumentException(
+        "fold is compiled inline by the Compiler")
+    case "unique" =>
+      val arr = asArray(recv)
+      elemT(arr) match {
+        case V =>
+          // variant has no ordering/equality — distinct over string view
+          BV(array_distinct(transform(arr.col, x => x.cast("string"))), A(S))
+        case _ => BV(array_distinct(arr.col), arr.t)
+      }
+    case "sort" =>
+      val arr = asArray(recv)
+      val typed = elemT(arr) match {
+        case V => BV(transform(arr.col, x => x.cast("string")), A(S))
+        case _ => arr
+      }
+      BV(array_sort(typed.col), typed.t)
+    case "join" =>
+      val sep = if (args.nonEmpty) litStr(args(0)) else ""
+      val arr = asArray(recv)
+      val strs = elemT(arr) match {
+        case S => arr.col
+        case _ => transform(arr.col, x => x.cast("string"))
+      }
+      BV(array_join(strs, sep), S)
+    case "flatten" => BV(flatten(asArray(recv).col), elemT(asArray(recv)) match {
+      case A(e) => A(e)
+      case _ => A(V)
+    })
+    case "index" =>
+      val arr = asArray(recv)
+      val i = asLong(v(args(0)))
+      val n = size(arr.col).cast("long")
+      BV(element_at(arr.col, (when(i < 0, n + i).otherwise(i) + 1).cast("int")),
+        elemT(arr))
+    case "append" =>
+      BV(concat(asArray(recv).col, array(args.map(a => asVariant(v(a))): _*)),
+        asArray(recv).t)
+    case "concat" =>
+      BV(concat((recv +: args.map(v)).map(x => asArray(x).col): _*), asArray(recv).t)
+    case "enumerated" =>
+      val arr = asArray(recv)
+      BV(zip_with(sequence(lit(0), size(arr.col) - 1), arr.col,
+        (i, x) => struct(i.as("index"), x.as("value"))), A(V))
+    case "keys" => BV(json_object_keys(toJsonText(recv)), A(S))
+    case "values" =>
+      // string-valued view (full dynamic values need variant maps)
+      BV(map_values(from_json(toJsonText(recv),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))), A(S))
+    case "get" =>
+      val path = litStr(args(0))
+      BV(variant_get(asVariant(recv), s"$$.${path}", "variant"), V)
+    case "exists" =>
+      val path = litStr(args(0))
+      BV(variant_get(asVariant(recv), s"$$.${path}", "variant").isNotNull, B)
+    case "merge" =>
+      BV(call_function("graft_json_merge", toJsonText(recv),
+        toJsonText(v(args(0)))), J)
+    case "without" =>
+      BV(call_function("graft_json_without", toJsonText(recv),
+        lit(args.map(litStr).mkString(","))), J)
+    case "squash" | "explode" | "collapse" =>
+      throw new IllegalArgumentException(s"method $name not supported (v1)")
+
+    // ── parsing & formatting (methods.adoc:3319-3736) ─────────────────
+    case "parse_json" => BV(parse_json(asString(recv)), V)
+    case "format_json" => BV(toJsonText(recv), S)
+    case "parse_timestamp" =>
+      BV(to_timestamp(asString(recv), goLayoutToJava(litStr(args(0)))), TS)
+    case "parse_csv" => BV(split(asString(recv), ","), A(S))
+    case "parse_url" =>
+      BV(parse_json(to_json(struct(
+        parse_url(asString(recv), lit("HOST")).as("host"),
+        parse_url(asString(recv), lit("PATH")).as("path"),
+        parse_url(asString(recv), lit("QUERY")).as("query"),
+        parse_url(asString(recv), lit("PROTOCOL")).as("scheme")))), V)
+
+    // ── encoding & crypto (methods.adoc:3737-3953) ────────────────────
+    case "encode" => litStr(args(0)) match {
+      case "base64" => BV(base64(asBinary(recv)), S)
+      case "hex" => BV(hex(asBinary(recv)), S)
+      case other => throw new IllegalArgumentException(s"encode($other) unsupported")
+    }
+    case "decode" => litStr(args(0)) match {
+      case "base64" => BV(unbase64(asString(recv)), Bin)
+      case "hex" => BV(unhex(asString(recv)), Bin)
+      case other => throw new IllegalArgumentException(s"decode($other) unsupported")
+    }
+    case "hash" => litStr(args(0)) match {
+      case "md5" => BV(md5(asBinary(recv)), S)
+      case "sha1" => BV(sha1(asBinary(recv)), S)
+      case "sha256" => BV(sha2(asBinary(recv), 256), S)
+      case "sha512" => BV(sha2(asBinary(recv), 512), S)
+      case "xxhash64" => BV(xxhash64(asString(recv)).cast("string"), S)
+      case "crc32" => BV(crc32(asBinary(recv)).cast("string"), S)
+      case other => throw new IllegalArgumentException(s"hash($other) unsupported")
+    }
+
+    case other =>
+      throw new IllegalArgumentException(s"unknown blobl method: $other")
+  }
+
+  // ── helpers ───────────────────────────────────────────────────────────
+  private def expr_substr(s: Column, from: Column): Column =
+    s.substr(from.cast("int"), length(s))
+
+  private def try_cast_arr(c: Column): Column = c.cast("array<variant>")
+
+  private def asBinary(v0: BV): Column = v0.t match {
+    case Bin => v0.col
+    case _ => asString(v0).cast("binary")
+  }
+
+  private def assert_true_or(v0: BV): Column = v0.col
+
+  def coalesce2(a: BV, b: BV): BV = {
+    val t = unify(a.t, b.t)
+    BV(coalesce(asType(a, t), asType(b, t)), t)
+  }
+
+  def elemT(arr: BV): BT = arr.t match {
+    case A(e) => e
+    case _ => V
+  }
+
+  private def elemTypeName(arr: BV): String = elemT(arr) match {
+    case S => "string"
+    case I => "long"
+    case F => "double"
+    case B => "boolean"
+    case TS => "timestamp"
+    case _ => "variant"
+  }
+
+}

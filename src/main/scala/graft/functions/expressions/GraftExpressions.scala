@@ -118,6 +118,70 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Deep JSON merge (right wins; deleted-sentinel removes keys); output
+  * keys sorted. See [[JsonKernel.merge]].
+  */
+case class JsonMerge(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left, right).map(_.dataType), Seq.fill(2)(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_merge"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JsonKernel.merge(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.JsonKernel.merge($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Canonical JSON (sorted keys, deleted markers stripped). */
+case class JsonNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_normalize"
+
+  override protected def nullSafeEval(a: Any): Any =
+    JsonKernel.normalize(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.JsonKernel.normalize($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Drop named (dot-separated, comma-joined) paths from a JSON object. */
+case class JsonWithout(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left, right).map(_.dataType), Seq.fill(2)(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_without"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JsonKernel.without(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.JsonKernel.without($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration of the graft_* expression surface (the same
   * builders are injected by `spark.sql.extensions=graft.GraftExtensions`).
   */
@@ -149,7 +213,10 @@ object GraftFunctions {
       MinHashFromHashes(es(0), intArg(es(1), "k"))),
     "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
       ShingleHashes(es(0), intArg(es(1), "n"))),
-    "graft_simhash" -> ((es: Seq[Expression]) => SimHash64(es(0))))
+    "graft_simhash" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+    "graft_json_merge" -> ((es: Seq[Expression]) => JsonMerge(es(0), es(1))),
+    "graft_json_normalize" -> ((es: Seq[Expression]) => JsonNormalize(es(0))),
+    "graft_json_without" -> ((es: Seq[Expression]) => JsonWithout(es(0), es(1))))
 
   /** Idempotent: re-registering an existing name is skipped, so calling
     * this per-operator neither spams "replaced a previously registered

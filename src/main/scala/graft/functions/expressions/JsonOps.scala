@@ -1,0 +1,137 @@
+package graft.functions.expressions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JSON tree kernels behind the graft_json_* Catalyst expressions —
+  * deep merge, key-sorted normalization, and field projection for the
+  * Bloblang `merge`/`with`/`without` methods and the mapping compiler's
+  * assignment overlay (reference: docs/modules/guides/pages/bloblang/
+  * methods.adoc `merge`, `without`, `with`).
+  *
+  * Uses Jackson (already on the Spark classpath). All entry points take
+  * and return UTF8String so generated code calls them statically, like
+  * [[HashOps]].
+  */
+object JsonKernel {
+  private val mapper = new ObjectMapper()
+
+  /** Keys/elements holding exactly this string value are treated as
+    * `deleted()` markers and removed during merge/normalize.
+    */
+  final val DeletedSentinel = " graft:deleted "
+
+  private def isDeleted(n: JsonNode): Boolean =
+    n.isTextual && n.asText() == DeletedSentinel
+
+  /** Deep merge: object∪object merges recursively (right wins on
+    * conflict); right-side deleted-sentinel removes the key; any other
+    * right value replaces. Output keys sorted (the reference engine
+    * serializes objects with sorted keys, Go map marshaling).
+    */
+  def merge(left: UTF8String, right: UTF8String): UTF8String = {
+    val l = mapper.readTree(left.toString)
+    val r = mapper.readTree(right.toString)
+    UTF8String.fromString(write(mergeNodes(l, r)))
+  }
+
+  private def mergeNodes(l: JsonNode, r: JsonNode): JsonNode = (l, r) match {
+    case (lo: ObjectNode, ro: ObjectNode) =>
+      val out = mapper.createObjectNode()
+      val names = new java.util.TreeSet[String]()
+      lo.fieldNames().forEachRemaining(n => names.add(n))
+      ro.fieldNames().forEachRemaining(n => names.add(n))
+      names.forEach { n =>
+        val lv = lo.get(n)
+        val rv = ro.get(n)
+        if (rv == null) { out.set(n, lv); () }
+        else if (isDeleted(rv)) () // removed
+        else if (lv == null) { out.set(n, stripDeleted(rv)); () }
+        else { out.set(n, mergeNodes(lv, rv)); () }
+      }
+      out
+    case (_, rv) => stripDeleted(rv)
+  }
+
+  /** Remove deleted-sentinel object values / array elements recursively. */
+  private def stripDeleted(n: JsonNode): JsonNode = n match {
+    case o: ObjectNode =>
+      val out = mapper.createObjectNode()
+      o.fields().forEachRemaining { e =>
+        if (!isDeleted(e.getValue)) { out.set(e.getKey, stripDeleted(e.getValue)); () }
+      }
+      out
+    case a: ArrayNode =>
+      val out = mapper.createArrayNode()
+      a.forEach(el => if (!isDeleted(el)) { out.add(stripDeleted(el)); () })
+      out
+    case other => other
+  }
+
+  /** Canonical form: keys sorted recursively, deleted markers stripped. */
+  def normalize(json: UTF8String): UTF8String = {
+    val n = mapper.readTree(json.toString)
+    UTF8String.fromString(write(stripDeleted(n)))
+  }
+
+  /** Drop the named top-level (dot-separated = nested) paths. */
+  def without(json: UTF8String, keys: UTF8String): UTF8String = {
+    val n = mapper.readTree(json.toString)
+    keys.toString.split(',').foreach { path =>
+      removePath(n, path.trim.split('.').toList)
+    }
+    UTF8String.fromString(write(n))
+  }
+
+  private def removePath(n: JsonNode, path: List[String]): Unit = (n, path) match {
+    case (o: ObjectNode, k :: Nil) => { o.remove(k); () }
+    case (o: ObjectNode, k :: rest) =>
+      val child = o.get(k); if (child != null) removePath(child, rest)
+    case _ => ()
+  }
+
+  /** Serialize with sorted object keys at every level. */
+  private def write(n: JsonNode): String = {
+    val sb = new java.lang.StringBuilder
+    writeNode(n, sb)
+    sb.toString
+  }
+
+  private def writeNode(n: JsonNode, sb: java.lang.StringBuilder): Unit = n match {
+    case o: ObjectNode =>
+      sb.append('{')
+      val names = new java.util.TreeSet[String]()
+      o.fieldNames().forEachRemaining(x => names.add(x))
+      var first = true
+      names.forEach { k =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append(new TextNode(k).toString).append(':')
+        writeNode(o.get(k), sb)
+      }
+      sb.append('}')
+      ()
+    case a: ArrayNode =>
+      sb.append('[')
+      var first = true
+      a.forEach { el =>
+        if (!first) sb.append(',')
+        first = false
+        writeNode(el, sb)
+      }
+      sb.append(']')
+      ()
+    case other =>
+      // Go encoding/json semantics (the reference engine's serializer):
+      // integral floats print without a decimal point (11.0 → 11)
+      if (other.isFloatingPointNumber) {
+        val d = other.asDouble()
+        if (!d.isInfinite && !d.isNaN && d == Math.rint(d) &&
+            d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)
+          sb.append(d.toLong)
+        else sb.append(other.toString)
+      } else sb.append(other.toString)
+      ()
+  }
+}

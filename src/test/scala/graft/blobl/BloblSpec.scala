@@ -1,0 +1,207 @@
+package graft.blobl
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Conformance tests for the Bloblang-subset engine, ported from the
+  * reference's own declarative corpus (config/test/bloblang/ dir) plus
+  * method-surface unit cases. Each `content_equals` in the reference
+  * corpus maps to an exact string assertion on the normalized output.
+  */
+class BloblSpec extends SparkSpec {
+
+  private def docs(jsons: String*): DataFrame = {
+    import spark.implicits._
+    jsons.toDF("value")
+  }
+
+  private def mapped(src: String, envVars: Map[String, String], jsons: String*): Seq[String] = {
+    import spark.implicits._
+    Blobl.mapping(docs(jsons: _*), src, envVars).select("value").as[String].collect().toSeq
+  }
+
+  // reference: config/test/bloblang/cities.blobl + cities_test.yaml
+  test("cities conformance case") {
+    val src = """root.Cities = this.locations.
+                |                filter(loc -> loc.state == "WA").
+                |                map_each(loc -> loc.name).
+                |                sort().join(", ")""".stripMargin
+    val in =
+      """{"locations":[{"name":"Seattle","state":"WA"},{"name":"New York","state":"NY"},
+        |{"name":"Bellevue","state":"WA"},{"name":"Olympia","state":"WA"}]}""".stripMargin.replace("\n", "")
+    assert(mapped(src, Map.empty, in) == Seq("""{"Cities":"Bellevue, Olympia, Seattle"}"""))
+  }
+
+  // reference: config/test/bloblang/literals.yaml (object/array literals
+  // with conditional fields and deleted())
+  test("literals: conditional object fields and array elements") {
+    val src = """root = {
+                |  "1": "1",
+                |  "2": if env("FOO") == "ENABLED" { "foo" },
+                |  "3": if this.count > 5 { this.count } else { deleted() },
+                |  "4": [ "1", if env("FOO") == "ENABLED" { "foo" },
+                |         if this.count > 5 { this.count } else { deleted() }, "4" ]
+                |}""".stripMargin
+    val withFoo = mapped(src, Map("FOO" -> "ENABLED"),
+      """{"count":10}""", """{"count":3}""")
+    assert(withFoo == Seq(
+      """{"1":"1","2":"foo","3":10,"4":["1","foo",10,"4"]}""",
+      """{"1":"1","2":"foo","4":["1","foo","4"]}"""))
+    val withoutFoo = mapped(src, Map("FOO" -> "DISABLED"),
+      """{"count":10}""", """{"count":3}""")
+    assert(withoutFoo == Seq(
+      """{"1":"1","3":10,"4":["1",10,"4"]}""",
+      """{"1":"1","4":["1","4"]}"""))
+  }
+
+  // reference: config/test/bloblang/boolean_operands.yaml — three-valued
+  // logic over missing fields, catch() recovery
+  test("boolean operands with catch") {
+    val src = """ands = (first && second).catch("failed")
+                |ors = (first || second).catch("failed")""".stripMargin
+    val out = mapped(src, Map.empty,
+      """{"none":"of the target values"}""",
+      """{"first":true}""",
+      """{"first":false}""",
+      """{"first":true,"second":true}""")
+    assert(out == Seq(
+      """{"ands":"failed","ors":"failed"}""",
+      """{"ands":"failed","ors":true}""",
+      """{"ands":false,"ors":"failed"}""",
+      """{"ands":true,"ors":true}"""))
+  }
+
+  // reference: config/test/bloblang/message_expansion.yaml — let vars,
+  // without(), expression-form map_each with `this` = element, merge()
+  test("message expansion: let + without + map_each(merge)") {
+    val src = """let doc_root = this.without("items")
+                |root = items.map_each($doc_root.merge(this))""".stripMargin
+    val in = """{"id":"foobar","items":[{"content":"foo"},{"content":"bar"}]}"""
+    assert(mapped(src, Map.empty, in) ==
+      Seq("""[{"content":"foo","id":"foobar"},{"content":"bar","id":"foobar"}]"""))
+  }
+
+  test("mutation overlays the input document") {
+    import spark.implicits._
+    val out = Blobl.mutation(docs("""{"a":1,"b":{"c":2}}"""),
+      """root.b.d = this.a + 10
+        |root.e = "x"""".stripMargin)
+      .select("value").as[String].collect().toSeq
+    assert(out == Seq("""{"a":1,"b":{"c":2,"d":11},"e":"x"}"""))
+  }
+
+  test("root = deleted() drops rows (filter pattern)") {
+    import spark.implicits._
+    val src = """root = this
+                |if this.n < 2 { root = deleted() }""".stripMargin
+    val out = Blobl.mutation(docs("""{"n":1}""", """{"n":2}""", """{"n":3}"""), src)
+      .select("value").as[String].collect().toSeq
+    assert(out == Seq("""{"n":2}""", """{"n":3}"""))
+  }
+
+  test("field deleted() removes a key") {
+    import spark.implicits._
+    val out = Blobl.mutation(docs("""{"a":1,"b":2}"""), "root.b = deleted()")
+      .select("value").as[String].collect().toSeq
+    assert(out == Seq("""{"a":1}"""))
+  }
+
+  test("pipe operator coalesces over missing fields") {
+    assert(mapped("root.v = this.a | this.b | \"dflt\"", Map.empty,
+      """{"a":"x"}""", """{"b":"y"}""", """{"c":"z"}""") ==
+      Seq("""{"v":"x"}""", """{"v":"y"}""", """{"v":"dflt"}"""))
+  }
+
+  test("match expression") {
+    val src = """root.size = match {
+                |  this.n > 100 => "big",
+                |  this.n > 10 => "medium",
+                |  _ => "small"
+                |}""".stripMargin
+    assert(mapped(src, Map.empty, """{"n":500}""", """{"n":50}""", """{"n":5}""") ==
+      Seq("""{"size":"big"}""", """{"size":"medium"}""", """{"size":"small"}"""))
+  }
+
+  test("fold with tally/value context") {
+    // reference: config/test/bloblang/windowed.yaml fold-max shape
+    val src = """root.max = this.xs.fold(0, match {
+                |  tally < value => value,
+                |  _ => tally
+                |})""".stripMargin
+    assert(mapped(src, Map.empty, """{"xs":[3,9,4]}""") == Seq("""{"max":9}"""))
+  }
+
+  test("string methods") {
+    val src = """root.u = this.s.uppercase()
+                |root.cap = this.s.capitalize()
+                |root.pre = this.s.has_prefix("he")
+                |root.sl = this.s.slice(0, 4)
+                |root.neg = this.s.slice(-3)
+                |root.rep = this.s.replace_all("l", "L")
+                |root.idx = this.s.index_of("llo")
+                |root.len = this.s.length()""".stripMargin
+    assert(mapped(src, Map.empty, """{"s":"hello world"}""") == Seq(
+      """{"cap":"Hello World","idx":2,"len":11,"neg":"rld","pre":true,"rep":"heLLo worLd","sl":"hell","u":"HELLO WORLD"}"""))
+  }
+
+  test("regex + hash + encoding methods") {
+    val src = """root.m = this.s.re_match("^[a-z]+$")
+                |root.r = this.s.re_replace_all("[aeiou]", "_")
+                |root.h = this.s.hash("sha256")
+                |root.b = this.s.encode("base64")
+                |root.rt = this.s.encode("base64").decode("base64").string()""".stripMargin
+    assert(mapped(src, Map.empty, """{"s":"abc"}""") == Seq(
+      """{"b":"YWJj","h":"ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad","m":true,"r":"_bc","rt":"abc"}"""))
+  }
+
+  test("number + coercion methods") {
+    val src = """root.c = this.x.ceil()
+                |root.f = this.x.floor()
+                |root.r = this.x.round()
+                |root.i = this.s.int64()
+                |root.t = this.x.type()""".stripMargin
+    assert(mapped(src, Map.empty, """{"x":3.7,"s":"42"}""") == Seq(
+      """{"c":4,"f":3,"i":42,"r":4,"t":"number"}"""))
+  }
+
+  test("timestamp methods") {
+    val src = """root.p = this.t.ts_parse("2006-01-02T15:04:05Z07:00").ts_unix()
+                |root.f = this.t.ts_parse("2006-01-02T15:04:05Z07:00").ts_format("2006-01-02")
+                |root.s = this.t.ts_strptime("%Y-%m-%dT%H:%M:%SZ").ts_strftime("%d/%m/%Y")""".stripMargin
+    assert(mapped(src, Map.empty, """{"t":"2021-06-10T09:30:00Z"}""") == Seq(
+      """{"f":"2021-06-10","p":1623317400,"s":"10/06/2021"}"""))
+  }
+
+  test("array methods") {
+    val src = """root.s = this.xs.sum()
+                |root.u = this.xs.unique().sort()
+                |root.f = this.xs.filter(x -> x > 2)
+                |root.m = this.xs.map_each(x -> x * 2)
+                |root.first = this.xs.index(0)
+                |root.last = this.xs.index(-1)
+                |root.j = this.ws.join("-")
+                |root.all = this.xs.all(x -> x > 0)
+                |root.any = this.xs.any(x -> x > 3)""".stripMargin
+    assert(mapped(src, Map.empty, """{"xs":[3,1,2,3],"ws":["a","b"]}""") == Seq(
+      """{"all":true,"any":false,"f":[3,3],"first":3,"j":"a-b","last":3,"m":[6,2,4,6],"s":9,"u":["1","2","3"]}"""))
+  }
+
+  test("interpolation template compiles to one column") {
+    import spark.implicits._
+    val df = Seq(("alice", 3L)).toDF("name", "n")
+    val c = Blobl.interpolate(df, "user ${! this.name.uppercase() } has ${! this.n + 1 } items")
+    assert(df.select(c).as[String].collect().toSeq == Seq("user ALICE has 4 items"))
+  }
+
+  test("typed mode compiles to typed columns") {
+    import spark.implicits._
+    val df = Seq(("hello world", 5L), ("x", 50L)).toDF("text", "n")
+    val out = Blobl.mappingTyped(df,
+      """root.big = this.n * 10
+        |root.head = this.text.slice(0, 5)
+        |if this.n >= 50 { root.tag = "hot" } else { root.tag = "cold" }""".stripMargin)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq((50L, "hello", "cold"), (500L, "x", "hot")))
+  }
+}
