@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.blobl.Blobl
 import graft.functions.{AnalysisFunctions => A, TextFunctions => T, VectorFunctions => V}
 import graft.operators.{BatchOps, Dedupe, FlowControl, Similarity}
 
@@ -227,6 +228,106 @@ object SparkEntry {
         .withColumnRenamed("col", "chunk")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // ── Bloblang mapping language (graft.blobl, typed mode) ──────────
+    "b_mapping" -> ((s, d) =>
+      // `mapping` via the Bloblang front-end (mapping.adoc:26):
+      // projection + string methods compiled to one Catalyst projection
+      Blobl.mappingTyped(Tables.documents(s, d),
+        """root.doc_id = this.doc_id
+          |root.lang_uc = this.lang.uppercase()
+          |root.head = this.text.slice(0, 40)
+          |root.n_words = this.text.split(" ").filter(w -> w.length() > 0).length()
+          |""".stripMargin)
+        .orderBy(col("doc_id"))),
+
+    "b_string_methods" -> ((s, d) =>
+      Blobl.mappingTyped(Tables.documents(s, d),
+        """root.doc_id = this.doc_id
+          |root.up = this.source.uppercase()
+          |root.pre = this.source.has_prefix("c")
+          |root.rep = this.lang.replace_all("e", "E")
+          |root.cat = this.lang + ":" + this.source
+          |root.rev = this.lang.reverse()
+          |""".stripMargin)
+        .orderBy(col("doc_id"))),
+
+    "b_regex_methods" -> ((s, d) =>
+      Blobl.mappingTyped(Tables.documents(s, d),
+        """root.doc_id = this.doc_id
+          |root.has_digits = this.text.re_match("[0-9]")
+          |root.novowels = this.text.slice(0, 20).re_replace_all("[aeiou]", "_")
+          |""".stripMargin)
+        .orderBy(col("doc_id"))),
+
+    "b_numeric_methods" -> ((s, d) =>
+      Blobl.mappingTyped(Tables.events(s, d),
+        """root.event_id = this.event_id
+          |root.c = (this.value / 7.0).ceil()
+          |root.f = (this.value / 7.0).floor()
+          |root.scaled = this.value * 2.0 + 1.0
+          |root.vmax = this.value.max(100.0)
+          |""".stripMargin)
+        .orderBy(col("event_id"))),
+
+    "b_timestamp_methods" -> ((s, d) =>
+      Blobl.mappingTyped(Tables.events(s, d),
+        """root.event_id = this.event_id
+          |root.day = this.ts.ts_format("2006-01-02")
+          |root.hm = this.ts.ts_strftime("%H:%M")
+          |root.unix = this.ts.ts_unix()
+          |""".stripMargin)
+        .orderBy(col("event_id"))),
+
+    "b_hash_encode" -> ((s, d) =>
+      Blobl.mappingTyped(Tables.documents(s, d),
+        """root.doc_id = this.doc_id
+          |root.h_md5 = this.text.hash("md5")
+          |root.h_sha = this.text.hash("sha256")
+          |root.b64 = this.lang.encode("base64")
+          |root.rt = this.lang.encode("base64").decode("base64").string()
+          |""".stripMargin)
+        .orderBy(col("doc_id"))),
+
+    "b_match_route" -> ((s, d) =>
+      // match-expression routing — the Bloblang form of `switch`
+      Blobl.mappingTyped(Tables.events(s, d),
+        """root.event_id = this.event_id
+          |root.route = match {
+          |  this.event_type == "error" => "alerts",
+          |  this.value > 150.0 => "big",
+          |  _ => "archive"
+          |}
+          |""".stripMargin)
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))),
+
+    "b_filter_delete" -> ((s, d) =>
+      // root = deleted() as a row filter (mapping.adoc drop semantics)
+      Blobl.mappingTyped(Tables.documents(s, d),
+        """root.doc_id = this.doc_id
+          |root.n_chars = this.n_chars
+          |if this.n_chars < 300 { root = deleted() }
+          |""".stripMargin)
+        .orderBy(col("doc_id"))),
+
+    "b_pipe_coalesce" -> ((s, d) =>
+      // pipe/catch error-coalescing over dynamic JSON (about.adoc:98)
+      Blobl.mappingTyped(Tables.events(s, d),
+        """root.event_id = this.event_id
+          |root.k = this.props.parse_json().get("k").string().catch("none")
+          |""".stripMargin)
+        .orderBy(col("event_id"))),
+
+    "b_interpolation" -> ((s, d) => {
+      // `${! … }` interpolation template → one string column
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+        Blobl.interpolate(docs,
+          "doc ${! this.doc_id } [${! this.lang.uppercase() }] ${! this.n_chars } chars")
+          .as("line"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── training-data ops ─────────────────────────────────────────────
     "t_token_count" -> ((s, d) =>
       Tables.documents(s, d)
@@ -435,6 +536,68 @@ object SparkEntry {
         |    CAST(CEIL(LENGTH(text) / 80.0) AS BIGINT) - 1)) AS i) g
         |WHERE doc_id < 30
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "b_mapping" ->
+      """SELECT doc_id, UPPER(lang) AS lang_uc, SUBSTR(text, 1, 40) AS head,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LEN(w) > 0)) AS BIGINT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "b_string_methods" ->
+      """SELECT doc_id, UPPER(source) AS up,
+        |  source LIKE 'c%' AS pre,
+        |  REPLACE(lang, 'e', 'E') AS rep,
+        |  lang || ':' || source AS cat,
+        |  REVERSE(lang) AS rev
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "b_regex_methods" ->
+      """SELECT doc_id,
+        |  REGEXP_MATCHES(text, '[0-9]') AS has_digits,
+        |  REGEXP_REPLACE(SUBSTR(text, 1, 20), '[aeiou]', '_', 'g') AS novowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "b_numeric_methods" ->
+      """SELECT event_id,
+        |  CAST(CEIL(value / 7.0) AS BIGINT) AS c,
+        |  CAST(FLOOR(value / 7.0) AS BIGINT) AS f,
+        |  value * 2.0 + 1.0 AS scaled,
+        |  GREATEST(value, 100.0) AS vmax
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "b_timestamp_methods" ->
+      """SELECT event_id,
+        |  STRFTIME(ts, '%Y-%m-%d') AS day,
+        |  STRFTIME(ts, '%H:%M') AS hm,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS unix
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "b_hash_encode" ->
+      """SELECT doc_id, MD5(text) AS h_md5,
+        |  SHA256(text) AS h_sha,
+        |  TO_BASE64(ENCODE(lang)) AS b64,
+        |  lang AS rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "b_match_route" ->
+      """SELECT CASE
+        |  WHEN event_type = 'error' THEN 'alerts'
+        |  WHEN value > 150.0 THEN 'big'
+        |  ELSE 'archive' END AS route, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "b_filter_delete" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE NOT (n_chars < 300) ORDER BY doc_id""".stripMargin,
+
+    "b_pipe_coalesce" ->
+      """SELECT event_id,
+        |  COALESCE(json_extract_string(props, '$.k'), 'none') AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "b_interpolation" ->
+      """SELECT doc_id,
+        |  'doc ' || doc_id || ' [' || UPPER(lang) || '] ' || n_chars || ' chars' AS line
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_token_count" ->
       """SELECT doc_id,
