@@ -228,6 +228,36 @@ object SparkEntry {
         .withColumnRenamed("col", "chunk")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // ── windowing & streaming state (graft.streaming, batch mode) ────
+    "q12_sliding_window" -> ((s, d) =>
+      // sliding windows (system_window.adoc:49-51): size 1h, slide 30m —
+      // each event lands in two windows
+      streaming.Windows.sliding(Tables.events(s, d), "ts", "1 hour",
+          "30 minutes", None, Seq.empty,
+          Seq(count(lit(1)).as("n_events"), sumd(col("value")).as("total_value")))
+        .select(unix_micros(col("window_start")).as("win_start_us"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("win_start_us"))),
+
+    "q13_session_window" -> ((s, d) =>
+      // session windows (gap 4h) per user — Spark-native capability the
+      // reference lacks (SURVEY.md §2.6)
+      streaming.Windows.session(Tables.events(s, d), "ts", "4 hours", None,
+          Seq(col("user_id")), Seq(count(lit(1)).as("n_events")))
+        .select(col("user_id"),
+          unix_micros(col("window_start")).as("sess_start_us"),
+          unix_micros(col("window_end")).as("sess_end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start_us"))),
+
+    "t_dedupe_ttl" -> ((s, d) =>
+      // `dedupe` processor TTL-cache semantics in batch form
+      // (processors/dedupe.adoc:26, config/test/deduplicate.yaml:1-37)
+      streaming.StreamDedupe.ttlBatch(Tables.events(s, d), col("ts"),
+          col("event_id"), 86400, Seq(col("user_id"), col("event_type")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("event_id"))),
+
     // ── Bloblang mapping language (graft.blobl, typed mode) ──────────
     "b_mapping" -> ((s, d) =>
       // `mapping` via the Bloblang front-end (mapping.adoc:26):
@@ -536,6 +566,42 @@ object SparkEntry {
         |    CAST(CEIL(LENGTH(text) / 80.0) AS BIGINT) - 1)) AS i) g
         |WHERE doc_id < 30
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q12_sliding_window" ->
+      """SELECT epoch_us(ws) AS win_start_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS ws,
+        |    value
+        |  FROM events CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS k) g) t
+        |GROUP BY ws ORDER BY 1""".stripMargin,
+
+    "q13_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR ts - LAG(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, epoch_us(MIN(ts)) AS sess_start_us,
+        |  epoch_us(MAX(ts) + INTERVAL 4 HOUR) AS sess_end_us,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
+
+    "t_dedupe_ttl" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events) t
+        |WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 86400000000
+        |ORDER BY event_id""".stripMargin,
 
     "b_mapping" ->
       """SELECT doc_id, UPPER(lang) AS lang_uc, SUBSTR(text, 1, 40) AS head,
