@@ -228,6 +228,73 @@ object SparkEntry {
         .withColumnRenamed("col", "chunk")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // ── envelope pipeline e2e (generate → mapping → try/catch →
+    //    reject_errored → switch), SURVEY.md §1.3 ──────────────────────
+    "p_pipeline_e2e" -> ((s, d) => {
+      // generate source (inputs/generate.adoc:26) feeds a Bloblang
+      // mapping; a failing parse marks the error channel; catch recovers
+      // rejected rows; switch routes; group_by_value summarizes.
+      val gen = sources.Sources.generate(s, 200,
+        """root.id = this.seq
+          |root.k = if this.seq % 5 == 0 { "oops" } else { (this.seq % 97).string() }
+          |root.grade = if this.seq % 7 == 0 { "review" } else { "clean" }
+          |""".stripMargin)
+      val typed = sources.Envelope.unwrap(sources.Envelope.ensure(gen),
+        "id BIGINT, k STRING, grade STRING")
+      val parsed = when(col("k").rlike("^-?\\d+$"), col("k").cast("int"))
+      val tried = FlowControl.tryColumn(typed, "kv", parsed,
+        parsed.isNull, concat(lit("parse: "), col("k")))
+      val (ok, bad) = FlowControl.rejectErrored(tried)
+      val recovered = bad.withColumn("kv", lit(-1))
+        .withColumn("error", lit(null).cast("string"))
+      ok.unionByName(recovered)
+        .withColumn("route", FlowControl.switch(Seq(
+          (col("grade") === "review", lit("review")),
+          (col("kv") >= 50, lit("high"))), lit("low")))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n"), sum(col("kv")).cast("bigint").as("sum_kv"))
+        .orderBy(col("route"))
+    }),
+
+    "p_branch" -> ((s, d) =>
+      // `branch` (processors/branch.adoc:26): request_map → child →
+      // result merged back on the row id
+      FlowControl.branch(Tables.documents(s, d), Seq(col("text")), col("doc_id"),
+          req => req.select(col("__branch_id"),
+            T.tokenCount(col("text")).as("n_toks")))
+        .select(col("doc_id"), col("lang"), col("n_toks"))
+        .orderBy(col("doc_id"))),
+
+    "p_noop" -> ((s, d) =>
+      // `noop` (processors/noop.adoc:26)
+      FlowControl.noop(Tables.region(s, d)).orderBy(col("r_regionkey"))),
+
+    "p_workflow" -> ((s, d) => {
+      // `workflow` DAG (processors/workflow.adoc:25-90): two independent
+      // branches feed a join stage; Spark schedules them concurrently
+      val stages = FlowControl.workflow(Tables.events(s, d), Seq(
+        ("by_user", Seq("root"), (m: Map[String, DataFrame]) =>
+          m("root").groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"))),
+        ("purchases", Seq("root"), (m: Map[String, DataFrame]) =>
+          m("root").filter(col("event_type") === "purchase")
+            .groupBy(col("user_id"))
+            .agg(sumd(col("value")).as("spend"))),
+        ("joined", Seq("by_user", "purchases"), (m: Map[String, DataFrame]) =>
+          m("by_user").join(m("purchases"), Seq("user_id"), "left")
+            .withColumn("spend", coalesce(col("spend"), lit(0.0))))))
+      stages("joined").orderBy(col("user_id"))
+    }),
+
+    "q14_intersect" -> ((s, d) => {
+      // set op: users who did BOTH a purchase and an error event
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+        .intersect(ev.filter(col("event_type") === "error")
+          .select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+
     // ── windowing & streaming state (graft.streaming, batch mode) ────
     "q12_sliding_window" -> ((s, d) =>
       // sliding windows (system_window.adoc:49-51): size 1h, slide 30m —
@@ -566,6 +633,43 @@ object SparkEntry {
         |    CAST(CEIL(LENGTH(text) / 80.0) AS BIGINT) - 1)) AS i) g
         |WHERE doc_id < 30
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p_pipeline_e2e" ->
+      """WITH g AS (SELECT CAST(range AS BIGINT) AS id FROM range(200)),
+        |m AS (SELECT id,
+        |  CASE WHEN id % 5 = 0 THEN 'oops' ELSE CAST(id % 97 AS VARCHAR) END AS k,
+        |  CASE WHEN id % 7 = 0 THEN 'review' ELSE 'clean' END AS grade FROM g),
+        |p AS (SELECT id, grade,
+        |  CASE WHEN regexp_full_match(k, '-?\d+') THEN CAST(k AS INT)
+        |    ELSE -1 END AS kv FROM m)
+        |SELECT CASE WHEN grade = 'review' THEN 'review'
+        |  WHEN kv >= 50 THEN 'high' ELSE 'low' END AS route,
+        |  COUNT(*) AS n, CAST(SUM(kv) AS BIGINT) AS sum_kv
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_branch" ->
+      """SELECT doc_id, lang,
+        |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
+        |    t -> LEN(t) > 0)) AS BIGINT) AS n_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p_noop" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "p_workflow" ->
+      """SELECT u.user_id, u.n_events, COALESCE(p.spend, 0.0) AS spend FROM
+        |  (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) u
+        |LEFT JOIN
+        |  (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |   FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+        |USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q14_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
 
     "q12_sliding_window" ->
       """SELECT epoch_us(ws) AS win_start_us, COUNT(*) AS n_events,

@@ -1,0 +1,106 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.Envelope
+
+/** Sink registry + output combinators (SURVEY.md §2.13).
+  *
+  * Batch writers go through the DataFrame writer API (partition-parallel,
+  * no driver funnel); streaming goes through writeStream/foreachBatch.
+  * Combinators mirror the reference's output composition: `broker`
+  * fan_out (outputs/broker.adoc:102-114), `switch` (outputs/switch.adoc:26),
+  * `fallback` (outputs/fallback.adoc:26), `reject_errored`
+  * (outputs/reject_errored.adoc:26), `drop_on`.
+  */
+object Sinks {
+
+  // ── batch writers ─────────────────────────────────────────────────────
+  def parquet(df: DataFrame, path: String,
+              partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  def csv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  // ── streaming writers ─────────────────────────────────────────────────
+  def parquetStream(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+
+  /** Kafka sink plumbing (outputs/kafka.adoc / output_redpanda.go:87);
+    * needs the spark-sql-kafka connector jar at runtime.
+    */
+  def kafkaStream(df: DataFrame, bootstrapServers: String, topic: String,
+                  checkpoint: String): StreamingQuery =
+    df.select(col(Envelope.ValueCol).cast("binary").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  // ── combinators (work for batch via the write functions) ──────────────
+
+  /** `broker` fan_out: write the same data to every sink. The input is
+    * persisted so N sinks cost one upstream computation, not N.
+    */
+  def fanOut(df: DataFrame, sinks: Seq[DataFrame => Unit]): Unit = {
+    val cached = df.persist()
+    try sinks.foreach(s => s(cached))
+    finally { cached.unpersist(); () }
+  }
+
+  /** `switch` output: route each row to the first matching case's sink;
+    * unmatched rows go to `default` (or are dropped when None).
+    */
+  def switch(df: DataFrame, cases: Seq[(Column, DataFrame => Unit)],
+             default: Option[DataFrame => Unit] = None): Unit = {
+    val cached = df.persist()
+    try {
+      cases.zipWithIndex.foreach { case ((pred, sink), i) =>
+        // first-match-wins: exclude rows claimed by earlier cases
+        val earlier = cases.take(i).map(_._1)
+        val exclusive = earlier.foldLeft(pred)((p, e) => p && !coalesce(e, lit(false)))
+        sink(cached.filter(coalesce(exclusive, lit(false))))
+      }
+      default.foreach { sink =>
+        val anyMatch = cases.map(_._1)
+          .map(c => coalesce(c, lit(false))).reduce(_ || _)
+        sink(cached.filter(!anyMatch))
+      }
+    } finally { cached.unpersist(); () }
+  }
+
+  /** `fallback`: try each sink in order until one succeeds. */
+  def fallback(df: DataFrame, sinks: Seq[DataFrame => Unit]): Unit = {
+    val errs = scala.collection.mutable.Buffer.empty[Throwable]
+    val ok = sinks.exists { s =>
+      try { s(df); true } catch { case t: Throwable => errs += t; false }
+    }
+    if (!ok) throw new RuntimeException(
+      s"all ${sinks.length} fallback outputs failed: ${errs.map(_.getMessage).mkString("; ")}")
+  }
+
+  /** `reject_errored`: healthy rows to `sink`, errored rows to `reject`. */
+  def rejectErrored(df: DataFrame, sink: DataFrame => Unit,
+                    reject: DataFrame => Unit): Unit = {
+    val d = Envelope.ensure(df).persist()
+    try {
+      sink(d.filter(col(Envelope.ErrorCol).isNull))
+      reject(d.filter(col(Envelope.ErrorCol).isNotNull))
+    } finally { d.unpersist(); () }
+  }
+
+  /** `drop_on`/`drop`: rows matching the predicate are discarded. */
+  def dropOn(df: DataFrame, pred: Column): DataFrame = df.filter(!pred)
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.blobl.Blobl
+
+/** Source registry (SURVEY.md §2.12). Implemented v1 families:
+  *
+  *   - `generate` — Bloblang-mapping synthetic input
+  *     (reference: docs/modules/components/pages/inputs/generate.adoc:26):
+  *     batch form (`count` rows) and streaming form (`rate` source at
+  *     `interval`); the mapping runs per generated row with an empty doc
+  *     and can use `counter`-style fields via the provided `seq` column.
+  *   - files — csv/json/parquet/text, batch + stream, envelope-wrapped
+  *     on request (scanner `lines` ≈ text; other scanners compose as
+  *     format + explode, SURVEY.md §2.12).
+  *   - `kafka` — plan-level plumbing for Spark's kafka source; requires
+  *     the spark-sql-kafka connector jar on the cluster classpath (not
+  *     bundled here), options per the built-in source.
+  *
+  * CDC/JDBC/cloud families: out of scope v1 (SURVEY.md §2.12 priority).
+  */
+object Sources {
+
+  /** Batch `generate`: `count` rows, mapping applied to an empty doc.
+    * The mapping sees `this.seq` (0-based row number) for sequence-
+    * dependent content — the deterministic analog of `counter()`.
+    */
+  def generate(spark: SparkSession, count: Long, mapping: String,
+               envVars: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.range(count)
+      .select(to_json(struct(col("id").as("seq"))).as(Envelope.ValueCol))
+    Blobl.mapping(base, mapping, envVars)
+  }
+
+  /** Streaming `generate`: rows at `rowsPerSecond`, same mapping
+    * contract (`this.seq` from the rate source's value).
+    */
+  def generateStream(spark: SparkSession, rowsPerSecond: Int, mapping: String,
+                     envVars: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(to_json(struct(col("value").as("seq"))).as(Envelope.ValueCol))
+    Blobl.mapping(base, mapping, envVars)
+  }
+
+  /** CSV file source (inputs/csv.adoc:26 — RFC 4180, header row). */
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+          inferSchema: Boolean = true): DataFrame =
+    spark.read.option("header", header).option("inferSchema", inferSchema)
+      .csv(path)
+
+  /** JSON-lines file source (scanner `lines` + JSON parse). */
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Raw line source (inputs/file.adoc:26 with lines scanner):
+    * envelope-shaped with the path in metadata.
+    */
+  def lines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(col("value").cast("string").as(Envelope.ValueCol),
+        map(lit("path"), input_file_name()).as(Envelope.MetadataCol),
+        lit(null).cast("string").as(Envelope.ErrorCol))
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Streaming file sources (cloudFiles-style directory listing). */
+  def parquetStream(spark: SparkSession, path: String, ddlSchema: String): DataFrame =
+    spark.readStream.schema(ddlSchema).parquet(path)
+
+  def csvStream(spark: SparkSession, path: String, ddlSchema: String,
+                header: Boolean = true): DataFrame =
+    spark.readStream.schema(ddlSchema).option("header", header).csv(path)
+
+  /** Kafka source plumbing (inputs/kafka.adoc / input_redpanda.go:103):
+    * ordered-per-partition like the reference's franz_reader_ordered.
+    * NOTE: needs the spark-sql-kafka-0-10 connector jar at runtime.
+    */
+  def kafka(spark: SparkSession, bootstrapServers: String, topics: String,
+            startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value").cast("string").as(Envelope.ValueCol),
+        map_concat(
+          map(lit("kafka_topic"), col("topic")),
+          map(lit("kafka_partition"), col("partition").cast("string")),
+          map(lit("kafka_offset"), col("offset").cast("string")),
+          map(lit("kafka_timestamp_unix"),
+            unix_timestamp(col("timestamp")).cast("string")))
+          .as(Envelope.MetadataCol),
+        lit(null).cast("string").as(Envelope.ErrorCol))
+
+  /** `broker` input (inputs/broker.adoc:26): merge N sources. */
+  def broker(inputs: Seq[DataFrame]): DataFrame =
+    inputs.reduce(_ unionByName _)
+}
