@@ -295,6 +295,91 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── codecs (graft.functions.CodecFunctions, SURVEY.md §2.10) ─────
+    "p_compress" -> ((s, d) => {
+      // compress/decompress roundtrip (processors/compress.adoc:26);
+      // byte-level output is impl-specific so the gate checks identity
+      import graft.functions.{CodecFunctions => C}
+      C.register(s)
+      Tables.documents(s, d).select(col("doc_id"),
+          (C.decompress(C.compress(col("text"), "gzip"), "gzip")
+            .cast("string") === col("text")).as("gzip_ok"),
+          (C.decompress(C.compress(col("text"), "zstd"), "zstd")
+            .cast("string") === col("text")).as("zstd_ok"),
+          (C.decompress(C.compress(col("text"), "snappy"), "snappy")
+            .cast("string") === col("text")).as("snappy_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_avro_roundtrip" -> ((s, d) => {
+      // avro datum encode/decode with inline schema
+      // (internal/impl/avro/scanner.go:65)
+      import graft.functions.{CodecFunctions => C}
+      C.register(s)
+      val schema =
+        """{"type":"record","name":"doc","fields":[
+          |{"name":"doc_id","type":"long"},{"name":"lang","type":"string"}]}"""
+          .stripMargin.replace("\n", "")
+      val json = to_json(struct(col("doc_id"), col("lang")))
+      val rt = C.avroDecode(C.avroEncode(json, schema), schema)
+      Tables.documents(s, d).select(col("doc_id"),
+          get_json_object(rt, "$.lang").as("lang_rt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_wire_format" -> ((s, d) => {
+      // schema-registry wire format: magic 0 + schema id + datum
+      // (internal/impl/confluent, schema_registry_encode.adoc:26)
+      import graft.functions.{CodecFunctions => C}
+      C.register(s)
+      val schema =
+        """{"type":"record","name":"e","fields":[
+          |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"}]}"""
+          .stripMargin.replace("\n", "")
+      val json = to_json(struct(col("event_id"), col("event_type")))
+      val wire = C.wireEncode(json, schema, 7)
+      Tables.events(s, d).select(col("event_id"),
+          get_json_object(C.wireDecode(wire, schema), "$.event_type").as("etype_rt"))
+        .orderBy(col("event_id"))
+    }),
+
+    "p_grok" -> ((s, d) => {
+      // grok template → single compiled regex (processors/grok.adoc:26);
+      // log lines synthesized from events, fields parsed back out
+      val line = concat(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(" INFO "),
+        col("user_id"), lit(" evt="), col("event_type"))
+      val df = Tables.events(s, d).withColumn("line", line)
+      operators.Grok.parse(df, col("line"),
+          "%{TIMESTAMP_ISO8601:tstamp} %{LOGLEVEL:level} %{WORD:guser} evt=%{WORD:etype}")
+        .select(col("event_id"), col("tstamp"), col("level"),
+          col("guser"), col("etype"))
+        .orderBy(col("event_id"))
+    }),
+
+    "p_logfmt" -> ((s, d) => {
+      // parse_logfmt (methods.adoc parsing section): k=v line → map
+      import graft.functions.{CodecFunctions => C}
+      val line = concat(lit("user="), col("user_id"),
+        lit(" type="), col("event_type"), lit(" id="), col("event_id"))
+      val m = C.parseLogfmt(line)
+      Tables.events(s, d).select(col("event_id"),
+          element_at(m, "user").as("luser"),
+          element_at(m, "type").as("ltype"),
+          element_at(m, "id").cast("bigint").as("lid"))
+        .orderBy(col("event_id"))
+    }),
+
+    "p_yaml" -> ((s, d) => {
+      // parse_yaml → JSON (methods.adoc parsing section)
+      import graft.functions.{CodecFunctions => C}
+      C.register(s)
+      val yaml = concat(lit("lang: "), col("lang"), lit("\nid: "), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"),
+          get_json_object(C.parseYaml(yaml), "$.lang").as("ylang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── windowing & streaming state (graft.streaming, batch mode) ────
     "q12_sliding_window" -> ((s, d) =>
       // sliding windows (system_window.adoc:49-51): size 1h, slide 30m —
@@ -633,6 +718,29 @@ object SparkEntry {
         |    CAST(CEIL(LENGTH(text) / 80.0) AS BIGINT) - 1)) AS i) g
         |WHERE doc_id < 30
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p_compress" ->
+      """SELECT doc_id, true AS gzip_ok, true AS zstd_ok, true AS snappy_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p_avro_roundtrip" ->
+      """SELECT doc_id, lang AS lang_rt FROM documents ORDER BY doc_id""",
+
+    "p_wire_format" ->
+      """SELECT event_id, event_type AS etype_rt FROM events ORDER BY event_id""",
+
+    "p_grok" ->
+      """SELECT event_id, STRFTIME(ts, '%Y-%m-%dT%H:%M:%S') AS tstamp,
+        |  'INFO' AS level, CAST(user_id AS VARCHAR) AS guser, event_type AS etype
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p_logfmt" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS luser, event_type AS ltype,
+        |  event_id AS lid
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p_yaml" ->
+      """SELECT doc_id, lang AS ylang FROM documents ORDER BY doc_id""",
 
     "p_pipeline_e2e" ->
       """WITH g AS (SELECT CAST(range AS BIGINT) AS id FROM range(200)),

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.GraftFunctions
+
+/** Column API over the codec expressions (SURVEY.md §2.10): compression,
+  * Avro, schema-registry wire format, YAML, logfmt.
+  */
+object CodecFunctions {
+
+  def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
+
+  /** compress (processors/compress.adoc:26); algo ∈ gzip/zlib/flate/
+    * bzip2/lz4/snappy/zstd.
+    */
+  def compress(data: Column, algo: String): Column =
+    call_function("graft_compress", data.cast("binary"), lit(algo))
+
+  def decompress(data: Column, algo: String): Column =
+    call_function("graft_decompress", data, lit(algo))
+
+  /** Avro single-datum encode/decode with an inline schema (JSON text ↔
+    * binary; internal/impl/avro/scanner.go:65).
+    */
+  def avroEncode(json: Column, schemaJson: String): Column =
+    call_function("graft_avro_encode", json, lit(schemaJson))
+
+  def avroDecode(data: Column, schemaJson: String): Column =
+    call_function("graft_avro_decode", data, lit(schemaJson))
+
+  /** Confluent wire format: magic 0 + schema id + datum
+    * (internal/impl/confluent, schema_registry_encode.adoc:26).
+    */
+  def wireEncode(json: Column, schemaJson: String, schemaId: Int): Column =
+    call_function("graft_wire_encode", json, lit(schemaJson), lit(schemaId))
+
+  def wireDecode(data: Column, schemaJson: String): Column =
+    call_function("graft_wire_decode", data, lit(schemaJson))
+
+  /** parse_yaml (methods.adoc parsing section) → JSON text. */
+  def parseYaml(yaml: Column): Column =
+    call_function("graft_parse_yaml", yaml)
+
+  /** parse_logfmt (space-separated k=v pairs; quoted values NOT handled
+    * in v1) → map<string,string>.
+    */
+  def parseLogfmt(line: Column): Column =
+    str_to_map(line, lit(" "), lit("="))
+}

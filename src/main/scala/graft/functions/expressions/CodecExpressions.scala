@@ -1,0 +1,123 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codec Catalyst expressions over [[CodecOps]] kernels. Algorithm /
+  * schema arguments are compile-time literals (constructor params), so
+  * each expression is a single static call — fully codegen'd, stateless,
+  * executor-side only.
+  */
+case class Compress(child: Expression, algo: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_compress"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.compress(a.asInstanceOf[Array[Byte]], algo)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val algoRef = ctx.addReferenceObj("algo", algo, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.compress($a, $algoRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Decompress(child: Expression, algo: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_decompress"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.decompress(a.asInstanceOf[Array[Byte]], algo)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val algoRef = ctx.addReferenceObj("algo", algo, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.decompress($a, $algoRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class AvroEncode(child: Expression, schemaJson: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_avro_encode"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.avroEncode(a.asInstanceOf[UTF8String], schemaJson)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("schema", schemaJson, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.avroEncode($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class AvroDecode(child: Expression, schemaJson: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_avro_decode"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.avroDecode(a.asInstanceOf[Array[Byte]], schemaJson)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("schema", schemaJson, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.avroDecode($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WireEncode(child: Expression, schemaJson: String, schemaId: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wire_encode"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.wireEncode(a.asInstanceOf[UTF8String], schemaJson, schemaId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("schema", schemaJson, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.wireEncode($a, $ref, $schemaId)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WireDecode(child: Expression, schemaJson: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_wire_decode"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.wireDecode(a.asInstanceOf[Array[Byte]], schemaJson)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("schema", schemaJson, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.wireDecode($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ParseYaml(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_parse_yaml"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.yamlToJson(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.yamlToJson($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

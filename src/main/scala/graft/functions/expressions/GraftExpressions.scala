@@ -205,6 +205,12 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"$what must be a literal, got $other")
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case lit if lit.foldable => lit.eval().toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
   val builders: Seq[(String, FunctionBuilder)] = Seq(
     "graft_dot_f" -> ((es: Seq[Expression]) => DotProductFloat(es(0), es(1))),
     "graft_minhash" -> ((es: Seq[Expression]) =>
@@ -216,7 +222,20 @@ object GraftFunctions {
     "graft_simhash" -> ((es: Seq[Expression]) => SimHash64(es(0))),
     "graft_json_merge" -> ((es: Seq[Expression]) => JsonMerge(es(0), es(1))),
     "graft_json_normalize" -> ((es: Seq[Expression]) => JsonNormalize(es(0))),
-    "graft_json_without" -> ((es: Seq[Expression]) => JsonWithout(es(0), es(1))))
+    "graft_json_without" -> ((es: Seq[Expression]) => JsonWithout(es(0), es(1))),
+    "graft_compress" -> ((es: Seq[Expression]) =>
+      Compress(es(0), strArg(es(1), "algo"))),
+    "graft_decompress" -> ((es: Seq[Expression]) =>
+      Decompress(es(0), strArg(es(1), "algo"))),
+    "graft_avro_encode" -> ((es: Seq[Expression]) =>
+      AvroEncode(es(0), strArg(es(1), "schema"))),
+    "graft_avro_decode" -> ((es: Seq[Expression]) =>
+      AvroDecode(es(0), strArg(es(1), "schema"))),
+    "graft_wire_encode" -> ((es: Seq[Expression]) =>
+      WireEncode(es(0), strArg(es(1), "schema"), intArg(es(2), "schemaId"))),
+    "graft_wire_decode" -> ((es: Seq[Expression]) =>
+      WireDecode(es(0), strArg(es(1), "schema"))),
+    "graft_parse_yaml" -> ((es: Seq[Expression]) => ParseYaml(es(0))))
 
   /** Idempotent: re-registering an existing name is skipped, so calling
     * this per-operator neither spams "replaced a previously registered
