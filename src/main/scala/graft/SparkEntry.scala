@@ -559,9 +559,21 @@ object SparkEntry {
     }),
 
     "s_cosine_lsh" -> ((s, d) => {
-      // probabilistic recall — rows-only check (no oracle)
+      // probabilistic recall — rows-only check (no oracle); the
+      // planted-duplicate recall gate lives in RecallSpec
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, 8)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          planes = 16, tables = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s_cosine_ivf" -> ((s, d) => {
+      // IVF ANN (k-means coarse quantizer + multi-probe) — rows-only
+      // check (cell assignment is model-dependent); recall vs brute
+      // force is gated ≥ 0.9 in RecallSpec
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          nCells = 32, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }))
 

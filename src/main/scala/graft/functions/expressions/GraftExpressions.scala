@@ -98,6 +98,53 @@ case class MinHashFromHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+case class CosineLshKeys(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_keys"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    HashOps.cosineLshKeys(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashOps.cosineLshKeys($a, $planes, $tables)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** IVF probe: nearest `nprobe` cell ids for a vector against the
+  * driver-fitted centroid table (carried as a reference object into
+  * generated code — executors never refit).
+  */
+case class IvfCells(child: Expression, centroids: Array[Array[Float]],
+                    nprobe: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ivf_cells"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    HashOps.nearestCells(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashOps.nearestCells($a, $ref, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -220,6 +267,8 @@ object GraftFunctions {
     "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
       ShingleHashes(es(0), intArg(es(1), "n"))),
     "graft_simhash" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+    "graft_lsh_keys" -> ((es: Seq[Expression]) =>
+      CosineLshKeys(es(0), intArg(es(1), "planes"), intArg(es(2), "tables"))),
     "graft_json_merge" -> ((es: Seq[Expression]) => JsonMerge(es(0), es(1))),
     "graft_json_normalize" -> ((es: Seq[Expression]) => JsonNormalize(es(0))),
     "graft_json_without" -> ((es: Seq[Expression]) => JsonWithout(es(0), es(1))),

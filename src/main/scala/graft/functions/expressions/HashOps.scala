@@ -115,6 +115,70 @@ object HashOps {
     new GenericArrayData(sig)
   }
 
+  /** Multi-table random-hyperplane LSH buckets for cosine similarity:
+    * one bucket key per table; table t uses `planes` hyperplanes whose
+    * component for dimension i of plane j is a deterministic
+    * pseudo-random unit value derived from xxhash64(i, t*planes + j) —
+    * no stored model, reproducible on any cluster. Key layout:
+    * (t << planes) | signBits, so keys never collide across tables.
+    *
+    * Codegen'd kernel because the HOF formulation does
+    * planes×tables×dims interpreted hash+multiply ops per row.
+    */
+  def cosineLshKeys(v: ArrayData, planes: Int, tables: Int): ArrayData = {
+    val dims = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bits = 0L
+      var j = 0
+      while (j < planes) {
+        val planeIdx = t * planes + j
+        var proj = 0d
+        var i = 0
+        while (i < dims) {
+          val h = XXH64.hashInt(planeIdx, XXH64.hashInt(i, Seed))
+          proj += v.getFloat(i).toDouble * (h.toDouble / Long.MaxValue.toDouble)
+          i += 1
+        }
+        if (proj >= 0) bits |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << planes) | bits
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `n` nearest IVF cells (by cosine) of a vector against a broadcast
+    * centroid table — the coarse-quantizer probe step of IVF ANN search.
+    * Returns cell ids ordered by decreasing similarity.
+    */
+  def nearestCells(v: ArrayData, centroids: Array[Array[Float]], n: Int): ArrayData = {
+    val dims = v.numElements()
+    val vec = new Array[Double](dims)
+    var i = 0
+    var vn = 0d
+    while (i < dims) { vec(i) = v.getFloat(i).toDouble; vn += vec(i) * vec(i); i += 1 }
+    val sims = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var dot = 0d
+      var cn = 0d
+      var j = 0
+      val m = math.min(dims, cent.length)
+      while (j < m) {
+        dot += vec(j) * cent(j); cn += cent(j).toDouble * cent(j).toDouble; j += 1
+      }
+      sims(c) = if (vn == 0 || cn == 0) 0d else dot / math.sqrt(vn * cn)
+      c += 1
+    }
+    val top = sims.zipWithIndex.sortBy { case (s, idx) => (-s, idx) }
+      .take(math.min(n, centroids.length)).map(_._2.toLong)
+    new GenericArrayData(top)
+  }
+
   /** 64-bit SimHash over a token array; token hash = built-in
     * xxhash64(token) (hashUTF8String, seed 42) — matches
     * TextFunctions.simhashVotes/simhashFromVotes bit-for-bit.

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
-import graft.functions.expressions.GraftFunctions
+import graft.functions.expressions.{GraftFunctions, IvfCells}
 
 /** Approximate-nearest-neighbor / similarity search over an
   * `array<float>` embedding column.
@@ -42,25 +42,98 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** LSH-bucketed ANN: corpus and queries are hashed into random-
-    * hyperplane buckets; each query only scores vectors in its bucket.
-    * One equi-join shuffle on the bucket key instead of a full scan per
-    * query — the scale path when both sides are large. Recall is
-    * probabilistic; increase `planes` for precision, add multi-probe or
-    * repeated tables for recall.
+  /** Multi-table LSH ANN: corpus and queries hash into `tables`
+    * independent random-hyperplane bucket sets (graft_lsh_keys kernel —
+    * table keys are disjoint by construction); a pair is a candidate
+    * when it collides in ANY table, then candidates get exact cosine
+    * scores and a per-query top-k.
+    *
+    * Scale shape: one equi-join shuffle on the bucket key; per-table
+    * bucket count is 2^planes (65k at planes=16) so within-bucket
+    * population stays bounded as the corpus grows — raise `planes`
+    * with corpus size to hold it. Recall rises with `tables`
+    * (1-(1-p^planes)^tables S-curve).
+    *
+    * REGIME: hyperplane LSH collides at rate (1 - θ/π)^planes, so it is
+    * a NEAR-DUPLICATE detector — recall is high only for cosine ≳ 0.85
+    * at these parameters (the gate test plants near-identical vectors
+    * and asserts ≥ 0.9 recall on them). For moderate-similarity top-k
+    * (the typical embedding-neighbor regime, cosine 0.2–0.6) use
+    * [[ivfTopK]], whose probe cost is tunable independently of the
+    * similarity level.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int): DataFrame = {
+              planes: Int = 16, tables: Int = 4): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val cb = corpus.withColumn("bucket", cosineLshKey(col("embedding"), planes))
-    val qb = queries.withColumn("bucket", cosineLshKey(col("embedding"), planes))
-    val scored = cb.as("c").join(qb.as("q"),
+    def bucketed(df: DataFrame) = df.select(col("vec_id"),
+      explode(call_function("graft_lsh_keys",
+        col("embedding"), lit(planes), lit(tables))).as("bucket"))
+    val cand = bucketed(corpus).as("c")
+      .join(bucketed(queries).as("q"),
         col("c.bucket") === col("q.bucket") &&
           col("c.vec_id") =!= col("q.vec_id"))
-      .select(
-        col("q.vec_id").as("query_id"),
-        col("c.vec_id").as("neighbor_id"),
-        round(cosineFast(col("q.embedding"), col("c.embedding")), 6).as("sim"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFast(col("q_emb"), col("c_emb")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the scale path for
+    * moderate-similarity neighbor search where hyperplane LSH recall
+    * collapses (see [[lshTopK]]).
+    *
+    * Fit: a spherical k-means coarse quantizer (MLlib, cosine distance)
+    * trained on a bounded sample; only the `nCells` centroid vectors
+    * ever reach the driver. Search: every corpus vector is assigned to
+    * its single nearest cell, each query probes its `nprobe` nearest
+    * cells (graft_ivf_cells kernel — centroids ride into generated code
+    * as one broadcast reference object), and only the probed cells'
+    * members get exact cosine scores.
+    *
+    * Scale shape: one equi-join shuffle keyed by cell id; per-query work
+    * is nprobe/nCells of the corpus, independent of the similarity
+    * level. Size `nCells ≈ sqrt(corpusRows)` so cells stay
+    * executor-sized; recall rises with `nprobe` (gate test asserts
+    * ≥ 0.9 vs [[bruteForceTopK]] at the defaults).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 64, nprobe: Int = 8,
+              trainSample: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    GraftFunctions.register(corpus.sparkSession)
+    val train0 = corpus.select(array_to_vector(col("embedding")).as("features"))
+    val train = if (trainSample < 1.0) train0.sample(trainSample, 42L) else train0
+    val model = new KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(20)
+      .setDistanceMeasure("cosine")
+      .fit(train)
+    val centroids: Array[Array[Float]] =
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    def cells(e: Column, n: Int): Column =
+      GraftColumnBridge.column(
+        IvfCells(GraftColumnBridge.expression(e), centroids, n))
+    val cb = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      element_at(cells(col("embedding"), 1), 1).as("cell"))
+    val qb = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(cells(col("embedding"), nprobe)).as("cell"))
+    val scored = cb.join(broadcast(qb),
+        cb("cell") === qb("cell") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFast(col("q_emb"), col("c_emb")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
