@@ -463,8 +463,8 @@ object SparkEntry {
     "b_hash_encode" -> ((s, d) =>
       Blobl.mappingTyped(Tables.documents(s, d),
         """root.doc_id = this.doc_id
-          |root.h_md5 = this.text.hash("md5")
-          |root.h_sha = this.text.hash("sha256")
+          |root.h_md5 = this.text.hash("md5").encode("hex")
+          |root.h_sha = this.text.hash("sha256").encode("hex")
           |root.b64 = this.lang.encode("base64")
           |root.rt = this.lang.encode("base64").decode("base64").string()
           |""".stripMargin)

@@ -43,21 +43,31 @@ object Blobl {
                   fresh: Boolean): DataFrame = {
     Compiler.prepare(df)
     val m = Parser.parse(src)
-    val withThis = df.withColumn("__this", parse_json(col(valueCol)))
-    val env = Compiler.Env(Compiler.Json(col("__this")), Map.empty,
-      metadataCol.map(col), envVars)
+    // try_parse_json: non-JSON content is a legal message (the reference
+    // maps raw text via content(); filters.yaml feeds plain strings) —
+    // `this` is simply null for it.
+    val withThis = df.withColumn("__this", try_parse_json(col(valueCol)))
+    val env = Compiler.Env(Compiler.Json(col("__this"), col(valueCol)),
+      Map.empty, metadataCol.map(col), envVars)
     val init: Column =
       if (fresh) lit("{}")
       else call_function("graft_json_normalize", col(valueCol))
     val res = Compiler.runStatements(m.stmts, init, env)
-    val out = withThis
-      .withColumn(valueCol, call_function("graft_json_normalize", res.rootJson))
-      .filter(!res.deleted)
-      .drop("__this")
-    (metadataCol, res.meta) match {
-      case (Some(mc), Some(mv)) => out.withColumn(mc, mv)
-      case _ => out
+    // rows no root assignment touched pass through VERBATIM (not even
+    // re-normalized — the content may not be JSON at all)
+    val newValue = when(res.assigned,
+      call_function("graft_json_normalize", res.rootJson))
+      .otherwise(col(valueCol))
+    // one select so value and metadata expressions BOTH see the original
+    // input columns (chained withColumn would make the second see the
+    // first's replacement)
+    val sel = df.columns.map {
+      case c if c == valueCol => newValue.as(valueCol)
+      case c if metadataCol.contains(c) =>
+        res.meta.getOrElse(col(c)).as(c)
+      case c => col(c)
     }
+    withThis.filter(!res.deleted).select(sel.toSeq: _*)
   }
 
   /** `mapping` in TYPED mode: `this.<field>` binds to typed columns and

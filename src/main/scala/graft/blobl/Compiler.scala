@@ -34,8 +34,12 @@ object Compiler {
     def resolveThis(segs: Seq[String]): BV
   }
 
-  /** `this` = parse_json(<valueCol>) (projected once by [[Blobl]]). */
-  case class Json(thisCol: Column) extends Binding {
+  /** `this` = try_parse_json(<valueCol>) (projected once by [[Blobl]]);
+    * `rawCol` is the message's verbatim content string — `content()`
+    * reads it, and a mapping that never assigns root passes it through
+    * untouched (even non-JSON content, per config/test/filters.yaml).
+    */
+  case class Json(thisCol: Column, rawCol: Column) extends Binding {
     def resolveThis(segs: Seq[String]): BV =
       if (segs.isEmpty) BV(thisCol, V)
       else BV(variant_get(thisCol, "$." + segs.mkString("."), "variant"), V)
@@ -289,9 +293,13 @@ object Compiler {
 
   // ── statement execution (JSON mode) ──────────────────────────────────
 
-  /** Result of running a mapping's statements over a JSON document. */
+  /** Result of running a mapping's statements over a JSON document.
+    * `assigned` = whether ANY root assignment fired for the row; when
+    * false the message passes through verbatim (reference: a mapping
+    * that never assigns root is a pass-through, config/test/filters.yaml).
+    */
   case class DocResult(rootJson: Column, deleted: Column,
-                       meta: Option[Column])
+                       meta: Option[Column], assigned: Column)
 
   /** Fold statements into (rootJson, deletedCond, meta). `rootInit` is
     * "{}" for `mapping` (fresh doc) or the normalized input for
@@ -300,6 +308,7 @@ object Compiler {
   def runStatements(stmts: Seq[Stmt], rootInit: Column, env0: Env): DocResult = {
     var root = rootInit
     var deleted: Column = lit(false)
+    var assigned: Column = lit(false)
     var env = env0
     var meta = env0.metaCol
 
@@ -307,17 +316,27 @@ object Compiler {
       case LetAssign(name, value) =>
         env = env.withVar(name, compile(value, env))
 
+      // `root = if c { X } [else { Y }]` desugars to the statement form
+      // so a false condition with no else SKIPS the assignment (the
+      // message passes through, config/test/filters.yaml) instead of
+      // assigning an un-attributable null.
+      case RootAssign(Seq(), IfExpr(c, thn, els)) =>
+        apply(Seq(IfStmt(c, Seq(RootAssign(Seq(), thn)),
+          els.map(e => Seq(RootAssign(Seq(), e): Stmt)).getOrElse(Seq.empty))), cond)
+
       case RootAssign(Seq(), value) =>
         compile(value, env) match {
           case BV(_, Del, _) =>
             deleted = deleted || cond
           case v0 if v0.omitNull =>
-            // e.g. root = if c { deleted() } else { expr } — null means
-            // the deleting branch fired
+            // e.g. root = (expr with deleted() in a match arm) — null
+            // means the deleting branch fired
             deleted = deleted || (cond && v0.col.isNull)
             root = when(cond && v0.col.isNotNull, serializeRoot(v0)).otherwise(root)
+            assigned = assigned || (cond && v0.col.isNotNull)
           case v0 =>
             root = when(cond, serializeRoot(v0)).otherwise(root)
+            assigned = assigned || cond
         }
 
       case RootAssign(segs, value) =>
@@ -330,6 +349,7 @@ object Compiler {
         val assignCond = if (v0.omitNull) cond && v0.col.isNotNull else cond
         root = when(assignCond,
           call_function("graft_json_merge", root, patch)).otherwise(root)
+        assigned = assigned || assignCond
 
       case MetaAssign(key, value) =>
         val m = meta.getOrElse(map().cast("map<string,string>"))
@@ -343,7 +363,7 @@ object Compiler {
     }
 
     apply(stmts, lit(true))
-    DocResult(root, deleted, meta)
+    DocResult(root, deleted, meta, assigned)
   }
 
   /** JSON text of a nested one-path patch: {a:{b:{c: value}}}. */

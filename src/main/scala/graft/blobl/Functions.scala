@@ -70,7 +70,9 @@ object Functions {
       BV(lit(null), N)
 
     case "content" => env.binding match {
-      case Compiler.Json(thisCol) => BV(to_json(thisCol), S)
+      // the message's VERBATIM content (may not be JSON) — not a
+      // re-serialization of the parsed tree
+      case Compiler.Json(_, rawCol) => BV(rawCol, S)
       case _ => throw new IllegalArgumentException("content() needs JSON mode")
     }
 

@@ -370,7 +370,9 @@ object Methods {
     // ── encoding & crypto (methods.adoc:3737-3953) ────────────────────
     case "encode" => litStr(args(0)) match {
       case "base64" => BV(base64(asBinary(recv)), S)
-      case "hex" => BV(hex(asBinary(recv)), S)
+      // lowercase to match the reference (Go hex.EncodeToString);
+      // Spark's hex() is uppercase
+      case "hex" => BV(lower(hex(asBinary(recv))), S)
       case other => throw new IllegalArgumentException(s"encode($other) unsupported")
     }
     case "decode" => litStr(args(0)) match {
@@ -378,11 +380,15 @@ object Methods {
       case "hex" => BV(unhex(asString(recv)), Bin)
       case other => throw new IllegalArgumentException(s"decode($other) unsupported")
     }
+    // hash returns RAW BYTES like the reference (chain .encode("hex")/
+    // .encode("base64") for text); Spark's digest builtins emit hex, so
+    // unhex recovers the bytes. xxhash64/crc32 return their integer as a
+    // string (the reference's numeric-hash behavior).
     case "hash" => litStr(args(0)) match {
-      case "md5" => BV(md5(asBinary(recv)), S)
-      case "sha1" => BV(sha1(asBinary(recv)), S)
-      case "sha256" => BV(sha2(asBinary(recv), 256), S)
-      case "sha512" => BV(sha2(asBinary(recv), 512), S)
+      case "md5" => BV(unhex(md5(asBinary(recv))), Bin)
+      case "sha1" => BV(unhex(sha1(asBinary(recv))), Bin)
+      case "sha256" => BV(unhex(sha2(asBinary(recv), 256)), Bin)
+      case "sha512" => BV(unhex(sha2(asBinary(recv), 512)), Bin)
       case "xxhash64" => BV(xxhash64(asString(recv)).cast("string"), S)
       case "crc32" => BV(crc32(asBinary(recv)).cast("string"), S)
       case other => throw new IllegalArgumentException(s"hash($other) unsupported")

@@ -1,0 +1,197 @@
+package graft.testkit
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.blobl.Blobl
+
+/** Declarative config unit tests — the reference's primary correctness
+  * harness, re-expressed over Spark (docs/modules/configuration/pages/
+  * unit_testing.adoc:18-200; fixture corpus under config/test/).
+  *
+  * A test file holds an optional `pipeline.processors` config plus a
+  * `tests:` list; each case feeds an `input_batch` of messages (content
+  * + metadata) through either the file's processors
+  * (`target_processors: /pipeline/processors`) or a standalone mapping
+  * file (`target_mapping: ./x.blobl`), then checks `output_batches`
+  * assertions per message: content_equals / content_matches /
+  * json_equals / json_contains / metadata_equals.
+  *
+  * Execution is the real engine path — messages become an envelope
+  * DataFrame and processors compile to Catalyst plans via [[Blobl]] —
+  * so a declarative case exercises exactly what production queries run.
+  */
+object DeclarativeTest {
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+  private val json = new ObjectMapper()
+
+  final case class Msg(content: String, metadata: Map[String, String])
+
+  sealed trait Check {
+    /** None = pass, Some(reason) = fail. */
+    def apply(m: Msg): Option[String]
+  }
+  final case class ContentEquals(want: String) extends Check {
+    def apply(m: Msg): Option[String] =
+      if (m.content == want) None
+      else Some(s"content_equals: got '${m.content}', want '$want'")
+  }
+  final case class ContentMatches(re: String) extends Check {
+    def apply(m: Msg): Option[String] =
+      if (java.util.regex.Pattern.compile(re).matcher(m.content).find()) None
+      else Some(s"content_matches: '$re' not found in '${m.content}'")
+  }
+  final case class JsonEquals(want: JsonNode) extends Check {
+    def apply(m: Msg): Option[String] = {
+      val got = json.readTree(m.content)
+      if (got == want) None
+      else Some(s"json_equals: got $got, want $want")
+    }
+  }
+  final case class JsonContains(want: JsonNode) extends Check {
+    def apply(m: Msg): Option[String] = {
+      val got = json.readTree(m.content)
+      if (contains(got, want)) None
+      else Some(s"json_contains: $want not contained in $got")
+    }
+  }
+  final case class MetadataEquals(want: Map[String, String]) extends Check {
+    def apply(m: Msg): Option[String] =
+      if (m.metadata == want) None
+      else Some(s"metadata_equals: got ${m.metadata}, want $want")
+  }
+
+  /** Structural subset: every field/element of `want` present (and
+    * recursively contained) in `got`; scalars compare by equality.
+    */
+  private def contains(got: JsonNode, want: JsonNode): Boolean =
+    if (want.isObject)
+      got.isObject && want.properties().asScala.forall { e =>
+        got.has(e.getKey) && contains(got.get(e.getKey), e.getValue) }
+    else if (want.isArray)
+      got.isArray && want.size() == got.size() &&
+        (0 until want.size()).forall(i => contains(got.get(i), want.get(i)))
+    else got == want
+
+  final case class TestCase(
+      name: String,
+      environment: Map[String, String],
+      input: Seq[Msg],
+      expected: Seq[Seq[Check]],
+      processors: Seq[DataFrame => DataFrame])
+
+  /** Load every test case from a declarative YAML file. */
+  def load(path: String): Seq[TestCase] = {
+    val root = yaml.readTree(Files.readString(Paths.get(path)))
+    val cases = Option(root.get("tests")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    cases.map { tc =>
+      val name = tc.get("name").asText()
+      val env = mapOf(tc.get("environment"))
+      val input = Option(tc.get("input_batch")).map(_.elements().asScala.toSeq)
+        .getOrElse(Seq.empty).map(parseMsg(_, path))
+      val expected = Option(tc.get("output_batches"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .flatMap(_.elements().asScala.toSeq)
+        .map(parseChecks)
+      val procs = (Option(tc.get("target_mapping")), Option(tc.get("target_processors"))) match {
+        case (Some(mp), _) =>
+          val f = new File(new File(path).getParentFile, mp.asText())
+          val src = Files.readString(f.toPath)
+          Seq((df: DataFrame) =>
+            Blobl.mapping(df, src, env, metadataCol = Some("metadata")))
+        case (_, Some(ptr)) =>
+          val node = root.at(ptr.asText())
+          require(!node.isMissingNode, s"target_processors ${ptr.asText()} not found in $path")
+          node.elements().asScala.toSeq.map(compileProcessor(_, env))
+        case _ => throw new IllegalArgumentException(
+          s"test '$name' has neither target_mapping nor target_processors")
+      }
+      TestCase(name, env, input, expected, procs)
+    }
+  }
+
+  /** Processor vocabulary runnable in a declarative test. Extend here as
+    * operators gain config forms.
+    */
+  private def compileProcessor(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame = {
+    val fields = p.properties().asScala.toSeq
+    require(fields.size == 1, s"processor must have exactly one key: $p")
+    val (kind, body) = (fields.head.getKey, fields.head.getValue)
+    kind match {
+      case "mapping" | "bloblang" =>
+        df => Blobl.mapping(df, body.asText(), env, metadataCol = Some("metadata"))
+      case "mutation" =>
+        df => Blobl.mutation(df, body.asText(), env, metadataCol = Some("metadata"))
+      case "noop" => identity
+      case other => throw new IllegalArgumentException(
+        s"processor '$other' not supported in declarative tests yet")
+    }
+  }
+
+  private def parseMsg(m: JsonNode, path: String): Msg = {
+    val content =
+      if (m.has("content")) m.get("content").asText()
+      else if (m.has("json_content")) json.writeValueAsString(m.get("json_content"))
+      else if (m.has("file_content"))
+        Files.readString(new File(new File(path).getParentFile,
+          m.get("file_content").asText()).toPath)
+      else ""
+    Msg(content, mapOf(m.get("metadata")))
+  }
+
+  private def parseChecks(a: JsonNode): Seq[Check] =
+    a.properties().asScala.toSeq.map { e =>
+      e.getKey match {
+        case "content_equals" => ContentEquals(e.getValue.asText())
+        case "content_matches" => ContentMatches(e.getValue.asText())
+        case "json_equals" =>
+          JsonEquals(if (e.getValue.isTextual)
+            json.readTree(e.getValue.asText()) else e.getValue)
+        case "json_contains" =>
+          JsonContains(if (e.getValue.isTextual)
+            json.readTree(e.getValue.asText()) else e.getValue)
+        case "metadata_equals" => MetadataEquals(mapOf(e.getValue))
+        case other =>
+          throw new IllegalArgumentException(s"unknown assertion '$other'")
+      }
+    }
+
+  private def mapOf(n: JsonNode): Map[String, String] =
+    Option(n).map(_.properties().asScala.map(e =>
+      e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+
+  /** Run one case through the engine; returns failure messages (empty =
+    * pass). Output order is input order (a `__seq` column rides through
+    * the plan; processors never reorder).
+    */
+  def run(spark: SparkSession, tc: TestCase): Seq[String] = {
+    import spark.implicits._
+    val in = tc.input.zipWithIndex
+      .map { case (m, i) => (i.toLong, m.content, m.metadata) }
+      .toDF("__seq", "value", "metadata")
+    val out = tc.processors.foldLeft(in: DataFrame)((df, p) => p(df))
+    val rows = out.orderBy(col("__seq"))
+      .select(col("value"), col("metadata"))
+      .collect()
+      .map(r => Msg(r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
+      .toSeq
+    val sizeErr =
+      if (rows.size != tc.expected.size)
+        Seq(s"output size ${rows.size} != expected ${tc.expected.size}")
+      else Seq.empty
+    val msgErrs = rows.zip(tc.expected).zipWithIndex.flatMap {
+      case ((msg, checks), i) => checks.flatMap(_.apply(msg)).map(e => s"msg[$i] $e")
+    }
+    sizeErr ++ msgErrs
+  }
+}

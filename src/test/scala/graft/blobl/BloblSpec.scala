@@ -148,7 +148,7 @@ class BloblSpec extends SparkSpec {
   test("regex + hash + encoding methods") {
     val src = """root.m = this.s.re_match("^[a-z]+$")
                 |root.r = this.s.re_replace_all("[aeiou]", "_")
-                |root.h = this.s.hash("sha256")
+                |root.h = this.s.hash("sha256").encode("hex")
                 |root.b = this.s.encode("base64")
                 |root.rt = this.s.encode("base64").decode("base64").string()""".stripMargin
     assert(mapped(src, Map.empty, """{"s":"abc"}""") == Seq(

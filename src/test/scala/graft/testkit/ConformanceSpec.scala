@@ -1,0 +1,29 @@
+package graft.testkit
+
+import java.io.File
+
+import graft.SparkSpec
+
+/** Runs every declarative YAML test file under
+  * src/test/resources/conformance/ through [[DeclarativeTest]] — the
+  * ported form of the reference's `benthos test` harness
+  * (docs/modules/configuration/pages/unit_testing.adoc:18-200).
+  */
+class ConformanceSpec extends SparkSpec {
+
+  private val dir = new File("src/test/resources/conformance")
+
+  private val files = Option(dir.listFiles())
+    .getOrElse(Array.empty[File])
+    .filter(_.getName.endsWith("_test.yaml"))
+    .sortBy(_.getName)
+
+  assert(files.nonEmpty, s"no conformance fixtures found in $dir")
+
+  for (f <- files; tc <- DeclarativeTest.load(f.getPath)) {
+    test(s"${f.getName}: ${tc.name}") {
+      val failures = DeclarativeTest.run(spark, tc)
+      assert(failures.isEmpty, failures.mkString("; "))
+    }
+  }
+}
