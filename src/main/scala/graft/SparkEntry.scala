@@ -192,6 +192,81 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("part"))
         .limit(25)),
 
+    "p_archive_json" -> ((s, d) =>
+      // archive format json_array (processors/archive.adoc:26)
+      BatchOps.archiveJsonArray(
+          Tables.documents(s, d).filter(col("doc_id") < 40),
+          col("lang"), to_json(struct(col("doc_id"))))
+        .orderBy(col("key"))),
+
+    "p_unarchive_json" -> ((s, d) => {
+      // json_array round-trip: archive per lang, unarchive back to parts
+      val arch = BatchOps.archiveJsonArray(
+        Tables.documents(s, d).filter(col("doc_id") < 40),
+        col("lang"), to_json(struct(col("doc_id"))))
+      BatchOps.unarchiveJsonArray(arch, col("archived"))
+        .select(col("key"), col("part"))
+        .orderBy(col("key"), col("part"))
+    }),
+
+    "p_unarchive_csv" -> ((s, d) => {
+      // archive format csv + header-driven unarchive
+      // (processors/archive.adoc:26, unarchive.adoc:26)
+      val nation = Tables.nation(s, d)
+        .select(col("n_regionkey").as("rk"),
+          col("n_nationkey").cast("string").as("id"), col("n_name").as("name"))
+      val arch = BatchOps.archiveCsv(nation, col("rk"),
+        Seq(col("id"), col("name")))
+      BatchOps.unarchiveCsv(arch, col("archived"))
+        .select(col("key"),
+          element_at(col("part"), "id").as("id"),
+          element_at(col("part"), "name").as("name"))
+        .orderBy(col("key"), col("id"), col("name"))
+    }),
+
+    "p_insert_part" -> ((s, d) =>
+      // insert_part at index 1 within each source batch
+      // (processors/insert_part.adoc:26)
+      BatchOps.insertPart(
+          Tables.documents(s, d).filter(col("doc_id") < 40)
+            .select(col("source"), col("doc_id"),
+              substring(col("text"), 1, 10).as("payload")),
+          col("source"), col("doc_id"), "payload", lit("INSERTED"), 1)
+        .select(col("source"), col("batch_idx"), col("payload"))
+        .orderBy(col("source"), col("batch_idx"))),
+
+    "p_read_until" -> ((s, d) =>
+      // read_until: consume each user's events until the first error
+      // (docs/modules/components/pages/inputs/read_until.adoc:26)
+      BatchOps.readUntil(
+          Tables.events(s, d).select(col("user_id"), col("event_id"),
+            col("event_type")),
+          col("user_id"), col("event_id"),
+          col("event_type") === "error", inclusive = true)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_consumed"))
+        .orderBy(col("user_id"))),
+
+    "p_group_by" -> ((s, d) =>
+      // group_by with a predicate list: first matching predicate wins
+      // (processors/group_by.adoc:26)
+      BatchOps.groupByPredicates(
+          Tables.events(s, d),
+          Seq(col("event_type") === "error", col("value") > 150.0))
+        .groupBy(col("group")).agg(count(lit(1)).as("n"))
+        .orderBy(col("group"))),
+
+    "t_chunk_recursive" -> ((s, d) => {
+      // recursive_character chunking — no SQL oracle (algorithmic);
+      // unit-tested for boundary/overlap invariants in ChunkerSpec
+      graft.functions.expressions.GraftFunctions.register(s)
+      Tables.documents(s, d).filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          posexplode(T.chunksRecursive(col("text"), 120, 20)))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "p_select_parts" -> ((s, d) =>
       BatchOps.selectParts(
           Tables.documents(s, d), col("source"), col("doc_id"), Seq(0, 2))
@@ -700,6 +775,53 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 40) t
         |WHERE LENGTH(part) > 0
         |GROUP BY part ORDER BY freq DESC, part LIMIT 25""".stripMargin,
+
+    "p_archive_json" ->
+      """SELECT lang AS key,
+        |  '[' || STRING_AGG(p, ',' ORDER BY p) || ']' AS archived,
+        |  COUNT(*) AS n
+        |FROM (SELECT lang,
+        |        CAST(to_json(struct_pack(doc_id := doc_id)) AS VARCHAR) AS p
+        |      FROM documents WHERE doc_id < 40) t
+        |GROUP BY lang ORDER BY key""".stripMargin,
+
+    "p_unarchive_json" ->
+      """SELECT lang AS key,
+        |  CAST(to_json(struct_pack(doc_id := doc_id)) AS VARCHAR) AS part
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY key, part""".stripMargin,
+
+    "p_unarchive_csv" ->
+      """SELECT n_regionkey AS key, CAST(n_nationkey AS VARCHAR) AS id,
+        |  n_name AS name
+        |FROM nation ORDER BY key, id, name""".stripMargin,
+
+    "p_insert_part" ->
+      """WITH b AS (
+        |  SELECT source, SUBSTR(text, 1, 10) AS payload,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS idx
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT source,
+        |  CAST(CASE WHEN idx >= 1 THEN idx + 1 ELSE idx END AS INT) AS batch_idx,
+        |  payload FROM b
+        |UNION ALL
+        |SELECT DISTINCT source, 1 AS batch_idx, 'INSERTED' AS payload FROM b
+        |ORDER BY source, batch_idx""".stripMargin,
+
+    "p_read_until" ->
+      """WITH cut AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'error' THEN event_id END) AS c
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, COUNT(*) AS n_consumed
+        |FROM events e JOIN cut ON e.user_id = cut.user_id
+        |WHERE cut.c IS NULL OR e.event_id <= cut.c
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+
+    "p_group_by" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 0
+        |  WHEN value > 150.0 THEN 1 ELSE -1 END AS "group",
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p_select_parts" ->
       """SELECT source, CAST(batch_idx AS INT) AS batch_idx, doc_id FROM (

@@ -147,6 +147,18 @@ object TextFunctions {
       p => substring(text, p, lit(size)))
   }
 
+  /** `text_chunker` strategy `recursive_character` (reference:
+    * internal/impl/text/text_chunker_processor.go:58-62): split on
+    * paragraph → line → word boundaries, merging to `size` codepoints
+    * with `overlap` carried between chunks. One codegen'd kernel per
+    * row (see ArchiveOps.chunkRecursive); requires
+    * GraftFunctions.register.
+    */
+  def chunksRecursive(text: Column, size: Int, overlap: Int): Column = {
+    require(overlap < size, "overlap must be < size")
+    call_function("graft_chunk_recursive", text, lit(size), lit(overlap))
+  }
+
   /** Deterministic 64-bit rolling-style document fingerprint over token
     * sequence (order-sensitive, unlike [[fingerprint]]): fold of
     * hash(acc, token).

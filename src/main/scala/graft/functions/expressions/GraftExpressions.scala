@@ -145,6 +145,84 @@ case class IvfCells(child: Expression, centroids: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** tar/zip archive creation from parallel (names, bodies) arrays —
+  * reference `archive` processor formats tar/zip
+  * (processors/archive.adoc:26).
+  */
+case class ArchiveCreate(left: Expression, right: Expression, zip: Boolean)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left.dataType, right.dataType),
+      Seq(ArrayType(StringType), ArrayType(BinaryType)))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = if (zip) "graft_zip" else "graft_tar"
+  private def fn = if (zip) "zipData" else "tarData"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (zip) ArchiveOps.zipData(ad, bd) else ArchiveOps.tarData(ad, bd)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.ArchiveOps.$fn($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class ArchiveExtract(child: Expression, zip: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("body", BinaryType, nullable = false))), containsNull = false)
+  override def prettyName: String = if (zip) "graft_unzip" else "graft_untar"
+  private def fn = if (zip) "unzipData" else "untarData"
+
+  override protected def nullSafeEval(a: Any): Any =
+    if (zip) ArchiveOps.unzipData(a.asInstanceOf[Array[Byte]])
+    else ArchiveOps.untarData(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.ArchiveOps.$fn($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Recursive-character text chunker (reference `text_chunker`,
+  * internal/impl/text/text_chunker_processor.go:58-62).
+  */
+case class ChunkRecursive(child: Expression, seps: Array[String],
+                          chunkSize: Int, overlap: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunk_recursive"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ArchiveOps.chunkData(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      seps, chunkSize, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("seps", seps, "java.lang.String[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.ArchiveOps.chunkData($a, $ref, $chunkSize, $overlap)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -284,7 +362,15 @@ object GraftFunctions {
       WireEncode(es(0), strArg(es(1), "schema"), intArg(es(2), "schemaId"))),
     "graft_wire_decode" -> ((es: Seq[Expression]) =>
       WireDecode(es(0), strArg(es(1), "schema"))),
-    "graft_parse_yaml" -> ((es: Seq[Expression]) => ParseYaml(es(0))))
+    "graft_parse_yaml" -> ((es: Seq[Expression]) => ParseYaml(es(0))),
+    "graft_tar" -> ((es: Seq[Expression]) => ArchiveCreate(es(0), es(1), zip = false)),
+    "graft_untar" -> ((es: Seq[Expression]) => ArchiveExtract(es(0), zip = false)),
+    "graft_zip" -> ((es: Seq[Expression]) => ArchiveCreate(es(0), es(1), zip = true)),
+    "graft_unzip" -> ((es: Seq[Expression]) => ArchiveExtract(es(0), zip = true)),
+    "graft_chunk_recursive" -> ((es: Seq[Expression]) =>
+      ChunkRecursive(es(0),
+        Array("\n\n", "\n", " ", ""),
+        intArg(es(1), "chunkSize"), intArg(es(2), "overlap"))))
 
   /** Idempotent: re-registering an existing name is skipped, so calling
     * this per-operator neither spams "replaced a previously registered

@@ -62,4 +62,105 @@ object BatchOps {
     val w = Window.partitionBy(batchKey).orderBy(ord)
     df.withColumn("sub_batch", floor((row_number().over(w) - 1) / n))
   }
+
+  /** `archive` format `json_array` (processors/archive.adoc:26): fold
+    * each group's JSON payloads into one JSON-array document. Payloads
+    * are parsed (not string-wrapped) so the result is a real array of
+    * documents; ordering by sort for determinism.
+    */
+  def archiveJsonArray(df: DataFrame, key: Column, payload: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(to_json(transform(array_sort(collect_list(payload)),
+        p => parse_json(p))).as("archived"),
+        count(lit(1)).as("n"))
+
+  /** `unarchive` format `json_array`: one row per element of a JSON
+    * array payload. */
+  def unarchiveJsonArray(df: DataFrame, payload: Column): DataFrame =
+    // explode in its own projection: a Generator can't nest inside
+    // another expression (to_json)
+    df.withColumn("__pv", explode(try_parse_json(payload).cast("array<variant>")))
+      .withColumn("part", to_json(col("__pv")))
+      .drop("__pv")
+
+  /** `unarchive` format `json_map`: one row per key of a JSON object
+    * payload, key in `part_key`. */
+  def unarchiveJsonMap(df: DataFrame, payload: Column): DataFrame =
+    df.select(df.columns.map(col) :+
+        explode(try_parse_json(payload).cast("map<string,variant>"))
+          .as(Seq("part_key", "__pv")): _*)
+      .withColumn("part", to_json(col("__pv")))
+      .drop("__pv")
+
+  /** `archive` format `csv` (processors/archive.adoc:26): fold typed
+    * columns into one CSV document per group, header first. */
+  def archiveCsv(df: DataFrame, key: Column, fields: Seq[Column]): DataFrame = {
+    val header = fields.map(f => f.toString).mkString(",")
+    df.groupBy(key.as("key"))
+      .agg(concat_ws("\n", lit(header),
+        array_join(array_sort(collect_list(concat_ws(",", fields: _*))), "\n"))
+        .as("archived"),
+        count(lit(1)).as("n"))
+  }
+
+  /** `unarchive` format `csv`: header-driven parse, one row per line,
+    * fields as a map (dynamic schema — the reference emits object docs
+    * keyed by header).
+    */
+  def unarchiveCsv(df: DataFrame, payload: Column): DataFrame = {
+    val lines = split(payload, "\n")
+    val header = split(element_at(lines, 1), ",")
+    val rows = slice(lines, lit(2), greatest(size(lines) - 1, lit(0)))
+    df.withColumn("part",
+        explode(transform(rows, r => map_from_arrays(header, split(r, ",")))))
+  }
+
+  /** `insert_part` (processors/insert_part.adoc:26): place a new payload
+    * at 0-based `index` within each batch (negative = from the end, -1
+    * appends). Existing rows keep their relative order.
+    */
+  def insertPart(df: DataFrame, batchKey: Column, ord: Column,
+                 payloadCol: String, content: Column, index: Int): DataFrame = {
+    val w = Window.partitionBy(batchKey).orderBy(ord)
+    val sized = Window.partitionBy(batchKey)
+    val base = df.withColumn("batch_idx", row_number().over(w) - 1)
+      .withColumn("__n", count(lit(1)).over(sized))
+    val at: Column =
+      if (index >= 0) least(lit(index), col("__n"))
+      else greatest(col("__n") + index + 1, lit(0))
+    val shifted = base.withColumn("batch_idx",
+      when(col("batch_idx") >= at, col("batch_idx") + 1)
+        .otherwise(col("batch_idx")))
+    val inserted = base.groupBy(batchKey.as(batchKey.toString))
+      .agg(first(at).cast("int").as("batch_idx"))
+      .withColumn(payloadCol, content)
+    // missing columns (e.g. the ordinal) fill with null for the new row
+    shifted.drop("__n")
+      .unionByName(inserted, allowMissingColumns = true)
+  }
+
+  /** `read_until` (docs/…/inputs/read_until.adoc:26): consume rows in
+    * batch order until `pred` fires; the triggering row is kept when
+    * `inclusive`. One window pass — the cut point is the min ordinal
+    * satisfying the predicate.
+    */
+  def readUntil(df: DataFrame, batchKey: Column, ord: Column,
+                pred: Column, inclusive: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(batchKey)
+    val cut = min(when(pred, ord)).over(w)
+    df.withColumn("__cut", cut)
+      .filter(col("__cut").isNull ||
+        (if (inclusive) ord <= col("__cut") else ord < col("__cut")))
+      .drop("__cut")
+  }
+
+  /** `group_by` with a predicate list (processors/group_by.adoc:26):
+    * each row lands in the FIRST group whose predicate matches
+    * (group = -1 when none do — the reference's pass-through group).
+    */
+  def groupByPredicates(df: DataFrame, preds: Seq[Column]): DataFrame =
+    df.withColumn("group",
+      preds.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((p, i), acc) => when(p, lit(i)).otherwise(acc)
+      })
 }
