@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.blobl.Blobl
 import graft.functions.{AnalysisFunctions => A, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{BatchOps, Dedupe, FlowControl, Similarity}
+import graft.operators.{BatchOps, Dedupe, Embeddings, FlowControl, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -591,6 +591,25 @@ object SparkEntry {
         .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "t_bpe_tokens" -> ((s, d) =>
+      // tokenizer-shaped counting: BPE pre-tokenizer segments (GPT-2
+      // pattern family), not whitespace words
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    "m_embed_batch" -> ((s, d) =>
+      // batched embedding generation with the deterministic offline
+      // batcher — rows-only check (hash kernel not SQL-expressible);
+      // batching/alignment invariants gated in EmbeddingsSpec
+      Embeddings.embedBatched(
+          Tables.documents(s, d).filter(col("doc_id") < 100)
+            .select(col("doc_id"), col("text")),
+          "text", "embedding", 16, Embeddings.hashBatcher(8))
+        .select(col("doc_id"), round(element_at(col("embedding"), 1), 6).as("e0"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id"))),
+
     "t_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
@@ -1015,6 +1034,13 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
         |    t -> LEN(t) > 0)) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\f\rA-Za-z0-9]+|[ \t\n\f\r]+'))
+        |    AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->

@@ -33,6 +33,24 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-style pre-tokenizer pattern (the public GPT-2 pattern family):
+    * contraction suffixes, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, whitespace runs.
+    * Deliberately restricted to explicit ASCII classes (no \p{L}, no
+    * lookahead) so Java regex and RE2 (the DuckDB oracle) agree match
+    * for match.
+    */
+  final val BpeTokenRe =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\t\\n\\f\\rA-Za-z0-9]+|[ \\t\\n\\f\\r]+"
+
+  /** Tokenizer-shaped token count: number of BPE pre-tokenizer segments
+    * in the text — tracks tiktoken-style counts far closer than a
+    * whitespace split (punctuation, contractions and number runs count
+    * separately), with no model file needed.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0))).cast("long")
+
   /** Word n-gram shingles from a PRE-MATERIALIZED tokens column.
     * `toks` must be a column attribute (e.g. projected via
     * `.withColumn("toks", tokens(col("text")))`) — if a whole tokenize

@@ -1,0 +1,219 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines:
+  * media rides as opaque `binary` columns with typed metadata, and the
+  * decode / resize / feature steps run where the bytes already live —
+  * mapPartitions over the scan, no shuffle of blob data.
+  *
+  * Reference anchors: the AI processor family operates on image content
+  * blocks (e.g. docs/modules/components/pages/processors/
+  * openai_chat_completion.adoc:26 image inputs); this module gives those
+  * payloads a first-class columnar form.
+  *
+  * Scale notes: blobs NEVER enter a shuffle here — every transform is a
+  * narrow map over the files scan, so `spark.sql.files.maxPartitionBytes`
+  * alone controls task sizing. Joins against media tables should join on
+  * the id/metadata columns first and fetch bytes late (Parquet column
+  * pruning keeps untouched blob columns unread).
+  *
+  * Decode strategy: image header PARSING (format/width/height) is a pure
+  * JVM kernel — no decode, ~100 bytes read per blob. Full decode/resize
+  * uses JDK ImageIO (png/jpeg/gif/bmp — built into the JDK, headless-
+  * safe). Video frame-sampling has NO JDK codec: [[videoFrameStub]] is
+  * an explicitly-marked deterministic placeholder that preserves the
+  * real operator shape (schema, batching, partition behavior) so the
+  * plumbing is testable; swap the kernel for a codec-backed one (e.g.
+  * jcodec) on clusters that ship it.
+  */
+object Multimodal {
+
+  /** Parsed-from-header media metadata: mime, width, height (images);
+    * sampleRate/channels (wav audio); -1 where not applicable.
+    */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** Sniff format + dimensions from the blob HEADER (no decode):
+    * PNG IHDR, JPEG SOF0/2 scan, GIF logical screen, WAV fmt chunk.
+    * Unknown formats yield (null mime, -1 dims) rather than an error —
+    * corrupt blobs are data, not exceptions, in a 100 TB corpus.
+    */
+  def mediaMeta(bytes: Array[Byte]): Row = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (be16(i) << 16) | be16(i + 2)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    try {
+      if (bytes.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+          u8(3) == 'G')
+        Row("image/png", be32(16), be32(20), -1, -1)
+      else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // JPEG: walk markers to the first SOF frame header
+        var i = 2
+        var out: Row = Row("image/jpeg", -1, -1, -1, -1)
+        var done = false
+        while (!done && i + 9 < bytes.length) {
+          if (u8(i) != 0xff) { i += 1 }
+          else {
+            val marker = u8(i + 1)
+            if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              out = Row("image/jpeg", be16(i + 7), be16(i + 5), -1, -1)
+              done = true
+            } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+              i += 2
+            } else {
+              i += 2 + be16(i + 2)
+            }
+          }
+        }
+        out
+      } else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+        Row("image/gif", le16(6), le16(8), -1, -1)
+      else if (bytes.length >= 36 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' &&
+               u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V')
+        Row("audio/wav", -1, -1, le32(24), le16(22))
+      else Row(null, -1, -1, -1, -1)
+    } catch {
+      case _: IndexOutOfBoundsException => Row(null, -1, -1, -1, -1)
+    }
+  }
+
+  /** Metadata column for every blob: mapPartitions keeps the header
+    * sniff adjacent to the scan; output schema = input + `meta` struct.
+    */
+  def withMediaMeta(df: DataFrame, blobCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("meta", MetaSchema))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    implicit val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        val meta = if (bytes == null) Row(null, -1, -1, -1, -1) else mediaMeta(bytes)
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
+  /** Decode + bilinear resize + re-encode PNG via JDK ImageIO. Failed
+    * decodes yield null (kept, filterable) — never a task failure.
+    */
+  def resizeImages(df: DataFrame, blobCol: String, outCol: String,
+                   width: Int, height: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    implicit val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        val resized: Array[Byte] =
+          if (bytes == null) null
+          else try {
+            val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) null
+            else {
+              val out = new java.awt.image.BufferedImage(width, height,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null)
+              g.dispose()
+              val bos = new ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              bos.toByteArray
+            }
+          } catch { case _: Exception => null }
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }
+  }
+
+  /** Mean RGB features per image — the feature-extract step shape.
+    * Output: array<float> [meanR, meanG, meanB] in [0,1]; null on
+    * decode failure.
+    */
+  def imageFeatures(df: DataFrame, blobCol: String, outCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType)))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    implicit val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        val feats: Seq[Float] =
+          if (bytes == null) null
+          else try {
+            val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) null
+            else {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = img.getWidth.toLong * img.getHeight * 255
+              Seq(sr.toFloat / n, sg.toFloat / n, sb.toFloat / n)
+            }
+          } catch { case _: Exception => null }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }
+  }
+
+  /** STUB — video frame sampling. No video codec ships in the JVM/this
+    * container, so the frame extractor below is a DETERMINISTIC FAKE
+    * (xxhash-derived bytes per (video, frameIdx)); everything around it
+    * — frame indexing, explode shape, partition behavior — is the real
+    * operator. Replace `fakeFrame` with a codec call (e.g. jcodec
+    * FrameGrab) where available.
+    */
+  def videoFrameStub(df: DataFrame, blobCol: String, everyNth: Int,
+                     maxFrames: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    implicit val enc = Encoders.row(outSchema)
+    def fakeFrame(blob: Array[Byte], idx: Int): Array[Byte] = {
+      // ??? — real impl decodes frame `idx * everyNth`; fake = 8
+      // deterministic bytes from (blob length, idx)
+      val h = java.util.Objects.hash(blob.length, idx)
+      java.nio.ByteBuffer.allocate(8).putLong(h.toLong).array()
+    }
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        if (bytes == null) Iterator.empty
+        else (0 until maxFrames).iterator.map { i =>
+          Row.fromSeq(r.toSeq ++ Seq(i, fakeFrame(bytes, i)))
+        }
+      }
+    }
+  }
+
+  /** Late materialization helper: keep only ids + meta while planning,
+    * re-join blobs at the end. Parquet never reads the blob column for
+    * the pruned branch.
+    */
+  def pruneBlobs(df: DataFrame, blobCols: Seq[String]): DataFrame =
+    df.drop(blobCols: _*)
+}
