@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.blobl.Blobl
 import graft.functions.{AnalysisFunctions => A, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{BatchOps, Dedupe, Embeddings, FlowControl, Similarity}
+import graft.operators.{BatchOps, Dedupe, Embeddings, FlowControl, Joins, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -369,6 +369,45 @@ object SparkEntry {
           .select(col("user_id")).distinct())
         .orderBy(col("user_id"))
     }),
+
+    "p_sharded_join" -> ((s, d) => {
+      // sequence sharded_join, full-outer + array merge
+      // (docs/…/inputs/sequence.adoc:94-229): customers = main input,
+      // their order keys gather into a per-id array
+      val main = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val orders = Tables.orders(s, d).filter(col("o_orderkey") < 5000)
+        .select(col("o_custkey").as("id"), col("o_orderkey").as("order_key"))
+      Joins.shardedJoin(Seq(main, orders), "id",
+          joinType = "full-outer", mergeStrategy = "array")
+        .select(col("id"), col("name"),
+          array_join(transform(col("order_key"), x => x.cast("string")), ",")
+            .as("orders"))
+        .orderBy(col("id"))
+    }),
+
+    "p_hydration" -> ((s, d) => {
+      // cache-hydration enrichment join
+      // (config/examples/joining_streams.yaml:82-131): events hydrate
+      // from a keyed dim; misses pass through with nulls
+      val cache = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      Joins.hydrationJoin(Tables.events(s, d), cache, "user_id")
+        .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("segment"))
+    }),
+
+    "p_enrich_lookup" -> ((s, d) =>
+      // branch-form enrichment lookup (processors/branch.adoc:26 +
+      // sql_select.adoc:26): lineitems enriched with part brand
+      Joins.enrichmentLookup(
+          Tables.lineitem(s, d).filter(col("l_orderkey") < 1000)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+          Tables.part(s, d), col("l_partkey"), "p_partkey", Seq("p_brand"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("p_brand"))),
 
     // ── codecs (graft.functions.CodecFunctions, SURVEY.md §2.10) ─────
     "p_compress" -> ((s, d) => {
@@ -794,6 +833,28 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 40) t
         |WHERE LENGTH(part) > 0
         |GROUP BY part ORDER BY freq DESC, part LIMIT 25""".stripMargin,
+
+    "p_sharded_join" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS id, c.c_name AS name,
+        |  o.orders AS orders
+        |FROM customer c FULL OUTER JOIN (
+        |  SELECT o_custkey,
+        |    STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orders
+        |  FROM orders WHERE o_orderkey < 5000 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY id""".stripMargin,
+
+    "p_hydration" ->
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS n
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_enrich_lookup" ->
+      """SELECT p.p_brand, COUNT(*) AS n,
+        |  ROUND(SUM(CAST(l.l_quantity AS DOUBLE)), 2) AS qty
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_orderkey < 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p_archive_json" ->
       """SELECT lang AS key,

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment-join operators (SURVEY.md §2 #34-36): the reference's
+  * `sequence.sharded_join` input, the cache-hydration join pattern, and
+  * the `branch`+lookup enrichment processors, re-expressed as Spark
+  * joins so Catalyst plans the exchange (broadcast for dim-sized sides,
+  * shuffle otherwise) instead of per-message cache calls.
+  */
+object Joins {
+
+  /** `sharded_join` (docs/modules/components/pages/inputs/
+    * sequence.adoc:94-229): aggregate fields of rows sharing an id
+    * across N inputs, then join.
+    *
+    * Merge strategies (per the documented hobbies example,
+    * sequence.adoc:110-118):
+    *   - `array`: a non-id field whose values repeat per id ANYWHERE in
+    *     its input becomes a sorted array column for every id (the
+    *     example's `hobbies`); single-valued fields stay scalar.
+    *     Relationally this makes the merged schema CONSISTENT across
+    *     rows, unlike a per-row ragged merge.
+    *   - `replace`: later rows replace earlier ones per id — here
+    *     deterministically the max value (batch order is not defined in
+    *     a distributed read).
+    *
+    * `joinType` full-outer keeps every id seen anywhere; `outer` keeps
+    * only ids present in the LAST input (sequence.adoc:213-216).
+    *
+    * Scale: each input pre-aggregates map-side before one shuffle on the
+    * id; the final join is id-partitioned with no further exchange.
+    */
+  def shardedJoin(inputs: Seq[DataFrame], idCol: String,
+                  joinType: String = "full-outer",
+                  mergeStrategy: String = "array",
+                  arrayFields: Option[Set[String]] = None): DataFrame = {
+    require(inputs.nonEmpty, "sharded_join needs at least one input")
+    require(Seq("full-outer", "outer").contains(joinType), s"joinType: $joinType")
+    require(Seq("array", "replace").contains(mergeStrategy),
+      s"mergeStrategy: $mergeStrategy")
+
+    def aggregated(df: DataFrame): DataFrame = {
+      val fields = df.columns.filterNot(_ == idCol)
+      mergeStrategy match {
+        case "replace" =>
+          df.groupBy(col(idCol))
+            .agg(max(col(fields.head)).as(fields.head),
+              fields.tail.map(f => max(col(f)).as(f)).toSeq: _*)
+        case "array" =>
+          val grouped = df.groupBy(col(idCol))
+            .agg(sort_array(collect_list(col(fields.head))).as(fields.head),
+              fields.tail.map(f => sort_array(collect_list(col(f))).as(f)).toSeq: _*)
+          // which fields stay arrays: caller-specified at scale (skips
+          // the inference pass), else inferred — repeated per id
+          // anywhere in THIS input → array for every id
+          val repeated: Set[String] = arrayFields.getOrElse {
+            val maxes = df.groupBy(col(idCol))
+              .agg(count(col(fields.head)).as(fields.head),
+                fields.tail.map(f => count(col(f)).as(f)).toSeq: _*)
+              .select(fields.map(f => max(col(f)).as(f)).toSeq: _*)
+              .head()
+            fields.zipWithIndex.collect {
+              case (f, i) if maxes.getLong(i) > 1 => f
+            }.toSet
+          }
+          grouped.select(col(idCol) +: fields.map { f =>
+            if (repeated(f)) col(f) else element_at(col(f), 1).as(f)
+          }.toSeq: _*)
+      }
+    }
+
+    val aggd = inputs.map(aggregated)
+    val joined = aggd.reduce((l, r) => l.join(r, Seq(idCol), "full_outer"))
+    joinType match {
+      case "full-outer" => joined
+      case "outer" =>
+        joined.join(inputs.last.select(col(idCol)).distinct(), Seq(idCol),
+          "left_semi")
+    }
+  }
+
+  /** Cache-hydration join (config/examples/joining_streams.yaml:82-131):
+    * a stream enriched from a keyed cache table that earlier messages
+    * populated. In Spark the cache IS a DataFrame (state store or dim
+    * table); hydration = broadcast left join + optional fallback for
+    * misses. Misses keep the row with nulls (the reference retries via
+    * its cache processor; at the plan level that's a filter on the
+    * hydrated column).
+    */
+  def hydrationJoin(stream: DataFrame, cache: DataFrame, key: String,
+                    broadcastCache: Boolean = true): DataFrame = {
+    val c = if (broadcastCache) broadcast(cache) else cache
+    stream.join(c, Seq(key), "left_outer")
+  }
+
+  /** Enrichment lookup in `branch` form (processors/branch.adoc:26 +
+    * sql_select.adoc:26): compute request columns, look them up in a
+    * lookup table, merge the response columns back — rows without a
+    * match pass through unchanged (nulls in response columns).
+    */
+  def enrichmentLookup(df: DataFrame, lookup: DataFrame,
+                       requestKey: Column, lookupKey: String,
+                       responseCols: Seq[String]): DataFrame = {
+    val resp = lookup.select((lookupKey +: responseCols).map(col): _*)
+    df.withColumn("__req", requestKey)
+      .join(broadcast(resp), col("__req") === col(lookupKey), "left_outer")
+      .drop("__req", lookupKey)
+  }
+}
