@@ -494,6 +494,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_msgpack" -> ((s, d) => {
+      // msgpack round-trip (processors/msgpack.adoc:26): JSON → bytes →
+      // JSON must be the identity on events props
+      import graft.functions.{CodecFunctions => C}
+      C.register(s)
+      val rt = C.msgpackDecode(C.msgpackEncode(
+        call_function("graft_json_normalize", col("props"))))
+      Tables.events(s, d).select(col("event_id"),
+          (rt === call_function("graft_json_normalize", col("props"))).as("rt_ok"),
+          get_json_object(rt, "$.k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    "p_json_schema" -> ((s, d) => {
+      // json_schema validation (processors/json_schema.adoc:26): props
+      // must be an object with integer k >= 0; violations feed the
+      // error channel as messages
+      import graft.functions.{CodecFunctions => C}
+      C.register(s)
+      val schema =
+        """{"type":"object","required":["k"],
+          |"properties":{"k":{"type":"integer","minimum":0}}}"""
+          .stripMargin.replace("\n", "")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          C.jsonSchemaCheck(col("props"), schema).as("violation"))
+        .groupBy(col("violation")).agg(count(lit(1)).as("n"))
+        .orderBy(col("violation"))
+    }),
+
+    "p_xml" -> ((s, d) => {
+      // xml processor family (processors/xml.adoc:26): struct → XML →
+      // struct round-trip via Spark's native to_xml/from_xml
+      val doc = to_xml(struct(col("o_orderkey").as("id"),
+        col("o_totalprice").as("price")))
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), from_xml(doc,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("price",
+                org.apache.spark.sql.types.DoubleType)))).as("r"))
+        .select(col("o_orderkey"), col("r.id").as("id_rt"),
+          col("r.price").as("price_rt"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ── windowing & streaming state (graft.streaming, batch mode) ────
     "q12_sliding_window" -> ((s, d) =>
       // sliding windows (system_window.adoc:49-51): size 1h, slide 30m —
@@ -833,6 +880,27 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 40) t
         |WHERE LENGTH(part) > 0
         |GROUP BY part ORDER BY freq DESC, part LIMIT 25""".stripMargin,
+
+    "p_msgpack" ->
+      """SELECT event_id, true AS rt_ok,
+        |  json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p_json_schema" ->
+      """SELECT CASE
+        |  WHEN json_extract(props, '$.k') IS NULL
+        |    THEN '$: missing required ''k'''
+        |  WHEN json_type(json_extract(props, '$.k'))
+        |    NOT IN ('INTEGER', 'UBIGINT', 'BIGINT') THEN '$.k: expected integer'
+        |  WHEN CAST(json_extract(props, '$.k') AS DOUBLE) < 0
+        |    THEN '$.k: below minimum'
+        |  END AS violation, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_xml" ->
+      """SELECT o_orderkey, o_orderkey AS id_rt,
+        |  CAST(o_totalprice AS DOUBLE) AS price_rt
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
 
     "p_sharded_join" ->
       """SELECT COALESCE(c.c_custkey, o.o_custkey) AS id, c.c_name AS name,

@@ -39,6 +39,21 @@ object CodecFunctions {
   def wireDecode(data: Column, schemaJson: String): Column =
     call_function("graft_wire_decode", data, lit(schemaJson))
 
+  /** msgpack encode/decode (processors/msgpack.adoc:26) — hand-rolled
+    * canonical subset codec (CodecOps), JSON text ⇄ bytes.
+    */
+  def msgpackEncode(json: Column): Column =
+    call_function("graft_msgpack_encode", json)
+
+  def msgpackDecode(data: Column): Column =
+    call_function("graft_msgpack_decode", data)
+
+  /** json_schema validation (processors/json_schema.adoc:26): null when
+    * valid, else the first violation message.
+    */
+  def jsonSchemaCheck(json: Column, schemaJson: String): Column =
+    call_function("graft_json_schema_check", json, lit(schemaJson))
+
   /** parse_yaml (methods.adoc parsing section) → JSON text. */
   def parseYaml(yaml: Column): Column =
     call_function("graft_parse_yaml", yaml)

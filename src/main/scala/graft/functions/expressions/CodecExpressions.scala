@@ -121,3 +121,56 @@ case class ParseYaml(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+case class MsgPackEncode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_msgpack_encode"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.msgpackEncode(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.msgpackEncode($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MsgPackDecode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_msgpack_decode"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.msgpackDecode(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.msgpackDecode($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** json_schema validation (processors/json_schema.adoc:26): null when
+  * valid, else the first violation — feeds the error-channel pattern
+  * (`tryColumn`/`catchErrors`) exactly like the reference marks failed
+  * messages.
+  */
+case class JsonSchemaCheck(child: Expression, schemaJson: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_json_schema_check"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.jsonSchemaCheck(a.asInstanceOf[UTF8String], schemaJson)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("schema", schemaJson, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.expressions.CodecOps.jsonSchemaCheck($a, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -119,4 +119,195 @@ object CodecOps {
   def yamlToJson(yaml: UTF8String): UTF8String =
     UTF8String.fromString(
       jsonMapper.writeValueAsString(yamlMapper.readTree(yaml.toString)))
+
+  // ── MessagePack (hand-rolled against the public spec — no msgpack jar
+  //    ships with Spark; reference `msgpack` processor,
+  //    processors/msgpack.adoc:26) ─────────────────────────────────────
+
+  import com.fasterxml.jackson.databind.JsonNode
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+  /** JSON text → msgpack bytes. Minimal-width encodings (fixint/fixstr/
+    * fixarray/fixmap where they fit) so output is canonical.
+    */
+  def msgpackEncode(json: UTF8String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def be16(n: Int): Unit = { bos.write(n >> 8); bos.write(n) }
+    def be32(n: Int): Unit = { be16(n >>> 16); be16(n) }
+    def be64(n: Long): Unit = { be32((n >>> 32).toInt); be32(n.toInt) }
+    def write(n: JsonNode): Unit = n match {
+      case _ if n.isNull => bos.write(0xc0)
+      case _ if n.isBoolean => bos.write(if (n.asBoolean) 0xc3 else 0xc2)
+      case _ if n.isIntegralNumber =>
+        val v = n.asLong
+        if (v >= -32 && v <= 127) bos.write(v.toInt & 0xff)
+        else { bos.write(0xd3); be64(v) }
+      case _ if n.isNumber =>
+        bos.write(0xcb); be64(java.lang.Double.doubleToLongBits(n.asDouble))
+      case _ if n.isTextual =>
+        val b = n.asText.getBytes("UTF-8")
+        if (b.length <= 31) bos.write(0xa0 | b.length)
+        else if (b.length <= 0xff) { bos.write(0xd9); bos.write(b.length) }
+        else if (b.length <= 0xffff) { bos.write(0xda); be16(b.length) }
+        else { bos.write(0xdb); be32(b.length) }
+        bos.write(b)
+      case a: ArrayNode =>
+        if (a.size <= 15) bos.write(0x90 | a.size)
+        else if (a.size <= 0xffff) { bos.write(0xdc); be16(a.size) }
+        else { bos.write(0xdd); be32(a.size) }
+        a.forEach(write(_))
+      case o: ObjectNode =>
+        if (o.size <= 15) bos.write(0x80 | o.size)
+        else if (o.size <= 0xffff) { bos.write(0xde); be16(o.size) }
+        else { bos.write(0xdf); be32(o.size) }
+        o.properties().forEach { e =>
+          write(jsonMapper.getNodeFactory.textNode(e.getKey)); write(e.getValue)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"msgpack: unsupported node $other")
+    }
+    write(jsonMapper.readTree(json.toString))
+    bos.toByteArray
+  }
+
+  /** msgpack bytes → JSON text. */
+  def msgpackDecode(data: Array[Byte]): UTF8String = {
+    val buf = java.nio.ByteBuffer.wrap(data)
+    def readStr(len: Int): String = {
+      val b = new Array[Byte](len); buf.get(b); new String(b, "UTF-8")
+    }
+    def read(): JsonNode = {
+      val f = jsonMapper.getNodeFactory
+      val b = buf.get() & 0xff
+      b match {
+        case 0xc0 => f.nullNode()
+        case 0xc2 => f.booleanNode(false)
+        case 0xc3 => f.booleanNode(true)
+        case 0xcb => f.numberNode(java.lang.Double.longBitsToDouble(buf.getLong))
+        case 0xca => f.numberNode(buf.getFloat.toDouble)
+        case 0xcc => f.numberNode((buf.get() & 0xff).toLong)
+        case 0xcd => f.numberNode((buf.getShort & 0xffff).toLong)
+        case 0xce => f.numberNode(buf.getInt.toLong & 0xffffffffL)
+        case 0xcf | 0xd3 => f.numberNode(buf.getLong)
+        case 0xd0 => f.numberNode(buf.get().toLong)
+        case 0xd1 => f.numberNode(buf.getShort.toLong)
+        case 0xd2 => f.numberNode(buf.getInt.toLong)
+        case 0xd9 => f.textNode(readStr(buf.get() & 0xff))
+        case 0xda => f.textNode(readStr(buf.getShort & 0xffff))
+        case 0xdb => f.textNode(readStr(buf.getInt))
+        case 0xdc | 0xdd =>
+          val n = if (b == 0xdc) buf.getShort & 0xffff else buf.getInt
+          val a = f.arrayNode(); (0 until n).foreach(_ => a.add(read())); a
+        case 0xde | 0xdf =>
+          val n = if (b == 0xde) buf.getShort & 0xffff else buf.getInt
+          val o = f.objectNode()
+          (0 until n).foreach { _ =>
+            val k = read().asText(); o.set[JsonNode](k, read()); ()
+          }
+          o
+        case _ if b <= 0x7f => f.numberNode(b.toLong)
+        case _ if b >= 0xe0 => f.numberNode((b - 256).toLong)
+        case _ if (b & 0xe0) == 0xa0 => f.textNode(readStr(b & 0x1f))
+        case _ if (b & 0xf0) == 0x90 =>
+          val a = f.arrayNode(); (0 until (b & 0x0f)).foreach(_ => a.add(read())); a
+        case _ if (b & 0xf0) == 0x80 =>
+          val o = f.objectNode()
+          (0 until (b & 0x0f)).foreach { _ =>
+            val k = read().asText(); o.set[JsonNode](k, read()); ()
+          }
+          o
+        case other =>
+          throw new IllegalArgumentException(f"msgpack: unsupported byte 0x$other%02x")
+      }
+    }
+    UTF8String.fromString(jsonMapper.writeValueAsString(read()))
+  }
+
+  // ── JSON Schema validation (subset; reference `json_schema`
+  //    processor, processors/json_schema.adoc:26) ──────────────────────
+
+  private val schemaCache2 =
+    new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
+
+  /** First violation as a message string, or null when the document
+    * validates. Supported keywords: type, properties, required, items,
+    * enum, minimum, maximum, minLength, maxLength, pattern — the subset
+    * the reference's test configs exercise.
+    */
+  def jsonSchemaCheck(json: UTF8String, schemaJson: String): UTF8String = {
+    val schema = schemaCache2.computeIfAbsent(schemaJson, jsonMapper.readTree(_))
+    val doc =
+      try jsonMapper.readTree(json.toString)
+      catch { case _: Exception => return UTF8String.fromString("invalid JSON") }
+
+    def typeOk(t: String, n: JsonNode): Boolean = t match {
+      case "object" => n.isObject
+      case "array" => n.isArray
+      case "string" => n.isTextual
+      case "integer" => n.isIntegralNumber
+      case "number" => n.isNumber
+      case "boolean" => n.isBoolean
+      case "null" => n.isNull
+      case _ => false
+    }
+
+    def check(s: JsonNode, n: JsonNode, path: String): String = {
+      if (s.has("type") && !typeOk(s.get("type").asText, n))
+        return s"$path: expected ${s.get("type").asText}"
+      if (s.has("enum")) {
+        val ok = s.get("enum").elements()
+        var found = false
+        while (ok.hasNext && !found) found = ok.next() == n
+        if (!found) return s"$path: not in enum"
+      }
+      if (n.isNumber) {
+        if (s.has("minimum") && n.asDouble < s.get("minimum").asDouble)
+          return s"$path: below minimum"
+        if (s.has("maximum") && n.asDouble > s.get("maximum").asDouble)
+          return s"$path: above maximum"
+      }
+      if (n.isTextual) {
+        val len = n.asText.length
+        if (s.has("minLength") && len < s.get("minLength").asInt)
+          return s"$path: shorter than minLength"
+        if (s.has("maxLength") && len > s.get("maxLength").asInt)
+          return s"$path: longer than maxLength"
+        if (s.has("pattern") &&
+            !java.util.regex.Pattern.compile(s.get("pattern").asText)
+              .matcher(n.asText).find())
+          return s"$path: pattern mismatch"
+      }
+      if (n.isObject) {
+        if (s.has("required")) {
+          val it = s.get("required").elements()
+          while (it.hasNext) {
+            val k = it.next().asText
+            if (!n.has(k)) return s"$path: missing required '$k'"
+          }
+        }
+        if (s.has("properties")) {
+          val it = s.get("properties").properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (n.has(e.getKey)) {
+              val err = check(e.getValue, n.get(e.getKey), s"$path.${e.getKey}")
+              if (err != null) return err
+            }
+          }
+        }
+      }
+      if (n.isArray && s.has("items")) {
+        var i = 0
+        while (i < n.size) {
+          val err = check(s.get("items"), n.get(i), s"$path[$i]")
+          if (err != null) return err
+          i += 1
+        }
+      }
+      null
+    }
+
+    val err = check(schema, doc, "$")
+    if (err == null) null else UTF8String.fromString(err)
+  }
 }

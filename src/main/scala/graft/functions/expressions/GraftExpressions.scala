@@ -363,6 +363,10 @@ object GraftFunctions {
     "graft_wire_decode" -> ((es: Seq[Expression]) =>
       WireDecode(es(0), strArg(es(1), "schema"))),
     "graft_parse_yaml" -> ((es: Seq[Expression]) => ParseYaml(es(0))),
+    "graft_msgpack_encode" -> ((es: Seq[Expression]) => MsgPackEncode(es(0))),
+    "graft_msgpack_decode" -> ((es: Seq[Expression]) => MsgPackDecode(es(0))),
+    "graft_json_schema_check" -> ((es: Seq[Expression]) =>
+      JsonSchemaCheck(es(0), strArg(es(1), "schema"))),
     "graft_tar" -> ((es: Seq[Expression]) => ArchiveCreate(es(0), es(1), zip = false)),
     "graft_untar" -> ((es: Seq[Expression]) => ArchiveExtract(es(0), zip = false)),
     "graft_zip" -> ((es: Seq[Expression]) => ArchiveCreate(es(0), es(1), zip = true)),

@@ -81,4 +81,47 @@ class CodecSpec extends SparkSpec {
       .collect()(0)
     assert(out.toSeq == Seq("info", "42"))
   }
+
+  test("msgpack round-trips nested JSON including edge values") {
+    import graft.functions.expressions.CodecOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      """{"k":9}""",
+      """{"a":[1,2.5,"x",null,true,false],"b":{"nested":{"deep":-42}}}""",
+      """{"neg":-32,"big":9007199254740993,"s":""}""",
+      """[]""", """{}""", """"just a string"""", """1234""", """null""")
+    cases.foreach { j =>
+      val rt = CodecOps.msgpackDecode(
+        CodecOps.msgpackEncode(UTF8String.fromString(j))).toString
+      assert(rt == j, s"round-trip changed: $j -> $rt")
+    }
+  }
+
+  test("msgpack uses compact encodings") {
+    import graft.functions.expressions.CodecOps
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(CodecOps.msgpackEncode(UTF8String.fromString("5")).toSeq == Seq(5.toByte))
+    assert(CodecOps.msgpackEncode(UTF8String.fromString("\"ab\""))
+      .toSeq == Seq(0xa2.toByte, 'a'.toByte, 'b'.toByte))
+    assert(CodecOps.msgpackEncode(UTF8String.fromString("[1,2]"))
+      .toSeq == Seq(0x92.toByte, 1.toByte, 2.toByte))
+  }
+
+  test("json_schema reports first violation, null when valid") {
+    import graft.functions.expressions.CodecOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = """{"type":"object","required":["k"],
+      "properties":{"k":{"type":"integer","minimum":0},
+        "tag":{"type":"string","pattern":"^[a-z]+$"}}}"""
+    def check(doc: String): String =
+      Option(CodecOps.jsonSchemaCheck(UTF8String.fromString(doc), schema))
+        .map(_.toString).orNull
+    assert(check("""{"k":3}""") == null)
+    assert(check("""{"k":3,"tag":"ok"}""") == null)
+    assert(check("""{}""").contains("missing required"))
+    assert(check("""{"k":"x"}""").contains("expected integer"))
+    assert(check("""{"k":-1}""").contains("below minimum"))
+    assert(check("""{"k":1,"tag":"BAD"}""").contains("pattern"))
+    assert(check("""not json""") == "invalid JSON")
+  }
 }
