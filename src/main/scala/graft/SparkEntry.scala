@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.blobl.Blobl
 import graft.functions.{AnalysisFunctions => A, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{BatchOps, Dedupe, Embeddings, FlowControl, Joins, Similarity}
+import graft.operators.{BatchOps, Dedupe, Embeddings, FlowControl, Joins, Jq, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -494,6 +494,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_jq" -> ((s, d) =>
+      // jq-subset pipeline (processors/jq.adoc:26): filter + extract
+      // compiled to one variant projection
+      Jq.run(Tables.events(s, d).select(col("event_id"), col("props")),
+          "select(.k >= 50) | .k", "props", "k")
+        .select(col("event_id"), col("k"))
+        .orderBy(col("event_id"))),
+
     "p_msgpack" -> ((s, d) => {
       // msgpack round-trip (processors/msgpack.adoc:26): JSON → bytes →
       // JSON must be the identity on events props
@@ -880,6 +888,12 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 40) t
         |WHERE LENGTH(part) > 0
         |GROUP BY part ORDER BY freq DESC, part LIMIT 25""".stripMargin,
+
+    "p_jq" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS DOUBLE) >= 50
+        |ORDER BY event_id""".stripMargin,
 
     "p_msgpack" ->
       """SELECT event_id, true AS rt_ok,
