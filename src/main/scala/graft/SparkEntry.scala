@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.blobl.Blobl
 import graft.functions.{AnalysisFunctions => A, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{BatchOps, Dedupe, Embeddings, FlowControl, Joins, Jq, Similarity}
+import graft.operators.{Ai, BatchOps, Dedupe, Embeddings, FlowControl, Joins, Jq, Resources, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -494,6 +494,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_cached" -> ((s, d) =>
+      // `cached` memoization (processors/cached.adoc:26): compute once
+      // per distinct key, join back — same result as computing per row
+      Resources.cachedCompute(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")), "lang",
+          keys => keys.withColumn("lang_tag",
+            concat(upper(col("lang")), lit("-"), length(col("lang")).cast("string"))))
+        .orderBy(col("doc_id"))),
+
+    "p_rerank" -> ((s, d) => {
+      // rerank (cohere_rerank family): lexical token-overlap scorer,
+      // top-5 docs for a fixed query
+      val q = "data pipeline processing engine"
+      val pairs = Tables.documents(s, d)
+        .select(lit(0L).as("query_id"), lit(q).as("query"),
+          col("text").as("doc"), col("doc_id"))
+      Ai.rerank(pairs, "query_id", "query", "doc", 5)
+        .select(col("doc_id"), col("rank"), col("score"))
+        .orderBy(col("rank"))
+    }),
+
     "p_jq" -> ((s, d) =>
       // jq-subset pipeline (processors/jq.adoc:26): filter + extract
       // compiled to one variant projection
@@ -888,6 +909,27 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 40) t
         |WHERE LENGTH(part) > 0
         |GROUP BY part ORDER BY freq DESC, part LIMIT 25""".stripMargin,
+
+    "p_cached" ->
+      """SELECT doc_id, lang,
+        |  UPPER(lang) || '-' || CAST(LENGTH(lang) AS VARCHAR) AS lang_tag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p_rerank" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    ROUND(CAST(LEN(list_intersect(
+        |      ['data','pipeline','processing','engine'],
+        |      list_distinct(LIST_FILTER(
+        |        regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\f\r]+'),
+        |        t -> LEN(t) > 0)))) AS DOUBLE) / 4.0, 6) AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, score,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, text) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, score FROM ranked WHERE rank <= 5
+        |ORDER BY rank""".stripMargin,
 
     "p_jq" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k

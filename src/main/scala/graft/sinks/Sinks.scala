@@ -31,6 +31,26 @@ object Sinks {
   def jsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Lakehouse-style table sink (reference warehouse/lakehouse outputs,
+    * e.g. docs/…/outputs/snowflake_put.adoc:26 family): partitioned +
+    * bucketed managed table, so downstream joins on `bucketBy` columns
+    * are co-located (no shuffle) and partition pruning applies on
+    * `partitionBy` columns. Format parquet; swap for iceberg/delta via
+    * `format` where those catalogs are on the classpath.
+    */
+  def table(df: DataFrame, name: String,
+            partitionBy: Seq[String] = Nil,
+            bucketBy: Option[(Int, Seq[String])] = None,
+            format: String = "parquet"): Unit = {
+    var w = df.write.mode("overwrite").format(format)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    bucketBy.foreach { case (n, cols) =>
+      w = w.bucketBy(n, cols.head, cols.tail: _*)
+        .sortBy(cols.head, cols.tail: _*)
+    }
+    w.saveAsTable(name)
+  }
+
   // ── streaming writers ─────────────────────────────────────────────────
   def parquetStream(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
     df.writeStream.format("parquet")

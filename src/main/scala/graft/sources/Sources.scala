@@ -99,4 +99,26 @@ object Sources {
   /** `broker` input (inputs/broker.adoc:26): merge N sources. */
   def broker(inputs: Seq[DataFrame]): DataFrame =
     inputs.reduce(_ unionByName _)
+
+  /** JDBC source (reference `sql_select` input / CDC-adjacent families,
+    * docs/…/inputs/sql_select.adoc:26): Spark's built-in JDBC reader
+    * with partitioned parallel scans — `partitionColumn` splits the
+    * table into `numPartitions` range-bounded queries so the read
+    * scales with executors instead of a single cursor. Driver jar must
+    * be on the cluster classpath (none bundled here).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: Option[String] = None,
+           lowerBound: Long = 0, upperBound: Long = 0,
+           numPartitions: Int = 8,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options)
+    partitionColumn match {
+      case Some(pc) => r.option("partitionColumn", pc)
+        .option("lowerBound", lowerBound).option("upperBound", upperBound)
+        .option("numPartitions", numPartitions).load()
+      case None => r.load()
+    }
+  }
 }
