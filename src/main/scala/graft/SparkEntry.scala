@@ -494,6 +494,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_counter" -> ((s, d) =>
+      // count(name): named per-key sequence (bloblang functions.adoc
+      // counter/count) — each user's events numbered by arrival
+      BatchOps.namedCounter(
+          Tables.events(s, d).select(col("event_id"), col("user_id")),
+          col("user_id"), col("event_id"))
+        .filter(col("seq") <= 3)
+        .orderBy(col("user_id"), col("seq"))),
+
     "p_cached" -> ((s, d) =>
       // `cached` memoization (processors/cached.adoc:26): compute once
       // per distinct key, join back — same result as computing per row
@@ -909,6 +918,13 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 40) t
         |WHERE LENGTH(part) > 0
         |GROUP BY part ORDER BY freq DESC, part LIMIT 25""".stripMargin,
+
+    "p_counter" ->
+      """SELECT event_id, user_id, seq FROM (
+        |  SELECT event_id, user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+        |  FROM events) t
+        |WHERE seq <= 3 ORDER BY user_id, seq""".stripMargin,
 
     "p_cached" ->
       """SELECT doc_id, lang,

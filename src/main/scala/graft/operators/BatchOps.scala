@@ -163,4 +163,24 @@ object BatchOps {
       preds.zipWithIndex.foldRight(lit(-1): Column) {
         case ((p, i), acc) => when(p, lit(i)).otherwise(acc)
       })
+
+  /** `count(name)` (bloblang functions counter/count — named per-key
+    * sequence): 1-based position of each row within its key, ordered by
+    * `ord`. One window shuffle on the key — scale-safe.
+    */
+  def namedCounter(df: DataFrame, key: Column, ord: Column,
+                   outCol: String = "seq"): DataFrame =
+    df.withColumn(outCol,
+      row_number().over(Window.partitionBy(key).orderBy(ord)).cast("long"))
+
+  /** `counter()` — GLOBAL sequence. A total order forces a single
+    * partition for the numbering window, so this is for small/driver-
+    * bounded flows only; at scale use [[namedCounter]] (per-key) or
+    * `monotonically_increasing_id` (unique + partition-monotonic,
+    * not dense).
+    */
+  def globalCounter(df: DataFrame, ord: Column,
+                    outCol: String = "seq"): DataFrame =
+    df.withColumn(outCol,
+      row_number().over(Window.orderBy(ord)).cast("long"))
 }
