@@ -532,6 +532,20 @@ object SparkEntry {
         .select(col("event_id"), col("k"))
         .orderBy(col("event_id"))),
 
+    "p_protobuf" -> ((s, d) => {
+      // proto3 wire-format round-trip (processors/protobuf.adoc:26):
+      // typed event → proto bytes → JSON, fields must survive
+      import graft.functions.{CodecFunctions => C}
+      C.register(s)
+      val schema = "1:event_id:int64,2:event_type:string,3:value:double"
+      val json = to_json(struct(col("event_id"), col("event_type"), col("value")))
+      val rt = C.protoDecode(C.protoEncode(json, schema), schema)
+      Tables.events(s, d).select(col("event_id"),
+          get_json_object(rt, "$.event_type").as("type_rt"),
+          get_json_object(rt, "$.value").cast("double").as("value_rt"))
+        .orderBy(col("event_id"))
+    }),
+
     "p_msgpack" -> ((s, d) => {
       // msgpack round-trip (processors/msgpack.adoc:26): JSON → bytes →
       // JSON must be the identity on events props
@@ -952,6 +966,11 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract(props, '$.k') AS DOUBLE) >= 50
         |ORDER BY event_id""".stripMargin,
+
+    "p_protobuf" ->
+      """SELECT event_id, event_type AS type_rt,
+        |  CAST(value AS DOUBLE) AS value_rt
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "p_msgpack" ->
       """SELECT event_id, true AS rt_ok,

@@ -39,6 +39,16 @@ object CodecFunctions {
   def wireDecode(data: Column, schemaJson: String): Column =
     call_function("graft_wire_decode", data, lit(schemaJson))
 
+  /** protobuf wire format (processors/protobuf.adoc:26) — hand-rolled
+    * proto3 subset codec; schema DSL
+    * `"<num>:<name>:<type>[*],…"` (see CodecOps.protoEncode).
+    */
+  def protoEncode(json: Column, schema: String): Column =
+    call_function("graft_proto_encode", json, lit(schema))
+
+  def protoDecode(data: Column, schema: String): Column =
+    call_function("graft_proto_decode", data, lit(schema))
+
   /** msgpack encode/decode (processors/msgpack.adoc:26) — hand-rolled
     * canonical subset codec (CodecOps), JSON text ⇄ bytes.
     */

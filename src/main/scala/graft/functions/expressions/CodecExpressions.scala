@@ -174,3 +174,35 @@ case class JsonSchemaCheck(child: Expression, schemaJson: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+case class ProtoEncode(child: Expression, schema: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_proto_encode"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.protoEncode(a.asInstanceOf[UTF8String], schema)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("schema", schema, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.protoEncode($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ProtoDecode(child: Expression, schema: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_proto_decode"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.protoDecode(a.asInstanceOf[Array[Byte]], schema)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("schema", schema, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.protoDecode($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

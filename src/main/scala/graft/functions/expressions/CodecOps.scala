@@ -223,6 +223,158 @@ object CodecOps {
     UTF8String.fromString(jsonMapper.writeValueAsString(read()))
   }
 
+  // ── Protobuf wire format (hand-rolled against the public proto3
+  //    encoding spec — no protobuf-java ships with Spark; reference
+  //    `protobuf` processor, processors/protobuf.adoc:26) ─────────────
+
+  /** Schema DSL: `"<num>:<name>:<type>[*]"` comma-separated; types
+    * int32/int64/bool (varint), double (fixed64), float (fixed32),
+    * string/bytes (length-delimited); `*` marks repeated (unpacked).
+    * Example: `1:id:int64,2:name:string,3:price:double,4:tags:string*`.
+    */
+  private case class PField(num: Int, name: String, tpe: String, repeated: Boolean)
+
+  private val protoSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[PField]]()
+
+  private def protoSchema(s: String): Seq[PField] =
+    protoSchemaCache.computeIfAbsent(s, str =>
+      str.split(",").toSeq.map { f =>
+        val Array(num, name, t0) = f.trim.split(":")
+        val repeated = t0.endsWith("*")
+        PField(num.toInt, name, if (repeated) t0.dropRight(1) else t0, repeated)
+      })
+
+  private def writeVarint(bos: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+  }
+
+  /** JSON object → proto3 wire bytes per the schema DSL. Absent fields
+    * and proto3 defaults (0, "", false) are omitted, matching canonical
+    * proto3 serialization.
+    */
+  def protoEncode(json: UTF8String, schemaStr: String): Array[Byte] = {
+    val doc = jsonMapper.readTree(json.toString)
+    val bos = new ByteArrayOutputStream()
+    def writeOne(f: PField, v: JsonNode): Unit = f.tpe match {
+      case "int32" | "int64" =>
+        if (v.asLong != 0 || f.repeated) {
+          writeVarint(bos, (f.num << 3) | 0); writeVarint(bos, v.asLong)
+        }
+      case "bool" =>
+        if (v.asBoolean || f.repeated) {
+          writeVarint(bos, (f.num << 3) | 0); bos.write(if (v.asBoolean) 1 else 0)
+        }
+      case "double" =>
+        if (v.asDouble != 0 || f.repeated) {
+          writeVarint(bos, (f.num << 3) | 1)
+          val bits = java.lang.Double.doubleToLongBits(v.asDouble)
+          (0 until 8).foreach(i => bos.write(((bits >>> (8 * i)) & 0xff).toInt))
+        }
+      case "float" =>
+        if (v.asDouble != 0 || f.repeated) {
+          writeVarint(bos, (f.num << 3) | 5)
+          val bits = java.lang.Float.floatToIntBits(v.asDouble.toFloat)
+          (0 until 4).foreach(i => bos.write((bits >>> (8 * i)) & 0xff))
+        }
+      case "string" | "bytes" =>
+        val b =
+          if (f.tpe == "string") v.asText.getBytes("UTF-8")
+          else java.util.Base64.getDecoder.decode(v.asText)
+        if (b.nonEmpty || f.repeated) {
+          writeVarint(bos, (f.num << 3) | 2); writeVarint(bos, b.length)
+          bos.write(b)
+        }
+      case other => throw new IllegalArgumentException(s"proto type: $other")
+    }
+    protoSchema(schemaStr).foreach { f =>
+      val v = doc.get(f.name)
+      if (v != null && !v.isNull) {
+        if (f.repeated) v.forEach(writeOne(f, _)) else writeOne(f, v)
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** proto3 wire bytes → JSON object. Unknown fields are skipped (the
+    * spec's forward-compat rule); absent fields materialize proto3
+    * defaults so decode(encode(x)) is total.
+    */
+  def protoDecode(data: Array[Byte], schemaStr: String): UTF8String = {
+    val schema = protoSchema(schemaStr)
+    val byNum = schema.map(f => f.num -> f).toMap
+    val buf = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def readVarint(): Long = {
+      var v = 0L; var shift = 0; var b = 0
+      do { b = buf.get() & 0xff; v |= (b & 0x7fL) << shift; shift += 7 }
+      while ((b & 0x80) != 0)
+      v
+    }
+    val f = jsonMapper.getNodeFactory
+    val out = f.objectNode()
+    val reps = scala.collection.mutable.Map.empty[String, com.fasterxml.jackson.databind.node.ArrayNode]
+    while (buf.hasRemaining) {
+      val tag = readVarint()
+      val (num, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+      val node: Option[(PField, JsonNode)] = byNum.get(num) match {
+        case Some(fd) =>
+          val v: JsonNode = (fd.tpe, wire) match {
+            case ("int32" | "int64", 0) => f.numberNode(readVarint())
+            case ("bool", 0) => f.booleanNode(readVarint() != 0)
+            case ("double", 1) => f.numberNode(buf.getDouble)
+            case ("float", 5) => f.numberNode(buf.getFloat.toDouble)
+            case ("string", 2) =>
+              val b = new Array[Byte](readVarint().toInt); buf.get(b)
+              f.textNode(new String(b, "UTF-8"))
+            case ("bytes", 2) =>
+              val b = new Array[Byte](readVarint().toInt); buf.get(b)
+              f.textNode(java.util.Base64.getEncoder.encodeToString(b))
+            case (t, w) => throw new IllegalArgumentException(
+              s"field ${fd.name}: type $t with wire type $w")
+          }
+          Some((fd, v))
+        case None =>
+          // unknown field: skip by wire type
+          wire match {
+            case 0 => readVarint(); ()
+            case 1 => buf.position(buf.position() + 8); ()
+            case 2 =>
+              // read the length FIRST — it advances the buffer
+              val len = readVarint().toInt
+              buf.position(buf.position() + len); ()
+            case 5 => buf.position(buf.position() + 4); ()
+            case w => throw new IllegalArgumentException(s"wire type $w")
+          }
+          None
+      }
+      node.foreach { case (fd, v) =>
+        if (fd.repeated) {
+          val arr = reps.getOrElseUpdate(fd.name,
+            { val a = f.arrayNode(); out.set[JsonNode](fd.name, a); a })
+          arr.add(v)
+          ()
+        } else { out.set[JsonNode](fd.name, v); () }
+      }
+    }
+    // proto3 defaults for absent singular fields
+    schema.filterNot(f0 => out.has(f0.name)).foreach { fd =>
+      val v: JsonNode =
+        if (fd.repeated) f.arrayNode()
+        else fd.tpe match {
+          case "int32" | "int64" => f.numberNode(0L)
+          case "bool" => f.booleanNode(false)
+          case "double" | "float" => f.numberNode(0.0)
+          case _ => f.textNode("")
+        }
+      out.set[JsonNode](fd.name, v)
+      ()
+    }
+    UTF8String.fromString(jsonMapper.writeValueAsString(out))
+  }
+
   // ── JSON Schema validation (subset; reference `json_schema`
   //    processor, processors/json_schema.adoc:26) ──────────────────────
 

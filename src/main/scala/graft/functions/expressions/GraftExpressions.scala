@@ -363,6 +363,10 @@ object GraftFunctions {
     "graft_wire_decode" -> ((es: Seq[Expression]) =>
       WireDecode(es(0), strArg(es(1), "schema"))),
     "graft_parse_yaml" -> ((es: Seq[Expression]) => ParseYaml(es(0))),
+    "graft_proto_encode" -> ((es: Seq[Expression]) =>
+      ProtoEncode(es(0), strArg(es(1), "schema"))),
+    "graft_proto_decode" -> ((es: Seq[Expression]) =>
+      ProtoDecode(es(0), strArg(es(1), "schema"))),
     "graft_msgpack_encode" -> ((es: Seq[Expression]) => MsgPackEncode(es(0))),
     "graft_msgpack_decode" -> ((es: Seq[Expression]) => MsgPackDecode(es(0))),
     "graft_json_schema_check" -> ((es: Seq[Expression]) =>

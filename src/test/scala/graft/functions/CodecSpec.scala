@@ -124,4 +124,39 @@ class CodecSpec extends SparkSpec {
     assert(check("""{"k":1,"tag":"BAD"}""").contains("pattern"))
     assert(check("""not json""") == "invalid JSON")
   }
+
+  test("protobuf wire format matches the spec's canonical example") {
+    import graft.functions.expressions.CodecOps
+    import org.apache.spark.unsafe.types.UTF8String
+    // field 1 = varint 150 encodes as 08 96 01 (the protobuf docs example)
+    val bytes = CodecOps.protoEncode(
+      UTF8String.fromString("""{"a":150}"""), "1:a:int64")
+    assert(bytes.toSeq == Seq(0x08.toByte, 0x96.toByte, 0x01.toByte))
+  }
+
+  test("protobuf round-trips all supported types including repeated") {
+    import graft.functions.expressions.CodecOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = "1:id:int64,2:name:string,3:price:double,4:flag:bool,5:tags:string*"
+    val doc = """{"id":42,"name":"widget","price":9.75,"flag":true,"tags":["a","b"]}"""
+    val rt = CodecOps.protoDecode(
+      CodecOps.protoEncode(UTF8String.fromString(doc), schema), schema).toString
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(m.readTree(rt) == m.readTree(doc))
+  }
+
+  test("protobuf decode skips unknown fields and fills proto3 defaults") {
+    import graft.functions.expressions.CodecOps
+    import org.apache.spark.unsafe.types.UTF8String
+    // encode with a superset schema, decode with a subset + a new field
+    val enc = CodecOps.protoEncode(
+      UTF8String.fromString("""{"id":7,"name":"x"}"""),
+      "1:id:int64,2:name:string")
+    val rt = CodecOps.protoDecode(enc, "1:id:int64,9:missing:string").toString
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.readTree(rt)
+    assert(n.get("id").asLong == 7)
+    assert(n.get("missing").asText == "", "absent field gets proto3 default")
+    assert(!n.has("name"), "unknown field 2 skipped")
+  }
 }
