@@ -673,6 +673,17 @@ object SparkEntry {
           |""".stripMargin)
         .orderBy(col("event_id"))),
 
+    "b_methods_t2" -> ((s, d) =>
+      // tranche-2 method surface: bitwise, escape_html, slice widths
+      Blobl.mappingTyped(Tables.documents(s, d),
+        """root.doc_id = this.doc_id
+          |root.band = this.doc_id.bitwise_and(255)
+          |root.u16 = this.doc_id.uint16()
+          |root.esc_len = this.text.escape_html().length()
+          |root.sliced = this.text.slice(0, 10)
+          |""".stripMargin)
+        .orderBy(col("doc_id"))),
+
     "b_hash_encode" -> ((s, d) =>
       Blobl.mappingTyped(Tables.documents(s, d),
         """root.doc_id = this.doc_id
@@ -1221,6 +1232,14 @@ object SparkEntry {
         |  STRFTIME(ts, '%H:%M') AS hm,
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS unix
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "b_methods_t2" ->
+      """SELECT doc_id, doc_id & 255 AS band, doc_id & 65535 AS u16,
+        |  CAST(LENGTH(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(text,
+        |    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+        |    '''', '&#39;'), '"', '&#34;')) AS BIGINT) AS esc_len,
+        |  SUBSTR(text, 1, 10) AS sliced
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "b_hash_encode" ->
       """SELECT doc_id, MD5(text) AS h_md5,

@@ -207,8 +207,15 @@ object Methods {
     case "string" => BV(asString(recv), S)
     case "number" => BV(asDouble(recv), F)
     case "bool" => BV(asBool(recv), B)
-    case "int8" | "int16" | "int32" | "int64" => BV(asLong(recv), I)
-    case "uint8" | "uint16" | "uint32" | "uint64" => BV(asLong(recv), I)
+    // width coercions truncate like the reference's integer casts
+    case "int8" => BV(asLong(recv).cast("tinyint").cast("long"), I)
+    case "int16" => BV(asLong(recv).cast("short").cast("long"), I)
+    case "int32" => BV(asLong(recv).cast("int").cast("long"), I)
+    case "int64" => BV(asLong(recv), I)
+    case "uint8" => BV(asLong(recv).bitwiseAND(lit(0xffL)), I)
+    case "uint16" => BV(asLong(recv).bitwiseAND(lit(0xffffL)), I)
+    case "uint32" => BV(asLong(recv).bitwiseAND(lit(0xffffffffL)), I)
+    case "uint64" => BV(asLong(recv), I)
     case "float32" | "float64" => BV(asDouble(recv), F)
     case "bytes" => BV(asString(recv).cast("binary"), Bin)
     case "not_null" => BV(assert_true_or(recv), recv.t)
@@ -393,6 +400,134 @@ object Methods {
       case "crc32" => BV(crc32(asBinary(recv)).cast("string"), S)
       case other => throw new IllegalArgumentException(s"hash($other) unsupported")
     }
+
+    // ── strings, tranche 2 ────────────────────────────────────────────
+    case "replace" => // alias of replace_all (methods.adoc strings)
+      BV(regexp_replace(asString(recv),
+        java.util.regex.Pattern.quote(litStr(args(0))),
+        java.util.regex.Matcher.quoteReplacement(litStr(args(1)))), S)
+    case "strip_html" =>
+      BV(trim(regexp_replace(asString(recv), "<[^>]*>", "")), S)
+    // Go html.EscapeString escapes exactly these five entities
+    case "escape_html" =>
+      BV(Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+        "'" -> "&#39;", "\"" -> "&#34;").foldLeft(asString(recv)) {
+        case (c, (from, to)) => regexp_replace(c,
+          java.util.regex.Pattern.quote(from), to)
+      }, S)
+    case "unescape_html" =>
+      BV(Seq("&lt;" -> "<", "&gt;" -> ">", "&#39;" -> "'", "&#34;" -> "\"",
+        "&quot;" -> "\"", "&amp;" -> "&").foldLeft(asString(recv)) {
+        case (c, (from, to)) => regexp_replace(c, from,
+          java.util.regex.Matcher.quoteReplacement(to))
+      }, S)
+    case "escape_url_path" => // %20 for space, not '+' (Go url.PathEscape)
+      BV(regexp_replace(url_encode(asString(recv)), "\\+", "%20"), S)
+    case "unescape_url_path" =>
+      BV(url_decode(regexp_replace(asString(recv), "\\+", "%2B")), S)
+    case "unquote" => BV(try_parse_json(asString(recv)).cast("string"), S)
+    case "filepath_join" => BV(array_join(asArray(recv).col, "/"), S)
+    case "filepath_split" => BV(split(asString(recv), "/"), A(S))
+
+    // ── numbers, tranche 2 ────────────────────────────────────────────
+    case "bitwise_and" => BV(asLong(recv).bitwiseAND(asLong(v(args(0)))), I)
+    case "bitwise_or" => BV(asLong(recv).bitwiseOR(asLong(v(args(0)))), I)
+    case "bitwise_xor" => BV(asLong(recv).bitwiseXOR(asLong(v(args(0)))), I)
+    case "cos" => BV(cos(asDouble(recv)), F)
+    case "sin" => BV(sin(asDouble(recv)), F)
+    case "tan" => BV(tan(asDouble(recv)), F)
+
+    // ── timestamps, tranche 2 (aliases + tz + ISO-8601 durations) ─────
+    case "format_timestamp" => apply(recv, "ts_format", args)
+    case "format_timestamp_strftime" => apply(recv, "ts_strftime", args)
+    case "format_timestamp_unix" => apply(recv, "ts_unix", args)
+    case "format_timestamp_unix_milli" => apply(recv, "ts_unix_milli", args)
+    case "format_timestamp_unix_micro" => apply(recv, "ts_unix_micro", args)
+    case "format_timestamp_unix_nano" => apply(recv, "ts_unix_nano", args)
+    case "parse_timestamp_strptime" => apply(recv, "ts_strptime", args)
+    case "ts_tz" =>
+      BV(convert_timezone(lit(litStr(args(0))), asTimestamp(recv)), TS)
+    case "ts_add_iso8601" | "ts_sub_iso8601" =>
+      val dur = java.time.Duration.parse(litStr(args(0)))
+      val micros = dur.toNanos / 1000
+      val signed = if (name == "ts_sub_iso8601") -micros else micros
+      BV(timestamp_micros(unix_micros(asTimestamp(recv)) + lit(signed)), TS)
+
+    // ── object & array, tranche 2 ─────────────────────────────────────
+    case "key_values" =>
+      // array<variant> elements (per-element parse) so downstream array
+      // methods see a real ARRAY column, not one opaque variant
+      val m = try_variant_get(asVariant(recv), "$", "map<string,variant>")
+      BV(transform(map_entries(m), e =>
+        parse_json(to_json(struct(e.getField("key").as("key"),
+          e.getField("value").as("value"))))), A(V))
+    case "with" =>
+      val m = try_variant_get(asVariant(recv), "$", "map<string,variant>")
+      BV(parse_json(to_json(map_filter(m, (k, _) =>
+        k.isin(args.map(litStr): _*)))), V)
+    case "map_each_key" =>
+      val f = lam(args(0))
+      val m = try_variant_get(asVariant(recv), "$", "map<string,variant>")
+      BV(parse_json(to_json(transform_keys(m, (k, _) =>
+        asString(f(BV(k, S)))))), V)
+    case "zip" =>
+      val a = asArray(recv)
+      val b = asArray(v(args(0)))
+      BV(zip_with(a.col, b.col, (x, y) =>
+        array(asVariant(BV(x, elemT(a))), asVariant(BV(y, elemT(b))))), A(A(V)))
+    case "sort_by" =>
+      val f = lam(args(0))
+      val arr = asArray(recv)
+      val et = elemT(arr)
+      def key(c: Column): Column = asString(f(BV(c, et)))
+      BV(array_sort(arr.col, (l, r) =>
+        when(key(l) < key(r), -1).when(key(l) > key(r), 1).otherwise(0)), arr.t)
+    case "find" =>
+      val arr = asArray(recv)
+      val target = asType(v(args(0)), elemT(arr))
+      BV(element_at(filter(arr.col, x => x === target), 1), elemT(arr))
+    case "find_by" =>
+      val arr = asArray(recv)
+      val f = lam(args(0))
+      BV(element_at(filter(arr.col, x =>
+        coalesce(asBool(f(BV(x, elemT(arr)))), lit(false))), 1), elemT(arr))
+    case "find_all" =>
+      val arr = asArray(recv)
+      val target = asType(v(args(0)), elemT(arr))
+      BV(filter(arr.col, x => x === target), arr.t)
+    case "find_all_by" =>
+      val arr = asArray(recv)
+      val f = lam(args(0))
+      BV(filter(arr.col, x =>
+        coalesce(asBool(f(BV(x, elemT(arr)))), lit(false))), arr.t)
+
+    // ── parsing & codecs, tranche 2 ───────────────────────────────────
+    case "parse_yaml" =>
+      BV(parse_json(call_function("graft_parse_yaml", asString(recv))), V)
+    case "parse_msgpack" =>
+      BV(parse_json(call_function("graft_msgpack_decode", asBinary(recv))), V)
+    case "format_msgpack" =>
+      BV(call_function("graft_msgpack_encode", toJsonText(recv)), Bin)
+    case "parse_logfmt" =>
+      BV(parse_json(to_json(str_to_map(asString(recv), lit(" "), lit("=")))), V)
+    case "parse_form_url_encoded" =>
+      BV(parse_json(to_json(transform_values(
+        str_to_map(asString(recv), lit("&"), lit("=")), (_, v0) => url_decode(v0)))), V)
+    case "json_path" =>
+      BV(variant_get(asVariant(recv), "$." + litStr(args(0)), "variant"), V)
+    case "json_schema" =>
+      // valid → document unchanged; invalid → null (recoverable via
+      // catch, the reference's error-channel contract)
+      val violation = call_function("graft_json_schema_check",
+        toJsonText(recv), lit(litStr(args(0))))
+      BV(when(violation.isNull, asVariant(recv)), V)
+    case "patch" => // JSON merge-patch shape via deep merge
+      BV(parse_json(call_function("graft_json_merge",
+        toJsonText(recv), toJsonText(v(args(0))))), V)
+    case "compress" =>
+      BV(call_function("graft_compress", asBinary(recv), lit(litStr(args(0)))), Bin)
+    case "decompress" =>
+      BV(call_function("graft_decompress", asBinary(recv), lit(litStr(args(0)))), Bin)
 
     case other =>
       throw new IllegalArgumentException(s"unknown blobl method: $other")

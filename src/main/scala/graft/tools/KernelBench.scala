@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.expressions.CodecOps
+
+/** Dev harness: time codec kernels driver-side to separate kernel cost
+  * from query-plan overhead.
+  */
+object KernelBench {
+  def main(args: Array[String]): Unit = {
+    val schema = "1:event_id:int64,2:event_type:string,3:value:double"
+    val docs = (0 until 10000).map(i =>
+      UTF8String.fromString(s"""{"event_id":$i,"event_type":"purchase","value":${i * 1.5}}"""))
+    // warmup
+    docs.take(1000).foreach { d =>
+      CodecOps.protoDecode(CodecOps.protoEncode(d, schema), schema)
+    }
+    var t0 = System.nanoTime()
+    docs.foreach { d =>
+      CodecOps.protoDecode(CodecOps.protoEncode(d, schema), schema)
+    }
+    println(f"proto rt x10k: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    t0 = System.nanoTime()
+    docs.foreach { d => CodecOps.msgpackDecode(CodecOps.msgpackEncode(d)) }
+    println(f"msgpack rt x10k: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+  }
+}

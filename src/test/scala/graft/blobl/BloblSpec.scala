@@ -204,4 +204,55 @@ class BloblSpec extends SparkSpec {
     val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(rows == Seq((50L, "hello", "cold"), (500L, "x", "hot")))
   }
+
+  test("tranche-2 string/number methods") {
+    val src = """root.sh = this.h.strip_html()
+                |root.esc = this.h.escape_html()
+                |root.fp = this.parts.filepath_join()
+                |root.fs = "a/b/c".filepath_split()
+                |root.band = this.n.bitwise_and(12)
+                |root.bor = this.n.bitwise_or(1)
+                |root.u16 = this.big.uint16()
+                |root.uq = "\"quoted\"".unquote()""".stripMargin
+    assert(mapped(src, Map.empty,
+      """{"h":"<b>hi</b> there","parts":["x","y"],"n":10,"big":65537}""") == Seq(
+      """{"band":8,"bor":11,"esc":"&lt;b&gt;hi&lt;/b&gt; there","fp":"x/y",""" +
+        """"fs":["a","b","c"],"sh":"hi there","u16":1,"uq":"quoted"}"""))
+  }
+
+  test("tranche-2 object/array methods") {
+    val src = """root.kv = this.m.key_values().map_each(e -> e.key)
+                |root.w = this.m.with("a", "c")
+                |root.mk = this.m.map_each_key(k -> k.uppercase())
+                |root.z = this.xs.zip(this.ys)
+                |root.sb = this.people.sort_by(p -> p.name).map_each(p -> p.name)
+                |root.f = this.xs.find_by(x -> x > 1)
+                |root.fa = this.xs.find_all_by(x -> x > 1)""".stripMargin
+    assert(mapped(src, Map.empty,
+      """{"m":{"a":1,"b":2,"c":3},"xs":[1,2,3],"ys":["p","q","r"],
+        |"people":[{"name":"zoe"},{"name":"amy"}]}""".stripMargin.replace("\n", "")) == Seq(
+      """{"f":2,"fa":[2,3],"kv":["a","b","c"],"mk":{"A":1,"B":2,"C":3},""" +
+        """"sb":["amy","zoe"],"w":{"a":1,"c":3},"z":[[1,"p"],[2,"q"],[3,"r"]]}"""))
+  }
+
+  test("tranche-2 parsing/codec methods") {
+    val src = """root.lf = this.line.parse_logfmt()
+                |root.form = this.q.parse_form_url_encoded()
+                |root.jp = this.doc.json_path("inner.x")
+                |root.ok = this.doc.json_schema("{\"type\":\"object\"}").catch("invalid")
+                |root.rt = this.doc.format_msgpack().parse_msgpack()
+                |root.zrt = this.s.compress("gzip").decompress("gzip").string()""".stripMargin
+    assert(mapped(src, Map.empty,
+      """{"line":"lvl=info n=4","q":"a=1&b=x%20y","doc":{"inner":{"x":7}},"s":"hello"}""") == Seq(
+      """{"form":{"a":"1","b":"x y"},"jp":7,"lf":{"lvl":"info","n":"4"},""" +
+        """"ok":{"inner":{"x":7}},"rt":{"inner":{"x":7}},"zrt":"hello"}"""))
+  }
+
+  test("tranche-2 timestamp methods") {
+    val src = """root.tz = this.t.ts_parse("2006-01-02T15:04:05Z").ts_add_iso8601("PT1H30M").ts_unix()
+                |root.fmt = this.t.ts_parse("2006-01-02T15:04:05Z").format_timestamp_unix()""".stripMargin
+    assert(mapped(src, Map.empty,
+      """{"t":"2021-06-01T10:00:00Z"}""") == Seq(
+      """{"fmt":1622541600,"tz":1622547000}"""))
+  }
 }
