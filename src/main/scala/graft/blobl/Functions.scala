@@ -64,6 +64,72 @@ object Functions {
 
     case "pi" => BV(lit(math.Pi), F)
 
+    // ── message context (functions.adoc message section) ──────────────
+    case "meta" => env.metaCol match {
+      case Some(m) =>
+        if (argAsts.isEmpty) BV(parse_json(to_json(m)), V)
+        else BV(element_at(m, litStrOf(argAsts.head, "meta()")), S)
+      case None => throw new IllegalArgumentException(
+        "meta() needs a metadata-bound mapping (metadataCol)")
+    }
+    case "root_meta" => apply("meta", argAsts, env)
+    case "bytes" =>
+      apply("content", argAsts, env) match {
+        case BV(c, _, _) => BV(c.cast("binary"), Bin)
+      }
+    // Error-channel accessors: the envelope's `error` column (SURVEY
+    // §1.3). Resolves at analysis time — mappings over frames without
+    // an error column fail fast there.
+    case "error" => BV(org.apache.spark.sql.functions.col("error"), S)
+    case "errored" =>
+      BV(org.apache.spark.sql.functions.col("error").isNotNull, B)
+    case "error_source_label" | "error_source_name" | "error_source_path" =>
+      // single-plan execution has no named component chain; the error
+      // column itself carries the failing stage's message
+      BV(lit(null).cast("string"), S)
+
+    // ── synthetic data (functions.adoc fake) ──────────────────────────
+    case "fake" =>
+      // deterministic-per-row synthetic values (uuid-entropy based; the
+      // reference's faker is random per call — same contract, stable
+      // layout)
+      val kind = litStrOf(argAsts.head, "fake()")
+      val seed = regexp_replace(uuid(), "-", "")
+      kind match {
+        case "email" =>
+          BV(concat(substring(seed, 1, 8), lit("@example.com")), S)
+        case "name" | "first_name" =>
+          BV(initcap(substring(seed, 1, 6)), S)
+        case "uuid" => BV(uuid(), S)
+        case "phone_number" =>
+          BV(concat(lit("+1-555-"), substring(conv(substring(seed, 1, 6),
+            16, 10), 1, 7)), S)
+        case other => throw new IllegalArgumentException(
+          s"fake($other) unsupported (email/name/uuid/phone_number)")
+      }
+
+    // file contents resolve at COMPILE time, like the reference's config
+    // parse (functions.adoc file/file_rel)
+    case "file" | "file_rel" =>
+      val p = litStrOf(argAsts.head, s"$name()")
+      BV(lit(java.nio.file.Files.readString(java.nio.file.Paths.get(p))), S)
+
+    case "uuid_v7" =>
+      // v7 layout: 48-bit unix-millis prefix + random tail (time-ordered
+      // ids for sinks that sort by key)
+      val millis = lpad(lower(hex(unix_millis(current_timestamp()))), 12, "0")
+      val tail = regexp_replace(uuid(), "-", "")
+      BV(concat(
+        substring(millis, 1, 8), lit("-"), substring(millis, 9, 4),
+        lit("-7"), substring(tail, 1, 3),
+        lit("-"), substring(tail, 4, 4),
+        lit("-"), substring(tail, 8, 12)), S)
+
+    case "tracing_id" | "tracing_span" =>
+      // no tracer attached in plan execution — empty like the
+      // reference without an active span
+      BV(lit(null).cast("string"), S)
+
     case "throw" =>
       // error-channel discipline: errors are data, not exceptions —
       // represented as null payload (caught by catch/|)

@@ -255,4 +255,27 @@ class BloblSpec extends SparkSpec {
       """{"t":"2021-06-01T10:00:00Z"}""") == Seq(
       """{"fmt":1622541600,"tz":1622547000}"""))
   }
+
+  test("message-context and synthetic functions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map, lit}
+    val df = docs("""{"a":1}""")
+      .withColumn("metadata", map(lit("topic"), lit("orders")))
+      .withColumn("error", lit(null).cast("string"))
+    val out = Blobl.mapping(df,
+      """root.t = meta("topic")
+        |root.all_meta = meta()
+        |root.bad = errored()
+        |root.id7 = uuid_v7()
+        |root.mail = fake("email")""".stripMargin,
+      metadataCol = Some("metadata"))
+      .select("value").as[String].collect().head
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    assert(m.get("t").asText == "orders")
+    assert(m.get("all_meta").get("topic").asText == "orders")
+    assert(!m.get("bad").asBoolean)
+    assert(m.get("id7").asText.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(m.get("mail").asText.endsWith("@example.com"))
+  }
 }
