@@ -49,8 +49,17 @@ object Functions {
       // 21-char nanoid alphabet subset via uuid entropy
       BV(substring(regexp_replace(uuid(), "-", ""), 1, 21), S)
     case "ksuid" | "ulid" | "snowflake_id" =>
-      throw new IllegalArgumentException(
-        s"$name() not implemented (v1) — use uuid_v4()")
+      // format kernels over (time, uuid-entropy) — see IdOps
+      import org.apache.spark.sql.GraftColumnBridge
+      val kind = if (name == "snowflake_id") "snowflake" else name
+      val timeCol =
+        if (name == "ksuid") unix_timestamp(current_timestamp())
+        else unix_millis(current_timestamp())
+      BV(GraftColumnBridge.column(
+        graft.functions.expressions.IdFormat(
+          GraftColumnBridge.expression(timeCol),
+          GraftColumnBridge.expression(regexp_replace(uuid(), "-", "")),
+          kind)), S)
 
     case "random_int" =>
       val bound = args.headOption.map(asLong).getOrElse(lit(Long.MaxValue))

@@ -278,4 +278,23 @@ class BloblSpec extends SparkSpec {
       "[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"))
     assert(m.get("mail").asText.endsWith("@example.com"))
   }
+
+  test("id generators: ulid/ksuid/snowflake formats") {
+    import spark.implicits._
+    val out = mapped(
+      """root.u = ulid()
+        |root.k = ksuid()
+        |root.s = snowflake_id()""".stripMargin, Map.empty, """{}""").head
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    assert(m.get("u").asText.matches("[0-9A-HJKMNP-TV-Z]{26}"), s"ulid: ${m.get("u")}")
+    assert(m.get("k").asText.matches("[0-9A-Za-z]{27}"), s"ksuid: ${m.get("k")}")
+    assert(m.get("s").asText.matches("[0-9]{15,19}"), s"snowflake: ${m.get("s")}")
+    // time prefix ordering: two ulids a second apart sort correctly
+    import graft.functions.expressions.IdOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = UTF8String.fromString("00112233445566778899")
+    assert(IdOps.ulid(1000000L, e).toString < IdOps.ulid(2000000L, e).toString)
+    assert(IdOps.ksuid(1500000000L, UTF8String.fromString("00" * 16)).toString
+      < IdOps.ksuid(1600000000L, UTF8String.fromString("00" * 16)).toString)
+  }
 }
