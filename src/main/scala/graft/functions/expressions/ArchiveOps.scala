@@ -153,6 +153,33 @@ object ArchiveOps {
     else split(text, seps.toList).toArray
   }
 
+  /** `text_chunker` strategy `markdown`
+    * (internal/impl/text/text_chunker_processor.go:58-62): split at
+    * heading boundaries (lines starting with #), then apply the
+    * recursive merge within oversized sections so every chunk respects
+    * `chunkSize`. Headings stay attached to their section body.
+    */
+  def chunkMarkdown(text: String, chunkSize: Int, overlap: Int): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val sections = Seq.newBuilder[String]
+    val current = new StringBuilder
+    text.split("\n", -1).foreach { line =>
+      if (line.startsWith("#") && current.nonEmpty) {
+        sections += current.toString
+        current.clear()
+      }
+      if (current.nonEmpty) current.append('\n')
+      current.append(line)
+    }
+    if (current.nonEmpty) sections += current.toString
+    sections.result().flatMap { sec =>
+      if (sec.codePointCount(0, sec.length) <= chunkSize) {
+        val t = sec.trim
+        if (t.isEmpty) Seq.empty else Seq(t)
+      } else chunkRecursive(sec, Array("\n\n", "\n", " ", ""), chunkSize, overlap)
+    }.toArray
+  }
+
   // ── Catalyst-typed wrappers (called from generated code) ─────────────
 
   private def entriesOf(names: ArrayData, bodies: ArrayData): (Array[String], Array[Array[Byte]]) = {
@@ -190,5 +217,9 @@ object ArchiveOps {
   def chunkData(text: UTF8String, seps: Array[String],
                 chunkSize: Int, overlap: Int): ArrayData =
     new GenericArrayData(chunkRecursive(text.toString, seps, chunkSize, overlap)
+      .map(UTF8String.fromString(_): Any))
+
+  def chunkMarkdownData(text: UTF8String, chunkSize: Int, overlap: Int): ArrayData =
+    new GenericArrayData(chunkMarkdown(text.toString, chunkSize, overlap)
       .map(UTF8String.fromString(_): Any))
 }

@@ -223,6 +223,30 @@ case class ChunkRecursive(child: Expression, seps: Array[String],
     copy(child = newChild)
 }
 
+/** Markdown-boundary text chunker (strategy `markdown`, same reference
+  * processor): heading-delimited sections, recursive merge inside
+  * oversized ones.
+  */
+case class ChunkMarkdown(child: Expression, chunkSize: Int, overlap: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunk_markdown"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ArchiveOps.chunkMarkdownData(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], chunkSize, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.ArchiveOps.chunkMarkdownData($a, $chunkSize, $overlap)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -378,6 +402,9 @@ object GraftFunctions {
     "graft_chunk_recursive" -> ((es: Seq[Expression]) =>
       ChunkRecursive(es(0),
         Array("\n\n", "\n", " ", ""),
+        intArg(es(1), "chunkSize"), intArg(es(2), "overlap"))),
+    "graft_chunk_markdown" -> ((es: Seq[Expression]) =>
+      ChunkMarkdown(es(0),
         intArg(es(1), "chunkSize"), intArg(es(2), "overlap"))))
 
   /** Idempotent: re-registering an existing name is skipped, so calling

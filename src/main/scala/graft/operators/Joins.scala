@@ -95,6 +95,23 @@ object Joins {
     stream.join(c, Seq(key), "left_outer")
   }
 
+  /** Skew-safe equi-join: salt the SKEWED (large, hot-keyed) side with
+    * `salts` random buckets and replicate the other side across every
+    * bucket, so one hot key spreads over `salts` tasks instead of
+    * stalling a single reducer. Use when AQE's skew-join split isn't
+    * available (non-shuffle stages) or the skew is known up front;
+    * `salts` ≈ executor-core count over hot-key share.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val s = skewed.withColumn("__salt",
+      (rand(42) * salts).cast("int"))
+    val o = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    s.join(o, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Enrichment lookup in `branch` form (processors/branch.adoc:26 +
     * sql_select.adoc:26): compute request columns, look them up in a
     * lookup table, merge the response columns back — rows without a

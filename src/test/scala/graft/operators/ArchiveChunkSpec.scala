@@ -81,4 +81,20 @@ class ArchiveChunkSpec extends SparkSpec {
         s"doc ${r.getLong(0)} lost words: ${(wordsIn -- wordsOut).take(5)}")
     }
   }
+
+  test("markdown chunker splits at heading boundaries") {
+    val text = "# Title\nintro words\n\n## Section A\nbody a\n## Section B\nbody b"
+    val chunks = ArchiveOps.chunkMarkdown(text, 100, 0)
+    assert(chunks.toSeq == Seq(
+      "# Title\nintro words",
+      "## Section A\nbody a",
+      "## Section B\nbody b"))
+  }
+
+  test("markdown chunker recursively splits oversized sections") {
+    val big = "# H\n" + ("word " * 50).trim
+    val chunks = ArchiveOps.chunkMarkdown(big, 40, 0)
+    assert(chunks.length > 1)
+    assert(chunks.forall(c => c.codePointCount(0, c.length) <= 40))
+  }
 }
