@@ -255,6 +255,19 @@ object SparkEntry {
         .groupBy(col("group")).agg(count(lit(1)).as("n"))
         .orderBy(col("group"))),
 
+    "t_chunk_markdown" -> ((s, d) => {
+      // markdown-strategy chunking — rows-only (algorithmic); boundary
+      // invariants gated in ArchiveChunkSpec
+      graft.functions.expressions.GraftFunctions.register(s)
+      Tables.documents(s, d).filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_chunk_markdown",
+            col("text"), lit(150), lit(0))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "t_chunk_recursive" -> ((s, d) => {
       // recursive_character chunking — no SQL oracle (algorithmic);
       // unit-tested for boundary/overlap invariants in ChunkerSpec
