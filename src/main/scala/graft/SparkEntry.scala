@@ -391,8 +391,11 @@ object SparkEntry {
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
       val orders = Tables.orders(s, d).filter(col("o_orderkey") < 5000)
         .select(col("o_custkey").as("id"), col("o_orderkey").as("order_key"))
+      // arrayFields given explicitly — the at-scale form (skips the
+      // repeated-field inference pass over each input)
       Joins.shardedJoin(Seq(main, orders), "id",
-          joinType = "full-outer", mergeStrategy = "array")
+          joinType = "full-outer", mergeStrategy = "array",
+          arrayFields = Some(Set("order_key")))
         .select(col("id"), col("name"),
           array_join(transform(col("order_key"), x => x.cast("string")), ",")
             .as("orders"))
