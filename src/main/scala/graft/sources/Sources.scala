@@ -100,6 +100,23 @@ object Sources {
   def broker(inputs: Seq[DataFrame]): DataFrame =
     inputs.reduce(_ unionByName _)
 
+  /** Binary-file source with the `tar`/`zip` scanner composed in
+    * (reference file input scanners, docs/…/inputs/file.adoc scanner
+    * section): each archive on disk explodes into one row per entry
+    * (name, body), all executor-side — archives are never pulled to the
+    * driver.
+    */
+  def archiveFiles(spark: SparkSession, pathGlob: String,
+                   format: String = "tar"): DataFrame = {
+    require(Seq("tar", "zip").contains(format), s"scanner: $format")
+    graft.functions.expressions.GraftFunctions.register(spark)
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"),
+        explode(call_function(s"graft_un$format", col("content"))).as("entry"))
+      .select(col("path"), col("entry.name").as("name"),
+        col("entry.body").as("body"))
+  }
+
   /** JDBC source (reference `sql_select` input / CDC-adjacent families,
     * docs/…/inputs/sql_select.adoc:26): Spark's built-in JDBC reader
     * with partitioned parallel scans — `partitionColumn` splits the

@@ -97,4 +97,17 @@ class ArchiveChunkSpec extends SparkSpec {
     assert(chunks.length > 1)
     assert(chunks.forall(c => c.codePointCount(0, c.length) <= 40))
   }
+
+  test("archiveFiles source: tar files on disk explode into entries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "one.tar").toPath,
+      ArchiveOps.tar(Array("a.txt", "b.txt"),
+        Array("alpha".getBytes("UTF-8"), "beta".getBytes("UTF-8"))))
+    java.nio.file.Files.write(new java.io.File(dir, "two.tar").toPath,
+      ArchiveOps.tar(Array("c.txt"), Array("gamma".getBytes("UTF-8"))))
+    val rows = graft.sources.Sources.archiveFiles(spark, dir.getPath + "/*.tar")
+      .select(col("name"), col("body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq(("a.txt", "alpha"), ("b.txt", "beta"), ("c.txt", "gamma")))
+  }
 }
