@@ -21,7 +21,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: per-query numbers are comparable across rounds
+    // (hash-map order would shuffle which query absorbs JVM/codegen
+    // warmup), and a cheap scan-only warmup pass soaks up session
+    // startup so the first measured query isn't penalized
+    try Tables.documents(spark, sfDir).write.format("noop")
+      .mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -31,7 +38,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

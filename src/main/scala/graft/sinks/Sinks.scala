@@ -31,6 +31,23 @@ object Sinks {
   def jsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Streaming fan-out: every micro-batch is delivered to ALL sinks via
+    * foreachBatch (the streaming form of the batch [[fanOut]] —
+    * reference `broker` output pattern `fan_out`,
+    * docs/…/outputs/broker.adoc:26). The batch is persisted once so N
+    * sinks don't recompute the plan N times.
+    */
+  def foreachBatchFanOut(df: DataFrame, checkpoint: String,
+                         sinks: Seq[DataFrame => Unit]): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try sinks.foreach(s => s(batch))
+        finally { batch.unpersist(); () }
+      }
+      .start()
+
   /** Lakehouse-style table sink (reference warehouse/lakehouse outputs,
     * e.g. docs/…/outputs/snowflake_put.adoc:26 family): partitioned +
     * bucketed managed table, so downstream joins on `bucketBy` columns

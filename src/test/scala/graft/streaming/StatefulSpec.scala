@@ -73,4 +73,20 @@ class StatefulSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(cached == Seq(("a1", "a1"), ("a2", "a1"), ("b1", "b1")))
   }
+
+  test("foreachBatch fan-out delivers each micro-batch to every sink") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Int]
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val q = graft.sinks.Sinks.foreachBatchFanOut(mem.toDF, cp, Seq(
+      b => b.collect().foreach(r => seen.add(s"a:${r.getInt(0)}"): Unit),
+      b => b.collect().foreach(r => seen.add(s"b:${r.getInt(0)}"): Unit)))
+    try {
+      mem.addData(1, 2)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSet == Set("a:1", "a:2", "b:1", "b:2"))
+    } finally q.stop()
+  }
 }
