@@ -826,6 +826,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_embed_dedup" -> ((s, d) => {
+      // embedding-cosine near-dup pairs, LSH-candidate path — rows-only
+      // (probabilistic recall; gated in RecallSpec). The synthetic
+      // corpus has no semantic duplicates (neighbors top out at cosine
+      // ~0.5), so the demo plants exact copies under shifted ids —
+      // every vector must pair with its twin.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.unionByName(emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Dedupe.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "s_cosine_ivf" -> ((s, d) => {
       // IVF ANN (k-means coarse quantizer + multi-probe) — rows-only
       // check (cell assignment is model-dependent); recall vs brute

@@ -127,6 +127,46 @@ object Dedupe {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs (idA < idB, cosine >=
+    * threshold) — the semantic-dedup path of an LLM data pipeline.
+    *
+    * `exact = true`: full self-join — the oracle baseline, quadratic,
+    * for sampled validation only. Default: multi-table hyperplane-LSH
+    * candidates (graft_lsh_keys — near-identical vectors collide with
+    * probability ≈ 1) verified by exact cosine, one equi-join shuffle
+    * on the bucket key; candidate volume tracks duplicate density, not
+    * corpus², so this is the 100 TB shape. Recall is probabilistic in
+    * the LSH regime (high for cosine ≳ 0.85 — exactly the semantic-
+    * duplicate band); the gate test plants duplicates and measures it.
+    */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, exact: Boolean = false,
+                     planes: Int = 16, tables: Int = 4): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    import graft.functions.VectorFunctions.cosineFast
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand =
+      if (exact)
+        base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.vec").as("va"), col("b.vec").as("vb"))
+      else {
+        val bucketed = base.select(col("id"),
+          explode(call_function("graft_lsh_keys",
+            col("vec"), lit(planes), lit(tables))).as("bucket"))
+        bucketed.as("a").join(bucketed.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+          .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+          .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      }
+    cand
+      .withColumn("sim_raw", cosineFast(col("va"), col("vb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** SimHash near-dup pairs (Charikar fingerprints, Manku block-permuted
     * candidate scheme): the 64-bit fingerprint is cut into
     * `maxHamming + 1` blocks, so by pigeonhole any pair within Hamming

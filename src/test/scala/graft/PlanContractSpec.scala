@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** Plan contracts: the scale claims each operator's docs make must be
+  * visible in the physical plan — filters reach the parquet scan,
+  * column pruning holds, dims broadcast, top-k prunes before the final
+  * sort. A regression here is a performance bug even when results stay
+  * correct.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("filters and column pruning reach the parquet scan") {
+    val q = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("dim-table enrichment broadcasts the small side") {
+    val q = Joins.enrichmentLookup(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey"),
+      Tables.part(spark, sf), col("l_partkey"), "p_partkey", Seq("p_brand"))
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "lookup join must broadcast the dim side")
+  }
+
+  test("top-k prunes via WindowGroupLimit before the shuffle") {
+    val q = SparkEntry.queries("q6_window_rank")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter must prune partial groups before the exchange:\n$plan")
+  }
+
+  test("near-dup pipeline shuffles hashed longs, not text") {
+    // the inverted index exchanges 8-byte shingle hashes — no string
+    // shingles or token arrays may appear in any exchange's input row.
+    // AQE + broadcast off so EnsureRequirements materializes the real
+    // shuffle nodes at this tiny scale factor too.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = operators.Dedupe.ngramJaccardPairs(
+        Tables.documents(spark, sf), "text", "doc_id", 3, 0.35)
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.schema.map(_.dataType.simpleString)
+      }
+      assert(exchanges.nonEmpty, "expected shuffle exchanges in the plan")
+      exchanges.flatten.foreach { t =>
+        assert(!t.contains("array<string>"),
+          s"shuffle carries raw shingle text ($t)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+}

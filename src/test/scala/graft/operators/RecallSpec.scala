@@ -61,6 +61,23 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9 (${exact.size} true pairs)")
   }
 
+  test("embedding-cosine dedup finds planted duplicates; LSH ⊆ exact") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // plant near-identical copies: id+1M shares the original's vector
+    val planted = emb.unionByName(emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val exact = Dedupe.embeddingPairs(planted, "vec_id", "embedding",
+        threshold = 0.95, exact = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedupe.embeddingPairs(planted, "vec_id", "embedding",
+        threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50, s"expected >= 50 planted pairs, got ${exact.size}")
+    assert(lsh.subsetOf(exact), "verify step must make precision exact")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"embedding LSH recall $recall < 0.9")
+  }
+
   test("simhash candidate recall is exact for the advertised radius") {
     val docs = Tables.documents(spark, sf).limit(300)
     // exact pairs by brute-force hamming over fingerprints
