@@ -119,23 +119,12 @@ object DeclarativeTest {
     }
   }
 
-  /** Processor vocabulary runnable in a declarative test. Extend here as
-    * operators gain config forms.
+  /** Processor vocabulary shared with the production config runner
+    * ([[graft.config.Processors]]) — a tested config runs identically
+    * when deployed.
     */
-  private def compileProcessor(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame = {
-    val fields = p.properties().asScala.toSeq
-    require(fields.size == 1, s"processor must have exactly one key: $p")
-    val (kind, body) = (fields.head.getKey, fields.head.getValue)
-    kind match {
-      case "mapping" | "bloblang" =>
-        df => Blobl.mapping(df, body.asText(), env, metadataCol = Some("metadata"))
-      case "mutation" =>
-        df => Blobl.mutation(df, body.asText(), env, metadataCol = Some("metadata"))
-      case "noop" => identity
-      case other => throw new IllegalArgumentException(
-        s"processor '$other' not supported in declarative tests yet")
-    }
-  }
+  private def compileProcessor(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame =
+    graft.config.Processors.compile(p, env)
 
   private def parseMsg(m: JsonNode, path: String): Msg = {
     val content =

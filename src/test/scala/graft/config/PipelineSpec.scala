@@ -1,0 +1,67 @@
+package graft.config
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The YAML pipeline runner: input → processors → output as one Spark
+  * plan, including round-trips through file outputs.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("generate → mapping → jq filter → memory output") {
+    val config =
+      """input:
+        |  generate: { count: 50, mapping: 'root.id = this.seq' }
+        |pipeline:
+        |  processors:
+        |    - mapping: |
+        |        root.id = this.id
+        |        root.double = this.id * 2
+        |    - jq: 'select(.double >= 80)'
+        |output:
+        |  memory: { name: pipe_out }
+        |""".stripMargin
+    Pipeline.run(spark, config)
+    val rows = spark.sql("SELECT value FROM pipe_out").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(rows.size == 10, s"ids 40..49 survive, got ${rows.size}")
+    assert(rows.forall(_.contains("\"double\":")))
+  }
+
+  test("file lines → bounds_check → bloblang → parquet round-trip") {
+    val in = java.nio.file.Files.createTempDirectory("graft_in")
+    java.nio.file.Files.write(in.resolve("data.txt"),
+      "short\nthis line is long enough\nno\nanother acceptable line here"
+        .getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString + "/result"
+    val config =
+      s"""input:
+         |  file: { path: "$in/*.txt", format: lines }
+         |pipeline:
+         |  processors:
+         |    - bounds_check: { min: 10, max: 1000 }
+         |    - mapping: 'root.n_words = content().split(" ").length()'
+         |output:
+         |  parquet: { path: "$out" }
+         |""".stripMargin
+    Pipeline.run(spark, config)
+    val back = spark.read.parquet(out)
+      .select(get_json_object(col("value"), "$.n_words").cast("int"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(back == Seq(4, 5), s"two surviving lines with 5 and 4 words: $back")
+  }
+
+  test("env vars flow into mappings like the reference's environment") {
+    val config =
+      """input:
+        |  generate: { count: 3, mapping: 'root.id = this.seq' }
+        |pipeline:
+        |  processors:
+        |    - mapping: 'root.stage = env("STAGE")'
+        |""".stripMargin
+    val df = Pipeline.run(spark, config, env = Map("STAGE" -> "prod"))
+    assert(df.select("value").collect()
+      .forall(_.getString(0).contains(""""stage":"prod"""")))
+  }
+}
