@@ -67,6 +67,46 @@ object Pipeline {
     df
   }
 
+  /** STREAMING form: the same config shape with a streaming input
+    * (`generate: {rate: rowsPerSecond, mapping}` or
+    * `file: {path, format, schema}` tail-read) and a streaming output
+    * (`memory: {name}` or `parquet: {path, checkpoint}`). Processors are
+    * the same vocabulary — they compile to projections/filters that run
+    * identically per micro-batch.
+    */
+  def runStream(spark: SparkSession, configYaml: String,
+                env: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spec = load(configYaml)
+    val src = one(spec.input) match {
+      case ("generate", b) =>
+        Sources.generateStream(spark, b.path("rate").asInt(10),
+          b.get("mapping").asText, env)
+      case ("file", b) =>
+        val fmt = b.path("format").asText("parquet")
+        val schema = b.get("schema").asText
+        fmt match {
+          case "parquet" => Sources.parquetStream(spark, b.get("path").asText, schema)
+          case "csv" => Sources.csvStream(spark, b.get("path").asText, schema)
+          case other => throw new IllegalArgumentException(s"stream format: $other")
+        }
+      case (other, _) =>
+        throw new IllegalArgumentException(s"streaming input '$other' not supported")
+    }
+    val df = spec.processors.foldLeft(src)((d, p) => Processors.compile(p, env)(d))
+    val out = spec.output.getOrElse(
+      throw new IllegalArgumentException("streaming config needs an output"))
+    one(out) match {
+      case ("memory", b) =>
+        df.writeStream.format("memory").queryName(b.get("name").asText)
+          .outputMode("append").start()
+      case ("parquet", b) =>
+        Sinks.parquetStream(df, b.get("path").asText,
+          b.get("checkpoint").asText)
+      case (other, _) =>
+        throw new IllegalArgumentException(s"streaming output '$other' not supported")
+    }
+  }
+
   private def one(n: JsonNode): (String, JsonNode) = {
     val fields = n.properties().asScala.toSeq
     require(fields.size == 1, s"component must have exactly one key: $n")

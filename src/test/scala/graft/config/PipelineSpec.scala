@@ -64,4 +64,31 @@ class PipelineSpec extends SparkSpec {
     assert(df.select("value").collect()
       .forall(_.getString(0).contains(""""stage":"prod"""")))
   }
+
+  test("streaming pipeline: rate source → mapping → memory sink") {
+    val config =
+      """input:
+        |  generate: { rate: 100, mapping: 'root.id = this.seq' }
+        |pipeline:
+        |  processors:
+        |    - mapping: 'root.tagged = this.id.string() + "!"'
+        |output:
+        |  memory: { name: stream_out }
+        |""".stripMargin
+    val q = Pipeline.runStream(spark, config)
+    try {
+      // wait for at least one non-empty micro-batch
+      val deadline = System.currentTimeMillis + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis < deadline) {
+        q.processAllAvailable()
+        n = spark.sql("SELECT COUNT(*) FROM stream_out").head().getLong(0)
+        if (n == 0) Thread.sleep(200)
+      }
+      assert(n > 0, "no rows arrived from the rate source")
+      val sample = spark.sql("SELECT value FROM stream_out LIMIT 1")
+        .head().getString(0)
+      assert(sample.contains(""""tagged":"""), s"mapping did not run: $sample")
+    } finally q.stop()
+  }
 }
