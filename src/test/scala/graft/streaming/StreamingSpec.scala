@@ -118,4 +118,32 @@ class StreamingSpec extends SparkSpec {
       .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
     assert(out == Seq(1L, 3L, 4L))
   }
+
+  test("session window merges and emits in STREAMING mode with watermark") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Int)]
+    val df = mem.toDF.toDF("user", "event_ts", "v")
+    val out = Windows.session(df, "event_ts", "30 minutes",
+      lateness = Some("10 minutes"), Seq(col("user")),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("total")))
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // one session for u1 (two events 10m apart), then advance the
+      // watermark far enough to close and emit it
+      mem.addData(("u1", ts("2021-01-01 09:00:00"), 1),
+                  ("u1", ts("2021-01-01 09:10:00"), 2))
+      q.processAllAvailable()
+      mem.addData(("u2", ts("2021-01-01 12:00:00"), 7))
+      q.processAllAvailable()
+      mem.addData(("u2", ts("2021-01-01 14:00:00"), 9))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user, n, total FROM sess ORDER BY window_start")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // u1's merged session (2 events, total 3) must have emitted once
+      // its close passed the watermark
+      assert(rows.contains(("u1", 2L, 3L)), s"u1 session not emitted: $rows")
+    } finally q.stop()
+  }
 }
