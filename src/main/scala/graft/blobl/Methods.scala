@@ -103,7 +103,6 @@ object Methods {
     quoteLiterals(sb.toString)
   }
 
-  private val hashAlgos = Set("md5", "sha1", "sha256", "sha512", "xxhash64", "crc32")
 
   /** Apply method `name` to `recv` with `args`. */
   def apply(recv: BV, name: String, args: Seq[MArg]): BV = name match {
@@ -358,8 +357,13 @@ object Methods {
     case "without" =>
       BV(call_function("graft_json_without", toJsonText(recv),
         lit(args.map(litStr).mkString(","))), J)
-    case "squash" | "explode" | "collapse" =>
-      throw new IllegalArgumentException(s"method $name not supported (v1)")
+    case "collapse" =>
+      BV(parse_json(call_function("graft_json_collapse", toJsonText(recv))), V)
+    case "squash" =>
+      BV(parse_json(call_function("graft_json_squash", toJsonText(recv))), V)
+    case "explode" =>
+      BV(parse_json(call_function("graft_json_explode", toJsonText(recv),
+        lit(litStr(args(0))))), V)
 
     // ── parsing & formatting (methods.adoc:3319-3736) ─────────────────
     case "parse_json" => BV(parse_json(asString(recv)), V)

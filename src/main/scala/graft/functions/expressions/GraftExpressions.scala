@@ -292,6 +292,54 @@ case class JsonMerge(left: Expression, right: Expression)
 }
 
 /** Canonical JSON (sorted keys, deleted markers stripped). */
+/** One-arg JSON kernel (collapse / squash — methods.adoc object ops). */
+case class JsonUnaryOp(child: Expression, op: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"graft_json_$op"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    op match {
+      case "collapse" => JsonKernel.collapse(s)
+      case "squash" => JsonKernel.squash(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.JsonKernel.$op($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** explode(path): array/object at the dot path fans out into per-element
+  * documents (methods.adoc explode).
+  */
+case class JsonExplodePath(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left, right).map(_.dataType), Seq.fill(2)(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_explode"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JsonKernel.explodePath(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.JsonKernel.explodePath($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class JsonNormalize(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
@@ -374,6 +422,9 @@ object GraftFunctions {
     "graft_json_merge" -> ((es: Seq[Expression]) => JsonMerge(es(0), es(1))),
     "graft_json_normalize" -> ((es: Seq[Expression]) => JsonNormalize(es(0))),
     "graft_json_without" -> ((es: Seq[Expression]) => JsonWithout(es(0), es(1))),
+    "graft_json_collapse" -> ((es: Seq[Expression]) => JsonUnaryOp(es(0), "collapse")),
+    "graft_json_squash" -> ((es: Seq[Expression]) => JsonUnaryOp(es(0), "squash")),
+    "graft_json_explode" -> ((es: Seq[Expression]) => JsonExplodePath(es(0), es(1))),
     "graft_compress" -> ((es: Seq[Expression]) =>
       Compress(es(0), strArg(es(1), "algo"))),
     "graft_decompress" -> ((es: Seq[Expression]) =>

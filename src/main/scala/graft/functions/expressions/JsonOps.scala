@@ -92,6 +92,80 @@ object JsonKernel {
   }
 
   /** Serialize with sorted object keys at every level. */
+  /** `collapse` (methods.adoc object section): nested structure →
+    * FLAT object keyed by dot paths (arrays index numerically):
+    * {"a":{"b":[1]}} → {"a.b.0":1}.
+    */
+  def collapse(json: UTF8String): UTF8String = {
+    val out = mapper.createObjectNode()
+    def walk(n: JsonNode, prefix: String): Unit = n match {
+      case o: ObjectNode if o.size() > 0 =>
+        o.properties().forEach { e =>
+          walk(e.getValue,
+            if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}")
+        }
+      case a: ArrayNode if a.size() > 0 =>
+        var i = 0
+        while (i < a.size()) {
+          walk(a.get(i), if (prefix.isEmpty) i.toString else s"$prefix.$i")
+          i += 1
+        }
+      case leaf => out.set[JsonNode](prefix, leaf); ()
+    }
+    walk(mapper.readTree(json.toString), "")
+    UTF8String.fromString(write(out))
+  }
+
+  /** `explode` at a path holding an array (one doc per element, the
+    * element replacing the array) or an object (one doc per value,
+    * keyed map result) — methods.adoc explode.
+    */
+  def explodePath(json: UTF8String, path: UTF8String): UTF8String = {
+    val root = mapper.readTree(json.toString)
+    val segs = path.toString.split("\\.").toList
+    def parentOf(n: JsonNode, p: List[String]): (ObjectNode, String) = p match {
+      case last :: Nil => (n.asInstanceOf[ObjectNode], last)
+      case head :: rest => parentOf(n.get(head), rest)
+      case Nil => throw new IllegalArgumentException("empty explode path")
+    }
+    val (parent, key) = parentOf(root, segs)
+    val target = parent.get(key)
+    val results: JsonNode = target match {
+      case a: ArrayNode =>
+        val arr = mapper.createArrayNode()
+        a.forEach { el =>
+          val copy = root.deepCopy[JsonNode]()
+          val (p2, k2) = parentOf(copy, segs)
+          p2.set[JsonNode](k2, el)
+          arr.add(copy)
+        }
+        arr
+      case o: ObjectNode =>
+        val obj = mapper.createObjectNode()
+        o.properties().forEach { e =>
+          val copy = root.deepCopy[JsonNode]()
+          val (p2, k2) = parentOf(copy, segs)
+          p2.set[JsonNode](k2, e.getValue)
+          obj.set[JsonNode](e.getKey, copy)
+        }
+        obj
+      case other => throw new IllegalArgumentException(
+        s"explode target must be array or object, got $other")
+    }
+    UTF8String.fromString(write(results))
+  }
+
+  /** `squash`: array of objects → one deep-merged object
+    * (methods.adoc squash).
+    */
+  def squash(json: UTF8String): UTF8String = {
+    val arr = mapper.readTree(json.toString)
+    require(arr.isArray, "squash expects an array of objects")
+    var acc: JsonNode = mapper.createObjectNode()
+    arr.forEach(el => acc = mergeNodes(acc, el))
+    UTF8String.fromString(write(acc))
+  }
+
   private def write(n: JsonNode): String = {
     val sb = new java.lang.StringBuilder
     writeNode(n, sb)

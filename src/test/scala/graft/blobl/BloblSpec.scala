@@ -297,4 +297,20 @@ class BloblSpec extends SparkSpec {
     assert(IdOps.ksuid(1500000000L, UTF8String.fromString("00" * 16)).toString
       < IdOps.ksuid(1600000000L, UTF8String.fromString("00" * 16)).toString)
   }
+
+  test("collapse/explode/squash object methods") {
+    // reference shapes: methods.adoc collapse/explode/squash
+    assert(mapped("root = this.collapse()", Map.empty,
+      """{"a":{"b":[1,2]},"c":"x"}""") ==
+      Seq("""{"a.b.0":1,"a.b.1":2,"c":"x"}"""))
+    assert(mapped("""root = this.explode("value")""", Map.empty,
+      """{"id":1,"value":[{"t":"a"},{"t":"b"}]}""") ==
+      Seq("""[{"id":1,"value":{"t":"a"}},{"id":1,"value":{"t":"b"}}]"""))
+    assert(mapped("""root = this.explode("value")""", Map.empty,
+      """{"id":1,"value":{"x":{"t":"a"},"y":{"t":"b"}}}""") ==
+      Seq("""{"x":{"id":1,"value":{"t":"a"}},"y":{"id":1,"value":{"t":"b"}}}"""))
+    assert(mapped("root = this.parts.squash()", Map.empty,
+      """{"parts":[{"a":1,"n":{"x":1}},{"b":2,"n":{"y":2}}]}""") ==
+      Seq("""{"a":1,"b":2,"n":{"x":1,"y":2}}"""))
+  }
 }
