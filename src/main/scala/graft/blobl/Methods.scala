@@ -505,6 +505,36 @@ object Methods {
       BV(filter(arr.col, x =>
         coalesce(asBool(f(BV(x, elemT(arr)))), lit(false))), arr.t)
 
+    // ── crypto, tranche 2 ─────────────────────────────────────────────
+    // reference encrypt_aes/decrypt_aes (methods.adoc encryption
+    // section) → Spark's native aes_encrypt/aes_decrypt; algorithm
+    // names map ctr → CTR (the reference default), cbc → CBC, gcm → GCM
+    case "encrypt_aes" =>
+      val mode = litStr(args(0)) match {
+        case "ctr" => "CTR"
+        case "cbc" => "CBC"
+        case "gcm" => "GCM"
+        case other => throw new IllegalArgumentException(s"encrypt_aes($other)")
+      }
+      BV(aes_encrypt(asBinary(recv), asBinary(v(args(1))), lit(mode)), Bin)
+    case "decrypt_aes" =>
+      val mode = litStr(args(0)) match {
+        case "ctr" => "CTR"
+        case "cbc" => "CBC"
+        case "gcm" => "GCM"
+        case other => throw new IllegalArgumentException(s"decrypt_aes($other)")
+      }
+      BV(aes_decrypt(asBinary(recv), asBinary(v(args(1))), lit(mode)), Bin)
+    case "uuid_v5" =>
+      // RFC 4122 name-based (SHA-1) uuid: hash(namespace-bytes ++ name),
+      // version/variant nibbles patched in the hex composition
+      val h = sha1(concat(asBinary(v(args(0))), asBinary(recv)))
+      BV(concat(
+        substring(h, 1, 8), lit("-"), substring(h, 9, 4),
+        lit("-5"), substring(h, 14, 3),
+        lit("-"), lit("a"), substring(h, 18, 3),
+        lit("-"), substring(h, 21, 12)), S)
+
     // ── parsing & codecs, tranche 2 ───────────────────────────────────
     case "parse_yaml" =>
       BV(parse_json(call_function("graft_parse_yaml", asString(recv))), V)

@@ -313,4 +313,18 @@ class BloblSpec extends SparkSpec {
       """{"parts":[{"a":1,"n":{"x":1}},{"b":2,"n":{"y":2}}]}""") ==
       Seq("""{"a":1,"b":2,"n":{"x":1,"y":2}}"""))
   }
+
+  test("aes round-trip and uuid_v5 determinism") {
+    val src = """root.rt = this.secret.encrypt_aes("gcm", this.key).decrypt_aes("gcm", this.key).string()
+                |root.u5 = this.name.uuid_v5(this.ns)""".stripMargin
+    val in = """{"secret":"payload text","key":"0123456789abcdef","name":"example.com","ns":"dns-namespace"}"""
+    val out1 = mapped(src, Map.empty, in).head
+    val out2 = mapped(src, Map.empty, in).head
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (n1, n2) = (m.readTree(out1), m.readTree(out2))
+    assert(n1.get("rt").asText == "payload text")
+    assert(n1.get("u5").asText.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-a[0-9a-f]{3}-[0-9a-f]{12}"))
+    assert(n1.get("u5") == n2.get("u5"), "uuid_v5 must be deterministic")
+  }
 }
