@@ -538,6 +538,19 @@ object Methods {
     // ── parsing & codecs, tranche 2 ───────────────────────────────────
     case "parse_yaml" =>
       BV(parse_json(call_function("graft_parse_yaml", asString(recv))), V)
+    case "format_yaml" =>
+      BV(call_function("graft_format_yaml", toJsonText(recv)), S)
+    case "parse_xml" =>
+      BV(parse_json(call_function("graft_parse_xml", asString(recv))), V)
+    case "parse_duration" =>
+      BV(call_function("graft_parse_duration", asString(recv)), I)
+    case "replace_many" | "replace_all_many" =>
+      // flat [from1, to1, from2, to2, …] literal list like the reference
+      val pairs = args.map(litStr).grouped(2).toSeq
+      require(pairs.forall(_.size == 2), "replace_many needs from/to pairs")
+      BV(pairs.foldLeft(asString(recv)) { case (c, Seq(from, to)) =>
+        replace(c, lit(from), lit(to))
+      }, S)
     case "parse_msgpack" =>
       BV(parse_json(call_function("graft_msgpack_decode", asBinary(recv))), V)
     case "format_msgpack" =>

@@ -8,6 +8,8 @@ import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.commons.compress.compressors.CompressorStreamFactory
 import org.apache.spark.unsafe.types.UTF8String
 
+import com.fasterxml.jackson.databind.JsonNode
+
 /** Codec kernels behind the graft_* codec expressions
   * (SURVEY.md §2.10): compression (reference `compress`/`decompress`
   * processors, docs/modules/components/pages/processors/compress.adoc:26 —
@@ -120,11 +122,102 @@ object CodecOps {
     UTF8String.fromString(
       jsonMapper.writeValueAsString(yamlMapper.readTree(yaml.toString)))
 
+  /** JSON → YAML text (bloblang `format_yaml`). */
+  def jsonToYaml(json: UTF8String): UTF8String =
+    UTF8String.fromString(
+      yamlMapper.writeValueAsString(jsonMapper.readTree(json.toString)))
+
+  // ── XML → JSON (schemaless; JDK DOM parser — no extra jars;
+  //    bloblang parse_xml, reference xml processor
+  //    processors/xml.adoc:26 operator to_json) ───────────────────────
+
+  private val dbf = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // harden against XXE: no DTDs, no external entities
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f
+  }
+
+  /** Element → JSON with the reference xml operator's conventions:
+    * attributes become `-attr` keys, text content of mixed elements
+    * becomes `#text`, repeated child names gather into arrays, and a
+    * text-only element collapses to its string.
+    */
+  def xmlToJson(xml: UTF8String): UTF8String = {
+    val doc = dbf.newDocumentBuilder().parse(
+      new ByteArrayInputStream(xml.toString.getBytes("UTF-8")))
+    val f = jsonMapper.getNodeFactory
+
+    def convert(el: org.w3c.dom.Element): JsonNode = {
+      val obj = jsonMapper.createObjectNode()
+      val attrs = el.getAttributes
+      (0 until attrs.getLength).foreach { i =>
+        val a = attrs.item(i)
+        obj.set[JsonNode]("-" + a.getNodeName, f.textNode(a.getNodeValue))
+      }
+      val children = el.getChildNodes
+      var text = new StringBuilder
+      val byName = new java.util.LinkedHashMap[String, java.util.List[JsonNode]]()
+      (0 until children.getLength).foreach { i =>
+        children.item(i) match {
+          case e: org.w3c.dom.Element =>
+            byName.computeIfAbsent(e.getTagName,
+              _ => new java.util.ArrayList[JsonNode]()).add(convert(e))
+          case t: org.w3c.dom.Text => text ++= t.getData
+          case _ => ()
+        }
+      }
+      val trimmed = text.toString.trim
+      if (byName.isEmpty && obj.isEmpty) return f.textNode(trimmed)
+      if (trimmed.nonEmpty) obj.set[JsonNode]("#text", f.textNode(trimmed))
+      byName.forEach { (name, nodes) =>
+        if (nodes.size() == 1) obj.set[JsonNode](name, nodes.get(0))
+        else {
+          val arr = jsonMapper.createArrayNode()
+          nodes.forEach(n => { arr.add(n); () })
+          obj.set[JsonNode](name, arr)
+        }
+      }
+      obj
+    }
+
+    val root = jsonMapper.createObjectNode()
+    root.set[JsonNode](doc.getDocumentElement.getTagName,
+      convert(doc.getDocumentElement))
+    UTF8String.fromString(jsonMapper.writeValueAsString(root))
+  }
+
+  /** Go-style duration string ("1h30m", "250ms", "2h45m30s") →
+    * nanoseconds (bloblang parse_duration).
+    */
+  def parseDuration(s: UTF8String): Long = {
+    val m = java.util.regex.Pattern
+      .compile("(\\d+(?:\\.\\d+)?)(ns|us|µs|ms|s|m|h)")
+      .matcher(s.toString)
+    var total = 0.0
+    var any = false
+    while (m.find()) {
+      any = true
+      val v = m.group(1).toDouble
+      total += v * (m.group(2) match {
+        case "ns" => 1.0
+        case "us" | "µs" => 1e3
+        case "ms" => 1e6
+        case "s" => 1e9
+        case "m" => 6e10
+        case "h" => 3.6e12
+      })
+    }
+    require(any, s"not a duration: $s")
+    total.toLong
+  }
+
   // ── MessagePack (hand-rolled against the public spec — no msgpack jar
   //    ships with Spark; reference `msgpack` processor,
   //    processors/msgpack.adoc:26) ─────────────────────────────────────
 
-  import com.fasterxml.jackson.databind.JsonNode
   import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
   /** JSON text → msgpack bytes. Minimal-width encodings (fixint/fixstr/

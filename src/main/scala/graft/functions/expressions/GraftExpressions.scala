@@ -438,6 +438,9 @@ object GraftFunctions {
     "graft_wire_decode" -> ((es: Seq[Expression]) =>
       WireDecode(es(0), strArg(es(1), "schema"))),
     "graft_parse_yaml" -> ((es: Seq[Expression]) => ParseYaml(es(0))),
+    "graft_format_yaml" -> ((es: Seq[Expression]) => FormatYaml(es(0))),
+    "graft_parse_xml" -> ((es: Seq[Expression]) => ParseXml(es(0))),
+    "graft_parse_duration" -> ((es: Seq[Expression]) => ParseDuration(es(0))),
     "graft_proto_encode" -> ((es: Seq[Expression]) =>
       ProtoEncode(es(0), strArg(es(1), "schema"))),
     "graft_proto_decode" -> ((es: Seq[Expression]) =>

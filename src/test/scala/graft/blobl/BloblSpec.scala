@@ -327,4 +327,21 @@ class BloblSpec extends SparkSpec {
       "[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-a[0-9a-f]{3}-[0-9a-f]{12}"))
     assert(n1.get("u5") == n2.get("u5"), "uuid_v5 must be deterministic")
   }
+
+  test("parse_xml / format_yaml / parse_duration / replace_many") {
+    val src = """root.x = this.xml.parse_xml()
+                |root.d = this.dur.parse_duration()
+                |root.r = this.s.replace_many("a", "1", "b", "2")
+                |root.y = {"k": 1}.format_yaml().parse_yaml()""".stripMargin
+    val in = """{"xml":"<order id=\"7\"><item>ball</item><item>bat</item><note>rush</note></order>",
+      |"dur":"1h30m","s":"abcabc"}""".stripMargin.replace("\n", "")
+    val out = mapped(src, Map.empty, in).head
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    assert(m.get("x").get("order").get("-id").asText == "7")
+    assert(m.get("x").get("order").get("item").get(1).asText == "bat")
+    assert(m.get("x").get("order").get("note").asText == "rush")
+    assert(m.get("d").asLong == 5400000000000L, s"1h30m in ns: ${m.get("d")}")
+    assert(m.get("r").asText == "12c12c")
+    assert(m.get("y").get("k").asInt == 1)
+  }
 }
