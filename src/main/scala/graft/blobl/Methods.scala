@@ -544,6 +544,23 @@ object Methods {
       BV(parse_json(call_function("graft_parse_xml", asString(recv))), V)
     case "parse_duration" =>
       BV(call_function("graft_parse_duration", asString(recv)), I)
+    case "parse_duration_iso8601" =>
+      BV(call_function("graft_parse_duration_iso", asString(recv)), I)
+    case "format_xml" =>
+      BV(call_function("graft_format_xml", toJsonText(recv)), S)
+    case "re_find_object" =>
+      BV(parse_json(call_function("graft_re_find_object", asString(recv),
+        lit(litStr(args(0))), lit("false"))), V)
+    case "re_find_all_object" =>
+      BV(parse_json(call_function("graft_re_find_object", asString(recv),
+        lit(litStr(args(0))), lit("true"))), A(V))
+    case "re_replace" => apply(recv, "re_replace_all", args)
+    case "sign_jwt_hs256" | "sign_jwt_hs384" | "sign_jwt_hs512" =>
+      BV(call_function("graft_sign_jwt", toJsonText(recv),
+        lit(litStr(args(0))), lit("HS" + name.takeRight(3))), S)
+    case "parse_jwt_hs256" | "parse_jwt_hs384" | "parse_jwt_hs512" =>
+      BV(parse_json(call_function("graft_parse_jwt", asString(recv),
+        lit(litStr(args(0))), lit("HS" + name.takeRight(3)))), V)
     case "replace_many" | "replace_all_many" =>
       // flat [from1, to1, from2, to2, …] literal list like the reference
       val pairs = args.map(litStr).grouped(2).toSeq

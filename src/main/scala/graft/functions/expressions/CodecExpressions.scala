@@ -248,3 +248,73 @@ case class ParseDuration(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+case class FormatXml(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_format_xml"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.jsonToXml(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.jsonToXml($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ParseDurationIso(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_parse_duration_iso"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.parseDurationIso(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.parseDurationIso($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ReFindObject(child: Expression, pattern: String, all: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_re_find_object"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.reFindObject(a.asInstanceOf[UTF8String], pattern, all)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pattern", pattern, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.reFindObject($a, $ref, $all)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class JwtHs(child: Expression, secret: String, algo: String, sign: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (sign) "graft_sign_jwt" else "graft_parse_jwt"
+  private def fn = if (sign) "signJwtHs" else "parseJwtHs"
+  override protected def nullSafeEval(a: Any): Any =
+    if (sign) CodecOps.signJwtHs(a.asInstanceOf[UTF8String],
+      org.apache.spark.unsafe.types.UTF8String.fromString(secret), algo)
+    else CodecOps.parseJwtHs(a.asInstanceOf[UTF8String],
+      org.apache.spark.unsafe.types.UTF8String.fromString(secret), algo)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("secret",
+      org.apache.spark.unsafe.types.UTF8String.fromString(secret),
+      "org.apache.spark.unsafe.types.UTF8String")
+    val al = ctx.addReferenceObj("algo", algo, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.$fn($a, $s, $al)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

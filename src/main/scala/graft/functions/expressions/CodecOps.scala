@@ -189,6 +189,125 @@ object CodecOps {
     UTF8String.fromString(jsonMapper.writeValueAsString(root))
   }
 
+  /** JSON → XML text (bloblang format_xml; inverse conventions of
+    * [[xmlToJson]]: `-key` attributes, `#text` content, arrays repeat
+    * the element).
+    */
+  def jsonToXml(json: UTF8String): UTF8String = {
+    val root = jsonMapper.readTree(json.toString)
+    val sb = new java.lang.StringBuilder
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    def writeEl(name: String, n: JsonNode): Unit = n match {
+      case o if o.isObject =>
+        sb.append('<').append(name)
+        o.properties().forEach { e =>
+          if (e.getKey.startsWith("-"))
+            sb.append(' ').append(e.getKey.substring(1)).append("=\"")
+              .append(esc(e.getValue.asText)).append('"')
+        }
+        sb.append('>')
+        o.properties().forEach { e =>
+          if (!e.getKey.startsWith("-")) {
+            if (e.getKey == "#text") sb.append(esc(e.getValue.asText))
+            else if (e.getValue.isArray)
+              e.getValue.forEach(el => writeEl(e.getKey, el))
+            else writeEl(e.getKey, e.getValue)
+          }
+        }
+        sb.append("</").append(name).append('>')
+      case a if a.isArray => a.forEach(el => writeEl(name, el))
+      case leaf =>
+        sb.append('<').append(name).append('>')
+          .append(esc(leaf.asText)).append("</").append(name).append('>')
+    }
+    require(root.isObject && root.size() == 1,
+      "format_xml needs a single-rooted object")
+    val e = root.properties().iterator().next()
+    writeEl(e.getKey, e.getValue)
+    UTF8String.fromString(sb.toString)
+  }
+
+  // ── named-group regex extraction (bloblang re_find_object /
+  //    re_find_all_object, methods.adoc regexp section) ───────────────
+
+  private val groupNameRe =
+    java.util.regex.Pattern.compile("\\(\\?<([A-Za-z][A-Za-z0-9]*)>")
+
+  /** Named captures of the first match (or every match when `all`) as a
+    * JSON object / array of objects; unnamed patterns use "0","1",…
+    * positional keys like the reference.
+    */
+  def reFindObject(s: UTF8String, pattern: String, all: Boolean): UTF8String = {
+    val names = {
+      val m = groupNameRe.matcher(pattern)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(1)
+      b.result()
+    }
+    val p = java.util.regex.Pattern.compile(pattern)
+    val m = p.matcher(s.toString)
+    def obj(): JsonNode = {
+      val o = jsonMapper.createObjectNode()
+      if (names.nonEmpty)
+        names.foreach { n =>
+          Option(m.group(n)).foreach(v => { o.put(n, v); () })
+        }
+      else
+        (0 to m.groupCount()).foreach { i =>
+          Option(m.group(i)).foreach(v => { o.put(i.toString, v); () })
+        }
+      o
+    }
+    val out: JsonNode =
+      if (all) {
+        val arr = jsonMapper.createArrayNode()
+        while (m.find()) { arr.add(obj()); () }
+        arr
+      } else if (m.find()) obj()
+      else jsonMapper.createObjectNode()
+    UTF8String.fromString(jsonMapper.writeValueAsString(out))
+  }
+
+  // ── JWT HS family (jjwt ships with Spark's jars; reference
+  //    sign_jwt_hs*/parse_jwt_hs* methods, methods.adoc jwt section) ──
+
+  private def hmacKey(secret: UTF8String): javax.crypto.SecretKey =
+    io.jsonwebtoken.security.Keys.hmacShaKeyFor(secret.getBytes)
+
+  private def sigFor(algo: String) = algo match {
+    case "HS256" => io.jsonwebtoken.Jwts.SIG.HS256
+    case "HS384" => io.jsonwebtoken.Jwts.SIG.HS384
+    case "HS512" => io.jsonwebtoken.Jwts.SIG.HS512
+  }
+
+  def signJwtHs(claimsJson: UTF8String, secret: UTF8String,
+                algo: String): UTF8String = {
+    val claims: java.util.Map[String, AnyRef] = jsonMapper.readValue(
+      claimsJson.toString,
+      classOf[java.util.HashMap[String, AnyRef]])
+    UTF8String.fromString(
+      io.jsonwebtoken.Jwts.builder().claims(claims)
+        .signWith(hmacKey(secret), sigFor(algo)).compact())
+  }
+
+  /** Verifies the signature (wrong-key tokens throw — recoverable via
+    * the error channel) and returns the claims as JSON.
+    */
+  def parseJwtHs(token: UTF8String, secret: UTF8String,
+                 algo: String): UTF8String = {
+    val claims = io.jsonwebtoken.Jwts.parser()
+      .verifyWith(hmacKey(secret)).build()
+      .parseSignedClaims(token.toString).getPayload
+    UTF8String.fromString(jsonMapper.writeValueAsString(claims))
+  }
+
+  /** ISO-8601 duration ("PT1H30M", "P2DT3H") → nanoseconds
+    * (bloblang parse_duration_iso8601).
+    */
+  def parseDurationIso(s: UTF8String): Long =
+    java.time.Duration.parse(s.toString).toNanos
+
   /** Go-style duration string ("1h30m", "250ms", "2h45m30s") →
     * nanoseconds (bloblang parse_duration).
     */

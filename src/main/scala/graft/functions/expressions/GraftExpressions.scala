@@ -441,6 +441,15 @@ object GraftFunctions {
     "graft_format_yaml" -> ((es: Seq[Expression]) => FormatYaml(es(0))),
     "graft_parse_xml" -> ((es: Seq[Expression]) => ParseXml(es(0))),
     "graft_parse_duration" -> ((es: Seq[Expression]) => ParseDuration(es(0))),
+    "graft_parse_duration_iso" -> ((es: Seq[Expression]) => ParseDurationIso(es(0))),
+    "graft_format_xml" -> ((es: Seq[Expression]) => FormatXml(es(0))),
+    "graft_re_find_object" -> ((es: Seq[Expression]) =>
+      ReFindObject(es(0), strArg(es(1), "pattern"),
+        strArg(es(2), "all") == "true")),
+    "graft_sign_jwt" -> ((es: Seq[Expression]) =>
+      JwtHs(es(0), strArg(es(1), "secret"), strArg(es(2), "algo"), sign = true)),
+    "graft_parse_jwt" -> ((es: Seq[Expression]) =>
+      JwtHs(es(0), strArg(es(1), "secret"), strArg(es(2), "algo"), sign = false)),
     "graft_proto_encode" -> ((es: Seq[Expression]) =>
       ProtoEncode(es(0), strArg(es(1), "schema"))),
     "graft_proto_decode" -> ((es: Seq[Expression]) =>

@@ -344,4 +344,26 @@ class BloblSpec extends SparkSpec {
     assert(m.get("r").asText == "12c12c")
     assert(m.get("y").get("k").asInt == 1)
   }
+
+  test("jwt hs sign/parse, regex objects, iso durations, xml format") {
+    val secret = "a-very-long-signing-secret-of-at-least-32-bytes!"
+    val src = ("root.claims = this.doc.sign_jwt_hs256(\"" + secret +
+      "\").parse_jwt_hs256(\"" + secret + "\")\n" +
+      """root.found = this.line.re_find_object("(?<lvl>[A-Z]+) (?<code>[0-9]+)")
+        |root.alln = this.line.re_find_all_object("(?<n>[0-9]+)")
+        |root.iso = "PT1H30M".parse_duration_iso8601()
+        |root.xml = this.frag.format_xml()""".stripMargin)
+    val in = """{"doc":{"sub":"u1","role":"admin"},
+      |"line":"ERROR 503 then WARN 404",
+      |"frag":{"order":{"-id":"7","item":["a","b"]}}}""".stripMargin.replace("\n", "")
+    val out = mapped(src, Map.empty, in).head
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    assert(m.get("claims").get("sub").asText == "u1")
+    assert(m.get("claims").get("role").asText == "admin")
+    assert(m.get("found").get("lvl").asText == "ERROR")
+    assert(m.get("found").get("code").asText == "503")
+    assert(m.get("alln").size == 2)
+    assert(m.get("iso").asLong == 5400000000000L)
+    assert(m.get("xml").asText == """<order id="7"><item>a</item><item>b</item></order>""")
+  }
 }
