@@ -255,6 +255,14 @@ object SparkEntry {
         .groupBy(col("group")).agg(count(lit(1)).as("n"))
         .orderBy(col("group"))),
 
+    "t_dedup_clusters" -> ((s, d) => {
+      // near-dup cluster resolution: pairs → connected components →
+      // (id, representative); the corpus-dedup step after pair mining
+      val pairs = Dedupe.ngramJaccardPairs(
+        Tables.documents(s, d), "text", "doc_id", 3, 0.35)
+      Dedupe.resolveClusters(pairs).orderBy(col("id"))
+    }),
+
     "t_chunk_markdown" -> ((s, d) => {
       // markdown-strategy chunking — rows-only (algorithmic); boundary
       // invariants gated in ArchiveChunkSpec
@@ -1380,6 +1388,32 @@ object SparkEntry {
         |  AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
         |    (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "t_dedup_clusters" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
+        |    t -> LEN(t) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN LEN(toks) < 3 THEN [] ELSE
+        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+        |  FROM f),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE LEN(a.s) + LEN(b.s) > 0
+        |    AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+        |      (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.35),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS id, LEAST(src, MIN(dst)) AS rep
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin,
 
     "s_cosine_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

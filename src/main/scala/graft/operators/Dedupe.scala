@@ -127,6 +127,60 @@ object Dedupe {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** Resolve near-dup PAIRS into duplicate clusters: connected
+    * components by iterative min-label propagation (the
+    * small-star/large-star family's simple form — each node repeatedly
+    * adopts the smallest label among itself and its neighbors until a
+    * fixpoint). Returns (id, rep) for every id appearing in a pair,
+    * rep = smallest id in its component — the canonical document the
+    * cluster keeps.
+    *
+    * Scale notes: each iteration is one join + one aggregation on the
+    * edge list; rounds needed = graph diameter (near-dup clusters are
+    * shallow — a handful of rounds). The driver only evaluates a
+    * changed-label COUNT per round for convergence. For adversarial
+    * long-chain graphs switch to star-contraction; duplicate clusters
+    * in real corpora don't need it.
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("rep", "nbr_rep"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_rep")).as("nbr_min"))
+        .join(labels, "id")
+        .select(col("id"), least(col("rep"), col("nbr_min")).as("rep"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Deduplicated corpus: drop every non-representative member of each
+    * near-dup cluster (keep-min-id policy). Singletons pass through.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = resolveClusters(pairs).filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs (idA < idB, cosine >=
     * threshold) — the semantic-dedup path of an LLM data pipeline.
     *

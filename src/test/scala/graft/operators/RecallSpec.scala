@@ -95,4 +95,19 @@ class RecallSpec extends SparkSpec {
     assert(blocked == brute,
       s"block-candidate set (${blocked.size}) != brute force (${brute.size})")
   }
+
+  test("cluster resolution: transitive chains collapse to one representative") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), separate pair 10-11, singleton 99 absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedupe.resolveClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedupe.dedupCorpus(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 10L, 99L), s"keep one per cluster + singletons: $kept")
+  }
 }
