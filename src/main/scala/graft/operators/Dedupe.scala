@@ -153,18 +153,20 @@ object Dedupe {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // old label rides along so the convergence check is part of the
+      // SAME cached materialization — one Spark action per round
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("rep", "nbr_rep"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_rep")).as("nbr_min"))
         .join(labels, "id")
-        .select(col("id"), least(col("rep"), col("nbr_min")).as("rep"))
+        .select(col("id"), least(col("rep"), col("nbr_min")).as("rep"),
+          col("rep").as("old"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") =!= col("old")).count()
+      val changed = next.filter(col("rep") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("old")
       converged = changed == 0
       i += 1
     }
