@@ -25,9 +25,20 @@ object Bench {
     // (hash-map order would shuffle which query absorbs JVM/codegen
     // warmup), and a cheap scan-only warmup pass soaks up session
     // startup so the first measured query isn't penalized
-    try Tables.documents(spark, sfDir).write.format("noop")
-      .mode("overwrite").save()
-    catch { case _: Throwable => () }
+    try {
+      Tables.documents(spark, sfDir).write.format("noop")
+        .mode("overwrite").save()
+      // absorb one-time expression-class/codegen init (hash/encode and
+      // the exchange+sort machinery cost ~3 s on their first execution
+      // in a fresh JVM — session setup, not query throughput)
+      import spark.implicits._
+      val tiny = Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text")
+      graft.blobl.Blobl.mappingTyped(tiny.orderBy("doc_id"),
+        """root.doc_id = this.doc_id
+          |root.h = this.text.hash("md5").encode("hex")
+          |root.s = this.text.hash("sha256").encode("base64")
+          |""".stripMargin).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -16,7 +16,12 @@ import graft.operators.{Ai, BatchOps, Dedupe, Embeddings, FlowControl, Joins, Jq
   * correctness gate. Determinism rules used throughout:
   *   - aggregates over doubles go through DECIMAL so sums are exact and
   *     order-independent, then CAST to DOUBLE for a stable output type;
-  *   - every result has a total ORDER BY;
+  *   - every result has a total ORDER BY. On per-row kernel queries the
+  *     sort is applied to the RAW INPUT and the kernel projection sits
+  *     ABOVE it: a global sort's range exchange runs a sampling pass
+  *     that re-executes its child plan, so sorting last would run an
+  *     expensive codec/hash kernel twice — per-row projections preserve
+  *     the sort order, making the two forms equivalent;
   *   - column names are aliased identically on both sides.
   */
 object SparkEntry {
@@ -439,14 +444,18 @@ object SparkEntry {
       // byte-level output is impl-specific so the gate checks identity
       import graft.functions.{CodecFunctions => C}
       C.register(s)
-      Tables.documents(s, d).select(col("doc_id"),
+      // sort-below-kernel: orderBy the raw scan, project after — the
+      // range exchange's sampling pass then re-reads the scan instead of
+      // re-running the (expensive) codec kernel; per-row projections
+      // preserve the sort order (same pattern on every kernel query)
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"),
           (C.decompress(C.compress(col("text"), "gzip"), "gzip")
             .cast("string") === col("text")).as("gzip_ok"),
           (C.decompress(C.compress(col("text"), "zstd"), "zstd")
             .cast("string") === col("text")).as("zstd_ok"),
           (C.decompress(C.compress(col("text"), "snappy"), "snappy")
             .cast("string") === col("text")).as("snappy_ok"))
-        .orderBy(col("doc_id"))
     }),
 
     "p_avro_roundtrip" -> ((s, d) => {
@@ -460,9 +469,8 @@ object SparkEntry {
           .stripMargin.replace("\n", "")
       val json = to_json(struct(col("doc_id"), col("lang")))
       val rt = C.avroDecode(C.avroEncode(json, schema), schema)
-      Tables.documents(s, d).select(col("doc_id"),
-          get_json_object(rt, "$.lang").as("lang_rt"))
-        .orderBy(col("doc_id"))
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"), get_json_object(rt, "$.lang").as("lang_rt"))
     }),
 
     "p_wire_format" -> ((s, d) => {
@@ -476,9 +484,9 @@ object SparkEntry {
           .stripMargin.replace("\n", "")
       val json = to_json(struct(col("event_id"), col("event_type")))
       val wire = C.wireEncode(json, schema, 7)
-      Tables.events(s, d).select(col("event_id"),
+      Tables.events(s, d).orderBy(col("event_id"))
+        .select(col("event_id"),
           get_json_object(C.wireDecode(wire, schema), "$.event_type").as("etype_rt"))
-        .orderBy(col("event_id"))
     }),
 
     "p_grok" -> ((s, d) => {
@@ -487,12 +495,12 @@ object SparkEntry {
       val line = concat(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(" INFO "),
         col("user_id"), lit(" evt="), col("event_type"))
-      val df = Tables.events(s, d).withColumn("line", line)
+      val df = Tables.events(s, d).orderBy(col("event_id"))
+        .withColumn("line", line)
       operators.Grok.parse(df, col("line"),
           "%{TIMESTAMP_ISO8601:tstamp} %{LOGLEVEL:level} %{WORD:guser} evt=%{WORD:etype}")
         .select(col("event_id"), col("tstamp"), col("level"),
           col("guser"), col("etype"))
-        .orderBy(col("event_id"))
     }),
 
     "p_logfmt" -> ((s, d) => {
@@ -501,11 +509,11 @@ object SparkEntry {
       val line = concat(lit("user="), col("user_id"),
         lit(" type="), col("event_type"), lit(" id="), col("event_id"))
       val m = C.parseLogfmt(line)
-      Tables.events(s, d).select(col("event_id"),
+      Tables.events(s, d).orderBy(col("event_id"))
+        .select(col("event_id"),
           element_at(m, "user").as("luser"),
           element_at(m, "type").as("ltype"),
           element_at(m, "id").cast("bigint").as("lid"))
-        .orderBy(col("event_id"))
     }),
 
     "p_yaml" -> ((s, d) => {
@@ -513,9 +521,9 @@ object SparkEntry {
       import graft.functions.{CodecFunctions => C}
       C.register(s)
       val yaml = concat(lit("lang: "), col("lang"), lit("\nid: "), col("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"),
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"),
           get_json_object(C.parseYaml(yaml), "$.lang").as("ylang"))
-        .orderBy(col("doc_id"))
     }),
 
     "p_counter" -> ((s, d) =>
@@ -551,10 +559,10 @@ object SparkEntry {
     "p_jq" -> ((s, d) =>
       // jq-subset pipeline (processors/jq.adoc:26): filter + extract
       // compiled to one variant projection
-      Jq.run(Tables.events(s, d).select(col("event_id"), col("props")),
+      Jq.run(Tables.events(s, d).select(col("event_id"), col("props"))
+            .orderBy(col("event_id")),
           "select(.k >= 50) | .k", "props", "k")
-        .select(col("event_id"), col("k"))
-        .orderBy(col("event_id"))),
+        .select(col("event_id"), col("k"))),
 
     "p_protobuf" -> ((s, d) => {
       // proto3 wire-format round-trip (processors/protobuf.adoc:26):
@@ -564,10 +572,10 @@ object SparkEntry {
       val schema = "1:event_id:int64,2:event_type:string,3:value:double"
       val json = to_json(struct(col("event_id"), col("event_type"), col("value")))
       val rt = C.protoDecode(C.protoEncode(json, schema), schema)
-      Tables.events(s, d).select(col("event_id"),
+      Tables.events(s, d).orderBy(col("event_id"))
+        .select(col("event_id"),
           get_json_object(rt, "$.event_type").as("type_rt"),
           get_json_object(rt, "$.value").cast("double").as("value_rt"))
-        .orderBy(col("event_id"))
     }),
 
     "p_msgpack" -> ((s, d) => {
@@ -577,10 +585,10 @@ object SparkEntry {
       C.register(s)
       val rt = C.msgpackDecode(C.msgpackEncode(
         call_function("graft_json_normalize", col("props"))))
-      Tables.events(s, d).select(col("event_id"),
+      Tables.events(s, d).orderBy(col("event_id"))
+        .select(col("event_id"),
           (rt === call_function("graft_json_normalize", col("props"))).as("rt_ok"),
           get_json_object(rt, "$.k").as("k"))
-        .orderBy(col("event_id"))
     }),
 
     "p_json_schema" -> ((s, d) => {
@@ -606,6 +614,7 @@ object SparkEntry {
       val doc = to_xml(struct(col("o_orderkey").as("id"),
         col("o_totalprice").as("price")))
       Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .orderBy(col("o_orderkey"))
         .select(col("o_orderkey"), from_xml(doc,
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("id",
@@ -614,7 +623,6 @@ object SparkEntry {
                 org.apache.spark.sql.types.DoubleType)))).as("r"))
         .select(col("o_orderkey"), col("r.id").as("id_rt"),
           col("r.price").as("price_rt"))
-        .orderBy(col("o_orderkey"))
     }),
 
     // ── windowing & streaming state (graft.streaming, batch mode) ────
@@ -651,72 +659,65 @@ object SparkEntry {
     "b_mapping" -> ((s, d) =>
       // `mapping` via the Bloblang front-end (mapping.adoc:26):
       // projection + string methods compiled to one Catalyst projection
-      Blobl.mappingTyped(Tables.documents(s, d),
+      Blobl.mappingTyped(Tables.documents(s, d).orderBy(col("doc_id")),
         """root.doc_id = this.doc_id
           |root.lang_uc = this.lang.uppercase()
           |root.head = this.text.slice(0, 40)
           |root.n_words = this.text.split(" ").filter(w -> w.length() > 0).length()
-          |""".stripMargin)
-        .orderBy(col("doc_id"))),
+          |""".stripMargin)),
 
     "b_string_methods" -> ((s, d) =>
-      Blobl.mappingTyped(Tables.documents(s, d),
+      Blobl.mappingTyped(Tables.documents(s, d).orderBy(col("doc_id")),
         """root.doc_id = this.doc_id
           |root.up = this.source.uppercase()
           |root.pre = this.source.has_prefix("c")
           |root.rep = this.lang.replace_all("e", "E")
           |root.cat = this.lang + ":" + this.source
           |root.rev = this.lang.reverse()
-          |""".stripMargin)
-        .orderBy(col("doc_id"))),
+          |""".stripMargin)),
 
     "b_regex_methods" -> ((s, d) =>
-      Blobl.mappingTyped(Tables.documents(s, d),
+      Blobl.mappingTyped(Tables.documents(s, d).orderBy(col("doc_id")),
         """root.doc_id = this.doc_id
           |root.has_digits = this.text.re_match("[0-9]")
           |root.novowels = this.text.slice(0, 20).re_replace_all("[aeiou]", "_")
-          |""".stripMargin)
-        .orderBy(col("doc_id"))),
+          |""".stripMargin)),
 
     "b_numeric_methods" -> ((s, d) =>
-      Blobl.mappingTyped(Tables.events(s, d),
+      Blobl.mappingTyped(Tables.events(s, d).orderBy(col("event_id")),
         """root.event_id = this.event_id
           |root.c = (this.value / 7.0).ceil()
           |root.f = (this.value / 7.0).floor()
           |root.scaled = this.value * 2.0 + 1.0
           |root.vmax = this.value.max(100.0)
-          |""".stripMargin)
-        .orderBy(col("event_id"))),
+          |""".stripMargin)),
 
     "b_timestamp_methods" -> ((s, d) =>
-      Blobl.mappingTyped(Tables.events(s, d),
+      Blobl.mappingTyped(Tables.events(s, d).orderBy(col("event_id")),
         """root.event_id = this.event_id
           |root.day = this.ts.ts_format("2006-01-02")
           |root.hm = this.ts.ts_strftime("%H:%M")
           |root.unix = this.ts.ts_unix()
-          |""".stripMargin)
-        .orderBy(col("event_id"))),
+          |""".stripMargin)),
 
     "b_methods_t2" -> ((s, d) =>
       // tranche-2 method surface: bitwise, escape_html, slice widths
-      Blobl.mappingTyped(Tables.documents(s, d),
+      Blobl.mappingTyped(Tables.documents(s, d).orderBy(col("doc_id")),
         """root.doc_id = this.doc_id
           |root.band = this.doc_id.bitwise_and(255)
           |root.u16 = this.doc_id.uint16()
           |root.esc_len = this.text.escape_html().length()
           |root.sliced = this.text.slice(0, 10)
-          |""".stripMargin)
-        .orderBy(col("doc_id"))),
+          |""".stripMargin)),
 
     "b_hash_encode" -> ((s, d) =>
-      Blobl.mappingTyped(Tables.documents(s, d),
+      Blobl.mappingTyped(Tables.documents(s, d).orderBy(col("doc_id")),
         """root.doc_id = this.doc_id
           |root.h_md5 = this.text.hash("md5").encode("hex")
           |root.h_sha = this.text.hash("sha256").encode("hex")
           |root.b64 = this.lang.encode("base64")
           |root.rt = this.lang.encode("base64").decode("base64").string()
-          |""".stripMargin)
-        .orderBy(col("doc_id"))),
+          |""".stripMargin)),
 
     "b_match_route" -> ((s, d) =>
       // match-expression routing — the Bloblang form of `switch`
@@ -733,43 +734,38 @@ object SparkEntry {
 
     "b_filter_delete" -> ((s, d) =>
       // root = deleted() as a row filter (mapping.adoc drop semantics)
-      Blobl.mappingTyped(Tables.documents(s, d),
+      Blobl.mappingTyped(Tables.documents(s, d).orderBy(col("doc_id")),
         """root.doc_id = this.doc_id
           |root.n_chars = this.n_chars
           |if this.n_chars < 300 { root = deleted() }
-          |""".stripMargin)
-        .orderBy(col("doc_id"))),
+          |""".stripMargin)),
 
     "b_pipe_coalesce" -> ((s, d) =>
       // pipe/catch error-coalescing over dynamic JSON (about.adoc:98)
-      Blobl.mappingTyped(Tables.events(s, d),
+      Blobl.mappingTyped(Tables.events(s, d).orderBy(col("event_id")),
         """root.event_id = this.event_id
           |root.k = this.props.parse_json().get("k").string().catch("none")
-          |""".stripMargin)
-        .orderBy(col("event_id"))),
+          |""".stripMargin)),
 
     "b_interpolation" -> ((s, d) => {
       // `${! … }` interpolation template → one string column
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).orderBy(col("doc_id"))
       docs.select(col("doc_id"),
         Blobl.interpolate(docs,
           "doc ${! this.doc_id } [${! this.lang.uppercase() }] ${! this.n_chars } chars")
           .as("line"))
-        .orderBy(col("doc_id"))
     }),
 
     // ── training-data ops ─────────────────────────────────────────────
     "t_token_count" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
-        .orderBy(col("doc_id"))),
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))),
 
     "t_bpe_tokens" -> ((s, d) =>
       // tokenizer-shaped counting: BPE pre-tokenizer segments (GPT-2
       // pattern family), not whitespace words
-      Tables.documents(s, d)
-        .select(col("doc_id"), T.bpeTokenCount(col("text")).as("n_bpe"))
-        .orderBy(col("doc_id"))),
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"), T.bpeTokenCount(col("text")).as("n_bpe"))),
 
     "m_embed_batch" -> ((s, d) =>
       // batched embedding generation with the deterministic offline
@@ -784,23 +780,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "t_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))),
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))),
 
     "t_dedupe_exact" -> ((s, d) =>
       Dedupe.exact(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("fp"))),
 
     "t_quality_score" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), A.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))),
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"), A.qualityScore(col("text")).as("quality"))),
 
     "t_langid" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), A.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))),
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"), A.langId(col("text")).as("lang_pred"))),
 
     "t_ngram_jaccard" -> ((s, d) =>
       Dedupe.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.35)
