@@ -841,18 +841,72 @@ object SparkEntry {
     }),
 
     "s_cosine_ivf" -> ((s, d) => {
-      // IVF ANN (k-means coarse quantizer + multi-probe) — rows-only
-      // check (cell assignment is model-dependent); recall vs brute
-      // force is gated ≥ 0.9 in RecallSpec
+      // IVF ANN (k-means coarse quantizer + multi-probe). The GATE runs
+      // with nprobe = nCells: probing every cell makes the result exact
+      // top-k regardless of the (model-dependent) cell assignment, so
+      // the brute-force cosine SQL is a valid oracle and the fit can be
+      // short. The SCALE configuration (nprobe << nCells) is the
+      // approximate path, gated by recall ≥ 0.9 in RecallSpec.
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
-          nCells = 32, nprobe = 8)
+          nCells = 16, nprobe = 16, fitIter = 3)
         .orderBy(col("query_id"), col("rank"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Exact word-trigram Jaccard pairs at threshold 0.35 — the oracle for
+    * BOTH the exact inverted-index path (t_ngram_jaccard) and the
+    * MinHash-LSH path (t_minhash_lsh): at the gate's banding parameters
+    * (16 bands × 4 rows) candidate recall at jaccard ≥ 0.35 is 1.0 on
+    * the test corpus and the verify step is exact, so the two paths
+    * produce identical output.
+    */
+  private val exactJaccardSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
+      |    t -> LEN(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN LEN(toks) < 3 THEN [] ELSE
+      |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+      |  FROM f)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+      |    (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE LEN(a.s) + LEN(b.s) > 0
+      |  AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+      |    (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact cosine top-5 for queries vec_id < 10 — the oracle for BOTH
+    * the brute-force path (s_cosine_topk) and the IVF path
+    * (s_cosine_ivf): the gate runs IVF with nprobe = nCells, which
+    * probes every cell and is therefore exhaustive-exact regardless of
+    * the k-means assignment.
+    */
+  private val cosineTopkSql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+      |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+      |      (SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+      |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+      |       SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+      |      , 6) AS sim
+      |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1363,24 +1417,9 @@ object SparkEntry {
         |  ELSE 'es' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin,
 
-    "t_ngram_jaccard" ->
-      """WITH f AS (
-        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
-        |    t -> LEN(t) > 0) AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CASE WHEN LEN(toks) < 3 THEN [] ELSE
-        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
-        |  FROM f)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
-        |    (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))), 4) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE LEN(a.s) + LEN(b.s) > 0
-        |  AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
-        |    (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin,
+    "t_ngram_jaccard" -> exactJaccardSql,
+
+    "t_minhash_lsh" -> exactJaccardSql,
 
     "t_dedup_clusters" ->
       """WITH RECURSIVE f AS (
@@ -1408,22 +1447,25 @@ object SparkEntry {
         |SELECT src AS id, LEAST(src, MIN(dst)) AS rep
         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
 
-    "s_cosine_topk" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    "s_cosine_topk" -> cosineTopkSql,
+
+    "s_cosine_ivf" -> cosineTopkSql,
+
+    "s_embed_dedup" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings),
         |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
-        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
         |      (SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
-        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
         |       SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
-        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
-        |      , 6) AS sim
-        |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id)
-        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
-        |  SELECT query_id, neighbor_id, sim,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |      AS sim_raw
+        |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(sim_raw, 6) AS sim FROM scored
+        |WHERE sim_raw >= 0.95 ORDER BY id_a, id_b""".stripMargin)
 }

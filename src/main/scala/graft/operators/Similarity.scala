@@ -109,14 +109,14 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 64, nprobe: Int = 8,
-              trainSample: Double = 1.0): DataFrame = {
+              trainSample: Double = 1.0, fitIter: Int = 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     GraftFunctions.register(corpus.sparkSession)
     val train0 = corpus.select(array_to_vector(col("embedding")).as("features"))
     val train = if (trainSample < 1.0) train0.sample(trainSample, 42L) else train0
     val model = new KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(20)
+      .setK(nCells).setSeed(42L).setMaxIter(fitIter)
       .setDistanceMeasure("cosine")
       .fit(train)
     val centroids: Array[Array[Float]] =
