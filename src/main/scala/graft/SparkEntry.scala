@@ -262,9 +262,12 @@ object SparkEntry {
 
     "t_dedup_clusters" -> ((s, d) => {
       // near-dup cluster resolution: pairs → connected components →
-      // (id, representative); the corpus-dedup step after pair mining
-      val pairs = Dedupe.ngramJaccardPairs(
-        Tables.documents(s, d), "text", "doc_id", 3, 0.35)
+      // (id, representative); the corpus-dedup step after pair mining.
+      // Pairs come from the banded-LSH path — the 100 TB default, and
+      // oracle-proven equal to the exact inverted-index pairs at these
+      // parameters (see t_minhash_lsh)
+      val pairs = Dedupe.minhashLshPairs(
+        Tables.documents(s, d), "text", "doc_id", 3, 16, 4, 0.35)
       Dedupe.resolveClusters(pairs).orderBy(col("id"))
     }),
 

@@ -135,42 +135,51 @@ object Dedupe {
     * rep = smallest id in its component — the canonical document the
     * cluster keeps.
     *
-    * Scale notes: each iteration is one join + one aggregation on the
-    * edge list; rounds needed = graph diameter (near-dup clusters are
-    * shallow — a handful of rounds). The driver only evaluates a
-    * changed-label COUNT per round for convergence. For adversarial
-    * long-chain graphs switch to star-contraction; duplicate clusters
-    * in real corpora don't need it.
+    * Scale/latency notes: the edge list carries SELF-LOOPS so one round
+    * is a single join + min-aggregation with ONE reference to the label
+    * set ("adopt the min over self ∪ neighbors"), which lets
+    * `roundsPerCheck` rounds compose lazily into one Spark action —
+    * rounds needed = graph diameter (near-dup clusters are shallow), and
+    * the driver only materializes a changed-label COUNT once per check
+    * block instead of once per round. For adversarial long-chain graphs
+    * switch to star-contraction; duplicate clusters in real corpora
+    * don't need it.
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20,
+                      roundsPerCheck: Int = 2): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+    // self-loops make the round's min cover the node's own label
+    val withSelf = edges
+      .union(edges.select(col("src"), col("src").as("dst")).distinct())
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = withSelf.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .cache()
     var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // old label rides along so the convergence check is part of the
-      // SAME cached materialization — one Spark action per round
-      val next = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("rep", "nbr_rep"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nbr_rep")).as("nbr_min"))
-        .join(labels, "id")
-        .select(col("id"), least(col("rep"), col("nbr_min")).as("rep"),
-          col("rep").as("old"))
-        .cache()
-      val changed = next.filter(col("rep") =!= col("old")).count()
+    var done = 0
+    while (!converged && done < maxIter) {
+      val n = math.min(roundsPerCheck, maxIter - done)
+      var cur = labels
+      for (_ <- 1 to n)
+        cur = withSelf
+          .join(cur.withColumnRenamed("id", "dst")
+            .withColumnRenamed("rep", "nbr_rep"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nbr_rep")).as("rep"))
+      val next = cur.cache()
+      // one materializing action per check block: count labels that
+      // still changed across the whole block
+      val changed = next.join(
+          labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") =!= col("old")).count()
       labels.unpersist()
-      labels = next.drop("old")
+      labels = next
       converged = changed == 0
-      i += 1
+      done += n
     }
-    edges.unpersist()
+    withSelf.unpersist()
     labels
   }
 
