@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JDK 17's default charset follows the (POSIX = US-ASCII) locale and
+  // Spark's variant<->JSON conversion goes through it: without this,
+  // to_json(parse_json(...)) replaces every non-ASCII character with
+  // U+FFFD. JDK 18+ (JEP 400) defaults to UTF-8 and real clusters set
+  // it explicitly; pin it here so local runs match.
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

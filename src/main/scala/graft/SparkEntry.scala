@@ -506,6 +506,24 @@ object SparkEntry {
           col("guser"), col("etype"))
     }),
 
+    "p_parse_log" -> ((s, d) => {
+      // parse_log syslog (processors/parse_log.adoc:26): RFC 5424 lines
+      // synthesized from events; <PRI>, timestamp, host, app and the
+      // free-text message parsed back out as a struct
+      import graft.functions.{CodecFunctions => C}
+      val pri = (lit(128) + pmod(col("event_id"), lit(8))).cast("string")
+      val line = concat(lit("<"), pri, lit(">1 "),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z "),
+        lit("host-"), col("user_id").cast("string"),
+        lit(" app - - - evt="), col("event_type"))
+      Tables.events(s, d).orderBy(col("event_id"))
+        .withColumn("r", C.parseSyslog(line, "rfc5424"))
+        .select(col("event_id"),
+          col("r.facility").as("facility"), col("r.severity").as("severity"),
+          col("r.ts").as("tsp"), col("r.host").as("host"),
+          col("r.app").as("app"), col("r.message").as("message"))
+    }),
+
     "p_logfmt" -> ((s, d) => {
       // parse_logfmt (methods.adoc parsing section): k=v line → map
       import graft.functions.{CodecFunctions => C}
@@ -565,6 +583,13 @@ object SparkEntry {
       Jq.run(Tables.events(s, d).select(col("event_id"), col("props"))
             .orderBy(col("event_id")),
           "select(.k >= 50) | .k", "props", "k")
+        .select(col("event_id"), col("k"))),
+
+    "p_jmespath" -> ((s, d) =>
+      // jmespath (processors/jmespath.adoc:26): same path algebra as jq,
+      // translated onto the variant compiler (Jq.jmespath)
+      Jq.jmespath(Tables.events(s, d).select(col("event_id"), col("props"))
+            .orderBy(col("event_id")), "k", "props", "k")
         .select(col("event_id"), col("k"))),
 
     "p_protobuf" -> ((s, d) => {
@@ -1208,6 +1233,18 @@ object SparkEntry {
     "p_logfmt" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS luser, event_type AS ltype,
         |  event_id AS lid
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p_parse_log" ->
+      """SELECT event_id, CAST(16 AS INT) AS facility,
+        |  CAST(event_id % 8 AS INT) AS severity,
+        |  STRFTIME(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS tsp,
+        |  'host-' || CAST(user_id AS VARCHAR) AS host,
+        |  'app' AS app, 'evt=' || event_type AS message
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p_jmespath" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
     "p_yaml" ->

@@ -179,6 +179,10 @@ object Methods {
     case "slug" =>
       BV(regexp_replace(regexp_replace(lower(trim(asString(recv))),
         "[^a-z0-9\\s-]", ""), "[\\s-]+", "-"), S)
+    case "unicode_segments" =>
+      // grapheme/word/sentence segmentation (BreakIterator kernel)
+      BV(call_function("graft_unicode_segments", asString(recv),
+        lit(litStr(args(0)))), A(S))
 
     // ── regexp (methods.adoc:797-954) ─────────────────────────────────
     case "re_match" => BV(asString(recv).rlike(litStr(args(0))), B)

@@ -178,6 +178,12 @@ object Processors {
       case "log" =>
         df => Observe.logSample(df, every = body.path("every").asLong(1000),
           prefix = body.path("prefix").asText("pipeline"))
+      case "parse_log" =>
+        // processors/parse_log.adoc:26 — syslog line → structured JSON
+        val fmt = body.path("format").asText("syslog_rfc5424")
+        val f = if (fmt.contains("3164")) "rfc3164" else "rfc5424"
+        df => df.withColumn("value",
+          to_json(graft.functions.CodecFunctions.parseSyslog(col("value"), f)))
       case other => throw new IllegalArgumentException(
         s"processor '$other' not supported in config form yet")
     }

@@ -73,4 +73,42 @@ object CodecFunctions {
     */
   def parseLogfmt(line: Column): Column =
     str_to_map(line, lit(" "), lit("="))
+
+  /** parse_log (processors/parse_log.adoc:26), syslog formats → struct.
+    * Pure regexp_extract composition: codegen'd, no UDF, and the regex
+    * dialect is restricted to the Java∩RE2 common subset so a DuckDB
+    * oracle can apply the identical patterns. facility/severity decode
+    * the <PRI> header (pri = facility*8 + severity).
+    *
+    * "rfc5424": `<PRI>1 TS HOST APP PROC MSGID [SD]|- MSG`
+    * "rfc3164": `<PRI>MMM dd HH:mm:ss HOST TAG[PID]: MSG`
+    */
+  def parseSyslog(line: Column, format: String): Column = {
+    val pri = regexp_extract(line, "^<(\\d{1,3})>", 1).cast("int")
+    val fac = floor(pri / 8).cast("int").as("facility")
+    val sev = pmod(pri, lit(8)).cast("int").as("severity")
+    format match {
+      case "rfc5424" =>
+        val re = "^<\\d{1,3}>\\d+ (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
+          "(?:\\[[^\\]]*\\]|-) ?(.*)$"
+        struct(fac, sev,
+          regexp_extract(line, re, 1).as("ts"),
+          regexp_extract(line, re, 2).as("host"),
+          regexp_extract(line, re, 3).as("app"),
+          regexp_extract(line, re, 4).as("procid"),
+          regexp_extract(line, re, 5).as("msgid"),
+          regexp_extract(line, re, 6).as("message"))
+      case "rfc3164" =>
+        val re = "^<\\d{1,3}>([A-Z][a-z]{2} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}) " +
+          "(\\S+) ([^:\\[ ]+)(?:\\[(\\d+)\\])?: (.*)$"
+        struct(fac, sev,
+          regexp_extract(line, re, 1).as("ts"),
+          regexp_extract(line, re, 2).as("host"),
+          regexp_extract(line, re, 3).as("app"),
+          regexp_extract(line, re, 4).as("procid"),
+          regexp_extract(line, re, 5).as("message"))
+      case other =>
+        throw new IllegalArgumentException(s"parse_log format: $other")
+    }
+  }
 }

@@ -222,4 +222,28 @@ object ArchiveOps {
   def chunkMarkdownData(text: UTF8String, chunkSize: Int, overlap: Int): ArrayData =
     new GenericArrayData(chunkMarkdown(text.toString, chunkSize, overlap)
       .map(UTF8String.fromString(_): Any))
+
+  /** unicode_segments (bloblang methods.adoc string section; reference
+    * impl internal/impl/lang/bloblang.go): segment a string into
+    * grapheme clusters, words, or sentences via the JDK BreakIterator
+    * (UAX #29 boundaries — no external ICU dependency).
+    */
+  def unicodeSegments(text: UTF8String, mode: UTF8String): ArrayData = {
+    val str = text.toString
+    val it = mode.toString match {
+      case "word"     => java.text.BreakIterator.getWordInstance(java.util.Locale.ROOT)
+      case "sentence" => java.text.BreakIterator.getSentenceInstance(java.util.Locale.ROOT)
+      case _          => java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+    }
+    it.setText(str)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = it.first()
+    var end = it.next()
+    while (end != java.text.BreakIterator.DONE) {
+      out += UTF8String.fromString(str.substring(start, end))
+      start = end
+      end = it.next()
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -247,6 +247,31 @@ case class ChunkMarkdown(child: Expression, chunkSize: Int, overlap: Int)
     copy(child = newChild)
 }
 
+/** unicode_segments(mode) — grapheme/word/sentence segmentation over
+  * JDK BreakIterator boundaries (see ArchiveOps.unicodeSegments).
+  */
+case class UnicodeSegments(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left.dataType, right.dataType), Seq(StringType, StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unicode_segments"
+
+  override protected def nullSafeEval(s: Any, m: Any): Any =
+    ArchiveOps.unicodeSegments(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      m.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, m) =>
+      s"graft.functions.expressions.ArchiveOps.unicodeSegments($s, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -468,7 +493,9 @@ object GraftFunctions {
         intArg(es(1), "chunkSize"), intArg(es(2), "overlap"))),
     "graft_chunk_markdown" -> ((es: Seq[Expression]) =>
       ChunkMarkdown(es(0),
-        intArg(es(1), "chunkSize"), intArg(es(2), "overlap"))))
+        intArg(es(1), "chunkSize"), intArg(es(2), "overlap"))),
+    "graft_unicode_segments" -> ((es: Seq[Expression]) =>
+      UnicodeSegments(es(0), es(1))))
 
   /** Idempotent: re-registering an existing name is skipped, so calling
     * this per-operator neither spams "replaced a previously registered

@@ -366,4 +366,21 @@ class BloblSpec extends SparkSpec {
     assert(m.get("iso").asLong == 5400000000000L)
     assert(m.get("xml").asText == """<order id="7"><item>a</item><item>b</item></order>""")
   }
+
+  test("unicode_segments: graphemes, words, sentences") {
+    val src = """root.g = this.s.unicode_segments("grapheme")
+                |root.w = this.s.unicode_segments("word").filter(t -> t.trim() != "")
+                |root.n = this.p.unicode_segments("sentence").length()""".stripMargin
+    // e + combining acute (2 code points, ONE grapheme cluster); built
+    // via escapes so the source file stays ASCII-only
+    val eAcute = "e\u0301"
+    val in = "{\"s\":\"a" + eAcute + "b cd\",\"p\":\"One. Two! Three?\"}"
+    val out = mapped(src, Map.empty, in).head
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    assert(m.get("g").size == 6, "a, e-acute, b, space, c, d")
+    assert(m.get("g").get(1).asText == eAcute)
+    assert(m.get("w").size == 2)
+    assert(m.get("w").get(0).asText == "a" + eAcute + "b")
+    assert(m.get("n").asInt == 3)
+  }
 }

@@ -159,4 +159,25 @@ class CodecSpec extends SparkSpec {
     assert(n.get("missing").asText == "", "absent field gets proto3 default")
     assert(!n.has("name"), "unknown field 2 skipped")
   }
+
+  test("parse_log decodes RFC 3164 and RFC 5424 syslog lines") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lines = Seq(
+      ("<34>Oct 11 22:14:15 mymachine su[123]: 'su root' failed", "rfc3164"),
+      ("<165>1 2003-10-11T22:14:15Z mymachine.example.com evntslog 123 ID47 " +
+        "[exampleSDID@32473 iut=\"3\"] BOMAn application event", "rfc5424"))
+      .toDF("line", "fmt")
+    val r3 = lines.filter($"fmt" === "rfc3164")
+      .select(CodecFunctions.parseSyslog($"line", "rfc3164").as("r"))
+      .select($"r.facility", $"r.severity", $"r.host", $"r.app", $"r.procid", $"r.message")
+      .as[(Int, Int, String, String, String, String)].head()
+    assert(r3 == ((4, 2, "mymachine", "su", "123", "'su root' failed")))
+    val r5 = lines.filter($"fmt" === "rfc5424")
+      .select(CodecFunctions.parseSyslog($"line", "rfc5424").as("r"))
+      .select($"r.facility", $"r.severity", $"r.ts", $"r.host", $"r.app", $"r.message")
+      .as[(Int, Int, String, String, String, String)].head()
+    assert(r5 == ((20, 5, "2003-10-11T22:14:15Z", "mymachine.example.com",
+      "evntslog", "BOMAn application event")))
+  }
 }
