@@ -88,6 +88,54 @@ object StatefulOps {
       }
   }
 
+  /** The reference `cache` processor's add/get flow on the
+    * `transformWithState` API (Spark 4 StatefulProcessor): the FIRST
+    * value seen per key is stored in a ValueState with a NATIVE per-key
+    * TTL — the state store expires entries itself, with no timer
+    * registration (and so none of the continuous-empty-micro-batch
+    * behavior that processing-time timeouts cause under the default
+    * trigger; see [[firstValueCache]]). After expiry the next message
+    * re-seeds the cache, matching the reference's TTL cache semantics
+    * (docs/…/caches/memory.adoc default_ttl).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `…state.RocksDBStateStoreProvider`) — the transformWithState
+    * operator does not run on the default HDFS-backed store.
+    */
+  def ttlCache(df: DataFrame, ttl: java.time.Duration): Dataset[Hydrated] = {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    df.selectExpr("CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value", "CAST(ts AS TIMESTAMP) AS ts")
+      .as[Msg]
+      .groupByKey(_.key)
+      .transformWithState[Hydrated](new TtlCacheProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  private class TtlCacheProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Msg, Hydrated] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var first: org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[String]("first", Encoders.STRING,
+        TTLConfig(ttl))
+
+    override def handleInputRows(key: String, rows: Iterator[Msg],
+                                 timers: TimerValues): Iterator[Hydrated] = {
+      var cached = Option(first.get())
+      val out = rows.map { m =>
+        if (cached.isEmpty) {
+          cached = Some(m.value)
+          first.update(m.value) // seed (re-seed after expiry); TTL runs from the write
+        }
+        Hydrated(key, m.value, cached.get)
+      }.toVector
+      out.iterator
+    }
+  }
+
   /** Batch analogs (the oracle-checkable forms of the same semantics —
     * one window shuffle each).
     */

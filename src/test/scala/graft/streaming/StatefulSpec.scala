@@ -74,6 +74,44 @@ class StatefulSpec extends SparkSpec {
     assert(cached == Seq(("a1", "a1"), ("a2", "a1"), ("b1", "b1")))
   }
 
+  test("transformWithState ttlCache hydrates, expires, and re-seeds") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState runs only on the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, String, Timestamp)]
+      val out = StatefulOps.ttlCache(mem.toDF.toDF("key", "value", "ts"),
+        java.time.Duration.ofSeconds(8))
+      // processing-time state TTL makes the engine schedule a batch per
+      // trigger regardless of data, so processAllAvailable never
+      // settles — poll the sink for the expected row count instead
+      val q = out.writeStream.format("memory").queryName("twscache")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .outputMode("append").start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (spark.table("twscache").count() < n) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
+          Thread.sleep(200)
+        }
+      }
+      try {
+        mem.addData(("k", "v1", ts("2021-01-01 00:00:01")))
+        awaitRows(1)
+        mem.addData(("k", "v2", ts("2021-01-01 00:00:02")))
+        awaitRows(2)              // within the 8 s TTL: cached = v1
+        Thread.sleep(10000)       // let the TTL lapse
+        mem.addData(("k", "v3", ts("2021-01-01 00:00:03")))
+        awaitRows(3)              // expired: v3 re-seeds the cache
+        val rows = spark.sql("SELECT value, cached FROM twscache ORDER BY value")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        assert(rows == Seq(("v1", "v1"), ("v2", "v1"), ("v3", "v3")))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("foreachBatch fan-out delivers each micro-batch to every sink") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Int]
