@@ -39,10 +39,21 @@ object Compiler {
     * reads it, and a mapping that never assigns root passes it through
     * untouched (even non-JSON content, per config/test/filters.yaml).
     */
+
+  /** Variant path for a field chain: plain identifiers use dot form,
+    * anything else (keys with dots/spaces — `this."service.name"`)
+    * uses the bracket-quoted form variant_get also accepts.
+    */
+  private[blobl] def vpath(segs: Seq[String]): String =
+    "$" + segs.map { seg =>
+      if (seg.matches("[A-Za-z_][A-Za-z0-9_]*")) "." + seg
+      else "['" + seg.replace("'", "\\'") + "']"
+    }.mkString
+
   case class Json(thisCol: Column, rawCol: Column) extends Binding {
     def resolveThis(segs: Seq[String]): BV =
       if (segs.isEmpty) BV(thisCol, V)
-      else BV(variant_get(thisCol, "$." + segs.mkString("."), "variant"), V)
+      else BV(variant_get(thisCol, vpath(segs), "variant"), V)
   }
 
   /** `this.<field>` = typed column; deeper segs use struct access. */
@@ -69,7 +80,7 @@ object Compiler {
         val base = BV(col(head), types.getOrElse(head,
           throw new IllegalArgumentException(s"unknown column: $head")))
         rest.foldLeft(base)((b, seg) =>
-          BV(variant_get(asVariant(b), s"$$.$seg", "variant"), V))
+          BV(variant_get(asVariant(b), vpath(Seq(seg)), "variant"), V))
     }
   }
 
@@ -86,7 +97,7 @@ object Compiler {
     def resolveThis(segs: Seq[String]): BV = thisOverride match {
       case Some(base) =>
         segs.foldLeft(base)((b, seg) =>
-          BV(variant_get(asVariant(b), s"$$.$seg", "variant"), V))
+          BV(variant_get(asVariant(b), vpath(Seq(seg)), "variant"), V))
       case None => binding.resolveThis(segs)
     }
   }
@@ -133,7 +144,7 @@ object Compiler {
       env.vars.get(segs.head) match {
         case Some(base) =>
           segs.tail.foldLeft(base)((b, seg) =>
-            BV(variant_get(asVariant(b), s"$$.$seg", "variant"), V))
+            BV(variant_get(asVariant(b), vpath(Seq(seg)), "variant"), V))
         case None => env.resolveThis(segs)
       }
 

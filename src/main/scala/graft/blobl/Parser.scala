@@ -105,13 +105,21 @@ object Parser extends RegexParsers {
     ifExpr | matchExpr | strLit | numLit | boolLit | nullLit |
       arrLit | objLit | thisPath | varRef | metaRef | parens | fnOrBare
 
-  // method-call / field-access postfix chain
+  // method-call / field-access postfix chain; a QUOTED segment
+  // (`this."service.name"` — keys containing dots, reference bloblang
+  // about.adoc path syntax) is always a field access
+  private def pathSeg: Parser[(String, Option[Seq[Expr]])] =
+    (strLit ^^ (s => (s.v, None: Option[Seq[Expr]]))) |
+      (ident ~ opt("(" ~> repsep(expr, ",") <~ ")") ^^ {
+        case n ~ a => (n, a.map(_.toSeq))
+      })
+
   private def postfixed: Parser[Expr] =
-    primary ~ rep("." ~> ident ~ opt("(" ~> repsep(expr, ",") <~ ")")) ^^ {
+    primary ~ rep("." ~> pathSeg) ^^ {
       case base ~ chain =>
         chain.foldLeft(base) {
-          case (recv, name ~ Some(args)) => MethodCall(recv, name, args)
-          case (recv, name ~ None) =>
+          case (recv, (name, Some(args))) => MethodCall(recv, name, args)
+          case (recv, (name, None)) =>
             recv match {
               case ThisPath(segs) => ThisPath(segs :+ name)
               case BarePath(segs) => BarePath(segs :+ name)
@@ -143,7 +151,7 @@ object Parser extends RegexParsers {
 
   // ── statements ──────────────────────────────────────────────────────
   private def rootAssign: Parser[Stmt] =
-    ("root\\b".r ~> rep("." ~> ident)) ~ ("=" ~> expr) ^^ {
+    ("root\\b".r ~> rep("." ~> (ident | strLit ^^ (_.v)))) ~ ("=" ~> expr) ^^ {
       case segs ~ v => RootAssign(segs, v)
     }
 

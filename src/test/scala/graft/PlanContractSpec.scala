@@ -66,4 +66,35 @@ class PlanContractSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("kernel queries keep the sort BELOW the kernel projection") {
+    // a global sort's range exchange samples its child plan, so an
+    // expensive kernel above the sort runs once while a kernel below it
+    // runs twice — SparkEntry's kernel queries must plan as
+    // Project(kernel) over Sort over the raw scan (see the SparkEntry
+    // header's determinism notes)
+    // AQE off: executedPlan of an un-run adaptive plan hides the
+    // physical sort nodes from collect()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("p_compress", "p_protobuf", "b_hash_encode")) {
+        val q = SparkEntry.queries(name)(spark, sf)
+        val plan = q.queryExecution.executedPlan
+        val sorts = plan.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+        assert(sorts.nonEmpty, s"$name: expected a global sort in the plan")
+        // the sort's input must be raw table columns only — no kernel
+        // output columns (which would mean the projection sank below it)
+        sorts.foreach { s =>
+          val cols = s.child.schema.fieldNames.toSet
+          val rawCols = Set("doc_id", "text", "lang", "source", "n_chars",
+            "event_id", "user_id", "event_type", "value", "props", "ts")
+          assert(cols.subsetOf(rawCols),
+            s"$name: sort input carries derived columns: $cols")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
