@@ -70,6 +70,33 @@ object Blobl {
     withThis.filter(!res.deleted).select(sel.toSeq: _*)
   }
 
+  /** `branch.result_map` (processors/branch.adoc:26): map fields of a
+    * child-branch RESULT document (`this` = `branchCol`) back onto the
+    * ORIGINAL document (`root` starts as `rootCol`). The merged doc
+    * replaces `rootCol`; `branchCol` is dropped.
+    */
+  def resultMap(df: DataFrame, src: String,
+                branchCol: String, rootCol: String,
+                envVars: Map[String, String] = Map.empty,
+                metadataCol: Option[String] = None): DataFrame = {
+    Compiler.prepare(df)
+    val m = Parser.parse(src)
+    val env = Compiler.Env(
+      Compiler.Json(try_parse_json(col(branchCol)), col(branchCol)),
+      Map.empty, metadataCol.map(col), envVars)
+    val init = call_function("graft_json_normalize", col(rootCol))
+    val res = Compiler.runStatements(m.stmts, init, env)
+    val newValue = when(res.assigned,
+      call_function("graft_json_normalize", res.rootJson))
+      .otherwise(col(rootCol))
+    val sel = df.columns.filterNot(_ == branchCol).map {
+      case c if c == rootCol => newValue.as(rootCol)
+      case c if metadataCol.contains(c) => res.meta.getOrElse(col(c)).as(c)
+      case c => col(c)
+    }
+    df.filter(!res.deleted).select(sel.toSeq: _*)
+  }
+
   /** `mapping` in TYPED mode: `this.<field>` binds to typed columns and
     * every `root.<name> = …` assignment becomes an output column named
     * `<name>` (nested paths unsupported here — use JSON mode). The fast
@@ -133,21 +160,63 @@ object Blobl {
     Compiler.compile(Parser.parseExpr(src), env).col
   }
 
-  /** Interpolation string `text ${! expr } text` → one string Column
-    * (reference: docs/…/configuration — `${! … }` in any field).
+  /** Compile a standalone expression against a JSON envelope (`this` =
+    * the parsed payload column) — the binding used by config-form
+    * predicate fields (`switch.cases[].check`, `group_by.check`,
+    * reference processors/switch.adoc:26) where the document is the
+    * message payload, not typed columns.
     */
-  def interpolate(df: DataFrame, template: String,
-                  envVars: Map[String, String] = Map.empty): Column = {
+  def exprJson(df: DataFrame, src: String,
+               envVars: Map[String, String] = Map.empty,
+               valueCol: String = "value",
+               metadataCol: Option[String] = None): Column = {
+    Compiler.prepare(df)
+    val env = Compiler.Env(
+      Compiler.Json(try_parse_json(col(valueCol)), col(valueCol)),
+      Map.empty, metadataCol.map(col), envVars)
+    Compiler.compile(Parser.parseExpr(src), env).col
+  }
+
+  /** Boolean predicate over the JSON envelope; null ⇒ false (the
+    * reference's check fields treat non-true as no-match).
+    */
+  def predicateJson(df: DataFrame, src: String,
+                    envVars: Map[String, String] = Map.empty,
+                    valueCol: String = "value",
+                    metadataCol: Option[String] = None): Column =
+    coalesce(exprJson(df, src, envVars, valueCol, metadataCol)
+      .cast("boolean"), lit(false))
+
+  /** Interpolation `text ${! expr } text` with `this` bound to the JSON
+    * payload (config-form string fields, e.g. `group_by_value.value`,
+    * cache keys — docs/…/processors/group_by_value.adoc:26).
+    */
+  def interpolateJson(df: DataFrame, template: String,
+                      envVars: Map[String, String] = Map.empty,
+                      valueCol: String = "value",
+                      metadataCol: Option[String] = None): Column =
+    interpolateWith(template,
+      src => exprJson(df, src, envVars, valueCol, metadataCol))
+
+  private def interpolateWith(template: String,
+                              compile: String => Column): Column = {
     val parts = scala.collection.mutable.Buffer.empty[Column]
     val re = java.util.regex.Pattern.compile("\\$\\{!([^}]*)\\}")
     val mt = re.matcher(template)
     var last = 0
     while (mt.find()) {
       if (mt.start() > last) parts += lit(template.substring(last, mt.start()))
-      parts += exprTyped(df, mt.group(1).trim, envVars).cast("string")
+      parts += compile(mt.group(1).trim).cast("string")
       last = mt.end()
     }
     if (last < template.length) parts += lit(template.substring(last))
     if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
   }
+
+  /** Interpolation string `text ${! expr } text` → one string Column
+    * (reference: docs/…/configuration — `${! … }` in any field).
+    */
+  def interpolate(df: DataFrame, template: String,
+                  envVars: Map[String, String] = Map.empty): Column =
+    interpolateWith(template, src => exprTyped(df, src, envVars))
 }

@@ -358,6 +358,35 @@ object Methods {
     case "merge" =>
       BV(call_function("graft_json_merge", toJsonText(recv),
         toJsonText(v(args(0)))), J)
+    case "assign" =>
+      // merge with override (source wins on conflict, arrays concat) —
+      // methods.adoc assign
+      BV(call_function("graft_json_assign", toJsonText(recv),
+        toJsonText(v(args(0)))), J)
+    case "diff" =>
+      // changelog of create/update/delete ops vs the other value —
+      // methods.adoc diff (r3-style {From,Path,To,Type} entries)
+      BV(parse_json(call_function("graft_json_diff", toJsonText(recv),
+        toJsonText(v(args(0))))), A(V))
+    case "infer_schema" =>
+      BV(parse_json(call_function("graft_json_infer_schema",
+        toJsonText(recv))), V)
+    case "vector" =>
+      // pgvector literal "[v1,v2,…]" — the JSON text of a numeric
+      // array IS the pgvector format (methods.adoc vector)
+      BV(call_function("graft_json_normalize", toJsonText(recv)), S)
+    case "bloblang" =>
+      // dynamic mapping with a literal source (methods.adoc bloblang):
+      // compiled ONCE at plan build like every other mapping — a
+      // non-literal mapping argument would need per-row compilation,
+      // which the distributed engine rejects by design
+      val m = Parser.parse(litStr(args(0)))
+      val env = Compiler.Env(
+        Compiler.Json(asVariant(recv), toJsonText(recv)),
+        Map.empty, None, Map.empty)
+      val res = Compiler.runStatements(m.stmts, lit("{}"), env)
+      BV(parse_json(when(!res.deleted && res.assigned,
+        call_function("graft_json_normalize", res.rootJson))), V)
     case "without" =>
       BV(call_function("graft_json_without", toJsonText(recv),
         lit(args.map(litStr).mkString(","))), J)
@@ -559,12 +588,20 @@ object Methods {
       BV(parse_json(call_function("graft_re_find_object", asString(recv),
         lit(litStr(args(0))), lit("true"))), A(V))
     case "re_replace" => apply(recv, "re_replace_all", args)
-    case "sign_jwt_hs256" | "sign_jwt_hs384" | "sign_jwt_hs512" =>
+    // HS = shared secret; RS/ES = PEM key material (PKCS#8 private to
+    // sign, X.509/SPKI public to verify) — methods.adoc JWT section
+    case "sign_jwt_hs256" | "sign_jwt_hs384" | "sign_jwt_hs512" |
+         "sign_jwt_rs256" | "sign_jwt_rs384" | "sign_jwt_rs512" |
+         "sign_jwt_es256" | "sign_jwt_es384" | "sign_jwt_es512" =>
       BV(call_function("graft_sign_jwt", toJsonText(recv),
-        lit(litStr(args(0))), lit("HS" + name.takeRight(3))), S)
-    case "parse_jwt_hs256" | "parse_jwt_hs384" | "parse_jwt_hs512" =>
+        lit(litStr(args(0))),
+        lit(name.stripPrefix("sign_jwt_").toUpperCase)), S)
+    case "parse_jwt_hs256" | "parse_jwt_hs384" | "parse_jwt_hs512" |
+         "parse_jwt_rs256" | "parse_jwt_rs384" | "parse_jwt_rs512" |
+         "parse_jwt_es256" | "parse_jwt_es384" | "parse_jwt_es512" =>
       BV(parse_json(call_function("graft_parse_jwt", asString(recv),
-        lit(litStr(args(0))), lit("HS" + name.takeRight(3)))), V)
+        lit(litStr(args(0))),
+        lit(name.stripPrefix("parse_jwt_").toUpperCase))), V)
     case "replace_many" | "replace_all_many" =>
       // flat [from1, to1, from2, to2, …] literal list like the reference
       val pairs = args.map(litStr).grouped(2).toSeq
@@ -589,8 +626,10 @@ object Methods {
       val violation = call_function("graft_json_schema_check",
         toJsonText(recv), lit(litStr(args(0))))
       BV(when(violation.isNull, asVariant(recv)), V)
-    case "patch" => // JSON merge-patch shape via deep merge
-      BV(parse_json(call_function("graft_json_merge",
+    case "patch" =>
+      // apply a diff-format changelog (methods.adoc patch pairs with
+      // diff's {From,Path,To,Type} entries)
+      BV(parse_json(call_function("graft_json_patch",
         toJsonText(recv), toJsonText(v(args(0))))), V)
     case "compress" =>
       BV(call_function("graft_compress", asBinary(recv), lit(litStr(args(0)))), Bin)

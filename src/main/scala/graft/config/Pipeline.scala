@@ -147,14 +147,36 @@ object Pipeline {
 
 /** Config-form processor vocabulary, shared by [[Pipeline]] and the
   * declarative test harness ([[graft.testkit.DeclarativeTest]]).
+  *
+  * Covers every reference processor family that is expressible in this
+  * environment. Connector-bound processors (mongodb/redis/nats/jira/
+  * slack/google_drive/qdrant/azure_cosmosdb/aws/gcp families and the
+  * javascript/wasm/ffi embedded runtimes) need jars or network the
+  * container lacks — `compile` rejects them with an "environment-blocked"
+  * message rather than a silent stub. Cloud AI chat processors
+  * (`openai_chat_completion`, `ollama_chat`, `cohere_chat`, …) compile
+  * onto the pluggable batched client of [[graft.operators.Ai]].
+  *
+  * Envelope contract: the payload is `value: string`; `metadata:
+  * map<string,string>` optional; `error: string` is the error channel;
+  * `__seq: long` (input order) is used as the in-batch ordinal by
+  * part-indexed ops — synthesized from the split ordinal when an
+  * exploding processor (unarchive/text_chunker/string_split) multiplies
+  * rows. Binary payloads (compress/avro/protobuf/msgpack encodings)
+  * travel base64-encoded in `value` — the envelope stays a string
+  * column; a production sink that wants raw bytes applies `unbase64`.
   */
 object Processors {
+
+  import graft.operators.{Ai, Command, FlowControl, Grok}
+  import graft.functions.{CodecFunctions, TextFunctions}
 
   def compile(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame = {
     val fields = p.properties().asScala.toSeq
     require(fields.size == 1, s"processor must have exactly one key: $p")
     val (kind, body) = (fields.head.getKey, fields.head.getValue)
     kind match {
+      // ── mapping layer ────────────────────────────────────────────
       case "mapping" | "bloblang" =>
         df => Blobl.mapping(df, body.asText, env,
           metadataCol = metaColOf(df))
@@ -163,31 +185,497 @@ object Processors {
           metadataCol = metaColOf(df))
       case "jq" =>
         df => Jq.run(df, body.asText, "value", "value")
+      case "jmespath" =>
+        // processors/jmespath.adoc:26 — path query replaces the doc
+        df => Jq.jmespath(df, body.path("query").asText(body.asText),
+          "value", "value")
       case "noop" => identity
+
+      // ── flow control / error channel (§2.2) ──────────────────────
+      case "switch" =>
+        // processors/switch.adoc:26 — first matching case's processors
+        // run; non-matching messages pass through unchanged
+        val cases = body.elements().asScala.toSeq.map { c =>
+          val check = Option(c.get("check")).map(_.asText).filter(_.nonEmpty)
+          val procs = children(c.get("processors"), env)
+          (check, procs)
+        }
+        df => {
+          val claimed = cases.foldLeft((lit(false), Seq.empty[DataFrame])) {
+            case ((taken, outs), (check, procs)) =>
+              val pred = check.map(Blobl.predicateJson(df, _, env,
+                metadataCol = metaColOf(df))).getOrElse(lit(true))
+              val mine = df.filter(!taken && pred)
+              (taken || pred, outs :+ procs(mine))
+          }
+          val untouched = df.filter(!claimed._1)
+          (claimed._2 :+ untouched)
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        }
+      case "branch" =>
+        // processors/branch.adoc:26 — request_map → child processors →
+        // result_map merged back onto the original by row id
+        val reqMap = Option(body.get("request_map")).map(_.asText)
+        val procs = children(body.get("processors"), env)
+        val resMap = Option(body.get("result_map")).map(_.asText)
+        df => {
+          val keyed = withSeq(df)
+          val req0 = keyed.select(col("__seq").as("__bid"),
+            col("value"))
+          val req = reqMap.map(Blobl.mapping(req0, _, env)).getOrElse(req0)
+          val branched = procs(req)
+            .select(col("__bid"), col("value").as("__branch_value"))
+          val joined = keyed.join(branched,
+            keyed("__seq") === branched("__bid"), "left").drop("__bid")
+          resMap match {
+            case Some(rm) => Blobl.resultMap(joined, rm,
+              "__branch_value", "value", env, metaColOf(df))
+            case None => joined.drop("__branch_value")
+          }
+        }
+      case "try" =>
+        // processors/try.adoc:26 — children skip already-errored rows
+        val procs = children(body, env)
+        df => {
+          val d = FlowControl.withErrorChannel(df)
+          procs(d.filter(col("error").isNull))
+            .unionByName(d.filter(col("error").isNotNull),
+              allowMissingColumns = true)
+        }
+      case "catch" =>
+        // processors/catch.adoc:26 — children run on errored rows only,
+        // then the error clears
+        val procs = children(body, env)
+        df => FlowControl.catchErrors(df, procs)
+      case "retry" =>
+        // processors/retry.adoc:26 — re-run children on still-errored
+        // rows up to max_retries (deterministic transforms converge
+        // after one pass; the loop matters for external-call children)
+        val procs = children(body.get("processors"), env)
+        val maxRetries = body.path("max_retries").asInt(3)
+        df => {
+          var cur = procs(FlowControl.withErrorChannel(df))
+          var i = 0
+          while (i < maxRetries) {
+            val ok = cur.filter(col("error").isNull)
+            val redo = cur.filter(col("error").isNotNull)
+              .withColumn("error", lit(null).cast("string"))
+            cur = ok.unionByName(procs(redo), allowMissingColumns = true)
+            i += 1
+          }
+          cur
+        }
+      case "for_each" | "processors" =>
+        // per-message singleton batches = Spark's default row semantics
+        children(body, env)
+      case "parallel" =>
+        val procs = children(body.get("processors"), env)
+        val cap = body.path("cap").asInt(0)
+        df => FlowControl.parallel(df, procs,
+          if (cap > 0) Some(cap) else None)
+      case "while" =>
+        // processors/while.adoc:26 — driver-bounded re-application
+        val check = body.get("check").asText
+        val procs = children(body.get("processors"), env)
+        val maxLoops = body.path("max_loops").asInt(10)
+        df => FlowControl.whileLoop(df,
+          d => !d.filter(Blobl.predicateJson(d, check, env,
+            metadataCol = metaColOf(d))).isEmpty,
+          procs, maxLoops)
+      case "workflow" =>
+        // processors/workflow.adoc:25-90 — DAG of named branches; each
+        // stage is a branch-shaped processor applied in dependency order
+        val order = body.get("order").elements().asScala.toSeq
+          .map(_.asText)
+        val stages = body.get("branches")
+        order.map(n => compile(
+            yamlObj("branch", stages.get(n)), env))
+          .reduce((a, b) => a.andThen(b))
+      case "crash" =>
+        val check = body.path("check").asText("true")
+        val msg = body.path("message").asText("crash processor reached")
+        df => Observe.crashOn(df,
+          Blobl.predicateJson(df, check, env, metadataCol = metaColOf(df)), msg)
+      case "sleep" =>
+        // processors/sleep.adoc:26 — backpressure belongs to source
+        // admission in Spark (Resources.rateLimitOptions); in-plan sleep
+        // is identity
+        identity
+      case "rate_limit" =>
+        // rate_limits/local.adoc:26 — admission control is a SOURCE
+        // option in Spark (maxRowsPerTrigger); in-plan form is identity
+        identity
+      case "log" =>
+        df => Observe.logSample(df, every = body.path("every").asLong(1000),
+          prefix = body.path("prefix").asText("pipeline"))
+      case "metric" =>
+        val name = body.path("name").asText("pipeline_metric")
+        df => Observe.metric(df, name,
+          Seq(count(lit(1)).as("count")))._1
+      case "benchmark" =>
+        // processors/benchmark.adoc:26 — rows/s via an Observation; the
+        // plan is unchanged
+        df => Observe.metric(df, "benchmark",
+          Seq(count(lit(1)).as("rows")))._1
+
+      // ── batch restructuring (§2.3) ───────────────────────────────
+      case "group_by" =>
+        // processors/group_by.adoc:26 — first matching predicate wins;
+        // the group id lands in metadata (the reference regroups
+        // batches; group-tagging is the flat-stream equivalent)
+        val checks = body.elements().asScala.toSeq
+          .map(c => c.get("check").asText)
+        df => {
+          val preds = checks.map(Blobl.predicateJson(df, _, env,
+            metadataCol = metaColOf(df)))
+          tagMeta(df, "group",
+            preds.zipWithIndex.foldRight(lit(-1): Column) {
+              case ((p, i), acc) => when(p, lit(i)).otherwise(acc)
+            }.cast("string"))
+        }
+      case "group_by_value" =>
+        val tpl = body.path("value").asText(body.asText)
+        df => tagMeta(df, "group",
+          Blobl.interpolateJson(df, tpl, env, metadataCol = metaColOf(df)))
+      case "split" =>
+        // processors/split.adoc:26 — size-N sub-batches by input order
+        val n = body.path("size").asInt(1)
+        df => tagMeta(withSeq(df), "sub_batch",
+          floor(col("__seq") / n).cast("string"))
+      case "select_parts" =>
+        val parts = body.get("parts").elements().asScala.toSeq.map(_.asInt)
+        df => BatchOps.selectParts(withSeq(df), lit(0), col("__seq"), parts)
+          .drop("batch_idx")
+      case "insert_part" =>
+        val index = body.path("index").asInt(-1)
+        val content = body.path("content").asText("")
+        // the inserted message has no source row, so content must be a
+        // literal (per-row interpolation has nothing to bind to)
+        require(!content.contains("${!"),
+          "insert_part content interpolation unsupported in config form")
+        df => {
+          val d = withSeq(df)
+          BatchOps.insertPart(d, lit(0), col("__seq"), "value",
+              lit(content), index)
+            // re-derive the ordinal so later part ops see the insert
+            .withColumn("__seq", col("batch_idx").cast("long"))
+            .drop("batch_idx")
+        }
+      case "archive" =>
+        // processors/archive.adoc:26 — the whole batch folds into ONE
+        // message
+        val fmt = body.path("format").asText("lines")
+        df => {
+          val archived = fmt match {
+            case "lines" | "concatenate" =>
+              BatchOps.archiveLines(df, lit(0), col("value"))
+            case "json_array" =>
+              BatchOps.archiveJsonArray(df, lit(0), col("value"))
+            case other => throw new IllegalArgumentException(
+              s"archive format '$other' unsupported in config form (tar/zip are source scanners)")
+          }
+          archived.select(col("archived").as("value"),
+            lit(0L).as("__seq"),
+            map().cast("map<string,string>").as("metadata"))
+        }
+      case "unarchive" =>
+        val fmt = body.path("format").asText("lines")
+        df => fmt match {
+          case "lines" => explodeParts(df,
+            split(col("value"), java.util.regex.Pattern.quote("\n")))
+          case "json_array" => explodeParts(df,
+            transform(try_parse_json(col("value")).cast("array<variant>"),
+              v => to_json(v)))
+          case "json_map" =>
+            val d = withSeq(df)
+            val cols = d.columns.filterNot(_ == "value").map(col)
+            d.select(cols :+
+                posexplode(try_parse_json(col("value"))
+                  .cast("map<string,variant>"))
+                  .as(Seq("__pos", "part_key", "__pv")): _*)
+              .withColumn("value", to_json(col("__pv")))
+              .withColumn("__seq", col("__seq") * 1000000 + col("__pos"))
+              .withColumn("metadata", metaPut(metaColOf(d),
+                lit("archive_key"), col("part_key")))
+              .drop("__pv", "__pos", "part_key")
+          case "csv" =>
+            val lines = split(col("value"), "\n")
+            val header = split(element_at(lines, 1), ",")
+            val rows = slice(lines, lit(2), greatest(size(lines) - 1, lit(0)))
+            explodeParts(df, transform(rows,
+              r => to_json(map_from_arrays(header, split(r, ",")))))
+          case other => throw new IllegalArgumentException(
+            s"unarchive format '$other' unsupported in config form")
+        }
+      case "string_split" =>
+        val delim = body.path("delimiter").asText("\n")
+        df => explodeParts(df,
+          split(col("value"), java.util.regex.Pattern.quote(delim)))
+      case "text_chunker" =>
+        val size = body.path("chunk_size").asInt(512)
+        val overlap = body.path("chunk_overlap").asInt(0)
+        val strategy = body.path("strategy").asText("fixed")
+        df => explodeParts(df, strategy match {
+          case "recursive_character" =>
+            TextFunctions.chunksRecursive(col("value"), size, overlap)
+          case _ => TextFunctions.chunks(col("value"), size, overlap)
+        })
+      case "dedupe" =>
+        // processors/dedupe.adoc:26 — keep the FIRST occurrence per key
+        // (batch form; streaming TTL form is StreamDedupe)
+        val keyTpl = body.path("key").asText("${! content() }")
+        df => {
+          val d = withSeq(df).withColumn("__dedupe_key",
+            Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__dedupe_key")).orderBy(col("__seq"))
+          d.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", "__dedupe_key")
+        }
       case "bounds_check" =>
         val min = body.path("min").asInt(0)
         val max = body.path("max").asInt(Int.MaxValue)
         df => BatchOps.boundsCheck(df, col("value"), min, max)
-      case "json_schema" =>
-        val schema = body.toString
-        df => {
-          graft.functions.expressions.GraftFunctions.register(df.sparkSession)
-          df.filter(call_function("graft_json_schema_check",
-            col("value"), lit(schema)).isNull)
+
+      // ── codecs (§2.10) ───────────────────────────────────────────
+      case "compress" =>
+        val algo = body.path("algorithm").asText("gzip")
+        kernels { df => df.withColumn("value",
+          base64(CodecFunctions.compress(col("value").cast("binary"), algo))) }
+      case "decompress" =>
+        val algo = body.path("algorithm").asText("gzip")
+        kernels { df => df.withColumn("value",
+          CodecFunctions.decompress(unbase64(col("value")), algo)
+            .cast("string")) }
+      case "avro" =>
+        // processors/avro.adoc:26 — operator to_json / from_json
+        val schema = body.get("schema").toString
+        body.path("operator").asText("to_json") match {
+          case "from_json" => kernels { df => df.withColumn("value",
+            base64(CodecFunctions.avroEncode(col("value"), schema))) }
+          case _ => kernels { df => df.withColumn("value",
+            CodecFunctions.avroDecode(unbase64(col("value")), schema)) }
         }
-      case "log" =>
-        df => Observe.logSample(df, every = body.path("every").asLong(1000),
-          prefix = body.path("prefix").asText("pipeline"))
+      case "protobuf" =>
+        val schema = body.get("schema").asText
+        body.path("operator").asText("to_json") match {
+          case "from_json" => kernels { df => df.withColumn("value",
+            base64(CodecFunctions.protoEncode(col("value"), schema))) }
+          case _ => kernels { df => df.withColumn("value",
+            CodecFunctions.protoDecode(unbase64(col("value")), schema)) }
+        }
+      case "msgpack" =>
+        body.path("operator").asText("to_json") match {
+          case "from_json" => kernels { df => df.withColumn("value",
+            base64(CodecFunctions.msgpackEncode(col("value")))) }
+          case _ => kernels { df => df.withColumn("value",
+            CodecFunctions.msgpackDecode(unbase64(col("value")))) }
+        }
+      case "schema_registry_encode" =>
+        val schema = body.get("schema").toString
+        val id = body.path("schema_id").asInt(1)
+        kernels { df => df.withColumn("value",
+          base64(CodecFunctions.wireEncode(col("value"), schema, id))) }
+      case "schema_registry_decode" =>
+        val schema = body.get("schema").toString
+        kernels { df => df.withColumn("value",
+          CodecFunctions.wireDecode(unbase64(col("value")), schema)) }
+      case "xml" =>
+        // processors/xml.adoc:26 — operator to_json
+        kernels { df => df.withColumn("value",
+          call_function("graft_parse_xml", col("value"))) }
+      case "grok" =>
+        // processors/grok.adoc:26 — named captures become a JSON doc
+        val tpl = body.path("expression").asText(body.asText)
+        df => {
+          val (_, names) = Grok.compile(tpl)
+          val parsed = Grok.parse(df, col("value"), tpl)
+          parsed.withColumn("value",
+              to_json(struct(names.map(col): _*)))
+            .drop(names: _*)
+        }
       case "parse_log" =>
         // processors/parse_log.adoc:26 — syslog line → structured JSON
         val fmt = body.path("format").asText("syslog_rfc5424")
         val f = if (fmt.contains("3164")) "rfc3164" else "rfc5424"
         df => df.withColumn("value",
-          to_json(graft.functions.CodecFunctions.parseSyslog(col("value"), f)))
+          to_json(CodecFunctions.parseSyslog(col("value"), f)))
+      case "json_schema" =>
+        val schema = body.toString
+        kernels { df =>
+          df.filter(call_function("graft_json_schema_check",
+            col("value"), lit(schema)).isNull)
+        }
+
+      // ── caches / resources / external calls ──────────────────────
+      case "cache" =>
+        // processors/cache.adoc:26 — `get` replaces content with the
+        // cache value for the key; a miss feeds the error channel. The
+        // cache table is a registered temp view `cache_<resource>`
+        // (key, value) — the relational form of the 17 cache backends.
+        val resource = body.get("resource").asText
+        val keyTpl = body.path("key").asText("${! content() }")
+        val op = body.path("operator").asText("get")
+        require(op == "get", s"cache operator '$op': only get is a plan-side op; set/add are sinks")
+        df => {
+          val cacheDf = df.sparkSession.table(s"cache_$resource")
+            .select(col("key").as("__ck"), col("value").as("__cv"))
+          val keyed = df.withColumn("__ck",
+            Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
+          val d = FlowControl.withErrorChannel(keyed)
+            .join(broadcast(cacheDf), Seq("__ck"), "left")
+          d.withColumn("value", coalesce(col("__cv"), col("value")))
+            .withColumn("error", when(col("__cv").isNull,
+              lit("cache miss")).otherwise(col("error")))
+            .drop("__ck", "__cv")
+        }
+      case "cached" =>
+        // processors/cached.adoc:26 — memoize children per distinct key
+        val keyTpl = body.get("key").asText
+        val procs = children(body.get("processors"), env)
+        df => {
+          val keyed = df.withColumn("__cache_key",
+            Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
+          // children run ONCE per distinct key on a representative row
+          // (the relational memoization of Resources.cachedCompute)
+          val reps = keyed.groupBy(col("__cache_key"))
+            .agg(first(col("value")).as("value"))
+          val results = procs(reps).select(col("__cache_key"),
+            col("value").as("__cached_value"))
+          keyed.join(results, Seq("__cache_key"), "left")
+            .withColumn("value", coalesce(col("__cached_value"), col("value")))
+            .drop("__cache_key", "__cached_value")
+        }
+      case "command" =>
+        // processors/command.adoc:26 — fork per message
+        val argv = argvOf(body)
+        df => Command.perMessage(df, argv)
+      case "subprocess" =>
+        // processors/subprocess.adoc:26 — one child per partition
+        val argv = argvOf(body)
+        df => Command.perPartition(df, argv)
+      case "sql_raw" | "sql" =>
+        // processors/sql_raw.adoc:26 — Spark IS the SQL engine: the
+        // current stream registers as view `stream` and the query's
+        // result becomes the new frame
+        val query = body.path("query").asText(body.asText)
+        df => {
+          df.createOrReplaceTempView("stream")
+          df.sparkSession.sql(query)
+        }
+      case "sql_select" =>
+        // processors/sql_select.adoc:26 — enrichment lookup against a
+        // registered table; columns merge into the doc
+        val table = body.get("table").asText
+        val keyCol = body.get("key_column").asText
+        val keyTpl = body.get("key").asText
+        val columns = body.get("columns").elements().asScala.toSeq.map(_.asText)
+        df => {
+          val lookup = df.sparkSession.table(table)
+            .select((keyCol +: columns).map(col): _*)
+          val keyed = df.withColumn("__lk",
+            Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df))
+              .cast(lookup.schema(keyCol).dataType))
+          keyed.join(broadcast(lookup),
+              keyed("__lk") === lookup(keyCol), "left")
+            .withColumn("value",
+              to_json(struct(try_parse_json(col("value")).as("doc") +:
+                columns.map(col): _*)))
+            .drop("__lk", keyCol)
+        }
+      case "openai_chat_completion" | "ollama_chat" | "cohere_chat" |
+           "aws_bedrock_chat" | "gcp_vertex_ai_chat" =>
+        // cloud chat processors — batched pluggable client; the default
+        // deterministic echo client stands in for the remote model
+        // (openai_chat_completion.adoc:26; clients are injectable)
+        val promptTpl = body.path("prompt").asText("${! content() }")
+        val batchSize = body.path("batch_size").asInt(16)
+        df => {
+          val d = df.withColumn("__prompt",
+            Blobl.interpolateJson(df, promptTpl, env, metadataCol = metaColOf(df)))
+          Ai.chatCompletion(d, "__prompt", "__completion", batchSize,
+              Ai.echoClient)
+            .withColumn("value", col("__completion"))
+            .drop("__prompt", "__completion")
+        }
+
+      case other if EnvBlocked(other) =>
+        throw new IllegalArgumentException(
+          s"processor '$other' is environment-blocked here: it needs a connector jar, " +
+            "network egress, or an embedded runtime this container lacks")
       case other => throw new IllegalArgumentException(
         s"processor '$other' not supported in config form yet")
     }
   }
+
+  /** Connector/runtime processors that cannot run in this environment —
+    * kept as an explicit list so the error names the real reason.
+    */
+  private val EnvBlocked: Set[String] = Set(
+    "mongodb", "couchbase", "redis", "redis_script", "nats_kv",
+    "nats_request_reply", "jira", "slack_thread", "qdrant",
+    "azure_cosmosdb", "aws_lambda", "aws_dynamodb_partiql",
+    "gcp_bigquery_select", "google_drive_download", "google_drive_search",
+    "google_drive_list_labels", "javascript", "wasm", "ffi",
+    "redpanda_data_transform", "a2a_message", "sentry_capture",
+    "http", "sync_response", "awk",
+    "openai_embeddings", "openai_image_generation", "openai_speech",
+    "openai_transcription", "openai_translation", "openai_moderation",
+    "ollama_embeddings", "ollama_moderation", "cohere_embeddings",
+    "cohere_rerank", "aws_bedrock_embeddings", "gcp_vertex_ai_embeddings",
+    "parquet", "parquet_decode", "parquet_encode", "sql_insert")
+
+  private def children(n: JsonNode, env: Map[String, String]): DataFrame => DataFrame =
+    Option(n).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map(compile(_, env))
+      .reduceOption(_ andThen _).getOrElse((df: DataFrame) => df)
+
+  private def argvOf(body: JsonNode): Seq[String] = {
+    val name = body.get("name").asText
+    val args = Option(body.get("args_mapping")).map(_ => Seq.empty[String])
+      .getOrElse(Option(body.get("args"))
+        .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Seq.empty))
+    name +: args
+  }
+
+  private def yamlObj(key: String, value: JsonNode): JsonNode = {
+    val m = new ObjectMapper()
+    m.createObjectNode().set[JsonNode](key, value)
+  }
+
+  /** Ensure the in-batch ordinal column exists. */
+  private def withSeq(df: DataFrame): DataFrame =
+    if (df.columns.contains("__seq")) df
+    else df.withColumn("__seq", monotonically_increasing_id())
+
+  /** Explode a parts array into one row per part, deriving a new stable
+    * ordinal (`parent*1e6 + pos`) so later part-indexed ops keep input
+    * order.
+    */
+  private def explodeParts(df: DataFrame, parts: Column): DataFrame = {
+    val d = withSeq(df)
+    val keep = d.columns.filterNot(_ == "value").map(col)
+    d.select(keep :+ posexplode(parts).as(Seq("__pos", "value")): _*)
+      .withColumn("__seq", col("__seq") * 1000000 + col("__pos"))
+      .drop("__pos")
+  }
+
+  /** Write a key into the metadata map (creating it when absent). */
+  private def tagMeta(df: DataFrame, key: String, value: Column): DataFrame =
+    df.withColumn("metadata", metaPut(metaColOf(df), lit(key), value))
+
+  private def metaPut(metaCol: Option[String], key: Column, value: Column): Column =
+    metaCol match {
+      case Some(c) => map_concat(
+        map_filter(col(c), (k, _) => k =!= key), map(key, value))
+      case None => map(key, value)
+    }
+
+  private def kernels(f: DataFrame => DataFrame): DataFrame => DataFrame =
+    df => {
+      graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+      f(df)
+    }
 
   private def metaColOf(df: DataFrame): Option[String] =
     if (df.columns.contains("metadata")) Some("metadata") else None

@@ -269,26 +269,52 @@ object CodecOps {
     UTF8String.fromString(jsonMapper.writeValueAsString(out))
   }
 
-  // ── JWT HS family (jjwt ships with Spark's jars; reference
-  //    sign_jwt_hs*/parse_jwt_hs* methods, methods.adoc jwt section) ──
+  // ── JWT (jjwt ships with Spark's jars; reference sign_jwt_*/
+  //    parse_jwt_* methods, methods.adoc jwt section). HS takes a
+  //    shared secret; RS/ES take PEM key material (PKCS#8 private key
+  //    to sign, X.509/SPKI public key to verify) via java.security. ──
 
   private def hmacKey(secret: UTF8String): javax.crypto.SecretKey =
     io.jsonwebtoken.security.Keys.hmacShaKeyFor(secret.getBytes)
 
-  private def sigFor(algo: String) = algo match {
-    case "HS256" => io.jsonwebtoken.Jwts.SIG.HS256
-    case "HS384" => io.jsonwebtoken.Jwts.SIG.HS384
-    case "HS512" => io.jsonwebtoken.Jwts.SIG.HS512
-  }
+  private def sigFor(algo: String): io.jsonwebtoken.security.MacAlgorithm =
+    algo match {
+      case "HS256" => io.jsonwebtoken.Jwts.SIG.HS256
+      case "HS384" => io.jsonwebtoken.Jwts.SIG.HS384
+      case "HS512" => io.jsonwebtoken.Jwts.SIG.HS512
+    }
+
+  private def pkSigFor(algo: String): io.jsonwebtoken.security.SignatureAlgorithm =
+    algo match {
+      case "RS256" => io.jsonwebtoken.Jwts.SIG.RS256
+      case "RS384" => io.jsonwebtoken.Jwts.SIG.RS384
+      case "RS512" => io.jsonwebtoken.Jwts.SIG.RS512
+      case "ES256" => io.jsonwebtoken.Jwts.SIG.ES256
+      case "ES384" => io.jsonwebtoken.Jwts.SIG.ES384
+      case "ES512" => io.jsonwebtoken.Jwts.SIG.ES512
+    }
+
+  private def pemBytes(pem: String): Array[Byte] =
+    java.util.Base64.getMimeDecoder.decode(
+      pem.replaceAll("-----[A-Z ]+-----", "").replaceAll("\\s", ""))
+
+  private def keyFactoryFor(algo: String): java.security.KeyFactory =
+    java.security.KeyFactory.getInstance(
+      if (algo.startsWith("RS")) "RSA" else "EC")
 
   def signJwtHs(claimsJson: UTF8String, secret: UTF8String,
                 algo: String): UTF8String = {
     val claims: java.util.Map[String, AnyRef] = jsonMapper.readValue(
       claimsJson.toString,
       classOf[java.util.HashMap[String, AnyRef]])
-    UTF8String.fromString(
-      io.jsonwebtoken.Jwts.builder().claims(claims)
-        .signWith(hmacKey(secret), sigFor(algo)).compact())
+    val builder = io.jsonwebtoken.Jwts.builder().claims(claims)
+    val signed =
+      if (algo.startsWith("HS")) builder.signWith(hmacKey(secret), sigFor(algo))
+      else builder.signWith(
+        keyFactoryFor(algo).generatePrivate(
+          new java.security.spec.PKCS8EncodedKeySpec(pemBytes(secret.toString))),
+        pkSigFor(algo))
+    UTF8String.fromString(signed.compact())
   }
 
   /** Verifies the signature (wrong-key tokens throw — recoverable via
@@ -296,8 +322,12 @@ object CodecOps {
     */
   def parseJwtHs(token: UTF8String, secret: UTF8String,
                  algo: String): UTF8String = {
-    val claims = io.jsonwebtoken.Jwts.parser()
-      .verifyWith(hmacKey(secret)).build()
+    val parser = io.jsonwebtoken.Jwts.parser()
+    val built =
+      if (algo.startsWith("HS")) parser.verifyWith(hmacKey(secret))
+      else parser.verifyWith(keyFactoryFor(algo).generatePublic(
+        new java.security.spec.X509EncodedKeySpec(pemBytes(secret.toString))))
+    val claims = built.build()
       .parseSignedClaims(token.toString).getPayload
     UTF8String.fromString(jsonMapper.writeValueAsString(claims))
   }

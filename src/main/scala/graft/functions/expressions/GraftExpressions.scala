@@ -317,6 +317,36 @@ case class JsonMerge(left: Expression, right: Expression)
 }
 
 /** Canonical JSON (sorted keys, deleted markers stripped). */
+/** Two-arg JSON kernel (assign / diff / patch — methods.adoc object
+  * ops). `op` is the [[JsonKernel]] method name.
+  */
+case class JsonBinaryOp(left: Expression, right: Expression, op: String)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left, right).map(_.dataType), Seq.fill(2)(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"graft_json_$op"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val r = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    op match {
+      case "assign" => JsonKernel.assign(l, r)
+      case "diff" => JsonKernel.diff(l, r)
+      case "patchChangelog" => JsonKernel.patchChangelog(l, r)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.JsonKernel.$op($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-arg JSON kernel (collapse / squash — methods.adoc object ops). */
 case class JsonUnaryOp(child: Expression, op: String) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -329,6 +359,7 @@ case class JsonUnaryOp(child: Expression, op: String) extends UnaryExpression {
     op match {
       case "collapse" => JsonKernel.collapse(s)
       case "squash" => JsonKernel.squash(s)
+      case "inferSchema" => JsonKernel.inferSchema(s)
     }
   }
 
@@ -449,6 +480,10 @@ object GraftFunctions {
     "graft_json_without" -> ((es: Seq[Expression]) => JsonWithout(es(0), es(1))),
     "graft_json_collapse" -> ((es: Seq[Expression]) => JsonUnaryOp(es(0), "collapse")),
     "graft_json_squash" -> ((es: Seq[Expression]) => JsonUnaryOp(es(0), "squash")),
+    "graft_json_infer_schema" -> ((es: Seq[Expression]) => JsonUnaryOp(es(0), "inferSchema")),
+    "graft_json_assign" -> ((es: Seq[Expression]) => JsonBinaryOp(es(0), es(1), "assign")),
+    "graft_json_diff" -> ((es: Seq[Expression]) => JsonBinaryOp(es(0), es(1), "diff")),
+    "graft_json_patch" -> ((es: Seq[Expression]) => JsonBinaryOp(es(0), es(1), "patchChangelog")),
     "graft_json_explode" -> ((es: Seq[Expression]) => JsonExplodePath(es(0), es(1))),
     "graft_compress" -> ((es: Seq[Expression]) =>
       Compress(es(0), strArg(es(1), "algo"))),

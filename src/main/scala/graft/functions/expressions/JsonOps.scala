@@ -166,6 +166,153 @@ object JsonKernel {
     UTF8String.fromString(write(acc))
   }
 
+  /** `assign` (methods.adoc assign): merge with override — on key
+    * conflict the source value REPLACES (recursing into object∪object);
+    * array∪array concatenates.
+    */
+  def assign(left: UTF8String, right: UTF8String): UTF8String = {
+    val l = mapper.readTree(left.toString)
+    val r = mapper.readTree(right.toString)
+    UTF8String.fromString(write(assignNodes(l, r)))
+  }
+
+  private def assignNodes(l: JsonNode, r: JsonNode): JsonNode = (l, r) match {
+    case (lo: ObjectNode, ro: ObjectNode) =>
+      val out = lo.deepCopy[ObjectNode]()
+      ro.properties().forEach { e =>
+        val lv = out.get(e.getKey)
+        if (lv == null) out.set[JsonNode](e.getKey, e.getValue)
+        else out.set[JsonNode](e.getKey, assignNodes(lv, e.getValue))
+      }
+      out
+    case (la: ArrayNode, ra: ArrayNode) =>
+      val out = la.deepCopy[ArrayNode]()
+      ra.forEach(el => { out.add(el); () })
+      out
+    case (_, rv) => rv
+  }
+
+  /** `diff` (methods.adoc diff): changelog of create/update/delete ops
+    * between `before` and `after`, each `{"From":…,"Path":[…],"To":…,
+    * "Type":…}` — the r3 diff changelog shape the reference emits.
+    * Paths walk objects by key (sorted) and arrays by string index.
+    */
+  def diff(before: UTF8String, after: UTF8String): UTF8String = {
+    val out = mapper.createArrayNode()
+    def emit(tpe: String, path: List[String], from: JsonNode, to: JsonNode): Unit = {
+      val o = mapper.createObjectNode()
+      o.set[JsonNode]("From", Option(from).getOrElse(mapper.nullNode()))
+      val p = mapper.createArrayNode()
+      path.foreach(p.add)
+      o.set[JsonNode]("Path", p)
+      o.set[JsonNode]("To", Option(to).getOrElse(mapper.nullNode()))
+      o.put("Type", tpe)
+      out.add(o)
+      ()
+    }
+    def walk(b: JsonNode, a: JsonNode, path: List[String]): Unit = (b, a) match {
+      case (bo: ObjectNode, ao: ObjectNode) =>
+        val names = new java.util.TreeSet[String]()
+        bo.fieldNames().forEachRemaining(n => names.add(n))
+        ao.fieldNames().forEachRemaining(n => names.add(n))
+        names.forEach { n =>
+          (Option(bo.get(n)), Option(ao.get(n))) match {
+            case (Some(bv), Some(av)) => walk(bv, av, path :+ n)
+            case (Some(bv), None) => emit("delete", path :+ n, bv, null)
+            case (None, Some(av)) => emit("create", path :+ n, null, av)
+            case _ =>
+          }
+        }
+      case (ba: ArrayNode, aa: ArrayNode) =>
+        val n = Math.max(ba.size(), aa.size())
+        var i = 0
+        while (i < n) {
+          (Option(ba.get(i)), Option(aa.get(i))) match {
+            case (Some(bv), Some(av)) => walk(bv, av, path :+ i.toString)
+            case (Some(bv), None) => emit("delete", path :+ i.toString, bv, null)
+            case (None, Some(av)) => emit("create", path :+ i.toString, null, av)
+            case _ =>
+          }
+          i += 1
+        }
+      case (bv, av) =>
+        if (bv != av) emit("update", path, bv, av)
+    }
+    walk(mapper.readTree(before.toString), mapper.readTree(after.toString), Nil)
+    UTF8String.fromString(write(out))
+  }
+
+  /** `patch` (methods.adoc patch): apply a diff-format changelog —
+    * create/update set the value at Path, delete removes it.
+    */
+  def patchChangelog(value: UTF8String, changelog: UTF8String): UTF8String = {
+    val root = mapper.readTree(value.toString)
+    val log = mapper.readTree(changelog.toString)
+    require(log.isArray, "patch expects a changelog array")
+    log.forEach { op =>
+      val path = {
+        val b = List.newBuilder[String]
+        op.get("Path").forEach(p => b += p.asText())
+        b.result()
+      }
+      def containerOf(n: JsonNode, p: List[String]): (JsonNode, String) = p match {
+        case last :: Nil => (n, last)
+        case head :: rest =>
+          val next = n match {
+            case o: ObjectNode =>
+              if (o.get(head) == null) o.set[JsonNode](head, mapper.createObjectNode())
+              o.get(head)
+            case a: ArrayNode => a.get(head.toInt)
+            case other => throw new IllegalArgumentException(
+              s"patch path into scalar at '$head': $other")
+          }
+          containerOf(next, rest)
+        case Nil => throw new IllegalArgumentException("empty patch path")
+      }
+      val (parent, key) = containerOf(root, path)
+      (op.get("Type").asText(), parent) match {
+        case ("delete", o: ObjectNode) => o.remove(key); ()
+        case ("delete", a: ArrayNode) => a.remove(key.toInt); ()
+        case (_, o: ObjectNode) => o.set[JsonNode](key, op.get("To")); ()
+        case (_, a: ArrayNode) =>
+          val i = key.toInt
+          if (i < a.size()) { a.set(i, op.get("To")); () }
+          else { a.add(op.get("To")); () }
+        case (t, other) => throw new IllegalArgumentException(
+          s"patch $t into scalar container: $other")
+      }
+    }
+    UTF8String.fromString(write(root))
+  }
+
+  /** `infer_schema` (methods.adoc infer_schema): JSON-Schema-style
+    * description of a value — type, object properties, array items
+    * (unioned across elements).
+    */
+  def inferSchema(value: UTF8String): UTF8String = {
+    def infer(n: JsonNode): JsonNode = {
+      val o = mapper.createObjectNode()
+      n match {
+        case obj: ObjectNode =>
+          o.put("type", "object")
+          val props = mapper.createObjectNode()
+          obj.properties().forEach(e =>
+            { props.set[JsonNode](e.getKey, infer(e.getValue)); () })
+          o.set[JsonNode]("properties", props)
+        case arr: ArrayNode =>
+          o.put("type", "array")
+          if (arr.size() > 0) o.set[JsonNode]("items", infer(arr.get(0)))
+        case v if v.isTextual => o.put("type", "string")
+        case v if v.isIntegralNumber => o.put("type", "integer")
+        case v if v.isNumber => o.put("type", "number")
+        case v if v.isBoolean => o.put("type", "boolean")
+        case _ => o.put("type", "null")
+      }
+      o
+    }
+    UTF8String.fromString(write(infer(mapper.readTree(value.toString))))
+  }
+
   private def write(n: JsonNode): String = {
     val sb = new java.lang.StringBuilder
     writeNode(n, sb)
