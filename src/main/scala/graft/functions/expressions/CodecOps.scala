@@ -35,22 +35,35 @@ object CodecOps {
     case other => throw new IllegalArgumentException(s"unknown codec: $other")
   }
 
-  def compress(data: Array[Byte], algo: String): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = factory.createCompressorOutputStream(ccName(algo), bos)
-    out.write(data); out.close()
-    bos.toByteArray
+  def compress(data: Array[Byte], algo: String): Array[Byte] = algo match {
+    // one-shot native paths: the commons-compress stream wrappers
+    // allocate a fresh codec context per call (~1 ms for zstd/snappy),
+    // which dominates per-row cost; the direct zstd-jni / snappy-java
+    // one-shot calls are 10-30× cheaper and ship with Spark
+    case "zstd" => com.github.luben.zstd.Zstd.compress(data)
+    case "snappy" => org.xerial.snappy.Snappy.compress(data)
+    case _ =>
+      val bos = new ByteArrayOutputStream()
+      val out = factory.createCompressorOutputStream(ccName(algo), bos)
+      out.write(data); out.close()
+      bos.toByteArray
   }
 
-  def decompress(data: Array[Byte], algo: String): Array[Byte] = {
-    val in = factory.createCompressorInputStream(ccName(algo),
-      new ByteArrayInputStream(data))
-    val bos = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    bos.toByteArray
+  def decompress(data: Array[Byte], algo: String): Array[Byte] = algo match {
+    case "zstd" =>
+      val sz = com.github.luben.zstd.Zstd.getFrameContentSize(data)
+      require(sz >= 0 && sz <= Int.MaxValue, "zstd: unknown content size")
+      com.github.luben.zstd.Zstd.decompress(data, sz.toInt)
+    case "snappy" => org.xerial.snappy.Snappy.uncompress(data)
+    case _ =>
+      val in = factory.createCompressorInputStream(ccName(algo),
+        new ByteArrayInputStream(data))
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      bos.toByteArray
   }
 
   // ── Avro (schema-driven JSON ↔ binary datum) ──────────────────────────

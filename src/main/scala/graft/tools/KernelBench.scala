@@ -24,5 +24,15 @@ object KernelBench {
     t0 = System.nanoTime()
     docs.foreach { d => CodecOps.msgpackDecode(CodecOps.msgpackEncode(d)) }
     println(f"msgpack rt x10k: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
+    val text = ("the quick brown fox jumps over the lazy dog " * 7).getBytes("UTF-8")
+    for (algo <- Seq("gzip", "zstd", "snappy")) {
+      CodecOps.decompress(CodecOps.compress(text, algo), algo) // warmup
+      val t = System.nanoTime()
+      (0 until 5000).foreach { _ =>
+        CodecOps.decompress(CodecOps.compress(text, algo), algo)
+      }
+      println(f"$algo rt x5k: ${(System.nanoTime() - t) / 1e9}%.3f s")
+    }
   }
 }
