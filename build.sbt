@@ -33,5 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // it explicitly; pin it here so local runs match.
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: at sf0.1 the 8g
+  // default left so little old-gen headroom that a ~90-query bench
+  // suite spent more time in GC than in queries (late-suite timings
+  // inflated 10-30×; same queries isolated were 1-2 s). A real cluster
+  // sizes executor memory per core — 24g/32 cores here is still a lean
+  // 0.75g per task slot.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -54,6 +54,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // each query is an independent measurement: drop cached plans and
+      // let the ContextCleaner reap the previous query's broadcasts /
+      // checkpoint RDDs — without this, ~90 queries of accumulated
+      // driver state inflate late-suite timings 10-30× (GC thrash),
+      // which measures JVM residue, not the query
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.blobl.Blobl
 import graft.functions.{AnalysisFunctions => A, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ai, BatchOps, Dedupe, Embeddings, FlowControl, Joins, Jq, Resources, Similarity}
+import graft.operators.{Ai, BatchOps, Command, Dedupe, Embeddings, FlowControl, Joins, Jq, Multimodal, Resources, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -183,7 +183,7 @@ object SparkEntry {
     "p_archive" -> ((s, d) =>
       BatchOps.archiveLines(
           Tables.documents(s, d).filter(col("doc_id") < 40),
-          col("lang"), substring(col("text"), 1, 20), "\n")
+          col("lang"), substring(col("text"), 1, 20), col("doc_id"), "\n")
         .orderBy(col("key"))),
 
     "p_unarchive" -> ((s, d) =>
@@ -201,14 +201,14 @@ object SparkEntry {
       // archive format json_array (processors/archive.adoc:26)
       BatchOps.archiveJsonArray(
           Tables.documents(s, d).filter(col("doc_id") < 40),
-          col("lang"), to_json(struct(col("doc_id"))))
+          col("lang"), to_json(struct(col("doc_id"))), col("doc_id"))
         .orderBy(col("key"))),
 
     "p_unarchive_json" -> ((s, d) => {
       // json_array round-trip: archive per lang, unarchive back to parts
       val arch = BatchOps.archiveJsonArray(
         Tables.documents(s, d).filter(col("doc_id") < 40),
-        col("lang"), to_json(struct(col("doc_id"))))
+        col("lang"), to_json(struct(col("doc_id"))), col("doc_id"))
       BatchOps.unarchiveJsonArray(arch, col("archived"))
         .select(col("key"), col("part"))
         .orderBy(col("key"), col("part"))
@@ -221,7 +221,7 @@ object SparkEntry {
         .select(col("n_regionkey").as("rk"),
           col("n_nationkey").cast("string").as("id"), col("n_name").as("name"))
       val arch = BatchOps.archiveCsv(nation, col("rk"),
-        Seq(col("id"), col("name")))
+        Seq(col("id"), col("name")), col("id").cast("int"))
       BatchOps.unarchiveCsv(arch, col("archived"))
         .select(col("key"),
           element_at(col("part"), "id").as("id"),
@@ -388,6 +388,103 @@ object SparkEntry {
           m("by_user").join(m("purchases"), Seq("user_id"), "left")
             .withColumn("spend", coalesce(col("spend"), lit(0.0))))))
       stages("joined").orderBy(col("user_id"))
+    }),
+
+    "p_command" -> ((s, d) =>
+      // `command` (processors/command.adoc:26): fork per message, stdin =
+      // content, stdout replaces content; `tr ae AE` is the deterministic
+      // stand-in for a user binary
+      Command.perMessage(
+          Tables.documents(s, d)
+            .filter(col("doc_id") < 100 && col("text").isNotNull)
+            .select(col("doc_id"),
+              regexp_replace(substring(col("text"), 1, 40), "[\\n\\r]", " ")
+                .as("value")),
+          Seq("tr", "ae", "AE"))
+        .select(col("doc_id"), col("value"))
+        .orderBy(col("doc_id"))),
+
+    "p_subprocess" -> ((s, d) =>
+      // `subprocess` (processors/subprocess.adoc:26): ONE child per
+      // partition, newline-delimited request/response — the scalable
+      // process-pipe shape (sed -u = unbuffered line responses)
+      Command.perPartition(
+          Tables.documents(s, d)
+            .filter(col("doc_id") < 200 && col("text").isNotNull)
+            .select(col("doc_id"),
+              regexp_replace(substring(col("text"), 1, 30), "[\\n\\r]", " ")
+                .as("value")),
+          Seq("sed", "-u", "s/e/E/g"))
+        .select(col("doc_id"), col("value"))
+        .orderBy(col("doc_id"))),
+
+    "p_while" -> ((s, d) => {
+      // `while` (processors/while.adoc:26): re-apply children while the
+      // batch-level predicate holds (any row still below threshold)
+      val start = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), (col("doc_id") % 10).as("kv"))
+      FlowControl.whileLoop(start,
+          cur => !cur.filter(col("kv") < 8).isEmpty,
+          cur => cur.withColumn("kv",
+            when(col("kv") < 8, col("kv") + 3).otherwise(col("kv"))),
+          maxIters = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_geoip" -> ((s, d) => {
+      // geoip_* family (methods.adoc:4492-4557) as a broadcast RANGE
+      // join: events get a synthetic dotted-quad, nations provide the
+      // /13-sized ranges (25 × 8 second-octets = complete cover of
+      // user_id % 200)
+      val ev = Tables.events(s, d).withColumn("ip",
+        concat(lit("10."), (col("user_id") % 200).cast("string"), lit(".5.9")))
+      val ranges = Tables.nation(s, d).select(
+        concat(lit("10."), (col("n_nationkey") * 8).cast("string"), lit(".0.0"))
+          .as("range_start"),
+        concat(lit("10."), (col("n_nationkey") * 8 + 7).cast("string"),
+          lit(".255.255")).as("range_end"),
+        col("n_name").as("country"))
+      Joins.ipRangeLookup(ev, ranges, "ip")
+        .groupBy(col("country")).agg(count(lit(1)).as("n"))
+        .orderBy(col("country"))
+    }),
+
+    "m_media_meta" -> ((s, d) => {
+      // multimodal metadata: synthesize PNG headers from doc dims, then
+      // header-sniff (no decode) via Multimodal.withMediaMeta — blobs
+      // stay where they were scanned, a narrow map
+      val blobs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          (col("doc_id") % 640 + 1).cast("int").as("w"),
+          (col("doc_id") % 480 + 1).cast("int").as("h"))
+        .withColumn("blob", unhex(concat(
+          lit("89504E470D0A1A0A0000000D49484452"),
+          lpad(hex(col("w")), 8, "0"), lpad(hex(col("h")), 8, "0"))))
+      Multimodal.withMediaMeta(blobs, "blob")
+        .select(col("doc_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_parquet_blob" -> ((s, d) => {
+      // parquet file as a VALUE (reference parquet_decode/encode
+      // processors): fold each region's nations into one in-memory
+      // parquet blob, then decode it back to rows
+      graft.functions.expressions.GraftFunctions.register(s)
+      val schema =
+        "message nation { required int64 id; required binary name (UTF8); }"
+      val docs = Tables.nation(s, d)
+        .select(col("n_regionkey").as("rk"), col("n_nationkey").as("id"),
+          col("n_name").as("name"))
+      val arch = BatchOps.archiveJsonArray(docs, col("rk"),
+        to_json(struct(col("id"), col("name"))), col("id"))
+      arch.withColumn("blob",
+          call_function("graft_parquet_encode", col("archived"), lit(schema)))
+        .select(col("key"),
+          explode(from_json(call_function("graft_parquet_decode", col("blob")),
+            lit("array<struct<id:bigint,name:string>>"))).as("r"))
+        .select(col("key"), col("r.id").as("id"), col("r.name").as("name"))
+        .orderBy(col("id"))
     }),
 
     "q14_intersect" -> ((s, d) => {
@@ -1044,7 +1141,7 @@ object SparkEntry {
 
     "p_archive" ->
       """SELECT lang AS key,
-        |  STRING_AGG(SUBSTR(text, 1, 20), chr(10) ORDER BY SUBSTR(text, 1, 20)) AS archived,
+        |  STRING_AGG(SUBSTR(text, 1, 20), chr(10) ORDER BY doc_id) AS archived,
         |  COUNT(*) AS n
         |FROM documents WHERE doc_id < 40
         |GROUP BY lang ORDER BY key""".stripMargin,
@@ -1131,6 +1228,43 @@ object SparkEntry {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "p_command" ->
+      """SELECT doc_id,
+        |  REPLACE(REPLACE(REGEXP_REPLACE(SUBSTR(text, 1, 40), '[\n\r]', ' ', 'g'),
+        |    'a', 'A'), 'e', 'E') AS value
+        |FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_subprocess" ->
+      """SELECT doc_id,
+        |  REPLACE(REGEXP_REPLACE(SUBSTR(text, 1, 30), '[\n\r]', ' ', 'g'),
+        |    'e', 'E') AS value
+        |FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_while" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 >= 8 THEN doc_id % 10
+        |       ELSE doc_id % 10 + 3 * CAST(CEIL((8 - doc_id % 10) / 3.0) AS BIGINT)
+        |  END AS kv
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    "p_geoip" ->
+      """SELECT n.n_name AS country, COUNT(*) AS n
+        |FROM events e
+        |JOIN nation n ON n.n_nationkey = CAST(FLOOR((e.user_id % 200) / 8) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m_media_meta" ->
+      """SELECT doc_id, 'image/png' AS mime,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+
+    "p_parquet_blob" ->
+      """SELECT n_regionkey AS key, n_nationkey AS id, n_name AS name
+        |FROM nation ORDER BY id""".stripMargin,
+
     "p_enrich_lookup" ->
       """SELECT p.p_brand, COUNT(*) AS n,
         |  ROUND(SUM(CAST(l.l_quantity AS DOUBLE)), 2) AS qty
@@ -1140,9 +1274,9 @@ object SparkEntry {
 
     "p_archive_json" ->
       """SELECT lang AS key,
-        |  '[' || STRING_AGG(p, ',' ORDER BY p) || ']' AS archived,
+        |  '[' || STRING_AGG(p, ',' ORDER BY doc_id) || ']' AS archived,
         |  COUNT(*) AS n
-        |FROM (SELECT lang,
+        |FROM (SELECT lang, doc_id,
         |        CAST(to_json(struct_pack(doc_id := doc_id)) AS VARCHAR) AS p
         |      FROM documents WHERE doc_id < 40) t
         |GROUP BY lang ORDER BY key""".stripMargin,

@@ -86,15 +86,20 @@ object Blobl {
       Map.empty, metadataCol.map(col), envVars)
     val init = call_function("graft_json_normalize", col(rootCol))
     val res = Compiler.runStatements(m.stmts, init, env)
-    val newValue = when(res.assigned,
+    // a null branch value means the child pipeline dropped/filtered this
+    // part — the reference SKIPS result_map for it (the original document
+    // passes through untouched), so gate every merge on isNotNull
+    val hasBranch = col(branchCol).isNotNull
+    val newValue = when(hasBranch && res.assigned,
       call_function("graft_json_normalize", res.rootJson))
       .otherwise(col(rootCol))
     val sel = df.columns.filterNot(_ == branchCol).map {
       case c if c == rootCol => newValue.as(rootCol)
-      case c if metadataCol.contains(c) => res.meta.getOrElse(col(c)).as(c)
+      case c if metadataCol.contains(c) =>
+        when(hasBranch, res.meta.getOrElse(col(c))).otherwise(col(c)).as(c)
       case c => col(c)
     }
-    df.filter(!res.deleted).select(sel.toSeq: _*)
+    df.filter(!(hasBranch && res.deleted)).select(sel.toSeq: _*)
   }
 
   /** `mapping` in TYPED mode: `this.<field>` binds to typed columns and

@@ -210,6 +210,12 @@ object Methods {
     case "string" => BV(asString(recv), S)
     case "number" => BV(asDouble(recv), F)
     case "bool" => BV(asBool(recv), B)
+    case "array" => recv.t match {
+      // already an array → identity; scalar → single-element array
+      // (methods.adoc array coercion)
+      case A(_) => recv
+      case _ => BV(array(asVariant(recv)), A(V))
+    }
     // width coercions truncate like the reference's integer casts
     case "int8" => BV(asLong(recv).cast("tinyint").cast("long"), I)
     case "int16" => BV(asLong(recv).cast("short").cast("long"), I)
@@ -611,6 +617,13 @@ object Methods {
       }, S)
     case "parse_msgpack" =>
       BV(parse_json(call_function("graft_msgpack_decode", asBinary(recv))), V)
+    case "parse_parquet" =>
+      // whole parquet FILE as a value (methods.adoc parse_parquet) —
+      // rows come back as an array of documents
+      BV(parse_json(call_function("graft_parquet_decode", asBinary(recv))), A(V))
+    case "format_parquet" =>
+      BV(call_function("graft_parquet_encode", toJsonText(recv),
+        lit(litStr(args(0)))), Bin)
     case "format_msgpack" =>
       BV(call_function("graft_msgpack_encode", toJsonText(recv)), Bin)
     case "parse_logfmt" =>

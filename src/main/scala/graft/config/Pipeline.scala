@@ -219,7 +219,16 @@ object Processors {
         val procs = children(body.get("processors"), env)
         val resMap = Option(body.get("result_map")).map(_.asText)
         df => {
-          val keyed = withSeq(df)
+          // withSeq may synthesize __seq via monotonically_increasing_id
+          // (nondeterministic); the self-join below evaluates each side
+          // independently, so pin the ids with a localCheckpoint before
+          // splitting — otherwise a re-read with different row order
+          // joins branch results onto the wrong originals. Streaming
+          // plans can't checkpoint here and must carry a real __seq.
+          val seqd = withSeq(df)
+          val keyed =
+            if (seqd.isStreaming || df.columns.contains("__seq")) seqd
+            else seqd.localCheckpoint()
           val req0 = keyed.select(col("__seq").as("__bid"),
             col("value"))
           val req = reqMap.map(Blobl.mapping(req0, _, env)).getOrElse(req0)
@@ -338,10 +347,16 @@ object Processors {
         df => tagMeta(df, "group",
           Blobl.interpolateJson(df, tpl, env, metadataCol = metaColOf(df)))
       case "split" =>
-        // processors/split.adoc:26 — size-N sub-batches by input order
+        // processors/split.adoc:26 — size-N sub-batches by input order.
+        // row_number over __seq: only RELATIVE order matters, so this
+        // stays correct after unarchive/chunker (__seq = parent*1e6+pos)
+        // or a partition-encoded monotonically_increasing_id.
         val n = body.path("size").asInt(1)
-        df => tagMeta(withSeq(df), "sub_batch",
-          floor(col("__seq") / n).cast("string"))
+        df => {
+          val d = BatchOps.splitBatches(withSeq(df), lit(0), col("__seq"), n)
+          tagMeta(d, "sub_batch", col("sub_batch").cast("string"))
+            .drop("sub_batch")
+        }
       case "select_parts" =>
         val parts = body.get("parts").elements().asScala.toSeq.map(_.asInt)
         df => BatchOps.selectParts(withSeq(df), lit(0), col("__seq"), parts)
@@ -366,11 +381,12 @@ object Processors {
         // message
         val fmt = body.path("format").asText("lines")
         df => {
+          val d = withSeq(df)
           val archived = fmt match {
             case "lines" | "concatenate" =>
-              BatchOps.archiveLines(df, lit(0), col("value"))
+              BatchOps.archiveLines(d, lit(0), col("value"), col("__seq"))
             case "json_array" =>
-              BatchOps.archiveJsonArray(df, lit(0), col("value"))
+              BatchOps.archiveJsonArray(d, lit(0), col("value"), col("__seq"))
             case other => throw new IllegalArgumentException(
               s"archive format '$other' unsupported in config form (tar/zip are source scanners)")
           }

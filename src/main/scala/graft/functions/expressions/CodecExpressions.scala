@@ -122,6 +122,39 @@ case class ParseYaml(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** parquet blob → JSON rows (reference processor_decode.go:76). */
+case class ParquetBlobDecode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_parquet_decode"
+  override protected def nullSafeEval(a: Any): Any =
+    ParquetBlobOps.decode(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.ParquetBlobOps.decode($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** JSON rows → parquet blob (reference processor_encode.go:92). */
+case class ParquetBlobEncode(child: Expression, schemaText: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_parquet_encode"
+  override protected def nullSafeEval(a: Any): Any =
+    ParquetBlobOps.encode(a.asInstanceOf[UTF8String], schemaText)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("parquetSchema", schemaText, "java.lang.String")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.ParquetBlobOps.encode($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MsgPackEncode(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))

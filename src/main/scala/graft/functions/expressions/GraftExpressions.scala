@@ -516,6 +516,9 @@ object GraftFunctions {
       ProtoDecode(es(0), strArg(es(1), "schema"))),
     "graft_msgpack_encode" -> ((es: Seq[Expression]) => MsgPackEncode(es(0))),
     "graft_msgpack_decode" -> ((es: Seq[Expression]) => MsgPackDecode(es(0))),
+    "graft_parquet_decode" -> ((es: Seq[Expression]) => ParquetBlobDecode(es(0))),
+    "graft_parquet_encode" -> ((es: Seq[Expression]) =>
+      ParquetBlobEncode(es(0), strArg(es(1), "schema"))),
     "graft_json_schema_check" -> ((es: Seq[Expression]) =>
       JsonSchemaCheck(es(0), strArg(es(1), "schema"))),
     "graft_tar" -> ((es: Seq[Expression]) => ArchiveCreate(es(0), es(1), zip = false)),

@@ -19,14 +19,18 @@ object BatchOps {
 
   /** `archive` with `lines`-style folding (processors/archive.adoc:26):
     * fold each group's payloads into ONE row, concatenated by a
-    * separator. Deterministic ordering by sorting payloads.
+    * separator, in BATCH ORDER (`ord`) — the reference concatenates
+    * parts by their position in the batch, not by content.
     * groupBy + collect_list runs as a partial (map-side) aggregation
-    * before the shuffle.
+    * before the shuffle; the ordinal rides along in a struct so one
+    * array_sort recovers input order after the unordered collect.
     */
-  def archiveLines(df: DataFrame, key: Column, payload: Column,
+  def archiveLines(df: DataFrame, key: Column, payload: Column, ord: Column,
                    sep: String = "\n"): DataFrame =
     df.groupBy(key.as("key"))
-      .agg(array_join(array_sort(collect_list(payload)), sep).as("archived"),
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(ord.as("o"), payload.as("p")))),
+          s => s.getField("p")), sep).as("archived"),
         count(lit(1)).as("n"))
 
   /** `unarchive` of a lines payload (processors/unarchive.adoc:26):
@@ -64,14 +68,16 @@ object BatchOps {
   }
 
   /** `archive` format `json_array` (processors/archive.adoc:26): fold
-    * each group's JSON payloads into one JSON-array document. Payloads
-    * are parsed (not string-wrapped) so the result is a real array of
-    * documents; ordering by sort for determinism.
+    * each group's JSON payloads into one JSON-array document, elements
+    * in batch order (`ord`). Payloads are parsed (not string-wrapped)
+    * so the result is a real array of documents.
     */
-  def archiveJsonArray(df: DataFrame, key: Column, payload: Column): DataFrame =
+  def archiveJsonArray(df: DataFrame, key: Column, payload: Column,
+                       ord: Column): DataFrame =
     df.groupBy(key.as("key"))
-      .agg(to_json(transform(array_sort(collect_list(payload)),
-        p => parse_json(p))).as("archived"),
+      .agg(to_json(
+        transform(array_sort(collect_list(struct(ord.as("o"), payload.as("p")))),
+          s => parse_json(s.getField("p")))).as("archived"),
         count(lit(1)).as("n"))
 
   /** `unarchive` format `json_array`: one row per element of a JSON
@@ -93,12 +99,18 @@ object BatchOps {
       .drop("__pv")
 
   /** `archive` format `csv` (processors/archive.adoc:26): fold typed
-    * columns into one CSV document per group, header first. */
-  def archiveCsv(df: DataFrame, key: Column, fields: Seq[Column]): DataFrame = {
+    * columns into one CSV document per group, header first, data rows
+    * in batch order (`ord`). */
+  def archiveCsv(df: DataFrame, key: Column, fields: Seq[Column],
+                 ord: Column): DataFrame = {
     val header = fields.map(f => f.toString).mkString(",")
     df.groupBy(key.as("key"))
       .agg(concat_ws("\n", lit(header),
-        array_join(array_sort(collect_list(concat_ws(",", fields: _*))), "\n"))
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(ord.as("o"), concat_ws(",", fields: _*).as("p")))),
+            s => s.getField("p")), "\n"))
         .as("archived"),
         count(lit(1)).as("n"))
   }

@@ -45,22 +45,37 @@ object Command {
         if (row.getString(eIdx) != null) row
         else try {
           val p = new ProcessBuilder(argv: _*).redirectErrorStream(false).start()
-          val out = new Thread {
-            var result: Array[Byte] = Array.empty
-            override def run(): Unit =
-              result = p.getInputStream.readAllBytes()
+          // both stdout AND stderr must be drained concurrently: a child
+          // writing > the OS pipe buffer (~64 KB) to an undrained stream
+          // blocks, and waitFor would then hang the Spark task forever
+          val out = drain(p.getInputStream)
+          val err = drain(p.getErrorStream)
+          // a child may exit without reading stdin (broken pipe) — that
+          // is its choice, not a spawn failure; exit code still decides
+          try {
+            p.getOutputStream.write(Option(row.getString(vIdx)).getOrElse("")
+              .getBytes(StandardCharsets.UTF_8))
+            p.getOutputStream.close()
+          } catch { case _: java.io.IOException => () }
+          val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+          if (!finished) {
+            p.destroyForcibly()
+            updated(row, vIdx, row.getString(vIdx), eIdx,
+              s"command timed out after ${timeoutSec}s")
+          } else {
+            val code = p.exitValue()
+            out.join(); err.join()
+            val stdout = new String(out.result, StandardCharsets.UTF_8)
+                .stripSuffix("\n")
+            if (code == 0) updated(row, vIdx, stdout, eIdx, null)
+            else {
+              val stderr = new String(err.result, StandardCharsets.UTF_8)
+                .stripSuffix("\n").take(512)
+              updated(row, vIdx, row.getString(vIdx), eIdx,
+                s"command exited $code" +
+                  (if (stderr.nonEmpty) s": $stderr" else ""))
+            }
           }
-          out.start()
-          p.getOutputStream.write(Option(row.getString(vIdx)).getOrElse("")
-            .getBytes(StandardCharsets.UTF_8))
-          p.getOutputStream.close()
-          val code = p.waitFor()
-          out.join()
-          val stdout = new String(out.result, StandardCharsets.UTF_8)
-              .stripSuffix("\n")
-          if (code == 0) updated(row, vIdx, stdout, eIdx, null)
-          else updated(row, vIdx, row.getString(vIdx), eIdx,
-            s"command exited $code")
         } catch { case t: Throwable =>
           updated(row, vIdx, row.getString(vIdx), eIdx,
             s"command failed: ${t.getMessage}")
@@ -85,6 +100,13 @@ object Command {
       if (!rows.hasNext) Iterator.empty
       else {
         val p = new ProcessBuilder(argv: _*).start()
+        // stderr never feeds the protocol — drain it so a chatty child
+        // can't fill the pipe buffer and deadlock the request loop
+        drain(p.getErrorStream)
+        // a partially-consumed partition (LIMIT, take) never exhausts
+        // this iterator; kill the child at task end either way
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => p.destroyForcibly()))
         val w = new BufferedWriter(new OutputStreamWriter(
           p.getOutputStream, StandardCharsets.UTF_8))
         val r = new BufferedReader(new InputStreamReader(
@@ -114,6 +136,25 @@ object Command {
         }
       }
     }(enc)
+  }
+
+  /** Upper bound on one `command` child's lifetime — a stuck child must
+    * not hang a task indefinitely. */
+  private val timeoutSec = 60L
+
+  private class Drainer(in: java.io.InputStream) extends Thread {
+    @volatile var result: Array[Byte] = Array.empty
+    setDaemon(true)
+    override def run(): Unit =
+      result = try in.readAllBytes() catch { case _: Throwable => Array.empty }
+  }
+
+  /** Consume a child stream on a daemon thread (never let it backpressure
+    * the child into a pipe-buffer deadlock). */
+  private def drain(in: java.io.InputStream): Drainer = {
+    val d = new Drainer(in)
+    d.start()
+    d
   }
 
   private def ensure(df: DataFrame, valueCol: String, errorCol: String): DataFrame = {

@@ -125,4 +125,32 @@ object Joins {
       .join(broadcast(resp), col("__req") === col(lookupKey), "left_outer")
       .drop("__req", lookupKey)
   }
+
+  /** GeoIP-style range lookup (reference geoip_* Bloblang methods,
+    * methods.adoc:4492-4557, backed by a MaxMind city/ASN db): enrich
+    * each row whose `ipCol` (IPv4 dotted-quad) falls inside a range of
+    * the `ranges` dim — (range_start, range_end) dotted-quads plus
+    * attribute columns. The db itself isn't shipped here; any CSV/parquet
+    * export of it works.
+    *
+    * Spark shape: the range dim is dim-sized (MaxMind city ≈ 3M rows ≈
+    * executor-broadcastable) → broadcast range join; Catalyst turns the
+    * BETWEEN into a broadcast nested-loop with a tight range predicate.
+    * Rows with no matching range keep nulls — lookups never drop data.
+    */
+  def ipRangeLookup(df: DataFrame, ranges: DataFrame, ipCol: String,
+                    startCol: String = "range_start",
+                    endCol: String = "range_end"): DataFrame = {
+    def ipNum(c: Column): Column =
+      aggregate(transform(split(c, "\\."), p => p.cast("long")),
+        lit(0L), (acc, x) => acc * 256 + x)
+    val dim = broadcast(ranges
+      .withColumn("__lo", ipNum(col(startCol)))
+      .withColumn("__hi", ipNum(col(endCol)))
+      .drop(startCol, endCol))
+    df.withColumn("__ip", ipNum(col(ipCol)))
+      .join(dim, col("__ip") >= col("__lo") && col("__ip") <= col("__hi"),
+        "left_outer")
+      .drop("__ip", "__lo", "__hi")
+  }
 }
