@@ -937,6 +937,41 @@ object SparkEntry {
       Dedupe.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "t_simhash_md5" -> ((s, d) => {
+      // the simhash COMPUTATION, oracle-gated: md5 feature hashes make
+      // the 64-bit fingerprint reproducible in ANSI SQL (the production
+      // kernel graft_simhash runs the same sign-aggregation over
+      // xxhash64 — cheaper hash, same algorithm; its pair mining stays
+      // rows-only in t_simhash). Declarative end to end: shingle →
+      // per-bit ±1 vote → sign → nibble → hex, four narrow aggregations.
+      val toks = filter(split(trim(col("text")), "[ \t\n\f\r]+"),
+        t => length(t) > 0)
+      val sh = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))).as("sh"))
+      sh.select(col("doc_id"), substring(md5(col("sh")), 17, 16).as("h"))
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("j"))
+        .selectExpr("doc_id", "j",
+          "shiftright(instr('0123456789abcdef', substring(h, CAST(j div 4 AS INT)+1, 1)) - 1, CAST(3 - j%4 AS INT)) & 1 AS bit")
+        .groupBy(col("doc_id"), col("j"))
+        .agg(expr("CASE WHEN SUM(2*bit-1) > 0 THEN 1 ELSE 0 END").as("sbit"))
+        .groupBy(col("doc_id"), expr("CAST(j div 4 AS INT)").as("nib"))
+        .agg(expr("SUM(sbit * CAST(pow(2, 3 - j%4) AS BIGINT))").as("nv"))
+        .select(col("doc_id"), col("nib"),
+          expr("substring('0123456789abcdef', CAST(nv AS INT)+1, 1)").as("hc"))
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("nib"), col("hc")))),
+          s2 => s2.getField("hc")), "").as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -1254,6 +1289,34 @@ object SparkEntry {
         |FROM events e
         |JOIN nation n ON n.n_nationkey = CAST(FLOOR((e.user_id % 200) / 8) AS BIGINT)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t_simhash_md5" ->
+      """WITH f AS (
+        |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\f\r]+'),
+        |    t -> LEN(t) > 0) AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    GENERATE_SERIES(1, LEN(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        |  FROM f WHERE LEN(toks) >= 3),
+        |hx AS (SELECT doc_id, SUBSTR(MD5(sh), 17, 16) AS h FROM sh),
+        |js AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS j),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    ((STRPOS('0123456789abcdef', SUBSTR(h, CAST(j//4 AS INT)+1, 1)) - 1)
+        |      >> CAST(3 - j%4 AS INT)) & 1 AS bit
+        |  FROM hx, js),
+        |sb AS (
+        |  SELECT doc_id, j, CASE WHEN SUM(2*bit-1) > 0 THEN 1 ELSE 0 END AS sbit
+        |  FROM bits GROUP BY doc_id, j),
+        |nb AS (
+        |  SELECT doc_id, CAST(j//4 AS INT) AS nib,
+        |    SUM(sbit * CAST(POW(2, 3 - j%4) AS BIGINT)) AS nv
+        |  FROM sb GROUP BY doc_id, CAST(j//4 AS INT))
+        |SELECT doc_id,
+        |  STRING_AGG(SUBSTR('0123456789abcdef', CAST(nv AS INT)+1, 1), '' ORDER BY nib) AS simhash
+        |FROM nb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m_media_meta" ->
       """SELECT doc_id, 'image/png' AS mime,
