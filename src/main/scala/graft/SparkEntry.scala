@@ -893,14 +893,17 @@ object SparkEntry {
         .select(col("doc_id"), T.bpeTokenCount(col("text")).as("n_bpe"))),
 
     "m_embed_batch" -> ((s, d) =>
-      // batched embedding generation with the deterministic offline
-      // batcher — rows-only check (hash kernel not SQL-expressible);
-      // batching/alignment invariants gated in EmbeddingsSpec
+      // batched embedding generation, oracle-gated: the md5 stub batcher
+      // is SQL-reproducible, so the gate catches any per-row
+      // MISALIGNMENT of batch outputs (vectors shifted one row off) —
+      // further invariants in EmbeddingsSpec
       Embeddings.embedBatched(
-          Tables.documents(s, d).filter(col("doc_id") < 100)
+          Tables.documents(s, d)
+            .filter(col("doc_id") < 100 && length(col("text")) > 0)
             .select(col("doc_id"), col("text")),
-          "text", "embedding", 16, Embeddings.hashBatcher(8))
-        .select(col("doc_id"), round(element_at(col("embedding"), 1), 6).as("e0"),
+          "text", "embedding", 16, Embeddings.md5Batcher(8))
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
           size(col("embedding")).as("dim"))
         .orderBy(col("doc_id"))),
 
@@ -1289,6 +1292,16 @@ object SparkEntry {
         |FROM events e
         |JOIN nation n ON n.n_nationkey = CAST(FLOOR((e.user_id % 200) / 8) AS BIGINT)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m_embed_batch" ->
+      """SELECT doc_id,
+        |  ROUND(CAST(CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+        |      k -> (STRPOS('0123456789abcdef',
+        |              SUBSTR(SUBSTR(MD5(text || ':0'), 25, 8), CAST(k AS INT), 1)) - 1)
+        |        * POW(16, 8 - k))) / 4294967295.0 AS REAL) AS DOUBLE), 6) AS e0,
+        |  8 AS dim
+        |FROM documents WHERE doc_id < 100 AND LEN(text) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "t_simhash_md5" ->
       """WITH f AS (

@@ -41,6 +41,23 @@ object Embeddings {
       }
     }
 
+  /** Like [[hashBatcher]] but with md5 as the slot hash: component j =
+    * lower-32-bit word of md5(text ":" j), unit-scaled — chosen because
+    * ANSI SQL can reproduce it, so the CORRECTNESS gate verifies per-row
+    * ALIGNMENT of batched outputs (the real failure mode of a batching
+    * transport: vectors shifted one row off). NOT a model.
+    */
+  def md5Batcher(dim: Int): Batcher = texts =>
+    texts.map { t =>
+      Array.tabulate(dim) { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest((t + ":" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val v = ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+          ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+        (v.toDouble / 4294967295.0).toFloat
+      }
+    }
+
   /** Append `outCol` (array<float>) by calling `batcher` over batches of
     * `batchSize` texts within each partition. Null/empty texts embed as
     * null without consuming batch slots.
