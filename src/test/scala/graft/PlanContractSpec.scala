@@ -67,6 +67,54 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("geoip range lookup broadcasts the range dim (no shuffle of facts)") {
+    val q = SparkEntry.queries("p_geoip")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must broadcast the dim side:\n$plan")
+    // the fact side must NOT shuffle before the join: the only
+    // exchanges allowed are the broadcast itself and the post-join agg
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2,
+      s"unexpected extra shuffles (${shuffles.size}) in range-lookup plan")
+  }
+
+  test("archive folds with ONE shuffle (partial aggregation map-side)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = operators.BatchOps.archiveLines(
+        Tables.documents(spark, sf), col("lang"), col("text"), col("doc_id"))
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size == 1,
+        s"archive must be a single exchange on the group key, saw ${shuffles.size}")
+      val aggs = q.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggs.size >= 2, "expected partial + final aggregation")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("command/subprocess are narrow maps — zero shuffles") {
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").as("value"))
+    for (q <- Seq(
+        operators.Command.perMessage(base, Seq("cat")),
+        operators.Command.perPartition(base, Seq("cat")))) {
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        "process-pipe operators must not introduce exchanges")
+    }
+  }
+
   test("kernel queries keep the sort BELOW the kernel projection") {
     // a global sort's range exchange samples its child plan, so an
     // expensive kernel above the sort runs once while a kernel below it
