@@ -431,6 +431,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_retry" -> ((s, d) => {
+      // `retry` (processors/retry.adoc:26) through the config runner,
+      // around a `cache` get child: hits resolve on the first pass,
+      // deterministic misses stay errored after max_retries bounded
+      // re-runs — and no row is lost or duplicated on the way
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("string").as("key"),
+          col("lang").as("value"))
+        .createOrReplaceTempView("cache_langs")
+      val env0 = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("__seq"),
+          col("doc_id").cast("string").as("value"),
+          map().cast("map<string,string>").as("metadata"))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+        new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+      val node = mapper.readTree(
+        """retry:
+          |  max_retries: 2
+          |  processors:
+          |    - cache: { resource: langs, operator: get }
+          |""".stripMargin)
+      graft.config.Processors.compile(node, Map.empty)(env0)
+        .select(col("__seq").as("doc_id"), col("value"), col("error"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_geoip" -> ((s, d) => {
       // geoip_* family (methods.adoc:4492-4557) as a broadcast RANGE
       // join: events get a synthetic dotted-quad, nations provide the
@@ -1286,6 +1312,12 @@ object SparkEntry {
         |       ELSE doc_id % 10 + 3 * CAST(CEIL((8 - doc_id % 10) / 3.0) AS BIGINT)
         |  END AS kv
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    "p_retry" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN lang ELSE CAST(doc_id AS VARCHAR) END AS value,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 'cache miss' END AS error
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "p_geoip" ->
       """SELECT n.n_name AS country, COUNT(*) AS n
