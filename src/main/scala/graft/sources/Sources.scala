@@ -117,6 +117,51 @@ object Sources {
         col("entry.body").as("body"))
   }
 
+  /** Binary-file source with the `decompress` scanner composed in
+    * (docs/…/scanners/decompress.adoc), then a second scanner over the
+    * decompressed body: `lines` (default), `to_the_end` (whole body =
+    * one message), `chunker` (fixed-size character chunks,
+    * scanners/chunker.adoc), or `re_match` (message boundaries at regex
+    * matches, scanners/re_match.adoc). All executor-side — the file
+    * decompresses where it was scanned, nothing moves to the driver.
+    */
+  def decompressFiles(spark: SparkSession, pathGlob: String, algo: String,
+                      scanner: String = "lines",
+                      pattern: String = "\n",
+                      chunkSize: Int = 4096): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val body = skipBom(
+      call_function("graft_decompress", col("content"), lit(algo))
+        .cast("string"))
+    val raw = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), body.as("body"))
+    scanner match {
+      case "to_the_end" =>
+        raw.select(col("path"), col("body").as(Envelope.ValueCol))
+      case "lines" | "re_match" =>
+        val sep = if (scanner == "lines") "\n" else pattern
+        // split keeps a trailing "" when the body ends with the
+        // separator — that artifact is not a message; mid-body empty
+        // lines ARE messages and stay
+        val parts = split(col("body"), sep)
+        val trimmed = when(element_at(parts, -1) === "",
+          slice(parts, lit(1), size(parts) - 1)).otherwise(parts)
+        raw.select(col("path"), explode(trimmed).as(Envelope.ValueCol))
+      case "chunker" =>
+        raw.select(col("path"),
+          explode(graft.functions.TextFunctions.chunks(
+            col("body"), chunkSize, 0)).as(Envelope.ValueCol))
+      case other => throw new IllegalArgumentException(s"scanner: $other")
+    }
+  }
+
+  /** `skip_bom` scanner (docs/…/scanners/skip_bom.adoc): strip a UTF-8
+    * byte-order mark if present — composed into every text scanner
+    * above.
+    */
+  def skipBom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^\\uFEFF", "")
+
   /** JDBC source (reference `sql_select` input / CDC-adjacent families,
     * docs/…/inputs/sql_select.adoc:26): Spark's built-in JDBC reader
     * with partitioned parallel scans — `partitionColumn` splits the
