@@ -253,21 +253,33 @@ object Compiler {
 
     case MatchExpr(target, cases) =>
       val env2 = target match {
-        case Some(te) => env.withVar("__match", compile(te, env))
+        // a targeted match REBINDS `this` to the target inside arm
+        // conditions and bodies (reference match docs: `match value {
+        // this.length() == 0 => … }`)
+        case Some(te) =>
+          val tv = compile(te, env)
+          env.withVar("__match", tv).withThis(tv)
         case None => env
       }
       val compiled = cases.map { case (condOpt, body) =>
         (condOpt.map(ce => asBool(compile(ce, env2))), compile(body, env2))
       }
-      val ut = compiled.map(_._2.t).reduce(unify)
+      // deleted() arms follow the IfExpr convention: null + omitNull —
+      // the surrounding object/array/map_each context drops the entry
+      // (unifying the sentinel into e.g. array<variant> is a type error)
+      val anyDel = compiled.exists { case (_, b) => b.t == Del || b.omitNull }
+      val ut = compiled.map(_._2.t).filter(_ != Del)
+        .reduceOption(unify).getOrElse(N)
+      def cast(body: BV): Column =
+        if (body.t == Del) asType(BV(lit(null), N), ut) else asType(body, ut)
       val init: Column = compiled.collectFirst {
-        case (None, body) => asType(body, ut)
+        case (None, body) => cast(body)
       }.getOrElse(asType(BV(lit(null), N), ut))
       val out = compiled.filter(_._1.isDefined).foldRight(init) {
-        case ((Some(c), body), acc) => when(c, asType(body, ut)).otherwise(acc)
+        case ((Some(c), body), acc) => when(c, cast(body)).otherwise(acc)
         case (_, acc) => acc
       }
-      BV(out, ut)
+      BV(out, ut, omitNull = anyDel)
   }
 
   private def isArr(v0: BV): Boolean = v0.t match {

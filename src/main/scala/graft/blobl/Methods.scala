@@ -280,10 +280,17 @@ object Methods {
     // ── object & array (methods.adoc:2257-3318) ───────────────────────
     case "map_each" =>
       // elements coerce to variant so dynamic/JSON lambda results nest
-      // correctly in the output array
+      // correctly in the output array; a lambda with a deleted() path
+      // (omitNull) DROPS those elements, like the reference's map_each
+      var deletes = false
       val f = lam(args(0))
       val arr = asArray(recv)
-      BV(transform(arr.col, x => asVariant(f(BV(x, elemT(arr))))), A(V))
+      val mapped = transform(arr.col, x => {
+        val r = f(BV(x, elemT(arr)))
+        deletes = deletes || r.omitNull || r.t == Del
+        asVariant(r)
+      })
+      BV(if (deletes) filter(mapped, x => x.isNotNull) else mapped, A(V))
     case "filter" =>
       val f = lam(args(0))
       val arr = asArray(recv)
@@ -345,9 +352,13 @@ object Methods {
     case "concat" =>
       BV(concat((recv +: args.map(v)).map(x => asArray(x).col): _*), asArray(recv).t)
     case "enumerated" =>
+      // entries go through variant (not struct): downstream paths
+      // (`index == 0`, `value.trim()`) resolve dynamically like every
+      // other blobl object
       val arr = asArray(recv)
       BV(zip_with(sequence(lit(0), size(arr.col) - 1), arr.col,
-        (i, x) => struct(i.as("index"), x.as("value"))), A(V))
+        (i, x) => parse_json(to_json(struct(i.as("index"),
+          asVariant(BV(x, elemT(arr))).as("value"))))), A(V))
     case "keys" => BV(json_object_keys(toJsonText(recv)), A(S))
     case "values" =>
       // string-valued view (full dynamic values need variant maps)
