@@ -54,6 +54,9 @@ object Ast {
   case class LetAssign(name: String, value: Expr) extends Stmt
   /** Statement-level `if cond { stmts } else { stmts }`. */
   case class IfStmt(cond: Expr, thn: Seq[Stmt], els: Seq[Stmt]) extends Stmt
+  /** `map name { stmts }` — a named reusable mapping, applied with
+    * `.apply("name")` (reference bloblang/about.adoc:332-353). */
+  case class MapDecl(name: String, stmts: Seq[Stmt]) extends Stmt
 
   case class Mapping(stmts: Seq[Stmt])
 }

@@ -88,7 +88,10 @@ object Compiler {
                  vars: Map[String, BV],          // lambda params + lets
                  metaCol: Option[Column],
                  envVars: Map[String, String],
-                 thisOverride: Option[BV] = None) {
+                 thisOverride: Option[BV] = None,
+                 maps: Map[String, Seq[Stmt]] = Map.empty, // named maps
+                 depth: Int = 0,                 // apply() inline depth
+                 applying: Set[String] = Set.empty) { // maps on the inline stack
     def withVar(name: String, v: BV): Env = copy(vars = vars + (name -> v))
     /** Rebind `this` to a value — expression-form lambda bodies
       * (`items.map_each($d.merge(this))`) see the ELEMENT as `this`.
@@ -161,6 +164,9 @@ object Compiler {
       }
 
     case FnCall(name, args) => Functions(name, args, env)
+
+    case MethodCall(recv, "apply", Seq(StrLit(mapName))) =>
+      applyNamedMap(mapName, compile(recv, env), env)
 
     case MethodCall(recv, "fold", args) if args.length == 2 =>
       // fold(init, expr) — expr sees `tally` (accumulator) and `value`
@@ -282,6 +288,42 @@ object Compiler {
       BV(out, ut, omitNull = anyDel)
   }
 
+  /** Chains of DISTINCT nested maps inline up to this depth (cheap —
+    * each map appears once per chain). */
+  private val MaxMapDepth = 8
+
+  /** Inline a named map (`map name { … }` applied via `.apply("name")`,
+    * reference bloblang/about.adoc:332-353): compile the map body with
+    * `this` = the receiver. Map bodies support `let` plus ONE whole-root
+    * assignment.
+    *
+    * SELF-RECURSIVE maps (config/test/bloblang/walk_json.yaml's
+    * tree-walk idiom) are a documented DIVERGENCE: a Catalyst expression
+    * tree is static, so recursion could only inline — and with multiple
+    * recursive call sites the tree grows exponentially per level
+    * (measured: minutes of analysis time at depth 4). A re-entered map
+    * applies as identity instead; deep tree rewrites belong in a custom
+    * kernel expression, not unrolled codegen.
+    */
+  private def applyNamedMap(name: String, v: BV, env: Env): BV = {
+    val stmts = env.maps.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown map: $name"))
+    if (env.applying.contains(name) || env.depth >= MaxMapDepth)
+      BV(asVariant(v), V)
+    else {
+      var e2 = env.withThis(v).copy(depth = env.depth + 1,
+        applying = env.applying + name)
+      var result: Option[BV] = None
+      stmts.foreach {
+        case LetAssign(n, ve) => e2 = e2.withVar(n, compile(ve, e2))
+        case RootAssign(Seq(), ve) => result = Some(compile(ve, e2))
+        case other => throw new IllegalArgumentException(
+          s"map $name: map bodies support let + whole-root assignment, got $other")
+      }
+      result.getOrElse(BV(asVariant(v), V))
+    }
+  }
+
   private def isArr(v0: BV): Boolean = v0.t match {
     case A(_) => true
     case _ => false
@@ -332,10 +374,16 @@ object Compiler {
     var root = rootInit
     var deleted: Column = lit(false)
     var assigned: Column = lit(false)
-    var env = env0
+    // named maps register before anything compiles (reference maps are
+    // file-scoped and may be declared after their first use)
+    var env = env0.copy(maps = env0.maps ++ stmts.collect {
+      case MapDecl(n, ss) => n -> ss
+    })
     var meta = env0.metaCol
 
     def apply(ss: Seq[Stmt], cond: Column): Unit = ss.foreach {
+      case MapDecl(_, _) => () // collected above
+
       case LetAssign(name, value) =>
         env = env.withVar(name, compile(value, env))
 

@@ -281,16 +281,42 @@ object Methods {
     case "map_each" =>
       // elements coerce to variant so dynamic/JSON lambda results nest
       // correctly in the output array; a lambda with a deleted() path
-      // (omitNull) DROPS those elements, like the reference's map_each
+      // (omitNull) DROPS those elements, like the reference's map_each.
+      // A VARIANT receiver dispatches at runtime: objects map their
+      // VALUES (lambda sees a {key,value} entry, keys survive), arrays
+      // map elements (reference methods.adoc map_each object form).
       var deletes = false
       val f = lam(args(0))
-      val arr = asArray(recv)
-      val mapped = transform(arr.col, x => {
-        val r = f(BV(x, elemT(arr)))
-        deletes = deletes || r.omitNull || r.t == Del
-        asVariant(r)
-      })
-      BV(if (deletes) filter(mapped, x => x.isNotNull) else mapped, A(V))
+      def mapArr(arrCol: Column, et: BT): Column = {
+        val m = transform(arrCol, x => {
+          val r = f(BV(x, et))
+          deletes = deletes || r.omitNull || r.t == Del
+          asVariant(r)
+        })
+        if (deletes) filter(m, x => x.isNotNull) else m
+      }
+      recv.t match {
+        case V =>
+          val overObj = {
+            val mv = transform_values(recv.col.cast("map<string,variant>"),
+              (k, x) => {
+                val entry = parse_json(to_json(struct(k.as("key"),
+                  x.as("value"))))
+                val r = f(BV(entry, V))
+                deletes = deletes || r.omitNull || r.t == Del
+                asVariant(r)
+              })
+            val kept = if (deletes) map_filter(mv, (_, x) => x.isNotNull) else mv
+            parse_json(to_json(kept))
+          }
+          val overArr = parse_json(to_json(
+            mapArr(recv.col.cast("array<variant>"), V)))
+          BV(when(schema_of_variant(recv.col).startsWith("ARRAY"), overArr)
+            .otherwise(overObj), V)
+        case _ =>
+          val arr = asArray(recv)
+          BV(mapArr(arr.col, elemT(arr)), A(V))
+      }
     case "filter" =>
       val f = lam(args(0))
       val arr = asArray(recv)

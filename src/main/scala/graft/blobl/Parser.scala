@@ -172,8 +172,13 @@ object Parser extends RegexParsers {
         case c ~ t ~ e => IfStmt(c, t, e.getOrElse(Nil))
       }
 
+  private def mapDecl: Parser[Stmt] =
+    ("map\\b".r ~> (ident | strLit ^^ (_.v))) ~ ("{" ~> rep(stmt) <~ "}") ^^ {
+      case n ~ ss => MapDecl(n, ss)
+    }
+
   private def stmt: Parser[Stmt] =
-    rootAssign | metaAssign | letAssign | ifStmt | bareAssign
+    mapDecl | rootAssign | metaAssign | letAssign | ifStmt | bareAssign
 
   def mapping: Parser[Mapping] = rep(stmt) ^^ Mapping.apply
 
