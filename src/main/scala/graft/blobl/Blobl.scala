@@ -55,8 +55,7 @@ object Blobl {
     val res = Compiler.runStatements(m.stmts, init, env)
     // rows no root assignment touched pass through VERBATIM (not even
     // re-normalized — the content may not be JSON at all)
-    val newValue = when(res.assigned,
-      call_function("graft_json_normalize", res.rootJson))
+    val newValue = when(res.assigned, docText(res.rootJson))
       .otherwise(col(valueCol))
     // one select so value and metadata expressions BOTH see the original
     // input columns (chained withColumn would make the second see the
@@ -90,8 +89,7 @@ object Blobl {
     // part — the reference SKIPS result_map for it (the original document
     // passes through untouched), so gate every merge on isNotNull
     val hasBranch = col(branchCol).isNotNull
-    val newValue = when(hasBranch && res.assigned,
-      call_function("graft_json_normalize", res.rootJson))
+    val newValue = when(hasBranch && res.assigned, docText(res.rootJson))
       .otherwise(col(rootCol))
     val sel = df.columns.filterNot(_ == branchCol).map {
       case c if c == rootCol => newValue.as(rootCol)
@@ -100,6 +98,18 @@ object Blobl {
       case c => col(c)
     }
     df.filter(!(hasBranch && res.deleted)).select(sel.toSeq: _*)
+  }
+
+  /** Message content of a mapped document: objects/arrays/numbers keep
+    * their normalized JSON text, but a STRING document becomes its raw
+    * bytes (unquoted) — the reference's content() view of a string root
+    * (config/test/bloblang/walk_json.yaml expects `foo & bar`, not
+    * `"foo & bar"`).
+    */
+  private def docText(rootJson: Column): Column = {
+    val norm = call_function("graft_json_normalize", rootJson)
+    when(norm.startsWith("\""), try_parse_json(norm).cast("string"))
+      .otherwise(norm)
   }
 
   /** `mapping` in TYPED mode: `this.<field>` binds to typed columns and

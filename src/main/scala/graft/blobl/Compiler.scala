@@ -297,17 +297,23 @@ object Compiler {
     * `this` = the receiver. Map bodies support `let` plus ONE whole-root
     * assignment.
     *
-    * SELF-RECURSIVE maps (config/test/bloblang/walk_json.yaml's
-    * tree-walk idiom) are a documented DIVERGENCE: a Catalyst expression
-    * tree is static, so recursion could only inline — and with multiple
-    * recursive call sites the tree grows exponentially per level
-    * (measured: minutes of analysis time at depth 4). A re-entered map
-    * applies as identity instead; deep tree rewrites belong in a custom
-    * kernel expression, not unrolled codegen.
+    * RECURSIVE maps (config/test/bloblang/walk_json.yaml's tree-walk
+    * idiom) cannot inline — a static expression tree with multiple
+    * recursive call sites grows exponentially per inlined level
+    * (measured: minutes of analysis time at depth 4). They compile to
+    * ONE interpreted kernel expression instead ([[MapInterp]]), the same
+    * execution class the reference uses for every mapping; only
+    * recursion pays interpreter cost.
     */
   private def applyNamedMap(name: String, v: BV, env: Env): BV = {
     val stmts = env.maps.getOrElse(name,
       throw new IllegalArgumentException(s"unknown map: $name"))
+    if (isRecursive(name, env.maps)) {
+      import org.apache.spark.sql.GraftColumnBridge
+      return BV(parse_json(GraftColumnBridge.column(MapApplyInterp(
+        GraftColumnBridge.expression(toJsonText(v)),
+        name, env.maps, env.envVars))), V)
+    }
     if (env.applying.contains(name) || env.depth >= MaxMapDepth)
       BV(asVariant(v), V)
     else {
@@ -322,6 +328,45 @@ object Compiler {
       }
       result.getOrElse(BV(asVariant(v), V))
     }
+  }
+
+  /** Map names applied anywhere in a statement list (static scan). */
+  private def appliesIn(stmts: Seq[Stmt]): Set[String] = {
+    def inExpr(e: Expr): Set[String] = e match {
+      case MethodCall(r, "apply", Seq(StrLit(n))) => inExpr(r) + n
+      case MethodCall(r, _, as) => inExpr(r) ++ as.flatMap(inExpr)
+      case FnCall(_, as) => as.flatMap(inExpr).toSet
+      case BinOp(_, l, r) => inExpr(l) ++ inExpr(r)
+      case UnOp(_, x) => inExpr(x)
+      case Pipe(l, r) => inExpr(l) ++ inExpr(r)
+      case IfExpr(c, t, e2) =>
+        inExpr(c) ++ inExpr(t) ++ e2.toSeq.flatMap(inExpr)
+      case MatchExpr(t, cs) => t.toSeq.flatMap(inExpr).toSet ++
+        cs.flatMap { case (c, b) => c.toSeq.flatMap(inExpr) ++ inExpr(b) }
+      case ArrLit(xs) => xs.flatMap(inExpr).toSet
+      case ObjLit(fs) => fs.flatMap(f => inExpr(f._2)).toSet
+      case Lambda(_, b) => inExpr(b)
+      case _ => Set.empty
+    }
+    stmts.flatMap {
+      case RootAssign(_, v) => inExpr(v)
+      case LetAssign(_, v) => inExpr(v)
+      case MetaAssign(_, v) => inExpr(v)
+      case IfStmt(c, t, e2) => inExpr(c) ++ appliesIn(t) ++ appliesIn(e2)
+      case MapDecl(_, ss) => appliesIn(ss)
+    }.toSet
+  }
+
+  /** Can applying `name` reach itself again (directly or mutually)? */
+  private def isRecursive(name: String, maps: Map[String, Seq[Stmt]]): Boolean = {
+    var seen = Set.empty[String]
+    var frontier = appliesIn(maps.getOrElse(name, Seq.empty))
+    while (frontier.nonEmpty) {
+      if (frontier.contains(name)) return true
+      seen ++= frontier
+      frontier = frontier.flatMap(n => appliesIn(maps.getOrElse(n, Seq.empty))) -- seen
+    }
+    false
   }
 
   private def isArr(v0: BV): Boolean = v0.t match {
