@@ -46,7 +46,8 @@ object Compiler {
     */
   private[blobl] def vpath(segs: Seq[String]): String =
     "$" + segs.map { seg =>
-      if (seg.matches("[A-Za-z_][A-Za-z0-9_]*")) "." + seg
+      if (seg.matches("[0-9]+")) "[" + seg + "]" // array index (this.0)
+      else if (seg.matches("[A-Za-z_][A-Za-z0-9_]*")) "." + seg
       else "['" + seg.replace("'", "\\'") + "']"
     }.mkString
 

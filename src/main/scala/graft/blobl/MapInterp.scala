@@ -77,12 +77,8 @@ object MapInterp {
     case BoolLit(b) => F.booleanNode(b)
     case NullLit => F.nullNode()
 
-    case ThisPath(segs) =>
-      segs.foldLeft(thisV)((n, s) =>
-        if (n != null && n.isObject && n.has(s)) n.get(s) else F.nullNode())
-    case BarePath(segs) =>
-      segs.foldLeft(thisV)((n, s) =>
-        if (n != null && n.isObject && n.has(s)) n.get(s) else F.nullNode())
+    case ThisPath(segs) => navigate(thisV, segs)
+    case BarePath(segs) => navigate(thisV, segs)
     case VarRef(n) => vars.getOrElse(n, F.nullNode())
 
     case ArrLit(items) =>
@@ -156,6 +152,17 @@ object MapInterp {
     case Lambda(_, _) => throw new IllegalArgumentException(
       "lambda outside method argument")
   }
+
+  private def navigate(base: JsonNode, segs: Seq[String]): JsonNode =
+    segs.foldLeft(base) { (n, s) =>
+      if (n == null) F.nullNode()
+      else if (n.isArray && s.forall(_.isDigit)) {
+        val i = s.toInt
+        if (i < n.size()) n.get(i) else F.nullNode()
+      }
+      else if (n.isObject && n.has(s)) n.get(s)
+      else F.nullNode()
+    }
 
   private def jsonEq(l: JsonNode, r: JsonNode): Boolean =
     if (l.isNumber && r.isNumber) num(l) == num(r) else l == r

@@ -362,10 +362,15 @@ object Methods {
         case _ => transform(arr.col, x => x.cast("string"))
       }
       BV(array_join(strs, sep), S)
-    case "flatten" => BV(flatten(asArray(recv).col), elemT(asArray(recv)) match {
-      case A(e) => A(e)
-      case _ => A(V)
-    })
+    case "flatten" =>
+      val arr = asArray(recv)
+      elemT(arr) match {
+        case A(e) => BV(flatten(arr.col), A(e))
+        case _ =>
+          // variant elements: each is itself an array at runtime —
+          // surface that for Catalyst's flatten (array<array<variant>>)
+          BV(flatten(transform(arr.col, x => x.cast("array<variant>"))), A(V))
+      }
     case "index" =>
       val arr = asArray(recv)
       val i = asLong(v(args(0)))

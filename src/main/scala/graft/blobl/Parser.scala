@@ -110,6 +110,8 @@ object Parser extends RegexParsers {
   // about.adoc path syntax) is always a field access
   private def pathSeg: Parser[(String, Option[Seq[Expr]])] =
     (strLit ^^ (s => (s.v, None: Option[Seq[Expr]]))) |
+      // numeric segment = array index (`this.0`, reference path syntax)
+      ("[0-9]+".r ^^ (n => (n, None: Option[Seq[Expr]]))) |
       (ident ~ opt("(" ~> repsep(expr, ",") <~ ")") ^^ {
         case n ~ a => (n, a.map(_.toSeq))
       })

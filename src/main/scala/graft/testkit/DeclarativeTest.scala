@@ -68,6 +68,31 @@ object DeclarativeTest {
       if (m.metadata == want) None
       else Some(s"metadata_equals: got ${m.metadata}, want $want")
   }
+  /** `bloblang:` assertion (unit_testing.adoc:164-200): a predicate over
+    * the output message — content()/this/metadata bound; error() is null
+    * here (error-channel tests assert the column through processors).
+    */
+  final case class BloblangCheck(pred: String) extends Check {
+    def apply(m: Msg): Option[String] = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(m.content,
+          m.metadata, null: String)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("metadata",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.StructField("error",
+            org.apache.spark.sql.types.StringType))))
+      val ok = !df.filter(Blobl.predicateJson(df, pred, Map.empty,
+        metadataCol = Some("metadata"))).isEmpty
+      if (ok) None else Some(s"bloblang: predicate '$pred' is false for '${m.content}'")
+    }
+  }
 
   /** Structural subset: every field/element of `want` present (and
     * recursively contained) in `got`; scalars compare by equality.
@@ -112,8 +137,13 @@ object DeclarativeTest {
           val node = root.at(ptr.asText())
           require(!node.isMissingNode, s"target_processors ${ptr.asText()} not found in $path")
           node.elements().asScala.toSeq.map(compileProcessor(_, env))
-        case _ => throw new IllegalArgumentException(
-          s"test '$name' has neither target_mapping nor target_processors")
+        case _ =>
+          // unit_testing.adoc: the default target is the config's own
+          // pipeline processors
+          val node = root.at("/pipeline/processors")
+          require(!node.isMissingNode,
+            s"test '$name' has no target and no /pipeline/processors in $path")
+          node.elements().asScala.toSeq.map(compileProcessor(_, env))
       }
       TestCase(name, env, input, expected, procs)
     }
@@ -149,6 +179,7 @@ object DeclarativeTest {
           JsonContains(if (e.getValue.isTextual)
             json.readTree(e.getValue.asText()) else e.getValue)
         case "metadata_equals" => MetadataEquals(mapOf(e.getValue))
+        case "bloblang" => BloblangCheck(e.getValue.asText())
         case other =>
           throw new IllegalArgumentException(s"unknown assertion '$other'")
       }
