@@ -137,7 +137,15 @@ object Compiler {
       // nulls are dropped by to_json(ignoreNullFields=true)
       val fvs = fields.map { case (k, fe) =>
         val v0 = compile(fe, env)
-        val c = if (v0.t == Del) lit(null).cast("string") else dropDeleted(v0)
+        val c =
+          if (v0.t == Del) lit(null).cast("string")
+          else v0.t match {
+            // nested documents embed as real trees — a J (JSON text)
+            // child would otherwise re-encode as a quoted string
+            // (config/test/structured_metadata.yaml nested objects)
+            case J | V | A(_) => asVariant(v0)
+            case _ => dropDeleted(v0)
+          }
         c.as(k)
       }
       BV(to_json(struct(fvs: _*), Map("ignoreNullFields" -> "true")), J)

@@ -64,8 +64,15 @@ object DeclarativeTest {
     }
   }
   final case class MetadataEquals(want: Map[String, String]) extends Check {
+    // STRUCTURED metadata values (config/test/structured_metadata.yaml)
+    // ride as JSON text in our map<string,string> — compare tree-wise
+    // when both sides parse, else byte-wise
+    private def same(a: String, b: String): Boolean =
+      a == b || (try json.readTree(a) == json.readTree(b)
+        catch { case _: Exception => false })
     def apply(m: Msg): Option[String] =
-      if (m.metadata == want) None
+      if (m.metadata.keySet == want.keySet &&
+          want.forall { case (k, v) => same(m.metadata(k), v) }) None
       else Some(s"metadata_equals: got ${m.metadata}, want $want")
   }
   /** `bloblang:` assertion (unit_testing.adoc:164-200): a predicate over
@@ -113,16 +120,35 @@ object DeclarativeTest {
       expected: Seq[Seq[Check]],
       processors: Seq[DataFrame => DataFrame])
 
+  /** Config-level `${VAR}` / `${VAR:default}` env interpolation — the
+    * reference substitutes these at config parse, BEFORE any component
+    * sees the text (unit_testing.adoc environment section). Bloblang's
+    * own `${! … }` interpolations are left alone.
+    */
+  private def substEnv(text: String, env: Map[String, String]): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\\}".r.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
+
   /** Load every test case from a declarative YAML file. */
   def load(path: String): Seq[TestCase] = {
-    val root = yaml.readTree(Files.readString(Paths.get(path)))
-    val cases = Option(root.get("tests")).map(_.elements().asScala.toSeq)
+    val rawText = Files.readString(Paths.get(path))
+    val rawRoot = yaml.readTree(rawText)
+    val cases = Option(rawRoot.get("tests")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
     cases.map { tc =>
       val name = tc.get("name").asText()
       val env = mapOf(tc.get("environment"))
-      val input = Option(tc.get("input_batch")).map(_.elements().asScala.toSeq)
-        .getOrElse(Seq.empty).map(parseMsg(_, path))
+      // per-case env substitution over the whole config text (the
+      // reference parses the config fresh per test environment)
+      val root = yaml.readTree(substEnv(rawText, env))
+      // input_batch (one batch) or input_batches (several, fed in
+      // order as one bounded stream — config/test/deduplicate.yaml)
+      val input = (Option(tc.get("input_batch")).map(_.elements().asScala.toSeq)
+        .getOrElse(Seq.empty) ++
+        Option(tc.get("input_batches")).map(_.elements().asScala.toSeq)
+          .getOrElse(Seq.empty).flatMap(_.elements().asScala.toSeq))
+        .map(parseMsg(_, path))
       val expected = Option(tc.get("output_batches"))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
         .flatMap(_.elements().asScala.toSeq)
@@ -178,12 +204,20 @@ object DeclarativeTest {
         case "json_contains" =>
           JsonContains(if (e.getValue.isTextual)
             json.readTree(e.getValue.asText()) else e.getValue)
-        case "metadata_equals" => MetadataEquals(mapOf(e.getValue))
+        case "metadata_equals" => MetadataEquals(jsonMapOf(e.getValue))
         case "bloblang" => BloblangCheck(e.getValue.asText())
         case other =>
           throw new IllegalArgumentException(s"unknown assertion '$other'")
       }
     }
+
+  /** Map with non-textual values serialized as JSON (structured
+    * metadata assertions). */
+  private def jsonMapOf(n: JsonNode): Map[String, String] =
+    Option(n).map(_.properties().asScala.map(e =>
+      e.getKey -> (if (e.getValue.isTextual) e.getValue.asText()
+        else json.writeValueAsString(e.getValue))).toMap)
+      .getOrElse(Map.empty)
 
   private def mapOf(n: JsonNode): Map[String, String] =
     Option(n).map(_.properties().asScala.map(e =>
