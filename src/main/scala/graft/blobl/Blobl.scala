@@ -66,7 +66,13 @@ object Blobl {
         res.meta.getOrElse(col(c)).as(c)
       case c => col(c)
     }
-    withThis.filter(!res.deleted).select(sel.toSeq: _*)
+    // value/meta/delete expressions may contain window functions
+    // (batch_index, from_all) that must see the WHOLE batch: evaluate
+    // everything in one projection over the unfiltered frame, then
+    // filter on the materialized delete flag
+    withThis.select((sel :+ res.deleted.as("__graft_del")).toSeq: _*)
+      .filter(!col("__graft_del"))
+      .drop("__graft_del")
   }
 
   /** `branch.result_map` (processors/branch.adoc:26): map fields of a
@@ -97,7 +103,9 @@ object Blobl {
         when(hasBranch, res.meta.getOrElse(col(c))).otherwise(col(c)).as(c)
       case c => col(c)
     }
-    df.filter(!(hasBranch && res.deleted)).select(sel.toSeq: _*)
+    df.select((sel :+ (hasBranch && res.deleted).as("__graft_del")).toSeq: _*)
+      .filter(!col("__graft_del"))
+      .drop("__graft_del")
   }
 
   /** Message content of a mapped document: objects/arrays/numbers keep

@@ -177,6 +177,41 @@ object Compiler {
     case MethodCall(recv, "apply", Seq(StrLit(mapName))) =>
       applyNamedMap(mapName, compile(recv, env), env)
 
+    // ── from_all() batch folds (config/test/bloblang/windowed.yaml,
+    // docs/…/buffers/system_window.adoc:113-127): evaluate the receiver
+    // across ALL batch messages and reduce. Compiles to a window
+    // aggregate over the whole batch — partial aggregation map-side,
+    // no driver loop.
+    case MethodCall(MethodCall(inner, "from_all", _), "sum", _) =>
+      val v = compile(inner, env)
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      // integral inputs keep an integral sum (blobl numbers are
+      // int64-or-float64; 243+71 must render 314, not 314.0)
+      val ls = sum(asLong(v)).over(w)
+      val ds = sum(asDouble(v)).over(w)
+      BV(when(ds === ls.cast("double"), ls.cast("variant"))
+        .otherwise(ds.cast("variant")), V)
+    case MethodCall(MethodCall(inner, "from_all", _), "unique", _) =>
+      val v = compile(inner, env)
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      BV(collect_set(asVariant(v)).over(w), A(V))
+    case MethodCall(MethodCall(inner, "from_all", _), "fold", args)
+        if args.length == 2 =>
+      val v = compile(inner, env)
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val all = collect_list(asVariant(v)).over(w)
+      val init = compile(args(0), env)
+      BV(aggregate(all, asVariant(init), (acc, x) => {
+        val env2 = env.withVar("tally", BV(acc, V)).withVar("value", BV(x, V))
+        asVariant(compile(args(1), env2))
+      }), V)
+    case MethodCall(MethodCall(inner, "from_all", _), name, _) =>
+      throw new IllegalArgumentException(
+        s"from_all().$name: supported reducers are sum/unique/fold")
+
     case MethodCall(recv, "fold", args) if args.length == 2 =>
       // fold(init, expr) — expr sees `tally` (accumulator) and `value`
       // (element), reference: config/test/bloblang/windowed.yaml:4-8
@@ -232,12 +267,12 @@ object Compiler {
         case "*" => numeric(l, r, _ * _)
         case "/" => BV(asDouble(l) / asDouble(r), F)
         case "%" => BV(asLong(l) % asLong(r), I)
-        case "==" => BV(cmpOperand(l, r)._1 === cmpOperand(l, r)._2, B)
-        case "!=" => BV(cmpOperand(l, r)._1 =!= cmpOperand(l, r)._2, B)
-        case "<" => BV(cmpOperand(l, r)._1 < cmpOperand(l, r)._2, B)
-        case "<=" => BV(cmpOperand(l, r)._1 <= cmpOperand(l, r)._2, B)
-        case ">" => BV(cmpOperand(l, r)._1 > cmpOperand(l, r)._2, B)
-        case ">=" => BV(cmpOperand(l, r)._1 >= cmpOperand(l, r)._2, B)
+        case "==" => BV(cmpCol(l, r, _ === _), B)
+        case "!=" => BV(cmpCol(l, r, _ =!= _), B)
+        case "<" => BV(cmpCol(l, r, _ < _), B)
+        case "<=" => BV(cmpCol(l, r, _ <= _), B)
+        case ">" => BV(cmpCol(l, r, _ > _), B)
+        case ">=" => BV(cmpCol(l, r, _ >= _), B)
         case "&&" => BV(asBool(l) && asBool(r), B)
         case "||" => BV(asBool(l) || asBool(r), B)
         case other => throw new IllegalArgumentException(s"unknown op $other")
@@ -388,6 +423,23 @@ object Compiler {
     BV(f(numOperand(l, t), numOperand(r, t)), t)
   }
 
+  /** Dynamic comparison: two VARIANTS compare numerically when both
+    * carry numbers at runtime, else lexicographically — blobl is
+    * uni-typed, so `tally < value` over JSON numbers must not fall back
+    * to string order (config/test/bloblang/windowed.yaml's max fold).
+    */
+  private def cmpCol(l: BV, r: BV, f: (Column, Column) => Column): Column =
+    (l.t, r.t) match {
+      case (V, V) =>
+        val ln = try_variant_get(l.col, "$", "double")
+        val rn = try_variant_get(r.col, "$", "double")
+        when(ln.isNotNull && rn.isNotNull, f(ln, rn))
+          .otherwise(f(asString(l), asString(r)))
+      case _ =>
+        val (a, b) = cmpOperand(l, r)
+        f(a, b)
+    }
+
   /** Comparison operands: pick the more specific side's type. */
   private def cmpOperand(l: BV, r: BV): (Column, Column) = {
     val t = (l.t, r.t) match {
@@ -448,6 +500,20 @@ object Compiler {
       case RootAssign(Seq(), IfExpr(c, thn, els)) =>
         apply(Seq(IfStmt(c, Seq(RootAssign(Seq(), thn)),
           els.map(e => Seq(RootAssign(Seq(), e): Stmt)).getOrElse(Seq.empty))), cond)
+
+      // `root = match { c => deleted(), … }` desugars the same way: an
+      // unmatched row SKIPS the assignment rather than conflating
+      // "no arm fired" with "a deleting arm fired" (both compile to
+      // null in expression position — config/test/bloblang/windowed.yaml
+      // drops every message but the first this way)
+      case RootAssign(Seq(), MatchExpr(None, mcases)) =>
+        def toIf(cs: Seq[(Option[Expr], Expr)]): Seq[Stmt] = cs match {
+          case Seq() => Seq.empty
+          case (Some(c), b) +: rest =>
+            Seq(IfStmt(c, Seq(RootAssign(Seq(), b)), toIf(rest)))
+          case (None, b) +: _ => Seq(RootAssign(Seq(), b))
+        }
+        apply(toIf(mcases), cond)
 
       case RootAssign(Seq(), value) =>
         compile(value, env) match {

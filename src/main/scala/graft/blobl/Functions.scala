@@ -165,9 +165,21 @@ object Functions {
         case None => BV(to_json(m), J)
       }
 
-    case "batch_index" | "batch_size" | "count" | "counter" =>
+    case "batch_index" =>
+      // 0-based position within the batch (functions.adoc:446-479):
+      // rank over the envelope ordinal — frames without __seq fail at
+      // analysis, which is the right time to learn the op needs batch
+      // context
+      BV((row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(org.apache.spark.sql.functions.col("__seq"))) - 1)
+        .cast("long"), I)
+    case "batch_size" =>
+      BV(count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)), I)
+
+    case "count" | "counter" =>
       throw new IllegalArgumentException(
-        s"$name() is batch/stream-scoped — use graft.operators.BatchOps")
+        s"$name() is stream-scoped — use graft.operators.BatchOps.namedCounter")
 
     case other =>
       throw new IllegalArgumentException(s"unknown blobl function: $other")
