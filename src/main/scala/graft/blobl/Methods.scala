@@ -171,9 +171,11 @@ object Methods {
     case "quote" => BV(to_json(asVariant(BV(asString(recv), S))), S)
     case "format" =>
       // receiver must be a literal format string ("%s-%d".format(a, b));
-      // the Compiler routes the literal through the first pseudo-arg
-      val fmt = litStr(args.head)
-      BV(format_string(fmt, args.tail.map(a => v(a).col): _*), S)
+      // the Compiler routes the literal through the first pseudo-arg.
+      // Go's %v verb (render any value) maps to %s — arguments coerce
+      // to string (config/test/unit_test_example.yaml "%vend")
+      val fmt = litStr(args.head).replace("%v", "%s")
+      BV(format_string(fmt, args.tail.map(a => asString(v(a))): _*), S)
     case "escape_url_query" => BV(url_encode(asString(recv)), S)
     case "unescape_url_query" => BV(url_decode(asString(recv)), S)
     case "slug" =>

@@ -75,6 +75,16 @@ object DeclarativeTest {
           want.forall { case (k, v) => same(m.metadata(k), v) }) None
       else Some(s"metadata_equals: got ${m.metadata}, want $want")
   }
+  /** `file_equals` (unit_testing.adoc:164-200): content matches a file
+    * verbatim. */
+  final case class FileEquals(path: String) extends Check {
+    def apply(m: Msg): Option[String] = {
+      val want = Files.readString(Paths.get(path))
+      if (m.content == want) None
+      else Some(s"file_equals: got '${m.content}', want '$want' ($path)")
+    }
+  }
+
   /** `bloblang:` assertion (unit_testing.adoc:164-200): a predicate over
     * the output message — content()/this/metadata bound; error() is null
     * here (error-channel tests assert the column through processors).
@@ -152,7 +162,7 @@ object DeclarativeTest {
       val expected = Option(tc.get("output_batches"))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
         .flatMap(_.elements().asScala.toSeq)
-        .map(parseChecks)
+        .map(parseChecks(_, path))
       val procs = (Option(tc.get("target_mapping")), Option(tc.get("target_processors"))) match {
         case (Some(mp), _) =>
           val f = new File(new File(path).getParentFile, mp.asText())
@@ -193,9 +203,11 @@ object DeclarativeTest {
     Msg(content, mapOf(m.get("metadata")))
   }
 
-  private def parseChecks(a: JsonNode): Seq[Check] =
+  private def parseChecks(a: JsonNode, path: String): Seq[Check] =
     a.properties().asScala.toSeq.map { e =>
       e.getKey match {
+        case "file_equals" => FileEquals(new File(
+          new File(path).getParentFile, e.getValue.asText()).getPath)
         case "content_equals" => ContentEquals(e.getValue.asText())
         case "content_matches" => ContentMatches(e.getValue.asText())
         case "json_equals" =>
