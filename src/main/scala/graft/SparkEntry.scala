@@ -431,6 +431,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_cdc_apply" -> ((s, d) => {
+      // Debezium-envelope CDC ingestion + apply (SURVEY §2.12 CDC row,
+      // reference TYPES.md wire contracts): inserts, later updates, and
+      // later deletes fold to current state in ONE keyed window pass
+      val base = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          dec(col("o_totalprice")).as("price"))
+      val ins = base.select(to_json(struct(
+        struct(col("k"), col("cust"), col("price")).as("after"),
+        lit("c").as("op"), lit(1000L).as("ts_ms"))).as("value"))
+      val upd = base.filter(col("k") % 7 === 0)
+        .withColumn("price",
+          (col("price") + lit(10).cast("decimal(18,2)")).cast("decimal(18,2)"))
+        .select(to_json(struct(
+          struct(col("k"), col("cust"), col("price")).as("after"),
+          lit("u").as("op"), lit(2000L).as("ts_ms"))).as("value"))
+      val del = base.filter(col("k") % 13 === 0)
+        .select(to_json(struct(
+          struct(col("k"), col("cust"), col("price")).as("before"),
+          lit("d").as("op"), lit(3000L).as("ts_ms"))).as("value"))
+      val ops = sources.Cdc.debeziumOps(
+        ins.unionByName(upd).unionByName(del), "value",
+        "k BIGINT, cust BIGINT, price DECIMAL(18,2)")
+      sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms"))
+        .orderBy(col("k"))
+    }),
+
     "p_retry" -> ((s, d) => {
       // `retry` (processors/retry.adoc:26) through the config runner,
       // around a `cache` get child: hits resolve on the first pass,
@@ -1312,6 +1339,14 @@ object SparkEntry {
         |       ELSE doc_id % 10 + 3 * CAST(CEIL((8 - doc_id % 10) / 3.0) AS BIGINT)
         |  END AS kv
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    "p_cdc_apply" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END AS DECIMAL(18,2)) AS price
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
+        |ORDER BY k""".stripMargin,
 
     "p_retry" ->
       """SELECT doc_id,
