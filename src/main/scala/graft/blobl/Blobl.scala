@@ -48,7 +48,8 @@ object Blobl {
     // `this` is simply null for it.
     val withThis = df.withColumn("__this", try_parse_json(col(valueCol)))
     val env = Compiler.Env(Compiler.Json(col("__this"), col(valueCol)),
-      Map.empty, metadataCol.map(col), envVars)
+      Map.empty, metadataCol.map(col), envVars,
+      batchCol = batchColOf(df))
     val init: Column =
       if (fresh) lit("{}")
       else call_function("graft_json_normalize", col(valueCol))
@@ -196,9 +197,15 @@ object Blobl {
     Compiler.prepare(df)
     val env = Compiler.Env(
       Compiler.Json(try_parse_json(col(valueCol)), col(valueCol)),
-      Map.empty, metadataCol.map(col), envVars)
+      Map.empty, metadataCol.map(col), envVars,
+      batchCol = batchColOf(df))
     Compiler.compile(Parser.parseExpr(src), env).col
   }
+
+  /** Batch identity column when the envelope carries one — batch-scoped
+    * functions (batch_index/batch_size/from_all/from) partition by it. */
+  private def batchColOf(df: DataFrame): Option[Column] =
+    if (df.columns.contains("__batch")) Some(col("__batch")) else None
 
   /** Boolean predicate over the JSON envelope; null ⇒ false (the
     * reference's check fields treat non-true as no-match).

@@ -92,7 +92,8 @@ object Compiler {
                  thisOverride: Option[BV] = None,
                  maps: Map[String, Seq[Stmt]] = Map.empty, // named maps
                  depth: Int = 0,                 // apply() inline depth
-                 applying: Set[String] = Set.empty) { // maps on the inline stack
+                 applying: Set[String] = Set.empty, // maps on the inline stack
+                 batchCol: Option[Column] = None) { // batch identity (__batch)
     def withVar(name: String, v: BV): Env = copy(vars = vars + (name -> v))
     /** Rebind `this` to a value — expression-form lambda bodies
       * (`items.map_each($d.merge(this))`) see the ELEMENT as `this`.
@@ -180,12 +181,11 @@ object Compiler {
     // ── from_all() batch folds (config/test/bloblang/windowed.yaml,
     // docs/…/buffers/system_window.adoc:113-127): evaluate the receiver
     // across ALL batch messages and reduce. Compiles to a window
-    // aggregate over the whole batch — partial aggregation map-side,
-    // no driver loop.
+    // aggregate over the batch (partitioned by `__batch` when the frame
+    // carries one) — partial aggregation map-side, no driver loop.
     case MethodCall(MethodCall(inner, "from_all", _), "sum", _) =>
       val v = compile(inner, env)
-      val w = org.apache.spark.sql.expressions.Window
-        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val w = batchFrame(env)
       // integral inputs keep an integral sum (blobl numbers are
       // int64-or-float64; 243+71 must render 314, not 314.0)
       val ls = sum(asLong(v)).over(w)
@@ -194,15 +194,11 @@ object Compiler {
         .otherwise(ds.cast("variant")), V)
     case MethodCall(MethodCall(inner, "from_all", _), "unique", _) =>
       val v = compile(inner, env)
-      val w = org.apache.spark.sql.expressions.Window
-        .rowsBetween(Long.MinValue, Long.MaxValue)
-      BV(collect_set(asVariant(v)).over(w), A(V))
+      BV(collect_set(asVariant(v)).over(batchFrame(env)), A(V))
     case MethodCall(MethodCall(inner, "from_all", _), "fold", args)
         if args.length == 2 =>
       val v = compile(inner, env)
-      val w = org.apache.spark.sql.expressions.Window
-        .rowsBetween(Long.MinValue, Long.MaxValue)
-      val all = collect_list(asVariant(v)).over(w)
+      val all = collect_list(asVariant(v)).over(batchFrame(env))
       val init = compile(args(0), env)
       BV(aggregate(all, asVariant(init), (acc, x) => {
         val env2 = env.withVar("tally", BV(acc, V)).withVar("value", BV(x, V))
@@ -211,6 +207,15 @@ object Compiler {
     case MethodCall(MethodCall(inner, "from_all", _), name, _) =>
       throw new IllegalArgumentException(
         s"from_all().$name: supported reducers are sum/unique/fold")
+
+    // `expr.from(n)` (functions.adoc from): evaluate the expression in
+    // the context of batch message n — nth value over the batch window
+    case MethodCall(inner, "from", Seq(IntLit(n))) =>
+      val v = compile(inner, env)
+      val w = batchPart(env)
+        .orderBy(org.apache.spark.sql.functions.col("__seq"))
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      BV(nth_value(v.col, n.toInt + 1).over(w), v.t)
 
     case MethodCall(recv, "fold", args) if args.length == 2 =>
       // fold(init, expr) — expr sees `tally` (accumulator) and `value`
@@ -373,6 +378,17 @@ object Compiler {
       result.getOrElse(BV(asVariant(v), V))
     }
   }
+
+  /** Batch-scoped window spec: partitioned by the envelope's `__batch`
+    * when the frame carries one, else the whole input is one batch. */
+  private[blobl] def batchPart(env: Env): org.apache.spark.sql.expressions.WindowSpec =
+    env.batchCol match {
+      case Some(b) => org.apache.spark.sql.expressions.Window.partitionBy(b)
+      case None => org.apache.spark.sql.expressions.Window.partitionBy()
+    }
+
+  private[blobl] def batchFrame(env: Env): org.apache.spark.sql.expressions.WindowSpec =
+    batchPart(env).rowsBetween(Long.MinValue, Long.MaxValue)
 
   /** Map names applied anywhere in a statement list (static scan). */
   private def appliesIn(stmts: Seq[Stmt]): Set[String] = {

@@ -46,8 +46,10 @@ object Functions {
 
     case "uuid_v4" => BV(uuid(), S)
     case "nanoid" =>
-      // 21-char nanoid alphabet subset via uuid entropy
-      BV(substring(regexp_replace(uuid(), "-", ""), 1, 21), S)
+      // nanoid alphabet subset via uuid entropy; optional length arg
+      val len = argAsts.headOption
+        .collect { case Ast.IntLit(n) => n.toInt }.getOrElse(21)
+      BV(substring(regexp_replace(uuid(), "-", ""), 1, len), S)
     case "ksuid" | "ulid" | "snowflake_id" =>
       // format kernels over (time, uuid-entropy) — see IdOps
       import org.apache.spark.sql.GraftColumnBridge
@@ -167,15 +169,14 @@ object Functions {
 
     case "batch_index" =>
       // 0-based position within the batch (functions.adoc:446-479):
-      // rank over the envelope ordinal — frames without __seq fail at
-      // analysis, which is the right time to learn the op needs batch
-      // context
-      BV((row_number().over(org.apache.spark.sql.expressions.Window
+      // rank over the envelope ordinal within `__batch` when present —
+      // frames without __seq fail at analysis, which is the right time
+      // to learn the op needs batch context
+      BV((row_number().over(Compiler.batchPart(env)
         .orderBy(org.apache.spark.sql.functions.col("__seq"))) - 1)
         .cast("long"), I)
     case "batch_size" =>
-      BV(count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .rowsBetween(Long.MinValue, Long.MaxValue)), I)
+      BV(count(lit(1)).over(Compiler.batchFrame(env)), I)
 
     case "count" | "counter" =>
       throw new IllegalArgumentException(

@@ -33,7 +33,8 @@ object DeclarativeTest {
   private val yaml = new ObjectMapper(new YAMLFactory())
   private val json = new ObjectMapper()
 
-  final case class Msg(content: String, metadata: Map[String, String])
+  final case class Msg(content: String, metadata: Map[String, String],
+                       batch: Int = 0)
 
   sealed trait Check {
     /** None = pass, Some(reason) = fail. */
@@ -153,12 +154,14 @@ object DeclarativeTest {
       // reference parses the config fresh per test environment)
       val root = yaml.readTree(substEnv(rawText, env))
       // input_batch (one batch) or input_batches (several, fed in
-      // order as one bounded stream — config/test/deduplicate.yaml)
-      val input = (Option(tc.get("input_batch")).map(_.elements().asScala.toSeq)
-        .getOrElse(Seq.empty) ++
+      // order as one bounded stream with batch identity —
+      // config/test/deduplicate.yaml, deduplicate_by_batch.yaml)
+      val input = Option(tc.get("input_batch")).map(_.elements().asScala.toSeq)
+        .getOrElse(Seq.empty).map(parseMsg(_, path)) ++
         Option(tc.get("input_batches")).map(_.elements().asScala.toSeq)
-          .getOrElse(Seq.empty).flatMap(_.elements().asScala.toSeq))
-        .map(parseMsg(_, path))
+          .getOrElse(Seq.empty).zipWithIndex.flatMap { case (b, bi) =>
+            b.elements().asScala.toSeq.map(parseMsg(_, path).copy(batch = bi))
+          }
       val expected = Option(tc.get("output_batches"))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
         .flatMap(_.elements().asScala.toSeq)
@@ -242,8 +245,8 @@ object DeclarativeTest {
   def run(spark: SparkSession, tc: TestCase): Seq[String] = {
     import spark.implicits._
     val in = tc.input.zipWithIndex
-      .map { case (m, i) => (i.toLong, m.content, m.metadata) }
-      .toDF("__seq", "value", "metadata")
+      .map { case (m, i) => (i.toLong, m.batch.toLong, m.content, m.metadata) }
+      .toDF("__seq", "__batch", "value", "metadata")
     val out = tc.processors.foldLeft(in: DataFrame)((df, p) => p(df))
     val rows = out.orderBy(col("__seq"))
       .select(col("value"), col("metadata"))
