@@ -51,10 +51,24 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         print(f"✗ {name}: row count {len(a)} vs {len(b)}")
         fails += 1
         continue
+    def kind(dt: str) -> str:
+        # the driver's hasher accepts integer-width drift (int32 vs int64,
+        # r4 p_parquet_blob was green with it) but NOT kind drift — a
+        # decimal128 parquet column vs a float64 oracle fetch hash-differs
+        # even when every value is equal (r4 p_cdc_apply shipped red
+        # exactly because this check was lenient)
+        if dt.startswith(("int", "uint")): return "int"
+        if dt.startswith("float"): return "float"
+        if dt.startswith("datetime"): return "datetime"
+        return dt
     sa = [str(ai.dtype) for _, ai in a.items()]
     sb = [str(bi.dtype) for _, bi in b.items()]
+    if [kind(x) for x in sa] != [kind(x) for x in sb]:
+        print(f"✗ {name}: dtype kind mismatch {sa} vs {sb} (driver hasher would fail this)")
+        fails += 1
+        continue
     if sa != sb:
-        print(f"! {name}: dtype mismatch {sa} vs {sb} (may still hash-match after normalization)")
+        print(f"! {name}: integer-width drift {sa} vs {sb} (driver hasher accepts)")
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         print(f"✓ {name}: {len(a)} rows exact-match")

@@ -455,6 +455,10 @@ object SparkEntry {
         ins.unionByName(upd).unionByName(del), "value",
         "k BIGINT, cust BIGINT, price DECIMAL(18,2)")
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms"))
+        // money convention: emit double like every sumd column — the
+        // driver's hasher distinguishes decimal128 from the oracle's
+        // float64 fetch even when values are identical (round-4 red)
+        .withColumn("price", col("price").cast("double"))
         .orderBy(col("k"))
     }),
 
@@ -1342,8 +1346,8 @@ object SparkEntry {
 
     "p_cdc_apply" ->
       """SELECT o_orderkey AS k, o_custkey AS cust,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
-        |    CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END AS DECIMAL(18,2)) AS price
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
         |ORDER BY k""".stripMargin,

@@ -363,9 +363,16 @@ object Compiler {
         GraftColumnBridge.expression(toJsonText(v)),
         name, env.maps, env.envVars))), V)
     }
-    if (env.applying.contains(name) || env.depth >= MaxMapDepth)
-      BV(asVariant(v), V)
-    else {
+    if (env.applying.contains(name) || env.depth >= MaxMapDepth) {
+      // mutual recursion the static scan didn't classify, or a distinct
+      // chain deeper than the inline cap: route to the interpreted
+      // kernel rather than silently degrading to identity (wrong output
+      // with no error signal)
+      import org.apache.spark.sql.GraftColumnBridge
+      BV(parse_json(GraftColumnBridge.column(MapApplyInterp(
+        GraftColumnBridge.expression(toJsonText(v)),
+        name, env.maps, env.envVars))), V)
+    } else {
       var e2 = env.withThis(v).copy(depth = env.depth + 1,
         applying = env.applying + name)
       var result: Option[BV] = None

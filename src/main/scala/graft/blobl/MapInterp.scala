@@ -42,7 +42,10 @@ object MapInterp {
   /** Apply map `name` to `v`. Map bodies: `let` + one whole-root
     * assignment (same restriction as the inline path). */
   def applyMap(name: String, v: JsonNode, ctx: Ctx, depth: Int = 0): JsonNode = {
-    if (depth > 256) return v // runaway-document guard
+    // runaway-document guard: surface as an error (recoverable via the
+    // pipeline error channel) instead of returning the value unmapped
+    if (depth > 256) throw new IllegalStateException(
+      s"recursive map '$name': depth > 256")
     val stmts = ctx.maps.getOrElse(name,
       throw new IllegalArgumentException(s"unknown map: $name"))
     var vars = Map.empty[String, JsonNode]
@@ -114,10 +117,10 @@ object MapInterp {
         case "!=" => F.booleanNode(!jsonEq(l, r))
         case "&&" => F.booleanNode(truthy(l) && truthy(r))
         case "||" => F.booleanNode(truthy(l) || truthy(r))
-        case "<" => F.booleanNode(num(l) < num(r))
-        case "<=" => F.booleanNode(num(l) <= num(r))
-        case ">" => F.booleanNode(num(l) > num(r))
-        case ">=" => F.booleanNode(num(l) >= num(r))
+        case "<" => F.booleanNode(cmp(l, r) < 0)
+        case "<=" => F.booleanNode(cmp(l, r) <= 0)
+        case ">" => F.booleanNode(cmp(l, r) > 0)
+        case ">=" => F.booleanNode(cmp(l, r) >= 0)
         case "+" =>
           if (l.isTextual || r.isTextual) F.textNode(l.asText() + r.asText())
           else F.numberNode(num(l) + num(r))
@@ -166,6 +169,21 @@ object MapInterp {
 
   private def jsonEq(l: JsonNode, r: JsonNode): Boolean =
     if (l.isNumber && r.isNumber) num(l) == num(r) else l == r
+
+  /** Ordering comparison mirroring the compiled path's cmpCol: numeric
+    * only when BOTH operands are numbers, else string-form comparison —
+    * NOT asDouble coercion (which turns non-numbers into 0.0 and makes
+    * the same mapping disagree inside vs outside a recursive map).
+    */
+  private def cmp(l: JsonNode, r: JsonNode): Int = {
+    if (l.isNumber && r.isNumber) java.lang.Double.compare(num(l), num(r))
+    else strForm(l).compareTo(strForm(r))
+  }
+
+  private def strForm(n: JsonNode): String =
+    if (n == null || n.isNull) ""
+    else if (n.isTextual) n.asText()
+    else render(n)
 
   private def method(recv: JsonNode, name: String, args: Seq[Expr],
                      thisV: JsonNode, vars: Map[String, JsonNode],

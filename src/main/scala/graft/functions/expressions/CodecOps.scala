@@ -67,39 +67,192 @@ object CodecOps {
   }
 
   // ── Avro (schema-driven JSON ↔ binary datum) ──────────────────────────
+  //
+  // Hot path: one call per row. Avro's JsonDecoder/JsonEncoder compile a
+  // parsing grammar per construction (~1.6 ms/row measured at sf0.1), so
+  // the JSON side is a direct Jackson-tree ↔ GenericRecord mapping that
+  // preserves Avro's JSON-encoding conventions (union branch wrapping,
+  // ISO-8859-1 bytes, schema field order), and the binary side reuses
+  // per-thread readers/writers/coders keyed by schema. Reference shape:
+  // internal/impl/confluent/common_to_avro.go.
 
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[String, Schema]()
 
   private def schemaOf(json: String): Schema =
     schemaCache.computeIfAbsent(json, s => new Schema.Parser().parse(s))
 
+  private final class AvroCtx(val schema: Schema) {
+    val writer = new GenericDatumWriter[AnyRef](schema)
+    val reader = new GenericDatumReader[AnyRef](schema)
+    val bos = new ByteArrayOutputStream()
+    var encoder: org.apache.avro.io.BinaryEncoder = _
+    var decoder: org.apache.avro.io.BinaryDecoder = _
+  }
+
+  private val avroCtxs =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, AvroCtx]())
+
+  private def avroCtx(schemaJson: String): AvroCtx = {
+    val m = avroCtxs.get()
+    var c = m.get(schemaJson)
+    if (c == null) { c = new AvroCtx(schemaOf(schemaJson)); m.put(schemaJson, c) }
+    c
+  }
+
+  /** Union branch label in Avro's JSON encoding: full name for named
+    * types, the lowercase type name otherwise.
+    */
+  private def unionLabel(s: Schema): String = s.getType match {
+    case Schema.Type.RECORD | Schema.Type.ENUM | Schema.Type.FIXED => s.getFullName
+    case t => t.getName
+  }
+
+  private def jsonToAvro(n: JsonNode, s: Schema): AnyRef = s.getType match {
+    case Schema.Type.NULL => null
+    case Schema.Type.BOOLEAN => java.lang.Boolean.valueOf(n.asBoolean)
+    case Schema.Type.INT => java.lang.Integer.valueOf(n.asInt)
+    case Schema.Type.LONG => java.lang.Long.valueOf(n.asLong)
+    case Schema.Type.FLOAT => java.lang.Float.valueOf(n.floatValue)
+    case Schema.Type.DOUBLE => java.lang.Double.valueOf(n.asDouble)
+    case Schema.Type.STRING => new org.apache.avro.util.Utf8(n.asText)
+    case Schema.Type.BYTES =>
+      java.nio.ByteBuffer.wrap(n.asText.getBytes("ISO-8859-1"))
+    case Schema.Type.FIXED =>
+      new org.apache.avro.generic.GenericData.Fixed(s, n.asText.getBytes("ISO-8859-1"))
+    case Schema.Type.ENUM =>
+      new org.apache.avro.generic.GenericData.EnumSymbol(s, n.asText)
+    case Schema.Type.ARRAY =>
+      val out = new java.util.ArrayList[AnyRef](n.size)
+      n.forEach(el => { out.add(jsonToAvro(el, s.getElementType)); () })
+      out
+    case Schema.Type.MAP =>
+      val out = new java.util.LinkedHashMap[CharSequence, AnyRef]()
+      n.properties().forEach { e =>
+        out.put(new org.apache.avro.util.Utf8(e.getKey),
+          jsonToAvro(e.getValue, s.getValueType)); ()
+      }
+      out
+    case Schema.Type.RECORD =>
+      val rec = new org.apache.avro.generic.GenericData.Record(s)
+      s.getFields.forEach { f =>
+        val v = n.get(f.name)
+        if (v != null) rec.put(f.pos, jsonToAvro(v, f.schema))
+        else if (f.hasDefaultValue)
+          rec.put(f.pos,
+            org.apache.avro.generic.GenericData.get().getDefaultValue(f))
+        else if (f.schema.isNullable) rec.put(f.pos, null)
+        else throw new IllegalArgumentException(
+          s"avro: missing field '${f.name}' with no default")
+      }
+      rec
+    case Schema.Type.UNION =>
+      if (n == null || n.isNull) {
+        require(s.getTypes.stream().anyMatch(_.getType == Schema.Type.NULL),
+          "avro: null for non-nullable union")
+        null
+      } else if (n.isObject && n.size == 1) {
+        // Avro JSON encoding: {"<branch label>": value}
+        val key = n.fieldNames().next()
+        val it = s.getTypes.iterator()
+        var hit: Schema = null
+        while (it.hasNext && hit == null) {
+          val b = it.next(); if (unionLabel(b) == key) hit = b
+        }
+        require(hit != null, s"avro: no union branch named '$key'")
+        jsonToAvro(n.get(key), hit)
+      } else {
+        // tolerate unwrapped values: first branch that accepts the node
+        val it = s.getTypes.iterator()
+        while (it.hasNext) {
+          val b = it.next()
+          val ok = b.getType match {
+            case Schema.Type.STRING | Schema.Type.ENUM => n.isTextual
+            case Schema.Type.INT | Schema.Type.LONG => n.isIntegralNumber
+            case Schema.Type.FLOAT | Schema.Type.DOUBLE => n.isNumber
+            case Schema.Type.BOOLEAN => n.isBoolean
+            case Schema.Type.RECORD | Schema.Type.MAP => n.isObject
+            case Schema.Type.ARRAY => n.isArray
+            case _ => false
+          }
+          if (ok) return jsonToAvro(n, b)
+        }
+        throw new IllegalArgumentException(s"avro: no union branch for $n")
+      }
+  }
+
+  private def avroToJson(v: AnyRef, s: Schema): JsonNode = {
+    val f = jsonMapper.getNodeFactory
+    s.getType match {
+      case Schema.Type.NULL => f.nullNode()
+      case Schema.Type.BOOLEAN =>
+        f.booleanNode(v.asInstanceOf[java.lang.Boolean].booleanValue)
+      case Schema.Type.INT => f.numberNode(v.asInstanceOf[Number].intValue)
+      case Schema.Type.LONG => f.numberNode(v.asInstanceOf[Number].longValue)
+      case Schema.Type.FLOAT => f.numberNode(v.asInstanceOf[Number].floatValue)
+      case Schema.Type.DOUBLE => f.numberNode(v.asInstanceOf[Number].doubleValue)
+      case Schema.Type.STRING | Schema.Type.ENUM => f.textNode(v.toString)
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val b = new Array[Byte](bb.remaining()); bb.get(b)
+        f.textNode(new String(b, "ISO-8859-1"))
+      case Schema.Type.FIXED =>
+        f.textNode(new String(
+          v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes(), "ISO-8859-1"))
+      case Schema.Type.ARRAY =>
+        val arr = jsonMapper.createArrayNode()
+        v.asInstanceOf[java.util.List[AnyRef]].forEach { el =>
+          arr.add(avroToJson(el, s.getElementType)); ()
+        }
+        arr
+      case Schema.Type.MAP =>
+        val o = jsonMapper.createObjectNode()
+        v.asInstanceOf[java.util.Map[AnyRef, AnyRef]].forEach { (k, el) =>
+          o.set[JsonNode](k.toString, avroToJson(el, s.getValueType)); ()
+        }
+        o
+      case Schema.Type.RECORD =>
+        val o = jsonMapper.createObjectNode()
+        val rec = v.asInstanceOf[GenericRecord]
+        s.getFields.forEach { fd =>
+          o.set[JsonNode](fd.name, avroToJson(rec.get(fd.pos), fd.schema)); ()
+        }
+        o
+      case Schema.Type.UNION =>
+        if (v == null) f.nullNode()
+        else {
+          val idx = org.apache.avro.generic.GenericData.get().resolveUnion(s, v)
+          val branch = s.getTypes.get(idx)
+          if (branch.getType == Schema.Type.NULL) f.nullNode()
+          else {
+            val o = jsonMapper.createObjectNode()
+            o.set[JsonNode](unionLabel(branch), avroToJson(v, branch))
+            o
+          }
+        }
+    }
+  }
+
   /** JSON text → Avro binary datum (single record, no container file —
     * the wire shape schema-registry payloads use after the 5-byte
     * header).
     */
   def avroEncode(json: UTF8String, schemaJson: String): Array[Byte] = {
-    val schema = schemaOf(schemaJson)
-    val reader = new GenericDatumReader[GenericRecord](schema)
-    val record = reader.read(null,
-      DecoderFactory.get().jsonDecoder(schema, json.toString))
-    val bos = new ByteArrayOutputStream()
-    val enc = EncoderFactory.get().binaryEncoder(bos, null)
-    new GenericDatumWriter[GenericRecord](schema).write(record, enc)
-    enc.flush()
-    bos.toByteArray
+    val ctx = avroCtx(schemaJson)
+    val datum = jsonToAvro(jsonMapper.readTree(json.toString), ctx.schema)
+    ctx.bos.reset()
+    ctx.encoder = EncoderFactory.get().directBinaryEncoder(ctx.bos, ctx.encoder)
+    ctx.writer.write(datum, ctx.encoder)
+    ctx.encoder.flush()
+    ctx.bos.toByteArray
   }
 
-  /** Avro binary datum → JSON text. */
+  /** Avro binary datum → JSON text (Avro JSON-encoding conventions). */
   def avroDecode(data: Array[Byte], schemaJson: String): UTF8String = {
-    val schema = schemaOf(schemaJson)
-    val reader = new GenericDatumReader[GenericRecord](schema)
-    val record = reader.read(null,
-      DecoderFactory.get().binaryDecoder(data, null))
-    val bos = new ByteArrayOutputStream()
-    val enc = EncoderFactory.get().jsonEncoder(schema, bos)
-    new GenericDatumWriter[GenericRecord](schema).write(record, enc)
-    enc.flush()
-    UTF8String.fromBytes(bos.toByteArray)
+    val ctx = avroCtx(schemaJson)
+    ctx.decoder = DecoderFactory.get().binaryDecoder(data, ctx.decoder)
+    val datum = ctx.reader.read(null, ctx.decoder)
+    UTF8String.fromString(
+      jsonMapper.writeValueAsString(avroToJson(datum, ctx.schema)))
   }
 
   /** Schema-registry wire format (internal/impl/confluent — magic byte 0

@@ -96,7 +96,13 @@ object FlowControl {
                 body: DataFrame => DataFrame, maxIters: Int = 100): DataFrame = {
     var cur = df
     var i = 0
-    while (i < maxIters && cond(cur)) { cur = body(cur); i += 1 }
+    while (i < maxIters && cond(cur)) {
+      // cond() runs an action per iteration against the accumulated
+      // plan; localCheckpoint truncates the lineage so iteration k does
+      // not recompute all k−1 predecessors (O(n²) total work otherwise)
+      cur = body(cur).localCheckpoint()
+      i += 1
+    }
     cur
   }
 

@@ -133,10 +133,12 @@ object Joins {
     * attribute columns. The db itself isn't shipped here; any CSV/parquet
     * export of it works.
     *
-    * Spark shape: the range dim is dim-sized (MaxMind city ≈ 3M rows ≈
-    * executor-broadcastable) → broadcast range join; Catalyst turns the
-    * BETWEEN into a broadcast nested-loop with a tight range predicate.
-    * Rows with no matching range keep nulls — lookups never drop data.
+    * Spark shape: ranges are binned by /16 IP prefix — a range spanning
+    * several /16 blocks appears once per block — so the probe is a
+    * broadcast HASH equi-join on the bin plus a residual BETWEEN
+    * filter. A raw BETWEEN join would plan as a broadcast nested-loop:
+    * ~3M range comparisons per probe row at real MaxMind size. Rows
+    * with no matching range keep nulls — lookups never drop data.
     */
   def ipRangeLookup(df: DataFrame, ranges: DataFrame, ipCol: String,
                     startCol: String = "range_start",
@@ -144,13 +146,18 @@ object Joins {
     def ipNum(c: Column): Column =
       aggregate(transform(split(c, "\\."), p => p.cast("long")),
         lit(0L), (acc, x) => acc * 256 + x)
+    val binBits = 16
     val dim = broadcast(ranges
       .withColumn("__lo", ipNum(col(startCol)))
       .withColumn("__hi", ipNum(col(endCol)))
-      .drop(startCol, endCol))
+      .drop(startCol, endCol)
+      .withColumn("__bin", explode(sequence(
+        shiftright(col("__lo"), binBits), shiftright(col("__hi"), binBits)))))
     df.withColumn("__ip", ipNum(col(ipCol)))
-      .join(dim, col("__ip") >= col("__lo") && col("__ip") <= col("__hi"),
+      .join(dim,
+        shiftright(col("__ip"), binBits) === col("__bin") &&
+          col("__ip") >= col("__lo") && col("__ip") <= col("__hi"),
         "left_outer")
-      .drop("__ip", "__lo", "__hi")
+      .drop("__ip", "__bin", "__lo", "__hi")
   }
 }

@@ -45,8 +45,12 @@ object Cdc {
     * rank equally — Debezium semantics.
     */
   def latestState(ops: DataFrame, keyCols: Seq[String], ord: Column): DataFrame = {
+    // explicit op rank for ties at equal ord: d > u > c/r (lexical desc
+    // would rank u above d, letting a deleted row survive)
+    val opRank = when(col("__op") === "d", 3)
+      .when(col("__op") === "u", 2).otherwise(1)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(ord.desc, col("__op").desc) // ties: d > u > c (lexical)
+      .orderBy(ord.desc, opRank.desc)
     ops.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") =!= "d")
       .drop("__rn", "__op", "__ts_ms")

@@ -138,15 +138,27 @@ object Sources {
     scanner match {
       case "to_the_end" =>
         raw.select(col("path"), col("body").as(Envelope.ValueCol))
-      case "lines" | "re_match" =>
-        val sep = if (scanner == "lines") "\n" else pattern
+      case "lines" =>
         // split keeps a trailing "" when the body ends with the
         // separator — that artifact is not a message; mid-body empty
         // lines ARE messages and stay
-        val parts = split(col("body"), sep)
+        val parts = split(col("body"), "\n")
         val trimmed = when(element_at(parts, -1) === "",
           slice(parts, lit(1), size(parts) - 1)).otherwise(parts)
         raw.select(col("path"), explode(trimmed).as(Envelope.ValueCol))
+      case "re_match" =>
+        // reference semantics (scanners/re_match.adoc): message
+        // boundaries sit at match START positions and the matched text
+        // stays at the head of each message (e.g. (?m)^\d\d:\d\d:\d\d
+        // keeps the timestamps) — unlike `lines`, nothing is removed.
+        // Mark each match start with a \u0000 sentinel ($0 = the whole
+        // match), split on it, and drop only the empty prelude when the
+        // body begins with a match.
+        val marked = regexp_replace(col("body"), pattern, "\u0000$0")
+        val parts = split(marked, "\u0000")
+        val segs = when(element_at(parts, 1) === "",
+          slice(parts, lit(2), size(parts) - 1)).otherwise(parts)
+        raw.select(col("path"), explode(segs).as(Envelope.ValueCol))
       case "chunker" =>
         raw.select(col("path"),
           explode(graft.functions.TextFunctions.chunks(

@@ -67,11 +67,16 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("geoip range lookup broadcasts the range dim (no shuffle of facts)") {
+  test("geoip range lookup is a broadcast HASH join (no nested loop)") {
     val q = SparkEntry.queries("p_geoip")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"range join must broadcast the dim side:\n$plan")
+    // binned equi-join: a BroadcastNestedLoopJoin here would mean every
+    // probe row compares against EVERY range — a scale-killer at real
+    // MaxMind size (~3M ranges)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"range join must hash-join on the IP-prefix bin:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$plan")
     // the fact side must NOT shuffle before the join: the only
     // exchanges allowed are the broadcast itself and the post-join agg
     val shuffles = q.queryExecution.executedPlan.collect {
@@ -99,6 +104,26 @@ class PlanContractSpec extends SparkSpec {
       }
       assert(aggs.size >= 2, "expected partial + final aggregation")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("whileLoop keeps plan depth constant across iterations") {
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select(col("doc_id"), (col("doc_id") % 10).as("kv"))
+    var depths = List.empty[Int]
+    operators.FlowControl.whileLoop(base,
+      cur => {
+        depths ::= cur.queryExecution.optimizedPlan
+          .collect { case p => p }.size
+        !cur.filter(col("kv") < 8).isEmpty
+      },
+      cur => cur.withColumn("kv",
+        when(col("kv") < 8, col("kv") + 3).otherwise(col("kv"))),
+      maxIters = 10)
+    // after the first localCheckpoint every iteration's plan is a
+    // Project over the checkpointed RDD — depth must not grow with k
+    val afterFirst = depths.reverse.drop(1)
+    assert(afterFirst.nonEmpty && afterFirst.distinct.size == 1,
+      s"plan depth grew across iterations: ${depths.reverse}")
   }
 
   test("command/subprocess are narrow maps — zero shuffles") {

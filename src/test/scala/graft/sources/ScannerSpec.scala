@@ -43,13 +43,24 @@ class ScannerSpec extends SparkSpec {
     assert(rows == Seq("whole body\nwith newline"))
   }
 
-  test("re_match scanner splits at regex boundaries") {
+  test("re_match scanner splits at match starts, keeping the match text") {
     val dir = tmpDir()
-    gzFile(dir, "a.gz", "rec1|rec2|rec3")
+    gzFile(dir, "a.gz",
+      "10:00:01 first line\ncont\n10:00:02 second\n10:00:03 third")
     val rows = Sources.decompressFiles(spark, dir.getPath + "/*.gz", "gzip",
-        scanner = "re_match", pattern = "\\|")
+        scanner = "re_match", pattern = "(?m)^\\d\\d:\\d\\d:\\d\\d")
       .select("value").as[String].collect().toSeq
-    assert(rows == Seq("rec1", "rec2", "rec3"))
+    assert(rows == Seq("10:00:01 first line\ncont\n",
+      "10:00:02 second\n", "10:00:03 third"))
+  }
+
+  test("re_match keeps a non-matching prelude as its own message") {
+    val dir = tmpDir()
+    gzFile(dir, "a.gz", "prelude 10:00:01 a 10:00:02 b")
+    val rows = Sources.decompressFiles(spark, dir.getPath + "/*.gz", "gzip",
+        scanner = "re_match", pattern = "\\d\\d:\\d\\d:\\d\\d")
+      .select("value").as[String].collect().toSeq
+    assert(rows == Seq("prelude ", "10:00:01 a ", "10:00:02 b"))
   }
 
   test("chunker scanner emits fixed-size chunks that reconstruct the body") {
