@@ -506,6 +506,25 @@ object SparkEntry {
         .orderBy(col("country"))
     }),
 
+    "p_http_enrich" -> ((s, d) => {
+      // `http` enrichment (processors/http.adoc:26) over the stub
+      // transport: per-row POST of the doc as the request body, the
+      // response replaces `value`; every 10th doc routes to /missing →
+      // 404 → error channel set, original value intact. The oracle
+      // reproduces the echo body per row, so a batching transport that
+      // shifted responses one row off would hash-mismatch.
+      import graft.operators.Http
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id") < 500 && col("lang").isNotNull)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"))).as("value"))
+      val url = concat(lit("stub://enrich/"),
+        when(col("doc_id") % 10 === 0, lit("missing")).otherwise(lit("ok")))
+      Http.enrich(base, url, "POST", Map.empty, 16, Http.echoClient)
+        .select(col("doc_id"), col("value"), col("error"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m_media_meta" -> ((s, d) => {
       // multimodal metadata: synthesize PNG headers from doc dims, then
       // header-sniff (no decode) via Multimodal.withMediaMeta — blobs
@@ -1363,6 +1382,17 @@ object SparkEntry {
         |FROM events e
         |JOIN nation n ON n.n_nationkey = CAST(FLOOR((e.user_id % 200) / 8) AS BIGINT)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_http_enrich" ->
+      """WITH req AS (
+        |  SELECT doc_id,
+        |    '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}' AS v
+        |  FROM documents WHERE doc_id < 500 AND lang IS NOT NULL)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN v
+        |       ELSE '{"echo":' || v || ',"len":' || LEN(v) || '}' END AS value,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'http status 404' END AS error
+        |FROM req ORDER BY doc_id""".stripMargin,
 
     "m_embed_batch" ->
       """SELECT doc_id,

@@ -168,7 +168,7 @@ object Pipeline {
   */
 object Processors {
 
-  import graft.operators.{Ai, Command, FlowControl, Grok}
+  import graft.operators.{Ai, Command, FlowControl, Grok, Http}
   import graft.functions.{CodecFunctions, TextFunctions}
 
   def compile(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame = {
@@ -599,6 +599,26 @@ object Processors {
                 columns.map(col): _*)))
             .drop("__lk", keyCol)
         }
+      case "http" =>
+        // processors/http.adoc:26 — batched pluggable transport; the
+        // URL scheme selects it (stub:// = offline echo client, else
+        // the JDK client). Response replaces value; non-2xx keeps the
+        // original, errors the row, and records http_status_code.
+        val urlTpl = body.get("url").asText
+        val verb = body.path("verb").asText("POST")
+        val headers = Option(body.get("headers"))
+          .map(_.properties().asScala.map(e =>
+            e.getKey -> e.getValue.asText).toMap)
+          .getOrElse(Map.empty[String, String])
+        val batchSize = body.path("batch_size").asInt(16)
+        val successfulOn = Option(body.get("successful_on"))
+          .map(_.elements().asScala.map(_.asInt).toSet)
+          .getOrElse(Set.empty[Int])
+        df => Http.enrich(df,
+          Blobl.interpolateJson(df, urlTpl, env, metadataCol = metaColOf(df)),
+          verb, headers, batchSize, Http.clientFor(urlTpl),
+          successfulOn)
+
       case "openai_chat_completion" | "ollama_chat" | "cohere_chat" |
            "aws_bedrock_chat" | "gcp_vertex_ai_chat" =>
         // cloud chat processors — batched pluggable client; the default
@@ -634,7 +654,7 @@ object Processors {
     "gcp_bigquery_select", "google_drive_download", "google_drive_search",
     "google_drive_list_labels", "javascript", "wasm", "ffi",
     "redpanda_data_transform", "a2a_message", "sentry_capture",
-    "http", "sync_response", "awk",
+    "sync_response", "awk",
     "openai_embeddings", "openai_image_generation", "openai_speech",
     "openai_transcription", "openai_translation", "openai_moderation",
     "ollama_embeddings", "ollama_moderation", "cohere_embeddings",
