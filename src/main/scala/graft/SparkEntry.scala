@@ -296,6 +296,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "t_chunk_token" -> ((s, d) => {
+      // token-strategy chunking (text_chunker_processor.go:61,75):
+      // windows of 32 BPE pre-tokenizer segments with 8-token overlap.
+      // FULLY oracle-gated — the BPE regex is RE2-compatible by design,
+      // so DuckDB reproduces the exact token windows
+      Tables.documents(s, d).filter(col("doc_id") < 30)
+        .withColumn("toks", T.bpeTokens(col("text")))
+        .select(col("doc_id"),
+          posexplode(T.chunksFromTokens(col("toks"), 32, 8)))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "p_select_parts" -> ((s, d) =>
       BatchOps.selectParts(
           Tables.documents(s, d), col("source"), col("doc_id"), Seq(0, 2))
@@ -1716,6 +1730,19 @@ object SparkEntry {
         |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\f\rA-Za-z0-9]+|[ \t\n\f\r]+'))
         |    AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_chunk_token" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\f\rA-Za-z0-9]+|[ \t\n\f\r]+') AS tk
+        |  FROM documents WHERE doc_id < 30),
+        |st AS (
+        |  SELECT doc_id, tk, UNNEST(GENERATE_SERIES(1, LEN(tk), 24)) AS s
+        |  FROM toks WHERE LEN(tk) > 0)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_idx,
+        |  ARRAY_TO_STRING(tk[s:s+31], '') AS chunk
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,

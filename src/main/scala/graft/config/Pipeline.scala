@@ -434,6 +434,9 @@ object Processors {
         df => explodeParts(df, strategy match {
           case "recursive_character" =>
             TextFunctions.chunksRecursive(col("value"), size, overlap)
+          case "token" =>
+            // text_chunker_processor.go:61,75 — size/overlap in tokens
+            TextFunctions.chunksToken(col("value"), size, overlap)
           case _ => TextFunctions.chunks(col("value"), size, overlap)
         })
       case "dedupe" =>

@@ -43,13 +43,41 @@ object TextFunctions {
   final val BpeTokenRe =
     "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\t\\n\\f\\rA-Za-z0-9]+|[ \\t\\n\\f\\r]+"
 
+  /** BPE pre-tokenizer segments. Every character belongs to exactly one
+    * segment (letters/digits/punctuation/whitespace runs are all
+    * covered), so concatenating the segments reconstructs the text —
+    * the property token-measured chunking relies on.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRe), lit(0))
+
   /** Tokenizer-shaped token count: number of BPE pre-tokenizer segments
     * in the text — tracks tiktoken-style counts far closer than a
     * whitespace split (punctuation, contractions and number runs count
     * separately), with no model file needed.
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0))).cast("long")
+    size(bpeTokens(text)).cast("long")
+
+  /** `text_chunker` strategy `token` (reference
+    * internal/impl/text/text_chunker_processor.go:61,75 — "Split text
+    * by tokens", `token_encoding`): `chunkSize`/`overlap` measured in
+    * BPE pre-tokenizer segments; each chunk is the concatenation of its
+    * token window (tokens carry their leading whitespace, so overlap-0
+    * chunks reconstruct the text exactly). Pre-materialize `toks` as a
+    * column in hot paths (see the [[shinglesFromTokens]] note).
+    */
+  def chunksFromTokens(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize, "overlap must be < chunk_size")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks), lit(chunkSize - overlap)),
+        p => array_join(slice(toks, p, lit(chunkSize)), "")))
+  }
+
+  /** Convenience single-expression token chunker. */
+  def chunksToken(text: Column, chunkSize: Int, overlap: Int): Column =
+    chunksFromTokens(bpeTokens(text), chunkSize, overlap)
 
   /** Word n-gram shingles from a PRE-MATERIALIZED tokens column.
     * `toks` must be a column attribute (e.g. projected via

@@ -82,6 +82,60 @@ class ArchiveChunkSpec extends SparkSpec {
     }
   }
 
+  test("token chunker: every chunk <= chunk_size tokens, overlap honored") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val rows = docs.select(col("doc_id"), col("text"),
+        TextFunctions.chunksToken(col("text"), 32, 8).as("chunks"))
+      .collect()
+    val tokRe = TextFunctions.BpeTokenRe.r
+    def toks(s: String): Seq[String] = tokRe.findAllIn(s).toSeq
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      val chunks = r.getSeq[String](2)
+      chunks.foreach(c =>
+        assert(toks(c).length <= 32, s"chunk over 32 tokens: '$c'"))
+      // consecutive chunks share exactly the 8-token overlap (except a
+      // short tail): chunk k starts 24 tokens after chunk k-1
+      chunks.sliding(2).foreach {
+        case Seq(a, b) if toks(a).length == 32 =>
+          assert(toks(a).drop(24) == toks(b).take(toks(a).length - 24),
+            s"overlap mismatch between '$a' and '$b'")
+        case _ => ()
+      }
+    }
+  }
+
+  test("token chunker with zero overlap reconstructs the text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val rows = docs.select(col("text"),
+        TextFunctions.chunksToken(col("text"), 16, 0).as("chunks"))
+      .collect()
+    rows.filter(!_.isNullAt(0)).foreach { r =>
+      assert(r.getSeq[String](1).mkString == r.getString(0),
+        "overlap-0 token chunks must concatenate back to the text")
+    }
+  }
+
+  test("config-runner text_chunker strategy token explodes chunks") {
+    val yaml =
+      """input:
+        |  generate:
+        |    count: 3
+        |    mapping: 'root.id = this.seq'
+        |pipeline:
+        |  processors:
+        |    - mapping: 'root = "some words here repeated again and again for chunking"'
+        |    - text_chunker:
+        |        strategy: token
+        |        chunk_size: 4
+        |        chunk_overlap: 0
+        |""".stripMargin
+    import spark.implicits._
+    val out = graft.config.Pipeline.build(spark, yaml)
+      .select($"value").as[String].collect()
+    assert(out.length > 3, "chunking must multiply rows")
+    assert(out.forall(TextFunctions.BpeTokenRe.r.findAllIn(_).size <= 4))
+  }
+
   test("markdown chunker splits at heading boundaries") {
     val text = "# Title\nintro words\n\n## Section A\nbody a\n## Section B\nbody b"
     val chunks = ArchiveOps.chunkMarkdown(text, 100, 0)
