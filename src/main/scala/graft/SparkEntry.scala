@@ -476,6 +476,31 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "p_lakehouse_upsert" -> ((s, d) => {
+      // iceberg-shaped sink contract (output_iceberg.go row_operation
+      // upsert + schema evolution): snapshot write, then a second batch
+      // that UPDATES every k%5 row, INSERTS 1500≤k<2000, DELETES k%13
+      // rows, and ADDS a `status` column — final table state is read
+      // back and checked relationally
+      import sinks.Lakehouse
+      Lakehouse.dropTable(s, "lakehouse_orders")
+      Lakehouse.dropTable(s, "lakehouse_orders__stage")
+      val base = Tables.orders(s, d).filter(col("o_orderkey") < 1500)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          col("o_totalprice").cast("double").as("price"))
+      Lakehouse.upsert(base, "lakehouse_orders", Seq("k"))
+      val batch2 = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .filter(col("o_orderkey") % 5 === 0 || col("o_orderkey") >= 1500 ||
+          col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          (col("o_totalprice").cast("double") + 100.0).as("price"),
+          lit("updated").as("status"),
+          (col("o_orderkey") % 13 === 0).as("__del"))
+      Lakehouse.upsert(batch2, "lakehouse_orders", Seq("k"),
+        deleteCol = Some("__del"))
+      s.table("lakehouse_orders").orderBy(col("k"))
+    }),
+
     "p_retry" -> ((s, d) => {
       // `retry` (processors/retry.adoc:26) through the config runner,
       // around a `cache` get child: hits resolve on the first pass,
@@ -677,6 +702,41 @@ object SparkEntry {
       Tables.events(s, d).orderBy(col("event_id"))
         .select(col("event_id"),
           get_json_object(C.wireDecode(wire, schema), "$.event_type").as("etype_rt"))
+    }),
+
+    "p_wire_registry" -> ((s, d) => {
+      // provider-resolved wire format (internal/impl/confluent/ client
+      // contract): TWO schema ids live in the same stream and resolve
+      // per row through a map-backed SchemaProvider; an unregistered id
+      // (7) keeps the message and takes the error channel
+      import graft.functions.{CodecFunctions => C}
+      import graft.functions.expressions.MapSchemaProvider
+      C.register(s)
+      val schemaE =
+        """{"type":"record","name":"e","fields":[
+          |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"}]}"""
+          .stripMargin.replace("\n", "")
+      val schemaU =
+        """{"type":"record","name":"u","fields":[
+          |{"name":"event_id","type":"long"},{"name":"uid","type":"string"}]}"""
+          .stripMargin.replace("\n", "")
+      val provider = MapSchemaProvider(Map(1 -> schemaE, 2 -> schemaU))
+      val jsonE = to_json(struct(col("event_id"), col("event_type")))
+      val jsonU = to_json(struct(col("event_id"),
+        col("user_id").cast("string").as("uid")))
+      val wire = when(col("event_id") % 10 === 0, C.wireEncode(jsonE, schemaE, 7))
+        .when(col("event_id") % 2 === 0, C.wireEncode(jsonE, schemaE, 1))
+        .otherwise(C.wireEncode(jsonU, schemaU, 2))
+      val df = Tables.events(s, d).orderBy(col("event_id"))
+        .withColumn("__wire", wire)
+      val id = C.wireSchemaId(col("__wire"))
+      val known = id.isin(1, 2)
+      val decoded = when(known, C.wireDecodeProvider(col("__wire"), provider))
+      df.select(col("event_id"),
+        get_json_object(decoded, "$.event_type").as("etype_rt"),
+        get_json_object(decoded, "$.uid").as("uid_rt"),
+        when(!known, concat(lit("schema registry: unknown schema id "), id))
+          .as("error"))
     }),
 
     "p_grok" -> ((s, d) => {
@@ -1385,6 +1445,17 @@ object SparkEntry {
         |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
         |ORDER BY k""".stripMargin,
 
+    "p_lakehouse_upsert" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 5 = 0 OR o_orderkey >= 1500
+        |       THEN CAST(o_totalprice AS DOUBLE) + 100.0
+        |       ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+        |  CASE WHEN o_orderkey % 5 = 0 OR o_orderkey >= 1500
+        |       THEN 'updated' END AS status
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
+        |ORDER BY k""".stripMargin,
+
     "p_retry" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN lang ELSE CAST(doc_id AS VARCHAR) END AS value,
@@ -1546,6 +1617,16 @@ object SparkEntry {
 
     "p_avro_roundtrip" ->
       """SELECT doc_id, lang AS lang_rt FROM documents ORDER BY doc_id""",
+
+    "p_wire_registry" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 0
+        |       THEN event_type END AS etype_rt,
+        |  CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 1
+        |       THEN CAST(user_id AS VARCHAR) END AS uid_rt,
+        |  CASE WHEN event_id % 10 = 0
+        |       THEN 'schema registry: unknown schema id 7' END AS error
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "p_wire_format" ->
       """SELECT event_id, event_type AS etype_rt FROM events ORDER BY event_id""",

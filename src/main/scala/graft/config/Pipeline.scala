@@ -128,6 +128,35 @@ object Pipeline {
           case "lines" | "" => Sources.lines(spark, path)
           case other => throw new IllegalArgumentException(s"file format: $other")
         }
+      case ("batched", b) =>
+        // inputs/batched.adoc:110-133 — child input + batch-formation
+        // policy; the emitted __batch identity scopes from_all /
+        // batch_index / windowed ops downstream
+        val child = compileInput(spark, Option(b.get("child")).getOrElse(
+          throw new IllegalArgumentException("batched input needs a child")), env)
+        val pol = Option(b.get("policy")).getOrElse(
+          throw new IllegalArgumentException("batched input needs a policy"))
+        val count = pol.path("count").asInt(0)
+        val byteSize = pol.path("byte_size").asInt(0)
+        val periodMs = Option(pol.get("period")).map(_.asText).filter(_.nonEmpty)
+          .map(p => graft.functions.expressions.CodecOps.parseDuration(
+            org.apache.spark.unsafe.types.UTF8String.fromString(p)) / 1000000L)
+          .getOrElse(0L)
+        val checkTpl = Option(pol.get("check")).map(_.asText).filter(_.nonEmpty)
+        // ONE driver-ordered stream, like the reference's single-threaded
+        // input ack loop (partition-parallel callers use
+        // BatchOps.formBatches directly and batch per partition)
+        val seqd = (if (child.columns.contains("__seq")) child
+                    else child.withColumn("__seq", monotonically_increasing_id()))
+          .repartition(1)
+        val metaCol = if (seqd.columns.contains("metadata")) Some("metadata") else None
+        val withCheck = checkTpl.map(c => seqd.withColumn("__check",
+          Blobl.predicateJson(seqd, c, env, metadataCol = metaCol))).getOrElse(seqd)
+        val tsCol = if (periodMs > 0 && withCheck.columns.contains("ts"))
+          Some("ts") else None
+        BatchOps.formBatches(withCheck, "__seq", count, byteSize, periodMs,
+            checkTpl.map(_ => "__check"), tsCol)
+          .drop("__check")
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
@@ -491,14 +520,42 @@ object Processors {
             CodecFunctions.msgpackDecode(unbase64(col("value")))) }
         }
       case "schema_registry_encode" =>
-        val schema = body.get("schema").toString
-        val id = body.path("schema_id").asInt(1)
-        kernels { df => df.withColumn("value",
-          base64(CodecFunctions.wireEncode(col("value"), schema, id))) }
+        // internal/impl/confluent/: subject → latest (id, schema) via a
+        // provider (`registry` + `subject` config), or an inline schema
+        (registryOf(body), Option(body.get("subject")).map(_.asText)) match {
+          case (Some(p), Some(subj)) =>
+            kernels { df => df.withColumn("value",
+              base64(CodecFunctions.wireEncodeSubject(col("value"), subj, p))) }
+          case _ =>
+            val schema = body.get("schema").toString
+            val id = body.path("schema_id").asInt(1)
+            kernels { df => df.withColumn("value",
+              base64(CodecFunctions.wireEncode(col("value"), schema, id))) }
+        }
       case "schema_registry_decode" =>
-        val schema = body.get("schema").toString
-        kernels { df => df.withColumn("value",
-          CodecFunctions.wireDecode(unbase64(col("value")), schema)) }
+        // provider path: schema resolved per row from the wire header's
+        // id; unknown ids keep the message and take the error channel
+        // (the reference's ErrBadHeader handling)
+        registryOf(body) match {
+          case Some(p) =>
+            kernels { df =>
+              val d = FlowControl.withErrorChannel(df)
+              val bin = unbase64(col("value"))
+              val id = CodecFunctions.wireSchemaId(bin)
+              val known = id.isin(p.byId.keys.toSeq: _*)
+              d.withColumn("error",
+                  when(col("error").isNotNull, col("error"))
+                    .otherwise(when(!known, concat(
+                      lit("schema registry: unknown schema id "), id))))
+                .withColumn("value", when(known,
+                  CodecFunctions.wireDecodeProvider(bin, p))
+                  .otherwise(col("value")))
+            }
+          case None =>
+            val schema = body.get("schema").toString
+            kernels { df => df.withColumn("value",
+              CodecFunctions.wireDecode(unbase64(col("value")), schema)) }
+        }
       case "xml" =>
         // processors/xml.adoc:26 — operator to_json
         kernels { df => df.withColumn("value",
@@ -708,6 +765,18 @@ object Processors {
       case Some(c) => map_concat(
         map_filter(col(c), (k, _) => k =!= key), map(key, value))
       case None => map(key, value)
+    }
+
+  /** `registry:` config block → map-backed [[graft.functions.expressions.SchemaProvider]]:
+    * `{schemas: {<id>: <avro schema>}, subjects: {<name>: <id>}}`.
+    */
+  private def registryOf(body: JsonNode): Option[graft.functions.expressions.MapSchemaProvider] =
+    Option(body.get("registry")).map { r =>
+      val byId = Option(r.get("schemas")).map(_.properties().asScala.map(e =>
+        e.getKey.toInt -> e.getValue.toString).toMap).getOrElse(Map.empty)
+      val bySubject = Option(r.get("subjects")).map(_.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asInt).toMap).getOrElse(Map.empty)
+      graft.functions.expressions.MapSchemaProvider(byId, bySubject)
     }
 
   private def kernels(f: DataFrame => DataFrame): DataFrame => DataFrame =

@@ -39,6 +39,30 @@ object CodecFunctions {
   def wireDecode(data: Column, schemaJson: String): Column =
     call_function("graft_wire_decode", data, lit(schemaJson))
 
+  /** Wire-header schema id as a column (pure byte math — codegen'd). */
+  def wireSchemaId(data: Column): Column =
+    conv(hex(substring(data, 2, 4)), 16, 10).cast("int")
+
+  /** Provider-resolved decode: schema looked up from the header id via
+    * a [[graft.functions.expressions.SchemaProvider]] (the reference's
+    * registry-client path, internal/impl/confluent/).
+    */
+  def wireDecodeProvider(data: Column,
+      provider: graft.functions.expressions.SchemaProvider): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.WireDecodeProvider(
+        org.apache.spark.sql.GraftColumnBridge.expression(data), provider))
+
+  /** Subject-resolved encode: subject → latest (id, schema) via the
+    * provider (schema_registry_encode.adoc subject field).
+    */
+  def wireEncodeSubject(json: Column, subject: String,
+      provider: graft.functions.expressions.SchemaProvider): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.WireEncodeSubject(
+        org.apache.spark.sql.GraftColumnBridge.expression(json),
+        subject, provider))
+
   /** protobuf wire format (processors/protobuf.adoc:26) — hand-rolled
     * proto3 subset codec; schema DSL
     * `"<num>:<name>:<type>[*],…"` (see CodecOps.protoEncode).

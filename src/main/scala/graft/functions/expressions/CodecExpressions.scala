@@ -108,6 +108,53 @@ case class WireDecode(child: Expression, schemaJson: String) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Provider-resolved wire decode (registry-client path): the Avro
+  * schema is looked up from the header id via the serialized
+  * [[SchemaProvider]]. Codegen'd — the provider travels as a reference
+  * object, the per-row work is one map lookup + the cached-codec
+  * decode.
+  */
+case class WireDecodeProvider(child: Expression, provider: SchemaProvider)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_wire_decode_provider"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.wireDecodeProvider(a.asInstanceOf[Array[Byte]], provider)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("provider", provider,
+      "graft.functions.expressions.SchemaProvider")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.wireDecodeProvider($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Subject-resolved wire encode: subject → latest (id, schema) via the
+  * provider (schema_registry_encode.adoc subject field).
+  */
+case class WireEncodeSubject(child: Expression, subject: String,
+                             provider: SchemaProvider)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wire_encode_subject"
+  override protected def nullSafeEval(a: Any): Any =
+    CodecOps.wireEncodeSubject(a.asInstanceOf[UTF8String], subject, provider)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("subject", subject, "java.lang.String")
+    val pRef = ctx.addReferenceObj("provider", provider,
+      "graft.functions.expressions.SchemaProvider")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.CodecOps.wireEncodeSubject($a, $sRef, $pRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ParseYaml(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))

@@ -277,6 +277,31 @@ object CodecOps {
     java.nio.ByteBuffer.wrap(data, 1, 4).getInt
   }
 
+  /** Provider-resolved decode: the schema comes from the wire header's
+    * id via a [[SchemaProvider]] (the registry-client path) instead of
+    * a hard-coded schema. Unknown ids throw — recoverable via the
+    * error channel; the config runner guards with the provider's known
+    * set so unknown ids never reach this kernel.
+    */
+  def wireDecodeProvider(data: Array[Byte], provider: SchemaProvider): UTF8String = {
+    val id = wireSchemaId(data)
+    val schema = provider.schemaFor(id).getOrElse(
+      throw new IllegalArgumentException(
+        s"schema registry: unknown schema id $id"))
+    avroDecode(java.util.Arrays.copyOfRange(data, 5, data.length), schema)
+  }
+
+  /** Provider-resolved encode: subject → latest (id, schema), like the
+    * reference's `schema_registry_encode` subject field.
+    */
+  def wireEncodeSubject(json: UTF8String, subject: String,
+                        provider: SchemaProvider): Array[Byte] = {
+    val (id, schema) = provider.latestFor(subject).getOrElse(
+      throw new IllegalArgumentException(
+        s"schema registry: unknown subject '$subject'"))
+    wireEncode(json, schema, id)
+  }
+
   // ── YAML → JSON ───────────────────────────────────────────────────────
 
   private val yamlMapper =

@@ -17,6 +17,68 @@ object BatchOps {
   def groupByValue(df: DataFrame, key: Column, aggs: Seq[Column]): DataFrame =
     df.groupBy(key).agg(aggs.head, aggs.tail: _*)
 
+  /** `batched` input policy (inputs/batched.adoc:110-133): group
+    * ordered messages into batches, flushing when ANY trigger fires —
+    * `count` messages or `byteSize` accumulated payload bytes (both
+    * add-then-check, so a batch may close ON the triggering message,
+    * like the reference), a row whose `checkCol` is true (that message
+    * ENDS its batch), or `periodMs` of EVENT time elapsed since the
+    * batch opened (`tsCol`; the reference's period is a wall-clock
+    * timer — event time is the deterministic/replayable rewrite,
+    * documented divergence). Emits the envelope's `__batch: long`
+    * identity consumed by batch-scoped ops (from_all/batch_index/
+    * archive).
+    *
+    * Batch formation is inherently sequential per input stream — the
+    * reference forms batches in the input's single-threaded ack loop.
+    * Here it is ONE ordered pass per partition: partition-parallel
+    * ingestion forms batches per partition, exactly like N reference
+    * inputs behind a `broker`; batch ids are made partition-unique via
+    * a (partitionId << 40) offset. Repartition to 1 upstream when a
+    * single global stream order is required (the config runner does —
+    * its inputs are driver-ordered).
+    */
+  def formBatches(df: DataFrame, ordCol: String, count: Int = 0,
+                  byteSize: Int = 0, periodMs: Long = 0,
+                  checkCol: Option[String] = None,
+                  tsCol: Option[String] = None,
+                  valueCol: String = "value"): DataFrame = {
+    require(count > 0 || byteSize > 0 || periodMs > 0 || checkCol.nonEmpty,
+      "batched policy needs at least one of count/byte_size/period/check")
+    require(periodMs == 0 || tsCol.nonEmpty,
+      "period batching needs an event-time column")
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("__batch",
+        org.apache.spark.sql.types.LongType))
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val cIdx = checkCol.map(df.schema.fieldIndex)
+    val tIdx = tsCol.map(df.schema.fieldIndex)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.sortWithinPartitions(col(ordCol)).mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong << 40
+      var batch = pid
+      var n = 0
+      var bytes = 0L
+      var startTs = 0L
+      it.map { r =>
+        def tsOf: Long = r.getAs[java.sql.Timestamp](tIdx.get).getTime
+        if (n > 0 && periodMs > 0 && tIdx.isDefined && tsOf - startTs >= periodMs) {
+          batch += 1; n = 0; bytes = 0L
+        }
+        if (n == 0 && tIdx.isDefined) startTs = tsOf
+        n += 1
+        bytes += (if (r.isNullAt(vIdx)) 0
+                  else r.getString(vIdx).getBytes("UTF-8").length)
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ batch)
+        val flush = (count > 0 && n >= count) ||
+          (byteSize > 0 && bytes >= byteSize) ||
+          cIdx.exists(i => !r.isNullAt(i) && r.getBoolean(i))
+        if (flush) { batch += 1; n = 0; bytes = 0L }
+        out
+      }
+    }
+  }
+
   /** `archive` with `lines`-style folding (processors/archive.adoc:26):
     * fold each group's payloads into ONE row, concatenated by a
     * separator, in BATCH ORDER (`ord`) — the reference concatenates

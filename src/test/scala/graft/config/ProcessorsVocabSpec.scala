@@ -196,6 +196,34 @@ class ProcessorsVocabSpec extends SparkSpec {
     assert(values(wireRt) == Seq("""{"id":7}"""))
   }
 
+  test("schema-registry provider resolves subject + id; unknown id errors") {
+    val avroSchema =
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}"""
+    val in = envelope("""{"id":7}""")
+    // subject-resolved encode → provider-resolved decode
+    val rt = apply(in,
+      s"""- schema_registry_encode:
+         |    subject: things
+         |    registry:
+         |      schemas: { 9: $avroSchema }
+         |      subjects: { things: 9 }
+         |- schema_registry_decode:
+         |    registry:
+         |      schemas: { 9: $avroSchema }
+         |""".stripMargin)
+    assert(values(rt) == Seq("""{"id":7}"""))
+    // id 9 on the wire but only id 1 registered → error channel, value kept
+    val bad = apply(in,
+      s"""- schema_registry_encode: { schema: $avroSchema, schema_id: 9 }
+         |- schema_registry_decode:
+         |    registry:
+         |      schemas: { 1: $avroSchema }
+         |""".stripMargin)
+    val row = bad.select(col("value"), col("error")).head()
+    assert(row.getString(1) == "schema registry: unknown schema id 9")
+    assert(row.getString(0).nonEmpty, "message must be kept on unknown id")
+  }
+
   test("grok and xml produce structured JSON docs") {
     val logs = envelope("GET /health 200")
     val got = values(apply(logs,

@@ -1,0 +1,87 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Iceberg-shaped lakehouse sink contract
+  * (internal/impl/iceberg/output_iceberg.go): upsert by identifier
+  * fields, delete row-operation, schema evolution, partitioned tables,
+  * and the streaming foreachBatch form.
+  */
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drop(t: String): Unit = {
+    Lakehouse.dropTable(spark, t)
+    Lakehouse.dropTable(spark, t + "__stage")
+  }
+
+  test("first write creates the table; second upserts by key") {
+    drop("lh_basic")
+    Lakehouse.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "lh_basic", Seq("k"))
+    Lakehouse.upsert(Seq((2L, "B"), (3L, "c")).toDF("k", "v"),
+      "lh_basic", Seq("k"))
+    val out = spark.table("lh_basic").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("schema evolution: new batch column added, old rows null") {
+    drop("lh_evolve")
+    Lakehouse.upsert(Seq((1L, "a")).toDF("k", "v"), "lh_evolve", Seq("k"))
+    Lakehouse.upsert(Seq((2L, "b", 9.5)).toDF("k", "v", "score"),
+      "lh_evolve", Seq("k"))
+    val out = spark.table("lh_evolve").orderBy("k")
+      .select($"k", $"v", $"score").collect()
+    assert(out(0).getLong(0) == 1L && out(0).isNullAt(2),
+      "pre-evolution row must read null for the added column")
+    assert(out(1).getDouble(2) == 9.5)
+    // table-only column survives a batch that lacks it
+    Lakehouse.upsert(Seq((1L, "A")).toDF("k", "v"), "lh_evolve", Seq("k"))
+    val r1 = spark.table("lh_evolve").filter($"k" === 1).head()
+    assert(r1.getAs[String]("v") == "A" && r1.isNullAt(r1.fieldIndex("score")))
+  }
+
+  test("delete row-operation removes keys") {
+    drop("lh_del")
+    Lakehouse.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      "lh_del", Seq("k"))
+    val batch = Seq((2L, "ignored", true), (3L, "C", false))
+      .toDF("k", "v", "del")
+    Lakehouse.upsert(batch, "lh_del", Seq("k"), deleteCol = Some("del"))
+    val out = spark.table("lh_del").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (3L, "C")))
+  }
+
+  test("partitioned table round-trips through upsert") {
+    drop("lh_part")
+    val b1 = Seq((1L, "eu", 1.0), (2L, "us", 2.0)).toDF("k", "region", "x")
+    Lakehouse.upsert(b1, "lh_part", Seq("k"), partitionCols = Seq("region"))
+    Lakehouse.upsert(Seq((2L, "us", 2.5)).toDF("k", "region", "x"),
+      "lh_part", Seq("k"), partitionCols = Seq("region"))
+    val out = spark.table("lh_part").orderBy("k")
+      .select($"k", $"x").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0), (2L, 2.5)))
+  }
+
+  test("streaming foreachBatch upsert applies each micro-batch") {
+    drop("lh_stream")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("lh_ck").toString
+    val q = Lakehouse.upsertStream(mem.toDF().toDF("k", "v"),
+      "lh_stream", Seq("k"), dir)
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((2L, "B"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("lh_stream").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B")))
+  }
+}
