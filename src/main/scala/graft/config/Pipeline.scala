@@ -556,6 +556,41 @@ object Processors {
             kernels { df => df.withColumn("value",
               CodecFunctions.wireDecode(unbase64(col("value")), schema)) }
         }
+      case "parquet_decode" =>
+        // processors/parquet_decode.adoc:26 — a parquet file message
+        // becomes one message per row (ParquetBlobOps kernel)
+        kernels { df => explodeParts(df,
+          transform(try_parse_json(call_function("graft_parquet_decode",
+              unbase64(col("value")))).cast("array<variant>"),
+            v => to_json(v))) }
+      case "parquet_encode" =>
+        // processors/parquet_encode.adoc:26 — the whole batch folds
+        // into ONE parquet file message (schema = parquet MessageType)
+        val schema = body.get("schema").asText
+        kernels { df =>
+          val d = withSeq(df)
+          BatchOps.archiveJsonArray(d, lit(0), col("value"), col("__seq"))
+            .select(
+              base64(call_function("graft_parquet_encode",
+                col("archived"), lit(schema))).as("value"),
+              lit(0L).as("__seq"),
+              map().cast("map<string,string>").as("metadata"))
+        }
+      case "parquet" =>
+        // deprecated combined form (processors/parquet.adoc): operator
+        // from_json = encode, to_json = decode
+        val op = body.path("operator").asText
+        val schemaNode = Option(body.get("schema")).map(_.asText)
+        op match {
+          case "from_json" =>
+            compile(yamlObj("parquet_encode",
+              new ObjectMapper().createObjectNode().put("schema",
+                schemaNode.getOrElse(throw new IllegalArgumentException(
+                  "parquet from_json needs a schema")))), env)
+          case "to_json" => compile(yamlObj("parquet_decode",
+            new ObjectMapper().createObjectNode()), env)
+          case other => throw new IllegalArgumentException(s"parquet operator: $other")
+        }
       case "xml" =>
         // processors/xml.adoc:26 — operator to_json
         kernels { df => df.withColumn("value",
@@ -719,7 +754,7 @@ object Processors {
     "openai_transcription", "openai_translation", "openai_moderation",
     "ollama_embeddings", "ollama_moderation", "cohere_embeddings",
     "cohere_rerank", "aws_bedrock_embeddings", "gcp_vertex_ai_embeddings",
-    "parquet", "parquet_decode", "parquet_encode", "sql_insert")
+    "sql_insert")
 
   private def children(n: JsonNode, env: Map[String, String]): DataFrame => DataFrame =
     Option(n).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)

@@ -224,6 +224,22 @@ class ProcessorsVocabSpec extends SparkSpec {
     assert(row.getString(0).nonEmpty, "message must be kept on unknown id")
   }
 
+  test("parquet encode/decode round-trips the batch through one blob") {
+    val in = envelope("""{"id":1,"name":"a"}""", """{"id":2,"name":"b"}""")
+    val schema = "message r { required int64 id; required binary name (UTF8); }"
+    val out = apply(in,
+      s"""- parquet_encode: { schema: '$schema' }
+         |- parquet_decode: {}
+         |""".stripMargin)
+    assert(values(out) == Seq("""{"id":1,"name":"a"}""", """{"id":2,"name":"b"}"""))
+    // deprecated combined form
+    val out2 = apply(in,
+      s"""- parquet: { operator: from_json, schema: '$schema' }
+         |- parquet: { operator: to_json }
+         |""".stripMargin)
+    assert(values(out2) == Seq("""{"id":1,"name":"a"}""", """{"id":2,"name":"b"}"""))
+  }
+
   test("grok and xml produce structured JSON docs") {
     val logs = envelope("GET /health 200")
     val got = values(apply(logs,
