@@ -402,6 +402,10 @@ object Methods {
     case "get" =>
       val path = litStr(args(0))
       BV(variant_get(asVariant(recv), s"$$.${path}", "variant"), V)
+    case "get_field" =>
+      // parser-synthesized: `.name` field access chained onto a method
+      // RESULT (e.g. this.ip.geoip_city(db).city) — path form of get
+      BV(try_variant_get(asVariant(recv), s"$$.${litStr(args(0))}", "variant"), V)
     case "exists" =>
       val path = litStr(args(0))
       BV(variant_get(asVariant(recv), s"$$.${path}", "variant").isNotNull, B)
@@ -617,6 +621,17 @@ object Methods {
         lit("-5"), substring(h, 14, 3),
         lit("-"), lit("a"), substring(h, 18, 3),
         lit("-"), substring(h, 21, 12)), S)
+
+    // geoip_* family (methods.adoc:4492-4557): look the receiver IP up
+    // in a real .mmdb file (MmdbReader, public MaxMind DB spec 2.0) and
+    // return the record object — the record's shape IS the database's
+    // (city/country/asn/...), exactly like the reference, so one kernel
+    // serves the whole family. Missing IPs yield null (catchable).
+    case "geoip_city" | "geoip_country" | "geoip_asn" | "geoip_isp" |
+         "geoip_enterprise" | "geoip_anonymous_ip" |
+         "geoip_connection_type" | "geoip_domain" =>
+      BV(parse_json(call_function("graft_geoip_lookup", asString(recv),
+        lit(litStr(args(0))))), V)
 
     // ── parsing & codecs, tranche 2 ───────────────────────────────────
     case "parse_yaml" =>

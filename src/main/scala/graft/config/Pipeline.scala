@@ -38,7 +38,8 @@ object Pipeline {
   private val yaml = new ObjectMapper(new YAMLFactory())
 
   final case class Spec(input: JsonNode, processors: Seq[JsonNode],
-                        output: Option[JsonNode])
+                        output: Option[JsonNode],
+                        cacheResources: Seq[JsonNode] = Seq.empty)
 
   def load(configYaml: String): Spec = {
     val root = yaml.readTree(configYaml)
@@ -47,13 +48,53 @@ object Pipeline {
     val procs = Option(root.at("/pipeline/processors"))
       .filterNot(_.isMissingNode)
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-    Spec(input, procs, Option(root.get("output")))
+    val caches = Option(root.get("cache_resources"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    Spec(input, procs, Option(root.get("output")), caches)
   }
+
+  /** `cache_resources:` blocks → `cache_<label>` (key, value) temp
+    * views, the relational form the `cache` processor joins against.
+    * In-process backends (caches/memory.adoc, lru.adoc, ttlru.adoc —
+    * `init` seeds entries) and the `file` backend (caches/file.adoc:
+    * one file per key, filename = key, contents = value) are real;
+    * network backends (redis/memcached/nats_kv/…) stay env-blocked.
+    */
+  private def registerCaches(spark: SparkSession, caches: Seq[JsonNode]): Unit =
+    caches.foreach { r =>
+      val label = Option(r.get("label")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException("cache resource needs a label"))
+      val view = s"cache_$label"
+      r.properties().asScala.filterNot(_.getKey == "label").foreach { e =>
+        e.getKey match {
+          case "memory" | "lru" | "ttlru" | "noop" =>
+            val rows = Option(e.getValue.get("init"))
+              .map(_.properties().asScala.toSeq.map(kv =>
+                (kv.getKey, kv.getValue.asText))).getOrElse(Seq.empty)
+            import spark.implicits._
+            val df =
+              if (rows.isEmpty)
+                Seq.empty[(String, String)].toDF("key", "value")
+              else rows.toDF("key", "value")
+            df.createOrReplaceTempView(view)
+          case "file" =>
+            val dir = e.getValue.get("directory").asText
+            spark.read.format("binaryFile").load(dir + "/*")
+              .select(
+                element_at(split(col("path"), "/"), -1).as("key"),
+                col("content").cast("string").as("value"))
+              .createOrReplaceTempView(view)
+          case other => throw new IllegalArgumentException(
+            s"cache backend '$other' is environment-blocked here (network service)")
+        }
+      }
+    }
 
   /** Build the full DataFrame (input + processors), unexecuted. */
   def build(spark: SparkSession, configYaml: String,
             env: Map[String, String] = Map.empty): DataFrame = {
     val spec = load(configYaml)
+    registerCaches(spark, spec.cacheResources)
     val src = compileInput(spark, spec.input, env)
     spec.processors.foldLeft(src)((df, p) => Processors.compile(p, env)(df))
   }

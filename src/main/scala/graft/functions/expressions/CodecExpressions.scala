@@ -155,6 +155,31 @@ case class WireEncodeSubject(child: Expression, subject: String,
     copy(child = newChild)
 }
 
+/** geoip_* lookup against a real .mmdb file ([[MmdbReader]] — hand-
+  * rolled against the public MaxMind DB spec 2.0; reference
+  * methods.adoc:4492-4557). Returns the record JSON or null when the
+  * IP has no entry. The db loads once per executor JVM.
+  */
+case class GeoipLookup(child: Expression, dbPath: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_geoip_lookup"
+  override protected def nullSafeEval(a: Any): Any =
+    MmdbOps.lookupJson(a.asInstanceOf[UTF8String], dbPath)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dbPath", dbPath, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.expressions.MmdbOps.lookupJson($a, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ParseYaml(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))

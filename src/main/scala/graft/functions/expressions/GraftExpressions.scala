@@ -533,7 +533,9 @@ object GraftFunctions {
       ChunkMarkdown(es(0),
         intArg(es(1), "chunkSize"), intArg(es(2), "overlap"))),
     "graft_unicode_segments" -> ((es: Seq[Expression]) =>
-      UnicodeSegments(es(0), es(1))))
+      UnicodeSegments(es(0), es(1))),
+    "graft_geoip_lookup" -> ((es: Seq[Expression]) =>
+      GeoipLookup(es(0), strArg(es(1), "dbPath"))))
 
   /** Idempotent: re-registering an existing name is skipped, so calling
     * this per-operator neither spams "replaced a previously registered

@@ -66,6 +66,41 @@ object Observe {
     }
   }
 
+  /** Tracer analog (reference tracers — jaeger/open_telemetry_collector,
+    * docs/modules/components/pages/tracers/about.adoc: per-component
+    * spans over message flow). Spark's unit of execution is the ACTION,
+    * so a span here is one query execution: name (the action), wall
+    * duration, and every `observe()` metric that ran inside the plan —
+    * which is exactly where [[metric]] attaches per-stage counters, so
+    * stage-level observability composes into the trace. Spans emit to
+    * `sink` as JSON lines; production points that at a collector
+    * exporter, tests read them directly.
+    */
+  def attachTracer(spark: SparkSession, sink: String => Unit)
+      : org.apache.spark.sql.util.QueryExecutionListener = {
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def emit(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                       durationNs: Long, error: Option[String]): Unit = {
+        val metrics = qe.observedMetrics.map { case (name, row) =>
+          "\"" + name + "\":" + row.json
+        }.mkString("{", ",", "}")
+        val err = error.map(e =>
+          s""","error":"${e.replace("\"", "'").take(200)}"""").getOrElse("")
+        sink(s"""{"span":"$funcName","duration_ms":${durationNs / 1000000}""" +
+          s""","observed":$metrics$err}""")
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = emit(funcName, qe, durationNs, None)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          error: Exception): Unit =
+        emit(funcName, qe, 0L, Some(String.valueOf(error.getMessage)))
+    }
+    spark.listenerManager.register(l)
+    l
+  }
+
   /** Streaming metrics: forward every progress event (rows/sec, batch
     * durations, watermark) to `sink` — the Spark analog of the
     * reference's metrics components (docs/modules/components/pages/

@@ -65,6 +65,55 @@ class PipelineSpec extends SparkSpec {
       .forall(_.getString(0).contains(""""stage":"prod"""")))
   }
 
+  test("cache_resources: memory init + file backend resolve gets") {
+    // file backend: one file per key, filename = key, contents = value
+    // (caches/file.adoc)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "0").toPath,
+      "zero".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "1").toPath,
+      "one".getBytes("UTF-8"))
+    val config =
+      s"""input:
+         |  generate: { count: 3, mapping: 'root.id = this.seq' }
+         |pipeline:
+         |  processors:
+         |    - cache:
+         |        resource: fcache
+         |        operator: get
+         |        key: '$${! this.id }'
+         |cache_resources:
+         |  - label: fcache
+         |    file: { directory: ${dir.getPath} }
+         |""".stripMargin
+    val out = Pipeline.build(spark, config)
+      .select(org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("error"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(out.count(_._2 == null) == 2, s"expected 2 hits: ${out.toSeq}")
+    assert(out.exists(_._1 == "zero") && out.exists(_._1 == "one"))
+    assert(out.count(_._2 == "cache miss") == 1, "id 2 must miss")
+
+    val memConfig =
+      """input:
+        |  generate: { count: 2, mapping: 'root.id = this.seq' }
+        |pipeline:
+        |  processors:
+        |    - cache:
+        |        resource: mcache
+        |        operator: get
+        |        key: '${! this.id }'
+        |cache_resources:
+        |  - label: mcache
+        |    memory:
+        |      init: { "0": "seeded" }
+        |""".stripMargin
+    val mem = Pipeline.build(spark, memConfig)
+      .select(org.apache.spark.sql.functions.col("value")).collect()
+      .map(_.getString(0)).sorted
+    assert(mem.contains("seeded"), s"memory init entry not served: ${mem.toSeq}")
+  }
+
   test("streaming pipeline: rate source → mapping → memory sink") {
     val config =
       """input:

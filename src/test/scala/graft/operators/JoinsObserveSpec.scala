@@ -77,4 +77,24 @@ class JoinsObserveSpec extends SparkSpec {
     val out = Observe.logSample(df, every = 2, prefix = "t")
     assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
+
+  test("tracer captures action spans with observed stage metrics") {
+    import spark.implicits._
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = Observe.attachTracer(spark, spans.add(_))
+    try {
+      val df = (1 to 50).toDF("x")
+      val (flowing, _) = Observe.metric(df, "stage1",
+        Seq(count(lit(1)).as("rows")))
+      flowing.write.format("noop").mode("overwrite").save()
+      // listener delivery is async on the listener bus
+      val deadline = System.currentTimeMillis + 10000
+      while (spans.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      val all = spans.toArray(Array.empty[String])
+      assert(all.exists(s => s.contains("\"span\":") &&
+        s.contains("stage1") && s.contains("\"rows\":50")),
+        s"no span carried the stage metric: ${all.toSeq.take(3)}")
+    } finally spark.listenerManager.unregister(l)
+  }
 }
