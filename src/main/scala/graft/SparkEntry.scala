@@ -568,6 +568,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_geoip_mmdb" -> ((s, d) => {
+      // geoip_* against a REAL .mmdb file (MmdbReader, public MaxMind
+      // DB spec 2.0): the fixture db is built deterministically from
+      // the nation table (nation n owns 10.<8n>.0.0/13, the same /13
+      // cover as p_geoip), so the oracle recomputes the mapping
+      // relationally while Spark goes through the binary format
+      import graft.functions.expressions.MmdbWriter
+      val F = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+      val nations = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name")).collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getString(1))).sortBy(_._1)
+      val dbFile = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_nations.mmdb")
+      MmdbWriter.write(dbFile.getPath, nations.toSeq.map { case (k, name) =>
+        (s"10.${k * 8}.0.0", 13,
+          F.objectNode().set[com.fasterxml.jackson.databind.JsonNode]("country",
+            F.objectNode().put("iso_code", name)): com.fasterxml.jackson.databind.JsonNode)
+      })
+      graft.functions.expressions.GraftFunctions.register(s)
+      val ev = Tables.events(s, d).withColumn("ip",
+        concat(lit("10."), (col("user_id") % 200).cast("string"), lit(".5.9")))
+      ev.select(col("event_id"),
+          get_json_object(call_function("graft_geoip_lookup",
+            col("ip"), lit(dbFile.getPath)), "$.country.iso_code").as("country"))
+        .groupBy(col("country")).agg(count(lit(1)).as("n"))
+        .orderBy(col("country"))
+    }),
+
     "m_media_meta" -> ((s, d) => {
       // multimodal metadata: synthesize PNG headers from doc dims, then
       // header-sniff (no decode) via Multimodal.withMediaMeta — blobs
@@ -1467,6 +1495,12 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "p_geoip" ->
+      """SELECT n.n_name AS country, COUNT(*) AS n
+        |FROM events e
+        |JOIN nation n ON n.n_nationkey = CAST(FLOOR((e.user_id % 200) / 8) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_geoip_mmdb" ->
       """SELECT n.n_name AS country, COUNT(*) AS n
         |FROM events e
         |JOIN nation n ON n.n_nationkey = CAST(FLOOR((e.user_id % 200) / 8) AS BIGINT)
