@@ -633,6 +633,12 @@ object Methods {
       BV(parse_json(call_function("graft_geoip_lookup", asString(recv),
         lit(litStr(args(0))))), V)
 
+    // compare_bcrypt (methods.adoc credentials section) — self-contained
+    // bcrypt kernel (BcryptOps); argon2 remains absent (no blake2b)
+    case "compare_bcrypt" =>
+      BV(call_function("graft_compare_bcrypt", asString(recv),
+        asString(v(args(0)))), B)
+
     // ── parsing & codecs, tranche 2 ───────────────────────────────────
     case "parse_yaml" =>
       BV(parse_json(call_function("graft_parse_yaml", asString(recv))), V)

@@ -180,6 +180,26 @@ case class GeoipLookup(child: Expression, dbPath: String)
     copy(child = newChild)
 }
 
+/** compare_bcrypt (methods.adoc credentials section): password vs a
+  * `$2a$...` hash via the self-contained [[BcryptOps]] kernel.
+  */
+case class CompareBcrypt(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left.dataType, right.dataType), Seq(StringType, StringType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_compare_bcrypt"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BcryptOps.compareU(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.BcryptOps.compareU($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ParseYaml(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))

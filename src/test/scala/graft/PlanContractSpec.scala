@@ -126,6 +126,29 @@ class PlanContractSpec extends SparkSpec {
       s"plan depth grew across iterations: ${depths.reverse}")
   }
 
+  test("http enrichment is a narrow map — zero shuffles") {
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").as("value"))
+    val q = operators.Http.enrich(base, lit("stub://svc/ok"), "POST",
+      Map.empty, 16, operators.Http.echoClient)
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      "the http transport must not introduce exchanges")
+  }
+
+  test("batched policy formation is per-partition — zero shuffles") {
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id").as("__seq"), col("text").as("value"))
+    val q = operators.BatchOps.formBatches(base, "__seq", count = 10)
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      "batch formation must be one ordered pass per partition")
+  }
+
   test("command/subprocess are narrow maps — zero shuffles") {
     val base = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text").as("value"))
