@@ -633,10 +633,13 @@ object Methods {
       BV(parse_json(call_function("graft_geoip_lookup", asString(recv),
         lit(litStr(args(0))))), V)
 
-    // compare_bcrypt (methods.adoc credentials section) — self-contained
-    // bcrypt kernel (BcryptOps); argon2 remains absent (no blake2b)
+    // credentials comparisons (methods.adoc) — self-contained kernels:
+    // bcrypt (BcryptOps) and argon2i/argon2id (Argon2Ops, RFC 9106)
     case "compare_bcrypt" =>
       BV(call_function("graft_compare_bcrypt", asString(recv),
+        asString(v(args(0)))), B)
+    case "compare_argon2" =>
+      BV(call_function("graft_compare_argon2", asString(recv),
         asString(v(args(0)))), B)
 
     // ── parsing & codecs, tranche 2 ───────────────────────────────────

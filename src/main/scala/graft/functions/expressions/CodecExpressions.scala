@@ -200,6 +200,27 @@ case class CompareBcrypt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** compare_argon2 (methods.adoc credentials section): password vs an
+  * `$argon2(i|id)$...` spec via the self-contained [[Argon2Ops]]
+  * kernel (RFC 9106 + RFC 7693 Blake2b).
+  */
+case class CompareArgon2(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(left.dataType, right.dataType), Seq(StringType, StringType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_compare_argon2"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Argon2Ops.compareU(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.Argon2Ops.compareU($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ParseYaml(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(StringType))

@@ -537,7 +537,9 @@ object GraftFunctions {
     "graft_geoip_lookup" -> ((es: Seq[Expression]) =>
       GeoipLookup(es(0), strArg(es(1), "dbPath"))),
     "graft_compare_bcrypt" -> ((es: Seq[Expression]) =>
-      CompareBcrypt(es(0), es(1))))
+      CompareBcrypt(es(0), es(1))),
+    "graft_compare_argon2" -> ((es: Seq[Expression]) =>
+      CompareArgon2(es(0), es(1))))
 
   /** Idempotent: re-registering an existing name is skipped, so calling
     * this per-operator neither spams "replaced a previously registered
