@@ -179,6 +179,69 @@ object Multimodal {
     }
   }
 
+  /** Audio features from PCM WAV blobs — a REAL decode (PCM is pure
+    * byte math, no codec library needed; non-PCM formats like mp3/flac
+    * would need a codec jar). Walks the RIFF chunks to the fmt + data
+    * chunks and computes over the FIRST channel:
+    * [duration_s, rms, peak, zero_crossing_rate], all in [0,1]-ish
+    * normalized units (rms/peak over full-scale). Null on non-WAV /
+    * non-PCM-16 blobs — kept, filterable, never a task failure.
+    */
+  def audioFeatures(df: DataFrame, blobCol: String, outCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType)))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    implicit val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        val feats: Seq[Float] =
+          if (bytes == null) null
+          else try audioFeatureKernel(bytes)
+          catch { case _: Exception => null }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }
+  }
+
+  private def audioFeatureKernel(b: Array[Byte]): Seq[Float] = {
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    if (b.length < 44 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return null
+    // walk chunks for fmt + data
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0; var fmt = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val len = le32(pos + 4)
+      if (id == "fmt ") {
+        fmt = le16(pos + 8); channels = le16(pos + 10)
+        sampleRate = le32(pos + 12); bits = le16(pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1)
+    }
+    if (fmt != 1 || bits != 16 || sampleRate <= 0 || channels <= 0 ||
+        dataOff < 0) return null
+    val frameBytes = 2 * channels
+    val n = math.min(dataLen, b.length - dataOff) / frameBytes
+    if (n == 0) return Seq(0f, 0f, 0f, 0f)
+    var sumSq = 0.0; var peak = 0.0; var zc = 0L; var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = le16(dataOff + i * frameBytes).toShort.toInt
+      val norm = s / 32768.0
+      sumSq += norm * norm
+      if (math.abs(norm) > peak) peak = math.abs(norm)
+      if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+      prev = s
+      i += 1
+    }
+    Seq((n.toDouble / sampleRate).toFloat, math.sqrt(sumSq / n).toFloat,
+      peak.toFloat, (zc.toDouble / n).toFloat)
+  }
+
   /** STUB — video frame sampling. No video codec ships in the JVM/this
     * container, so the frame extractor below is a DETERMINISTIC FAKE
     * (xxhash-derived bytes per (video, frameIdx)); everything around it

@@ -76,6 +76,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1) == 0.0f && feats(2) == 0.0f)
   }
 
+  test("audio features: real PCM decode of a synthesized sine wave") {
+    import spark.implicits._
+    // 1-second 440 Hz full-scale sine at 8 kHz mono, 16-bit PCM
+    val rate = 8000
+    val samples = Array.tabulate(rate)(i =>
+      (math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 2 * samples.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(2 * samples.length)
+    samples.foreach(bb.putShort)
+    val df = Seq((1L, bb.array()), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val out = Multimodal.audioFeatures(df, "blob", "feats")
+      .orderBy("id").select("feats").as[Seq[Float]].collect()
+    val f = out(0)
+    assert(math.abs(f(0) - 1.0f) < 1e-3, s"duration: ${f(0)}")
+    // full-scale sine: rms = 1/sqrt(2), peak ~1, zcr ~2*440/8000
+    assert(math.abs(f(1) - 0.7071f) < 0.01, s"rms: ${f(1)}")
+    assert(f(2) > 0.99f && f(2) <= 1.0f, s"peak: ${f(2)}")
+    assert(math.abs(f(3) - 2.0f * 440 / 8000) < 0.005, s"zcr: ${f(3)}")
+    assert(out(1) == null, "non-WAV blob must yield null features")
+  }
+
   test("video frame stub: deterministic frames, explode shape") {
     val frames = Multimodal.videoFrameStub(mediaDf.filter(col("id") === 1),
       "blob", everyNth = 10, maxFrames = 3)
