@@ -143,6 +143,12 @@ object Pipeline {
       case ("parquet", b) =>
         Sinks.parquetStream(df, b.get("path").asText,
           b.get("checkpoint").asText)
+      case ("lakehouse", b) =>
+        // streaming MERGE per micro-batch — the CDC-apply sink shape
+        graft.sinks.Lakehouse.upsertStream(df, b.get("table").asText,
+          b.get("keys").elements().asScala.toSeq.map(_.asText),
+          b.get("checkpoint").asText,
+          deleteCol = Option(b.get("delete_column")).map(_.asText))
       case (other, _) =>
         throw new IllegalArgumentException(s"streaming output '$other' not supported")
     }
@@ -203,6 +209,14 @@ object Pipeline {
     }
 
   private def writeOutput(df: DataFrame, n: JsonNode): Unit = one(n) match {
+    case ("lakehouse", b) =>
+      // iceberg-shaped upsert output (output_iceberg.go contract):
+      // identifier keys + optional partitioning + delete column
+      Sinks.lakehouse(df, b.get("table").asText,
+        b.get("keys").elements().asScala.toSeq.map(_.asText),
+        Option(b.get("partition_by")).map(_.elements().asScala.toSeq
+          .map(_.asText)).getOrElse(Seq.empty),
+        Option(b.get("delete_column")).map(_.asText))
     case ("parquet", b) => Sinks.parquet(df, b.get("path").asText)
     case ("csv", b) => Sinks.csv(df, b.get("path").asText)
     case ("json", b) => Sinks.jsonLines(df, b.get("path").asText)

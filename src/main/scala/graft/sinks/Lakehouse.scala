@@ -91,8 +91,10 @@ object Lakehouse {
       val merged = evolved
         .join(broadcast(touchedKeys.distinct()), keyCols, "left_anti")
         .unionByName(aligned)
-      // stage swap: a table can't be overwritten while being read
+      // stage swap: a table can't be overwritten while being read; a
+      // crashed previous run may have orphaned the stage's directory
       val stage = table + "__stage"
+      dropTable(spark, stage)
       merged.write.mode("overwrite").saveAsTable(stage)
       val w = spark.table(stage).write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

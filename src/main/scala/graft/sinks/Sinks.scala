@@ -31,6 +31,12 @@ object Sinks {
   def jsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Iceberg-shaped lakehouse upsert (see [[Lakehouse.upsert]]). */
+  def lakehouse(df: DataFrame, table: String, keys: Seq[String],
+                partitionBy: Seq[String] = Nil,
+                deleteCol: Option[String] = None): Unit =
+    Lakehouse.upsert(df, table, keys, partitionBy, deleteCol)
+
   /** Streaming fan-out: every micro-batch is delivered to ALL sinks via
     * foreachBatch (the streaming form of the batch [[fanOut]] —
     * reference `broker` output pattern `fan_out`,

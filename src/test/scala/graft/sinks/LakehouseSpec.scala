@@ -67,6 +67,22 @@ class LakehouseSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0), (2L, 2.5)))
   }
 
+  test("config-runner lakehouse output upserts by key (idempotent)") {
+    drop("lh_cfg")
+    val config =
+      """input:
+        |  generate: { count: 5, mapping: 'root.k = this.seq' }
+        |output:
+        |  lakehouse: { table: lh_cfg, keys: [value] }
+        |""".stripMargin
+    graft.config.Pipeline.run(spark, config)
+    assert(spark.table("lh_cfg").count() == 5)
+    // re-running the same config MERGEs, not duplicates
+    graft.config.Pipeline.run(spark, config)
+    assert(spark.table("lh_cfg").count() == 5,
+      "upsert output must be idempotent by key")
+  }
+
   test("streaming foreachBatch upsert applies each micro-batch") {
     drop("lh_stream")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
