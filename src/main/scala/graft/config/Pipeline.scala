@@ -118,6 +118,7 @@ object Pipeline {
   def runStream(spark: SparkSession, configYaml: String,
                 env: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery = {
     val spec = load(configYaml)
+    registerCaches(spark, spec.cacheResources)
     val src = one(spec.input) match {
       case ("generate", b) =>
         Sources.generateStream(spark, b.path("rate").asInt(10),
@@ -461,21 +462,24 @@ object Processors {
             .drop("batch_idx")
         }
       case "archive" =>
-        // processors/archive.adoc:26 — the whole batch folds into ONE
-        // message
+        // processors/archive.adoc:26 — each BATCH folds into ONE
+        // message: per __batch when the batched input assigned one,
+        // else the whole stream is one batch
         val fmt = body.path("format").asText("lines")
         df => {
           val d = withSeq(df)
+          val batchKey =
+            if (d.columns.contains("__batch")) col("__batch") else lit(0L)
           val archived = fmt match {
             case "lines" | "concatenate" =>
-              BatchOps.archiveLines(d, lit(0), col("value"), col("__seq"))
+              BatchOps.archiveLines(d, batchKey, col("value"), col("__seq"))
             case "json_array" =>
-              BatchOps.archiveJsonArray(d, lit(0), col("value"), col("__seq"))
+              BatchOps.archiveJsonArray(d, batchKey, col("value"), col("__seq"))
             case other => throw new IllegalArgumentException(
               s"archive format '$other' unsupported in config form (tar/zip are source scanners)")
           }
           archived.select(col("archived").as("value"),
-            lit(0L).as("__seq"),
+            col("key").cast("long").as("__seq"),
             map().cast("map<string,string>").as("metadata"))
         }
       case "unarchive" =>
@@ -619,16 +623,19 @@ object Processors {
               unbase64(col("value")))).cast("array<variant>"),
             v => to_json(v))) }
       case "parquet_encode" =>
-        // processors/parquet_encode.adoc:26 — the whole batch folds
-        // into ONE parquet file message (schema = parquet MessageType)
+        // processors/parquet_encode.adoc:26 — each BATCH folds into ONE
+        // parquet file message (schema = parquet MessageType); per
+        // __batch when the batched input assigned one
         val schema = body.get("schema").asText
         kernels { df =>
           val d = withSeq(df)
-          BatchOps.archiveJsonArray(d, lit(0), col("value"), col("__seq"))
+          val batchKey =
+            if (d.columns.contains("__batch")) col("__batch") else lit(0L)
+          BatchOps.archiveJsonArray(d, batchKey, col("value"), col("__seq"))
             .select(
               base64(call_function("graft_parquet_encode",
                 col("archived"), lit(schema))).as("value"),
-              lit(0L).as("__seq"),
+              col("key").cast("long").as("__seq"),
               map().cast("map<string,string>").as("metadata"))
         }
       case "parquet" =>

@@ -39,9 +39,15 @@ object CodecFunctions {
   def wireDecode(data: Column, schemaJson: String): Column =
     call_function("graft_wire_decode", data, lit(schemaJson))
 
-  /** Wire-header schema id as a column (pure byte math — codegen'd). */
-  def wireSchemaId(data: Column): Column =
-    conv(hex(substring(data, 2, 4)), 16, 10).cast("int")
+  /** Wire-header schema id as a column (pure byte math — codegen'd).
+    * Signed like the kernel's ByteBuffer.getInt: a plain cast("int")
+    * would NULL out ids with the high bit set (non-ANSI overflow),
+    * silently skipping both decode and error in the provider guard.
+    */
+  def wireSchemaId(data: Column): Column = {
+    val u = conv(hex(substring(data, 2, 4)), 16, 10).cast("long")
+    when(u > Int.MaxValue, u - 4294967296L).otherwise(u).cast("int")
+  }
 
   /** Provider-resolved decode: schema looked up from the header id via
     * a [[graft.functions.expressions.SchemaProvider]] (the reference's

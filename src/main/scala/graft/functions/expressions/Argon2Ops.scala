@@ -146,6 +146,14 @@ object Argon2Ops {
     gb(0, 5, 10, 15); gb(1, 6, 11, 12); gb(2, 7, 8, 13); gb(3, 4, 9, 14)
   }
 
+  // P-round index sets are compile-time constants — precomputed so the
+  // memory-hard inner loop (millions of gMix calls per hash) allocates
+  // nothing but its two working blocks
+  private val RowIdx: Array[Array[Int]] =
+    Array.tabulate(8)(i => Array.tabulate(16)(j => 16 * i + j))
+  private val ColIdx: Array[Array[Int]] =
+    Array.tabulate(8)(i => Array.tabulate(16)(j => 2 * i + 16 * (j / 2) + (j % 2)))
+
   /** G compression (RFC 9106 §3.5): Z = P-mixed (X^Y); out = X^Y^Z;
     * `xorInto` XORs the result into `out` (v1.3 later passes).
     */
@@ -157,16 +165,10 @@ object Argon2Ops {
     val z = r.clone()
     // rows: 8 rows of 16 consecutive words
     i = 0
-    while (i < 8) {
-      pRound(z, Array.tabulate(16)(j => 16 * i + j))
-      i += 1
-    }
+    while (i < 8) { pRound(z, RowIdx(i)); i += 1 }
     // columns: 8 groups of word-pairs down the rows
     i = 0
-    while (i < 8) {
-      pRound(z, Array.tabulate(16)(j => 2 * i + 16 * (j / 2) + (j % 2)))
-      i += 1
-    }
+    while (i < 8) { pRound(z, ColIdx(i)); i += 1 }
     i = 0
     while (i < 128) {
       val v = r(i) ^ z(i)

@@ -208,8 +208,10 @@ object BcryptOps {
     val minor = m.group(1)
     val cost = m.group(2).toInt
     val salt = b64Decode(m.group(3), 16)
-    // 2a+ append a null terminator to the password
-    val pw = password.getBytes("UTF-8") :+ 0.toByte
+    // 2a and later null-terminate the key; the original '$2$' scheme
+    // does not
+    val pwRaw = password.getBytes("UTF-8")
+    val pw = if (minor == "2") pwRaw else pwRaw :+ 0.toByte
     val raw = cryptRaw(if (pw.length > 72) java.util.Arrays.copyOf(pw, 72) else pw,
       salt, cost)
     f"$$$minor%s$$$cost%02d$$${m.group(3)}%s${b64Encode(raw)}%s"

@@ -175,11 +175,13 @@ final class MmdbReader(bytes: Array[Byte]) {
         val lead = if (ipVersion == 6) Array.fill(96)(0) else Array.empty[Int]
         lead ++ (31 to 0 by -1).map(i => ((v >> i) & 1).toInt)
       case _ =>
+        // only parse IPv6 LITERALS — getByName on anything else would
+        // do a blocking per-row DNS lookup (and silently geolocate a
+        // hostname's resolved address instead of returning null)
+        if (!ip.contains(":")) return null
         try {
           val addr = java.net.InetAddress.getByName(ip).getAddress
-          if (addr.length == 4 && ipVersion == 6)
-            Array.fill(96)(0) ++ addr.flatMap(byteBits)
-          else if (addr.length == 16 && ipVersion == 4) null
+          if (addr.length == 16 && ipVersion == 4) null
           else addr.flatMap(byteBits)
         } catch { case _: Exception => null }
     }

@@ -76,23 +76,27 @@ object Http {
       c.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         .thenApply(r => Response(r.statusCode(), r.body()))
     }
-    reqs.map { q =>
+    // fan the WHOLE batch out async first (this is what makes batchSize
+    // bound in-flight requests — a join inside the launch loop would
+    // serialize the batch), then settle each; only the rare retry tail
+    // runs sequentially
+    def settle(f: java.util.concurrent.CompletableFuture[Response]): Response =
+      try f.join()
+      catch { case e: Exception => Response(-1, e.getMessage) }
+    val inFlight = reqs.map(q => (q, send(q))).toVector
+    inFlight.map { case (q, f0) =>
+      var r = settle(f0)
       var attempt = 0
       var delay = retryPeriodMs
-      var out: Response = null
-      while (out == null) {
-        val r =
-          try send(q).join()
-          catch { case e: Exception => Response(-1, e.getMessage) }
-        if (dropOn.contains(r.status)) out = r
-        else if ((r.status == -1 || backoffOn.contains(r.status)) &&
-                 attempt < retries) {
-          Thread.sleep(delay)
-          delay = math.min(delay * 2, maxRetryBackoffMs)
-          attempt += 1
-        } else out = r
+      while (!dropOn.contains(r.status) &&
+             (r.status == -1 || backoffOn.contains(r.status)) &&
+             attempt < retries) {
+        Thread.sleep(delay)
+        delay = math.min(delay * 2, maxRetryBackoffMs)
+        attempt += 1
+        r = settle(send(q))
       }
-      out
+      r
     }
   }
 

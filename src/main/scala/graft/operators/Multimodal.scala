@@ -216,6 +216,9 @@ object Multimodal {
     while (pos + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
       val id = new String(b, pos, 4, "US-ASCII")
       val len = le32(pos + 4)
+      // a corrupt/negative chunk length would stall the walk (pos += 0)
+      // and pin the task forever — treat it as not-a-WAV instead
+      if (len < 0 || pos + 8 + len < pos) return null
       if (id == "fmt ") {
         fmt = le16(pos + 8); channels = le16(pos + 10)
         sampleRate = le32(pos + 12); bits = le16(pos + 22)

@@ -32,7 +32,14 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    val dir = new java.io.File(warehouse, table.toLowerCase)
+    // managed location: <warehouse>/<tbl> for the default database,
+    // <warehouse>/<db>.db/<tbl> for qualified names
+    val rel = table.toLowerCase.split("\\.") match {
+      case Array(tbl) => tbl
+      case Array(db, tbl) => s"$db.db/$tbl"
+      case parts => parts.init.mkString(".") + ".db/" + parts.last
+    }
+    val dir = new java.io.File(warehouse, rel)
     if (dir.exists) {
       import java.nio.file.{Files, Path}
       import java.util.Comparator

@@ -92,6 +92,25 @@ class BatchedInputSpec extends SparkSpec {
       out(2) == out(3) && out(3) != out(4), s"period batches wrong: $out")
   }
 
+  test("archive folds PER formed batch, not the whole stream") {
+    val yaml =
+      """input:
+        |  batched:
+        |    child:
+        |      generate: { count: 6, mapping: 'root.id = this.seq' }
+        |    policy: { count: 2 }
+        |pipeline:
+        |  processors:
+        |    - archive: { format: json_array }
+        |""".stripMargin
+    import spark.implicits._
+    val out = Pipeline.build(spark, yaml)
+      .select($"value").as[String].collect().toSeq
+    assert(out.length == 3, s"expected one message per 2-row batch: $out")
+    assert(out.forall(v =>
+      v.startsWith("[") && v.count(_ == '{') == 2), s"ragged fold: $out")
+  }
+
   test("batch ids are partition-unique without a global sort") {
     val df = spark.range(100)
       .select($"id".as("__seq"), lit("x").as("value")).repartition(4)
