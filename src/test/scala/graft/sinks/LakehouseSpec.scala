@@ -83,6 +83,30 @@ class LakehouseSpec extends SparkSpec {
       "upsert output must be idempotent by key")
   }
 
+  test("config-runner STREAMING lakehouse output merges micro-batches") {
+    drop("lh_stream_cfg")
+    val srcDir = java.nio.file.Files.createTempDirectory("lh_src").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("lh_ck2").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("append").parquet(srcDir)
+    val config =
+      s"""input:
+         |  file: { path: $srcDir, format: parquet, schema: 'k BIGINT, v STRING' }
+         |output:
+         |  lakehouse: { table: lh_stream_cfg, keys: [k], checkpoint: $ckDir }
+         |""".stripMargin
+    val q = graft.config.Pipeline.runStream(spark, config)
+    try {
+      q.processAllAvailable()
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("lh_stream_cfg").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("streaming foreachBatch upsert applies each micro-batch") {
     drop("lh_stream")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
