@@ -31,6 +31,19 @@ object Sinks {
   def jsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** JDBC sink (reference `sql_insert` output family,
+    * outputs/sql_insert.adoc:26): partition-parallel inserts through
+    * the DataFrame JDBC writer — each executor task opens its own
+    * connection, no driver funnel. Driver jar must be on the
+    * classpath (Derby ships with Spark; others are deploy-time).
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+           mode: String = "append",
+           options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table).options(options)
+      .save()
+
   /** Iceberg-shaped lakehouse upsert (see [[Lakehouse.upsert]]). */
   def lakehouse(df: DataFrame, table: String, keys: Seq[String],
                 partitionBy: Seq[String] = Nil,
