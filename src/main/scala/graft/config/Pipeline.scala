@@ -738,14 +738,21 @@ object Processors {
         }
       case "sql_select" =>
         // processors/sql_select.adoc:26 — enrichment lookup against a
-        // registered table; columns merge into the doc
+        // registered table OR, with `url`, a real JDBC table (driver
+        // jar on the classpath — Derby ships with Spark); columns
+        // merge into the doc
         val table = body.get("table").asText
         val keyCol = body.get("key_column").asText
         val keyTpl = body.get("key").asText
         val columns = body.get("columns").elements().asScala.toSeq.map(_.asText)
+        val jdbcUrl = Option(body.get("url")).map(_.asText)
         df => {
-          val lookup = df.sparkSession.table(table)
-            .select((keyCol +: columns).map(col): _*)
+          val src = jdbcUrl match {
+            case Some(u) =>
+              graft.sources.Sources.jdbc(df.sparkSession, u, table)
+            case None => df.sparkSession.table(table)
+          }
+          val lookup = src.select((keyCol +: columns).map(col): _*)
           val keyed = df.withColumn("__lk",
             Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df))
               .cast(lookup.schema(keyCol).dataType))
@@ -755,6 +762,62 @@ object Processors {
               to_json(struct(try_parse_json(col("value")).as("doc") +:
                 columns.map(col): _*)))
             .drop("__lk", keyCol)
+        }
+      case "sql_insert" =>
+        // processors/sql_insert.adoc:26 — insert each message's mapped
+        // fields into a SQL table as rows FLOW (per-partition batched
+        // PreparedStatement — the distributed form of the reference's
+        // per-message insert loop); messages pass through unchanged.
+        // Driver jar on the classpath (Derby ships with Spark).
+        val url = body.get("url").asText
+        val table = body.get("table").asText
+        val columns = body.get("columns").elements().asScala.toSeq.map(_.asText)
+        df => {
+          val schema = df.schema
+          implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+          val vIdx = schema.fieldIndex("value")
+          df.mapPartitions { it =>
+            if (!it.hasNext) it
+            else {
+              val mapper = new ObjectMapper()
+              val conn = java.sql.DriverManager.getConnection(url)
+              val ps = conn.prepareStatement(
+                s"INSERT INTO $table VALUES (${columns.map(_ => "?").mkString(",")})")
+              var closed = false
+              def close(): Unit = if (!closed) {
+                try { ps.executeBatch(); ps.close(); conn.close() }
+                finally { closed = true }
+              }
+              // close on task completion too — a downstream limit() may
+              // abandon the iterator mid-partition
+              Option(org.apache.spark.TaskContext.get())
+                .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+              var pending = 0
+              new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+                override def hasNext: Boolean = {
+                  val h = it.hasNext
+                  if (!h) close()
+                  h
+                }
+                override def next(): org.apache.spark.sql.Row = {
+                  val r = it.next()
+                  val doc = mapper.readTree(r.getString(vIdx))
+                  columns.zipWithIndex.foreach { case (c, i) =>
+                    val n = doc.get(c)
+                    if (n == null || n.isNull) ps.setObject(i + 1, null)
+                    else if (n.isIntegralNumber) ps.setLong(i + 1, n.asLong)
+                    else if (n.isNumber) ps.setDouble(i + 1, n.asDouble)
+                    else if (n.isBoolean) ps.setBoolean(i + 1, n.asBoolean)
+                    else ps.setString(i + 1, n.asText)
+                  }
+                  ps.addBatch()
+                  pending += 1
+                  if (pending >= 500) { ps.executeBatch(); pending = 0 }
+                  r
+                }
+              }
+            }
+          }
         }
       case "http" =>
         // processors/http.adoc:26 — batched pluggable transport; the
@@ -815,8 +878,7 @@ object Processors {
     "openai_embeddings", "openai_image_generation", "openai_speech",
     "openai_transcription", "openai_translation", "openai_moderation",
     "ollama_embeddings", "ollama_moderation", "cohere_embeddings",
-    "cohere_rerank", "aws_bedrock_embeddings", "gcp_vertex_ai_embeddings",
-    "sql_insert")
+    "cohere_rerank", "aws_bedrock_embeddings", "gcp_vertex_ai_embeddings")
 
   private def children(n: JsonNode, env: Map[String, String]): DataFrame => DataFrame =
     Option(n).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)

@@ -57,6 +57,47 @@ class JdbcSpec extends SparkSpec {
     assert(back.length == 20 && back.head == (1L, "w1"))
   }
 
+  test("config-runner sql_select enriches from the JDBC table") {
+    val config =
+      s"""input:
+         |  generate: { count: 3, mapping: 'root.id = this.seq + 1' }
+         |pipeline:
+         |  processors:
+         |    - sql_select:
+         |        url: $url
+         |        table: people
+         |        key_column: ID
+         |        key: '$${! this.id }'
+         |        columns: [NAME]
+         |""".stripMargin
+    val out = graft.config.Pipeline.build(spark, config)
+      .select($"value").as[String].collect().toSeq.sorted
+    assert(out.forall(_.contains(""""NAME":"name_""")), s"no enrichment: $out")
+  }
+
+  test("config-runner sql_insert writes rows as they flow, pass-through") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE inserted (id BIGINT, tag VARCHAR(32))")
+    conn.close()
+    val config =
+      s"""input:
+         |  generate: { count: 7, mapping: 'root.id = this.seq
+         |root.tag = "t" + this.seq.string()' }
+         |pipeline:
+         |  processors:
+         |    - sql_insert:
+         |        url: $url
+         |        table: inserted
+         |        columns: [id, tag]
+         |""".stripMargin
+    val flowed = graft.config.Pipeline.build(spark, config).count()
+    assert(flowed == 7, "messages must pass through unchanged")
+    val back = Sources.jdbc(spark, url, "inserted")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.length == 7 && back.head == (0L, "t0") && back.last == (6L, "t6"))
+  }
+
   test("sql_select-shaped enrichment joins a JDBC table") {
     // the reference's sql_select processor = lookup against a DB table;
     // relational form: broadcast join against the JDBC scan
