@@ -600,12 +600,22 @@ object Processors {
             kernels { df =>
               val d = FlowControl.withErrorChannel(df)
               val bin = unbase64(col("value"))
+              // a valid wire header is >= 5 bytes and starts with the
+              // magic byte 0 — wireSchemaId requires both, so the guard
+              // must too or a truncated/wrong-magic payload whose bytes
+              // 2-5 decode to a registered id would reach the kernel
+              // and throw instead of erroring the row
+              val headerOk = length(bin) >= 5 &&
+                substring(bin, 1, 1) === lit(Array[Byte](0))
               val id = CodecFunctions.wireSchemaId(bin)
-              val known = id.isin(p.byId.keys.toSeq: _*)
+              val idKnown = id.isin(p.byId.keys.toSeq: _*)
+              val known = headerOk && idKnown
               d.withColumn("error",
                   when(col("error").isNotNull, col("error"))
-                    .otherwise(when(!known, concat(
-                      lit("schema registry: unknown schema id "), id))))
+                    .when(!headerOk,
+                      lit("schema registry: invalid wire format header"))
+                    .when(!idKnown, concat(
+                      lit("schema registry: unknown schema id "), id)))
                 .withColumn("value", when(known,
                   CodecFunctions.wireDecodeProvider(bin, p))
                   .otherwise(col("value")))
@@ -772,11 +782,16 @@ object Processors {
         val url = body.get("url").asText
         val table = body.get("table").asText
         val columns = body.get("columns").elements().asScala.toSeq.map(_.asText)
-        df => {
+        df0 => {
+          // error channel: a malformed `value` errors the ROW (the
+          // reference processor's behavior), not the task; already-
+          // errored rows pass through without inserting
+          val df = FlowControl.withErrorChannel(df0)
           val schema = df.schema
           implicit val enc = org.apache.spark.sql.Encoders.row(schema)
           val vIdx = schema.fieldIndex("value")
-          df.mapPartitions { it =>
+          val eIdx = schema.fieldIndex("error")
+          val inserted = df.mapPartitions { it =>
             if (!it.hasNext) it
             else {
               val mapper = new ObjectMapper()
@@ -801,23 +816,38 @@ object Processors {
                 }
                 override def next(): org.apache.spark.sql.Row = {
                   val r = it.next()
-                  val doc = mapper.readTree(r.getString(vIdx))
-                  columns.zipWithIndex.foreach { case (c, i) =>
-                    val n = doc.get(c)
-                    if (n == null || n.isNull) ps.setObject(i + 1, null)
-                    else if (n.isIntegralNumber) ps.setLong(i + 1, n.asLong)
-                    else if (n.isNumber) ps.setDouble(i + 1, n.asDouble)
-                    else if (n.isBoolean) ps.setBoolean(i + 1, n.asBoolean)
-                    else ps.setString(i + 1, n.asText)
+                  if (r.get(eIdx) != null) r
+                  else try {
+                    val doc = mapper.readTree(r.getString(vIdx))
+                    if (doc == null || doc.isMissingNode)
+                      throw new IllegalArgumentException("empty document")
+                    columns.zipWithIndex.foreach { case (c, i) =>
+                      val n = doc.get(c)
+                      if (n == null || n.isNull) ps.setObject(i + 1, null)
+                      else if (n.isIntegralNumber) ps.setLong(i + 1, n.asLong)
+                      else if (n.isNumber) ps.setDouble(i + 1, n.asDouble)
+                      else if (n.isBoolean) ps.setBoolean(i + 1, n.asBoolean)
+                      else ps.setString(i + 1, n.asText)
+                    }
+                    ps.addBatch()
+                    pending += 1
+                    if (pending >= 500) { ps.executeBatch(); pending = 0 }
+                    r
+                  } catch {
+                    case e @ (_: com.fasterxml.jackson.core.JacksonException |
+                              _: IllegalArgumentException) =>
+                      org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(eIdx,
+                        s"sql_insert: ${e.getMessage}"))
                   }
-                  ps.addBatch()
-                  pending += 1
-                  if (pending >= 500) { ps.executeBatch(); pending = 0 }
-                  r
                 }
               }
             }
           }
+          // the insert is a side effect of computing the pass-through
+          // plan: barrier it (eager localCheckpoint) so a second action
+          // on the runner's DataFrame — or a recomputed stage — replays
+          // checkpointed blocks instead of re-running the inserts
+          inserted.localCheckpoint()
         }
       case "http" =>
         // processors/http.adoc:26 — batched pluggable transport; the

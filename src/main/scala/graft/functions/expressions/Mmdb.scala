@@ -94,9 +94,14 @@ final class MmdbReader(bytes: Array[Byte]) {
       case 4 => // bytes → base64 text
         (F.textNode(java.util.Base64.getEncoder
           .encodeToString(java.util.Arrays.copyOfRange(bytes, p, p + size))), p + size)
-      case 5 | 6 | 9 | 10 => // uint16/32/64/128 (size = byte length)
+      case 5 | 6 => // uint16/32 (size = byte length, fits a Long)
         (F.numberNode(uintN(size)), p + size)
-      case 8 => // int32
+      case 9 | 10 => // uint64/128 — may exceed Long.MAX; decode unsigned
+        (F.numberNode(new java.math.BigInteger(1,
+          java.util.Arrays.copyOfRange(bytes, p, p + size))), p + size)
+      case 8 => // int32: 4 stored bytes wrap two's-complement; fewer
+        // bytes are leading-zero-trimmed non-negative magnitudes (the
+        // official MMDB readers decode them unsigned — no sign-extend)
         (F.numberNode(uintN(size).toInt.toLong), p + size)
       case 7 => // map: size entries of key + value
         val o = F.objectNode()

@@ -84,8 +84,13 @@ object Observe {
         val metrics = qe.observedMetrics.map { case (name, row) =>
           "\"" + name + "\":" + row.json
         }.mkString("{", ",", "}")
-        val err = error.map(e =>
-          s""","error":"${e.replace("\"", "'").take(200)}"""").getOrElse("")
+        val err = error.map { e =>
+          // JSON-escape via Jackson — backslashes, newlines, and
+          // control characters must survive as a valid span line
+          val quoted = new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(e.take(200))
+          s""","error":$quoted"""
+        }.getOrElse("")
         sink(s"""{"span":"$funcName","duration_ms":${durationNs / 1000000}""" +
           s""","observed":$metrics$err}""")
       }

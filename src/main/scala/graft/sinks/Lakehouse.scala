@@ -29,7 +29,13 @@ object Lakehouse {
     * still blocks re-creation (LOCATION_ALREADY_EXISTS).
     */
   def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    // an EXTERNAL table's location is user data, not ours to delete —
+    // only sweep the warehouse path for managed (or catalog-unknown,
+    // i.e. orphaned) tables
+    val isExternal = spark.catalog.tableExists(table) &&
+      spark.catalog.getTable(table).tableType == "EXTERNAL"
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (isExternal) return
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     // managed location: <warehouse>/<tbl> for the default database,

@@ -222,6 +222,22 @@ class ProcessorsVocabSpec extends SparkSpec {
     val row = bad.select(col("value"), col("error")).head()
     assert(row.getString(1) == "schema registry: unknown schema id 9")
     assert(row.getString(0).nonEmpty, "message must be kept on unknown id")
+    // truncated or wrong-magic payloads error the ROW, never the task —
+    // even when bytes 2-5 happen to decode to a registered id
+    val b64 = (bs: Array[Byte]) =>
+      java.util.Base64.getEncoder.encodeToString(bs)
+    val wrongMagic = b64(Array[Byte](1, 0, 0, 0, 9)) // id bytes say 9
+    val truncated = b64(Array[Byte](0, 0, 0))
+    val hdr = apply(envelope(wrongMagic, truncated),
+      s"""- schema_registry_decode:
+         |    registry:
+         |      schemas: { 9: $avroSchema }
+         |""".stripMargin)
+    val rows = hdr.select(col("value"), col("error")).collect()
+    assert(rows.forall(_.getString(1) ==
+      "schema registry: invalid wire format header"))
+    assert(rows.map(_.getString(0)).toSet == Set(wrongMagic, truncated),
+      "message must be kept on bad header")
   }
 
   test("parquet encode/decode round-trips the batch through one blob") {

@@ -98,6 +98,38 @@ class JdbcSpec extends SparkSpec {
     assert(back.length == 7 && back.head == (0L, "t0") && back.last == (6L, "t6"))
   }
 
+  test("sql_insert errors malformed rows and does not replay on re-action") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE inserted2 (id BIGINT, tag VARCHAR(32))")
+    conn.close()
+    val in = Seq("""{"id":1,"tag":"ok"}""", """not json at all""")
+      .toDF("value")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val proc = mapper.readTree(
+      s"""sql_insert:
+         |  url: $url
+         |  table: inserted2
+         |  columns: [id, tag]
+         |""".stripMargin)
+    val compiled = graft.config.Processors.compile(proc, Map.empty)(in)
+    // TWO actions on the result: without the barrier the inserts would
+    // run twice and duplicate rows
+    val rows = compiled.select($"value", $"error").collect().sortBy(_.getString(0))
+    assert(compiled.count() == 2)
+    assert(rows.length == 2)
+    val (bad, good) = (rows.head, rows.last)
+    assert(good.getString(1) == null, "well-formed row must not error")
+    assert(bad.getString(0) == "not json at all" &&
+      bad.getString(1) != null && bad.getString(1).startsWith("sql_insert:"),
+      "malformed value must error the row, not the task")
+    val back = Sources.jdbc(spark, url, "inserted2")
+      .as[(Long, String)].collect()
+    assert(back.toSeq == Seq((1L, "ok")),
+      "exactly one insert: errored row skipped, no replay on second action")
+  }
+
   test("sql_select-shaped enrichment joins a JDBC table") {
     // the reference's sql_select processor = lookup against a DB table;
     // relational form: broadcast join against the JDBC scan
