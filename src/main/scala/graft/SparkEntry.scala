@@ -505,6 +505,30 @@ object SparkEntry {
       s.table("lakehouse_orders").orderBy(col("k"))
     }),
 
+    "p_kafka_roundtrip" -> ((s, d) => {
+      // kafka-shaped broker contract (inputs/kafka.adoc +
+      // outputs/kafka.adoc via the injectable Broker.Transport seam):
+      // produce documents with manual partitions (doc_id % 4) in
+      // doc_id order, read back through the partition-parallel source,
+      // and prove partition assignment, per-partition OFFSET ORDER,
+      // lag, and payload against a pure-SQL oracle
+      import graft.sources.{Broker, Sources}
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val name = "rt_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val addr = s"mem://$name"
+      Broker.InMemory.named(name).createTopic("docs", 4)
+      sinks.Sinks.brokerWrite(docs, addr, "docs", col("doc_id"),
+        col("text"), col("doc_id"), partitionCol = Some(col("doc_id") % 4))
+      Sources.brokerRead(s, addr, "docs").select(
+          col("metadata")("kafka_key").cast("long").as("doc_id"),
+          col("metadata")("kafka_partition").cast("long").as("kafka_partition"),
+          col("metadata")("kafka_offset").cast("long").as("kafka_offset"),
+          col("metadata")("kafka_lag").cast("long").as("kafka_lag"),
+          col("value").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_retry" -> ((s, d) => {
       // `retry` (processors/retry.adoc:26) through the config runner,
       // around a `cache` get child: hits resolve on the first pass,
@@ -1476,6 +1500,17 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
         |ORDER BY k""".stripMargin,
+
+    "p_kafka_roundtrip" ->
+      """SELECT doc_id,
+        |  doc_id % 4 AS kafka_partition,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1
+        |    AS kafka_offset,
+        |  COUNT(*) OVER (PARTITION BY doc_id % 4)
+        |    - (ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1)
+        |    AS kafka_lag,
+        |  text
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     "p_lakehouse_upsert" ->
       """SELECT o_orderkey AS k, o_custkey AS cust,

@@ -205,6 +205,21 @@ object Pipeline {
         BatchOps.formBatches(withCheck, "__seq", count, byteSize, periodMs,
             checkTpl.map(_ => "__check"), tsCol)
           .drop("__check")
+      case ("kafka" | "redpanda" | "kafka_franz", b) =>
+        // inputs/kafka.adoc / input_redpanda.go:103 — `mem://` seed
+        // brokers resolve to the in-process Broker fake (the injectable
+        // transport seam); real brokers need the spark-sql-kafka
+        // connector jar (Sources.kafka, streaming)
+        val addrs = Option(b.get("seed_brokers")).orElse(Option(b.get("addresses")))
+          .map(_.elements().asScala.toSeq.map(_.asText))
+          .getOrElse(throw new IllegalArgumentException(
+            "kafka input needs seed_brokers/addresses"))
+        val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
+        if (addrs.exists(_.startsWith("mem://")))
+          Sources.broker(topics.map(t =>
+            Sources.brokerRead(spark, addrs.head, t)))
+        else
+          Sources.kafka(spark, addrs.mkString(","), topics.mkString(","))
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
@@ -221,6 +236,34 @@ object Pipeline {
     case ("parquet", b) => Sinks.parquet(df, b.get("path").asText)
     case ("csv", b) => Sinks.csv(df, b.get("path").asText)
     case ("json", b) => Sinks.jsonLines(df, b.get("path").asText)
+    case ("kafka" | "redpanda" | "kafka_franz", b) =>
+      // outputs/kafka.adoc — key is an interpolated string; partition
+      // comes from `partitioner: manual` + `partition`, else the
+      // default fnv1a_hash of the key (output_sarama_kafka.go:367)
+      val addrs = Option(b.get("seed_brokers")).orElse(Option(b.get("addresses")))
+        .map(_.elements().asScala.toSeq.map(_.asText))
+        .getOrElse(throw new IllegalArgumentException(
+          "kafka output needs seed_brokers/addresses"))
+      val topic = b.get("topic").asText
+      val keyTpl = Option(b.get("key")).map(_.asText).filter(_.nonEmpty)
+      val partitioner = Option(b.get("partitioner")).map(_.asText)
+        .getOrElse("fnv1a_hash")
+      val partTpl = Option(b.get("partition")).map(_.asText).filter(_.nonEmpty)
+      val keyC = keyTpl.map(t => graft.blobl.Blobl.interpolateJson(df, t,
+        metadataCol = if (df.columns.contains("metadata")) Some("metadata")
+                      else None)).getOrElse(lit(null).cast("string"))
+      val partC =
+        if (partitioner == "manual")
+          Some(graft.blobl.Blobl.interpolateJson(df, partTpl.getOrElse(
+            throw new IllegalArgumentException(
+              "partitioner: manual needs `partition`")),
+            metadataCol = if (df.columns.contains("metadata")) Some("metadata")
+                          else None).cast("int"))
+        else None
+      val orderC = if (df.columns.contains("__seq")) col("__seq")
+                   else monotonically_increasing_id()
+      Sinks.brokerWrite(df, addrs.head, topic, keyC, col("value"), orderC,
+        partitioner, partC)
     case ("noop", _) =>
       df.write.format("noop").mode("overwrite").save()
     case ("memory", b) =>

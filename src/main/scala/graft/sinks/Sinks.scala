@@ -93,6 +93,70 @@ object Sinks {
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode("append").start()
 
+  /** Partitioned, ordered broker write through the
+    * [[graft.sources.Broker.Transport]] seam (outputs/kafka.adoc /
+    * output_sarama_kafka.go): each row's partition comes from
+    * `partitionCol` when set (`partitioner: manual`) or from hashing
+    * `keyCol` with the named partitioner (default `fnv1a_hash`, the
+    * reference's default).
+    *
+    * Ordering contract — the one kafka actually gives and the
+    * reference's `max_in_flight: 1` preserves: rows bound for the SAME
+    * partition land in `orderCol` order. Spark shape:
+    * `repartitionAndSortWithinPartitions` on (partition, order) with
+    * one reducer per broker partition, then sequential chunked appends
+    * inside that single task. The sort is a shuffle-sort (spills, no
+    * in-memory materialization), so the shape survives scale; at 100 TB
+    * the per-broker-partition reducer is the same bottleneck a real
+    * producer fleet has — more broker partitions = more parallelism.
+    */
+  def brokerWrite(df: DataFrame, address: String, topic: String,
+                  keyCol: Column, valueCol: Column,
+                  orderCol: Column,
+                  partitioner: String = "fnv1a_hash",
+                  partitionCol: Option[Column] = None,
+                  timestampMsCol: Option[Column] = None): Unit = {
+    import graft.sources.Broker
+    val n = Broker.transportFor(address).partitionCount(topic)
+    val prepared = df.select(
+      keyCol.cast("string").as("k"), valueCol.cast("string").as("v"),
+      partitionCol.map(_.cast("int")).getOrElse(lit(null).cast("int")).as("p"),
+      orderCol.cast("long").as("o"),
+      timestampMsCol.map(_.cast("long")).getOrElse(lit(0L)).as("ts"))
+    val keyed = prepared.rdd.map { r =>
+      val key = if (r.isNullAt(0)) null else r.getString(0)
+      val kb = if (key == null) Array.empty[Byte] else key.getBytes("UTF-8")
+      val part =
+        if (!r.isNullAt(2)) {
+          val p = r.getInt(2)
+          require(p >= 0 && p < n, s"manual partition $p outside [0, $n)")
+          p
+        } else Broker.partitionFor(partitioner, kb, n)
+      ((part, r.getLong(3)),
+        (kb, if (r.isNullAt(1)) null else r.getString(1), r.getLong(4)))
+    }
+    val onePerPartition = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int =
+        key.asInstanceOf[(Int, Long)]._1
+    }
+    keyed.repartitionAndSortWithinPartitions(onePerPartition)
+      .foreachPartition { it =>
+        val t = Broker.transportFor(address)
+        // sequential chunked appends inside the one task that owns this
+        // broker partition: bounded memory, order preserved
+        it.grouped(1024).foreach { chunk =>
+          val part = chunk.head._1._1
+          t.append(topic, part, chunk.map { case (_, (kb, v, ts)) =>
+            Broker.Record(if (kb.isEmpty) null else kb,
+              if (v == null) null else v.getBytes("UTF-8"),
+              timestampMs = ts)
+          })
+          ()
+        }
+      }
+  }
+
   /** Kafka sink plumbing (outputs/kafka.adoc / output_redpanda.go:87);
     * needs the spark-sql-kafka connector jar at runtime.
     */

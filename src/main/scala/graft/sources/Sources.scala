@@ -100,6 +100,64 @@ object Sources {
   def broker(inputs: Seq[DataFrame]): DataFrame =
     inputs.reduce(_ unionByName _)
 
+  /** Batch read of a broker topic through the [[Broker.Transport]]
+    * seam (inputs/kafka.adoc): the driver plans one offset range per
+    * broker partition and each Spark task scans exactly one of them —
+    * the same task↔partition mapping the native kafka connector plans —
+    * so per-partition offset order is preserved within each task
+    * (franz_reader_ordered.go's strict-ordering contract).
+    *
+    * Envelope: `value` (null for tombstones), `metadata` with the
+    * reference's kafka_&#42; fields (inputs/kafka.adoc Metadata section:
+    * key/topic/partition/offset/timestamp_ms/timestamp_unix/lag/
+    * tombstone_message) plus record headers, `error` null, and `__seq`
+    * = offset (the PER-PARTITION ordinal — a topic has no global
+    * order).
+    */
+  def brokerRead(spark: SparkSession, address: String, topic: String,
+                 startOffsets: Map[Int, Long] = Map.empty): DataFrame = {
+    val transport = Broker.transportFor(address)
+    val n = transport.partitionCount(topic)
+    val ranges = (0 until n).map { p =>
+      (p, startOffsets.getOrElse(p, 0L), transport.endOffset(topic, p))
+    }
+    val rows = spark.sparkContext
+      .parallelize(ranges, math.max(n, 1))
+      .flatMap { case (p, from, until) =>
+        val t = Broker.transportFor(address) // resolve by name, executor-side
+        t.fetch(topic, p, from, until).map { r =>
+          val tombstone = r.value == null
+          val meta = Map(
+            "kafka_key" -> (if (r.key == null) null
+                            else new String(r.key, "UTF-8")),
+            "kafka_topic" -> topic,
+            "kafka_partition" -> r.partition.toString,
+            "kafka_offset" -> r.offset.toString,
+            "kafka_timestamp_ms" -> r.timestampMs.toString,
+            "kafka_timestamp_unix" -> (r.timestampMs / 1000L).toString,
+            // inputs/kafka.adoc: high-water mark at ingestion minus the
+            // current message offset ("until" IS the planned hwm)
+            "kafka_lag" -> math.max(until - r.offset, 0L).toString,
+            "kafka_tombstone_message" -> tombstone.toString) ++ r.headers
+          org.apache.spark.sql.Row(
+            if (tombstone) null else new String(r.value, "UTF-8"),
+            meta, null, r.offset)
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(Envelope.ValueCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(Envelope.MetadataCol,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField(Envelope.ErrorCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__seq",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Binary-file source with the `tar`/`zip` scanner composed in
     * (reference file input scanners, docs/…/inputs/file.adoc scanner
     * section): each archive on disk explodes into one row per entry

@@ -1,0 +1,180 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sinks.Sinks
+import org.apache.spark.sql.functions._
+
+/** Broker (kafka-shaped) transport contract: the semantics of
+  * inputs/kafka.adoc + outputs/kafka.adoc that matter to the engine —
+  * per-partition offset ordering (franz_reader_ordered.go), key
+  * partitioning (output_sarama_kafka.go fnv1a default), metadata
+  * columns, tombstones, headers — all through the injectable
+  * [[Broker.Transport]] seam with the in-memory fake.
+  */
+class KafkaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(parts: Int, topic: String = "t"): String = {
+    val name = "spec_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    Broker.InMemory.named(name).createTopic(topic, parts)
+    s"mem://$name"
+  }
+
+  test("fnv1a matches the public FNV-1a 32-bit test vectors") {
+    assert(Broker.fnv1a(Array.empty[Byte]) == 0x811c9dc5)
+    assert(Broker.fnv1a("a".getBytes("UTF-8")) == 0xe40c292c)
+    assert(Broker.fnv1a("foobar".getBytes("UTF-8")) == 0xbf9cf968)
+  }
+
+  test("partitioners are deterministic, in-range, and spread keys") {
+    for (p <- Seq("fnv1a_hash", "murmur2_hash")) {
+      val parts = (0 until 1000).map(i =>
+        Broker.partitionFor(p, s"key_$i".getBytes, 8))
+      assert(parts.forall(x => x >= 0 && x < 8), s"$p out of range")
+      assert(parts.distinct.size == 8, s"$p failed to use all partitions")
+      assert(parts == (0 until 1000).map(i =>
+        Broker.partitionFor(p, s"key_$i".getBytes, 8)), s"$p nondeterministic")
+    }
+  }
+
+  test("concurrent appends keep offsets contiguous and per-chunk ordered") {
+    val t = Broker.InMemory.named("conc_" + java.util.UUID.randomUUID)
+    t.createTopic("t", 1)
+    val threads = (0 until 8).map { tid =>
+      new Thread(() => {
+        (0 until 50).foreach { i =>
+          t.append("t", 0, Seq(
+            Broker.Record(null, s"$tid:$i:a".getBytes),
+            Broker.Record(null, s"$tid:$i:b".getBytes)))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val recs = t.fetch("t", 0, 0, t.endOffset("t", 0)).toVector
+    assert(recs.size == 800)
+    assert(recs.map(_.offset) == (0L until 800L).toVector,
+      "offsets must be gapless and monotonic")
+    // each append call is atomic: its records are adjacent and in order
+    val byPair = recs.map(r => new String(r.value)).grouped(2).toVector
+    assert(byPair.forall(p => p(0).dropRight(1) == p(1).dropRight(1) &&
+      p(0).endsWith("a") && p(1).endsWith("b")),
+      "append batches must not interleave")
+  }
+
+  test("brokerWrite + brokerRead round-trip: partitioning, ordering, metadata") {
+    val addr = fresh(4)
+    val df = (0 until 200).map(i => (i.toLong, s"v_$i")).toDF("id", "v")
+    // manual partitioning: id % 4, ordered by id
+    Sinks.brokerWrite(df, addr, "t", col("id"), col("v"), col("id"),
+      partitionCol = Some(col("id") % 4), timestampMsCol = Some(col("id") * 1000))
+    val back = Sources.brokerRead(spark, addr, "t")
+    val rows = back.select(
+        col("metadata")("kafka_key").cast("long").as("id"),
+        col("metadata")("kafka_partition").cast("int").as("part"),
+        col("metadata")("kafka_offset").cast("long").as("off"),
+        col("metadata")("kafka_lag").cast("long").as("lag"),
+        col("metadata")("kafka_timestamp_ms").cast("long").as("ts"),
+        col("metadata")("kafka_topic").as("topic"),
+        col("value"))
+      .collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 4).toInt, "manual partition must be honored")
+      // ordering: within partition p the ids are p, p+4, p+8, … so the
+      // offset of id is its rank = id / 4
+      assert(r.getLong(2) == id / 4, s"offset order broken for id $id")
+      assert(r.getLong(3) == 50 - id / 4, "lag = hwm - offset")
+      assert(r.getLong(4) == id * 1000, "timestamp must round-trip")
+      assert(r.getString(5) == "t")
+      assert(r.getString(6) == s"v_$id")
+    }
+    // one Spark partition per broker partition on the read side
+    assert(back.rdd.getNumPartitions == 4)
+  }
+
+  test("default fnv1a partitioning groups identical keys; order kept per key") {
+    val addr = fresh(3)
+    val df = (0 until 90).map(i => (s"k${i % 9}", i.toLong)).toDF("k", "i")
+    Sinks.brokerWrite(df, addr, "t", col("k"),
+      concat(col("k"), lit(":"), col("i")), col("i"))
+    val back = Sources.brokerRead(spark, addr, "t")
+      .select(col("metadata")("kafka_key").as("k"),
+        col("metadata")("kafka_partition").cast("int").as("part"),
+        col("metadata")("kafka_offset").cast("long").as("off"),
+        col("value"))
+      .collect()
+    assert(back.length == 90)
+    // every record of a key sits in that key's fnv1a partition
+    back.foreach { r =>
+      assert(r.getInt(1) ==
+        Broker.partitionFor("fnv1a_hash", r.getString(0).getBytes, 3))
+    }
+    // per-key ordering: offsets within a key increase with i
+    back.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byOff = rs.sortBy(_.getLong(2))
+        .map(_.getString(3).split(":")(1).toLong).toSeq
+      assert(byOff == byOff.sorted, "same-key records must keep order")
+    }
+  }
+
+  test("tombstones and headers surface as metadata") {
+    val addr = fresh(1)
+    val t = Broker.transportFor(addr)
+    t.append("t", 0, Seq(
+      Broker.Record("k1".getBytes, "alive".getBytes,
+        headers = Map("h1" -> "v1", "h2" -> "v2"), timestampMs = 5000),
+      Broker.Record("k2".getBytes, null)))
+    val rows = Sources.brokerRead(spark, addr, "t")
+      .orderBy(col("__seq"))
+      .select(col("value"), col("metadata"))
+      .collect()
+    assert(rows(0).getString(0) == "alive")
+    val m0 = rows(0).getMap[String, String](1)
+    assert(m0("h1") == "v1" && m0("h2") == "v2")
+    assert(m0("kafka_tombstone_message") == "false")
+    assert(m0("kafka_timestamp_unix") == "5")
+    assert(rows(1).getString(0) == null, "tombstone value must be null")
+    assert(rows(1).getMap[String, String](1)("kafka_tombstone_message") == "true")
+  }
+
+  test("config runner: kafka input → processors → kafka output round-trip") {
+    val in = fresh(2, "src")
+    val out = fresh(2, "dst")
+    // seed the source topic: key i%2 manual partitions, ordered payloads
+    Sinks.brokerWrite((0 until 20).map(i => (i.toLong, s"""{"n":$i}"""))
+        .toDF("id", "v"),
+      in, "src", col("id"), col("v"), col("id"),
+      partitionCol = Some(col("id") % 2))
+    val cfg =
+      s"""input:
+         |  kafka:
+         |    seed_brokers: [$in]
+         |    topics: [src]
+         |pipeline:
+         |  processors:
+         |    - mapping: 'root.n = this.n * 10'
+         |output:
+         |  kafka:
+         |    seed_brokers: [$out]
+         |    topic: dst
+         |    partitioner: manual
+         |    partition: '$${! meta("kafka_partition") }'
+         |    key: '$${! meta("kafka_key") }'
+         |""".stripMargin
+    graft.config.Pipeline.run(spark, cfg)
+    val got = Sources.brokerRead(spark, out, "dst")
+      .select(col("metadata")("kafka_key").cast("long").as("id"),
+        col("metadata")("kafka_partition").cast("int").as("part"),
+        col("metadata")("kafka_offset").cast("long").as("off"),
+        col("value")).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(3) == s"""{"n":${id * 10}}""")
+      assert(r.getInt(1) == (id % 2).toInt,
+        "partition metadata must carry through the pipeline")
+      assert(r.getLong(2) == id / 2, "per-partition order must survive")
+    }
+  }
+}
