@@ -100,19 +100,121 @@ object Lakehouse {
       val touchedKeys = {
         val ins = aligned.select(keyCols.map(col): _*)
         deleteKeys.map(ins.unionByName(_)).getOrElse(ins)
+      }.distinct()
+      if (partitionCols.nonEmpty && newCols.isEmpty)
+        prunedMerge(spark, table, target, batch, aligned, touchedKeys,
+          keyCols, partitionCols)
+      else
+        fullMerge(spark, table, evolved, aligned, touchedKeys, partitionCols)
+    }
+  }
+
+  /** O(table) merge: left-anti the whole target and rewrite everything
+    * through a staging table. Required when the table is unpartitioned
+    * (no granularity to prune at) or the batch evolves the schema (a
+    * partition-scoped INSERT cannot add columns).
+    */
+  private def fullMerge(spark: org.apache.spark.sql.SparkSession,
+                        table: String, evolved: DataFrame, aligned: DataFrame,
+                        touchedKeys: DataFrame,
+                        partitionCols: Seq[String]): Unit = {
+    val merged = evolved
+      .join(broadcast(touchedKeys), touchedKeys.columns.toSeq, "left_anti")
+      .unionByName(aligned)
+    // stage swap: a table can't be overwritten while being read; a
+    // crashed previous run may have orphaned the stage's directory
+    val stage = table + "__stage"
+    dropTable(spark, stage)
+    merged.write.mode("overwrite").saveAsTable(stage)
+    val w = spark.table(stage).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .saveAsTable(table)
+    spark.sql(s"DROP TABLE $stage")
+  }
+
+  /** Partition-pruned merge — the scale path, mirroring the reference's
+    * file-granularity Iceberg merge (internal/impl/iceberg/output.go):
+    * only the partitions the batch touches are scanned and rewritten;
+    * untouched partitions' files are never read or replaced.
+    *
+    * Touched partitions = the batch rows' own partition values, plus —
+    * when the partition columns are NOT part of the identity (so an
+    * upsert may move a key between partitions) — the partitions the
+    * touched keys currently occupy, found by a column-pruned
+    * (keys + partition cols only) scan semi-joined against the
+    * broadcast batch keys. When partitionCols ⊆ keyCols that scan is
+    * skipped: a key's partition is part of its identity and cannot
+    * move.
+    *
+    * The rewrite itself is `INSERT OVERWRITE` with
+    * `partitionOverwriteMode=dynamic`, so only partitions present in
+    * the merged output are replaced. A partition the merge EMPTIES
+    * (every row deleted) is absent from that output and is dropped
+    * explicitly.
+    */
+  private def prunedMerge(spark: org.apache.spark.sql.SparkSession,
+                          table: String, target: DataFrame, batch: DataFrame,
+                          aligned: DataFrame, touchedKeys: DataFrame,
+                          keyCols: Seq[String],
+                          partitionCols: Seq[String]): Unit = {
+    val pcols = partitionCols.map(col)
+    val batchParts = batch.select(pcols: _*).distinct()
+    val allParts =
+      if (partitionCols.forall(keyCols.contains)) batchParts
+      else {
+        val oldParts = target.select((keyCols ++ partitionCols).map(col): _*)
+          .join(broadcast(touchedKeys), keyCols, "left_semi")
+          .select(pcols: _*)
+        batchParts.unionByName(oldParts).distinct()
       }
-      val merged = evolved
-        .join(broadcast(touchedKeys.distinct()), keyCols, "left_anti")
-        .unionByName(aligned)
-      // stage swap: a table can't be overwritten while being read; a
-      // crashed previous run may have orphaned the stage's directory
-      val stage = table + "__stage"
-      dropTable(spark, stage)
-      merged.write.mode("overwrite").saveAsTable(stage)
-      val w = spark.table(stage).write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .saveAsTable(table)
-      spark.sql(s"DROP TABLE $stage")
+    val touchedParts = allParts.collect()
+    if (touchedParts.isEmpty) return
+    def partPredicate(r: org.apache.spark.sql.Row) =
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+      }.reduce(_ && _)
+    val touchedPred = touchedParts.map(partPredicate).reduce(_ || _)
+    val merged = target.filter(touchedPred)
+      .join(broadcast(touchedKeys), keyCols, "left_anti")
+      .unionByName(aligned)
+      // insertInto is positional — pin the table's column order
+      .select(target.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // materialize outside the table first: INSERT OVERWRITE refuses a
+    // plan that reads the table it writes, and this also bounds the
+    // window where the table is mid-rewrite to a pure file move
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    try {
+      merged.write.mode("overwrite").parquet(tmp)
+      val staged = spark.read.schema(merged.schema).parquet(tmp)
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "dynamic")
+      try staged.write.mode("overwrite").insertInto(table)
+      finally prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+      // partitions fully emptied by deletes never appear in `staged`,
+      // so dynamic overwrite leaves their old files — drop explicitly
+      val remaining = staged.select(pcols: _*).distinct().collect()
+        .map(r => partitionCols.indices.map(r.get).toSeq).toSet
+      val emptied = touchedParts
+        .filterNot(r => remaining(partitionCols.indices.map(r.get).toSeq))
+      emptied.foreach { r =>
+        val spec = partitionCols.zipWithIndex.map { case (c, i) =>
+          val v = if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+                  else r.get(i).toString
+          s"$c='${v.replace("'", "''")}'"
+        }.mkString(", ")
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+      }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      val p = Paths.get(tmp)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
     }
   }
 

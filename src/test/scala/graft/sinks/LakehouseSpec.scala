@@ -67,6 +67,61 @@ class LakehouseSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0), (2L, 2.5)))
   }
 
+  private def partFiles(table: String, part: String): Map[String, Long] = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(new java.io.File(warehouse, table), part)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("pruned merge does not rewrite untouched partitions' files") {
+    drop("lh_prune")
+    val b1 = Seq((1L, "eu", 1.0), (2L, "us", 2.0), (3L, "ap", 3.0))
+      .toDF("k", "region", "x")
+    Lakehouse.upsert(b1, "lh_prune", Seq("k"), partitionCols = Seq("region"))
+    val usBefore = partFiles("lh_prune", "region=us")
+    val apBefore = partFiles("lh_prune", "region=ap")
+    assert(usBefore.nonEmpty && apBefore.nonEmpty)
+    // touch only region=eu
+    Lakehouse.upsert(Seq((1L, "eu", 1.5)).toDF("k", "region", "x"),
+      "lh_prune", Seq("k"), partitionCols = Seq("region"))
+    assert(partFiles("lh_prune", "region=us") == usBefore,
+      "untouched partition us was rewritten")
+    assert(partFiles("lh_prune", "region=ap") == apBefore,
+      "untouched partition ap was rewritten")
+    val out = spark.table("lh_prune").orderBy("k")
+      .select($"k", $"x").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.5), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("pruned merge follows a key that moves between partitions") {
+    drop("lh_move")
+    Lakehouse.upsert(
+      Seq((1L, "eu", 1.0), (2L, "us", 2.0)).toDF("k", "region", "x"),
+      "lh_move", Seq("k"), partitionCols = Seq("region"))
+    // key 1 moves eu -> us: the old eu copy must not survive
+    Lakehouse.upsert(Seq((1L, "us", 9.0)).toDF("k", "region", "x"),
+      "lh_move", Seq("k"), partitionCols = Seq("region"))
+    val out = spark.table("lh_move").orderBy("k")
+      .select($"k", $"region", $"x").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "us", 9.0), (2L, "us", 2.0)))
+    assert(spark.table("lh_move").filter($"region" === "eu").count() == 0)
+  }
+
+  test("pruned merge drops a partition emptied by deletes") {
+    drop("lh_empty")
+    Lakehouse.upsert(
+      Seq((1L, "eu", 1.0), (2L, "us", 2.0)).toDF("k", "region", "x"),
+      "lh_empty", Seq("k"), partitionCols = Seq("region"))
+    val del = Seq((1L, "eu", 0.0, true)).toDF("k", "region", "x", "del")
+    Lakehouse.upsert(del, "lh_empty", Seq("k"),
+      partitionCols = Seq("region"), deleteCol = Some("del"))
+    val out = spark.table("lh_empty")
+      .select($"k", $"region").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "us")))
+  }
+
   test("config-runner lakehouse output upserts by key (idempotent)") {
     drop("lh_cfg")
     val config =
