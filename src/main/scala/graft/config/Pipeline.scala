@@ -215,11 +215,15 @@ object Pipeline {
           .getOrElse(throw new IllegalArgumentException(
             "kafka input needs seed_brokers/addresses"))
         val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
-        if (addrs.exists(_.startsWith("mem://")))
-          Sources.broker(topics.map(t =>
-            Sources.brokerRead(spark, addrs.head, t)))
-        else
-          Sources.kafka(spark, addrs.mkString(","), topics.mkString(","))
+        addrs.find(_.startsWith("mem://")) match {
+          case Some(mem) =>
+            Sources.broker(topics.map(t => Sources.brokerRead(spark, mem, t)))
+          case None =>
+            // batch runner → bounded earliest→latest scan, NOT the
+            // streaming source (a readStream frame can't be executed by
+            // the batch processors/writeOutput path)
+            Sources.kafkaBatch(spark, addrs.mkString(","), topics.mkString(","))
+        }
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
@@ -262,8 +266,20 @@ object Pipeline {
         else None
       val orderC = if (df.columns.contains("__seq")) col("__seq")
                    else monotonically_increasing_id()
-      Sinks.brokerWrite(df, addrs.head, topic, keyC, col("value"), orderC,
-        partitioner, partC)
+      addrs.find(_.startsWith("mem://")) match {
+        case Some(mem) =>
+          Sinks.brokerWrite(df, mem, topic, keyC, col("value"), orderC,
+            partitioner, partC)
+        case None =>
+          // real brokers: the connector's batch writer (symmetric with
+          // the input case; needs the spark-sql-kafka jar at runtime)
+          df.select(keyC.cast("binary").as("key"),
+              col("value").cast("binary").as("value"))
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", addrs.mkString(","))
+            .option("topic", topic)
+            .save()
+      }
     case ("noop", _) =>
       df.write.format("noop").mode("overwrite").save()
     case ("memory", b) =>
@@ -478,17 +494,36 @@ object Processors {
         // processors/split.adoc:26 — size-N sub-batches by input order.
         // row_number over __seq: only RELATIVE order matters, so this
         // stays correct after unarchive/chunker (__seq = parent*1e6+pos)
-        // or a partition-encoded monotonically_increasing_id.
+        // or a partition-encoded monotonically_increasing_id. Scoped per
+        // __batch when the batched input assigned one (hash-partitioned
+        // window, no single-reducer plan); split REBATCHES, so __batch
+        // is re-derived as parent*1e6+sub so downstream per-batch ops
+        // see the sub-batches.
         val n = body.path("size").asInt(1)
         df => {
-          val d = BatchOps.splitBatches(withSeq(df), lit(0), col("__seq"), n)
-          tagMeta(d, "sub_batch", col("sub_batch").cast("string"))
+          val d0 = withSeq(df)
+          val batchKey =
+            if (d0.columns.contains("__batch")) col("__batch") else lit(0L)
+          val d = BatchOps.splitBatches(d0, batchKey, col("__seq"), n)
+          val rebatched =
+            if (d0.columns.contains("__batch"))
+              d.withColumn("__batch",
+                col("__batch") * 1000000L + col("sub_batch"))
+            else d
+          tagMeta(rebatched, "sub_batch", col("sub_batch").cast("string"))
             .drop("sub_batch")
         }
       case "select_parts" =>
+        // per-batch part indices when a batched input assigned __batch
+        // (select_parts.adoc is per-batch); whole-stream otherwise
         val parts = body.get("parts").elements().asScala.toSeq.map(_.asInt)
-        df => BatchOps.selectParts(withSeq(df), lit(0), col("__seq"), parts)
-          .drop("batch_idx")
+        df => {
+          val d = withSeq(df)
+          val batchKey =
+            if (d.columns.contains("__batch")) col("__batch") else lit(0L)
+          BatchOps.selectParts(d, batchKey, col("__seq"), parts)
+            .drop("batch_idx")
+        }
       case "insert_part" =>
         val index = body.path("index").asInt(-1)
         val content = body.path("content").asText("")
@@ -497,12 +532,19 @@ object Processors {
         require(!content.contains("${!"),
           "insert_part content interpolation unsupported in config form")
         df => {
-          val d = withSeq(df)
-          BatchOps.insertPart(d, lit(0), col("__seq"), "value",
-              lit(content), index)
+          val d0 = withSeq(df)
+          // insert is per-batch: one synthesized part per __batch group
+          // (a real column also keeps insertPart's group alias a legal
+          // envelope column — a lit(0) key would union in a literal-
+          // named one)
+          val had = d0.columns.contains("__batch")
+          val d = if (had) d0 else d0.withColumn("__batch", lit(0L))
+          val r = BatchOps.insertPart(d, col("__batch"), col("__seq"),
+              "value", lit(content), index)
             // re-derive the ordinal so later part ops see the insert
             .withColumn("__seq", col("batch_idx").cast("long"))
             .drop("batch_idx")
+          if (had) r else r.drop("__batch")
         }
       case "archive" =>
         // processors/archive.adoc:26 — each BATCH folds into ONE

@@ -124,15 +124,24 @@ object Sinks {
       orderCol.cast("long").as("o"),
       timestampMsCol.map(_.cast("long")).getOrElse(lit(0L)).as("ts"))
     val keyed = prepared.rdd.map { r =>
-      val key = if (r.isNullAt(0)) null else r.getString(0)
-      val kb = if (key == null) Array.empty[Byte] else key.getBytes("UTF-8")
+      // null and empty keys are distinct records on the wire: an empty
+      // key hashes like any other byte string, a NULL key has no hash
+      // input and real producers spread it (round-robin/sticky) — here
+      // deterministically by the row's order value
+      val kb = if (r.isNullAt(0)) null else r.getString(0).getBytes("UTF-8")
+      val ord = r.getLong(3)
       val part =
         if (!r.isNullAt(2)) {
           val p = r.getInt(2)
           require(p >= 0 && p < n, s"manual partition $p outside [0, $n)")
           p
-        } else Broker.partitionFor(partitioner, kb, n)
-      ((part, r.getLong(3)),
+        } else if (partitioner == "manual")
+          throw new IllegalArgumentException(
+            "partitioner: manual requires a non-null integer `partition` " +
+              "for every row (the partition interpolation produced null)")
+        else if (kb == null) (((ord % n) + n) % n).toInt
+        else Broker.partitionFor(partitioner, kb, n)
+      ((part, ord),
         (kb, if (r.isNullAt(1)) null else r.getString(1), r.getLong(4)))
     }
     val onePerPartition = new org.apache.spark.Partitioner {
@@ -148,7 +157,7 @@ object Sinks {
         it.grouped(1024).foreach { chunk =>
           val part = chunk.head._1._1
           t.append(topic, part, chunk.map { case (_, (kb, v, ts)) =>
-            Broker.Record(if (kb.isEmpty) null else kb,
+            Broker.Record(kb,
               if (v == null) null else v.getBytes("UTF-8"),
               timestampMs = ts)
           })

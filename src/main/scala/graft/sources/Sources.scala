@@ -81,20 +81,35 @@ object Sources {
     */
   def kafka(spark: SparkSession, bootstrapServers: String, topics: String,
             startingOffsets: String = "latest"): DataFrame =
-    spark.readStream.format("kafka")
+    kafkaEnvelope(spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topics)
       .option("startingOffsets", startingOffsets)
-      .load()
-      .select(col("value").cast("string").as(Envelope.ValueCol),
-        map_concat(
-          map(lit("kafka_topic"), col("topic")),
-          map(lit("kafka_partition"), col("partition").cast("string")),
-          map(lit("kafka_offset"), col("offset").cast("string")),
-          map(lit("kafka_timestamp_unix"),
-            unix_timestamp(col("timestamp")).cast("string")))
-          .as(Envelope.MetadataCol),
-        lit(null).cast("string").as(Envelope.ErrorCol))
+      .load())
+
+  /** Batch form of [[kafka]] for the batch config runner: a bounded
+    * earliest→latest scan (the connector plans one Spark task per
+    * topic partition-range, same as the streaming source).
+    */
+  def kafkaBatch(spark: SparkSession, bootstrapServers: String,
+                 topics: String): DataFrame =
+    kafkaEnvelope(spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load())
+
+  private def kafkaEnvelope(raw: DataFrame): DataFrame =
+    raw.select(col("value").cast("string").as(Envelope.ValueCol),
+      map_concat(
+        map(lit("kafka_topic"), col("topic")),
+        map(lit("kafka_partition"), col("partition").cast("string")),
+        map(lit("kafka_offset"), col("offset").cast("string")),
+        map(lit("kafka_timestamp_unix"),
+          unix_timestamp(col("timestamp")).cast("string")))
+        .as(Envelope.MetadataCol),
+      lit(null).cast("string").as(Envelope.ErrorCol))
 
   /** `broker` input (inputs/broker.adoc:26): merge N sources. */
   def broker(inputs: Seq[DataFrame]): DataFrame =

@@ -111,6 +111,61 @@ class BatchedInputSpec extends SparkSpec {
       v.startsWith("[") && v.count(_ == '{') == 2), s"ragged fold: $out")
   }
 
+  test("select_parts indexes within EACH formed batch, not the stream") {
+    val yaml =
+      """input:
+        |  batched:
+        |    child:
+        |      generate: { count: 9, mapping: 'root.id = this.seq' }
+        |    policy: { count: 3 }
+        |pipeline:
+        |  processors:
+        |    - select_parts: { parts: [0] }
+        |""".stripMargin
+    import spark.implicits._
+    val out = Pipeline.build(spark, yaml)
+      .select(get_json_object($"value", "$.id").cast("long"))
+      .as[Long].collect().sorted.toSeq
+    // part 0 of each 3-row batch — NOT just the stream's first row
+    assert(out == Seq(0L, 3L, 6L), s"per-batch part selection wrong: $out")
+  }
+
+  test("split rebatches: downstream archive folds per sub-batch") {
+    val yaml =
+      """input:
+        |  batched:
+        |    child:
+        |      generate: { count: 8, mapping: 'root.id = this.seq' }
+        |    policy: { count: 4 }
+        |pipeline:
+        |  processors:
+        |    - split: { size: 2 }
+        |    - archive: { format: json_array }
+        |""".stripMargin
+    import spark.implicits._
+    val out = Pipeline.build(spark, yaml)
+      .select($"value").as[String].collect().toSeq
+    assert(out.length == 4, s"expected 4 sub-batch folds: $out")
+    assert(out.forall(_.count(_ == '{') == 2), s"ragged sub-batch: $out")
+  }
+
+  test("insert_part inserts once per formed batch") {
+    val yaml =
+      """input:
+        |  batched:
+        |    child:
+        |      generate: { count: 4, mapping: 'root.id = this.seq' }
+        |    policy: { count: 2 }
+        |pipeline:
+        |  processors:
+        |    - insert_part: { index: 0, content: HDR }
+        |""".stripMargin
+    import spark.implicits._
+    val got = Pipeline.build(spark, yaml).select($"value").as[String]
+      .collect().toSeq
+    assert(got.count(_ == "HDR") == 2, s"one header per batch: $got")
+  }
+
   test("batch ids are partition-unique without a global sort") {
     val df = spark.range(100)
       .select($"id".as("__seq"), lit("x").as("value")).repartition(4)

@@ -138,6 +138,59 @@ class KafkaSpec extends SparkSpec {
     assert(rows(1).getMap[String, String](1)("kafka_tombstone_message") == "true")
   }
 
+  test("null keys spread across partitions; empty keys stay empty-not-null") {
+    val addr = fresh(4)
+    val df = (0 until 40).map(i =>
+        (if (i < 20) null else "", i.toLong)).toDF("k", "i")
+    Sinks.brokerWrite(df, addr, "t", col("k"), col("i").cast("string"),
+      col("i"))
+    val back = Sources.brokerRead(spark, addr, "t")
+      .select(col("metadata")("kafka_key").as("k"),
+        col("metadata")("kafka_partition").cast("int").as("part"),
+        col("value").cast("long").as("i"))
+      .collect()
+    val nullKeyed = back.filter(_.getLong(2) < 20)
+    assert(nullKeyed.forall(_.getString(0) == null),
+      "null keys must stay null on the wire")
+    assert(nullKeyed.map(_.getInt(1)).distinct.length == 4,
+      "null-key records must spread over all partitions, not pile on one")
+    val emptyKeyed = back.filter(_.getLong(2) >= 20)
+    assert(emptyKeyed.forall(_.getString(0) == ""),
+      "empty-string keys must survive as empty, not become null")
+    val fnvEmpty = Broker.partitionFor("fnv1a_hash", Array.empty[Byte], 4)
+    assert(emptyKeyed.forall(_.getInt(1) == fnvEmpty),
+      "empty keys hash like any byte string")
+  }
+
+  test("manual partitioner rejects a null partition with a clear error") {
+    val addr = fresh(2)
+    val df = Seq(("a", 0), ("b", 1)).toDF("v", "i")
+    val e = intercept[org.apache.spark.SparkException] {
+      Sinks.brokerWrite(df, addr, "t", lit(null).cast("string"), col("v"),
+        col("i"), partitioner = "manual",
+        partitionCol = Some(lit(null).cast("int")))
+    }
+    assert(e.getMessage.contains("partitioner: manual") ||
+      Option(e.getCause).exists(_.getMessage.contains("partitioner: manual")),
+      s"error must name the manual-partitioner contract: ${e.getMessage}")
+  }
+
+  test("mixed address lists resolve the mem:// entry wherever it sits") {
+    val addr = fresh(1, "src")
+    val t = Broker.transportFor(addr)
+    t.append("src", 0, Seq(Broker.Record(null, """{"n":1}""".getBytes)))
+    val cfg =
+      s"""input:
+         |  kafka:
+         |    seed_brokers: [broker-a:9092, $addr]
+         |    topics: [src]
+         |""".stripMargin
+    import spark.implicits._
+    val got = graft.config.Pipeline.build(spark, cfg)
+      .select($"value").as[String].collect().toSeq
+    assert(got == Seq("""{"n":1}"""))
+  }
+
   test("config runner: kafka input → processors → kafka output round-trip") {
     val in = fresh(2, "src")
     val out = fresh(2, "dst")
