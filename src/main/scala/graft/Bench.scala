@@ -56,25 +56,40 @@ object Bench {
     // each query runs SPARK_GRAFT_RUNS times (default 2) and reports the
     // MIN: one-off GC pauses / JIT deopts / page-cache misses inflated
     // single-shot numbers up to 3× run-to-run on identical code (round-4
-    // driver 377s vs judge 126s), which buried real regressions
+    // driver 377s vs judge 126s), which buried real regressions.
+    //
+    // The runs are ROUND-ROBIN PASSES over the whole suite, not
+    // back-to-back attempts: round-6 showed a ~20 s interference window
+    // (external CPU competitor / GC storm) inflating an alphabetically
+    // CONTIGUOUS block of queries 4-9× in-suite while the same code
+    // measured clean in isolation — back-to-back attempts both sat
+    // inside the window, so min() couldn't reject it. With passes, the
+    // same query's attempts are separated by the full suite duration
+    // and a transient can poison at most one of them.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val passTimes = (1 to runs).map { pass =>
+      selected.map { case (name, fn) =>
         // each attempt is an independent measurement: drop cached plans
         // and let the ContextCleaner reap the previous query's
         // broadcasts / checkpoint RDDs — without this, ~90 queries of
         // accumulated driver state inflate late-suite timings 10-30×
         // (GC thrash), which measures JVM residue, not the query
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass $pass $name ${sec}%.3f")
+        name -> sec
       }
-      name -> times.min
+    }
+    val results = selected.map { case (name, _) =>
+      name -> passTimes.map(_.toMap.apply(name)).min
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
