@@ -795,6 +795,49 @@ object SparkEntry {
           .as("error"))
     }),
 
+    "p_wire_http_registry" -> ((s, d) => {
+      // same stream as p_wire_registry, but ids resolve over the
+      // registry's HTTP REST contract (internal/impl/confluent/sr/
+      // client.go: GET /schemas/ids/{id} → {"schema": ...}) through the
+      // pluggable Http.Client transport — URL construction, JSON
+      // envelope parsing, per-executor id caching, and the 404 →
+      // unknown-id error path all run for real; only the wire is the
+      // deterministic stub transport. Unknown id 7 returns the
+      // registry's 404 and the lenient decode routes the row to the
+      // error channel instead of killing the task.
+      import graft.functions.{CodecFunctions => C}
+      import graft.functions.expressions.HttpSchemaProvider
+      C.register(s)
+      val schemaE =
+        """{"type":"record","name":"e","fields":[
+          |{"name":"event_id","type":"long"},{"name":"event_type","type":"string"}]}"""
+          .stripMargin.replace("\n", "")
+      val schemaU =
+        """{"type":"record","name":"u","fields":[
+          |{"name":"event_id","type":"long"},{"name":"uid","type":"string"}]}"""
+          .stripMargin.replace("\n", "")
+      val provider = new HttpSchemaProvider("stub://registry",
+        client = HttpSchemaProvider.stubTransport(
+          Map(1 -> schemaE, 2 -> schemaU)))
+      val jsonE = to_json(struct(col("event_id"), col("event_type")))
+      val jsonU = to_json(struct(col("event_id"),
+        col("user_id").cast("string").as("uid")))
+      val wire = when(col("event_id") % 10 === 0, C.wireEncode(jsonE, schemaE, 7))
+        .when(col("event_id") % 2 === 0, C.wireEncode(jsonE, schemaE, 1))
+        .otherwise(C.wireEncode(jsonU, schemaU, 2))
+      val df = Tables.events(s, d).orderBy(col("event_id"))
+        .withColumn("__wire", wire)
+        .withColumn("__dec",
+          C.wireDecodeProvider(col("__wire"), provider, lenient = true))
+      val id = C.wireSchemaId(col("__wire"))
+      df.select(col("event_id"),
+        get_json_object(col("__dec"), "$.event_type").as("etype_rt"),
+        get_json_object(col("__dec"), "$.uid").as("uid_rt"),
+        when(col("__dec").isNull,
+          concat(lit("schema registry: unknown schema id "), id))
+          .as("error"))
+    }),
+
     "p_grok" -> ((s, d) => {
       // grok template → single compiled regex (processors/grok.adoc:26);
       // log lines synthesized from events, fields parsed back out
@@ -1692,6 +1735,16 @@ object SparkEntry {
       """SELECT doc_id, lang AS lang_rt FROM documents ORDER BY doc_id""",
 
     "p_wire_registry" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 0
+        |       THEN event_type END AS etype_rt,
+        |  CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 1
+        |       THEN CAST(user_id AS VARCHAR) END AS uid_rt,
+        |  CASE WHEN event_id % 10 = 0
+        |       THEN 'schema registry: unknown schema id 7' END AS error
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p_wire_http_registry" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 0
         |       THEN event_type END AS etype_rt,

@@ -665,8 +665,9 @@ object Processors {
         }
       case "schema_registry_encode" =>
         // internal/impl/confluent/: subject → latest (id, schema) via a
-        // provider (`registry` + `subject` config), or an inline schema
-        (registryOf(body), Option(body.get("subject")).map(_.asText)) match {
+        // provider (`registry`/`url` + `subject` config), or an inline
+        // schema
+        (providerOf(body), Option(body.get("subject")).map(_.asText)) match {
           case (Some(p), Some(subj)) =>
             kernels { df => df.withColumn("value",
               base64(CodecFunctions.wireEncodeSubject(col("value"), subj, p))) }
@@ -679,8 +680,11 @@ object Processors {
       case "schema_registry_decode" =>
         // provider path: schema resolved per row from the wire header's
         // id; unknown ids keep the message and take the error channel
-        // (the reference's ErrBadHeader handling)
-        registryOf(body) match {
+        // (the reference's ErrBadHeader handling). The lenient kernel
+        // (null = unknown id) makes one code path serve both the
+        // map-backed provider and the HTTP provider, whose known-id set
+        // is not enumerable for a pre-guard.
+        providerOf(body) match {
           case Some(p) =>
             kernels { df =>
               val d = FlowControl.withErrorChannel(df)
@@ -693,17 +697,17 @@ object Processors {
               val headerOk = length(bin) >= 5 &&
                 substring(bin, 1, 1) === lit(Array[Byte](0))
               val id = CodecFunctions.wireSchemaId(bin)
-              val idKnown = id.isin(p.byId.keys.toSeq: _*)
-              val known = headerOk && idKnown
-              d.withColumn("error",
+              d.withColumn("__sr_dec", when(headerOk,
+                  CodecFunctions.wireDecodeProvider(bin, p, lenient = true)))
+                .withColumn("error",
                   when(col("error").isNotNull, col("error"))
                     .when(!headerOk,
                       lit("schema registry: invalid wire format header"))
-                    .when(!idKnown, concat(
+                    .when(col("__sr_dec").isNull, concat(
                       lit("schema registry: unknown schema id "), id)))
-                .withColumn("value", when(known,
-                  CodecFunctions.wireDecodeProvider(bin, p))
-                  .otherwise(col("value")))
+                .withColumn("value",
+                  coalesce(col("__sr_dec"), col("value")))
+                .drop("__sr_dec")
             }
           case None =>
             val schema = body.get("schema").toString
@@ -1051,6 +1055,27 @@ object Processors {
       val bySubject = Option(r.get("subjects")).map(_.properties().asScala.map(e =>
         e.getKey -> e.getValue.asInt).toMap).getOrElse(Map.empty)
       graft.functions.expressions.MapSchemaProvider(byId, bySubject)
+    }
+
+  /** Provider selection for the schema_registry processors: a `url:`
+    * resolves over HTTP ([[graft.functions.expressions.HttpSchemaProvider]]
+    * — the reference's registry client); an inline `registry:` block
+    * resolves from the map. A `stub://` url serves the inline
+    * `registry:` block THROUGH the full HTTP path (URL construction,
+    * envelope parsing, id cache) — the same offline-stub convention as
+    * the `http` processor's `stub://` transport.
+    */
+  private def providerOf(body: JsonNode): Option[graft.functions.expressions.SchemaProvider] =
+    Option(body.get("url")).map(_.asText) match {
+      case Some(u) if u.startsWith("stub://") =>
+        val m = registryOf(body).getOrElse(
+          graft.functions.expressions.MapSchemaProvider(Map.empty))
+        Some(new graft.functions.expressions.HttpSchemaProvider(u,
+          client = graft.functions.expressions.HttpSchemaProvider
+            .stubTransport(m.byId, m.bySubject)))
+      case Some(u) =>
+        Some(new graft.functions.expressions.HttpSchemaProvider(u))
+      case None => registryOf(body)
     }
 
   private def kernels(f: DataFrame => DataFrame): DataFrame => DataFrame =

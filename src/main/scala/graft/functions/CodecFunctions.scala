@@ -54,10 +54,12 @@ object CodecFunctions {
     * registry-client path, internal/impl/confluent/).
     */
   def wireDecodeProvider(data: Column,
-      provider: graft.functions.expressions.SchemaProvider): Column =
+      provider: graft.functions.expressions.SchemaProvider,
+      lenient: Boolean = false): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.expressions.WireDecodeProvider(
-        org.apache.spark.sql.GraftColumnBridge.expression(data), provider))
+        org.apache.spark.sql.GraftColumnBridge.expression(data), provider,
+        lenient))
 
   /** Subject-resolved encode: subject → latest (id, schema) via the
     * provider (schema_registry_encode.adoc subject field).

@@ -114,19 +114,29 @@ case class WireDecode(child: Expression, schemaJson: String) extends UnaryExpres
   * object, the per-row work is one map lookup + the cached-codec
   * decode.
   */
-case class WireDecodeProvider(child: Expression, provider: SchemaProvider)
+case class WireDecodeProvider(child: Expression, provider: SchemaProvider,
+                              lenient: Boolean = false)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     GraftFunctions.requireTypes(prettyName, Seq(child.dataType), Seq(BinaryType))
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_wire_decode_provider"
+  private def kernel =
+    if (lenient) "wireDecodeProviderLenient" else "wireDecodeProvider"
   override protected def nullSafeEval(a: Any): Any =
-    CodecOps.wireDecodeProvider(a.asInstanceOf[Array[Byte]], provider)
+    if (lenient)
+      CodecOps.wireDecodeProviderLenient(a.asInstanceOf[Array[Byte]], provider)
+    else CodecOps.wireDecodeProvider(a.asInstanceOf[Array[Byte]], provider)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("provider", provider,
       "graft.functions.expressions.SchemaProvider")
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.expressions.CodecOps.wireDecodeProvider($a, $ref)")
+    // a lenient kernel may return null for a non-null input, which
+    // defineCodeGen's non-null contract can't express
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.expressions.CodecOps.$kernel($a, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -291,6 +291,20 @@ object CodecOps {
     avroDecode(java.util.Arrays.copyOfRange(data, 5, data.length), schema)
   }
 
+  /** Lenient provider-resolved decode: null for an unknown id instead
+    * of a throw. Needed when the provider's known-id set is NOT
+    * enumerable (the HTTP registry path) so the caller can't pre-guard
+    * with `isin(knownIds)` — the null routes the row to the error
+    * channel while the task survives.
+    */
+  def wireDecodeProviderLenient(data: Array[Byte],
+                                provider: SchemaProvider): UTF8String =
+    provider.schemaFor(wireSchemaId(data)) match {
+      case Some(schema) =>
+        avroDecode(java.util.Arrays.copyOfRange(data, 5, data.length), schema)
+      case None => null
+    }
+
   /** Provider-resolved encode: subject → latest (id, schema), like the
     * reference's `schema_registry_encode` subject field.
     */
