@@ -76,28 +76,51 @@ object Http {
       c.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         .thenApply(r => Response(r.statusCode(), r.body()))
     }
-    // fan the WHOLE batch out async first (this is what makes batchSize
-    // bound in-flight requests — a join inside the launch loop would
-    // serialize the batch), then settle each; only the rare retry tail
-    // runs sequentially
+    retryBatch(reqs, send, retries, retryPeriodMs, maxRetryBackoffMs,
+      backoffOn, dropOn)
+  }
+
+  /** Batch-wide retry rounds over an async send: the WHOLE batch fans
+    * out first (a join inside the launch loop would serialize it),
+    * then each ROUND re-fans-out only the still-failing subset after
+    * ONE shared backoff — N simultaneous 429s cost one backoff period,
+    * not N serialized sleeps on the task thread. Per-row attempt
+    * semantics match the reference (`retries` bounded, exponential
+    * `retryPeriodMs`→`maxRetryBackoffMs`, `dropOn` fails immediately).
+    */
+  private[operators] def retryBatch(
+      reqs: Seq[Request],
+      send: Request => java.util.concurrent.CompletableFuture[Response],
+      retries: Int, retryPeriodMs: Long, maxRetryBackoffMs: Long,
+      backoffOn: Set[Int], dropOn: Set[Int]): Seq[Response] = {
     def settle(f: java.util.concurrent.CompletableFuture[Response]): Response =
       try f.join()
       catch { case e: Exception => Response(-1, e.getMessage) }
-    val inFlight = reqs.map(q => (q, send(q))).toVector
-    inFlight.map { case (q, f0) =>
-      var r = settle(f0)
-      var attempt = 0
-      var delay = retryPeriodMs
-      while (!dropOn.contains(r.status) &&
-             (r.status == -1 || backoffOn.contains(r.status)) &&
-             attempt < retries) {
+    def retryable(r: Response): Boolean =
+      !dropOn.contains(r.status) &&
+        (r.status == -1 || backoffOn.contains(r.status))
+    val results = new Array[Response](reqs.length)
+    var pending: Vector[(Int, Request)] =
+      reqs.zipWithIndex.map(_.swap).toVector
+    var round = 0
+    var delay = retryPeriodMs
+    while (pending.nonEmpty) {
+      val settled = pending
+        .map { case (i, q) => (i, q, send(q)) }   // launch all…
+        .map { case (i, q, f) => (i, q, settle(f)) } // …then join
+      val (again, done) = settled.partition { case (_, _, r) => retryable(r) }
+      done.foreach { case (i, _, r) => results(i) = r }
+      if (again.isEmpty || round >= retries) {
+        again.foreach { case (i, _, r) => results(i) = r }
+        pending = Vector.empty
+      } else {
         Thread.sleep(delay)
         delay = math.min(delay * 2, maxRetryBackoffMs)
-        attempt += 1
-        r = settle(send(q))
+        round += 1
+        pending = again.map { case (i, q, _) => (i, q) }
       }
-      r
     }
+    results.toIndexedSeq
   }
 
   private object JdkClient {

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -67,6 +69,47 @@ class HttpSpec extends SparkSpec {
       .select($"value", $"error").as[(String, String)].collect()
     assert(out.head._1 == """{"a":1}""")
     assert(out.head._2 == "http status -2")
+  }
+
+  test("retry rounds re-fan-out the failed subset: N simultaneous 429s cost one backoff, not N") {
+    // 8 requests all 429 on the first attempt, 200 on the second —
+    // the serialized form slept 8 × period; rounds sleep period ONCE
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def send(q: Http.Request)
+        : java.util.concurrent.CompletableFuture[Http.Response] = {
+      val n = attempts.merge(q.url, 1, (a, b) => a + b)
+      java.util.concurrent.CompletableFuture.completedFuture(
+        if (n == 1) Http.Response(429, "slow down")
+        else Http.Response(200, s"ok:${q.url}"))
+    }
+    val reqs = (1 to 8).map(i =>
+      Http.Request(s"stub://svc/$i", "GET", Map.empty, ""))
+    val period = 300L
+    val t0 = System.nanoTime()
+    val out = Http.retryBatch(reqs, send,
+      retries = 3, retryPeriodMs = period, maxRetryBackoffMs = 10000,
+      backoffOn = Set(429), dropOn = Set.empty)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out.map(_.status) == (1 to 8).map(_ => 200))
+    assert(out.zipWithIndex.forall { case (r, i) =>
+      r.body == s"ok:stub://svc/${i + 1}" }, "responses must stay aligned")
+    assert(attempts.asScala.values.forall(_ == 2), "exactly 2 attempts per row")
+    // serialized per-row sleeps would be >= 8 × 300 = 2400 ms
+    assert(elapsedMs < 4 * period,
+      f"batch of 8 simultaneous 429s took $elapsedMs%.0f ms; " +
+        "expected ~1 backoff period, not 8")
+  }
+
+  test("dropOn statuses fail immediately without a retry attempt") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = Http.retryBatch(
+      Seq(Http.Request("stub://svc/x", "GET", Map.empty, "")),
+      _ => { calls.incrementAndGet()
+        java.util.concurrent.CompletableFuture.completedFuture(
+          Http.Response(429, "nope")) },
+      retries = 3, retryPeriodMs = 10, maxRetryBackoffMs = 100,
+      backoffOn = Set(429), dropOn = Set(429))
+    assert(out.head.status == 429 && calls.get() == 1)
   }
 
   test("config-runner http processor compiles onto the stub transport") {
