@@ -614,16 +614,25 @@ object Processors {
         })
       case "dedupe" =>
         // processors/dedupe.adoc:26 — keep the FIRST occurrence per key
-        // (batch form; streaming TTL form is StreamDedupe)
         val keyTpl = body.path("key").asText("${! content() }")
-        df => {
-          val d = withSeq(df).withColumn("__dedupe_key",
-            Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__dedupe_key")).orderBy(col("__seq"))
-          d.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn", "__dedupe_key")
-        }
+        df =>
+          if (df.isStreaming) {
+            // streaming form: keyed state (dropDuplicates) — the first
+            // sighting wins ACROSS micro-batches, same first-occurrence
+            // semantics as the batch window below (state is unbounded;
+            // the TTL-bounded form is StreamDedupe.withinWatermark when
+            // an event-time column exists)
+            val d = df.withColumn("__dedupe_key",
+              Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
+            d.dropDuplicates("__dedupe_key").drop("__dedupe_key")
+          } else {
+            val d = withSeq(df).withColumn("__dedupe_key",
+              Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__dedupe_key")).orderBy(col("__seq"))
+            d.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn", "__dedupe_key")
+          }
       case "bounds_check" =>
         val min = body.path("min").asInt(0)
         val max = body.path("max").asInt(Int.MaxValue)

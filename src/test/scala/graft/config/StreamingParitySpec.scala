@@ -1,0 +1,87 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Batch ≡ streaming conformance for the stateful processor families:
+  * the SAME compiled processor (the config runner's own
+  * `Processors.compile` output) applied to a MemoryStream must produce
+  * the same rows as the batch form on identical input — the
+  * reference's processors are micro-batch-agnostic by construction
+  * (one message in, N messages out), so any divergence here is a bug
+  * in our streaming compilation, not a semantic choice.
+  */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  private def compiled(processorYaml: String): DataFrame => DataFrame =
+    Processors.compile(yaml.readTree(processorYaml), Map.empty)
+
+  /** Run `proc` over the rows via MemoryStream (fed in two chunks so
+    * cross-micro-batch state is exercised), collect the append-mode
+    * sink, return the value column sorted.
+    */
+  private def streamed(proc: DataFrame => DataFrame,
+                       rows: Seq[(Long, String)],
+                       name: String): Seq[String] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = proc(mem.toDF().toDF("__seq", "value"))
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).select($"value").as[String].collect().toSeq.sorted
+  }
+
+  private def batched(proc: DataFrame => DataFrame,
+                      rows: Seq[(Long, String)]): Seq[String] =
+    proc(rows.toDF("__seq", "value"))
+      .select($"value").as[String].collect().toSeq.sorted
+
+  test("http enrichment: batch and streaming produce identical rows") {
+    val proc = compiled(
+      """http:
+        |  url: stub://svc/ok
+        |  verb: POST
+        |  batch_size: 4
+        |""".stripMargin)
+    val rows = (0L until 20L).map(i => i -> s"""{"i":$i}""")
+    assert(streamed(proc, rows, "par_http") == batched(proc, rows))
+  }
+
+  test("dedupe: first occurrence wins in batch and across micro-batches") {
+    val proc = compiled("dedupe: {}\n")
+    // duplicates within a micro-batch AND across the chunk boundary
+    val rows = Seq(
+      1L -> "a", 2L -> "b", 3L -> "a", 4L -> "c",
+      5L -> "b", 6L -> "d", 7L -> "a", 8L -> "c")
+    assert(streamed(proc, rows, "par_dedupe") == batched(proc, rows))
+    assert(streamed(proc, rows, "par_dedupe2") == Seq("a", "b", "c", "d"))
+  }
+
+  test("cache get: stream-static join matches the batch join") {
+    Seq(("a", "A!"), ("b", "B!")).toDF("key", "value")
+      .createOrReplaceTempView("cache_par")
+    val proc = compiled(
+      """cache:
+        |  resource: par
+        |  operator: get
+        |""".stripMargin)
+    val rows = Seq(1L -> "a", 2L -> "b", 3L -> "miss_me", 4L -> "a")
+    assert(streamed(proc, rows, "par_cache") == batched(proc, rows))
+    assert(streamed(proc, rows, "par_cache2").count(_ == "A!") == 2)
+  }
+}
