@@ -131,6 +131,26 @@ object Pipeline {
           case "csv" => Sources.csvStream(spark, b.get("path").asText, schema)
           case other => throw new IllegalArgumentException(s"stream format: $other")
         }
+      case ("kafka" | "redpanda" | "kafka_franz", b) =>
+        // resumable micro-batch broker read (BrokerSourceProvider):
+        // per-partition offsets ride Spark's checkpoint commit log —
+        // the consumer-group-commit semantics of inputs/kafka.adoc.
+        // mem:// resolves to the in-process transport; real brokers
+        // use the native spark-sql-kafka connector (Sources.kafka).
+        val addrs = Option(b.get("seed_brokers")).orElse(Option(b.get("addresses")))
+          .map(_.elements().asScala.toSeq.map(_.asText))
+          .getOrElse(throw new IllegalArgumentException(
+            "kafka input needs seed_brokers/addresses"))
+        val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
+        addrs.find(_.startsWith("mem://")) match {
+          case Some(mem) =>
+            require(topics.size == 1,
+              "streaming kafka input: one topic per input (use a broker combinator for fan-in)")
+            spark.readStream.format("graft.sources.BrokerSourceProvider")
+              .option("address", mem).option("topic", topics.head).load()
+          case None =>
+            Sources.kafka(spark, addrs.mkString(","), topics.mkString(","))
+        }
       case (other, _) =>
         throw new IllegalArgumentException(s"streaming input '$other' not supported")
     }
