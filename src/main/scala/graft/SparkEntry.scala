@@ -637,6 +637,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m_video_frames" -> ((s, d) => {
+      // REAL video decode: per doc, synthesize an MJPEG-in-AVI (ImageIO
+      // JPEG frames in a RIFF container, all executor-side), then
+      // frame-sample every 2nd frame and header-sniff each extracted
+      // JPEG — count/order/dimensions are all SQL-checkable. Blobs
+      // never shuffle: synth → extract → sniff is one narrow map chain.
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"))
+      val blobSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("blob", BinaryType)))
+      val blobs = docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % 4).toInt * 4
+          val n = (id % 5).toInt + 1
+          val frames = (0 until n).map { i =>
+            val img = new java.awt.image.BufferedImage(w, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(i * 40 % 256, 64, 128))
+            g.fillRect(0, 0, w, 8); g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          Row(id, Multimodal.mjpegAvi(frames, w, 8))
+        }
+      }(Encoders.row(blobSchema))
+      val frames = Multimodal.videoFrames(blobs, "blob", everyNth = 2)
+      Multimodal.withMediaMeta(frames, "frame")
+        .select(col("doc_id"), col("frame_idx"),
+          col("meta.mime").as("mime"), col("meta.width").as("width"),
+          col("meta.height").as("height"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "p_parquet_blob" -> ((s, d) => {
       // parquet file as a VALUE (reference parquet_decode/encode
       // processors): fold each region's nations into one in-memory
@@ -1638,6 +1676,16 @@ object SparkEntry {
         |  CAST(doc_id % 640 + 1 AS INT) AS width,
         |  CAST(doc_id % 480 + 1 AS INT) AS height
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+
+    "m_video_frames" ->
+      """SELECT d.doc_id, CAST(i.i AS INT) AS frame_idx,
+        |  'image/jpeg' AS mime,
+        |  CAST(8 + (d.doc_id % 4) * 4 AS INT) AS width,
+        |  CAST(8 AS INT) AS height
+        |FROM documents d
+        |JOIN (VALUES (0), (2), (4)) AS i(i) ON i.i <= d.doc_id % 5
+        |WHERE d.doc_id < 50
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "p_parquet_blob" ->
       """SELECT n_regionkey AS key, n_nationkey AS id, n_name AS name

@@ -26,11 +26,10 @@ import org.apache.spark.sql.types._
   * Decode strategy: image header PARSING (format/width/height) is a pure
   * JVM kernel — no decode, ~100 bytes read per blob. Full decode/resize
   * uses JDK ImageIO (png/jpeg/gif/bmp — built into the JDK, headless-
-  * safe). Video frame-sampling has NO JDK codec: [[videoFrameStub]] is
-  * an explicitly-marked deterministic placeholder that preserves the
-  * real operator shape (schema, batching, partition behavior) so the
-  * plumbing is testable; swap the kernel for a codec-backed one (e.g.
-  * jcodec) on clusters that ship it.
+  * safe). Video frame-sampling is a REAL decode for MJPEG-in-AVI
+  * ([[videoFrames]] — a RIFF chunk walk whose `##dc` payloads are
+  * complete JPEGs, no codec library involved); other codecs (h264…)
+  * need a codec jar and are rejected cleanly.
   */
 object Multimodal {
 
@@ -245,35 +244,156 @@ object Multimodal {
       peak.toFloat, (zc.toDouble / n).toFloat)
   }
 
-  /** STUB — video frame sampling. No video codec ships in the JVM/this
-    * container, so the frame extractor below is a DETERMINISTIC FAKE
-    * (xxhash-derived bytes per (video, frameIdx)); everything around it
-    * — frame indexing, explode shape, partition behavior — is the real
-    * operator. Replace `fakeFrame` with a codec call (e.g. jcodec
-    * FrameGrab) where available.
+  /** Video frame sampling — a REAL decode for MJPEG-in-AVI, the one
+    * mainstream video container whose frames need no codec library: an
+    * AVI file is a RIFF tree (the same chunk walk as the WAV kernel
+    * above), its `movi` LIST holds one sub-chunk per frame, and for
+    * MJPEG each `##dc`/`##db` sub-chunk's payload IS a complete JPEG.
+    * Every `everyNth`-th frame is emitted (up to `maxFrames`) as a
+    * standalone JPEG blob — downstream image ops (resize / features /
+    * meta) consume it unchanged.
+    *
+    * The walk is lazy and allocation-light: skipped frames are never
+    * copied, and rows explode where the bytes already live (narrow
+    * mapPartitions, no blob shuffle). Non-AVI / non-MJPEG / corrupt
+    * blobs yield zero rows — data, not exceptions. Other codecs
+    * (h264 etc.) need a codec jar; this kernel rejects them cleanly
+    * (their `##dc` payloads are not JPEG-magic-prefixed).
     */
-  def videoFrameStub(df: DataFrame, blobCol: String, everyNth: Int,
-                     maxFrames: Int): DataFrame = {
+  def videoFrames(df: DataFrame, blobCol: String, everyNth: Int = 1,
+                  maxFrames: Int = Int.MaxValue): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame", BinaryType)))
     val blobIdx = df.schema.fieldIndex(blobCol)
     implicit val enc = Encoders.row(outSchema)
-    def fakeFrame(blob: Array[Byte], idx: Int): Array[Byte] = {
-      // ??? — real impl decodes frame `idx * everyNth`; fake = 8
-      // deterministic bytes from (blob length, idx)
-      val h = java.util.Objects.hash(blob.length, idx)
-      java.nio.ByteBuffer.allocate(8).putLong(h.toLong).array()
-    }
     df.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.get(blobIdx).asInstanceOf[Array[Byte]]
         if (bytes == null) Iterator.empty
-        else (0 until maxFrames).iterator.map { i =>
-          Row.fromSeq(r.toSeq ++ Seq(i, fakeFrame(bytes, i)))
-        }
+        else aviMjpegFrames(bytes).zipWithIndex
+          .collect { case (f, i) if i % everyNth == 0 => (f, i) }
+          .take(maxFrames)
+          .map { case (f, i) => Row.fromSeq(r.toSeq ++ Seq(i, f)) }
       }
     }
+  }
+
+  /** Lazy offset-ordered iterator over the JPEG payloads of an AVI's
+    * `movi` list (OpenDML AVI: frames may sit directly in `movi` or
+    * inside interleaved `rec ` sub-lists). Returns empty for anything
+    * that is not a well-formed MJPEG AVI.
+    */
+  private[operators] def aviMjpegFrames(b: Array[Byte]): Iterator[Array[Byte]] = {
+    def fourcc(i: Int) = new String(b, i, 4, "US-ASCII")
+    def le32(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return Iterator.empty
+    // frame chunk: '##dc'/'##db' (stream-indexed compressed/raw DIB)
+    def isFrameId(id: String) =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    // walk one chunk run over [pos, end), descending into movi/rec
+    def walk(pos0: Int, end: Int): Iterator[Array[Byte]] =
+      new Iterator[Array[Byte]] {
+        private var pos = pos0
+        private var nested: Iterator[Array[Byte]] = Iterator.empty
+        private var nextFrame: Array[Byte] = _
+        private def advance(): Unit = {
+          nextFrame = null
+          while (nextFrame == null) {
+            if (nested.hasNext) { nextFrame = nested.next(); return }
+            if (pos + 8 > end || pos + 8 > b.length) return
+            val id = fourcc(pos)
+            val len = le32(pos + 4)
+            // negative/overflowing length = corrupt; stop, don't spin
+            if (len < 0 || pos + 8 + len < pos) return
+            val dataStart = pos + 8
+            val dataEnd = math.min(math.min(dataStart + len, end), b.length)
+            if (id == "LIST" && len >= 4) {
+              val listType = fourcc(dataStart)
+              if (listType == "movi" || listType == "rec ")
+                nested = walk(dataStart + 4, dataEnd)
+            } else if (isFrameId(id) && len >= 2 &&
+                       (b(dataStart) & 0xff) == 0xff &&
+                       (b(dataStart + 1) & 0xff) == 0xd8) {
+              // JPEG magic — copy exactly this frame's bytes
+              nextFrame = java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
+            }
+            pos += 8 + len + (len & 1) // chunks are word-aligned
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextFrame != null
+        override def next(): Array[Byte] = {
+          val f = nextFrame; advance(); f
+        }
+      }
+    walk(12, b.length)
+  }
+
+  /** Minimal MJPEG-in-AVI writer (test-fixture / round-trip helper —
+    * produces a structurally valid single-stream AVI: hdrl with avih +
+    * one strl, then the movi list with one `00dc` chunk per JPEG).
+    */
+  def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+               fps: Int = 25): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(id.getBytes("US-ASCII")); o.write(le32(body.length))
+      o.write(body)
+      if (body.length % 2 == 1) o.write(0)
+      o.toByteArray
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = new ByteArrayOutputStream()
+      inner.write(listType.getBytes("US-ASCII"))
+      bodies.foreach(inner.write)
+      chunk("LIST", inner.toByteArray)
+    }
+    val avih = {
+      val o = new ByteArrayOutputStream()
+      o.write(le32(1000000 / math.max(fps, 1))) // usec per frame
+      o.write(le32(0)); o.write(le32(0)); o.write(le32(0))
+      o.write(le32(frames.length)); o.write(le32(0)); o.write(le32(1))
+      o.write(le32(0)); o.write(le32(width)); o.write(le32(height))
+      (0 until 4).foreach(_ => o.write(le32(0)))
+      o.toByteArray
+    }
+    val strh = {
+      val o = new ByteArrayOutputStream()
+      o.write("vids".getBytes("US-ASCII"))
+      o.write("MJPG".getBytes("US-ASCII"))
+      o.write(le32(0)); o.write(le32(0)); o.write(le32(0))
+      o.write(le32(1)); o.write(le32(math.max(fps, 1))) // scale/rate
+      o.write(le32(0)); o.write(le32(frames.length))
+      (0 until 5).foreach(_ => o.write(le32(0)))
+      o.toByteArray
+    }
+    val strf = { // BITMAPINFOHEADER
+      val o = new ByteArrayOutputStream()
+      o.write(le32(40)); o.write(le32(width)); o.write(le32(height))
+      o.write(Array[Byte](1, 0, 24, 0)) // planes=1, bpp=24
+      o.write("MJPG".getBytes("US-ASCII"))
+      (0 until 5).foreach(_ => o.write(le32(0)))
+      o.toByteArray
+    }
+    val hdrl = list("hdrl", Seq(chunk("avih", avih),
+      list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)))
+    val riffBody = new ByteArrayOutputStream()
+    riffBody.write("AVI ".getBytes("US-ASCII"))
+    riffBody.write(hdrl); riffBody.write(movi)
+    val body = riffBody.toByteArray
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length))
+    bos.write(body)
+    bos.toByteArray
   }
 
   /** Late materialization helper: keep only ids + meta while planning,

@@ -102,14 +102,63 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == null, "non-WAV blob must yield null features")
   }
 
-  test("video frame stub: deterministic frames, explode shape") {
-    val frames = Multimodal.videoFrameStub(mediaDf.filter(col("id") === 1),
-      "blob", everyNth = 10, maxFrames = 3)
-    val rows = frames.select("id", "frame_idx", "frame").orderBy("frame_idx").collect()
-    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
-    val again = Multimodal.videoFrameStub(mediaDf.filter(col("id") === 1),
-      "blob", 10, 3).select("frame").orderBy("frame_idx").collect()
-    assert(rows.map(_.getAs[Array[Byte]](2).toSeq).toSeq ==
-      again.map(_.getAs[Array[Byte]](0).toSeq).toSeq, "stub must be deterministic")
+  /** A wxh solid-color JPEG via ImageIO. */
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("video frames: MJPEG-in-AVI round-trip with exact counts and dimensions") {
+    import spark.implicits._
+    // 10 frames, each a distinct gray level so frame ORDER is checkable
+    val srcFrames = (0 until 10).map(i => jpeg(32, 24, i * 20 * 0x010101))
+    val avi = Multimodal.mjpegAvi(srcFrames, 32, 24)
+    val df = Seq((1L, avi), (2L, "not a video".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "blob")
+    val all = Multimodal.videoFrames(df, "blob")
+      .select("id", "frame_idx", "frame").orderBy("id", "frame_idx").collect()
+    assert(all.forall(_.getLong(0) == 1L), "only the AVI blob yields frames")
+    assert(all.map(_.getInt(1)).toSeq == (0 until 10), "all 10 frames, in order")
+    all.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 24,
+        "each frame must be a standalone decodable JPEG of the source size")
+    }
+    // frames come back byte-identical (MJPEG frames are stored verbatim)
+    assert(all.map(_.getAs[Array[Byte]](2).toSeq).toSeq == srcFrames.map(_.toSeq),
+      "frame payloads survive the container round-trip byte-for-byte")
+  }
+
+  test("video frames: everyNth sampling and maxFrames cap") {
+    import spark.implicits._
+    val srcFrames = (0 until 9).map(i => jpeg(8, 8, i))
+    val avi = Multimodal.mjpegAvi(srcFrames, 8, 8)
+    val df = Seq((1L, avi)).toDF("id", "blob")
+    val sampled = Multimodal.videoFrames(df, "blob", everyNth = 3)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(sampled == Seq(0, 3, 6), "every 3rd source frame")
+    val capped = Multimodal.videoFrames(df, "blob", everyNth = 2, maxFrames = 2)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(capped == Seq(0, 2), "sampling applies before the cap")
+  }
+
+  test("video frames: sampled frames feed the image ops unchanged") {
+    import spark.implicits._
+    val avi = Multimodal.mjpegAvi(Seq(jpeg(16, 16, 0xff0000)), 16, 16)
+    val frames = Multimodal.videoFrames(
+      Seq((1L, avi)).toDF("id", "blob"), "blob")
+    val feats = Multimodal.imageFeatures(frames, "frame", "rgb")
+      .select("rgb").as[Seq[Float]].collect().head
+    assert(feats(0) > 0.9f && feats(1) < 0.1f && feats(2) < 0.1f,
+      s"a red frame must feature-extract as red: $feats")
+    val meta = Multimodal.withMediaMeta(frames, "frame")
+      .select("meta.mime", "meta.width", "meta.height").collect().head
+    assert(meta.getString(0) == "image/jpeg" &&
+      meta.getInt(1) == 16 && meta.getInt(2) == 16)
   }
 }
