@@ -88,8 +88,9 @@ object Bench {
         name -> sec
       }
     }
+    val byPass = passTimes.map(_.toMap)
     val results = selected.map { case (name, _) =>
-      name -> passTimes.map(_.toMap.apply(name)).min
+      name -> byPass.map(_(name)).min
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

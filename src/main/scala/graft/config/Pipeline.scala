@@ -559,11 +559,27 @@ object Processors {
           // named one)
           val had = d0.columns.contains("__batch")
           val d = if (had) d0 else d0.withColumn("__batch", lit(0L))
-          val r = BatchOps.insertPart(d, col("__batch"), col("__seq"),
-              "value", lit(content), index)
-            // re-derive the ordinal so later part ops see the insert
-            .withColumn("__seq", col("batch_idx").cast("long"))
-            .drop("batch_idx")
+          val r0 = BatchOps.insertPart(d, col("__batch"), col("__seq"),
+            "value", lit(content), index)
+          // re-derive __seq UNIQUELY across batches (a per-batch
+          // ordinal would collide between batches and break downstream
+          // order/dedupe determinism): existing rows keep their
+          // stream-wide ordinal doubled; the inserted row slots in just
+          // before the row it displaced (or after the batch's last row
+          // when appended) — all per-__batch windows, no global sort
+          val wB = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__batch"))
+          val r = r0
+            .withColumn("__ins_idx",
+              max(when(col("__seq").isNull, col("batch_idx"))).over(wB))
+            .withColumn("__next", min(when(
+              col("batch_idx") === col("__ins_idx") + 1, col("__seq"))).over(wB))
+            .withColumn("__max", max(col("__seq")).over(wB))
+            .withColumn("__seq",
+              when(col("__seq").isNotNull, col("__seq") * 2)
+                .otherwise(coalesce(col("__next") * 2 - 1,
+                  col("__max") * 2 + 1, lit(0L))))
+            .drop("__ins_idx", "__next", "__max", "batch_idx")
           if (had) r else r.drop("__batch")
         }
       case "archive" =>
@@ -637,14 +653,42 @@ object Processors {
         val keyTpl = body.path("key").asText("${! content() }")
         df =>
           if (df.isStreaming) {
-            // streaming form: keyed state (dropDuplicates) — the first
-            // sighting wins ACROSS micro-batches, same first-occurrence
-            // semantics as the batch window below (state is unbounded;
-            // the TTL-bounded form is StreamDedupe.withinWatermark when
-            // an event-time column exists)
+            // streaming form: keyed state — the first sighting wins
+            // ACROSS micro-batches, and WITHIN one the lowest-__seq row
+            // is picked explicitly (dropDuplicates alone keeps an
+            // arbitrary row per key inside a batch, which would diverge
+            // from the batch window's deterministic first-occurrence).
+            // State is unbounded; the TTL-bounded form is
+            // StreamDedupe.withinWatermark when an event-time column
+            // exists.
+            import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
             val d = df.withColumn("__dedupe_key",
               Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
-            d.dropDuplicates("__dedupe_key").drop("__dedupe_key")
+            val schema = d.schema
+            val keyIdx = schema.fieldIndex("__dedupe_key")
+            val seqIdx =
+              if (d.columns.contains("__seq")) Some(schema.fieldIndex("__seq"))
+              else None
+            implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+            implicit val boolEnc = org.apache.spark.sql.Encoders.scalaBoolean
+            implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+            d.groupByKey(r =>
+                if (r.isNullAt(keyIdx)) " " else r.getString(keyIdx))
+              .flatMapGroupsWithState(OutputMode.Append,
+                GroupStateTimeout.NoTimeout) {
+                (_: String, rows: Iterator[org.apache.spark.sql.Row],
+                 state: GroupState[Boolean]) =>
+                  if (state.exists) Iterator.empty
+                  else {
+                    state.update(true)
+                    val all = rows.toVector
+                    Iterator.single(seqIdx match {
+                      case Some(i) => all.minBy(r =>
+                        if (r.isNullAt(i)) Long.MaxValue else r.getLong(i))
+                      case None => all.head
+                    })
+                  }
+              }.drop("__dedupe_key")
           } else {
             val d = withSeq(df).withColumn("__dedupe_key",
               Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))

@@ -122,10 +122,13 @@ object HttpSchemaProvider {
       : graft.operators.Http.Client = {
     val IdPath = ".*/schemas/ids/(-?\\d+)".r
     val SubjPath = ".*/subjects/([^/]+)/versions/latest".r
+    // one source of truth for the lookup rules — the stub serves
+    // whatever the map provider resolves, so they cannot drift
+    val source = MapSchemaProvider(byId, bySubject)
     reqs => reqs.map { q =>
       val path = q.url.replaceFirst("\\?.*$", "")
       path match {
-        case IdPath(id) => byId.get(id.toInt) match {
+        case IdPath(id) => source.schemaFor(id.toInt) match {
           case Some(schema) =>
             val env = mapper.createObjectNode()
             env.put("schema", schema)
@@ -136,7 +139,7 @@ object HttpSchemaProvider {
         case SubjPath(escaped) =>
           val subject = java.net.URLDecoder.decode(escaped,
             java.nio.charset.StandardCharsets.UTF_8)
-          bySubject.get(subject).flatMap(id => byId.get(id).map(id -> _)) match {
+          source.latestFor(subject) match {
             case Some((id, schema)) =>
               val env = mapper.createObjectNode()
               env.put("id", id)

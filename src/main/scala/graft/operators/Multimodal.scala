@@ -312,11 +312,14 @@ object Multimodal {
             if (len < 0 || pos + 8 + len < pos) return
             val dataStart = pos + 8
             val dataEnd = math.min(math.min(dataStart + len, end), b.length)
-            if (id == "LIST" && len >= 4) {
+            // guard reads against AVAILABLE bytes, not the declared
+            // len — a truncated file may end right after a header
+            val avail = dataEnd - dataStart
+            if (id == "LIST" && len >= 4 && avail >= 4) {
               val listType = fourcc(dataStart)
               if (listType == "movi" || listType == "rec ")
                 nested = walk(dataStart + 4, dataEnd)
-            } else if (isFrameId(id) && len >= 2 &&
+            } else if (isFrameId(id) && len >= 2 && avail >= 2 &&
                        (b(dataStart) & 0xff) == 0xff &&
                        (b(dataStart + 1) & 0xff) == 0xd8) {
               // JPEG magic — copy exactly this frame's bytes

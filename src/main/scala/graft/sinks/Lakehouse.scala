@@ -99,7 +99,10 @@ object Lakehouse {
       }.toSeq: _*)
       val touchedKeys = {
         val ins = aligned.select(keyCols.map(col): _*)
-        deleteKeys.map(ins.unionByName(_)).getOrElse(ins)
+        // delete keys come from the RAW batch — cast to the table's key
+        // types so the anti-join/semi-join compare like with like
+        deleteKeys.map(dk => ins.unionByName(dk.select(keyCols.map(c =>
+          col(c).cast(evolved.schema(c).dataType).as(c)): _*))).getOrElse(ins)
       }.distinct()
       if (partitionCols.nonEmpty && newCols.isEmpty)
         prunedMerge(spark, table, target, batch, aligned, touchedKeys,
@@ -158,7 +161,18 @@ object Lakehouse {
                           keyCols: Seq[String],
                           partitionCols: Seq[String]): Unit = {
     val pcols = partitionCols.map(col)
-    val batchParts = batch.select(pcols: _*).distinct()
+    // partition values must carry the TABLE's types: the raw batch may
+    // supply e.g. IntegerType where the table has LongType, and a
+    // type-mismatched value in `touchedParts` would never match the
+    // table-typed values read back from the staged output — every
+    // touched partition would then be classified "emptied" and dropped.
+    // (Deletes matter here, so this can't just use `aligned`, which
+    // holds only the insert rows.)
+    val batchParts = batch.select(partitionCols.map { c =>
+      val t = target.schema(c).dataType
+      (if (batch.columns.contains(c)) col(c).cast(t)
+       else lit(null).cast(t)).as(c)
+    }: _*).distinct()
     val allParts =
       if (partitionCols.forall(keyCols.contains)) batchParts
       else {

@@ -115,8 +115,10 @@ object BrokerStream {
     }
 
     override def latestOffset(): Offset = {
+      // same unknown-topic guard as initialOffset: a stream may start
+      // before any producer creates the topic — stay empty, don't die
       val t = transport
-      val n = t.partitionCount(topic)
+      val n = try t.partitionCount(topic) catch { case _: Exception => 0 }
       BrokerOffset((0 until n).map(p => p -> t.endOffset(topic, p)).toMap)
     }
 

@@ -161,9 +161,20 @@ class BatchedInputSpec extends SparkSpec {
         |    - insert_part: { index: 0, content: HDR }
         |""".stripMargin
     import spark.implicits._
-    val got = Pipeline.build(spark, yaml).select($"value").as[String]
-      .collect().toSeq
+    val out = Pipeline.build(spark, yaml).select($"__seq", $"value")
+      .as[(Long, String)].collect().toSeq
+    val got = out.map(_._2)
     assert(got.count(_ == "HDR") == 2, s"one header per batch: $got")
+    // __seq must stay STREAM-unique after the per-batch insert — a
+    // per-batch ordinal would collide across batches and break
+    // downstream ordering/dedupe determinism
+    val seqs = out.map(_._1)
+    assert(seqs.distinct.length == seqs.length,
+      s"__seq collided across batches: $out")
+    // order survives: each header precedes its batch's rows
+    val ordered = out.sortBy(_._1).map(_._2)
+    assert(ordered.grouped(3).forall(g => g.head == "HDR"),
+      s"headers must sort to the front of their batch: $ordered")
   }
 
   test("batch ids are partition-unique without a global sort") {

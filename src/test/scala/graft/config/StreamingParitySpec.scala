@@ -72,6 +72,32 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed(proc, rows, "par_dedupe2") == Seq("a", "b", "c", "d"))
   }
 
+  test("dedupe keeps the lowest-__seq row per key WITHIN one micro-batch") {
+    val proc = compiled("dedupe: { key: '${! this.k }' }\n")
+    // same key, different payloads, all in ONE chunk: the batch window
+    // keeps the lowest __seq deterministically — streaming must too
+    val rows = Seq(
+      5L -> """{"k":"a","v":"late"}""",
+      1L -> """{"k":"a","v":"first"}""",
+      3L -> """{"k":"a","v":"mid"}""",
+      2L -> """{"k":"b","v":"bfirst"}""",
+      4L -> """{"k":"b","v":"blate"}""")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = proc(mem.toDF().toDF("__seq", "value"))
+      .writeStream.format("memory").queryName("par_dedupe_seq")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*) // one micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("par_dedupe_seq")
+      .select($"value").as[String].collect().toSeq.sorted
+    assert(out == Seq("""{"k":"a","v":"first"}""", """{"k":"b","v":"bfirst"}"""),
+      s"within-batch winner must be the lowest __seq, got $out")
+    assert(out == batched(proc, rows), "and identical to the batch form")
+  }
+
   test("cache get: stream-static join matches the batch join") {
     Seq(("a", "A!"), ("b", "B!")).toDF("key", "value")
       .createOrReplaceTempView("cache_par")

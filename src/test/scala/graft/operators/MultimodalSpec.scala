@@ -147,6 +147,19 @@ class MultimodalSpec extends SparkSpec {
     assert(capped == Seq(0, 2), "sampling applies before the cap")
   }
 
+  test("video frames: truncated containers yield zero rows, never exceptions") {
+    import spark.implicits._
+    val avi = Multimodal.mjpegAvi(Seq(jpeg(8, 8, 1), jpeg(8, 8, 2)), 8, 8)
+    // every prefix of a valid AVI must be handled — including cuts that
+    // end exactly after a chunk header (the nasty boundary)
+    val prefixes = (0 to avi.length).by(7).map(n => avi.take(n)) :+
+      (avi.take(12) ++ "00dc".getBytes ++ Array[Byte](2, 0, 0, 0)) // header, no payload
+    val df = prefixes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "blob")
+    val n = Multimodal.videoFrames(df, "blob").count() // must not throw
+    assert(n <= prefixes.length * 2)
+  }
+
   test("video frames: sampled frames feed the image ops unchanged") {
     import spark.implicits._
     val avi = Multimodal.mjpegAvi(Seq(jpeg(16, 16, 0xff0000)), 16, 16)

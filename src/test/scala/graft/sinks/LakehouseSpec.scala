@@ -109,6 +109,23 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.table("lh_move").filter($"region" === "eu").count() == 0)
   }
 
+  test("pruned merge survives a batch with narrower numeric partition types") {
+    drop("lh_widen")
+    // table: part col LongType (from Long), keys include the part col
+    Lakehouse.upsert(
+      Seq((1L, 10L, 1.0), (2L, 20L, 2.0)).toDF("k", "bucket", "x"),
+      "lh_widen", Seq("k", "bucket"), partitionCols = Seq("bucket"))
+    // later batch supplies bucket as IntegerType — must cast, match the
+    // existing partition, and NOT classify bucket=10 as emptied
+    Lakehouse.upsert(
+      Seq((1L, 10, 1.5)).toDF("k", "bucket", "x"),
+      "lh_widen", Seq("k", "bucket"), partitionCols = Seq("bucket"))
+    val out = spark.table("lh_widen").orderBy("k")
+      .select($"k", $"bucket", $"x").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10L, 1.5), (2L, 20L, 2.0)),
+      "type-widened batch must upsert in place, not drop the partition")
+  }
+
   test("pruned merge drops a partition emptied by deletes") {
     drop("lh_empty")
     Lakehouse.upsert(

@@ -292,6 +292,27 @@ class KafkaSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming broker source stays empty for a not-yet-created topic") {
+    // a consumer may start before any producer creates the topic: both
+    // initialOffset AND latestOffset must survive the unknown topic
+    val name = "spec_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val addr = s"mem://$name"
+    Broker.InMemory.named(name) // broker exists, topic does not
+    val q = spark.readStream.format("graft.sources.BrokerSourceProvider")
+      .option("address", addr).option("topic", "late").load()
+      .writeStream.format("memory").queryName("bs_late")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // must not terminate the query
+      assert(spark.table("bs_late").count() == 0)
+      Broker.InMemory.named(name).createTopic("late", 2)
+      appendKeyed(addr, "late", 0 until 6)
+      q.processAllAvailable()
+      assert(spark.table("bs_late").count() == 6,
+        "records appear once the topic exists")
+    } finally q.stop()
+  }
+
   test("config runner streams a kafka input through processors to a memory sink") {
     val addr = fresh(2, topic = "cfg")
     appendKeyed(addr, "cfg", 0 until 12)
