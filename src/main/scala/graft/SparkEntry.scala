@@ -529,6 +529,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_amqp_roundtrip" -> ((s, d) => {
+      // AMQP-0.9 contract (inputs/outputs amqp_0_9.adoc via the
+      // injectable Mq.Transport seam): publish documents to a TOPIC
+      // exchange keyed by language, let the broker route into a
+      // wildcard-bound queue, and read back — routing selection, FIFO
+      // delivery tags, and metadata all verified against a pure-SQL
+      // oracle. The single-partition producer pins publish order so
+      // the delivery tag is deterministic (a competing-producers
+      // publish interleaves; MqSpec covers that path).
+      import graft.sources.Mq
+      val name = "rt_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val addr = s"mem://$name"
+      val t = Mq.InMemory.named(name)
+      t.declareExchange("doc", "topic")
+      t.declareQueue("q_en"); t.declareQueue("q_all")
+      t.bind("doc", "doc.en", "q_en")
+      t.bind("doc", "doc.#", "q_all")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(to_json(struct(col("doc_id"))).as("value"),
+          concat(lit("doc."), col("lang")).as("__amqp_key"), col("doc_id"))
+        .coalesce(1).sortWithinPartitions(col("doc_id"))
+      Mq.amqpWrite(docs, addr, "doc", "__amqp_key")
+      Mq.amqpRead(s, addr, "q_en").select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          col("metadata")("amqp_routing_key").as("rk"),
+          col("metadata")("amqp_delivery_tag").cast("long").as("tag"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_retry" -> ((s, d) => {
       // `retry` (processors/retry.adoc:26) through the config runner,
       // around a `cache` get child: hits resolve on the first pass,
@@ -1592,6 +1621,12 @@ object SparkEntry {
         |    AS kafka_lag,
         |  text
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    "p_amqp_roundtrip" ->
+      """SELECT doc_id, 'doc.' || lang AS rk,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) AS tag
+        |FROM documents WHERE doc_id < 300 AND lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
 
     "p_lakehouse_upsert" ->
       """SELECT o_orderkey AS k, o_custkey AS cust,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.Sources
+import graft.sources.{Mq, Sources}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -244,6 +244,27 @@ object Pipeline {
             // the batch processors/writeOutput path)
             Sources.kafkaBatch(spark, addrs.mkString(","), topics.mkString(","))
         }
+      case ("amqp_0_9", b) =>
+        // inputs/amqp_0_9.adoc — consume ONE queue (FIFO); optional
+        // queue_declare + bindings_declare set up topology first.
+        // mem:// resolves to the in-process Mq fake (transport seam).
+        val urls = Option(b.get("urls"))
+          .map(_.elements().asScala.toSeq.map(_.asText))
+          .getOrElse(throw new IllegalArgumentException("amqp_0_9 needs urls"))
+        val queue = b.get("queue").asText
+        val mem = urls.find(_.startsWith("mem://")).getOrElse(
+          throw new IllegalArgumentException(
+            "amqp_0_9: only mem:// transports exist in this environment"))
+        val t = Mq.transportFor(mem)
+        if (b.path("queue_declare").path("enabled").asBoolean(false))
+          t.declareQueue(queue)
+        Option(b.get("bindings_declare")).foreach(_.elements().asScala.foreach {
+          bd =>
+            t.declareQueue(queue)
+            t.bind(bd.get("exchange").asText,
+              Option(bd.get("key")).map(_.asText).getOrElse(""), queue)
+        })
+        Mq.amqpRead(spark, mem, queue)
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
@@ -300,6 +321,34 @@ object Pipeline {
             .option("topic", topic)
             .save()
       }
+    case ("amqp_0_9", b) =>
+      // outputs/amqp_0_9.adoc — publish to an exchange with an
+      // interpolated routing key; the BROKER routes into queues
+      // (direct/fanout/topic), so the write is a narrow partition-
+      // parallel pass. exchange_declare optionally creates/verifies
+      // the exchange first.
+      val urls = Option(b.get("urls"))
+        .map(_.elements().asScala.toSeq.map(_.asText))
+        .getOrElse(throw new IllegalArgumentException("amqp_0_9 needs urls"))
+      val exchange = b.get("exchange").asText
+      val mem = urls.find(_.startsWith("mem://")).getOrElse(
+        throw new IllegalArgumentException(
+          "amqp_0_9: only mem:// transports exist in this environment"))
+      val decl = b.path("exchange_declare")
+      if (decl.path("enabled").asBoolean(false))
+        Mq.transportFor(mem).declareExchange(exchange,
+          decl.path("type").asText("direct"))
+      val keyTpl = Option(b.get("key")).map(_.asText).getOrElse("")
+      val keyC = graft.blobl.Blobl.interpolateJson(df, keyTpl,
+        metadataCol = if (df.columns.contains("metadata")) Some("metadata")
+                      else None)
+      val orderC = if (df.columns.contains("__seq")) col("__seq")
+                   else monotonically_increasing_id()
+      // producer order holds within a task (connection); cross-task
+      // interleave is a real competing-producers broker's behavior
+      Mq.amqpWrite(df.withColumn("__amqp_key", keyC)
+          .sortWithinPartitions(orderC),
+        mem, exchange, "__amqp_key")
     case ("noop", _) =>
       df.write.format("noop").mode("overwrite").save()
     case ("memory", b) =>
