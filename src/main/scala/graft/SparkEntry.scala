@@ -1297,6 +1297,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_vector_store" -> ((s, d) => {
+      // qdrant-shaped connector contract (internal/impl/qdrant/
+      // client.go Upsert/Query): upsert the embeddings as points into
+      // the in-memory store, then enrich query rows with store-side
+      // top-k — the external-store path of similarity search (the
+      // in-engine scale path is Similarity LSH/IVF). Exact cosine, so
+      // the brute-force SQL oracle applies (self hit at rank 1).
+      import graft.sinks.VectorStore
+      val emb = Tables.embeddings(s, d)
+      val name = "vs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val addr = s"mem://$name"
+      VectorStore.InMemory.named(name).createCollection("emb", 64, "cosine")
+      VectorStore.upsert(emb.select(col("vec_id"), col("embedding")),
+        addr, "emb", "vec_id", "embedding")
+      VectorStore.queryEnrich(emb.filter(col("vec_id") < 10),
+          addr, "emb", "embedding", 5, "hits")
+        .select(col("vec_id").as("query_id"),
+          posexplode(col("hits")).as(Seq("rank0", "hit")))
+        .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
+          col("hit.id").as("neighbor_id"), round(col("hit.score"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "s_cosine_lsh" -> ((s, d) => {
       // probabilistic recall — rows-only check (no oracle); the
       // planted-duplicate recall gate lives in RecallSpec
@@ -2116,6 +2139,25 @@ object SparkEntry {
         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
 
     "s_cosine_topk" -> cosineTopkSql,
+
+    "s_vector_store" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |      (SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |       SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |      , 6) AS sim
+        |  FROM embeddings c, q)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s_cosine_ivf" -> cosineTopkSql,
 

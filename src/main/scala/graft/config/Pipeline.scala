@@ -349,6 +349,26 @@ object Pipeline {
       Mq.amqpWrite(df.withColumn("__amqp_key", keyC)
           .sortWithinPartitions(orderC),
         mem, exchange, "__amqp_key")
+    case ("qdrant", b) =>
+      // outputs/qdrant.adoc — id is interpolated, vector_mapping is a
+      // bloblang expression over the message producing the point's
+      // vector; points batch-upsert executor-side into the collection
+      // (mem:// = in-process VectorStore fake; real stores need gRPC)
+      val host = b.get("grpc_host").asText
+      val collection = b.get("collection_name").asText
+      val meta = if (df.columns.contains("metadata")) Some("metadata") else None
+      val idC = graft.blobl.Blobl.interpolateJson(df,
+        b.get("id").asText, metadataCol = meta).cast("long")
+      val vecExpr = Option(b.get("vector_mapping")).map(_.asText)
+        .getOrElse("root = this.embedding")
+        .replaceFirst("^\\s*root\\s*=\\s*", "")
+      val vecC = from_json(graft.blobl.Blobl.exprJson(df, vecExpr,
+        metadataCol = meta).cast("string"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      graft.sinks.VectorStore.upsert(
+        df.select(idC.as("__vid"), vecC.as("__vec")),
+        host, collection, "__vid", "__vec")
     case ("noop", _) =>
       df.write.format("noop").mode("overwrite").save()
     case ("memory", b) =>
