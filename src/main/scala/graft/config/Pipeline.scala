@@ -166,9 +166,13 @@ object Pipeline {
           b.get("checkpoint").asText)
       case ("lakehouse", b) =>
         // streaming MERGE per micro-batch — the CDC-apply sink shape
-        graft.sinks.Lakehouse.upsertStream(df, b.get("table").asText,
+        graft.sinks.Lakehouse.upsertStream(unpackForTable(df, b),
+          b.get("table").asText,
           b.get("keys").elements().asScala.toSeq.map(_.asText),
           b.get("checkpoint").asText,
+          partitionCols = Option(b.get("partition_by"))
+            .map(_.elements().asScala.toSeq.map(_.asText))
+            .getOrElse(Seq.empty),
           deleteCol = Option(b.get("delete_column")).map(_.asText))
       case (other, _) =>
         throw new IllegalArgumentException(s"streaming output '$other' not supported")
@@ -269,11 +273,24 @@ object Pipeline {
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
 
+  /** The iceberg-shaped outputs write the MESSAGE's fields as the row
+    * (output_iceberg.go): when the frame is the string envelope and a
+    * `schema:` is configured, unpack the value JSON into typed columns
+    * first; a frame that already has real columns passes through.
+    */
+  private def unpackForTable(df: DataFrame, b: JsonNode): DataFrame =
+    Option(b.get("schema")).map(_.asText) match {
+      case Some(ddl) =>
+        df.select(from_json(col("value"), org.apache.spark.sql.types
+          .StructType.fromDDL(ddl)).as("__row")).select(col("__row.*"))
+      case None => df
+    }
+
   private def writeOutput(df: DataFrame, n: JsonNode): Unit = one(n) match {
     case ("lakehouse", b) =>
       // iceberg-shaped upsert output (output_iceberg.go contract):
       // identifier keys + optional partitioning + delete column
-      Sinks.lakehouse(df, b.get("table").asText,
+      Sinks.lakehouse(unpackForTable(df, b), b.get("table").asText,
         b.get("keys").elements().asScala.toSeq.map(_.asText),
         Option(b.get("partition_by")).map(_.elements().asScala.toSeq
           .map(_.asText)).getOrElse(Seq.empty),

@@ -313,6 +313,48 @@ class KafkaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("headline path: streaming kafka CDC → processors → pruned lakehouse MERGE") {
+    // the reference's flagship pipeline shape (kafka in, iceberg out):
+    // resumable broker source → mapping → per-micro-batch partition-
+    // pruned upsert, exactly-once end to end
+    val addr = fresh(2, topic = "cdc")
+    val t = Broker.transportFor(addr)
+    def send(id: Long, region: String, v: Double, del: Boolean = false): Unit =
+      t.append("cdc", (id % 2).toInt, Seq(Broker.Record(s"k$id".getBytes,
+        s"""{"id":$id,"region":"$region","v":$v,"del":$del}""".getBytes)))
+    graft.sinks.Lakehouse.dropTable(spark, "lh_kafka")
+    val ck = java.nio.file.Files.createTempDirectory("lh_kafka_ck").toString
+    val config =
+      s"""input:
+         |  kafka:
+         |    seed_brokers: [ "$addr" ]
+         |    topics: [ cdc ]
+         |pipeline:
+         |  processors:
+         |    - mapping: 'root = this\nroot.v2 = this.v * 2'
+         |output:
+         |  lakehouse:
+         |    table: lh_kafka
+         |    schema: 'id BIGINT, region STRING, v DOUBLE, v2 DOUBLE, del BOOLEAN'
+         |    keys: [ id ]
+         |    partition_by: [ region ]
+         |    delete_column: del
+         |    checkpoint: "$ck"
+         |""".stripMargin
+    send(1, "eu", 1.0); send(2, "us", 2.0)
+    val q = graft.config.Pipeline.runStream(spark, config)
+    try {
+      q.processAllAvailable()
+      // second micro-batch: update key 1, delete key 2, insert key 3
+      send(1, "eu", 10.0); send(2, "us", 0.0, del = true); send(3, "ap", 3.0)
+      q.processAllAvailable()
+      val out = spark.table("lh_kafka").select($"id", $"region", $"v2")
+        .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+      assert(out == Seq((1L, "eu", 20.0), (3L, "ap", 6.0)),
+        s"upsert + delete must apply exactly once per micro-batch: $out")
+    } finally q.stop()
+  }
+
   test("config runner streams a kafka input through processors to a memory sink") {
     val addr = fresh(2, topic = "cfg")
     appendKeyed(addr, "cfg", 0 until 12)
