@@ -558,6 +558,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_nats_subjects" -> ((s, d) => {
+      // NATS subject-space contract (inputs/nats_jetstream.adoc via
+      // the PubSub seam): publish documents to per-language subjects,
+      // read back with a subject filter — selection, global stream
+      // sequence, and metadata against a pure-SQL oracle. Single-
+      // partition publish pins the sequence (PubSubSpec covers the
+      // competing-publishers path).
+      import graft.sources.PubSub
+      val name = "ns_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val addr = s"mem://$name"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(to_json(struct(col("doc_id"))).as("value"),
+          concat(lit("doc."), col("lang")).as("__subject"), col("doc_id"))
+        .coalesce(1).sortWithinPartitions(col("doc_id"))
+      PubSub.write(docs, addr, "__subject")
+      PubSub.read(s, "nats", addr, "doc.en").select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          col("metadata")("nats_subject").as("subject"),
+          col("metadata")("nats_sequence").cast("long").as("seq"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_retry" -> ((s, d) => {
       // `retry` (processors/retry.adoc:26) through the config runner,
       // around a `cache` get child: hits resolve on the first pass,
@@ -1650,6 +1672,13 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS tag
         |FROM documents WHERE doc_id < 300 AND lang = 'en'
         |ORDER BY doc_id""".stripMargin,
+
+    "p_nats_subjects" ->
+      """WITH pub AS (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) AS seq
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, 'doc.' || lang AS subject, seq
+        |FROM pub WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     "p_lakehouse_upsert" ->
       """SELECT o_orderkey AS k, o_custkey AS cust,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Mq, Sources}
+import graft.sources.{Mq, PubSub, Sources}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -269,6 +269,26 @@ object Pipeline {
               Option(bd.get("key")).map(_.asText).getOrElse(""), queue)
         })
         Mq.amqpRead(spark, mem, queue)
+      case (kind @ ("nats" | "nats_jetstream" | "mqtt"), b) =>
+        // inputs/nats.adoc, inputs/nats_jetstream.adoc, inputs/mqtt.adoc
+        // — subject/topic-filtered reads from the replayable subject
+        // log (PubSub seam); NATS `*`/`>` and MQTT `+`/`#` wildcards
+        val urls = Option(b.get("urls"))
+          .map(_.elements().asScala.toSeq.map(_.asText))
+          .getOrElse(throw new IllegalArgumentException(s"$kind needs urls"))
+        val mem = urls.find(_.startsWith("mem://")).getOrElse(
+          throw new IllegalArgumentException(
+            s"$kind: only mem:// transports exist in this environment"))
+        val style = if (kind == "mqtt") "mqtt" else "nats"
+        val pattern =
+          if (kind == "mqtt")
+            b.get("topics").elements().asScala.toSeq.map(_.asText) match {
+              case Seq(onlyOne) => onlyOne
+              case many => throw new IllegalArgumentException(
+                s"mqtt input: one topic filter per input, got $many")
+            }
+          else b.get("subject").asText
+        PubSub.read(spark, style, mem, pattern)
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
@@ -366,6 +386,26 @@ object Pipeline {
       Mq.amqpWrite(df.withColumn("__amqp_key", keyC)
           .sortWithinPartitions(orderC),
         mem, exchange, "__amqp_key")
+    case (kind @ ("nats" | "nats_jetstream" | "mqtt"), b) =>
+      // outputs/nats.adoc + outputs/mqtt.adoc — per-row interpolated
+      // subject/topic, published executor-side to the subject log
+      val urls = Option(b.get("urls"))
+        .map(_.elements().asScala.toSeq.map(_.asText))
+        .getOrElse(throw new IllegalArgumentException(s"$kind needs urls"))
+      val mem = urls.find(_.startsWith("mem://")).getOrElse(
+        throw new IllegalArgumentException(
+          s"$kind: only mem:// transports exist in this environment"))
+      val subjTpl =
+        (if (kind == "mqtt") Option(b.get("topic")) else Option(b.get("subject")))
+          .map(_.asText).getOrElse(throw new IllegalArgumentException(
+            s"$kind output needs a subject/topic"))
+      val meta2 = if (df.columns.contains("metadata")) Some("metadata") else None
+      val subjC = graft.blobl.Blobl.interpolateJson(df, subjTpl,
+        metadataCol = meta2)
+      val ordC2 = if (df.columns.contains("__seq")) col("__seq")
+                  else monotonically_increasing_id()
+      PubSub.write(df.withColumn("__subject", subjC)
+        .sortWithinPartitions(ordC2), mem, "__subject")
     case ("qdrant", b) =>
       // outputs/qdrant.adoc — id is interpolated, vector_mapping is a
       // bloblang expression over the message producing the point's
