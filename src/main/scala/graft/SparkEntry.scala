@@ -580,6 +580,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_redis_streams" -> ((s, d) => {
+      // Redis streams contract (inputs/redis_streams.adoc via the
+      // store seam): XADD documents with explicit monotonic ids and a
+      // lang metadata field, XRANGE them back — body extraction,
+      // entry-id metadata (`redis_stream`), and extra-field→metadata
+      // routing against a pure-SQL oracle.
+      import graft.sources.Redis
+      val name = "rs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val addr = s"mem://$name"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"))).as("value"),
+          map(lit("lang"), col("lang")).as("metadata"))
+      Redis.streamWrite(docs, addr, "evts",
+        idCol = concat((col("doc_id") + 1).cast("string"), lit("-0")),
+        valueCol = col("value"), orderCol = col("doc_id"),
+        metadataCol = Some("metadata"))
+      Redis.streamsRead(s, addr, Seq("evts"))
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          col("metadata")("redis_stream").as("sid"),
+          col("metadata")("lang").as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_retry" -> ((s, d) => {
       // `retry` (processors/retry.adoc:26) through the config runner,
       // around a `cache` get child: hits resolve on the first pass,
@@ -1679,6 +1704,10 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 200)
         |SELECT doc_id, 'doc.' || lang AS subject, seq
         |FROM pub WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "p_redis_streams" ->
+      """SELECT doc_id, CAST(doc_id + 1 AS VARCHAR) || '-0' AS sid, lang
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     "p_lakehouse_upsert" ->
       """SELECT o_orderkey AS k, o_custkey AS cust,

@@ -31,6 +31,26 @@ object Blobl {
               metadataCol: Option[String] = None): DataFrame =
     run(df, src, envVars, valueCol, metadataCol, fresh = true)
 
+  /** `meta x = …` needs somewhere to land: sources without connector
+    * metadata (e.g. `generate`) carry no metadata column, but the
+    * reference honors meta writes anywhere (bloblang/about.adoc:89-96).
+    * Adds an empty map column (and returns its name) only when the
+    * mapping actually writes metadata, so plans stay narrow otherwise.
+    */
+  // assignment form `meta x =` / `meta "x" =` — NOT the meta() reader;
+  // statement boundaries may be newlines OR plain spaces (YAML folds
+  // quoted-scalar line breaks to spaces)
+  private val metaStmt =
+    java.util.regex.Pattern.compile("(?:^|[\\s;])meta\\s+[\"'\\w]")
+  def ensureMeta(df: DataFrame, src: String,
+                 metadataCol: String = "metadata"): (DataFrame, Option[String]) =
+    if (df.columns.contains(metadataCol)) (df, Some(metadataCol))
+    else if (!metaStmt.matcher(src).find()) (df, None)
+    else (df.withColumn(metadataCol, map().cast(
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))), Some(metadataCol))
+
   /** `mutation`: like mapping but assignments overlay the input doc. */
   def mutation(df: DataFrame, src: String,
                envVars: Map[String, String] = Map.empty,

@@ -46,6 +46,13 @@ object Values {
   def asString(v: BV): Column = v.t match {
     case S => v.col
     case N | Del => lit(null).cast("string")
+    case F =>
+      // Go formats float64 with strconv 'g': whole values print with
+      // no fraction ("3", not "3.0") — reference methods.adoc string()
+      import org.apache.spark.sql.functions.{abs, floor, when}
+      when(v.col === floor(v.col) && abs(v.col) < 9.007199254740992e15,
+        v.col.cast("long").cast("string"))
+        .otherwise(v.col.cast("string"))
     case _ => v.col.cast("string")
   }
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Mq, PubSub, Sources}
+import graft.sources.{Mq, PubSub, Redis, Sources}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -84,6 +84,13 @@ object Pipeline {
                 element_at(split(col("path"), "/"), -1).as("key"),
                 col("content").cast("string").as("value"))
               .createOrReplaceTempView(view)
+          case "redis" =>
+            // caches/redis.adoc — snapshot of the store's string keys
+            // under `prefix` through the mem:// seam
+            val url = e.getValue.get("url").asText
+            val prefix = Option(e.getValue.get("prefix"))
+              .map(_.asText).getOrElse("")
+            Redis.cacheView(spark, url, prefix).createOrReplaceTempView(view)
           case other => throw new IllegalArgumentException(
             s"cache backend '$other' is environment-blocked here (network service)")
         }
@@ -289,6 +296,27 @@ object Pipeline {
             }
           else b.get("subject").asText
         PubSub.read(spark, style, mem, pattern)
+      case (kind @ ("redis_scan" | "redis_list" | "redis_pubsub" |
+                    "redis_streams"), b) =>
+        // inputs/redis_{scan,list,pubsub,streams}.adoc over the
+        // Redis store seam (mem:// = in-process fake)
+        val url = Option(b.get("url")).map(_.asText).getOrElse(
+          throw new IllegalArgumentException(s"$kind needs url"))
+        kind match {
+          case "redis_scan" =>
+            Redis.scanRead(spark, url, Option(b.get("match")).map(_.asText)
+              .filter(_.nonEmpty).getOrElse("*"))
+          case "redis_list" =>
+            Redis.listRead(spark, url, b.get("key").asText)
+          case "redis_pubsub" =>
+            Redis.pubsubRead(spark, url,
+              b.get("channels").elements().asScala.toSeq.map(_.asText),
+              b.path("use_patterns").asBoolean(false))
+          case "redis_streams" =>
+            Redis.streamsRead(spark, url,
+              b.get("streams").elements().asScala.toSeq.map(_.asText),
+              b.path("body_key").asText("body"))
+        }
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
@@ -406,6 +434,60 @@ object Pipeline {
                   else monotonically_increasing_id()
       PubSub.write(df.withColumn("__subject", subjC)
         .sortWithinPartitions(ordC2), mem, "__subject")
+    case (kind @ ("redis_list" | "redis_hash" | "redis_pubsub" |
+                  "redis_streams"), b) =>
+      // outputs/redis_{list,hash,pubsub,streams}.adoc — interpolated
+      // key/channel per row; per-key FIFO order via one sorted
+      // reducer per key (the Redis.listWrite contract)
+      val url = Option(b.get("url")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException(s"$kind needs url"))
+      val metaOpt = if (df.columns.contains("metadata")) Some("metadata")
+                    else None
+      val ordC = if (df.columns.contains("__seq")) col("__seq")
+                 else monotonically_increasing_id()
+      def interp(tpl: String) =
+        graft.blobl.Blobl.interpolateJson(df, tpl, metadataCol = metaOpt)
+      kind match {
+        case "redis_list" =>
+          Redis.listWrite(df, url, interp(b.get("key").asText),
+            col("value"), ordC)
+        case "redis_pubsub" =>
+          Redis.pubsubWrite(df, url, interp(b.get("channel").asText),
+            col("value"), ordC)
+        case "redis_streams" =>
+          Redis.streamWrite(df, url, b.get("stream").asText,
+            interp(b.path("id").asText("*")), col("value"), ordC,
+            b.path("body_key").asText("body"), metaOpt)
+        case "redis_hash" =>
+          // fields come from explicit `fields` interpolations, the
+          // walked JSON object, and/or walked metadata (adoc order:
+          // walked sources first, explicit fields override)
+          val explicit = Option(b.get("fields")).map(_.properties().asScala
+            .toSeq.map(e => (e.getKey, e.getValue.asText))).getOrElse(Seq.empty)
+          val explicitC =
+            if (explicit.isEmpty) lit(null).cast("map<string,string>")
+            else map(explicit.flatMap { case (f, tpl) =>
+              Seq(lit(f), interp(tpl))
+            }: _*)
+          val walkJson =
+            if (b.path("walk_json_object").asBoolean(false))
+              from_json(col("value"), org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType))
+            else lit(null).cast("map<string,string>")
+          val walkMeta =
+            if (b.path("walk_metadata").asBoolean(false) && metaOpt.nonEmpty)
+              col("metadata")
+            else lit(null).cast("map<string,string>")
+          val empty = map().cast("map<string,string>")
+          // map_concat rejects duplicate keys (mapKeyDedupPolicy) —
+          // overlay drops a's entries that b overrides
+          def overlay(a: Column, b: Column): Column =
+            map_concat(map_filter(a, (k, _) => !map_contains_key(b, k)), b)
+          val fieldsC = overlay(overlay(coalesce(walkMeta, empty),
+            coalesce(walkJson, empty)), coalesce(explicitC, empty))
+          Redis.hashWrite(df, url, interp(b.get("key").asText), fieldsC, ordC)
+      }
     case ("qdrant", b) =>
       // outputs/qdrant.adoc — id is interpolated, vector_mapping is a
       // bloblang expression over the message producing the point's
@@ -468,11 +550,15 @@ object Processors {
     kind match {
       // ── mapping layer ────────────────────────────────────────────
       case "mapping" | "bloblang" =>
-        df => Blobl.mapping(df, body.asText, env,
-          metadataCol = metaColOf(df))
+        df => {
+          val (d, meta) = Blobl.ensureMeta(df, body.asText)
+          Blobl.mapping(d, body.asText, env, metadataCol = meta)
+        }
       case "mutation" =>
-        df => Blobl.mutation(df, body.asText, env,
-          metadataCol = metaColOf(df))
+        df => {
+          val (d, meta) = Blobl.ensureMeta(df, body.asText)
+          Blobl.mutation(d, body.asText, env, metadataCol = meta)
+        }
       case "jq" =>
         df => Jq.run(df, body.asText, "value", "value")
       case "jmespath" =>
@@ -1017,6 +1103,28 @@ object Processors {
             .withColumn("value", coalesce(col("__cached_value"), col("value")))
             .drop("__cache_key", "__cached_value")
         }
+      case "redis" =>
+        // processors/redis.adoc:26 — run `command` with args from
+        // `args_mapping` for each message; the message contents are
+        // replaced with the result (merge via `branch`, per the doc);
+        // command failures take the error channel (processor.go:400)
+        val url = body.get("url").asText
+        val cmdTpl = Option(body.get("command")).map(_.asText).getOrElse(
+          throw new IllegalArgumentException(
+            "redis processor needs a command (operator-form configs are " +
+              "expressed as commands here)"))
+        val argsExpr = Option(body.get("args_mapping")).map(_.asText)
+          .map(_.replaceFirst("^\\s*root\\s*=\\s*", ""))
+        df => {
+          val meta = metaColOf(df)
+          val withCols = FlowControl.withErrorChannel(df)
+            .withColumn("__rcmd",
+              Blobl.interpolateJson(df, cmdTpl, env, metadataCol = meta))
+            .withColumn("__rargs", argsExpr.map(e =>
+              Blobl.exprJson(df, e, env, metadataCol = meta).cast("string"))
+              .getOrElse(lit(null).cast("string")))
+          graft.sources.Redis.applyCommands(withCols, url)
+        }
       case "command" =>
         // processors/command.adoc:26 — fork per message
         val argv = argvOf(body)
@@ -1285,4 +1393,5 @@ object Processors {
 
   private def metaColOf(df: DataFrame): Option[String] =
     if (df.columns.contains("metadata")) Some("metadata") else None
+
 }

@@ -31,7 +31,8 @@ object Sources {
                envVars: Map[String, String] = Map.empty): DataFrame = {
     val base = spark.range(count)
       .select(to_json(struct(col("id").as("seq"))).as(Envelope.ValueCol))
-    Blobl.mapping(base, mapping, envVars)
+    val (withMeta, metaCol) = Blobl.ensureMeta(base, mapping)
+    Blobl.mapping(withMeta, mapping, envVars, metadataCol = metaCol)
   }
 
   /** Streaming `generate`: rows at `rowsPerSecond`, same mapping
@@ -42,7 +43,8 @@ object Sources {
     val base = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
       .select(to_json(struct(col("value").as("seq"))).as(Envelope.ValueCol))
-    Blobl.mapping(base, mapping, envVars)
+    val (withMeta, metaCol) = Blobl.ensureMeta(base, mapping)
+    Blobl.mapping(withMeta, mapping, envVars, metadataCol = metaCol)
   }
 
   /** CSV file source (inputs/csv.adoc:26 — RFC 4180, header row). */
