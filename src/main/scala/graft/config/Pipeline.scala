@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Mq, PubSub, Redis, Sources}
+import graft.sources.{HttpClient, Mq, PubSub, Redis, Sources, Tcp}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -255,6 +255,40 @@ object Pipeline {
             // the batch processors/writeOutput path)
             Sources.kafkaBatch(spark, addrs.mkString(","), topics.mkString(","))
         }
+      case ("socket", b) =>
+        // inputs/socket.adoc (client mode): connect and read
+        // newline-delimited messages to EOF
+        Tcp.read(spark, b.get("address").asText)
+      case ("inproc", b) =>
+        // inputs/inproc.adoc — consume the frame an inproc output of a
+        // sibling pipeline registered under this id (temp-view handoff,
+        // the streams-mode wiring)
+        spark.table("inproc_" + b.asText)
+      case ("sequence", b) =>
+        // inputs/sequence.adoc — children consumed in order, first to
+        // exhaustion then the next; bounded form = ordered concat
+        val kids = Option(b.get("inputs")).getOrElse(
+          throw new IllegalArgumentException("sequence needs inputs"))
+          .elements().asScala.toSeq
+        kids.map(k => compileInput(spark, k, env))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case ("stdin", _) =>
+        // inputs/stdin.adoc — bounded snapshot: read standard input to
+        // EOF, one message per line (the lines scanner default)
+        val lines = Iterator.continually(scala.io.StdIn.readLine())
+          .takeWhile(_ != null).toSeq
+        import spark.implicits._
+        lines.zipWithIndex.map { case (l, i) => (l, i.toLong) }
+          .toDF("value", "__seq")
+      case ("pulsar", b) =>
+        // inputs/pulsar.adoc — partitioned-topic consume over the
+        // broker seam with the pulsar_* metadata contract
+        val url = b.get("url").asText
+        require(url.startsWith("mem://"),
+          "pulsar: only mem:// transports exist in this environment")
+        val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
+        topics.map(t => Sources.pulsarRead(spark, url, t))
+          .reduce(_.unionByName(_))
       case ("amqp_0_9", b) =>
         // inputs/amqp_0_9.adoc — consume ONE queue (FIFO); optional
         // queue_declare + bindings_declare set up topology first.
@@ -296,6 +330,18 @@ object Pipeline {
             }
           else b.get("subject").asText
         PubSub.read(spark, style, mem, pattern)
+      case ("http_client", b) =>
+        // inputs/http_client.adoc — bounded paginated poll over the
+        // pluggable client (stub:// = offline echo)
+        val url = b.get("url").asText
+        HttpClient.read(spark, url,
+          verb = b.path("verb").asText("GET"),
+          headers = Option(b.get("headers")).map(_.properties().asScala
+            .map(e => (e.getKey, e.getValue.asText)).toMap)
+            .getOrElse(Map.empty),
+          payload = b.path("payload").asText(""),
+          streamLines = b.at("/stream/enabled").asBoolean(false),
+          maxRequests = b.path("max_requests").asInt(100))
       case (kind @ ("redis_scan" | "redis_list" | "redis_pubsub" |
                     "redis_streams"), b) =>
         // inputs/redis_{scan,list,pubsub,streams}.adoc over the
@@ -434,6 +480,20 @@ object Pipeline {
                   else monotonically_increasing_id()
       PubSub.write(df.withColumn("__subject", subjC)
         .sortWithinPartitions(ordC2), mem, "__subject")
+    case ("http_client", b) =>
+      // outputs/http_client.adoc — one request per message, URL
+      // interpolated per row
+      val url = b.get("url").asText
+      val metaOpt0 = if (df.columns.contains("metadata")) Some("metadata")
+                     else None
+      HttpClient.write(df,
+        graft.blobl.Blobl.interpolateJson(df, url, metadataCol = metaOpt0),
+        verb = b.path("verb").asText("POST"),
+        headers = Option(b.get("headers")).map(_.properties().asScala
+          .map(e => (e.getKey, e.getValue.asText)).toMap)
+          .getOrElse(Map.empty),
+        batchSize = b.path("batch_size").asInt(16),
+        clientUrl = url)
     case (kind @ ("redis_list" | "redis_hash" | "redis_pubsub" |
                   "redis_streams"), b) =>
       // outputs/redis_{list,hash,pubsub,streams}.adoc — interpolated
@@ -488,6 +548,41 @@ object Pipeline {
             coalesce(walkJson, empty)), coalesce(explicitC, empty))
           Redis.hashWrite(df, url, interp(b.get("key").asText), fieldsC, ordC)
       }
+    case ("socket", b) =>
+      // outputs/socket.adoc — one ordered connection (lines codec)
+      Tcp.write(df, b.get("address").asText)
+    case ("inproc", b) =>
+      // outputs/inproc.adoc — register under the id for a sibling
+      // pipeline's inproc input (one output per id; a collision
+      // replaces the previous registration, per the adoc)
+      df.createOrReplaceTempView("inproc_" + b.asText)
+    case ("stdout", _) =>
+      // outputs/stdout.adoc — newline-delimited messages to standard
+      // out; driver-side ordered drain (a console is one consumer)
+      val orderedOut = if (df.columns.contains("__seq"))
+        df.orderBy(col("__seq")) else df
+      orderedOut.select(col("value")).collect()
+        .foreach(r => Console.out.println(r.getString(0)))
+    case ("pulsar", b) =>
+      // outputs/pulsar.adoc — interpolated key routes via pulsar's
+      // default JavaStringHash router; topics auto-create (pulsar's
+      // broker default), per-partition order preserved by brokerWrite
+      val url = b.get("url").asText
+      require(url.startsWith("mem://"),
+        "pulsar: only mem:// transports exist in this environment")
+      val topic = b.get("topic").asText
+      val t = graft.sources.Broker.transportFor(url)
+      try t.partitionCount(topic)
+      catch { case _: IllegalArgumentException => t.createTopic(topic, 4) }
+      val metaP = if (df.columns.contains("metadata")) Some("metadata")
+                  else None
+      val keyTplP = Option(b.get("key")).map(_.asText).filter(_.nonEmpty)
+      val keyCP = keyTplP.map(tp => graft.blobl.Blobl.interpolateJson(df, tp,
+        metadataCol = metaP)).getOrElse(lit(null).cast("string"))
+      val ordP = if (df.columns.contains("__seq")) col("__seq")
+                 else monotonically_increasing_id()
+      Sinks.brokerWrite(df, url, topic, keyCP, col("value"), ordP,
+        partitioner = "java_hash")
     case ("qdrant", b) =>
       // outputs/qdrant.adoc — id is interpolated, vector_mapping is a
       // bloblang expression over the message producing the point's

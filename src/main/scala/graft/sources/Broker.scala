@@ -202,6 +202,10 @@ object Broker {
       case "murmur2_hash" =>
         // kafka's java partitioner masks the sign bit (toPositive)
         (murmur2(key) & 0x7fffffff) % n
+      case "java_hash" =>
+        // pulsar's default key router (JavaStringHash: UTF-8 string
+        // hashCode, sign-masked)
+        (new String(key, "UTF-8").hashCode & 0x7fffffff) % n
       case other => throw new IllegalArgumentException(
         s"partitioner: $other (manual partitions are passed explicitly)")
     }

@@ -175,6 +175,29 @@ object Sources {
     spark.createDataFrame(rows, schema)
   }
 
+  /** `pulsar` input (inputs/pulsar.adoc) — pulsar's model (partitioned
+    * topics, key routing, ordering keys) maps onto the same broker
+    * transport; this read surfaces the pulsar_* metadata contract
+    * (message id as partition:offset — the ledger:entry analog —
+    * publish/event times, key, properties).
+    */
+  def pulsarRead(spark: SparkSession, address: String,
+                 topic: String): DataFrame = {
+    val df = brokerRead(spark, address, topic)
+    val m = col(Envelope.MetadataCol)
+    val base = map(
+      lit("pulsar_message_id"),
+      concat_ws(":", m("kafka_partition"), m("kafka_offset")),
+      lit("pulsar_key"), coalesce(m("kafka_key"), lit("")),
+      lit("pulsar_ordering_key"), coalesce(m("kafka_key"), lit("")),
+      lit("pulsar_topic"), lit(topic),
+      lit("pulsar_publish_time_unix"), m("kafka_timestamp_unix"),
+      lit("pulsar_event_time_unix"), m("kafka_timestamp_unix"),
+      lit("pulsar_redelivery_count"), lit("0"))
+    val props = map_filter(m, (k, _) => !k.startsWith("kafka_"))
+    df.withColumn(Envelope.MetadataCol, map_concat(base, props))
+  }
+
   /** Binary-file source with the `tar`/`zip` scanner composed in
     * (reference file input scanners, docs/…/inputs/file.adoc scanner
     * section): each archive on disk explodes into one row per entry
