@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{HttpClient, Mq, PubSub, Redis, Sources, Tcp}
+import graft.sources.{HttpClient, Mq, NatsKv, PubSub, Redis, Sources, Tcp}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -39,7 +39,8 @@ object Pipeline {
 
   final case class Spec(input: JsonNode, processors: Seq[JsonNode],
                         output: Option[JsonNode],
-                        cacheResources: Seq[JsonNode] = Seq.empty)
+                        cacheResources: Seq[JsonNode] = Seq.empty,
+                        buffer: Option[JsonNode] = None)
 
   def load(configYaml: String): Spec = {
     val root = yaml.readTree(configYaml)
@@ -50,8 +51,46 @@ object Pipeline {
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val caches = Option(root.get("cache_resources"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-    Spec(input, procs, Option(root.get("output")), caches)
+    Spec(input, procs, Option(root.get("output")), caches,
+      Option(root.get("buffer")))
   }
+
+  /** `buffer:` section between input and pipeline. `memory`/`none` are
+    * identity in bounded runs (a buffer decouples producer rate, which
+    * Spark's own scheduling covers); `system_window`
+    * (buffers/system_window.adoc) assigns each message to its
+    * window(s): `__batch` = window end so batch-scoped processors
+    * group per window, `window_end_timestamp` metadata per message.
+    */
+  private def applyBuffer(df: DataFrame, n: JsonNode,
+                          env: Map[String, String]): DataFrame = one(n) match {
+    case ("memory" | "none", _) => df
+    case ("system_window", b) =>
+      val sizeMs = durMs(b.get("size").asText)
+      val slideMs = Option(b.get("slide")).map(_.asText).filter(_.nonEmpty)
+        .map(durMs).getOrElse(0L)
+      val offsetMs = Option(b.get("offset")).map(_.asText).filter(_.nonEmpty)
+        .map(durMs).getOrElse(0L)
+      val tsExpr = b.path("timestamp_mapping").asText("root = now()")
+        .replaceFirst("^\\s*root\\s*=\\s*", "")
+      val meta = if (df.columns.contains("metadata")) Some("metadata")
+                 else None
+      val raw = Blobl.exprJson(df, tsExpr, env, metadataCol = meta)
+        .cast("string")
+      // event time may arrive as unix seconds or RFC3339 text; numeric
+      // first — try_to_timestamp would read "1000" as the YEAR 1000
+      val asNum = raw.cast("double")
+      val ts = when(asNum.isNotNull, timestamp_seconds(asNum))
+        .otherwise(try_to_timestamp(raw))
+      graft.streaming.Windows.assignWindows(df, ts, sizeMs, slideMs,
+        offsetMs, meta)
+    case (other, _) =>
+      throw new IllegalArgumentException(s"buffer '$other' not supported")
+  }
+
+  private def durMs(s: String): Long =
+    graft.functions.expressions.CodecOps.parseDuration(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)) / 1000000L
 
   /** `cache_resources:` blocks → `cache_<label>` (key, value) temp
     * views, the relational form the `cache` processor joins against.
@@ -91,6 +130,15 @@ object Pipeline {
             val prefix = Option(e.getValue.get("prefix"))
               .map(_.asText).getOrElse("")
             Redis.cacheView(spark, url, prefix).createOrReplaceTempView(view)
+          case "nats_kv" =>
+            // caches/nats_kv.adoc — live entries of the bucket
+            val urls = e.getValue.get("urls").elements().asScala.toSeq
+              .map(_.asText)
+            val mem = urls.find(_.startsWith("mem://")).getOrElse(
+              throw new IllegalArgumentException(
+                "nats_kv: only mem:// transports exist in this environment"))
+            graft.sources.NatsKv.cacheView(spark, mem,
+              e.getValue.get("bucket").asText).createOrReplaceTempView(view)
           case other => throw new IllegalArgumentException(
             s"cache backend '$other' is environment-blocked here (network service)")
         }
@@ -103,7 +151,9 @@ object Pipeline {
     val spec = load(configYaml)
     registerCaches(spark, spec.cacheResources)
     val src = compileInput(spark, spec.input, env)
-    spec.processors.foldLeft(src)((df, p) => Processors.compile(p, env)(df))
+    val buffered = spec.buffer.map(applyBuffer(src, _, env)).getOrElse(src)
+    spec.processors.foldLeft(buffered)((df, p) =>
+      Processors.compile(p, env)(df))
   }
 
   /** Build and execute through the output; returns the final frame. */
@@ -280,6 +330,14 @@ object Pipeline {
         import spark.implicits._
         lines.zipWithIndex.map { case (l, i) => (l, i.toLong) }
           .toDF("value", "__seq")
+      case ("nats_kv", b) =>
+        // inputs/nats_kv.adoc — bounded watch: current live entry per
+        // key with nats_kv_* metadata
+        val urls = b.get("urls").elements().asScala.toSeq.map(_.asText)
+        val mem = urls.find(_.startsWith("mem://")).getOrElse(
+          throw new IllegalArgumentException(
+            "nats_kv: only mem:// transports exist in this environment"))
+        NatsKv.read(spark, mem, b.get("bucket").asText)
       case ("pulsar", b) =>
         // inputs/pulsar.adoc — partitioned-topic consume over the
         // broker seam with the pulsar_* metadata contract
@@ -563,6 +621,38 @@ object Pipeline {
         df.orderBy(col("__seq")) else df
       orderedOut.select(col("value")).collect()
         .foreach(r => Console.out.println(r.getString(0)))
+    case ("nats_kv", b) =>
+      // outputs/nats_kv.adoc — put each value under its interpolated
+      // key
+      val urls = b.get("urls").elements().asScala.toSeq.map(_.asText)
+      val mem = urls.find(_.startsWith("mem://")).getOrElse(
+        throw new IllegalArgumentException(
+          "nats_kv: only mem:// transports exist in this environment"))
+      val metaK = if (df.columns.contains("metadata")) Some("metadata")
+                  else None
+      val ordK = if (df.columns.contains("__seq")) col("__seq")
+                 else monotonically_increasing_id()
+      graft.sources.NatsKv.write(df, mem, b.get("bucket").asText,
+        graft.blobl.Blobl.interpolateJson(df, b.get("key").asText,
+          metadataCol = metaK),
+        col("value"), ordK)
+    case (kind @ ("elasticsearch_v8" | "elasticsearch_v9" | "opensearch"), b) =>
+      // outputs/elasticsearch_v8.adoc — per-message interpolated
+      // index/action/id through the public _bulk NDJSON API
+      val urls = b.get("urls").elements().asScala.toSeq.map(_.asText)
+      require(urls.nonEmpty, s"$kind needs urls")
+      val metaE = if (df.columns.contains("metadata")) Some("metadata")
+                  else None
+      def interpE(tpl: String) =
+        graft.blobl.Blobl.interpolateJson(df, tpl, metadataCol = metaE)
+      graft.sinks.Search.bulkWrite(df, urls.head,
+        interpE(b.get("index").asText),
+        interpE(b.get("action").asText),
+        interpE(b.get("id").asText),
+        batchSize = b.at("/batching/count").asInt(500) match {
+          case 0 => 500
+          case n => n
+        })
     case ("pulsar", b) =>
       // outputs/pulsar.adoc — interpolated key routes via pulsar's
       // default JavaStringHash router; topics auto-create (pulsar's
@@ -801,22 +891,23 @@ object Processors {
       // ── batch restructuring (§2.3) ───────────────────────────────
       case "group_by" =>
         // processors/group_by.adoc:26 — first matching predicate wins;
-        // the group id lands in metadata (the reference regroups
-        // batches; group-tagging is the flat-stream equivalent)
+        // the group id lands in metadata AND refines the batch
+        // identity (the reference REGROUPS batches — downstream
+        // batch-scoped ops see each group as its own batch)
         val checks = body.elements().asScala.toSeq
           .map(c => c.get("check").asText)
         df => {
           val preds = checks.map(Blobl.predicateJson(df, _, env,
             metadataCol = metaColOf(df)))
-          tagMeta(df, "group",
+          regroup(tagMeta(df, "group",
             preds.zipWithIndex.foldRight(lit(-1): Column) {
               case ((p, i), acc) => when(p, lit(i)).otherwise(acc)
-            }.cast("string"))
+            }.cast("string")))
         }
       case "group_by_value" =>
         val tpl = body.path("value").asText(body.asText)
-        df => tagMeta(df, "group",
-          Blobl.interpolateJson(df, tpl, env, metadataCol = metaColOf(df)))
+        df => regroup(tagMeta(df, "group",
+          Blobl.interpolateJson(df, tpl, env, metadataCol = metaColOf(df))))
       case "split" =>
         // processors/split.adoc:26 — size-N sub-batches by input order.
         // row_number over __seq: only RELATIVE order matters, so this
@@ -1198,6 +1289,35 @@ object Processors {
             .withColumn("value", coalesce(col("__cached_value"), col("value")))
             .drop("__cache_key", "__cached_value")
         }
+      case "nats_kv" =>
+        // processors/nats_kv.adoc — per-row bucket operation; get-ops
+        // replace content, mutation ops set revision metadata,
+        // failures (create-exists, CAS mismatch) error the row
+        val urls = body.get("urls").elements().asScala.toSeq.map(_.asText)
+        val mem = urls.find(_.startsWith("mem://")).getOrElse(
+          throw new IllegalArgumentException(
+            "nats_kv: only mem:// transports exist in this environment"))
+        val bucket = body.get("bucket").asText
+        val op = body.get("operation").asText
+        val keyTpl = Option(body.get("key")).map(_.asText).getOrElse("")
+        val revTpl = Option(body.get("revision")).map(_.asText)
+        df => {
+          // the op writes nats_kv_* metadata — the column must exist
+          val d0 = if (df.columns.contains("metadata")) df
+            else df.withColumn("metadata", map().cast(
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType)))
+          val meta = Some("metadata")
+          val withCols = FlowControl.withErrorChannel(d0)
+            .withColumn("__kvkey", if (keyTpl.isEmpty)
+              lit(null).cast("string")
+              else Blobl.interpolateJson(d0, keyTpl, env, metadataCol = meta))
+            .withColumn("__kvrev", revTpl.map(t =>
+              Blobl.interpolateJson(d0, t, env, metadataCol = meta)
+                .cast("long")).getOrElse(lit(0L)))
+          graft.sources.NatsKv.applyOps(withCols, mem, bucket, op)
+        }
       case "redis" =>
         // processors/redis.adoc:26 — run `command` with args from
         // `args_mapping` for each message; the message contents are
@@ -1439,6 +1559,15 @@ object Processors {
   /** Write a key into the metadata map (creating it when absent). */
   private def tagMeta(df: DataFrame, key: String, value: Column): DataFrame =
     df.withColumn("metadata", metaPut(metaColOf(df), lit(key), value))
+
+  /** After a group tag lands in metadata, the batch identity refines
+    * to (previous batch, group) — the reference's regrouped batches —
+    * so from_all / batch_index / split downstream scope per group.
+    */
+  private def regroup(df: DataFrame): DataFrame = {
+    val base = if (df.columns.contains("__batch")) col("__batch") else lit(0L)
+    df.withColumn("__batch", xxhash64(base, col("metadata")("group")))
+  }
 
   private def metaPut(metaCol: Option[String], key: Column, value: Column): Column =
     metaCol match {

@@ -60,6 +60,47 @@ object Windows {
       .drop("window")
   }
 
+  /** The system_window BUFFER form (buffers/system_window.adoc):
+    * assign each MESSAGE to its window(s) rather than aggregating —
+    * the window becomes the batch identity (`__batch` = window end,
+    * epoch ms) so downstream batch-scoped processors (group_by_value,
+    * from_all, select_parts…) operate per window, and every message
+    * gains `window_end_timestamp` metadata (RFC3339, the adoc
+    * contract). With `slideMs` < `sizeMs` messages belong to multiple
+    * windows and duplicate into each (adoc sliding-windows section).
+    *
+    * Pure projection + explode — no shuffle; the window id shuffles
+    * only when a downstream op groups on it.
+    */
+  def assignWindows(df: DataFrame, tsCol: Column, sizeMs: Long,
+                    slideMs: Long = 0L, offsetMs: Long = 0L,
+                    metadataCol: Option[String] = None): DataFrame = {
+    require(sizeMs > 0, "system_window needs a positive size")
+    val step = if (slideMs > 0) slideMs else sizeMs
+    val tsMs = (tsCol.cast("double") * 1000).cast("long")
+    val kMax = floor((tsMs - lit(offsetMs)).cast("double") / lit(step))
+      .cast("long")
+    val kMin =
+      if (slideMs > 0 && slideMs < sizeMs)
+        floor((tsMs - lit(offsetMs) - lit(sizeMs)).cast("double") / lit(step))
+          .cast("long") + 1
+      else kMax
+    val exploded = df
+      .withColumn("__wk", explode(sequence(kMin, kMax)))
+      .withColumn("__batch", col("__wk") * step + offsetMs + sizeMs)
+      .drop("__wk")
+    val endTs = rfc3339(timestamp_millis(col("__batch")))
+    metadataCol match {
+      case Some(m) =>
+        exploded.withColumn(m, map_concat(
+          map_filter(col(m), (k, _) => k =!= "window_end_timestamp"),
+          map(lit("window_end_timestamp"), endTs)))
+      case None =>
+        exploded.withColumn("metadata",
+          map(lit("window_end_timestamp"), endTs))
+    }
+  }
+
   /** Session windows (gap-based) — absent in the reference
     * (SURVEY.md §2.6 "free capability"), first-class in Spark.
     */
