@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes Bench/Verify via `sbt runMain` and parses the tail
+// of stdout for the ONE JSON line Bench prints. With the default
+// LoggedOutput strategy the forked JVM's stdout is re-emitted through
+// sbt's logger (an `[info] ` prefix on the JSON line), and sbt appends
+// `[success] Total time: ...` as the final stdout line — both of which
+// have made the driver's JSON parse fail every round (BENCH_r*.json
+// `parsed: null`). Inherit stdout directly and drop the success banner
+// so the bench's own JSON line is the literal last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

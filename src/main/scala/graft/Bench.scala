@@ -97,7 +97,7 @@ object Bench {
     val (maxName, maxSec) =
       if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
     val extra =
-      s""""max_query":"$maxName","max_sec":${fmt(maxSec)},"runs":$runs"""
+      s""""max_query":"$maxName","max_sec":${fmt(maxSec)},"runs":$runs,"n_queries":${results.size}"""
     // full per-query detail first (humans / logs) …
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -37,13 +37,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `ts` arrives as TIMESTAMP(NANOS); values are µs-aligned, so the
-    * integer-division conversion to TimestampType is lossless.
+  /** `ts` has shipped as both TIMESTAMP(NANOS) (surfacing as a long
+    * under `nanosAsLong` — µs-aligned, so the integer division to
+    * TimestampType is lossless) and native TIMESTAMP(MICROS) (already a
+    * TimestampType). Branch on the loaded type so both generations of
+    * the driver-written parquet read identically.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
