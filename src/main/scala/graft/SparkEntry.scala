@@ -1368,11 +1368,22 @@ object SparkEntry {
     }),
 
     "s_cosine_lsh" -> ((s, d) => {
-      // probabilistic recall — rows-only check (no oracle); the
-      // planted-duplicate recall gate lives in RecallSpec
+      // Hyperplane LSH is a NEAR-DUPLICATE detector (see lshTopK docs);
+      // the synthetic corpus has no near-dups, so querying raw vectors
+      // returned ~1 incidental collision — a rows-only gate that hid
+      // nothing. Instead plant exact copies under shifted ids as the
+      // query set: identical vectors collide in EVERY table
+      // (probability 1, not probabilistic), so after a sim ≥ 0.95 cut
+      // the output is exactly the planted twins at sim 1.0 — fully
+      // SQL-expressible, upgrading this gate from rows-only to
+      // hash-matched while still exercising the real LSH path
+      // (bucketing kernel → candidate join → exact rescore → top-k).
+      // Approximate-regime recall stays gated by RecallSpec.
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
-          planes = 16, tables = 4)
+      val planted = emb.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.lshTopK(emb, planted, 5, planes = 16, tables = 4)
+        .filter(col("sim") >= 0.95)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1455,6 +1466,25 @@ object SparkEntry {
       |      ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM scored) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Queries intentionally absent from [[oracleSql]], each with the
+    * reason and the non-oracle gate that covers it instead. Verify dumps
+    * this as `oracle_exempt.json` next to `oracle_sql.json` so the
+    * correctness sweep's rows-only entries are explicit exemptions, not
+    * silent coverage gaps. Every `queries` key must appear in exactly
+    * one of the two maps (pinned by SparkEntrySpec).
+    */
+  def oracleExempt: Map[String, String] = Map(
+    "t_simhash" -> ("simhash pair mining over the real xxhash feature " +
+      "hasher; SQL cannot reproduce the hash kernel. The COMPUTATION is " +
+      "oracle-gated via t_simhash_md5 (md5 feature hashes DuckDB can " +
+      "recompute); pair-mining recall ≥ 0.9 is gated by RecallSpec."),
+    "t_chunk_recursive" -> ("recursive-character chunker; the separator " +
+      "descent is algorithmic, not relational. Invariants (coverage, " +
+      "bounds, reconstruction) are gated by ArchiveChunkSpec; the token " +
+      "strategy has the FULL oracle (t_chunk_token)."),
+    "t_chunk_markdown" -> ("markdown-structure chunker; same gating as " +
+      "t_chunk_recursive (ArchiveChunkSpec invariants)."))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2218,6 +2248,15 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s_cosine_ivf" -> cosineTopkSql,
+
+    // Planted exact twins: an identical pair collides in every LSH
+    // table with probability 1, and no random pair in the synthetic
+    // corpus reaches cosine 0.95 (neighbors top out ~0.5), so the
+    // sim ≥ 0.95 cut leaves exactly the twins at rank 1, sim 1.0.
+    "s_cosine_lsh" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(1 AS INTEGER) AS rank,
+        |  vec_id AS neighbor_id, CAST(1.0 AS DOUBLE) AS sim
+        |FROM embeddings WHERE vec_id < 50 ORDER BY query_id""".stripMargin,
 
     "s_embed_dedup" ->
       """WITH p AS (

@@ -44,6 +44,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // explicit exemption manifest: the driver ignores unknown files, but
+    // the rows-only entries in the sweep are now declared, not silent
+    val exempt = SparkEntry.oracleExempt
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_exempt.json"), exempt)
     spark.stop()
   }
 }

@@ -193,4 +193,17 @@ class PlanContractSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("every query is oracle-gated or explicitly oracle-exempt") {
+    val queries = SparkEntry.queries.keySet
+    val gated = SparkEntry.oracleSql.keySet
+    val exempt = SparkEntry.oracleExempt.keySet
+    assert((gated & exempt).isEmpty,
+      s"both gated and exempt: ${gated & exempt}")
+    assert((queries -- gated -- exempt).isEmpty,
+      s"silent rows-only queries (add oracleSql or oracleExempt): " +
+        s"${queries -- gated -- exempt}")
+    assert((gated -- queries).isEmpty && (exempt -- queries).isEmpty,
+      s"oracle entries without a query: ${(gated ++ exempt) -- queries}")
+  }
 }
