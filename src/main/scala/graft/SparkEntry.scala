@@ -580,6 +580,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_jira_incremental" -> ((s, d) => {
+      // jira input contract end-to-end (inputs/jira.adoc via the
+      // Jira.InMemoryServer seam): orders become issues (updated =
+      // order date). Sweep 1 reads the pre-1996 corpus and persists
+      // the cursor; the server then gains the rest and sweep 2 must
+      // emit ONLY the new issues — the `updated >=` threshold
+      // re-matches every issue sharing the sweep-1 boundary date, and
+      // the seen-map suppresses those already-delivered versions (the
+      // incremental semantics the cursor exists for). Jira.read pages
+      // EAGERLY at call time (driver admission), so the two sweeps
+      // against a mutating corpus compose without checkpoints.
+      import graft.sources.Jira
+      import graft.sources.Jira.InMemoryServer.{Issue, Transport}
+      val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val ords = Tables.orders(s, d).filter(col("o_orderkey") < 400)
+        .select("o_orderkey", "o_orderdate").collect()
+      def issue(r: org.apache.spark.sql.Row) = Issue(
+        key = f"ORD-${r.getLong(0)}%06d",
+        project = "P" + (r.getLong(0) % 3),
+        updatedMs = r.getTimestamp(1).getTime, summary = "")
+      val early = ords.filter(_.getTimestamp(1).before(cutoff))
+        .map(issue).toSeq
+      val store = new Jira.MemStore
+      val auth = Jira.Auth("bot@x.test", "tok")
+      def sweep(corpus: Seq[Issue], n: Int) =
+        Jira.read(s, "https://x.test", auth, client = Transport(corpus),
+            cursor = Some((store, "cur")), pageSize = 25)
+          .select(col("metadata")("jira_id").as("jira_id"),
+            col("metadata")("jira_project").as("project"),
+            unix_micros(to_timestamp(col("metadata")("jira_updated")))
+              .as("updated_us"),
+            lit(n).as("sweep"))
+      val s1 = sweep(early, 1)
+      val s2 = sweep(ords.map(issue).toSeq, 2)
+      s1.unionByName(s2).orderBy(col("jira_id"))
+    }),
+
     "p_redis_streams" -> ((s, d) => {
       // Redis streams contract (inputs/redis_streams.adoc via the
       // store seam): XADD documents with explicit monotonic ids and a
@@ -1727,6 +1764,15 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS tag
         |FROM documents WHERE doc_id < 300 AND lang = 'en'
         |ORDER BY doc_id""".stripMargin,
+
+    "p_jira_incremental" ->
+      """SELECT 'ORD-' || LPAD(CAST(o_orderkey AS VARCHAR), 6, '0') AS jira_id,
+        |  'P' || CAST(o_orderkey % 3 AS VARCHAR) AS project,
+        |  epoch_us(o_orderdate) AS updated_us,
+        |  CAST(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+        |       THEN 1 ELSE 2 END AS INTEGER) AS sweep
+        |FROM orders WHERE o_orderkey < 400
+        |ORDER BY jira_id""".stripMargin,
 
     "p_nats_subjects" ->
       """WITH pub AS (

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{HttpClient, Mq, NatsKv, PubSub, Redis, Sources, Tcp}
+import graft.sources.{HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Sources, Tcp}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -36,6 +36,13 @@ import graft.sources.{HttpClient, Mq, NatsKv, PubSub, Redis, Sources, Tcp}
 object Pipeline {
 
   private val yaml = new ObjectMapper(new YAMLFactory())
+
+  /** file-backend cache label → directory, recorded at registration so
+    * inputs needing a WRITABLE store (jira's cursor) can reach the
+    * backing files rather than the read-only relational view.
+    */
+  private val fileCacheDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   final case class Spec(input: JsonNode, processors: Seq[JsonNode],
                         output: Option[JsonNode],
@@ -118,6 +125,7 @@ object Pipeline {
             df.createOrReplaceTempView(view)
           case "file" =>
             val dir = e.getValue.get("directory").asText
+            fileCacheDirs.update(label, dir)
             spark.read.format("binaryFile").load(dir + "/*")
               .select(
                 element_at(split(col("path"), "/"), -1).as("key"),
@@ -400,6 +408,36 @@ object Pipeline {
           payload = b.path("payload").asText(""),
           streamLines = b.at("/stream/enabled").asBoolean(false),
           maxRequests = b.path("max_requests").asInt(100))
+      case ("jira", b) =>
+        // inputs/jira.adoc — incremental JQL poll (one catch-up sweep
+        // in batch form); mem:// base URLs resolve to a registered
+        // test client; cursor.cache must name a FILE cache resource
+        // (the only backend writable across runs here)
+        val baseUrl = b.get("base_url").asText
+        val auth = Jira.Auth(b.at("/auth/email").asText,
+          b.at("/auth/api_token").asText)
+        val cursorOpt = Option(b.at("/cursor/cache"))
+          .filterNot(_.isMissingNode).map(_.asText).filter(_.nonEmpty)
+          .map { lbl =>
+            val dir = fileCacheDirs.getOrElse(lbl,
+              throw new IllegalArgumentException(
+                s"jira: cursor.cache '$lbl' must be a file cache resource"))
+            (new Jira.FileStore(dir): Jira.CursorStore,
+              b.at("/cursor/key").asText match {
+                case "" => "jira_cursor"; case k => k })
+          }
+        Jira.read(spark, baseUrl, auth,
+          resource = b.path("resource").asText("issues"),
+          jql = b.path("jql").asText(""),
+          fields = Option(b.get("fields")).map(_.elements().asScala.toSeq
+            .map(_.asText)).getOrElse(Seq("*all")),
+          expand = Option(b.get("expand")).map(_.elements().asScala.toSeq
+            .map(_.asText)).getOrElse(Seq.empty),
+          pageSize = b.path("page_size").asInt(50),
+          overlapMs = durMs(Option(b.at("/cursor/overlap"))
+            .filterNot(_.isMissingNode).map(_.asText)
+            .filter(_.nonEmpty).getOrElse("60s")),
+          cursor = cursorOpt)
       case (kind @ ("redis_scan" | "redis_list" | "redis_pubsub" |
                     "redis_streams"), b) =>
         // inputs/redis_{scan,list,pubsub,streams}.adoc over the
