@@ -617,6 +617,28 @@ object SparkEntry {
       s1.unionByName(s2).orderBy(col("jira_id"))
     }),
 
+    "p_slack_users" -> ((s, d) => {
+      // slack_users input contract (inputs/slack_users.adoc via the
+      // Slack.InMemoryServer seam): customers become workspace members
+      // (team = market segment); the cursor-paginated users.list walk
+      // with a server-side team_id filter must return exactly the
+      // segment's customers — pagination, filtering, and raw-JSON body
+      // extraction against a pure-SQL oracle.
+      import graft.sources.Slack
+      import graft.sources.Slack.InMemoryServer.{Transport, User}
+      val members = Tables.customer(s, d).filter(col("c_custkey") < 500)
+        .select("c_custkey", "c_name", "c_mktsegment").collect()
+        .map(r => User(f"U${r.getLong(0)}%06d", r.getString(2),
+          r.getString(1), r.getString(1))).toSeq
+      Slack.usersRead(s, "xoxb-demo", teamId = "BUILDING", limit = 40,
+          baseUrl = "mem://unused", client = Transport(members))
+        .select(
+          get_json_object(col("value"), "$.id").as("user_id"),
+          get_json_object(col("value"), "$.team_id").as("team_id"),
+          get_json_object(col("value"), "$.name").as("name"))
+        .orderBy(col("user_id"))
+    }),
+
     "p_redis_streams" -> ((s, d) => {
       // Redis streams contract (inputs/redis_streams.adoc via the
       // store seam): XADD documents with explicit monotonic ids and a
@@ -1773,6 +1795,12 @@ object SparkEntry {
         |       THEN 1 ELSE 2 END AS INTEGER) AS sweep
         |FROM orders WHERE o_orderkey < 400
         |ORDER BY jira_id""".stripMargin,
+
+    "p_slack_users" ->
+      """SELECT 'U' || LPAD(CAST(c_custkey AS VARCHAR), 6, '0') AS user_id,
+        |  c_mktsegment AS team_id, c_name AS name
+        |FROM customer WHERE c_custkey < 500 AND c_mktsegment = 'BUILDING'
+        |ORDER BY user_id""".stripMargin,
 
     "p_nats_subjects" ->
       """WITH pub AS (

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Sources, Tcp}
+import graft.sources.{HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Slack, Sources, Tcp}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -438,6 +438,12 @@ object Pipeline {
             .filterNot(_.isMissingNode).map(_.asText)
             .filter(_.nonEmpty).getOrElse("60s")),
           cursor = cursorOpt)
+      case ("slack_users", b) =>
+        // inputs/slack_users.adoc — users.list cursor walk; base_url
+        // is the seam extension (mem:// = registered test transport)
+        Slack.usersRead(spark, b.get("bot_token").asText,
+          teamId = b.path("team_id").asText(""),
+          baseUrl = b.path("base_url").asText("https://slack.com"))
       case (kind @ ("redis_scan" | "redis_list" | "redis_pubsub" |
                     "redis_streams"), b) =>
         // inputs/redis_{scan,list,pubsub,streams}.adoc over the
@@ -576,6 +582,29 @@ object Pipeline {
                   else monotonically_increasing_id()
       PubSub.write(df.withColumn("__subject", subjC)
         .sortWithinPartitions(ordC2), mem, "__subject")
+    case ("slack_post", b) =>
+      // outputs/slack_post.adoc — chat.postMessage per message with
+      // interpolated channel/thread/text; `blocks` is a bloblang
+      // expression returning the JSON array (mutually exclusive with
+      // text, enforced in Slack.postWrite)
+      val metaS = if (df.columns.contains("metadata")) Some("metadata")
+                  else None
+      def interpS(tpl: String) =
+        graft.blobl.Blobl.interpolateJson(df, tpl, metadataCol = metaS)
+      val textOpt = Option(b.get("text")).map(_.asText).filter(_.nonEmpty)
+      val blocksOpt = Option(b.get("blocks")).map(_.asText).filter(_.nonEmpty)
+      Slack.postWrite(df, b.get("bot_token").asText,
+        channelId = interpS(b.get("channel_id").asText),
+        text = textOpt.map(interpS).orNull,
+        blocksJson = blocksOpt.map(x =>
+          graft.blobl.Blobl.exprJson(df, x)).orNull,
+        threadTs = Option(b.get("thread_ts")).map(_.asText)
+          .filter(_.nonEmpty).map(interpS).orNull,
+        markdown = b.path("markdown").asBoolean(true),
+        unfurlLinks = b.path("unfurl_links").asBoolean(false),
+        unfurlMedia = b.path("unfurl_media").asBoolean(true),
+        linkNames = b.path("link_names").asBoolean(false),
+        baseUrl = b.path("base_url").asText("https://slack.com"))
     case ("http_client", b) =>
       // outputs/http_client.adoc — one request per message, URL
       // interpolated per row
