@@ -639,6 +639,32 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "p_splunk_export" -> ((s, d) => {
+      // splunk input contract (inputs/splunk.adoc via the
+      // Splunk.InMemoryServer seam): events become search results; the
+      // export stream's NDJSON lines parse back to the exact relational
+      // rows (double round-trip through Double.toString is exact), and
+      // __seq must equal the stream offset.
+      import graft.sources.Splunk
+      import graft.sources.Splunk.InMemoryServer.Transport
+      val evts = Tables.events(s, d).filter(col("event_id") < 300)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id").collect()
+        .map(r => s"""{"event_id":${r.getLong(0)},""" +
+          s""""event_type":"${r.getString(1)}","value":${r.getDouble(2)}}""")
+        .toIndexedSeq
+      Splunk.searchRead(s, "mem://unused/services/search/v2/jobs/export",
+          "admin", "pw", "index=events", client = Transport(evts))
+        .select(
+          get_json_object(col("value"), "$.result.event_id").cast("long")
+            .as("event_id"),
+          get_json_object(col("value"), "$.result.event_type").as("etype"),
+          get_json_object(col("value"), "$.result.value").cast("double")
+            .as("val"),
+          col("__seq").as("offset"))
+        .orderBy(col("event_id"))
+    }),
+
     "p_redis_streams" -> ((s, d) => {
       // Redis streams contract (inputs/redis_streams.adoc via the
       // store seam): XADD documents with explicit monotonic ids and a
@@ -1795,6 +1821,12 @@ object SparkEntry {
         |       THEN 1 ELSE 2 END AS INTEGER) AS sweep
         |FROM orders WHERE o_orderkey < 400
         |ORDER BY jira_id""".stripMargin,
+
+    "p_splunk_export" ->
+      """SELECT event_id, event_type AS etype, value AS val,
+        |  ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS offset
+        |FROM events WHERE event_id < 300
+        |ORDER BY event_id""".stripMargin,
 
     "p_slack_users" ->
       """SELECT 'U' || LPAD(CAST(c_custkey AS VARCHAR), 6, '0') AS user_id,

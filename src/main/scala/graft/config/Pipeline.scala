@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Slack, Sources, Tcp}
+import graft.sources.{HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Slack, Sources, Splunk, Tcp}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -438,6 +438,12 @@ object Pipeline {
             .filterNot(_.isMissingNode).map(_.asText)
             .filter(_.nonEmpty).getOrElse("60s")),
           cursor = cursorOpt)
+      case ("splunk", b) =>
+        // inputs/splunk.adoc — one Search API export POST, one message
+        // per NDJSON line
+        Splunk.searchRead(spark, b.get("url").asText,
+          b.get("user").asText, b.get("password").asText,
+          b.get("query").asText)
       case ("slack_users", b) =>
         // inputs/slack_users.adoc — users.list cursor walk; base_url
         // is the seam extension (mem:// = registered test transport)
@@ -582,6 +588,16 @@ object Pipeline {
                   else monotonically_increasing_id()
       PubSub.write(df.withColumn("__subject", subjC)
         .sortWithinPartitions(ordC2), mem, "__subject")
+    case ("splunk_hec", b) =>
+      // outputs/splunk_hec.adoc — batched collector POSTs with event
+      // wrapping and configured field overrides
+      Splunk.hecWrite(df, b.get("url").asText, b.get("token").asText,
+        eventHost = b.path("event_host").asText(""),
+        eventSource = b.path("event_source").asText(""),
+        eventSourceType = b.path("event_sourcetype").asText(""),
+        eventIndex = b.path("event_index").asText(""),
+        gzip = b.path("gzip").asBoolean(false),
+        batchSize = math.max(1, b.at("/batching/count").asInt(100)))
     case ("slack_post", b) =>
       // outputs/slack_post.adoc — chat.postMessage per message with
       // interpolated channel/thread/text; `blocks` is a bloblang

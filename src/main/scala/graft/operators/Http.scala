@@ -29,8 +29,13 @@ import org.apache.spark.sql.types._
   */
 object Http {
 
+  /** `bodyBytes`, when non-null, is the wire body (binary payloads:
+    * gzip, protobuf); `body` is then advisory. String bodies stay the
+    * common case — UTF-8 on the wire.
+    */
   final case class Request(url: String, verb: String,
-                           headers: Map[String, String], body: String)
+                           headers: Map[String, String], body: String,
+                           bodyBytes: Array[Byte] = null)
   final case class Response(status: Int, body: String)
 
   /** One transport round-trip: N requests in, N responses out
@@ -72,6 +77,8 @@ object Http {
       val req = b.method(q.verb,
         if (q.verb == "GET" || q.verb == "DELETE")
           java.net.http.HttpRequest.BodyPublishers.noBody()
+        else if (q.bodyBytes != null)
+          java.net.http.HttpRequest.BodyPublishers.ofByteArray(q.bodyBytes)
         else java.net.http.HttpRequest.BodyPublishers.ofString(q.body)).build()
       c.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         .thenApply(r => Response(r.statusCode(), r.body()))
