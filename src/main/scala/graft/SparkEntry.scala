@@ -639,6 +639,26 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "p_discord_backfill" -> ((s, d) => {
+      // discord input contract (inputs/discord.adoc via the
+      // Discord.InMemoryServer seam): documents become channel
+      // messages; the forward backfill over newest-first pages must
+      // emit every message exactly once, oldest-first — ids, bodies,
+      // and emission order against a pure-SQL oracle.
+      import graft.sources.Discord
+      import graft.sources.Discord.InMemoryServer.{Msg, Transport}
+      val msgs = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select("doc_id", "lang").collect()
+        .map(r => Msg(1000 + r.getLong(0), "C1",
+          s"doc-${r.getLong(0)}:${r.getString(1)}", "A1")).toIndexedSeq
+      Discord.read(s, "C1", "tok", client = Transport(msgs), limit = 40)
+        .select(
+          get_json_object(col("value"), "$.id").cast("long").as("msg_id"),
+          get_json_object(col("value"), "$.content").as("content"),
+          col("__seq").as("emit_order"))
+        .orderBy(col("msg_id"))
+    }),
+
     "p_splunk_export" -> ((s, d) => {
       // splunk input contract (inputs/splunk.adoc via the
       // Splunk.InMemoryServer seam): events become search results; the
@@ -1821,6 +1841,13 @@ object SparkEntry {
         |       THEN 1 ELSE 2 END AS INTEGER) AS sweep
         |FROM orders WHERE o_orderkey < 400
         |ORDER BY jira_id""".stripMargin,
+
+    "p_discord_backfill" ->
+      """SELECT 1000 + doc_id AS msg_id,
+        |  'doc-' || CAST(doc_id AS VARCHAR) || ':' || lang AS content,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS emit_order
+        |FROM documents WHERE doc_id < 250
+        |ORDER BY msg_id""".stripMargin,
 
     "p_splunk_export" ->
       """SELECT event_id, event_type AS etype, value AS val,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Slack, Sources, Splunk, Tcp}
+import graft.sources.{Cursors, Discord, HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Slack, Sources, Splunk, Tcp}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -126,7 +126,11 @@ object Pipeline {
           case "file" =>
             val dir = e.getValue.get("directory").asText
             fileCacheDirs.update(label, dir)
-            spark.read.format("binaryFile").load(dir + "/*")
+            // a fresh (empty) cache dir is legal — e.g. a cursor cache
+            // before its input's first sweep; the /* glob would throw
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(dir))
+            spark.read.format("binaryFile").load(dir)
               .select(
                 element_at(split(col("path"), "/"), -1).as("key"),
                 col("content").cast("string").as("value"))
@@ -438,6 +442,23 @@ object Pipeline {
             .filterNot(_.isMissingNode).map(_.asText)
             .filter(_.nonEmpty).getOrElse("60s")),
           cursor = cursorOpt)
+      case ("discord", b) =>
+        // inputs/discord.adoc — REST backfill sweep from the cached
+        // last_message_id (the gateway-websocket half is env-blocked);
+        // `cache` must name a file cache resource (writable)
+        val cur = Option(b.get("cache")).map(_.asText).filter(_.nonEmpty)
+          .map { lbl =>
+            val dir = fileCacheDirs.getOrElse(lbl,
+              throw new IllegalArgumentException(
+                s"discord: cache '$lbl' must be a file cache resource"))
+            (new Cursors.FileStore(dir): Cursors.Store,
+              b.path("cache_key").asText("last_message_id"))
+          }
+        Discord.read(spark, b.get("channel_id").asText,
+          b.get("bot_token").asText, cursor = cur,
+          baseUrl = b.path("base_url")
+            .asText("https://discord.com/api/v10"),
+          limit = b.path("limit").asInt(100))
       case ("splunk", b) =>
         // inputs/splunk.adoc — one Search API export POST, one message
         // per NDJSON line
@@ -588,6 +609,12 @@ object Pipeline {
                   else monotonically_increasing_id()
       PubSub.write(df.withColumn("__subject", subjC)
         .sortWithinPartitions(ordC2), mem, "__subject")
+    case ("discord", b) =>
+      // outputs/discord.adoc — POST per message to the channel; JSON
+      // objects post directly, raw text wraps as {"content": ...}
+      Discord.write(df, b.get("channel_id").asText,
+        b.get("bot_token").asText,
+        baseUrl = b.path("base_url").asText("https://discord.com/api/v10"))
     case ("splunk_hec", b) =>
       // outputs/splunk_hec.adoc — batched collector POSTs with event
       // wrapping and configured field overrides

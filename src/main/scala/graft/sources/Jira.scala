@@ -51,39 +51,10 @@ object Jira {
     */
   final case class Cursor(updatedMs: Long, seen: Map[String, Long])
 
-  /** Minimal read-write KV for cursor persistence — the writable subset
-    * of the cache-resource contract (the config runner's relational
-    * cache views are read-only snapshots; a cursor needs read-write).
-    */
-  trait CursorStore {
-    def get(key: String): Option[String]
-    def set(key: String, value: String): Unit
-  }
-
-  /** In-process store for tests and single-session incremental reads. */
-  final class MemStore extends CursorStore {
-    private val m = TrieMap.empty[String, String]
-    def get(key: String): Option[String] = m.get(key)
-    def set(key: String, value: String): Unit = m.update(key, value)
-  }
-
-  /** One file per key under `dir` — the same layout as the `file` cache
-    * backend (caches/file.adoc), so a config's `cursor.cache` pointing
-    * at a file cache resource persists across runs.
-    */
-  final class FileStore(dir: String) extends CursorStore {
-    private val base = java.nio.file.Paths.get(dir)
-    def get(key: String): Option[String] = {
-      val p = base.resolve(key)
-      if (java.nio.file.Files.exists(p))
-        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      else None
-    }
-    def set(key: String, value: String): Unit = {
-      java.nio.file.Files.createDirectories(base)
-      java.nio.file.Files.write(base.resolve(key), value.getBytes("UTF-8"))
-    }
-  }
+  /** Cursor persistence rides the shared [[Cursors]] store seam. */
+  type CursorStore = Cursors.Store
+  type MemStore = Cursors.MemStore
+  type FileStore = Cursors.FileStore
 
   private val namedClients = TrieMap.empty[String, Http.Client]
 
