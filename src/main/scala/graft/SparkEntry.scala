@@ -639,6 +639,35 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "p_twitter_search" -> ((s, d) => {
+      // twitter_search contract (the reference's template re-expressed
+      // as a first-class input, via the Twitter.InMemoryServer seam):
+      // events become tweets; sweep 1 backfills and persists
+      // newest_id, then the corpus grows and sweep 2 must emit ONLY
+      // ids past the since_id cursor. Auth is the real two-step
+      // client-credentials exchange against the fake.
+      import graft.sources.{Cursors, Twitter}
+      import graft.sources.Twitter.InMemoryServer.{Transport, Tweet}
+      // a poll emits at most max_results=100 (the template does not
+      // paginate the recent-search endpoint) — keep each sweep ≤ 100
+      val evts = Tables.events(s, d).filter(col("event_id") < 200)
+        .select("event_id", "event_type").orderBy("event_id").collect()
+        .map(r => Tweet(5000 + r.getLong(0), r.getString(1))).toIndexedSeq
+      val store = new Cursors.MemStore
+      def sweep(corpus: Seq[Tweet], n: Int) =
+        Twitter.searchRead(s, "q", "key", "secret",
+            client = Transport(corpus), cursor = Some((store, "c")),
+            nowMs = 0L)
+          .select(
+            get_json_object(col("value"), "$.id").cast("long")
+              .as("tweet_id"),
+            get_json_object(col("value"), "$.text").as("text"),
+            lit(n).as("sweep"))
+      val s1 = sweep(evts.take(100), 1)
+      val s2 = sweep(evts, 2)
+      s1.unionByName(s2).orderBy(col("tweet_id"))
+    }),
+
     "p_discord_backfill" -> ((s, d) => {
       // discord input contract (inputs/discord.adoc via the
       // Discord.InMemoryServer seam): documents become channel
@@ -1841,6 +1870,13 @@ object SparkEntry {
         |       THEN 1 ELSE 2 END AS INTEGER) AS sweep
         |FROM orders WHERE o_orderkey < 400
         |ORDER BY jira_id""".stripMargin,
+
+    "p_twitter_search" ->
+      """SELECT 5000 + event_id AS tweet_id, event_type AS text,
+        |  CAST(CASE WHEN event_id < 100 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS sweep
+        |FROM events WHERE event_id < 200
+        |ORDER BY tweet_id""".stripMargin,
 
     "p_discord_backfill" ->
       """SELECT 1000 + doc_id AS msg_id,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Cursors, Discord, HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Slack, Sources, Splunk, Tcp}
+import graft.sources.{Cursors, Discord, HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Slack, Sources, Splunk, Tcp, Twitter}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -442,6 +442,26 @@ object Pipeline {
             .filterNot(_.isMissingNode).map(_.asText)
             .filter(_.nonEmpty).getOrElse("60s")),
           cursor = cursorOpt)
+      case ("twitter_search", b) =>
+        // twitter search template contract as a first-class input;
+        // `cache` must name a file cache resource (writable cursor)
+        val cur = Option(b.get("cache")).map(_.asText).filter(_.nonEmpty)
+          .map { lbl =>
+            val dir = fileCacheDirs.getOrElse(lbl,
+              throw new IllegalArgumentException(
+                s"twitter_search: cache '$lbl' must be a file cache resource"))
+            (new Cursors.FileStore(dir): Cursors.Store,
+              b.path("cache_key").asText("last_tweet_id"))
+          }
+        Twitter.searchRead(spark, b.get("query").asText,
+          apiKey = b.get("api_key").asText,
+          apiSecret = b.get("api_secret").asText,
+          tweetFields = Option(b.get("tweet_fields"))
+            .map(_.elements().asScala.toSeq.map(_.asText))
+            .getOrElse(Seq.empty),
+          backfillSec = durMs(b.path("backfill_period").asText("5m")) / 1000,
+          cursor = cur,
+          baseUrl = b.path("base_url").asText("https://api.twitter.com"))
       case ("discord", b) =>
         // inputs/discord.adoc — REST backfill sweep from the cached
         // last_message_id (the gateway-websocket half is env-blocked);
