@@ -639,6 +639,32 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "p_registry_sync" -> ((s, d) => {
+      // bulk schema_registry input (inputs/schema_registry.adoc via
+      // the SchemaRegistryIO.InMemoryServer seam): nations seed a
+      // registry (version count varies per subject, ids encode
+      // subject+version); the subject/version walk with fetch_in_order
+      // must emit every version exactly once, sorted by schema id.
+      import graft.sources.SchemaRegistryIO
+      import graft.sources.SchemaRegistryIO.InMemoryServer.{Entry, Transport}
+      val entries = Tables.nation(s, d)
+        .select("n_nationkey", "n_name").collect()
+        .flatMap { r =>
+          val k = r.getAs[Number](0).longValue; val name = r.getString(1)
+          (1 to (k % 3 + 1).toInt).map(v =>
+            Entry(s"nat-$name", v, (k * 10 + v).toInt,
+              s"""{"type":"v$v"}"""))
+        }.toIndexedSeq
+      SchemaRegistryIO.read(s, "mem://unused", client = Transport(entries))
+        .select(
+          col("metadata")("schema_registry_subject").as("subject"),
+          col("metadata")("schema_registry_version").cast("int")
+            .as("version"),
+          get_json_object(col("value"), "$.id").cast("long")
+            .as("schema_id"))
+        .orderBy(col("schema_id"))
+    }),
+
     "p_twitter_search" -> ((s, d) => {
       // twitter_search contract (the reference's template re-expressed
       // as a first-class input, via the Twitter.InMemoryServer seam):
@@ -1870,6 +1896,12 @@ object SparkEntry {
         |       THEN 1 ELSE 2 END AS INTEGER) AS sweep
         |FROM orders WHERE o_orderkey < 400
         |ORDER BY jira_id""".stripMargin,
+
+    "p_registry_sync" ->
+      """SELECT 'nat-' || n_name AS subject, CAST(v AS INTEGER) AS version,
+        |  n_nationkey * 10 + v AS schema_id
+        |FROM nation, UNNEST(GENERATE_SERIES(1, n_nationkey % 3 + 1)) AS t(v)
+        |ORDER BY schema_id""".stripMargin,
 
     "p_twitter_search" ->
       """SELECT 5000 + event_id AS tweet_id, event_type AS text,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Cursors, Discord, HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Slack, Sources, Splunk, Tcp, Twitter}
+import graft.sources.{Cursors, Discord, HttpClient, Jira, Mq, NatsKv, PubSub, Redis, SchemaRegistryIO, Slack, Sources, Splunk, Tcp, Twitter}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -442,6 +442,12 @@ object Pipeline {
             .filterNot(_.isMissingNode).map(_.asText)
             .filter(_.nonEmpty).getOrElse("60s")),
           cursor = cursorOpt)
+      case ("schema_registry", b) =>
+        // inputs/schema_registry.adoc — bulk subject/version walk
+        SchemaRegistryIO.read(spark, b.get("url").asText,
+          subjectFilter = b.path("subject_filter").asText(""),
+          includeDeleted = b.path("include_deleted").asBoolean(false),
+          fetchInOrder = b.path("fetch_in_order").asBoolean(true))
       case ("twitter_search", b) =>
         // twitter search template contract as a first-class input;
         // `cache` must name a file cache resource (writable cursor)
@@ -629,6 +635,14 @@ object Pipeline {
                   else monotonically_increasing_id()
       PubSub.write(df.withColumn("__subject", subjC)
         .sortWithinPartitions(ordC2), mem, "__subject")
+    case ("schema_registry", b) =>
+      // outputs/schema_registry.adoc — one registration POST per
+      // message under the interpolated subject
+      val metaSr = if (df.columns.contains("metadata")) Some("metadata")
+                   else None
+      SchemaRegistryIO.write(df, b.get("url").asText,
+        subject = graft.blobl.Blobl.interpolateJson(df,
+          b.get("subject").asText, metadataCol = metaSr))
     case ("discord", b) =>
       // outputs/discord.adoc — POST per message to the channel; JSON
       // objects post directly, raw text wraps as {"content": ...}
