@@ -659,6 +659,19 @@ object Pipeline {
         eventIndex = b.path("event_index").asText(""),
         gzip = b.path("gzip").asBoolean(false),
         batchSize = math.max(1, b.at("/batching/count").asInt(100)))
+    case ("slack_reaction", b) =>
+      // outputs/slack_reaction.adoc — reactions.add/.remove per
+      // message with interpolated channel/timestamp/emoji
+      val metaR = if (df.columns.contains("metadata")) Some("metadata")
+                  else None
+      def interpR(tpl: String) =
+        graft.blobl.Blobl.interpolateJson(df, tpl, metadataCol = metaR)
+      Slack.reactionWrite(df, b.get("bot_token").asText,
+        channelId = interpR(b.get("channel_id").asText),
+        timestamp = interpR(b.get("timestamp").asText),
+        emoji = interpR(b.get("emoji").asText),
+        action = b.path("action").asText("add"),
+        baseUrl = b.path("base_url").asText("https://slack.com"))
     case ("slack_post", b) =>
       // outputs/slack_post.adoc — chat.postMessage per message with
       // interpolated channel/thread/text; `blocks` is a bloblang

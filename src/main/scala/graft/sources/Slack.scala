@@ -134,11 +134,41 @@ object Slack {
       s"slack_post: $bad messages rejected by chat.postMessage")
   }
 
+  /** `reactions.add` / `reactions.remove` per message
+    * (outputs/slack_reaction.adoc): channel/timestamp/emoji are
+    * interpolated columns; `action` selects the method. Same
+    * ok-envelope contract as [[postWrite]].
+    */
+  def reactionWrite(df: DataFrame, botToken: String, channelId: Column,
+                    timestamp: Column, emoji: Column,
+                    action: String = "add",
+                    baseUrl: String = "https://slack.com",
+                    client: Http.Client = null, batchSize: Int = 16): Unit = {
+    require(action == "add" || action == "remove",
+      s"slack_reaction: action must be add|remove, got '$action'")
+    val c = Option(client).getOrElse(clientFor(baseUrl))
+    val base = baseUrl.stripSuffix("/")
+    val payload = to_json(struct(
+      channelId.as("channel"), timestamp.as("timestamp"), emoji.as("name")))
+    val prepared = df
+      .withColumn("__slack_body", payload)
+      .withColumn("__slack_url", lit(s"$base/api/reactions.$action"))
+    val sent = Http.requestBatched(prepared, "__slack_url", "__slack_body",
+      "POST", bearer(botToken), batchSize, c, "__resp", "__status")
+    val bad = sent.withColumn("__ok",
+        col("__status").between(200, 299) &&
+          get_json_object(col("__resp"), "$.ok") === "true")
+      .filter(!col("__ok")).count()
+    if (bad > 0) throw new IllegalStateException(
+      s"slack_reaction: $bad reactions rejected by reactions.$action")
+  }
+
   /** In-memory Web API server (the seam's server side): cursor-paged
-    * `users.list` with `team_id` filtering, and `chat.postMessage`
+    * `users.list` with `team_id` filtering, `chat.postMessage`
     * recording posts (ts = monotonic ordinal, as Slack's ts is a
-    * timestamp-ordinal string). NOT Slack; implements exactly the
-    * subset of the Web API the connectors consume.
+    * timestamp-ordinal string), and `reactions.add`/`reactions.remove`
+    * over the recorded posts. NOT Slack; implements exactly the subset
+    * of the Web API the connectors consume.
     */
   object InMemoryServer {
     final case class User(id: String, teamId: String, name: String,
@@ -154,6 +184,9 @@ object Slack {
         extends (Seq[Http.Request] => Seq[Http.Response])
         with Serializable {
       val posted = new java.util.concurrent.ConcurrentLinkedQueue[Posted]()
+      /** (action, channel, ts, emoji) in arrival order. */
+      val reactions = new java.util.concurrent
+        .ConcurrentLinkedQueue[(String, String, String, String)]()
       private val tsCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
       def apply(reqs: Seq[Http.Request]): Seq[Http.Response] = reqs.map { q =>
@@ -191,6 +224,20 @@ object Slack {
                 b.path("thread_ts").asText(""), ts))
               Http.Response(200,
                 s"""{"ok":true,"channel":"$channel","ts":"$ts"}""")
+            }
+          case p @ ("/api/reactions.add" | "/api/reactions.remove") =>
+            val b = Shared.mapper.readTree(q.body)
+            val (ch, ts, name) = (b.path("channel").asText(""),
+              b.path("timestamp").asText(""), b.path("name").asText(""))
+            val exists = posted.iterator().asScala
+              .exists(m => m.channel == ch && m.ts == ts)
+            if (name.isEmpty)
+              Http.Response(200, """{"ok":false,"error":"invalid_name"}""")
+            else if (!exists)
+              Http.Response(200, """{"ok":false,"error":"message_not_found"}""")
+            else {
+              reactions.add((p.stripPrefix("/api/reactions."), ch, ts, name))
+              Http.Response(200, """{"ok":true}""")
             }
           case other =>
             Http.Response(404, s"""{"ok":false,"error":"no route $other"}""")

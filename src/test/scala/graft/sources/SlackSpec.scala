@@ -87,6 +87,35 @@ class SlackSpec extends SparkSpec {
     }
   }
 
+  test("slack_reaction reacts to recorded posts and rejects unknown ones") {
+    import spark.implicits._
+    val name = "slackr_" + java.util.UUID.randomUUID.toString.take(8)
+    val t = Transport(Nil)
+    Slack.registerClient(name, t)
+    Slack.postWrite(Seq(("C1", "hello")).toDF("ch", "txt"), "xoxb",
+      channelId = col("ch"), text = col("txt"), baseUrl = s"mem://$name")
+    val ts = t.posted.peek().ts
+    Slack.reactionWrite(Seq(("C1", ts, "tada")).toDF("ch", "ts", "emoji"),
+      "xoxb", channelId = col("ch"), timestamp = col("ts"),
+      emoji = col("emoji"), baseUrl = s"mem://$name")
+    assert(t.reactions.iterator().asScala.toSeq ==
+      Seq(("add", "C1", ts, "tada")))
+    // unknown timestamp → ok=false → fail
+    intercept[IllegalStateException] {
+      Slack.reactionWrite(
+        Seq(("C1", "0.0", "x")).toDF("ch", "ts", "emoji"), "xoxb",
+        channelId = col("ch"), timestamp = col("ts"), emoji = col("emoji"),
+        baseUrl = s"mem://$name")
+    }
+    // bad action rejected up-front
+    intercept[IllegalArgumentException] {
+      Slack.reactionWrite(
+        Seq(("C1", ts, "x")).toDF("ch", "ts", "emoji"), "xoxb",
+        channelId = col("ch"), timestamp = col("ts"), emoji = col("emoji"),
+        action = "toggle", baseUrl = s"mem://$name")
+    }
+  }
+
   test("config runner: slack_users input → slack_post output") {
     val name = "slack_" + java.util.UUID.randomUUID.toString.take(8)
     val t = Transport(users(4))
