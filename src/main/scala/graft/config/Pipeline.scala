@@ -882,7 +882,7 @@ object Pipeline {
   */
 object Processors {
 
-  import graft.operators.{Ai, Command, FlowControl, Grok, Http}
+  import graft.operators.{Ai, Command, FlowControl, Grok, Http, Sentry}
   import graft.functions.{CodecFunctions, TextFunctions}
 
   def compile(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame = {
@@ -1637,6 +1637,44 @@ object Processors {
           verb, headers, batchSize, Http.clientFor(urlTpl),
           successfulOn)
 
+      case "sentry_capture" =>
+        // processors/sentry_capture.adoc — pass-through observation:
+        // one event per (sampled) message to the DSN's store endpoint;
+        // context/extras are bloblang expressions rendered to JSON
+        val dsn = body.path("dsn").asText(
+          sys.env.getOrElse("SENTRY_DSN", ""))
+        require(dsn.nonEmpty, "sentry_capture: dsn (or SENTRY_DSN) required")
+        val msgTpl = body.get("message").asText
+        val ctx = Option(body.get("context")).map(_.asText).filter(_.nonEmpty)
+        val ext = Option(body.get("extras")).map(_.asText).filter(_.nonEmpty)
+        val tags = Option(body.get("tags")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap)
+          .getOrElse(Map.empty[String, String])
+        // context/extras are single-assignment MAPPINGS per the adoc
+        // ('root = {...}'); compile the right-hand side as the value
+        // expression
+        def mappingExpr(src: String): String = {
+          val m = "(?s)\\s*root\\s*=\\s*(.*)".r
+          src match {
+            case m(rhs) => rhs
+            case _ => throw new IllegalArgumentException(
+              "sentry_capture: context/extras must be a single " +
+                s"'root = <object>' mapping, got: $src")
+          }
+        }
+        df => Sentry.capture(df, dsn,
+          messageCol = Blobl.interpolateJson(df, msgTpl, env,
+            metadataCol = metaColOf(df)),
+          contextJson = ctx.map(x =>
+            Blobl.exprJson(df, mappingExpr(x), env)).orNull,
+          extrasJson = ext.map(x =>
+            Blobl.exprJson(df, mappingExpr(x), env)).orNull,
+          tags = tags,
+          environment = body.path("environment").asText(""),
+          release = body.path("release").asText(""),
+          level = body.path("level").asText("INFO"),
+          samplingRate = body.path("sampling_rate").asDouble(1.0))
+
       case "openai_chat_completion" | "ollama_chat" | "cohere_chat" |
            "aws_bedrock_chat" | "gcp_vertex_ai_chat" =>
         // cloud chat processors — batched pluggable client; the default
@@ -1671,7 +1709,7 @@ object Processors {
     "azure_cosmosdb", "aws_lambda", "aws_dynamodb_partiql",
     "gcp_bigquery_select", "google_drive_download", "google_drive_search",
     "google_drive_list_labels", "javascript", "wasm", "ffi",
-    "redpanda_data_transform", "a2a_message", "sentry_capture",
+    "redpanda_data_transform", "a2a_message",
     "sync_response", "awk",
     "openai_embeddings", "openai_image_generation", "openai_speech",
     "openai_transcription", "openai_translation", "openai_moderation",
