@@ -211,7 +211,12 @@ object Jira {
     val fresh = all.filterNot(i => priorSeen.get(i.key).contains(i.updatedMs))
     val newUpdated = (fresh.map(_.updatedMs) ++ prior.map(_.updatedMs))
       .foldLeft(0L)(math.max)
-    cursor.foreach { case (store, key) =>
+    // The cursor is persisted only AFTER the resource's rows are
+    // materialized: for comments the per-issue child fetches can fail,
+    // and advancing first would let `seen` suppress those issues on the
+    // retry sweep — their comments would be permanently lost.
+    // At-least-once means cursor-after-emission.
+    def persistCursor(): Unit = cursor.foreach { case (store, key) =>
       // seen = every emitted version the NEXT query's threshold
       // (newUpdated - overlap, minute-truncated) can re-match, plus
       // surviving prior entries; one minute of slack for the truncation
@@ -230,6 +235,7 @@ object Jira {
             "jira_event_type" -> "issue", "jira_self" -> i.self),
             null, seq.toLong)
         }
+        persistCursor()
         toDf(spark, rows)
 
       case "changelog" =>
@@ -254,12 +260,18 @@ object Jira {
               null, iSeq.toLong * ChildSeqStride + j)
           }
         }
+        persistCursor()
         toDf(spark, rows)
 
       case "comments" =>
         // independent GET per updated issue — executor-side fan-out
-        // (the scale path: request volume is per-issue, not per-sweep)
-        if (fresh.isEmpty) toDf(spark, Vector.empty)
+        // (the scale path: request volume is per-issue, not per-sweep).
+        // Parse + emission stay executor-side too: the driver never sees
+        // a response body, only the cached row count. A single action
+        // materializes the fetch (the old count-then-collect shape ran
+        // the HTTP pass twice), and a failed fetch throws from the task
+        // BEFORE the cursor advances.
+        if (fresh.isEmpty) { persistCursor(); toDf(spark, Vector.empty) }
         else {
           import spark.implicits._
           val parents = spark.createDataset(fresh.zipWithIndex.map {
@@ -269,32 +281,46 @@ object Jira {
               col("__key"), lit("/comment")))
           val fetched = Http.requestBatched(parents, "__url", "__key",
             "GET", hdrs, batchSize = 16, c, "__resp", "__status")
-          val bad = fetched.filter(!col("__status").between(200, 299)).count()
-          if (bad > 0) throw new IllegalStateException(
-            s"jira: $bad comment fetches failed")
-          fetched.select(col("__key"), col("__project"), col("__iseq"),
-              col("__resp")).collect().toVector.sortBy(_.getLong(2))
-            .flatMap { r =>
-              val body = mapper.readTree(r.getString(3))
-              val cs = Option(body.get("comments"))
-                .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
-              val total = body.path("total").asInt(cs.size)
-              if (total > cs.size) System.err.println(
-                s"[jira] WARN comments truncated for ${r.getString(0)}: " +
-                  s"$total entries, first page of ${cs.size} emitted")
-              cs.zipWithIndex.map { case (cm, j) =>
-                Row(cm.toString, Map(
-                  "jira_id" -> cm.path("id").asText(""),
-                  "jira_issue_key" -> r.getString(0),
-                  "jira_project" -> r.getString(1),
-                  "jira_updated" -> rfc3339(
-                    parseJiraTime(cm.get("updated").asText)),
-                  "jira_event_type" -> "comment",
-                  "jira_self" -> cm.path("self").asText("")),
-                  null, r.getLong(2) * ChildSeqStride + j)
-              }
-            } match { case rows => toDf(spark, rows) }
+          implicit val enc = org.apache.spark.sql.Encoders.row(
+            BrokerStream.schema)
+          val out = fetched
+            .select(col("__key"), col("__project"), col("__iseq"),
+              col("__resp"), col("__status"))
+            .mapPartitions(_.flatMap(commentRows))
+            .persist()
+          out.count() // materialize (fetch failures surface here)
+          persistCursor()
+          out
         }
+    }
+  }
+
+  /** Executor-side expansion of one fetched `/issue/{key}/comment`
+    * response into broker-envelope rows. Input row:
+    * (key, project, iseq, respBody, status).
+    */
+  private def commentRows(r: Row): Iterator[Row] = {
+    val key = r.getString(0)
+    val status = r.getInt(4)
+    if (status < 200 || status > 299) throw new IllegalStateException(
+      s"jira: comment fetch for $key failed with status $status")
+    val body = mapper.readTree(r.getString(3))
+    val cs = Option(body.get("comments"))
+      .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
+    val total = body.path("total").asInt(cs.size)
+    if (total > cs.size) System.err.println(
+      s"[jira] WARN comments truncated for $key: " +
+        s"$total entries, first page of ${cs.size} emitted")
+    cs.zipWithIndex.iterator.map { case (cm, j) =>
+      Row(cm.toString, Map(
+        "jira_id" -> cm.path("id").asText(""),
+        "jira_issue_key" -> key,
+        "jira_project" -> r.getString(1),
+        "jira_updated" -> rfc3339(
+          parseJiraTime(cm.get("updated").asText)),
+        "jira_event_type" -> "comment",
+        "jira_self" -> cm.path("self").asText("")),
+        null, r.getLong(2) * ChildSeqStride + j)
     }
   }
 

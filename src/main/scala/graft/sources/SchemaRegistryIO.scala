@@ -117,7 +117,11 @@ object SchemaRegistryIO {
         get_json_object(col(Envelope.ValueCol), "$.schema").as("schema"),
         get_json_object(col(Envelope.ValueCol), "$.schemaType")
           .as("schemaType"),
-        get_json_object(col(Envelope.ValueCol), "$.references")
+        // references must be posted as a REAL array — the registry API
+        // marshals References as a list and rejects the escaped-string
+        // form — so the extracted array text goes through parse_json
+        // (variant); absent references stay null and are omitted
+        parse_json(get_json_object(col(Envelope.ValueCol), "$.references"))
           .as("references"))))
     val sent = Http.requestBatched(prepared, "__sr_url", "__sr_body",
       "POST", Map("Content-Type" -> "application/vnd.schemaregistry.v1+json"),
@@ -139,8 +143,13 @@ object SchemaRegistryIO {
     * text per subject, like a real registry).
     */
   object InMemoryServer {
+    /** `references` is the JSON array text of the version's schema
+      * references ("" = none); the server validates that POSTs carry it
+      * as a real array, never an escaped string.
+      */
     final case class Entry(subject: String, version: Int, id: Int,
-                           schema: String, deleted: Boolean = false)
+                           schema: String, deleted: Boolean = false,
+                           references: String = "")
 
     final case class Transport(initial: Seq[Entry],
                                globalCompat: String = "BACKWARD",
@@ -175,6 +184,9 @@ object SchemaRegistryIO {
                 val n = Shared.mapper.createObjectNode()
                 n.put("subject", e.subject); n.put("version", e.version)
                 n.put("id", e.id); n.put("schema", e.schema)
+                if (e.references.nonEmpty)
+                  n.set[com.fasterxml.jackson.databind.JsonNode]("references",
+                    Shared.mapper.readTree(e.references))
                 Http.Response(200, Shared.mapper.writeValueAsString(n))
               case None => Http.Response(404,
                 """{"error_code":40402,"message":"Version not found"}""")
@@ -186,11 +198,18 @@ object SchemaRegistryIO {
             else Http.Response(200, vs.mkString("[", ",", "]"))
           case ("POST", Versions(s)) =>
             val subj = dec(s)
-            val schema = Shared.mapper.readTree(q.body).path("schema")
-              .asText("")
+            val body = Shared.mapper.readTree(q.body)
+            val schema = body.path("schema").asText("")
+            val refs = body.get("references")
             if (schema.isEmpty)
               Http.Response(422,
                 """{"error_code":42201,"message":"Empty schema"}""")
+            else if (refs != null && !refs.isNull && !refs.isArray)
+              // a Confluent-compatible registry unmarshals references
+              // into a list — the escaped-string form is a 422
+              Http.Response(422,
+                """{"error_code":42201,"message":""" +
+                  """"references must be a list"}""")
             else entries.asScala
               .find(e => e.subject == subj && e.schema == schema) match {
               case Some(e) =>
@@ -199,7 +218,9 @@ object SchemaRegistryIO {
                 val id = nextId.getAndIncrement()
                 val v = entries.asScala.filter(_.subject == subj)
                   .map(_.version).maxOption.getOrElse(0) + 1
-                entries.add(Entry(subj, v, id, schema))
+                entries.add(Entry(subj, v, id, schema,
+                  references =
+                    if (refs == null || refs.isNull) "" else refs.toString))
                 Http.Response(200, s"""{"id":$id}""")
             }
           case ("GET", SubjConfig(s)) =>

@@ -110,10 +110,15 @@ object Slack {
       "slack_post: exactly one of text/blocks")
     val c = Option(client).getOrElse(clientFor(baseUrl))
     val base = baseUrl.stripSuffix("/")
+    // blocks go through parse_json (variant) so to_json renders a REAL
+    // nested array — {"blocks":[{...}]} — not an escaped string, which
+    // Slack rejects as invalid_blocks (same pattern as Sentry.capture's
+    // contexts/extra)
     val payload = to_json(struct(Seq(
       channelId.as("channel"),
-      Option(text).map(_.as("text")).getOrElse(lit(null).as("text")),
-      Option(blocksJson).map(_.as("blocks"))
+      Option(text).map(_.as("text"))
+        .getOrElse(lit(null).cast("string").as("text")),
+      Option(blocksJson).map(b => parse_json(b).as("blocks"))
         .getOrElse(lit(null).cast("string").as("blocks")),
       Option(threadTs).map(_.as("thread_ts"))
         .getOrElse(lit(null).cast("string").as("thread_ts")),
@@ -174,7 +179,7 @@ object Slack {
     final case class User(id: String, teamId: String, name: String,
                           realName: String)
     final case class Posted(channel: String, text: String, threadTs: String,
-                            ts: String)
+                            ts: String, blocksJson: String = "")
 
     def userJson(u: User): String =
       s"""{"id":"${u.id}","team_id":"${u.teamId}","name":"${u.name}",""" +
@@ -216,12 +221,18 @@ object Slack {
           case "/api/chat.postMessage" =>
             val b = Shared.mapper.readTree(q.body)
             val channel = b.path("channel").asText("")
+            val blocks = b.get("blocks")
             if (channel.isEmpty)
               Http.Response(200, """{"ok":false,"error":"channel_not_found"}""")
+            else if (blocks != null && !blocks.isNull && !blocks.isArray)
+              // Slack rejects a string-typed blocks field (the escaped-
+              // JSON failure mode) with invalid_blocks
+              Http.Response(200, """{"ok":false,"error":"invalid_blocks"}""")
             else {
               val ts = s"${1700000000L + tsCounter.getAndIncrement()}.000100"
               posted.add(Posted(channel, b.path("text").asText(""),
-                b.path("thread_ts").asText(""), ts))
+                b.path("thread_ts").asText(""), ts,
+                if (blocks == null || blocks.isNull) "" else blocks.toString))
               Http.Response(200,
                 s"""{"ok":true,"channel":"$channel","ts":"$ts"}""")
             }

@@ -29,9 +29,10 @@ import graft.operators.Http
   * DOCUMENTED DIVERGENCE: the template persists the id of the LAST
   * message it processes — with the API's newest-first response order
   * that is the OLDEST id of the batch, which would re-fetch the whole
-  * batch on every poll. This input persists `meta.newest_id` (falling
-  * back to the max data id), which is what the `since_id` contract
-  * needs for exactly-once forward progress.
+  * batch on every poll. This input walks `meta.next_token` pages until
+  * the sweep drains, then persists `meta.newest_id` from the first page
+  * (falling back to the max data id) — forward progress without either
+  * the template's re-fetch or the single-page overflow gap.
   */
 object Twitter {
 
@@ -51,7 +52,11 @@ object Twitter {
     } else Http.javaClient()
 
   /** One poll sweep. `nowMs` is injectable so gates stay deterministic
-    * (start_time only matters on the cursor-less first sweep).
+    * (start_time only matters on the cursor-less first sweep). The sweep
+    * walks `meta.next_token` pages until it drains (bounded by
+    * `maxPages`): more than one page of matches since the last cursor
+    * must all be emitted before the cursor advances to `newest_id`, or
+    * the overflow would be skipped forever.
     */
   def searchRead(spark: SparkSession, query: String,
                  apiKey: String, apiSecret: String,
@@ -60,7 +65,8 @@ object Twitter {
                  cursor: Option[(Cursors.Store, String)] = None,
                  baseUrl: String = "https://api.twitter.com",
                  client: Http.Client = null,
-                 nowMs: Long = System.currentTimeMillis()): DataFrame = {
+                 nowMs: Long = System.currentTimeMillis(),
+                 maxPages: Int = 1000): DataFrame = {
     val c = Option(client).getOrElse(clientFor(baseUrl))
     val base = baseUrl.stripSuffix("/")
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -90,36 +96,61 @@ object Twitter {
     val fieldsParam =
       if (tweetFields.isEmpty) ""
       else s"&tweet.fields=${enc(tweetFields.mkString(","))}"
-    val url = s"$base/2/tweets/search/recent?max_results=100" +
-      s"&query=${enc(query)}$fieldsParam$pagination"
-    val resp = c(Seq(Http.Request(url, "GET",
-      Map("Authorization" -> s"Bearer $bearer"), ""))).head
 
     def emptyDf = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], BrokerStream.schema)
 
-    if (resp.status < 200 || resp.status > 299) {
-      // stale since_id → reset the cursor and skip the sweep (the
-      // template's switch-on-error path)
-      if (resp.body.contains("'since_id' must be a tweet id created after")) {
-        cursor.foreach { case (s, k) => s.set(k, "") }
-        emptyDf
-      } else throw new IllegalStateException(
-        s"twitter: search returned ${resp.status}: ${resp.body.take(200)}")
-    } else {
-      val node = mapper.readTree(resp.body)
-      val data = Option(node.get("data"))
-        .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
-      val newest = Option(node.at("/meta/newest_id").asText(""))
-        .filter(_.nonEmpty).orElse(
-          data.map(_.path("id").asText("")).filter(_.nonEmpty)
-            .sortBy(s => (s.length, s)).lastOption)
-      cursor.foreach { case (s, k) =>
-        newest.foreach(id => s.set(k, id))
+    // page walk: data accumulates across pages; newest_id comes from
+    // the FIRST page (newest-first order), so a partial drain would be
+    // a gap — the walk runs to meta.next_token exhaustion before the
+    // cursor advances
+    val data = Vector.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+    var newest: Option[String] = None
+    var pageTok: Option[String] = None
+    var pages = 0
+    var stale = false
+    var done = false
+    while (!done && pages < maxPages) {
+      val url = s"$base/2/tweets/search/recent?max_results=100" +
+        s"&query=${enc(query)}$fieldsParam$pagination" +
+        pageTok.map(t => s"&next_token=${enc(t)}").getOrElse("")
+      val resp = c(Seq(Http.Request(url, "GET",
+        Map("Authorization" -> s"Bearer $bearer"), ""))).head
+      if (resp.status < 200 || resp.status > 299) {
+        // stale since_id → reset the cursor and skip the sweep (the
+        // template's switch-on-error path)
+        if (resp.body.contains(
+            "'since_id' must be a tweet id created after")) {
+          cursor.foreach { case (s, k) => s.set(k, "") }
+          stale = true
+          done = true
+        } else throw new IllegalStateException(
+          s"twitter: search returned ${resp.status}: ${resp.body.take(200)}")
+      } else {
+        val node = mapper.readTree(resp.body)
+        val page = Option(node.get("data"))
+          .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
+        data ++= page
+        if (pages == 0) newest = Option(node.at("/meta/newest_id")
+          .asText("")).filter(_.nonEmpty).orElse(
+            page.map(_.path("id").asText("")).filter(_.nonEmpty)
+              .sortBy(s => (s.length, s)).lastOption)
+        pageTok = Option(node.at("/meta/next_token").asText(""))
+          .filter(_.nonEmpty)
+        pages += 1
+        done = pageTok.isEmpty
       }
-      if (data.isEmpty) emptyDf
+    }
+    if (!done && !stale) System.err.println(
+      s"[twitter] WARN stopped after $maxPages pages with more remaining")
+
+    if (stale) emptyDf
+    else {
+      val all = data.result()
+      cursor.foreach { case (s, k) => newest.foreach(id => s.set(k, id)) }
+      if (all.isEmpty) emptyDf
       else {
-        val rows = data.zipWithIndex.map { case (t, i) =>
+        val rows = all.zipWithIndex.map { case (t, i) =>
           Row(t.toString, Map.empty[String, String], null, i.toLong)
         }
         val slices = math.max(1,
@@ -171,14 +202,20 @@ object Twitter {
                   """created after the retention window"}]}""")
             else {
               val max = params.get("max_results").map(_.toInt).getOrElse(100)
-              val page = tweets.filter(t => since.forall(t.id > _))
-                .sortBy(-_.id).take(max) // newest first
+              val matched = tweets.filter(t => since.forall(t.id > _))
+                .sortBy(-_.id) // newest first
+              val start = params.get("next_token").map(_.toInt).getOrElse(0)
+              val page = matched.slice(start, start + max)
               val data = page.map(t =>
                 s"""{"id":"${t.id}","text":"${t.text}"}""").mkString(",")
+              val next =
+                if (start + max < matched.size)
+                  s""","next_token":"${start + max}""""
+                else ""
               val meta = page.headOption.map(p =>
                 s""","meta":{"newest_id":"${p.id}",""" +
-                  s""""result_count":${page.size}}""").getOrElse(
-                ""","meta":{"result_count":0}""")
+                  s""""result_count":${page.size}$next}""").getOrElse(
+                s""","meta":{"result_count":0$next}""")
               Http.Response(200, s"""{"data":[$data]$meta}""")
             }
           case other =>

@@ -95,6 +95,43 @@ class JiraSpec extends SparkSpec {
       Seq("c1", "c2", "c3"))
   }
 
+  test("comments corpus larger than one server page emits the first page") {
+    // 60 comments > the server's 50-per-page cap: the first page is
+    // emitted (with a truncation warning), executor-side, in order
+    val cs = (0 until 60).map(i => Comment(f"c$i%02d", min(i), s"b$i"))
+    val t = Transport(Seq(Issue("A-1", "A", min(0), "x", comments = cs)))
+    val rows = Jira.read(spark, "https://x.test", auth,
+      resource = "comments", client = t).orderBy("__seq").collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getMap[String, String](1)("jira_id")).toSeq ==
+      (0 until 50).map(i => f"c$i%02d"))
+  }
+
+  test("failed comment fetch fails the sweep BEFORE the cursor advances") {
+    val issues = Seq(
+      Issue("A-1", "A", min(0), "x", comments = Seq(Comment("c1", min(1), "hi"))),
+      Issue("A-2", "A", min(2), "y", comments = Seq(Comment("c2", min(3), "yo"))))
+    val inner = Transport(issues)
+    // child fetches 500 while the search pages succeed
+    val failing: Http.Client = reqs => reqs.map { q =>
+      if (q.url.contains("/comment")) Http.Response(500, "boom")
+      else inner(Seq(q)).head
+    }
+    val store = new Jira.MemStore
+    intercept[Exception] {
+      Jira.read(spark, "https://x.test", auth, resource = "comments",
+        client = failing, cursor = Some((store, "cur"))).count()
+    }
+    assert(store.get("cur").isEmpty,
+      "cursor must not advance when the comment emission failed")
+    // the retry sweep (transport healthy again) delivers everything
+    val retried = Jira.read(spark, "https://x.test", auth,
+      resource = "comments", client = Transport(issues),
+      cursor = Some((store, "cur")))
+    assert(retried.count() == 2)
+    assert(store.get("cur").nonEmpty, "cursor advances after success")
+  }
+
   test("changelog resource emits embedded first-page histories") {
     val issues = Seq(
       Issue("B-1", "B", min(0), "x",

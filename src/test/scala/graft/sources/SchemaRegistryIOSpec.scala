@@ -72,6 +72,43 @@ class SchemaRegistryIOSpec extends SparkSpec {
       .map(_.version).sorted == Seq(1, 2))
   }
 
+  test("references survive the sync as a real array, never a string") {
+    val refs = """[{"name":"Addr","subject":"addr-value","version":1}]"""
+    val srcName = "srr_" + java.util.UUID.randomUUID.toString.take(8)
+    val dstName = "drr_" + java.util.UUID.randomUUID.toString.take(8)
+    val dst = Transport(Nil)
+    SchemaRegistryIO.registerClient(srcName, Transport(Seq(
+      Entry("addr-value", 1, 1, """{"type":"record"}"""),
+      Entry("cust-value", 1, 2, """{"type":"record2"}""", references = refs))))
+    SchemaRegistryIO.registerClient(dstName, dst)
+    graft.config.Pipeline.run(spark,
+      s"""input:
+         |  schema_registry:
+         |    url: mem://$srcName
+         |pipeline:
+         |  processors: []
+         |output:
+         |  schema_registry:
+         |    url: mem://$dstName
+         |    subject: "$${!metadata(\\"schema_registry_subject\\")}"
+         |""".stripMargin)
+    // the server 422s a string-typed references field, so a recorded
+    // entry proves the POST carried a real array; assert content too
+    val got = dst.entries.asScala.find(_.subject == "cust-value").get
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(m.readTree(got.references) == m.readTree(refs))
+    assert(dst.entries.asScala.find(_.subject == "addr-value")
+      .get.references.isEmpty, "absent references stay absent")
+  }
+
+  test("server rejects string-typed references with 422") {
+    val t = Transport(Nil)
+    val resp = t(Seq(graft.operators.Http.Request(
+      "mem://x/subjects/s/versions", "POST", Map.empty,
+      """{"schema":"{}","references":"[{\"name\":\"A\"}]"}"""))).head
+    assert(resp.status == 422 && resp.body.contains("references"))
+  }
+
   test("posting an identical schema returns the existing id") {
     val t = Transport(Seq(Entry("s", 1, 9, """{"type":"string"}""")))
     val resp = t(Seq(graft.operators.Http.Request(

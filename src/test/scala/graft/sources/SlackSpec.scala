@@ -73,6 +73,25 @@ class SlackSpec extends SparkSpec {
     assert(e.getMessage.contains("rejected"))
   }
 
+  test("slack_post blocks render as a real JSON array, not a string") {
+    import spark.implicits._
+    val name = "slackb_" + java.util.UUID.randomUUID.toString.take(8)
+    val t = Transport(Nil)
+    Slack.registerClient(name, t)
+    val blocks =
+      """[{"type":"section","text":{"type":"mrkdwn","text":"*hi*"}}]"""
+    Slack.postWrite(Seq(("C1", blocks)).toDF("ch", "blk"), "xoxb-test",
+      channelId = col("ch"), blocksJson = col("blk"),
+      baseUrl = s"mem://$name")
+    val posts = t.posted.iterator().asScala.toSeq
+    assert(posts.size == 1)
+    // the server rejects string-typed blocks with invalid_blocks, so a
+    // recorded post proves the wire shape was a nested array; assert the
+    // content round-tripped structurally too
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(m.readTree(posts.head.blocksJson) == m.readTree(blocks))
+  }
+
   test("text and blocks are mutually exclusive") {
     import spark.implicits._
     val df = Seq(("C1", "x")).toDF("ch", "txt")

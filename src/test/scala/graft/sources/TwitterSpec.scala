@@ -41,6 +41,24 @@ class TwitterSpec extends SparkSpec {
     assert(store.get("c").contains("1005"))
   }
 
+  test("overflow sweep walks next_token pages before advancing the cursor") {
+    // 250 matches > one 100-tweet page: the sweep must drain all pages
+    // (the single-page form would skip 150 tweets forever, since the
+    // cursor advances to the newest id)
+    val store = new Cursors.MemStore
+    val t = Transport(tweets(250))
+    val df = Twitter.searchRead(spark, "q", "k", "s", client = t,
+      cursor = Some((store, "c")))
+    val got = df.select(get_json_object(col("value"), "$.id")).collect()
+      .map(_.getString(0).toLong).toSet
+    assert(got == (1000L until 1250L).toSet, "every page's tweets emitted")
+    assert(store.get("c").contains("1249"))
+    // next sweep from the advanced cursor is empty
+    assert(Twitter.searchRead(spark, "q", "k", "s",
+      client = Transport(tweets(250)), cursor = Some((store, "c")))
+      .count() == 0)
+  }
+
   test("a stale since_id clears the cursor and skips the sweep") {
     val store = new Cursors.MemStore
     store.set("c", "10") // below the fake's retention floor
