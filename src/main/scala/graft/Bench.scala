@@ -101,7 +101,19 @@ object Bench {
     // full per-query detail first (humans / logs) …
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$extra,"queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$extra,"queries":$qs,"sf":"$sfDir"}"""
+    println(fullJson)
+    // … and as a FILE artifact with every per-query row: the driver's
+    // stdout-tail parse is capped under ~1900 chars, which truncates the
+    // full map to a dozen entries — the file is the complete record
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     // … then a compact headline line LAST: the driver parses the tail of
     // stdout (a bounded window), so the final line must stay well under
     // that window even though the full map above does not

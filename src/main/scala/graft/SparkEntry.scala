@@ -480,6 +480,62 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "p_pg_cdc" -> ((s, d) => {
+      // native pgoutput CDC (input_pg_stream.go + pglogicalstream —
+      // the reference's flagship connector; wire format is PostgreSQL's
+      // public logical-replication protocol): a recorded WAL byte
+      // stream — XLogData/keepalive framing, BEGIN/RELATION/INSERT/
+      // UPDATE/DELETE/COMMIT messages with text-format tuples — is
+      // decoded by the wire parser into typed changes (TYPES.md matrix)
+      // and folded to relational state. The fixture seed is a bounded
+      // collect (≤ ~500 rows, the in-memory-server precedent); the
+      // decode is per-slot sequential like the reference's single
+      // replication connection, the APPLY is the distributed half.
+      import graft.sources.PgOutput
+      import graft.sources.PgOutput.Fixture._
+      val seed = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey").collect()
+      val relId = 16384L
+      val relCols = Seq(
+        (1, "o_orderkey", PgOutput.OidInt8, -1),
+        (0, "o_custkey", PgOutput.OidInt8, -1),
+        (0, "o_orderstatus", PgOutput.OidText, -1),
+        (0, "o_totalprice", PgOutput.OidFloat8, -1),
+        (0, "o_orderdate", PgOutput.OidTimestamp, -1))
+      val t0 = PgOutput.unixMicrosToPgMicros(1700000000000000L)
+      val msgs = Vector.newBuilder[Array[Byte]]
+      msgs += begin(1L, t0, 1)
+      msgs += relation(relId, "public", "orders", 'd', relCols)
+      seed.foreach { r =>
+        msgs += insert(relId, Seq(
+          VText(r.getLong(0).toString), VText(r.getLong(1).toString),
+          VText(r.getString(2)), VText(pgText(r.getDouble(3))),
+          VText(pgText(r.getTimestamp(4)))))
+      }
+      msgs += commit(1L, 2L, t0)
+      msgs += begin(3L, t0 + 1000000L, 2)
+      seed.filter(_.getLong(0) % 10 == 0).foreach { r =>
+        msgs += update(relId, None, Seq(
+          VText(r.getLong(0).toString), VText(r.getLong(1).toString),
+          VText("X"), VText(pgText(r.getDouble(3) + 10.0)),
+          VText(pgText(r.getTimestamp(4)))))
+      }
+      seed.filter(_.getLong(0) % 7 == 0).foreach { r =>
+        // replica identity 'd': delete carries the key, rest null
+        msgs += delete(relId, 'K', Seq(
+          VText(r.getLong(0).toString), VNull, VNull, VNull, VNull))
+      }
+      msgs += commit(3L, 4L, t0 + 1000000L)
+      val frames = msgs.result().zipWithIndex.map { case (m, i) =>
+        xlog(1000L + i, t0, m)
+      }
+      val typed = PgOutput.typedChanges(s, frames, "orders")
+      sources.Cdc.latestState(typed, Seq("o_orderkey"), col("__lsn"))
+        .drop("__lsn").orderBy("o_orderkey")
+    }),
+
     "p_lakehouse_upsert" -> ((s, d) => {
       // iceberg-shaped sink contract (output_iceberg.go row_operation
       // upsert + schema evolution): snapshot write, then a second batch
@@ -1870,6 +1926,17 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
         |ORDER BY k""".stripMargin,
+
+    "p_pg_cdc" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "p_kafka_roundtrip" ->
       """SELECT doc_id,

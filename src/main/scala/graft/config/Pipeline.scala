@@ -518,6 +518,14 @@ object Pipeline {
               b.get("streams").elements().asScala.toSeq.map(_.asText),
               b.path("body_key").asText("body"))
         }
+      case ("postgres_cdc", b) =>
+        // inputs/postgres_cdc.adoc — the reference's flagship connector.
+        // A live START_REPLICATION socket is env-blocked here, so the
+        // input replays a RECORDED pgoutput stream (wal_file: length-
+        // prefixed CopyData frames) through the same native wire
+        // decoder (PgOutput), emitting the StreamMessage envelope shape
+        graft.sources.PgOutput.changes(spark,
+          graft.sources.PgOutput.readFrameFile(b.get("wal_file").asText))
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }

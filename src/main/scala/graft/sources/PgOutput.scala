@@ -1,0 +1,638 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native pgoutput logical-replication decode — the wire format behind
+  * the reference's flagship `postgres_cdc` input
+  * (internal/impl/postgresql/input_pg_stream.go,
+  * pglogicalstream/replication_message.go — contract only, no code
+  * ported; the format itself is PostgreSQL's public logical replication
+  * protocol, postgresql.org/docs/current/protocol-logicalrep-message-
+  * formats.html).
+  *
+  * Decodes the message stream a `START_REPLICATION ... (proto_version
+  * '1', publication_names ...)` slot produces: BEGIN/COMMIT transaction
+  * envelopes, RELATION/TYPE schema messages, INSERT/UPDATE/DELETE/
+  * TRUNCATE changes with text-format tuples, ORIGIN, logical-decoding
+  * MESSAGEs, and the protocol-v2 STREAM_* envelopes — plus the
+  * replication-connection framing above them (XLogData 'w' and primary
+  * keepalive 'k' CopyData payloads).
+  *
+  * Typed delivery follows the reference's published matrix
+  * (internal/impl/postgresql/TYPES.md:26-45): int2 promotes to int,
+  * numeric stays a string (arbitrary precision), date/timestamp/
+  * timestamptz become native timestamps with ±infinity as null,
+  * time/timetz/uuid stay strings, bytea decodes the `\x` hex form,
+  * json/jsonb stay JSON text (Spark's nested-native form is `variant` —
+  * downstream `parse_json` replaces the reference's eager
+  * `json.Unmarshal`), and unknown OIDs fall back to the raw text.
+  *
+  * Spark shape: ONE replication slot is ONE ordered byte stream from
+  * one primary — decode is inherently sequential (the RELATION cache
+  * is stateful; transactions frame the changes), so the decode is a
+  * driver admission loop exactly like the SaaS cursor inputs, and the
+  * DATA parallelizes after admission. The distributed half of CDC is
+  * the relational apply ([[Cdc.latestState]] — one shuffle on the key),
+  * which this feeds.
+  */
+object PgOutput {
+
+  /** Micros between the Unix and PostgreSQL (2000-01-01) epochs. */
+  private val PgEpochMicros = 946684800000000L
+
+  def pgMicrosToUnixMicros(pg: Long): Long = pg + PgEpochMicros
+  def unixMicrosToPgMicros(unix: Long): Long = unix - PgEpochMicros
+
+  /** LSN wire form is a uint64; the text form is `hi32/lo32` in hex. */
+  def lsnString(lsn: Long): String =
+    f"${(lsn >>> 32).toInt & 0xffffffffL}%X/${lsn.toInt & 0xffffffffL}%X"
+
+  // ------------------------------------------------------------------
+  // wire model
+  // ------------------------------------------------------------------
+
+  final case class RelCol(flags: Int, name: String, typeOid: Int,
+                          typeMod: Int) {
+    def isKey: Boolean = (flags & 1) != 0
+  }
+
+  sealed trait TupleCol
+  case object NullCol extends TupleCol
+  case object ToastCol extends TupleCol
+  final case class TextCol(data: Array[Byte]) extends TupleCol {
+    def text: String = new String(data, UTF_8)
+  }
+  final case class BinaryCol(data: Array[Byte]) extends TupleCol
+  final case class TupleData(cols: Vector[TupleCol])
+
+  sealed trait Msg
+  final case class Begin(finalLsn: Long, commitMicros: Long, xid: Long)
+      extends Msg
+  final case class Commit(flags: Int, commitLsn: Long, endLsn: Long,
+                          commitMicros: Long) extends Msg
+  final case class Relation(id: Long, namespace: String, name: String,
+                            replicaIdentity: Char, cols: Vector[RelCol])
+      extends Msg
+  final case class TypeMsg(oid: Long, namespace: String, name: String)
+      extends Msg
+  final case class Origin(lsn: Long, name: String) extends Msg
+  final case class Insert(relId: Long, tuple: TupleData) extends Msg
+  /** `oldType` is 'K' (replica-identity key) or 'O' (full old row) when
+    * the old tuple is present.
+    */
+  final case class Update(relId: Long, oldType: Option[Char],
+                          oldTuple: Option[TupleData], newTuple: TupleData)
+      extends Msg
+  final case class Delete(relId: Long, oldType: Char, oldTuple: TupleData)
+      extends Msg
+  final case class Truncate(options: Int, relIds: Vector[Long]) extends Msg
+  final case class LogicalMsg(transactional: Boolean, lsn: Long,
+                              prefix: String, content: Array[Byte])
+      extends Msg
+  final case class StreamStart(xid: Long, firstSegment: Boolean) extends Msg
+  case object StreamStop extends Msg
+  final case class StreamCommit(xid: Long, flags: Int, commitLsn: Long,
+                                endLsn: Long, commitMicros: Long) extends Msg
+  final case class StreamAbort(xid: Long, subXid: Long) extends Msg
+
+  /** Replication-connection framing (CopyData payloads). */
+  sealed trait Frame
+  final case class XLogData(walStart: Long, walEnd: Long,
+                            serverMicros: Long, msg: Msg) extends Frame
+  final case class Keepalive(walEnd: Long, serverMicros: Long,
+                             replyRequested: Boolean) extends Frame
+
+  // ------------------------------------------------------------------
+  // decode
+  // ------------------------------------------------------------------
+
+  private final class Reader(src: Array[Byte]) {
+    private val b = ByteBuffer.wrap(src) // big-endian by default
+    def u8(): Int = b.get() & 0xff
+    def u16(): Int = b.getShort() & 0xffff
+    def u32(): Long = b.getInt() & 0xffffffffL
+    def i32(): Int = b.getInt()
+    def i64(): Long = b.getLong()
+    def bytes(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n); b.get(out); out
+    }
+    /** C-style null-terminated string. */
+    def cstring(): String = {
+      val start = b.position()
+      var end = start
+      while (src(end) != 0) end += 1
+      b.position(end + 1)
+      new String(src, start, end - start, UTF_8)
+    }
+    def remaining: Int = b.remaining()
+  }
+
+  /** Decode one pgoutput message (the payload of an XLogData frame). */
+  def parse(src: Array[Byte]): Msg = {
+    require(src.nonEmpty, "pgoutput: empty message")
+    val r = new Reader(src)
+    (r.u8(): @annotation.switch) match {
+      case 'B' => Begin(r.i64(), r.i64(), r.u32())
+      case 'C' =>
+        val flags = r.u8()
+        Commit(flags, r.i64(), r.i64(), r.i64())
+      case 'O' => Origin(r.i64(), r.cstring())
+      case 'R' =>
+        val id = r.u32()
+        val ns = r.cstring()
+        val name = r.cstring()
+        val ident = r.u8().toChar
+        val n = r.u16()
+        val cols = Vector.fill(n)(
+          RelCol(r.u8(), r.cstring(), r.i32(), r.i32()))
+        Relation(id, ns, name, ident, cols)
+      case 'Y' => TypeMsg(r.u32(), r.cstring(), r.cstring())
+      case 'I' =>
+        val id = r.u32()
+        val kind = r.u8().toChar
+        require(kind == 'N', s"pgoutput: insert tuple kind '$kind' != 'N'")
+        Insert(id, tuple(r))
+      case 'U' =>
+        val id = r.u32()
+        val k = r.u8().toChar
+        if (k == 'K' || k == 'O') {
+          val old = tuple(r)
+          val nk = r.u8().toChar
+          require(nk == 'N', s"pgoutput: update new-tuple kind '$nk'")
+          Update(id, Some(k), Some(old), tuple(r))
+        } else {
+          require(k == 'N', s"pgoutput: update tuple kind '$k'")
+          Update(id, None, None, tuple(r))
+        }
+      case 'D' =>
+        val id = r.u32()
+        val k = r.u8().toChar
+        require(k == 'K' || k == 'O', s"pgoutput: delete tuple kind '$k'")
+        Delete(id, k, tuple(r))
+      case 'T' =>
+        val n = r.i32()
+        val options = r.u8()
+        Truncate(options, Vector.fill(n)(r.u32()))
+      case 'M' =>
+        val transactional = r.u8() == 1
+        val lsn = r.i64()
+        val prefix = r.cstring()
+        val len = r.i32()
+        LogicalMsg(transactional, lsn, prefix, r.bytes(len))
+      case 'S' => StreamStart(r.u32(), r.u8() == 1)
+      case 'E' => StreamStop
+      case 'c' =>
+        val xid = r.u32()
+        val flags = r.u8()
+        StreamCommit(xid, flags, r.i64(), r.i64(), r.i64())
+      case 'A' => StreamAbort(r.u32(), r.u32())
+      case other => throw new IllegalArgumentException(
+        s"pgoutput: unsupported message type '${other.toChar}'")
+    }
+  }
+
+  private def tuple(r: Reader): TupleData = {
+    val n = r.u16()
+    TupleData(Vector.fill(n) {
+      (r.u8().toChar: @annotation.switch) match {
+        case 'n' => NullCol
+        case 'u' => ToastCol
+        case 't' => TextCol(r.bytes(r.i32()))
+        case 'b' => BinaryCol(r.bytes(r.i32()))
+        case k => throw new IllegalArgumentException(
+          s"pgoutput: unknown tuple column kind '$k'")
+      }
+    })
+  }
+
+  /** Decode one CopyData payload from the replication connection:
+    * 'w' wraps a pgoutput message in WAL positions, 'k' is a primary
+    * keepalive (walEnd, server clock, reply-requested flag).
+    */
+  def parseFrame(copyData: Array[Byte]): Frame = {
+    val r = new Reader(copyData)
+    r.u8().toChar match {
+      case 'w' =>
+        val start = r.i64(); val end = r.i64(); val ts = r.i64()
+        XLogData(start, end, ts, parse(r.bytes(r.remaining)))
+      case 'k' => Keepalive(r.i64(), r.i64(), r.u8() == 1)
+      case other => throw new IllegalArgumentException(
+        s"pgoutput: unknown replication frame '$other'")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // typed column decode (TYPES.md matrix)
+  // ------------------------------------------------------------------
+
+  // core OIDs (pg_type.dat — stable since PostgreSQL 7)
+  val OidBool = 16; val OidBytea = 17; val OidName = 19
+  val OidInt8 = 20; val OidInt2 = 21; val OidInt4 = 23
+  val OidText = 25; val OidJson = 114; val OidFloat4 = 700
+  val OidFloat8 = 701; val OidBpchar = 1042; val OidVarchar = 1043
+  val OidDate = 1082; val OidTime = 1083; val OidTimestamp = 1114
+  val OidTimestamptz = 1184; val OidTimetz = 1266; val OidNumeric = 1700
+  val OidUuid = 2950; val OidJsonb = 3802
+
+  /** Spark type for a relation column, per the schema half of the
+    * matrix (TYPES.md:26-45).
+    */
+  def sparkType(typeOid: Int): DataType = typeOid match {
+    case OidBool => BooleanType
+    case OidInt2 | OidInt4 => IntegerType
+    case OidInt8 => LongType
+    case OidFloat4 => FloatType
+    case OidFloat8 => DoubleType
+    case OidBytea => BinaryType
+    case OidDate | OidTimestamp | OidTimestamptz => TimestampType
+    case _ => StringType // numeric/text/time/uuid/json + unknown-OID fallback
+  }
+
+  private val PgTsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .appendFraction(java.time.temporal.ChronoField.MICRO_OF_SECOND, 0, 6, true)
+    .toFormatter
+
+  /** Decode one text-format column value to its delivery type. `null`
+    * data is SQL NULL. ±infinity dates/timestamps deliver null (they
+    * have no time.Time / Timestamp form — TYPES.md note).
+    */
+  def decodeText(typeOid: Int, text: String): Any = {
+    if (text == null) return null
+    typeOid match {
+      case OidBool => text == "t" || text == "true"
+      case OidInt2 | OidInt4 => text.trim.toInt // int2 promotes (TYPES.md)
+      case OidInt8 => text.trim.toLong
+      case OidFloat4 => text.trim.toFloat
+      case OidFloat8 => text.trim.toDouble
+      case OidBytea =>
+        require(text.startsWith("\\x"),
+          s"pgoutput: bytea not in hex form: ${text.take(8)}")
+        hexToBytes(text.substring(2))
+      case OidDate =>
+        if (text == "infinity" || text == "-infinity") null
+        else java.sql.Timestamp.from(java.time.LocalDate.parse(text)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+      case OidTimestamp =>
+        if (text == "infinity" || text == "-infinity") null
+        else java.sql.Timestamp.from(java.time.LocalDateTime
+          .parse(text, PgTsFmt).toInstant(java.time.ZoneOffset.UTC))
+      case OidTimestamptz =>
+        if (text == "infinity" || text == "-infinity") null
+        else {
+          // PG renders e.g. `2024-01-02 03:04:05.123456+00` (offset may
+          // be ±hh, ±hh:mm, or ±hh:mm:ss)
+          val i = math.max(text.lastIndexOf('+'), text.lastIndexOf('-'))
+          require(i > 10, s"pgoutput: timestamptz without offset: $text")
+          val off = text.substring(i) match {
+            case o if o.length == 3 => o + ":00"
+            case o => o
+          }
+          java.sql.Timestamp.from(java.time.OffsetDateTime.of(
+            java.time.LocalDateTime.parse(text.substring(0, i), PgTsFmt),
+            java.time.ZoneOffset.of(off)).toInstant)
+        }
+      // numeric keeps the raw text (arbitrary precision — TYPES.md);
+      // time/timetz/uuid/json/jsonb and unknown OIDs are delivered as
+      // their PostgreSQL text form
+      case _ => text
+    }
+  }
+
+  private def hexToBytes(h: String): Array[Byte] = {
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // stream replay → DataFrames
+  // ------------------------------------------------------------------
+
+  /** One decoded DML change, typed. `data` is the new row (old row for
+    * deletes, matching the reference's StreamMessage), `before` the old
+    * image when the wire carried one.
+    */
+  final case class Change(lsn: Long, commitMicros: Long, xid: Long,
+                          op: String, namespace: String, table: String,
+                          rel: Relation, data: Vector[Any],
+                          before: Option[Vector[Any]])
+
+  /** Walk a recorded frame sequence and decode every DML change. The
+    * RELATION cache is carried across frames (PostgreSQL sends a
+    * relation message before the first change that uses it, and again
+    * when the table's schema changes); keepalives and non-DML messages
+    * advance state only. `unchangedToast` is delivered for unchanged
+    * TOAST columns unless the old tuple (REPLICA IDENTITY FULL) carries
+    * the real value — the reference's toast-fallback rule.
+    */
+  def decodeChanges(frames: Iterable[Array[Byte]],
+                    unchangedToast: Any = null): Vector[Change] = {
+    val relations = scala.collection.mutable.Map.empty[Long, Relation]
+    var txMicros = 0L
+    var txXid = 0L
+    val out = Vector.newBuilder[Change]
+    frames.foreach { f =>
+      parseFrame(f) match {
+        case Keepalive(_, _, _) => ()
+        case XLogData(walStart, _, _, msg) => msg match {
+          case r: Relation => relations(r.id) = r
+          case Begin(_, micros, xid) => txMicros = micros; txXid = xid
+          case _: Commit | _: TypeMsg | _: Origin | _: LogicalMsg |
+              _: StreamStart | StreamStop | _: StreamCommit |
+              _: StreamAbort | _: Truncate => ()
+          case Insert(relId, t) =>
+            val rel = relOf(relations, relId)
+            out += Change(walStart, txMicros, txXid, "insert",
+              rel.namespace, rel.name, rel,
+              decodeTuple(t, rel, unchangedToast, None), None)
+          case Update(relId, oldType, oldT, newT) =>
+            val rel = relOf(relations, relId)
+            // REPLICA IDENTITY FULL: unchanged-toast columns in the new
+            // tuple resolve against the old tuple's real value
+            val toastFallback = oldT.filter(_ => oldType.contains('O'))
+            val before = oldT.map(decodeTuple(_, rel, unchangedToast, None))
+            out += Change(walStart, txMicros, txXid, "update",
+              rel.namespace, rel.name, rel,
+              decodeTuple(newT, rel, unchangedToast, toastFallback), before)
+          case Delete(relId, _, oldT) =>
+            val rel = relOf(relations, relId)
+            val img = decodeTuple(oldT, rel, unchangedToast, None)
+            out += Change(walStart, txMicros, txXid, "delete",
+              rel.namespace, rel.name, rel, img, Some(img))
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def relOf(m: scala.collection.mutable.Map[Long, Relation],
+                    id: Long): Relation =
+    m.getOrElse(id, throw new IllegalStateException(
+      s"pgoutput: change for unknown relation id $id (no RELATION seen)"))
+
+  private def decodeTuple(t: TupleData, rel: Relation, unchangedToast: Any,
+                          toastFallback: Option[TupleData]): Vector[Any] =
+    t.cols.zipWithIndex.map { case (c, i) =>
+      val oid = rel.cols(i).typeOid
+      c match {
+        case NullCol => null
+        case TextCol(d) => decodeText(oid, new String(d, UTF_8))
+        case BinaryCol(d) => d // binary-format passthrough
+        case ToastCol =>
+          toastFallback.map(_.cols(i)).map {
+            case TextCol(d) => decodeText(oid, new String(d, UTF_8))
+            case BinaryCol(d) => d
+            case _ => unchangedToast
+          }.getOrElse(unchangedToast)
+      }
+    }
+
+  /** Typed replay of ONE table's changes: the relation's columns with
+    * their matrix types, plus `__op` (insert/update/delete), `__lsn`
+    * and `__ts_ms` (commit time) — the shape [[Cdc.latestState]]
+    * consumes directly (`ord = col("__lsn")`).
+    */
+  def typedChanges(spark: SparkSession, frames: Iterable[Array[Byte]],
+                   table: String, namespace: String = "public"): DataFrame = {
+    val changes = decodeChanges(frames)
+      .filter(c => c.table == table && c.namespace == namespace)
+    require(changes.nonEmpty,
+      s"pgoutput: no changes for $namespace.$table in the stream")
+    val rel = changes.last.rel
+    val schema = StructType(
+      rel.cols.map(c => StructField(c.name, sparkType(c.typeOid))) ++ Seq(
+        StructField("__op", StringType, nullable = false),
+        StructField("__lsn", LongType, nullable = false),
+        StructField("__ts_ms", LongType, nullable = false)))
+    // __op uses the Debezium letters Cdc.latestState ranks (c/u/d)
+    val opLetter = Map("insert" -> "c", "update" -> "u", "delete" -> "d")
+    val rows = changes.map { c =>
+      // changes decoded under an EARLIER relation version align to the
+      // final schema by column NAME (mid-stream ALTER TABLE: PostgreSQL
+      // re-sends the relation before the first change that uses the new
+      // shape); columns the old version lacked are null
+      val vals =
+        if (c.rel eq rel) c.data
+        else {
+          val byName = c.rel.cols.map(_.name).zip(c.data).toMap
+          rel.cols.map(rc => byName.getOrElse(rc.name, null))
+        }
+      Row.fromSeq(vals ++ Seq(opLetter(c.op), c.lsn,
+        pgMicrosToUnixMicros(c.commitMicros) / 1000L))
+    }
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.length / 256 + 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, slices), schema)
+  }
+
+  /** Broker-envelope replay (every table): value = the StreamMessage
+    * JSON shape the reference's AsBytes path emits (`lsn`, `operation`,
+    * `schema`, `table`, `data`), metadata = table/operation/lsn,
+    * `__seq` = stream order.
+    */
+  def changes(spark: SparkSession,
+              frames: Iterable[Array[Byte]]): DataFrame = {
+    val rows = decodeChanges(frames).zipWithIndex.map { case (c, i) =>
+      val data = c.rel.cols.map(_.name).zip(c.data)
+        .map { case (n, v) => "\"" + n + "\":" + jsonValue(v) }
+        .mkString("{", ",", "}")
+      val value = s"""{"lsn":"${lsnString(c.lsn)}",""" +
+        s""""operation":"${c.op}","schema":"${c.namespace}",""" +
+        s""""table":"${c.table}","data":$data}"""
+      Row(value, Map(
+        "table" -> c.table, "operation" -> c.op,
+        "lsn" -> lsnString(c.lsn)), null, i.toLong)
+    }
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.length / 256 + 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, slices), BrokerStream.schema)
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n @ (_: Int | _: Long | _: Float | _: Double) => n.toString
+    case b: Array[Byte] => // Go marshals []byte as base64
+      "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+    case t: java.sql.Timestamp =>
+      "\"" + t.toInstant.toString + "\""
+    case other => jsonQuote(other.toString)
+  }
+
+  private def jsonQuote(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append("\"").toString
+  }
+
+  /** Read a recorded replication stream: length-prefixed (4-byte
+    * big-endian) CopyData frames — the on-disk capture format of the
+    * replay seam (a live `START_REPLICATION` socket is env-blocked
+    * here; the reference's integration tests record the same stream).
+    */
+  def readFrameFile(path: String): Vector[Array[Byte]] = {
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val b = ByteBuffer.wrap(all)
+    val out = Vector.newBuilder[Array[Byte]]
+    while (b.remaining() >= 4) {
+      val len = b.getInt()
+      require(len >= 0 && len <= b.remaining(),
+        s"pgoutput: corrupt frame file $path (frame length $len)")
+      val f = new Array[Byte](len); b.get(f); out += f
+    }
+    require(b.remaining() == 0, s"pgoutput: trailing bytes in $path")
+    out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // fixture encoder (the recorded-byte-stream seam: same offline
+  // playbook as the MaxMind .mmdb / MJPEG fixtures — the decoder is
+  // exercised against bytes built by an independent encoder that
+  // follows the published wire format)
+  // ------------------------------------------------------------------
+
+  object Fixture {
+
+    private final class W {
+      private val b = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): W = { b.write(v & 0xff); this }
+      def u16(v: Int): W = { b.write(v >>> 8); b.write(v); this }
+      def i32(v: Int): W = {
+        b.write(v >>> 24); b.write(v >>> 16); b.write(v >>> 8); b.write(v)
+        this
+      }
+      def i64(v: Long): W = { i32((v >>> 32).toInt); i32(v.toInt); this }
+      def cstr(s: String): W = {
+        b.write(s.getBytes(UTF_8)); b.write(0); this
+      }
+      def raw(d: Array[Byte]): W = { b.write(d, 0, d.length); this }
+      def bytes: Array[Byte] = b.toByteArray
+    }
+
+    /** Column value for an encoded tuple: null, unchanged-toast, or a
+      * text-format value.
+      */
+    sealed trait Val
+    case object VNull extends Val
+    case object VToast extends Val
+    final case class VText(text: String) extends Val
+
+    private def writeTuple(w: W, vals: Seq[Val]): Unit = {
+      w.u16(vals.size)
+      vals.foreach {
+        case VNull => w.u8('n')
+        case VToast => w.u8('u')
+        case VText(t) =>
+          val d = t.getBytes(UTF_8)
+          w.u8('t').i32(d.length).raw(d)
+      }
+    }
+
+    def begin(finalLsn: Long, commitMicros: Long, xid: Long): Array[Byte] =
+      new W().u8('B').i64(finalLsn).i64(commitMicros).i32(xid.toInt).bytes
+
+    def commit(commitLsn: Long, endLsn: Long,
+               commitMicros: Long): Array[Byte] =
+      new W().u8('C').u8(0).i64(commitLsn).i64(endLsn).i64(commitMicros)
+        .bytes
+
+    /** `cols` = (flags, name, typeOid, typeMod); flags bit0 marks key
+      * columns.
+      */
+    def relation(id: Long, namespace: String, name: String,
+                 replicaIdentity: Char,
+                 cols: Seq[(Int, String, Int, Int)]): Array[Byte] = {
+      val w = new W().u8('R').i32(id.toInt).cstr(namespace).cstr(name)
+        .u8(replicaIdentity).u16(cols.size)
+      cols.foreach { case (f, n, oid, mod) =>
+        w.u8(f).cstr(n).i32(oid).i32(mod)
+      }
+      w.bytes
+    }
+
+    def typeMsg(oid: Long, namespace: String, name: String): Array[Byte] =
+      new W().u8('Y').i32(oid.toInt).cstr(namespace).cstr(name).bytes
+
+    def origin(lsn: Long, name: String): Array[Byte] =
+      new W().u8('O').i64(lsn).cstr(name).bytes
+
+    def insert(relId: Long, vals: Seq[Val]): Array[Byte] = {
+      val w = new W().u8('I').i32(relId.toInt).u8('N')
+      writeTuple(w, vals); w.bytes
+    }
+
+    def update(relId: Long, old: Option[(Char, Seq[Val])],
+               newVals: Seq[Val]): Array[Byte] = {
+      val w = new W().u8('U').i32(relId.toInt)
+      old.foreach { case (k, vals) => w.u8(k); writeTuple(w, vals) }
+      w.u8('N'); writeTuple(w, newVals); w.bytes
+    }
+
+    def delete(relId: Long, keyKind: Char, vals: Seq[Val]): Array[Byte] = {
+      val w = new W().u8('D').i32(relId.toInt).u8(keyKind)
+      writeTuple(w, vals); w.bytes
+    }
+
+    def truncate(options: Int, relIds: Seq[Long]): Array[Byte] = {
+      val w = new W().u8('T').i32(relIds.size).u8(options)
+      relIds.foreach(id => w.i32(id.toInt)); w.bytes
+    }
+
+    def logicalMsg(transactional: Boolean, lsn: Long, prefix: String,
+                   content: Array[Byte]): Array[Byte] =
+      new W().u8('M').u8(if (transactional) 1 else 0).i64(lsn)
+        .cstr(prefix).i32(content.length).raw(content).bytes
+
+    /** Wrap a pgoutput message in the XLogData CopyData frame. */
+    def xlog(walStart: Long, serverMicros: Long,
+             payload: Array[Byte]): Array[Byte] =
+      new W().u8('w').i64(walStart).i64(walStart + payload.length)
+        .i64(serverMicros).raw(payload).bytes
+
+    def keepalive(walEnd: Long, serverMicros: Long,
+                  replyRequested: Boolean): Array[Byte] =
+      new W().u8('k').i64(walEnd).i64(serverMicros)
+        .u8(if (replyRequested) 1 else 0).bytes
+
+    /** Write frames in the length-prefixed capture format
+      * [[PgOutput.readFrameFile]] consumes.
+      */
+    def writeFrameFile(path: String, frames: Seq[Array[Byte]]): Unit = {
+      val w = new W()
+      frames.foreach(f => w.i32(f.length).raw(f))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), w.bytes)
+    }
+
+    /** PostgreSQL text rendering for fixture values (the inverse of
+      * [[decodeText]] for the delivery types).
+      */
+    def pgText(v: Any): String = v match {
+      case b: Boolean => if (b) "t" else "f"
+      case b: Array[Byte] =>
+        "\\x" + b.map(x => f"${x & 0xff}%02x").mkString
+      case t: java.sql.Timestamp =>
+        PgTsFmt.format(java.time.LocalDateTime.ofInstant(
+          t.toInstant, java.time.ZoneOffset.UTC))
+      case other => other.toString
+    }
+  }
+}
