@@ -480,6 +480,36 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "p_salesforce" -> ((s, d) => {
+      // salesforce SOQL extract (inputs/salesforce.adoc): client-
+      // credentials exchange, placeholder-escaped WHERE, 50-record
+      // pages over nextRecordsUrl — record payloads verified
+      // relationally (fixture seed = bounded collect)
+      import graft.sources.Salesforce
+      val seed = Tables.orders(s, d).filter(col("o_orderkey") < 400)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey").collect()
+      val name = "sfq_" + java.util.UUID.randomUUID.toString.take(8)
+      val recs = seed.map(r => Salesforce.InMemoryServer.Record(Seq(
+        "Id" -> f"ORD${r.getLong(0)}%06d", "Cust__c" -> r.getLong(1),
+        "Status__c" -> r.getString(2), "Price__c" -> r.getDouble(3))))
+      Salesforce.registerClient(name,
+        Salesforce.InMemoryServer.Transport("Order__c", recs.toSeq,
+          pageSize = 50))
+      Salesforce.read(s, s"mem://$name", "cid", "csec", "Order__c",
+          Seq("Id", "Cust__c", "Status__c", "Price__c"),
+          where = "Price__c > ?", args = Seq(50000.0),
+          suffix = "ORDER BY Id")
+        .select(
+          get_json_object(col("value"), "$.Id").as("id"),
+          get_json_object(col("value"), "$.Cust__c").cast("long")
+            .as("cust"),
+          get_json_object(col("value"), "$.Status__c").as("status"),
+          get_json_object(col("value"), "$.Price__c").cast("double")
+            .as("price"))
+        .orderBy("id")
+    }),
+
     "p_pg_cdc" -> ((s, d) => {
       // native pgoutput CDC (input_pg_stream.go + pglogicalstream —
       // the reference's flagship connector; wire format is PostgreSQL's
@@ -1926,6 +1956,13 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
         |ORDER BY k""".stripMargin,
+
+    "p_salesforce" ->
+      """SELECT 'ORD' || LPAD(CAST(o_orderkey AS VARCHAR), 6, '0') AS id,
+        |  o_custkey AS cust, o_orderstatus AS status,
+        |  o_totalprice AS price
+        |FROM orders WHERE o_orderkey < 400 AND o_totalprice > 50000.0
+        |ORDER BY id""".stripMargin,
 
     "p_pg_cdc" ->
       """SELECT o_orderkey, o_custkey,

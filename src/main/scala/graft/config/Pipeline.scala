@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Cursors, Discord, HttpClient, Jira, Mq, NatsKv, PubSub, Redis, SchemaRegistryIO, Slack, Sources, Splunk, Tcp, Twitter}
+import graft.sources.{Cursors, Discord, HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Splunk, Tcp, Twitter}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -518,6 +518,29 @@ object Pipeline {
               b.get("streams").elements().asScala.toSeq.map(_.asText),
               b.path("body_key").asText("body"))
         }
+      case ("salesforce", b) =>
+        // inputs/salesforce.adoc — one SOQL extract, one message per
+        // record. Config-form DIVERGENCE: `args` is a static literal
+        // list (the adoc's args_mapping is a startup-time Bloblang eval
+        // with no message context; the static list covers the same
+        // placeholder substitution without an interpreter dependency)
+        def sfArg(n: JsonNode): Any =
+          if (n.isNull) null
+          else if (n.isBoolean) n.asBoolean()
+          else if (n.isIntegralNumber) n.asLong()
+          else if (n.isNumber) n.asDouble()
+          else n.asText()
+        Salesforce.read(spark, b.get("org_url").asText,
+          clientId = b.get("client_id").asText,
+          clientSecret = b.get("client_secret").asText,
+          obj = b.get("object").asText,
+          columns = b.get("columns").elements().asScala.toSeq.map(_.asText),
+          where = b.path("where").asText(""),
+          args = Option(b.get("args")).map(_.elements().asScala.toSeq
+            .map(sfArg)).getOrElse(Seq.empty),
+          prefix = b.path("prefix").asText(""),
+          suffix = b.path("suffix").asText(""),
+          apiVersion = b.path("api_version").asText("v65.0"))
       case ("postgres_cdc", b) =>
         // inputs/postgres_cdc.adoc — the reference's flagship connector.
         // A live START_REPLICATION socket is env-blocked here, so the
