@@ -644,6 +644,71 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_sqs_roundtrip" -> ((s, d) => {
+      // aws_sqs contract (inputs/aws_sqs.adoc, outputs/aws_sqs.adoc
+      // via the CloudQueue seam): send orders with a per-message
+      // attribute, drain with COMPETING CONSUMERS (delete-on-emit
+      // acking), and verify payloads + the sqs_* metadata surface
+      // relationally. Delivery order is not part of the SQS contract,
+      // so the gate sorts by key; lease/redelivery/FIFO semantics are
+      // CloudQueueSpec's clock-driven territory.
+      import graft.sources.CloudQueue
+      val name = "sq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val t = CloudQueue.sqsNamed(name)
+      t.createQueue("q")
+      val orders = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .select(
+          to_json(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))).as("value"),
+          col("o_orderstatus").as("status"))
+      CloudQueue.sqsWrite(orders, s"mem://$name", "q",
+        attributeCols = Seq("status"))
+      CloudQueue.sqsRead(s, s"mem://$name", "q", consumers = 4)
+        .select(
+          get_json_object(col("value"), "$.o_orderkey").cast("long")
+            .as("k"),
+          get_json_object(col("value"), "$.o_custkey").cast("long")
+            .as("cust"),
+          get_json_object(col("value"), "$.o_totalprice").cast("double")
+            .as("price"),
+          col("metadata")("status").as("status"),
+          col("metadata")("sqs_approximate_receive_count").cast("int")
+            .as("rc"))
+        .orderBy(col("k"))
+    }),
+
+    "p_pubsub_roundtrip" -> ((s, d) => {
+      // gcp_pubsub contract (inputs/gcp_pubsub.adoc,
+      // outputs/gcp_pubsub.adoc via the CloudQueue seam): publish
+      // customers to a topic with a per-row ordering key, fan out to a
+      // subscription, pull with competing consumers (ack-on-emit) —
+      // payloads, ordering-key metadata, and first-attempt delivery
+      // verified relationally. A pre-publish second subscription and
+      // ack-deadline redelivery live in CloudQueueSpec.
+      import graft.sources.CloudQueue
+      val name = "ps_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val t = CloudQueue.psNamed(name)
+      t.createTopic("t"); t.subscribe("t", "s")
+      val cust = Tables.customer(s, d).filter(col("c_custkey") < 400)
+        .select(
+          to_json(struct(col("c_custkey"), col("c_name"),
+            col("c_acctbal"))).as("value"),
+          col("c_mktsegment").as("okey"))
+      CloudQueue.pubsubWrite(cust, s"mem://$name", "t",
+        orderingKeyCol = Some("okey"))
+      CloudQueue.pubsubRead(s, s"mem://$name", "s", consumers = 4)
+        .select(
+          get_json_object(col("value"), "$.c_custkey").cast("long")
+            .as("k"),
+          get_json_object(col("value"), "$.c_name").as("name"),
+          get_json_object(col("value"), "$.c_acctbal").cast("double")
+            .as("bal"),
+          col("metadata")("gcp_pubsub_ordering_key").as("okey"),
+          col("metadata")("gcp_pubsub_delivery_attempt").cast("int")
+            .as("attempt"))
+        .orderBy(col("k"))
+    }),
+
     "p_nats_subjects" -> ((s, d) => {
       // NATS subject-space contract (inputs/nats_jetstream.adoc via
       // the PubSub seam): publish documents to per-language subjects,
@@ -1991,6 +2056,18 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS tag
         |FROM documents WHERE doc_id < 300 AND lang = 'en'
         |ORDER BY doc_id""".stripMargin,
+
+    "p_sqs_roundtrip" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  o_totalprice AS price, o_orderstatus AS status, 1 AS rc
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY k""".stripMargin,
+
+    "p_pubsub_roundtrip" ->
+      """SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+        |  c_mktsegment AS okey, 1 AS attempt
+        |FROM customer WHERE c_custkey < 400
+        |ORDER BY k""".stripMargin,
 
     "p_jira_incremental" ->
       """SELECT 'ORD-' || LPAD(CAST(o_orderkey AS VARCHAR), 6, '0') AS jira_id,
