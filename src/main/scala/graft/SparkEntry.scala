@@ -709,6 +709,165 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "p_kinesis_roundtrip" -> ((s, d) => {
+      // aws_kinesis contract (inputs/aws_kinesis.adoc via the Kinesis
+      // seam): orders put with partition key = custkey, routed by the
+      // DOCUMENTED MD5 hash ranges — the oracle recomputes the shard
+      // from md5(pk) and the per-shard sequence with a window, so
+      // routing math, shard-ordered delivery, and the kinesis_*
+      // metadata surface are all hash-gated. Single sorted producer
+      // partition pins arrival order (KinesisSpec covers competing
+      // producers/checkpoint resume).
+      import graft.sources.Kinesis
+      val name = "kn_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val t = Kinesis.named(name)
+      t.createStream("orders", 4)
+      val src = Tables.orders(s, d).filter(col("o_orderkey") < 600)
+        .select(
+          to_json(struct(col("o_orderkey"), col("o_totalprice")))
+            .as("value"),
+          col("o_custkey").cast("string").as("pk"), col("o_orderkey"))
+        .coalesce(1).sortWithinPartitions(col("o_orderkey"))
+      Kinesis.write(src, s"mem://$name", "orders", "pk")
+      Kinesis.read(s, s"mem://$name", Seq("orders"))
+        .select(
+          get_json_object(col("value"), "$.o_orderkey").cast("long")
+            .as("k"),
+          get_json_object(col("value"), "$.o_totalprice").cast("double")
+            .as("price"),
+          col("metadata")("kinesis_partition_key").as("pk"),
+          col("metadata")("kinesis_shard").cast("int").as("shard"),
+          col("metadata")("kinesis_sequence_number").cast("long")
+            .as("seq"))
+        .orderBy(col("k"))
+    }),
+
+    "p_otlp_traces" -> ((s, d) => {
+      // otlp_http traces ingest end-to-end (internal/impl/otlp
+      // input_http.go + otlpconv/trace.go): events become spans,
+      // batched 100/request under a shared Resource+Scope, POSTed to
+      // the REAL loopback receiver alternating JSON and protobuf
+      // bodies (both decoded by the hand-rolled proto3/OTLP-JSON
+      // codec), then unbatched executor-side into one self-contained
+      // message per span — ids, nano timestamps, attributes, and the
+      // per-request encoding metadata all verified relationally.
+      import graft.sources.Otlp
+      import graft.operators.Http
+      val seed = Tables.events(s, d).filter(col("event_id") < 1500)
+        .select("event_id", "ts", "event_type", "user_id")
+        .orderBy("event_id").collect()
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def spanJson(r: org.apache.spark.sql.Row): String = {
+        val id = r.getLong(0)
+        val t = r.getTimestamp(1).toInstant
+        val ns = t.getEpochSecond * 1000000000L + t.getNano
+        s"""{"traceId":"${f"$id%032x"}","spanId":"${f"$id%016x"}",
+           |"name":${m.writeValueAsString(m.getNodeFactory.textNode(r.getString(2)))},
+           |"kind":2,"startTimeUnixNano":"$ns",
+           |"endTimeUnixNano":"${ns + 1000000L}",
+           |"attributes":[{"key":"user_id",
+           |"value":{"intValue":"${r.getLong(3)}"}}]}""".stripMargin
+      }
+      val srv = new Otlp.HttpServer()
+      try {
+        val client = Http.javaClient()
+        val reqs = seed.grouped(100).zipWithIndex.map { case (batch, i) =>
+          val body =
+            s"""{"resourceSpans":[{"resource":{"attributes":[
+               |{"key":"service.name","value":{"stringValue":"events-svc"}}]},
+               |"scopeSpans":[{"scope":{"name":"graft"},
+               |"spans":[${batch.map(spanJson).mkString(",")}]}]}]}""".stripMargin
+          if (i % 2 == 0)
+            Http.Request(srv.url("trace"), "POST",
+              Map("Content-Type" -> "application/json"), body)
+          else
+            Http.Request(srv.url("trace"), "POST",
+              Map("Content-Type" -> "application/x-protobuf"), "",
+              bodyBytes = Otlp.encodeRequest("trace",
+                m.writeValueAsString(Otlp.parseRequest(
+                  "trace", "json", body.getBytes("UTF-8")))))
+        }.toSeq
+        val rs = client(reqs)
+        require(rs.forall(_.status == 200), "otlp: post failed")
+        Otlp.unbatchDf(srv.drain(s))
+          .select(
+            conv(substring(get_json_object(col("value"), "$.traceId"),
+              17, 16), 16, 10).cast("long").as("event_id"),
+            get_json_object(col("value"), "$.name").as("name"),
+            // a user_id of 0 is a proto3 default → omitted on the wire
+            coalesce(get_json_object(col("value"),
+              "$.attributes[0].value.intValue").cast("long"), lit(0L))
+              .as("uid"),
+            get_json_object(col("value"), "$.startTimeUnixNano")
+              .cast("long").as("start_ns"),
+            get_json_object(col("value"),
+              "$.resource.attributes[0].value.stringValue").as("svc"),
+            col("metadata")("otel_encoding").as("enc"))
+          .orderBy(col("event_id"))
+          // collected before stop(): the server must outlive the scan
+          .localCheckpoint()
+      } finally srv.stop()
+    }),
+
+    "p_otlp_metrics" -> ((s, d) => {
+      // otlp_http metrics ingest (otlpconv/metric.go): one gauge
+      // metric per event (single NumberDataPoint), mixed JSON/proto
+      // requests, unbatched to one message per metric; double
+      // round-trip fidelity (doubleToLongBits on the wire) is the
+      // point of the hash gate.
+      import graft.sources.Otlp
+      import graft.operators.Http
+      val seed = Tables.events(s, d).filter(col("event_id") < 1000)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id").collect()
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      def metricJson(r: org.apache.spark.sql.Row): String = {
+        val t = r.getTimestamp(1).toInstant
+        val ns = t.getEpochSecond * 1000000000L + t.getNano
+        s"""{"name":${m.writeValueAsString(m.getNodeFactory.textNode(r.getString(2)))},
+           |"unit":"1","gauge":{"dataPoints":[
+           |{"attributes":[{"key":"event_id",
+           |"value":{"intValue":"${r.getLong(0)}"}}],
+           |"timeUnixNano":"$ns","asDouble":${r.getDouble(3)}}]}}""".stripMargin
+      }
+      val srv = new Otlp.HttpServer()
+      try {
+        val client = Http.javaClient()
+        val reqs = seed.grouped(100).zipWithIndex.map { case (batch, i) =>
+          val body =
+            s"""{"resourceMetrics":[{"resource":{"attributes":[
+               |{"key":"service.name","value":{"stringValue":"events-svc"}}]},
+               |"scopeMetrics":[{"scope":{"name":"meter"},
+               |"metrics":[${batch.map(metricJson).mkString(",")}]}]}]}""".stripMargin
+          if (i % 2 == 0)
+            Http.Request(srv.url("metric"), "POST",
+              Map("Content-Type" -> "application/json"), body)
+          else
+            Http.Request(srv.url("metric"), "POST",
+              Map("Content-Type" -> "application/x-protobuf"), "",
+              bodyBytes = Otlp.encodeRequest("metric",
+                m.writeValueAsString(Otlp.parseRequest(
+                  "metric", "json", body.getBytes("UTF-8")))))
+        }.toSeq
+        val rs = client(reqs)
+        require(rs.forall(_.status == 200), "otlp: post failed")
+        Otlp.unbatchDf(srv.drain(s))
+          .select(
+            // event_id 0's intValue is a proto3 default → omitted on
+            // the wire; absent = 0 is the spec's round-trip rule
+            coalesce(get_json_object(col("value"),
+              "$.gauge.dataPoints[0].attributes[0].value.intValue")
+              .cast("long"), lit(0L)).as("event_id"),
+            get_json_object(col("value"), "$.name").as("mname"),
+            get_json_object(col("value"), "$.gauge.dataPoints[0].asDouble")
+              .cast("double").as("val"),
+            get_json_object(col("value"), "$.gauge.dataPoints[0].timeUnixNano")
+              .cast("long").as("t_ns"))
+          .orderBy(col("event_id"))
+          .localCheckpoint()
+      } finally srv.stop()
+    }),
+
     "p_nats_subjects" -> ((s, d) => {
       // NATS subject-space contract (inputs/nats_jetstream.adoc via
       // the PubSub seam): publish documents to per-language subjects,
@@ -2068,6 +2227,36 @@ object SparkEntry {
         |  c_mktsegment AS okey, 1 AS attempt
         |FROM customer WHERE c_custkey < 400
         |ORDER BY k""".stripMargin,
+
+    "p_kinesis_roundtrip" ->
+      """WITH r AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price,
+        |    CAST(o_custkey AS VARCHAR) AS pk,
+        |    CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+        |           IN ('0','1','2','3') THEN 0
+        |         WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+        |           IN ('4','5','6','7') THEN 1
+        |         WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+        |           IN ('8','9','a','b') THEN 2
+        |         ELSE 3 END AS shard
+        |  FROM orders WHERE o_orderkey < 600)
+        |SELECT k, price, pk, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS seq
+        |FROM r ORDER BY k""".stripMargin,
+
+    "p_otlp_traces" ->
+      """SELECT event_id, event_type AS name, user_id AS uid,
+        |  epoch_us(ts)*1000 AS start_ns, 'events-svc' AS svc,
+        |  CASE WHEN CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id)-1)
+        |    / 100) AS INT) % 2 = 0 THEN 'json' ELSE 'protobuf' END AS enc
+        |FROM events WHERE event_id < 1500
+        |ORDER BY event_id""".stripMargin,
+
+    "p_otlp_metrics" ->
+      """SELECT event_id, event_type AS mname, value AS val,
+        |  epoch_us(ts)*1000 AS t_ns
+        |FROM events WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin,
 
     "p_jira_incremental" ->
       """SELECT 'ORD-' || LPAD(CAST(o_orderkey AS VARCHAR), 6, '0') AS jira_id,

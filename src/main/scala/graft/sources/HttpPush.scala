@@ -35,7 +35,12 @@ final class HttpPushServer(path: String = "/post") {
   private val server = JdkHttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext(path, (ex: HttpExchange) => handle(ex))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  // daemon workers: a leaked server must never pin the JVM open
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => {
+      val th = new Thread(r, "http-push"); th.setDaemon(true); th
+    })
+  server.setExecutor(pool)
   server.start()
 
   /** Test hook: respond 429 to the next `n` requests (they are NOT
@@ -94,5 +99,5 @@ final class HttpPushServer(path: String = "/post") {
 
   def receivedCount: Int = received.synchronized(received.size)
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

@@ -140,30 +140,19 @@ object Jira {
                                      project: String, updatedMs: Long,
                                      raw: String)
 
-  /** One catch-up sweep (the batch form; the streaming form is this
-    * sweep per poll tick). Emits the broker envelope (value = raw
-    * resource JSON, metadata = jira_*, __seq = emission order:
-    * updated ASC, key ASC — the frozen JQL ordering).
+  /** One driver-admission sweep: frozen-JQL token-chain page walk +
+    * boundary suppression, in cursor-in/cursor-out form. Returns the
+    * FRESH issues (post seen-map) and the advanced cursor JSON —
+    * NOT persisted here: [[read]] persists after its rows
+    * materialize; [[issuesPoller]] hands it to the streaming
+    * checkpoint instead.
     */
-  def read(spark: SparkSession, baseUrl: String, auth: Auth,
-           resource: String = "issues", jql: String = "",
-           fields: Seq[String] = Seq("*all"), expand: Seq[String] = Seq.empty,
-           pageSize: Int = 50, overlapMs: Long = 60000L,
-           cursor: Option[(CursorStore, String)] = None,
-           client: Http.Client = null, maxPages: Int = 10000): DataFrame = {
-    require(Set("issues", "comments", "changelog")(resource),
-      s"jira: unsupported resource '$resource' (worklogs is a declared " +
-        "v1 limitation of the reference input too)")
-    val c = Option(client).getOrElse(clientFor(baseUrl))
-    val base = baseUrl.stripSuffix("/")
-    val hdrs = authHeaders(auth)
-    val prior = cursor.flatMap { case (store, key) => store.get(key) }
-      .map(parseCursor)
+  private def sweepIssues(base: String, hdrs: Map[String, String],
+      jql: String, fields: Seq[String], exp: Seq[String], pageSize: Int,
+      overlapMs: Long, maxPages: Int, c: Http.Client,
+      priorJson: Option[String]): (Vector[IssueMeta], String) = {
+    val prior = priorJson.map(parseCursor)
     val threshold = prior.map(_.updatedMs - overlapMs)
-    val exp =
-      if (resource == "changelog" && !expand.contains("changelog"))
-        expand :+ "changelog"
-      else expand
     // JQL is FROZEN for the whole pagination run (the token chain is
     // only valid for the query it started with — input_jira.go:879)
     val frozenJql = effectiveJql(jql, threshold)
@@ -211,19 +200,70 @@ object Jira {
     val fresh = all.filterNot(i => priorSeen.get(i.key).contains(i.updatedMs))
     val newUpdated = (fresh.map(_.updatedMs) ++ prior.map(_.updatedMs))
       .foldLeft(0L)(math.max)
+    // seen = every emitted version the NEXT query's threshold
+    // (newUpdated - overlap, minute-truncated) can re-match, plus
+    // surviving prior entries; one minute of slack for the truncation
+    val keep = newUpdated - overlapMs - 60000L
+    val seen = (priorSeen ++ fresh.map(i => i.key -> i.updatedMs))
+      .filter { case (_, ms) => ms >= keep }
+    (fresh, cursorJson(Cursor(newUpdated, seen)))
+  }
+
+  /** The streaming form's sweep-per-trigger (the reference polls
+    * continuously — inputs/jira.adoc; [[PollStream]] drives this once
+    * per micro-batch and commits the returned cursor through Spark's
+    * checkpoint WAL, so restart resumes exactly from the committed
+    * sweep with no re-emission).
+    */
+  def issuesPoller(baseUrl: String, auth: Auth, jql: String = "",
+                   fields: Seq[String] = Seq("*all"), pageSize: Int = 50,
+                   overlapMs: Long = 60000L, client: Http.Client = null,
+                   maxPages: Int = 10000): PollStream.Poller =
+    priorJson => {
+      val c = Option(client).getOrElse(clientFor(baseUrl))
+      val (fresh, cursorOut) = sweepIssues(baseUrl.stripSuffix("/"),
+        authHeaders(auth), jql, fields, Seq.empty, pageSize, overlapMs,
+        maxPages, c, priorJson)
+      val rows = fresh.map { i =>
+        (i.raw, Map(
+          "jira_id" -> i.key, "jira_project" -> i.project,
+          "jira_updated" -> rfc3339(i.updatedMs),
+          "jira_event_type" -> "issue", "jira_self" -> i.self))
+      }
+      (rows, Some(cursorOut))
+    }
+
+  /** One catch-up sweep (the batch form; the streaming form is this
+    * sweep per poll tick). Emits the broker envelope (value = raw
+    * resource JSON, metadata = jira_*, __seq = emission order:
+    * updated ASC, key ASC — the frozen JQL ordering).
+    */
+  def read(spark: SparkSession, baseUrl: String, auth: Auth,
+           resource: String = "issues", jql: String = "",
+           fields: Seq[String] = Seq("*all"), expand: Seq[String] = Seq.empty,
+           pageSize: Int = 50, overlapMs: Long = 60000L,
+           cursor: Option[(CursorStore, String)] = None,
+           client: Http.Client = null, maxPages: Int = 10000): DataFrame = {
+    require(Set("issues", "comments", "changelog")(resource),
+      s"jira: unsupported resource '$resource' (worklogs is a declared " +
+        "v1 limitation of the reference input too)")
+    val c = Option(client).getOrElse(clientFor(baseUrl))
+    val base = baseUrl.stripSuffix("/")
+    val hdrs = authHeaders(auth)
+    val exp =
+      if (resource == "changelog" && !expand.contains("changelog"))
+        expand :+ "changelog"
+      else expand
+    val (fresh, cursorOut) = sweepIssues(base, hdrs, jql, fields, exp,
+      pageSize, overlapMs, maxPages, c,
+      cursor.flatMap { case (store, key) => store.get(key) })
     // The cursor is persisted only AFTER the resource's rows are
     // materialized: for comments the per-issue child fetches can fail,
     // and advancing first would let `seen` suppress those issues on the
     // retry sweep — their comments would be permanently lost.
     // At-least-once means cursor-after-emission.
     def persistCursor(): Unit = cursor.foreach { case (store, key) =>
-      // seen = every emitted version the NEXT query's threshold
-      // (newUpdated - overlap, minute-truncated) can re-match, plus
-      // surviving prior entries; one minute of slack for the truncation
-      val keep = newUpdated - overlapMs - 60000L
-      val seen = (priorSeen ++ fresh.map(i => i.key -> i.updatedMs))
-        .filter { case (_, ms) => ms >= keep }
-      store.set(key, cursorJson(Cursor(newUpdated, seen)))
+      store.set(key, cursorOut)
     }
 
     resource match {
