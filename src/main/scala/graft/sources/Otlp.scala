@@ -523,6 +523,117 @@ object Otlp {
     spark.createDataFrame(rows, BrokerStream.schema)
   }
 
+  // ───────────────────────── rebatch (output) ─────────────────────────
+
+  /** The output half's inverse of [[unbatch]] (otlpconv/trace.go
+    * TracesFromRedpanda): self-contained per-item messages →  one
+    * export request, re-grouping by Resource and Scope with
+    * SEQUENTIAL change detection — consecutive items sharing a
+    * resource/scope collapse into one ResourceSpans/ScopeSpans entry
+    * (unbatch emits them consecutively, so the round trip rebuilds
+    * the original batch structure).
+    */
+  def rebatch(signal: String, messages: Seq[String]): ObjectNode = {
+    val (listA, listB, listC) = signal match {
+      case "trace" => ("resourceSpans", "scopeSpans", "spans")
+      case "log" => ("resourceLogs", "scopeLogs", "logRecords")
+      case "metric" => ("resourceMetrics", "scopeMetrics", "metrics")
+      case other => throw new IllegalArgumentException(s"signal: $other")
+    }
+    val req = mapper.createObjectNode()
+    val resArr = req.putArray(listA)
+    var curResKey: String = null
+    var curScopeKey: String = null
+    var curScopeArr: ArrayNode = null
+    var curItemArr: ArrayNode = null
+    messages.foreach { s =>
+      val m = mapper.readTree(s)
+      // canonical form is deterministic → JSON text equality IS the
+      // resource/scope hash (conv.go ResourceHash/ScopeHash analog)
+      val resKey = String.valueOf(m.get("resource")) + " " +
+        String.valueOf(m.get("resourceSchemaUrl"))
+      val scopeKey = String.valueOf(m.get("scope")) + " " +
+        String.valueOf(m.get("scopeSchemaUrl"))
+      if (resKey != curResKey) {
+        val rs = resArr.addObject()
+        if (m.hasNonNull("resource"))
+          rs.set[JsonNode]("resource", m.get("resource"))
+        curScopeArr = rs.putArray(listB)
+        if (m.hasNonNull("resourceSchemaUrl"))
+          rs.set[JsonNode]("schemaUrl", m.get("resourceSchemaUrl"))
+        curResKey = resKey
+        curScopeKey = null
+      }
+      if (scopeKey != curScopeKey) {
+        val ss = curScopeArr.addObject()
+        if (m.hasNonNull("scope")) ss.set[JsonNode]("scope", m.get("scope"))
+        curItemArr = ss.putArray(listC)
+        if (m.hasNonNull("scopeSchemaUrl"))
+          ss.set[JsonNode]("schemaUrl", m.get("scopeSchemaUrl"))
+        curScopeKey = scopeKey
+      }
+      val item = mapper.createObjectNode()
+      m.properties().asScala.foreach { e =>
+        if (e.getKey != "resource" && e.getKey != "resourceSchemaUrl" &&
+            e.getKey != "scope" && e.getKey != "scopeSchemaUrl")
+          item.set[JsonNode](e.getKey, e.getValue)
+      }
+      curItemArr.add(item)
+      ()
+    }
+    req
+  }
+
+  /** otlp_http OUTPUT (output_http.go: per-batch export POST to
+    * `<endpoint>/v1/<signal>`, content_type json|protobuf, bearer
+    * auth): envelope rows carrying unbatched messages (+
+    * otel_signal_type metadata) are re-grouped and exported
+    * EXECUTOR-SIDE, one request per partition-local run of
+    * `batchSize` — the narrow no-shuffle write every other sink uses.
+    */
+  def export(df: DataFrame, endpoint: String, contentType: String = "protobuf",
+             authToken: Option[String] = None, batchSize: Int = 512,
+             client: graft.operators.Http.Client = null): Unit = {
+    import graft.operators.Http
+    require(Set("json", "protobuf")(contentType),
+      s"otlp: content_type '$contentType'")
+    val base = endpoint.stripSuffix("/")
+    val vIdx = df.schema.fieldIndex(Envelope.ValueCol)
+    val mIdx = df.schema.fieldIndex(Envelope.MetadataCol)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val c = Option(client).getOrElse(Http.javaClient())
+      it.grouped(batchSize).foreach { rows =>
+        rows.groupBy(r =>
+          r.getMap[String, String](mIdx)
+            .getOrElse("otel_signal_type", "trace"))
+          .foreach { case (signal, group) =>
+            val req = rebatch(signal, group.map(_.getString(vIdx)))
+            val path = signal match {
+              case "trace" => "/v1/traces"
+              case "log" => "/v1/logs"
+              case "metric" => "/v1/metrics"
+              case other =>
+                throw new IllegalArgumentException(s"signal: $other")
+            }
+            val hdrs = Map("Content-Type" ->
+              (if (contentType == "protobuf") "application/x-protobuf"
+               else "application/json")) ++
+              authToken.map(t => "Authorization" -> s"Bearer $t")
+            val request =
+              if (contentType == "protobuf")
+                Http.Request(base + path, "POST", hdrs, "",
+                  bodyBytes = encodeMsg(req, requestDesc(signal)))
+              else Http.Request(base + path, "POST", hdrs,
+                mapper.writeValueAsString(req))
+            val resp = c(Seq(request)).head
+            if (resp.status < 200 || resp.status > 299)
+              throw new IllegalStateException(
+                s"otlp export: ${resp.status}: ${resp.body.take(200)}")
+          }
+      }
+    }
+  }
+
   // ──────────────────────── HTTP receiver ────────────────────────
 
   /** Loopback OTLP/HTTP receiver (input_http.go Endpoints): real

@@ -225,6 +225,50 @@ class OtlpSpec extends SparkSpec {
     assert(hp.get("explicitBounds").get(1).asDouble == 50.0)
   }
 
+  test("rebatch is unbatch's inverse: shared resource/scope collapse " +
+       "back into one group; distinct resources split") {
+    val canonical = Otlp.parseRequest("trace", "json",
+      tracesJson.getBytes("UTF-8"))
+    val msgs = Otlp.unbatch("trace", canonical)
+    val rebuilt = Otlp.rebatch("trace", msgs)
+    // text compare: Jackson's IntNode(256) != LongNode(256) even
+    // though the serialized forms are identical
+    assert(mapper.writeValueAsString(rebuilt)
+      == mapper.writeValueAsString(canonical),
+      "round trip must rebuild the exact original batch structure")
+    // two messages with DIFFERENT resources → two resourceSpans groups
+    val m2 = mapper.readTree(msgs.head).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    m2.putObject("resource").putArray("attributes").addObject()
+      .put("key", "service.name").putObject("value")
+      .put("stringValue", "other")
+    val split = Otlp.rebatch("trace",
+      Seq(msgs.head, mapper.writeValueAsString(m2)))
+    assert(split.get("resourceSpans").size == 2)
+  }
+
+  test("export POSTs re-grouped protobuf batches executor-side; the " +
+       "receiver round-trips them identically") {
+    val srv = new Otlp.HttpServer(authToken = Some("xyz"))
+    try {
+      val canonical = Otlp.parseRequest("trace", "json",
+        tracesJson.getBytes("UTF-8"))
+      val msgs = Otlp.unbatch("trace", canonical)
+      val rows = msgs.zipWithIndex.map { case (m, i) =>
+        org.apache.spark.sql.Row(m,
+          Map("otel_signal_type" -> "trace"), null, i.toLong)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), BrokerStream.schema)
+      Otlp.export(df, s"http://127.0.0.1:${srv.port}",
+        contentType = "protobuf", authToken = Some("xyz"))
+      assert(srv.receivedCount == 1)
+      val back = Otlp.unbatchDf(srv.drain(spark))
+        .select("value").collect().map(_.getString(0))
+      assert(back.toSeq == msgs,
+        "export → receive → unbatch must be byte-identical")
+    } finally srv.stop()
+  }
+
   test("http server: JSON + protobuf posts accepted by content-type, " +
        "401 without bearer token, 400 on garbage; drain unbatches " +
        "both encodings identically") {
