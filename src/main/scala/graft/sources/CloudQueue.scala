@@ -68,7 +68,8 @@ object CloudQueue {
   final case class SqsMessage(messageId: String, body: Array[Byte],
                               attributes: Map[String, String],
                               groupId: Option[String],
-                              dedupId: Option[String])
+                              dedupId: Option[String],
+                              enqueuedMs: Long = 0L)
 
   /** One delivered lease: the receipt handle is delivery-scoped. */
   final case class SqsDelivery(message: SqsMessage, receiptHandle: String,
@@ -127,7 +128,7 @@ object CloudQueue {
         }
         val id = s"sqs-${idGen.incrementAndGet()}"
         qq.entries += Entry(
-          SqsMessage(id, body, attributes, groupId, dedupId),
+          SqsMessage(id, body, attributes, groupId, dedupId, now),
           visibleAt = now + delayMs, receiveCount = 0, receiptHandle = "")
         Some(id)
       }
