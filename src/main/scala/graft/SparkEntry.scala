@@ -794,10 +794,10 @@ object SparkEntry {
             conv(substring(get_json_object(col("value"), "$.traceId"),
               17, 16), 16, 10).cast("long").as("event_id"),
             get_json_object(col("value"), "$.name").as("name"),
-            // a user_id of 0 is a proto3 default → omitted on the wire
-            coalesce(get_json_object(col("value"),
-              "$.attributes[0].value.intValue").cast("long"), lit(0L))
-              .as("uid"),
+            // intValue is an AnyValue ONEOF member: set-but-zero is
+            // serialized (never default-omitted), so 0 survives the wire
+            get_json_object(col("value"),
+              "$.attributes[0].value.intValue").cast("long").as("uid"),
             get_json_object(col("value"), "$.startTimeUnixNano")
               .cast("long").as("start_ns"),
             get_json_object(col("value"),
@@ -852,9 +852,8 @@ object SparkEntry {
             conv(substring(get_json_object(col("value"), "$.traceId"),
               17, 16), 16, 10).cast("long").as("event_id"),
             get_json_object(col("value"), "$.name").as("name"),
-            coalesce(get_json_object(col("value"),
-              "$.attributes[0].value.intValue").cast("long"), lit(0L))
-              .as("uid"),
+            get_json_object(col("value"),
+              "$.attributes[0].value.intValue").cast("long").as("uid"),
             get_json_object(col("value"), "$.startTimeUnixNano")
               .cast("long").as("start_ns"),
             get_json_object(col("value"),
@@ -908,11 +907,11 @@ object SparkEntry {
         require(rs.forall(_.status == 200), "otlp: post failed")
         Otlp.unbatchDf(srv.drain(s))
           .select(
-            // event_id 0's intValue is a proto3 default → omitted on
-            // the wire; absent = 0 is the spec's round-trip rule
-            coalesce(get_json_object(col("value"),
+            // intValue is an AnyValue ONEOF member: event_id 0 is
+            // serialized set-but-zero, never default-omitted
+            get_json_object(col("value"),
               "$.gauge.dataPoints[0].attributes[0].value.intValue")
-              .cast("long"), lit(0L)).as("event_id"),
+              .cast("long").as("event_id"),
             get_json_object(col("value"), "$.name").as("mname"),
             get_json_object(col("value"), "$.gauge.dataPoints[0].asDouble")
               .cast("double").as("val"),

@@ -549,9 +549,61 @@ object Pipeline {
         // decoder (PgOutput), emitting the StreamMessage envelope shape
         graft.sources.PgOutput.changes(spark,
           graft.sources.PgOutput.readFrameFile(b.get("wal_file").asText))
+      case ("aws_sqs", b) =>
+        // inputs/aws_sqs.adoc — url names the queue; mem:// resolves
+        // the in-process transport (the real service needs its SDK)
+        val (addr, queue) = splitQueueUrl(b.get("url").asText)
+        CloudQueue.sqsRead(spark, addr, queue,
+          visibilityTimeoutMs = durMs(b, "visibility_timeout", 30000L),
+          deleteMessage = b.path("delete_message").asBoolean(true))
+      case ("gcp_pubsub", b) =>
+        // inputs/gcp_pubsub.adoc — project routes to the transport
+        // registry (mem://name), subscription selects the pull stream
+        CloudQueue.pubsubRead(spark, b.get("project").asText,
+          b.get("subscription").asText,
+          ackDeadlineMs = durMs(b, "ack_deadline", 30000L))
+      case ("aws_kinesis", b) =>
+        // inputs/aws_kinesis.adoc — streams: [name...]; shard=partition
+        Kinesis.read(spark, b.get("url").asText,
+          b.get("streams").elements().asScala.toSeq.map(_.asText))
+      case ("nsq", b) =>
+        // inputs/nsq.adoc — one topic+channel per input; channel
+        // consumers compete, FIN-on-emit
+        val addrs = b.get("nsqd_tcp_addresses").elements().asScala.toSeq
+          .map(_.asText)
+        val mem = addrs.find(_.startsWith("mem://")).getOrElse(
+          throw new IllegalArgumentException(
+            "nsq: only mem:// transports exist in this environment"))
+        Nsq.read(spark, mem, b.get("topic").asText, b.get("channel").asText)
+      case ("beanstalkd", b) =>
+        // inputs/beanstalkd.adoc — reserve → emit → delete on one tube
+        Beanstalkd.read(spark, b.get("address").asText)
+      case ("azure_queue_storage", b) =>
+        // inputs/azure_queue_storage.adoc — storage_account routes to
+        // the transport registry; track_properties adds message-lag
+        AzureQueue.read(spark, b.get("storage_account").asText,
+          b.get("queue_name").asText,
+          visibilityTimeoutMs =
+            durMs(b, "dequeue_visibility_timeout", 30000L),
+          trackProperties = b.path("track_properties").asBoolean(false))
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
+
+  /** `mem://name/queue` → (`mem://name`, `queue`) — the SQS queue-URL
+    * shape (…/account/queue) collapsed to the transport seam.
+    */
+  private def splitQueueUrl(url: String): (String, String) = {
+    val i = url.lastIndexOf('/')
+    require(i > "mem://".length, s"queue url needs a /queue suffix: $url")
+    (url.substring(0, i), url.substring(i + 1))
+  }
+
+  private def durMs(b: JsonNode, field: String, dflt: Long): Long =
+    Option(b.get(field)).map(_.asText).filter(_.nonEmpty)
+      .map(p => graft.functions.expressions.CodecOps.parseDuration(
+        org.apache.spark.unsafe.types.UTF8String.fromString(p)) / 1000000L)
+      .getOrElse(dflt)
 
   /** The iceberg-shaped outputs write the MESSAGE's fields as the row
     * (output_iceberg.go): when the frame is the string envelope and a

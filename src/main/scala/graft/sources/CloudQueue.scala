@@ -172,8 +172,12 @@ object CloudQueue {
     def delete(queue: String, receiptHandle: String): Boolean = {
       val qq = q(queue)
       qq.synchronized {
-        val i = qq.entries.indexWhere(e =>
-          e.receiptHandle == receiptHandle && e.visibleAt > clock.nowMs)
+        // AWS accepts DeleteMessage with the LATEST receipt handle even
+        // after the visibility timeout lapses — a handle is invalidated
+        // only when a re-receive issues a fresh one (receiptHandle is
+        // overwritten then, so matching the current handle IS the
+        // "most recent" check)
+        val i = qq.entries.indexWhere(_.receiptHandle == receiptHandle)
         if (i < 0) false // stale handle: silent no-op (AWS semantics)
         else { qq.entries.remove(i); true }
       }
@@ -360,6 +364,11 @@ object CloudQueue {
               consumers: Int = 4, batchSize: Int = 32,
               visibilityTimeoutMs: Long = 30000L,
               deleteMessage: Boolean = true): DataFrame = {
+    // a zero lease would let a competing consumer re-receive (and
+    // re-handle) a message before our delete lands — the drain's
+    // takeWhile(nonEmpty) then never terminates
+    require(visibilityTimeoutMs > 0,
+      "sqsRead: visibility_timeout must be > 0 for the bounded drain")
     val rows = spark.sparkContext
       .parallelize(0 until consumers, consumers)
       .flatMap { c =>

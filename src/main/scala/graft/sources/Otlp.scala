@@ -58,18 +58,27 @@ object Otlp {
   private case object TDouble extends PType // fixed64 → JSON number
   private case object TFix32 extends PType  // fixed32 → JSON number
   final private case class TMsg(fields: Map[Int, FieldD]) extends PType
+  /** `oneof = true` marks proto3 oneof MEMBERS: a set oneof member is
+    * always serialized (and protojson always emits it) even at the
+    * type's default value — 0/false/"" presence is meaningful there,
+    * unlike plain singular fields where proto3 default-omission
+    * applies.
+    */
   final private case class FieldD(name: String, tpe: PType,
-                                  repeated: Boolean = false)
+                                  repeated: Boolean = false,
+                                  oneof: Boolean = false)
 
-  // common.v1
+  // common.v1 — every AnyValue field is a member of the `value` oneof
   private lazy val AnyValueD: TMsg = TMsg(Map(
-    1 -> FieldD("stringValue", TString), 2 -> FieldD("boolValue", TBool),
-    3 -> FieldD("intValue", TI64), 4 -> FieldD("doubleValue", TDouble),
+    1 -> FieldD("stringValue", TString, oneof = true),
+    2 -> FieldD("boolValue", TBool, oneof = true),
+    3 -> FieldD("intValue", TI64, oneof = true),
+    4 -> FieldD("doubleValue", TDouble, oneof = true),
     5 -> FieldD("arrayValue", TMsg(Map(
-      1 -> FieldD("values", AnyValueRef, repeated = true)))),
+      1 -> FieldD("values", AnyValueRef, repeated = true))), oneof = true),
     6 -> FieldD("kvlistValue", TMsg(Map(
-      1 -> FieldD("values", KeyValueRef, repeated = true)))),
-    7 -> FieldD("bytesValue", TBytes)))
+      1 -> FieldD("values", KeyValueRef, repeated = true))), oneof = true),
+    7 -> FieldD("bytesValue", TBytes, oneof = true)))
   // proto recursion (AnyValue contains arrays of itself) needs a lazy
   // indirection; resolve through a sentinel replaced at lookup time
   private case object AnyValueRef extends PType
@@ -152,7 +161,8 @@ object Otlp {
     7 -> FieldD("attributes", KeyValueRef, repeated = true),
     2 -> FieldD("startTimeUnixNano", TF64),
     3 -> FieldD("timeUnixNano", TF64),
-    4 -> FieldD("asDouble", TDouble), 6 -> FieldD("asInt", TSF64),
+    4 -> FieldD("asDouble", TDouble, oneof = true),
+    6 -> FieldD("asInt", TSF64, oneof = true),
     8 -> FieldD("flags", TU32)))
   private val HistogramPointD: TMsg = TMsg(Map(
     9 -> FieldD("attributes", KeyValueRef, repeated = true),
@@ -322,56 +332,73 @@ object Otlp {
   private def writeFixed64(bos: ByteArrayOutputStream, bits: Long): Unit =
     (0 until 8).foreach(i => bos.write(((bits >>> (8 * i)) & 0xff).toInt))
 
+  /** `force` = write even at the type's default value. Proto3
+    * default-omission applies ONLY to plain singular fields: every
+    * element of a repeated field and every set oneof member is
+    * serialized unconditionally (a bucketCounts of ["0","4","0"]
+    * keeps its zeros; a gauge of 0.0 stays distinguishable from a
+    * value-less point).
+    */
   private def encodeMsg(node: JsonNode, desc: TMsg): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    def one(num: Int, tpe: PType, v: JsonNode): Unit = resolve(tpe) match {
+    def one(num: Int, tpe: PType, v: JsonNode, force: Boolean): Unit =
+      resolve(tpe) match {
       case m: TMsg =>
         val b = encodeMsg(v, m)
         writeVarint(bos, (num.toLong << 3) | 2); writeVarint(bos, b.length)
         bos.write(b)
       case TString =>
         val b = v.asText.getBytes(StandardCharsets.UTF_8)
-        if (b.nonEmpty) {
+        if (force || b.nonEmpty) {
           writeVarint(bos, (num.toLong << 3) | 2); writeVarint(bos, b.length)
           bos.write(b)
         }
       case TBytes =>
         val b = java.util.Base64.getDecoder.decode(v.asText)
-        if (b.nonEmpty) {
+        if (force || b.nonEmpty) {
           writeVarint(bos, (num.toLong << 3) | 2); writeVarint(bos, b.length)
           bos.write(b)
         }
       case THex =>
         val b = unhex(v.asText)
-        if (b.nonEmpty) {
+        if (force || b.nonEmpty) {
           writeVarint(bos, (num.toLong << 3) | 2); writeVarint(bos, b.length)
           bos.write(b)
         }
       case TI64 =>
         val x = v.asLong
-        if (x != 0) { writeVarint(bos, (num.toLong << 3) | 0); writeVarint(bos, x) }
+        if (force || x != 0) {
+          writeVarint(bos, (num.toLong << 3) | 0); writeVarint(bos, x)
+        }
       case TU32 | TEnum =>
         val x = v.asLong
-        if (x != 0) { writeVarint(bos, (num.toLong << 3) | 0); writeVarint(bos, x) }
+        if (force || x != 0) {
+          writeVarint(bos, (num.toLong << 3) | 0); writeVarint(bos, x)
+        }
       case TBool =>
-        if (v.asBoolean) {
-          writeVarint(bos, (num.toLong << 3) | 0); bos.write(1)
+        if (force || v.asBoolean) {
+          writeVarint(bos, (num.toLong << 3) | 0)
+          bos.write(if (v.asBoolean) 1 else 0)
         }
       case TF64 =>
         val x = java.lang.Long.parseUnsignedLong(v.asText)
-        if (x != 0) { writeVarint(bos, (num.toLong << 3) | 1); writeFixed64(bos, x) }
+        if (force || x != 0) {
+          writeVarint(bos, (num.toLong << 3) | 1); writeFixed64(bos, x)
+        }
       case TSF64 =>
         val x = v.asLong
-        if (x != 0) { writeVarint(bos, (num.toLong << 3) | 1); writeFixed64(bos, x) }
+        if (force || x != 0) {
+          writeVarint(bos, (num.toLong << 3) | 1); writeFixed64(bos, x)
+        }
       case TDouble =>
         val x = v.asDouble
-        if (x != 0.0) {
+        if (force || x != 0.0) {
           writeVarint(bos, (num.toLong << 3) | 1)
           writeFixed64(bos, java.lang.Double.doubleToLongBits(x))
         }
       case TFix32 =>
         val x = v.asLong
-        if (x != 0) {
+        if (force || x != 0) {
           writeVarint(bos, (num.toLong << 3) | 5)
           (0 until 4).foreach(i => bos.write(((x >>> (8 * i)) & 0xff).toInt))
         }
@@ -381,7 +408,8 @@ object Otlp {
     desc.fields.toSeq.sortBy(_._1).foreach { case (num, f) =>
       val v = node.get(f.name)
       if (v != null && !v.isNull) {
-        if (f.repeated) v.forEach(one(num, f.tpe, _)) else one(num, f.tpe, v)
+        if (f.repeated) v.forEach(one(num, f.tpe, _, force = true))
+        else one(num, f.tpe, v, force = f.oneof)
       }
     }
     bos.toByteArray
@@ -402,22 +430,27 @@ object Otlp {
   private def normalize(node: JsonNode, desc: TMsg): ObjectNode = {
     val byName = desc.fields.map { case (_, f) => f.name -> f }
     val out = mapper.createObjectNode()
-    def canonScalar(tpe: PType, v: JsonNode): Option[JsonNode] = tpe match {
+    // keep = element of a repeated field OR a set oneof member: the
+    // proto3 default-omission rule never applies there, so the
+    // canonical node is produced unconditionally.
+    def canonScalar(tpe: PType, v: JsonNode,
+                    keep: Boolean): Option[JsonNode] = tpe match {
       case TI64 | TF64 | TSF64 =>
-        val s = v.asText
-        if (s == "0" || s.isEmpty) None
+        val s0 = v.asText
+        val s = if (s0.isEmpty) "0" else s0
+        if (!keep && s == "0") None
         else Some(mapper.getNodeFactory.textNode(s))
       case TU32 | TEnum | TFix32 =>
-        if (v.asLong == 0) None
+        if (!keep && v.asLong == 0) None
         else Some(mapper.getNodeFactory.numberNode(v.asLong))
       case TBool =>
-        if (!v.asBoolean) None
-        else Some(mapper.getNodeFactory.booleanNode(true))
+        if (!keep && !v.asBoolean) None
+        else Some(mapper.getNodeFactory.booleanNode(v.asBoolean))
       case TDouble =>
-        if (v.asDouble == 0.0) None
+        if (!keep && v.asDouble == 0.0) None
         else Some(mapper.getNodeFactory.numberNode(v.asDouble))
       case TString | TBytes | THex =>
-        if (v.asText.isEmpty) None
+        if (!keep && v.asText.isEmpty) None
         else Some(mapper.getNodeFactory.textNode(
           if (tpe == THex) v.asText.toLowerCase else v.asText))
       case other => throw new IllegalStateException(s"not scalar: $other")
@@ -429,14 +462,22 @@ object Otlp {
         resolve(f.tpe) match {
           case m: TMsg =>
             if (f.repeated) {
-              val a = out.putArray(f.name)
-              v.forEach(x => { a.add(normalize(x, m)); () })
+              if (v.size() > 0) {
+                val a = out.putArray(f.name)
+                v.forEach(x => { a.add(normalize(x, m)); () })
+              }
             } else { out.set[JsonNode](f.name, normalize(v, m)); () }
           case scalar =>
             if (f.repeated) {
-              val a = out.putArray(f.name)
-              v.forEach(x => canonScalar(scalar, x).foreach { n => a.add(n); () })
-            } else canonScalar(scalar, v).foreach { n =>
+              if (v.size() > 0) {
+                val a = out.putArray(f.name)
+                v.forEach { x =>
+                  canonScalar(scalar, x, keep = true).foreach { n =>
+                    a.add(n); ()
+                  }
+                }
+              }
+            } else canonScalar(scalar, v, keep = f.oneof).foreach { n =>
               out.set[JsonNode](f.name, n); ()
             }
         }
@@ -509,15 +550,24 @@ object Otlp {
     val sIdx = df.schema.fieldIndex("signal")
     val eIdx = df.schema.fieldIndex("encoding")
     val bIdx = df.schema.fieldIndex("body")
+    val qIdx =
+      if (df.schema.fieldNames.contains("__seq"))
+        Some(df.schema.fieldIndex("__seq"))
+      else None
     val rows = df.rdd.flatMap { r =>
       val signal = r.getString(sIdx)
       val encoding = r.getString(eIdx)
       val body = r.getAs[Array[Byte]](bIdx)
+      // the envelope contract is __seq = emission order; fold the
+      // request's own sequence into the high bits so items from
+      // different requests never collide (same discriminator scheme
+      // as the partitioned broker sources)
+      val reqSeq = qIdx.map(r.getLong).getOrElse(0L)
       val req = parseRequest(signal, encoding, body)
       unbatch(signal, req).zipWithIndex.map { case (json, i) =>
         Row(json, Map(
           "otel_signal_type" -> signal,
-          "otel_encoding" -> encoding), null, i.toLong)
+          "otel_encoding" -> encoding), null, (reqSeq << 32) | i.toLong)
       }
     }
     spark.createDataFrame(rows, BrokerStream.schema)

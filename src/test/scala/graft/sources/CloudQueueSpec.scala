@@ -52,6 +52,21 @@ class CloudQueueSpec extends SparkSpec {
     assert(t.depth("q") == 0)
   }
 
+  test("sqs: delete by the LATEST handle succeeds even after the " +
+       "visibility timeout lapses (invalidated only on re-receive)") {
+    val clock = new CloudQueue.Clock(0L)
+    val t = CloudQueue.sqsNamed(fresh("sqs"), clock)
+    t.createQueue("q")
+    t.send("q", "m".getBytes)
+    val d1 = t.receive("q", 10, 1000L)
+    clock.advance(2000L) // lease expired, but nobody re-received
+    assert(t.delete("q", d1.head.receiptHandle),
+      "AWS accepts DeleteMessage with the most recent receipt handle " +
+      "after expiry, until a redelivery issues a new one")
+    assert(t.depth("q") == 0)
+    assert(t.receive("q", 10, 1000L).isEmpty, "no ghost redelivery")
+  }
+
   test("sqs: reset_visibility (nack) makes the message immediately " +
        "deliverable again") {
     val clock = new CloudQueue.Clock(0L)

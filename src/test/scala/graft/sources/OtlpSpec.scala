@@ -313,4 +313,91 @@ class OtlpSpec extends SparkSpec {
         "json and protobuf requests unbatch to identical messages")
     } finally srv.stop()
   }
+
+  test("repeated-scalar zeros survive: bucketCounts with zeros and " +
+       "explicitBounds starting at 0.0 round-trip untruncated") {
+    val metricsJson =
+      """{"resourceMetrics": [{
+        |  "scopeMetrics": [{"metrics": [
+        |    {"name": "latency", "unit": "ms", "histogram": {
+        |      "dataPoints": [{
+        |        "timeUnixNano": "1700000004000000000",
+        |        "count": "4", "sum": 12.5,
+        |        "bucketCounts": ["0", "4", "0"],
+        |        "explicitBounds": [0.0, 50.0]}],
+        |      "aggregationTemporality": 2}}
+        |  ]}]}]}""".stripMargin
+    val canonical =
+      Otlp.parseRequest("metric", "json", metricsJson.getBytes("UTF-8"))
+    val wire = Otlp.encodeRequest("metric",
+      mapper.writeValueAsString(canonical))
+    val reparsed = Otlp.parseRequest("metric", "protobuf", wire)
+    assert(mapper.writeValueAsString(reparsed)
+      == mapper.writeValueAsString(canonical),
+      "JSON vs protobuf parity with zero-valued repeated elements")
+    val h = mapper.readTree(Otlp.unbatch("metric", reparsed).head)
+      .get("histogram").get("dataPoints").get(0)
+    assert(h.get("bucketCounts").size == 3,
+      "zero elements of bucketCounts must not be dropped")
+    assert((0 to 2).map(h.get("bucketCounts").get(_).asText)
+      == Seq("0", "4", "0"))
+    assert(h.get("explicitBounds").size == 2)
+    assert(h.get("explicitBounds").get(0).asDouble == 0.0,
+      "a leading 0.0 bound must keep bucket/bound alignment")
+  }
+
+  test("oneof members at default values are serialized: asDouble 0.0, " +
+       "attribute intValue 0 / boolValue false / stringValue \"\"") {
+    val metricsJson =
+      """{"resourceMetrics": [{
+        |  "resource": {"attributes": [
+        |    {"key": "zero.int", "value": {"intValue": "0"}},
+        |    {"key": "flag.off", "value": {"boolValue": false}},
+        |    {"key": "empty.str", "value": {"stringValue": ""}}]},
+        |  "scopeMetrics": [{"metrics": [
+        |    {"name": "idle", "gauge": {"dataPoints": [
+        |      {"timeUnixNano": "1700000004000000000",
+        |       "asDouble": 0.0}]}},
+        |    {"name": "zeroes", "sum": {"dataPoints": [
+        |      {"timeUnixNano": "1700000004000000000", "asInt": "0"}],
+        |      "aggregationTemporality": 2}}
+        |  ]}]}]}""".stripMargin
+    val canonical =
+      Otlp.parseRequest("metric", "json", metricsJson.getBytes("UTF-8"))
+    val wire = Otlp.encodeRequest("metric",
+      mapper.writeValueAsString(canonical))
+    val reparsed = Otlp.parseRequest("metric", "protobuf", wire)
+    assert(mapper.writeValueAsString(reparsed)
+      == mapper.writeValueAsString(canonical),
+      "set-but-default oneof members must survive both encodings")
+    val items = Otlp.unbatch("metric", reparsed).map(mapper.readTree)
+    val attrs = items.head.get("resource").get("attributes")
+    assert(attrs.size == 3)
+    assert(attrs.get(0).get("value").get("intValue").asText == "0")
+    assert(attrs.get(1).get("value").get("boolValue").asBoolean == false)
+    assert(attrs.get(2).get("value").get("stringValue").asText == "")
+    val gaugePt = items(0).get("gauge").get("dataPoints").get(0)
+    assert(gaugePt.has("asDouble") && gaugePt.get("asDouble").asDouble == 0.0,
+      "a 0.0 gauge point must stay distinguishable from a value-less one")
+    val sumPt = items(1).get("sum").get("dataPoints").get(0)
+    assert(sumPt.has("asInt") && sumPt.get("asInt").asText == "0")
+  }
+
+  test("unbatchDf folds the request seq into __seq high bits so rows " +
+       "from different requests never collide") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val body = tracesJson.getBytes("UTF-8")
+    val schema = StructType(Seq(
+      StructField("signal", StringType), StructField("encoding", StringType),
+      StructField("body", BinaryType), StructField("__seq", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("trace", "json", body, 0L), Row("trace", "json", body, 1L)), 2),
+      schema)
+    val seqs = Otlp.unbatchDf(df).select("__seq").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(0L, 1L, 1L << 32, (1L << 32) | 1L),
+      "request seq in high bits, item index in low bits")
+  }
 }
