@@ -742,6 +742,94 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "p_nsq_roundtrip" -> ((s, d) => {
+      // nsq contract (inputs/nsq.adoc, outputs/nsq.adoc via the Nsq
+      // adapter over the Pub/Sub state machine): publish parts to a
+      // topic, drain one channel with competing consumers (FIN on
+      // emit) — payloads and first-attempt nsq_attempts verified
+      // relationally. Channel fan-out, REQ redelivery, and message
+      // timeouts are QueueAdaptersSpec's clock-driven territory.
+      import graft.sources.Nsq
+      val name = "nq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val addr = s"mem://$name"
+      Nsq.createTopic(addr, "t")
+      Nsq.createChannel(addr, "t", "ch")
+      val parts = Tables.part(s, d).filter(col("p_partkey") < 400)
+        .select(to_json(struct(col("p_partkey"), col("p_name"),
+          col("p_retailprice"))).as("value"))
+      Nsq.write(parts, addr, "t")
+      Nsq.read(s, addr, "t", "ch", consumers = 4)
+        .select(
+          get_json_object(col("value"), "$.p_partkey").cast("long")
+            .as("k"),
+          get_json_object(col("value"), "$.p_name").as("name"),
+          get_json_object(col("value"), "$.p_retailprice").cast("double")
+            .as("price"),
+          col("metadata")("nsq_attempts").cast("int").as("attempts"))
+        .orderBy(col("k"))
+    }),
+
+    "p_beanstalkd_roundtrip" -> ((s, d) => {
+      // beanstalkd contract (inputs/beanstalkd.adoc,
+      // internal/impl/beanstalkd/input.go reserve→delete): put orders
+      // with pri = the order's priority class, single consumer drain —
+      // the EMISSION ORDER (__seq) must be exactly priority-then-FIFO,
+      // which the oracle recomputes with a window over (pri, put
+      // order). TTR/bury/kick/touch live in QueueAdaptersSpec.
+      import graft.sources.Beanstalkd
+      val name = "bs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val addr = s"mem://$name"
+      val orders = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .select(
+          to_json(struct(col("o_orderkey"))).as("value"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("pri"),
+          col("o_orderkey"))
+        .coalesce(1).sortWithinPartitions(col("o_orderkey"))
+      Beanstalkd.write(orders, addr, priCol = Some("pri"))
+      Beanstalkd.read(s, addr, consumers = 1)
+        .select(
+          get_json_object(col("value"), "$.o_orderkey").cast("long")
+            .as("k"),
+          col("metadata")("beanstalkd_priority").cast("int").as("pri"),
+          col("metadata")("beanstalkd_reserves").cast("int")
+            .as("reserves"),
+          col("__seq").as("seq"))
+        .orderBy(col("k"))
+    }),
+
+    "p_azure_queue_roundtrip" -> ((s, d) => {
+      // azure_queue_storage contract (inputs/azure_queue_storage.adoc,
+      // input_queue_storage.go:130-180): enqueue customers FIFO,
+      // single-consumer dequeue with track_properties — payload,
+      // queue-level user metadata stamped per message, the constant
+      // insertion time (injectable clock at 0), and the per-batch
+      // message-lag arithmetic (approximate count minus this batch)
+      // all recomputed by the oracle. Pop-receipt lease semantics are
+      // QueueAdaptersSpec's.
+      import graft.sources.AzureQueue
+      val name = "az_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val addr = s"mem://$name"
+      AzureQueue.createQueue(addr, "q")
+      AzureQueue.setQueueMetadata(addr, "q", Map("env" -> "prod"))
+      val cust = Tables.customer(s, d).filter(col("c_custkey") < 300)
+        .select(to_json(struct(col("c_custkey"), col("c_name")))
+          .as("value"), col("c_custkey"))
+        .coalesce(1).sortWithinPartitions(col("c_custkey"))
+      AzureQueue.write(cust, addr, "q")
+      AzureQueue.read(s, addr, "q", consumers = 1, batchSize = 32,
+          trackProperties = true)
+        .select(
+          get_json_object(col("value"), "$.c_custkey").cast("long")
+            .as("k"),
+          get_json_object(col("value"), "$.c_name").as("name"),
+          col("metadata")("queue_storage_queue_name").as("qname"),
+          col("metadata")("queue_storage_insertion_time").as("itime"),
+          col("metadata")("env").as("env"),
+          col("metadata")("queue_storage_message_lag").cast("long")
+            .as("lag"))
+        .orderBy(col("k"))
+    }),
+
     "p_otlp_traces" -> ((s, d) => {
       // otlp_http traces ingest end-to-end (internal/impl/otlp
       // input_http.go + otlpconv/trace.go): events become spans,
@@ -2297,6 +2385,35 @@ object SparkEntry {
         |SELECT k, price, pk, shard,
         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS seq
         |FROM r ORDER BY k""".stripMargin,
+
+    "p_nsq_roundtrip" ->
+      """SELECT p_partkey AS k, p_name AS name, p_retailprice AS price,
+        |  1 AS attempts
+        |FROM part WHERE p_partkey < 400
+        |ORDER BY k""".stripMargin,
+
+    "p_beanstalkd_roundtrip" ->
+      """WITH r AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT k, pri, 1 AS reserves,
+        |  ROW_NUMBER() OVER (ORDER BY pri, k) - 1 AS seq
+        |FROM r ORDER BY k""".stripMargin,
+
+    "p_azure_queue_roundtrip" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS k, c_name AS name
+        |  FROM customer WHERE c_custkey < 300),
+        |s AS (
+        |  SELECT k, name,
+        |    ROW_NUMBER() OVER (ORDER BY k) - 1 AS rn,
+        |    COUNT(*) OVER () AS total FROM r)
+        |SELECT k, name, 'q' AS qname, '1970-01-01T00:00:00Z' AS itime,
+        |  'prod' AS env,
+        |  GREATEST(0, total - 32 * CAST(FLOOR(rn / 32) AS BIGINT) - 32)
+        |    AS lag
+        |FROM s ORDER BY k""".stripMargin,
 
     "p_otlp_traces" ->
       """SELECT event_id, event_type AS name, user_id AS uid,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Cursors, Discord, HttpClient, Jira, Mq, NatsKv, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Splunk, Tcp, Twitter}
+import graft.sources.{AzureQueue, Beanstalkd, CloudQueue, Cursors, Discord, HttpClient, Jira, Kinesis, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Splunk, Tcp, Twitter}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -933,6 +933,31 @@ object Pipeline {
       graft.sinks.VectorStore.upsert(
         df.select(idC.as("__vid"), vecC.as("__vec")),
         host, collection, "__vid", "__vec")
+    case ("aws_sqs", b) =>
+      // outputs/aws_sqs.adoc — per-row group/dedup from optional
+      // message_group_id / message_deduplication_id COLUMNS (the
+      // adoc's per-message interpolations resolve to columns here)
+      val (addr, queue) = splitQueueUrl(b.get("url").asText)
+      CloudQueue.sqsWrite(df, addr, queue,
+        groupIdCol = Option(b.get("message_group_id")).map(_.asText),
+        dedupIdCol =
+          Option(b.get("message_deduplication_id")).map(_.asText),
+        attributeCols = Option(b.get("metadata_columns"))
+          .map(_.elements().asScala.toSeq.map(_.asText))
+          .getOrElse(Seq.empty))
+    case ("gcp_pubsub", b) =>
+      CloudQueue.pubsubWrite(df, b.get("project").asText,
+        b.get("topic").asText,
+        orderingKeyCol = Option(b.get("ordering_key")).map(_.asText))
+    case ("nsq", b) =>
+      Nsq.write(df, b.get("nsqd_tcp_address").asText,
+        b.get("topic").asText)
+    case ("beanstalkd", b) =>
+      Beanstalkd.write(df, b.get("address").asText,
+        priCol = Option(b.get("priority")).map(_.asText))
+    case ("azure_queue_storage", b) =>
+      AzureQueue.write(df, b.get("storage_account").asText,
+        b.get("queue_name").asText)
     case ("noop", _) =>
       df.write.format("noop").mode("overwrite").save()
     case ("memory", b) =>

@@ -52,6 +52,17 @@ object Nsq {
   def publish(address: String, topic: String, body: Array[Byte]): String =
     transportFor(address).publish(topic, body)
 
+  /** FIN: finish (ack) a delivery — removes it from the channel. */
+  def fin(address: String, channel: String, ackId: String): Boolean =
+    transportFor(address).ack(channel, ackId)
+
+  /** REQ: requeue a delivery — redelivers after `deferMs` (0 =
+    * immediately) with `nsq_attempts` incremented on the next pull.
+    */
+  def req(address: String, channel: String, ackId: String,
+          deferMs: Long = 0L): Boolean =
+    transportFor(address).modifyAckDeadline(channel, ackId, deferMs)
+
   /** Bounded competing-consumer drain of one channel, FIN-on-emit
     * (ack), eager localCheckpoint for the destructive read (see
     * [[CloudQueue.sqsRead]]).
