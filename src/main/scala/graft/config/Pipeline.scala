@@ -547,8 +547,10 @@ object Pipeline {
         // input replays a RECORDED pgoutput stream (wal_file: length-
         // prefixed CopyData frames) through the same native wire
         // decoder (PgOutput), emitting the StreamMessage envelope shape
+        // frameFile + the chunked admission inside `changes` keep the
+        // replay O(admit-chunk) driver heap at snapshot scale
         graft.sources.PgOutput.changes(spark,
-          graft.sources.PgOutput.readFrameFile(b.get("wal_file").asText))
+          graft.sources.PgOutput.frameFile(b.get("wal_file").asText))
       case ("aws_sqs", b) =>
         // inputs/aws_sqs.adoc — url names the queue; mem:// resolves
         // the in-process transport (the real service needs its SDK)

@@ -326,53 +326,66 @@ object PgOutput {
                           rel: Relation, data: Vector[Any],
                           before: Option[Vector[Any]])
 
-  /** Walk a recorded frame sequence and decode every DML change. The
-    * RELATION cache is carried across frames (PostgreSQL sends a
-    * relation message before the first change that uses it, and again
-    * when the table's schema changes); keepalives and non-DML messages
-    * advance state only. `unchangedToast` is delivered for unchanged
-    * TOAST columns unless the old tuple (REPLICA IDENTITY FULL) carries
-    * the real value — the reference's toast-fallback rule.
+  /** LAZY single-pass decode of a recorded frame stream: one
+    * `Change` at a time, never materializing the stream. The RELATION
+    * cache is carried across frames (PostgreSQL sends a relation
+    * message before the first change that uses it, and again when the
+    * table's schema changes); keepalives and non-DML messages advance
+    * state only. `unchangedToast` is delivered for unchanged TOAST
+    * columns unless the old tuple (REPLICA IDENTITY FULL) carries the
+    * real value — the reference's toast-fallback rule.
+    *
+    * `fromLsn` is the restart cursor: changes at or below it are
+    * decoded-and-skipped (the schema state must still be rebuilt from
+    * the stream head, exactly like a slot restart replays RELATION
+    * messages before resuming data).
     */
-  def decodeChanges(frames: Iterable[Array[Byte]],
-                    unchangedToast: Any = null): Vector[Change] = {
+  def changeIterator(frames: Iterator[Array[Byte]],
+                     unchangedToast: Any = null,
+                     fromLsn: Long = -1L): Iterator[Change] = {
     val relations = scala.collection.mutable.Map.empty[Long, Relation]
     var txMicros = 0L
     var txXid = 0L
-    val out = Vector.newBuilder[Change]
-    frames.foreach { f =>
+    frames.flatMap { f =>
       parseFrame(f) match {
-        case Keepalive(_, _, _) => ()
+        case Keepalive(_, _, _) => None
         case XLogData(walStart, _, _, msg) => msg match {
-          case r: Relation => relations(r.id) = r
-          case Begin(_, micros, xid) => txMicros = micros; txXid = xid
+          case r: Relation => relations(r.id) = r; None
+          case Begin(_, micros, xid) =>
+            txMicros = micros; txXid = xid; None
           case _: Commit | _: TypeMsg | _: Origin | _: LogicalMsg |
               _: StreamStart | StreamStop | _: StreamCommit |
-              _: StreamAbort | _: Truncate => ()
+              _: StreamAbort | _: Truncate => None
+          case _ if walStart <= fromLsn => None // already committed
           case Insert(relId, t) =>
             val rel = relOf(relations, relId)
-            out += Change(walStart, txMicros, txXid, "insert",
+            Some(Change(walStart, txMicros, txXid, "insert",
               rel.namespace, rel.name, rel,
-              decodeTuple(t, rel, unchangedToast, None), None)
+              decodeTuple(t, rel, unchangedToast, None), None))
           case Update(relId, oldType, oldT, newT) =>
             val rel = relOf(relations, relId)
             // REPLICA IDENTITY FULL: unchanged-toast columns in the new
             // tuple resolve against the old tuple's real value
             val toastFallback = oldT.filter(_ => oldType.contains('O'))
             val before = oldT.map(decodeTuple(_, rel, unchangedToast, None))
-            out += Change(walStart, txMicros, txXid, "update",
+            Some(Change(walStart, txMicros, txXid, "update",
               rel.namespace, rel.name, rel,
-              decodeTuple(newT, rel, unchangedToast, toastFallback), before)
+              decodeTuple(newT, rel, unchangedToast, toastFallback),
+              before))
           case Delete(relId, _, oldT) =>
             val rel = relOf(relations, relId)
             val img = decodeTuple(oldT, rel, unchangedToast, None)
-            out += Change(walStart, txMicros, txXid, "delete",
-              rel.namespace, rel.name, rel, img, Some(img))
+            Some(Change(walStart, txMicros, txXid, "delete",
+              rel.namespace, rel.name, rel, img, Some(img)))
         }
       }
     }
-    out.result()
   }
+
+  /** Eager form of [[changeIterator]] for fixture-scale streams. */
+  def decodeChanges(frames: Iterable[Array[Byte]],
+                    unchangedToast: Any = null): Vector[Change] =
+    changeIterator(frames.iterator, unchangedToast).toVector
 
   private def relOf(m: scala.collection.mutable.Map[Long, Relation],
                     id: Long): Relation =
@@ -396,67 +409,203 @@ object PgOutput {
       }
     }
 
+  /** How many admission chunks the last `typedChanges`/`changes` call
+    * spilled (1 = the in-memory fast path) — a test-only observable
+    * proving the replay never materialized the stream driver-side.
+    */
+  private[sources] var lastAdmissionChunks: Int = 0
+
+  /** Default bound on driver-resident decoded changes during replay. */
+  val DefaultAdmitChunk = 4096
+
+  private def metaFields: Seq[StructField] = Seq(
+    StructField("__op", StringType, nullable = false),
+    StructField("__lsn", LongType, nullable = false),
+    StructField("__ts_ms", LongType, nullable = false))
+
+  private def relSchema(rel: Relation): StructType = StructType(
+    rel.cols.map(c => StructField(c.name, sparkType(c.typeOid))) ++
+      metaFields)
+
+  // __op uses the Debezium letters Cdc.latestState ranks (c/u/d)
+  private val opLetter = Map("insert" -> "c", "update" -> "u",
+    "delete" -> "d")
+
+  private def typedRow(c: Change): Row =
+    Row.fromSeq(c.data ++ Seq(opLetter(c.op), c.lsn,
+      pgMicrosToUnixMicros(c.commitMicros) / 1000L))
+
+  /** Spill one admission chunk as parquet under `dir` and drop it from
+    * driver memory — the iterate-and-spill half of the bounded replay.
+    */
+  private def spill(spark: SparkSession, dir: String,
+                    schema: StructType, rows: Seq[Row]): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          rows.length / 256 + 1))), schema)
+      .write.mode("append").parquet(dir)
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   /** Typed replay of ONE table's changes: the relation's columns with
     * their matrix types, plus `__op` (insert/update/delete), `__lsn`
     * and `__ts_ms` (commit time) — the shape [[Cdc.latestState]]
     * consumes directly (`ord = col("__lsn")`).
+    *
+    * BOUNDED ADMISSION: the stream decodes incrementally (one pass,
+    * [[changeIterator]]) and at most `admitChunk` decoded changes are
+    * driver-resident at once — beyond that, chunks spill to parquet
+    * (one sub-directory per RELATION version, since a mid-stream ALTER
+    * changes the row shape) and the result is the spilled files read
+    * back with every version aligned BY NAME to the final schema.
+    * A snapshot-scale WAL replay is O(admitChunk) driver heap, not
+    * O(stream). `fromLsn` resumes past already-applied changes.
     */
   def typedChanges(spark: SparkSession, frames: Iterable[Array[Byte]],
-                   table: String, namespace: String = "public"): DataFrame = {
-    val changes = decodeChanges(frames)
+                   table: String, namespace: String = "public",
+                   admitChunk: Int = DefaultAdmitChunk,
+                   fromLsn: Long = -1L): DataFrame = {
+    val it = changeIterator(frames.iterator, fromLsn = fromLsn)
       .filter(c => c.table == table && c.namespace == namespace)
-    require(changes.nonEmpty,
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Change]
+    var spillBase: String = null
+    var verIdx = 0
+    var chunks = 0
+    val versions = scala.collection.mutable.ArrayBuffer.empty[Relation]
+    def flush(): Unit = if (buf.nonEmpty) {
+      if (spillBase == null) spillBase = tmpDir("pg_typed_")
+      spill(spark, s"$spillBase/v$verIdx", relSchema(buf.head.rel),
+        buf.map(typedRow).toSeq)
+      chunks += 1
+      buf.clear()
+    }
+    it.foreach { c =>
+      if (versions.isEmpty || (versions.last ne c.rel)) {
+        // new RELATION version: close the previous version's chunk so
+        // every spilled file has a single, consistent schema
+        flush()
+        if (versions.nonEmpty) verIdx += 1
+        versions += c.rel
+      } else if (buf.size >= admitChunk) flush()
+      buf += c
+    }
+    require(versions.nonEmpty,
       s"pgoutput: no changes for $namespace.$table in the stream")
-    val rel = changes.last.rel
-    val schema = StructType(
-      rel.cols.map(c => StructField(c.name, sparkType(c.typeOid))) ++ Seq(
-        StructField("__op", StringType, nullable = false),
-        StructField("__lsn", LongType, nullable = false),
-        StructField("__ts_ms", LongType, nullable = false)))
-    // __op uses the Debezium letters Cdc.latestState ranks (c/u/d)
-    val opLetter = Map("insert" -> "c", "update" -> "u", "delete" -> "d")
-    val rows = changes.map { c =>
+    val rel = versions.last
+    val finalSchema = relSchema(rel)
+    if (spillBase == null) {
+      // fast path: the whole (single-version) stream fit in one chunk
+      lastAdmissionChunks = 1
+      val rows = buf.map(typedRow).toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            rows.length / 256 + 1))), finalSchema)
+    } else {
+      flush()
+      lastAdmissionChunks = chunks
+      import org.apache.spark.sql.functions.{col, lit}
       // changes decoded under an EARLIER relation version align to the
       // final schema by column NAME (mid-stream ALTER TABLE: PostgreSQL
       // re-sends the relation before the first change that uses the new
       // shape); columns the old version lacked are null
-      val vals =
-        if (c.rel eq rel) c.data
-        else {
-          val byName = c.rel.cols.map(_.name).zip(c.data).toMap
-          rel.cols.map(rc => byName.getOrElse(rc.name, null))
-        }
-      Row.fromSeq(vals ++ Seq(opLetter(c.op), c.lsn,
-        pgMicrosToUnixMicros(c.commitMicros) / 1000L))
+      versions.zipWithIndex.map { case (v, i) =>
+        val have = v.cols.map(_.name).toSet
+        spark.read.schema(relSchema(v)).parquet(s"$spillBase/v$i")
+          .select(finalSchema.fields.map(f =>
+            if (have.contains(f.name) || f.name.startsWith("__"))
+              col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      }.reduce(_.unionByName(_))
     }
-    val slices = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, rows.length / 256 + 1))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, slices), schema)
   }
 
-  /** Broker-envelope replay (every table): value = the StreamMessage
-    * JSON shape the reference's AsBytes path emits (`lsn`, `operation`,
-    * `schema`, `table`, `data`), metadata = table/operation/lsn,
-    * `__seq` = stream order.
+  /** The StreamMessage JSON shape the reference's AsBytes path emits
+    * (`lsn`, `operation`, `schema`, `table`, `data`).
     */
-  def changes(spark: SparkSession,
-              frames: Iterable[Array[Byte]]): DataFrame = {
-    val rows = decodeChanges(frames).zipWithIndex.map { case (c, i) =>
-      val data = c.rel.cols.map(_.name).zip(c.data)
-        .map { case (n, v) => "\"" + n + "\":" + jsonValue(v) }
-        .mkString("{", ",", "}")
-      val value = s"""{"lsn":"${lsnString(c.lsn)}",""" +
-        s""""operation":"${c.op}","schema":"${c.namespace}",""" +
-        s""""table":"${c.table}","data":$data}"""
-      Row(value, Map(
-        "table" -> c.table, "operation" -> c.op,
-        "lsn" -> lsnString(c.lsn)), null, i.toLong)
+  def streamMessageJson(c: Change): String = {
+    val data = c.rel.cols.map(_.name).zip(c.data)
+      .map { case (n, v) => "\"" + n + "\":" + jsonValue(v) }
+      .mkString("{", ",", "}")
+    s"""{"lsn":"${lsnString(c.lsn)}",""" +
+      s""""operation":"${c.op}","schema":"${c.namespace}",""" +
+      s""""table":"${c.table}","data":$data}"""
+  }
+
+  private def envelopeRow(c: Change, seq: Long): Row =
+    Row(streamMessageJson(c), Map(
+      "table" -> c.table, "operation" -> c.op,
+      "lsn" -> lsnString(c.lsn)), null, seq)
+
+  /** Broker-envelope replay (every table): value = the StreamMessage
+    * JSON, metadata = table/operation/lsn, `__seq` = stream order.
+    * Bounded admission like [[typedChanges]]: at most `admitChunk`
+    * decoded changes driver-resident; larger streams spill to parquet
+    * and read back.
+    */
+  def changes(spark: SparkSession, frames: Iterable[Array[Byte]],
+              admitChunk: Int = DefaultAdmitChunk,
+              fromLsn: Long = -1L): DataFrame = {
+    val it = changeIterator(frames.iterator, fromLsn = fromLsn)
+      .zipWithIndex.map { case (c, i) => envelopeRow(c, i.toLong) }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var spillBase: String = null
+    var chunks = 0
+    it.foreach { r =>
+      if (buf.size >= admitChunk) {
+        if (spillBase == null) spillBase = tmpDir("pg_changes_")
+        spill(spark, spillBase, BrokerStream.schema, buf.toSeq)
+        chunks += 1
+        buf.clear()
+      }
+      buf += r
     }
-    val slices = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, rows.length / 256 + 1))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, slices), BrokerStream.schema)
+    if (spillBase == null) {
+      lastAdmissionChunks = 1
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(buf.toSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            buf.length / 256 + 1))), BrokerStream.schema)
+    } else {
+      spill(spark, spillBase, BrokerStream.schema, buf.toSeq)
+      lastAdmissionChunks = chunks + 1
+      spark.read.schema(BrokerStream.schema).parquet(spillBase)
+    }
+  }
+
+  /** Streaming replay: a [[PollStream.Poller]] whose CURSOR IS THE
+    * LSN — each sweep decodes the next `chunk` changes past the
+    * committed cursor (sweeps cut only at LSN boundaries so a restart
+    * never splits same-position peers), re-walking the stream head for
+    * schema state exactly like a slot restart. Register it and read
+    * with `spark.readStream.format("graft.sources.PollSourceProvider")
+    * .option("poller", name)` — the checkpoint WAL then commits cursor
+    * and data position atomically, and a crash re-polls from the last
+    * committed LSN.
+    */
+  def poller(frames: Iterable[Array[Byte]],
+             chunk: Int = 256): PollStream.Poller = { cursorOpt =>
+    val from = cursorOpt.map(_.toLong).getOrElse(-1L)
+    val it = changeIterator(frames.iterator, fromLsn = from).buffered
+    val out = Vector.newBuilder[(String, Map[String, String])]
+    var n = 0
+    var lastLsn = from
+    while (it.hasNext &&
+           (n < chunk || it.head.lsn == lastLsn)) {
+      val c = it.next()
+      lastLsn = c.lsn
+      out += ((streamMessageJson(c), Map(
+        "table" -> c.table, "operation" -> c.op,
+        "lsn" -> lsnString(c.lsn))))
+      n += 1
+    }
+    if (n == 0) (Vector.empty, cursorOpt)
+    else (out.result(), Some(lastLsn.toString))
   }
 
   private def jsonValue(v: Any): String = v match {
@@ -489,6 +638,36 @@ object PgOutput {
     * replay seam (a live `START_REPLICATION` socket is env-blocked
     * here; the reference's integration tests record the same stream).
     */
+  /** Lazy form of [[readFrameFile]]: frames stream from disk on each
+    * iteration — O(1) raw bytes driver-resident, the admission-side
+    * complement of the bounded decode (a snapshot-scale recorded WAL
+    * never loads whole).
+    */
+  def frameFile(path: String): Iterable[Array[Byte]] =
+    new Iterable[Array[Byte]] {
+      def iterator: Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+        private val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(
+            java.nio.file.Files.newInputStream(
+              java.nio.file.Paths.get(path)), 1 << 16))
+        private var frame: Array[Byte] = advance()
+        private def advance(): Array[Byte] =
+          try {
+            val len = in.readInt()
+            require(len >= 0, s"pgoutput: corrupt frame file $path")
+            val f = new Array[Byte](len)
+            in.readFully(f)
+            f
+          } catch {
+            case _: java.io.EOFException => in.close(); null
+          }
+        def hasNext: Boolean = frame != null
+        def next(): Array[Byte] = {
+          val f = frame; frame = advance(); f
+        }
+      }
+    }
+
   def readFrameFile(path: String): Vector[Array[Byte]] = {
     val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val b = ByteBuffer.wrap(all)
