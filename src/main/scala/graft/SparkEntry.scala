@@ -566,6 +566,59 @@ object SparkEntry {
         .drop("__lsn").orderBy("o_orderkey")
     }),
 
+    "p_mysql_cdc" -> ((s, d) => {
+      // mysql_cdc contract (internal/impl/mysql/input_mysql_stream.go,
+      // TYPES.md; wire format is MySQL's public binlog-v4 row events):
+      // a recorded binlog — FORMAT_DESCRIPTION/ROTATE/TABLE_MAP/
+      // WRITE/UPDATE/DELETE_ROWS v2/XID with packed row images
+      // (DATETIME2, packed NEWDECIMAL, ENUM indexes) — is decoded by
+      // the wire parser into typed changes and folded to relational
+      // state. Decimal canonical strings and enum literal resolution
+      // are recomputed by the oracle.
+      import graft.sources.MySqlBinlog
+      import graft.sources.MySqlBinlog._
+      val seed = Tables.orders(s, d).filter(col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey").collect()
+      val td = TableDef("shop", "orders", Vector(
+        ColDef("o_orderkey", "bigint"), ColDef("o_custkey", "int"),
+        ColDef("o_orderstatus", "varchar(4)"),
+        ColDef("o_totalprice", "double"),
+        ColDef("o_orderdate", "datetime(6)"),
+        ColDef("o_dec", "decimal(12,4)"),
+        ColDef("o_prio", "enum('1','2','3','4','5')")))
+      val schemas = Map("shop.orders" -> td)
+      def img(r: org.apache.spark.sql.Row, status: String,
+              priceDelta: Double): Seq[Any] = Seq(
+        r.getLong(0), r.getLong(1).toInt, status,
+        r.getDouble(3) + priceDelta, r.getTimestamp(4),
+        s"${r.getLong(1)}.2500", r.getString(5).substring(0, 1))
+      val fx = new Fixture()
+      val events = Vector.newBuilder[Array[Byte]]
+      events += fx.formatDescription()
+      events += fx.rotate("binlog.000042")
+      events += fx.tableMap(101L, td)
+      seed.grouped(100).foreach { batch =>
+        events += fx.writeRows(101L, td,
+          batch.map(r => img(r, r.getString(2), 0.0)).toSeq)
+      }
+      events += fx.xid(1L)
+      events += fx.tableMap(101L, td)
+      events += fx.updateRows(101L, td,
+        seed.filter(_.getLong(0) % 9 == 0).map(r =>
+          (img(r, r.getString(2), 0.0), img(r, "X", 5.5))).toSeq)
+      events += fx.deleteRows(101L, td,
+        seed.filter(_.getLong(0) % 11 == 0).map(r =>
+          img(r, r.getString(2), 0.0)).toSeq)
+      events += fx.xid(2L)
+      val typed = MySqlBinlog.typedChanges(s, events.result(), "orders",
+        schemas)
+      sources.Cdc.latestState(typed, Seq("o_orderkey"), col("__seq"))
+        .drop("__seq", "__file", "__pos", "__ts_ms")
+        .orderBy("o_orderkey")
+    }),
+
     "p_lakehouse_upsert" -> ((s, d) => {
       // iceberg-shaped sink contract (output_iceberg.go row_operation
       // upsert + schema evolution): snapshot write, then a second batch
@@ -2339,6 +2392,19 @@ object SparkEntry {
         |  o_orderdate
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p_mysql_cdc" ->
+      """SELECT o_orderkey, CAST(o_custkey AS INT) AS o_custkey,
+        |  CASE WHEN o_orderkey % 9 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 5.5
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CAST(o_custkey AS VARCHAR) || '.2500' AS o_dec,
+        |  substr(o_orderpriority, 1, 1) AS o_prio
+        |FROM orders
+        |WHERE o_orderkey < 1500 AND o_orderkey % 11 <> 0
         |ORDER BY o_orderkey""".stripMargin,
 
     "p_kafka_roundtrip" ->

@@ -551,6 +551,25 @@ object Pipeline {
         // replay O(admit-chunk) driver heap at snapshot scale
         graft.sources.PgOutput.changes(spark,
           graft.sources.PgOutput.frameFile(b.get("wal_file").asText))
+      case ("mysql_cdc", b) =>
+        // mysql_cdc (internal/impl/mysql) — a live replication socket
+        // is env-blocked, so the input replays a RECORDED binlog file
+        // through the native event decoder (MySqlBinlog). Column
+        // names/signedness/enum literals are not on the wire: the
+        // `tables` block registers them, the config-form analogue of
+        // the reference's information_schema lookup (schema.go)
+        import graft.sources.MySqlBinlog
+        val schemas = b.get("tables").elements().asScala.map { t =>
+          val db = t.path("db").asText("")
+          val nm = t.get("name").asText
+          val cols = t.get("columns").elements().asScala.map(c =>
+            MySqlBinlog.ColDef(c.get("name").asText,
+              c.get("type").asText)).toVector
+          s"$db.$nm" -> MySqlBinlog.TableDef(db, nm, cols)
+        }.toMap
+        MySqlBinlog.changes(spark,
+          MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
+          schemas)
       case ("aws_sqs", b) =>
         // inputs/aws_sqs.adoc — url names the queue; mem:// resolves
         // the in-process transport (the real service needs its SDK)
