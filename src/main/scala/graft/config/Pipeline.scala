@@ -220,6 +220,45 @@ object Pipeline {
           case None =>
             Sources.kafka(spark, addrs.mkString(","), topics.mkString(","))
         }
+      case ("poll", b) =>
+        // generic streaming poll form: a pre-registered PollStream
+        // poller (offset = cursor, committed via the checkpoint WAL)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", b.get("poller").asText).load()
+      case ("jira", b) =>
+        // streaming jira: one incremental JQL sweep per micro-batch —
+        // the reference's continuous poll loop (inputs/jira.adoc)
+        val poller = Jira.issuesPoller(b.get("base_url").asText,
+          Jira.Auth(b.at("/auth/email").asText,
+            b.at("/auth/api_token").asText),
+          jql = b.path("jql").asText(""),
+          pageSize = b.path("page_size").asInt(50))
+        val name = "jira_poll_" + java.util.UUID.randomUUID.toString
+        graft.sources.PollStream.register(name, poller)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", name).load()
+      case ("discord", b) =>
+        // streaming discord backfill→follow: cursor = newest message id
+        val poller = Discord.poller(b.get("channel_id").asText,
+          b.get("bot_token").asText,
+          baseUrl = b.path("base_url")
+            .asText("https://discord.com/api/v10"),
+          limit = b.path("limit").asInt(100))
+        val name = "discord_poll_" + java.util.UUID.randomUUID.toString
+        graft.sources.PollStream.register(name, poller)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", name).load()
+      case ("twitter_search", b) =>
+        // streaming recent-search: cursor = newest tweet id, stale
+        // cursors self-heal through the backfill window
+        val poller = Twitter.poller(b.get("query").asText,
+          b.at("/api_key").asText, b.at("/api_secret").asText,
+          backfillSec = b.path("backfill_period_sec").asLong(300L),
+          baseUrl = b.path("base_url").asText("https://api.twitter.com"))
+        val name = "twitter_poll_" + java.util.UUID.randomUUID.toString
+        graft.sources.PollStream.register(name, poller)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", name).load()
       case (other, _) =>
         throw new IllegalArgumentException(s"streaming input '$other' not supported")
     }

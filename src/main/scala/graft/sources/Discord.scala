@@ -59,8 +59,26 @@ object Discord {
            client: Http.Client = null, limit: Int = 100,
            maxPages: Int = 10000): DataFrame = {
     val c = Option(client).getOrElse(clientFor(baseUrl))
-    val base = baseUrl.stripSuffix("/")
-    var after = cursor.flatMap { case (s, k) => s.get(k) }.getOrElse("")
+    val after0 = cursor.flatMap { case (s, k) => s.get(k) }.getOrElse("")
+    val (msgs, after) = sweep(channelId, botToken,
+      baseUrl.stripSuffix("/"), c, limit, maxPages, after0)
+    cursor.foreach { case (s, k) => if (after.nonEmpty) s.set(k, after) }
+    val rows = msgs.zipWithIndex.map { case (v, i) =>
+      Row(v, Map.empty[String, String], null, i.toLong)
+    }
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      rows.length / 256 + 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, slices), BrokerStream.schema)
+  }
+
+  /** One incremental sweep: page-walk forward from `after0`, oldest
+    * first, cursor = newest id seen ("" when nothing new).
+    */
+  private def sweep(channelId: String, botToken: String, base: String,
+                    c: Http.Client, limit: Int, maxPages: Int,
+                    after0: String): (Vector[String], String) = {
+    var after = after0
     val out = Vector.newBuilder[String]
     var pages = 0
     var done = false
@@ -80,14 +98,28 @@ object Discord {
         pages += 1
       }
     }
-    cursor.foreach { case (s, k) => if (after.nonEmpty) s.set(k, after) }
-    val rows = out.result().zipWithIndex.map { case (v, i) =>
-      Row(v, Map.empty[String, String], null, i.toLong)
+    (out.result(), after)
+  }
+
+  /** The streaming form's sweep-per-trigger ([[PollStream]] commits
+    * the returned cursor — the newest message id — through Spark's
+    * checkpoint WAL; the cursor-in/cursor-out shape of
+    * [[Jira.issuesPoller]]).
+    */
+  def poller(channelId: String, botToken: String,
+             baseUrl: String = "https://discord.com/api/v10",
+             client: Http.Client = null, limit: Int = 100,
+             maxPages: Int = 10000): PollStream.Poller = cursorOpt => {
+    val c = Option(client).getOrElse(clientFor(baseUrl))
+    val (msgs, after) = sweep(channelId, botToken,
+      baseUrl.stripSuffix("/"), c, limit, maxPages,
+      cursorOpt.getOrElse(""))
+    val rows = msgs.map { v =>
+      (v, Map(
+        "discord_channel_id" -> channelId,
+        "discord_message_id" -> mapper.readTree(v).path("id").asText("")))
     }
-    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      rows.length / 256 + 1))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, slices), BrokerStream.schema)
+    (rows, if (after.nonEmpty) Some(after) else cursorOpt)
   }
 
   /** One POST per message; JSON objects post directly, anything else

@@ -112,7 +112,10 @@ object PollStream {
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val cur = asPoll(start)
       val (rows, next) = pollerFor(pollerName)(Option(cur.cursor))
-      if (rows.isEmpty) cur
+      // an empty sweep that MOVED the cursor still advances (commits)
+      // the offset — e.g. a stale-cursor reset must reach the WAL or
+      // the reset would be re-attempted forever
+      if (rows.isEmpty && next.orNull == cur.cursor) cur
       else {
         val adv = PollOffset(cur.sweep + 1, next.orNull)
         pending.update(adv.sweep, rows)

@@ -69,9 +69,36 @@ object Twitter {
                  maxPages: Int = 1000): DataFrame = {
     val c = Option(client).getOrElse(clientFor(baseUrl))
     val base = baseUrl.stripSuffix("/")
-    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val bearer = exchangeBearer(base, apiKey, apiSecret, c)
+    val since = cursor.flatMap { case (s, k) => s.get(k) }.filter(_.nonEmpty)
+    val (all, newest, stale) = sweep(query, tweetFields, backfillSec,
+      since, base, bearer, c, nowMs, maxPages)
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], BrokerStream.schema)
+    if (stale) {
+      // stale since_id → reset the cursor and skip the sweep (the
+      // template's switch-on-error path)
+      cursor.foreach { case (s, k) => s.set(k, "") }
+      emptyDf
+    } else {
+      cursor.foreach { case (s, k) => newest.foreach(id => s.set(k, id)) }
+      if (all.isEmpty) emptyDf
+      else {
+        val rows = all.zipWithIndex.map { case (t, i) =>
+          Row(t.toString, Map.empty[String, String], null, i.toLong)
+        }
+        val slices = math.max(1,
+          math.min(spark.sparkContext.defaultParallelism,
+            rows.length / 256 + 1))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, slices), BrokerStream.schema)
+      }
+    }
+  }
 
-    // client-credentials exchange
+  /** Client-credentials exchange → bearer token. */
+  private def exchangeBearer(base: String, apiKey: String,
+                             apiSecret: String, c: Http.Client): String = {
     val tokResp = c(Seq(Http.Request(s"$base/oauth2/token", "POST", Map(
       "Authorization" -> ("Basic " + java.util.Base64.getEncoder
         .encodeToString(s"$apiKey:$apiSecret".getBytes("UTF-8"))),
@@ -79,11 +106,26 @@ object Twitter {
       "grant_type=client_credentials"))).head
     if (tokResp.status != 200) throw new IllegalStateException(
       s"twitter: token exchange failed ${tokResp.status}")
-    val bearer = mapper.readTree(tokResp.body).path("access_token").asText("")
+    val bearer = mapper.readTree(tokResp.body).path("access_token")
+      .asText("")
     if (bearer.isEmpty) throw new IllegalStateException(
       "twitter: token exchange returned no access_token")
+    bearer
+  }
 
-    val since = cursor.flatMap { case (s, k) => s.get(k) }.filter(_.nonEmpty)
+  /** One incremental sweep: page walk to meta.next_token exhaustion
+    * (data accumulates across pages; newest_id comes from the FIRST,
+    * newest page, so a partial drain would be a gap), cursor = that
+    * newest_id. `stale` = the retention-window since_id rejection —
+    * the caller resets the cursor.
+    */
+  private def sweep(query: String, tweetFields: Seq[String],
+                    backfillSec: Long, since: Option[String],
+                    base: String, bearer: String, c: Http.Client,
+                    nowMs: Long, maxPages: Int)
+      : (Vector[com.fasterxml.jackson.databind.JsonNode],
+         Option[String], Boolean) = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val pagination = since match {
       case Some(id) => s"&since_id=$id"
       case None =>
@@ -96,14 +138,6 @@ object Twitter {
     val fieldsParam =
       if (tweetFields.isEmpty) ""
       else s"&tweet.fields=${enc(tweetFields.mkString(","))}"
-
-    def emptyDf = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], BrokerStream.schema)
-
-    // page walk: data accumulates across pages; newest_id comes from
-    // the FIRST page (newest-first order), so a partial drain would be
-    // a gap — the walk runs to meta.next_token exhaustion before the
-    // cursor advances
     val data = Vector.newBuilder[com.fasterxml.jackson.databind.JsonNode]
     var newest: Option[String] = None
     var pageTok: Option[String] = None
@@ -117,11 +151,8 @@ object Twitter {
       val resp = c(Seq(Http.Request(url, "GET",
         Map("Authorization" -> s"Bearer $bearer"), ""))).head
       if (resp.status < 200 || resp.status > 299) {
-        // stale since_id → reset the cursor and skip the sweep (the
-        // template's switch-on-error path)
         if (resp.body.contains(
             "'since_id' must be a tweet id created after")) {
-          cursor.foreach { case (s, k) => s.set(k, "") }
           stale = true
           done = true
         } else throw new IllegalStateException(
@@ -143,22 +174,33 @@ object Twitter {
     }
     if (!done && !stale) System.err.println(
       s"[twitter] WARN stopped after $maxPages pages with more remaining")
+    (data.result(), newest, stale)
+  }
 
-    if (stale) emptyDf
+  /** The streaming form's sweep-per-trigger: cursor = newest tweet id,
+    * committed by [[PollStream]] through the checkpoint WAL. A stale
+    * cursor (past the retention window) resets to "" — the next sweep
+    * re-enters via the backfill window, the template's switch-on-error
+    * recovery. Emission is oldest-first within a sweep.
+    */
+  def poller(query: String, apiKey: String, apiSecret: String,
+             tweetFields: Seq[String] = Seq.empty,
+             backfillSec: Long = 300L,
+             baseUrl: String = "https://api.twitter.com",
+             client: Http.Client = null,
+             nowMs: () => Long = () => System.currentTimeMillis(),
+             maxPages: Int = 1000): PollStream.Poller = cursorOpt => {
+    val c = Option(client).getOrElse(clientFor(baseUrl))
+    val base = baseUrl.stripSuffix("/")
+    val bearer = exchangeBearer(base, apiKey, apiSecret, c)
+    val (all, newest, stale) = sweep(query, tweetFields, backfillSec,
+      cursorOpt.filter(_.nonEmpty), base, bearer, c, nowMs(), maxPages)
+    if (stale) (Vector.empty, Some(""))
     else {
-      val all = data.result()
-      cursor.foreach { case (s, k) => newest.foreach(id => s.set(k, id)) }
-      if (all.isEmpty) emptyDf
-      else {
-        val rows = all.zipWithIndex.map { case (t, i) =>
-          Row(t.toString, Map.empty[String, String], null, i.toLong)
-        }
-        val slices = math.max(1,
-          math.min(spark.sparkContext.defaultParallelism,
-            rows.length / 256 + 1))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, slices), BrokerStream.schema)
+      val rows = all.reverse.map { t =>
+        (t.toString, Map("twitter_id" -> t.path("id").asText("")))
       }
+      (rows, newest.orElse(cursorOpt))
     }
   }
 

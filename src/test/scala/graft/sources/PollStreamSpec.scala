@@ -122,4 +122,116 @@ class PollStreamSpec extends SparkSpec {
     assert(rows.sorted.toSeq == (0 until 12).map(k => f"POL-$k%04d"),
       "replanned batch must re-fetch the sweep from the start cursor")
   }
+
+  test("discord poller: append-while-running delivers new messages " +
+       "exactly once, cursor = newest id") {
+    val name = fresh()
+    def msg(i: Int) = Discord.InMemoryServer.Msg(
+      id = 1000L + i, channelId = "ch1", content = s"m$i",
+      authorId = "u1")
+    @volatile var corpus = (0 until 25).map(msg)
+    PollStream.register(name,
+      Discord.poller("ch1", "tok", limit = 10,
+        client = reqs => Discord.InMemoryServer.Transport(corpus)(reqs)))
+    val q = spark.readStream.format("graft.sources.PollSourceProvider")
+      .option("poller", name).load()
+      .select(col("metadata")("discord_message_id").as("id"))
+      .writeStream.format("memory").queryName("discord_poll")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("discord_poll").count() == 25)
+      corpus = corpus ++ (25 until 40).map(msg)
+      q.processAllAvailable()
+      val ids = spark.table("discord_poll").select("id").as[String]
+        .collect().map(_.toLong).sorted.toSeq
+      assert(ids == (0 until 40).map(1000L + _),
+        "each message exactly once across sweeps")
+    } finally q.stop()
+  }
+
+  test("twitter poller: append-while-running via since_id; a stale " +
+       "cursor self-heals through the backfill window") {
+    val name = fresh()
+    def tw(i: Int) = Twitter.InMemoryServer.Tweet(5000L + i, s"t$i")
+    // one live transport (the token is minted per instance); corpus
+    // and retention mutate in place between triggers
+    @volatile var transport =
+      Twitter.InMemoryServer.Transport((0 until 30).map(tw))
+    PollStream.register(name,
+      Twitter.poller("graft", "k", "s",
+        client = reqs => transport(reqs),
+        nowMs = () => 1700000000000L))
+    val q = spark.readStream.format("graft.sources.PollSourceProvider")
+      .option("poller", name).load()
+      .select(col("metadata")("twitter_id").as("id"))
+      .writeStream.format("memory").queryName("twitter_poll")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("twitter_poll").count() == 30)
+      transport = Twitter.InMemoryServer.Transport((0 until 45).map(tw))
+      q.processAllAvailable()
+      val ids = spark.table("twitter_poll").select("id").as[String]
+        .collect().map(_.toLong).sorted.toSeq
+      assert(ids == (0 until 45).map(5000L + _),
+        "since_id pagination delivers each tweet exactly once")
+      // retention floor moves past the cursor: the next sweep is
+      // rejected as stale, resets the cursor (an EMPTY sweep that
+      // still commits), then the following sweep re-enters via the
+      // backfill window
+      transport = Twitter.InMemoryServer.Transport(
+        (0 until 45).map(tw) :+ tw(1000), retentionFloor = 6000L)
+      q.processAllAvailable() // stale sweep: cursor reset, no rows
+      q.processAllAvailable() // backfill sweep picks up from scratch
+      val after = spark.table("twitter_poll").select("id").as[String]
+        .collect().map(_.toLong).sorted.toSeq
+      assert(after.last == 6000L,
+        "self-healed sweep delivers the post-reset tweet")
+    } finally q.stop()
+  }
+
+  test("config runner: the streaming poll/discord input forms build " +
+       "running queries over registered transports") {
+    // generic poll form
+    val name = fresh()
+    val corpus = (0 until 8).map(issue(_, 0))
+    PollStream.register(name, growablePoller(() => corpus))
+    val q1 = graft.config.Pipeline.runStream(spark,
+      s"""input:
+         |  poll:
+         |    poller: $name
+         |pipeline:
+         |  processors: []
+         |output:
+         |  memory:
+         |    name: cfg_poll_out
+         |""".stripMargin)
+    try {
+      q1.processAllAvailable()
+      assert(spark.table("cfg_poll_out").count() == 8)
+    } finally q1.stop()
+
+    // discord streaming form (mem:// registered client)
+    val cname = "dcfg_" + java.util.UUID.randomUUID.toString.take(8)
+    val msgs = (0 until 5).map(i => Discord.InMemoryServer.Msg(
+      2000L + i, "chA", s"c$i", "u"))
+    Discord.registerClient(cname, Discord.InMemoryServer.Transport(msgs))
+    val q2 = graft.config.Pipeline.runStream(spark,
+      s"""input:
+         |  discord:
+         |    channel_id: chA
+         |    bot_token: tok
+         |    base_url: mem://$cname
+         |pipeline:
+         |  processors: []
+         |output:
+         |  memory:
+         |    name: cfg_discord_out
+         |""".stripMargin)
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("cfg_discord_out").count() == 5)
+    } finally q2.stop()
+  }
 }
