@@ -566,6 +566,63 @@ object SparkEntry {
         .drop("__lsn").orderBy("o_orderkey")
     }),
 
+    "p_ws_roundtrip" -> ((s, d) => {
+      // websocket contract (inputs/websocket.adoc,
+      // outputs/websocket.adoc over the RFC 6455 stack): documents are
+      // sent through the OUTPUT (one masked client connection per
+      // partition, close handshake on drain) to a real loopback
+      // WebSocket server, then the collected messages are verified
+      // relationally. Frame codec/fragmentation/masking contracts are
+      // WebSocketSpec's.
+      import graft.sources.WebSocket
+      val collect = new WebSocket.CollectServer
+      try {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars"))).as("value"))
+          .repartition(4)
+        WebSocket.write(docs, collect.url)
+        collect.drain(s)
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long")
+              .as("doc_id"),
+            get_json_object(col("value"), "$.lang").as("lang"),
+            get_json_object(col("value"), "$.n_chars").cast("long")
+              .as("n_chars"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally collect.close()
+    }),
+
+    "p_slack_socket" -> ((s, d) => {
+      // slack SOCKET MODE contract (inputs/slack.adoc over the
+      // RFC 6455 stack): apps.connections.open → wss URL, hello,
+      // events_api envelopes acked one-by-one, a forced disconnect
+      // every 100 envelopes exercising the refresh/reconnect flow —
+      // the ack frontier must deliver every event exactly once, in
+      // order, across connections.
+      import graft.sources.SlackSocket
+      val seed = Tables.orders(s, d).filter(col("o_orderkey") < 300)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").collect()
+      val events = seed.map(r =>
+        s"""{"event":{"type":"order_created",""" +
+          s""""order_id":${r.getLong(0)},"total":${r.getDouble(1)}}}""")
+      val srv = new SlackSocket.Server(events.toSeq, "xapp-graft",
+        disconnectEvery = 100)
+      try {
+        SlackSocket.read(s, "xapp-graft", srv.httpClient)
+          .select(
+            get_json_object(col("value"), "$.event.order_id")
+              .cast("long").as("order_id"),
+            get_json_object(col("value"), "$.event.total")
+              .cast("double").as("total"),
+            col("metadata")("slack_event_type").as("etype"))
+          .orderBy(col("order_id"))
+          .localCheckpoint()
+      } finally srv.stop()
+    }),
+
     "p_mysql_cdc" -> ((s, d) => {
       // mysql_cdc contract (internal/impl/mysql/input_mysql_stream.go,
       // TYPES.md; wire format is MySQL's public binlog-v4 row events):
@@ -2393,6 +2450,17 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "p_ws_roundtrip" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_slack_socket" ->
+      """SELECT o_orderkey AS order_id, o_totalprice AS total,
+        |  'order_created' AS etype
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY order_id""".stripMargin,
 
     "p_mysql_cdc" ->
       """SELECT o_orderkey, CAST(o_custkey AS INT) AS o_custkey,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{AzureQueue, Beanstalkd, CloudQueue, Cursors, Discord, HttpClient, Jira, Kinesis, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Splunk, Tcp, Twitter}
+import graft.sources.{AzureQueue, Beanstalkd, CloudQueue, Cursors, Discord, HttpClient, Jira, Kinesis, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Splunk, Tcp, Twitter, WebSocket}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -590,6 +590,13 @@ object Pipeline {
         // replay O(admit-chunk) driver heap at snapshot scale
         graft.sources.PgOutput.changes(spark,
           graft.sources.PgOutput.frameFile(b.get("wal_file").asText))
+      case ("websocket", b) =>
+        // inputs/websocket.adoc — bounded drain over the RFC 6455 stack
+        WebSocket.read(spark, b.get("url").asText,
+          headers = Option(b.get("headers")).map(_.properties().asScala
+            .map(e => (e.getKey, e.getValue.asText)).toMap)
+            .getOrElse(Map.empty),
+          openMessage = Option(b.get("open_message")).map(_.asText))
       case ("mysql_cdc", b) =>
         // mysql_cdc (internal/impl/mysql) — a live replication socket
         // is env-blocked, so the input replays a RECORDED binlog file
@@ -993,6 +1000,12 @@ object Pipeline {
       graft.sinks.VectorStore.upsert(
         df.select(idC.as("__vid"), vecC.as("__vec")),
         host, collection, "__vid", "__vec")
+    case ("websocket", b) =>
+      // outputs/websocket.adoc — one connection per partition
+      WebSocket.write(df, b.get("url").asText,
+        headers = Option(b.get("headers")).map(_.properties().asScala
+          .map(e => (e.getKey, e.getValue.asText)).toMap)
+          .getOrElse(Map.empty))
     case ("aws_sqs", b) =>
       // outputs/aws_sqs.adoc — per-row group/dedup from optional
       // message_group_id / message_deduplication_id COLUMNS (the
