@@ -594,6 +594,109 @@ object SparkEntry {
       } finally collect.close()
     }),
 
+    "p_bigquery_load" -> ((s, d) => {
+      // gcp_bigquery contract (output_bigquery.go over the public
+      // jobs.insert REST shape): per-partition NDJSON batches as
+      // multipart load jobs, each polled to DONE (PENDING→RUNNING→
+      // DONE), landed atomically — the final table contents verified
+      // relationally. Disposition semantics are WarehouseSinksSpec's.
+      import graft.sinks.BigQuery
+      val name = "bq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = BigQuery.serviceFor(name)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"))
+        .repartition(4)
+      BigQuery.write(docs, BigQuery.Conf("graft", "lake", "docs"),
+        s"mem://$name", batchSize = 64)
+      val rows = svc.rows("lake", "docs").zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, Map.empty[String, String], null,
+          i.toLong)
+      }
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        graft.sources.BrokerStream.schema)
+      df.select(
+          get_json_object(col("value"), "$.doc_id").cast("long")
+            .as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }),
+
+    "p_snowpipe_stream" -> ((s, d) => {
+      // snowflake_streaming contract (output_snowflake_streaming.go +
+      // streaming/rest.go channel semantics): per-partition channels,
+      // staged blobs registered under the writer's client_sequencer,
+      // offset-token exactly-once — the SAME frame is written TWICE
+      // (a restart replay) and the oracle count proves the duplicate
+      // sweep was absorbed by the committed token frontier.
+      import graft.sinks.Snowpipe
+      val name = "sp_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = Snowpipe.serviceFor(name)
+      def frame() = Tables.orders(s, d).filter(col("o_orderkey") < 800)
+        .select(
+          to_json(struct(col("o_orderkey"), col("o_totalprice")))
+            .as("value"),
+          lpad(col("o_orderkey").cast("string"), 10, "0")
+            .as("__offset_token"), col("o_orderkey"))
+        .repartition(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      Snowpipe.write(frame(), s"mem://$name", "lake", "public", "orders",
+        channelPrefix = "ch", batchSize = 100)
+      // restart replay: identical partitioning → identical channels and
+      // tokens → every batch is ≤ the committed frontier and drops
+      Snowpipe.write(frame(), s"mem://$name", "lake", "public", "orders",
+        channelPrefix = "ch", batchSize = 100)
+      val rows = svc.rows("lake", "public", "orders").zipWithIndex
+        .map { case (v, i) =>
+          org.apache.spark.sql.Row(v, Map.empty[String, String], null,
+            i.toLong)
+        }
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        graft.sources.BrokerStream.schema)
+      df.select(
+          get_json_object(col("value"), "$.o_orderkey").cast("long")
+            .as("k"),
+          get_json_object(col("value"), "$.o_totalprice").cast("double")
+            .as("price"))
+        .orderBy(col("k"))
+        .localCheckpoint()
+    }),
+
+    "p_discord_gateway" -> ((s, d) => {
+      // discord GATEWAY contract (the live half of
+      // internal/impl/discord/input.go over the public Gateway v10
+      // protocol): /gateway/bot URL exchange, HELLO→IDENTIFY→READY,
+      // numbered MESSAGE_CREATE dispatches with server-requested
+      // heartbeats answered by seq, a forced op 7 RECONNECT every 100
+      // dispatches exercising the RESUME replay — every event exactly
+      // once, in order, across sessions.
+      import graft.sources.DiscordGateway
+      val seed = Tables.orders(s, d).filter(col("o_orderkey") < 250)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").collect()
+      val events = seed.map(r =>
+        s"""{"id":"${r.getLong(0)}","channel_id":"orders",""" +
+          s""""content":"order ${r.getLong(0)}",""" +
+          s""""total":${r.getDouble(1)}}""")
+      val srv = new DiscordGateway.GatewayServer(events.toSeq,
+        "bot-graft", reconnectAfter = 100, heartbeatEvery = 17)
+      try {
+        DiscordGateway.read(s, "bot-graft", "orders", srv.httpClient)
+          .select(
+            get_json_object(col("value"), "$.id").cast("long").as("k"),
+            get_json_object(col("value"), "$.total").cast("double")
+              .as("total"),
+            col("metadata")("discord_event_type").as("etype"))
+          .orderBy(col("k"))
+          .localCheckpoint()
+      } finally srv.stop()
+    }),
+
     "p_slack_socket" -> ((s, d) => {
       // slack SOCKET MODE contract (inputs/slack.adoc over the
       // RFC 6455 stack): apps.connections.open → wss URL, hello,
@@ -2455,6 +2558,22 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars
         |FROM documents WHERE doc_id < 400
         |ORDER BY doc_id""".stripMargin,
+
+    "p_bigquery_load" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_snowpipe_stream" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price
+        |FROM orders WHERE o_orderkey < 800
+        |ORDER BY k""".stripMargin,
+
+    "p_discord_gateway" ->
+      """SELECT o_orderkey AS k, o_totalprice AS total,
+        |  'MESSAGE_CREATE' AS etype
+        |FROM orders WHERE o_orderkey < 250
+        |ORDER BY k""".stripMargin,
 
     "p_slack_socket" ->
       """SELECT o_orderkey AS order_id, o_totalprice AS total,

@@ -50,5 +50,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_exempt.json"), exempt)
     spark.stop()
+    // hard exit: a leaked non-daemon thread (an embedded server or
+    // streaming remnant from some query) must not pin this forked JVM
+    // alive for hours after the dump completes — observed as stale
+    // multi-hour graft.Verify processes competing for CPU
+    sys.exit(0)
   }
 }

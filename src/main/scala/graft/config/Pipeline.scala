@@ -1006,6 +1006,30 @@ object Pipeline {
         headers = Option(b.get("headers")).map(_.properties().asScala
           .map(e => (e.getKey, e.getValue.asText)).toMap)
           .getOrElse(Map.empty))
+    case ("gcp_bigquery", b) =>
+      // outputs/gcp_bigquery.adoc — batches as polled load jobs
+      graft.sinks.BigQuery.write(df, graft.sinks.BigQuery.Conf(
+        b.get("project").asText, b.get("dataset").asText,
+        b.get("table").asText,
+        format = b.path("format").asText("NEWLINE_DELIMITED_JSON"),
+        writeDisposition =
+          b.path("write_disposition").asText("WRITE_APPEND"),
+        createDisposition =
+          b.path("create_disposition").asText("CREATE_IF_NEEDED"),
+        csvHeader = Option(b.at("/csv/header"))
+          .filterNot(_.isMissingNode)
+          .map(_.elements().asScala.toSeq.map(_.asText))
+          .getOrElse(Seq.empty)),
+        baseUrl = b.path("base_url").asText(
+          "https://bigquery.googleapis.com"))
+    case ("snowflake_streaming", b) =>
+      // outputs/snowflake_streaming.adoc — channel-per-partition with
+      // offset-token exactly-once
+      graft.sinks.Snowpipe.write(df, b.get("account_url").asText,
+        b.get("database").asText, b.get("schema").asText,
+        b.get("table").asText,
+        channelPrefix = b.path("channel_prefix").asText("graft"),
+        offsetTokenCol = b.path("offset_token").asText("__offset_token"))
     case ("aws_sqs", b) =>
       // outputs/aws_sqs.adoc — per-row group/dedup from optional
       // message_group_id / message_deduplication_id COLUMNS (the

@@ -123,10 +123,16 @@ object WebSocket {
 
   /** Message-level wrapper: fragment reassembly, ping→pong auto-reply,
     * close handshake. `maskOutgoing` is true on the client side.
+    *
+    * `in`/`out` MUST be the same streams the HTTP handshake used: a
+    * BufferedInputStream reads AHEAD of the handshake terminator, so a
+    * fresh stream over the socket would silently swallow any frames
+    * the peer sent immediately after its 101 — a both-sides-blocked
+    * deadlock that only fires when the first frames land in the same
+    * TCP segment window as the handshake tail.
     */
-  final class Conn(socket: Socket, maskOutgoing: Boolean) {
-    private val in = new BufferedInputStream(socket.getInputStream)
-    private val out = new BufferedOutputStream(socket.getOutputStream)
+  final class Conn(socket: Socket, maskOutgoing: Boolean,
+                   in: InputStream, out: OutputStream) {
     @volatile private var closed = false
 
     def sendText(s: String): Unit = synchronized {
@@ -242,7 +248,8 @@ object WebSocket {
     val expect = acceptKey(key)
     require(respHeaders.get("sec-websocket-accept").contains(expect),
       "ws: Sec-WebSocket-Accept mismatch")
-    new Conn(socket, maskOutgoing = true)
+    // the handshake's buffered streams carry over — see Conn
+    new Conn(socket, maskOutgoing = true, in, out)
   }
 
   private def readHttpHead(in: InputStream): (Int, Map[String, String]) = {
@@ -314,7 +321,9 @@ object WebSocket {
               s"Sec-WebSocket-Accept: ${acceptKey(key)}\r\n\r\n")
               .getBytes(UTF_8))
             out.flush()
-            handler(new Conn(socket, maskOutgoing = false), path, hdrs)
+            // the handshake's buffered streams carry over — see Conn
+            handler(new Conn(socket, maskOutgoing = false, in, out),
+              path, hdrs)
           case _ =>
             out.write(("HTTP/1.1 400 Bad Request\r\n" +
               "Content-Length: 0\r\n\r\n").getBytes(UTF_8))
