@@ -594,6 +594,37 @@ object SparkEntry {
       } finally collect.close()
     }),
 
+    "p_mongodb_roundtrip" -> ((s, d) => {
+      // mongodb contract (internal/impl/mongodb input.go + output.go
+      // over the PUBLIC BSON + OP_MSG wire formats, real loopback
+      // sockets): documents inserted per-partition through the output
+      // (insert-one), then the input walks a FILTERED, SORTED cursor
+      // (batchSize forces getMore paging) — selection, operator
+      // semantics, and payload fidelity verified relationally. Update/
+      // delete/upsert/aggregate live in MongoSpec.
+      import graft.sources.Mongo
+      val name = "mg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Mongo.named(name)
+      try {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 600)
+          .select(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars"))).as("value"))
+          .repartition(4)
+        Mongo.write(docs, s"mem://$name", "lake", "docs")
+        Mongo.read(s, s"mem://$name", "lake", "docs",
+            queryJson = """{"n_chars":{"$gte":500}}""",
+            sortJson = """{"doc_id":1}""", batchSize = 64)
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long")
+              .as("doc_id"),
+            get_json_object(col("value"), "$.lang").as("lang"),
+            get_json_object(col("value"), "$.n_chars").cast("long")
+              .as("n_chars"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally Mongo.drop(name)
+    }),
+
     "p_bigquery_load" -> ((s, d) => {
       // gcp_bigquery contract (output_bigquery.go over the public
       // jobs.insert REST shape): per-partition NDJSON batches as
@@ -2557,6 +2588,11 @@ object SparkEntry {
     "p_ws_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_mongodb_roundtrip" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents WHERE doc_id < 600 AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
 
     "p_bigquery_load" ->

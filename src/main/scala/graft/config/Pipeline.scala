@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{AzureQueue, Beanstalkd, CloudQueue, Cursors, Discord, HttpClient, Jira, Kinesis, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Splunk, Tcp, Twitter, WebSocket}
+import graft.sources.{AzureQueue, Beanstalkd, CloudQueue, Cursors, Discord, HttpClient, Jira, Kinesis, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Mongo, Splunk, Tcp, Twitter, WebSocket}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -590,6 +590,15 @@ object Pipeline {
         // replay O(admit-chunk) driver heap at snapshot scale
         graft.sources.PgOutput.changes(spark,
           graft.sources.PgOutput.frameFile(b.get("wal_file").asText))
+      case ("mongodb", b) =>
+        // inputs/mongodb.adoc — one find/aggregate cursor walk, one
+        // message per document (BSON + OP_MSG over the mem:// loopback)
+        Mongo.read(spark, b.get("url").asText,
+          b.get("database").asText, b.get("collection").asText,
+          queryJson = b.path("query").asText("{}"),
+          operation = b.path("operation").asText("find"),
+          sortJson = b.path("sort").asText(""),
+          batchSize = b.path("batch_size").asInt(101))
       case ("websocket", b) =>
         // inputs/websocket.adoc — bounded drain over the RFC 6455 stack
         WebSocket.read(spark, b.get("url").asText,
@@ -1006,6 +1015,13 @@ object Pipeline {
         headers = Option(b.get("headers")).map(_.properties().asScala
           .map(e => (e.getKey, e.getValue.asText)).toMap)
           .getOrElse(Map.empty))
+    case ("mongodb", b) =>
+      // outputs/mongodb.adoc — per-row operation over one connection
+      // per partition
+      Mongo.write(df, b.get("url").asText, b.get("database").asText,
+        b.get("collection").asText,
+        operation = b.path("operation").asText("insert-one"),
+        upsert = b.path("upsert").asBoolean(false))
     case ("gcp_bigquery", b) =>
       // outputs/gcp_bigquery.adoc — batches as polled load jobs
       graft.sinks.BigQuery.write(df, graft.sinks.BigQuery.Conf(
