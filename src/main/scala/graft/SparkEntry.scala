@@ -594,6 +594,50 @@ object SparkEntry {
       } finally collect.close()
     }),
 
+    "p_cassandra_roundtrip" -> ((s, d) => {
+      // cassandra contract (internal/impl/cassandra over the public
+      // CQL native protocol v4, real loopback sockets): orders
+      // inserted through the output in LOGGED BATCHES, then every
+      // o_orderkey % 5 row RE-INSERTED with a bumped price — INSERT
+      // IS AN UPSERT on the primary key, so the oracle's CASE
+      // recomputes the final state; the input SELECT reads it back
+      // typed. Protocol/typing/error contracts live in CassandraSpec.
+      import graft.sources.Cassandra
+      val name = "cq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = Cassandra.named(name)
+      try {
+        srv.registerTable("shop", "orders", Seq(
+          "k" -> "bigint", "status" -> "varchar", "price" -> "double",
+          "placed" -> "timestamp"), key = Seq("k"))
+        val ins =
+          "INSERT INTO shop.orders (k, status, price, placed) " +
+            "VALUES (?, ?, ?, ?)"
+        val args = Seq("k" -> "bigint", "status" -> "varchar",
+          "price" -> "double", "placed" -> "timestamp")
+        val base = Tables.orders(s, d).filter(col("o_orderkey") < 700)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"),
+            col("o_orderdate").as("placed"))
+        Cassandra.write(base, s"mem://$name", ins, args, batchSize = 50)
+        Cassandra.write(
+          base.filter(col("k") % 5 === 0)
+            .withColumn("price", col("price") + 9.0),
+          s"mem://$name", ins, args, batchSize = 50)
+        Cassandra.read(s, s"mem://$name",
+            "SELECT k, status, price, placed FROM shop.orders")
+          .select(
+            get_json_object(col("value"), "$.k").cast("long").as("k"),
+            get_json_object(col("value"), "$.status").as("status"),
+            get_json_object(col("value"), "$.price").cast("double")
+              .as("price"),
+            get_json_object(col("value"), "$.placed").cast("timestamp")
+              .as("placed"))
+          .orderBy(col("k"))
+          .localCheckpoint()
+      } finally Cassandra.drop(name)
+    }),
+
     "p_mongodb_roundtrip" -> ((s, d) => {
       // mongodb contract (internal/impl/mongodb input.go + output.go
       // over the PUBLIC BSON + OP_MSG wire formats, real loopback
@@ -2589,6 +2633,14 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars
         |FROM documents WHERE doc_id < 400
         |ORDER BY doc_id""".stripMargin,
+
+    "p_cassandra_roundtrip" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 9.0
+        |       ELSE o_totalprice END AS price,
+        |  o_orderdate AS placed
+        |FROM orders WHERE o_orderkey < 700
+        |ORDER BY k""".stripMargin,
 
     "p_mongodb_roundtrip" ->
       """SELECT doc_id, lang, n_chars

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{AzureQueue, Beanstalkd, CloudQueue, Cursors, Discord, HttpClient, Jira, Kinesis, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Mongo, Splunk, Tcp, Twitter, WebSocket}
+import graft.sources.{AzureQueue, Beanstalkd, Cassandra, CloudQueue, Cursors, Discord, HttpClient, Jira, Kinesis, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Mongo, Splunk, Tcp, Twitter, WebSocket}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -590,6 +590,13 @@ object Pipeline {
         // replay O(admit-chunk) driver heap at snapshot scale
         graft.sources.PgOutput.changes(spark,
           graft.sources.PgOutput.frameFile(b.get("wal_file").asText))
+      case ("cassandra", b) =>
+        // inputs/cassandra.adoc — one SELECT, one message per row
+        val addr = b.get("addresses").elements().asScala.toSeq
+          .map(_.asText).find(_.startsWith("mem://")).getOrElse(
+            throw new IllegalArgumentException(
+              "cassandra: only mem:// loopback servers exist here"))
+        Cassandra.read(spark, addr, b.get("query").asText)
       case ("mongodb", b) =>
         // inputs/mongodb.adoc — one find/aggregate cursor walk, one
         // message per document (BSON + OP_MSG over the mem:// loopback)
@@ -1015,6 +1022,19 @@ object Pipeline {
         headers = Option(b.get("headers")).map(_.properties().asScala
           .map(e => (e.getKey, e.getValue.asText)).toMap)
           .getOrElse(Map.empty))
+    case ("cassandra", b) =>
+      // outputs/cassandra.adoc — parameterized query per message with
+      // args from columns (the args_mapping result), logged batches
+      val addr = b.get("addresses").elements().asScala.toSeq
+        .map(_.asText).find(_.startsWith("mem://")).getOrElse(
+          throw new IllegalArgumentException(
+            "cassandra: only mem:// loopback servers exist here"))
+      Cassandra.write(df, addr, b.get("query").asText,
+        argCols = b.get("args").elements().asScala.toSeq.map(a =>
+          (a.get("column").asText, a.get("type").asText)),
+        consistency = b.path("consistency").asText("QUORUM"),
+        loggedBatch = b.path("logged_batch").asBoolean(true),
+        batchSize = b.path("batch_size").asInt(64))
     case ("mongodb", b) =>
       // outputs/mongodb.adoc — per-row operation over one connection
       // per partition
