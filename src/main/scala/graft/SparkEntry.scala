@@ -1239,6 +1239,59 @@ object SparkEntry {
       } finally srv.stop()
     }),
 
+    "p_otlp_grpc" -> ((s, d) => {
+      // otlp_grpc pair (internal/impl/otlp/input_grpc.go): the SAME
+      // span traffic as p_otlp_export, but carried as gRPC Export
+      // calls over the h2c stack — HPACK headers, length-prefixed
+      // protobuf messages, grpc-status trailers — into the gRPC
+      // collector, then decoded back through the shared descriptor
+      // codec. Output→input loop hash-gated relationally.
+      import graft.sources.{Otlp, OtlpGrpc}
+      val seed = Tables.events(s, d).filter(col("event_id") < 600)
+        .select("event_id", "ts", "event_type", "user_id")
+        .orderBy("event_id").collect()
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val msgs = seed.map { r =>
+        val id = r.getLong(0)
+        val t = r.getTimestamp(1).toInstant
+        val ns = t.getEpochSecond * 1000000000L + t.getNano
+        val name = m.writeValueAsString(
+          m.getNodeFactory.textNode(r.getString(2)))
+        s"""{"resource":{"attributes":[{"key":"service.name",""" +
+          s""""value":{"stringValue":"events-svc"}}]},""" +
+          s""""scope":{"name":"graft"},""" +
+          s""""traceId":"${f"$id%032x"}","spanId":"${f"$id%016x"}",""" +
+          s""""name":$name,"kind":2,"startTimeUnixNano":"$ns",""" +
+          s""""endTimeUnixNano":"${ns + 1000000L}",""" +
+          s""""attributes":[{"key":"user_id",""" +
+          s""""value":{"intValue":"${r.getLong(3)}"}}]}"""
+      }
+      val rows = msgs.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v,
+          Map("otel_signal_type" -> "trace"), null, i.toLong)
+      }
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows.toSeq, 4),
+        graft.sources.BrokerStream.schema)
+      val srv = new OtlpGrpc.GrpcServer
+      try {
+        OtlpGrpc.export(df, "127.0.0.1", srv.port)
+        Otlp.unbatchDf(srv.drain(s))
+          .select(
+            conv(substring(get_json_object(col("value"), "$.traceId"),
+              17, 16), 16, 10).cast("long").as("event_id"),
+            get_json_object(col("value"), "$.name").as("name"),
+            get_json_object(col("value"),
+              "$.attributes[0].value.intValue").cast("long").as("uid"),
+            get_json_object(col("value"), "$.startTimeUnixNano")
+              .cast("long").as("start_ns"),
+            get_json_object(col("value"),
+              "$.resource.attributes[0].value.stringValue").as("svc"))
+          .orderBy(col("event_id"))
+          .localCheckpoint()
+      } finally srv.stop()
+    }),
+
     "p_otlp_metrics" -> ((s, d) => {
       // otlp_http metrics ingest (otlpconv/metric.go): one gauge
       // metric per event (single NumberDataPoint), mixed JSON/proto
@@ -2768,6 +2821,12 @@ object SparkEntry {
       """SELECT event_id, event_type AS name, user_id AS uid,
         |  epoch_us(ts)*1000 AS start_ns, 'events-svc' AS svc
         |FROM events WHERE event_id < 800
+        |ORDER BY event_id""".stripMargin,
+
+    "p_otlp_grpc" ->
+      """SELECT event_id, event_type AS name, user_id AS uid,
+        |  epoch_us(ts)*1000 AS start_ns, 'events-svc' AS svc
+        |FROM events WHERE event_id < 600
         |ORDER BY event_id""".stripMargin,
 
     "p_otlp_metrics" ->
