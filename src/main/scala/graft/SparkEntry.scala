@@ -1998,6 +1998,44 @@ object SparkEntry {
           "select(.k >= 50) | .k", "props", "k")
         .select(col("event_id"), col("k"))),
 
+    "p_javascript" -> ((s, d) => {
+      // the `javascript` processor (processors/javascript.adoc:26):
+      // per-message ES5 program over the graft.js engine — string
+      // methods, arrow-function filters, ternaries, arithmetic — all
+      // SQL-expressible so the full engine path is oracle-gated
+      import graft.operators.JavaScript
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val env = orders.select(
+        to_json(struct(orders.columns.map(col): _*)).as("value"))
+      val code =
+        """(() => {
+          |  let o = benthos.v0_msg_as_structured();
+          |  let r = {};
+          |  r.o_orderkey = o.o_orderkey;
+          |  r.priority_code = o.o_orderpriority.slice(0, 1);
+          |  r.prio_words = o.o_orderpriority.split('-').filter(w => w.length > 0).length;
+          |  r.bucket = o.o_totalprice < 50000 ? 'small' : (o.o_totalprice < 150000 ? 'mid' : 'big');
+          |  r.tag = o.o_orderstatus.toLowerCase() + '-' + (o.o_orderkey % 7);
+          |  r.cust_bucket = (o.o_custkey * 7 + 3) % 100;
+          |  benthos.v0_msg_set_structured(r);
+          |})();
+          |""".stripMargin
+      JavaScript.processor(env, code)
+        .select(
+          get_json_object(col("value"), "$.o_orderkey").cast("bigint")
+            .as("o_orderkey"),
+          get_json_object(col("value"), "$.priority_code").as("priority_code"),
+          get_json_object(col("value"), "$.prio_words").cast("bigint")
+            .as("prio_words"),
+          get_json_object(col("value"), "$.bucket").as("bucket"),
+          get_json_object(col("value"), "$.tag").as("tag"),
+          get_json_object(col("value"), "$.cust_bucket").cast("bigint")
+            .as("cust_bucket"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "p_jmespath" -> ((s, d) =>
       // jmespath (processors/jmespath.adoc:26): same path algebra as jq,
       // translated onto the variant compiler (Jq.jmespath)
@@ -2587,6 +2625,19 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, score FROM ranked WHERE rank <= 5
         |ORDER BY rank""".stripMargin,
+
+    "p_javascript" ->
+      """SELECT o_orderkey,
+        |  substr(o_orderpriority, 1, 1) AS priority_code,
+        |  len(list_filter(string_split(o_orderpriority, '-'),
+        |                  w -> len(w) > 0)) AS prio_words,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small'
+        |       WHEN o_totalprice < 150000 THEN 'mid'
+        |       ELSE 'big' END AS bucket,
+        |  lower(o_orderstatus) || '-' ||
+        |    CAST(o_orderkey % 7 AS VARCHAR) AS tag,
+        |  (o_custkey * 7 + 3) % 100 AS cust_bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "p_jq" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k

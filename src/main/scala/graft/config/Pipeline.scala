@@ -1123,7 +1123,7 @@ object Pipeline {
   */
 object Processors {
 
-  import graft.operators.{Ai, Command, FlowControl, Grok, Http, Sentry}
+  import graft.operators.{Ai, Command, FlowControl, Grok, Http, JavaScript, Sentry}
   import graft.functions.{CodecFunctions, TextFunctions}
 
   def compile(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame = {
@@ -1149,6 +1149,21 @@ object Processors {
         df => Jq.jmespath(df, body.path("query").asText(body.asText),
           "value", "value")
       case "noop" => identity
+      case "javascript" =>
+        // processors/javascript.adoc:26 — `code` or `file` (exactly
+        // one), `global_folders` for require() resolution
+        val code = Option(body.get("code")).map(_.asText).filter(_.nonEmpty)
+        val file = Option(body.get("file")).map(_.asText).filter(_.nonEmpty)
+        require(code.isDefined != file.isDefined,
+          "javascript: exactly one of code/file must be set")
+        val src = code.getOrElse(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(file.get)),
+          java.nio.charset.StandardCharsets.UTF_8))
+        val folders = Option(body.get("global_folders"))
+          .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil)
+        val modules = JavaScript.loadModules(folders)
+        df => JavaScript.processor(df, src, modules)
 
       // ── flow control / error channel (§2.2) ──────────────────────
       case "switch" =>
