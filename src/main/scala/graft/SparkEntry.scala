@@ -638,6 +638,81 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_elastic_bulk" -> ((s, d) => {
+      // elasticsearch/opensearch _bulk contract (outputs/
+      // elasticsearch_v8.adoc, Search.bulkWrite): documents indexed
+      // through real NDJSON bulk bodies, then a second pass UPDATES
+      // every doc_id % 4 == 0 via doc_as_upsert merge and a third
+      // DELETES every doc_id % 10 == 0 — the final index state is the
+      // relational fold the oracle recomputes. Per-item error
+      // envelopes live in SearchSpec against an independent loopback
+      // HTTP server.
+      import graft.sinks.Search
+      val name = "es_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = Search.named(name)
+      val url = s"mem://$name"
+      val base = Tables.documents(s, d).filter(col("doc_id") < 600)
+      Search.bulkWrite(
+        base.select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"), col("doc_id")),
+        url, lit("docs"), lit("index"), col("doc_id"))
+      Search.bulkWrite(
+        base.filter(col("doc_id") % 4 === 0)
+          .select(to_json(struct((col("n_chars") + 1000).as("n_chars")))
+            .as("value"), col("doc_id")),
+        url, lit("docs"), lit("upsert"), col("doc_id"))
+      Search.bulkWrite(
+        base.filter(col("doc_id") % 10 === 0)
+          .select(lit(null).cast("string").as("value"), col("doc_id")),
+        url, lit("docs"), lit("delete"), col("doc_id"))
+      val rows = svc.rows("docs").map(org.apache.spark.sql.Row(_))
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+      val out = df.select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Search.drop(name)
+      out
+    }),
+
+    "s_pinecone_topk" -> ((s, d) => {
+      // pinecone contract (internal/impl/pinecone/output.go over the
+      // public data-plane REST shapes): embeddings upserted in
+      // executor-side batches, every vec_id % 50 == 3 re-upserted
+      // (replace on id), then /query returns store-side cosine top-k
+      // for the probe rows — exact cosine, so the brute-force SQL
+      // oracle applies (self hit at rank 1). Update-404/delete/
+      // namespace isolation live in PineconeSpec.
+      import graft.sinks.Pinecone
+      val name = "pc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Pinecone.named(name)
+      val url = s"mem://$name"
+      val emb = Tables.embeddings(s, d)
+      Pinecone.write(emb, url, "upsert-vectors", col("vec_id"),
+        col("embedding"), namespace = "emb")
+      Pinecone.write(emb.filter(col("vec_id") % 50 === 3), url,
+        "upsert-vectors", col("vec_id"), col("embedding"),
+        namespace = "emb")
+      val out = Pinecone.queryEnrich(emb.filter(col("vec_id") < 10),
+          url, "embedding", 5, "hits", namespace = "emb")
+        .select(col("vec_id").as("query_id"),
+          posexplode(col("hits")).as(Seq("rank0", "hit")))
+        .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
+          col("hit.id").cast("long").as("neighbor_id"),
+          round(col("hit.score"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+      Pinecone.drop(name)
+      out
+    }),
+
     "p_mongodb_roundtrip" -> ((s, d) => {
       // mongodb contract (internal/impl/mongodb input.go + output.go
       // over the PUBLIC BSON + OP_MSG wire formats, real loopback
@@ -2007,8 +2082,11 @@ object SparkEntry {
       val orders = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))
-      val env = orders.select(
-        to_json(struct(orders.columns.map(col): _*)).as("value"))
+      // the JS kernel is CPU-bound: spread the single parquet input
+      // split across cores BEFORE the per-row VM work (at real scale
+      // file splits already provide this; a 10 MB test file does not)
+      val env = orders.repartition(s.sparkContext.defaultParallelism)
+        .select(to_json(struct(orders.columns.map(col): _*)).as("value"))
       val code =
         """(() => {
           |  let o = benthos.v0_msg_as_structured();
@@ -2023,16 +2101,11 @@ object SparkEntry {
           |})();
           |""".stripMargin
       JavaScript.processor(env, code)
-        .select(
-          get_json_object(col("value"), "$.o_orderkey").cast("bigint")
-            .as("o_orderkey"),
-          get_json_object(col("value"), "$.priority_code").as("priority_code"),
-          get_json_object(col("value"), "$.prio_words").cast("bigint")
-            .as("prio_words"),
-          get_json_object(col("value"), "$.bucket").as("bucket"),
-          get_json_object(col("value"), "$.tag").as("tag"),
-          get_json_object(col("value"), "$.cust_bucket").cast("bigint")
-            .as("cust_bucket"))
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "o_orderkey bigint, priority_code string, prio_words bigint, " +
+              "bucket string, tag string, cust_bucket bigint")).as("r"))
+        .select("r.*")
         .orderBy(col("o_orderkey"))
     }),
 
@@ -3428,6 +3501,33 @@ object SparkEntry {
     "s_cosine_topk" -> cosineTopkSql,
 
     "s_vector_store" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |      (SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |       SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |      , 6) AS sim
+        |  FROM embeddings c, q)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_elastic_bulk" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id < 600 AND doc_id % 10 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "s_pinecone_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

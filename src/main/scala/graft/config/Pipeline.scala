@@ -1016,6 +1016,48 @@ object Pipeline {
       graft.sinks.VectorStore.upsert(
         df.select(idC.as("__vid"), vecC.as("__vec")),
         host, collection, "__vid", "__vec")
+    case ("elasticsearch_v8" | "elasticsearch" | "opensearch", b) =>
+      // outputs/elasticsearch_v8.adoc / opensearch.adoc — _bulk NDJSON
+      // with per-message interpolated index/action/id
+      val meta = if (df.columns.contains("metadata")) Some("metadata") else None
+      def interp(field: String, dflt: String) =
+        Option(b.get(field)).map(_.asText).filter(_.nonEmpty)
+          .map(tp => graft.blobl.Blobl.interpolateJson(df, tp, metadataCol = meta))
+          .getOrElse(lit(dflt))
+      val urls = Option(b.get("urls"))
+        .map(_.elements().asScala.toSeq.map(_.asText))
+        .getOrElse(Seq(b.path("url").asText))
+      graft.sinks.Search.bulkWrite(df, urls.head,
+        interp("index", "docs"), interp("action", "index"),
+        interp("id", ""),
+        batchSize = b.at("/batching/count").asInt(500) match {
+          case 0 => 500
+          case n => n
+        })
+    case ("pinecone", b) =>
+      // outputs/pinecone.adoc — operation enum, interpolated id,
+      // vector_mapping producing a float array
+      val meta = if (df.columns.contains("metadata")) Some("metadata") else None
+      val idC = graft.blobl.Blobl.interpolateJson(df,
+        b.path("id").asText("${! json(\"id\") }"), metadataCol = meta)
+      val op = b.path("operation").asText("upsert-vectors")
+      val vecC =
+        if (op == "delete-vectors") null
+        else {
+          val vecExpr = Option(b.get("vector_mapping")).map(_.asText)
+            .getOrElse("root = this.embedding")
+            .replaceFirst("^\\s*root\\s*=\\s*", "")
+          from_json(graft.blobl.Blobl.exprJson(df, vecExpr,
+            metadataCol = meta).cast("string"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))
+        }
+      graft.sinks.Pinecone.write(df, b.get("host").asText, op, idC, vecC,
+        namespace = b.path("namespace").asText(""),
+        batchSize = b.at("/batching/count").asInt(100) match {
+          case 0 => 100
+          case n => n
+        })
     case ("websocket", b) =>
       // outputs/websocket.adoc — one connection per partition
       WebSocket.write(df, b.get("url").asText,
@@ -1964,7 +2006,7 @@ object Processors {
     "nats_request_reply", "jira", "slack_thread", "qdrant",
     "azure_cosmosdb", "aws_lambda", "aws_dynamodb_partiql",
     "gcp_bigquery_select", "google_drive_download", "google_drive_search",
-    "google_drive_list_labels", "javascript", "wasm", "ffi",
+    "google_drive_list_labels", "wasm", "ffi",
     "redpanda_data_transform", "a2a_message",
     "sync_response", "awk",
     "openai_embeddings", "openai_image_generation", "openai_speech",

@@ -23,9 +23,12 @@ final class JsInterp(hostGlobals: Map[String, Any] = Map.empty,
     requireModule(toStr(args.headOption.getOrElse(JsUndefined)))))
 
   // ---- control-flow signals ----
-  private case class ReturnSig(v: Any) extends RuntimeException
-  private object BreakSig extends RuntimeException
-  private object ContinueSig extends RuntimeException
+  // stackless: a per-return fillInStackTrace would dominate the
+  // tree-walk cost (every function call unwinds through one of these)
+  private case class ReturnSig(v: Any) extends RuntimeException(
+    null, null, false, false)
+  private object BreakSig extends RuntimeException(null, null, false, false)
+  private object ContinueSig extends RuntimeException(null, null, false, false)
 
   /** Run a program against the persistent global scope. */
   def run(prog: Program): Any = execBlock(prog.stmts, global)
@@ -77,13 +80,15 @@ final class JsInterp(hostGlobals: Map[String, Any] = Map.empty,
       env.declare(name, new JsFunction(name, params, body, None, env,
         arrow = false))
       JsUndefined
+    // a Block scopes itself; bare single-statement bodies cannot
+    // declare, so no extra Env per branch/iteration
     case Block(stmts) => execBlock(stmts, new Env(env, env.thisV))
     case If(test, cons, alt) =>
-      if (truthy(eval(test, env))) exec(cons, new Env(env, env.thisV))
-      else alt.map(exec(_, new Env(env, env.thisV))).getOrElse(JsUndefined)
+      if (truthy(eval(test, env))) exec(cons, env)
+      else alt.map(exec(_, env)).getOrElse(JsUndefined)
     case While(test, body) =>
       while (truthy(eval(test, env))) {
-        try exec(body, new Env(env, env.thisV))
+        try exec(body, env)
         catch {
           case ContinueSig => ()
           case BreakSig => return JsUndefined
@@ -93,7 +98,7 @@ final class JsInterp(hostGlobals: Map[String, Any] = Map.empty,
     case DoWhile(body, test) =>
       var go = true
       while (go) {
-        try exec(body, new Env(env, env.thisV))
+        try exec(body, env)
         catch {
           case ContinueSig => ()
           case BreakSig => return JsUndefined
@@ -105,7 +110,7 @@ final class JsInterp(hostGlobals: Map[String, Any] = Map.empty,
       val loopEnv = new Env(env, env.thisV)
       init.foreach(exec(_, loopEnv))
       while (test.forall(t => truthy(eval(t, loopEnv)))) {
-        try exec(body, new Env(loopEnv, loopEnv.thisV))
+        try exec(body, loopEnv)
         catch {
           case ContinueSig => ()
           case BreakSig => return JsUndefined

@@ -56,9 +56,11 @@ object JsRuntime {
     var lastIndex: Int = 0
   }
 
-  /** A thrown JS value (Error object, string, anything). */
+  /** A thrown JS value (Error object, string, anything). Stackless:
+    * JS-level throws are control flow (try/catch), not JVM faults.
+    */
   final class JsError(val value: Any)
-      extends RuntimeException(errMessage(value))
+      extends RuntimeException(errMessage(value), null, false, false)
 
   def errMessage(v: Any): String = v match {
     case o: JsObject if o.has("message") => toStr(o.get("message"))
@@ -76,22 +78,37 @@ object JsRuntime {
   def throwError(name: String, msg: String): Nothing =
     throw new JsError(newError(name, msg))
 
-  /** Scope chain. `thisV` is the receiver visible to `this`. */
+  /** Scope chain. `thisV` is the receiver visible to `this`. The var
+    * map allocates lazily — most block/loop scopes declare nothing,
+    * and per-iteration HashMap churn dominates tight loops otherwise.
+    */
   final class Env(val parent: Env, val thisV: Any) {
-    private val vars = mutable.HashMap.empty[String, Any]
-    def declare(name: String, v: Any): Unit = vars(name) = v
+    private var vars: mutable.HashMap[String, Any] = null
+    private def m: mutable.HashMap[String, Any] = {
+      if (vars == null) vars = new mutable.HashMap(4, 0.75)
+      vars
+    }
+    def declare(name: String, v: Any): Unit = m(name) = v
     def has(name: String): Boolean =
-      vars.contains(name) || (parent != null && parent.has(name))
-    def lookup(name: String): Any =
-      vars.getOrElse(name,
-        if (parent != null) parent.lookup(name)
-        else throwError("ReferenceError", s"$name is not defined"))
+      (vars != null && vars.contains(name)) ||
+        (parent != null && parent.has(name))
+    def lookup(name: String): Any = {
+      if (vars != null) {
+        val v = vars.getOrElse(name, NotFound)
+        if (v.asInstanceOf[AnyRef] ne NotFound) return v
+      }
+      if (parent != null) parent.lookup(name)
+      else throwError("ReferenceError", s"$name is not defined")
+    }
     def assign(name: String, v: Any): Unit =
-      if (vars.contains(name)) vars(name) = v
+      if (vars != null && vars.contains(name)) vars(name) = v
       else if (parent != null) parent.assign(name, v)
-      else vars(name) = v // implicit global
-    def declaredHere(name: String): Boolean = vars.contains(name)
+      else m(name) = v // implicit global
+    def declaredHere(name: String): Boolean =
+      vars != null && vars.contains(name)
   }
+
+  private object NotFound
 
   // ---- coercions ----
 

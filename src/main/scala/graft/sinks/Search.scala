@@ -56,7 +56,7 @@ object Search {
                 actionCol: Column, idCol: Column,
                 valueCol: Column = col("value"), batchSize: Int = 500,
                 client: Http.Client = null): Unit = {
-    val resolved = Option(client).getOrElse(Http.clientFor(url))
+    val resolved = Option(client).getOrElse(resolveClient(url))
     val prepared = df.select(indexCol.cast("string").as("i"),
       actionCol.cast("string").as("a"), idCol.cast("string").as("id"),
       valueCol.cast("string").as("v"))
@@ -90,4 +90,86 @@ object Search {
     if (failures > 0) throw new IllegalStateException(
       s"elasticsearch output: ${failures.toLong} bulk items rejected")
   }
+
+  /** In-memory search service for `mem://name` URLs — the same
+    * named-registry convention as Mongo/Cassandra: executors in the
+    * local-mode JVM resolve the shared instance, so oracle gates can
+    * drive the REAL bulk request path (NDJSON assembly → items
+    * envelope → per-item status handling) without a socket. The spec
+    * suite keeps its own independent loopback HTTP server so the wire
+    * contract is verified against a second implementation.
+    */
+  final class MemES {
+    import scala.collection.mutable
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val docs: mutable.LinkedHashMap[(String, String), String] =
+      mutable.LinkedHashMap.empty
+
+    /** Apply a _bulk NDJSON body, return the items-envelope JSON. */
+    def applyBulk(body: String): Http.Response = docs.synchronized {
+      val lines = body.split("\n").toSeq.filter(_.nonEmpty).iterator
+      val items = Vector.newBuilder[String]
+      var anyError = false
+      while (lines.hasNext) {
+        val action = mapper.readTree(lines.next())
+        val op = action.properties().iterator().next()
+        val verb = op.getKey
+        val index = op.getValue.path("_index").asText
+        val id = op.getValue.path("_id").asText
+        val key = (index, id)
+        def ok(st: Int): Unit =
+          items += s"""{"$verb":{"_index":"$index","_id":"$id","status":$st}}"""
+        def fail(st: Int): Unit = {
+          anyError = true
+          items += s"""{"$verb":{"_index":"$index","_id":"$id","status":$st,"error":{"type":"document_level"}}}"""
+        }
+        verb match {
+          case "index" => docs(key) = lines.next(); ok(201)
+          case "create" =>
+            val src = lines.next()
+            if (docs.contains(key)) fail(409)
+            else { docs(key) = src; ok(201) }
+          case "update" =>
+            val env = mapper.readTree(lines.next())
+            val partial = env.path("doc")
+            if (docs.contains(key)) {
+              val merged = mapper.readTree(docs(key))
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              merged.setAll(partial
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+              docs(key) = merged.toString; ok(200)
+            } else if (env.path("doc_as_upsert").asBoolean(false)) {
+              docs(key) = partial.toString; ok(201)
+            } else fail(404)
+          case "delete" =>
+            if (docs.remove(key).isDefined) ok(200) else fail(404)
+          case other => fail(400)
+        }
+      }
+      Http.Response(200,
+        s"""{"took":1,"errors":$anyError,"items":[${items.result().mkString(",")}]}""")
+    }
+
+    def rows(index: String): Seq[String] =
+      docs.synchronized {
+        docs.toSeq.collect { case ((i, _), doc) if i == index => doc }
+      }
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MemES]()
+
+  def named(name: String): MemES =
+    registry.computeIfAbsent(name, _ => new MemES)
+  def drop(name: String): Unit = registry.remove(name)
+
+  /** mem://name client: routes _bulk POSTs to the named instance. */
+  def memClient(name: String): Http.Client = reqs => reqs.map { q =>
+    named(name).applyBulk(q.body)
+  }
+
+  def resolveClient(url: String): Http.Client =
+    if (url.startsWith("mem://"))
+      memClient(url.stripPrefix("mem://").takeWhile(_ != '/'))
+    else Http.clientFor(url)
 }
