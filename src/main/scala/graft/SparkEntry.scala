@@ -638,6 +638,74 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_mssql_cdc" -> ((s, d) => {
+      // microsoft_sql_server_cdc contract (input_mssqlserver_cdc.go,
+      // replication/stream.go — a POLLED SQL surface, not a wire
+      // format): change tables + LSN windows + __$operation codes run
+      // for REAL against embedded Derby through the dialect seam. A
+      // seeded base table plus a scripted change history (update
+      // before/after pairs, deletes, late inserts at ascending LSNs)
+      // folds through snapshot ∪ window → latest-per-key; the oracle
+      // recomputes the same final state relationally. Window/ordering/
+      // poller-resume contracts live in MsSqlCdcSpec.
+      import graft.sources.MsSqlCdc
+      import graft.sources.MsSqlCdc._
+      val dir = java.nio.file.Files.createTempDirectory("graft_mssql_cdc")
+      val url = s"jdbc:derby:$dir/db;create=true"
+      val t = TableRef("shop", "orders")
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE SHOP_ORDERS (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, o_orderstatus VARCHAR(4), " +
+          "o_totalprice DOUBLE, o_orderpriority VARCHAR(20))")
+        st.execute("CREATE TABLE CDC_SHOP_ORDERS_CT (START_LSN VARCHAR(20), " +
+          "SEQVAL VARCHAR(20), OPERATION INT, COMMAND_ID INT, " +
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR(4), " +
+          "o_totalprice DOUBLE, o_orderpriority VARCHAR(20))")
+        // bounded seed (≤1300 rows): test-fixture admission, the
+        // snapshot READ side is the distributed JDBC scan
+        val seed = Tables.orders(s, d).filter(col("o_orderkey") < 1300)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderpriority")
+          .orderBy("o_orderkey").collect()
+        val (base, late) = seed.partition(_.getLong(0) < 1200)
+        val ins = conn.prepareStatement(
+          "INSERT INTO SHOP_ORDERS VALUES (?, ?, ?, ?, ?)")
+        base.foreach { r =>
+          ins.setLong(1, r.getLong(0)); ins.setLong(2, r.getLong(1))
+          ins.setString(3, r.getString(2)); ins.setDouble(4, r.getDouble(3))
+          ins.setString(5, r.getString(4)); ins.executeUpdate()
+        }
+        val chg = conn.prepareStatement(
+          "INSERT INTO CDC_SHOP_ORDERS_CT VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)")
+        def change(lsn: String, op: Int, cmd: Int,
+                   r: org.apache.spark.sql.Row, delta: Double): Unit = {
+          chg.setString(1, lsn); chg.setString(2, lsn)
+          chg.setInt(3, op); chg.setInt(4, cmd)
+          chg.setLong(5, r.getLong(0)); chg.setLong(6, r.getLong(1))
+          chg.setString(7, r.getString(2))
+          chg.setDouble(8, r.getDouble(3) + delta)
+          chg.setString(9, r.getString(4)); chg.executeUpdate()
+        }
+        val lsn1 = "0000000000000000002a"
+        val lsn2 = "0000000000000000003b"
+        val lsn3 = "0000000000000000004c"
+        base.filter(_.getLong(0) % 9 == 0).foreach { r =>
+          change(lsn1, 3, 0, r, 0.0)  // update_before: old image
+          change(lsn1, 4, 1, r, 5.0)  // update_after: price + 5
+        }
+        base.filter(_.getLong(0) % 13 == 0).foreach(r => change(lsn2, 1, 0, r, 0.0))
+        late.foreach(r => change(lsn3, 2, 0, r, 0.0))
+      } finally conn.close()
+      val to = MsSqlCdc.maxLsn(url, Seq(t), DerbyDialect).get
+      MsSqlCdc.currentState(s, url, t, Seq("o_orderkey"), to, DerbyDialect)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+        .localCheckpoint()
+    }),
+
     "p_elastic_bulk" -> ((s, d) => {
       // elasticsearch/opensearch _bulk contract (outputs/
       // elasticsearch_v8.adoc, Search.bulkWrite): documents indexed
@@ -3518,6 +3586,16 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_mssql_cdc" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey < 1200 AND o_orderkey % 9 = 0
+        |       THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey < 1300
+        |  AND NOT (o_orderkey < 1200 AND o_orderkey % 13 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "p_elastic_bulk" ->
       """SELECT doc_id, lang,

@@ -632,6 +632,45 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("microsoft_sql_server_cdc", b) =>
+        // input_mssqlserver_cdc.go — SQL Server CDC is a polled SQL
+        // surface: change tables + LSN windows. The connection_string
+        // is a JDBC url (embedded Derby runs the same queries through
+        // the dialect seam; a real SQL Server url selects the
+        // reference's exact bracket-quoted/NOLOCK text)
+        import graft.sources.MsSqlCdc
+        val url = b.get("connection_string").asText
+        val dialect =
+          if (url.contains(":derby:")) MsSqlCdc.DerbyDialect
+          else MsSqlCdc.MsSqlDialect
+        val tables = b.get("include").elements().asScala.toSeq.map { t =>
+          val parts = t.asText.split("\\.", 2)
+          if (parts.length == 2) MsSqlCdc.TableRef(parts(0), parts(1))
+          else MsSqlCdc.TableRef("dbo", parts(0))
+        }
+        require(tables.nonEmpty, "microsoft_sql_server_cdc: include " +
+          "must name at least one schema.table")
+        val to = MsSqlCdc.maxLsn(url, tables, dialect)
+          .getOrElse(MsSqlCdc.ZeroLsn)
+        val parts = tables.map { t =>
+          val chg = MsSqlCdc.changes(spark, url, t, None, to, dialect)
+          val snap =
+            if (b.path("stream_snapshot").asBoolean(false))
+              MsSqlCdc.snapshot(spark, url, t, dialect)
+                .unionByName(chg, allowMissingColumns = true)
+            else chg
+          val payload = snap.columns
+            .filterNot(Set("operation", "__op", "__lsn", "__cmd"))
+            .map(c => col(c).as(c.toLowerCase))
+          snap.select(
+            to_json(struct(payload: _*)).as("value"),
+            map(lit("database_schema"), lit(t.schema),
+              lit("table"), lit(t.name),
+              lit("operation"), col("operation"),
+              lit("lsn"), col("__lsn")).as("metadata"),
+            lit(null).cast("string").as("error"))
+        }
+        parts.reduce(_ unionByName _)
       case ("aws_sqs", b) =>
         // inputs/aws_sqs.adoc — url names the queue; mem:// resolves
         // the in-process transport (the real service needs its SDK)
