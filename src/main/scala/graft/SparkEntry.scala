@@ -638,6 +638,46 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_questdb_write" -> ((s, d) => {
+      // questdb contract (internal/impl/questdb/output.go over the
+      // public InfluxDB line protocol, ILP/HTTP): events encode as ILP
+      // lines (symbols→tags, doubles forced float, designated
+      // timestamp in micros) and an INDEPENDENT decoder parses the
+      // wire text back into rows — escaping, i/t/f suffixes, and unit
+      // conversion must survive the round-trip exactly. Unit
+      // auto-guess boundaries and escape edge cases live in
+      // QuestDbSpec.
+      import graft.sinks.QuestDb
+      val name = "qd_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = QuestDb.named(name)
+      val docs = Tables.events(s, d)
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))).as("value"))
+      QuestDb.write(docs, s"mem://$name", "events",
+        symbols = Set("event_type"), doubles = Set("value"),
+        designatedTimestampField = "ts_us",
+        designatedTimestampUnit = "micros")
+      val rows = svc.rows("events").map { case (m, ts) =>
+        org.apache.spark.sql.Row(
+          m("event_id").asInstanceOf[Long],
+          m("user_id").asInstanceOf[Long],
+          m("event_type").asInstanceOf[String],
+          m("value").asInstanceOf[Double],
+          ts.map(_ / 1000L).getOrElse(0L))
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id bigint, user_id bigint, event_type string, " +
+          "value double, ts_us bigint")
+      val out = s.createDataFrame(s.sparkContext.parallelize(rows, 8), schema)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), timestamp_micros(col("ts_us")).as("ts"))
+        .orderBy(col("event_id"))
+        .localCheckpoint()
+      QuestDb.drop(name)
+      out
+    }),
+
     "p_mssql_cdc" -> ((s, d) => {
       // microsoft_sql_server_cdc contract (input_mssqlserver_cdc.go,
       // replication/stream.go — a POLLED SQL surface, not a wire
@@ -3586,6 +3626,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_questdb_write" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "p_mssql_cdc" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

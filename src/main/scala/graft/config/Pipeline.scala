@@ -47,7 +47,8 @@ object Pipeline {
   final case class Spec(input: JsonNode, processors: Seq[JsonNode],
                         output: Option[JsonNode],
                         cacheResources: Seq[JsonNode] = Seq.empty,
-                        buffer: Option[JsonNode] = None)
+                        buffer: Option[JsonNode] = None,
+                        metrics: Option[JsonNode] = None)
 
   def load(configYaml: String): Spec = {
     val root = yaml.readTree(configYaml)
@@ -59,7 +60,7 @@ object Pipeline {
     val caches = Option(root.get("cache_resources"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     Spec(input, procs, Option(root.get("output")), caches,
-      Option(root.get("buffer")))
+      Option(root.get("buffer")), Option(root.get("metrics")))
   }
 
   /** `buffer:` section between input and pipeline. `memory`/`none` are
@@ -172,9 +173,72 @@ object Pipeline {
   def run(spark: SparkSession, configYaml: String,
           env: Map[String, String] = Map.empty): DataFrame = {
     val spec = load(configYaml)
-    val df = build(spark, configYaml, env)
+    val df0 = build(spark, configYaml, env)
+    // metrics: observe the delivered row count on the SAME action the
+    // output runs (no second job) and flush to the configured exporter
+    // — the reference's `metrics:` target block (§2.14)
+    val (df, flush) = spec.metrics match {
+      case Some(m) =>
+        val rowsAcc = spark.sparkContext.longAccumulator("graft_output_sent")
+        val partsAcc = spark.sparkContext.longAccumulator("graft_parts_seen")
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder
+            .encoderFor(df0.schema))
+        val counted = df0.mapPartitions { it =>
+          partsAcc.add(1)
+          it.map { r => rowsAcc.add(1); r }
+        }(enc)
+        (counted, Some(() => {
+          // a lazy output (memory view) runs no action — force one so
+          // the accumulators fill; eager outputs already populated them
+          // (accumulator task-retry overcount is acceptable for metrics,
+          // the same tolerance the reference's counters have)
+          if (partsAcc.value == 0L && counted.rdd.getNumPartitions > 0)
+            counted.write.format("noop").mode("overwrite").save()
+          exportMetrics(m, rowsAcc.value)
+        }))
+      case None => (df0, None)
+    }
     spec.output.foreach(writeOutput(df, _))
+    flush.foreach(_.apply())
     df
+  }
+
+  /** Flush pipeline metrics to the configured target (statsd /
+    * prometheus / influxdb / logger — metrics_statsd.go,
+    * metrics_prometheus.go, metrics_influxdb.go shapes).
+    */
+  private def exportMetrics(m: JsonNode, rows: Long): Unit = {
+    import graft.operators.MetricsExport
+    val reg = new MetricsExport.Registry
+    reg.counter("output_sent").addAndGet(rows)
+    reg.counter("input_received").addAndGet(rows)
+    one(m) match {
+      case ("statsd", b) =>
+        val flusher = new MetricsExport.StatsdFlusher(reg,
+          prefix = Option(b.get("prefix")).map(_.asText + ".").getOrElse(""))
+        MetricsExport.statsdSend(b.get("address").asText,
+          flusher.flushLines())
+      case ("influxdb", b) =>
+        MetricsExport.influxPush(reg, b.get("url").asText,
+          System.currentTimeMillis() * 1000000L)
+      case ("prometheus", b) =>
+        // pull model: render the exposition text; push_url (the
+        // reference's push_gateway) POSTs it when configured
+        val text = MetricsExport.prometheusText(reg)
+        Option(b.get("push_url")).map(_.asText).foreach { u =>
+          val c = graft.operators.Http.clientFor(u)
+          c(Seq(graft.operators.Http.Request(u, "POST",
+            Map("Content-Type" -> "text/plain; version=0.0.4"), text)))
+        }
+        Option(b.get("file")).map(_.asText).foreach { p =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p), text)
+        }
+      case ("logger" | "none", _) =>
+        System.err.println(s"[metrics] output_sent=$rows")
+      case (other, _) => throw new IllegalArgumentException(
+        s"metrics target '$other' not supported")
+    }
   }
 
   /** STREAMING form: the same config shape with a streaming input
@@ -1071,6 +1135,24 @@ object Pipeline {
         interp("id", ""),
         batchSize = b.at("/batching/count").asInt(500) match {
           case 0 => 500
+          case n => n
+        })
+    case ("questdb", b) =>
+      // outputs/questdb.adoc — ILP/HTTP lines; symbols/doubles/
+      // designated timestamp field map straight through
+      import scala.jdk.CollectionConverters._
+      def strSet(field: String): Set[String] =
+        Option(b.get(field)).map(_.elements().asScala.map(_.asText).toSet)
+          .getOrElse(Set.empty)
+      graft.sinks.QuestDb.write(df, b.get("address").asText,
+        b.get("table").asText,
+        symbols = strSet("symbols"), doubles = strSet("doubles"),
+        designatedTimestampField =
+          b.path("designated_timestamp_field").asText(""),
+        designatedTimestampUnit =
+          b.path("designated_timestamp_unit").asText("auto"),
+        batchSize = b.at("/batching/count").asInt(1000) match {
+          case 0 => 1000
           case n => n
         })
     case ("pinecone", b) =>
