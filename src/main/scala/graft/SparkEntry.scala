@@ -638,6 +638,109 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_doris_load" -> ((s, d) => {
+      // doris_stream_load contract (output_stream_load.go over the
+      // public Stream Load HTTP protocol): NDJSON batches PUT against
+      // the FE, which 307-redirects to the BE with the body re-PUT
+      // there — the loopback service implements both halves, so the
+      // redirect handshake, per-request labels and verdict
+      // classification all execute. Label-idempotence and group-commit
+      // rules live in DorisSpec.
+      import graft.sinks.Doris
+      val name = "dr_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = Doris.named(name)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 800)
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"))
+        .repartition(4)
+      Doris.write(docs, s"mem://$name",
+        Doris.Conf("lake", "docs"), batchSize = 128)
+      val rows = svc.rows("lake", "docs").map(org.apache.spark.sql.Row(_))
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+      val out = df.select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Doris.drop(name)
+      out
+    }),
+
+    "p_hdfs_roundtrip" -> ((s, d) => {
+      // hdfs contract (internal/impl/hdfs over WebHDFS, Hadoop's
+      // public REST protocol): one file per message through the
+      // two-step CREATE (namenode 307 → datanode PUT), then the input
+      // LISTSTATUSes the directory and re-reads every file whole via
+      // OPEN redirects — the reference's file-per-message model.
+      import graft.sources.Hdfs
+      val name = "hd_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Hdfs.named(name)
+      val url = s"mem://$name"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"),
+          concat(lit("doc_"), col("doc_id"), lit(".json")).as("p"))
+        .repartition(4)
+      Hdfs.write(docs, url, "/graft/out", col("p"))
+      val out = Hdfs.read(s, url, "/graft/out")
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Hdfs.drop(name)
+      out
+    }),
+
+    "p_pusher_events" -> ((s, d) => {
+      // pusher contract (output_pusher.go over the public Channels
+      // HTTP API): 10-event batch_events POSTs with the documented
+      // HMAC-SHA256 request signing — the loopback service VERIFIES
+      // every signature and body_md5 before accepting, so the signing
+      // path is hash-gated end to end. Channel comes from the event
+      // type (the interpolated-channel contract).
+      import graft.sinks.Pusher
+      val name = "pu_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = Pusher.named(name)
+      val events = Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(to_json(struct(col("event_id"), col("value"))).as("value"),
+          col("event_type"))
+        .repartition(4)
+      Pusher.write(events, s"mem://$name",
+        Pusher.Conf("77", "key", "s3cret", "mt1", "evt"),
+        col("event_type"))
+      require(svc.rejected == 0, "pusher: signature rejections")
+      val rows = svc.events.toSeq.map { case (ch, nm, data) =>
+        org.apache.spark.sql.Row(ch, nm, data)
+      }
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("channel",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("data",
+            org.apache.spark.sql.types.StringType))))
+      val out = df.select(col("channel"), col("name"),
+          get_json_object(col("data"), "$.event_id").cast("long")
+            .as("event_id"),
+          get_json_object(col("data"), "$.value").cast("double")
+            .as("value"))
+        .orderBy(col("event_id"))
+        .localCheckpoint()
+      Pusher.drop(name)
+      out
+    }),
+
     "p_questdb_write" -> ((s, d) => {
       // questdb contract (internal/impl/questdb/output.go over the
       // public InfluxDB line protocol, ILP/HTTP): events encode as ILP
@@ -3626,6 +3729,18 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_doris_load" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 800 ORDER BY doc_id""".stripMargin,
+
+    "p_hdfs_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    "p_pusher_events" ->
+      """SELECT event_type AS channel, 'evt' AS name, event_id, value
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
 
     "p_questdb_write" ->
       """SELECT event_id, user_id, event_type, value, ts

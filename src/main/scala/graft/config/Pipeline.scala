@@ -661,6 +661,11 @@ object Pipeline {
             throw new IllegalArgumentException(
               "cassandra: only mem:// loopback servers exist here"))
         Cassandra.read(spark, addr, b.get("query").asText)
+      case ("hdfs", b) =>
+        // inputs/hdfs.adoc — one message per file in the directory
+        // (WebHDFS LISTSTATUS + OPEN; the native RPC needs hadoop jars)
+        graft.sources.Hdfs.read(spark, b.get("url").asText,
+          b.get("directory").asText)
       case ("mongodb", b) =>
         // inputs/mongodb.adoc — one find/aggregate cursor walk, one
         // message per document (BSON + OP_MSG over the mem:// loopback)
@@ -1137,6 +1142,43 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("doris_stream_load", b) =>
+      // outputs/doris_stream_load.adoc — one stream-load request per
+      // chunk; FE redirect + verdict classification inside write
+      val fe = Option(b.get("url")).map(_.asText)
+        .orElse(Option(b.get("fe_urls")).flatMap(
+          _.elements().asScala.toSeq.headOption.map(_.asText)))
+        .getOrElse(throw new IllegalArgumentException(
+          "doris_stream_load: url or fe_urls required"))
+      graft.sinks.Doris.write(df, fe, graft.sinks.Doris.Conf(
+        b.get("database").asText, b.get("table").asText,
+        format = b.path("format").asText("json"),
+        labelPrefix = b.path("label_prefix").asText("graft"),
+        groupCommit = b.path("group_commit").asText("off_mode"),
+        columns = Option(b.get("columns")).map(
+          _.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil)),
+        batchSize = b.at("/batching/count").asInt(2000) match {
+          case 0 => 2000
+          case n => n
+        })
+    case ("hdfs", b) =>
+      // outputs/hdfs.adoc — directory + interpolated per-message path
+      val meta = if (df.columns.contains("metadata")) Some("metadata") else None
+      val pathC = graft.blobl.Blobl.interpolateJson(df,
+        b.get("path").asText, metadataCol = meta)
+      graft.sources.Hdfs.write(df, b.get("url").asText,
+        b.get("directory").asText, pathC)
+    case ("pusher", b) =>
+      // outputs/pusher.adoc — interpolated channel, 10-event batches,
+      // signed requests
+      val meta2 = if (df.columns.contains("metadata")) Some("metadata") else None
+      val chC = graft.blobl.Blobl.interpolateJson(df,
+        b.get("channel").asText, metadataCol = meta2)
+      graft.sinks.Pusher.write(df, b.get("url").asText,
+        graft.sinks.Pusher.Conf(b.get("appId").asText,
+          b.get("key").asText, b.get("secret").asText,
+          b.path("cluster").asText("mt1"), b.get("event").asText),
+        chC)
     case ("questdb", b) =>
       // outputs/questdb.adoc — ILP/HTTP lines; symbols/doubles/
       // designated timestamp field map straight through

@@ -36,7 +36,8 @@ object Http {
   final case class Request(url: String, verb: String,
                            headers: Map[String, String], body: String,
                            bodyBytes: Array[Byte] = null)
-  final case class Response(status: Int, body: String)
+  final case class Response(status: Int, body: String,
+                            headers: Map[String, String] = Map.empty)
 
   /** One transport round-trip: N requests in, N responses out
     * (order-aligned — misalignment is THE failure mode of a batching
@@ -81,7 +82,13 @@ object Http {
           java.net.http.HttpRequest.BodyPublishers.ofByteArray(q.bodyBytes)
         else java.net.http.HttpRequest.BodyPublishers.ofString(q.body)).build()
       c.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-        .thenApply(r => Response(r.statusCode(), r.body()))
+        .thenApply { r =>
+          import scala.jdk.CollectionConverters._
+          val hs = r.headers().map().asScala.collect {
+            case (k, vs) if !vs.isEmpty => k.toLowerCase -> vs.get(0)
+          }.toMap
+          Response(r.statusCode(), r.body(), hs)
+        }
     }
     retryBatch(reqs, send, retries, retryPeriodMs, maxRetryBackoffMs,
       backoffOn, dropOn)
