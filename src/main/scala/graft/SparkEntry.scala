@@ -638,6 +638,42 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_memcached_cache" -> ((s, d) => {
+      // memcached contract (internal/impl/memcached/cache.go over the
+      // public TEXT protocol): documents stored via real set commands
+      // (prefixed namespace), doc_id % 7 == 0 entries given a 60 s
+      // TTL, the server clock advanced past it — the hydrated view
+      // (lru_crawler metadump + chunked multi-get) must contain
+      // exactly the live keys. add/replace/delete/touch/incr
+      // semantics and the real-TCP loopback path live in
+      // MemcachedSpec.
+      import graft.sources.Memcached
+      val name = "mc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = Memcached.named(name)
+      val t0 = System.currentTimeMillis()
+      srv.now = () => t0
+      val cache = new Memcached.Cache(s"mem://$name", prefix = "doc:")
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("v"))
+        .collect() // bounded fixture seed (≤500 keys)
+        .foreach { r =>
+          val ttl = if (r.getLong(0) % 7 == 0) 60L else 0L
+          cache.set(r.getLong(0).toString, r.getString(1), ttl)
+        }
+      srv.now = () => t0 + 120000L // past the 60 s TTL
+      val out = Memcached.cacheView(s, s"mem://$name", prefix = "doc:")
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Memcached.drop(name)
+      out
+    }),
+
     "p_doris_load" -> ((s, d) => {
       // doris_stream_load contract (output_stream_load.go over the
       // public Stream Load HTTP protocol): NDJSON batches PUT against
@@ -3729,6 +3765,11 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_memcached_cache" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 500 AND doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "p_doris_load" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -124,6 +124,17 @@ object Pipeline {
                 Seq.empty[(String, String)].toDF("key", "value")
               else rows.toDF("key", "value")
             df.createOrReplaceTempView(view)
+          case "memcached" =>
+            // caches/memcached.adoc — addresses (mem:// or host:port)
+            // + prefix namespace; the view hydrates via the text
+            // protocol (metadump + chunked multi-get)
+            val addr = e.getValue.get("addresses").elements().asScala
+              .toSeq.map(_.asText).headOption.getOrElse(
+                throw new IllegalArgumentException(
+                  "memcached cache needs addresses"))
+            val prefix = e.getValue.path("prefix").asText("")
+            graft.sources.Memcached.cacheView(spark, addr, prefix)
+              .createOrReplaceTempView(view)
           case "file" =>
             val dir = e.getValue.get("directory").asText
             fileCacheDirs.update(label, dir)
