@@ -638,6 +638,33 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_cypher_roundtrip" -> ((s, d) => {
+      // cypher contract (internal/impl/cypher/output.go over the
+      // PUBLIC Bolt 4.4 protocol — PackStream v2, chunked framing,
+      // 0x6060B017 handshake, HELLO auth): orders CREATE as nodes
+      // through one REAL TCP Bolt connection per partition with
+      // parameterized props (the args_mapping shape), then a MATCH …
+      // RETURN … ORDER BY reads them back through the same wire.
+      // PackStream type-matrix, auth-failure and FAILURE/RESET
+      // contracts live in BoltSpec.
+      import graft.sinks.CypherGraph
+      import graft.sources.Bolt
+      val server = new Bolt.Server(user = "neo4j", password = "graftpw")
+      val port = server.start()
+      try {
+        val base = Tables.orders(s, d).filter(col("o_orderkey") < 900)
+        CypherGraph.write(base, "127.0.0.1", port, "neo4j", "graftpw",
+          "CREATE (o:Order {k: $k, status: $status, price: $price})",
+          Seq("k" -> col("o_orderkey"), "status" -> col("o_orderstatus"),
+            "price" -> col("o_totalprice")))
+        CypherGraph.read(s, "127.0.0.1", port, "neo4j", "graftpw",
+            "MATCH (o:Order) RETURN o.k, o.status, o.price ORDER BY o.k",
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double")
+          .orderBy(col("o_orderkey"))
+          .localCheckpoint()
+      } finally server.stop()
+    }),
+
     "p_memcached_cache" -> ((s, d) => {
       // memcached contract (internal/impl/memcached/cache.go over the
       // public TEXT protocol): documents stored via real set commands
@@ -3765,6 +3792,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_cypher_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey < 900 ORDER BY o_orderkey""".stripMargin,
 
     "p_memcached_cache" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -1153,6 +1153,21 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("cypher", b) =>
+      // outputs/cypher.adoc — query per message against a Bolt
+      // endpoint; args_mapping (bloblang) builds the parameter map
+      val uri = java.net.URI.create(b.get("uri").asText)
+      val meta3 = if (df.columns.contains("metadata")) Some("metadata") else None
+      val mapped = Option(b.get("args_mapping")).map(_.asText) match {
+        case Some(m) => graft.blobl.Blobl.mapping(df, m, metadataCol = meta3)
+        case None => df.withColumn("value", lit("{}"))
+      }
+      graft.sinks.CypherGraph.writeJsonArgs(mapped, uri.getHost,
+        uri.getPort,
+        b.at("/basic_auth/user").asText("neo4j"),
+        b.at("/basic_auth/password").asText(""),
+        b.get("cypher").asText, col("value"),
+        db = b.path("database_name").asText(""))
     case ("doris_stream_load", b) =>
       // outputs/doris_stream_load.adoc — one stream-load request per
       // chunk; FE redirect + verdict classification inside write
