@@ -638,6 +638,94 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_oracle_cdc" -> ((s, d) => {
+      // oracledb_cdc contract (internal/impl/oracledb over LogMiner's
+      // public SQL_REDO text surface): a recorded V$LOGMNR_CONTENTS
+      // stream — interleaved transactions, partial-column updates
+      // (SET carries only changed columns, WHERE the key + one old
+      // column), deletes, and one ROLLED-BACK transaction that must
+      // vanish — parses through the redo-SQL parser, buffers per XID,
+      // emits on COMMIT, and folds with per-column last-non-null
+      // merge (partial updates patch, not replace). Parser matrix /
+      // txn-cache / low-watermark contracts live in OracleCdcSpec.
+      import graft.sources.OracleCdc
+      import graft.sources.OracleCdc._
+      val seed = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .orderBy("o_orderkey").collect()
+      val rows = Vector.newBuilder[RedoRow]
+      var scn = 100L
+      def next(): Long = { scn += 1; scn }
+      seed.grouped(200).zipWithIndex.foreach { case (batch, bi) =>
+        val xid = s"ins$bi"
+        rows += RedoRow(next(), xid, 6, "")
+        batch.foreach { r =>
+          rows += RedoRow(next(), xid, 1, Fixture.insert("shop", "orders",
+            Seq("o_orderkey" -> r.getLong(0),
+              "o_orderstatus" -> r.getString(1),
+              "o_totalprice" -> r.getDouble(2),
+              "o_orderpriority" -> r.getString(3))))
+        }
+        rows += RedoRow(next(), xid, 7, "")
+      }
+      // interleaved: updates txn opens first, deletes txn commits first
+      rows += RedoRow(next(), "upd", 6, "")
+      val (updates, rest) = seed.partition(r =>
+        r.getLong(0) % 9 == 0 && r.getLong(0) % 13 != 0)
+      val deletes = rest.filter(_.getLong(0) % 13 == 0)
+      updates.take(updates.length / 2).foreach { r =>
+        rows += RedoRow(next(), "upd", 3, Fixture.update("shop", "orders",
+          Seq("o_totalprice" -> (r.getDouble(2) + 5.0)),
+          Seq("o_orderkey" -> r.getLong(0),
+            "o_orderstatus" -> r.getString(1))))
+      }
+      rows += RedoRow(next(), "del", 6, "")
+      deletes.foreach { r =>
+        rows += RedoRow(next(), "del", 2, Fixture.delete("shop", "orders",
+          Seq("o_orderkey" -> r.getLong(0))))
+      }
+      rows += RedoRow(next(), "del", 7, "")
+      updates.drop(updates.length / 2).foreach { r =>
+        rows += RedoRow(next(), "upd", 3, Fixture.update("shop", "orders",
+          Seq("o_totalprice" -> (r.getDouble(2) + 5.0)),
+          Seq("o_orderkey" -> r.getLong(0),
+            "o_orderstatus" -> r.getString(1))))
+      }
+      rows += RedoRow(next(), "upd", 7, "")
+      // rolled back: a price rewrite that must NOT surface
+      rows += RedoRow(next(), "rb", 6, "")
+      seed.filter(_.getLong(0) % 5 == 0).foreach { r =>
+        rows += RedoRow(next(), "rb", 3, Fixture.update("shop", "orders",
+          Seq("o_totalprice" -> 999999.0),
+          Seq("o_orderkey" -> r.getLong(0))))
+      }
+      rows += RedoRow(next(), "rb", 36, "")
+      val chg = OracleCdc.changes(s, rows.result(), "orders",
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+      // per-column last-non-null merge ordered by emission: partial
+      // updates PATCH the row, the final op decides survival
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("__ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val valueCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority")
+      val merged = chg.select(
+        (Seq(col("o_orderkey"), col("__ord"),
+          last(col("__op"), ignoreNulls = false).over(w).as("__final_op")) ++
+          valueCols.map(c =>
+            last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      val wLast = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("__ord").desc)
+      merged.withColumn("__rn", row_number().over(wLast))
+        .filter(col("__rn") === 1 && col("__final_op") =!= "d")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "p_cypher_roundtrip" -> ((s, d) => {
       // cypher contract (internal/impl/cypher/output.go over the
       // PUBLIC Bolt 4.4 protocol — PackStream v2, chunked framing,
@@ -3792,6 +3880,15 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_oracle_cdc" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 9 = 0 AND o_orderkey % 13 <> 0
+        |       THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey < 1000 AND o_orderkey % 13 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "p_cypher_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -712,6 +712,22 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("oracledb_cdc", b) =>
+        // internal/impl/oracledb — a live LogMiner session is
+        // env-blocked (no Oracle engine); the input replays a RECORDED
+        // V$LOGMNR_CONTENTS stream (redo_file: JSON lines) through the
+        // same SQL_REDO parser + XID transaction cache
+        import graft.sources.OracleCdc
+        val rows = OracleCdc.readRedoFile(b.get("redo_file").asText)
+        val table = b.get("table").asText
+        val cols = b.get("columns").elements().asScala.toSeq.map(_.asText)
+        val chg = OracleCdc.changes(spark, rows, table, cols)
+        chg.select(
+          to_json(struct(cols.map(col): _*)).as("value"),
+          map(lit("table"), lit(table),
+            lit("operation"), col("__op"),
+            lit("ord"), col("__ord").cast("string")).as("metadata"),
+          lit(null).cast("string").as("error"))
       case ("microsoft_sql_server_cdc", b) =>
         // input_mssqlserver_cdc.go — SQL Server CDC is a polled SQL
         // surface: change tables + LSN windows. The connection_string
