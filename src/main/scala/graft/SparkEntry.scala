@@ -638,6 +638,46 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_couchbase_kv" -> ((s, d) => {
+      // couchbase contract (processor.go over the public KV binary
+      // protocol with CRC32 vbucket routing, validated server-side):
+      // upsert documents, REPLACE every doc_id % 6 == 0 with a bumped
+      // payload, REMOVE every doc_id % 11 == 0, then a GET sweep
+      // replaces message content for live keys and errors the removed
+      // ones — the surviving rows fold relationally. Frame layout /
+      // status / TCP contracts live in CouchbaseSpec.
+      import graft.sources.Couchbase
+      val name = "cb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Couchbase.named(name)
+      val url = s"mem://$name"
+      val base = Tables.documents(s, d).filter(col("doc_id") < 600)
+        .select(col("doc_id"), to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"))
+        .repartition(4)
+      Couchbase.processor(base, url, "upsert", col("doc_id")).count()
+      Couchbase.processor(
+        base.filter(col("doc_id") % 6 === 0)
+          .withColumn("value", to_json(struct(col("doc_id"),
+            get_json_object(col("value"), "$.lang").as("lang"),
+            (get_json_object(col("value"), "$.n_chars").cast("long") + 50)
+              .as("n_chars")))),
+        url, "replace", col("doc_id")).count()
+      Couchbase.processor(base.filter(col("doc_id") % 11 === 0),
+        url, "remove", col("doc_id")).count()
+      val out = Couchbase.processor(base.select(col("doc_id"),
+          lit(null).cast("string").as("value")), url, "get", col("doc_id"))
+        .filter(col("error").isNull)
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Couchbase.drop(name)
+      out
+    }),
+
     "p_oracle_cdc" -> ((s, d) => {
       // oracledb_cdc contract (internal/impl/oracledb over LogMiner's
       // public SQL_REDO text surface): a recorded V$LOGMNR_CONTENTS
@@ -3880,6 +3920,14 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_couchbase_kv" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 6 = 0 THEN n_chars + 50
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id < 600 AND doc_id % 11 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "p_oracle_cdc" ->
       """SELECT o_orderkey, o_orderstatus,

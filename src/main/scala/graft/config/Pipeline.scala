@@ -1949,6 +1949,24 @@ object Processors {
             .withColumn("value", coalesce(col("__cached_value"), col("value")))
             .drop("__cache_key", "__cached_value")
         }
+      case "couchbase" =>
+        // processors/couchbase.adoc — per-message KV op over the
+        // binary protocol; id interpolates, content maps from value
+        val url = body.get("url").asText
+        val op = body.path("operation").asText("get")
+        require(op == "get" || Option(body.get("content")).nonEmpty ||
+          op == "remove",
+          "couchbase: content must be set for insert/replace/upsert")
+        df => {
+          val meta = metaColOf(df)
+          val idC = Blobl.interpolateJson(df, body.get("id").asText, env,
+            metadataCol = meta)
+          val contentC = Option(body.get("content")).map(c =>
+            Blobl.exprJson(df, c.asText
+              .replaceFirst("^\\s*root\\s*=\\s*", ""), env,
+              metadataCol = meta).cast("string")).orNull
+          graft.sources.Couchbase.processor(df, url, op, idC, contentC)
+        }
       case "nats_kv" =>
         // processors/nats_kv.adoc — per-row bucket operation; get-ops
         // replace content, mutation ops set revision metadata,
@@ -2207,7 +2225,7 @@ object Processors {
     * kept as an explicit list so the error names the real reason.
     */
   private val EnvBlocked: Set[String] = Set(
-    "mongodb", "couchbase", "redis", "redis_script", "nats_kv",
+    "mongodb", "redis", "redis_script", "nats_kv",
     "nats_request_reply", "jira", "slack_thread", "qdrant",
     "azure_cosmosdb", "aws_lambda", "aws_dynamodb_partiql",
     "gcp_bigquery_select", "google_drive_download", "google_drive_search",
