@@ -638,6 +638,37 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_timeplus_roundtrip" -> ((s, d) => {
+      // timeplus contract (internal/impl/timeplus over the public
+      // REST + SSE API): events ingest as columnar {columns,data}
+      // POSTs, then the query input parses the text/event-stream
+      // response — `query` metadata event with the column header,
+      // then unnamed events each carrying a JSON ARRAY of row arrays
+      // that unpack into one message per row. Path shapes / SSE
+      // framing edge cases live in TimeplusSpec.
+      import graft.sources.Timeplus
+      val name = "tp_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Timeplus.named(name)
+      val url = s"mem://$name"
+      val docs = Tables.events(s, d).filter(col("event_id") < 3000)
+        .select(to_json(struct(col("event_id"), col("event_type"),
+          col("value"))).as("value"))
+        .repartition(4)
+      Timeplus.write(docs, url, "iot",
+        Seq("event_id", "event_type", "value"), apikey = "k3y")
+      val out = Timeplus.read(s, url, "select * from iot")
+        .select(
+          get_json_object(col("value"), "$.event_id").cast("long")
+            .as("event_id"),
+          get_json_object(col("value"), "$.event_type").as("event_type"),
+          get_json_object(col("value"), "$.value").cast("double")
+            .as("value"))
+        .orderBy(col("event_id"))
+        .localCheckpoint()
+      Timeplus.drop(name)
+      out
+    }),
+
     "p_couchbase_kv" -> ((s, d) => {
       // couchbase contract (processor.go over the public KV binary
       // protocol with CRC32 vbucket routing, validated server-side):
@@ -3920,6 +3951,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_timeplus_roundtrip" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id < 3000 ORDER BY event_id""".stripMargin,
 
     "p_couchbase_kv" ->
       """SELECT doc_id, lang,

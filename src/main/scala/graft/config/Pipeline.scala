@@ -712,6 +712,12 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("timeplus", b) =>
+        // inputs/timeplus.adoc — one message per query result row
+        graft.sources.Timeplus.read(spark, b.get("url").asText,
+          b.get("query").asText,
+          workspace = b.path("workspace").asText("default"),
+          apikey = b.path("apikey").asText(""))
       case ("oracledb_cdc", b) =>
         // internal/impl/oracledb — a live LogMiner session is
         // env-blocked (no Oracle engine); the input replays a RECORDED
@@ -1169,6 +1175,14 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("timeplus", b) =>
+      // outputs/timeplus.adoc — columnar ingest POSTs
+      graft.sources.Timeplus.write(df, b.get("url").asText,
+        b.get("stream").asText,
+        columns = b.get("columns").elements().asScala.toSeq.map(_.asText),
+        target = b.path("target").asText("timeplus"),
+        workspace = b.path("workspace").asText("default"),
+        apikey = b.path("apikey").asText(""))
     case ("cypher", b) =>
       // outputs/cypher.adoc — query per message against a Bolt
       // endpoint; args_mapping (bloblang) builds the parameter map
