@@ -638,6 +638,47 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_arc_write" -> ((s, d) => {
+      // arc contract (internal/impl/arc/output.go over the public
+      // msgpack ingestion endpoint): events transpose into columnar
+      // records grouped by interpolated measurement (event_type),
+      // encode through the engine's own msgpack wire codec, POST with
+      // bearer + database headers, and the loopback service decodes
+      // and UN-transposes — equal-length validation and the bytes
+      // themselves are the gate. Row format / gzip / mismatch
+      // rejection live in ArcSpec.
+      import graft.sinks.Arc
+      val name = "arc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = Arc.named(name)
+      val docs = Tables.events(s, d).filter(col("event_id") < 2500)
+        .select(col("event_type"),
+          to_json(struct(col("event_id"), col("value"))).as("value"))
+        .repartition(4)
+      Arc.write(docs, s"mem://$name", "metrics", col("event_type"),
+        token = "arc-t0ken")
+      val types = Tables.events(s, d).filter(col("event_id") < 2500)
+        .select("event_type").distinct().collect().map(_.getString(0))
+      val rows = types.flatMap { t =>
+        svc.rows("metrics", t).map(v => org.apache.spark.sql.Row(t, v))
+      }
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows.toSeq, 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+      val out = df.select(col("event_type"),
+          get_json_object(col("value"), "$.event_id").cast("long")
+            .as("event_id"),
+          get_json_object(col("value"), "$.value").cast("double")
+            .as("value"))
+        .orderBy(col("event_id"))
+        .localCheckpoint()
+      Arc.drop(name)
+      out
+    }),
+
     "p_timeplus_roundtrip" -> ((s, d) => {
       // timeplus contract (internal/impl/timeplus over the public
       // REST + SSE API): events ingest as columnar {columns,data}
@@ -3951,6 +3992,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_arc_write" ->
+      """SELECT event_type, event_id, value FROM events
+        |WHERE event_id < 2500 ORDER BY event_id""".stripMargin,
 
     "p_timeplus_roundtrip" ->
       """SELECT event_id, event_type, value FROM events

@@ -1175,6 +1175,16 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("arc", b) =>
+      // outputs/arc.adoc — msgpack ingestion with columnar transpose
+      val meta4 = if (df.columns.contains("metadata")) Some("metadata") else None
+      val mC = graft.blobl.Blobl.interpolateJson(df,
+        b.get("table").asText, metadataCol = meta4)
+      graft.sinks.Arc.write(df, b.get("url").asText,
+        b.get("database").asText, mC,
+        format = b.path("format").asText("columnar"),
+        token = b.path("token").asText(""),
+        gzip = b.path("compression").asText("") == "gzip")
     case ("timeplus", b) =>
       // outputs/timeplus.adoc — columnar ingest POSTs
       graft.sources.Timeplus.write(df, b.get("url").asText,
