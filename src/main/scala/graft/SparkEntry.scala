@@ -638,6 +638,29 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_a2a_message" -> ((s, d) => {
+      // a2a_message contract (internal/impl/a2a over the public A2A
+      // JSON-RPC protocol): agent-card resolution, message/send with
+      // text parts, tasks/get polling to the terminal state, and
+      // extract_text over the final agent message — against a
+      // deterministic loopback agent whose transform the oracle
+      // recomputes in SQL. Direct-message replies, error objects and
+      // id-echo contracts live in A2aSpec.
+      import graft.operators.A2a
+      val name = "a2a_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      A2a.register(name, s => s.toUpperCase.reverse, workPolls = 2)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          concat(col("lang"), lit("-"), col("n_chars")).as("value"))
+        .repartition(4)
+      val out = A2a.processor(docs, s"mem://$name/card")
+        .select(col("doc_id"), col("value").as("reply"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      A2a.drop(name)
+      out
+    }),
+
     "p_arc_write" -> ((s, d) => {
       // arc contract (internal/impl/arc/output.go over the public
       // msgpack ingestion endpoint): events transpose into columnar
@@ -3992,6 +4015,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_a2a_message" ->
+      """SELECT doc_id, reverse(upper(lang || '-' || n_chars)) AS reply
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     "p_arc_write" ->
       """SELECT event_type, event_id, value FROM events

@@ -1973,6 +1973,11 @@ object Processors {
             .withColumn("value", coalesce(col("__cached_value"), col("value")))
             .drop("__cache_key", "__cached_value")
         }
+      case "a2a_message" =>
+        // processors/a2a_message.adoc — JSON-RPC agent round-trip
+        val cardUrl = body.get("agent_card_url").asText
+        val extract = body.path("extract_text").asBoolean(true)
+        df => graft.operators.A2a.processor(df, cardUrl, extract)
       case "couchbase" =>
         // processors/couchbase.adoc — per-message KV op over the
         // binary protocol; id interpolates, content maps from value
@@ -2254,7 +2259,7 @@ object Processors {
     "azure_cosmosdb", "aws_lambda", "aws_dynamodb_partiql",
     "gcp_bigquery_select", "google_drive_download", "google_drive_search",
     "google_drive_list_labels", "wasm", "ffi",
-    "redpanda_data_transform", "a2a_message",
+    "redpanda_data_transform",
     "sync_response", "awk",
     "openai_embeddings", "openai_image_generation", "openai_speech",
     "openai_transcription", "openai_translation", "openai_moderation",
