@@ -638,6 +638,49 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_git_files" -> ((s, d) => {
+      // git contract (internal/impl/git over the public on-disk
+      // object formats): a REAL repository (git CLI fixture, gc'd so
+      // history lives in a packfile) is read back by the NATIVE
+      // object-store reader — idx v2 lookup, delta resolution, tree
+      // walk, one message per file. Poller diff/tombstone contracts
+      // live in GitRepoSpec.
+      import graft.sources.GitRepo
+      val dir = java.nio.file.Files.createTempDirectory("graft_git_gate")
+      def sh(cmd: String*): Unit = {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.directory(dir.toFile)
+        pb.environment().put("GIT_AUTHOR_NAME", "g")
+        pb.environment().put("GIT_AUTHOR_EMAIL", "g@x")
+        pb.environment().put("GIT_COMMITTER_NAME", "g")
+        pb.environment().put("GIT_COMMITTER_EMAIL", "g@x")
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes())
+        require(p.waitFor() == 0, s"git fixture: $out")
+      }
+      sh("git", "init", "-q", "-b", "main")
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("v"))
+        .collect() // bounded fixture seed (≤300 files)
+        .foreach { r =>
+          java.nio.file.Files.writeString(
+            dir.resolve(s"doc_${r.getLong(0)}.json"), r.getString(1))
+        }
+      sh("git", "add", "-A")
+      sh("git", "commit", "-q", "-m", "seed")
+      sh("git", "gc", "-q", "--aggressive", "--prune=now")
+      GitRepo.read(s, dir.toString, "main", include = Seq("*.json"))
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }),
+
     "p_a2a_message" -> ((s, d) => {
       // a2a_message contract (internal/impl/a2a over the public A2A
       // JSON-RPC protocol): agent-card resolution, message/send with
@@ -4015,6 +4058,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_git_files" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     "p_a2a_message" ->
       """SELECT doc_id, reverse(upper(lang || '-' || n_chars)) AS reply

@@ -712,6 +712,18 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("git", b) =>
+        // inputs/git.adoc — one message per file at the branch head,
+        // read through the native object-store reader (a remote
+        // repository_url clone needs egress; local paths work)
+        graft.sources.GitRepo.read(spark,
+          b.get("repository_url").asText
+            .stripPrefix("file://"),
+          branchName = b.path("branch").asText(""),
+          include = Option(b.get("include_patterns")).map(
+            _.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil),
+          exclude = Option(b.get("exclude_patterns")).map(
+            _.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil))
       case ("timeplus", b) =>
         // inputs/timeplus.adoc — one message per query result row
         graft.sources.Timeplus.read(spark, b.get("url").asText,
