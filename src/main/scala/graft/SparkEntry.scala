@@ -638,6 +638,42 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_crdb_changefeed" -> ((s, d) => {
+      // cockroachdb_changefeed contract (input_changefeed.go): the
+      // statement text builds exactly as the engine's (UPDATED forced,
+      // user CURSOR stripped under a cursor cache), the in-memory
+      // MVCC cluster parses it back, and the no-cursor run delivers
+      // the full-state backfill — latest value per key with its MVCC
+      // timestamp. Message shape is the reference's stringified
+      // {table, primary_key, row}. Cursor-resume contracts live in
+      // CockroachSpec.
+      import graft.sources.Cockroach
+      val cluster = new Cockroach.MemCluster
+      Tables.orders(s, d).filter(col("o_orderkey") < 1100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey").collect()
+        .foreach { r =>
+          cluster.upsert("orders", s"[${r.getLong(0)}]",
+            s"""{"k":${r.getLong(0)},"status":"${r.getString(1)}","price":${r.getDouble(2)}}""")
+          if (r.getLong(0) % 8 == 0)
+            cluster.upsert("orders", s"[${r.getLong(0)}]",
+              s"""{"k":${r.getLong(0)},"status":"${r.getString(1)}","price":${r.getDouble(2) + 7.0}}""")
+        }
+      val store = new graft.sources.Cursors.MemStore()
+      Cockroach.read(s, cluster.feed, Seq("orders"),
+          cursorStore = store)
+        .select(
+          get_json_object(col("value"), "$.table").as("tbl"),
+          get_json_object(get_json_object(col("value"), "$.row"),
+            "$.after.k").cast("long").as("o_orderkey"),
+          get_json_object(get_json_object(col("value"), "$.row"),
+            "$.after.status").as("o_orderstatus"),
+          get_json_object(get_json_object(col("value"), "$.row"),
+            "$.after.price").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .localCheckpoint()
+    }),
+
     "p_git_files" -> ((s, d) => {
       // git contract (internal/impl/git over the public on-disk
       // object formats): a REAL repository (git CLI fixture, gc'd so
@@ -4058,6 +4094,13 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_crdb_changefeed" ->
+      """SELECT 'orders' AS tbl, o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 7.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey < 1100
+        |ORDER BY o_orderkey""".stripMargin,
 
     "p_git_files" ->
       """SELECT doc_id, lang, n_chars FROM documents
