@@ -48,7 +48,8 @@ object Pipeline {
                         output: Option[JsonNode],
                         cacheResources: Seq[JsonNode] = Seq.empty,
                         buffer: Option[JsonNode] = None,
-                        metrics: Option[JsonNode] = None)
+                        metrics: Option[JsonNode] = None,
+                        tracer: Option[JsonNode] = None)
 
   def load(configYaml: String): Spec = {
     val root = yaml.readTree(configYaml)
@@ -60,7 +61,8 @@ object Pipeline {
     val caches = Option(root.get("cache_resources"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     Spec(input, procs, Option(root.get("output")), caches,
-      Option(root.get("buffer")), Option(root.get("metrics")))
+      Option(root.get("buffer")), Option(root.get("metrics")),
+      Option(root.get("tracer")))
   }
 
   /** `buffer:` section between input and pipeline. `memory`/`none` are
@@ -210,7 +212,36 @@ object Pipeline {
         }))
       case None => (df0, None)
     }
-    spec.output.foreach(writeOutput(df, _))
+    val startNs = System.nanoTime()
+    var runError: Option[String] = None
+    try spec.output.foreach(writeOutput(df, _))
+    catch { case e: Throwable => runError = Some(String.valueOf(e.getMessage)); throw e }
+    finally {
+      // tracer: one pipeline-run span through the OTLP export path
+      // (tracer_jaeger.go registers jaeger as an OTel provider —
+      // modern jaeger and any collector ingest OTLP natively)
+      spec.tracer.foreach { t =>
+        one(t) match {
+          case ("jaeger" | "open_telemetry_collector", b) =>
+            val endpoint = Option(b.get("collector_url"))
+              .orElse(Option(b.get("url"))).map(_.asText)
+              .getOrElse(throw new IllegalArgumentException(
+                "tracer: collector_url/url required"))
+            graft.operators.Tracing.export(endpoint,
+              b.path("service_name").asText("graft"),
+              Seq(graft.operators.Tracing.Span("pipeline.run",
+                System.currentTimeMillis * 1000000L -
+                  (System.nanoTime() - startNs),
+                System.currentTimeMillis * 1000000L,
+                Map("pipeline.output" -> spec.output.map(one(_)._1)
+                  .getOrElse("none")),
+                statusError = runError)))
+          case ("none", _) => ()
+          case (other, _) => throw new IllegalArgumentException(
+            s"tracer target '$other' not supported")
+        }
+      }
+    }
     flush.foreach(_.apply())
     df
   }
