@@ -638,6 +638,40 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_s3_roundtrip" -> ((s, d) => {
+      // aws_s3 contract (internal/impl/aws over the public S3 REST
+      // protocol): every PUT/GET/LIST is SigV4-SIGNED and the
+      // loopback service RE-DERIVES and verifies each signature
+      // (canonical request, signing-key chain, payload sha256) before
+      // acting; the input walks ListObjectsV2 with max-keys=64 so
+      // continuation-token pagination is exercised for real. Signing
+      // vectors and edge cases live in S3Spec.
+      import graft.sources.S3
+      val name = "s3_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val creds = S3.Credentials("AKIDGRAFT", "graft-secret-key",
+        "us-east-1")
+      val svc = S3.register(name, creds)
+      val url = s"mem://$name"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"),
+          concat(lit("docs/doc_"), col("doc_id"), lit(".json")).as("p"))
+        .repartition(4)
+      S3.write(docs, url, creds, "lake", col("p"))
+      require(svc.rejected == 0, "s3: signature rejections")
+      val out = S3.read(s, url, creds, "lake", prefix = "docs/",
+          maxKeysPerPage = 64)
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      S3.drop(name)
+      out
+    }),
+
     "p_crdb_changefeed" -> ((s, d) => {
       // cockroachdb_changefeed contract (input_changefeed.go): the
       // statement text builds exactly as the engine's (UPDATED forced,
@@ -4094,6 +4128,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_s3_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
 
     "p_crdb_changefeed" ->
       """SELECT 'orders' AS tbl, o_orderkey, o_orderstatus,

@@ -743,6 +743,17 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("aws_s3", b) =>
+        // inputs/aws_s3.adoc — bucket/prefix scan, one message per
+        // object; endpoint selects the wire target (mem:// loopback
+        // with SigV4 verification, or a real S3-compatible endpoint)
+        graft.sources.S3.read(spark, b.get("endpoint").asText,
+          graft.sources.S3.Credentials(
+            b.at("/credentials/id").asText(""),
+            b.at("/credentials/secret").asText(""),
+            b.path("region").asText("us-east-1")),
+          b.get("bucket").asText,
+          prefix = b.path("prefix").asText(""))
       case ("git", b) =>
         // inputs/git.adoc — one message per file at the branch head,
         // read through the native object-store reader (a remote
@@ -1218,6 +1229,17 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("aws_s3", b) =>
+      // outputs/aws_s3.adoc — interpolated path, one PUT per message
+      val metaS3 = if (df.columns.contains("metadata")) Some("metadata") else None
+      val pathC3 = graft.blobl.Blobl.interpolateJson(df,
+        b.get("path").asText, metadataCol = metaS3)
+      graft.sources.S3.write(df, b.get("endpoint").asText,
+        graft.sources.S3.Credentials(
+          b.at("/credentials/id").asText(""),
+          b.at("/credentials/secret").asText(""),
+          b.path("region").asText("us-east-1")),
+        b.get("bucket").asText, pathC3)
     case ("arc", b) =>
       // outputs/arc.adoc — msgpack ingestion with columnar transpose
       val meta4 = if (df.columns.contains("metadata")) Some("metadata") else None
