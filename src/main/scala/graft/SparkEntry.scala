@@ -638,6 +638,41 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_azure_blob" -> ((s, d) => {
+      // azure_blob_storage contract (internal/impl/azure over the
+      // public Blob REST protocol): every PUT/GET/LIST carries the
+      // documented Shared Key signature — 14-line string-to-sign,
+      // canonicalized x-ms-* headers, canonicalized resource with
+      // sorted query lines — and the loopback service RE-DERIVES it
+      // before acting. Listing walks NextMarker pages at
+      // maxresults=64. Signature edge cases live in AzureBlobSpec.
+      import graft.sources.AzureBlob
+      val name = "az_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val acct = AzureBlob.Account("graftacct",
+        java.util.Base64.getEncoder.encodeToString(
+          "azure-account-key-32-bytes!!".getBytes("UTF-8")))
+      val svc = AzureBlob.register(name, acct)
+      val url = s"mem://$name"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 450)
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"),
+          concat(lit("in/doc_"), col("doc_id"), lit(".json")).as("p"))
+        .repartition(4)
+      AzureBlob.write(docs, url, acct, "lake", col("p"))
+      require(svc.rejected == 0, "azure: signature rejections")
+      val out = AzureBlob.read(s, url, acct, "lake", prefix = "in/",
+          maxResultsPerPage = 64)
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      AzureBlob.drop(name)
+      out
+    }),
+
     "p_s3_roundtrip" -> ((s, d) => {
       // aws_s3 contract (internal/impl/aws over the public S3 REST
       // protocol): every PUT/GET/LIST is SigV4-SIGNED and the
@@ -766,7 +801,9 @@ object SparkEntry {
         .select(col("doc_id"),
           concat(col("lang"), lit("-"), col("n_chars")).as("value"))
         .repartition(4)
-      val out = A2a.processor(docs, s"mem://$name/card")
+      // pollDelayMs=0: the loopback agent completes deterministically
+      // after two polls — sleeping between them measures nothing
+      val out = A2a.processor(docs, s"mem://$name/card", pollDelayMs = 0)
         .select(col("doc_id"), col("value").as("reply"))
         .orderBy(col("doc_id"))
         .localCheckpoint()
@@ -4128,6 +4165,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_azure_blob" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 450 ORDER BY doc_id""".stripMargin,
 
     "p_s3_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -743,6 +743,15 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("azure_blob_storage", b) =>
+        // inputs/azure_blob_storage.adoc — container/prefix scan, one
+        // message per blob over the Shared Key REST protocol
+        graft.sources.AzureBlob.read(spark, b.get("endpoint").asText,
+          graft.sources.AzureBlob.Account(
+            b.path("storage_account").asText(""),
+            b.path("storage_access_key").asText("")),
+          b.get("container").asText,
+          prefix = b.path("prefix").asText(""))
       case ("aws_s3", b) =>
         // inputs/aws_s3.adoc — bucket/prefix scan, one message per
         // object; endpoint selects the wire target (mem:// loopback
@@ -1229,6 +1238,16 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("azure_blob_storage", b) =>
+      // outputs/azure_blob_storage.adoc — interpolated path PUTs
+      val metaAz = if (df.columns.contains("metadata")) Some("metadata") else None
+      val pathAz = graft.blobl.Blobl.interpolateJson(df,
+        b.get("path").asText, metadataCol = metaAz)
+      graft.sources.AzureBlob.write(df, b.get("endpoint").asText,
+        graft.sources.AzureBlob.Account(
+          b.path("storage_account").asText(""),
+          b.path("storage_access_key").asText("")),
+        b.get("container").asText, pathAz)
     case ("aws_s3", b) =>
       // outputs/aws_s3.adoc — interpolated path, one PUT per message
       val metaS3 = if (df.columns.contains("metadata")) Some("metadata") else None

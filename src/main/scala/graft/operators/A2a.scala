@@ -79,7 +79,7 @@ object A2a {
         var polls = 0
         while (!terminal(result.path("status").path("state").asText) &&
                polls < maxPolls) {
-          Thread.sleep(pollDelayMs)
+          if (pollDelayMs > 0) Thread.sleep(pollDelayMs)
           polls += 1
           result = rpc("tasks/get",
             s"""{"id":"${result.path("id").asText}"}""")
@@ -117,7 +117,8 @@ object A2a {
     */
   def processor(df0: DataFrame, agentCardUrl: String,
                 extractText: Boolean = true,
-                client: Http.Client = null): DataFrame = {
+                client: Http.Client = null,
+                pollDelayMs: Long = 10): DataFrame = {
     val df = Envelope.ensure(df0)
     val schema = df.schema
     val vIdx = schema.fieldIndex(Envelope.ValueCol)
@@ -125,9 +126,11 @@ object A2a {
     val urlV = agentCardUrl
     val extract = extractText
     val clientV = client
+    val delayV = pollDelayMs
     df.mapPartitions { it =>
       val c = new Client(urlV,
-        Option(clientV).getOrElse(A2a.clientFor(urlV)))
+        Option(clientV).getOrElse(A2a.clientFor(urlV)),
+        pollDelayMs = delayV)
       it.map { row =>
         val vals = row.toSeq.toArray
         try {
