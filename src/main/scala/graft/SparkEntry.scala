@@ -638,6 +638,36 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_gcs_roundtrip" -> ((s, d) => {
+      // gcp_cloud_storage contract (internal/impl/gcp over the public
+      // Cloud Storage JSON API): media uploads with URL-encoded
+      // object names, bearer auth checked per request, list pagination
+      // via nextPageToken at maxResults=64 walked to exhaustion,
+      // alt=media reads fanned per partition.
+      import graft.sources.Gcs
+      val name = "gcs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = Gcs.register(name, "gcs-t0ken")
+      val url = s"mem://$name"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 350)
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"),
+          concat(lit("in/doc "), col("doc_id"), lit(".json")).as("p"))
+        .repartition(4)
+      Gcs.write(docs, url, "gcs-t0ken", "lake", col("p"))
+      require(svc.rejected == 0, "gcs: auth rejections")
+      val out = Gcs.read(s, url, "gcs-t0ken", "lake", prefix = "in/",
+          maxResultsPerPage = 64)
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Gcs.drop(name)
+      out
+    }),
+
     "p_azure_blob" -> ((s, d) => {
       // azure_blob_storage contract (internal/impl/azure over the
       // public Blob REST protocol): every PUT/GET/LIST carries the
@@ -4165,6 +4195,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_gcs_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 350 ORDER BY doc_id""".stripMargin,
 
     "p_azure_blob" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -743,6 +743,12 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("gcp_cloud_storage", b) =>
+        // inputs/gcp_cloud_storage.adoc — bucket/prefix scan over the
+        // JSON API, one message per object
+        graft.sources.Gcs.read(spark, b.get("endpoint").asText,
+          b.path("token").asText(""), b.get("bucket").asText,
+          prefix = b.path("prefix").asText(""))
       case ("azure_blob_storage", b) =>
         // inputs/azure_blob_storage.adoc — container/prefix scan, one
         // message per blob over the Shared Key REST protocol
@@ -1238,6 +1244,13 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("gcp_cloud_storage", b) =>
+      // outputs/gcp_cloud_storage.adoc — interpolated path uploads
+      val metaG = if (df.columns.contains("metadata")) Some("metadata") else None
+      val pathG = graft.blobl.Blobl.interpolateJson(df,
+        b.get("path").asText, metadataCol = metaG)
+      graft.sources.Gcs.write(df, b.get("endpoint").asText,
+        b.path("token").asText(""), b.get("bucket").asText, pathG)
     case ("azure_blob_storage", b) =>
       // outputs/azure_blob_storage.adoc — interpolated path PUTs
       val metaAz = if (df.columns.contains("metadata")) Some("metadata") else None
