@@ -638,6 +638,65 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_lambda_invoke" -> ((s, d) => {
+      // aws_lambda contract (lambda/processor.go over the public
+      // Invoke REST shape, SigV4 service=lambda, signature VERIFIED
+      // per request): the message is the payload, the invocation
+      // result becomes the content; function errors
+      // (X-Amz-Function-Error) land on the error channel — covered in
+      // AwsApiSpec.
+      import graft.sources.AwsApi
+      import graft.sources.S3.Credentials
+      val name = "lam_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val creds = Credentials("AKIDL", "lambda-secret", "us-east-1")
+      val svc = AwsApi.registerLambda(name, creds,
+        s => s"${s.length}:${s.toUpperCase}")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 350)
+        .select(col("doc_id"),
+          concat(col("lang"), lit("/"), col("n_chars")).as("value"))
+        .repartition(4)
+      val out = AwsApi.lambdaProcessor(docs, s"mem://$name", creds,
+          "graft-fn")
+        .select(col("doc_id"), col("value").as("reply"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      require(svc.rejected == 0, "lambda: signature rejections")
+      AwsApi.drop(name)
+      out
+    }),
+
+    "p_dynamodb_partiql" -> ((s, d) => {
+      // aws_dynamodb_partiql contract (processor_partiql.go over the
+      // public ExecuteStatement JSON-1.0 shape, SigV4
+      // service=dynamodb): INSERT statements bind positional ? params
+      // as AttributeValues, then SELECTs read the items back — the
+      // response AttributeValue envelopes parse relationally.
+      import graft.sources.AwsApi
+      import graft.sources.S3.Credentials
+      val name = "ddb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val creds = Credentials("AKIDD", "dynamo-secret", "us-east-1")
+      val svc = AwsApi.registerDynamo(name, creds)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          col("doc_id").cast("string").as("k"),
+          concat(col("lang"), lit("|"), col("n_chars")).as("v"))
+        .repartition(4)
+      AwsApi.partiqlProcessor(
+        docs.withColumn("value", lit("")), s"mem://$name", creds,
+        """INSERT INTO "docs" VALUE {'k': ?, 'v': ?}""",
+        Seq(col("k"), col("v"))).count()
+      val out = AwsApi.partiqlProcessor(
+          docs.withColumn("value", lit("")), s"mem://$name", creds,
+          """SELECT * FROM "docs" WHERE k = ?""", Seq(col("k")))
+        .select(col("doc_id"),
+          get_json_object(col("value"), "$.Items[0].v.S").as("stored"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      require(svc.rejected == 0, "dynamodb: signature rejections")
+      AwsApi.drop(name)
+      out
+    }),
+
     "p_gcs_roundtrip" -> ((s, d) => {
       // gcp_cloud_storage contract (internal/impl/gcp over the public
       // Cloud Storage JSON API): media uploads with URL-encoded
@@ -4195,6 +4254,16 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_lambda_invoke" ->
+      """SELECT doc_id,
+        |  CAST(length(lang || '/' || n_chars) AS VARCHAR) || ':' ||
+        |    upper(lang || '/' || n_chars) AS reply
+        |FROM documents WHERE doc_id < 350 ORDER BY doc_id""".stripMargin,
+
+    "p_dynamodb_partiql" ->
+      """SELECT doc_id, lang || '|' || n_chars AS stored
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     "p_gcs_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents

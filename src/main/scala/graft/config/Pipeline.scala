@@ -1244,6 +1244,14 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("aws_sns", b) =>
+      // outputs/aws_sns.adoc — Query-API Publish per message
+      graft.sources.AwsApi.snsWrite(df, b.get("endpoint").asText,
+        graft.sources.S3.Credentials(
+          b.at("/credentials/id").asText(""),
+          b.at("/credentials/secret").asText(""),
+          b.path("region").asText("us-east-1")),
+        b.get("topic_arn").asText)
     case ("gcp_cloud_storage", b) =>
       // outputs/gcp_cloud_storage.adoc — interpolated path uploads
       val metaG = if (df.columns.contains("metadata")) Some("metadata") else None
@@ -2070,6 +2078,28 @@ object Processors {
             .withColumn("value", coalesce(col("__cached_value"), col("value")))
             .drop("__cache_key", "__cached_value")
         }
+      case "aws_lambda" =>
+        // processors/aws_lambda.adoc — invoke per message
+        val endpoint = body.get("endpoint").asText
+        val fn = body.get("function").asText
+        val creds = graft.sources.S3.Credentials(
+          body.at("/credentials/id").asText(""),
+          body.at("/credentials/secret").asText(""),
+          body.path("region").asText("us-east-1"))
+        df => graft.sources.AwsApi.lambdaProcessor(df, endpoint, creds, fn)
+      case "aws_dynamodb_partiql" =>
+        // processors/aws_dynamodb_partiql.adoc — statement + args
+        val endpoint = body.get("endpoint").asText
+        val stmt = body.get("query").asText
+        val creds = graft.sources.S3.Credentials(
+          body.at("/credentials/id").asText(""),
+          body.at("/credentials/secret").asText(""),
+          body.path("region").asText("us-east-1"))
+        val argCols = Option(body.get("args_columns"))
+          .map(_.elements().asScala.toSeq.map(a => col(a.asText)))
+          .getOrElse(Nil)
+        df => graft.sources.AwsApi.partiqlProcessor(df, endpoint, creds,
+          stmt, argCols)
       case "a2a_message" =>
         // processors/a2a_message.adoc — JSON-RPC agent round-trip
         val cardUrl = body.get("agent_card_url").asText
@@ -2353,7 +2383,7 @@ object Processors {
   private val EnvBlocked: Set[String] = Set(
     "mongodb", "redis", "redis_script", "nats_kv",
     "nats_request_reply", "jira", "slack_thread", "qdrant",
-    "azure_cosmosdb", "aws_lambda", "aws_dynamodb_partiql",
+    "azure_cosmosdb",
     "gcp_bigquery_select", "google_drive_download", "google_drive_search",
     "google_drive_list_labels", "wasm", "ffi",
     "redpanda_data_transform",
