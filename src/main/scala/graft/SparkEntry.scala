@@ -638,6 +638,60 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_cosmosdb_docs" -> ((s, d) => {
+      // azure_cosmosdb contract (internal/impl/azure/cosmosdb over
+      // the public REST protocol): documents upsert under their
+      // partition key with the master-key Authorization RE-DERIVED
+      // per request by the loopback account, doc_id % 9 == 0 docs
+      // REPLACEd with bumped payloads, % 11 == 0 DELETEd, then a
+      // parameterized cross-partition SQL query reads the surviving
+      // state back. Conflict/404/query-shape contracts live in
+      // CosmosDbSpec.
+      import graft.sources.CosmosDb
+      val name = "cdb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val acct = CosmosDb.Account(
+        java.util.Base64.getEncoder.encodeToString(
+          "cosmos-master-key-material!!".getBytes("UTF-8")))
+      val svc = CosmosDb.register(name, acct)
+      val url = s"mem://$name"
+      val base = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"),
+          to_json(struct(col("doc_id").cast("string").as("id"),
+            col("lang"), col("n_chars"))).as("value"))
+        .repartition(4)
+      CosmosDb.processor(base, url, acct, "lake", "docs", "upsert",
+        col("lang"), col("doc_id")).count()
+      CosmosDb.processor(
+        base.filter(col("doc_id") % 9 === 0)
+          .withColumn("value", to_json(struct(
+            col("doc_id").cast("string").as("id"), col("lang"),
+            (get_json_object(col("value"), "$.n_chars").cast("long") + 500)
+              .as("n_chars")))),
+        url, acct, "lake", "docs", "replace",
+        col("lang"), col("doc_id")).count()
+      CosmosDb.processor(base.filter(col("doc_id") % 11 === 0),
+        url, acct, "lake", "docs", "delete",
+        col("lang"), col("doc_id")).count()
+      require(svc.rejected == 0, "cosmosdb: auth rejections")
+      val cl = new CosmosDb.Client(url, acct, "lake", "docs")
+      val rows = cl.query("SELECT * FROM c", Map.empty)
+        .map(org.apache.spark.sql.Row(_))
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+      val out = df.select(
+          get_json_object(col("value"), "$.id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      CosmosDb.drop(name)
+      out
+    }),
+
     "p_lambda_invoke" -> ((s, d) => {
       // aws_lambda contract (lambda/processor.go over the public
       // Invoke REST shape, SigV4 service=lambda, signature VERIFIED
@@ -4254,6 +4308,14 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_cosmosdb_docs" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 9 = 0 AND doc_id % 11 <> 0
+        |       THEN n_chars + 500 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id < 500 AND doc_id % 11 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "p_lambda_invoke" ->
       """SELECT doc_id,

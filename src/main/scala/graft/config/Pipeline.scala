@@ -2078,6 +2078,24 @@ object Processors {
             .withColumn("value", coalesce(col("__cached_value"), col("value")))
             .drop("__cache_key", "__cached_value")
         }
+      case "azure_cosmosdb" =>
+        // processors/azure_cosmosdb.adoc — per-message document op
+        val endpoint = body.get("endpoint").asText
+        val acct = graft.sources.CosmosDb.Account(
+          body.path("account_key").asText(""))
+        val (dbn, ctn) = (body.get("database").asText,
+          body.get("container").asText)
+        val op = body.path("operation").asText("Create").toLowerCase
+        df => {
+          val meta = metaColOf(df)
+          val pkC = Blobl.interpolateJson(df,
+            body.get("partition_keys_map").asText, env, metadataCol = meta)
+          val idC = Blobl.interpolateJson(df,
+            body.path("item_id").asText("${! json(\"id\") }"), env,
+            metadataCol = meta)
+          graft.sources.CosmosDb.processor(df, endpoint, acct, dbn, ctn,
+            op, pkC, idC)
+        }
       case "aws_lambda" =>
         // processors/aws_lambda.adoc — invoke per message
         val endpoint = body.get("endpoint").asText
@@ -2383,7 +2401,6 @@ object Processors {
   private val EnvBlocked: Set[String] = Set(
     "mongodb", "redis", "redis_script", "nats_kv",
     "nats_request_reply", "jira", "slack_thread", "qdrant",
-    "azure_cosmosdb",
     "gcp_bigquery_select", "google_drive_download", "google_drive_search",
     "google_drive_list_labels", "wasm", "ffi",
     "redpanda_data_transform",
