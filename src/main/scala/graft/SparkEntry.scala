@@ -638,6 +638,50 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_bigquery_select" -> ((s, d) => {
+      // gcp_bigquery_select contract (processor_bigquery_select.go
+      // over the public jobs.query REST shape): positional parameters
+      // bind as typed queryParameters, each message is REPLACED by
+      // the JSON array of result rows, and pageToken continuations
+      // drain multi-page results (pageSize=64 loopback). Bearer auth
+      // checked per request.
+      import graft.sources.BigQuerySelect
+      import graft.sources.BigQuerySelect.QueryParts
+      val name = "bqs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = BigQuerySelect.register(name, "bq-t0ken", pageSize = 64)
+      val seed = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id").cast("string"), col("lang"),
+          col("n_chars").cast("string"))
+        .orderBy(col("doc_id").cast("long")).collect()
+        .map(r => Seq(r.getString(0), r.getString(1), r.getString(2)))
+      svc.seed("docs", Seq("doc_id", "lang", "n_chars"), seed.toSeq)
+      // pagination contract: a single whole-table select drains
+      // 500 rows through 64-row pages
+      val cl = new BigQuerySelect.Client(s"mem://$name", "bq-t0ken",
+        "graft-proj")
+      val (_, allRows) = cl.query("SELECT * FROM docs", Nil)
+      require(allRows.size == seed.length && svc.pagesServed >= 7,
+        s"bigquery: expected paginated drain, got ${svc.pagesServed} pages")
+      val out = BigQuerySelect.processor(
+          Tables.documents(s, d).filter(col("doc_id") < 500)
+            .select(col("doc_id"),
+              col("doc_id").cast("string").as("k"),
+              lit("").as("value"))
+            .repartition(4),
+          s"mem://$name", "bq-t0ken", "graft-proj",
+          QueryParts("docs", Seq("lang", "n_chars"), where = "doc_id = ?"),
+          Seq(col("k")))
+        .select(col("doc_id"),
+          get_json_object(col("value"), "$[0].lang").as("lang"),
+          get_json_object(col("value"), "$[0].n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      require(svc.rejected == 0, "bigquery: auth rejections")
+      BigQuerySelect.drop(name)
+      out
+    }),
+
     "p_cosmosdb_docs" -> ((s, d) => {
       // azure_cosmosdb contract (internal/impl/azure/cosmosdb over
       // the public REST protocol): documents upsert under their
@@ -4308,6 +4352,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_bigquery_select" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
 
     "p_cosmosdb_docs" ->
       """SELECT doc_id, lang,

@@ -2078,6 +2078,23 @@ object Processors {
             .withColumn("value", coalesce(col("__cached_value"), col("value")))
             .drop("__cache_key", "__cached_value")
         }
+      case "gcp_bigquery_select" =>
+        // processors/gcp_bigquery_select.adoc — parameterized SELECT
+        // per message; the message becomes the result-row array
+        val endpoint = body.get("endpoint").asText
+        val token = body.path("token").asText("")
+        val project = body.get("project").asText
+        val parts = graft.sources.BigQuerySelect.QueryParts(
+          body.get("table").asText,
+          body.get("columns").elements().asScala.toSeq.map(_.asText),
+          where = body.path("where").asText(""),
+          prefix = body.path("prefix").asText(""),
+          suffix = body.path("suffix").asText(""))
+        val argCols = Option(body.get("args_columns"))
+          .map(_.elements().asScala.toSeq.map(a => col(a.asText)))
+          .getOrElse(Nil)
+        df => graft.sources.BigQuerySelect.processor(df, endpoint, token,
+          project, parts, argCols)
       case "azure_cosmosdb" =>
         // processors/azure_cosmosdb.adoc — per-message document op
         val endpoint = body.get("endpoint").asText
@@ -2401,7 +2418,7 @@ object Processors {
   private val EnvBlocked: Set[String] = Set(
     "mongodb", "redis", "redis_script", "nats_kv",
     "nats_request_reply", "jira", "slack_thread", "qdrant",
-    "gcp_bigquery_select", "google_drive_download", "google_drive_search",
+    "google_drive_download", "google_drive_search",
     "google_drive_list_labels", "wasm", "ffi",
     "redpanda_data_transform",
     "sync_response", "awk",
