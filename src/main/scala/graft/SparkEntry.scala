@@ -638,6 +638,53 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_drive_search" -> ((s, d) => {
+      // google_drive_search + download contract (internal/impl/google
+      // over the public Drive v3 REST API): per-message name-contains
+      // searches paginate via nextPageToken, the message becomes the
+      // file-resource array, and a download pass fetches each id's
+      // media — both halves exercised end to end against the
+      // loopback drive.
+      import graft.sources.GoogleDrive
+      val name = "gd_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = GoogleDrive.register(name, "drive-t0ken", pageSize = 64)
+      val url = s"mem://$name"
+      Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("lang"),
+          to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars"))).as("body"))
+        .collect() // bounded fixture seed (≤400 files)
+        .foreach { r =>
+          svc.add(s"id-${r.getLong(0)}",
+            s"doc_${r.getLong(0)}_${r.getString(1)}.json",
+            "application/json", r.getString(2))
+        }
+      // one search per document keyed by its unique file name, then
+      // download the matched id — the search → download pipeline the
+      // reference documents as its flagship example
+      val queries = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          concat(lit("name contains 'doc_"), col("doc_id"), lit("_'"))
+            .as("q"), lit("").as("value"))
+        .repartition(4)
+      val searched = GoogleDrive.searchProcessor(queries, url,
+          "drive-t0ken", col("q"))
+        .select(col("doc_id"),
+          get_json_object(col("value"), "$[0].id").as("fid"),
+          col("value").as("value"))
+      val out = GoogleDrive.downloadProcessor(searched, url,
+          "drive-t0ken", col("fid"))
+        .select(col("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long")
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      require(svc.rejected == 0, "drive: auth rejections")
+      GoogleDrive.drop(name)
+      out
+    }),
+
     "p_bigquery_select" -> ((s, d) => {
       // gcp_bigquery_select contract (processor_bigquery_select.go
       // over the public jobs.query REST shape): positional parameters
@@ -4352,6 +4399,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_drive_search" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     "p_bigquery_select" ->
       """SELECT doc_id, lang, n_chars FROM documents

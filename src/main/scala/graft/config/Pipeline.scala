@@ -2078,6 +2078,28 @@ object Processors {
             .withColumn("value", coalesce(col("__cached_value"), col("value")))
             .drop("__cache_key", "__cached_value")
         }
+      case "google_drive_search" =>
+        // processors/google_drive_search.adoc — interpolated query;
+        // the message becomes the file-resource array
+        val endpoint = body.get("endpoint").asText
+        val token = body.path("token").asText("")
+        df => {
+          val meta = metaColOf(df)
+          val qC = Blobl.interpolateJson(df, body.get("query").asText,
+            env, metadataCol = meta)
+          graft.sources.GoogleDrive.searchProcessor(df, endpoint, token, qC)
+        }
+      case "google_drive_download" =>
+        // processors/google_drive_download.adoc — interpolated file id
+        val endpoint = body.get("endpoint").asText
+        val token = body.path("token").asText("")
+        df => {
+          val meta = metaColOf(df)
+          val idC = Blobl.interpolateJson(df, body.get("file_id").asText,
+            env, metadataCol = meta)
+          graft.sources.GoogleDrive.downloadProcessor(df, endpoint, token,
+            idC)
+        }
       case "gcp_bigquery_select" =>
         // processors/gcp_bigquery_select.adoc — parameterized SELECT
         // per message; the message becomes the result-row array
@@ -2418,7 +2440,6 @@ object Processors {
   private val EnvBlocked: Set[String] = Set(
     "mongodb", "redis", "redis_script", "nats_kv",
     "nats_request_reply", "jira", "slack_thread", "qdrant",
-    "google_drive_download", "google_drive_search",
     "google_drive_list_labels", "wasm", "ffi",
     "redpanda_data_transform",
     "sync_response", "awk",
