@@ -60,6 +60,18 @@ object GoogleDrive {
       out.toSeq
     }
 
+    /** files.listLabels — the label resources attached to a file. */
+    def listLabels(fileId: String): Seq[String] = {
+      val r = c(Seq(Http.Request(
+        s"$base/drive/v3/files/${enc(fileId)}/listLabels", "GET", auth,
+        ""))).head
+      if (r.status != 200) throw new IllegalStateException(
+        s"drive listLabels $fileId: ${r.status} ${r.body.take(200)}")
+      val out = Seq.newBuilder[String]
+      mapper.readTree(r.body).path("labels").forEach(l => out += l.toString)
+      out.result()
+    }
+
     def download(fileId: String): String = {
       val r = c(Seq(Http.Request(
         s"$base/drive/v3/files/${enc(fileId)}?alt=media", "GET", auth,
@@ -136,6 +148,8 @@ object GoogleDrive {
     private val mapper = new ObjectMapper()
     val files: mutable.LinkedHashMap[String, (String, String, String)] =
       mutable.LinkedHashMap.empty // id → (name, mimeType, body)
+    val labels: mutable.LinkedHashMap[String, Seq[String]] =
+      mutable.LinkedHashMap.empty // id → label-resource JSON
     @volatile var rejected = 0
 
     def add(id: String, name: String, mimeType: String,
@@ -173,6 +187,15 @@ object GoogleDrive {
         val next = if (offset + size < matches.size)
           s""","nextPageToken":"${offset + size}"""" else ""
         Http.Response(200, s"""{"files":[$items]$next}""")
+      } else if (path.startsWith("/drive/v3/files/") &&
+                 path.endsWith("/listLabels")) {
+        val id = java.net.URLDecoder.decode(
+          path.stripPrefix("/drive/v3/files/")
+            .stripSuffix("/listLabels"), "UTF-8")
+        if (!files.contains(id))
+          Http.Response(404, """{"error":{"code":404}}""")
+        else Http.Response(200,
+          s"""{"labels":[${labels.getOrElse(id, Nil).mkString(",")}]}""")
       } else if (path.startsWith("/drive/v3/files/") &&
                  query.get("alt").contains("media")) {
         val id = java.net.URLDecoder.decode(

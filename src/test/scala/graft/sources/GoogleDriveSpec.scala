@@ -40,6 +40,20 @@ class GoogleDriveSpec extends SparkSpec {
     GoogleDrive.drop(name)
   }
 
+  test("listLabels: label resources for a file; missing file 404") {
+    val name = fresh
+    val svc = GoogleDrive.register(name, "tok")
+    svc.add("f1", "a.txt", "text/plain", "x")
+    svc.labels("f1") = Seq("""{"id":"lbl1","fields":{}}""")
+    val c = new Client(s"mem://$name", "tok")
+    assert(c.listLabels("f1") == Seq("""{"id":"lbl1","fields":{}}"""))
+    svc.add("f2", "b.txt", "text/plain", "y")
+    assert(c.listLabels("f2").isEmpty)
+    val e = intercept[IllegalStateException] { c.listLabels("ghost") }
+    assert(e.getMessage.contains("404"))
+    GoogleDrive.drop(name)
+  }
+
   test("processors: search replaces content with the array; bad token errors") {
     val name = fresh
     val svc = GoogleDrive.register(name, "tok")
