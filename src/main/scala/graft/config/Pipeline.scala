@@ -2089,6 +2089,37 @@ object Processors {
             env, metadataCol = meta)
           graft.sources.GoogleDrive.searchProcessor(df, endpoint, token, qC)
         }
+      case "google_drive_list_labels" =>
+        // processors/google_drive_list_labels.adoc — the message
+        // becomes the label-resource array for the interpolated id
+        val endpoint = body.get("endpoint").asText
+        val token = body.path("token").asText("")
+        df => {
+          val meta = metaColOf(df)
+          val idC = Blobl.interpolateJson(df, body.get("file_id").asText,
+            env, metadataCol = meta)
+          val src = graft.sources.Envelope.ensure(df)
+            .withColumn("__gl", idC.cast("string"))
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+          val schema = src.schema
+          val vI = schema.fieldIndex("value")
+          val eI = schema.fieldIndex("error")
+          val iI = schema.fieldIndex("__gl")
+          src.mapPartitions { it =>
+            val cl = new graft.sources.GoogleDrive.Client(endpoint, token)
+            it.map { row =>
+              val vals = row.toSeq.toArray
+              try vals(vI) = cl.listLabels(row.getString(iI))
+                .mkString("[", ",", "]")
+              catch { case ex: Exception =>
+                vals(eI) = Option(ex.getMessage).getOrElse("drive error")
+              }
+              Row.fromSeq(vals.toIndexedSeq)
+            }
+          }(ExpressionEncoder(RowEncoder.encoderFor(schema)))
+            .drop("__gl")
+        }
       case "google_drive_download" =>
         // processors/google_drive_download.adoc — interpolated file id
         val endpoint = body.get("endpoint").asText
@@ -2440,7 +2471,7 @@ object Processors {
   private val EnvBlocked: Set[String] = Set(
     "mongodb", "redis", "redis_script", "nats_kv",
     "nats_request_reply", "jira", "slack_thread", "qdrant",
-    "google_drive_list_labels", "wasm", "ffi",
+    "wasm", "ffi",
     "redpanda_data_transform",
     "sync_response", "awk",
     "openai_embeddings", "openai_image_generation", "openai_speech",
