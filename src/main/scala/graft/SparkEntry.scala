@@ -638,6 +638,38 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_sftp_roundtrip" -> ((s, d) => {
+      // sftp contract (internal/impl/sftp over the PUBLIC SSH2 + SFTP
+      // v3 protocols, hand-rolled on JDK X25519/Ed25519/AES-CTR/HMAC
+      // primitives): every executor partition performs the FULL
+      // handshake over a real TCP socket — curve25519-sha256 kex,
+      // host-key signature verification, encrypted+MAC'd packets,
+      // password auth, session channel, sftp subsystem — then uploads
+      // one file per message; the input walks OPENDIR/READDIR and
+      // re-downloads each file whole. KDF/signature/framing contracts
+      // live in SftpSpec.
+      import graft.sources.Sftp
+      val server = new Sftp.Server(user = "graft", password = "s3cr3t")
+      val port = server.start()
+      try {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+          .select(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars"))).as("value"),
+            concat(lit("/in/doc_"), col("doc_id"), lit(".json")).as("p"))
+          .repartition(4)
+        Sftp.write(docs, "127.0.0.1", port, "graft", "s3cr3t", col("p"))
+        Sftp.read(s, "127.0.0.1", port, "graft", "s3cr3t", "/in")
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long")
+              .as("doc_id"),
+            get_json_object(col("value"), "$.lang").as("lang"),
+            get_json_object(col("value"), "$.n_chars").cast("long")
+              .as("n_chars"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally server.stop()
+    }),
+
     "p_drive_search" -> ((s, d) => {
       // google_drive_search + download contract (internal/impl/google
       // over the public Drive v3 REST API): per-message name-contains
@@ -4399,6 +4431,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_sftp_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     "p_drive_search" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -743,6 +743,15 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("sftp", b) =>
+        // inputs/sftp.adoc — one message per file, over the real SSH2
+        // + SFTP v3 stack (address host:port, password credentials)
+        val Array(host, portS) = b.get("address").asText.split(":", 2)
+        graft.sources.Sftp.read(spark, host, portS.toInt,
+          b.at("/credentials/username").asText(""),
+          b.at("/credentials/password").asText(""),
+          b.get("paths").elements().asScala.toSeq.headOption
+            .map(_.asText).getOrElse("/"))
       case ("gcp_cloud_storage", b) =>
         // inputs/gcp_cloud_storage.adoc — bucket/prefix scan over the
         // JSON API, one message per object
@@ -1244,6 +1253,15 @@ object Pipeline {
           case 0 => 500
           case n => n
         })
+    case ("sftp", b) =>
+      // outputs/sftp.adoc — interpolated path, one upload per message
+      val Array(hostO, portO) = b.get("address").asText.split(":", 2)
+      val metaSf = if (df.columns.contains("metadata")) Some("metadata") else None
+      val pathSf = graft.blobl.Blobl.interpolateJson(df,
+        b.get("path").asText, metadataCol = metaSf)
+      graft.sources.Sftp.write(df, hostO, portO.toInt,
+        b.at("/credentials/username").asText(""),
+        b.at("/credentials/password").asText(""), pathSf)
     case ("aws_sns", b) =>
       // outputs/aws_sns.adoc — Query-API Publish per message
       graft.sources.AwsApi.snsWrite(df, b.get("endpoint").asText,
