@@ -369,32 +369,37 @@ object Sftp {
 
   // ---- Spark surface ----
 
-  /** One message per file under `directory` (driver SSH admission —
-    * a single authenticated connection, like every cursor source —
-    * payloads distributed after listing).
+  /** One message per file under `directory`: the LISTING is one
+    * driver round-trip (a single authenticated connection, the
+    * admission every cursor source uses); the file DOWNLOADS fan out
+    * per partition, each with its own full SSH handshake — file
+    * payload volume, where the bytes live, never funnels through the
+    * driver.
     */
   def read(spark: SparkSession, host: String, port: Int, user: String,
            password: String, directory: String): DataFrame = {
-    val c = new Client(host, port, user, password)
-    val rows = try {
-      c.listDir(directory).sorted.map { name =>
-        val path = s"${directory.stripSuffix("/")}/$name"
-        org.apache.spark.sql.Row(new String(c.download(path), UTF_8),
-          Map("sftp_path" -> path), null)
-      }
-    } finally c.close()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows,
-        math.max(1, math.min(8, rows.size))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("metadata",
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)),
-        org.apache.spark.sql.types.StructField("error",
-          org.apache.spark.sql.types.StringType))))
+    val lister = new Client(host, port, user, password)
+    val names = try lister.listDir(directory).sorted
+                finally lister.close()
+    val (h, p, u, pw, dir) = (host, port, user, password, directory)
+    import spark.implicits._
+    names.toDF("name")
+      .repartition(math.max(1, math.min(names.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val c = new Client(h, p, u, pw)
+          val out = it.map { r =>
+            val path = s"${dir.stripSuffix("/")}/${r.getString(0)}"
+            (new String(c.download(path), UTF_8),
+              Map("sftp_path" -> path))
+          }.toVector // drain before closing the connection
+          c.close()
+          out.iterator
+        }
+      }.toDF("value", "metadata")
+      .withColumn("error", lit(null).cast("string"))
   }
 
   /** One upload per message at the interpolated path; one SSH
