@@ -638,6 +638,49 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "s_cyborgdb_roundtrip" -> ((s, d) => {
+      // cyborgdb contract (internal/impl/cyborgdb — "all vector data
+      // is encrypted client-side before being sent to the server"):
+      // embeddings seal per item under AES-256-GCM with the index key
+      // (id as authenticated data), the loopback index verifies it
+      // never receives a parseable plaintext vector, and a fetch +
+      // client-side unseal must reproduce every vector exactly.
+      import graft.sinks.CyborgDb
+      val name = "cy_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val svc = CyborgDb.register(name, "api-k3y")
+      val url = s"mem://$name"
+      val indexKey = Array.tabulate[Byte](32)(i => (i * 11 + 3).toByte)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      CyborgDb.write(emb, url, "api-k3y", "emb", indexKey, "upsert",
+        col("vec_id"), col("embedding"))
+      require(svc.plaintextSeen == 0, "cyborgdb: plaintext reached the server")
+      require(svc.rejected == 0, "cyborgdb: auth rejections")
+      val ids = (0L until 300L).map(_.toString)
+      val got = CyborgDb.fetch(url, "api-k3y", "emb", indexKey, ids)
+      val rows = got.toSeq.map { case (id, plain) =>
+        org.apache.spark.sql.Row(id.toLong, plain)
+      }
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("plain",
+            org.apache.spark.sql.types.StringType))))
+      val out = df.select(col("vec_id"),
+          from_json(get_json_object(col("plain"), "$.vector"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)).as("embedding"))
+        .select(col("vec_id"),
+          round(aggregate(col("embedding"),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+            .as("vec_sum"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+      CyborgDb.drop(name)
+      out
+    }),
+
     "p_sftp_roundtrip" -> ((s, d) => {
       // sftp contract (internal/impl/sftp over the PUBLIC SSH2 + SFTP
       // v3 protocols, hand-rolled on JDK X25519/Ed25519/AES-CTR/HMAC
@@ -4431,6 +4474,13 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s_cyborgdb_roundtrip" ->
+      """SELECT vec_id,
+        |  ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+        |    x -> CAST(x AS DOUBLE))), 4) AS vec_sum
+        |FROM embeddings WHERE vec_id < 300
+        |ORDER BY vec_id""".stripMargin,
 
     "p_sftp_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
