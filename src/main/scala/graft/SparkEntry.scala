@@ -638,6 +638,42 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_zmq_roundtrip" -> ((s, d) => {
+      // zmq4 contract (internal/impl/zeromq over ZMTP 3.0, the public
+      // ZeroMQ transport, on real TCP sockets): documents PUSH
+      // through the greeting/NULL/READY handshake and frame codec
+      // (LONG frames included via the JSON payloads) and a PULL
+      // bounded drain reads them back. PUB/SUB filtering, multipart,
+      // pair validation live in ZmtpSpec.
+      import graft.sources.Zmtp
+      val push = new Zmtp.BindSocket("PUSH")
+      try {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars"))).as("value"))
+          .orderBy(get_json_object(col("value"), "$.doc_id").cast("long"))
+          .collect() // bounded fixture feed (≤400 messages)
+        val feeder = new Thread(() => {
+          try {
+            push.awaitPeers(1)
+            docs.foreach(r =>
+              push.send(Seq(r.getString(0).getBytes("UTF-8"))))
+          } catch { case _: Exception => () }
+        })
+        feeder.setDaemon(true)
+        feeder.start()
+        Zmtp.read(s, "127.0.0.1", push.port, "PULL", docs.length)
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long")
+              .as("doc_id"),
+            get_json_object(col("value"), "$.lang").as("lang"),
+            get_json_object(col("value"), "$.n_chars").cast("long")
+              .as("n_chars"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally push.close()
+    }),
+
     "s_cyborgdb_roundtrip" -> ((s, d) => {
       // cyborgdb contract (internal/impl/cyborgdb — "all vector data
       // is encrypted client-side before being sent to the server"):
@@ -4474,6 +4510,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_zmq_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     "s_cyborgdb_roundtrip" ->
       """SELECT vec_id,

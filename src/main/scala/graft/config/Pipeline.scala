@@ -743,6 +743,19 @@ object Pipeline {
         MySqlBinlog.changes(spark,
           MySqlBinlog.readBinlogFile(b.get("binlog_file").asText),
           schemas)
+      case ("zmq4", b) =>
+        // inputs/zmq4.adoc — bounded drain over the ZMTP 3.0 stack
+        val url0 = b.get("urls").elements().asScala.next().asText
+        val uri = java.net.URI.create(url0)
+        graft.sources.Zmtp.read(spark, uri.getHost, uri.getPort,
+          b.get("socket_type").asText,
+          count = b.path("count").asInt(0) match {
+            case 0 => throw new IllegalArgumentException(
+              "zmq4: a bounded batch read needs count")
+            case n => n
+          },
+          subFilters = Option(b.get("sub_filters")).map(
+            _.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil))
       case ("sftp", b) =>
         // inputs/sftp.adoc — one message per file, over the real SSH2
         // + SFTP v3 stack (address host:port, password credentials)
