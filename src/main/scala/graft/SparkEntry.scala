@@ -638,6 +638,40 @@ object SparkEntry {
       } finally Cassandra.drop(name)
     }),
 
+    "p_nanomsg_roundtrip" -> ((s, d) => {
+      // nanomsg contract (internal/impl/nanomsg over the public
+      // SP-over-TCP mapping): documents PUSH through the protocol-id
+      // handshake and u64 framing, a PULL bounded drain reads them
+      // back. Receiver-side SUB filtering / pairing validation live
+      // in NanomsgSpec.
+      import graft.sources.Nanomsg
+      val push = new Nanomsg.BindSocket("PUSH")
+      try {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 350)
+          .select(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars"))).as("value"))
+          .orderBy(get_json_object(col("value"), "$.doc_id").cast("long"))
+          .collect() // bounded fixture feed (≤350 messages)
+        val feeder = new Thread(() => {
+          try {
+            push.awaitPeers(1)
+            docs.foreach(r => push.send(r.getString(0).getBytes("UTF-8")))
+          } catch { case _: Exception => () }
+        })
+        feeder.setDaemon(true)
+        feeder.start()
+        Nanomsg.read(s, "127.0.0.1", push.port, "PULL", docs.length)
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long")
+              .as("doc_id"),
+            get_json_object(col("value"), "$.lang").as("lang"),
+            get_json_object(col("value"), "$.n_chars").cast("long")
+              .as("n_chars"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally push.close()
+    }),
+
     "p_zmq_roundtrip" -> ((s, d) => {
       // zmq4 contract (internal/impl/zeromq over ZMTP 3.0, the public
       // ZeroMQ transport, on real TCP sockets): documents PUSH
@@ -4510,6 +4544,10 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p_nanomsg_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 350 ORDER BY doc_id""".stripMargin,
 
     "p_zmq_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
