@@ -1980,6 +1980,37 @@ object SparkEntry {
       s.table("lakehouse_orders").orderBy(col("k"))
     }),
 
+    "p_iceberg_commit" -> ((s, d) => {
+      // REAL Iceberg v2 table format (internal/impl/iceberg/
+      // committer.go: one atomic snapshot per commit): three commits —
+      // partitioned append, schema-evolving append, copy-on-write
+      // upsert with deletes — then the table is read back THROUGH the
+      // metadata tree (version-hint → metadata.json → manifest-list
+      // avro → manifest avro → listed parquet files). An orphan
+      // parquet dropped into data/ proves the scan is manifest-driven,
+      // not a directory listing.
+      import sinks.Iceberg
+      val loc = java.nio.file.Files.createTempDirectory("iceberg_gate").toString
+      val o = Tables.orders(s, d)
+      def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_totalprice").cast("double").as("price"),
+        (col("o_orderkey") % 4).as("pb"))
+      Iceberg.append(shaped(o.filter(col("o_orderkey") < 1200)), loc,
+        partitionCols = Seq("pb"))
+      Iceberg.append(
+        shaped(o.filter(col("o_orderkey") >= 1200 && col("o_orderkey") < 1500))
+          .withColumn("status", lit("added")), loc)
+      val b3 = shaped(o.filter(col("o_orderkey") < 1500)
+          .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 0))
+        .withColumn("price", col("price") + 50.0)
+        .withColumn("status", lit("upd"))
+        .withColumn("__del", col("k") % 11 === 0)
+      Iceberg.upsert(b3, loc, Seq("k"), deleteCol = Some("__del"))
+      s.range(1).write.mode("append").parquet(s"$loc/data") // orphan
+      Iceberg.readTable(s, loc).orderBy(col("k"))
+    }),
+
     "p_kafka_roundtrip" -> ((s, d) => {
       // kafka-shaped broker contract (inputs/kafka.adoc +
       // outputs/kafka.adoc via the injectable Broker.Transport seam):
@@ -4046,6 +4077,17 @@ object SparkEntry {
         |       THEN 'updated' END AS status
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_iceberg_commit" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice AS DOUBLE) + 50.0
+        |       ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+        |  o_orderkey % 4 AS pb,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'upd'
+        |       WHEN o_orderkey >= 1200 THEN 'added' END AS status
+        |FROM orders
+        |WHERE o_orderkey < 1500 AND o_orderkey % 11 <> 0
         |ORDER BY k""".stripMargin,
 
     "p_retry" ->

@@ -1,0 +1,909 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** A real Apache Iceberg v2 table — metadata tree and all — written and
+  * read without an Iceberg runtime jar.
+  *
+  * This is the table FORMAT behind the reference's flagship `iceberg`
+  * output (internal/impl/iceberg/output_iceberg.go; commit protocol
+  * committer.go:99-329 — one atomic snapshot per commit, retry-safe
+  * file dedup), re-implemented from the PUBLIC Iceberg table spec
+  * (format-version 2). [[Lakehouse]] keeps the catalog-table semantics;
+  * this module produces tables an independent Iceberg reader
+  * (Spark+runtime, Trino, DuckDB iceberg extension) can open:
+  *
+  *   location/metadata/v{N}.metadata.json   versioned table metadata
+  *   location/metadata/version-hint.text    HadoopCatalog current pointer
+  *   location/metadata/snap-{id}-{uuid}.avro  manifest list (Avro OCF)
+  *   location/metadata/{uuid}-m{i}.avro       manifests (Avro OCF)
+  *   location/data/{part=val}/{uuid}.parquet  data files w/ field-ids
+  *
+  * Commit = write the new metadata as a temp file, atomic rename onto
+  * v{N+1} (fails if a concurrent committer claimed N+1 first), then
+  * advance version-hint — the HadoopTableOperations optimistic
+  * protocol. Snapshots are never coalesced (committer.go:99).
+  *
+  * Scale shape: an upsert rewrites ONLY data files whose partition is
+  * touched; manifests with no touched files are carried forward in the
+  * new manifest list BY PATH (never re-read or rewritten), so commit
+  * cost tracks the batch, not the table. All I/O goes through the
+  * Hadoop FileSystem API, so the same code targets HDFS/S3/GCS on a
+  * real cluster.
+  */
+object Iceberg {
+
+  // ---------------------------------------------------------------- model
+
+  /** Iceberg column type (the subset the engine's tables use). */
+  sealed trait IType
+  case class Prim(name: String) extends IType
+  case class IList(elementId: Int, element: IType, elemRequired: Boolean) extends IType
+
+  case class IField(id: Int, name: String, required: Boolean, typ: IType)
+
+  /** Identity-transform partition field (the reference's warehouse
+    * tables partition by identity; output_iceberg.go).
+    */
+  case class PartField(name: String, sourceId: Int, fieldId: Int)
+
+  case class Snapshot(id: Long, parentId: Option[Long], seq: Long, tsMs: Long,
+                      manifestList: String, operation: String, schemaId: Int)
+
+  case class Meta(uuid: String, location: String, lastSeq: Long,
+                  lastUpdatedMs: Long, lastColumnId: Int, currentSchemaId: Int,
+                  schemas: Seq[(Int, Seq[IField])], specFields: Seq[PartField],
+                  lastPartitionId: Int, currentSnapshotId: Option[Long],
+                  snapshots: Seq[Snapshot], metadataLog: Seq[(Long, String)]) {
+    def schema: Seq[IField] = schemas.find(_._1 == currentSchemaId).get._2
+    def schemaAt(id: Int): Seq[IField] = schemas.find(_._1 == id).get._2
+  }
+
+  /** One manifest-list row (spec field-ids 500-517). `raw` keeps the
+    * original record so carried manifests round-trip losslessly.
+    */
+  case class ManifestRef(path: String, length: Long, specId: Int, content: Int,
+                         seq: Long, minSeq: Long, addedSnapshotId: Long,
+                         added: Int, existing: Int, deleted: Int,
+                         addedRows: Long, existingRows: Long, deletedRows: Long)
+
+  /** One manifest entry: a data file + its lifecycle status. */
+  case class Entry(status: Int, snapshotId: Long, seq: Long, fileSeq: Long,
+                   path: String, partition: Seq[Any], recordCount: Long,
+                   sizeBytes: Long)
+  val StExisting = 0; val StAdded = 1; val StDeleted = 2
+
+  private val mapper = new ObjectMapper()
+
+  private def fsFor(location: String, spark: SparkSession): FileSystem =
+    new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def conf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  // ------------------------------------------------------------ type maps
+
+  private def toIceberg(dt: DataType, nextId: () => Int): IType = dt match {
+    case BooleanType => Prim("boolean")
+    case ByteType | ShortType | IntegerType => Prim("int")
+    case LongType => Prim("long")
+    case FloatType => Prim("float")
+    case DoubleType => Prim("double")
+    case StringType => Prim("string")
+    case BinaryType => Prim("binary")
+    case DateType => Prim("date")
+    case TimestampType => Prim("timestamptz")
+    case d: DecimalType => Prim(s"decimal(${d.precision}, ${d.scale})")
+    case ArrayType(e, containsNull) =>
+      val eid = nextId()
+      IList(eid, toIceberg(e, nextId), !containsNull)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg column type: $other")
+  }
+
+  private val DecimalRe = """decimal\((\d+),\s*(\d+)\)""".r
+
+  private def toSpark(t: IType): DataType = t match {
+    case Prim("boolean") => BooleanType
+    case Prim("int") => IntegerType
+    case Prim("long") => LongType
+    case Prim("float") => FloatType
+    case Prim("double") => DoubleType
+    case Prim("string") => StringType
+    case Prim("binary") => BinaryType
+    case Prim("date") => DateType
+    case Prim("timestamptz") | Prim("timestamp") => TimestampType
+    case Prim(DecimalRe(p, s)) => DecimalType(p.toInt, s.toInt)
+    case Prim(other) => throw new IllegalArgumentException(s"type: $other")
+    case IList(_, e, req) => ArrayType(toSpark(e), containsNull = !req)
+  }
+
+  def sparkSchema(fields: Seq[IField]): StructType =
+    StructType(fields.map(f => StructField(f.name, toSpark(f.typ), nullable = !f.required)))
+
+  // ------------------------------------------------------- metadata JSON
+
+  private def typeJson(t: IType): JsonNode = t match {
+    case Prim(n) => mapper.getNodeFactory.textNode(n)
+    case IList(eid, e, req) =>
+      val o = mapper.createObjectNode()
+      o.put("type", "list"); o.put("element-id", eid)
+      o.set[JsonNode]("element", typeJson(e)); o.put("element-required", req)
+      o
+  }
+
+  private def schemaJson(id: Int, fields: Seq[IField]): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("type", "struct"); o.put("schema-id", id)
+    val arr = o.putArray("fields")
+    fields.foreach { f =>
+      val fo = arr.addObject()
+      fo.put("id", f.id); fo.put("name", f.name); fo.put("required", f.required)
+      fo.set[JsonNode]("type", typeJson(f.typ))
+    }
+    o
+  }
+
+  private def metaJson(m: Meta): String = {
+    val o = mapper.createObjectNode()
+    o.put("format-version", 2)
+    o.put("table-uuid", m.uuid)
+    o.put("location", m.location)
+    o.put("last-sequence-number", m.lastSeq)
+    o.put("last-updated-ms", m.lastUpdatedMs)
+    o.put("last-column-id", m.lastColumnId)
+    o.put("current-schema-id", m.currentSchemaId)
+    val schemas = o.putArray("schemas")
+    m.schemas.foreach { case (id, fs) => schemas.add(schemaJson(id, fs)) }
+    o.put("default-spec-id", 0)
+    val specs = o.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    val sfields = spec0.putArray("fields")
+    m.specFields.foreach { pf =>
+      val fo = sfields.addObject()
+      fo.put("name", pf.name); fo.put("transform", "identity")
+      fo.put("source-id", pf.sourceId); fo.put("field-id", pf.fieldId)
+    }
+    o.put("last-partition-id", m.lastPartitionId)
+    o.put("default-sort-order-id", 0)
+    val orders = o.putArray("sort-orders")
+    val ord0 = orders.addObject()
+    ord0.put("order-id", 0); ord0.putArray("fields")
+    o.putObject("properties").put("write.format.default", "parquet")
+    m.currentSnapshotId.foreach { sid =>
+      o.put("current-snapshot-id", sid)
+      val refs = o.putObject("refs")
+      val main = refs.putObject("main")
+      main.put("snapshot-id", sid); main.put("type", "branch")
+    }
+    val snaps = o.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val so = snaps.addObject()
+      so.put("snapshot-id", s.id)
+      s.parentId.foreach(p => so.put("parent-snapshot-id", p))
+      so.put("sequence-number", s.seq)
+      so.put("timestamp-ms", s.tsMs)
+      so.put("manifest-list", s.manifestList)
+      val sum = so.putObject("summary")
+      sum.put("operation", s.operation)
+      so.put("schema-id", s.schemaId)
+    }
+    val slog = o.putArray("snapshot-log")
+    m.snapshots.foreach { s =>
+      val lo = slog.addObject()
+      lo.put("timestamp-ms", s.tsMs); lo.put("snapshot-id", s.id)
+    }
+    val mlog = o.putArray("metadata-log")
+    m.metadataLog.foreach { case (ts, file) =>
+      val lo = mlog.addObject()
+      lo.put("timestamp-ms", ts); lo.put("metadata-file", file)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  private def parseType(n: JsonNode): IType =
+    if (n.isTextual) Prim(n.asText)
+    else if (n.get("type").asText == "list")
+      IList(n.get("element-id").asInt, parseType(n.get("element")),
+        n.get("element-required").asBoolean)
+    else throw new IllegalArgumentException(s"unsupported type node: $n")
+
+  private def parseMeta(json: String): Meta = {
+    val o = mapper.readTree(json)
+    val schemas = o.get("schemas").elements.asScala.map { s =>
+      val fields = s.get("fields").elements.asScala.map { f =>
+        IField(f.get("id").asInt, f.get("name").asText,
+          f.get("required").asBoolean, parseType(f.get("type")))
+      }.toSeq
+      (s.get("schema-id").asInt, fields)
+    }.toSeq
+    val spec = o.get("partition-specs").elements.asScala.next()
+    val specFields = spec.get("fields").elements.asScala.map { f =>
+      PartField(f.get("name").asText, f.get("source-id").asInt,
+        f.get("field-id").asInt)
+    }.toSeq
+    val snaps = Option(o.get("snapshots")).map(_.elements.asScala.map { s =>
+      Snapshot(s.get("snapshot-id").asLong,
+        Option(s.get("parent-snapshot-id")).map(_.asLong),
+        s.get("sequence-number").asLong, s.get("timestamp-ms").asLong,
+        s.get("manifest-list").asText,
+        s.get("summary").get("operation").asText,
+        Option(s.get("schema-id")).map(_.asInt).getOrElse(0))
+    }.toSeq).getOrElse(Nil)
+    val mlog = Option(o.get("metadata-log")).map(_.elements.asScala.map { l =>
+      (l.get("timestamp-ms").asLong, l.get("metadata-file").asText)
+    }.toSeq).getOrElse(Nil)
+    Meta(o.get("table-uuid").asText, o.get("location").asText,
+      o.get("last-sequence-number").asLong, o.get("last-updated-ms").asLong,
+      o.get("last-column-id").asInt, o.get("current-schema-id").asInt,
+      schemas, specFields, Option(o.get("last-partition-id")).map(_.asInt).getOrElse(999),
+      Option(o.get("current-snapshot-id")).map(_.asLong), snaps, mlog)
+  }
+
+  // --------------------------------------------------------- avro schemas
+
+  private def avroPrim(t: IType): String = t match {
+    case Prim("boolean") => "\"boolean\""
+    case Prim("int") => "\"int\""
+    case Prim("long") => "\"long\""
+    case Prim("float") => "\"float\""
+    case Prim("double") => "\"double\""
+    case Prim("string") => "\"string\""
+    case Prim("date") => "{\"type\":\"int\",\"logicalType\":\"date\"}"
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition type: $other")
+  }
+
+  /** Partition tuple record (spec-required name r102; nested field-ids
+    * come from the partition spec).
+    */
+  private def partitionAvro(spec: Seq[PartField], schema: Seq[IField]): String = {
+    val fields = spec.map { pf =>
+      val src = schema.find(_.id == pf.sourceId).get
+      s"""{"name":"${pf.name}","type":["null",${avroPrim(src.typ)}],"default":null,"field-id":${pf.fieldId}}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"r102","fields":[$fields]}"""
+  }
+
+  private def manifestEntryAvro(spec: Seq[PartField], schema: Seq[IField]): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int","field-id":134},
+         |{"name":"file_path","type":"string","field-id":100},
+         |{"name":"file_format","type":"string","field-id":101},
+         |{"name":"partition","field-id":102,"type":${partitionAvro(spec, schema)}},
+         |{"name":"record_count","type":"long","field-id":103},
+         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}}]}""".stripMargin)
+
+  private val manifestFileAvro: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  // --------------------------------------------------------- avro I/O
+
+  private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
+                        fileMeta: Map[String, String],
+                        rows: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    fileMeta.foreach { case (k, v) => w.setMeta(k, v) }
+    val out = fs.create(path, true)
+    try {
+      w.create(schema, out)
+      rows.foreach(w.append)
+      w.close()
+    } finally out.close()
+    fs.getFileStatus(path).getLen
+  }
+
+  private def readAvro(fs: FileSystem, path: Path, c: Configuration): Seq[GenericRecord] = {
+    val in = new FsInput(path, c)
+    val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try r.iterator.asScala.toVector finally { r.close() }
+  }
+
+  private def optLong(r: GenericRecord, field: String, dflt: Long): Long =
+    Option(r.get(field)).map(_.asInstanceOf[Long]).getOrElse(dflt)
+
+  // ---------------------------------------------------- manifest read/write
+
+  /** Write one manifest; returns its manifest-list row. */
+  private def writeManifest(fs: FileSystem, m: Meta, entries: Seq[Entry],
+                            snapshotId: Long, seq: Long): ManifestRef = {
+    val schema = m.schema
+    val entryAvro = manifestEntryAvro(m.specFields, schema)
+    val dfSchema = entryAvro.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val rows = entries.map { e =>
+      val rec = new GenericData.Record(entryAvro)
+      rec.put("status", e.status)
+      rec.put("snapshot_id", e.snapshotId)
+      rec.put("sequence_number", e.seq)
+      rec.put("file_sequence_number", e.fileSeq)
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", e.path)
+      df.put("file_format", "PARQUET")
+      val part = new GenericData.Record(partSchema)
+      m.specFields.zip(e.partition).foreach { case (pf, v) => part.put(pf.name, v) }
+      df.put("partition", part)
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", e.sizeBytes)
+      rec.put("data_file", df)
+      rec
+    }
+    val specJson = {
+      val arr = mapper.createArrayNode()
+      m.specFields.foreach { pf =>
+        val fo = arr.addObject()
+        fo.put("name", pf.name); fo.put("transform", "identity")
+        fo.put("source-id", pf.sourceId); fo.put("field-id", pf.fieldId)
+      }
+      mapper.writeValueAsString(arr)
+    }
+    val path = new Path(s"${m.location}/metadata/${UUID.randomUUID()}-m0.avro")
+    val len = writeAvro(fs, path, entryAvro, Map(
+      "schema" -> mapper.writeValueAsString(schemaJson(m.currentSchemaId, schema)),
+      "schema-id" -> m.currentSchemaId.toString,
+      "partition-spec" -> specJson,
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "data"), rows)
+    val (a, ex, d) = (entries.count(_.status == StAdded),
+      entries.count(_.status == StExisting), entries.count(_.status == StDeleted))
+    def rowsOf(st: Int) = entries.filter(_.status == st).map(_.recordCount).sum
+    ManifestRef(path.toString, len, 0, 0, seq,
+      entries.map(_.seq).reduceOption(_ min _).getOrElse(seq), snapshotId,
+      a, ex, d, rowsOf(StAdded), rowsOf(StExisting), rowsOf(StDeleted))
+  }
+
+  private def writeManifestList(fs: FileSystem, m: Meta, snapshotId: Long,
+                                parentId: Option[Long], seq: Long,
+                                refs: Seq[ManifestRef]): String = {
+    val rows = refs.map { r =>
+      val rec = new GenericData.Record(manifestFileAvro)
+      rec.put("manifest_path", r.path); rec.put("manifest_length", r.length)
+      rec.put("partition_spec_id", r.specId); rec.put("content", r.content)
+      rec.put("sequence_number", r.seq); rec.put("min_sequence_number", r.minSeq)
+      rec.put("added_snapshot_id", r.addedSnapshotId)
+      rec.put("added_files_count", r.added)
+      rec.put("existing_files_count", r.existing)
+      rec.put("deleted_files_count", r.deleted)
+      rec.put("added_rows_count", r.addedRows)
+      rec.put("existing_rows_count", r.existingRows)
+      rec.put("deleted_rows_count", r.deletedRows)
+      rec
+    }
+    val path = new Path(
+      s"${m.location}/metadata/snap-$snapshotId-1-${UUID.randomUUID()}.avro")
+    writeAvro(fs, path, manifestFileAvro, Map(
+      "format-version" -> "2",
+      "snapshot-id" -> snapshotId.toString,
+      "parent-snapshot-id" -> parentId.map(_.toString).getOrElse("null"),
+      "sequence-number" -> seq.toString), rows)
+    path.toString
+  }
+
+  /** Parse a manifest list file into refs. */
+  def readManifestList(spark: SparkSession, listPath: String): Seq[ManifestRef] = {
+    val fs = new Path(listPath).getFileSystem(conf(spark))
+    readAvro(fs, new Path(listPath), conf(spark)).map { r =>
+      ManifestRef(r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        r.get("partition_spec_id").asInstanceOf[Int],
+        Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
+        optLong(r, "sequence_number", 0L), optLong(r, "min_sequence_number", 0L),
+        optLong(r, "added_snapshot_id", -1L),
+        Option(r.get("added_files_count")).map(_.asInstanceOf[Int]).getOrElse(0),
+        Option(r.get("existing_files_count")).map(_.asInstanceOf[Int]).getOrElse(0),
+        Option(r.get("deleted_files_count")).map(_.asInstanceOf[Int]).getOrElse(0),
+        optLong(r, "added_rows_count", 0L), optLong(r, "existing_rows_count", 0L),
+        optLong(r, "deleted_rows_count", 0L))
+    }
+  }
+
+  /** Parse one manifest into entries (partition tuple ordered by spec). */
+  def readManifest(spark: SparkSession, m: Meta, manifestPath: String): Seq[Entry] = {
+    val fs = new Path(manifestPath).getFileSystem(conf(spark))
+    readAvro(fs, new Path(manifestPath), conf(spark)).map { r =>
+      val df = r.get("data_file").asInstanceOf[GenericRecord]
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      val pvals = m.specFields.map { pf =>
+        part.get(pf.name) match {
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case other => other
+        }
+      }
+      Entry(r.get("status").asInstanceOf[Int],
+        optLong(r, "snapshot_id", -1L), optLong(r, "sequence_number", 0L),
+        optLong(r, "file_sequence_number", 0L),
+        df.get("file_path").toString, pvals,
+        df.get("record_count").asInstanceOf[Long],
+        df.get("file_size_in_bytes").asInstanceOf[Long])
+    }
+  }
+
+  // --------------------------------------------------------- data files
+
+  /** Write df's rows as Iceberg parquet data files under location/data.
+    *
+    * Parquet field-ids are attached via `parquet.field.id` schema
+    * metadata (Spark's native field-id write path), so an Iceberg
+    * reader can resolve columns by id after renames. Identity
+    * partitioning duplicates each partition column into a `__p_` twin
+    * for Spark's partitionBy, keeping the REAL column inside the data
+    * file (Iceberg data files carry all table columns; hive-layout
+    * files drop them).
+    */
+  private def writeDataFiles(df: DataFrame, m: Meta): Seq[Entry] = {
+    val spark = df.sparkSession
+    val fs = fsFor(m.location, spark)
+    val schema = m.schema
+    val withIds = df.select(schema.map { f =>
+      val md = new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build()
+      (if (df.columns.contains(f.name)) col(f.name).cast(toSpark(f.typ))
+       else lit(null).cast(toSpark(f.typ))).as(f.name, md)
+    }: _*)
+    val tmp = fs.makeQualified(
+      new Path(s"${m.location}/.tmp-write-${UUID.randomUUID()}"))
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prior = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try {
+      if (m.specFields.isEmpty) withIds.write.parquet(tmp.toString)
+      else {
+        val dup = m.specFields.foldLeft(withIds)((d, pf) =>
+          d.withColumn("__p_" + pf.name, col(pf.name)))
+        dup.write.partitionBy(m.specFields.map("__p_" + _.name): _*)
+          .parquet(tmp.toString)
+      }
+      // move part files into data/, deriving the partition tuple from
+      // the directory path
+      val out = mutable.Buffer[Entry]()
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet") && !name.startsWith(".")) {
+          val rel = fs.makeQualified(st.getPath).toString
+            .stripPrefix(tmp.toString).stripPrefix("/")
+          val dirs = rel.split("/").dropRight(1)
+          val pvals = m.specFields.map { pf =>
+            val pref = "__p_" + pf.name + "="
+            val seg = dirs.find(_.startsWith(pref)).getOrElse(
+              throw new IllegalStateException(s"partition dir missing for ${pf.name}"))
+            decodePartValue(seg.stripPrefix(pref), schema.find(_.id == pf.sourceId).get.typ)
+          }
+          val partDir = m.specFields.zip(pvals).map { case (pf, v) =>
+            s"${pf.name}=${if (v == null) "null" else v.toString}"
+          }.mkString("/")
+          val dataDir = new Path(s"${m.location}/data" +
+            (if (partDir.isEmpty) "" else s"/$partDir"))
+          fs.mkdirs(dataDir)
+          val target = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
+          if (!fs.rename(st.getPath, target))
+            throw new IllegalStateException(s"rename failed: ${st.getPath} -> $target")
+          val rc = {
+            val rdr = ParquetFileReader.open(
+              HadoopInputFile.fromPath(target, conf(spark)))
+            try rdr.getRecordCount finally rdr.close()
+          }
+          out += Entry(StAdded, -1L, -1L, -1L, target.toString, pvals, rc,
+            fs.getFileStatus(target).getLen)
+        }
+      }
+      out.toSeq
+    } finally {
+      fs.delete(tmp, true)
+      prior match {
+        case Some(v) => spark.conf.set(fieldIdKey, v)
+        case None => spark.conf.unset(fieldIdKey)
+      }
+    }
+  }
+
+  /** Reverse Hive path escaping (%XX only — URLDecoder would also turn
+    * '+' into a space and corrupt string partition values).
+    */
+  private def unescapePath(raw: String): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    val bytes = new java.io.ByteArrayOutputStream()
+    var i = 0
+    def flush(): Unit =
+      if (bytes.size() > 0) { sb.append(new String(bytes.toByteArray, UTF_8)); bytes.reset() }
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (ch == '%' && i + 3 <= raw.length) {
+        bytes.write(Integer.parseInt(raw.substring(i + 1, i + 3), 16)); i += 3
+      } else { flush(); sb.append(ch); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  private def decodePartValue(raw: String, t: IType): Any = {
+    val s = unescapePath(raw)
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else t match {
+      case Prim("int") => Integer.valueOf(s.toInt)
+      case Prim("long") => java.lang.Long.valueOf(s.toLong)
+      case Prim("string") => s
+      case Prim("boolean") => java.lang.Boolean.valueOf(s.toBoolean)
+      case Prim("date") =>
+        Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition value type: $other")
+    }
+  }
+
+  // ------------------------------------------------------------ commits
+
+  private def hintPath(location: String) = new Path(s"$location/metadata/version-hint.text")
+
+  /** Current (version, Meta), or None for a fresh location. */
+  def load(spark: SparkSession, location: String): Option[(Int, Meta)] = {
+    val fs = fsFor(location, spark)
+    val metaDir = new Path(s"$location/metadata")
+    if (!fs.exists(metaDir)) return None
+    val v: Int =
+      if (fs.exists(hintPath(location))) {
+        val in = fs.open(hintPath(location))
+        try new String(in.readAllBytes(), UTF_8).trim.toInt finally in.close()
+      } else {
+        val vs = fs.listStatus(metaDir).map(_.getPath.getName)
+          .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+            n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+        if (vs.isEmpty) return None else vs.max
+      }
+    val p = new Path(s"$location/metadata/v$v.metadata.json")
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    Some((v, parseMeta(json)))
+  }
+
+  /** HadoopTableOperations optimistic commit: temp write + atomic rename
+    * onto the next version; a concurrent winner makes the rename (or the
+    * pre-check) fail and the caller sees a conflict instead of silent
+    * metadata loss.
+    */
+  private def commitMeta(spark: SparkSession, location: String,
+                         priorVersion: Int, meta: Meta): Unit = {
+    val fs = fsFor(location, spark)
+    val v = priorVersion + 1
+    val target = new Path(s"$location/metadata/v$v.metadata.json")
+    if (fs.exists(target))
+      throw new IllegalStateException(s"commit conflict: $target already exists")
+    val tmp = new Path(s"$location/metadata/.v$v-${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(metaJson(meta).getBytes(UTF_8)) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"commit conflict renaming to $target")
+    }
+    val hintTmp = new Path(s"$location/metadata/.hint-${UUID.randomUUID()}.tmp")
+    val h = fs.create(hintTmp, true)
+    try h.write(v.toString.getBytes(UTF_8)) finally h.close()
+    fs.delete(hintPath(location), false)
+    fs.rename(hintTmp, hintPath(location))
+  }
+
+  private def newSnapshotId(): Long =
+    math.abs(UUID.randomUUID().getLeastSignificantBits) | 1L
+
+  private def buildSchema(df: DataFrame, startId: Int): (Seq[IField], Int) = {
+    var next = startId
+    def nextId(): Int = { next += 1; next }
+    val primary = df.schema.fields.map { f => (f, nextId()) }
+    // spec order: nested ids are assigned AFTER all top-level ids
+    val fields = primary.map { case (f, id) =>
+      IField(id, f.name, required = false, toIceberg(f.dataType, () => nextId()))
+    }
+    (fields.toSeq, next)
+  }
+
+  /** Append df as one snapshot, creating the table on first write.
+    * Batch-only columns evolve the schema (new schema-id, fresh column
+    * ids past last-column-id — the output_iceberg.go schema_evolution
+    * behavior); table-only columns are written as null.
+    */
+  def append(df: DataFrame, location: String,
+             partitionCols: Seq[String] = Nil): Unit =
+    commitSnapshot(df, location, partitionCols, "append", carryPrior = true)
+
+  private def commitSnapshot(df: DataFrame, location: String,
+                             partitionCols: Seq[String], operation: String,
+                             replaceEntries: Seq[Entry] = Nil,
+                             carried: Seq[ManifestRef] = Nil,
+                             carryPrior: Boolean = false,
+                             priorState: Option[(Int, Meta)] = null): Unit = {
+    val spark = df.sparkSession
+    val fs = fsFor(location, spark)
+    val prior = if (priorState == null) load(spark, location) else priorState
+    // an append keeps every file of the current snapshot: its manifest
+    // list carries the prior list's entries BY PATH (no rewrite)
+    val carriedAll = carried ++ (if (!carryPrior) Nil else prior.toSeq.flatMap {
+      case (_, pm) =>
+        pm.snapshots.find(s => pm.currentSnapshotId.contains(s.id))
+          .map(s => readManifestList(spark, s.manifestList)).getOrElse(Nil)
+    })
+    val nowMs = System.currentTimeMillis()
+    val meta0: Meta = prior match {
+      case None =>
+        val (fields, lastId) = buildSchema(df, 0)
+        val spec = partitionCols.zipWithIndex.map { case (c, i) =>
+          PartField(c, fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(s"partition column $c not in schema")).id,
+            1000 + i)
+        }
+        Meta(UUID.randomUUID().toString, location, 0L, nowMs, lastId, 0,
+          Seq((0, fields)), spec, if (spec.isEmpty) 999 else 999 + spec.size,
+          None, Nil, Nil)
+      case Some((_, m)) =>
+        require(partitionCols.isEmpty || partitionCols == m.specFields.map(_.name),
+          s"partition spec mismatch: $partitionCols vs ${m.specFields.map(_.name)}")
+        val newCols = df.schema.fields.filterNot(f => m.schema.exists(_.name == f.name))
+        if (newCols.isEmpty) m
+        else {
+          var next = m.lastColumnId
+          def nextId(): Int = { next += 1; next }
+          val added = newCols.map { f =>
+            val id = nextId()
+            IField(id, f.name, required = false, toIceberg(f.dataType, () => nextId()))
+          }
+          val sid = m.currentSchemaId + 1
+          m.copy(lastColumnId = next, currentSchemaId = sid,
+            schemas = m.schemas :+ ((sid, m.schema ++ added)))
+        }
+    }
+    val seq = meta0.lastSeq + 1
+    val snapId = newSnapshotId()
+    val addedRaw = writeDataFiles(df, meta0)
+    val addedEntries = addedRaw.map(_.copy(snapshotId = snapId, seq = seq, fileSeq = seq))
+    val manifests = mutable.Buffer[ManifestRef]()
+    if (addedEntries.nonEmpty || replaceEntries.nonEmpty)
+      manifests += writeManifest(fs, meta0,
+        addedEntries ++ replaceEntries.map(e => e.copy(snapshotId =
+          if (e.status == StDeleted) snapId else e.snapshotId)),
+        snapId, seq)
+    manifests ++= carriedAll
+    val listPath = writeManifestList(fs, meta0, snapId,
+      meta0.currentSnapshotId, seq, manifests.toSeq)
+    val snap = Snapshot(snapId, meta0.currentSnapshotId, seq, nowMs, listPath,
+      operation, meta0.currentSchemaId)
+    val priorVersion = prior.map(_._1).getOrElse(0)
+    val mlog = prior match {
+      case Some((pv, pm)) =>
+        pm.metadataLog :+ ((nowMs, s"$location/metadata/v$pv.metadata.json"))
+      case None => Nil
+    }
+    commitMeta(spark, location, priorVersion, meta0.copy(
+      lastSeq = seq, lastUpdatedMs = nowMs, currentSnapshotId = Some(snapId),
+      snapshots = meta0.snapshots :+ snap, metadataLog = mlog))
+  }
+
+  /** Live data files of a snapshot (default: current): walk the
+    * manifest list, then each manifest, keeping non-deleted entries —
+    * the real Iceberg scan planning path, never a directory listing.
+    */
+  def planFiles(spark: SparkSession, location: String,
+                snapshotId: Option[Long] = None): Seq[Entry] = {
+    val (_, m) = load(spark, location).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $location"))
+    val snap = snapshotId match {
+      case Some(id) => m.snapshots.find(_.id == id).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot $id"))
+      case None => m.snapshots.find(s => m.currentSnapshotId.contains(s.id))
+        .getOrElse(m.snapshots.last)
+    }
+    readManifestList(spark, snap.manifestList)
+      .filter(_.content == 0)
+      .flatMap(ref => readManifest(spark, m, ref.path))
+      .filter(_.status != StDeleted)
+  }
+
+  /** Read a snapshot (default current) back as a DataFrame through the
+    * manifest tree. Old data files predating a schema evolution read
+    * null for added columns (explicit read schema).
+    */
+  def readTable(spark: SparkSession, location: String,
+                snapshotId: Option[Long] = None): DataFrame = {
+    val (_, m) = load(spark, location).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $location"))
+    val snap = snapshotId match {
+      case Some(id) => m.snapshots.find(_.id == id).get
+      case None => m.snapshots.find(s => m.currentSnapshotId.contains(s.id))
+        .getOrElse(m.snapshots.last)
+    }
+    val schema = sparkSchema(m.schemaAt(snap.schemaId))
+    val files = planFiles(spark, location, Some(snap.id)).map(_.path)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** Copy-on-write upsert by `keyCols` (the reference's
+    * identifier_fields; row_operation insert/upsert/delete via
+    * `deleteCol`). Only data files in TOUCHED partitions are read and
+    * rewritten; manifests containing no touched file are carried into
+    * the new manifest list by path. Schema evolution forces a
+    * full-table rewrite (a partition-scoped rewrite cannot backfill
+    * old files).
+    */
+  def upsert(batch: DataFrame, location: String, keyCols: Seq[String],
+             partitionCols: Seq[String] = Nil,
+             deleteCol: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    require(keyCols.nonEmpty, "upsert needs identifier_fields")
+    val prior = load(spark, location)
+    val inserts = deleteCol match {
+      case Some(c) => batch.filter(!coalesce(col(c), lit(false))).drop(c)
+      case None => batch
+    }
+    if (prior.isEmpty) { append(inserts, location, partitionCols); return }
+    val (_, m) = prior.get
+    val schema = m.schema
+    val specNames = m.specFields.map(_.name)
+    val newCols = inserts.schema.fields.filterNot(f => schema.exists(_.name == f.name))
+
+    val deleteKeys = deleteCol.map(c =>
+      batch.filter(coalesce(col(c), lit(false))).select(keyCols.map(col): _*))
+    val typed = (c: String) => {
+      val t = toSpark(schema.find(_.name == c).get.typ)
+      col(c).cast(t).as(c)
+    }
+    val insKeys = inserts.select(keyCols.map(typed): _*)
+    val touchedKeys = deleteKeys
+      .map(dk => insKeys.unionByName(dk.select(keyCols.map(typed): _*)))
+      .getOrElse(insKeys).distinct()
+
+    // snapshot state before the new files land
+    val snap = m.snapshots.find(s => m.currentSnapshotId.contains(s.id)).get
+    val refs = readManifestList(spark, snap.manifestList).filter(_.content == 0)
+    val byManifest = refs.map(r => r -> readManifest(spark, m, r.path)
+      .filter(_.status != StDeleted))
+
+    // touched partition tuples (null = every file touched)
+    val touchedParts: Option[Set[Seq[Any]]] =
+      if (specNames.isEmpty || newCols.nonEmpty) None
+      else {
+        val batchParts = batch.select(specNames.map(typed): _*).distinct()
+        val all =
+          if (specNames.forall(keyCols.contains)) batchParts
+          else {
+            // keys may move between partitions: column-pruned scan of
+            // (keys, partition cols) over live files, semi-joined
+            // against the broadcast batch keys
+            val live = byManifest.flatMap(_._2).map(_.path)
+            if (live.isEmpty) batchParts
+            else {
+              val cur = spark.read.schema(sparkSchema(schema)).parquet(live: _*)
+                .select((keyCols ++ specNames).distinct.map(col): _*)
+                .join(broadcast(touchedKeys), keyCols, "left_semi")
+                .select(specNames.map(col): _*)
+              batchParts.unionByName(cur).distinct()
+            }
+          }
+        // bounded by partition count, same contract as Lakehouse.prunedMerge
+        Some(all.collect().map(r => specNames.indices.map(i =>
+          partKeyOf(r.get(i))).toSeq).toSet)
+      }
+    def isTouched(e: Entry): Boolean = touchedParts match {
+      case None => true
+      case Some(set) => set(e.partition.map(partKeyOf))
+    }
+
+    val (touchedPairs, untouchedRefs) = {
+      val t = byManifest.filter { case (_, es) => es.exists(isTouched) }
+      val u = byManifest.filterNot { case (_, es) => es.exists(isTouched) }.map(_._1)
+      (t, u)
+    }
+    val touchedFiles = touchedPairs.flatMap(_._2).filter(isTouched)
+    val keptEntries = touchedPairs.flatMap(_._2).filterNot(isTouched)
+      .map(_.copy(status = StExisting))
+
+    // merged rows for the touched region
+    val tSchema = sparkSchema(schema)
+    val current =
+      if (touchedFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tSchema)
+      else spark.read.schema(tSchema).parquet(touchedFiles.map(_.path): _*)
+    val evolvedCols = schema.map(f => col(f.name)) ++
+      newCols.map(f => lit(null).cast(f.dataType).as(f.name))
+    val aligned = inserts.select((schema.map(f =>
+      (if (inserts.columns.contains(f.name)) col(f.name).cast(toSpark(f.typ))
+       else lit(null).cast(toSpark(f.typ))).as(f.name)) ++
+      newCols.map(f => col(f.name))): _*)
+    val merged = current.select(evolvedCols: _*)
+      .join(broadcast(touchedKeys), keyCols, "left_anti")
+      .select(aligned.columns.map(col).toIndexedSeq: _*)
+      .unionByName(aligned)
+
+    val deletes = touchedFiles.map(_.copy(status = StDeleted))
+    commitSnapshot(merged, location, Nil,
+      operation = if (inserts.isEmpty) "delete" else "overwrite",
+      replaceEntries = deletes ++ keptEntries,
+      carried = untouchedRefs, priorState = prior)
+  }
+
+  /** Normalize avro/jvm representations so partition tuples compare. */
+  private def partKeyOf(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case i: java.lang.Integer => i.longValue: java.lang.Long
+    case b: java.lang.Byte => b.longValue: java.lang.Long
+    case s: java.lang.Short => s.longValue: java.lang.Long
+    case d: java.sql.Date => d.toLocalDate.toEpochDay: java.lang.Long
+    case d: java.time.LocalDate => d.toEpochDay: java.lang.Long
+    case other => other
+  }
+
+  /** Replace the whole table in one overwrite snapshot. */
+  def overwrite(df: DataFrame, location: String,
+                partitionCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val prior = load(spark, location)
+    prior match {
+      case None => append(df, location, partitionCols)
+      case Some((_, m)) =>
+        val snap = m.snapshots.find(s => m.currentSnapshotId.contains(s.id)).get
+        val deletes = readManifestList(spark, snap.manifestList)
+          .filter(_.content == 0)
+          .flatMap(r => readManifest(spark, m, r.path))
+          .filter(_.status != StDeleted)
+          .map(_.copy(status = StDeleted))
+        commitSnapshot(df, location, Nil, "overwrite",
+          replaceEntries = deletes, priorState = prior)
+    }
+  }
+
+  /** Streaming form: each micro-batch is one upsert commit (one
+    * snapshot per batch, never coalesced — committer.go:99).
+    */
+  def upsertStream(df: DataFrame, location: String, keyCols: Seq[String],
+                   checkpoint: String, partitionCols: Seq[String] = Nil,
+                   deleteCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        upsert(b, location, keyCols, partitionCols, deleteCol)
+      }
+      .start()
+}
