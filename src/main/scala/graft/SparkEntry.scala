@@ -1955,6 +1955,61 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "p_mongo_cdc" -> ((s, d) => {
+      // mongodb_cdc contract (internal/impl/mongodb/cdc/input.go):
+      // snapshot-then-stream over the OP_MSG change-stream protocol.
+      // Read #1 bucket-shards the seeded collection into a parallel
+      // snapshot and checkpoints the post-batch resume token; a
+      // recorded workload (inserts / $set+$inc updates / deletes) runs
+      // AFTER the checkpoint; read #2 resumes from the token and
+      // streams exactly the workload events. Snapshot + stream fold to
+      // relational state ordered by the events' cluster-time seq.
+      import graft.sources.{Mongo, MongoCdc}
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val name = "cdcgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = Mongo.named(name)
+      def docJson(r: org.apache.spark.sql.Row): String =
+        s"""{"_id":${r.getLong(0)},"cust":${r.getLong(1)},""" +
+          s""""status":"${r.getString(2)}","price":${r.getDouble(3)}}"""
+      // bounded fixture seeds (≤400 rows at sf0.01): the loopback
+      // server is driver-side state, same as every recorded CDC gate
+      val seed = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double")).collect()
+      val more = Tables.orders(s, d)
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1300)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double")).collect()
+      srv.seed("shop", "orders", seed.map(docJson).toSeq)
+      val ckpt = java.nio.file.Files.createTempFile("mongo_cdc", ".json").toString
+      val snapEvents = MongoCdc.read(s, s"mem://$name", "shop",
+        Seq("orders"), snapshotParallelism = 4, checkpointPath = Some(ckpt))
+      val c = Mongo.clientFor(s"mem://$name", "shop")
+      more.grouped(200).foreach(b =>
+        c.insert("orders", b.map(r => mapper.readTree(docJson(r))).toSeq))
+      (seed ++ more).map(_.getLong(0)).filter(_ % 6 == 0).foreach { k =>
+        c.update("orders", mapper.readTree(s"""{"_id":$k}"""),
+          mapper.readTree("""{"$set":{"status":"U"},"$inc":{"price":7.5}}"""))
+      }
+      (seed ++ more).map(_.getLong(0)).filter(_ % 10 == 0).foreach { k =>
+        c.delete("orders", mapper.readTree(s"""{"_id":$k}"""), limit = 1)
+      }
+      c.close()
+      val streamEvents = MongoCdc.read(s, s"mem://$name", "shop",
+        Seq("orders"), checkpointPath = Some(ckpt))
+      val ops = snapEvents.unionByName(streamEvents).select(
+        coalesce(get_json_object(col("doc"), "$._id"), col("key"))
+          .cast("long").as("k"),
+        get_json_object(col("doc"), "$.cust").cast("long").as("cust"),
+        get_json_object(col("doc"), "$.status").as("status"),
+        get_json_object(col("doc"), "$.price").cast("double").as("price"),
+        when(col("operation") === "delete", "d")
+          .when(col("operation").isin("update", "replace"), "u")
+          .otherwise("c").as("__op"),
+        col("seq").as("__ts_ms"))
+      sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
+    }),
+
     "p_lakehouse_upsert" -> ((s, d) => {
       // iceberg-shaped sink contract (output_iceberg.go row_operation
       // upsert + schema evolution): snapshot write, then a second batch
@@ -3915,6 +3970,16 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 1500 AND o_orderkey % 11 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "p_mongo_cdc" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(o_totalprice AS DOUBLE) +
+        |    CASE WHEN o_orderkey % 6 = 0 THEN 7.5 ELSE 0.0 END AS price
+        |FROM orders
+        |WHERE o_orderkey < 1300 AND o_orderkey % 10 <> 0
+        |ORDER BY k""".stripMargin,
 
     "p_kafka_roundtrip" ->
       """SELECT doc_id,

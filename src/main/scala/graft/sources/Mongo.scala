@@ -437,6 +437,67 @@ object Mongo {
     private val cursors = TrieMap.empty[Long, Cursor]
     private val cursorIds = new java.util.concurrent.atomic.AtomicLong(1000)
 
+    // ── change-stream oplog (mongodb_cdc): every post-seed mutation
+    // appends one event with a monotonically increasing resume token;
+    // $changeStream cursors replay from a token and stay open ──
+    private val oplog = scala.collection.mutable.ArrayBuffer.empty[ObjectNode]
+    private val opSeq = new java.util.concurrent.atomic.AtomicLong(0)
+    private final case class StreamCursor(db: String, coll: String,
+                                          var afterSeq: Long)
+    private val streamCursors = TrieMap.empty[Long, StreamCursor]
+
+    private def hexToken(seq: Long): ObjectNode = {
+      val t = mapper.createObjectNode(); t.put("_data", f"$seq%016x"); t
+    }
+
+    private def recordEvent(db: String, coll: String, op: String,
+                            key: JsonNode, full: Option[JsonNode]): Unit = {
+      val seq = opSeq.incrementAndGet()
+      val e = mapper.createObjectNode()
+      e.set[JsonNode]("_id", hexToken(seq))
+      e.put("operationType", op)
+      e.put("clusterTime", seq)
+      val ns = e.putObject("ns"); ns.put("db", db); ns.put("coll", coll)
+      if (key != null) {
+        val dk = e.putObject("documentKey")
+        dk.set[JsonNode]("_id", key)
+        ()
+      }
+      full.foreach(f => { e.set[JsonNode]("fullDocument", f); () })
+      oplog.synchronized { oplog += e }
+      ()
+    }
+
+    /** Next batch for a change-stream cursor; advances the cursor past
+      * everything scanned (matched or not) so the post-batch resume
+      * token always moves forward, like a real server's PBRT.
+      */
+    private def drainStream(sc: StreamCursor,
+                            batchSize: Int): Vector[ObjectNode] =
+      oplog.synchronized {
+        val evs = oplog.iterator
+          .filter(e => e.get("clusterTime").asLong > sc.afterSeq)
+          .filter(e => e.at("/ns/db").asText == sc.db &&
+            (sc.coll == "*" || e.at("/ns/coll").asText == sc.coll))
+          .take(batchSize).toVector
+        sc.afterSeq =
+          if (evs.size == batchSize) evs.last.get("clusterTime").asLong
+          else opSeq.get
+        evs
+      }
+
+    private def streamCursorResponse(id: Long, sc: StreamCursor,
+                                     batch: Vector[ObjectNode],
+                                     field: String): ObjectNode = {
+      val c = mapper.createObjectNode()
+      c.put("id", id) // change-stream cursors never close on their own
+      c.put("ns", s"${sc.db}.${sc.coll}")
+      val arr = c.putArray(field)
+      batch.foreach(d => { arr.add(d); () })
+      c.set[JsonNode]("postBatchResumeToken", hexToken(sc.afterSeq))
+      ok("cursor" -> c)
+    }
+
     private val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     @volatile private var running = true
@@ -509,12 +570,15 @@ object Mongo {
           ok("maxWireVersion" -> num(17), "minWireVersion" -> num(0))
         case "ping" => ok()
         case "insert" =>
-          val key = s"$db.${cmd.get("insert").asText}"
+          val collName = cmd.get("insert").asText
+          val key = s"$db.$collName"
           val docs = cmd.path("documents").elements().asScala
             .map(withId).toVector
           colls.synchronized {
             colls(key) = colls.getOrElse(key, Vector.empty) ++ docs
           }
+          docs.foreach(d =>
+            recordEvent(db, collName, "insert", d.get("_id"), Some(d)))
           ok("n" -> num(docs.size))
         case "find" =>
           val key = s"$db.${cmd.get("find").asText}"
@@ -528,6 +592,12 @@ object Mongo {
             "firstBatch")
         case "getMore" =>
           val id = cmd.get("getMore").asLong
+          streamCursors.get(id) match {
+            case Some(sc) =>
+              return streamCursorResponse(id, sc,
+                drainStream(sc, cmd.path("batchSize").asInt(101)), "nextBatch")
+            case None => ()
+          }
           cursors.get(id) match {
             case None => err(s"cursor id $id not found")
             case Some(cur) => cur.synchronized {
@@ -544,7 +614,8 @@ object Mongo {
             }
           }
         case "update" =>
-          val key = s"$db.${cmd.get("update").asText}"
+          val collName = cmd.get("update").asText
+          val key = s"$db.$collName"
           var n = 0; var modified = 0; var upserted = 0
           colls.synchronized {
             var cur = colls.getOrElse(key, Vector.empty)
@@ -552,16 +623,25 @@ object Mongo {
               val q = u.path("q")
               val newDoc = u.path("u")
               val multi = u.path("multi").asBoolean(false)
+              // whole-document replace (no $-operators) → "replace"
+              val isReplace = !newDoc.properties().asScala
+                .exists(_.getKey.startsWith("$"))
               val idxs = cur.zipWithIndex
                 .filter { case (d, _) => matches(d, q) }
                 .map(_._2)
               val hit = if (multi) idxs else idxs.take(1)
               if (hit.isEmpty && u.path("upsert").asBoolean(false)) {
-                cur = cur :+ withId(applyUpdate(
-                  mapper.createObjectNode(), newDoc))
+                val nd = withId(applyUpdate(mapper.createObjectNode(), newDoc))
+                cur = cur :+ nd
+                recordEvent(db, collName, "insert", nd.get("_id"), Some(nd))
                 n += 1; upserted += 1
               } else hit.foreach { i =>
-                cur = cur.updated(i, applyUpdate(cur(i), newDoc))
+                val nd = applyUpdate(cur(i), newDoc)
+                cur = cur.updated(i, nd)
+                // update_lookup document mode: post-image attached
+                recordEvent(db, collName,
+                  if (isReplace) "replace" else "update",
+                  nd.get("_id"), Some(nd))
                 n += 1; modified += 1
               }
             }
@@ -569,7 +649,8 @@ object Mongo {
           }
           ok("n" -> num(n), "nModified" -> num(modified))
         case "delete" =>
-          val key = s"$db.${cmd.get("delete").asText}"
+          val collName = cmd.get("delete").asText
+          val key = s"$db.$collName"
           var n = 0
           colls.synchronized {
             var cur = colls.getOrElse(key, Vector.empty)
@@ -578,6 +659,8 @@ object Mongo {
               val limit = d.path("limit").asInt(0)
               val (hit, keep) = cur.partition(matches(_, q))
               val removed = if (limit == 1) hit.take(1) else hit
+              removed.foreach(r =>
+                recordEvent(db, collName, "delete", r.get("_id"), None))
               n += removed.size
               cur = keep ++ hit.drop(removed.size)
             }
@@ -585,9 +668,28 @@ object Mongo {
           }
           ok("n" -> num(n))
         case "aggregate" =>
-          val key = s"$db.${cmd.get("aggregate").asText}"
+          val collName = cmd.get("aggregate").asText
+          val key = s"$db.$collName"
+          val stages = cmd.path("pipeline").elements().asScala.toVector
+          // $changeStream must be the first stage (server-enforced in
+          // real mongod too): open a resumable stream cursor
+          if (stages.headOption.exists(_.has("$changeStream"))) {
+            val cs = stages.head.get("$changeStream")
+            val after: Long =
+              if (cs.hasNonNull("resumeAfter"))
+                java.lang.Long.parseLong(
+                  cs.at("/resumeAfter/_data").asText, 16)
+              else if (cs.hasNonNull("startAtOperationTime"))
+                cs.get("startAtOperationTime").asLong - 1
+              else opSeq.get // "now"
+            val sc = StreamCursor(db, collName, after)
+            val id = cursorIds.incrementAndGet()
+            streamCursors(id) = sc
+            return streamCursorResponse(id, sc,
+              drainStream(sc, cmd.path("batchSize").asInt(101)), "firstBatch")
+          }
           var docs: Vector[JsonNode] = colls.getOrElse(key, Vector.empty)
-          cmd.path("pipeline").elements().asScala.foreach { stage =>
+          stages.foreach { stage =>
             val op = stage.properties().asScala.head.getKey
             op match {
               case "$match" =>
@@ -604,10 +706,43 @@ object Mongo {
                   }
                   o
                 }
+              case "$bucketAuto" =>
+                // snapshot_auto_bucket_sharding (cdc/input.go): split
+                // the collection into near-equal ranges by the groupBy
+                // key. Each bucket reports its own chunk's min/max —
+                // exact ranges here since _id values are unique
+                val spec = stage.get("$bucketAuto")
+                val gb = spec.get("groupBy").asText.stripPrefix("$")
+                val nb = math.max(1, spec.get("buckets").asInt)
+                val sortSpec = mapper.createObjectNode(); sortSpec.put(gb, 1)
+                val sorted = sortDocs(docs, sortSpec)
+                val per = math.max(1, (sorted.size + nb - 1) / nb)
+                docs = sorted.grouped(per).map { chunk =>
+                  val b = mapper.createObjectNode()
+                  val bid = b.putObject("_id")
+                  bid.set[JsonNode]("min", chunk.head.path(gb))
+                  bid.set[JsonNode]("max", chunk.last.path(gb))
+                  b.put("count", chunk.size)
+                  b: JsonNode
+                }.toVector
               case other => return err(s"unsupported stage $other")
             }
           }
           respondCursor(key, docs, Int.MaxValue, "firstBatch")
+        case "collStats" =>
+          val ds = colls.getOrElse(s"$db.${cmd.get("collStats").asText}",
+            Vector.empty)
+          ok("size" -> num(ds.map(_.toString.length).sum),
+            "count" -> num(ds.size))
+        case "drop" =>
+          // collection drop invalidates open change streams: the real
+          // server emits `drop` then `invalidate` (cdc/input.go handles
+          // the invalidate by resetting its resume token)
+          val collName = cmd.get("drop").asText
+          colls.remove(s"$db.$collName")
+          recordEvent(db, collName, "drop", null, None)
+          recordEvent(db, collName, "invalidate", null, None)
+          ok()
         case other => err(s"no such command: '$other'")
       }
     }
