@@ -3431,6 +3431,100 @@ object SparkEntry {
       Tables.documents(s, d).orderBy(col("doc_id"))
         .select(col("doc_id"), T.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    "p_openai_embeddings" -> ((s, d) => {
+      // openai_embeddings named form (openai_embeddings.adoc:26) over
+      // the REAL /v1/embeddings wire shape: bearer-authed loopback
+      // server answers with the md5 kernel, deliberately REVERSING the
+      // data[] order — the gate only matches if the client re-aligns
+      // by the `index` field (the documented contract)
+      import graft.operators.{AiApis, Embeddings}
+      val srv = new AiApis.Server(apiKey = Some("sk-test"))
+      Embeddings.embedBatched(
+          Tables.documents(s, d)
+            .filter(col("doc_id") < 100 && length(col("text")) > 0)
+            .select(col("doc_id"), col("text")),
+          "text", "embedding", 16,
+          AiApis.openAiEmbeddings(srv.baseUrl, "sk-test",
+            "text-embedding-3-small", 8))
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_bedrock_embeddings" -> ((s, d) => {
+      // aws_bedrock_embeddings (Titan invoke shape): every request is
+      // SigV4-signed and the loopback server re-derives the signature
+      // before answering — a broken signing chain fails the whole gate
+      import graft.operators.{AiApis, Embeddings}
+      import graft.sources.S3.Credentials
+      val srv = new AiApis.Server(creds = Credentials("AKGATE", "SKGATE"))
+      Embeddings.embedBatched(
+          Tables.documents(s, d)
+            .filter(col("doc_id") >= 100 && col("doc_id") < 200 &&
+              length(col("text")) > 0)
+            .select(col("doc_id"), col("text")),
+          "text", "embedding", 16,
+          AiApis.bedrockEmbeddings(srv.baseUrl,
+            Credentials("AKGATE", "SKGATE"), "amazon.titan-embed", 8))
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_vertex_embeddings" -> ((s, d) => {
+      // gcp_vertex_ai_embeddings: instances[].content → predictions[]
+      // .embeddings.values over the :predict endpoint
+      import graft.operators.{AiApis, Embeddings}
+      val srv = new AiApis.Server(apiKey = Some("gcp-token"))
+      Embeddings.embedBatched(
+          Tables.documents(s, d)
+            .filter(col("doc_id") >= 200 && col("doc_id") < 300 &&
+              length(col("text")) > 0)
+            .select(col("doc_id"), col("text")),
+          "text", "embedding", 16,
+          AiApis.vertexEmbeddings(srv.baseUrl, "proj", "us-central1",
+            "text-embedding-005", 8, "gcp-token"))
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_ollama_chat" -> ((s, d) => {
+      // ollama_chat named form over the real /api/chat shape; the
+      // loopback answers the SQL-reproducible md5 digest
+      import graft.operators.{Ai, AiApis}
+      val srv = new AiApis.Server()
+      Ai.chatCompletion(
+          Tables.documents(s, d).filter(col("doc_id") < 150)
+            .select(col("doc_id"), col("text")),
+          "text", "reply", 16,
+          AiApis.ollamaChat(srv.baseUrl, "llama3"))
+        .select(col("doc_id"), col("reply"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_cohere_rerank" -> ((s, d) => {
+      // cohere_rerank over the real /v1/rerank shape: the loopback
+      // scores with the SAME lexical formula as Ai.lexicalScore, so
+      // the oracle reproduces scores and ranks in SQL. Candidate set
+      // bounded (doc_id < 300) — rerank inputs are top-k shortlists
+      import graft.operators.AiApis
+      val srv = new AiApis.Server(apiKey = Some("co-test"))
+      val q = "data pipeline processing engine"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect() // bounded candidate shortlist (the rerank contract)
+      val ranked = AiApis.cohereRerank(srv.baseUrl, "co-test",
+        "rerank-v3", q, docs.map(_.getString(1)).toSeq, 5)
+      import s.implicits._
+      ranked.zipWithIndex.map { case ((idx, score), pos) =>
+        (docs(idx).getLong(0), pos + 1, math.rint(score * 1e6) / 1e6)
+      }.toSeq.toDF("doc_id", "rank", "score").orderBy(col("rank"))
+    }),
+
     "m_embed_batch" -> ((s, d) =>
       // batched embedding generation, oracle-gated: the md5 stub batcher
       // is SQL-reproducible, so the gate catches any per-row
@@ -3810,6 +3904,57 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, score FROM ranked WHERE rank <= 5
         |ORDER BY rank""".stripMargin,
+
+    "p_cohere_rerank" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    ROUND(CAST(LEN(list_intersect(
+        |      ['data','pipeline','processing','engine'],
+        |      list_distinct(LIST_FILTER(
+        |        regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\f\r]+'),
+        |        t -> LEN(t) > 0)))) AS DOUBLE) / 4.0, 6) AS score
+        |  FROM documents WHERE doc_id < 300),
+        |ranked AS (
+        |  SELECT doc_id, score,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, text) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, score FROM ranked WHERE rank <= 5
+        |ORDER BY rank""".stripMargin,
+
+    "p_openai_embeddings" ->
+      """SELECT doc_id,
+        |  ROUND(CAST(CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+        |      k -> (STRPOS('0123456789abcdef',
+        |              SUBSTR(SUBSTR(MD5(text || ':0'), 25, 8), CAST(k AS INT), 1)) - 1)
+        |        * POW(16, 8 - k))) / 4294967295.0 AS REAL) AS DOUBLE), 6) AS e0,
+        |  8 AS dim
+        |FROM documents WHERE doc_id < 100 AND LEN(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_bedrock_embeddings" ->
+      """SELECT doc_id,
+        |  ROUND(CAST(CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+        |      k -> (STRPOS('0123456789abcdef',
+        |              SUBSTR(SUBSTR(MD5(text || ':0'), 25, 8), CAST(k AS INT), 1)) - 1)
+        |        * POW(16, 8 - k))) / 4294967295.0 AS REAL) AS DOUBLE), 6) AS e0,
+        |  8 AS dim
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 200 AND LEN(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_vertex_embeddings" ->
+      """SELECT doc_id,
+        |  ROUND(CAST(CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+        |      k -> (STRPOS('0123456789abcdef',
+        |              SUBSTR(SUBSTR(MD5(text || ':0'), 25, 8), CAST(k AS INT), 1)) - 1)
+        |        * POW(16, 8 - k))) / 4294967295.0 AS REAL) AS DOUBLE), 6) AS e0,
+        |  8 AS dim
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 300 AND LEN(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_ollama_chat" ->
+      """SELECT doc_id, 'echo:' || SUBSTR(MD5(text), 1, 8) AS reply
+        |FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
 
     "p_javascript" ->
       """SELECT o_orderkey,

@@ -1530,7 +1530,7 @@ object Pipeline {
   */
 object Processors {
 
-  import graft.operators.{Ai, Command, FlowControl, Grok, Http, JavaScript, Sentry}
+  import graft.operators.{Ai, Command, Embeddings, FlowControl, Grok, Http, JavaScript, Sentry}
   import graft.functions.{CodecFunctions, TextFunctions}
 
   def compile(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame = {
@@ -2473,19 +2473,163 @@ object Processors {
 
       case "openai_chat_completion" | "ollama_chat" | "cohere_chat" |
            "aws_bedrock_chat" | "gcp_vertex_ai_chat" =>
-        // cloud chat processors — batched pluggable client; the default
-        // deterministic echo client stands in for the remote model
+        // cloud chat processors — batched pluggable client. With a
+        // base_url/server_address each name speaks its service's REAL
+        // wire shape (AiApis; loopback servers in tests); without one,
+        // the deterministic echo client stands in for the remote model
         // (openai_chat_completion.adoc:26; clients are injectable)
         val promptTpl = body.path("prompt").asText("${! content() }")
         val batchSize = body.path("batch_size").asInt(16)
+        val base = aiBaseUrl(body)
+        val model = body.path("model").asText("default")
+        val client: Ai.ChatClient =
+          if (base.isEmpty) Ai.echoClient
+          else kind match {
+            case "openai_chat_completion" =>
+              graft.operators.AiApis.openAiChat(base, aiApiKey(body), model)
+            case "ollama_chat" =>
+              graft.operators.AiApis.ollamaChat(base, model)
+            case "cohere_chat" =>
+              graft.operators.AiApis.cohereChat(base, aiApiKey(body), model)
+            case "aws_bedrock_chat" =>
+              graft.operators.AiApis.bedrockChat(base, awsCredsOf(body), model)
+            case _ => // gcp_vertex_ai_chat rides the openai-compatible
+              // chat surface Vertex publishes for its endpoints
+              graft.operators.AiApis.openAiChat(base, aiApiKey(body), model)
+          }
         df => {
           val d = df.withColumn("__prompt",
             Blobl.interpolateJson(df, promptTpl, env, metadataCol = metaColOf(df)))
           Ai.chatCompletion(d, "__prompt", "__completion", batchSize,
-              Ai.echoClient)
+              client)
             .withColumn("value", col("__completion"))
             .drop("__prompt", "__completion")
         }
+
+      case "openai_embeddings" | "ollama_embeddings" | "cohere_embeddings" |
+           "aws_bedrock_embeddings" | "gcp_vertex_ai_embeddings" =>
+        // named embedding variants (openai_embeddings.adoc:26 et al.):
+        // each speaks its service's documented REST shape; the message
+        // becomes the JSON vector (the reference replaces the payload
+        // with the embedding). No base_url → deterministic offline
+        // md5 batcher (NOT a model), so configs stay compilable
+        val tpl = body.path("text_mapping").asText(
+          body.path("prompt").asText("${! content() }"))
+        val batchSize = body.path("batch_size").asInt(16)
+        val dims = body.path("dimensions").asInt(8)
+        val base = aiBaseUrl(body)
+        val model = body.path("model").asText("embed-default")
+        val batcher: Embeddings.Batcher =
+          if (base.isEmpty) graft.operators.AiApis.offlineEmbeddings(dims)
+          else kind match {
+            case "openai_embeddings" =>
+              graft.operators.AiApis.openAiEmbeddings(base, aiApiKey(body),
+                model, dims)
+            case "ollama_embeddings" =>
+              graft.operators.AiApis.ollamaEmbeddings(base, model, dims)
+            case "cohere_embeddings" =>
+              graft.operators.AiApis.cohereEmbeddings(base, aiApiKey(body),
+                model, dims)
+            case "aws_bedrock_embeddings" =>
+              graft.operators.AiApis.bedrockEmbeddings(base,
+                awsCredsOf(body), model, dims)
+            case _ =>
+              graft.operators.AiApis.vertexEmbeddings(base,
+                body.path("project").asText("proj"),
+                body.path("location").asText("us-central1"), model, dims,
+                aiApiKey(body))
+          }
+        df => {
+          val d = df.withColumn("__prompt",
+            Blobl.interpolateJson(df, tpl, env, metadataCol = metaColOf(df)))
+          Embeddings.embedBatched(d, "__prompt", "__vec", batchSize, batcher)
+            .withColumn("value", to_json(col("__vec")))
+            .drop("__prompt", "__vec")
+        }
+
+      case "openai_moderation" | "ollama_moderation" =>
+        // moderation: the verdict lands in metadata (`moderation_
+        // flagged`), the payload passes through unchanged
+        val tpl = body.path("text_mapping").asText("${! content() }")
+        val base = aiBaseUrl(body)
+        val client: Ai.ChatClient =
+          if (base.isEmpty) graft.operators.AiApis.offlineModeration
+          else if (kind == "openai_moderation")
+            graft.operators.AiApis.openAiModeration(base, aiApiKey(body))
+          else graft.operators.AiApis.ollamaModeration(base,
+            body.path("model").asText("llama-guard3"))
+        df => {
+          val d = df.withColumn("__mtext",
+            Blobl.interpolateJson(df, tpl, env, metadataCol = metaColOf(df)))
+          val flagged = Ai.chatCompletion(d, "__mtext", "__flag",
+            body.path("batch_size").asInt(32), client)
+          tagMeta(flagged, "moderation_flagged", col("__flag"))
+            .drop("__mtext", "__flag")
+        }
+
+      case "openai_image_generation" =>
+        // prompt → base64 PNG payload (images/generations b64_json)
+        val tpl = body.path("prompt").asText("${! content() }")
+        val base = aiBaseUrl(body)
+        val client: Ai.ChatClient =
+          if (base.isEmpty)
+            prompts => prompts.map(p => java.util.Base64.getEncoder
+              .encodeToString(graft.operators.AiApis.imagePng(p, 16, 16)))
+          else graft.operators.AiApis.openAiImage(base, aiApiKey(body),
+            body.path("model").asText("image-default"),
+            body.path("size").asText("16x16"))
+        df => {
+          val d = df.withColumn("__prompt",
+            Blobl.interpolateJson(df, tpl, env, metadataCol = metaColOf(df)))
+          Ai.chatCompletion(d, "__prompt", "__img", 1, client)
+            .withColumn("value", col("__img"))
+            .drop("__prompt", "__img")
+        }
+
+      case "openai_speech" =>
+        // text → base64 audio payload (audio/speech returns raw bytes)
+        val tpl = body.path("input").asText("${! content() }")
+        val base = aiBaseUrl(body)
+        val voice = body.path("voice").asText("alloy")
+        val client: Ai.ChatClient =
+          if (base.isEmpty)
+            texts => texts.map(t => java.util.Base64.getEncoder
+              .encodeToString(graft.operators.AiApis.speechAudio(t, voice)))
+          else graft.operators.AiApis.openAiSpeech(base, aiApiKey(body),
+            body.path("model").asText("tts-default"), voice)
+        df => {
+          val d = df.withColumn("__in",
+            Blobl.interpolateJson(df, tpl, env, metadataCol = metaColOf(df)))
+          Ai.chatCompletion(d, "__in", "__audio", 1, client)
+            .withColumn("value", col("__audio"))
+            .drop("__in", "__audio")
+        }
+
+      case "openai_transcription" | "openai_translation" =>
+        // base64 audio in the message → multipart upload → text
+        val base = aiBaseUrl(body)
+        val endpoint =
+          if (kind == "openai_translation") "translations"
+          else "transcriptions"
+        val client: Ai.ChatClient =
+          if (base.isEmpty)
+            b64s => b64s.map { b =>
+              val audio = java.util.Base64.getDecoder.decode(b)
+              val t = graft.operators.AiApis.transcript(audio)
+              if (endpoint == "translations") "en:" + t else t
+            }
+          else graft.operators.AiApis.openAiAudioToText(base, aiApiKey(body),
+            body.path("model").asText("whisper-default"), endpoint)
+        df => Ai.chatCompletion(df.withColumn("__b64", col("value")),
+            "__b64", "__text", 1, client)
+          .withColumn("value", col("__text"))
+          .drop("__b64", "__text")
+
+      case "cohere_rerank" =>
+        throw new IllegalArgumentException(
+          "cohere_rerank runs as a topology-level operator (Ai.rerank / " +
+            "AiApis.cohereRerank), not a per-message processor: reranking " +
+            "needs the whole candidate set — see the s_* rerank gates")
 
       case other if EnvBlocked(other) =>
         throw new IllegalArgumentException(
@@ -2504,11 +2648,25 @@ object Processors {
     "nats_request_reply", "jira", "slack_thread", "qdrant",
     "wasm", "ffi",
     "redpanda_data_transform",
-    "sync_response", "awk",
-    "openai_embeddings", "openai_image_generation", "openai_speech",
-    "openai_transcription", "openai_translation", "openai_moderation",
-    "ollama_embeddings", "ollama_moderation", "cohere_embeddings",
-    "cohere_rerank", "aws_bedrock_embeddings", "gcp_vertex_ai_embeddings")
+    "sync_response", "awk")
+
+  /** AI endpoint knobs shared by the named processor variants:
+    * `base_url` (graft-level; loopback servers in tests — the real
+    * cloud endpoints are egress-blocked here) with the reference's
+    * `server_address` accepted as an alias, bearer `api_key`, and AWS
+    * credentials for the SigV4-signed Bedrock forms.
+    */
+  private def aiBaseUrl(body: JsonNode): String =
+    body.path("base_url").asText(body.path("server_address").asText(""))
+      .stripSuffix("/")
+  private def aiApiKey(body: JsonNode): String =
+    body.path("api_key").asText("test-key")
+  private def awsCredsOf(body: JsonNode): graft.sources.S3.Credentials =
+    graft.sources.S3.Credentials(
+      body.at("/credentials/id").asText(body.path("access_key").asText("AK")),
+      body.at("/credentials/secret").asText(
+        body.path("secret_key").asText("SK")),
+      body.path("region").asText("us-east-1"))
 
   private def children(n: JsonNode, env: Map[String, String]): DataFrame => DataFrame =
     Option(n).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
