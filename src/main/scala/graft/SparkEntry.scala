@@ -2010,6 +2010,67 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_dynamodb_cdc" -> ((s, d) => {
+      // aws_dynamodb_cdc contract (internal/impl/aws/dynamodb/
+      // input_cdc.go): segmented parallel Scan snapshot, then
+      // INSERT/MODIFY/REMOVE stream records across a mid-workload
+      // RE-SHARD (parent shards exhausted before children), per-shard
+      // checkpoint resume, every request SigV4-signed and
+      // server-verified. Snapshot + stream fold to relational state.
+      import graft.sources.{AwsApi, DynamoCdc}
+      import graft.sources.S3.Credentials
+      val creds = Credentials("AKGATE", "SKGATE")
+      val name = "ddbgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = DynamoCdc.register(name, creds)
+      val client = DynamoCdc.resolveClient(s"mem://$name")
+      def signed(target: String, body: String): Unit = {
+        val r = AwsApi.signedPost(client, s"mem://$name", creds, "dynamodb",
+          "/", body, Map("X-Amz-Target" -> s"DynamoDB_20120810.$target",
+            "Content-Type" -> "application/x-amz-json-1.0"))
+        require(r.status == 200, s"$target: ${r.body}")
+      }
+      // bounded fixture seeds (≤400 rows at sf0.01)
+      val seed = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double")).collect()
+      val more = Tables.orders(s, d)
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1300)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double")).collect()
+      seed.foreach(r => srv.seed(s"""{"N":"${r.getLong(0)}"}""", Map(
+        "k" -> r.getLong(0), "cust" -> r.getLong(1),
+        "status" -> r.getString(2), "price" -> r.getDouble(3))))
+      val ck = java.nio.file.Files.createTempFile("ddb_cdc", ".json").toString
+      val snapEvents = DynamoCdc.read(s, s"mem://$name", creds, "orders",
+        snapshotSegments = 4, checkpointPath = Some(ck))
+      more.foreach(r => signed("PutItem",
+        s"""{"TableName":"orders","Item":{"k":{"N":"${r.getLong(0)}"},""" +
+          s""""cust":{"N":"${r.getLong(1)}"},"status":{"S":"${r.getString(2)}"},""" +
+          s""""price":{"N":"${r.getDouble(3)}"}}}"""))
+      srv.rotateShards(2) // re-shard mid-workload: lineage must hold
+      (seed ++ more).map(_.getLong(0)).filter(_ % 7 == 0).foreach(k =>
+        signed("UpdateItem",
+          s"""{"TableName":"orders","Key":{"k":{"N":"$k"}},"AttributeUpdates":{""" +
+            s""""status":{"Action":"PUT","Value":{"S":"U"}},""" +
+            s""""price":{"Action":"ADD","Value":{"N":"5.25"}}}}"""))
+      (seed ++ more).map(_.getLong(0)).filter(_ % 9 == 0).foreach(k =>
+        signed("DeleteItem",
+          s"""{"TableName":"orders","Key":{"k":{"N":"$k"}}}"""))
+      val streamEvents = DynamoCdc.read(s, s"mem://$name", creds, "orders",
+        checkpointPath = Some(ck))
+      val ops = snapEvents.unionByName(streamEvents).select(
+        coalesce(get_json_object(col("newImage"), "$.k"),
+          get_json_object(col("keys"), "$.k")).cast("long").as("k"),
+        get_json_object(col("newImage"), "$.cust").cast("long").as("cust"),
+        get_json_object(col("newImage"), "$.status").as("status"),
+        get_json_object(col("newImage"), "$.price").cast("double").as("price"),
+        when(col("operation") === "REMOVE", "d")
+          .when(col("operation") === "MODIFY", "u")
+          .otherwise("c").as("__op"),
+        col("seq").as("__ts_ms"))
+      sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
+    }),
+
     "p_lakehouse_upsert" -> ((s, d) => {
       // iceberg-shaped sink contract (output_iceberg.go row_operation
       // upsert + schema evolution): snapshot write, then a second batch
@@ -4124,6 +4185,16 @@ object SparkEntry {
         |    CASE WHEN o_orderkey % 6 = 0 THEN 7.5 ELSE 0.0 END AS price
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 10 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_dynamodb_cdc" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(o_totalprice AS DOUBLE) +
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 5.25 ELSE 0.0 END AS price
+        |FROM orders
+        |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
         |ORDER BY k""".stripMargin,
 
     "p_kafka_roundtrip" ->

@@ -1,0 +1,424 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.operators.Http
+import graft.sources.S3.{Credentials, SigV4}
+
+/** `aws_dynamodb_cdc` input (reference
+  * internal/impl/aws/dynamodb/input_cdc.go, 3,116 LoC — DynamoDB
+  * Streams with shard discovery/lineage, automatic checkpointing, and
+  * a segmented parallel Scan snapshot; the reference rides the AWS
+  * SDK, this speaks the PUBLIC DynamoDB JSON 1.0 protocol:
+  * `DynamoDB_20120810.*` / `DynamoDBStreams_20120810.*` targets,
+  * SigV4-signed and server-verified like the repo's S3/Lambda stack).
+  *
+  * Semantics kept from input_cdc.go:
+  *  - snapshot first (Scan with Segment/TotalSegments — the
+  *    `snapshot_segments` knob), emitted as operation="read" with
+  *    empty shard/sequence metadata (input_cdc.go:164)
+  *  - stream records INSERT/MODIFY/REMOVE with Keys/NewImage/OldImage
+  *  - shard LINEAGE: a parent shard is read to exhaustion before its
+  *    children start (waves of the shard DAG), so per-key order holds
+  *    across re-sharding
+  *  - per-shard checkpoints (sequence numbers) in a JSON file standing
+  *    in for the reference's checkpoint DynamoDB table; restart
+  *    resumes AFTER_SEQUENCE_NUMBER with no replay and no loss
+  *
+  * Scale shape: snapshot segments and the shards of each lineage wave
+  * fan out across Spark tasks, each speaking SigV4 over its own
+  * connection executor-side; only the shard DAG walk (DescribeStream)
+  * and checkpoint write are driver admission.
+  */
+object DynamoCdc {
+
+  private def mapper = new ObjectMapper()
+
+  /** One change/snapshot row. `operation` ∈ read/INSERT/MODIFY/REMOVE;
+    * images are FLATTENED JSON (AttributeValue unwrapped); seq orders
+    * stream records (0 = snapshot).
+    */
+  case class Event(operation: String, keys: String, newImage: String,
+                   oldImage: String, seq: Long, shard: String)
+
+  // ───────────────── AttributeValue JSON helpers ─────────────────
+
+  /** {"S":"x"} → "x", {"N":"1.5"} → 1.5, BOOL/NULL passthrough. */
+  def avToJson(av: JsonNode): JsonNode = {
+    if (av.has("S")) av.get("S")
+    else if (av.has("N")) {
+      val t = av.get("N").asText
+      val d = java.lang.Double.parseDouble(t)
+      if (t.matches("-?\\d+") && d.abs < 9e15)
+        mapper.getNodeFactory.numberNode(t.toLong)
+      else mapper.getNodeFactory.numberNode(d)
+    }
+    else if (av.has("BOOL")) av.get("BOOL")
+    else if (av.has("NULL")) mapper.getNodeFactory.nullNode
+    else throw new IllegalArgumentException(s"unsupported AttributeValue: $av")
+  }
+
+  def itemToJson(item: JsonNode): String = {
+    val o = mapper.createObjectNode()
+    item.properties().asScala.foreach(e =>
+      o.set[JsonNode](e.getKey, avToJson(e.getValue)))
+    o.toString
+  }
+
+  /** Scala value → AttributeValue node. */
+  def toAv(v: Any): ObjectNode = {
+    val o = mapper.createObjectNode()
+    v match {
+      case s: String => o.put("S", s)
+      case n: Long => o.put("N", n.toString)
+      case n: Int => o.put("N", n.toString)
+      case n: Double => o.put("N", n.toString)
+      case b: Boolean => o.put("BOOL", b)
+      case null => o.put("NULL", true)
+      case other => throw new IllegalArgumentException(s"toAv: $other")
+    }
+    o
+  }
+
+  // ──────────────────────── checkpoints ────────────────────────
+
+  private case class Ckpt(snapshotDone: Boolean, shards: Map[String, Long])
+
+  private def loadCkpt(path: String): Ckpt = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Ckpt(snapshotDone = false, Map.empty)
+    val n = mapper.readTree(new String(Files.readAllBytes(p), UTF_8))
+    Ckpt(n.path("snapshotDone").asBoolean(false),
+      Option(n.get("shards")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty))
+  }
+
+  private def storeCkpt(path: String, ck: Ckpt): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("snapshotDone", ck.snapshotDone)
+    val sh = o.putObject("shards")
+    ck.shards.foreach { case (k, v) => sh.put(k, v) }
+    Files.write(Paths.get(path), o.toString.getBytes(UTF_8))
+    ()
+  }
+
+  // ─────────────────────────── client ───────────────────────────
+
+  private def call(client: Http.Client, endpoint: String, creds: Credentials,
+                   service: String, target: String, body: String): JsonNode = {
+    val r = AwsApi.signedPost(client, endpoint, creds, service, "/", body,
+      Map("X-Amz-Target" -> target,
+        "Content-Type" -> "application/x-amz-json-1.0"))
+    if (r.status / 100 != 2)
+      throw new IllegalStateException(s"$target -> ${r.status}: ${r.body}")
+    mapper.readTree(r.body)
+  }
+
+  /** Replay snapshot + available stream records and advance the
+    * checkpoint. `endpoint` `mem://name` targets a registered
+    * [[MemDynamoStreams]]; real AWS endpoints carry the same bytes.
+    */
+  def read(spark: SparkSession, endpoint: String, creds: Credentials,
+           table: String, snapshotSegments: Int = 4,
+           checkpointPath: Option[String] = None,
+           streamSnapshot: Boolean = true,
+           client: Http.Client = null): Dataset[Event] = {
+    import spark.implicits._
+    val ck = checkpointPath.map(loadCkpt)
+      .getOrElse(Ckpt(snapshotDone = false, Map.empty))
+    val c = Option(client).getOrElse(resolveClient(endpoint))
+    val (e, cr, tbl) = (endpoint, creds, table)
+
+    // 1. snapshot: parallel Scan segments, one Spark task per segment
+    val snapshot: Dataset[Event] =
+      if (ck.snapshotDone || !streamSnapshot) spark.emptyDataset[Event]
+      else spark.createDataset(0 until snapshotSegments)
+        .repartition(snapshotSegments)
+        .mapPartitions { it =>
+          val cc = resolveClient(e)
+          val m = new ObjectMapper()
+          it.flatMap { seg =>
+            val r = call(cc, e, cr, "dynamodb", "DynamoDB_20120810.Scan",
+              s"""{"TableName":"$tbl","Segment":$seg,"TotalSegments":$snapshotSegments}""")
+            r.path("Items").elements().asScala.map(item =>
+              Event("read", "{}", itemToJson(item), null, 0L, ""))
+          }
+        }
+
+    // 2. shard DAG → lineage waves (parents before children)
+    val desc = call(c, e, cr, "streams.dynamodb",
+      "DynamoDBStreams_20120810.DescribeStream",
+      s"""{"StreamArn":"$tbl"}""")
+    val shards = desc.at("/StreamDescription/Shards").elements().asScala
+      .map(s => (s.get("ShardId").asText,
+        Option(s.get("ParentShardId")).map(_.asText))).toVector
+    val waves = mutable.Buffer[Vector[String]]()
+    var remaining = shards
+    val done = mutable.Set[String]()
+    while (remaining.nonEmpty) {
+      val (ready, rest) = remaining.partition(_._2.forall(p =>
+        done.contains(p) || !shards.exists(_._1 == p)))
+      if (ready.isEmpty) throw new IllegalStateException("shard DAG cycle")
+      waves += ready.map(_._1)
+      done ++= ready.map(_._1)
+      remaining = rest
+    }
+
+    // 3. walk each wave's shards in parallel tasks
+    val ckShards = ck.shards
+    var streamed: Dataset[Event] = spark.emptyDataset[Event]
+    waves.foreach { wave =>
+      val part = spark.createDataset(wave).repartition(wave.size)
+        .mapPartitions { it =>
+          val cc = resolveClient(e)
+          it.flatMap { shardId =>
+            val out = mutable.Buffer[Event]()
+            val itBody = ckShards.get(shardId) match {
+              case Some(seq) =>
+                s"""{"StreamArn":"$tbl","ShardId":"$shardId","ShardIteratorType":"AFTER_SEQUENCE_NUMBER","SequenceNumber":"$seq"}"""
+              case None =>
+                s"""{"StreamArn":"$tbl","ShardId":"$shardId","ShardIteratorType":"TRIM_HORIZON"}"""
+            }
+            var iter = call(cc, e, cr, "streams.dynamodb",
+              "DynamoDBStreams_20120810.GetShardIterator", itBody)
+              .path("ShardIterator").asText(null)
+            var going = iter != null
+            while (going) {
+              val r = call(cc, e, cr, "streams.dynamodb",
+                "DynamoDBStreams_20120810.GetRecords",
+                s"""{"ShardIterator":"$iter","Limit":256}""")
+              val recs = r.path("Records").elements().asScala.toVector
+              recs.foreach { rec =>
+                val dy = rec.get("dynamodb")
+                out += Event(rec.get("eventName").asText,
+                  itemToJson(dy.get("Keys")),
+                  Option(dy.get("NewImage")).map(itemToJson).orNull,
+                  Option(dy.get("OldImage")).map(itemToJson).orNull,
+                  dy.get("SequenceNumber").asText.toLong, shardId)
+              }
+              val next = r.path("NextShardIterator").asText(null)
+              if (next == null || recs.isEmpty) going = false
+              iter = next
+            }
+            out
+          }
+        }
+      // materialize the wave before its children start — the lineage
+      // barrier input_cdc.go enforces per parent shard
+      part.persist()
+      part.count()
+      streamed = streamed.unionByName(part)
+    }
+
+    // 4. advance checkpoint: max sequence per shard seen this read
+    checkpointPath.foreach { p =>
+      val maxSeqs = streamed.groupByKey(_.shard)
+        .mapValues(_.seq).reduceGroups((a: Long, b: Long) => math.max(a, b))
+        .collect().toMap
+      storeCkpt(p, Ckpt(snapshotDone = true, ck.shards ++ maxSeqs))
+    }
+    snapshot.unionByName(streamed)
+  }
+
+  // ─────────────────────── loopback server ───────────────────────
+
+  /** In-memory DynamoDB table + its stream behind the real JSON 1.0
+    * protocol, SigV4-verified (AwsApi.verify conventions). Mutations
+    * append stream records; [[rotateShards]] closes the open shards
+    * and opens children (re-sharding, for lineage tests).
+    */
+  final class MemDynamoStreams(creds: Credentials, keyAttr: String = "k") {
+    private val m = new ObjectMapper()
+    private val items = mutable.LinkedHashMap.empty[String, ObjectNode]
+    private final case class Shard(id: String, parent: Option[String],
+                                   records: mutable.ArrayBuffer[ObjectNode],
+                                   var open: Boolean)
+    private val shards = mutable.ArrayBuffer(
+      Shard("shardId-0000", None, mutable.ArrayBuffer.empty, open = true))
+    private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var rejected = 0
+
+    /** Seed without stream records (pre-CDC state, like a table that
+      * existed before the stream was enabled).
+      */
+    def seed(key: String, attrs: Map[String, Any]): Unit = synchronized {
+      items(key) = avItem(attrs)
+      ()
+    }
+
+    def rotateShards(n: Int = 2): Unit = synchronized {
+      val parents = shards.filter(_.open)
+      parents.foreach(_.open = false)
+      parents.foreach { p =>
+        (0 until n).foreach { i =>
+          shards += Shard(s"${p.id}-c$i", Some(p.id),
+            mutable.ArrayBuffer.empty, open = true)
+        }
+      }
+    }
+
+    private def avItem(attrs: Map[String, Any]): ObjectNode = {
+      val o = m.createObjectNode()
+      attrs.foreach { case (k, v) => o.set[JsonNode](k, toAv(v)) }
+      o
+    }
+
+    private def record(eventName: String, key: String,
+                       newImage: Option[ObjectNode],
+                       oldImage: Option[ObjectNode]): Unit = {
+      // writes land on the open shard owning the key's hash
+      val open = shards.filter(_.open)
+      val shard = open(math.abs(key.hashCode) % open.size)
+      val rec = m.createObjectNode()
+      rec.put("eventID", java.util.UUID.randomUUID.toString)
+      rec.put("eventName", eventName)
+      val dy = rec.putObject("dynamodb")
+      val keys = dy.putObject("Keys")
+      keys.set[JsonNode](keyAttr, m.readTree(key))
+      newImage.foreach(ni => { dy.set[JsonNode]("NewImage", ni.deepCopy()); () })
+      oldImage.foreach(oi => { dy.set[JsonNode]("OldImage", oi.deepCopy()); () })
+      dy.put("SequenceNumber", seq.incrementAndGet().toString)
+      shard.records += rec
+      ()
+    }
+
+    def handle(q: Http.Request): Http.Response = synchronized {
+      val service =
+        if (q.headers.get("X-Amz-Target").exists(_.startsWith("DynamoDBStreams")))
+          "streams.dynamodb" else "dynamodb"
+      AwsApi.verifySig(q, creds, service) match {
+        case Some(_) =>
+          rejected += 1
+          return Http.Response(403, """{"__type":"AccessDenied"}""")
+        case None => ()
+      }
+      val target = q.headers.getOrElse("X-Amz-Target", "")
+      val body = m.readTree(q.body)
+      target.split("\\.").last match {
+        case "PutItem" =>
+          val item = body.get("Item").deepCopy[ObjectNode]()
+          val key = item.get(keyAttr).toString
+          val old = items.get(key)
+          items(key) = item
+          record(if (old.isDefined) "MODIFY" else "INSERT", key,
+            Some(item), old)
+          ok("{}")
+        case "UpdateItem" =>
+          val key = body.at(s"/Key/$keyAttr").toString
+          val old = items.getOrElse(key,
+            return err(400, "ResourceNotFoundException"))
+          val nu = old.deepCopy[ObjectNode]()
+          body.path("AttributeUpdates").properties().asScala.foreach { e =>
+            val action = e.getValue.path("Action").asText("PUT")
+            val value = e.getValue.get("Value")
+            action match {
+              case "PUT" => nu.set[JsonNode](e.getKey, value)
+              case "ADD" =>
+                val cur = Option(nu.get(e.getKey))
+                  .map(_.path("N").asDouble(0)).getOrElse(0.0)
+                val v = cur + value.path("N").asDouble(0)
+                nu.set[JsonNode](e.getKey, toAv(v))
+              case other =>
+                return err(400, s"unsupported Action $other")
+            }
+            ()
+          }
+          items(key) = nu
+          record("MODIFY", key, Some(nu), Some(old))
+          ok("{}")
+        case "DeleteItem" =>
+          val key = body.at(s"/Key/$keyAttr").toString
+          items.remove(key) match {
+            case Some(old) => record("REMOVE", key, None, Some(old))
+            case None => ()
+          }
+          ok("{}")
+        case "Scan" =>
+          val total = body.path("TotalSegments").asInt(1)
+          val seg = body.path("Segment").asInt(0)
+          val o = m.createObjectNode()
+          val arr = o.putArray("Items")
+          items.foreach { case (key, item) =>
+            if (math.abs(key.hashCode % total) == seg) { arr.add(item); () }
+          }
+          ok(o.toString)
+        case "DescribeStream" =>
+          val o = m.createObjectNode()
+          val sd = o.putObject("StreamDescription")
+          sd.put("StreamStatus", "ENABLED")
+          val arr = sd.putArray("Shards")
+          shards.foreach { s =>
+            val so = arr.addObject()
+            so.put("ShardId", s.id)
+            s.parent.foreach(p => so.put("ParentShardId", p))
+            ()
+          }
+          ok(o.toString)
+        case "GetShardIterator" =>
+          val shardId = body.get("ShardId").asText
+          val s = shards.find(_.id == shardId)
+            .getOrElse(return err(400, "unknown shard"))
+          val pos = body.get("ShardIteratorType").asText match {
+            case "TRIM_HORIZON" => 0
+            case "LATEST" => s.records.size
+            case "AFTER_SEQUENCE_NUMBER" =>
+              val after = body.get("SequenceNumber").asText.toLong
+              s.records.indexWhere(
+                _.at("/dynamodb/SequenceNumber").asText.toLong > after) match {
+                case -1 => s.records.size
+                case i => i
+              }
+            case other => return err(400, s"iterator type $other")
+          }
+          ok(s"""{"ShardIterator":"$shardId#$pos"}""")
+        case "GetRecords" =>
+          val Array(shardId, posStr) =
+            body.get("ShardIterator").asText.split("#")
+          val s = shards.find(_.id == shardId)
+            .getOrElse(return err(400, "unknown shard"))
+          val pos = posStr.toInt
+          val limit = body.path("Limit").asInt(1000)
+          val recs = s.records.slice(pos, pos + limit)
+          val o = m.createObjectNode()
+          val arr = o.putArray("Records")
+          recs.foreach(r => { arr.add(r); () })
+          val nextPos = pos + recs.size
+          // a CLOSED shard read to its end has no next iterator —
+          // that is how the client knows the lineage hop is complete
+          if (s.open || nextPos < s.records.size)
+            o.put("NextShardIterator", s"$shardId#$nextPos")
+          ok(o.toString)
+        case other => err(400, s"UnknownOperation: $other")
+      }
+    }
+
+    private def ok(body: String) = Http.Response(200, body)
+    private def err(status: Int, msg: String) =
+      Http.Response(status, s"""{"__type":"$msg"}""")
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MemDynamoStreams]()
+
+  def register(name: String, creds: Credentials,
+               keyAttr: String = "k"): MemDynamoStreams =
+    registry.computeIfAbsent(name, _ => new MemDynamoStreams(creds, keyAttr))
+  def drop(name: String): Unit = { registry.remove(name); () }
+
+  def resolveClient(url: String): Http.Client =
+    if (url.startsWith("mem://")) {
+      val name = url.stripPrefix("mem://").takeWhile(_ != '/')
+      reqs => reqs.map { r =>
+        Option(registry.get(name)).map(_.handle(r))
+          .getOrElse(Http.Response(404, "no such dynamodb"))
+      }
+    } else Http.javaClient()
+}
