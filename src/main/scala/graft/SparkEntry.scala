@@ -2071,6 +2071,61 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_spanner_cdc" -> ((s, d) => {
+      // gcp_spanner_cdc contract (internal/impl/gcp/enterprise/
+      // input_spanner_cdc.go): commit mutations become change-stream
+      // records partitioned by key across child partition tokens; the
+      // root TVF query discovers partitions; read #1 checkpoints the
+      // per-partition watermarks, read #2 resumes past them and sees
+      // exactly the later commits. Records fold by commit_timestamp.
+      import graft.sources.SpannerCdc
+      val srv = new SpannerCdc.Server(partitions = 3)
+      val db = "projects/gate/instances/i/databases/orders"
+      def commit(muts: Seq[String]): Unit = {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"${srv.baseUrl}/v1/$db/sessions/s1:commit"))
+          .header("Authorization", "Bearer spanner-token")
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"mutations":${muts.mkString("[", ",", "]")}}"""))
+          .build()
+        val r = java.net.http.HttpClient.newHttpClient().send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200, r.body())
+      }
+      def rowMut(r: org.apache.spark.sql.Row, status: String,
+                 delta: Double): String =
+        s"""{"insertOrUpdate":{"table":"orders","columns":["k","cust","status","price"],""" +
+          s""""values":[["${r.getLong(0)}","${r.getLong(1)}","$status",${r.getDouble(3) + delta}]]}}"""
+      // bounded fixture seed (≤500 rows at sf0.01)
+      val rows = Tables.orders(s, d).filter(col("o_orderkey") < 1200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double")).collect()
+      rows.grouped(200).foreach(b =>
+        commit(b.map(r => rowMut(r, r.getString(2), 0.0)).toSeq))
+      val ck = java.nio.file.Files.createTempFile("spanner_cdc", ".json").toString
+      val first = SpannerCdc.read(s, srv.baseUrl, "spanner-token", db,
+        "orders_stream", Some(ck))
+      first.count() // materialize before the later commits land
+      rows.filter(_.getLong(0) % 8 == 0).grouped(200).foreach(b =>
+        commit(b.map(r => rowMut(r, "U", 9.75)).toSeq))
+      commit(rows.map(_.getLong(0)).filter(_ % 12 == 0).map(k =>
+        s"""{"delete":{"table":"orders","keySet":{"keys":[["$k"]]}}}""").toSeq)
+      val second = SpannerCdc.read(s, srv.baseUrl, "spanner-token", db,
+        "orders_stream", Some(ck))
+      val ops = first.unionByName(second).toDF().select(
+        coalesce(get_json_object(col("newValues"), "$.k"),
+          get_json_object(col("keys"), "$.k")).cast("long").as("k"),
+        get_json_object(col("newValues"), "$.cust").cast("long").as("cust"),
+        get_json_object(col("newValues"), "$.status").as("status"),
+        get_json_object(col("newValues"), "$.price").cast("double").as("price"),
+        when(col("modType") === "DELETE", "d")
+          .when(col("modType") === "UPDATE", "u")
+          .otherwise("c").as("__op"),
+        col("commitTs").as("__ts_ms"))
+      sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
+    }),
+
     "p_lakehouse_upsert" -> ((s, d) => {
       // iceberg-shaped sink contract (output_iceberg.go row_operation
       // upsert + schema evolution): snapshot write, then a second batch
@@ -4195,6 +4250,16 @@ object SparkEntry {
         |    CASE WHEN o_orderkey % 7 = 0 THEN 5.25 ELSE 0.0 END AS price
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_spanner_cdc" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 8 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(o_totalprice AS DOUBLE) +
+        |    CASE WHEN o_orderkey % 8 = 0 THEN 9.75 ELSE 0.0 END AS price
+        |FROM orders
+        |WHERE o_orderkey < 1200 AND o_orderkey % 12 <> 0
         |ORDER BY k""".stripMargin,
 
     "p_kafka_roundtrip" ->
