@@ -2071,6 +2071,82 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_cloudwatch_logs" -> ((s, d) => {
+      // aws_cloudwatch_logs input (internal/impl/aws/cloudwatch/
+      // input_logs.go): FilterLogEvents page walk (nextToken chain,
+      // page size 100 → several pages here), stream-prefix selection,
+      // interleaved timestamp order, per-event stream metadata —
+      // all SigV4-signed and server-verified
+      import graft.sources.CloudWatch
+      import graft.sources.S3.Credentials
+      val creds = Credentials("AKGATE", "SKGATE")
+      val name = "cwgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = CloudWatch.register(name, creds)
+      // bounded fixture seed (≤400 rows at sf0.01)
+      Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+        .foreach { r =>
+          srv.seedEvent("app", s"s${r.getLong(0) % 3}", r.getLong(0),
+            s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}""")
+        }
+      CloudWatch.logsRead(s, s"mem://$name", creds, "app",
+          streamPrefix = "s")
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long").as("n_chars"),
+          element_at(col("metadata"), "cloudwatch_log_stream").as("stream"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_cloudwatch_metrics" -> ((s, d) => {
+      // aws_cloudwatch metrics output (internal/impl/aws/cloudwatch/
+      // metrics.go): a metrics registry flushed through the
+      // PutMetricData form protocol with label→dimension mapping; the
+      // server-side parse is read back and checked relationally
+      import graft.operators.MetricsExport
+      import graft.sources.CloudWatch
+      import graft.sources.S3.Credentials
+      val creds = Credentials("AKGATE", "SKGATE")
+      val name = "cwmgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = CloudWatch.register(name, creds)
+      val reg = new MetricsExport.Registry
+      // bounded: one counter per language (≤10 labels)
+      Tables.documents(s, d).groupBy(col("lang")).count().collect()
+        .foreach(r => reg.counter("docs_total", Seq("lang" -> r.getString(0)))
+          .addAndGet(r.getLong(1)))
+      CloudWatch.putMetricData(s"mem://$name", creds, "Graft", reg)
+      import s.implicits._
+      srv.metrics.toSeq.collect {
+        case ((ns, "docs_total", dims), (v, unit)) if ns == "Graft" =>
+          (dims.stripPrefix("lang="), v.toLong, unit)
+      }.toDF("lang", "docs", "unit").orderBy(col("lang"))
+    }),
+
+    "p_firehose_delivery" -> ((s, d) => {
+      // aws_kinesis_firehose output (internal/impl/aws/kinesis/
+      // output_firehose.go): PutRecordBatch with the loopback
+      // throttling every 6th fresh record's first attempt — the gate
+      // only matches if EXACTLY the failed records are retried (a
+      // client re-sending whole batches would duplicate rows and
+      // hash-mismatch)
+      import graft.sinks.Firehose
+      import graft.sources.S3.Credentials
+      val creds = Credentials("AKGATE", "SKGATE")
+      val name = "fhgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = Firehose.register(name, creds, throttleEvery = 6)
+      Firehose.write(
+        Tables.documents(s, d).filter(col("doc_id") < 500)
+          .select(to_json(struct(col("doc_id"), col("lang"))).as("value")),
+        s"mem://$name", creds, "deliveries", batchSize = 100)
+      import s.implicits._
+      val delivered = srv.delivered.toVector.toDF("value")
+      delivered.select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_spanner_cdc" -> ((s, d) => {
       // gcp_spanner_cdc contract (internal/impl/gcp/enterprise/
       // input_spanner_cdc.go): commit mutations become change-stream
@@ -4251,6 +4327,21 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
         |ORDER BY k""".stripMargin,
+
+    "p_cloudwatch_logs" ->
+      """SELECT doc_id, lang, n_chars,
+        |  's' || CAST(doc_id % 3 AS VARCHAR) AS stream
+        |FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_cloudwatch_metrics" ->
+      """SELECT lang, COUNT(*) AS docs, 'Count' AS unit
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "p_firehose_delivery" ->
+      """SELECT doc_id, lang FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
 
     "p_spanner_cdc" ->
       """SELECT o_orderkey AS k, o_custkey AS cust,

@@ -260,8 +260,8 @@ object AwsApi {
 
   // ─────────────────── shared verification ─────────────────────
 
-  private[sources] def verifySig(q: Http.Request, creds: Credentials,
-                                 service: String): Option[String] = {
+  private[graft] def verifySig(q: Http.Request, creds: Credentials,
+                               service: String): Option[String] = {
     val auth = q.headers.getOrElse("Authorization", return Some("no auth"))
     val amzDate = q.headers.getOrElse("x-amz-date", return Some("no date"))
     val payload = Option(q.bodyBytes).getOrElse(q.body.getBytes(UTF_8))
