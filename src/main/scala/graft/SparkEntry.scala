@@ -2071,6 +2071,110 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_opensearch_bulk" -> ((s, d) => {
+      // opensearch output (internal/impl/opensearch/output.go): the
+      // shared _bulk protocol under per-request SigV4 (service `es`)
+      // verified server-side — index all docs, then bulk-delete every
+      // ninth; surviving docs read back relationally
+      import graft.sinks.OpenSearch
+      import graft.sources.S3.Credentials
+      val creds = Credentials("AKGATE", "SKGATE")
+      val name = "osgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = OpenSearch.register(name, creds)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as("value"))
+      OpenSearch.bulkWrite(docs, s"mem://$name", lit("docs"), lit("index"),
+        col("doc_id"), creds = Some(creds))
+      OpenSearch.bulkWrite(
+        docs.filter(col("doc_id") % 9 === 0), s"mem://$name", lit("docs"),
+        lit("delete"), col("doc_id"), creds = Some(creds))
+      import s.implicits._
+      srv.es.rows("docs").toVector.toDF("value").select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_azure_table" -> ((s, d) => {
+      // azure_table_storage output: entities by (lang partition key,
+      // doc_id row key) over the Table-service Shared Key (re-derived
+      // server-side), INSERT_REPLACE type; Query Entities reads back
+      import graft.sinks.AzureTables
+      import graft.sources.AzureBlob.Account
+      val acct = Account("gateacct", java.util.Base64.getEncoder
+        .encodeToString("gate-table-key".getBytes))
+      val name = "atgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      AzureTables.register(name, acct)
+      AzureTables.write(
+        Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(col("lang").as("pk"), col("doc_id").as("rk"),
+            to_json(struct(col("n_chars"))).as("value")),
+        s"mem://$name", acct, "docs", col("pk"), col("rk"),
+        insertType = "INSERT_REPLACE")
+      import s.implicits._
+      new AzureTables.Client(s"mem://$name", acct).query("docs")
+        .toVector.toDF("value").select(
+          get_json_object(col("value"), "$.RowKey").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.PartitionKey").as("lang"),
+          get_json_object(col("value"), "$.n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_adls_write" -> ((s, d) => {
+      // azure_data_lake_gen2 output: per-directory files via the real
+      // create/append/flush commit protocol (uncommitted bytes
+      // invisible until flush), Shared Key verified; all committed
+      // files read back through the DFS list+read surface
+      import graft.sinks.AzureDataLake
+      import graft.sources.AzureBlob.Account
+      val acct = Account("gateacct", java.util.Base64.getEncoder
+        .encodeToString("gate-dfs-key".getBytes))
+      val name = "dlgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      AzureDataLake.register(name, acct)
+      AzureDataLake.write(
+        Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(concat(lit("dt="), col("doc_id") % 4).as("path"),
+            to_json(struct(col("doc_id"), col("lang"))).as("value")),
+        s"mem://$name", acct, "lake", col("path"))
+      val cl = new AzureDataLake.Client(s"mem://$name", acct)
+      val lines = cl.listPaths("lake").flatMap(p =>
+        new String(cl.readFile("lake", p)).split("\n").filter(_.nonEmpty)
+          .map(v => (p.takeWhile(_ != '/'), v)))
+      import s.implicits._
+      lines.toVector.toDF("dir", "value").select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          col("dir"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_snowflake_put" -> ((s, d) => {
+      // snowflake_put output (output_snowflake_put.go): gzip'd stage
+      // files under an interpolated path + Snowpipe insertFiles, every
+      // request carrying a key-pair RS256 JWT the service verifies
+      // against the registered public key; staged rows read back
+      import graft.sinks.SnowflakePut
+      val kp = SnowflakePut.generateKeyPair()
+      val name = "sfgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = SnowflakePut.register(name, "gateacct", "loader", kp.getPublic)
+      SnowflakePut.write(
+        Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(to_json(struct(col("doc_id"), col("lang"))).as("value"))
+          .withColumn("path", lit("2024/01")),
+        s"mem://$name", SnowflakePut.Creds("gateacct", "loader", kp),
+        "docs_stage", col("path"), compression = "GZIP",
+        pipe = Some("db.public.docs_pipe"))
+      require(srv.loaded("db.public.docs_pipe").nonEmpty)
+      import s.implicits._
+      srv.rows("docs_stage").toVector.toDF("value").select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_cloudwatch_logs" -> ((s, d) => {
       // aws_cloudwatch_logs input (internal/impl/aws/cloudwatch/
       // input_logs.go): FilterLogEvents page walk (nextToken chain,
@@ -4327,6 +4431,25 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
         |ORDER BY k""".stripMargin,
+
+    "p_opensearch_bulk" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400 AND doc_id % 9 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_azure_table" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_adls_write" ->
+      """SELECT doc_id, lang, 'dt=' || CAST(doc_id % 4 AS VARCHAR) AS dir
+        |FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_snowflake_put" ->
+      """SELECT doc_id, lang FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
 
     "p_cloudwatch_logs" ->
       """SELECT doc_id, lang, n_chars,

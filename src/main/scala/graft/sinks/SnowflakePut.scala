@@ -1,0 +1,255 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.{KeyPair, PublicKey}
+import java.util.Base64
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Http
+
+/** `snowflake_put` output (reference
+  * internal/impl/snowflake/output_snowflake_put.go:1-852): message
+  * batches land as compressed files in a Snowflake STAGE under an
+  * interpolated path, then Snowpipe's PUBLIC REST API
+  * (`POST /v1/data/pipes/{pipe}/insertFiles?requestId=…`) is called to
+  * load them — authenticated with the documented KEY-PAIR JWT: RS256,
+  * `iss = ACCOUNT.USER.SHA256:<base64 pubkey fingerprint>`,
+  * `sub = ACCOUNT.USER`, short expiry. The JWT is REAL (JDK RSA
+  * signature, verified server-side against the registered public key,
+  * wrong-key and expired tokens rejected); the stage file transport is
+  * the one seam the loopback simplifies (the production PUT rides
+  * cloud-storage presigned URLs — an env-blocked SDK flow), kept to
+  * the same observable contract: gzip'd newline-delimited files,
+  * `{path}/{uuid}.json[.gz]` naming, insertFiles listing exactly the
+  * uploaded paths.
+  *
+  * Scale shape: one connection per partition; each partition batch
+  * becomes one staged file + one insertFiles call — the reference's
+  * batch-per-file layout (README's Kafka example partitions the same
+  * way).
+  */
+object SnowflakePut {
+
+  private def mapper = new ObjectMapper()
+
+  // ───────────────────────── key-pair JWT ─────────────────────────
+
+  object Jwt {
+    private def b64url(b: Array[Byte]): String =
+      Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+
+    def fingerprint(pub: PublicKey): String =
+      "SHA256:" + Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(pub.getEncoded))
+
+    def issue(account: String, user: String, kp: KeyPair,
+              nowSec: Long = System.currentTimeMillis() / 1000,
+              ttlSec: Long = 3600): String = {
+      val qual = s"${account.toUpperCase}.${user.toUpperCase}"
+      val header = b64url("""{"alg":"RS256","typ":"JWT"}""".getBytes(UTF_8))
+      val claims = b64url(
+        (s"""{"iss":"$qual.${fingerprint(kp.getPublic)}","sub":"$qual",""" +
+          s""""iat":$nowSec,"exp":${nowSec + ttlSec}}""").getBytes(UTF_8))
+      val sig = java.security.Signature.getInstance("SHA256withRSA")
+      sig.initSign(kp.getPrivate)
+      sig.update(s"$header.$claims".getBytes(UTF_8))
+      s"$header.$claims.${b64url(sig.sign())}"
+    }
+
+    /** Verify signature, expiry, and subject; returns an error or the
+      * issuer fingerprint.
+      */
+    def verify(token: String, pub: PublicKey, account: String,
+               user: String,
+               nowSec: Long = System.currentTimeMillis() / 1000)
+        : Either[String, String] = {
+      val parts = token.split("\\.")
+      if (parts.length != 3) return Left("malformed jwt")
+      val sig = java.security.Signature.getInstance("SHA256withRSA")
+      sig.initVerify(pub)
+      sig.update(s"${parts(0)}.${parts(1)}".getBytes(UTF_8))
+      if (!sig.verify(Base64.getUrlDecoder.decode(parts(2))))
+        return Left("bad signature")
+      val claims = mapper.readTree(Base64.getUrlDecoder.decode(parts(1)))
+      if (claims.path("exp").asLong(0) < nowSec) return Left("expired")
+      val qual = s"${account.toUpperCase}.${user.toUpperCase}"
+      if (claims.path("sub").asText != qual) return Left("wrong subject")
+      val iss = claims.path("iss").asText
+      if (!iss.startsWith(s"$qual.SHA256:")) return Left("wrong issuer")
+      if (iss.stripPrefix(s"$qual.") != fingerprint(pub))
+        return Left("fingerprint mismatch")
+      Right(iss)
+    }
+  }
+
+  def generateKeyPair(): KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+
+  // ─────────────────────────── client ───────────────────────────
+
+  final case class Creds(account: String, user: String, kp: KeyPair)
+
+  private def authed(creds: Creds) = Map(
+    "Authorization" -> s"Bearer ${Jwt.issue(creds.account, creds.user, creds.kp)}",
+    "X-Snowflake-Authorization-Token-Type" -> "KEYPAIR_JWT")
+
+  def uploadFile(c: Http.Client, baseUrl: String, creds: Creds,
+                 stage: String, path: String, data: Array[Byte]): Unit = {
+    val r = c(Seq(Http.Request(
+      s"$baseUrl/stages/$stage/$path", "PUT",
+      authed(creds) + ("Content-Type" -> "application/octet-stream"),
+      new String(data, java.nio.charset.StandardCharsets.ISO_8859_1),
+      bodyBytes = data))).head
+    if (r.status / 100 != 2) throw new IllegalStateException(
+      s"snowflake PUT $path: ${r.status} ${r.body.take(200)}")
+  }
+
+  def insertFiles(c: Http.Client, baseUrl: String, creds: Creds,
+                  pipe: String, files: Seq[String]): Unit = {
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("files")
+    files.foreach { f => arr.addObject().put("path", f); () }
+    val requestId = java.util.UUID.randomUUID.toString
+    val r = c(Seq(Http.Request(
+      s"$baseUrl/v1/data/pipes/$pipe/insertFiles?requestId=$requestId",
+      "POST", authed(creds) + ("Content-Type" -> "application/json"),
+      body.toString))).head
+    if (r.status / 100 != 2) throw new IllegalStateException(
+      s"snowpipe insertFiles: ${r.status} ${r.body.take(200)}")
+  }
+
+  /** Write: each partition batch → one `{path}/{uuid}.json[.gz]` file
+    * in the stage (+ one insertFiles call when `pipe` is set).
+    */
+  def write(df: DataFrame, baseUrl: String, creds: Creds, stage: String,
+            pathCol: Column, valueCol: Column = col("value"),
+            compression: String = "GZIP", pipe: Option[String] = None,
+            client: Http.Client = null): Unit = {
+    require(Set("GZIP", "NONE", "AUTO")(compression),
+      s"compression $compression")
+    val gz = compression != "NONE"
+    val prepared = df.select(pathCol.cast("string").as("p"),
+      valueCol.cast("string").as("v"))
+    val (b, cr, st, pp) = (baseUrl, creds, stage, pipe)
+    val clientV = client
+    prepared.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val c = Option(clientV).getOrElse(resolveClient(b))
+        val uploaded = mutable.Buffer[String]()
+        rows.toSeq.groupBy(_.getString(0)).foreach { case (path, rs) =>
+          val raw = rs.map(_.getString(1)).mkString("", "\n", "\n")
+            .getBytes(UTF_8)
+          val data =
+            if (!gz) raw
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              val out = new java.util.zip.GZIPOutputStream(bos)
+              out.write(raw); out.close()
+              bos.toByteArray
+            }
+          val file = s"$path/graft_${java.util.UUID.randomUUID}.json" +
+            (if (gz) ".gz" else "")
+          uploadFile(c, b, cr, st, file, data)
+          uploaded += file
+        }
+        pp.foreach(p => insertFiles(c, b, cr, p, uploaded.toSeq))
+      }
+    }
+  }
+
+  // ─────────────────────── loopback service ───────────────────────
+
+  /** Stage + Snowpipe REST loopback verifying the key-pair JWT against
+    * the REGISTERED public key on every request.
+    */
+  final class Service(account: String, user: String, pub: PublicKey) {
+    private val m = new ObjectMapper()
+    /** stage → file path → raw bytes (as uploaded). */
+    val staged: mutable.LinkedHashMap[(String, String), Array[Byte]] =
+      mutable.LinkedHashMap.empty
+    /** pipe → files listed by insertFiles, in call order. */
+    val loaded: mutable.LinkedHashMap[String, mutable.ArrayBuffer[String]] =
+      mutable.LinkedHashMap.empty
+    @volatile var rejected = 0
+
+    /** Decompressed newline rows of every file in `stage` (assertion
+      * surface for gates).
+      */
+    def rows(stage: String): Seq[String] = synchronized {
+      staged.toSeq.collect { case ((st, path), bytes) if st == stage =>
+        val data =
+          if (path.endsWith(".gz")) {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try in.readAllBytes() finally in.close()
+          } else bytes
+        new String(data, UTF_8).split("\n").filter(_.nonEmpty).toSeq
+      }.flatten
+    }
+
+    def handle(q: Http.Request): Http.Response = synchronized {
+      val token = q.headers.getOrElse("Authorization", "")
+        .stripPrefix("Bearer ")
+      Jwt.verify(token, pub, account, user) match {
+        case Left(err) =>
+          rejected += 1
+          return Http.Response(401, s"""{"message":"$err"}""")
+        case Right(_) => ()
+      }
+      val path = q.url.stripPrefix("mem://").dropWhile(_ != '/')
+        .takeWhile(_ != '?')
+      if (q.verb == "PUT" && path.startsWith("/stages/")) {
+        val rest = path.stripPrefix("/stages/")
+        val stage = rest.takeWhile(_ != '/')
+        val file = rest.drop(stage.length + 1)
+        staged((stage, file)) =
+          Option(q.bodyBytes).getOrElse(q.body.getBytes(UTF_8))
+        Http.Response(200, """{"status":"UPLOADED"}""")
+      } else if (q.verb == "POST" && path.startsWith("/v1/data/pipes/") &&
+                 path.endsWith("/insertFiles")) {
+        val pipe = path.stripPrefix("/v1/data/pipes/")
+          .stripSuffix("/insertFiles")
+        val files = m.readTree(q.body).path("files").elements().asScala
+          .map(_.path("path").asText).toSeq
+        // insertFiles may only name files that exist in SOME stage
+        val missing = files.filterNot(f =>
+          staged.keys.exists(_._2 == f))
+        if (missing.nonEmpty)
+          Http.Response(400,
+            s"""{"message":"unknown files: ${missing.take(3).mkString(",")}"}""")
+        else {
+          loaded.getOrElseUpdate(pipe, mutable.ArrayBuffer.empty) ++= files
+          Http.Response(200,
+            """{"responseCode":"SUCCESS"}""")
+        }
+      } else Http.Response(404, s"""{"message":"no route: $path"}""")
+    }
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Service]()
+
+  def register(name: String, account: String, user: String,
+               pub: PublicKey): Service =
+    registry.computeIfAbsent(name, _ => new Service(account, user, pub))
+  def drop(name: String): Unit = { registry.remove(name); () }
+
+  def resolveClient(url: String): Http.Client =
+    if (url.startsWith("mem://")) {
+      val name = url.stripPrefix("mem://").takeWhile(_ != '/')
+      reqs => reqs.map { r =>
+        Option(registry.get(name)).map(_.handle(r))
+          .getOrElse(Http.Response(404, "no such snowflake"))
+      }
+    } else Http.javaClient()
+}
