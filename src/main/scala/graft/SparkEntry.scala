@@ -1708,6 +1708,35 @@ object SparkEntry {
       out
     }),
 
+    "s_qdrant_topk" -> ((s, d) => {
+      // qdrant contract (internal/impl/qdrant over the PUBLIC REST
+      // API): collection created with size+distance, embeddings
+      // upserted in executor-side batches (vec_id % 50 == 3
+      // re-upserted — replace on id), /points/search returns
+      // store-side cosine top-k with api-key auth enforced. Exact
+      // cosine → the brute-force SQL oracle applies.
+      import graft.sinks.Qdrant
+      val name = "qdgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Qdrant.register(name, "gate-key")
+      val url = s"mem://$name"
+      Qdrant.createCollection(url, "gate-key", "emb", 64)
+      val emb = Tables.embeddings(s, d)
+      Qdrant.write(emb, url, "gate-key", "emb", col("vec_id"),
+        col("embedding"))
+      Qdrant.write(emb.filter(col("vec_id") % 50 === 3), url, "gate-key",
+        "emb", col("vec_id"), col("embedding"))
+      val out = Qdrant.searchEnrich(emb.filter(col("vec_id") < 10), url,
+          "gate-key", "emb", "embedding", 5, "hits")
+        .select(col("vec_id").as("query_id"),
+          posexplode(col("hits")).as(Seq("rank0", "hit")))
+        .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
+          col("hit.id").as("neighbor_id"), round(col("hit.score"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+      Qdrant.drop(name)
+      out
+    }),
+
     "s_pinecone_topk" -> ((s, d) => {
       // pinecone contract (internal/impl/pinecone/output.go over the
       // public data-plane REST shapes): embeddings upserted in
@@ -5288,6 +5317,25 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "s_pinecone_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |      (SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |       SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |      , 6) AS sim
+        |  FROM embeddings c, q)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s_qdrant_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
