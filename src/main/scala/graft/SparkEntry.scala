@@ -2100,6 +2100,42 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_spicedb_watch" -> ((s, d) => {
+      // spicedb_watch contract (internal/impl/spicedb/watch_input.go):
+      // the Watch RPC over REAL h2c gRPC with hand-encoded authzed
+      // protos. Read #1 replays the CREATE updates from an explicit
+      // zed-0 cursor and caches the newest token; TOUCH owner-changes
+      // and DELETEs land after; read #2 resumes from the cache and
+      // sees exactly them. Relationships fold by zed-token order.
+      import graft.sources.SpiceDb
+      val srv = new SpiceDb.Server("gate-token")
+      // bounded fixture seed (≤500 rows at sf0.01)
+      val rows = Tables.orders(s, d).filter(col("o_orderkey") < 1200)
+        .select(col("o_orderkey"), col("o_custkey")).collect()
+      rows.foreach(r => srv.publish("CREATE", "order", r.getLong(0).toString,
+        "owner", "user", r.getLong(1).toString))
+      val cache = java.nio.file.Files.createTempFile("zed_gate", ".tok").toString
+      val first = SpiceDb.watch(s, "127.0.0.1", srv.port, "gate-token",
+        Some(cache), startCursor = Some("zed-0"))
+      rows.filter(_.getLong(0) % 7 == 0).foreach(r =>
+        srv.publish("TOUCH", "order", r.getLong(0).toString, "owner",
+          "user", (r.getLong(1) + 1).toString))
+      rows.filter(_.getLong(0) % 10 == 0).foreach(r =>
+        srv.publish("DELETE", "order", r.getLong(0).toString, "owner",
+          "user", r.getLong(1).toString))
+      val second = SpiceDb.watch(s, "127.0.0.1", srv.port, "gate-token",
+        Some(cache))
+      srv.stop() // updates are decoded eagerly; the server can go
+      val ops = first.unionByName(second).toDF().select(
+        col("resourceId").cast("long").as("k"),
+        col("subjectId").as("owner"),
+        when(col("op") === "DELETE", "d")
+          .when(col("op") === "TOUCH", "u").otherwise("c").as("__op"),
+        regexp_extract(col("zedToken"), "zed-(\\d+)", 1)
+          .cast("long").as("__ts_ms"))
+      sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
+    }),
+
     "p_opensearch_bulk" -> ((s, d) => {
       // opensearch output (internal/impl/opensearch/output.go): the
       // shared _bulk protocol under per-request SigV4 (service `es`)
@@ -4459,6 +4495,13 @@ object SparkEntry {
         |    CASE WHEN o_orderkey % 7 = 0 THEN 5.25 ELSE 0.0 END AS price
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_spicedb_watch" ->
+      """SELECT o_orderkey AS k,
+        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1
+        |       ELSE o_custkey END AS VARCHAR) AS owner
+        |FROM orders WHERE o_orderkey < 1200 AND o_orderkey % 10 <> 0
         |ORDER BY k""".stripMargin,
 
     "p_opensearch_bulk" ->
