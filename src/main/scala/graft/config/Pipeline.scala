@@ -116,7 +116,10 @@ object Pipeline {
       val view = s"cache_$label"
       r.properties().asScala.filterNot(_.getKey == "label").foreach { e =>
         e.getKey match {
-          case "memory" | "lru" | "ttlru" | "noop" =>
+          case "memory" | "lru" | "ttlru" | "noop" | "ristretto" =>
+            // ristretto (caches/ristretto.adoc) is the reference's
+            // embedded dgraph cache — in-process, same view semantics
+            // as memory/lru here
             val rows = Option(e.getValue.get("init"))
               .map(_.properties().asScala.toSeq.map(kv =>
                 (kv.getKey, kv.getValue.asText))).getOrElse(Seq.empty)
@@ -148,6 +151,40 @@ object Pipeline {
               .select(
                 element_at(split(col("path"), "/"), -1).as("key"),
                 col("content").cast("string").as("value"))
+              .createOrReplaceTempView(view)
+          case "multilevel" =>
+            // caches/multilevel.adoc — the value is an ARRAY of child
+            // cache labels; a read consults levels in order and the
+            // FIRST level holding the key wins. Children must be
+            // declared earlier in cache_resources (their views resolve
+            // eagerly here).
+            val levels = e.getValue.elements().asScala.map(_.asText).toSeq
+            require(levels.nonEmpty, "multilevel cache needs levels")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("key")).orderBy(col("__lvl"))
+            levels.zipWithIndex.map { case (l, i) =>
+              spark.table(s"cache_$l")
+                .select(col("key"), col("value"), lit(i).as("__lvl"))
+            }.reduce(_ unionByName _)
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn", "__lvl")
+              .createOrReplaceTempView(view)
+          case "aws_s3" =>
+            // caches/aws_s3.adoc — one object per key under the
+            // bucket; hydrated via the SigV4-verified S3 stack (mem://
+            // loopback or any S3-compatible endpoint)
+            val b = e.getValue
+            val endpoint = b.path("endpoint").asText(
+              b.path("url").asText(""))
+            require(endpoint.nonEmpty, "aws_s3 cache needs endpoint")
+            val creds = graft.sources.S3.Credentials(
+              b.at("/credentials/id").asText("AK"),
+              b.at("/credentials/secret").asText("SK"),
+              b.path("region").asText("us-east-1"))
+            graft.sources.S3.read(spark, endpoint, creds,
+                b.get("bucket").asText)
+              .select(element_at(col("metadata"), "s3_key").as("key"),
+                col("value"))
               .createOrReplaceTempView(view)
           case "redis" =>
             // caches/redis.adoc — snapshot of the store's string keys

@@ -114,6 +114,51 @@ class PipelineSpec extends SparkSpec {
     assert(mem.contains("seeded"), s"memory init entry not served: ${mem.toSeq}")
   }
 
+  test("cache_resources: multilevel first-hit-wins + aws_s3 + ristretto") {
+    // aws_s3 cache backend (caches/aws_s3.adoc): one object per key,
+    // hydrated through the SigV4-verified loopback
+    val creds = graft.sources.S3.Credentials("AKC", "SKC")
+    val name = "s3c_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val srv = graft.sources.S3.register(name, creds)
+    srv.buckets.getOrElseUpdate("cachebkt",
+      scala.collection.mutable.TreeMap.empty) ++= Seq(
+      "1" -> "from-s3-1".getBytes("UTF-8"),
+      "2" -> "from-s3-2".getBytes("UTF-8"))
+    // multilevel (caches/multilevel.adoc): local ristretto level first,
+    // the s3 level behind it — key "1" must come from the LOCAL level
+    val config =
+      s"""input:
+         |  generate: { count: 3, mapping: 'root.id = this.seq' }
+         |pipeline:
+         |  processors:
+         |    - cache:
+         |        resource: ml
+         |        operator: get
+         |        key: '$${! this.id }'
+         |cache_resources:
+         |  - label: local
+         |    ristretto:
+         |      init: { "1": "from-local-1" }
+         |  - label: remote
+         |    aws_s3:
+         |      endpoint: mem://$name
+         |      bucket: cachebkt
+         |      region: us-east-1
+         |      credentials: { id: AKC, secret: SKC }
+         |  - label: ml
+         |    multilevel: [ local, remote ]
+         |""".stripMargin
+    val out = Pipeline.build(spark, config)
+      .select(org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("error"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.exists(_._1 == "from-local-1"),
+      s"level 0 must shadow the s3 value for key 1: ${out.toSeq}")
+    assert(out.exists(_._1 == "from-s3-2"), "key 2 falls through to s3")
+    assert(out.count(_._2 == "cache miss") == 1, "key 0 misses every level")
+    graft.sources.S3.drop(name)
+  }
+
   test("streaming pipeline: rate source → mapping → memory sink") {
     val config =
       """input:
