@@ -2100,6 +2100,64 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_salesforce_cdc" -> ((s, d) => {
+      // salesforce_cdc contract (internal/impl/salesforce/
+      // salesforcegrpc): the Pub/Sub Subscribe RPC over real h2c gRPC
+      // with AVRO-encoded change events (payloads round-trip through
+      // the engine's avro codec via GetSchema). Read #1 replays the
+      // CREATEs with preset EARLIEST and checkpoints the latest replay
+      // id; UPDATEs/DELETEs land after; read #2 resumes with preset
+      // CUSTOM and sees exactly them. Events fold by replay id.
+      import graft.sources.SalesforceCdc
+      val auth = SalesforceCdc.Auth("gate-token", "https://gate", "tid")
+      val srv = new SalesforceCdc.Server(auth, batchPerResponse = 100)
+      srv.registerSchema("order-v1",
+        """{"type":"record","name":"OrderChangeEvent","fields":[
+          |{"name":"ChangeEventHeader","type":{"type":"record",
+          |  "name":"ChangeEventHeader","fields":[
+          |  {"name":"entityName","type":"string"},
+          |  {"name":"changeType","type":"string"},
+          |  {"name":"recordIds","type":{"type":"array","items":"string"}}]}},
+          |{"name":"Status__c","type":"string"},
+          |{"name":"Price__c","type":"double"},
+          |{"name":"CustId__c","type":"long"}]}""".stripMargin)
+      val topic = "/data/OrderChangeEvent"
+      // bounded fixture seed (≤500 rows at sf0.01)
+      val rows = Tables.orders(s, d).filter(col("o_orderkey") < 1200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double")).collect()
+      def fields(cust: Long, status: String, price: Double) =
+        s"""{"Status__c":"$status","Price__c":$price,"CustId__c":$cust}"""
+      rows.foreach(r => srv.publish(topic, "order-v1", "Order__c",
+        "CREATE", s"r${r.getLong(0)}",
+        fields(r.getLong(1), r.getString(2), r.getDouble(3))))
+      val ck = java.nio.file.Files.createTempFile("sfdc_gate", ".replay").toString
+      val first = SalesforceCdc.read(s, "127.0.0.1", srv.port, auth,
+        topic, Some(ck), numRequested = 100000)
+      rows.filter(_.getLong(0) % 6 == 0).foreach(r =>
+        srv.publish(topic, "order-v1", "Order__c", "UPDATE",
+          s"r${r.getLong(0)}",
+          fields(r.getLong(1), "U", r.getDouble(3) + 3.25)))
+      rows.filter(_.getLong(0) % 11 == 0).foreach(r =>
+        srv.publish(topic, "order-v1", "Order__c", "DELETE",
+          s"r${r.getLong(0)}", fields(0L, "", 0.0)))
+      val second = SalesforceCdc.read(s, "127.0.0.1", srv.port, auth,
+        topic, Some(ck), numRequested = 100000)
+      srv.stop() // events decoded eagerly; the server can go
+      val ops = first.unionByName(second).toDF().select(
+        regexp_extract(col("recordId"), "r(\\d+)", 1).cast("long").as("k"),
+        get_json_object(col("payloadJson"), "$.CustId__c")
+          .cast("long").as("cust"),
+        get_json_object(col("payloadJson"), "$.Status__c").as("status"),
+        get_json_object(col("payloadJson"), "$.Price__c")
+          .cast("double").as("price"),
+        when(col("changeType") === "DELETE", "d")
+          .when(col("changeType") === "UPDATE", "u")
+          .otherwise("c").as("__op"),
+        col("replayId").as("__ts_ms"))
+      sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
+    }),
+
     "p_spicedb_watch" -> ((s, d) => {
       // spicedb_watch contract (internal/impl/spicedb/watch_input.go):
       // the Watch RPC over REAL h2c gRPC with hand-encoded authzed
@@ -4495,6 +4553,15 @@ object SparkEntry {
         |    CASE WHEN o_orderkey % 7 = 0 THEN 5.25 ELSE 0.0 END AS price
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_salesforce_cdc" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(o_totalprice AS DOUBLE) +
+        |    CASE WHEN o_orderkey % 6 = 0 THEN 3.25 ELSE 0.0 END AS price
+        |FROM orders WHERE o_orderkey < 1200 AND o_orderkey % 11 <> 0
         |ORDER BY k""".stripMargin,
 
     "p_spicedb_watch" ->
