@@ -99,12 +99,25 @@ object AiApis {
   // ─────────────────────── transport helpers ───────────────────────
 
   private def postJson(client: Http.Client, url: String, body: String,
-                       headers: Map[String, String]): JsonNode = {
-    val r = client(Seq(Http.Request(url, "POST",
-      headers + ("Content-Type" -> "application/json"), body))).head
-    if (r.status / 100 != 2)
-      throw new IllegalStateException(s"POST $url -> ${r.status}: ${r.body}")
-    mapper.readTree(r.body)
+                       headers: Map[String, String]): JsonNode =
+    postJsonBatch(client, Seq(url -> body), headers).head
+
+  /** One transport round-trip for the whole batch: [[Http.javaClient]]
+    * fans the requests out asynchronously, so N per-prompt API calls
+    * cost ~one network round-trip, not N sequential ones.
+    */
+  private def postJsonBatch(client: Http.Client,
+                            reqs: Seq[(String, String)],
+                            headers: Map[String, String]): Seq[JsonNode] = {
+    val rs = client(reqs.map { case (url, body) =>
+      Http.Request(url, "POST",
+        headers + ("Content-Type" -> "application/json"), body)
+    })
+    reqs.zip(rs).map { case ((url, _), r) =>
+      if (r.status / 100 != 2)
+        throw new IllegalStateException(s"POST $url -> ${r.status}: ${r.body}")
+      mapper.readTree(r.body)
+    }
   }
 
   /** Bytes-preserving POST (speech audio responses; [[Http.Client]]
@@ -210,73 +223,84 @@ object AiApis {
   def bedrockEmbeddings(baseUrl: String, creds: Credentials, model: String,
                         dim: Int,
                         transport: Http.Client = Http.javaClient())
-      : Embeddings.Batcher = texts => texts.map { t =>
-    val body = mapper.createObjectNode()
-    body.put("inputText", t)
-    body.put("dimensions", dim)
-    val r = mapper.readTree(
-      signedInvoke(transport, baseUrl, creds, model, body.toString))
-    floats(r.get("embedding"))
-  }
+      : Embeddings.Batcher = texts =>
+    signedInvokeBatch(transport, baseUrl, creds, model, texts.map { t =>
+      val body = mapper.createObjectNode()
+      body.put("inputText", t)
+      body.put("dimensions", dim)
+      body.toString
+    }).map(r => floats(mapper.readTree(r).get("embedding")))
 
-  private def signedInvoke(transport: Http.Client, baseUrl: String,
-                           creds: Credentials, model: String,
-                           body: String): String = {
+  /** Sign every invoke independently (each request carries its own
+    * payload hash) but fan the whole batch out in ONE transport call.
+    */
+  private def signedInvokeBatch(transport: Http.Client, baseUrl: String,
+                                creds: Credentials, model: String,
+                                bodies: Seq[String]): Seq[String] = {
     val path = s"/model/$model/invoke"
     val host = baseUrl.stripPrefix("http://").stripPrefix("https://")
       .takeWhile(_ != '/')
     val amzDate = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
-    val payload = body.getBytes(UTF_8)
-    val signed = SigV4.sign(creds, "bedrock", "POST", path, Map.empty,
-      Map("host" -> host, "content-type" -> "application/json"),
-      payload, amzDate)
-    val r = transport(Seq(Http.Request(s"$baseUrl$path", "POST", Map(
-      "Content-Type" -> "application/json",
-      "x-amz-date" -> amzDate,
-      "x-amz-content-sha256" -> signed.payloadHash,
-      "Authorization" -> signed.authorization), body))).head
-    if (r.status / 100 != 2)
-      throw new IllegalStateException(
-        s"bedrock invoke -> ${r.status}: ${r.body}")
-    r.body
+    val rs = transport(bodies.map { body =>
+      val payload = body.getBytes(UTF_8)
+      val signed = SigV4.sign(creds, "bedrock", "POST", path, Map.empty,
+        Map("host" -> host, "content-type" -> "application/json"),
+        payload, amzDate)
+      Http.Request(s"$baseUrl$path", "POST", Map(
+        "Content-Type" -> "application/json",
+        "x-amz-date" -> amzDate,
+        "x-amz-content-sha256" -> signed.payloadHash,
+        "Authorization" -> signed.authorization), body)
+    })
+    rs.map { r =>
+      if (r.status / 100 != 2)
+        throw new IllegalStateException(
+          s"bedrock invoke -> ${r.status}: ${r.body}")
+      r.body
+    }
   }
+
+  private def signedInvoke(transport: Http.Client, baseUrl: String,
+                           creds: Credentials, model: String,
+                           body: String): String =
+    signedInvokeBatch(transport, baseUrl, creds, model, Seq(body)).head
 
   // ────────────────────────────── chat ──────────────────────────────
 
   def openAiChat(baseUrl: String, apiKey: String, model: String,
                  transport: Http.Client = Http.javaClient())
-      : Ai.ChatClient = prompts => prompts.map { p =>
-    val body = mapper.createObjectNode()
-    body.put("model", model)
-    val msgs = body.putArray("messages")
-    msgs.addObject().put("role", "user").put("content", p)
-    postJson(transport, s"$baseUrl/v1/chat/completions", body.toString,
-      bearer(apiKey)).at("/choices/0/message/content").asText
-  }
+      : Ai.ChatClient = prompts =>
+    postJsonBatch(transport, prompts.map { p =>
+      val body = mapper.createObjectNode()
+      body.put("model", model)
+      val msgs = body.putArray("messages")
+      msgs.addObject().put("role", "user").put("content", p)
+      s"$baseUrl/v1/chat/completions" -> body.toString
+    }, bearer(apiKey)).map(_.at("/choices/0/message/content").asText)
 
   def ollamaChat(baseUrl: String, model: String,
                  transport: Http.Client = Http.javaClient())
-      : Ai.ChatClient = prompts => prompts.map { p =>
-    val body = mapper.createObjectNode()
-    body.put("model", model)
-    body.put("stream", false)
-    val msgs = body.putArray("messages")
-    msgs.addObject().put("role", "user").put("content", p)
-    postJson(transport, s"$baseUrl/api/chat", body.toString, Map.empty)
-      .at("/message/content").asText
-  }
+      : Ai.ChatClient = prompts =>
+    postJsonBatch(transport, prompts.map { p =>
+      val body = mapper.createObjectNode()
+      body.put("model", model)
+      body.put("stream", false)
+      val msgs = body.putArray("messages")
+      msgs.addObject().put("role", "user").put("content", p)
+      s"$baseUrl/api/chat" -> body.toString
+    }, Map.empty).map(_.at("/message/content").asText)
 
   def cohereChat(baseUrl: String, apiKey: String, model: String,
                  transport: Http.Client = Http.javaClient())
-      : Ai.ChatClient = prompts => prompts.map { p =>
-    val body = mapper.createObjectNode()
-    body.put("model", model)
-    body.put("message", p)
-    postJson(transport, s"$baseUrl/v1/chat", body.toString, bearer(apiKey))
-      .get("text").asText
-  }
+      : Ai.ChatClient = prompts =>
+    postJsonBatch(transport, prompts.map { p =>
+      val body = mapper.createObjectNode()
+      body.put("model", model)
+      body.put("message", p)
+      s"$baseUrl/v1/chat" -> body.toString
+    }, bearer(apiKey)).map(_.get("text").asText)
 
   /** aws_bedrock_chat (Titan text shape): `{"inputText"}` →
     * `{"results":[{"outputText"}]}`, SigV4-signed.
