@@ -2100,6 +2100,64 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_migrator" -> ((s, d) => {
+      // redpanda_migrator contract (internal/impl/redpanda/migrator):
+      // schema-registry sync assigns NEW destination ids (dst registry
+      // pre-seeded, so src id 7 → dst id 51), the partition-parallel
+      // copy rewrites the Confluent wire envelope in every value, and
+      // per-partition order (= offsets) survives 1:1. The destination
+      // cluster is read back raw: frame id + payload + (partition,
+      // offset) all checked relationally.
+      import graft.sources.{Broker, Migrator}
+      import graft.sources.SchemaRegistryIO.InMemoryServer
+      val sn = "migsrc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val dn = "migdst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val src = Broker.InMemory.named(sn)
+      Broker.InMemory.named(dn)
+      src.createTopic("orders", 4)
+      // bounded fixture seed (≤500 rows at sf0.01), appended in key
+      // order per partition so offsets are deterministic
+      val rows = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double"))
+        .orderBy(col("o_orderkey")).collect()
+      def frame(id: Int, payload: Array[Byte]): Array[Byte] = {
+        val out = new Array[Byte](5 + payload.length)
+        java.nio.ByteBuffer.wrap(out).put(0.toByte).putInt(id)
+        System.arraycopy(payload, 0, out, 5, payload.length)
+        out
+      }
+      rows.groupBy(_.getLong(0) % 4).foreach { case (p, rs) =>
+        src.append("orders", p.toInt, rs.sortBy(_.getLong(0)).map { r =>
+          Broker.Record(r.getLong(0).toString.getBytes, frame(7,
+            s"""{"k":${r.getLong(0)},"cust":${r.getLong(1)},"price":${r.getDouble(2)}}"""
+              .getBytes("UTF-8")))
+        }.toSeq)
+      }
+      val srcReg = InMemoryServer.Transport(Seq(InMemoryServer.Entry(
+        "orders-value", 1, 7, """{"type":"string"}""")))
+      val dstReg = InMemoryServer.Transport(Seq(InMemoryServer.Entry(
+        "pre-existing", 1, 50, """{"type":"int"}""")))
+      src.commitGroupOffset("analytics", "orders", 0, 3L)
+      val report = Migrator.migrate(s, s"mem://$sn", s"mem://$dn",
+        srcRegistry = srcReg, dstRegistry = dstReg)
+      require(report.schemas == 1 && report.groups == 1)
+      import s.implicits._
+      val out = s.sparkContext.parallelize(0 until 4, 4).flatMap { p =>
+        val t = Broker.transportFor(s"mem://$dn")
+        t.fetch("orders", p, 0, t.endOffset("orders", p)).map { st =>
+          (new String(st.value, 5, st.value.length - 5, "UTF-8"), p,
+            st.offset, java.nio.ByteBuffer.wrap(st.value, 1, 4).getInt)
+        }
+      }.toDF("json", "part", "off", "schema_id")
+      out.select(
+          get_json_object(col("json"), "$.k").cast("long").as("k"),
+          get_json_object(col("json"), "$.cust").cast("long").as("cust"),
+          get_json_object(col("json"), "$.price").cast("double").as("price"),
+          col("part"), col("off"), col("schema_id"))
+        .orderBy(col("k"))
+    }),
+
     "p_salesforce_cdc" -> ((s, d) => {
       // salesforce_cdc contract (internal/impl/salesforce/
       // salesforcegrpc): the Pub/Sub Subscribe RPC over real h2c gRPC
@@ -4553,6 +4611,16 @@ object SparkEntry {
         |    CASE WHEN o_orderkey % 7 = 0 THEN 5.25 ELSE 0.0 END AS price
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_migrator" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CAST(o_totalprice AS DOUBLE) AS price,
+        |  CAST(o_orderkey % 4 AS INT) AS part,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderkey % 4
+        |    ORDER BY o_orderkey) - 1 AS off,
+        |  51 AS schema_id
+        |FROM orders WHERE o_orderkey < 2000
         |ORDER BY k""".stripMargin,
 
     "p_salesforce_cdc" ->

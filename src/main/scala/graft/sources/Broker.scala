@@ -60,6 +60,20 @@ object Broker {
       * returns the first assigned offset.
       */
     def append(topic: String, partition: Int, records: Seq[Record]): Long
+
+    // ── admin surface the migrator family needs (kadm-shaped);
+    //    defaults so minimal transports stay valid ──
+    def listTopics(): Seq[String] =
+      throw new UnsupportedOperationException("listTopics")
+    def commitGroupOffset(group: String, topic: String, partition: Int,
+                          offset: Long): Unit =
+      throw new UnsupportedOperationException("commitGroupOffset")
+    def committedOffsets(group: String): Seq[(String, Int, Long)] = Nil
+    def listGroups(): Seq[String] = Nil
+    def createAcl(principal: String, operation: String,
+                  topic: String): Unit =
+      throw new UnsupportedOperationException("createAcl")
+    def listAcls(): Seq[(String, String, String)] = Nil
   }
 
   /** In-process broker fake: a named registry of topics, each an array
@@ -70,6 +84,34 @@ object Broker {
     */
   final class InMemory extends Transport {
     private val topics = TrieMap.empty[String, Array[ArrayBuffer[Stored]]]
+    /** group → (topic, partition) → committed offset. */
+    private val groups =
+      TrieMap.empty[String, TrieMap[(String, Int), Long]]
+    private val acls = ArrayBuffer.empty[(String, String, String)]
+
+    override def listTopics(): Seq[String] = topics.keys.toSeq.sorted
+
+    override def commitGroupOffset(group: String, topic: String,
+                                   partition: Int, offset: Long): Unit = {
+      groups.getOrElseUpdate(group, TrieMap.empty)
+        .update((topic, partition), offset)
+    }
+
+    override def committedOffsets(group: String): Seq[(String, Int, Long)] =
+      groups.get(group).map(_.toSeq.map { case ((t, p), o) => (t, p, o) })
+        .getOrElse(Nil).sortBy(x => (x._1, x._2))
+
+    override def listGroups(): Seq[String] = groups.keys.toSeq.sorted
+
+    override def createAcl(principal: String, operation: String,
+                           topic: String): Unit = acls.synchronized {
+      val entry = (principal, operation, topic)
+      if (!acls.contains(entry)) acls += entry
+      ()
+    }
+
+    override def listAcls(): Seq[(String, String, String)] =
+      acls.synchronized(acls.toVector)
 
     def createTopic(topic: String, partitions: Int): Unit = {
       require(partitions > 0, s"topic $topic needs >= 1 partition")
