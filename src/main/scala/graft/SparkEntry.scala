@@ -2100,6 +2100,69 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_salesforce_graphql" -> ((s, d) => {
+      // salesforce_graphql input (input_salesforce_graphql.go): UIAPI
+      // edges/node/{value} trees flattened one message per record,
+      // paginated by INJECTING after:"<cursor>" into the query between
+      // requests (page size 50 → 8 pages here), OAuth client-
+      // credentials enforced by the loopback org
+      import graft.sources.SalesforceApi
+      val name = "sfgql_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = SalesforceApi.register(name, "gate-cid", "gate-secret")
+      // bounded fixture seed (≤400 rows at sf0.01)
+      srv.seedGraph("Document__c",
+        Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id")).collect().map(r =>
+            s"""{"Id":"d${r.getLong(0)}","Lang":"${r.getString(1)}","Chars":${r.getLong(2)}}""").toSeq)
+      SalesforceApi.graphqlRead(s, s"mem://$name", "gate-cid",
+          "gate-secret",
+          """query Docs { uiapi { query { Document__c(first: 50) {
+            |edges { node { Id { value } Lang { value } Chars { value } } }
+            |pageInfo { hasNextPage endCursor } } } } }""".stripMargin)
+        .select(
+          regexp_extract(get_json_object(col("value"), "$.Id"), "d(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.Lang").as("lang"),
+          get_json_object(col("value"), "$.Chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_salesforce_sink" -> ((s, d) => {
+      // salesforce output (output_salesforce.go): bulk mode drives the
+      // full Bulk API 2.0 lifecycle (create job → CSV upload →
+      // UploadComplete → poll to JobComplete) for the upserts, then
+      // realtime composite sObjects deletes remove every eighth key;
+      // the org's store is read back relationally
+      import graft.sources.SalesforceApi
+      val name = "sfsink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val srv = SalesforceApi.register(name, "gate-cid", "gate-secret")
+      val orders = Tables.orders(s, d).filter(col("o_orderkey") < 1500)
+      SalesforceApi.write(
+        orders.select(to_json(struct(
+          concat(lit("o"), col("o_orderkey")).as("Ext__c"),
+          col("o_custkey").as("Cust__c"),
+          col("o_orderstatus").as("Status__c"))).as("value")),
+        s"mem://$name", "gate-cid", "gate-secret", "Order__c",
+        operation = "upsert", externalIdField = "Ext__c", mode = "bulk",
+        batchSize = 200)
+      SalesforceApi.write(
+        orders.filter(col("o_orderkey") % 8 === 0)
+          .select(to_json(struct(
+            concat(lit("o"), col("o_orderkey")).as("Ext__c"))).as("value")),
+        s"mem://$name", "gate-cid", "gate-secret", "Order__c",
+        operation = "delete", externalIdField = "Ext__c",
+        mode = "realtime")
+      import s.implicits._
+      srv.store("Order__c").values.map(_.toString).toVector.toDF("value")
+        .select(
+          regexp_extract(get_json_object(col("value"), "$.Ext__c"),
+            "o(\\d+)", 1).cast("long").as("k"),
+          get_json_object(col("value"), "$.Cust__c").cast("long").as("cust"),
+          get_json_object(col("value"), "$.Status__c").as("status"))
+        .orderBy(col("k"))
+    }),
+
     "p_migrator" -> ((s, d) => {
       // redpanda_migrator contract (internal/impl/redpanda/migrator):
       // schema-registry sync assigns NEW destination ids (dst registry
@@ -4611,6 +4674,17 @@ object SparkEntry {
         |    CASE WHEN o_orderkey % 7 = 0 THEN 5.25 ELSE 0.0 END AS price
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_salesforce_graphql" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_salesforce_sink" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  o_orderstatus AS status
+        |FROM orders WHERE o_orderkey < 1500 AND o_orderkey % 8 <> 0
         |ORDER BY k""".stripMargin,
 
     "p_migrator" ->
