@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{AzureQueue, Beanstalkd, Cassandra, CloudQueue, Cursors, Discord, HttpClient, Jira, Kinesis, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SchemaRegistryIO, Slack, Sources, Mongo, Splunk, Tcp, Twitter, WebSocket}
+import graft.sources.{AzureQueue, Beanstalkd, Cassandra, CloudQueue, CloudWatch, Cursors, Discord, DynamoCdc, HttpClient, Jira, Kinesis, MongoCdc, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SalesforceApi, SalesforceCdc, SchemaRegistryIO, Slack, Sources, SpannerCdc, SpiceDb, Mongo, Splunk, Tcp, Twitter, WebSocket}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -938,9 +938,83 @@ object Pipeline {
           visibilityTimeoutMs =
             durMs(b, "dequeue_visibility_timeout", 30000L),
           trackProperties = b.path("track_properties").asBoolean(false))
+      case ("mongodb_cdc", b) =>
+        // inputs/mongodb_cdc.adoc — snapshot-then-stream change events
+        MongoCdc.read(spark, b.get("url").asText,
+            b.get("database").asText,
+            b.get("collections").elements().asScala.toSeq.map(_.asText),
+            streamSnapshot = b.path("stream_snapshot").asBoolean(true),
+            snapshotParallelism =
+              b.path("snapshot_parallelism").asInt(1),
+            checkpointPath = Option(b.get("checkpoint_cache"))
+              .map(_.asText))
+          .toDF()
+      case ("aws_dynamodb_cdc", b) =>
+        // inputs/aws_dynamodb_cdc.adoc — segmented snapshot + shard
+        // lineage streams over the SigV4-verified JSON protocol
+        DynamoCdc.read(spark, b.get("endpoint").asText,
+            awsCreds(b), b.get("table").asText,
+            snapshotSegments = b.path("snapshot_segments").asInt(4),
+            checkpointPath = Option(b.get("checkpoint_cache"))
+              .map(_.asText),
+            streamSnapshot = b.path("stream_snapshot").asBoolean(true))
+          .toDF()
+      case ("gcp_spanner_cdc", b) =>
+        // inputs/gcp_spanner_cdc.adoc — change-stream TVF partitions
+        // with per-partition watermarks
+        SpannerCdc.read(spark, b.get("endpoint").asText,
+            b.path("bearer_token").asText("spanner-token"),
+            b.get("database").asText, b.get("stream_name").asText,
+            checkpointPath = Option(b.get("checkpoint_cache"))
+              .map(_.asText))
+          .toDF()
+      case ("salesforce_cdc", b) =>
+        // inputs/salesforce_cdc.adoc — Pub/Sub Subscribe with Avro
+        // payloads and replay-id resume
+        SalesforceCdc.read(spark, b.get("host").asText,
+            b.get("port").asInt,
+            SalesforceCdc.Auth(b.path("access_token").asText("tok"),
+              b.path("instance_url").asText(""),
+              b.path("tenant_id").asText("")),
+            b.get("topic").asText,
+            checkpointPath = Option(b.get("checkpoint_cache"))
+              .map(_.asText))
+          .toDF()
+      case ("salesforce_graphql", b) =>
+        // inputs/salesforce_graphql.adoc — UIAPI edges/pageInfo walk
+        SalesforceApi.graphqlRead(spark, b.get("org_url").asText,
+          b.path("client_id").asText(""),
+          b.path("client_secret").asText(""),
+          b.get("query").asText,
+          variablesJson = b.path("variables").asText("{}"))
+      case ("spicedb_watch", b) =>
+        // inputs/spicedb_watch.adoc — Watch RPC with zed-token cache
+        SpiceDb.watch(spark, b.get("host").asText, b.get("port").asInt,
+            b.path("bearer_token").asText(""),
+            cachePath = Option(b.get("cache")).map(_.asText),
+            startCursor = Option(b.get("start_cursor")).map(_.asText))
+          .toDF()
+      case ("aws_cloudwatch_logs", b) =>
+        // inputs/aws_cloudwatch_logs.adoc — FilterLogEvents page walk
+        CloudWatch.logsRead(spark, b.get("endpoint").asText,
+          awsCreds(b), b.get("log_group_name").asText,
+          streamNames = Option(b.get("log_stream_names"))
+            .map(_.elements().asScala.toSeq.map(_.asText))
+            .getOrElse(Nil),
+          streamPrefix = Option(b.get("log_stream_prefix"))
+            .map(_.asText).orNull,
+          startTime = b.path("start_time").asLong(0L),
+          filterPattern = Option(b.get("filter_pattern"))
+            .map(_.asText).orNull)
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
+
+  private def awsCreds(b: JsonNode): graft.sources.S3.Credentials =
+    graft.sources.S3.Credentials(
+      b.at("/credentials/id").asText("AK"),
+      b.at("/credentials/secret").asText("SK"),
+      b.path("region").asText("us-east-1"))
 
   /** `mem://name/queue` → (`mem://name`, `queue`) — the SQS queue-URL
     * shape (…/account/queue) collapsed to the transport seam.
@@ -1535,6 +1609,86 @@ object Pipeline {
     case ("azure_queue_storage", b) =>
       AzureQueue.write(df, b.get("storage_account").asText,
         b.get("queue_name").asText)
+    case ("iceberg", b) =>
+      // outputs/iceberg.adoc — the REAL v2 table format: append or
+      // upsert-by-identifier_fields commits (sinks/Iceberg.scala)
+      val loc = b.get("location").asText
+      val parts = Option(b.get("partition_by"))
+        .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil)
+      val keys = Option(b.get("identifier_fields"))
+        .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil)
+      val rows = unpackForTable(df, b)
+      if (keys.isEmpty) graft.sinks.Iceberg.append(rows, loc, parts)
+      else graft.sinks.Iceberg.upsert(rows, loc, keys, parts,
+        deleteCol = Option(b.get("delete_column")).map(_.asText))
+    case ("opensearch", b) =>
+      // outputs/opensearch.adoc — _bulk under optional SigV4 (`aws`)
+      graft.sinks.OpenSearch.bulkWrite(df, b.get("urls").elements()
+          .asScala.next().asText,
+        indexCol = lit(b.get("index").asText),
+        actionCol = lit(b.path("action").asText("index")),
+        idCol = col("metadata")("id"),
+        creds = Option(b.get("aws")).filter(_.path("enabled")
+          .asBoolean(false)).map(awsCreds))
+    case ("azure_table_storage", b) =>
+      graft.sinks.AzureTables.write(df, b.get("endpoint").asText,
+        graft.sources.AzureBlob.Account(
+          b.get("storage_account").asText,
+          b.get("storage_access_key").asText),
+        b.get("table_name").asText,
+        partitionKeyCol = col("metadata")("partition_key"),
+        rowKeyCol = col("metadata")("row_key"),
+        insertType = b.path("insert_type").asText("INSERT"))
+    case ("azure_data_lake_gen2", b) =>
+      graft.sinks.AzureDataLake.write(df, b.get("endpoint").asText,
+        graft.sources.AzureBlob.Account(
+          b.get("storage_account").asText,
+          b.get("storage_access_key").asText),
+        b.get("filesystem").asText,
+        pathCol = lit(b.path("path").asText("out")))
+    case ("snowflake_put", b) =>
+      // outputs/snowflake_put.adoc — key-pair JWT (private_key_file,
+      // PKCS#8 PEM) stage PUT, optional Snowpipe insertFiles
+      val pem = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(b.get("private_key_file").asText)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      graft.sinks.SnowflakePut.write(df,
+        b.path("endpoint").asText(
+          s"https://${b.get("account").asText}.snowflakecomputing.com"),
+        graft.sinks.SnowflakePut.Creds(b.get("account").asText,
+          b.get("user").asText,
+          graft.sinks.SnowflakePut.keyPairFromPem(pem)),
+        b.get("stage").asText,
+        pathCol = lit(b.path("path").asText("")),
+        compression = b.path("compression").asText("GZIP") match {
+          case "AUTO" => "GZIP"; case c => c
+        },
+        pipe = Option(b.get("snowpipe")).map(_.asText))
+    case ("qdrant", b) =>
+      // outputs/qdrant.adoc — REST upsert by id/vector mappings
+      graft.sinks.Qdrant.write(df, b.get("grpc_host").asText,
+        b.path("api_token").asText(""),
+        b.get("collection_name").asText,
+        idCol = col("metadata")("id"),
+        vectorCol = from_json(col("value"), org.apache.spark.sql.types
+          .DataTypes.createArrayType(org.apache.spark.sql.types
+            .DataTypes.FloatType)))
+    case ("aws_kinesis_firehose", b) =>
+      graft.sinks.Firehose.write(df, b.get("endpoint").asText,
+        awsCreds(b), b.get("stream").asText,
+        batchSize = b.path("batching/count").asInt(500) match {
+          case 0 => 500; case n => math.min(n, 500)
+        })
+    case ("salesforce_sink" | "salesforce", b) =>
+      SalesforceApi.write(df, b.get("org_url").asText,
+        b.path("client_id").asText(""),
+        b.path("client_secret").asText(""),
+        b.get("object").asText,
+        operation = b.path("operation").asText("upsert"),
+        externalIdField = b.path("external_id_field").asText("Id"),
+        mode = b.path("mode").asText("realtime"),
+        allOrNone = b.path("all_or_none").asBoolean(false),
+        batchSize = b.path("bulk_batch_size").asInt(200))
     case ("noop", _) =>
       df.write.format("noop").mode("overwrite").save()
     case ("memory", b) =>
