@@ -2100,6 +2100,29 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_amqp1_roundtrip" -> ((s, d) => {
+      // amqp_1 contract (the OASIS AMQP 1.0 wire protocol on real TCP
+      // sockets): SASL PLAIN, open/begin/attach, credit-gated
+      // transfers settled by accepted dispositions, then a receiver
+      // link drains the queue — payloads, message sections, and
+      // settlement all crossing the real framing layer
+      import graft.sources.Amqp1
+      val srv = new Amqp1.Server(user = "svc", pass = "gate")
+      Amqp1.write(
+        Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(to_json(struct(col("doc_id"), col("lang"))).as("value")),
+        "127.0.0.1", srv.port, "docs", user = "svc", pass = "gate")
+      val out = Amqp1.read(s, "127.0.0.1", srv.port, "docs",
+          user = "svc", pass = "gate")
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      srv.stop()
+      out
+    }),
+
     "p_salesforce_graphql" -> ((s, d) => {
       // salesforce_graphql input (input_salesforce_graphql.go): UIAPI
       // edges/node/{value} trees flattened one message per record,
@@ -4675,6 +4698,10 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey < 1300 AND o_orderkey % 9 <> 0
         |ORDER BY k""".stripMargin,
+
+    "p_amqp1_roundtrip" ->
+      """SELECT doc_id, lang FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
 
     "p_salesforce_graphql" ->
       """SELECT doc_id, lang, n_chars FROM documents
