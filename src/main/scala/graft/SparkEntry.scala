@@ -2100,6 +2100,39 @@ object SparkEntry {
       sources.Cdc.latestState(ops, Seq("k"), col("__ts_ms")).orderBy("k")
     }),
 
+    "p_bigquery_write" -> ((s, d) => {
+      // gcp_bigquery_write_api contract (internal/impl/gcp/enterprise/
+      // bigquery/output.go): pending-stream batches over real gRPC —
+      // every batch creates a stream, appends proto rows encoded per a
+      // REAL serialized DescriptorProto at sequential offsets,
+      // finalizes, and commits atomically; the server decodes rows
+      // with the descriptor it was sent, so a descriptor/row mismatch
+      // anywhere in the chain breaks the relational readback
+      import graft.sinks.BigQueryWriteApi
+      import graft.sinks.BigQueryWriteApi.Field
+      val srv = new BigQueryWriteApi.Server("gate-token")
+      val fields = Seq(Field("doc_id", "INT64"), Field("lang", "STRING"),
+        Field("chars", "INT64"))
+      BigQueryWriteApi.write(
+        Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars").as("chars"))).as("value")),
+        "127.0.0.1", srv.port, "gate-token", "proj", "ds", "docs",
+        fields, mode = "pending_stream", batchSize = 100)
+      require(srv.uncommittedStreams == 0, "every batch must commit")
+      import s.implicits._
+      val out = srv.committed("projects/proj/datasets/ds/tables/docs")
+        .toVector.toDF("value")
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+          get_json_object(col("value"), "$.lang").as("lang"),
+          get_json_object(col("value"), "$.chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      srv.stop()
+      out
+    }),
+
     "p_amqp1_roundtrip" -> ((s, d) => {
       // amqp_1 contract (the OASIS AMQP 1.0 wire protocol on real TCP
       // sockets): SASL PLAIN, open/begin/attach, credit-gated
@@ -4701,6 +4734,11 @@ object SparkEntry {
 
     "p_amqp1_roundtrip" ->
       """SELECT doc_id, lang FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_bigquery_write" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400
         |ORDER BY doc_id""".stripMargin,
 
     "p_salesforce_graphql" ->
