@@ -1006,9 +1006,50 @@ object Pipeline {
           startTime = b.path("start_time").asLong(0L),
           filterPattern = Option(b.get("filter_pattern"))
             .map(_.asText).orNull)
+      case ("dynamic", b) =>
+        // inputs/dynamic.adoc — a set of NAMED child inputs that can
+        // be enabled/disabled at runtime. The reference toggles them
+        // through its HTTP admin endpoints; here the same toggles live
+        // on the [[Dynamic]] registry (`prefix` scopes the names).
+        val prefix = b.path("prefix").asText("")
+        val children = Option(b.get("inputs")).map(_.properties().asScala
+          .toSeq.map(e => e.getKey -> e.getValue)).getOrElse(Nil)
+        require(children.nonEmpty, "dynamic input needs inputs")
+        val active = children.filter { case (label, _) =>
+          Dynamic.enabled(prefix, label)
+        }
+        require(active.nonEmpty, "dynamic input: every child is disabled")
+        active.map { case (label, spec) =>
+          val child = compileInput(spark, spec, env)
+          val withMeta =
+            if (child.columns.contains("metadata")) child
+            else child.withColumn("metadata",
+              map().cast("map<string,string>"))
+          withMeta.withColumn("metadata", map_concat(
+            coalesce(col("metadata"), map().cast("map<string,string>")),
+            map(lit("dynamic_input"), lit(label))))
+        }.reduce(_ unionByName _)
       case (other, _) =>
         throw new IllegalArgumentException(s"input '$other' not supported")
     }
+
+  /** Runtime enable/disable registry behind the `dynamic` input/output
+    * (the reference's admin-API toggles, programmatic here). Children
+    * default to enabled.
+    */
+  object Dynamic {
+    private val disabled =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private def key(prefix: String, label: String) = s"$prefix#$label"
+    def enabled(prefix: String, label: String): Boolean =
+      !disabled.contains(key(prefix, label))
+    def disable(prefix: String, label: String): Unit = {
+      disabled.add(key(prefix, label)); ()
+    }
+    def enable(prefix: String, label: String): Unit = {
+      disabled.remove(key(prefix, label)); ()
+    }
+  }
 
   private def awsCreds(b: JsonNode): graft.sources.S3.Credentials =
     graft.sources.S3.Credentials(
@@ -1689,6 +1730,15 @@ object Pipeline {
         mode = b.path("mode").asText("realtime"),
         allOrNone = b.path("all_or_none").asBoolean(false),
         batchSize = b.path("bulk_batch_size").asInt(200))
+    case ("dynamic", b) =>
+      // outputs/dynamic.adoc — fan the frame to every ENABLED child
+      val prefix = b.path("prefix").asText("")
+      val children = Option(b.get("outputs")).map(_.properties().asScala
+        .toSeq.map(e => e.getKey -> e.getValue)).getOrElse(Nil)
+      require(children.nonEmpty, "dynamic output needs outputs")
+      children.foreach { case (label, spec) =>
+        if (Dynamic.enabled(prefix, label)) writeOutput(df, spec)
+      }
     case ("noop", _) =>
       df.write.format("noop").mode("overwrite").save()
     case ("memory", b) =>

@@ -89,6 +89,28 @@ class ConnectorConfigSpec extends SparkSpec {
     assert(got.toSeq == (0L until 5L))
   }
 
+  test("dynamic input unions enabled children; toggles apply on rebuild") {
+    val prefix = "dyn_" + uid()
+    def build() = Pipeline.build(spark,
+      s"""input:
+         |  dynamic:
+         |    prefix: $prefix
+         |    inputs:
+         |      a:
+         |        generate: { count: 3, mapping: 'root.src = "a"' }
+         |      b:
+         |        generate: { count: 2, mapping: 'root.src = "b"' }
+         |""".stripMargin)
+    assert(build().count() == 5L)
+    val tagged = build().select(element_at(col("metadata"), "dynamic_input"))
+      .collect().map(_.getString(0)).sorted
+    assert(tagged.toSeq == Seq("a", "a", "a", "b", "b"))
+    Pipeline.Dynamic.disable(prefix, "b")
+    assert(build().count() == 3L, "disabled child dropped on rebuild")
+    Pipeline.Dynamic.enable(prefix, "b")
+    assert(build().count() == 5L)
+  }
+
   test("snowflake_put output form loads the private_key_file PEM") {
     val kp = graft.sinks.SnowflakePut.generateKeyPair()
     val pemFile = java.nio.file.Files.createTempFile("sf_key", ".p8")
