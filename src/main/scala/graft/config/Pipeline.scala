@@ -75,6 +75,14 @@ object Pipeline {
   private def applyBuffer(df: DataFrame, n: JsonNode,
                           env: Map[String, String]): DataFrame = one(n) match {
     case ("memory" | "none", _) => df
+    case ("sqlite", b) =>
+      // buffers/sqlite.adoc — durable disk buffer, at-least-once:
+      // rows persist BEFORE the pipeline reads them and only delete
+      // after the output delivers (Pipeline.run acks; Derby stands in
+      // for the absent sqlite driver — same embedded-disk contract)
+      val path = b.get("path").asText
+      SqlBuffer.append(df, path)
+      SqlBuffer.readUndelivered(df.sparkSession, path)
     case ("system_window", b) =>
       val sizeMs = durMs(b.get("size").asText)
       val slideMs = Option(b.get("slide")).map(_.asText).filter(_.nonEmpty)
@@ -169,6 +177,22 @@ object Pipeline {
               .withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn", "__lvl")
               .createOrReplaceTempView(view)
+          case "aws_dynamodb" =>
+            // caches/aws_dynamodb.adoc — one item per key
+            // (hash_key/data_key attributes), hydrated via a Scan
+            // over the SigV4-verified JSON protocol
+            val bn = e.getValue
+            val hashKey = bn.path("hash_key").asText("key")
+            val dataKey = bn.path("data_key").asText("value")
+            val items = graft.sources.DynamoCdc.scanAll(
+              bn.get("endpoint").asText, awsCreds(bn),
+              bn.get("table").asText)
+            import spark.implicits._
+            val m2 = new ObjectMapper()
+            items.map { j =>
+              val n2 = m2.readTree(j)
+              (n2.path(hashKey).asText, n2.path(dataKey).asText)
+            }.toDF("key", "value").createOrReplaceTempView(view)
           case "aws_s3" =>
             // caches/aws_s3.adoc — one object per key under the
             // bucket; hydrated via the SigV4-verified S3 stack (mem://
@@ -251,7 +275,15 @@ object Pipeline {
     }
     val startNs = System.nanoTime()
     var runError: Option[String] = None
-    try spec.output.foreach(writeOutput(df, _))
+    try {
+      spec.output.foreach(writeOutput(df, _))
+      // durable buffer ack: rows delete only after the output lands
+      // (a failure above leaves them for the next run to replay)
+      spec.buffer.map(one).foreach {
+        case ("sqlite", b) => SqlBuffer.ackPending(b.get("path").asText)
+        case _ => ()
+      }
+    }
     catch { case e: Throwable => runError = Some(String.valueOf(e.getMessage)); throw e }
     finally {
       // tracer: one pipeline-run span through the OTLP export path
@@ -266,6 +298,17 @@ object Pipeline {
                 "tracer: collector_url/url required"))
             graft.operators.Tracing.export(endpoint,
               b.path("service_name").asText("graft"),
+              Seq(graft.operators.Tracing.Span("pipeline.run",
+                System.currentTimeMillis * 1000000L -
+                  (System.nanoTime() - startNs),
+                System.currentTimeMillis * 1000000L,
+                Map("pipeline.output" -> spec.output.map(one(_)._1)
+                  .getOrElse("none")),
+                statusError = runError)))
+          case ("gcp_cloudtrace", b) =>
+            graft.operators.Tracing.cloudTraceExport(
+              b.get("url").asText, b.path("project").asText("proj"),
+              b.path("token").asText(""),
               Seq(graft.operators.Tracing.Span("pipeline.run",
                 System.currentTimeMillis * 1000000L -
                   (System.nanoTime() - startNs),
@@ -312,6 +355,19 @@ object Pipeline {
         }
         Option(b.get("file")).map(_.asText).foreach { p =>
           java.nio.file.Files.writeString(java.nio.file.Paths.get(p), text)
+        }
+      case ("aws_cloudwatch", b) =>
+        // metrics/aws_cloudwatch.adoc — PutMetricData form protocol
+        graft.sources.CloudWatch.putMetricData(
+          b.get("endpoint").asText, awsCreds(b),
+          b.path("namespace").asText("Benthos"), reg)
+        ()
+      case ("json_api", b) =>
+        // metrics/json_api.adoc — the pull endpoint's JSON document;
+        // written to `file` when configured (the pull server seam)
+        val json = MetricsExport.jsonApi(reg)
+        Option(b.get("file")).map(_.asText).foreach { p =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
         }
       case ("logger" | "none", _) =>
         System.err.println(s"[metrics] output_sent=$rows")
@@ -1872,6 +1928,27 @@ object Processors {
           procs(d.filter(col("error").isNull))
             .unionByName(d.filter(col("error").isNotNull),
               allowMissingColumns = true)
+        }
+      case "try_catch" =>
+        // processors/try_catch.adoc — try semantics over `processors`;
+        // failures move into a metadata object ({"what": …}, field
+        // `error_metadata`) with the flag CLEARED before `catch` runs,
+        // so recovery reads @error.what and new catch-side failures
+        // surface as fresh errors
+        val procs = children(Option(body.get("processors")).orNull, env)
+        val catchProcs = children(Option(body.get("catch")).orNull, env)
+        val errField = body.path("error_metadata").asText("error")
+        df => {
+          val d = FlowControl.withErrorChannel(df)
+          val tried = procs(d.filter(col("error").isNull))
+            .unionByName(d.filter(col("error").isNotNull),
+              allowMissingColumns = true)
+          val ok = tried.filter(col("error").isNull)
+          val cleared = tried.filter(col("error").isNotNull)
+            .withColumn("metadata", metaPut(metaColOf(tried),
+              lit(errField), to_json(struct(col("error").as("what")))))
+            .withColumn("error", lit(null).cast("string"))
+          ok.unionByName(catchProcs(cleared), allowMissingColumns = true)
         }
       case "catch" =>
         // processors/catch.adoc:26 — children run on errored rows only,

@@ -130,6 +130,33 @@ object MetricsExport {
     sb.toString
   }
 
+  // ---- json_api document ----
+
+  /** The `json_api` metrics document (metrics/json_api.adoc): a flat
+    * object of name{labels} → value, timings exposed as `_count` /
+    * `_mean_ns` pairs — the reference's pull-endpoint payload shape.
+    */
+  def jsonApi(r: Registry): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val o = m.createObjectNode()
+    def key(n: String, ls: Labels): String =
+      if (ls.isEmpty) n
+      else n + ls.map { case (k, v) => s"$k=$v" }.mkString("{", ",", "}")
+    r.counterValues.toSeq.sortBy(_._1.toString).foreach {
+      case ((n, ls), v) => o.put(key(n, ls), v)
+    }
+    r.gaugeValues.toSeq.sortBy(_._1.toString).foreach {
+      case ((n, ls), v) => o.put(key(n, ls), v)
+    }
+    r.timingValues.toSeq.sortBy(_._1.toString).foreach {
+      case ((n, ls), t) =>
+        o.put(key(n + "_count", ls), t.count)
+        o.put(key(n + "_mean_ns", ls),
+          if (t.count == 0) 0L else t.sumNs / t.count)
+    }
+    o.toString
+  }
+
   // ---- statsd datagrams ----
 
   /** One datagram line per metric: counters as deltas since the last

@@ -60,4 +60,44 @@ object Tracing {
       throw new IllegalStateException(
         s"tracer export rejected (${resp.status}): ${resp.body.take(200)}")
   }
+
+  /** `gcp_cloudtrace` tracer (tracers/gcp_cloudtrace.adoc; the
+    * reference exports through the Cloud Trace OTel exporter): spans
+    * POSTed to the PUBLIC Cloud Trace v2 `traces:batchWrite` surface —
+    * `projects/{p}/traces/{traceId}/spans/{spanId}` names, truncatable
+    * displayName, RFC3339 times, bearer auth.
+    */
+  def cloudTraceExport(endpoint: String, project: String, token: String,
+                       spans: Seq[Span],
+                       client: Http.Client = null): Unit = {
+    if (spans.isEmpty) return
+    val c = Option(client).getOrElse(Http.clientFor(endpoint))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def rfc3339(ns: Long) = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.ofEpochSecond(ns / 1000000000L,
+        ns % 1000000000L))
+    val traceId = randomHex(16)
+    val body = spans.map { s =>
+      val spanId = randomHex(8)
+      val attrs = s.attributes.map { case (k, v) =>
+        s""""${esc(k)}":{"stringValue":{"value":"${esc(v)}"}}"""
+      }.mkString(",")
+      s"""{"name":"projects/$project/traces/$traceId/spans/$spanId",""" +
+        s""""spanId":"$spanId",""" +
+        s""""displayName":{"value":"${esc(s.name)}"},""" +
+        s""""startTime":"${rfc3339(s.startNanos)}",""" +
+        s""""endTime":"${rfc3339(s.endNanos)}",""" +
+        s""""attributes":{"attributeMap":{$attrs}}""" +
+        s.statusError.map(e =>
+          s""","status":{"code":2,"message":"${esc(e)}"}""").getOrElse("") +
+        "}"
+    }.mkString("""{"spans":[""", ",", "]}")
+    val resp = c(Seq(Http.Request(
+      s"${endpoint.stripSuffix("/")}/v2/projects/$project/traces:batchWrite",
+      "POST", Map("Content-Type" -> "application/json",
+        "Authorization" -> s"Bearer $token"), body))).head
+    if (resp.status < 200 || resp.status > 299)
+      throw new IllegalStateException(
+        s"cloudtrace export rejected (${resp.status}): ${resp.body.take(200)}")
+  }
 }

@@ -122,6 +122,17 @@ object DynamoCdc {
     mapper.readTree(r.body)
   }
 
+  /** One full Scan (single segment) — the bounded hydration the
+    * `aws_dynamodb` cache backend uses; items as flattened JSON.
+    */
+  def scanAll(endpoint: String, creds: Credentials, table: String,
+              client: Http.Client = null): Seq[String] = {
+    val c = Option(client).getOrElse(resolveClient(endpoint))
+    call(c, endpoint, creds, "dynamodb", "DynamoDB_20120810.Scan",
+      s"""{"TableName":"$table","Segment":0,"TotalSegments":1}""")
+      .path("Items").elements().asScala.map(itemToJson).toVector
+  }
+
   /** Replay snapshot + available stream records and advance the
     * checkpoint. `endpoint` `mem://name` targets a registered
     * [[MemDynamoStreams]]; real AWS endpoints carry the same bytes.

@@ -331,6 +331,26 @@ class ProcessorsVocabSpec extends SparkSpec {
     assert(values(out).head.startsWith("echo:"), "deterministic echo client")
   }
 
+  test("try_catch routes failures through catch with the error in metadata") {
+    import spark.implicits._
+    Seq(("0", "hit-value")).toDF("key", "value")
+      .createOrReplaceTempView("cache_tc_cache")
+    val in = envelope("""{"id":"0"}""", """{"id":"9"}""")
+    val out = apply(in,
+      """- try_catch:
+        |    processors:
+        |      - cache: { resource: tc_cache, operator: get, key: '${! this.id }' }
+        |    catch:
+        |      - mutation: 'root = "recovered: " + meta("error").parse_json().what'
+        |""".stripMargin)
+    val got = values(out).sorted
+    assert(got.head == "hit-value", "the try side passes hits through")
+    assert(got(1) == "recovered: cache miss",
+      "the miss recovers via catch with @error.what from metadata")
+    // the failure flag is CLEARED: no error column survivors
+    assert(out.filter(col("error").isNotNull).count() == 0)
+  }
+
   test("while re-applies children until the predicate clears") {
     val in = envelope("""{"n":1}""")
     val out = apply(in,
