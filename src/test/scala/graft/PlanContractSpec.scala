@@ -194,6 +194,27 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("iceberg readTable pushes filters and pruning into the parquet scan") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("iceberg_plan").toString
+    graft.sinks.Iceberg.append((0L until 100L).map(k => (k, s"v$k", k % 4))
+      .toDF("k", "v", "pb"), loc, partitionCols = Seq("pb"))
+    // the manifest-planned file list feeds a PLAIN parquet relation, so
+    // Catalyst's pushdown/pruning apply untouched — the property that
+    // keeps reads fast at 100 TB
+    val q = graft.sinks.Iceberg.readTable(spark, loc)
+      .filter(col("k") > 50).select("k", "pb")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,50)"),
+      s"filter not pushed into the iceberg data files:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint,pb:bigint>"),
+      s"columns not pruned:\n$plan")
+    // file-level partition pruning is the planFiles contract
+    val pruned = graft.sinks.Iceberg.planFiles(spark, loc)
+      .filter(_.partition.head == 2L)
+    assert(pruned.nonEmpty && pruned.forall(_.partition.head == 2L))
+  }
+
   test("every query is oracle-gated or explicitly oracle-exempt") {
     val queries = SparkEntry.queries.keySet
     val gated = SparkEntry.oracleSql.keySet
