@@ -2631,6 +2631,40 @@ object SparkEntry {
       s.table("lakehouse_orders").orderBy(col("k"))
     }),
 
+    "p_iceberg_mor" -> ((s, d) => {
+      // the reference committer's MERGE-ON-READ write shape
+      // (committer.go:99-104): updates and deletes land as equality-
+      // delete files (content=2, own deletes manifests) plus new data
+      // files — NO existing file is rewritten — and the reader applies
+      // deletes by the sequence rule (a delete removes matching rows
+      // ONLY from earlier sequence numbers). The gate asserts the
+      // no-rewrite invariant, then reads back through the
+      // delete-applying scan.
+      import sinks.Iceberg
+      val loc = java.nio.file.Files.createTempDirectory("iceberg_mor").toString
+      val o = Tables.orders(s, d)
+      def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_totalprice").cast("double").as("price"))
+      Iceberg.append(shaped(o.filter(col("o_orderkey") < 1500)), loc)
+      val files1 = Iceberg.planFiles(s, loc).map(_.path).toSet
+      Iceberg.upsertMergeOnRead(
+        shaped(o.filter(col("o_orderkey") < 1500 &&
+            col("o_orderkey") % 5 === 0))
+          .withColumn("price", col("price") + 20.0)
+          .withColumn("status", lit("M")),
+        loc, Seq("k"))
+      Iceberg.upsertMergeOnRead(
+        o.filter(col("o_orderkey") < 1500 && col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey").as("k"), lit(true).as("__del")),
+        loc, Seq("k"), deleteCol = Some("__del"))
+      require(files1.subsetOf(Iceberg.planFiles(s, loc).map(_.path).toSet),
+        "merge-on-read must not rewrite data files")
+      require(Iceberg.planEntries(s, loc)
+        .count(_.content == Iceberg.ContentEqDeletes) == 2)
+      Iceberg.readTable(s, loc).orderBy(col("k"))
+    }),
+
     "p_iceberg_commit" -> ((s, d) => {
       // REAL Iceberg v2 table format (internal/impl/iceberg/
       // committer.go: one atomic snapshot per commit): three commits —
@@ -4983,6 +5017,15 @@ object SparkEntry {
         |       THEN 'updated' END AS status
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_iceberg_mor" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DOUBLE) + 20.0
+        |       ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'M' END AS status
+        |FROM orders
+        |WHERE o_orderkey < 1500 AND o_orderkey % 9 <> 0
         |ORDER BY k""".stripMargin,
 
     "p_iceberg_commit" ->

@@ -86,10 +86,15 @@ object Iceberg {
                          addedRows: Long, existingRows: Long, deletedRows: Long)
 
   /** One manifest entry: a data file + its lifecycle status. */
+  /** `content` 0 = data, 2 = EQUALITY DELETES (spec §Manifests);
+    * `equalityIds` names the key columns a delete file matches on.
+    */
   case class Entry(status: Int, snapshotId: Long, seq: Long, fileSeq: Long,
                    path: String, partition: Seq[Any], recordCount: Long,
-                   sizeBytes: Long)
+                   sizeBytes: Long, content: Int = 0,
+                   equalityIds: Seq[Int] = Nil)
   val StExisting = 0; val StAdded = 1; val StDeleted = 2
+  val ContentData = 0; val ContentEqDeletes = 2
 
   private val mapper = new ObjectMapper()
 
@@ -297,7 +302,8 @@ object Iceberg {
          |{"name":"file_format","type":"string","field-id":101},
          |{"name":"partition","field-id":102,"type":${partitionAvro(spec, schema)}},
          |{"name":"record_count","type":"long","field-id":103},
-         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
 
   private val manifestFileAvro: Schema = new Schema.Parser().parse(
@@ -344,13 +350,19 @@ object Iceberg {
 
   // ---------------------------------------------------- manifest read/write
 
-  /** Write one manifest; returns its manifest-list row. */
+  /** Write one manifest; returns its manifest-list row. A manifest
+    * holds EITHER data entries or delete entries (spec rule) — the
+    * manifest-list row's `content` mirrors it (0 data / 1 deletes).
+    */
   private def writeManifest(fs: FileSystem, m: Meta, entries: Seq[Entry],
                             snapshotId: Long, seq: Long): ManifestRef = {
     val schema = m.schema
     val entryAvro = manifestEntryAvro(m.specFields, schema)
     val dfSchema = entryAvro.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
+    val isDeletes = entries.exists(_.content == ContentEqDeletes)
+    require(!isDeletes || entries.forall(_.content == ContentEqDeletes),
+      "a manifest holds either data or delete entries, never both")
     val rows = entries.map { e =>
       val rec = new GenericData.Record(entryAvro)
       rec.put("status", e.status)
@@ -358,7 +370,7 @@ object Iceberg {
       rec.put("sequence_number", e.seq)
       rec.put("file_sequence_number", e.fileSeq)
       val df = new GenericData.Record(dfSchema)
-      df.put("content", 0)
+      df.put("content", e.content)
       df.put("file_path", e.path)
       df.put("file_format", "PARQUET")
       val part = new GenericData.Record(partSchema)
@@ -366,6 +378,9 @@ object Iceberg {
       df.put("partition", part)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.sizeBytes)
+      if (e.equalityIds.nonEmpty)
+        df.put("equality_ids",
+          e.equalityIds.map(Integer.valueOf).asJava)
       rec.put("data_file", df)
       rec
     }
@@ -385,11 +400,11 @@ object Iceberg {
       "partition-spec" -> specJson,
       "partition-spec-id" -> "0",
       "format-version" -> "2",
-      "content" -> "data"), rows)
+      "content" -> (if (isDeletes) "deletes" else "data")), rows)
     val (a, ex, d) = (entries.count(_.status == StAdded),
       entries.count(_.status == StExisting), entries.count(_.status == StDeleted))
     def rowsOf(st: Int) = entries.filter(_.status == st).map(_.recordCount).sum
-    ManifestRef(path.toString, len, 0, 0, seq,
+    ManifestRef(path.toString, len, 0, if (isDeletes) 1 else 0, seq,
       entries.map(_.seq).reduceOption(_ min _).getOrElse(seq), snapshotId,
       a, ex, d, rowsOf(StAdded), rowsOf(StExisting), rowsOf(StDeleted))
   }
@@ -456,7 +471,12 @@ object Iceberg {
         optLong(r, "file_sequence_number", 0L),
         df.get("file_path").toString, pvals,
         df.get("record_count").asInstanceOf[Long],
-        df.get("file_size_in_bytes").asInstanceOf[Long])
+        df.get("file_size_in_bytes").asInstanceOf[Long],
+        content = Option(df.get("content"))
+          .map(_.asInstanceOf[Int]).getOrElse(0),
+        equalityIds = Option(df.get("equality_ids"))
+          .map(_.asInstanceOf[java.util.List[Integer]].asScala
+            .map(_.intValue).toSeq).getOrElse(Nil))
     }
   }
 
@@ -652,7 +672,9 @@ object Iceberg {
                              replaceEntries: Seq[Entry] = Nil,
                              carried: Seq[ManifestRef] = Nil,
                              carryPrior: Boolean = false,
-                             priorState: Option[(Int, Meta)] = null): Unit = {
+                             priorState: Option[(Int, Meta)] = null,
+                             extraAdds: (Meta, Long, Long) => Seq[Entry] =
+                               (_, _, _) => Nil): Unit = {
     val spark = df.sparkSession
     val fs = fsFor(location, spark)
     val prior = if (priorState == null) load(spark, location) else priorState
@@ -695,13 +717,15 @@ object Iceberg {
     val seq = meta0.lastSeq + 1
     val snapId = newSnapshotId()
     val addedRaw = writeDataFiles(df, meta0)
-    val addedEntries = addedRaw.map(_.copy(snapshotId = snapId, seq = seq, fileSeq = seq))
+    val addedEntries = addedRaw.map(_.copy(snapshotId = snapId, seq = seq,
+      fileSeq = seq)) ++ extraAdds(meta0, seq, snapId)
     val manifests = mutable.Buffer[ManifestRef]()
-    if (addedEntries.nonEmpty || replaceEntries.nonEmpty)
-      manifests += writeManifest(fs, meta0,
-        addedEntries ++ replaceEntries.map(e => e.copy(snapshotId =
-          if (e.status == StDeleted) snapId else e.snapshotId)),
-        snapId, seq)
+    val allNew = addedEntries ++ replaceEntries.map(e => e.copy(snapshotId =
+      if (e.status == StDeleted) snapId else e.snapshotId))
+    // spec rule: data and delete entries never share a manifest
+    allNew.groupBy(_.content).toSeq.sortBy(_._1).foreach { case (_, es) =>
+      manifests += writeManifest(fs, meta0, es, snapId, seq)
+    }
     manifests ++= carriedAll
     val listPath = writeManifestList(fs, meta0, snapId,
       meta0.currentSnapshotId, seq, manifests.toSeq)
@@ -738,9 +762,30 @@ object Iceberg {
       .filter(_.status != StDeleted)
   }
 
+  /** Every live entry of a snapshot — data files AND equality-delete
+    * files (delete manifests are manifest-list rows with content 1).
+    */
+  def planEntries(spark: SparkSession, location: String,
+                  snapshotId: Option[Long] = None): Seq[Entry] = {
+    val (_, m) = load(spark, location).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $location"))
+    val snap = snapshotId match {
+      case Some(id) => m.snapshots.find(_.id == id).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot $id"))
+      case None => m.snapshots.find(s => m.currentSnapshotId.contains(s.id))
+        .getOrElse(m.snapshots.last)
+    }
+    readManifestList(spark, snap.manifestList)
+      .flatMap(ref => readManifest(spark, m, ref.path))
+      .filter(_.status != StDeleted)
+  }
+
   /** Read a snapshot (default current) back as a DataFrame through the
     * manifest tree. Old data files predating a schema evolution read
-    * null for added columns (explicit read schema).
+    * null for added columns (explicit read schema). Equality-delete
+    * files apply with the spec's sequence rule: a row is removed when
+    * a delete file with a STRICTLY GREATER sequence number matches its
+    * key — the new data files of the deleting snapshot survive.
     */
   def readTable(spark: SparkSession, location: String,
                 snapshotId: Option[Long] = None): DataFrame = {
@@ -751,11 +796,42 @@ object Iceberg {
       case None => m.snapshots.find(s => m.currentSnapshotId.contains(s.id))
         .getOrElse(m.snapshots.last)
     }
-    val schema = sparkSchema(m.schemaAt(snap.schemaId))
-    val files = planFiles(spark, location, Some(snap.id)).map(_.path)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    val fields = m.schemaAt(snap.schemaId)
+    val schema = sparkSchema(fields)
+    val entries = planEntries(spark, location, Some(snap.id))
+    val dataEntries = entries.filter(_.content == ContentData)
+    val delEntries = entries.filter(_.content == ContentEqDeletes)
+    if (dataEntries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val data = spark.read.schema(schema).parquet(dataEntries.map(_.path): _*)
+    if (delEntries.isEmpty) return data
+    // tag each row with its file's data sequence number (unique
+    // basenames → a small broadcast literal map, one scan)
+    def fname(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val dataSeqs = typedLit(dataEntries.map(e => fname(e.path) -> e.seq).toMap)
+    val withSeq = data
+      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__dataseq", element_at(dataSeqs, col("__fname")))
+    // apply each equality-id group's deletes: key → max delete seq,
+    // row removed iff maxDeleteSeq > its file's seq
+    val applied = delEntries.groupBy(_.equalityIds).foldLeft(withSeq) {
+      case (acc, (ids, des)) =>
+        val keyNames = ids.map(id => fields.find(_.id == id).getOrElse(
+          throw new IllegalStateException(s"equality id $id not in schema"))
+          .name)
+        val keySchema = sparkSchema(fields.filter(f => ids.contains(f.id)))
+        val delSeqs = typedLit(des.map(e => fname(e.path) -> e.seq).toMap)
+        val dels = spark.read.schema(keySchema).parquet(des.map(_.path): _*)
+          .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+          .withColumn("__delseq", element_at(delSeqs, col("__fname")))
+          .groupBy(keyNames.map(col): _*)
+          .agg(max(col("__delseq")).as("__delmax"))
+        acc.join(dels, keyNames, "left")
+          .filter(col("__delmax").isNull || col("__delmax") <= col("__dataseq"))
+          .drop("__delmax")
+    }
+    applied.drop("__fname", "__dataseq")
   }
 
   /** Copy-on-write upsert by `keyCols` (the reference's
@@ -788,6 +864,37 @@ object Iceberg {
       val t = toSpark(schema.find(_.name == c).get.typ)
       col(c).cast(t).as(c)
     }
+
+    // a table carrying merge-on-read delete files COMPACTS here: the
+    // merge reads through the delete-applying path, rewrites the whole
+    // table, and the new snapshot references no delete manifest (a
+    // partial rewrite would either resurrect deleted rows or misapply
+    // deletes to the re-sequenced files)
+    val allEntries = planEntries(spark, location)
+    if (allEntries.exists(_.content == ContentEqDeletes)) {
+      val touchedKeysC = {
+        val ins = inserts.select(keyCols.map(typed): _*)
+        deleteKeys.map(dk => ins.unionByName(dk.select(keyCols.map(typed): _*)))
+          .getOrElse(ins)
+      }.distinct()
+      val currentAll = readTable(spark, location)
+      val evolved = currentAll.columns.map(col) ++
+        newCols.map(f => lit(null).cast(f.dataType).as(f.name))
+      val aligned = inserts.select((schema.map(f =>
+        (if (inserts.columns.contains(f.name)) col(f.name).cast(toSpark(f.typ))
+         else lit(null).cast(toSpark(f.typ))).as(f.name)) ++
+        newCols.map(f => col(f.name))): _*)
+      val merged = currentAll.select(evolved.toIndexedSeq: _*)
+        .join(broadcast(touchedKeysC), keyCols, "left_anti")
+        .select(aligned.columns.map(col).toIndexedSeq: _*)
+        .unionByName(aligned)
+      commitSnapshot(merged, location, Nil, "overwrite",
+        replaceEntries = allEntries.filter(_.content == ContentData)
+          .map(_.copy(status = StDeleted)),
+        priorState = prior)
+      return
+    }
+
     val insKeys = inserts.select(keyCols.map(typed): _*)
     val touchedKeys = deleteKeys
       .map(dk => insKeys.unionByName(dk.select(keyCols.map(typed): _*)))
@@ -860,6 +967,96 @@ object Iceberg {
       operation = if (inserts.isEmpty) "delete" else "overwrite",
       replaceEntries = deletes ++ keptEntries,
       carried = untouchedRefs, priorState = prior)
+  }
+
+  /** MERGE-ON-READ upsert — the reference committer's write shape
+    * (committer.go:99-104: keyed batches land as their OWN snapshot,
+    * never coalesced, because equality deletes only remove rows from
+    * EARLIER snapshots): one commit = the batch's new data files plus
+    * ONE equality-delete file over the batch's keys (content 2, its
+    * own deletes manifest). NO existing file is read or rewritten —
+    * commit cost tracks the batch at any table size; readers pay the
+    * delete-apply join until a compaction ([[upsert]] on the same
+    * keys) folds it away.
+    */
+  def upsertMergeOnRead(batch: DataFrame, location: String,
+                        keyCols: Seq[String],
+                        partitionCols: Seq[String] = Nil,
+                        deleteCol: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    require(keyCols.nonEmpty, "upsert needs identifier_fields")
+    val prior = load(spark, location)
+    val inserts = deleteCol match {
+      case Some(c) => batch.filter(!coalesce(col(c), lit(false))).drop(c)
+      case None => batch
+    }
+    if (prior.isEmpty) { append(inserts, location, partitionCols); return }
+    val (_, m) = prior.get
+    val typed = (c: String) => {
+      val f = m.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"key column $c not in schema"))
+      col(c).cast(toSpark(f.typ)).as(c)
+    }
+    // upsert = delete-then-insert: EVERY batch key is deleted from
+    // earlier sequence numbers (delete rows included)
+    val delKeys = batch.select(keyCols.map(typed): _*).distinct()
+    commitSnapshot(inserts, location, Nil, "overwrite",
+      carryPrior = true, priorState = prior,
+      extraAdds = (meta, seq, snapId) =>
+        Seq(writeEqualityDeleteFile(spark, meta, delKeys, keyCols, seq,
+          snapId)))
+  }
+
+  /** One equality-delete parquet (just the key columns, field-ids
+    * attached) under data/; the entry carries content=2 + the key
+    * field ids, partition tuple null (a GLOBAL delete).
+    */
+  private def writeEqualityDeleteFile(spark: SparkSession, m: Meta,
+                                      keys: DataFrame, keyCols: Seq[String],
+                                      seq: Long, snapId: Long): Entry = {
+    val fs = fsFor(m.location, spark)
+    val kf = keyCols.map(c => m.schema.find(_.name == c).get)
+    val withIds = keys.select(kf.map { f =>
+      val md = new MetadataBuilder()
+        .putLong("parquet.field.id", f.id.toLong).build()
+      col(f.name).cast(toSpark(f.typ)).as(f.name, md)
+    }: _*).coalesce(1) // one delete file per commit (batch-sized keys)
+    val tmp = fs.makeQualified(
+      new Path(s"${m.location}/.tmp-del-${UUID.randomUUID()}"))
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val priorConf = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try {
+      withIds.write.parquet(tmp.toString)
+      val src = {
+        val it = fs.listFiles(tmp, true)
+        var found: Path = null
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) found = st.getPath
+        }
+        require(found != null, "delete file write produced no parquet")
+        found
+      }
+      val target = new Path(
+        s"${m.location}/data/${UUID.randomUUID()}-deletes.parquet")
+      fs.mkdirs(target.getParent)
+      require(fs.rename(src, target), s"rename failed: $src -> $target")
+      val rc = {
+        val rdr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(target, conf(spark)))
+        try rdr.getRecordCount finally rdr.close()
+      }
+      Entry(StAdded, snapId, seq, seq, target.toString,
+        m.specFields.map(_ => null), rc, fs.getFileStatus(target).getLen,
+        content = ContentEqDeletes, equalityIds = kf.map(_.id))
+    } finally {
+      fs.delete(tmp, true)
+      priorConf match {
+        case Some(v) => spark.conf.set(fieldIdKey, v)
+        case None => spark.conf.unset(fieldIdKey)
+      }
+    }
   }
 
   /** Normalize avro/jvm representations so partition tuples compare. */

@@ -165,6 +165,55 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read upsert: delete file lands, NO data file rewritten") {
+    val loc = freshLoc()
+    Iceberg.append((0L until 50L).map(k => (k, s"v$k")).toDF("k", "v"), loc)
+    val files1 = Iceberg.planFiles(spark, loc).map(_.path).toSet
+    Iceberg.upsertMergeOnRead(
+      Seq((3L, "UPD"), (60L, "NEW")).toDF("k", "v"), loc, Seq("k"))
+    // the original data files survive untouched — the MOR contract
+    assert(files1.subsetOf(Iceberg.planFiles(spark, loc).map(_.path).toSet),
+      "merge-on-read must not rewrite existing data files")
+    val dels = Iceberg.planEntries(spark, loc)
+      .filter(_.content == Iceberg.ContentEqDeletes)
+    assert(dels.size == 1 && dels.head.recordCount == 2L,
+      "one equality-delete file over the batch's 2 keys")
+    assert(dels.head.equalityIds.nonEmpty)
+    val out = Iceberg.readTable(spark, loc)
+    assert(out.count() == 51L)
+    assert(out.filter($"k" === 3L).select("v").as[String].head() == "UPD",
+      "the delete removes the OLD row; the new row (same seq) survives")
+    // delete rows via deleteCol: key 7 gone entirely
+    Iceberg.upsertMergeOnRead(
+      Seq((7L, "x", true)).toDF("k", "v", "__del"), loc, Seq("k"),
+      deleteCol = Some("__del"))
+    assert(Iceberg.readTable(spark, loc).filter($"k" === 7L).count() == 0L)
+    // sequence rule: re-inserting key 7 AFTER the delete survives it
+    Iceberg.upsertMergeOnRead(Seq((7L, "back")).toDF("k", "v"), loc, Seq("k"))
+    assert(Iceberg.readTable(spark, loc).filter($"k" === 7L)
+      .select("v").as[String].head() == "back")
+    // time travel still sees the pre-delete state
+    val (_, m) = Iceberg.load(spark, loc).get
+    assert(Iceberg.readTable(spark, loc, Some(m.snapshots.head.id))
+      .count() == 50L)
+  }
+
+  test("copy-on-write upsert COMPACTS a table carrying delete files") {
+    val loc = freshLoc()
+    Iceberg.append((0L until 20L).map(k => (k, s"v$k")).toDF("k", "v"), loc)
+    Iceberg.upsertMergeOnRead(Seq((1L, "mor")).toDF("k", "v"), loc, Seq("k"))
+    assert(Iceberg.planEntries(spark, loc)
+      .exists(_.content == Iceberg.ContentEqDeletes))
+    Iceberg.upsert(Seq((2L, "cow")).toDF("k", "v"), loc, Seq("k"))
+    // compaction: no delete files remain, results still correct
+    assert(!Iceberg.planEntries(spark, loc)
+      .exists(_.content == Iceberg.ContentEqDeletes),
+      "COW on a MOR table must compact the delete files away")
+    val out = Iceberg.readTable(spark, loc).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(out.size == 20 && out(1) == ((1L, "mor")) && out(2) == ((2L, "cow")))
+  }
+
   test("overwrite replaces the table in one snapshot; history intact") {
     val loc = freshLoc()
     Iceberg.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), loc)
