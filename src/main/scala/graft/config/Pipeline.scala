@@ -1716,8 +1716,19 @@ object Pipeline {
         .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil)
       val rows = unpackForTable(df, b)
       if (keys.isEmpty) graft.sinks.Iceberg.append(rows, loc, parts)
-      else graft.sinks.Iceberg.upsert(rows, loc, keys, parts,
-        deleteCol = Option(b.get("delete_column")).map(_.asText))
+      else b.path("commit_mode").asText("merge_on_read") match {
+        // the reference commits keyed batches merge-on-read
+        // (committer.go:99); copy_on_write is the opt-in compacting
+        // form
+        case "merge_on_read" =>
+          graft.sinks.Iceberg.upsertMergeOnRead(rows, loc, keys, parts,
+            deleteCol = Option(b.get("delete_column")).map(_.asText))
+        case "copy_on_write" =>
+          graft.sinks.Iceberg.upsert(rows, loc, keys, parts,
+            deleteCol = Option(b.get("delete_column")).map(_.asText))
+        case other => throw new IllegalArgumentException(
+          s"iceberg commit_mode: $other")
+      }
     case ("opensearch", b) =>
       // outputs/opensearch.adoc — _bulk under optional SigV4 (`aws`)
       graft.sinks.OpenSearch.bulkWrite(df, b.get("urls").elements()
