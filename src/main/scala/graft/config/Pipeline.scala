@@ -210,6 +210,84 @@ object Pipeline {
               .select(element_at(col("metadata"), "s3_key").as("key"),
                 col("value"))
               .createOrReplaceTempView(view)
+          case "gcp_cloud_storage" =>
+            // caches/gcp_cloud_storage.adoc — one object per key under
+            // the bucket (impl/gcp/cache_cloud_storage.go), hydrated
+            // through the GCS JSON-API stack
+            val bn = e.getValue
+            graft.sources.Gcs.read(spark, bn.get("endpoint").asText,
+                bn.path("token").asText(""), bn.get("bucket").asText)
+              .select(element_at(col("metadata"), "gcs_key").as("key"),
+                col("value"))
+              .createOrReplaceTempView(view)
+          case "mongodb" =>
+            // caches/mongodb.adoc — key_field/value_field documents of
+            // one collection, over the OP_MSG wire stack
+            val bn = e.getValue
+            val kf = bn.path("key_field").asText("key")
+            val vf = bn.path("value_field").asText("value")
+            graft.sources.Mongo.read(spark, bn.get("url").asText,
+                bn.get("database").asText, bn.get("collection").asText)
+              .select(get_json_object(col("value"), s"$$.$kf").as("key"),
+                get_json_object(col("value"), s"$$.$vf").as("value"))
+              .createOrReplaceTempView(view)
+          case "sql" =>
+            // caches/sql.adoc — key/value columns of a table reached
+            // through JDBC (embedded Derby here; the sql_driver_* jar
+            // registrations are env-blocked, dialect seam documented)
+            val bn = e.getValue
+            val dsn = bn.get("dsn").asText
+            val table = bn.get("table").asText
+            val kc = bn.path("key_column").asText("key")
+            val vc = bn.path("value_column").asText("value")
+            val rows = {
+              val c = java.sql.DriverManager.getConnection(dsn)
+              try {
+                val st = c.createStatement()
+                val rs = st.executeQuery(s"SELECT $kc, $vc FROM $table")
+                val buf = Vector.newBuilder[(String, String)]
+                while (rs.next()) buf += ((rs.getString(1), rs.getString(2)))
+                rs.close(); st.close()
+                buf.result()
+              } finally c.close()
+            }
+            import spark.implicits._
+            rows.toDF("key", "value").createOrReplaceTempView(view)
+          case "couchbase" =>
+            // caches/couchbase.adoc — KV bucket entries over the
+            // binary protocol; hydrated by a bounded key sweep from
+            // `init_keys` (the KV protocol has no scan op — the same
+            // bounded-hydration contract as the other remote caches)
+            val bn = e.getValue
+            val cl = new graft.sources.Couchbase.Client(
+              bn.get("url").asText)
+            val entries = bn.path("init_keys").elements().asScala
+              .map(_.asText).toSeq
+              .flatMap(k => cl.get(k).map(v => (k, v)))
+            import spark.implicits._
+            entries.toDF("key", "value").createOrReplaceTempView(view)
+          case "redpanda" =>
+            // caches/redpanda.adoc — a COMPACTED topic as the store:
+            // the latest record per key is the live entry and a null
+            // value (tombstone) deletes it — Kafka log-compaction
+            // semantics over the broker seam
+            val bn = e.getValue
+            val addr = bn.get("seed_brokers").elements().asScala
+              .next().asText
+            val topic = bn.get("topic").asText
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("key"))
+              .orderBy(col("__seq").desc)
+            Sources.brokerRead(spark, addr, topic)
+              .select(element_at(col("metadata"), "kafka_key").as("key"),
+                col("value"),
+                element_at(col("metadata"), "kafka_tombstone_message")
+                  .as("__tomb"),
+                col("__seq"))
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1 && col("__tomb") =!= "true")
+              .select("key", "value")
+              .createOrReplaceTempView(view)
           case "redis" =>
             // caches/redis.adoc — snapshot of the store's string keys
             // under `prefix` through the mem:// seam

@@ -79,6 +79,90 @@ class FamilyStragglersSpec extends SparkSpec {
     graft.sources.DynamoCdc.drop(name)
   }
 
+  test("gcp_cloud_storage / mongodb / sql / couchbase cache backends hydrate") {
+    def runGet(cacheYaml: String, ids: Seq[String]): Seq[String] = {
+      val mapping = ids.zipWithIndex
+        .map { case (id, i) => s"""if this.seq == $i { root.id = "$id" }""" }
+        .mkString("\n")
+      Pipeline.build(spark,
+        s"""input:
+           |  generate:
+           |    count: ${ids.size}
+           |    mapping: |
+           |${mapping.split("\n").map("      " + _).mkString("\n")}
+           |pipeline:
+           |  processors:
+           |    - cache: { resource: cr, operator: get, key: '$${! this.id }' }
+           |$cacheYaml
+           |""".stripMargin)
+        .select("value").collect().map(_.getString(0)).sorted.toSeq
+    }
+    // gcs
+    val gcsName = "gcsc_" + uid()
+    val gcs = graft.sources.Gcs.register(gcsName, "tok")
+    new graft.sources.Gcs.Client(s"mem://$gcsName", "tok")
+      .upload("bkt", "k1", "gcs-one".getBytes("UTF-8"))
+    assert(runGet(
+      s"""cache_resources:
+         |  - label: cr
+         |    gcp_cloud_storage: { endpoint: mem://$gcsName, token: tok, bucket: bkt }""".stripMargin,
+      Seq("k1")) == Seq("gcs-one"))
+    graft.sources.Gcs.drop(gcsName)
+    // mongodb
+    val moName = "moc_" + uid()
+    graft.sources.Mongo.named(moName)
+      .seed("db", "kv", Seq("""{"key":"a","value":"mongo-a"}"""))
+    assert(runGet(
+      s"""cache_resources:
+         |  - label: cr
+         |    mongodb: { url: mem://$moName, database: db, collection: kv }""".stripMargin,
+      Seq("a")) == Seq("mongo-a"))
+    graft.sources.Mongo.drop(moName)
+    // sql (embedded Derby)
+    val dbPath = java.nio.file.Files.createTempDirectory("sqlc").toString + "/db"
+    val conn = java.sql.DriverManager.getConnection(
+      s"jdbc:derby:$dbPath;create=true")
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE kv("key" VARCHAR(64), "value" VARCHAR(64))""")
+    st.execute("""INSERT INTO kv VALUES('s1', 'sql-one')""")
+    st.close(); conn.close()
+    assert(runGet(
+      s"""cache_resources:
+         |  - label: cr
+         |    sql:
+         |      dsn: "jdbc:derby:$dbPath"
+         |      table: kv
+         |      key_column: "\\"key\\""
+         |      value_column: "\\"value\\""""".stripMargin,
+      Seq("s1")) == Seq("sql-one"))
+    // couchbase (bounded init_keys sweep)
+    val cbName = "cbc_" + uid()
+    graft.sources.Couchbase.named(cbName)
+    new graft.sources.Couchbase.Client(s"mem://$cbName")
+      .upsert("c1", "cb-one")
+    assert(runGet(
+      s"""cache_resources:
+         |  - label: cr
+         |    couchbase: { url: mem://$cbName, init_keys: [ c1, missing ] }""".stripMargin,
+      Seq("c1")) == Seq("cb-one"))
+    graft.sources.Couchbase.drop(cbName)
+    // redpanda compacted-topic cache: latest per key wins, tombstones delete
+    val rpName = "rpc_" + uid()
+    val broker = graft.sources.Broker.InMemory.named(rpName)
+    broker.createTopic("kvcache", 1)
+    def rec(k: String, v: String) = graft.sources.Broker.Record(
+      k.getBytes("UTF-8"), if (v == null) null else v.getBytes("UTF-8"))
+    broker.append("kvcache", 0, Seq(rec("r1", "old"), rec("r2", "keep"),
+      rec("r1", "new"), rec("r3", "dead"), rec("r3", null)))
+    assert(runGet(
+      s"""cache_resources:
+         |  - label: cr
+         |    redpanda: { seed_brokers: [ mem://$rpName ], topic: kvcache }""".stripMargin,
+      Seq("r1", "r2")) == Seq("keep", "new"),
+      "latest value per key; tombstoned r3 would miss")
+    graft.sources.Broker.InMemory.drop(rpName)
+  }
+
   test("json_api metrics document and the aws_cloudwatch metrics target") {
     import graft.operators.MetricsExport
     val reg = new MetricsExport.Registry
