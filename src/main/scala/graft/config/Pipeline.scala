@@ -477,7 +477,7 @@ object Pipeline {
           case "csv" => Sources.csvStream(spark, b.get("path").asText, schema)
           case other => throw new IllegalArgumentException(s"stream format: $other")
         }
-      case ("kafka" | "redpanda" | "kafka_franz", b) =>
+      case ("kafka" | "redpanda" | "kafka_franz" | "redpanda_common", b) =>
         // resumable micro-batch broker read (BrokerSourceProvider):
         // per-partition offsets ride Spark's checkpoint commit log —
         // the consumer-group-commit semantics of inputs/kafka.adoc.
@@ -614,7 +614,7 @@ object Pipeline {
         BatchOps.formBatches(withCheck, "__seq", count, byteSize, periodMs,
             checkTpl.map(_ => "__check"), tsCol)
           .drop("__check")
-      case ("kafka" | "redpanda" | "kafka_franz", b) =>
+      case ("kafka" | "redpanda" | "kafka_franz" | "redpanda_common", b) =>
         // inputs/kafka.adoc / input_redpanda.go:103 — `mem://` seed
         // brokers resolve to the in-process Broker fake (the injectable
         // transport seam); real brokers need the spark-sql-kafka
@@ -1231,7 +1231,7 @@ object Pipeline {
     case ("parquet", b) => Sinks.parquet(df, b.get("path").asText)
     case ("csv", b) => Sinks.csv(df, b.get("path").asText)
     case ("json", b) => Sinks.jsonLines(df, b.get("path").asText)
-    case ("kafka" | "redpanda" | "kafka_franz", b) =>
+    case ("kafka" | "redpanda" | "kafka_franz" | "redpanda_common", b) =>
       // outputs/kafka.adoc — key is an interpolated string; partition
       // comes from `partitioner: manual` + `partition`, else the
       // default fnv1a_hash of the key (output_sarama_kafka.go:367)
