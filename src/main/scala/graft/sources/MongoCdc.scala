@@ -70,19 +70,45 @@ object MongoCdc {
 
   // ───────────────────────────── read ─────────────────────────────
 
+  /** How many admission chunks the last [[read]] spilled (1 = the
+    * in-memory fast path) — a test-only observable, the PgOutput
+    * convention.
+    */
+  private[sources] var lastAdmissionChunks: Int = 0
+
   /** Replay the available change history of `collections` into a
     * DataFrame of [[Event]] rows and advance the checkpoint.
+    *
+    * BOUNDED ADMISSION (the PgOutput contract): the change-stream
+    * cursor pages through getMore and at most `admitChunk` decoded
+    * events stay driver-resident — beyond that, chunks spill to
+    * parquet and the result reads them back, so a snapshot-scale
+    * replay is O(admitChunk) driver heap, not O(stream).
     */
   def read(spark: SparkSession, url: String, database: String,
            collections: Seq[String], streamSnapshot: Boolean = true,
            snapshotParallelism: Int = 1,
            checkpointPath: Option[String] = None,
            startAtOperationTime: Option[Long] = None,
-           batchSize: Int = 256): Dataset[Event] = {
+           batchSize: Int = 256,
+           admitChunk: Int = 50000): Dataset[Event] = {
     import spark.implicits._
     val stored = checkpointPath.map(loadCheckpoint).getOrElse(Map.empty)
     var snapshotParts: Seq[Dataset[Event]] = Nil
     val streamed = mutable.Buffer[Event]()
+    var spillBase: String = null
+    var chunks = 0
+    def flush(): Unit = if (streamed.nonEmpty) {
+      if (spillBase == null) {
+        val d = java.nio.file.Files.createTempDirectory("mongo_cdc_admit_")
+        d.toFile.deleteOnExit()
+        spillBase = d.toString
+      }
+      spark.createDataset(streamed.toSeq).write.mode("append")
+        .parquet(spillBase)
+      chunks += 1
+      streamed.clear()
+    }
     val newTokens = mutable.Map[String, String]() ++= stored
     collections.foreach { coll =>
       val c = Mongo.clientFor(url, database)
@@ -126,6 +152,7 @@ object MongoCdc {
           batch.foreach { e =>
             val ev = toEvent(e, database, coll)
             streamed += ev
+            if (streamed.size >= admitChunk) flush()
             if (ev.operation == "invalidate") invalidated = true
           }
           if (batch.isEmpty) draining = false
@@ -145,7 +172,13 @@ object MongoCdc {
       } finally c.close()
     }
     checkpointPath.foreach(storeCheckpoint(_, newTokens.toMap))
-    val streamDs = spark.createDataset(streamed.toSeq)
+    val streamDs =
+      if (chunks == 0) spark.createDataset(streamed.toSeq)
+      else {
+        flush() // tail chunk
+        spark.read.parquet(spillBase).as[Event]
+      }
+    lastAdmissionChunks = math.max(1, chunks)
     (snapshotParts :+ streamDs).reduce(_ unionByName _)
   }
 

@@ -80,6 +80,27 @@ class MongoCdcSpec extends SparkSpec {
     Mongo.drop(name)
   }
 
+  test("stream admission spills chunks beyond admitChunk (bounded driver heap)") {
+    val (name, _) = fresh()
+    val c = Mongo.clientFor(s"mem://$name", "db")
+    (1 to 157).grouped(50).foreach(g =>
+      c.insert("t", g.map(i => mapper.readTree(doc(i, s"v$i")))))
+    c.close()
+    val evs = MongoCdc.read(spark, s"mem://$name", "db", Seq("t"),
+      streamSnapshot = false, startAtOperationTime = Some(1L),
+      admitChunk = 40).collect()
+    assert(evs.length == 157)
+    assert(evs.map(_.seq).distinct.length == 157, "no loss, no dupes")
+    assert(MongoCdc.lastAdmissionChunks >= 3,
+      s"157 events at admitChunk=40 must spill (got " +
+        s"${MongoCdc.lastAdmissionChunks} chunks)")
+    // the fast path stays in memory
+    MongoCdc.read(spark, s"mem://$name", "db", Seq("t"),
+      streamSnapshot = false, startAtOperationTime = Some(1L)).collect()
+    assert(MongoCdc.lastAdmissionChunks == 1)
+    Mongo.drop(name)
+  }
+
   test("collection drop emits drop+invalidate and clears the token → re-snapshot") {
     val (name, srv) = fresh()
     srv.seed("db", "t", Seq(doc(1, "a")))
