@@ -243,6 +243,58 @@ object Http2 {
       sid
     }
 
+    /** Streaming variant of [[readMessage]]: DATA payloads flow to
+      * `onData` as frames arrive instead of accumulating — the
+      * memory-bounded path for long server streams (gRPC watch/replay
+      * bodies can be snapshot-sized).
+      */
+    def readMessageStreaming(onData: Array[Byte] => Unit)
+        : (Int, Vector[(String, String)], Vector[(String, String)]) =
+      synchronized {
+        var sid = -1
+        var headers = Vector.empty[(String, String)]
+        var trailers = Vector.empty[(String, String)]
+        var sawHeaders = false
+        var done = false
+        while (!done) {
+          val f = readFrame(in)
+          f.tpe match {
+            case FSettings =>
+              if ((f.flags & FlagAck) == 0)
+                writeFrame(out, Frame(FSettings, FlagAck, 0, Array.empty))
+            case FPing =>
+              if ((f.flags & FlagAck) == 0)
+                writeFrame(out, Frame(FPing, FlagAck, 0, f.payload))
+            case FWindowUpdate => ()
+            case FHeaders =>
+              require((f.flags & FlagEndHeaders) != 0,
+                "h2c: CONTINUATION unsupported (small header blocks)")
+              if (sid < 0) sid = f.stream
+              val fields = decoder.decode(f.payload)
+              if (!sawHeaders) { headers = fields; sawHeaders = true }
+              else trailers = fields
+              if ((f.flags & FlagEndStream) != 0) done = true
+            case FData if f.stream == sid =>
+              if (f.payload.nonEmpty) {
+                onData(f.payload)
+                try {
+                  val inc = java.nio.ByteBuffer.allocate(4)
+                    .putInt(f.payload.length).array()
+                  writeFrame(out, Frame(FWindowUpdate, 0, 0, inc))
+                  writeFrame(out, Frame(FWindowUpdate, 0, sid, inc))
+                } catch { case _: java.io.IOException => () }
+              }
+              if ((f.flags & FlagEndStream) != 0) done = true
+            case FGoaway =>
+              throw new EOFException("h2c: GOAWAY")
+            case FRstStream =>
+              throw new IllegalStateException("h2c: stream reset")
+            case _ => ()
+          }
+        }
+        (sid, headers, trailers)
+      }
+
     /** Collect one full message (headers + data + optional trailers)
       * from the peer, answering pings and issuing window updates.
       */

@@ -53,6 +53,40 @@ object OtlpGrpc {
     out
   }
 
+  /** Incremental gRPC length-prefixed frame splitter: messages may
+    * straddle HTTP/2 DATA frame boundaries, so [[feed]] buffers only
+    * the current INCOMPLETE message and emits each complete one —
+    * O(largest message) memory over an arbitrarily long stream.
+    */
+  final class GrpcFrameSplitter(onMessage: Array[Byte] => Unit) {
+    private val pending = new java.io.ByteArrayOutputStream()
+    def feed(data: Array[Byte]): Unit = {
+      pending.write(data)
+      var buf = pending.toByteArray
+      var off = 0
+      while (buf.length - off >= 5) {
+        require(buf(off) == 0, "grpc: compressed messages unsupported here")
+        val len = ((buf(off + 1) & 0xff) << 24) |
+          ((buf(off + 2) & 0xff) << 16) |
+          ((buf(off + 3) & 0xff) << 8) | (buf(off + 4) & 0xff)
+        if (buf.length - off - 5 < len) {
+          // incomplete: keep the tail, drop the consumed prefix
+          pending.reset()
+          pending.write(buf, off, buf.length - off)
+          return
+        }
+        onMessage(java.util.Arrays.copyOfRange(buf, off + 5, off + 5 + len))
+        off += 5 + len
+      }
+      pending.reset()
+      if (off < buf.length) pending.write(buf, off, buf.length - off)
+      buf = null
+    }
+    def finish(): Unit =
+      require(pending.size() == 0,
+        s"grpc: ${pending.size()} trailing bytes after the last message")
+  }
+
   def parseGrpcFrame(data: Array[Byte]): Array[Byte] = {
     require(data.length >= 5, "grpc: truncated length-prefixed message")
     require(data(0) == 0, "grpc: compressed messages unsupported here")

@@ -234,14 +234,24 @@ object SalesforceCdc {
     out.result()
   }
 
+  /** How many admission chunks the last [[read]] spilled (1 = the
+    * in-memory fast path) — test-only observable.
+    */
+  private[sources] var lastAdmissionChunks: Int = 0
+
   /** One bounded Subscribe replay for `topic`. Preset precedence
     * mirrors subscription.go: cached replay id → CUSTOM; else the
     * given `preset` (EARLIEST replays everything, LATEST from now).
+    *
+    * BOUNDED ADMISSION: FetchResponses decode incrementally as h2c
+    * DATA frames arrive, and at most `admitChunk` decoded events stay
+    * driver-resident — an EARLIEST backfill is O(admitChunk) heap.
     */
   def read(spark: SparkSession, host: String, port: Int, auth: Auth,
            topic: String, checkpointPath: Option[String] = None,
            preset: Int = PresetEarliest,
-           numRequested: Int = 10000): Dataset[Event] = {
+           numRequested: Int = 10000,
+           admitChunk: Int = 50000): Dataset[Event] = {
     import spark.implicits._
     val cached = checkpointPath.map(Paths.get(_)).filter(Files.exists(_))
       .map(p => new String(Files.readAllBytes(p), UTF_8).trim)
@@ -250,18 +260,29 @@ object SalesforceCdc {
       case Some(r) => encodeFetchRequest(topic, PresetCustom, r, numRequested)
       case None => encodeFetchRequest(topic, preset, 0L, numRequested)
     }
-    val body = grpcCall(host, port, auth,
-      "/eventbus.v1.PubSub/Subscribe", req)
     val schemaCache = mutable.Map[String, String]()
     def schemaOf(id: String): String =
       schemaCache.getOrElseUpdate(id, decodeSchemaInfo(
         frames(grpcCall(host, port, auth, "/eventbus.v1.PubSub/GetSchema",
           encodeSchemaRequest(id))).head))
     var latest = cached.getOrElse(0L)
-    val events = frames(body).flatMap { f =>
+    val buf = mutable.Buffer[Event]()
+    var spillBase: String = null
+    var chunks = 0
+    def flush(): Unit = if (buf.nonEmpty) {
+      if (spillBase == null) {
+        val d = Files.createTempDirectory("sfdc_admit_")
+        d.toFile.deleteOnExit()
+        spillBase = d.toString
+      }
+      spark.createDataset(buf.toSeq).write.mode("append").parquet(spillBase)
+      chunks += 1
+      buf.clear()
+    }
+    val splitter = new OtlpGrpc.GrpcFrameSplitter(f => {
       val (evs, lat) = decodeFetchResponse(f)
       if (lat > latest) latest = lat
-      evs.map { case (_, schemaId, payload, replayId) =>
+      evs.foreach { case (_, schemaId, payload, replayId) =>
         if (replayId > latest) latest = replayId
         // REAL avro decode through the engine's codec
         val json = mapper.readTree(CodecOps.avroDecode(payload,
@@ -276,14 +297,37 @@ object SalesforceCdc {
           o.remove("ChangeEventHeader")
           o.toString
         }
-        Event(header.path("changeType").asText,
+        buf += Event(header.path("changeType").asText,
           header.path("entityName").asText, recordId, payloadJson,
           schemaId, replayId)
+        if (buf.size >= admitChunk) flush()
       }
-    }
+    })
+    val ep = Http2.connect(host, port)
+    try {
+      ep.sendMessage(Seq(
+        ":method" -> "POST", ":scheme" -> "http",
+        ":path" -> "/eventbus.v1.PubSub/Subscribe",
+        ":authority" -> s"$host:$port",
+        "content-type" -> "application/grpc", "te" -> "trailers",
+        "accesstoken" -> auth.accessToken,
+        "instanceurl" -> auth.instanceUrl,
+        "tenantid" -> auth.tenantId),
+        OtlpGrpc.grpcFrame(req))
+      val (_, headers, trailers) = ep.readMessageStreaming(splitter.feed)
+      val status = (trailers ++ headers).toMap.getOrElse("grpc-status", "?")
+      if (status != "0")
+        throw new IllegalStateException(s"salesforce_cdc: grpc-status " +
+          s"$status ${(trailers ++ headers).toMap.getOrElse("grpc-message", "")}")
+      splitter.finish()
+    } finally ep.close()
     checkpointPath.foreach(p =>
       Files.write(Paths.get(p), latest.toString.getBytes(UTF_8)))
-    spark.createDataset(events)
+    val out =
+      if (chunks == 0) spark.createDataset(buf.toSeq)
+      else { flush(); spark.read.parquet(spillBase).as[Event] }
+    lastAdmissionChunks = math.max(1, chunks)
+    out
   }
 
   // ─────────────────────────── server ───────────────────────────

@@ -184,17 +184,53 @@ object SpiceDb {
       .filter(_.nonEmpty)
   }
 
+  /** How many admission chunks the last [[watch]] spilled (1 = the
+    * in-memory fast path) — test-only observable.
+    */
+  private[sources] var lastAdmissionChunks: Int = 0
+
   /** One bounded Watch replay: everything available past the cursor.
     * Cursor precedence mirrors watch_input.go: cached token, else
     * `startCursor`, else "now".
+    *
+    * BOUNDED ADMISSION: WatchResponses decode INCREMENTALLY as h2c
+    * DATA frames arrive ([[Http2.Endpoint.readMessageStreaming]] +
+    * [[OtlpGrpc.GrpcFrameSplitter]]) and at most `admitChunk` decoded
+    * updates stay driver-resident — a backfill-scale watch replay is
+    * O(admitChunk) driver heap, not O(stream).
     */
   def watch(spark: SparkSession, host: String, port: Int,
             bearerToken: String, cachePath: Option[String] = None,
-            startCursor: Option[String] = None): Dataset[Update] = {
+            startCursor: Option[String] = None,
+            admitChunk: Int = 50000): Dataset[Update] = {
     import spark.implicits._
     val cursor = cachePath.flatMap(loadToken).orElse(startCursor)
+    var lastToken = cursor.getOrElse("")
+    var frameIdx = 0L
+    val buf = mutable.Buffer[Update]()
+    var spillBase: String = null
+    var chunks = 0
+    def flush(): Unit = if (buf.nonEmpty) {
+      if (spillBase == null) {
+        val d = Files.createTempDirectory("spicedb_admit_")
+        d.toFile.deleteOnExit()
+        spillBase = d.toString
+      }
+      spark.createDataset(buf.toSeq).write.mode("append").parquet(spillBase)
+      chunks += 1
+      buf.clear()
+    }
+    val splitter = new OtlpGrpc.GrpcFrameSplitter(frame => {
+      val (us, tok) = decodeWatchResponse(frame)
+      if (tok.nonEmpty) lastToken = tok
+      frameIdx += 1
+      us.foreach { u =>
+        buf += u.copy(seq = frameIdx)
+        if (buf.size >= admitChunk) flush()
+      }
+    })
     val ep = Http2.connect(host, port)
-    val frames = try {
+    try {
       ep.sendMessage(Seq(
         ":method" -> "POST", ":scheme" -> "http",
         ":path" -> "/authzed.api.v1.WatchService/Watch",
@@ -203,30 +239,20 @@ object SpiceDb {
         "te" -> "trailers",
         "authorization" -> s"Bearer $bearerToken"),
         OtlpGrpc.grpcFrame(encodeWatchRequest(cursor)))
-      val (_, headers, body, trailers) = ep.readMessage()
+      val (_, headers, trailers) = ep.readMessageStreaming(splitter.feed)
       val status = (trailers ++ headers).toMap.getOrElse("grpc-status", "?")
       if (status != "0")
         throw new IllegalStateException(s"spicedb_watch: grpc-status " +
           s"$status ${(trailers ++ headers).toMap.getOrElse("grpc-message", "")}")
-      // the stream carries any number of length-prefixed WatchResponses
-      val out = Vector.newBuilder[Array[Byte]]
-      var off = 0
-      while (off < body.length) {
-        val len = java.nio.ByteBuffer.wrap(body, off + 1, 4).getInt
-        out += java.util.Arrays.copyOfRange(body, off + 5, off + 5 + len)
-        off += 5 + len
-      }
-      out.result()
+      splitter.finish()
     } finally ep.close()
-    var lastToken = cursor.getOrElse("")
-    val updates = frames.zipWithIndex.flatMap { case (f, i) =>
-      val (us, tok) = decodeWatchResponse(f)
-      if (tok.nonEmpty) lastToken = tok
-      us.map(_.copy(seq = i.toLong + 1))
-    }
     cachePath.foreach(p =>
       Files.write(Paths.get(p), lastToken.getBytes(UTF_8)))
-    spark.createDataset(updates)
+    val out =
+      if (chunks == 0) spark.createDataset(buf.toSeq)
+      else { flush(); spark.read.parquet(spillBase).as[Update] }
+    lastAdmissionChunks = math.max(1, chunks)
+    out
   }
 
   // ─────────────────────────── server ───────────────────────────

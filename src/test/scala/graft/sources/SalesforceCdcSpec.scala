@@ -93,6 +93,21 @@ class SalesforceCdcSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("streamed admission spills beyond admitChunk (bounded driver heap)") {
+    val srv = newServer() // batchPerResponse = 2 → messages straddle
+    try {
+      (1 to 123).foreach(i => srv.publish("/data/A", "order-v1", "A__c",
+        "CREATE", s"r$i", s"""{"Status__c":"N","Price__c":$i.0}"""))
+      val got = SalesforceCdc.read(spark, "127.0.0.1", srv.port, auth,
+        "/data/A", numRequested = 100000, admitChunk = 40).collect()
+      assert(got.length == 123)
+      assert(got.map(_.replayId).distinct.length == 123)
+      assert(SalesforceCdc.lastAdmissionChunks >= 3,
+        s"123 events at admitChunk=40 must spill " +
+          s"(${SalesforceCdc.lastAdmissionChunks})")
+    } finally srv.stop()
+  }
+
   test("bad auth metadata is UNAUTHENTICATED") {
     val srv = newServer()
     try {

@@ -45,6 +45,24 @@ class SpiceDbSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("streamed admission spills beyond admitChunk (bounded driver heap)") {
+    val srv = new SpiceDb.Server("sdb-token")
+    try {
+      (1 to 137).foreach(i => srv.publish("TOUCH", "doc", s"d$i",
+        "viewer", "user", s"u$i"))
+      val got = SpiceDb.watch(spark, "127.0.0.1", srv.port, "sdb-token",
+        startCursor = Some("zed-0"), admitChunk = 40).collect()
+      assert(got.length == 137)
+      assert(got.map(_.zedToken).distinct.length == 137, "no loss/dupes")
+      assert(SpiceDb.lastAdmissionChunks >= 3,
+        s"137 updates at admitChunk=40 must spill " +
+          s"(${SpiceDb.lastAdmissionChunks})")
+      SpiceDb.watch(spark, "127.0.0.1", srv.port, "sdb-token",
+        startCursor = Some("zed-0")).collect()
+      assert(SpiceDb.lastAdmissionChunks == 1, "fast path stays in memory")
+    } finally srv.stop()
+  }
+
   test("no cursor means 'from now'; bad bearer token is UNAUTHENTICATED") {
     val srv = new SpiceDb.Server("sdb-token")
     try {
