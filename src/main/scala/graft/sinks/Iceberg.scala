@@ -1071,6 +1071,59 @@ object Iceberg {
     case other => other
   }
 
+  /** Fold accumulated merge-on-read delete files back into plain data
+    * files (the maintenance the reference leaves to table services):
+    * one COW rewrite reading through the delete-applying scan; the new
+    * snapshot references no delete manifest.
+    */
+  def compact(spark: SparkSession, location: String,
+              keyCols: Seq[String]): Unit = {
+    val (_, m) = load(spark, location).getOrElse(return)
+    if (!planEntries(spark, location).exists(_.content == ContentEqDeletes))
+      return // nothing to fold
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      sparkSchema(m.schema))
+    upsert(empty, location, keyCols)
+  }
+
+  /** Expire old snapshots (spec: snapshot expiration): keep the last
+    * `keepLast`, drop the rest from metadata, and DELETE every
+    * manifest-list/manifest/data file referenced ONLY by the dropped
+    * snapshots. Time travel to expired snapshots is gone; the current
+    * state is untouched.
+    */
+  def expireSnapshots(spark: SparkSession, location: String,
+                      keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val (v, m) = load(spark, location).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $location"))
+    if (m.snapshots.size <= keepLast) return
+    val fs = fsFor(location, spark)
+    val (dropped, kept) = m.snapshots.splitAt(m.snapshots.size - keepLast)
+    def filesOf(snaps: Seq[Snapshot]): (Set[String], Set[String], Set[String]) = {
+      val lists = snaps.map(_.manifestList).toSet
+      val manifests = snaps.flatMap(s =>
+        readManifestList(spark, s.manifestList).map(_.path)).toSet
+      val data = snaps.flatMap(s =>
+        readManifestList(spark, s.manifestList).flatMap(r =>
+          readManifest(spark, m, r.path).map(_.path))).toSet
+      (lists, manifests, data)
+    }
+    val (dl, dm, dd) = filesOf(dropped)
+    val (kl, km, kd) = filesOf(kept)
+    val nowMs = System.currentTimeMillis()
+    commitMeta(spark, location, v, m.copy(
+      lastUpdatedMs = nowMs, snapshots = kept,
+      metadataLog = m.metadataLog :+
+        ((nowMs, s"$location/metadata/v$v.metadata.json"))))
+    // physical deletes AFTER the metadata lands (a crash mid-way
+    // leaves only unreferenced garbage, never a broken table)
+    ((dl -- kl) ++ (dm -- km) ++ (dd -- kd)).foreach { p =>
+      try fs.delete(new Path(p), false) catch { case _: Exception => () }
+    }
+  }
+
   /** Replace the whole table in one overwrite snapshot. */
   def overwrite(df: DataFrame, location: String,
                 partitionCols: Seq[String] = Nil): Unit = {

@@ -214,6 +214,35 @@ class IcebergSpec extends SparkSpec {
     assert(out.size == 20 && out(1) == ((1L, "mor")) && out(2) == ((2L, "cow")))
   }
 
+  test("compact folds delete files; expireSnapshots removes only dead files") {
+    val loc = freshLoc()
+    Iceberg.append((0L until 30L).map(k => (k, s"v$k")).toDF("k", "v"), loc)
+    Iceberg.upsertMergeOnRead(Seq((5L, "five")).toDF("k", "v"), loc, Seq("k"))
+    Iceberg.compact(spark, loc, Seq("k"))
+    assert(!Iceberg.planEntries(spark, loc)
+      .exists(_.content == Iceberg.ContentEqDeletes))
+    Iceberg.compact(spark, loc, Seq("k")) // idempotent no-op
+    val (_, m0) = Iceberg.load(spark, loc).get
+    assert(m0.snapshots.size == 3, "compact on a clean table commits nothing")
+    val before = Iceberg.readTable(spark, loc).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(before.size == 30 && before(5) == ((5L, "five")))
+    // expire: keep only the current snapshot
+    val fs = new Path(loc).getFileSystem(hconf)
+    val oldList = m0.snapshots.head.manifestList
+    Iceberg.expireSnapshots(spark, loc, keepLast = 1)
+    val (_, m1) = Iceberg.load(spark, loc).get
+    assert(m1.snapshots.size == 1)
+    assert(!fs.exists(new Path(oldList)),
+      "expired snapshot's manifest list must be deleted")
+    // current state fully intact after the physical sweep
+    assert(Iceberg.readTable(spark, loc).orderBy("k")
+      .as[(Long, String)].collect().toSeq == before)
+    intercept[Exception] { // expired time travel is gone
+      Iceberg.readTable(spark, loc, Some(m0.snapshots.head.id)).collect()
+    }
+  }
+
   test("overwrite replaces the table in one snapshot; history intact") {
     val loc = freshLoc()
     Iceberg.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), loc)
