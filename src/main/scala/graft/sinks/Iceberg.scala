@@ -1124,6 +1124,33 @@ object Iceberg {
     }
   }
 
+  /** Delete files under `data/` that NO snapshot references (failed
+    * writes, crashed commits) — the remove_orphan_files maintenance.
+    * Returns the deleted paths.
+    */
+  def removeOrphanFiles(spark: SparkSession, location: String): Seq[String] = {
+    val (_, m) = load(spark, location).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $location"))
+    val fs = fsFor(location, spark)
+    val referenced = m.snapshots.flatMap(s =>
+      readManifestList(spark, s.manifestList).flatMap(r =>
+        readManifest(spark, m, r.path).map(e =>
+          fs.makeQualified(new Path(e.path)).toString))).toSet
+    val dataDir = new Path(s"$location/data")
+    if (!fs.exists(dataDir)) return Nil
+    val orphans = mutable.Buffer[String]()
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val q = fs.makeQualified(st.getPath).toString
+      if (st.getPath.getName.endsWith(".parquet") && !referenced(q)) {
+        fs.delete(st.getPath, false)
+        orphans += q
+      }
+    }
+    orphans.toSeq
+  }
+
   /** Replace the whole table in one overwrite snapshot. */
   def overwrite(df: DataFrame, location: String,
                 partitionCols: Seq[String] = Nil): Unit = {

@@ -140,6 +140,13 @@ class IcebergSpec extends SparkSpec {
       .write.mode("append").parquet(s"$loc/data")
     val out = Iceberg.readTable(spark, loc).select("k").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L, 2L), "orphan file must not be scanned")
+    // the maintenance sweep removes EXACTLY the orphan
+    val removed = Iceberg.removeOrphanFiles(spark, loc)
+    assert(removed.size == 1 && removed.head.contains("part-"),
+      s"only the orphan goes: $removed")
+    assert(Iceberg.readTable(spark, loc).count() == 2L,
+      "referenced files survive the sweep")
+    assert(Iceberg.removeOrphanFiles(spark, loc).isEmpty, "idempotent")
   }
 
   test("data files carry Iceberg field-ids in the parquet schema") {
