@@ -536,6 +536,24 @@ object Pipeline {
         graft.sources.PollStream.register(name, poller)
         spark.readStream.format("graft.sources.PollSourceProvider")
           .option("poller", name).load()
+      case ("mongodb_cdc", b) =>
+        // streaming change-stream poll: cursor = resume token;
+        // first micro-batch snapshots, later batches stream
+        val poller = MongoCdc.poller(b.get("url").asText,
+          b.get("database").asText,
+          b.get("collections").elements().asScala.next().asText)
+        val name = "mongo_cdc_poll_" + java.util.UUID.randomUUID.toString
+        graft.sources.PollStream.register(name, poller)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", name).load()
+      case ("aws_dynamodb_cdc", b) =>
+        // streaming shard poll: cursor = per-shard sequence numbers
+        val poller = DynamoCdc.poller(b.get("endpoint").asText,
+          awsCreds(b), b.get("table").asText)
+        val name = "ddb_cdc_poll_" + java.util.UUID.randomUUID.toString
+        graft.sources.PollStream.register(name, poller)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", name).load()
       case (other, _) =>
         throw new IllegalArgumentException(s"streaming input '$other' not supported")
     }

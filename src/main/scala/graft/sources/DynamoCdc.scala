@@ -239,6 +239,97 @@ object DynamoCdc {
     snapshot.unionByName(streamed)
   }
 
+  /** Streaming form ([[PollStream]] poller): cursor = the JSON
+    * checkpoint (snapshotDone + per-shard sequence numbers). The first
+    * sweep emits the table Scan as operation="read"; every sweep after
+    * walks the shard DAG parents-first and emits up to `limit` stream
+    * records past the cursors — one sweep = one checkpoint-atomic
+    * micro-batch.
+    */
+  def poller(endpoint: String, creds: Credentials, table: String,
+             limit: Int = 1000): PollStream.Poller = { cursorOpt =>
+    val m = new ObjectMapper()
+    val c = resolveClient(endpoint)
+    val ck: (Boolean, Map[String, Long]) = cursorOpt.map { s =>
+      val n = m.readTree(s)
+      (n.path("snapshotDone").asBoolean(false),
+        Option(n.get("shards")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap)
+          .getOrElse(Map.empty[String, Long]))
+    }.getOrElse((false, Map.empty[String, Long]))
+    val out = Vector.newBuilder[PollStream.Payload]
+    if (!ck._1) {
+      val r = call(c, endpoint, creds, "dynamodb", "DynamoDB_20120810.Scan",
+        s"""{"TableName":"$table","Segment":0,"TotalSegments":1}""")
+      r.path("Items").elements().asScala.foreach { item =>
+        out += ((itemToJson(item), Map(
+          "table" -> table, "operation" -> "read",
+          "dynamodb_shard_id" -> "", "dynamodb_sequence_number" -> "")))
+      }
+    }
+    val desc = call(c, endpoint, creds, "streams.dynamodb",
+      "DynamoDBStreams_20120810.DescribeStream", s"""{"StreamArn":"$table"}""")
+    val shards = desc.at("/StreamDescription/Shards").elements().asScala
+      .map(s => (s.get("ShardId").asText,
+        Option(s.get("ParentShardId")).map(_.asText))).toVector
+    // parents before children (same wave order as the batch read)
+    val ordered = {
+      val done = mutable.Set[String]()
+      val buf = mutable.Buffer[String]()
+      var rem = shards
+      while (rem.nonEmpty) {
+        val (ready, rest) = rem.partition(_._2.forall(p =>
+          done.contains(p) || !shards.exists(_._1 == p)))
+        ready.foreach { case (id, _) => buf += id; done += id }
+        rem = rest
+      }
+      buf.toVector
+    }
+    val newSeqs = mutable.Map[String, Long]() ++= ck._2
+    var budget = limit
+    ordered.foreach { shardId =>
+      if (budget > 0) {
+        val itBody = ck._2.get(shardId) match {
+          case Some(seq) =>
+            s"""{"StreamArn":"$table","ShardId":"$shardId","ShardIteratorType":"AFTER_SEQUENCE_NUMBER","SequenceNumber":"$seq"}"""
+          case None =>
+            s"""{"StreamArn":"$table","ShardId":"$shardId","ShardIteratorType":"TRIM_HORIZON"}"""
+        }
+        var iter = call(c, endpoint, creds, "streams.dynamodb",
+          "DynamoDBStreams_20120810.GetShardIterator", itBody)
+          .path("ShardIterator").asText(null)
+        var going = iter != null
+        while (going && budget > 0) {
+          val r = call(c, endpoint, creds, "streams.dynamodb",
+            "DynamoDBStreams_20120810.GetRecords",
+            s"""{"ShardIterator":"$iter","Limit":${math.min(budget, 256)}}""")
+          val recs = r.path("Records").elements().asScala.toVector
+          recs.foreach { rec =>
+            val dy = rec.get("dynamodb")
+            val seq = dy.get("SequenceNumber").asText
+            val img = Option(dy.get("NewImage")).map(itemToJson)
+              .getOrElse(itemToJson(dy.get("Keys")))
+            out += ((img, Map(
+              "table" -> table,
+              "operation" -> rec.get("eventName").asText,
+              "dynamodb_shard_id" -> shardId,
+              "dynamodb_sequence_number" -> seq)))
+            newSeqs(shardId) = seq.toLong
+            budget -= 1
+          }
+          val next = r.path("NextShardIterator").asText(null)
+          if (next == null || recs.isEmpty) going = false
+          iter = next
+        }
+      }
+    }
+    val o = m.createObjectNode()
+    o.put("snapshotDone", true)
+    val sh = o.putObject("shards")
+    newSeqs.foreach { case (k, v) => sh.put(k, v) }
+    (out.result(), Some(o.toString))
+  }
+
   // ─────────────────────── loopback server ───────────────────────
 
   /** In-memory DynamoDB table + its stream behind the real JSON 1.0

@@ -182,6 +182,68 @@ object MongoCdc {
     (snapshotParts :+ streamDs).reduce(_ unionByName _)
   }
 
+  /** Streaming form ([[PollStream]] poller): cursor = resume token.
+    * First sweep (no cursor) emits the collection snapshot as
+    * operation="read" messages plus the stream boundary token; later
+    * sweeps emit exactly the change events past the cursor. One sweep
+    * = one micro-batch, checkpoint-atomic with the offset.
+    */
+  def poller(url: String, database: String, collection: String,
+             batchSize: Int = 256): PollStream.Poller = { cursorOpt =>
+    val c = Mongo.clientFor(url, database)
+    try {
+      val csSpec = mapper.createObjectNode()
+      cursorOpt.foreach { t =>
+        csSpec.putObject("resumeAfter").put("_data", t); ()
+      }
+      val agg = mapper.createObjectNode()
+      agg.put("aggregate", collection)
+      val st = agg.putArray("pipeline").addObject()
+      st.set[JsonNode]("$changeStream", csSpec)
+      agg.putObject("cursor")
+      agg.put("batchSize", batchSize)
+      val r0 = c.runCommand(agg)
+      if (r0.path("ok").asDouble(0) != 1.0)
+        throw new IllegalStateException(
+          s"mongodb_cdc poll: ${r0.path("errmsg").asText}")
+      val cursorId = r0.at("/cursor/id").asLong
+      var pbrt = r0.at("/cursor/postBatchResumeToken/_data").asText
+      val out = Vector.newBuilder[PollStream.Payload]
+      def emit(ev: Event): Unit = {
+        val o = mapper.createObjectNode()
+        o.put("operation", ev.operation)
+        if (ev.doc != null) o.set[JsonNode]("doc", mapper.readTree(ev.doc))
+        if (ev.key != null) o.set[JsonNode]("key", mapper.readTree(ev.key))
+        out += ((o.toString, Map(
+          "mongodb_database" -> ev.db,
+          "mongodb_collection" -> ev.collection,
+          "operation" -> ev.operation,
+          "resume_token" -> ev.token)))
+        ()
+      }
+      if (cursorOpt.isEmpty)
+        c.find(collection).foreach(d =>
+          emit(Event("read", database, collection, d.toString,
+            d.path("_id").toString, 0L, "")))
+      var batch = r0.at("/cursor/firstBatch").elements().asScala.toVector
+      var draining = true
+      while (draining) {
+        batch.foreach(e => emit(toEvent(e, database, collection)))
+        if (batch.isEmpty) draining = false
+        else {
+          val gm = mapper.createObjectNode()
+          gm.put("getMore", cursorId)
+          gm.put("collection", collection)
+          gm.put("batchSize", batchSize)
+          val r = c.runCommand(gm)
+          pbrt = r.at("/cursor/postBatchResumeToken/_data").asText
+          batch = r.at("/cursor/nextBatch").elements().asScala.toVector
+        }
+      }
+      (out.result(), Some(pbrt))
+    } finally c.close()
+  }
+
   private def toEvent(e: JsonNode, db: String, coll: String): Event =
     Event(
       operation = e.path("operationType").asText,
