@@ -554,6 +554,36 @@ object Pipeline {
         graft.sources.PollStream.register(name, poller)
         spark.readStream.format("graft.sources.PollSourceProvider")
           .option("poller", name).load()
+      case ("gcp_spanner_cdc", b) =>
+        // streaming TVF poll: cursor = per-partition watermarks
+        val poller = SpannerCdc.poller(b.get("endpoint").asText,
+          b.path("bearer_token").asText("spanner-token"),
+          b.get("database").asText, b.get("stream_name").asText)
+        val name = "spanner_cdc_poll_" + java.util.UUID.randomUUID.toString
+        graft.sources.PollStream.register(name, poller)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", name).load()
+      case ("salesforce_cdc", b) =>
+        // streaming Pub/Sub poll: cursor = newest replay id
+        val poller = SalesforceCdc.poller(b.get("host").asText,
+          b.get("port").asInt,
+          SalesforceCdc.Auth(b.path("access_token").asText("tok"),
+            b.path("instance_url").asText(""),
+            b.path("tenant_id").asText("")),
+          b.get("topic").asText)
+        val name = "sfdc_cdc_poll_" + java.util.UUID.randomUUID.toString
+        graft.sources.PollStream.register(name, poller)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", name).load()
+      case ("spicedb_watch", b) =>
+        // streaming watch poll: cursor = newest zed token
+        val poller = SpiceDb.poller(b.get("host").asText,
+          b.get("port").asInt, b.path("bearer_token").asText(""),
+          startCursor = Option(b.get("start_cursor")).map(_.asText))
+        val name = "spicedb_poll_" + java.util.UUID.randomUUID.toString
+        graft.sources.PollStream.register(name, poller)
+        spark.readStream.format("graft.sources.PollSourceProvider")
+          .option("poller", name).load()
       case (other, _) =>
         throw new IllegalArgumentException(s"streaming input '$other' not supported")
     }

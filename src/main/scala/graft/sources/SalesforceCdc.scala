@@ -330,6 +330,61 @@ object SalesforceCdc {
     out
   }
 
+  /** Streaming form ([[PollStream]] poller): cursor = the newest
+    * replay id; each sweep fetches exactly the later events (CUSTOM
+    * preset), first sweep from `initialPreset`.
+    */
+  def poller(host: String, port: Int, auth: Auth, topic: String,
+             initialPreset: Int = PresetEarliest,
+             numRequested: Int = 10000): PollStream.Poller = { cursorOpt =>
+    val cursor = cursorOpt.map(_.toLong)
+    val req = cursor match {
+      case Some(r) => encodeFetchRequest(topic, PresetCustom, r, numRequested)
+      case None => encodeFetchRequest(topic, initialPreset, 0L, numRequested)
+    }
+    val schemaCache = mutable.Map[String, String]()
+    def schemaOf(id: String): String =
+      schemaCache.getOrElseUpdate(id, decodeSchemaInfo(
+        frames(grpcCall(host, port, auth, "/eventbus.v1.PubSub/GetSchema",
+          encodeSchemaRequest(id))).head))
+    var latest = cursor.getOrElse(0L)
+    val out = Vector.newBuilder[PollStream.Payload]
+    val splitter = new OtlpGrpc.GrpcFrameSplitter(f => {
+      val (evs, lat) = decodeFetchResponse(f)
+      if (lat > latest) latest = lat
+      evs.foreach { case (_, schemaId, payload, replayId) =>
+        if (replayId > latest) latest = replayId
+        val json = mapper.readTree(CodecOps.avroDecode(payload,
+          schemaOf(schemaId)).toString)
+        val header = json.path("ChangeEventHeader")
+        out += ((json.toString, Map(
+          "operation" -> header.path("changeType").asText,
+          "entity" -> header.path("entityName").asText,
+          "replay_id" -> replayId.toString,
+          "schema_id" -> schemaId)))
+      }
+    })
+    val ep = Http2.connect(host, port)
+    try {
+      ep.sendMessage(Seq(
+        ":method" -> "POST", ":scheme" -> "http",
+        ":path" -> "/eventbus.v1.PubSub/Subscribe",
+        ":authority" -> s"$host:$port",
+        "content-type" -> "application/grpc", "te" -> "trailers",
+        "accesstoken" -> auth.accessToken,
+        "instanceurl" -> auth.instanceUrl,
+        "tenantid" -> auth.tenantId),
+        OtlpGrpc.grpcFrame(req))
+      val (_, headers, trailers) = ep.readMessageStreaming(splitter.feed)
+      val status = (trailers ++ headers).toMap.getOrElse("grpc-status", "?")
+      if (status != "0")
+        throw new IllegalStateException(
+          s"salesforce_cdc poll: grpc-status $status")
+      splitter.finish()
+    } finally ep.close()
+    (out.result(), Some(latest.toString))
+  }
+
   // ─────────────────────────── server ───────────────────────────
 
   /** Loopback Pub/Sub API over real h2c sockets: metadata auth,

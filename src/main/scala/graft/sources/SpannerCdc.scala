@@ -173,6 +173,52 @@ object SpannerCdc {
     events.filter(_.modType != "HEARTBEAT")
   }
 
+  /** Streaming form ([[PollStream]] poller): cursor = the JSON
+    * watermark map (partition token → max commit timestamp seen).
+    * Each sweep re-discovers partitions from the root query and reads
+    * every partition past its watermark — heartbeats advance
+    * watermarks without emitting.
+    */
+  def poller(baseUrl: String, token: String, database: String,
+             stream: String): PollStream.Poller = { cursorOpt =>
+    val wm = mutable.Map[String, Long]() ++= cursorOpt.map { s =>
+      mapper.readTree(s).properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
+    val session = createSession(baseUrl, token, database)
+    val tokens = queryPartition(baseUrl, token, database, session, stream,
+      None, 0L).flatMap { rec =>
+      rec.path("child_partitions_record").path("child_partitions")
+        .elements().asScala.map(_.get("token").asText)
+    }.distinct
+    val out = Vector.newBuilder[PollStream.Payload]
+    tokens.foreach { pt =>
+      val recs = queryPartition(baseUrl, token, database, session, stream,
+        Some(pt), wm.getOrElse(pt, 0L))
+      recs.foreach { rec =>
+        val dcr = rec.get("data_change_record")
+        val hb = rec.get("heartbeat_record")
+        if (dcr != null && !dcr.isNull) {
+          val ts = dcr.get("commit_timestamp").asLong
+          if (ts > wm.getOrElse(pt, 0L)) wm(pt) = ts
+          dcr.get("mods").elements().asScala.foreach { mod =>
+            out += ((mod.toString, Map(
+              "operation" -> dcr.get("mod_type").asText,
+              "table" -> dcr.get("table_name").asText,
+              "commit_timestamp" -> ts.toString,
+              "partition_token" -> pt)))
+          }
+        } else if (hb != null && !hb.isNull) {
+          val ts = hb.get("timestamp").asLong
+          if (ts > wm.getOrElse(pt, 0L)) wm(pt) = ts
+        }
+      }
+    }
+    val o = mapper.createObjectNode()
+    wm.foreach { case (k, v) => o.put(k, v) }
+    (out.result(), Some(o.toString))
+  }
+
   // ──────────────────────── loopback server ────────────────────────
 
   /** Loopback Spanner: sessions + commit mutations + the change-stream

@@ -255,6 +255,41 @@ object SpiceDb {
     out
   }
 
+  /** Streaming form ([[PollStream]] poller): cursor = the newest zed
+    * token consumed; each sweep replays exactly the updates past it.
+    */
+  def poller(host: String, port: Int, bearerToken: String,
+             startCursor: Option[String] = None): PollStream.Poller =
+    { cursorOpt =>
+      val cursor = cursorOpt.orElse(startCursor)
+      var lastToken = cursor.getOrElse("")
+      val out = Vector.newBuilder[PollStream.Payload]
+      val splitter = new OtlpGrpc.GrpcFrameSplitter(frame => {
+        val (us, tok) = decodeWatchResponse(frame)
+        if (tok.nonEmpty) lastToken = tok
+        us.foreach { u =>
+          out += ((s"""{"operation":"${u.op}","resource":"${u.resourceType}:${u.resourceId}","relation":"${u.relation}","subject":"${u.subjectType}:${u.subjectId}"}""",
+            Map("operation" -> u.op, "zed_token" -> u.zedToken)))
+        }
+      })
+      val ep = Http2.connect(host, port)
+      try {
+        ep.sendMessage(Seq(
+          ":method" -> "POST", ":scheme" -> "http",
+          ":path" -> "/authzed.api.v1.WatchService/Watch",
+          ":authority" -> s"$host:$port",
+          "content-type" -> "application/grpc", "te" -> "trailers",
+          "authorization" -> s"Bearer $bearerToken"),
+          OtlpGrpc.grpcFrame(encodeWatchRequest(cursor)))
+        val (_, headers, trailers) = ep.readMessageStreaming(splitter.feed)
+        val status = (trailers ++ headers).toMap.getOrElse("grpc-status", "?")
+        if (status != "0")
+          throw new IllegalStateException(s"spicedb poll: grpc-status $status")
+        splitter.finish()
+      } finally ep.close()
+      (out.result(), if (lastToken.isEmpty) cursorOpt else Some(lastToken))
+    }
+
   // ─────────────────────────── server ───────────────────────────
 
   /** Loopback SpiceDB speaking the Watch RPC over real h2c sockets:
