@@ -511,7 +511,11 @@ object Iceberg {
       else {
         val dup = m.specFields.foldLeft(withIds)((d, pf) =>
           d.withColumn("__p_" + pf.name, col(pf.name)))
-        dup.write.partitionBy(m.specFields.map("__p_" + _.name): _*)
+        // co-locate each partition value before partitionBy: without
+        // this every task emits a file per value it sees (tasks ×
+        // values small files, and as many footer reads below)
+        dup.repartition(m.specFields.map(pf => col("__p_" + pf.name)): _*)
+          .write.partitionBy(m.specFields.map("__p_" + _.name): _*)
           .parquet(tmp.toString)
       }
       // move part files into data/, deriving the partition tuple from
