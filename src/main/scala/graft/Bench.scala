@@ -113,12 +113,16 @@ object Bench {
     // … and as a FILE artifact with every per-query row: the driver's
     // stdout-tail parse is capped under ~1900 chars, which truncates the
     // full map to a dozen entries — the file is the complete record
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    // a SPARK_GRAFT_ONLY-filtered run must not clobber the full-sweep
+    // artifact with a partial query map
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (fullJson + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     // … then a compact headline line LAST: the driver parses the tail of
     // stdout (a bounded window), so the final line must stay well under
