@@ -127,4 +127,37 @@ class OtlpGrpcSpec extends SparkSpec {
       assert(srv.receivedCount == 1, "rejected calls record nothing")
     } finally srv.stop()
   }
+
+  test("GrpcFrameSplitter reassembles messages across adversarial chunk cuts") {
+    val msgs = Seq(
+      Array.tabulate[Byte](1)(_.toByte),
+      Array.empty[Byte],
+      Array.tabulate[Byte](300)(i => (i % 127).toByte),
+      Array.tabulate[Byte](17)(i => (i + 5).toByte))
+    val wire = msgs.map(OtlpGrpc.grpcFrame).foldLeft(Array.empty[Byte])(_ ++ _)
+    // every cut position: header straddles, length straddles, body
+    // straddles — reassembly must be identical for all of them
+    (1 until wire.length).foreach { cut =>
+      val got = scala.collection.mutable.Buffer[Array[Byte]]()
+      val sp = new OtlpGrpc.GrpcFrameSplitter(m => { got += m; () })
+      sp.feed(wire.take(cut))
+      sp.feed(wire.drop(cut))
+      sp.finish()
+      assert(got.size == msgs.size, s"cut=$cut: ${got.size} messages")
+      got.zip(msgs).foreach { case (g, w) =>
+        assert(g.toSeq == w.toSeq, s"cut=$cut corrupted a message")
+      }
+    }
+    // byte-at-a-time is the worst case
+    val got1 = scala.collection.mutable.Buffer[Array[Byte]]()
+    val sp1 = new OtlpGrpc.GrpcFrameSplitter(m => { got1 += m; () })
+    wire.foreach(b => sp1.feed(Array(b)))
+    sp1.finish()
+    assert(got1.size == msgs.size &&
+      got1.zip(msgs).forall { case (g, w) => g.toSeq == w.toSeq })
+    // trailing garbage is detected
+    val sp2 = new OtlpGrpc.GrpcFrameSplitter(_ => ())
+    sp2.feed(Array[Byte](0, 0))
+    intercept[IllegalArgumentException] { sp2.finish() }
+  }
 }
