@@ -65,13 +65,18 @@ object Amqp1 {
       case ABool(true) => o.write(0x41)
       case ABool(false) => o.write(0x42)
       case AUInt(0) => o.write(0x43)
+      case AUInt(x) if x < 0 || x > 0xffffffffL =>
+        // silent truncation here corrupted delivery ids — reject
+        throw new IllegalArgumentException(s"amqp1: uint out of range: $x")
       case AUInt(x) if x < 256 => o.write(0x52); o.write(x.toInt)
       case AUInt(x) => o.write(0x70); writeI32(o, x.toInt)
       case AULong(0) => o.write(0x44)
       case AULong(x) if x >= 0 && x < 256 => o.write(0x53); o.write(x.toInt)
       case AULong(x) => o.write(0x80); writeI64(o, x)
       case AInt(x) if x >= -128 && x < 128 => o.write(0x54); o.write(x.toInt)
-      case AInt(x) => o.write(0x71); writeI32(o, x.toInt)
+      case AInt(x) if x >= Int.MinValue && x <= Int.MaxValue =>
+        o.write(0x71); writeI32(o, x.toInt)
+      case AInt(x) => o.write(0x81); writeI64(o, x) // long encoding
       case AStr(s) => writeVar(o, s.getBytes(UTF_8), 0xa1, 0xb1)
       case ASym(s) => writeVar(o, s.getBytes(UTF_8), 0xa3, 0xb3)
       case ABin(b) => writeVar(o, b, 0xa0, 0xb0)

@@ -205,6 +205,26 @@ class IcebergSpec extends SparkSpec {
       .count() == 50L)
   }
 
+  test("merge-on-read works on a PARTITIONED table (global delete file)") {
+    val loc = freshLoc()
+    Iceberg.append((0L until 40L).map(k => (k, s"v$k", k % 4))
+      .toDF("k", "v", "pb"), loc, partitionCols = Seq("pb"))
+    Iceberg.upsertMergeOnRead(
+      Seq((2L, "UPD", 2L), (41L, "NEW", 1L)).toDF("k", "v", "pb"),
+      loc, Seq("k"))
+    val dels = Iceberg.planEntries(spark, loc)
+      .filter(_.content == Iceberg.ContentEqDeletes)
+    assert(dels.size == 1 && dels.head.partition.forall(_ == null),
+      "the equality delete is GLOBAL: null partition tuple")
+    val out = Iceberg.readTable(spark, loc)
+    assert(out.count() == 41L)
+    assert(out.filter($"k" === 2L).select("v").as[String].head() == "UPD")
+    assert(out.filter($"k" === 41L).select("pb").as[Long].head() == 1L)
+    // new data files landed under their partition dirs
+    assert(Iceberg.planFiles(spark, loc)
+      .filter(_.seq == 2L).forall(_.partition.head != null))
+  }
+
   test("copy-on-write upsert COMPACTS a table carrying delete files") {
     val loc = freshLoc()
     Iceberg.append((0L until 20L).map(k => (k, s"v$k")).toDF("k", "v"), loc)

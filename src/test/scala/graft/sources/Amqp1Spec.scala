@@ -31,6 +31,41 @@ class Amqp1Spec extends SparkSpec {
     }
   }
 
+  test("type system round-trips randomized nested values (scalacheck)") {
+    import org.scalacheck.Gen
+    val leaf: Gen[AVal] = Gen.oneOf(
+      Gen.const(ANull),
+      Gen.oneOf(true, false).map(ABool),
+      Gen.chooseNum(0L, 0xffffffffL).map(AUInt), // uint is 32-bit
+      Gen.chooseNum(0L, Long.MaxValue).map(AULong),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(AInt),
+      Gen.alphaNumStr.map(AStr),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(bs => ABin(bs.toArray)))
+    def tree(depth: Int): Gen[AVal] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        1 -> Gen.listOfN(3, tree(depth - 1)).map(AList(_)),
+        1 -> Gen.listOfN(2, Gen.zip(Gen.alphaNumStr.map(AStr),
+          tree(depth - 1))).map(AMapV(_)),
+        1 -> Gen.zip(Gen.chooseNum(0L, 255L).map(AULong),
+          tree(depth - 1)).map { case (d, v) => ADesc(d, v) })
+    def canon(v: AVal): AVal = v match {
+      case ABin(b) => AStr(b.map("%02x".format(_)).mkString)
+      case AList(items) => AList(items.map(canon))
+      case AMapV(es) => AMapV(es.map { case (k, x) => (canon(k), canon(x)) })
+      case ADesc(d, x) => ADesc(canon(d), canon(x))
+      case other => other
+    }
+    (1 to 200).foreach { i =>
+      val v = tree(3).apply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).get
+      val got = new Decoder(encode(v)).read()
+      assert(canon(got) == canon(v), s"seed $i: $v -> $got")
+    }
+  }
+
   test("send/receive round trip with properties and app-properties") {
     val srv = new Server()
     try {
