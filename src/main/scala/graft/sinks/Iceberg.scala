@@ -536,7 +536,9 @@ object Iceberg {
             decodePartValue(seg.stripPrefix(pref), schema.find(_.id == pf.sourceId).get.typ)
           }
           val partDir = m.specFields.zip(pvals).map { case (pf, v) =>
-            s"${pf.name}=${if (v == null) "null" else v.toString}"
+            // values escape into the PATH (a raw ':' or '/' would break
+            // or corrupt the layout); the manifest tuple stays raw
+            s"${pf.name}=${if (v == null) "null" else escapePath(v.toString)}"
           }.mkString("/")
           val dataDir = new Path(s"${m.location}/data" +
             (if (partDir.isEmpty) "" else s"/$partDir"))
@@ -561,6 +563,21 @@ object Iceberg {
         case None => spark.conf.unset(fieldIdKey)
       }
     }
+  }
+
+  /** Hive-style path escaping for partition values: anything outside
+    * the filesystem-safe set becomes %XX (UTF-8).
+    */
+  private def escapePath(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '.' || c == '-' || c == '_')
+        sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+      ()
+    }
+    sb.toString
   }
 
   /** Reverse Hive path escaping (%XX only — URLDecoder would also turn
