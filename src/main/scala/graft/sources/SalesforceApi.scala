@@ -472,8 +472,24 @@ object SalesforceApi {
       }
     }
 
+    /** Split CSV text into records respecting quoted newlines (a
+      * quoted field may span lines — naive split("\n") corrupts it).
+      */
+    private def csvRecords(text: String): Seq[String] = {
+      val out = mutable.Buffer[String]()
+      val sb = new StringBuilder
+      var quoted = false
+      text.foreach {
+        case '"' => quoted = !quoted; sb += '"'
+        case '\n' if !quoted => out += sb.toString; sb.clear()
+        case ch => sb += ch
+      }
+      if (sb.nonEmpty) out += sb.toString
+      out.toSeq
+    }
+
     private def applyCsv(job: Job): Unit = {
-      val lines = job.csv.split("\n")
+      val lines = csvRecords(job.csv)
       val cols = lines.head.split(",")
       val tbl = store.getOrElseUpdate(job.obj, mutable.LinkedHashMap.empty)
       lines.tail.filter(_.nonEmpty).foreach { line =>

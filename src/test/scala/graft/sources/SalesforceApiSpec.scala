@@ -80,6 +80,22 @@ class SalesforceApiSpec extends SparkSpec {
     SalesforceApi.drop(name)
   }
 
+  test("bulk CSV round-trips quoted newlines and embedded quotes") {
+    val (name, srv) = newServer()
+    val df = Seq(
+      """{"Ext__c":"n1","Name":"line one\nline two"}""",
+      """{"Ext__c":"n2","Name":"say \"hi\", ok?"}""").toDF("value")
+    SalesforceApi.write(df, s"mem://$name", "cid", "csecret",
+      "Order__c", operation = "upsert", externalIdField = "Ext__c",
+      mode = "bulk")
+    assert(srv.store("Order__c").size == 2)
+    assert(srv.store("Order__c")("n1").get("Name").asText ==
+      "line one\nline two", "quoted newline must not split the record")
+    assert(srv.store("Order__c")("n2").get("Name").asText ==
+      """say "hi", ok?""")
+    SalesforceApi.drop(name)
+  }
+
   test("wrong client secret is rejected at token exchange") {
     val (name, srv) = newServer()
     intercept[IllegalStateException] {
