@@ -623,7 +623,7 @@ object Iceberg {
     val fs = fsFor(location, spark)
     val metaDir = new Path(s"$location/metadata")
     if (!fs.exists(metaDir)) return None
-    val v: Int =
+    val hinted: Int =
       if (fs.exists(hintPath(location))) {
         val in = fs.open(hintPath(location))
         try new String(in.readAllBytes(), UTF_8).trim.toInt finally in.close()
@@ -633,10 +633,26 @@ object Iceberg {
             n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
         if (vs.isEmpty) return None else vs.max
       }
-    val p = new Path(s"$location/metadata/v$v.metadata.json")
-    val in = fs.open(p)
-    val json = try new String(in.readAllBytes(), UTF_8) finally in.close()
-    Some((v, parseMeta(json)))
+    // the hint is a HINT: racing committers can leave it pointing
+    // backward, so probe forward to the newest existing version — the
+    // HadoopTableOperations walk
+    var v = hinted
+    while (fs.exists(new Path(s"$location/metadata/v${v + 1}.metadata.json")))
+      v += 1
+    // a probed-forward version may be CLAIMED but not yet written
+    // (O_EXCL create precedes the content write); step back to the
+    // newest parseable one
+    while (v > 0) {
+      val p = new Path(s"$location/metadata/v$v.metadata.json")
+      try {
+        val in = fs.open(p)
+        val json = try new String(in.readAllBytes(), UTF_8) finally in.close()
+        return Some((v, parseMeta(json)))
+      } catch {
+        case _: Exception if v > hinted => v -= 1
+      }
+    }
+    None
   }
 
   /** HadoopTableOperations optimistic commit: temp write + atomic rename
@@ -649,20 +665,39 @@ object Iceberg {
     val fs = fsFor(location, spark)
     val v = priorVersion + 1
     val target = new Path(s"$location/metadata/v$v.metadata.json")
-    if (fs.exists(target))
-      throw new IllegalStateException(s"commit conflict: $target already exists")
-    val tmp = new Path(s"$location/metadata/.v$v-${UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(metaJson(meta).getBytes(UTF_8)) finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"commit conflict renaming to $target")
+    val qualified = fs.makeQualified(target)
+    if (qualified.toUri.getScheme == "file") {
+      // local rename(2) REPLACES an existing destination, so the
+      // HDFS-style rename protocol silently loses racing commits here.
+      // O_EXCL create is the atomic claim on a posix filesystem.
+      val local = java.nio.file.Paths.get(qualified.toUri.getPath)
+      try java.nio.file.Files.createFile(local)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"commit conflict: $target already exists")
+      }
+      java.nio.file.Files.write(local, metaJson(meta).getBytes(UTF_8))
+    } else {
+      // HDFS-family: rename fails when the destination exists — the
+      // HadoopTableOperations protocol
+      if (fs.exists(target))
+        throw new IllegalStateException(
+          s"commit conflict: $target already exists")
+      val tmp = new Path(s"$location/metadata/.v$v-${UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(metaJson(meta).getBytes(UTF_8)) finally out.close()
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(s"commit conflict renaming to $target")
+      }
     }
     val hintTmp = new Path(s"$location/metadata/.hint-${UUID.randomUUID()}.tmp")
     val h = fs.create(hintTmp, true)
     try h.write(v.toString.getBytes(UTF_8)) finally h.close()
     fs.delete(hintPath(location), false)
     fs.rename(hintTmp, hintPath(location))
+    ()
   }
 
   private def newSnapshotId(): Long =
@@ -698,69 +733,106 @@ object Iceberg {
                                (_, _, _) => Nil): Unit = {
     val spark = df.sparkSession
     val fs = fsFor(location, spark)
-    val prior = if (priorState == null) load(spark, location) else priorState
-    // an append keeps every file of the current snapshot: its manifest
-    // list carries the prior list's entries BY PATH (no rewrite)
-    val carriedAll = carried ++ (if (!carryPrior) Nil else prior.toSeq.flatMap {
-      case (_, pm) =>
-        pm.snapshots.find(s => pm.currentSnapshotId.contains(s.id))
-          .map(s => readManifestList(spark, s.manifestList)).getOrElse(Nil)
-    })
-    val nowMs = System.currentTimeMillis()
-    val meta0: Meta = prior match {
-      case None =>
-        val (fields, lastId) = buildSchema(df, 0)
-        val spec = partitionCols.zipWithIndex.map { case (c, i) =>
-          PartField(c, fields.find(_.name == c).getOrElse(
-            throw new IllegalArgumentException(s"partition column $c not in schema")).id,
-            1000 + i)
-        }
-        Meta(UUID.randomUUID().toString, location, 0L, nowMs, lastId, 0,
-          Seq((0, fields)), spec, if (spec.isEmpty) 999 else 999 + spec.size,
-          None, Nil, Nil)
-      case Some((_, m)) =>
-        require(partitionCols.isEmpty || partitionCols == m.specFields.map(_.name),
-          s"partition spec mismatch: $partitionCols vs ${m.specFields.map(_.name)}")
-        val newCols = df.schema.fields.filterNot(f => m.schema.exists(_.name == f.name))
-        if (newCols.isEmpty) m
-        else {
-          var next = m.lastColumnId
-          def nextId(): Int = { next += 1; next }
-          val added = newCols.map { f =>
-            val id = nextId()
-            IField(id, f.name, required = false, toIceberg(f.dataType, () => nextId()))
+
+    def buildMeta(prior: Option[(Int, Meta)], nowMs: Long): Meta =
+      prior match {
+        case None =>
+          val (fields, lastId) = buildSchema(df, 0)
+          val spec = partitionCols.zipWithIndex.map { case (c, i) =>
+            PartField(c, fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"partition column $c not in schema")).id,
+              1000 + i)
           }
-          val sid = m.currentSchemaId + 1
-          m.copy(lastColumnId = next, currentSchemaId = sid,
-            schemas = m.schemas :+ ((sid, m.schema ++ added)))
-        }
-    }
-    val seq = meta0.lastSeq + 1
-    val snapId = newSnapshotId()
+          Meta(UUID.randomUUID().toString, location, 0L, nowMs, lastId, 0,
+            Seq((0, fields)), spec, if (spec.isEmpty) 999 else 999 + spec.size,
+            None, Nil, Nil)
+        case Some((_, m)) =>
+          require(partitionCols.isEmpty ||
+            partitionCols == m.specFields.map(_.name),
+            s"partition spec mismatch: $partitionCols vs ${m.specFields.map(_.name)}")
+          val newCols = df.schema.fields
+            .filterNot(f => m.schema.exists(_.name == f.name))
+          if (newCols.isEmpty) m
+          else {
+            var next = m.lastColumnId
+            def nextId(): Int = { next += 1; next }
+            val added = newCols.map { f =>
+              val id = nextId()
+              IField(id, f.name, required = false,
+                toIceberg(f.dataType, () => nextId()))
+            }
+            val sid = m.currentSchemaId + 1
+            m.copy(lastColumnId = next, currentSchemaId = sid,
+              schemas = m.schemas :+ ((sid, m.schema ++ added)))
+          }
+      }
+
+    var prior = if (priorState == null) load(spark, location) else priorState
+    var meta0 = buildMeta(prior, System.currentTimeMillis())
+    // data files land ONCE; a conflicted commit reuses them — the
+    // reference's retry semantics (committer.go:196-227: retries must
+    // not re-add files)
     val addedRaw = writeDataFiles(df, meta0)
-    val addedEntries = addedRaw.map(_.copy(snapshotId = snapId, seq = seq,
-      fileSeq = seq)) ++ extraAdds(meta0, seq, snapId)
-    val manifests = mutable.Buffer[ManifestRef]()
-    val allNew = addedEntries ++ replaceEntries.map(e => e.copy(snapshotId =
-      if (e.status == StDeleted) snapId else e.snapshotId))
-    // spec rule: data and delete entries never share a manifest
-    allNew.groupBy(_.content).toSeq.sortBy(_._1).foreach { case (_, es) =>
-      manifests += writeManifest(fs, meta0, es, snapId, seq)
+    val writtenSchema = meta0.schema
+
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val nowMs = System.currentTimeMillis()
+      // an append keeps every file of the current snapshot: its
+      // manifest list carries the prior list's entries BY PATH
+      val carriedAll = carried ++
+        (if (!carryPrior) Nil else prior.toSeq.flatMap { case (_, pm) =>
+          pm.snapshots.find(s => pm.currentSnapshotId.contains(s.id))
+            .map(s => readManifestList(spark, s.manifestList)).getOrElse(Nil)
+        })
+      val seq = meta0.lastSeq + 1
+      val snapId = newSnapshotId()
+      val addedEntries = addedRaw.map(_.copy(snapshotId = snapId, seq = seq,
+        fileSeq = seq)) ++ extraAdds(meta0, seq, snapId)
+      val manifests = mutable.Buffer[ManifestRef]()
+      val allNew = addedEntries ++ replaceEntries.map(e => e.copy(snapshotId =
+        if (e.status == StDeleted) snapId else e.snapshotId))
+      // spec rule: data and delete entries never share a manifest
+      allNew.groupBy(_.content).toSeq.sortBy(_._1).foreach { case (_, es) =>
+        manifests += writeManifest(fs, meta0, es, snapId, seq)
+      }
+      manifests ++= carriedAll
+      val listPath = writeManifestList(fs, meta0, snapId,
+        meta0.currentSnapshotId, seq, manifests.toSeq)
+      val snap = Snapshot(snapId, meta0.currentSnapshotId, seq, nowMs,
+        listPath, operation, meta0.currentSchemaId)
+      val priorVersion = prior.map(_._1).getOrElse(0)
+      val mlog = prior match {
+        case Some((pv, pm)) =>
+          pm.metadataLog :+ ((nowMs, s"$location/metadata/v$pv.metadata.json"))
+        case None => Nil
+      }
+      try {
+        commitMeta(spark, location, priorVersion, meta0.copy(
+          lastSeq = seq, lastUpdatedMs = nowMs,
+          currentSnapshotId = Some(snapId),
+          snapshots = meta0.snapshots :+ snap, metadataLog = mlog))
+        done = true
+      } catch {
+        // optimistic retry for APPENDS only: a concurrent committer
+        // won the version; reload and reassemble manifests around the
+        // ALREADY-WRITTEN data files. A merge (replaceEntries) cannot
+        // blindly retry — its inputs changed — so it surfaces the
+        // conflict.
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("commit conflict") &&
+              carryPrior && replaceEntries.isEmpty && attempts < 20 =>
+          attempts += 1
+          prior = load(spark, location)
+          meta0 = buildMeta(prior, System.currentTimeMillis())
+          require(meta0.schema == writtenSchema,
+            "concurrent schema change — the written data files no " +
+              "longer match; cannot retry this append")
+      }
     }
-    manifests ++= carriedAll
-    val listPath = writeManifestList(fs, meta0, snapId,
-      meta0.currentSnapshotId, seq, manifests.toSeq)
-    val snap = Snapshot(snapId, meta0.currentSnapshotId, seq, nowMs, listPath,
-      operation, meta0.currentSchemaId)
-    val priorVersion = prior.map(_._1).getOrElse(0)
-    val mlog = prior match {
-      case Some((pv, pm)) =>
-        pm.metadataLog :+ ((nowMs, s"$location/metadata/v$pv.metadata.json"))
-      case None => Nil
-    }
-    commitMeta(spark, location, priorVersion, meta0.copy(
-      lastSeq = seq, lastUpdatedMs = nowMs, currentSnapshotId = Some(snapId),
-      snapshots = meta0.snapshots :+ snap, metadataLog = mlog))
   }
 
   /** Live data files of a snapshot (default: current): walk the

@@ -160,6 +160,28 @@ class IcebergSpec extends SparkSpec {
       "parquet field ids must match the Iceberg column ids")
   }
 
+  test("racing appends all land through optimistic retry (no loss)") {
+    val loc = freshLoc()
+    Iceberg.append(Seq((0L, "base")).toDF("k", "v"), loc)
+    // 8 threads × 2 appends racing the same table: every commit must
+    // land via conflict-retry, none may clobber another
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val futures = (1 to 8).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until 2).foreach { j =>
+          val k = t * 100L + j
+          Iceberg.append(Seq((k, s"r$k")).toDF("k", "v"), loc)
+        }
+      })
+    }
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val (v, m) = Iceberg.load(spark, loc).get
+    assert(m.snapshots.size == 17, s"17 snapshots expected, got ${m.snapshots.size}")
+    assert(v == 17)
+    assert(Iceberg.readTable(spark, loc).count() == 17L, "no lost appends")
+  }
+
   test("optimistic commit: a claimed next version makes the commit fail") {
     val loc = freshLoc()
     Iceberg.append(Seq((1L, "a")).toDF("k", "v"), loc)
