@@ -623,16 +623,22 @@ object Iceberg {
     val fs = fsFor(location, spark)
     val metaDir = new Path(s"$location/metadata")
     if (!fs.exists(metaDir)) return None
-    val hinted: Int =
-      if (fs.exists(hintPath(location))) {
-        val in = fs.open(hintPath(location))
-        try new String(in.readAllBytes(), UTF_8).trim.toInt finally in.close()
-      } else {
-        val vs = fs.listStatus(metaDir).map(_.getPath.getName)
-          .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
-            n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
-        if (vs.isEmpty) return None else vs.max
-      }
+    def scanMax(): Option[Int] = {
+      val vs = fs.listStatus(metaDir).map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+          n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+    // the hint can be mid-swap under a concurrent commit — any failure
+    // reading it falls back to the listing scan
+    val hinted: Int = (try {
+      val in = fs.open(hintPath(location))
+      try Some(new String(in.readAllBytes(), UTF_8).trim.toInt)
+      finally in.close()
+    } catch { case _: Exception => scanMax() }) match {
+      case Some(h) => h
+      case None => return None
+    }
     // the hint is a HINT: racing committers can leave it pointing
     // backward, so probe forward to the newest existing version — the
     // HadoopTableOperations walk
@@ -695,8 +701,18 @@ object Iceberg {
     val hintTmp = new Path(s"$location/metadata/.hint-${UUID.randomUUID()}.tmp")
     val h = fs.create(hintTmp, true)
     try h.write(v.toString.getBytes(UTF_8)) finally h.close()
-    fs.delete(hintPath(location), false)
-    fs.rename(hintTmp, hintPath(location))
+    if (qualified.toUri.getScheme == "file") {
+      // atomic replace: readers never observe a missing hint
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(hintTmp).toUri.getPath),
+        java.nio.file.Paths.get(
+          fs.makeQualified(hintPath(location)).toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      fs.delete(hintPath(location), false)
+      fs.rename(hintTmp, hintPath(location))
+    }
     ()
   }
 
