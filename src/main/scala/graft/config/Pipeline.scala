@@ -117,7 +117,7 @@ object Pipeline {
     * one file per key, filename = key, contents = value) are real;
     * network backends (redis/memcached/nats_kv/…) stay env-blocked.
     */
-  private def registerCaches(spark: SparkSession, caches: Seq[JsonNode]): Unit =
+  private[graft] def registerCaches(spark: SparkSession, caches: Seq[JsonNode]): Unit =
     caches.foreach { r =>
       val label = Option(r.get("label")).map(_.asText).getOrElse(
         throw new IllegalArgumentException("cache resource needs a label"))

@@ -129,7 +129,8 @@ object DeclarativeTest {
       environment: Map[String, String],
       input: Seq[Msg],
       expected: Seq[Seq[Check]],
-      processors: Seq[DataFrame => DataFrame])
+      processors: Seq[DataFrame => DataFrame],
+      cacheResources: Seq[JsonNode] = Nil)
 
   /** Config-level `${VAR}` / `${VAR:default}` env interpolation — the
     * reference substitutes these at config parse, BEFORE any component
@@ -184,7 +185,11 @@ object DeclarativeTest {
             s"test '$name' has no target and no /pipeline/processors in $path")
           node.elements().asScala.toSeq.map(compileProcessor(_, env))
       }
-      TestCase(name, env, input, expected, procs)
+      // tests run in the config's full resource context — a fixture's
+      // cache_resources are live during its runs (unit_testing.adoc)
+      val caches = Option(root.get("cache_resources"))
+        .map(_.elements().asScala.toSeq).getOrElse(Nil)
+      TestCase(name, env, input, expected, procs, caches)
     }
   }
 
@@ -244,6 +249,8 @@ object DeclarativeTest {
     */
   def run(spark: SparkSession, tc: TestCase): Seq[String] = {
     import spark.implicits._
+    if (tc.cacheResources.nonEmpty)
+      graft.config.Pipeline.registerCaches(spark, tc.cacheResources)
     val in = tc.input.zipWithIndex
       .map { case (m, i) => (i.toLong, m.batch.toLong, m.content, m.metadata) }
       .toDF("__seq", "__batch", "value", "metadata")
