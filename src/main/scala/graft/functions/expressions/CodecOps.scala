@@ -909,4 +909,48 @@ object CodecOps {
     val err = check(schema, doc, "$")
     if (err == null) null else UTF8String.fromString(err)
   }
+
+  /** `json_documents` scanner kernel: split CONCATENATED json
+    * documents at depth-0 boundaries — quote/escape aware over objects
+    * and arrays, top-level scalars split on whitespace
+    * (scanners/json_documents.adoc; newlines are optional in the
+    * format, so a line scanner cannot do this).
+    */
+  def jsonDocuments(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && str.charAt(i).isWhitespace) i += 1
+      if (i < n) {
+        val start = i
+        var depth = 0
+        var inString = false
+        var escaped = false
+        var done = false
+        while (i < n && !done) {
+          val c = str.charAt(i)
+          if (inString) {
+            if (escaped) escaped = false
+            else if (c == '\\') escaped = true
+            else if (c == '"') inString = false
+          } else c match {
+            case '"' => inString = true
+            case '{' | '[' => depth += 1
+            case '}' | ']' =>
+              depth -= 1
+              if (depth == 0) done = true
+            case _ if depth == 0 && c.isWhitespace => done = true
+            case _ => ()
+          }
+          if (!done) i += 1
+          else if (depth == 0 && (c == '}' || c == ']')) i += 1
+        }
+        out += UTF8String.fromString(str.substring(start, i))
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
 }

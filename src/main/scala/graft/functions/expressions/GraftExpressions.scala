@@ -272,6 +272,29 @@ case class UnicodeSegments(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `json_documents` scanner kernel: split concatenated JSON documents
+  * at depth-0 boundaries (string/escape aware) — codegen'd, not a UDF.
+  */
+case class JsonDocuments(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_json_documents"
+
+  override protected def nullSafeEval(s: Any): Any =
+    CodecOps.jsonDocuments(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.expressions.CodecOps.jsonDocuments($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -473,6 +496,7 @@ object GraftFunctions {
     "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
       ShingleHashes(es(0), intArg(es(1), "n"))),
     "graft_simhash" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+    "graft_json_documents" -> ((es: Seq[Expression]) => JsonDocuments(es(0))),
     "graft_lsh_keys" -> ((es: Seq[Expression]) =>
       CosineLshKeys(es(0), intArg(es(1), "planes"), intArg(es(2), "tables"))),
     "graft_json_merge" -> ((es: Seq[Expression]) => JsonMerge(es(0), es(1))),

@@ -263,56 +263,14 @@ object Sources {
             col("body"), chunkSize, 0)).as(Envelope.ValueCol))
       case "json_documents" =>
         // scanners/json_documents.adoc: CONCATENATED json documents in
-        // one stream → one message each; boundaries found by a
-        // string/escape-aware depth walk (newlines are optional, so
-        // `lines` cannot split this format)
-        val splitDocs = org.apache.spark.sql.functions.udf(
-          (body: String) => splitJsonDocs(body))
+        // one stream → one message each; boundaries found by the
+        // codegen'd graft_json_documents kernel (newlines are
+        // optional, so `lines` cannot split this format)
         raw.select(col("path"),
-          explode(splitDocs(col("body"))).as(Envelope.ValueCol))
+          explode(call_function("graft_json_documents", col("body")))
+            .as(Envelope.ValueCol))
       case other => throw new IllegalArgumentException(s"scanner: $other")
     }
-  }
-
-  /** Split concatenated JSON documents: depth-tracked over objects and
-    * arrays, quote/escape aware; top-level scalars split on
-    * whitespace.
-    */
-  private[sources] def splitJsonDocs(s: String): Seq[String] = {
-    if (s == null) return Nil
-    val out = scala.collection.mutable.Buffer[String]()
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      while (i < n && s.charAt(i).isWhitespace) i += 1
-      if (i < n) {
-        val start = i
-        var depth = 0
-        var inString = false
-        var escaped = false
-        var done = false
-        while (i < n && !done) {
-          val c = s.charAt(i)
-          if (inString) {
-            if (escaped) escaped = false
-            else if (c == '\\') escaped = true
-            else if (c == '"') inString = false
-          } else c match {
-            case '"' => inString = true
-            case '{' | '[' => depth += 1
-            case '}' | ']' =>
-              depth -= 1
-              if (depth == 0) done = true
-            case _ if depth == 0 && c.isWhitespace => done = true
-            case _ => ()
-          }
-          if (!done) i += 1
-          else if (depth == 0 && (c == '}' || c == ']')) i += 1
-        }
-        out += s.substring(start, i)
-      }
-    }
-    out.toSeq
   }
 
   /** `skip_bom` scanner (docs/…/scanners/skip_bom.adoc): strip a UTF-8
