@@ -92,7 +92,9 @@ object Iceberg {
   case class Entry(status: Int, snapshotId: Long, seq: Long, fileSeq: Long,
                    path: String, partition: Seq[Any], recordCount: Long,
                    sizeBytes: Long, content: Int = 0,
-                   equalityIds: Seq[Int] = Nil)
+                   equalityIds: Seq[Int] = Nil,
+                   lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+                   upperBounds: Map[Int, Array[Byte]] = Map.empty)
   val StExisting = 0; val StAdded = 1; val StDeleted = 2
   val ContentData = 0; val ContentEqDeletes = 2
 
@@ -303,6 +305,8 @@ object Iceberg {
          |{"name":"partition","field-id":102,"type":${partitionAvro(spec, schema)}},
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
+         |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]},
          |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
 
@@ -381,6 +385,21 @@ object Iceberg {
       if (e.equalityIds.nonEmpty)
         df.put("equality_ids",
           e.equalityIds.map(Integer.valueOf).asJava)
+      def boundsRec(recName: String, m2: Map[Int, Array[Byte]]) = {
+        val itemSchema = dfSchema.getField(
+          if (recName == "k126_v127") "lower_bounds" else "upper_bounds")
+          .schema().getTypes.get(1).getElementType
+        m2.toSeq.sortBy(_._1).map { case (k, v) =>
+          val r2 = new GenericData.Record(itemSchema)
+          r2.put("key", k)
+          r2.put("value", java.nio.ByteBuffer.wrap(v))
+          r2.asInstanceOf[AnyRef]
+        }.asJava
+      }
+      if (e.lowerBounds.nonEmpty)
+        df.put("lower_bounds", boundsRec("k126_v127", e.lowerBounds))
+      if (e.upperBounds.nonEmpty)
+        df.put("upper_bounds", boundsRec("k129_v130", e.upperBounds))
       rec.put("data_file", df)
       rec
     }
@@ -476,9 +495,22 @@ object Iceberg {
           .map(_.asInstanceOf[Int]).getOrElse(0),
         equalityIds = Option(df.get("equality_ids"))
           .map(_.asInstanceOf[java.util.List[Integer]].asScala
-            .map(_.intValue).toSeq).getOrElse(Nil))
+            .map(_.intValue).toSeq).getOrElse(Nil),
+        lowerBounds = boundsOf(df, "lower_bounds"),
+        upperBounds = boundsOf(df, "upper_bounds"))
     }
   }
+
+  private def boundsOf(df: GenericRecord,
+                       field: String): Map[Int, Array[Byte]] =
+    Option(df.get(field)).map {
+      _.asInstanceOf[java.util.List[GenericRecord]].asScala.map { r =>
+        val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+        val b = new Array[Byte](bb.remaining())
+        bb.duplicate().get(b)
+        r.get("key").asInstanceOf[Int] -> b
+      }.toMap
+    }.getOrElse(Map.empty)
 
   // --------------------------------------------------------- data files
 
@@ -546,13 +578,17 @@ object Iceberg {
           val target = new Path(dataDir, s"${UUID.randomUUID()}.parquet")
           if (!fs.rename(st.getPath, target))
             throw new IllegalStateException(s"rename failed: ${st.getPath} -> $target")
-          val rc = {
+          val (rc, lower, upper) = {
             val rdr = ParquetFileReader.open(
               HadoopInputFile.fromPath(target, conf(spark)))
-            try rdr.getRecordCount finally rdr.close()
+            try {
+              val (lo, hi) = footerBounds(rdr, schema)
+              (rdr.getRecordCount, lo, hi)
+            } finally rdr.close()
           }
           out += Entry(StAdded, -1L, -1L, -1L, target.toString, pvals, rc,
-            fs.getFileStatus(target).getLen)
+            fs.getFileStatus(target).getLen,
+            lowerBounds = lower, upperBounds = upper)
         }
       }
       out.toSeq
@@ -597,6 +633,114 @@ object Iceberg {
     }
     flush()
     sb.toString
+  }
+
+  // ─────────────── column bounds (manifest stats, spec §Appendix D) ───────────────
+
+  /** Iceberg single-value serialization (little-endian primitives,
+    * UTF-8 strings) of one bound.
+    */
+  private[sinks] def serializeBound(v: Any, t: IType): Array[Byte] = t match {
+    case Prim("int") | Prim("date") =>
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(v.asInstanceOf[Number].intValue).array()
+    case Prim("long") | Prim("timestamptz") =>
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putLong(v.asInstanceOf[Number].longValue).array()
+    case Prim("float") =>
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putFloat(v.asInstanceOf[Number].floatValue).array()
+    case Prim("double") =>
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putDouble(v.asInstanceOf[Number].doubleValue).array()
+    case Prim("boolean") =>
+      Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+    case Prim("string") => v.toString.getBytes(UTF_8)
+    case _ => null // no bound for binary/decimal/list here
+  }
+
+  private[sinks] def deserializeBound(b: Array[Byte], t: IType): Any = t match {
+    case Prim("int") | Prim("date") =>
+      java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    case Prim("long") | Prim("timestamptz") =>
+      java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    case Prim("float") =>
+      java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat
+    case Prim("double") =>
+      java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
+    case Prim("boolean") => b(0) != 0
+    case Prim("string") => new String(b, UTF_8)
+    case _ => null
+  }
+
+  /** Min/max per top-level primitive column from the parquet footer's
+    * column-chunk statistics — the file-skipping payload.
+    */
+  private def footerBounds(rdr: ParquetFileReader, schema: Seq[IField])
+      : (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    val byName = schema.map(f => f.name -> f).toMap
+    val mins = mutable.Map[Int, Any]()
+    val maxs = mutable.Map[Int, Any]()
+    rdr.getFooter.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { col =>
+        val name = col.getPath.toDotString
+        byName.get(name).foreach { f =>
+          val st = col.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            def toScala(v: Any): Any = v match {
+              case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+              case other => other
+            }
+            val mn = toScala(st.genericGetMin: Any)
+            val mx = toScala(st.genericGetMax: Any)
+            if (!mins.contains(f.id) || boundCompare2(mn, mins(f.id)) < 0)
+              mins(f.id) = mn
+            if (!maxs.contains(f.id) || boundCompare2(mx, maxs(f.id)) > 0)
+              maxs(f.id) = mx
+          }
+        }
+      }
+    }
+    def ser(m: mutable.Map[Int, Any]) = m.flatMap { case (id, v) =>
+      val t = schema.find(_.id == id).get.typ
+      Option(serializeBound(v, t)).map(id -> _)
+    }.toMap
+    (ser(mins), ser(maxs))
+  }
+
+  /** File-skipping scan plan: keep only data files whose [lower,
+    * upper] bounds can intersect [`lower`, `upper`] on `column` — the
+    * scan-planning pruning real Iceberg readers do with these stats.
+    * Files without bounds for the column are conservatively kept.
+    */
+  def planFilesWhere(spark: SparkSession, location: String, column: String,
+                     lower: Option[Any], upper: Option[Any],
+                     snapshotId: Option[Long] = None): Seq[Entry] = {
+    val (_, m) = load(spark, location).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $location"))
+    val f = m.schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column"))
+    planFiles(spark, location, snapshotId).filter { e =>
+      val lo = e.lowerBounds.get(f.id).map(deserializeBound(_, f.typ))
+      val hi = e.upperBounds.get(f.id).map(deserializeBound(_, f.typ))
+      val belowOk = upper.forall(u => lo.forall(l => boundCompare2(l, u) <= 0))
+      val aboveOk = lower.forall(l2 => hi.forall(h => boundCompare2(h, l2) >= 0))
+      belowOk && aboveOk
+    }
+  }
+
+  private def boundCompare2(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x, y) => x.toString.compareTo(y.toString)
   }
 
   private def decodePartValue(raw: String, t: IType): Any = {

@@ -160,6 +160,40 @@ class IcebergSpec extends SparkSpec {
       "parquet field ids must match the Iceberg column ids")
   }
 
+  test("manifest column bounds skip files at scan planning") {
+    val loc = freshLoc()
+    // three appends with disjoint k ranges → three files with
+    // non-overlapping bounds
+    Iceberg.append((0L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(1), loc)
+    Iceberg.append((100L until 200L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(1), loc)
+    Iceberg.append((200L until 300L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(1), loc)
+    val all = Iceberg.planFiles(spark, loc)
+    assert(all.size == 3)
+    assert(all.forall(e => e.lowerBounds.nonEmpty && e.upperBounds.nonEmpty),
+      "every data file must carry footer-derived bounds")
+    // bounds round-trip through the avro manifest
+    val ks = all.map { e =>
+      val f = Iceberg.load(spark, loc).get._2.schema.find(_.name == "k").get
+      (Iceberg.deserializeBound(e.lowerBounds(f.id), f.typ),
+        Iceberg.deserializeBound(e.upperBounds(f.id), f.typ))
+    }.sortBy(_._1.asInstanceOf[Long])
+    assert(ks == Seq((0L, 99L), (100L, 199L), (200L, 299L)))
+    // the scan plan skips files whose range cannot match
+    val hit = Iceberg.planFilesWhere(spark, loc, "k",
+      lower = Some(150L), upper = Some(160L))
+    assert(hit.size == 1, s"one file overlaps [150,160]: ${hit.size}")
+    val open = Iceberg.planFilesWhere(spark, loc, "k",
+      lower = Some(250L), upper = None)
+    assert(open.size == 1, "open-ended predicate prunes to the last file")
+    // string bounds too
+    val vHit = Iceberg.planFilesWhere(spark, loc, "v",
+      lower = Some("v150"), upper = Some("v150"))
+    assert(vHit.nonEmpty && vHit.size < 3)
+  }
+
   test("racing appends all land through optimistic retry (no loss)") {
     val loc = freshLoc()
     Iceberg.append(Seq((0L, "base")).toDF("k", "v"), loc)
