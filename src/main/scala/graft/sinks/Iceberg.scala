@@ -1041,7 +1041,29 @@ object Iceberg {
     * key — the new data files of the deleting snapshot survive.
     */
   def readTable(spark: SparkSession, location: String,
-                snapshotId: Option[Long] = None): DataFrame = {
+                snapshotId: Option[Long] = None): DataFrame =
+    readTableFiltered(spark, location, snapshotId, _ => true)
+
+  /** Bounds-pruned read: only files [[planFilesWhere]] keeps are
+    * opened, then the residual predicate applies row-level (file
+    * skipping is conservative; equality deletes still apply).
+    */
+  def readTableWhere(spark: SparkSession, location: String, column: String,
+                     lower: Option[Any], upper: Option[Any],
+                     snapshotId: Option[Long] = None): DataFrame = {
+    val keep = planFilesWhere(spark, location, column, lower, upper,
+      snapshotId).map(_.path).toSet
+    val pruned = readTableFiltered(spark, location, snapshotId,
+      e => keep(e.path))
+    val c = col(column)
+    val residual = (lower.map(l => c >= lit(l)) ++
+      upper.map(u => c <= lit(u))).reduceOption(_ && _)
+    residual.map(pruned.filter).getOrElse(pruned)
+  }
+
+  private def readTableFiltered(spark: SparkSession, location: String,
+                                snapshotId: Option[Long],
+                                fileFilter: Entry => Boolean): DataFrame = {
     val (_, m) = load(spark, location).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg table at $location"))
     val snap = snapshotId match {
@@ -1053,6 +1075,7 @@ object Iceberg {
     val schema = sparkSchema(fields)
     val entries = planEntries(spark, location, Some(snap.id))
     val dataEntries = entries.filter(_.content == ContentData)
+      .filter(fileFilter)
     val delEntries = entries.filter(_.content == ContentEqDeletes)
     if (dataEntries.isEmpty)
       return spark.createDataFrame(

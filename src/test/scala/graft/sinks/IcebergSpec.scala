@@ -192,6 +192,10 @@ class IcebergSpec extends SparkSpec {
     val vHit = Iceberg.planFilesWhere(spark, loc, "v",
       lower = Some("v150"), upper = Some("v150"))
     assert(vHit.nonEmpty && vHit.size < 3)
+    // readTableWhere = pruned files + residual row filter
+    val rows = Iceberg.readTableWhere(spark, loc, "k",
+      Some(150L), Some(160L)).select("k").as[Long].collect().sorted
+    assert(rows.toSeq == (150L to 160L))
   }
 
   test("racing appends all land through optimistic retry (no loss)") {
