@@ -2631,6 +2631,30 @@ object SparkEntry {
       s.table("lakehouse_orders").orderBy(col("k"))
     }),
 
+    "p_iceberg_pruned" -> ((s, d) => {
+      // manifest column bounds (spec Appendix D single-value stats,
+      // harvested from parquet footers): four range-disjoint appends,
+      // then a bounded read — the gate REQUIRES the scan plan to skip
+      // files whose bounds cannot match before comparing the rows
+      import sinks.Iceberg
+      val loc = java.nio.file.Files.createTempDirectory("iceberg_bnd").toString
+      val o = Tables.orders(s, d)
+      def shaped(lo: Long, hi: Long) =
+        o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+            col("o_totalprice").cast("double").as("price"))
+          .repartition(1)
+      Seq((0L, 500L), (500L, 1000L), (1000L, 1500L), (1500L, 2000L))
+        .foreach { case (lo, hi) => Iceberg.append(shaped(lo, hi), loc) }
+      val total = Iceberg.planFiles(s, loc).size
+      val kept = Iceberg.planFilesWhere(s, loc, "k",
+        Some(600L), Some(1300L)).size
+      require(kept < total && kept == 2,
+        s"bounds must skip the non-overlapping files ($kept of $total)")
+      Iceberg.readTableWhere(s, loc, "k", Some(600L), Some(1300L))
+        .orderBy(col("k"))
+    }),
+
     "p_iceberg_mor" -> ((s, d) => {
       // the reference committer's MERGE-ON-READ write shape
       // (committer.go:99-104): updates and deletes land as equality-
@@ -5017,6 +5041,12 @@ object SparkEntry {
         |       THEN 'updated' END AS status
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 13 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_iceberg_pruned" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey >= 600 AND o_orderkey <= 1300
         |ORDER BY k""".stripMargin,
 
     "p_iceberg_mor" ->
