@@ -96,7 +96,9 @@ object Iceberg {
                    lowerBounds: Map[Int, Array[Byte]] = Map.empty,
                    upperBounds: Map[Int, Array[Byte]] = Map.empty)
   val StExisting = 0; val StAdded = 1; val StDeleted = 2
-  val ContentData = 0; val ContentEqDeletes = 2
+  val ContentData = 0; val ContentPosDeletes = 1; val ContentEqDeletes = 2
+  // the spec's reserved field ids for position-delete files
+  val PosDeleteFilePathId = 2147483546; val PosDeletePosId = 2147483545
 
   private val mapper = new ObjectMapper()
 
@@ -364,8 +366,8 @@ object Iceberg {
     val entryAvro = manifestEntryAvro(m.specFields, schema)
     val dfSchema = entryAvro.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
-    val isDeletes = entries.exists(_.content == ContentEqDeletes)
-    require(!isDeletes || entries.forall(_.content == ContentEqDeletes),
+    val isDeletes = entries.exists(_.content != ContentData)
+    require(!isDeletes || entries.forall(_.content != ContentData),
       "a manifest holds either data or delete entries, never both")
     val rows = entries.map { e =>
       val rec = new GenericData.Record(entryAvro)
@@ -1077,18 +1079,45 @@ object Iceberg {
     val dataEntries = entries.filter(_.content == ContentData)
       .filter(fileFilter)
     val delEntries = entries.filter(_.content == ContentEqDeletes)
+    val posEntries = entries.filter(_.content == ContentPosDeletes)
     if (dataEntries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val data = spark.read.schema(schema).parquet(dataEntries.map(_.path): _*)
-    if (delEntries.isEmpty) return data
+    if (delEntries.isEmpty && posEntries.isEmpty) return data
     // tag each row with its file's data sequence number (unique
     // basenames → a small broadcast literal map, one scan)
     def fname(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val dataSeqs = typedLit(dataEntries.map(e => fname(e.path) -> e.seq).toMap)
-    val withSeq = data
+    val withSeq0 = data
       .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
       .withColumn("__dataseq", element_at(dataSeqs, col("__fname")))
+    // POSITION deletes (content 1 — external writers produce these):
+    // rows named by (file_path, pos), applying to data files with
+    // sequence number ≤ the delete's (spec rule; same-commit data
+    // files INCLUDED, unlike equality deletes)
+    val withSeq =
+      if (posEntries.isEmpty) withSeq0
+      else {
+        val posSchema = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("pos", LongType)))
+        val posSeqs = typedLit(posEntries.map(e => fname(e.path) -> e.seq).toMap)
+        val pos = spark.read.schema(posSchema)
+          .parquet(posEntries.map(_.path): _*)
+          .withColumn("__pfname", element_at(split(input_file_name(), "/"), -1))
+          .select(
+            element_at(split(col("file_path"), "/"), -1).as("__fname"),
+            col("pos").as("__rowidx"),
+            element_at(posSeqs, col("__pfname")).as("__posseq"))
+          .groupBy(col("__fname"), col("__rowidx"))
+          .agg(max(col("__posseq")).as("__posmax"))
+        withSeq0
+          .withColumn("__rowidx", col("_metadata.row_index"))
+          .join(pos, Seq("__fname", "__rowidx"), "left")
+          .filter(col("__posmax").isNull || col("__posmax") < col("__dataseq"))
+          .drop("__posmax", "__rowidx")
+      }
     // apply each equality-id group's deletes: key → max delete seq,
     // row removed iff maxDeleteSeq > its file's seq
     val applied = delEntries.groupBy(_.equalityIds).foldLeft(withSeq) {
@@ -1147,7 +1176,7 @@ object Iceberg {
     // partial rewrite would either resurrect deleted rows or misapply
     // deletes to the re-sequenced files)
     val allEntries = planEntries(spark, location)
-    if (allEntries.exists(_.content == ContentEqDeletes)) {
+    if (allEntries.exists(_.content != ContentData)) {
       val touchedKeysC = {
         val ins = inserts.select(keyCols.map(typed): _*)
         deleteKeys.map(dk => ins.unionByName(dk.select(keyCols.map(typed): _*)))
@@ -1335,6 +1364,55 @@ object Iceberg {
     }
   }
 
+  /** Commit a POSITION-delete snapshot naming (file_path, pos) rows —
+    * the delete form external engines produce; the parquet carries the
+    * spec's reserved field ids. Test/interop seam: the engine's own
+    * upserts stay equality-based like the reference's committer.
+    */
+  private[graft] def commitPositionDeletes(spark: SparkSession,
+                                           location: String,
+                                           positions: Seq[(String, Long)])
+      : Unit = {
+    val prior = load(spark, location)
+    val (_, m) = prior.getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $location"))
+    val fs = fsFor(location, spark)
+    import spark.implicits._
+    val md1 = new MetadataBuilder()
+      .putLong("parquet.field.id", PosDeleteFilePathId.toLong).build()
+    val md2 = new MetadataBuilder()
+      .putLong("parquet.field.id", PosDeletePosId.toLong).build()
+    val df = positions.toDF("file_path", "pos")
+      .select(col("file_path").as("file_path", md1),
+        col("pos").as("pos", md2))
+      .coalesce(1)
+    val tmp = fs.makeQualified(
+      new Path(s"$location/.tmp-posdel-${UUID.randomUUID()}"))
+    df.write.parquet(tmp.toString)
+    val src = {
+      val it = fs.listFiles(tmp, true)
+      var found: Path = null
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) found = st.getPath
+      }
+      found
+    }
+    val target = new Path(
+      s"$location/data/${UUID.randomUUID()}-pos-deletes.parquet")
+    require(fs.rename(src, target), "pos-delete rename failed")
+    fs.delete(tmp, true)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      sparkSchema(m.schema))
+    commitSnapshot(empty, location, Nil, "delete", carryPrior = true,
+      priorState = prior,
+      extraAdds = (meta, seq, snapId) => Seq(Entry(StAdded, snapId, seq,
+        seq, target.toString, meta.specFields.map(_ => null),
+        positions.size.toLong, fs.getFileStatus(target).getLen,
+        content = ContentPosDeletes)))
+  }
+
   /** Normalize avro/jvm representations so partition tuples compare. */
   private def partKeyOf(v: Any): Any = v match {
     case null => null
@@ -1355,7 +1433,7 @@ object Iceberg {
   def compact(spark: SparkSession, location: String,
               keyCols: Seq[String]): Unit = {
     val (_, m) = load(spark, location).getOrElse(return)
-    if (!planEntries(spark, location).exists(_.content == ContentEqDeletes))
+    if (!planEntries(spark, location).exists(_.content != ContentData))
       return // nothing to fold
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -285,6 +285,28 @@ class IcebergSpec extends SparkSpec {
       .filter(_.seq == 2L).forall(_.partition.head != null))
   }
 
+  test("position deletes (content 1) apply by (file, row) — external-writer interop") {
+    val loc = freshLoc()
+    Iceberg.append((0L until 10L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k"), loc)
+    val dataFile = Iceberg.planFiles(spark, loc).head.path
+    // an external engine deletes rows 2 and 7 of that file by position
+    Iceberg.commitPositionDeletes(spark, loc,
+      Seq((dataFile, 2L), (dataFile, 7L)))
+    val out = Iceberg.readTable(spark, loc).select("k").as[Long]
+      .collect().sorted
+    assert(out.toSeq == (0L until 10L).filterNot(k => k == 2L || k == 7L),
+      s"rows at positions 2 and 7 must vanish: ${out.toSeq}")
+    // a LATER append is untouched by the earlier position delete
+    Iceberg.append(Seq((2L, "back")).toDF("k", "v"), loc)
+    assert(Iceberg.readTable(spark, loc).filter($"k" === 2L).count() == 1L)
+    // the delete manifest carries content=1 in the manifest list
+    val (_, m) = Iceberg.load(spark, loc).get
+    val refs = Iceberg.readManifestList(spark,
+      m.snapshots(1).manifestList)
+    assert(refs.exists(_.content == 1), "pos-delete manifest content flag")
+  }
+
   test("copy-on-write upsert COMPACTS a table carrying delete files") {
     val loc = freshLoc()
     Iceberg.append((0L until 20L).map(k => (k, s"v$k")).toDF("k", "v"), loc)
