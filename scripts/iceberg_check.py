@@ -181,6 +181,8 @@ def read_table(location, snapshot_id=None):
     for df in data_files:
         pdf = pq.read_table(df["path"]).to_pandas()
         pdf["__seq"] = df["seq"]
+        pdf["__fname"] = os.path.basename(df["path"])
+        pdf["__pos"] = range(len(pdf))
         frames.append(pdf)
     if not frames:
         import pandas as pd
@@ -188,16 +190,30 @@ def read_table(location, snapshot_id=None):
     import pandas as pd
     full = pd.concat(frames, ignore_index=True, sort=False)
     for dfile in delete_files:
-        keys = [id_to_name[i] for i in dfile["equality_ids"]]
-        dels = pq.read_table(dfile["path"]).to_pandas()
-        dels = dels[keys].drop_duplicates()
-        dels["__delseq"] = dfile["seq"]
-        dmax = dels.groupby(keys, as_index=False)["__delseq"].max()
-        full = full.merge(dmax, on=keys, how="left")
-        full = full[(full["__delseq"].isna()) |
-                    (full["__delseq"] <= full["__seq"])]
-        full = full.drop(columns=["__delseq"])
-    return full.drop(columns=["__seq"])
+        if dfile["equality_ids"]:
+            keys = [id_to_name[i] for i in dfile["equality_ids"]]
+            dels = pq.read_table(dfile["path"]).to_pandas()
+            dels = dels[keys].drop_duplicates()
+            dels["__delseq"] = dfile["seq"]
+            dmax = dels.groupby(keys, as_index=False)["__delseq"].max()
+            full = full.merge(dmax, on=keys, how="left")
+            # equality deletes remove rows from STRICTLY EARLIER seqs
+            full = full[(full["__delseq"].isna()) |
+                        (full["__delseq"] <= full["__seq"])]
+            full = full.drop(columns=["__delseq"])
+        else:
+            # POSITION deletes (content 1): (file_path, pos) rows,
+            # applying to data files with seq <= the delete's
+            dels = pq.read_table(dfile["path"]).to_pandas()
+            dels["__fname"] = dels["file_path"].map(os.path.basename)
+            dels = dels.rename(columns={"pos": "__pos"})
+            dels = dels[["__fname", "__pos"]].drop_duplicates()
+            dels["__posseq"] = dfile["seq"]
+            full = full.merge(dels, on=["__fname", "__pos"], how="left")
+            full = full[(full["__posseq"].isna()) |
+                        (full["__posseq"] < full["__seq"])]
+            full = full.drop(columns=["__posseq"])
+    return full.drop(columns=["__seq", "__fname", "__pos"])
 
 
 if __name__ == "__main__":
