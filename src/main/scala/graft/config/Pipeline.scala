@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{AzureQueue, Beanstalkd, Cassandra, CloudQueue, CloudWatch, Cursors, Discord, DynamoCdc, HttpClient, Jira, Kinesis, MongoCdc, Mq, NatsKv, Nsq, PubSub, Redis, Salesforce, SalesforceApi, SalesforceCdc, SchemaRegistryIO, Slack, Sources, SpannerCdc, SpiceDb, Mongo, Splunk, Tcp, Twitter, WebSocket}
+import graft.sources.{Amqp1, AzureQueue, Beanstalkd, Cassandra, CloudQueue, CloudWatch, Cockroach, Cursors, Discord, DynamoCdc, HttpClient, HttpPushServer, HttpServeServer, Jira, Kinesis, MongoCdc, Mq, Nanomsg, NatsKv, Nsq, Otlp, OtlpGrpc, PubSub, Redis, Salesforce, SalesforceApi, SalesforceCdc, SchemaRegistryIO, Slack, SlackSocket, Sources, SpannerCdc, SpiceDb, Mongo, Splunk, Tcp, Twitter, WebSocket}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -905,8 +905,9 @@ object Pipeline {
           prefix = b.path("prefix").asText(""),
           suffix = b.path("suffix").asText(""),
           apiVersion = b.path("api_version").asText("v65.0"))
-      case ("postgres_cdc", b) =>
-        // inputs/postgres_cdc.adoc — the reference's flagship connector.
+      case ("postgres_cdc" | "pg_stream", b) =>
+        // inputs/postgres_cdc.adoc (pg_stream is the deprecated alias,
+        // inputs/pg_stream.adoc) — the reference's flagship connector.
         // A live START_REPLICATION socket is env-blocked here, so the
         // input replays a RECORDED pgoutput stream (wal_file: length-
         // prefixed CopyData frames) through the same native wire
@@ -1188,6 +1189,144 @@ object Pipeline {
           startTime = b.path("start_time").asLong(0L),
           filterPattern = Option(b.get("filter_pattern"))
             .map(_.asText).orNull)
+      case ("amqp_1", b) =>
+        // inputs/amqp_1.adoc — drain one receiver link over the native
+        // AMQP 1.0 stack; url = amqp://host:port (loopback Amqp1.Server)
+        val (h1, p1) = hostPort(Option(b.get("url")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            "amqp_1 input needs url")))
+        Amqp1.read(spark, h1, p1, b.get("source_address").asText,
+          max = b.path("max_in_flight").asInt(10000),
+          user = b.at("/sasl/user").asText(null),
+          pass = b.at("/sasl/password").asText(null))
+      case ("broker", b) =>
+        // inputs/broker.adoc — child inputs merged into one stream;
+        // `copies` replicates the whole set (the reference's
+        // consumer-parallelism knob — literal duplicate consumption
+        // in the bounded form)
+        val kids = Option(b.get("inputs")).getOrElse(
+          throw new IllegalArgumentException("broker input needs inputs"))
+          .elements().asScala.toSeq
+        require(kids.nonEmpty, "broker input needs inputs")
+        val copies = b.path("copies").asInt(1)
+        Sources.broker(Seq.fill(copies)(kids).flatten
+          .map(k => compileInput(spark, k, env)))
+      case ("cockroachdb_changefeed", b) =>
+        // inputs/cockroachdb_changefeed.adoc — the Core Changefeed
+        // statement executes against the mem:// MVCC cluster seam (a
+        // live rangefeed socket is env-blocked); cursor resume rides a
+        // file cache resource under `cursor_cache`
+        val crdbStore = Option(b.get("cursor_cache")).map(_.asText)
+          .filter(_.nonEmpty).map { lbl =>
+            val dir = fileCacheDirs.getOrElse(lbl,
+              throw new IllegalArgumentException(
+                s"cockroachdb_changefeed: cursor_cache '$lbl' must be a file cache resource"))
+            new Cursors.FileStore(dir): Cursors.Store
+          }.orNull
+        Cockroach.read(spark,
+          Cockroach.clusterFor(b.get("dsn").asText).feed,
+          b.get("tables").elements().asScala.toSeq.map(_.asText),
+          Option(b.get("options")).map(_.elements().asScala.toSeq
+            .map(_.asText)).getOrElse(Nil),
+          crdbStore)
+      case ("nanomsg", b) =>
+        // inputs/nanomsg.adoc — bounded drain over SP-on-TCP (PULL or
+        // SUB); the bounded batch form needs an explicit message
+        // budget (`count` — a live stream has no natural end)
+        val (nh, np) = hostPort(b.get("urls").elements().asScala.toSeq
+          .map(_.asText).head)
+        Nanomsg.read(spark, nh, np,
+          b.path("socket_type").asText("PULL").toUpperCase,
+          count = Option(b.get("count")).map(_.asInt).getOrElse(
+            throw new IllegalArgumentException(
+              "nanomsg input needs count (bounded drain budget)")),
+          subFilters = Option(b.get("sub_filters")).map(_.elements()
+            .asScala.toSeq.map(_.asText)).getOrElse(Nil))
+      case ("otlp_http", b) =>
+        // inputs/otlp_http.adoc — `address` resolves to the live
+        // loopback collector; accepted exports unbatch to one row per
+        // span / log record / metric point
+        val osrv = Otlp.HttpServer.serverAt(b.path("address").asText(""))
+          .getOrElse(throw new IllegalArgumentException(
+            "otlp_http: no live collector at this address (start Otlp.HttpServer first)"))
+        Otlp.unbatchDf(osrv.drain(spark))
+      case ("otlp_grpc", b) =>
+        // inputs/otlp_grpc.adoc — same drain over the h2c gRPC stack
+        val gsrv = OtlpGrpc.GrpcServer.serverAt(b.path("address").asText(""))
+          .getOrElse(throw new IllegalArgumentException(
+            "otlp_grpc: no live collector at this address (start OtlpGrpc.GrpcServer first)"))
+        Otlp.unbatchDf(gsrv.drain(spark))
+      case ("read_until", b) =>
+        // inputs/read_until.adoc — consume the child until a message
+        // passes `check`; the triggering row is kept and tagged
+        // benthos_read_until=final
+        val ruChild0 = compileInput(spark, Option(b.get("input"))
+          .getOrElse(throw new IllegalArgumentException(
+            "read_until needs input")), env)
+        Option(b.get("check")).map(_.asText).filter(_.nonEmpty) match {
+          case None => ruChild0
+          case Some(c) =>
+            val withSeq =
+              if (ruChild0.columns.contains("__seq")) ruChild0
+              else ruChild0.withColumn("__seq",
+                monotonically_increasing_id())
+            val ruChild = graft.sources.Envelope.ensure(withSeq)
+            val pred = Blobl.predicateJson(ruChild, c, env,
+              metadataCol = Some("metadata"))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))
+            val cut = min(when(pred, col("__seq"))).over(w)
+            val emptyMeta = map().cast("map<string,string>")
+            ruChild.withColumn("__cut", cut)
+              .filter(col("__cut").isNull || col("__seq") <= col("__cut"))
+              .withColumn("metadata",
+                when(col("__seq") === col("__cut"),
+                  map_concat(coalesce(col("metadata"), emptyMeta),
+                    map(lit("benthos_read_until"), lit("final"))))
+                  .otherwise(col("metadata")))
+              .drop("__cut")
+        }
+      case ("redpanda_migrator", b) =>
+        // inputs/redpanda_migrator.adoc — consume the SOURCE cluster's
+        // topics (kafka-shaped rows; topic rides metadata so the
+        // paired output can write to matching topics). Schema/ACL sync
+        // is Migrator.migrate — the whole-pipeline form.
+        val mAddrs = Option(b.get("seed_brokers"))
+          .map(_.elements().asScala.toSeq.map(_.asText))
+          .getOrElse(throw new IllegalArgumentException(
+            "redpanda_migrator input needs seed_brokers"))
+        val mMem = mAddrs.find(_.startsWith("mem://")).getOrElse(
+          throw new IllegalArgumentException(
+            "redpanda_migrator: only mem:// clusters exist in this environment"))
+        val mTopics = Option(b.get("topics")).map(_.elements().asScala
+          .toSeq.map(_.asText))
+          .getOrElse(graft.sources.Broker.transportFor(mMem).listTopics())
+        require(mTopics.nonEmpty, "redpanda_migrator: source has no topics")
+        Sources.broker(mTopics.map(t => Sources.brokerRead(spark, mMem, t)))
+      case ("slack", b) =>
+        // inputs/slack.adoc — Socket Mode drain (events_api envelopes,
+        // acked first-class); base_url targets the loopback server
+        SlackSocket.read(spark, b.get("app_token").asText,
+          graft.operators.Http.javaClient(),
+          baseUrl = b.path("base_url").asText("https://slack.com/api"))
+      case ("socket_server", b) =>
+        // inputs/socket_server.adoc — the config's own `address` field
+        // resolves to the live line server; the bounded run drains the
+        // arrival log (push inputs snapshot, the stdin treatment)
+        val tAddr = b.get("address").asText
+        Tcp.serverAt(tAddr).getOrElse(
+          throw new IllegalArgumentException(
+            s"socket_server: no live server at $tAddr (start Tcp.LineServer first)"))
+          .drain(spark)
+      case ("http_server" | "gateway", b) =>
+        // inputs/http_server.adoc + inputs/gateway.adoc — `address`
+        // resolves to the live push server; bounded drain of the
+        // arrival log with the http_server_* metadata contract
+        val hAddr = b.path("address").asText("")
+        HttpPushServer.serverAt(hAddr).getOrElse(
+          throw new IllegalArgumentException(
+            s"http_server: no live server at '$hAddr' (start HttpPushServer first)"))
+          .drain(spark)
       case ("dynamic", b) =>
         // inputs/dynamic.adoc — a set of NAMED child inputs that can
         // be enabled/disabled at runtime. The reference toggles them
@@ -1238,6 +1377,15 @@ object Pipeline {
       b.at("/credentials/id").asText("AK"),
       b.at("/credentials/secret").asText("SK"),
       b.path("region").asText("us-east-1"))
+
+  /** `scheme://host:port` (or bare `host:port`) → (host, port). */
+  private def hostPort(url: String): (String, Int) = {
+    val stripped = url.replaceFirst("^[a-z0-9+.-]+://", "")
+    val cut = stripped.indexOf(':')
+    require(cut > 0, s"need host:port, got $url")
+    (stripped.substring(0, cut),
+      stripped.substring(cut + 1).takeWhile(_.isDigit).toInt)
+  }
 
   /** `mem://name/queue` → (`mem://name`, `queue`) — the SQS queue-URL
     * shape (…/account/queue) collapsed to the transport seam.

@@ -102,6 +102,20 @@ object Cockroach {
       (out.toVector, Option(maxCursor))
     }
 
+  /** `mem://name` cluster registry — the config-form seam: a test or
+    * gate seeds a named cluster, the YAML's `dsn` references it.
+    */
+  private val clusters =
+    new java.util.concurrent.ConcurrentHashMap[String, MemCluster]()
+  def register(name: String): MemCluster =
+    clusters.computeIfAbsent(name, _ => new MemCluster)
+  def clusterFor(dsn: String): MemCluster = {
+    require(dsn.startsWith("mem://"),
+      s"cockroachdb_changefeed: only mem:// DSNs exist in this environment (got $dsn)")
+    register(dsn.stripPrefix("mem://"))
+  }
+  def drop(name: String): Unit = { clusters.remove(name); () }
+
   /** In-memory MVCC cluster: per-table keyed rows with `updated`
     * timestamps. Executes the REAL statement text: no cursor → full
     * current-state backfill (each row stamped with its latest MVCC

@@ -99,5 +99,78 @@ final class HttpPushServer(path: String = "/post") {
 
   def receivedCount: Int = received.synchronized(received.size)
 
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  HttpPushServer.servers.put(s"127.0.0.1:$port", this)
+
+  def stop(): Unit = {
+    server.stop(0); pool.shutdown()
+    HttpPushServer.servers.remove(s"127.0.0.1:$port"); ()
+  }
+}
+
+object HttpPushServer {
+  /** Live servers by `host:port` — the config-form seam: an
+    * `http_server`/`gateway` input's own `address` field resolves to
+    * the running server, whose received log the bounded run drains.
+    */
+  private[sources] val servers =
+    new java.util.concurrent.ConcurrentHashMap[String, HttpPushServer]()
+  def serverAt(address: String): Option[HttpPushServer] =
+    Option(servers.get(address))
+}
+
+/** `http_server` OUTPUT (outputs/http_server.adoc): processed messages
+  * are served to clients — each GET to `path` pops the next message in
+  * `__seq` order (the reference's single-message endpoint); 204 when
+  * the buffer is empty. The buffer fills from [[publish]]; one ordered
+  * driver-side drain, the same single-consumer shape as stdout/socket.
+  */
+final class HttpServeServer(path: String = "/get") {
+  private val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private val server = JdkHttpServer.create(
+    new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext(path, (ex: HttpExchange) => {
+    try {
+      val next = queue.poll()
+      if (next == null) ex.sendResponseHeaders(204, -1)
+      else {
+        val b = next.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      }
+    } finally ex.close()
+  })
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+    (r: Runnable) => {
+      val th = new Thread(r, "http-serve"); th.setDaemon(true); th
+    })
+  server.setExecutor(pool)
+  server.start()
+
+  def port: Int = server.getAddress.getPort
+  def url: String = s"http://127.0.0.1:$port$path"
+  def address: String = s"127.0.0.1:$port"
+  HttpServeServer.servers.put(address, this)
+
+  def publish(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ordered =
+      if (df.columns.contains("__seq")) df.orderBy(col("__seq")) else df
+    ordered.select(col("value").cast("string")).collect()
+      .foreach(r => queue.add(r.getString(0)))
+  }
+
+  def pending: Int = queue.size()
+
+  def stop(): Unit = {
+    server.stop(0); pool.shutdown()
+    HttpServeServer.servers.remove(address); ()
+  }
+}
+
+object HttpServeServer {
+  private[sources] val servers =
+    new java.util.concurrent.ConcurrentHashMap[String, HttpServeServer]()
+  def serverAt(address: String): Option[HttpServeServer] =
+    Option(servers.get(address))
 }

@@ -163,4 +163,24 @@ object Nanomsg {
         org.apache.spark.sql.types.StructField("error",
           org.apache.spark.sql.types.StringType))))
   }
+
+  /** `nanomsg` OUTPUT (outputs/nanomsg.adoc — socket types push/pub):
+    * one connecting PUSH/PUB socket per partition; the bound peer is
+    * the consumer side, matching the reference's connect-mode default.
+    */
+  def write(df: DataFrame, host: String, port: Int,
+            socketType: String): Unit = {
+    require(Set("PUSH", "PUB").contains(socketType),
+      "nanomsg: only PUSH and PUB outputs are supported")
+    val (h, p, st) = (host, port, socketType)
+    df.select(org.apache.spark.sql.functions.col("value").cast("string"))
+      .rdd.foreachPartition { it =>
+        if (it.hasNext) {
+          val conn = new Conn(new java.net.Socket(h, p), st)
+          conn.handshake()
+          try it.foreach(r => conn.send(r.getString(0).getBytes(UTF_8)))
+          finally conn.close()
+        }
+      }
+  }
 }

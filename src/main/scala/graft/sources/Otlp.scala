@@ -777,6 +777,21 @@ object Otlp {
     }
 
     def receivedCount: Int = received.synchronized(received.size)
-    def stop(): Unit = { server.stop(0); pool.shutdown() }
+    HttpServer.servers.put(s"127.0.0.1:$port", this)
+    def stop(): Unit = {
+      server.stop(0); pool.shutdown()
+      HttpServer.servers.remove(s"127.0.0.1:$port"); ()
+    }
+  }
+
+  object HttpServer {
+    /** Live collectors by `host:port` — the config-form seam: an
+      * `otlp_http` input's `address` resolves to the running server,
+      * whose accepted exports the bounded run drains.
+      */
+    private[sources] val servers =
+      new java.util.concurrent.ConcurrentHashMap[String, HttpServer]()
+    def serverAt(address: String): Option[HttpServer] =
+      Option(servers.get(address))
   }
 }

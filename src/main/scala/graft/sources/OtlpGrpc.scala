@@ -178,7 +178,22 @@ object OtlpGrpc {
             spark.sparkContext.defaultParallelism))), schema)
     }
 
-    def stop(): Unit = inner.stop()
+    GrpcServer.servers.put(s"127.0.0.1:$port", this)
+    def stop(): Unit = {
+      inner.stop()
+      GrpcServer.servers.remove(s"127.0.0.1:$port"); ()
+    }
+  }
+
+  object GrpcServer {
+    /** Live collectors by `host:port` — the config-form seam: an
+      * `otlp_grpc` input's `address` resolves to the running server,
+      * whose accepted exports the bounded run drains.
+      */
+    private[sources] val servers =
+      new java.util.concurrent.ConcurrentHashMap[String, GrpcServer]()
+    def serverAt(address: String): Option[GrpcServer] =
+      Option(servers.get(address))
   }
 
   // ───────────────────────── exporter ─────────────────────────

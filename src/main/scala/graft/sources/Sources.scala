@@ -228,8 +228,11 @@ object Sources {
                       pattern: String = "\n",
                       chunkSize: Int = 4096): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(spark)
+    // algo "none" = the plain-text scanner composition (config `file`
+    // input with a `scanner:` block but no decompress stage)
     val body = skipBom(
-      call_function("graft_decompress", col("content"), lit(algo))
+      if (algo == "none") col("content").cast("string")
+      else call_function("graft_decompress", col("content"), lit(algo))
         .cast("string"))
     val raw = spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), body.as("body"))

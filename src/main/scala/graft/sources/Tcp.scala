@@ -50,6 +50,7 @@ object Tcp {
 
     def port: Int = server.getLocalPort
     def address: String = s"127.0.0.1:$port"
+    Tcp.servers.put(address, this)
 
     /** Wait until at least `n` messages arrived (push inputs are
       * asynchronous; tests need a quiescence point).
@@ -71,8 +72,21 @@ object Tcp {
         spark.sparkContext.parallelize(rows, slices), BrokerStream.schema)
     }
 
-    def stop(): Unit = { running = false; server.close() }
+    def stop(): Unit = {
+      running = false; server.close()
+      Tcp.servers.remove(address); ()
+    }
   }
+
+  /** Live [[LineServer]]s by `host:port` — the config-form seam: the
+    * YAML's own `address` field resolves to the running server, whose
+    * received log the bounded run drains (push inputs snapshot what
+    * has arrived, the stdin treatment).
+    */
+  private val servers =
+    new java.util.concurrent.ConcurrentHashMap[String, LineServer]()
+  def serverAt(address: String): Option[LineServer] =
+    Option(servers.get(address))
 
   /** `socket` input (client mode): connect to `host:port`, read
     * newline-delimited messages to EOF — a bounded snapshot of what
