@@ -233,6 +233,31 @@ object SparkEntry {
         .orderBy(col("key"), col("id"), col("name"))
     }),
 
+    "p_scanner_switch" -> ((s, d) => {
+      // `switch` scanner (docs/…/scanners/switch.adoc): per-file
+      // scanner selection by re_match_name — first candidate wins,
+      // catch-all covers the rest. Fixture files derive from the
+      // documents table (one file per doc, extension from doc_id % 3)
+      // so the routed messages are pure-SQL-predictable.
+      import graft.sources.Sources
+      val dir = java.nio.file.Files.createTempDirectory("scan_switch")
+      Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id")).collect().map(_.getLong(0)).foreach { id =>
+          val (name, content) = (id % 3) match {
+            case 0 => (s"doc_$id.jsonl", s"l1-$id\nl2-$id\n")
+            case 1 => (s"doc_$id.log", s"E1-$id E2-$id")
+            case _ => (s"doc_$id.bin", s"whole-$id")
+          }
+          java.nio.file.Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+        }
+      Sources.switchFiles(s, dir.toString + "/*", Seq(
+          Sources.ScanCase(Some("\\.jsonl$")),
+          Sources.ScanCase(Some("\\.log$"), scanner = "re_match",
+            pattern = "E\\d"),
+          Sources.ScanCase(None, scanner = "to_the_end")))
+        .select(col("value")).orderBy(col("value"))
+    }),
+
     "p_insert_part" -> ((s, d) =>
       // insert_part at index 1 within each source batch
       // (processors/insert_part.adoc:26)
@@ -2744,6 +2769,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_kafka_wire" -> ((s, d) => {
+      // the hand-rolled Kafka BINARY PROTOCOL on real TCP
+      // (KafkaWire.scala vs internal/impl/kafka/input_redpanda.go:103 /
+      // output_sarama_kafka.go:367): produce documents through real
+      // Produce v3 frames (record-batch v2, CRC32C validated by the
+      // broker), join a consumer group (FindCoordinator → JoinGroup →
+      // SyncGroup), commit mid-partition offsets via OffsetCommit,
+      // leave, REJOIN (generation bump), and resume the read from the
+      // committed offsets with executor-parallel Fetch v4 frames — the
+      // reference ordered-reader's offset-resume contract end to end.
+      import graft.sources.{Broker, KafkaWire, Sources}
+      val srv = new KafkaWire.Server()
+      val hostPort = s"127.0.0.1:${srv.port}"
+      val addr = s"kafka://$hostPort"
+      val t = Broker.transportFor(addr)
+      t.createTopic("docs", 4)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      sinks.Sinks.brokerWrite(docs, addr, "docs", col("doc_id"),
+        col("text"), col("doc_id"), partitionCol = Some(col("doc_id") % 4))
+      // session 1: group membership + a halfway offset commit
+      val m = new KafkaWire.GroupMember("127.0.0.1", srv.port, "gate",
+        Seq("docs"))
+      val assigned = m.join()("docs")
+      val gen1 = m.generation
+      m.commit(assigned.map(p =>
+        ("docs", p) -> t.endOffset("docs", p) / 2).toMap)
+      m.leave()
+      // session 2: rejoin (new generation), resume from committed
+      m.join()
+      val genBump = (m.generation - gen1).toLong
+      val resume = m.committed().map { case ((_, p), o) => p -> o }
+      m.close()
+      val out = Sources.brokerRead(s, addr, "docs", startOffsets = resume)
+        .select(
+          col("metadata")("kafka_key").cast("long").as("doc_id"),
+          col("metadata")("kafka_partition").cast("long").as("kafka_partition"),
+          col("metadata")("kafka_offset").cast("long").as("kafka_offset"),
+          col("value").as("text"),
+          lit(genBump).as("gen_bump"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      KafkaWire.dropClient(hostPort)
+      srv.stop()
+      out
+    }),
+
     "p_amqp_roundtrip" -> ((s, d) => {
       // AMQP-0.9 contract (inputs/outputs amqp_0_9.adoc via the
       // injectable Mq.Transport seam): publish documents to a TOPIC
@@ -4891,6 +4963,18 @@ object SparkEntry {
         |  text
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
+    "p_kafka_wire" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, doc_id % 4 AS part,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1
+        |      AS off,
+        |    COUNT(*) OVER (PARTITION BY doc_id % 4) AS cnt
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, part AS kafka_partition, off AS kafka_offset, text,
+        |  CAST(1 AS BIGINT) AS gen_bump
+        |FROM w WHERE off >= CAST(FLOOR(cnt / 2.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
     "p_amqp_roundtrip" ->
       """SELECT doc_id, 'doc.' || lang AS rk,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS tag
@@ -5182,6 +5266,16 @@ object SparkEntry {
       """SELECT n_regionkey AS key, CAST(n_nationkey AS VARCHAR) AS id,
         |  n_name AS name
         |FROM nation ORDER BY key, id, name""".stripMargin,
+
+    "p_scanner_switch" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+        |SELECT value FROM (
+        |  SELECT 'l1-' || doc_id AS value FROM ids WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT 'l2-' || doc_id FROM ids WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT 'E1-' || doc_id || ' ' FROM ids WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT 'E2-' || doc_id FROM ids WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT 'whole-' || doc_id FROM ids WHERE doc_id % 3 = 2
+        |) t ORDER BY value""".stripMargin,
 
     "p_insert_part" ->
       """WITH b AS (

@@ -2058,7 +2058,7 @@ object Pipeline {
     case ("aws_kinesis_firehose", b) =>
       graft.sinks.Firehose.write(df, b.get("endpoint").asText,
         awsCreds(b), b.get("stream").asText,
-        batchSize = b.path("batching/count").asInt(500) match {
+        batchSize = b.at("/batching/count").asInt(500) match {
           case 0 => 500; case n => math.min(n, 500)
         })
     case ("salesforce_sink" | "salesforce", b) =>
@@ -2494,7 +2494,7 @@ object Processors {
             implicit val boolEnc = org.apache.spark.sql.Encoders.scalaBoolean
             implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
             d.groupByKey(r =>
-                if (r.isNullAt(keyIdx)) " " else r.getString(keyIdx))
+                if (r.isNullAt(keyIdx)) "\u0000" else r.getString(keyIdx))
               .flatMapGroupsWithState(OutputMode.Append,
                 GroupStateTimeout.NoTimeout) {
                 (_: String, rows: Iterator[org.apache.spark.sql.Row],
@@ -2949,6 +2949,17 @@ object Processors {
         val url = body.get("url").asText
         val table = body.get("table").asText
         val columns = body.get("columns").elements().asScala.toSeq.map(_.asText)
+        // dialect-correct statement text per driver registration
+        // (conn_fields.go:30): placeholders/quoting/options rendered by
+        // SqlDialect; the embedded engine runs the derby form
+        val dialect = graft.sources.SqlDialect(
+          body.path("driver").asText("derby"))
+        val insertSql = dialect.insert(table, columns,
+          prefix = body.path("prefix").asText(""),
+          options = if (body.has("options"))
+            body.get("options").elements().asScala.toSeq.map(_.asText)
+          else Nil,
+          suffix = body.path("suffix").asText(""))
         df0 => {
           // error channel: a malformed `value` errors the ROW (the
           // reference processor's behavior), not the task; already-
@@ -2963,8 +2974,7 @@ object Processors {
             else {
               val mapper = new ObjectMapper()
               val conn = java.sql.DriverManager.getConnection(url)
-              val ps = conn.prepareStatement(
-                s"INSERT INTO $table VALUES (${columns.map(_ => "?").mkString(",")})")
+              val ps = conn.prepareStatement(insertSql)
               var closed = false
               def close(): Unit = if (!closed) {
                 try { ps.executeBatch(); ps.close(); conn.close() }

@@ -740,6 +740,15 @@ object Iceberg {
   }
 
   private def boundCompare2(a: Any, b: Any): Int = (a, b) match {
+    // integral-vs-integral stays exact: doubles lose precision past
+    // 2^53 (timestamp micros, snowflake-style ids) and a lossy compare
+    // here wrongly prunes a data file → silently dropped rows
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+    case (x: java.lang.Long, y: java.lang.Integer) =>
+      java.lang.Long.compare(x, y.longValue)
+    case (x: java.lang.Integer, y: java.lang.Long) =>
+      java.lang.Long.compare(x.longValue, y)
     case (x: Number, y: Number) =>
       java.lang.Double.compare(x.doubleValue, y.doubleValue)
     case (x, y) => x.toString.compareTo(y.toString)
@@ -1481,8 +1490,16 @@ object Iceberg {
   /** Delete files under `data/` that NO snapshot references (failed
     * writes, crashed commits) — the remove_orphan_files maintenance.
     * Returns the deleted paths.
+    *
+    * `olderThanMs` guards the commit race: writeDataFiles lands data
+    * files BEFORE the metadata commit, so an unreferenced file may be
+    * an in-flight write, not garbage. Files modified within the cutoff
+    * are kept (real Iceberg's remove_orphan_files defaults to a 3-day
+    * cutoff for exactly this reason); tests pass 0 for immediate sweep.
     */
-  def removeOrphanFiles(spark: SparkSession, location: String): Seq[String] = {
+  def removeOrphanFiles(spark: SparkSession, location: String,
+                        olderThanMs: Long = 3L * 60 * 60 * 1000)
+      : Seq[String] = {
     val (_, m) = load(spark, location).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg table at $location"))
     val fs = fsFor(location, spark)
@@ -1492,12 +1509,14 @@ object Iceberg {
           fs.makeQualified(new Path(e.path)).toString))).toSet
     val dataDir = new Path(s"$location/data")
     if (!fs.exists(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = mutable.Buffer[String]()
     val it = fs.listFiles(dataDir, true)
     while (it.hasNext) {
       val st = it.next()
       val q = fs.makeQualified(st.getPath).toString
-      if (st.getPath.getName.endsWith(".parquet") && !referenced(q)) {
+      if (st.getPath.getName.endsWith(".parquet") && !referenced(q) &&
+          st.getModificationTime <= cutoff) {
         fs.delete(st.getPath, false)
         orphans += q
       }

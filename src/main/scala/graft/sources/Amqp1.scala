@@ -561,6 +561,11 @@ object Amqp1 {
         // link state: handle → (address, receiverRole, in-flight ids)
         val links = mutable.Map[Long, (String, Boolean)]()
         val unsettled = mutable.Map[Long, (String, Message)]()
+        // connection-wide monotonic delivery-id (§2.7.5 transfer) — the
+        // `unsettled` map is keyed by it, so restarting at 0 per flow
+        // frame would overwrite still-unsettled entries and silently
+        // drop their redelivery
+        var nextDeliveryId = 0L
         var open = true
         while (open) {
           val f = readFrame(in)
@@ -633,15 +638,16 @@ object Amqp1 {
                 if (clientIsReceiver) {
                   val q = queue(address)
                   var sent = 0
-                  var id = 0L
                   while (sent < credit && q.synchronized(q.nonEmpty)) {
                     val msg = q.synchronized(q.dequeue())
+                    val id = nextDeliveryId
+                    nextDeliveryId += 1
                     unsettled(id) = (address, msg)
                     writeFrame(out, Frame(0, f.channel, Some(perf(
                       CTransfer, AUInt(h), AUInt(id),
                       ABin(ByteBuffer.allocate(8).putLong(id).array()),
                       AUInt(0), ABool(false))), encodeMessage(msg)))
-                    id += 1; sent += 1
+                    sent += 1
                   }
                   if (drain && sent < credit)
                     // §2.6.7: drain exhausts remaining credit

@@ -171,9 +171,14 @@ object Broker {
     */
   def transportFor(address: String): Transport =
     if (address.startsWith("mem://")) InMemory.named(address.stripPrefix("mem://"))
+    else if (address.startsWith("kafka://"))
+      // the hand-rolled Kafka binary protocol client over real TCP
+      // (KafkaWire.scala) — the same Transport contract, real frames
+      KafkaWire.clientFor(address.stripPrefix("kafka://"))
     else throw new IllegalArgumentException(
       s"no broker transport for '$address' in this environment " +
-        "(mem:// is the in-process fake; real brokers use the native " +
+        "(mem:// is the in-process fake, kafka://host:port the wire " +
+        "client; real clusters can also use the native " +
         "spark-sql-kafka connector)")
 
   // ── partitioners (output_sarama_kafka.go:367 vocabulary) ────────────

@@ -451,22 +451,27 @@ object Mongo {
     }
 
     private def recordEvent(db: String, coll: String, op: String,
-                            key: JsonNode, full: Option[JsonNode]): Unit = {
-      val seq = opSeq.incrementAndGet()
-      val e = mapper.createObjectNode()
-      e.set[JsonNode]("_id", hexToken(seq))
-      e.put("operationType", op)
-      e.put("clusterTime", seq)
-      val ns = e.putObject("ns"); ns.put("db", db); ns.put("coll", coll)
-      if (key != null) {
-        val dk = e.putObject("documentKey")
-        dk.set[JsonNode]("_id", key)
+                            key: JsonNode, full: Option[JsonNode]): Unit =
+      // seq allocation and the append happen under ONE oplog lock:
+      // drainStream advances a cursor to opSeq.get when a batch comes
+      // up short, so a seq allocated outside the lock but not yet
+      // appended would be skipped forever — a lost CDC event
+      oplog.synchronized {
+        val seq = opSeq.incrementAndGet()
+        val e = mapper.createObjectNode()
+        e.set[JsonNode]("_id", hexToken(seq))
+        e.put("operationType", op)
+        e.put("clusterTime", seq)
+        val ns = e.putObject("ns"); ns.put("db", db); ns.put("coll", coll)
+        if (key != null) {
+          val dk = e.putObject("documentKey")
+          dk.set[JsonNode]("_id", key)
+          ()
+        }
+        full.foreach(f => { e.set[JsonNode]("fullDocument", f); () })
+        oplog += e
         ()
       }
-      full.foreach(f => { e.set[JsonNode]("fullDocument", f); () })
-      oplog.synchronized { oplog += e }
-      ()
-    }
 
     /** Next batch for a change-stream cursor; advances the cursor past
       * everything scanned (matched or not) so the post-batch resume

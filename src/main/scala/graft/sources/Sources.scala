@@ -228,14 +228,24 @@ object Sources {
                       pattern: String = "\n",
                       chunkSize: Int = 4096): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(spark)
+    val raw = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+    applyScanner(raw, algo, scanner, pattern, chunkSize)
+  }
+
+  /** Apply one text-family scanner to (path, content binary) rows —
+    * the shared kernel behind [[decompressFiles]] and the per-file
+    * routed [[switchFiles]].
+    */
+  private def applyScanner(files: DataFrame, algo: String, scanner: String,
+                           pattern: String, chunkSize: Int): DataFrame = {
     // algo "none" = the plain-text scanner composition (config `file`
     // input with a `scanner:` block but no decompress stage)
     val body = skipBom(
       if (algo == "none") col("content").cast("string")
       else call_function("graft_decompress", col("content"), lit(algo))
         .cast("string"))
-    val raw = spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), body.as("body"))
+    val raw = files.select(col("path"), body.as("body"))
     scanner match {
       case "to_the_end" =>
         raw.select(col("path"), col("body").as(Envelope.ValueCol))
@@ -274,6 +284,58 @@ object Sources {
             .as(Envelope.ValueCol))
       case other => throw new IllegalArgumentException(s"scanner: $other")
     }
+  }
+
+  /** One `switch` scanner candidate (scanners/switch.adoc): selected
+    * when `reMatchName` matches the file name, or unconditionally when
+    * absent (the documented catch-all).
+    */
+  final case class ScanCase(reMatchName: Option[String],
+                            scanner: String = "lines",
+                            algo: String = "none",
+                            pattern: String = "\n",
+                            chunkSize: Int = 4096)
+
+  /** `switch` scanner (docs/…/scanners/switch.adoc): per-file scanner
+    * selection — the FIRST candidate whose `re_match_name` matches the
+    * file name wins; a pattern-less candidate is a catch-all; a file
+    * matching no candidate is REJECTED with an error (the reference's
+    * behavior), surfaced here as a row with `error` set and a null
+    * value.
+    *
+    * Spark shape: ONE binaryFile scan; routing is a chained `when`
+    * over the path (no per-candidate re-scan), each candidate's
+    * scanner applied to its filtered branch, results unioned. The
+    * branches share the single scan via plan reuse; everything stays
+    * executor-side.
+    */
+  def switchFiles(spark: SparkSession, pathGlob: String,
+                  cases: Seq[ScanCase]): DataFrame = {
+    require(cases.nonEmpty, "switch scanner needs at least one candidate")
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+    // first-match-wins candidate index; -1 = rejected
+    val idx = cases.zipWithIndex.foldRight(lit(-1)) {
+      case ((c, i), els) =>
+        c.reMatchName match {
+          case Some(re) => when(regexp_like(col("path"), lit(re)), lit(i))
+            .otherwise(els)
+          case None => lit(i) // catch-all passes every source
+        }
+    }
+    val routed = files.withColumn("__case", idx)
+    val branches = cases.zipWithIndex.map { case (c, i) =>
+      applyScanner(routed.filter(col("__case") === i)
+          .select(col("path"), col("content")),
+        c.algo, c.scanner, c.pattern, c.chunkSize)
+        .withColumn(Envelope.ErrorCol, lit(null).cast("string"))
+    }
+    val rejected = routed.filter(col("__case") === -1)
+      .select(col("path"), lit(null).cast("string").as(Envelope.ValueCol),
+        concat(lit("switch scanner: no candidate matched "), col("path"))
+          .as(Envelope.ErrorCol))
+    (branches :+ rejected).reduce(_.unionByName(_))
   }
 
   /** `skip_bom` scanner (docs/…/scanners/skip_bom.adoc): strip a UTF-8

@@ -140,13 +140,18 @@ class IcebergSpec extends SparkSpec {
       .write.mode("append").parquet(s"$loc/data")
     val out = Iceberg.readTable(spark, loc).select("k").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L, 2L), "orphan file must not be scanned")
-    // the maintenance sweep removes EXACTLY the orphan
-    val removed = Iceberg.removeOrphanFiles(spark, loc)
+    // the default age cutoff protects a just-written (possibly
+    // in-flight-commit) file from a concurrent sweep
+    assert(Iceberg.removeOrphanFiles(spark, loc).isEmpty,
+      "fresh unreferenced files survive the default cutoff")
+    // the maintenance sweep (no age floor) removes EXACTLY the orphan
+    val removed = Iceberg.removeOrphanFiles(spark, loc, olderThanMs = 0L)
     assert(removed.size == 1 && removed.head.contains("part-"),
       s"only the orphan goes: $removed")
     assert(Iceberg.readTable(spark, loc).count() == 2L,
       "referenced files survive the sweep")
-    assert(Iceberg.removeOrphanFiles(spark, loc).isEmpty, "idempotent")
+    assert(Iceberg.removeOrphanFiles(spark, loc, olderThanMs = 0L).isEmpty,
+      "idempotent")
   }
 
   test("data files carry Iceberg field-ids in the parquet schema") {

@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import graft.SparkSpec
+
+/** The hand-rolled Kafka binary protocol (KafkaWire.scala): record-batch
+  * v2 codec, produce/fetch over real TCP, server-side CRC validation,
+  * the consumer-group state machine (join barrier, generations,
+  * rebalance errors), and offset commit/resume.
+  */
+class KafkaWireSpec extends SparkSpec {
+
+  private def withServer[T](f: KafkaWire.Server => T): T = {
+    val srv = new KafkaWire.Server(joinDelayMs = 80)
+    try f(srv) finally srv.stop()
+  }
+
+  test("record batch v2: roundtrip with headers, null key, tombstone") {
+    val recs = Seq(
+      Broker.Stored(0, 7L, "k1".getBytes, "v1".getBytes,
+        Map("h1" -> "a", "h2" -> null), 1000L),
+      Broker.Stored(0, 8L, null, "v2".getBytes, Map.empty, 1005L),
+      Broker.Stored(0, 9L, "k3".getBytes, null, Map.empty, 990L))
+    val bytes = KafkaWire.encodeBatch(recs)
+    val back = KafkaWire.decodeBatches(bytes, 0, assignFrom = None)
+    assert(back.map(_.offset) == Seq(7L, 8L, 9L))
+    assert(back.map(_.timestampMs) == Seq(1000L, 1005L, 990L))
+    assert(new String(back.head.key) == "k1")
+    assert(back.head.headers == Map("h1" -> "a", "h2" -> null))
+    assert(back(1).key == null)
+    assert(back(2).value == null) // tombstone survives the wire
+  }
+
+  test("record batch v2: corrupted payload fails CRC32C") {
+    val bytes = KafkaWire.encodeBatch(Seq(
+      Broker.Stored(0, 0L, "k".getBytes, "value".getBytes, Map.empty, 1L)))
+    bytes(bytes.length - 3) = (bytes(bytes.length - 3) ^ 0x40).toByte
+    intercept[KafkaWire.CorruptBatch] {
+      KafkaWire.decodeBatches(bytes, 0, assignFrom = None)
+    }
+  }
+
+  test("produce → fetch roundtrip over real TCP frames") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("t", 3)
+        assert(c.partitionCount("t") == 3)
+        assert(c.apiVersions().contains(0)) // Produce advertised
+        val base = c.append("t", 1, (0 until 1200).map { i =>
+          Broker.Record(s"k$i".getBytes, s"v$i".getBytes,
+            Map("n" -> i.toString), timestampMs = 5000L + i)
+        })
+        assert(base == 0L)
+        assert(c.endOffset("t", 1) == 1200L)
+        assert(c.endOffset("t", 0) == 0L)
+        // paged fetch (server caps 500 records/response → 3 pages)
+        val got = c.fetch("t", 1, 0L, 1200L).toVector
+        assert(got.size == 1200)
+        assert(got.map(_.offset) == (0L until 1200L).toVector)
+        assert(new String(got(42).value) == "v42")
+        assert(got(42).headers == Map("n" -> "42"))
+        assert(got(42).timestampMs == 5042L)
+        // bounded + offset-resumed fetch
+        val tail = c.fetch("t", 1, 1190L, 1195L).toVector
+        assert(tail.map(_.offset) == (1190L until 1195L).toVector)
+      } finally c.close()
+    }
+  }
+
+  test("server rejects unknown topics and CRC-corrupt produce") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        val e = intercept[KafkaWire.WireError] {
+          c.append("nope", 0, Seq(Broker.Record("k".getBytes, "v".getBytes)))
+        }
+        assert(e.code == KafkaWire.ErrUnknownTopicOrPartition)
+        intercept[KafkaWire.WireError] { c.partitionCount("nope") }
+      } finally c.close()
+    }
+  }
+
+  test("consumer group: two members join through the barrier, range-assigned") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      c.createTopic("events", 4)
+      c.close()
+      val m1 = new KafkaWire.GroupMember("127.0.0.1", srv.port, "g1", Seq("events"))
+      val m2 = new KafkaWire.GroupMember("127.0.0.1", srv.port, "g1", Seq("events"))
+      try {
+        val pool = Executors.newFixedThreadPool(2)
+        val start = new CountDownLatch(1)
+        val f1 = pool.submit(() => { start.await(); m1.join() })
+        val f2 = pool.submit(() => { start.await(); m2.join() })
+        start.countDown()
+        val a1 = f1.get(15, TimeUnit.SECONDS)
+        val a2 = f2.get(15, TimeUnit.SECONDS)
+        pool.shutdown()
+        // same generation, disjoint assignment covering all 4 partitions
+        assert(m1.generation == m2.generation)
+        val all = a1.getOrElse("events", Nil) ++ a2.getOrElse("events", Nil)
+        assert(all.sorted == Seq(0, 1, 2, 3))
+        assert(a1.getOrElse("events", Nil)
+          .intersect(a2.getOrElse("events", Nil)).isEmpty)
+        assert(m1.heartbeat() == KafkaWire.ErrNone)
+        assert(m2.heartbeat() == KafkaWire.ErrNone)
+      } finally { m1.close(); m2.close() }
+    }
+  }
+
+  test("consumer group: leave triggers rebalance; rejoin bumps generation") {
+    withServer { srv =>
+      val admin = new KafkaWire.Client("127.0.0.1", srv.port)
+      admin.createTopic("logs", 2)
+      admin.close()
+      val m = new KafkaWire.GroupMember("127.0.0.1", srv.port, "g2", Seq("logs"))
+      try {
+        val a1 = m.join()
+        val gen1 = m.generation
+        assert(a1("logs").sorted == Seq(0, 1)) // sole member owns both
+        m.commit(Map(("logs", 0) -> 17L, ("logs", 1) -> 3L))
+        assert(m.committed() == Map(("logs", 0) -> 17L, ("logs", 1) -> 3L))
+        m.leave()
+        val a2 = m.join()
+        assert(m.generation > gen1) // new generation after the rebalance
+        assert(a2("logs").sorted == Seq(0, 1))
+        // committed offsets survive the rebalance — the resume point
+        assert(m.committed() == Map(("logs", 0) -> 17L, ("logs", 1) -> 3L))
+      } finally m.close()
+    }
+  }
+
+  test("heartbeat with a stale generation fails ILLEGAL_GENERATION") {
+    withServer { srv =>
+      val admin = new KafkaWire.Client("127.0.0.1", srv.port)
+      admin.createTopic("x", 1)
+      val m = new KafkaWire.GroupMember("127.0.0.1", srv.port, "g3", Seq("x"))
+      try {
+        m.join()
+        // a second session rejoins under the same member protocol,
+        // bumping the generation; the old session's heartbeat now fails
+        val gen = m.generation
+        m.leave(); m.join()
+        assert(m.generation > gen)
+        assert(m.heartbeat() == KafkaWire.ErrNone)
+        assert(admin.heartbeat("g3", gen, "graft-999") ==
+          KafkaWire.ErrUnknownMemberId)
+      } finally { m.close(); admin.close() }
+    }
+  }
+
+  test("Broker.transportFor resolves kafka:// to the wire client") {
+    withServer { srv =>
+      val addr = s"kafka://127.0.0.1:${srv.port}"
+      val t = Broker.transportFor(addr)
+      t.createTopic("via-seam", 2)
+      t.append("via-seam", 0, Seq(Broker.Record("a".getBytes, "1".getBytes)))
+      t.append("via-seam", 1, Seq(Broker.Record("b".getBytes, "2".getBytes)))
+      assert(t.partitionCount("via-seam") == 2)
+      assert(t.endOffset("via-seam", 0) == 1L)
+      assert(t.listTopics().contains("via-seam"))
+      val got = t.fetch("via-seam", 1, 0L, 1L).toVector
+      assert(new String(got.head.value) == "2")
+      // simple (non-group-session) offset commit path
+      t.commitGroupOffset("simple", "via-seam", 0, 1L)
+      assert(t.committedOffsets("simple") == Seq(("via-seam", 0, 1L)))
+      KafkaWire.dropClient(s"127.0.0.1:${srv.port}")
+    }
+  }
+
+  test("brokerWrite/brokerRead run unchanged over the wire transport") {
+    withServer { srv =>
+      import org.apache.spark.sql.functions._
+      val addr = s"kafka://127.0.0.1:${srv.port}"
+      Broker.transportFor(addr).createTopic("docs", 3)
+      val df = spark.range(0, 90).select(
+        col("id"), concat(lit("body-"), col("id")).as("text"))
+      graft.sinks.Sinks.brokerWrite(df, addr, "docs",
+        col("id"), col("text"), col("id"))
+      val back = Sources.brokerRead(spark, addr, "docs")
+      assert(back.count() == 90)
+      val row = back.filter(col("metadata")("kafka_key") === "41")
+        .collect().head
+      assert(row.getString(0) == "body-41")
+      // fnv1a partition assignment is the same one computed locally
+      val expectedPart = Broker.partitionFor("fnv1a_hash", "41".getBytes, 3)
+      assert(row.getMap[String, String](1)("kafka_partition") ==
+        expectedPart.toString)
+      KafkaWire.dropClient(s"127.0.0.1:${srv.port}")
+    }
+  }
+}

@@ -81,4 +81,52 @@ class ScannerSpec extends SparkSpec {
       .select("value").as[String].collect().toSeq
     assert(rows == Seq("first", "second﻿kept"))
   }
+
+  private def txtFile(dir: java.io.File, name: String, content: String): Unit = {
+    Files.write(new java.io.File(dir, name).toPath,
+      content.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  test("switch scanner: first matching candidate wins, catch-all covers the rest") {
+    val dir = tmpDir()
+    txtFile(dir, "a.jsonl", "l1\nl2\n")        // → lines (2 messages)
+    txtFile(dir, "b.log", "E1 x E2 y")         // → re_match on E\d (2 messages)
+    gzFile(dir, "c.gz", "zipped body")          // → decompress+to_the_end
+    txtFile(dir, "d.bin", "whole")              // → catch-all to_the_end
+    val out = Sources.switchFiles(spark, dir.getPath + "/*", Seq(
+      Sources.ScanCase(Some("\\.jsonl$")),
+      Sources.ScanCase(Some("\\.log$"), scanner = "re_match", pattern = "E\\d"),
+      Sources.ScanCase(Some("\\.gz$"), scanner = "to_the_end", algo = "gzip"),
+      Sources.ScanCase(None, scanner = "to_the_end")))
+    val rows = out.select("value", "error").as[(String, String)]
+      .collect().toSeq.sortBy(r => Option(r._1).getOrElse(""))
+    assert(rows.forall(_._2 == null), "catch-all: nothing rejected")
+    assert(rows.map(_._1) == Seq("E1 x ", "E2 y", "l1", "l2", "whole", "zipped body"))
+  }
+
+  test("switch scanner: a file matching no candidate is rejected with an error") {
+    val dir = tmpDir()
+    txtFile(dir, "a.jsonl", "ok\n")
+    txtFile(dir, "mystery.dat", "data")
+    val out = Sources.switchFiles(spark, dir.getPath + "/*",
+      Seq(Sources.ScanCase(Some("\\.jsonl$")))) // no catch-all
+    val good = out.filter("error IS NULL").select("value")
+      .as[String].collect().toSeq
+    assert(good == Seq("ok"))
+    val bad = out.filter("error IS NOT NULL").select("value", "error")
+      .as[(String, String)].collect().toSeq
+    assert(bad.size == 1 && bad.head._1 == null &&
+      bad.head._2.contains("mystery.dat"))
+  }
+
+  test("switch scanner: candidates after a catch-all are unreachable") {
+    val dir = tmpDir()
+    txtFile(dir, "a.jsonl", "x\ny\n")
+    val out = Sources.switchFiles(spark, dir.getPath + "/*", Seq(
+      Sources.ScanCase(None, scanner = "to_the_end"), // catch-all first
+      Sources.ScanCase(Some("\\.jsonl$"))))
+    val rows = out.select("value").as[String].collect().toSeq
+    assert(rows == Seq("x\ny\n"), "catch-all claimed the file whole")
+  }
 }
