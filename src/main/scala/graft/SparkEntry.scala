@@ -3911,6 +3911,22 @@ object SparkEntry {
           "select(.k >= 50) | .k", "props", "k")
         .select(col("event_id"), col("k"))),
 
+    "p_awk" -> ((s, d) => {
+      // awk processor (internal/impl/awk/processor.go — graft's own
+      // engine, graft.awk.Awk): codec text feeds each message to the
+      // program as input; patterns select, fields + printf compute.
+      import graft.operators.AwkOps
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(concat_ws(" ", col("doc_id"), col("n_chars"),
+          col("lang")).as("value"), col("doc_id"))
+      AwkOps.awk(docs,
+          """$3 == "en" { printf "%d:%d\n", $1, $2 * 2 }
+            |$3 != "en" { print $1 ":" $2 }""".stripMargin,
+          codec = "text")
+        .select(col("doc_id"), col("value"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_javascript" -> ((s, d) => {
       // the `javascript` processor (processors/javascript.adoc:26):
       // per-message ES5 program over the graft.js engine — string
@@ -4681,6 +4697,12 @@ object SparkEntry {
       """SELECT doc_id, 'echo:' || SUBSTR(MD5(text), 1, 8) AS reply
         |FROM documents WHERE doc_id < 150
         |ORDER BY doc_id""".stripMargin,
+
+    "p_awk" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'en' THEN doc_id || ':' || (n_chars * 2)
+        |       ELSE doc_id || ':' || n_chars END AS value
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     "p_javascript" ->
       """SELECT o_orderkey,

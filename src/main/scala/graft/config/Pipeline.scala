@@ -2138,6 +2138,13 @@ object Processors {
         df => Jq.jmespath(df, body.path("query").asText(body.asText),
           "value", "value")
       case "noop" => identity
+      case "awk" =>
+        // processors/awk.adoc:26 — codec none|text|json + program;
+        // custom json_*/metadata_*/timestamp functions built in
+        val program = body.get("program").asText
+        val codec = body.path("codec").asText("text")
+        df => graft.operators.AwkOps.awk(df, program, codec)
+
       case "javascript" =>
         // processors/javascript.adoc:26 — `code` or `file` (exactly
         // one), `global_folders` for require() resolution
