@@ -2714,6 +2714,37 @@ object SparkEntry {
       Iceberg.readTable(s, loc).orderBy(col("k"))
     }),
 
+    "p_iceberg_posdel" -> ((s, d) => {
+      // MERGE-ON-READ updates via POSITION deletes (content 1): the
+      // touched keys are located by a column-pruned scan of the live
+      // files (key cols + _metadata.row_index only), land as ONE
+      // (file_path, pos) delete file + the batch's new data files; no
+      // data file is rewritten. The reader applies content-1 files by
+      // (file basename, position) with the sequence rule.
+      import sinks.Iceberg
+      val loc = java.nio.file.Files.createTempDirectory("iceberg_pd").toString
+      val o = Tables.orders(s, d)
+      def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_totalprice").cast("double").as("price"))
+      Iceberg.append(shaped(o.filter(col("o_orderkey") < 1500)), loc)
+      val files1 = Iceberg.planFiles(s, loc).map(_.path).toSet
+      Iceberg.upsertPositionDeletes(
+        shaped(o.filter(col("o_orderkey") < 1500 &&
+            col("o_orderkey") % 6 === 0))
+          .withColumn("price", col("price") + 30.0),
+        loc, Seq("k"))
+      Iceberg.upsertPositionDeletes(
+        o.filter(col("o_orderkey") < 1500 && col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey").as("k"), lit(true).as("__del")),
+        loc, Seq("k"), deleteCol = Some("__del"))
+      require(files1.subsetOf(Iceberg.planFiles(s, loc).map(_.path).toSet),
+        "position-delete MOR must not rewrite data files")
+      require(Iceberg.planEntries(s, loc)
+        .count(_.content == Iceberg.ContentPosDeletes) == 2)
+      Iceberg.readTable(s, loc).orderBy(col("k"))
+    }),
+
     "p_iceberg_commit" -> ((s, d) => {
       // REAL Iceberg v2 table format (internal/impl/iceberg/
       // committer.go: one atomic snapshot per commit): three commits —
@@ -5162,6 +5193,14 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 5 = 0 THEN 'M' END AS status
         |FROM orders
         |WHERE o_orderkey < 1500 AND o_orderkey % 9 <> 0
+        |ORDER BY k""".stripMargin,
+
+    "p_iceberg_posdel" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN CAST(o_totalprice AS DOUBLE) + 30.0
+        |       ELSE CAST(o_totalprice AS DOUBLE) END AS price
+        |FROM orders
+        |WHERE o_orderkey < 1500 AND o_orderkey % 13 <> 0
         |ORDER BY k""".stripMargin,
 
     "p_iceberg_commit" ->

@@ -1373,10 +1373,68 @@ object Iceberg {
     }
   }
 
+  /** Write one POSITION-delete parquet under data/ from a DataFrame of
+    * (file_path string, pos long) rows — the spec's reserved field ids
+    * (2147483546/2147483545) attached, rows sorted by (file_path, pos)
+    * as the spec requires. None when the frame is empty (no rows to
+    * delete → no delete file).
+    */
+  private def writePositionDeleteFile(spark: SparkSession, m: Meta,
+                                      positions: DataFrame,
+                                      seq: Long, snapId: Long)
+      : Option[Entry] = {
+    val fs = fsFor(m.location, spark)
+    val md1 = new MetadataBuilder()
+      .putLong("parquet.field.id", PosDeleteFilePathId.toLong).build()
+    val md2 = new MetadataBuilder()
+      .putLong("parquet.field.id", PosDeletePosId.toLong).build()
+    val df = positions
+      .select(col("file_path").cast("string").as("file_path", md1),
+        col("pos").cast("long").as("pos", md2))
+      .coalesce(1) // one delete file per commit (batch-sized keys)
+      .sortWithinPartitions(col("file_path"), col("pos"))
+    val tmp = fs.makeQualified(
+      new Path(s"${m.location}/.tmp-posdel-${UUID.randomUUID()}"))
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val priorConf = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try {
+      df.write.parquet(tmp.toString)
+      val src = {
+        val it = fs.listFiles(tmp, true)
+        var found: Path = null
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) found = st.getPath
+        }
+        require(found != null, "pos-delete write produced no parquet")
+        found
+      }
+      val target = new Path(
+        s"${m.location}/data/${UUID.randomUUID()}-pos-deletes.parquet")
+      fs.mkdirs(target.getParent)
+      require(fs.rename(src, target), s"rename failed: $src -> $target")
+      val rc = {
+        val rdr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(target, conf(spark)))
+        try rdr.getRecordCount finally rdr.close()
+      }
+      if (rc == 0) { fs.delete(target, false); None }
+      else Some(Entry(StAdded, snapId, seq, seq, target.toString,
+        m.specFields.map(_ => null), rc,
+        fs.getFileStatus(target).getLen, content = ContentPosDeletes))
+    } finally {
+      fs.delete(tmp, true)
+      priorConf match {
+        case Some(v) => spark.conf.set(fieldIdKey, v)
+        case None => spark.conf.unset(fieldIdKey)
+      }
+    }
+  }
+
   /** Commit a POSITION-delete snapshot naming (file_path, pos) rows —
-    * the delete form external engines produce; the parquet carries the
-    * spec's reserved field ids. Test/interop seam: the engine's own
-    * upserts stay equality-based like the reference's committer.
+    * the delete form external engines produce; interop/test seam over
+    * [[writePositionDeleteFile]].
     */
   private[graft] def commitPositionDeletes(spark: SparkSession,
                                            location: String,
@@ -1385,41 +1443,71 @@ object Iceberg {
     val prior = load(spark, location)
     val (_, m) = prior.getOrElse(
       throw new IllegalArgumentException(s"no Iceberg table at $location"))
-    val fs = fsFor(location, spark)
     import spark.implicits._
-    val md1 = new MetadataBuilder()
-      .putLong("parquet.field.id", PosDeleteFilePathId.toLong).build()
-    val md2 = new MetadataBuilder()
-      .putLong("parquet.field.id", PosDeletePosId.toLong).build()
     val df = positions.toDF("file_path", "pos")
-      .select(col("file_path").as("file_path", md1),
-        col("pos").as("pos", md2))
-      .coalesce(1)
-    val tmp = fs.makeQualified(
-      new Path(s"$location/.tmp-posdel-${UUID.randomUUID()}"))
-    df.write.parquet(tmp.toString)
-    val src = {
-      val it = fs.listFiles(tmp, true)
-      var found: Path = null
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) found = st.getPath
-      }
-      found
-    }
-    val target = new Path(
-      s"$location/data/${UUID.randomUUID()}-pos-deletes.parquet")
-    require(fs.rename(src, target), "pos-delete rename failed")
-    fs.delete(tmp, true)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       sparkSchema(m.schema))
     commitSnapshot(empty, location, Nil, "delete", carryPrior = true,
       priorState = prior,
-      extraAdds = (meta, seq, snapId) => Seq(Entry(StAdded, snapId, seq,
-        seq, target.toString, meta.specFields.map(_ => null),
-        positions.size.toLong, fs.getFileStatus(target).getLen,
-        content = ContentPosDeletes)))
+      extraAdds = (meta, seq, snapId) =>
+        writePositionDeleteFile(spark, meta, df, seq, snapId).toSeq)
+  }
+
+  /** MERGE-ON-READ upsert writing POSITION deletes: the batch's keys
+    * are located in the live data files by a COLUMN-PRUNED scan (key
+    * columns + `_metadata.row_index`/`file_path` only) broadcast-
+    * semi-joined against the batch, and land as one content-1 delete
+    * file plus the batch's new data files — no existing data file is
+    * rewritten. This is the committer shape for UPDATE batches
+    * touching a tiny fraction of a huge table: equality deletes
+    * ([[upsertMergeOnRead]]) defer ALL matching work to readers, while
+    * position deletes pay one pruned scan at write time and keep the
+    * read path cheap (a (file, pos) anti-join instead of a key join).
+    * Readers — [[readTable]] and the independent python cross-reader —
+    * apply content-1 files by (file basename, position).
+    */
+  def upsertPositionDeletes(batch: DataFrame, location: String,
+                            keyCols: Seq[String],
+                            partitionCols: Seq[String] = Nil,
+                            deleteCol: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    require(keyCols.nonEmpty, "upsert needs identifier_fields")
+    val prior = load(spark, location)
+    val inserts = deleteCol match {
+      case Some(c) => batch.filter(!coalesce(col(c), lit(false))).drop(c)
+      case None => batch
+    }
+    if (prior.isEmpty) { append(inserts, location, partitionCols); return }
+    val (_, m) = prior.get
+    val typed = (c: String) => {
+      val f = m.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"key column $c not in schema"))
+      col(c).cast(toSpark(f.typ)).as(c)
+    }
+    val delKeys = batch.select(keyCols.map(typed): _*).distinct()
+    // current positions of the touched keys (live data files only; a
+    // row already masked by an older delete is repeat-deleted, which
+    // the max-seq application makes a no-op)
+    val live = planEntries(spark, location)
+      .filter(e => e.content == ContentData && e.status != StDeleted)
+    val positions =
+      if (live.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("file_path", StringType),
+            StructField("pos", LongType))))
+      else
+        spark.read.schema(sparkSchema(m.schema))
+          .parquet(live.map(_.path): _*)
+          .select(keyCols.map(col) :+ col("_metadata.file_path") :+
+            col("_metadata.row_index"): _*)
+          .join(broadcast(delKeys), keyCols, "left_semi")
+          .select(col("file_path"), col("row_index").as("pos"))
+    commitSnapshot(inserts, location, Nil, "overwrite",
+      carryPrior = true, priorState = prior,
+      extraAdds = (meta, seq, snapId) =>
+        writePositionDeleteFile(spark, meta, positions, seq, snapId).toSeq)
   }
 
   /** Normalize avro/jvm representations so partition tuples compare. */

@@ -156,8 +156,9 @@ final class HttpServeServer(path: String = "/get") {
     import org.apache.spark.sql.functions.col
     val ordered =
       if (df.columns.contains("__seq")) df.orderBy(col("__seq")) else df
-    ordered.select(col("value").cast("string")).collect()
-      .foreach(r => queue.add(r.getString(0)))
+    // O(one partition) driver memory while preserving publish order
+    ordered.select(col("value").cast("string")).toLocalIterator()
+      .forEachRemaining(r => { queue.add(r.getString(0)); () })
   }
 
   def pending: Int = queue.size()

@@ -120,12 +120,14 @@ object Tcp {
       if (df.columns.contains("__seq"))
         df.orderBy(org.apache.spark.sql.functions.col("__seq"))
       else df
-    val values = ordered.select("value").collect()
+    // toLocalIterator keeps driver memory O(one partition), not
+    // O(result) — the stream is still drained in __seq order
+    val values = ordered.select("value").toLocalIterator()
     val sock = new Socket(host, port.toInt)
     try {
       val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         sock.getOutputStream, StandardCharsets.UTF_8))
-      values.foreach { r => out.write(r.getString(0)); out.write("\n") }
+      values.forEachRemaining { r => out.write(r.getString(0)); out.write("\n") }
       out.flush()
     } finally sock.close()
   }

@@ -312,6 +312,46 @@ class IcebergSpec extends SparkSpec {
     assert(refs.exists(_.content == 1), "pos-delete manifest content flag")
   }
 
+  test("merge-on-read UPDATE writes position deletes: pruned scan, no rewrite") {
+    val loc = freshLoc()
+    Iceberg.append((0L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(4, $"k"), loc)
+    val files1 = Iceberg.planFiles(spark, loc).map(_.path).toSet
+    // UPDATE 3 keys + insert 1 via position deletes
+    Iceberg.upsertPositionDeletes(
+      Seq((5L, "UPD5"), (17L, "UPD17"), (63L, "UPD63"), (200L, "NEW"))
+        .toDF("k", "v"), loc, Seq("k"))
+    assert(files1.subsetOf(Iceberg.planFiles(spark, loc).map(_.path).toSet),
+      "position-delete MOR must not rewrite existing data files")
+    val pos = Iceberg.planEntries(spark, loc)
+      .filter(_.content == Iceberg.ContentPosDeletes)
+    assert(pos.size == 1 && pos.head.recordCount == 3L,
+      s"one content-1 file naming the 3 existing keys' positions: $pos")
+    val out = Iceberg.readTable(spark, loc)
+    assert(out.count() == 101L)
+    assert(out.filter($"k" === 5L).select("v").as[String].head() == "UPD5")
+    assert(out.filter($"k" === 63L).select("v").as[String].head() == "UPD63")
+    assert(out.filter($"k" === 200L).count() == 1L)
+    // delete rows via deleteCol; a later re-insert survives (seq rule)
+    Iceberg.upsertPositionDeletes(
+      Seq((17L, "x", true)).toDF("k", "v", "__del"), loc, Seq("k"),
+      deleteCol = Some("__del"))
+    assert(Iceberg.readTable(spark, loc).filter($"k" === 17L).count() == 0L)
+    Iceberg.upsertPositionDeletes(Seq((17L, "back")).toDF("k", "v"),
+      loc, Seq("k"))
+    assert(Iceberg.readTable(spark, loc).filter($"k" === 17L)
+      .select("v").as[String].head() == "back")
+    // the INDEPENDENT python reader reproduces the final row count
+    val summary = scala.sys.process.Process(
+      Seq("python3", "scripts/iceberg_check.py", loc)).!!
+    val rows = """"rows": (\d+)""".r.findFirstMatchIn(summary)
+      .map(_.group(1).toInt)
+    assert(rows.contains(101),
+      s"python cross-reader must see 101 rows: $summary")
+    assert(summary.contains("\"delete_files\": 3"),
+      s"3 pos-delete files on the read path: $summary")
+  }
+
   test("copy-on-write upsert COMPACTS a table carrying delete files") {
     val loc = freshLoc()
     Iceberg.append((0L until 20L).map(k => (k, s"v$k")).toDF("k", "v"), loc)
