@@ -27,6 +27,10 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // read with the engine's session settings — otherwise timestamps
+    // load as TIMESTAMP_NTZ and the Spark footer metadata stamps NTZ
+    // into the output, which every downstream timestamp kernel rejects
+    Tables.configure(spark)
 
     def read(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def strideOf(df: DataFrame, key: String): Long =
@@ -87,7 +91,14 @@ object ScaleGen {
     writeFlat(replicate(read("lineitem"), "l_orderkey" -> orderStride,
       "l_partkey" -> partStride, "l_suppkey" -> suppStride), "lineitem")
     writeFlat(replicate(documents, "doc_id" -> docStride), "documents")
-    writeFlat(replicate(embeddings, "vec_id" -> vecStride), "embeddings")
+    // embeddings stay at 1×: the similarity gates encode the corpus's
+    // SIMILARITY STRUCTURE (planted twins as the only ≥0.95 neighbors;
+    // an intentionally-quadratic exact oracle) — replicated vectors,
+    // exact or perturbed, add spurious near-neighbors and blow up the
+    // oracle, verifying nothing new. ANN scale is carried by the
+    // LSH/IVF bucketing design + RecallSpec; the 10× scan/join/agg
+    // scale story lives in the fact tables above.
+    writeFlat(embeddings, "embeddings")
     writeFlat(replicate(events, "event_id" -> eventStride,
       "user_id" -> userStride), "events")
 

@@ -5647,7 +5647,7 @@ object SparkEntry {
         |    LEAST(len / 500.0, 1.0) AS len_score
         |  FROM f)
         |SELECT doc_id, ROUND(0.35 * alpha_ratio + 0.25 * LEAST(stop_ratio * 4, 1.0)
-        |  + 0.20 * len_score + 0.20 * LEAST(space_ratio * 5, 1.0), 4) AS quality
+        |  + 0.20 * len_score + 0.20 * LEAST(space_ratio * 5, 1.0) + 1e-9, 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "t_langid" ->

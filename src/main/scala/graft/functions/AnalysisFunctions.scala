@@ -44,14 +44,20 @@ object AnalysisFunctions {
   }
 
   /** Composite quality score in [0,1], rounded to 4 decimals so the value
-    * is bit-stable across engines.
+    * is bit-stable across engines. The 1e-9 nudge before rounding settles
+    * exact 4-decimal HALFWAY cases (the weights make e.g. 0.61035
+    * reachable exactly): Spark rounds the double's shortest decimal
+    * representation HALF_UP while binary-double engines round the binary
+    * value, and the two disagree precisely on those boundaries. The
+    * component rationals' spacing is far coarser than 1e-9, so the nudge
+    * can only flip ties, never a genuinely distinct value.
     */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500d, lit(1d))
     round(lit(0.35) * alphaRatio(text)
         + lit(0.25) * least(stopwordRatio(text) * 4d, lit(1d))
         + lit(0.20) * lenScore
-        + lit(0.20) * least(spaceRatio(text) * 5d, lit(1d)), 4)
+        + lit(0.20) * least(spaceRatio(text) * 5d, lit(1d)) + lit(1e-9), 4)
   }
 
   private val markers: Seq[(String, Seq[String])] = Seq(

@@ -72,35 +72,85 @@ object Dedupe {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
+    // Exact-duplicate COLLAPSE before the near-dup join — the standard
+    // production staging (web corpora are 30-50% byte-identical): the
+    // quadratic-ish pair join runs only on DISTINCT texts (one rep =
+    // min id per text fingerprint), then pairs expand back through
+    // group membership. Identical docs have Jaccard exactly 1 ≥ t, so
+    // within-group pairs need no computation (only a nonempty-shingle
+    // check: two <shingleN-token docs have empty sets and are excluded,
+    // same as the direct join's |A|+|B| > 0 guard). A pathological key
+    // (one text duplicated ~everywhere) concentrates its group's
+    // expansion in one task; expansion output = true duplicate volume,
+    // which any downstream consumer pays anyway.
+    val keyed = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .withColumn("__fp", fingerprint(col("__txt")))
+    val reps = keyed.groupBy(col("__fp"))
+      .agg(min(col("id")).as("id"), first(col("__txt")).as("__txt"))
+    val members = keyed.select(col("__fp"), col("id"))
+      .join(reps.select(col("__fp"), col("id").as("rep")), "__fp")
+      .select(col("rep"), col("id"))
+    val repPairs = ngramJaccardPairsDirect(reps, "__txt", "id",
+      shingleN, threshold)
+    // cross-group: every member combo of the two rep groups, re-ordered
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // within-group: all id pairs of a nonempty-shingle group, J = 1
+    val nonEmpty = shingleSets(reps, "__txt", "id", shingleN)
+      .filter(size(col("sh")) > 0).select(col("id").as("rep"))
+    val within = members.join(nonEmpty, "rep")
+      .as("a").join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** The direct (no exact-dup collapse) pair join — see
+    * [[ngramJaccardPairs]] for the staged entry point.
+    */
+  private def ngramJaccardPairsDirect(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol, shingleN)
-    // Shingle sets are distinct per doc, so the count of co-occurring
-    // (id_a, id_b) rows after the inverted-index self-join IS the
-    // intersection size — Jaccard falls straight out of one groupBy with
-    // no verify join and no array columns in any shuffle (8-byte hashed
-    // shingles only; collisions ~|shingles|²/2⁶⁴ — vanishing).
-    // `sz` must be projected BEFORE the explode: computed alongside it,
-    // Catalyst moves size(sh) after the Generate and then carries (and
-    // unsafe-copies) the whole shingle array on every exploded row.
-    val inv = sets.withColumn("sz", size(col("sh")))
+    // PPJoin-style prefix filtering (Xiao et al., WWW'08): under any
+    // global total order on shingles (here: the 64-bit hash value), two
+    // sets with Jaccard >= t must share at least one element within
+    // their first |X| - ceil(t*|X|) + 1 elements (J >= t forces overlap
+    // >= ceil(t*|X|) for BOTH sets given the length filter, and sets
+    // sharing i elements always collide in their (|X|-i+1)-prefixes).
+    // Indexing only the prefix cuts the inverted-index fan-out from
+    // Σ C(df,2) to ~(1-t)² of it on the non-duplicate mass — the term
+    // that explodes when boilerplate (or replication) inflates shingle
+    // document frequencies — while staying EXACT: candidates are then
+    // verified against the full sets. The 1e-9 slack keeps fp rounding
+    // in t*|X| from ever shortening a prefix (which could drop a pair);
+    // lengthening it is merely conservative.
+    // `sz`/`plen` must be projected BEFORE the explode: computed
+    // alongside it, Catalyst moves size(sh) after the Generate and then
+    // carries (and unsafe-copies) the whole array on every exploded row.
+    val pre = sets.withColumn("sh", array_sort(col("sh")))
+      .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .select(col("id"), col("sz"), explode(col("sh")).as("s"))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
     // The length-ratio predicate (Jaccard >= t forces t <= |A|/|B| <= 1/t)
-    // prunes join output before the pair aggregation; the 1e-9 slack keeps
-    // fp rounding from ever dropping a boundary pair.
-    val inter = inv.as("a").join(inv.as("b"),
+    // prunes candidates inside the join, before the distinct shuffle.
+    val cand = pre.as("a").join(pre.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("a.sz") >= col("b.sz") * threshold - 1e-9 &&
           col("b.sz") >= col("a.sz") * threshold - 1e-9)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-    // Threshold applies to the UNROUNDED ratio (documented semantics and
-    // the oracle's); rounding only in the output projection.
-    inter
-      .withColumn("jaccard_raw", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard_raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verification restores the precise intersection; threshold
+    // applies to the UNROUNDED ratio (documented semantics and the
+    // oracle's), rounding only in the output projection.
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** MinHash + LSH near-dup pairs: signatures of k = bands*rowsPerBand

@@ -588,7 +588,12 @@ object Iceberg {
               (rdr.getRecordCount, lo, hi)
             } finally rdr.close()
           }
-          out += Entry(StAdded, -1L, -1L, -1L, target.toString, pvals, rc,
+          // a real Iceberg writer never registers a 0-record data file
+          // (empty tasks emit nothing); registering one would also poison
+          // bounds pruning — no rows means no footer stats, and a file
+          // with no bounds can never be skipped by planFilesWhere
+          if (rc == 0L) fs.delete(target, false)
+          else out += Entry(StAdded, -1L, -1L, -1L, target.toString, pvals, rc,
             fs.getFileStatus(target).getLen,
             lowerBounds = lower, upperBounds = upper)
         }
