@@ -488,7 +488,7 @@ object Pipeline {
           .getOrElse(throw new IllegalArgumentException(
             "kafka input needs seed_brokers/addresses"))
         val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
-        addrs.find(_.startsWith("mem://")) match {
+        addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
           case Some(mem) =>
             require(topics.size == 1,
               "streaming kafka input: one topic per input (use a broker combinator for fan-in)")
@@ -672,7 +672,7 @@ object Pipeline {
           .getOrElse(throw new IllegalArgumentException(
             "kafka input needs seed_brokers/addresses"))
         val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
-        addrs.find(_.startsWith("mem://")) match {
+        addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
           case Some(mem) =>
             Sources.broker(topics.map(t => Sources.brokerRead(spark, mem, t)))
           case None =>
@@ -1453,7 +1453,7 @@ object Pipeline {
         else None
       val orderC = if (df.columns.contains("__seq")) col("__seq")
                    else monotonically_increasing_id()
-      addrs.find(_.startsWith("mem://")) match {
+      addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
         case Some(mem) =>
           Sinks.brokerWrite(df, mem, topic, keyC, col("value"), orderC,
             partitioner, partC)

@@ -155,11 +155,66 @@ object KafkaWire {
 
   // ── record batch v2 (magic 2) ───────────────────────────────────────
 
+  /** Compression codec ids (attributes bits 0-2, protocol enum). */
+  val CodecNone = 0
+  val CodecGzip = 1
+  val CodecSnappy = 2
+  val CodecLz4 = 3
+  val CodecZstd = 4
+
+  def codecId(name: String): Int = name match {
+    case "none" | "" => CodecNone
+    case "gzip" => CodecGzip
+    case "snappy" => CodecSnappy
+    case "lz4" => CodecLz4
+    case "zstd" => CodecZstd
+    case other => throw new IllegalArgumentException(
+      s"unknown compression codec: $other")
+  }
+
+  /** Compress a magic-2 records block with the EXACT framing real Kafka
+    * clients use per codec: gzip = RFC 1952 stream, snappy = xerial
+    * stream framing (SnappyOutputStream), lz4 = LZ4 Frame format,
+    * zstd = standard zstd frames.
+    */
+  private def compress(codec: Int, data: Array[Byte]): Array[Byte] = codec match {
+    case CodecNone => data
+    case _ =>
+      val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val os: java.io.OutputStream = codec match {
+        case CodecGzip => new java.util.zip.GZIPOutputStream(bos)
+        case CodecSnappy => new org.xerial.snappy.SnappyOutputStream(bos)
+        case CodecLz4 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        case CodecZstd => new com.github.luben.zstd.ZstdOutputStream(bos)
+        case c => throw new IllegalArgumentException(s"codec $c")
+      }
+      os.write(data); os.close()
+      bos.toByteArray
+  }
+
+  private def decompress(codec: Int, data: Array[Byte]): Array[Byte] = codec match {
+    case CodecNone => data
+    case _ =>
+      val bis = new java.io.ByteArrayInputStream(data)
+      val is: java.io.InputStream = codec match {
+        case CodecGzip => new java.util.zip.GZIPInputStream(bis)
+        case CodecSnappy => new org.xerial.snappy.SnappyInputStream(bis)
+        case CodecLz4 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+        case CodecZstd => new com.github.luben.zstd.ZstdInputStream(bis)
+        case c => throw new IllegalArgumentException(s"codec $c")
+      }
+      try is.readAllBytes() finally is.close()
+  }
+
   /** Encode records (offset-assigned [[Broker.Stored]]) as ONE magic-2
     * batch. CRC32C covers attributes..end, back-filled like a real
-    * producer does.
+    * producer does. With a codec, the records block AFTER the
+    * recordsCount field is compressed (the batch header, including the
+    * count, stays plain — the protocol's layout), and the CRC covers
+    * the compressed bytes as they go on the wire.
     */
-  def encodeBatch(records: Seq[Broker.Stored]): Array[Byte] = {
+  def encodeBatch(records: Seq[Broker.Stored],
+                  codec: Int = CodecNone): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
     val base = records.head.offset
     val baseTs = records.map(_.timestampMs).min
@@ -171,7 +226,7 @@ object KafkaWire {
     b.i8(2)                                // magic
     val crcPos = b.size; b.i32(0)          // crc (patched)
     val crcFrom = b.size
-    b.i16(0)                               // attributes: no compression
+    b.i16((codec & 7).toShort)             // attributes: compression bits
     b.i32((records.last.offset - base).toInt) // lastOffsetDelta
     b.i64(baseTs)
     b.i64(maxTs)
@@ -179,6 +234,7 @@ object KafkaWire {
     b.i16(-1)                              // producerEpoch
     b.i32(-1)                              // baseSequence
     b.i32(records.size)
+    val recBuf = new Buf(256)
     records.foreach { r =>
       val body = new Buf(64)
       body.i8(0)                           // record attributes
@@ -195,9 +251,10 @@ object KafkaWire {
         else { val vb = v.getBytes(UTF_8); body.varint(vb.length); body.raw(vb) }
       }
       val bodyBytes = body.result
-      b.varint(bodyBytes.length)
-      b.raw(bodyBytes)
+      recBuf.varint(bodyBytes.length)
+      recBuf.raw(bodyBytes)
     }
+    b.raw(compress(codec, recBuf.result))
     b.putI32At(lenPos, b.size - lenPos - 4)
     b.putI32At(crcPos, b.crc32c(crcFrom))
     b.result
@@ -229,31 +286,35 @@ object KafkaWire {
         check.update(buf, pos + 12 + crcFrom, batchLen - crcFrom)
         if (check.getValue != crc)
           throw new CorruptBatch(s"crc mismatch: wire=$crc computed=${check.getValue}")
-        r.skip(2) // attributes (compression unsupported → 0 on this wire)
+        val codec = r.i16() & 7 // attributes: compression bits 0-2
         r.skip(4) // lastOffsetDelta
         val baseTs = r.i64()
         r.skip(8) // maxTimestamp
         r.skip(8 + 2 + 4) // producerId, producerEpoch, baseSequence
         val count = r.i32()
+        // the records block (everything after recordsCount) is what a
+        // producer compressed; decompress it and parse from the plain form
+        val rr = if (codec == CodecNone) r
+                 else new Rd(decompress(codec, r.raw(r.remaining)))
         var i = 0
         while (i < count) {
-          val recLen = r.varint()
-          val end = r.pos + recLen
-          r.skip(1) // record attributes
-          val tsDelta = r.varlong()
-          val offDelta = r.varint()
-          val kLen = r.varint()
-          val key = if (kLen < 0) null else r.raw(kLen)
-          val vLen = r.varint()
-          val value = if (vLen < 0) null else r.raw(vLen)
-          val hCount = r.varint()
+          val recLen = rr.varint()
+          val end = rr.pos + recLen
+          rr.skip(1) // record attributes
+          val tsDelta = rr.varlong()
+          val offDelta = rr.varint()
+          val kLen = rr.varint()
+          val key = if (kLen < 0) null else rr.raw(kLen)
+          val vLen = rr.varint()
+          val value = if (vLen < 0) null else rr.raw(vLen)
+          val hCount = rr.varint()
           val headers = (0 until hCount).map { _ =>
-            val hk = new String(r.raw(r.varint()), UTF_8)
-            val hvLen = r.varint()
-            val hv = if (hvLen < 0) null else new String(r.raw(hvLen), UTF_8)
+            val hk = new String(rr.raw(rr.varint()), UTF_8)
+            val hvLen = rr.varint()
+            val hv = if (hvLen < 0) null else new String(rr.raw(hvLen), UTF_8)
             hk -> hv
           }.toMap
-          require(r.pos == end, s"record framing drift: ${r.pos} vs $end")
+          require(rr.pos == end, s"record framing drift: ${rr.pos} vs $end")
           val off = assignFrom match {
             case Some(_) => val o = nextAssigned; nextAssigned += 1; o
             case None => baseOffset + offDelta
@@ -309,7 +370,8 @@ object KafkaWire {
     * one-broker cluster reports via Metadata/FindCoordinator.
     */
   final class Server(joinDelayMs: Long = 150L,
-                     maxFetchRecords: Int = 500) {
+                     maxFetchRecords: Int = 500,
+                     fetchCodec: Int = CodecNone) {
     private val topics = TrieMap.empty[String, Array[PartitionLog]]
     private val groups = TrieMap.empty[String, Group]
     private val server = new ServerSocket()
@@ -467,7 +529,7 @@ object KafkaWire {
                 else {
                   val recs = log.slice(off, maxFetchRecords)
                   val bytes = if (recs.isEmpty) Array.empty[Byte]
-                              else encodeBatch(recs)
+                              else encodeBatch(recs, fetchCodec)
                   (p, ErrNone, end, bytes)
                 }
               case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
@@ -724,7 +786,8 @@ object KafkaWire {
     * one connection per calling thread (real clients keep persistent
     * per-broker connections); `close()` tears them all down.
     */
-  final class Client(host: String, port: Int, clientId: String = "graft")
+  final class Client(host: String, port: Int, clientId: String = "graft",
+                     produceCodec: Int = CodecNone)
       extends Broker.Transport {
     private val conns = TrieMap.empty[Long, Conn]
     private def conn: Conn =
@@ -801,7 +864,7 @@ object KafkaWire {
         Broker.Stored(partition, i.toLong, rec.key, rec.value, rec.headers,
           rec.timestampMs)
       }
-      val batch = encodeBatch(stored)
+      val batch = encodeBatch(stored, produceCodec)
       val r = conn.request(ApiProduce, 3) { b =>
         b.nstr(null); b.i16(-1); b.i32(30000)
         b.array(Seq(topic)) { t =>
@@ -1048,10 +1111,22 @@ object KafkaWire {
     * registry-by-name shape as [[Broker.InMemory.named]]).
     */
   private val clients = TrieMap.empty[String, Client]
+  /** `host:port` or `host:port?compression=gzip|snappy|lz4|zstd` —
+    * the query form sets the producer-side batch codec.
+    */
   def clientFor(hostPort: String): Client =
     clients.getOrElseUpdate(hostPort, {
-      val Array(h, p) = hostPort.split(":", 2)
-      new Client(h, p.toInt)
+      val (hp, codec) = hostPort.split("\\?", 2) match {
+        case Array(a) => (a, CodecNone)
+        case Array(a, q) =>
+          val c = q.split("&").collectFirst {
+            case kv if kv.startsWith("compression=") =>
+              codecId(kv.stripPrefix("compression="))
+          }.getOrElse(CodecNone)
+          (a, c)
+      }
+      val Array(h, p) = hp.split(":", 2)
+      new Client(h, p.toInt, produceCodec = codec)
     })
   def dropClient(hostPort: String): Unit = {
     clients.remove(hostPort).foreach(_.close())

@@ -142,4 +142,41 @@ class ConnectorConfigSpec extends SparkSpec {
     assert(srv.rows("st").size == 4)
     graft.sinks.SnowflakePut.drop(name)
   }
+
+  test("kafka input/output forms run over the kafka:// WIRE transport") {
+    import graft.sources.{Broker, KafkaWire}
+    val srv = new KafkaWire.Server()
+    val hostPort = s"127.0.0.1:${srv.port}"
+    val addr = s"kafka://$hostPort"
+    try {
+      Broker.transportFor(addr).createTopic("cfg", 2)
+      // output form: produce through real Produce frames
+      Pipeline.run(spark,
+        s"""input:
+           |  generate: { count: 20, mapping: 'root.id = this.seq' }
+           |pipeline:
+           |  processors:
+           |    - mapping: 'root.id = this.id'
+           |output:
+           |  kafka:
+           |    seed_brokers: [ $addr ]
+           |    topic: cfg
+           |    key: "k"
+           |""".stripMargin)
+      // input form: read back through real Fetch frames
+      val out = Pipeline.build(spark,
+        s"""input:
+           |  kafka:
+           |    seed_brokers: [ $addr ]
+           |    topics: [ cfg ]
+           |""".stripMargin)
+      val ids = out.select(
+          get_json_object(col("value"), "$.id").cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (0L until 20L), s"wire roundtrip via YAML: $ids")
+    } finally {
+      KafkaWire.dropClient(hostPort)
+      srv.stop()
+    }
+  }
 }

@@ -191,4 +191,58 @@ class KafkaWireSpec extends SparkSpec {
       KafkaWire.dropClient(s"127.0.0.1:${srv.port}")
     }
   }
+
+  test("record batch v2: every codec roundtrips; attributes carry the id") {
+    val recs = (0 until 200).map { i =>
+      Broker.Stored(0, i.toLong, s"k$i".getBytes,
+        (s"v$i" * 20).getBytes, Map("h" -> i.toString), 1000L + i)
+    }
+    for (codec <- Seq(KafkaWire.CodecGzip, KafkaWire.CodecSnappy,
+                      KafkaWire.CodecLz4, KafkaWire.CodecZstd)) {
+      val bytes = KafkaWire.encodeBatch(recs, codec)
+      // attributes int16 sits at bytes 21-22 (after offset+len+epoch+magic+crc);
+      // the codec id is in the low byte of the big-endian value
+      assert((bytes(22) & 7) == codec, "attributes bits 0-2 carry the codec")
+      val plain = KafkaWire.encodeBatch(recs)
+      assert(bytes.length < plain.length, s"codec $codec should shrink 200 records")
+      val back = KafkaWire.decodeBatches(bytes, 0, assignFrom = None)
+      assert(back.map(_.offset) == recs.map(_.offset))
+      assert(back.map(r => new String(r.value)) == recs.map(r => new String(r.value)))
+      assert(back.map(_.headers) == recs.map(_.headers))
+    }
+  }
+
+  test("compressed produce → compressed fetch over real TCP frames") {
+    // producer sends zstd batches (CRC over the compressed wire bytes —
+    // validated server-side), broker re-serves gzip per its own
+    // compression.type, client transparently decompresses
+    val srv = new KafkaWire.Server(joinDelayMs = 80,
+      fetchCodec = KafkaWire.CodecGzip)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", srv.port,
+        produceCodec = KafkaWire.CodecZstd)
+      try {
+        c.createTopic("cz", 1)
+        c.append("cz", 0, (0 until 700).map { i =>
+          Broker.Record(s"k$i".getBytes, s"payload-$i".getBytes,
+            Map.empty, timestampMs = 1L + i)
+        })
+        val got = c.fetch("cz", 0, 0L, 700L).toVector
+        assert(got.size == 700)
+        assert(new String(got(699).value) == "payload-699")
+      } finally c.close()
+    } finally srv.stop()
+  }
+
+  test("kafka:// address query selects the producer codec") {
+    withServer { srv =>
+      val addr = s"127.0.0.1:${srv.port}?compression=snappy"
+      val t = KafkaWire.clientFor(addr)
+      t.createTopic("q", 1)
+      t.append("q", 0, Seq(Broker.Record("k".getBytes, "v".getBytes,
+        Map.empty, timestampMs = 9L)))
+      assert(new String(t.fetch("q", 0, 0L, 1L).next().value) == "v")
+      KafkaWire.dropClient(addr)
+    }
+  }
 }
