@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throughput-mode benchmark producing numbers in the SAME UNITS as the
+  * reference's published results (BASELINE.md: msg/s and MB/s, loopback
+  * single-node) so the comparison is direct instead of inferred from
+  * per-query seconds:
+  *
+  *   - `migrator`: broker→broker copy over the hand-rolled Kafka wire
+  *     protocol (real TCP frames both sides, 1 KiB values) — the
+  *     reference's headline 1,035,000 msg/s ≈ 1.0 GB/s
+  *     (docs/benchmark-results/SUMMARY.md:9).
+  *   - `scan_agg`: grouped decimal aggregation over the lineitem
+  *     parquet (q1 shape) — rows/s and parquet-MB/s; the reference's
+  *     row-at-a-time engine has no columnar analog, which is the point.
+  *
+  * Prints ONE JSON line like Bench. Knobs: SPARK_GRAFT_TPUT_MSGS
+  * (default 2,000,000), SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
+  */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val msgs = sys.env.getOrElse("SPARK_GRAFT_TPUT_MSGS", "2000000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ── migrator: produce → wire-copy over real Kafka TCP frames ──────
+    {
+      import graft.sources.{Broker, KafkaWire, Migrator}
+      val nParts = cpus.toInt
+      val src = new KafkaWire.Server(maxFetchRecords = 5000)
+      val dst = new KafkaWire.Server(maxFetchRecords = 5000)
+      val srcAddr = s"kafka://127.0.0.1:${src.port}"
+      val dstAddr = s"kafka://127.0.0.1:${dst.port}"
+      try {
+        Broker.transportFor(srcAddr).createTopic("bulk", nParts)
+        val value = ("x" * 1024).getBytes("UTF-8") // 1 KiB, like the reference
+        val perPart = msgs / nParts
+        val t0 = System.nanoTime()
+        spark.sparkContext.parallelize(0 until nParts, nParts).foreach { p =>
+          val t = Broker.transportFor(srcAddr)
+          (0 until perPart).grouped(5000).foreach { chunk =>
+            t.append("bulk", p, chunk.map(i =>
+              Broker.Record(s"k$i".getBytes, value, Map.empty, 1L + i)))
+          }
+        }
+        val produceSec = (System.nanoTime() - t0) / 1e9
+        val total = (perPart * nParts).toLong
+        results("produce_msgs_per_sec") = total / produceSec
+
+        val t1 = System.nanoTime()
+        val report = Migrator.migrate(spark, srcAddr, dstAddr,
+          topics = Seq("bulk"), syncGroups = false, syncAcls = false,
+          chunk = 5000)
+        val migrateSec = (System.nanoTime() - t1) / 1e9
+        require(report.records == total, s"migrated ${report.records} of $total")
+        results("migrate_msgs_per_sec") = total / migrateSec
+        results("migrate_mb_per_sec") = total * (value.length + 8) / 1e6 / migrateSec
+      } finally {
+        KafkaWire.dropClient(s"127.0.0.1:${src.port}")
+        KafkaWire.dropClient(s"127.0.0.1:${dst.port}")
+        src.stop(); dst.stop()
+      }
+    }
+
+    // ── scan_agg: q1-shape grouped aggregation over lineitem ──────────
+    {
+      val li = Tables.lineitem(spark, sfDir)
+      def agg(): DataFrame = li
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+      agg().collect() // warm: plan compile + file listing + code gen
+      val rows = li.count()
+      val bytes = {
+        val p = new java.io.File(s"$sfDir/lineitem.parquet")
+        if (p.isFile) p.length
+        else Option(p.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
+          .getOrElse(0L)
+      }
+      val t0 = System.nanoTime()
+      agg().collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      results("scan_rows_per_sec") = rows / sec
+      results("scan_parquet_mb_per_sec") = bytes / 1e6 / sec
+    }
+
+    val json = results.map { case (k, v) => s""""$k":${f"$v%.0f"}""" }
+      .mkString("{", ",", s""","msgs":$msgs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"throughput","unit":"per_sec","values":$json""" + "}")
+    spark.stop()
+    sys.exit(0)
+  }
+}

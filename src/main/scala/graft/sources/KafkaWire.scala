@@ -113,6 +113,18 @@ object KafkaWire {
       i8(v.toInt)
     }
     def array[T](xs: Seq[T])(f: T => Unit): Unit = { i32(xs.size); xs.foreach(f) }
+    // ── flexible-version (KIP-482) primitives: compact strings/arrays
+    //    are length+1 as UNSIGNED varints; tagged-field blocks close
+    //    every flexible struct ──────────────────────────────────────────
+    def uv(v: Int): Unit = uvarint(v.toLong & 0xffffffffL)
+    def cstr(s: String): Unit = { val b = s.getBytes(UTF_8); uv(b.length + 1); raw(b) }
+    def cnstr(s: String): Unit = if (s == null) uv(0) else cstr(s)
+    def cbytes(b: Array[Byte]): Unit = { uv(b.length + 1); raw(b) }
+    def cnbytes(b: Array[Byte]): Unit = if (b == null) uv(0) else cbytes(b)
+    def carray[T](xs: Seq[T])(f: T => Unit): Unit = { uv(xs.size + 1); xs.foreach(f) }
+    def cnarrayNull(): Unit = uv(0)
+    def tags(): Unit = uv(0)
+    def uuid(hi: Long, lo: Long): Unit = { i64(hi); i64(lo) }
     def result: Array[Byte] = java.util.Arrays.copyOf(arr, len)
     /** CRC32C over [from, size) — the batch checksum input. */
     def crc32c(from: Int): Int = {
@@ -151,6 +163,19 @@ object KafkaWire {
     def narray[T](f: => T): Seq[T] = {
       val n = i32(); if (n < 0) null else (0 until n).map(_ => f)
     }
+    // flexible-version (KIP-482) primitives — see Buf
+    def uv(): Int = uvarint().toInt
+    def cstr(): String = { val n = uv() - 1
+      if (n < 0) null else new String(raw(n), UTF_8) }
+    def cbytes(): Array[Byte] = { val n = uv() - 1; if (n < 0) null else raw(n) }
+    def carray[T](f: => T): Seq[T] = { val n = uv() - 1
+      if (n < 0) null else (0 until n).map(_ => f) }
+    def tags(): Unit = {
+      val n = uv()
+      var i = 0
+      while (i < n) { uv(); val sz = uv(); skip(sz); i += 1 }
+    }
+    def uuid(): (Long, Long) = (i64(), i64())
   }
 
   // ── record batch v2 (magic 2) ───────────────────────────────────────
@@ -329,6 +354,29 @@ object KafkaWire {
     out.toVector
   }
 
+  /** Versions from which each implemented api speaks the flexible
+    * (KIP-482) encoding: compact strings/arrays, tagged-field blocks,
+    * request header v2 / response header v1.
+    */
+  private def flexibleVersion(api: Int, ver: Int): Boolean = api match {
+    case ApiProduce => ver >= 9
+    case ApiFetch => ver >= 12
+    case ApiMetadata => ver >= 9
+    case ApiVersions => ver >= 3
+    case _ => false
+  }
+
+  /** Deterministic topic id (KIP-516): md5(name) as the 16-byte uuid —
+    * stable across restarts of the loopback broker, which is all the
+    * fetch-by-id path needs.
+    */
+  def topicUuid(name: String): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes(UTF_8))
+    val bb = ByteBuffer.wrap(d)
+    (bb.getLong, bb.getLong)
+  }
+
   final class CorruptBatch(msg: String) extends RuntimeException(msg)
   final class WireError(val code: Short, msg: String)
     extends RuntimeException(s"kafka error $code: $msg")
@@ -420,9 +468,16 @@ object KafkaWire {
           val apiKey = r.i16().toInt
           val apiVersion = r.i16().toInt
           val correlationId = r.i32()
-          r.nstr() // client_id
+          r.nstr() // client_id (non-compact in EVERY request header version)
+          // request header v2 (flexible apis) appends tagged fields
+          if (flexibleVersion(apiKey, apiVersion)) r.tags()
           val body = new Buf(256)
           body.i32(correlationId)
+          // response header v1 = correlation + tags — for every flexible
+          // api EXCEPT ApiVersions, which keeps header v0 so old clients
+          // can always parse the version-negotiation response
+          if (flexibleVersion(apiKey, apiVersion) && apiKey != ApiVersions)
+            body.tags()
           dispatch(apiKey, apiVersion, r, body)
           val resp = body.result
           out.writeInt(resp.length)
@@ -440,15 +495,61 @@ object KafkaWire {
 
     private def dispatch(api: Int, ver: Int, r: Rd, b: Buf): Unit = api match {
       case ApiVersions =>
-        b.i16(ErrNone)
-        val supported = Seq(ApiProduce -> (3, 3), ApiFetch -> (4, 4),
-          ApiListOffsets -> (1, 1), ApiMetadata -> (1, 1),
+        // the broker speaks the legacy AND the flexible generation of
+        // the data-path apis (a modern client picks the max)
+        val supported = Seq(ApiProduce -> (3, 9), ApiFetch -> (4, 13),
+          ApiListOffsets -> (1, 1), ApiMetadata -> (1, 12),
           ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 2),
           ApiFindCoordinator -> (0, 0), ApiJoinGroup -> (2, 2),
           ApiHeartbeat -> (1, 1), ApiLeaveGroup -> (1, 1),
-          ApiSyncGroup -> (1, 1), ApiVersions -> (0, 0),
+          ApiSyncGroup -> (1, 1), ApiVersions -> (0, 3),
           ApiCreateTopics -> (1, 1))
-        b.array(supported) { case (k, (lo, hi)) => b.i16(k); b.i16(lo); b.i16(hi) }
+        if (ver >= 3) { // flexible BODY (response header stays v0)
+          r.cstr(); r.cstr(); r.tags() // client_software_name/version
+          b.i16(ErrNone)
+          b.carray(supported) { case (k, (lo, hi)) =>
+            b.i16(k); b.i16(lo); b.i16(hi); b.tags() }
+          b.i32(0) // throttle
+          b.tags()
+        } else {
+          b.i16(ErrNone)
+          b.array(supported) { case (k, (lo, hi)) => b.i16(k); b.i16(lo); b.i16(hi) }
+        }
+
+      case ApiMetadata if ver >= 9 =>
+        // v12 shape: topics asked by name OR topic id; response carries
+        // KIP-516 topic ids
+        val asked = r.carray { r.uuid(); val n = r.cstr(); r.tags(); n }
+        r.i8(); r.i8() // allow_auto_topic_creation, include_authorized_ops
+        r.tags()
+        val names =
+          if (asked == null || asked.isEmpty) topics.keys.toSeq.sorted
+          else asked
+        b.i32(0) // throttle
+        b.carray(Seq(1)) { id =>
+          b.i32(id); b.cstr("127.0.0.1"); b.i32(port); b.cnstr(null); b.tags() }
+        b.cnstr("graft-loopback") // cluster_id
+        b.i32(1)                  // controller id
+        b.carray(names) { name =>
+          val (hi, lo) = topicUuid(name)
+          topics.get(name) match {
+            case Some(parts) =>
+              b.i16(ErrNone); b.cnstr(name); b.uuid(hi, lo); b.i8(0)
+              b.carray(parts.indices) { p =>
+                b.i16(ErrNone); b.i32(p); b.i32(1); b.i32(0)
+                b.carray(Seq(1))(b.i32); b.carray(Seq(1))(b.i32)
+                b.carray(Seq.empty[Int])(b.i32); b.tags()
+              }
+              b.i32(-2147483648) // topic_authorized_operations
+              b.tags()
+            case None =>
+              b.i16(ErrUnknownTopicOrPartition); b.cnstr(name)
+              b.uuid(0L, 0L); b.i8(0)
+              b.carray(Seq.empty[Int])(_ => ())
+              b.i32(-2147483648); b.tags()
+          }
+        }
+        b.tags()
 
       case ApiMetadata =>
         val asked = r.narray(r.str())
@@ -487,6 +588,45 @@ object KafkaWire {
           else b.i16(ErrTopicAlreadyExists)
         }
 
+      case ApiProduce if ver >= 9 =>
+        r.cstr() // transactional_id
+        r.i16()  // acks
+        r.i32()  // timeout
+        val results = r.carray {
+          val topic = r.cstr()
+          val parts = r.carray {
+            val p = r.i32()
+            val recordSet = r.cbytes()
+            r.tags()
+            val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
+              case Some(Some(log)) =>
+                try {
+                  val recs = decodeBatches(recordSet, p, assignFrom = Some(0L))
+                  (ErrNone, log.append(recs))
+                } catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
+              case _ => (ErrUnknownTopicOrPartition, -1L)
+            }
+            (p, err, baseOff)
+          }
+          r.tags()
+          (topic, parts)
+        }
+        r.tags()
+        b.carray(results) { case (topic, parts) =>
+          b.cstr(topic)
+          b.carray(parts) { case (p, err, off) =>
+            b.i32(p); b.i16(err); b.i64(off)
+            b.i64(-1L) // log_append_time
+            b.i64(0L)  // log_start_offset
+            b.carray(Seq.empty[Int])(_ => ()) // record_errors
+            b.cnstr(null)                     // error_message
+            b.tags()
+          }
+          b.tags()
+        }
+        b.i32(0) // throttle
+        b.tags()
+
       case ApiProduce =>
         r.nstr() // transactional_id
         r.i16()  // acks
@@ -515,6 +655,63 @@ object KafkaWire {
           }
         }
         b.i32(0) // throttle
+
+      case ApiFetch if ver >= 13 =>
+        // v13: topics addressed by KIP-516 topic id, flexible encoding,
+        // incremental-session fields present but sessions unused (0/-1
+        // from our client = full fetch, like a sessionless consumer).
+        // ApiVersions advertises contiguous (min,max) ranges as the
+        // protocol requires; this loopback broker implements the two
+        // endpoint generations of each range (legacy + flexible), which
+        // is what the paired client negotiates.
+        r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+        r.i32(); r.i32() // session_id, session_epoch
+        val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
+        val results = r.carray {
+          val tid = r.uuid()
+          val topic = byId.getOrElse(tid, null)
+          val parts = r.carray {
+            val p = r.i32(); r.i32() // current_leader_epoch
+            val off = r.i64()
+            r.i32()  // last_fetched_epoch
+            r.i64()  // log_start_offset
+            r.i32()  // partition_max_bytes
+            r.tags()
+            (if (topic == null) None else topics.get(topic).flatMap(_.lift(p))) match {
+              case Some(log) =>
+                val end = log.end
+                if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
+                else {
+                  val recs = log.slice(off, maxFetchRecords)
+                  val bytes = if (recs.isEmpty) Array.empty[Byte]
+                              else encodeBatch(recs, fetchCodec)
+                  (p, ErrNone, end, bytes)
+                }
+              case None => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
+            }
+          }
+          r.tags()
+          (tid, parts)
+        }
+        r.carray { r.uuid(); r.carray(r.i32()); r.tags() } // forgotten topics
+        r.cstr() // rack_id
+        r.tags()
+        b.i32(0)       // throttle
+        b.i16(ErrNone) // top-level error
+        b.i32(0)       // session_id
+        b.carray(results) { case (tid, parts) =>
+          b.uuid(tid._1, tid._2)
+          b.carray(parts) { case (p, err, hw, bytes) =>
+            b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
+            b.i64(0L)          // log_start_offset
+            b.carray(Seq.empty[Int])(_ => ()) // aborted_transactions ([], non-null)
+            b.i32(-1)          // preferred_read_replica
+            if (bytes.isEmpty) b.uv(0) else b.cnbytes(bytes)
+            b.tags()
+          }
+          b.tags()
+        }
+        b.tags()
 
       case ApiFetch =>
         r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
@@ -761,12 +958,16 @@ object KafkaWire {
     private val out = new DataOutputStream(sock.getOutputStream)
     private val corr = new AtomicInteger(0)
 
-    /** One synchronous request/response exchange. */
+    /** One synchronous request/response exchange. Flexible versions get
+      * request header v2 (tags after client_id) and response header v1
+      * (tags after the correlation id — except ApiVersions, pinned v0).
+      */
     def request(apiKey: Int, apiVersion: Int)(write: Buf => Unit): Rd =
       synchronized {
         val id = corr.incrementAndGet()
         val b = new Buf(256)
         b.i16(apiKey); b.i16(apiVersion); b.i32(id); b.nstr(clientId)
+        if (flexibleVersion(apiKey, apiVersion)) b.tags()
         write(b)
         val frame = b.result
         out.writeInt(frame.length); out.write(frame); out.flush()
@@ -776,6 +977,8 @@ object KafkaWire {
         val r = new Rd(resp)
         val gotId = r.i32()
         require(gotId == id, s"correlation drift: sent $id got $gotId")
+        if (flexibleVersion(apiKey, apiVersion) && apiKey != ApiVersions)
+          r.tags()
         r
       }
 
@@ -787,8 +990,11 @@ object KafkaWire {
     * per-broker connections); `close()` tears them all down.
     */
   final class Client(host: String, port: Int, clientId: String = "graft",
-                     produceCodec: Int = CodecNone)
+                     produceCodec: Int = CodecNone,
+                     protocol: String = "auto")
       extends Broker.Transport {
+    require(Set("auto", "legacy", "flexible")(protocol),
+      s"protocol must be auto|legacy|flexible, got $protocol")
     private val conns = TrieMap.empty[Long, Conn]
     private def conn: Conn =
       conns.getOrElseUpdate(Thread.currentThread().getId,
@@ -801,6 +1007,45 @@ object KafkaWire {
       require(err == ErrNone, s"ApiVersions error $err")
       r.array { (r.i16().toInt, (r.i16().toInt, r.i16().toInt)) }.toMap
     }
+
+    /** Real-client negotiation: speak the flexible generation (Produce
+      * v9 / Fetch v13 / Metadata v12) when the broker advertises it.
+      * Computed once per client from ApiVersions (v0 request — the one
+      * every broker generation parses).
+      */
+    private lazy val flexData: Boolean = protocol match {
+      case "legacy" => false
+      case "flexible" => true
+      case _ => apiVersions().get(ApiProduce).exists(_._2 >= 9)
+    }
+
+    private val topicIdCache = TrieMap.empty[String, (Long, Long)]
+
+    /** KIP-516 topic id via Metadata v12 (what fetch v13 addresses by). */
+    private def topicIdOf(topic: String): (Long, Long) =
+      topicIdCache.getOrElseUpdate(topic, {
+        val r = conn.request(ApiMetadata, 12) { b =>
+          b.carray(Seq(topic)) { t => b.uuid(0L, 0L); b.cnstr(t); b.tags() }
+          b.i8(0); b.i8(0) // no auto-create, no authorized-ops
+          b.tags()
+        }
+        r.i32() // throttle
+        r.carray { r.i32(); r.cstr(); r.i32(); r.cstr(); r.tags() } // brokers
+        r.cstr() // cluster_id
+        r.i32()  // controller
+        var id = (0L, 0L)
+        r.carray {
+          val err = r.i16(); r.cstr(); val tid = r.uuid(); r.i8()
+          r.carray { r.i16(); r.i32(); r.i32(); r.i32()
+            r.carray(r.i32()); r.carray(r.i32()); r.carray(r.i32()); r.tags() }
+          r.i32() // topic_authorized_operations
+          r.tags()
+          if (err != ErrNone) throw new WireError(err, s"Metadata v12 $topic")
+          id = tid
+        }
+        r.tags()
+        id
+      })
 
     override def createTopic(topic: String, partitions: Int): Unit = {
       val r = conn.request(ApiCreateTopics, 1) { b =>
@@ -865,19 +1110,40 @@ object KafkaWire {
           rec.timestampMs)
       }
       val batch = encodeBatch(stored, produceCodec)
-      val r = conn.request(ApiProduce, 3) { b =>
-        b.nstr(null); b.i16(-1); b.i32(30000)
-        b.array(Seq(topic)) { t =>
-          b.str(t)
-          b.array(Seq(partition)) { p => b.i32(p); b.nbytes(batch) }
-        }
-      }
       var base = -1L
-      r.array { r.str(); r.array {
-        r.i32(); val err = r.i16(); val off = r.i64(); r.i64()
-        if (err != ErrNone) throw new WireError(err, s"Produce $topic/$partition")
-        base = off
-      } }
+      if (flexData) {
+        val r = conn.request(ApiProduce, 9) { b =>
+          b.cnstr(null); b.i16(-1); b.i32(30000)
+          b.carray(Seq(topic)) { t =>
+            b.cstr(t)
+            b.carray(Seq(partition)) { p =>
+              b.i32(p); b.cnbytes(batch); b.tags() }
+            b.tags()
+          }
+          b.tags()
+        }
+        r.carray { r.cstr(); r.carray {
+          r.i32(); val err = r.i16(); val off = r.i64(); r.i64(); r.i64()
+          r.carray { r.i32(); r.cstr(); r.tags() } // record_errors
+          r.cstr() // error_message
+          r.tags()
+          if (err != ErrNone) throw new WireError(err, s"Produce $topic/$partition")
+          base = off
+        }; r.tags() }
+      } else {
+        val r = conn.request(ApiProduce, 3) { b =>
+          b.nstr(null); b.i16(-1); b.i32(30000)
+          b.array(Seq(topic)) { t =>
+            b.str(t)
+            b.array(Seq(partition)) { p => b.i32(p); b.nbytes(batch) }
+          }
+        }
+        r.array { r.str(); r.array {
+          r.i32(); val err = r.i16(); val off = r.i64(); r.i64()
+          if (err != ErrNone) throw new WireError(err, s"Produce $topic/$partition")
+          base = off
+        } }
+      }
       base
     }
 
@@ -887,20 +1153,61 @@ object KafkaWire {
       var cur = from
       var hw = Long.MaxValue
       while (cur < until && cur < hw) {
-        val r = conn.request(ApiFetch, 4) { b =>
-          b.i32(-1); b.i32(100); b.i32(1); b.i32(4 * 1024 * 1024); b.i8(0)
-          b.array(Seq(topic)) { t =>
-            b.str(t)
-            b.array(Seq(partition)) { p => b.i32(p); b.i64(cur); b.i32(1024 * 1024) }
+        val parsed: (Short, Long, Array[Byte]) = if (flexData) {
+          val tid = topicIdOf(topic)
+          val r = conn.request(ApiFetch, 13) { b =>
+            b.i32(-1); b.i32(100); b.i32(1); b.i32(4 * 1024 * 1024); b.i8(0)
+            b.i32(0); b.i32(-1) // session_id, session_epoch (sessionless)
+            b.carray(Seq(topic)) { _ =>
+              b.uuid(tid._1, tid._2)
+              b.carray(Seq(partition)) { p =>
+                b.i32(p); b.i32(-1); b.i64(cur); b.i32(-1); b.i64(0L)
+                b.i32(1024 * 1024); b.tags()
+              }
+              b.tags()
+            }
+            b.carray(Seq.empty[Int])(_ => ()) // forgotten topics
+            b.cstr("")                        // rack_id
+            b.tags()
           }
+          r.i32() // throttle
+          val topErr = r.i16()
+          if (topErr != ErrNone) throw new WireError(topErr, s"Fetch $topic")
+          r.i32() // session_id
+          var out0: (Short, Long, Array[Byte]) = (ErrNone, hw, null)
+          r.carray { r.uuid(); r.carray {
+            r.i32(); val err = r.i16(); val hwm = r.i64(); r.i64(); r.i64()
+            val aborted = r.carray { r.i64(); r.i64(); r.tags() }
+            require(aborted == null || aborted.isEmpty, "unexpected aborted txns")
+            r.i32() // preferred_read_replica
+            val recordSet = r.cbytes()
+            r.tags()
+            out0 = (err, hwm, recordSet)
+          }; r.tags() }
+          r.tags()
+          out0
+        } else {
+          val r = conn.request(ApiFetch, 4) { b =>
+            b.i32(-1); b.i32(100); b.i32(1); b.i32(4 * 1024 * 1024); b.i8(0)
+            b.array(Seq(topic)) { t =>
+              b.str(t)
+              b.array(Seq(partition)) { p => b.i32(p); b.i64(cur); b.i32(1024 * 1024) }
+            }
+          }
+          r.i32() // throttle
+          var out0: (Short, Long, Array[Byte]) = (ErrNone, hw, null)
+          r.array { r.str(); r.array {
+            r.i32(); val err = r.i16(); val hwm = r.i64(); r.i64()
+            val aborted = r.narray { r.i64(); r.i64() }
+            require(aborted == null || aborted.isEmpty, "unexpected aborted txns")
+            val recordSet = r.nbytes()
+            out0 = (err, hwm, recordSet)
+          } }
+          out0
         }
-        r.i32() // throttle
         var progressed = false
-        r.array { r.str(); r.array {
-          r.i32(); val err = r.i16(); val hwm = r.i64(); r.i64()
-          val aborted = r.narray { r.i64(); r.i64() }
-          require(aborted == null || aborted.isEmpty, "unexpected aborted txns")
-          val recordSet = r.nbytes()
+        locally {
+          val (err, hwm, recordSet) = parsed
           if (err != ErrNone) throw new WireError(err, s"Fetch $topic/$partition@$cur")
           hw = hwm
           if (recordSet != null && recordSet.nonEmpty) {
@@ -917,7 +1224,7 @@ object KafkaWire {
               progressed = true
             }
           }
-        } }
+        }
         if (!progressed) cur = math.max(cur, math.min(until, hw))
       }
       out.iterator

@@ -234,6 +234,67 @@ class KafkaWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("flexible generation: Produce v9 → Fetch v13 (topic ids, tagged fields)") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port, protocol = "flexible")
+      try {
+        c.createTopic("flex", 2)
+        val base = c.append("flex", 1, (0 until 1100).map { i =>
+          Broker.Record(s"k$i".getBytes, s"v$i".getBytes,
+            Map("n" -> i.toString), timestampMs = 100L + i)
+        })
+        assert(base == 0L)
+        // v13 fetch pages through by KIP-516 topic id (Metadata v12)
+        val got = c.fetch("flex", 1, 0L, 1100L).toVector
+        assert(got.size == 1100)
+        assert(got.map(_.offset) == (0L until 1100L).toVector)
+        assert(new String(got(77).value) == "v77")
+        assert(got(77).headers == Map("n" -> "77"))
+      } finally c.close()
+    }
+  }
+
+  test("auto protocol negotiates flexible; legacy and flexible interoperate") {
+    withServer { srv =>
+      val auto = new KafkaWire.Client("127.0.0.1", srv.port) // auto
+      val legacy = new KafkaWire.Client("127.0.0.1", srv.port,
+        protocol = "legacy")
+      try {
+        // broker advertises the flexible generation
+        val vs = auto.apiVersions()
+        assert(vs(0)._2 >= 9 && vs(1)._2 >= 13, s"advertised: $vs")
+        auto.createTopic("mix", 1)
+        // legacy v3 produce → flexible v13 fetch reads the same log
+        legacy.append("mix", 0, Seq(Broker.Record("a".getBytes,
+          "legacy-write".getBytes, Map.empty, timestampMs = 1L)))
+        auto.append("mix", 0, Seq(Broker.Record("b".getBytes,
+          "flex-write".getBytes, Map.empty, timestampMs = 2L)))
+        val viaFlex = auto.fetch("mix", 0, 0L, 2L).toVector
+        val viaLegacy = legacy.fetch("mix", 0, 0L, 2L).toVector
+        assert(viaFlex.map(r => new String(r.value)) ==
+          Seq("legacy-write", "flex-write"))
+        assert(viaLegacy.map(r => new String(r.value)) ==
+          viaFlex.map(r => new String(r.value)))
+      } finally { auto.close(); legacy.close() }
+    }
+  }
+
+  test("flexible generation with compressed batches") {
+    val srv = new KafkaWire.Server(joinDelayMs = 80,
+      fetchCodec = KafkaWire.CodecZstd)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", srv.port,
+        produceCodec = KafkaWire.CodecLz4, protocol = "flexible")
+      try {
+        c.createTopic("fz", 1)
+        c.append("fz", 0, (0 until 600).map { i =>
+          Broker.Record(null, s"zz-$i".getBytes, Map.empty, timestampMs = i) })
+        val got = c.fetch("fz", 0, 0L, 600L).toVector
+        assert(got.size == 600 && new String(got(599).value) == "zz-599")
+      } finally c.close()
+    } finally srv.stop()
+  }
+
   test("kafka:// address query selects the producer codec") {
     withServer { srv =>
       val addr = s"127.0.0.1:${srv.port}?compression=snappy"
