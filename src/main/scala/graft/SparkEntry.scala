@@ -3958,6 +3958,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_wasm" -> ((s, d) => {
+      // wasm processor (internal/impl/wasm/processor_wazero.go:31 —
+      // graft's own core-spec interpreter, graft.wasm): the guest
+      // module ASCII-uppercases each message in place and sets a
+      // wasm_len metadata via the benthos_wasm v0 host API; the module
+      // binary itself is hand-assembled (WasmAsm) — loops, branches,
+      // a guest bump allocator, i64 ptr/len packing all on the wire
+      import graft.operators.Wasm
+      val docs = Tables.documents(s, d)
+        .select(concat_ws(":", col("doc_id"), col("text")).as("value"))
+      // CPU-bound row kernel: spread the single small test split
+      // across cores first (real-scale file splits already do this)
+      val env = docs.repartition(s.sparkContext.defaultParallelism)
+        .withColumn("metadata", map().cast("map<string,string>"))
+        .withColumn("error", lit(null).cast("string"))
+      Wasm.processor(env, graft.wasm.DemoModules.upperLen())
+        .select(col("value"),
+          element_at(col("metadata"), "wasm_len").cast("bigint")
+            .as("wasm_len"))
+        .orderBy(col("value"))
+    }),
+
     "p_javascript" -> ((s, d) => {
       // the `javascript` processor (processors/javascript.adoc:26):
       // per-message ES5 program over the graft.js engine — string
@@ -4734,6 +4756,12 @@ object SparkEntry {
         |  CASE WHEN lang = 'en' THEN doc_id || ':' || (n_chars * 2)
         |       ELSE doc_id || ':' || n_chars END AS value
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    "p_wasm" ->
+      """SELECT upper(CAST(doc_id AS VARCHAR) || ':' || text) AS value,
+        |  CAST(length(CAST(doc_id AS VARCHAR) || ':' || text)
+        |       AS BIGINT) AS wasm_len
+        |FROM documents ORDER BY value""".stripMargin,
 
     "p_javascript" ->
       """SELECT o_orderkey,

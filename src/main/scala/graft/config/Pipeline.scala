@@ -2161,6 +2161,15 @@ object Processors {
         val modules = JavaScript.loadModules(folders)
         df => JavaScript.processor(df, src, modules)
 
+      case "wasm" =>
+        // processors/wasm.adoc — module_path (the .wasm binary) +
+        // function (default "process"), run on graft's own engine
+        val path = body.get("module_path").asText
+        val fn = body.path("function").asText("process")
+        val moduleBytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path))
+        df => graft.operators.Wasm.processor(df, moduleBytes, fn)
+
       // ── flow control / error channel (§2.2) ──────────────────────
       case "switch" =>
         // processors/switch.adoc:26 — first matching case's processors

@@ -1,0 +1,574 @@
+package graft.wasm
+
+import WasmModule._
+
+/** WebAssembly interpreter over the structured instruction tree
+  * ([[WasmModule.decode]]): a classic operand-stack evaluator with
+  * branch unwinding by return code (no exceptions on the branch path).
+  *
+  * Value representation: one `Long` per wasm value — i32 sign-extended,
+  * i64 as-is, f32 as 32-bit float bits, f64 as 64-bit double bits. The
+  * operand stack is a growable `Array[Long]`; call frames get a plain
+  * `Array[Long]` of locals. Traps (unreachable, division by zero,
+  * out-of-bounds access, invalid conversion, bad indirect call) throw
+  * [[WasmInterp.Trap]], which the embedding processor maps to the
+  * message error channel.
+  *
+  * Execution model mirrors wazero's per-instance single-thread contract
+  * (reference internal/impl/wasm/processor_wazero.go:45 — contract
+  * only): an [[Instance]] is NOT thread-safe; embedders pool one per
+  * partition.
+  */
+object WasmInterp {
+
+  final class Trap(msg: String) extends RuntimeException(s"wasm trap: $msg")
+  final class LinkError(msg: String) extends RuntimeException(s"wasm link: $msg")
+
+  /** Host function: receives arg values, returns result values. */
+  type HostFn = Array[Long] => Array[Long]
+
+  private final val PageSize = 65536
+  private final val NORMAL = -1
+  private final val RETURN = Int.MaxValue
+  private final val MaxCallDepth = 2048
+
+  final class Instance(val module: Module,
+                       hostFns: Map[(String, String), HostFn] = Map.empty,
+                       maxMemoryPages: Int = 1024) {
+
+    // ── imports: functions only (the processor's host API surface) ────
+    module.imports.foreach { imp =>
+      imp.kind match {
+        case 0 =>
+          if (!hostFns.contains((imp.module, imp.name)))
+            throw new LinkError(s"unresolved import ${imp.module}.${imp.name}")
+        case k => throw new LinkError(
+          s"import kind $k (${imp.module}.${imp.name}) unsupported — " +
+            "define memory/table/globals in the module")
+      }
+    }
+    private val importedFns: Array[HostFn] =
+      module.importedFuncs.map(i => hostFns((i.module, i.name))).toArray
+    private val nImported = importedFns.length
+
+    // ── memory ────────────────────────────────────────────────────────
+    private var memPages: Int =
+      module.memories.headOption.map(_.min).getOrElse(0)
+    private val memMax: Int =
+      module.memories.headOption.flatMap(_.max)
+        .map(m => math.min(m, maxMemoryPages)).getOrElse(maxMemoryPages)
+    private var mem: Array[Byte] = new Array[Byte](memPages * PageSize)
+
+    // ── globals ───────────────────────────────────────────────────────
+    private val globals: Array[Long] =
+      module.globals.map(g => evalConst(g.init)).toArray
+
+    // ── table ─────────────────────────────────────────────────────────
+    private val table: Array[Int] =
+      Array.fill(module.tables.headOption.map(_.min).getOrElse(0))(-1)
+    module.elems.foreach { e =>
+      val off = evalConst(e.offset).toInt
+      if (off < 0 || off + e.funcs.length > table.length)
+        throw new Trap("element segment out of bounds")
+      e.funcs.indices.foreach(i => table(off + i) = e.funcs(i))
+    }
+
+    // ── data segments ─────────────────────────────────────────────────
+    module.datas.foreach { d =>
+      val off = evalConst(d.offset).toInt
+      if (off < 0 || off.toLong + d.bytes.length > mem.length)
+        throw new Trap("data segment out of bounds")
+      System.arraycopy(d.bytes, 0, mem, off, d.bytes.length)
+    }
+
+    private val exportsByName: Map[String, Export] =
+      module.exports.map(e => e.name -> e).toMap
+
+    // ── operand stack ─────────────────────────────────────────────────
+    private var stack = new Array[Long](256)
+    private var sp = 0
+    private def push(v: Long): Unit = {
+      if (sp == stack.length)
+        stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+      stack(sp) = v; sp += 1
+    }
+    private def pop(): Long = { sp -= 1; stack(sp) }
+    private var depth = 0
+
+    private def evalConst(expr: Vector[Instr]): Long = {
+      // constant expressions: one const or global.get (imported consts
+      // are out of scope — no imported globals are linked)
+      expr match {
+        case Vector(i) if i.op == 0x41 || i.op == 0x42 || i.op == 0x43 || i.op == 0x44 =>
+          i.a
+        case other => throw new LinkError(s"unsupported const expr $other")
+      }
+    }
+
+    module.start.foreach(invokeByIndex(_, Array.empty))
+
+    // ── public surface ────────────────────────────────────────────────
+
+    def exportedFunction(fnName: String): Option[Array[Long] => Array[Long]] =
+      exportsByName.get(fnName).filter(_.kind == 0).map { e => args =>
+        invokeByIndex(e.idx, args)
+      }
+
+    def invoke(fnName: String, args: Long*): Array[Long] =
+      exportedFunction(fnName)
+        .getOrElse(throw new LinkError(s"no exported function $fnName"))
+        .apply(args.toArray)
+
+    def memorySizeBytes: Int = mem.length
+
+    def readBytes(addr: Int, n: Int): Array[Byte] = {
+      if (addr < 0 || n < 0 || addr.toLong + n > mem.length)
+        throw new Trap(s"host read out of bounds: $addr+$n")
+      java.util.Arrays.copyOfRange(mem, addr, addr + n)
+    }
+
+    def writeBytes(addr: Int, bytes: Array[Byte]): Unit = {
+      if (addr < 0 || addr.toLong + bytes.length > mem.length)
+        throw new Trap(s"host write out of bounds: $addr+${bytes.length}")
+      System.arraycopy(bytes, 0, mem, addr, bytes.length)
+    }
+
+    // ── function invocation ───────────────────────────────────────────
+
+    private def invokeByIndex(idx: Int, args: Array[Long]): Array[Long] = {
+      val ft = module.typeOf(idx)
+      require(args.length == ft.params.length,
+        s"arity: ${args.length} args for ${ft.params.length} params")
+      if (idx < nImported) return importedFns(idx)(args)
+      if (depth >= MaxCallDepth) throw new Trap("call stack exhausted")
+      depth += 1
+      try {
+        val body = module.codes(idx - nImported)
+        val locals = new Array[Long](args.length + body.locals.length)
+        System.arraycopy(args, 0, locals, 0, args.length)
+        val base = sp
+        val r = run(body.body, locals)
+        val nRes = ft.results.length
+        val out = new Array[Long](nRes)
+        var i = nRes - 1
+        while (i >= 0) { out(i) = pop(); i -= 1 }
+        sp = base
+        val _ = r
+        out
+      } finally depth -= 1
+    }
+
+    /** Run a sequence; returns NORMAL, RETURN, or a branch depth
+      * TARGETING AN ENCLOSING label (0 = innermost enclosing).
+      */
+    private def run(instrs: Vector[Instr], locals: Array[Long]): Int = {
+      var i = 0
+      val n = instrs.length
+      while (i < n) {
+        val ins = instrs(i)
+        val r = exec(ins, locals)
+        if (r != NORMAL) return r
+        i += 1
+      }
+      NORMAL
+    }
+
+    private def labelArity(blockType: Int): Int = if (blockType == -1) 0 else 1
+
+    /** Unwind the stack for a branch that lands on a label: keep the
+      * label's arity values from the top, reset to the entry height.
+      */
+    private def unwindTo(entry: Int, arity: Int): Unit = {
+      if (sp != entry + arity) {
+        var i = 0
+        while (i < arity) {
+          stack(entry + i) = stack(sp - arity + i); i += 1
+        }
+        sp = entry + arity
+      }
+    }
+
+    private def exec(ins: Instr, locals: Array[Long]): Int = (ins.op: @annotation.switch) match {
+      // ── control ──────────────────────────────────────────────────────
+      case 0x00 => throw new Trap("unreachable")
+      case 0x01 => NORMAL // nop
+      case 0x02 => // block
+        val entry = sp
+        val r = run(ins.blk, locals)
+        if (r == NORMAL) NORMAL
+        else if (r == RETURN) RETURN
+        else if (r == 0) { unwindTo(entry, labelArity(ins.blockType)); NORMAL }
+        else r - 1
+      case 0x03 => // loop
+        val entry = sp
+        while (true) {
+          val r = run(ins.blk, locals)
+          if (r == NORMAL) return NORMAL
+          if (r == RETURN) return RETURN
+          if (r > 0) return r - 1
+          sp = entry // br 0 on a loop: restart with the entry stack
+        }
+        NORMAL
+      case 0x04 => // if
+        val cond = pop().toInt
+        val entry = sp
+        val body = if (cond != 0) ins.blk else ins.els
+        val r = run(body, locals)
+        if (r == NORMAL) NORMAL
+        else if (r == RETURN) RETURN
+        else if (r == 0) { unwindTo(entry, labelArity(ins.blockType)); NORMAL }
+        else r - 1
+      case 0x0c => ins.a.toInt // br
+      case 0x0d => if (pop().toInt != 0) ins.a.toInt else NORMAL // br_if
+      case 0x0e => // br_table
+        val idx = pop().toInt
+        if (idx >= 0 && idx < ins.table.length) ins.table(idx) else ins.a.toInt
+      case 0x0f => RETURN
+      case 0x10 => // call
+        val res = invokeByIndexPoppingArgs(ins.a.toInt)
+        res.foreach(push)
+        NORMAL
+      case 0x11 => // call_indirect
+        val elem = pop().toInt
+        if (elem < 0 || elem >= table.length || table(elem) < 0)
+          throw new Trap(s"undefined table element $elem")
+        val fIdx = table(elem)
+        val expected = module.types(ins.a.toInt)
+        if (module.typeOf(fIdx) != expected)
+          throw new Trap("indirect call type mismatch")
+        val res = invokeByIndexPoppingArgs(fIdx)
+        res.foreach(push)
+        NORMAL
+
+      // ── parametric ───────────────────────────────────────────────────
+      case 0x1a => pop(); NORMAL // drop
+      case 0x1b => // select
+        val c = pop().toInt; val b = pop(); val a = pop()
+        push(if (c != 0) a else b); NORMAL
+
+      // ── locals / globals ─────────────────────────────────────────────
+      case 0x20 => push(locals(ins.a.toInt)); NORMAL
+      case 0x21 => locals(ins.a.toInt) = pop(); NORMAL
+      case 0x22 => locals(ins.a.toInt) = stack(sp - 1); NORMAL // tee
+      case 0x23 => push(globals(ins.a.toInt)); NORMAL
+      case 0x24 => globals(ins.a.toInt) = pop(); NORMAL
+
+      // ── memory ───────────────────────────────────────────────────────
+      case 0x28 => push(ld(4, ins.b).toInt.toLong); NORMAL       // i32.load
+      case 0x29 => push(ld(8, ins.b)); NORMAL                    // i64.load
+      case 0x2a => push(ld(4, ins.b) & 0xffffffffL); NORMAL      // f32.load (bits)
+      case 0x2b => push(ld(8, ins.b)); NORMAL                    // f64.load
+      case 0x2c => push(ld(1, ins.b).toByte.toLong); NORMAL      // i32.load8_s
+      case 0x2d => push(ld(1, ins.b) & 0xffL); NORMAL            // i32.load8_u
+      case 0x2e => push(ld(2, ins.b).toShort.toLong); NORMAL     // i32.load16_s
+      case 0x2f => push(ld(2, ins.b) & 0xffffL); NORMAL          // i32.load16_u
+      case 0x30 => push(ld(1, ins.b).toByte.toLong); NORMAL      // i64.load8_s
+      case 0x31 => push(ld(1, ins.b) & 0xffL); NORMAL
+      case 0x32 => push(ld(2, ins.b).toShort.toLong); NORMAL
+      case 0x33 => push(ld(2, ins.b) & 0xffffL); NORMAL
+      case 0x34 => push(ld(4, ins.b).toInt.toLong); NORMAL       // i64.load32_s
+      case 0x35 => push(ld(4, ins.b) & 0xffffffffL); NORMAL
+      case 0x36 => { val v = pop(); st(4, ins.b, v) }; NORMAL    // i32.store
+      case 0x37 => { val v = pop(); st(8, ins.b, v) }; NORMAL    // i64.store
+      case 0x38 => { val v = pop(); st(4, ins.b, v) }; NORMAL    // f32.store
+      case 0x39 => { val v = pop(); st(8, ins.b, v) }; NORMAL    // f64.store
+      case 0x3a => { val v = pop(); st(1, ins.b, v) }; NORMAL
+      case 0x3b => { val v = pop(); st(2, ins.b, v) }; NORMAL
+      case 0x3c => { val v = pop(); st(1, ins.b, v) }; NORMAL
+      case 0x3d => { val v = pop(); st(2, ins.b, v) }; NORMAL
+      case 0x3e => { val v = pop(); st(4, ins.b, v) }; NORMAL
+      case 0x3f => push(memPages.toLong); NORMAL                 // memory.size
+      case 0x40 => // memory.grow
+        val delta = pop().toInt
+        if (delta < 0 || memPages + delta > memMax) push(-1L)
+        else {
+          val old = memPages
+          memPages += delta
+          mem = java.util.Arrays.copyOf(mem, memPages * PageSize)
+          push(old.toLong)
+        }
+        NORMAL
+
+      // ── consts ───────────────────────────────────────────────────────
+      case 0x41 | 0x42 | 0x43 | 0x44 => push(ins.a); NORMAL
+
+      // ── i32 compare/arith ───────────────────────────────────────────
+      case 0x45 => push(b2l(pop().toInt == 0)); NORMAL
+      case 0x46 => i32cmp(_ == _)
+      case 0x47 => i32cmp(_ != _)
+      case 0x48 => i32cmp(_ < _)
+      case 0x49 => i32cmp((a, b) => Integer.compareUnsigned(a, b) < 0)
+      case 0x4a => i32cmp(_ > _)
+      case 0x4b => i32cmp((a, b) => Integer.compareUnsigned(a, b) > 0)
+      case 0x4c => i32cmp(_ <= _)
+      case 0x4d => i32cmp((a, b) => Integer.compareUnsigned(a, b) <= 0)
+      case 0x4e => i32cmp(_ >= _)
+      case 0x4f => i32cmp((a, b) => Integer.compareUnsigned(a, b) >= 0)
+      case 0x50 => push(b2l(pop() == 0L)); NORMAL
+      case 0x51 => i64cmp(_ == _)
+      case 0x52 => i64cmp(_ != _)
+      case 0x53 => i64cmp(_ < _)
+      case 0x54 => i64cmp((a, b) => java.lang.Long.compareUnsigned(a, b) < 0)
+      case 0x55 => i64cmp(_ > _)
+      case 0x56 => i64cmp((a, b) => java.lang.Long.compareUnsigned(a, b) > 0)
+      case 0x57 => i64cmp(_ <= _)
+      case 0x58 => i64cmp((a, b) => java.lang.Long.compareUnsigned(a, b) <= 0)
+      case 0x59 => i64cmp(_ >= _)
+      case 0x5a => i64cmp((a, b) => java.lang.Long.compareUnsigned(a, b) >= 0)
+      case 0x5b => f32cmp(_ == _)
+      case 0x5c => f32cmp(_ != _)
+      case 0x5d => f32cmp(_ < _)
+      case 0x5e => f32cmp(_ > _)
+      case 0x5f => f32cmp(_ <= _)
+      case 0x60 => f32cmp(_ >= _)
+      case 0x61 => f64cmp(_ == _)
+      case 0x62 => f64cmp(_ != _)
+      case 0x63 => f64cmp(_ < _)
+      case 0x64 => f64cmp(_ > _)
+      case 0x65 => f64cmp(_ <= _)
+      case 0x66 => f64cmp(_ >= _)
+      case 0x67 => push(Integer.numberOfLeadingZeros(pop().toInt).toLong); NORMAL
+      case 0x68 => push(Integer.numberOfTrailingZeros(pop().toInt).toLong); NORMAL
+      case 0x69 => push(Integer.bitCount(pop().toInt).toLong); NORMAL
+      case 0x6a => i32bin(_ + _)
+      case 0x6b => i32bin(_ - _)
+      case 0x6c => i32bin(_ * _)
+      case 0x6d => i32bin { (a, b) =>
+        if (b == 0) throw new Trap("integer divide by zero")
+        if (a == Int.MinValue && b == -1) throw new Trap("integer overflow")
+        a / b }
+      case 0x6e => i32bin { (a, b) =>
+        if (b == 0) throw new Trap("integer divide by zero")
+        Integer.divideUnsigned(a, b) }
+      case 0x6f => i32bin { (a, b) =>
+        if (b == 0) throw new Trap("integer divide by zero")
+        if (a == Int.MinValue && b == -1) 0 else a % b }
+      case 0x70 => i32bin { (a, b) =>
+        if (b == 0) throw new Trap("integer divide by zero")
+        Integer.remainderUnsigned(a, b) }
+      case 0x71 => i32bin(_ & _)
+      case 0x72 => i32bin(_ | _)
+      case 0x73 => i32bin(_ ^ _)
+      case 0x74 => i32bin((a, b) => a << (b & 31))
+      case 0x75 => i32bin((a, b) => a >> (b & 31))
+      case 0x76 => i32bin((a, b) => a >>> (b & 31))
+      case 0x77 => i32bin((a, b) => Integer.rotateLeft(a, b))
+      case 0x78 => i32bin((a, b) => Integer.rotateRight(a, b))
+      case 0x79 => push(java.lang.Long.numberOfLeadingZeros(pop()).toLong); NORMAL
+      case 0x7a => push(java.lang.Long.numberOfTrailingZeros(pop()).toLong); NORMAL
+      case 0x7b => push(java.lang.Long.bitCount(pop()).toLong); NORMAL
+      case 0x7c => i64bin(_ + _)
+      case 0x7d => i64bin(_ - _)
+      case 0x7e => i64bin(_ * _)
+      case 0x7f => i64bin { (a, b) =>
+        if (b == 0) throw new Trap("integer divide by zero")
+        if (a == Long.MinValue && b == -1L) throw new Trap("integer overflow")
+        a / b }
+      case 0x80 => i64bin { (a, b) =>
+        if (b == 0) throw new Trap("integer divide by zero")
+        java.lang.Long.divideUnsigned(a, b) }
+      case 0x81 => i64bin { (a, b) =>
+        if (b == 0) throw new Trap("integer divide by zero")
+        if (a == Long.MinValue && b == -1L) 0L else a % b }
+      case 0x82 => i64bin { (a, b) =>
+        if (b == 0) throw new Trap("integer divide by zero")
+        java.lang.Long.remainderUnsigned(a, b) }
+      case 0x83 => i64bin(_ & _)
+      case 0x84 => i64bin(_ | _)
+      case 0x85 => i64bin(_ ^ _)
+      case 0x86 => i64bin((a, b) => a << (b & 63))
+      case 0x87 => i64bin((a, b) => a >> (b & 63))
+      case 0x88 => i64bin((a, b) => a >>> (b & 63))
+      case 0x89 => i64bin((a, b) => java.lang.Long.rotateLeft(a, (b & 63).toInt))
+      case 0x8a => i64bin((a, b) => java.lang.Long.rotateRight(a, (b & 63).toInt))
+
+      // ── f32 arith ────────────────────────────────────────────────────
+      case 0x8b => f32un(math.abs)
+      case 0x8c => f32un(x => -x)
+      case 0x8d => f32un(x => math.ceil(x.toDouble).toFloat)
+      case 0x8e => f32un(x => math.floor(x.toDouble).toFloat)
+      case 0x8f => f32un(x => x.toDouble match {
+        case d if d.isNaN || d.isInfinite => x
+        case d if d < 0 => math.ceil(d).toFloat
+        case d => math.floor(d).toFloat })
+      case 0x90 => f32un(x => math.rint(x.toDouble).toFloat)
+      case 0x91 => f32un(x => math.sqrt(x.toDouble).toFloat)
+      case 0x92 => f32bin(_ + _)
+      case 0x93 => f32bin(_ - _)
+      case 0x94 => f32bin(_ * _)
+      case 0x95 => f32bin(_ / _)
+      case 0x96 => f32bin((a, b) =>
+        if (a.isNaN || b.isNaN) Float.NaN else math.min(a, b))
+      case 0x97 => f32bin((a, b) =>
+        if (a.isNaN || b.isNaN) Float.NaN else math.max(a, b))
+      case 0x98 => f32bin((a, b) => java.lang.Math.copySign(a, b))
+
+      // ── f64 arith ────────────────────────────────────────────────────
+      case 0x99 => f64un(math.abs)
+      case 0x9a => f64un(x => -x)
+      case 0x9b => f64un(math.ceil)
+      case 0x9c => f64un(math.floor)
+      case 0x9d => f64un(d =>
+        if (d.isNaN || d.isInfinite) d
+        else if (d < 0) math.ceil(d) else math.floor(d))
+      case 0x9e => f64un(math.rint)
+      case 0x9f => f64un(math.sqrt)
+      case 0xa0 => f64bin(_ + _)
+      case 0xa1 => f64bin(_ - _)
+      case 0xa2 => f64bin(_ * _)
+      case 0xa3 => f64bin(_ / _)
+      case 0xa4 => f64bin((a, b) =>
+        if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b))
+      case 0xa5 => f64bin((a, b) =>
+        if (a.isNaN || b.isNaN) Double.NaN else math.max(a, b))
+      case 0xa6 => f64bin((a, b) => java.lang.Math.copySign(a, b))
+
+      // ── conversions ──────────────────────────────────────────────────
+      case 0xa7 => push(pop().toInt.toLong); NORMAL // i32.wrap_i64
+      case 0xa8 => push(truncToI32(f32(pop()).toDouble, signed = true)); NORMAL
+      case 0xa9 => push(truncToI32(f32(pop()).toDouble, signed = false)); NORMAL
+      case 0xaa => push(truncToI32(f64(pop()), signed = true)); NORMAL
+      case 0xab => push(truncToI32(f64(pop()), signed = false)); NORMAL
+      case 0xac => push(pop().toInt.toLong); NORMAL              // i64.extend_i32_s
+      case 0xad => push(pop() & 0xffffffffL); NORMAL             // i64.extend_i32_u
+      case 0xae => push(truncToI64(f32(pop()).toDouble, signed = true)); NORMAL
+      case 0xaf => push(truncToI64(f32(pop()).toDouble, signed = false)); NORMAL
+      case 0xb0 => push(truncToI64(f64(pop()), signed = true)); NORMAL
+      case 0xb1 => push(truncToI64(f64(pop()), signed = false)); NORMAL
+      case 0xb2 => push(bits32(pop().toInt.toFloat)); NORMAL     // f32.convert_i32_s
+      case 0xb3 => push(bits32((pop() & 0xffffffffL).toFloat)); NORMAL
+      case 0xb4 => push(bits32(pop().toFloat)); NORMAL
+      case 0xb5 => push(bits32(u64ToDouble(pop()).toFloat)); NORMAL
+      case 0xb6 => push(bits32(f64(pop()).toFloat)); NORMAL      // f32.demote_f64
+      case 0xb7 => push(bits64(pop().toInt.toDouble)); NORMAL
+      case 0xb8 => push(bits64((pop() & 0xffffffffL).toDouble)); NORMAL
+      case 0xb9 => push(bits64(pop().toDouble)); NORMAL
+      case 0xba => push(bits64(u64ToDouble(pop()))); NORMAL
+      case 0xbb => push(bits64(f32(pop()).toDouble)); NORMAL     // f64.promote_f32
+      case 0xbc => push(pop().toInt.toLong); NORMAL              // i32.reinterpret_f32 (i32 is sign-extended)
+      case 0xbd => NORMAL                                        // i64.reinterpret_f64: identity
+      case 0xbe => push(pop() & 0xffffffffL); NORMAL             // f32.reinterpret_i32
+      case 0xbf => NORMAL                                        // f64.reinterpret_i64
+
+      // ── sign extension ───────────────────────────────────────────────
+      case 0xc0 => push(pop().toByte.toLong); NORMAL
+      case 0xc1 => push(pop().toShort.toLong); NORMAL
+      case 0xc2 => push(pop().toByte.toLong); NORMAL
+      case 0xc3 => push(pop().toShort.toLong); NORMAL
+      case 0xc4 => push(pop().toInt.toLong); NORMAL
+
+      // ── 0xFC saturating truncation ───────────────────────────────────
+      case 0xfc00 => push(satI32(f32(pop()).toDouble, signed = true)); NORMAL
+      case 0xfc01 => push(satI32(f32(pop()).toDouble, signed = false)); NORMAL
+      case 0xfc02 => push(satI32(f64(pop()), signed = true)); NORMAL
+      case 0xfc03 => push(satI32(f64(pop()), signed = false)); NORMAL
+      case 0xfc04 => push(satI64(f32(pop()).toDouble, signed = true)); NORMAL
+      case 0xfc05 => push(satI64(f32(pop()).toDouble, signed = false)); NORMAL
+      case 0xfc06 => push(satI64(f64(pop()), signed = true)); NORMAL
+      case 0xfc07 => push(satI64(f64(pop()), signed = false)); NORMAL
+
+      case op => throw new Trap(f"unimplemented opcode 0x$op%x")
+    }
+
+    private def invokeByIndexPoppingArgs(fIdx: Int): Array[Long] = {
+      val ft = module.typeOf(fIdx)
+      val args = new Array[Long](ft.params.length)
+      var i = ft.params.length - 1
+      while (i >= 0) { args(i) = pop(); i -= 1 }
+      invokeByIndex(fIdx, args)
+    }
+
+    // memory access: the effective address is u32(dynamic) + u32(offset)
+    private def ld(n: Int, offset: Long): Long = {
+      val addr = (pop() & 0xffffffffL) + offset
+      if (addr < 0 || addr + n > mem.length)
+        throw new Trap(s"out of bounds memory access: $addr+$n")
+      val base = addr.toInt
+      var v = 0L
+      var i = 0
+      while (i < n) { v |= (mem(base + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    private def st(n: Int, offset: Long, v: Long): Unit = {
+      val addr = (pop() & 0xffffffffL) + offset
+      if (addr < 0 || addr + n > mem.length)
+        throw new Trap(s"out of bounds memory access: $addr+$n")
+      val base = addr.toInt
+      var i = 0
+      while (i < n) { mem(base + i) = (v >>> (8 * i)).toByte; i += 1 }
+    }
+
+    private def b2l(b: Boolean): Long = if (b) 1L else 0L
+    private def i32cmp(f: (Int, Int) => Boolean): Int = {
+      val b = pop().toInt; val a = pop().toInt; push(b2l(f(a, b))); NORMAL }
+    private def i64cmp(f: (Long, Long) => Boolean): Int = {
+      val b = pop(); val a = pop(); push(b2l(f(a, b))); NORMAL }
+    private def f32cmp(f: (Float, Float) => Boolean): Int = {
+      val b = f32(pop()); val a = f32(pop()); push(b2l(f(a, b))); NORMAL }
+    private def f64cmp(f: (Double, Double) => Boolean): Int = {
+      val b = f64(pop()); val a = f64(pop()); push(b2l(f(a, b))); NORMAL }
+    private def i32bin(f: (Int, Int) => Int): Int = {
+      val b = pop().toInt; val a = pop().toInt; push(f(a, b).toLong); NORMAL }
+    private def i64bin(f: (Long, Long) => Long): Int = {
+      val b = pop(); val a = pop(); push(f(a, b)); NORMAL }
+    private def f32un(f: Float => Float): Int = { push(bits32(f(f32(pop())))); NORMAL }
+    private def f32bin(f: (Float, Float) => Float): Int = {
+      val b = f32(pop()); val a = f32(pop()); push(bits32(f(a, b))); NORMAL }
+    private def f64un(f: Double => Double): Int = { push(bits64(f(f64(pop())))); NORMAL }
+    private def f64bin(f: (Double, Double) => Double): Int = {
+      val b = f64(pop()); val a = f64(pop()); push(bits64(f(a, b))); NORMAL }
+  }
+
+  private def f32(bits: Long): Float = java.lang.Float.intBitsToFloat(bits.toInt)
+  private def f64(bits: Long): Double = java.lang.Double.longBitsToDouble(bits)
+  private def bits32(v: Float): Long =
+    java.lang.Float.floatToRawIntBits(v).toLong & 0xffffffffL
+  private def bits64(v: Double): Long = java.lang.Double.doubleToRawLongBits(v)
+
+  private def u64ToDouble(v: Long): Double =
+    if (v >= 0) v.toDouble
+    else ((v >>> 1) | (v & 1)).toDouble * 2.0
+
+  private def truncToI32(d: Double, signed: Boolean): Long = {
+    if (d.isNaN) throw new Trap("invalid conversion to integer")
+    val t = if (d < 0) math.ceil(d) else math.floor(d)
+    if (signed) {
+      if (t < Int.MinValue.toDouble || t > Int.MaxValue.toDouble)
+        throw new Trap("integer overflow")
+      t.toInt.toLong
+    } else {
+      if (t < 0 || t > 4294967295.0) throw new Trap("integer overflow")
+      t.toLong.toInt.toLong
+    }
+  }
+  private def truncToI64(d: Double, signed: Boolean): Long = {
+    if (d.isNaN) throw new Trap("invalid conversion to integer")
+    val t = if (d < 0) math.ceil(d) else math.floor(d)
+    if (signed) {
+      if (t < -9.223372036854776e18 || t >= 9.223372036854776e18)
+        throw new Trap("integer overflow")
+      t.toLong
+    } else {
+      if (t < 0 || t >= 1.8446744073709552e19) throw new Trap("integer overflow")
+      if (t < 9.223372036854776e18) t.toLong
+      else (t - 9.223372036854776e18).toLong | Long.MinValue
+    }
+  }
+  private def satI32(d: Double, signed: Boolean): Long =
+    if (d.isNaN) 0L
+    else if (signed) math.max(Int.MinValue.toDouble,
+      math.min(Int.MaxValue.toDouble, d)).toInt.toLong
+    else math.max(0.0, math.min(4294967295.0, d)).toLong.toInt.toLong
+  private def satI64(d: Double, signed: Boolean): Long =
+    if (d.isNaN) 0L
+    else if (signed) {
+      if (d <= -9.223372036854776e18) Long.MinValue
+      else if (d >= 9.223372036854776e18) Long.MaxValue
+      else d.toLong
+    } else {
+      if (d <= 0) 0L
+      else if (d >= 1.8446744073709552e19) -1L
+      else if (d < 9.223372036854776e18) d.toLong
+      else (d - 9.223372036854776e18).toLong | Long.MinValue
+    }
+}
