@@ -34,6 +34,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // the `ffi` processor downcalls into shared libraries via JDK 17's
+  // incubating foreign-function API (JEP 412) — accessed reflectively
+  // so compilation doesn't depend on the incubator module
+  "--add-modules", "jdk.incubator.foreign",
+  "--enable-native-access=ALL-UNNAMED",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // JDK 17's default charset follows the (POSIX = US-ASCII) locale and

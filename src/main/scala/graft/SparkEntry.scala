@@ -3980,6 +3980,52 @@ object SparkEntry {
         .orderBy(col("value"))
     }),
 
+    "p_ffi" -> ((s, d) => {
+      // ffi processor (internal/impl/ffi/processor.go:27 — JEP-412
+      // downcall bridge, demo .so compiled by FfiDemo): per message,
+      // args_mapping feeds the C function `GraftReverseBytes(in, out,
+      // len) -> int32`; the result array [return, out-buffer] replaces
+      // the body. At cluster scale the .so ships with --files; here
+      // the driver-compiled path is visible to the local executors.
+      import graft.operators.{Ffi, FfiDemo}
+      val lib = FfiDemo.ensureLib()
+      val docs = Tables.documents(s, d)
+        .select(col("text").as("value"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("metadata"))
+        .withColumn("error", lit(null).cast("string"))
+      val env = docs.repartition(s.sparkContext.defaultParallelism)
+      Ffi.processor(env, lib, "GraftReverseBytes",
+          Ffi.Signature(Ffi.RInt32, Seq(Ffi.Param(Ffi.PBytePtr),
+            Ffi.Param(Ffi.PBytePtr, out = true), Ffi.Param(Ffi.PInt32))),
+          "root = [content(), content(), content().length()]")
+        .select(
+          element_at(col("metadata"), "doc_id").cast("bigint").as("doc_id"),
+          get_json_object(col("value"), "$[0]").cast("bigint").as("n_bytes"),
+          get_json_object(col("value"), "$[1]").as("rev_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p_redpanda_transform" -> ((s, d) => {
+      // redpanda_data_transform (internal/impl/redpanda/
+      // processor_data_transform.go:88 — graft's own wasm engine): the
+      // guest parses the zigzag-varint record serde in wasm code and
+      // byte-reverses each value in place; doc_id rides the header
+      // round-trip (host serialize → guest passthrough → host
+      // deserialize), so the gate pins the serde on both sides
+      import graft.operators.RedpandaTransform
+      val docs = Tables.documents(s, d)
+        .select(col("text").as("value"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("metadata"))
+        .withColumn("error", lit(null).cast("string"))
+      val env = docs.repartition(s.sparkContext.defaultParallelism)
+      RedpandaTransform.processor(env,
+          graft.wasm.TransformModules.reverseValue(), batchSize = 128)
+        .select(
+          element_at(col("metadata"), "doc_id").cast("bigint").as("doc_id"),
+          col("value").as("rev_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_javascript" -> ((s, d) => {
       // the `javascript` processor (processors/javascript.adoc:26):
       // per-message ES5 program over the graft.js engine — string
@@ -4762,6 +4808,15 @@ object SparkEntry {
         |  CAST(length(CAST(doc_id AS VARCHAR) || ':' || text)
         |       AS BIGINT) AS wasm_len
         |FROM documents ORDER BY value""".stripMargin,
+
+    "p_ffi" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  reverse(text) AS rev_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p_redpanda_transform" ->
+      """SELECT doc_id, reverse(text) AS rev_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p_javascript" ->
       """SELECT o_orderkey,

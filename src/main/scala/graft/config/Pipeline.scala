@@ -2170,6 +2170,46 @@ object Processors {
           java.nio.file.Paths.get(path))
         df => graft.operators.Wasm.processor(df, moduleBytes, fn)
 
+      case "ffi" =>
+        // processors/ffi.adoc — dlopen + per-message downcall; the
+        // signature object mirrors the reference's return/parameters
+        // shape (internal/impl/ffi/processor.go:50)
+        import graft.operators.Ffi
+        val libPath = body.get("library_path").asText
+        val fnName = body.get("function_name").asText
+        val argsMapping = body.get("args_mapping").asText
+        val sigNode = body.get("signature")
+        val ret = Ffi.retType(sigNode.at("/return/type").asText("void"))
+        val params = Option(sigNode.get("parameters")).toSeq
+          .flatMap(_.elements().asScala).map { p =>
+            Ffi.Param(Ffi.paramType(p.get("type").asText),
+              p.path("out").asBoolean(false))
+          }
+        df => Ffi.processor(df, libPath, fnName,
+          Ffi.Signature(ret, params), argsMapping)
+
+      case "redpanda_data_transform" =>
+        // internal/impl/redpanda/processor_data_transform.go:60 —
+        // Redpanda Data Transform guests on graft's own wasm engine;
+        // key/timestamp come from named metadata (the reference's
+        // interpolation forms resolve metadata the same way)
+        val moduleBytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(body.get("module_path").asText))
+        val inKey = Option(body.path("input_key").asText(null))
+        val outKey = Option(body.path("output_key").asText(null))
+        val tsMeta = Option(body.path("timestamp").asText(null))
+        df => {
+          // the guest's output batch REPLACES the input batch (record
+          // counts may change), so __seq is re-derived in emit order —
+          // partition-encoded, like every rebatching processor here
+          val out = graft.operators.RedpandaTransform.processor(
+            df, moduleBytes, inputKeyMeta = inKey, outputKeyMeta = outKey,
+            timestampMeta = tsMeta)
+          if (df.columns.contains("__seq"))
+            out.withColumn("__seq", monotonically_increasing_id())
+          else out
+        }
+
       // ── flow control / error channel (§2.2) ──────────────────────
       case "switch" =>
         // processors/switch.adoc:26 — first matching case's processors

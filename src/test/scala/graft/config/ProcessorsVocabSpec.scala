@@ -403,4 +403,49 @@ class ProcessorsVocabSpec extends SparkSpec {
     val in = envelope("""{"a":{"b":42}}""")
     assert(values(apply(in, "- jmespath: { query: 'a.b' }")) == Seq("42"))
   }
+
+  test("wasm form loads the module from module_path") {
+    val f = java.nio.file.Files.createTempFile("graft-wasm", ".wasm")
+    try {
+      java.nio.file.Files.write(f, graft.wasm.DemoModules.upperLen())
+      val out = apply(envelope("abc", "x-7"),
+        s"""- wasm:
+           |    module_path: $f
+           |""".stripMargin)
+      assert(values(out) == Seq("ABC", "X-7"))
+      assert(metaOf(out, "wasm_len") == Seq("3", "3"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("ffi form parses the signature and downcalls") {
+    val lib = graft.operators.FfiDemo.ensureLib()
+    val out = apply(envelope("abc"),
+      s"""- ffi:
+         |    library_path: $lib
+         |    function_name: GraftReverseBytes
+         |    args_mapping: 'root = [content(), content(), content().length()]'
+         |    signature:
+         |      return: { type: int32 }
+         |      parameters:
+         |        - type: byte*
+         |        - { type: byte*, out: true }
+         |        - type: int32
+         |""".stripMargin)
+    assert(values(out) == Seq("""[3,"cba"]"""))
+  }
+
+  test("redpanda_data_transform form runs the guest and re-derives order") {
+    val f = java.nio.file.Files.createTempFile("graft-rdt", ".wasm")
+    try {
+      java.nio.file.Files.write(f, graft.wasm.TransformModules.filterRoute())
+      val out = apply(envelope("keep", "#drop", "!route"),
+        s"""- redpanda_data_transform:
+           |    module_path: $f
+           |""".stripMargin)
+      val got = out.orderBy(col("value")).select("value").collect()
+        .map(_.getString(0)).toSeq
+      assert(got == Seq("!route", "keep"))
+      assert(out.columns.contains("__seq"), "runner ordering column kept")
+    } finally java.nio.file.Files.delete(f)
+  }
 }
