@@ -3929,7 +3929,8 @@ object SparkEntry {
       val pairs = Tables.documents(s, d)
         .select(lit(0L).as("query_id"), lit(q).as("query"),
           col("text").as("doc"), col("doc_id"))
-      Ai.rerank(pairs, "query_id", "query", "doc", 5)
+      Ai.rerank(pairs, "query_id", "query", "doc", 5,
+          tieBreak = Seq(col("doc_id")))
         .select(col("doc_id"), col("rank"), col("score"))
         .orderBy(col("rank"))
     }),
@@ -4741,7 +4742,8 @@ object SparkEntry {
         |  FROM documents),
         |ranked AS (
         |  SELECT doc_id, score,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, text) AS INT) AS rank
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, text, doc_id)
+        |         AS INT) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, score FROM ranked WHERE rank <= 5
         |ORDER BY rank""".stripMargin,

@@ -59,12 +59,16 @@ object Ai {
 
   /** rerank: per query, order candidate docs by score and keep top-k —
     * one window pass, no shuffle beyond the per-query partition.
+    * `tieBreak` makes the cut deterministic when scores AND texts
+    * collide (duplicate documents — routine in replicated corpora);
+    * pass the document id.
     */
   def rerank(pairs: DataFrame, queryIdCol: String, queryCol: String,
-             docCol: String, k: Int): DataFrame = {
+             docCol: String, k: Int,
+             tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(queryIdCol))
-      .orderBy(col("score").desc, col(docCol))
+      .orderBy(col("score").desc +: col(docCol) +: tieBreak: _*)
     pairs.withColumn("score", round(lexicalScore(col(queryCol), col(docCol)), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -163,6 +163,34 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("plugin row kernels (wasm/ffi/transform) are narrow — zero shuffles") {
+    // wasm, ffi, and redpanda_data_transform all run as mapPartitions
+    // row kernels: no exchange may appear beyond what the CALLER adds
+    // explicitly. The args_mapping projection (ffi) must also stay
+    // inside the same stage.
+    val base = Tables.documents(spark, sf)
+      .select(col("text").as("value"))
+      .withColumn("metadata", map().cast("map<string,string>"))
+      .withColumn("error", lit(null).cast("string"))
+    val lib = operators.FfiDemo.ensureLib()
+    for (q <- Seq(
+        operators.Wasm.processor(base, wasm.DemoModules.upperLen()),
+        operators.RedpandaTransform.processor(
+          base, wasm.TransformModules.reverseValue()),
+        operators.Ffi.processor(base, lib, "GraftReverseBytes",
+          operators.Ffi.Signature(operators.Ffi.RInt32,
+            Seq(operators.Ffi.Param(operators.Ffi.PBytePtr),
+              operators.Ffi.Param(operators.Ffi.PBytePtr, out = true),
+              operators.Ffi.Param(operators.Ffi.PInt32))),
+          "root = [content(), content(), content().length()]"))) {
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        "plugin row kernels must not introduce exchanges")
+    }
+  }
+
   test("kernel queries keep the sort BELOW the kernel projection") {
     // a global sort's range exchange samples its child plan, so an
     // expensive kernel above the sort runs once while a kernel below it

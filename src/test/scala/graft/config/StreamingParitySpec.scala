@@ -110,4 +110,35 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed(proc, rows, "par_cache") == batched(proc, rows))
     assert(streamed(proc, rows, "par_cache2").count(_ == "A!") == 2)
   }
+
+  test("wasm: the row kernel is micro-batch-agnostic") {
+    val f = java.nio.file.Files.createTempFile("graft-wasm-par", ".wasm")
+    try {
+      java.nio.file.Files.write(f, graft.wasm.DemoModules.upperLen())
+      val proc = compiled(
+        s"""wasm:
+           |  module_path: $f
+           |""".stripMargin)
+      val rows = (0L until 12L).map(i => i -> s"msg-$i")
+      assert(streamed(proc, rows, "par_wasm") == batched(proc, rows))
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("ffi: downcalls run identically per micro-batch") {
+    val lib = graft.operators.FfiDemo.ensureLib()
+    val proc = compiled(
+      s"""ffi:
+         |  library_path: $lib
+         |  function_name: GraftReverseBytes
+         |  args_mapping: 'root = [content(), content(), content().length()]'
+         |  signature:
+         |    return: { type: int32 }
+         |    parameters:
+         |      - type: byte*
+         |      - { type: byte*, out: true }
+         |      - type: int32
+         |""".stripMargin)
+    val rows = (0L until 10L).map(i => i -> s"val$i")
+    assert(streamed(proc, rows, "par_ffi") == batched(proc, rows))
+  }
 }
