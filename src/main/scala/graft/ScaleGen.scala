@@ -37,11 +37,18 @@ object ScaleGen {
       df.agg(max(col(key))).head.getLong(0) + 1L
 
     // match the driver layout: ONE flat file named <table>.parquet
-    // (DuckDB's oracle views open the path directly; parquet row
-    // groups keep the Spark scan splittable regardless of file count)
+    // (DuckDB's oracle views open the path directly). A single file is
+    // only scan-parallel if it has MANY ROW GROUPS: Spark assigns a
+    // row group to the task whose byte range contains its midpoint, so
+    // coalesce(1) with the default 128 MB block size produced one
+    // 6 M-row row group — a SINGLE-THREADED scan masquerading as a
+    // scale test. Cap row groups at 8 MB so the big tables split
+    // ~10-way (real deployments have many files anyway).
     def writeFlat(df: DataFrame, t: String): Unit = {
       val tmp = s"$outDir/.tmp-$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp)
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
