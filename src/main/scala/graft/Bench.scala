@@ -27,6 +27,16 @@ object Bench {
       // setting is a no-op.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16KB"))
+      // scan-split sizing is a per-SF knob: at 100 TB with 128 MB files
+      // the default is right, and at sf0.1 fragmenting the iceberg /
+      // lakehouse intermediate files into tiny tasks costs more in
+      // scheduling than it buys (measured +22% on the full bench). The
+      // sf1 protocol (SCALE_NOTES.md) sets 2 MB + 256 KB open cost so
+      // the 2 MB-row-group ScaleGen tables scan in parallel.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "128MB"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)

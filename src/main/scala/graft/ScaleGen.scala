@@ -42,12 +42,14 @@ object ScaleGen {
     // row group to the task whose byte range contains its midpoint, so
     // coalesce(1) with the default 128 MB block size produced one
     // 6 M-row row group — a SINGLE-THREADED scan masquerading as a
-    // scale test. Cap row groups at 8 MB so the big tables split
-    // ~10-way (real deployments have many files anyway).
+    // scale test. Cap row groups at 2 MB so even the mid-size tables
+    // (events is ~7.5 MB compressed) split several ways (real
+    // deployments have many files anyway); pairs with the engine's
+    // SF-sized spark.sql.files.maxPartitionBytes.
     def writeFlat(df: DataFrame, t: String): Unit = {
       val tmp = s"$outDir/.tmp-$t"
       df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .option("parquet.block.size", (2 * 1024 * 1024).toString)
         .parquet(tmp)
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)

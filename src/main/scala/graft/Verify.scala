@@ -14,6 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // see Bench: keep per-row-kernel projections parallel at test scale
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+      // see Bench: scan-split sizing is a per-SF knob (the sf1 protocol
+      // sets 2 MB; the default is right at sf0.01 and at real scale)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "128MB"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
