@@ -39,8 +39,8 @@ object ThroughputBench {
     {
       import graft.sources.{Broker, KafkaWire, Migrator}
       val nParts = cpus.toInt
-      val src = new KafkaWire.Server(maxFetchRecords = 5000)
-      val dst = new KafkaWire.Server(maxFetchRecords = 5000)
+      val src = new KafkaWire.Server(maxFetchRecords = 10000)
+      val dst = new KafkaWire.Server(maxFetchRecords = 10000)
       val srcAddr = s"kafka://127.0.0.1:${src.port}"
       val dstAddr = s"kafka://127.0.0.1:${dst.port}"
       try {
@@ -50,7 +50,7 @@ object ThroughputBench {
         val t0 = System.nanoTime()
         spark.sparkContext.parallelize(0 until nParts, nParts).foreach { p =>
           val t = Broker.transportFor(srcAddr)
-          (0 until perPart).grouped(5000).foreach { chunk =>
+          (0 until perPart).grouped(10000).foreach { chunk =>
             t.append("bulk", p, chunk.map(i =>
               Broker.Record(s"k$i".getBytes, value, Map.empty, 1L + i)))
           }
@@ -62,7 +62,7 @@ object ThroughputBench {
         val t1 = System.nanoTime()
         val report = Migrator.migrate(spark, srcAddr, dstAddr,
           topics = Seq("bulk"), syncGroups = false, syncAcls = false,
-          chunk = 5000)
+          chunk = 10000)
         val migrateSec = (System.nanoTime() - t1) / 1e9
         require(report.records == total, s"migrated ${report.records} of $total")
         results("migrate_msgs_per_sec") = total / migrateSec

@@ -76,6 +76,21 @@ object Broker {
     def listAcls(): Seq[(String, String, String)] = Nil
   }
 
+  /** Optional batch-passthrough surface (KafkaWire): wire record-sets
+    * move verbatim — the broker re-bases offsets by patching batch
+    * headers (outside the CRC region), so a copy never decodes record
+    * bodies. This is what makes broker→broker migration memcpy-bound,
+    * the same property real brokers exploit for zero-copy replication.
+    */
+  trait RawBatchTransport { self: Transport =>
+    /** One fetch round at `from`: (rawRecordSet, recordCount, highWatermark). */
+    def fetchRawBatches(topic: String, partition: Int,
+                        from: Long): (Array[Byte], Int, Long)
+    /** Produce a wire record-set verbatim; returns the assigned base offset. */
+    def appendRawBatches(topic: String, partition: Int,
+                         recordSet: Array[Byte]): Long
+  }
+
   /** In-process broker fake: a named registry of topics, each an array
     * of synchronized append-only partition logs. JVM-wide on purpose —
     * under `local[&#42;]` every executor thread sees the same instance,

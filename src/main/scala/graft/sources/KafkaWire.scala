@@ -383,19 +383,152 @@ object KafkaWire {
 
   // ── server ──────────────────────────────────────────────────────────
 
-  private final class PartitionLog {
-    val records = ArrayBuffer.empty[Broker.Stored]
-    def end: Long = synchronized(records.length.toLong)
-    def append(batch: Seq[Broker.Stored]): Long = synchronized {
-      val base = records.length.toLong
-      batch.zipWithIndex.foreach { case (r, i) =>
-        records += r.copy(offset = base + i)
+  /** One wire record-batch as scanned by [[scanBatchHeaders]]:
+    * `pos`/`len` span the batch INCLUDING its 12-byte preamble.
+    */
+  final case class BatchInfo(pos: Int, len: Int, base: Long, count: Int)
+
+  /** Header-only walk of a record set: validates magic + CRC per batch
+    * and returns (position, length, baseOffset, recordCount) without
+    * parsing any record bodies — the broker's produce hot path.
+    */
+  def scanBatchHeaders(buf: Array[Byte]): Seq[BatchInfo] = {
+    val out = ArrayBuffer.empty[BatchInfo]
+    var pos = 0
+    while (pos + 12 <= buf.length) {
+      val hdr = new Rd(buf, pos)
+      val base = hdr.i64()
+      val batchLen = hdr.i32()
+      if (pos + 12 + batchLen > buf.length) { pos = buf.length } // truncated
+      else {
+        val r = new Rd(buf, pos + 12, pos + 12 + batchLen)
+        r.skip(4) // partitionLeaderEpoch
+        val magic = r.i8()
+        if (magic != 2) throw new CorruptBatch(s"unsupported magic $magic")
+        val crc = r.u32()
+        val crcFrom = r.pos - (pos + 12)
+        val check = new CRC32C
+        check.update(buf, pos + 12 + crcFrom, batchLen - crcFrom)
+        if (check.getValue != crc)
+          throw new CorruptBatch(
+            s"crc mismatch: wire=$crc computed=${check.getValue}")
+        r.skip(2 + 4 + 8 + 8 + 8 + 2 + 4) // attrs..baseSequence
+        val count = r.i32()
+        if (count < 0) throw new CorruptBatch(s"negative record count $count")
+        out += BatchInfo(pos, 12 + batchLen, base, count)
+        pos += 12 + batchLen
       }
+    }
+    out.toSeq
+  }
+
+  /** The log stores WIRE BATCHES, not rows — like a real broker. A
+    * produced batch is CRC-validated, RE-BASED by patching the 8-byte
+    * baseOffset (which sits OUTSIDE the CRC region, so the producer's
+    * checksum stays valid — the same property real brokers exploit for
+    * zero-copy), and kept verbatim; record-level views decode lazily
+    * and are cached. Fetches at a batch boundary serve the stored bytes
+    * with no re-encode — the batch-passthrough path that makes
+    * broker→broker migration memcpy-bound instead of codec-bound.
+    */
+  private final class PartitionLog(partition: Int) {
+    private final class Entry(val base: Long, val count: Int,
+                              val bytes: Array[Byte],
+                              preParsed: Vector[Broker.Stored]) {
+      lazy val records: Vector[Broker.Stored] =
+        if (preParsed != null) preParsed
+        else decodeBatches(bytes, partition, assignFrom = None).toVector
+    }
+    private val entries = ArrayBuffer.empty[Entry]
+    private var endOff = 0L
+
+    def end: Long = synchronized(endOff)
+
+    def append(batch: Seq[Broker.Stored]): Long = synchronized {
+      val base = endOff
+      val rebased = batch.zipWithIndex
+        .map { case (r, i) => r.copy(offset = base + i) }.toVector
+      entries += new Entry(base, rebased.size,
+        encodeBatch(rebased, CodecNone), rebased)
+      endOff += rebased.size
       base
     }
-    def slice(from: Long, limit: Int): Vector[Broker.Stored] = synchronized {
-      records.slice(from.toInt,
-        math.min(records.length.toLong, from + limit).toInt).toVector
+
+    /** Append producer wire batches verbatim (CRC-checked, re-based). */
+    def appendRaw(recordSet: Array[Byte]): Long = {
+      val scanned = scanBatchHeaders(recordSet) // validate OUTSIDE the lock
+      synchronized {
+        val first = endOff
+        scanned.foreach { b =>
+          val bytes = java.util.Arrays.copyOfRange(
+            recordSet, b.pos, b.pos + b.len)
+          // patch baseOffset (bytes 0-7, big-endian) to the assigned base
+          var v = endOff; var i = 7
+          while (i >= 0) { bytes(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+          entries += new Entry(endOff, b.count, bytes, null)
+          endOff += b.count
+        }
+        first
+      }
+    }
+
+    def slice(from: Long, limit: Int): Vector[Broker.Stored] = {
+      val (snapshot, hw) = synchronized((entries.toVector, endOff))
+      if (from >= hw) return Vector.empty
+      val start = math.max(0, {
+        var lo = 0; var hi = snapshot.length - 1; var ans = 0
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (snapshot(mid).base <= from) { ans = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        ans
+      })
+      val out = Vector.newBuilder[Broker.Stored]
+      var n = 0
+      var i = start
+      while (i < snapshot.length && n < limit) {
+        snapshot(i).records.foreach { r =>
+          if (r.offset >= from && n < limit) { out += r; n += 1 }
+        }
+        i += 1
+      }
+      out.result()
+    }
+
+    /** Raw passthrough: when `from` is exactly a batch boundary, the
+      * stored wire bytes of consecutive batches (≥1, up to ~maxRecs
+      * records) are served verbatim. Mid-batch offsets fall back to the
+      * record-level path (None).
+      */
+    def rawSlice(from: Long, maxRecs: Int): Option[Array[Byte]] = {
+      val snapshot = synchronized(entries.toVector)
+      val i0 = {
+        var lo = 0; var hi = snapshot.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (snapshot(mid).base <= from) { ans = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        ans
+      }
+      if (i0 < 0 || snapshot(i0).base != from) return None
+      var total = 0; var n = 0; var i = i0
+      while (i < snapshot.length &&
+             (n == 0 || n + snapshot(i).count <= maxRecs)) {
+        total += snapshot(i).bytes.length
+        n += snapshot(i).count
+        i += 1
+      }
+      val out = new Array[Byte](total)
+      var pos = 0; var j = i0
+      while (j < i) {
+        System.arraycopy(snapshot(j).bytes, 0, out, pos,
+          snapshot(j).bytes.length)
+        pos += snapshot(j).bytes.length
+        j += 1
+      }
+      Some(out)
     }
   }
 
@@ -451,7 +584,8 @@ object KafkaWire {
       * CreateTopics over the wire — the server handles both).
       */
     def createTopic(topic: String, partitions: Int): Unit = {
-      topics.putIfAbsent(topic, Array.fill(partitions)(new PartitionLog))
+      topics.putIfAbsent(topic,
+        Array.tabulate(partitions)(new PartitionLog(_)))
       ()
     }
 
@@ -583,7 +717,7 @@ object KafkaWire {
         b.array(reqs) { case (name, nParts) =>
           b.str(name)
           if (topics.putIfAbsent(name,
-              Array.fill(math.max(nParts, 1))(new PartitionLog)).isEmpty)
+              Array.tabulate(math.max(nParts, 1))(new PartitionLog(_))).isEmpty)
             b.i16(ErrNone)
           else b.i16(ErrTopicAlreadyExists)
         }
@@ -600,10 +734,9 @@ object KafkaWire {
             r.tags()
             val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
               case Some(Some(log)) =>
-                try {
-                  val recs = decodeBatches(recordSet, p, assignFrom = Some(0L))
-                  (ErrNone, log.append(recs))
-                } catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
+                // header-scan + CRC only; bodies parse lazily on demand
+                try (ErrNone, log.appendRaw(recordSet))
+                catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
               case _ => (ErrUnknownTopicOrPartition, -1L)
             }
             (p, err, baseOff)
@@ -638,10 +771,8 @@ object KafkaWire {
             val recordSet = r.nbytes()
             val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
               case Some(Some(log)) =>
-                try {
-                  val recs = decodeBatches(recordSet, p, assignFrom = Some(0L))
-                  (ErrNone, log.append(recs))
-                } catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
+                try (ErrNone, log.appendRaw(recordSet))
+                catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
               case _ => (ErrUnknownTopicOrPartition, -1L)
             }
             (p, err, baseOff)
@@ -682,9 +813,16 @@ object KafkaWire {
                 val end = log.end
                 if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
                 else {
-                  val recs = log.slice(off, maxFetchRecords)
-                  val bytes = if (recs.isEmpty) Array.empty[Byte]
-                              else encodeBatch(recs, fetchCodec)
+                  // batch passthrough at boundaries (fetchCodec honored
+                  // only on the re-encode fallback, like a real broker
+                  // serving producer compression as-is)
+                  val bytes = (if (fetchCodec == CodecNone)
+                      log.rawSlice(off, maxFetchRecords) else None)
+                    .getOrElse {
+                      val recs = log.slice(off, maxFetchRecords)
+                      if (recs.isEmpty) Array.empty[Byte]
+                      else encodeBatch(recs, fetchCodec)
+                    }
                   (p, ErrNone, end, bytes)
                 }
               case None => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
@@ -724,9 +862,13 @@ object KafkaWire {
                 val end = log.end
                 if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
                 else {
-                  val recs = log.slice(off, maxFetchRecords)
-                  val bytes = if (recs.isEmpty) Array.empty[Byte]
-                              else encodeBatch(recs, fetchCodec)
+                  val bytes = (if (fetchCodec == CodecNone)
+                      log.rawSlice(off, maxFetchRecords) else None)
+                    .getOrElse {
+                      val recs = log.slice(off, maxFetchRecords)
+                      if (recs.isEmpty) Array.empty[Byte]
+                      else encodeBatch(recs, fetchCodec)
+                    }
                   (p, ErrNone, end, bytes)
                 }
               case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
@@ -992,7 +1134,7 @@ object KafkaWire {
   final class Client(host: String, port: Int, clientId: String = "graft",
                      produceCodec: Int = CodecNone,
                      protocol: String = "auto")
-      extends Broker.Transport {
+      extends Broker.Transport with Broker.RawBatchTransport {
     require(Set("auto", "legacy", "flexible")(protocol),
       s"protocol must be auto|legacy|flexible, got $protocol")
     private val conns = TrieMap.empty[Long, Conn]
@@ -1147,13 +1289,11 @@ object KafkaWire {
       base
     }
 
-    override def fetch(topic: String, partition: Int, from: Long,
-                       until: Long): Iterator[Broker.Stored] = {
-      val out = ArrayBuffer.empty[Broker.Stored]
-      var cur = from
-      var hw = Long.MaxValue
-      while (cur < until && cur < hw) {
-        val parsed: (Short, Long, Array[Byte]) = if (flexData) {
+    /** One Fetch round: (error, highWatermark, rawRecordSet|null). */
+    private def fetchOnce(topic: String, partition: Int,
+                          cur: Long): (Short, Long, Array[Byte]) = {
+      val hw = Long.MaxValue
+      if (flexData) {
           val tid = topicIdOf(topic)
           val r = conn.request(ApiFetch, 13) { b =>
             b.i32(-1); b.i32(100); b.i32(1); b.i32(4 * 1024 * 1024); b.i8(0)
@@ -1205,29 +1345,97 @@ object KafkaWire {
           } }
           out0
         }
+    }
+
+    override def fetch(topic: String, partition: Int, from: Long,
+                       until: Long): Iterator[Broker.Stored] = {
+      val out = ArrayBuffer.empty[Broker.Stored]
+      var cur = from
+      var hw = Long.MaxValue
+      while (cur < until && cur < hw) {
+        val (err, hwm, recordSet) = fetchOnce(topic, partition, cur)
+        if (err != ErrNone) throw new WireError(err, s"Fetch $topic/$partition@$cur")
+        hw = hwm
         var progressed = false
-        locally {
-          val (err, hwm, recordSet) = parsed
-          if (err != ErrNone) throw new WireError(err, s"Fetch $topic/$partition@$cur")
-          hw = hwm
-          if (recordSet != null && recordSet.nonEmpty) {
-            val recs = decodeBatches(recordSet, partition, assignFrom = None)
-              .filter(rec => rec.offset >= cur && rec.offset < until)
-            if (recs.nonEmpty) {
-              out ++= recs
-              cur = recs.last.offset + 1
-              progressed = true
-            } else {
-              // whole response below `from` can't happen (we asked at
-              // cur); a batch entirely >= until means we're done
-              cur = until
-              progressed = true
-            }
+        if (recordSet != null && recordSet.nonEmpty) {
+          val recs = decodeBatches(recordSet, partition, assignFrom = None)
+            .filter(rec => rec.offset >= cur && rec.offset < until)
+          if (recs.nonEmpty) {
+            out ++= recs
+            cur = recs.last.offset + 1
+            progressed = true
+          } else {
+            // whole response below `from` can't happen (we asked at
+            // cur); a batch entirely >= until means we're done
+            cur = until
+            progressed = true
           }
         }
         if (!progressed) cur = math.max(cur, math.min(until, hw))
       }
       out.iterator
+    }
+
+    /** Raw-batch read: one fetch round at `from`, returning the wire
+      * record set verbatim plus its scanned record count and the high
+      * watermark — the migrator's passthrough source.
+      */
+    override def fetchRawBatches(topic: String, partition: Int,
+                                 from: Long): (Array[Byte], Int, Long) = {
+      val (err, hw, recordSet) = fetchOnce(topic, partition, from)
+      if (err != ErrNone)
+        throw new WireError(err, s"Fetch $topic/$partition@$from")
+      if (recordSet == null || recordSet.isEmpty)
+        (Array.emptyByteArray, 0, hw)
+      else {
+        val scanned = scanBatchHeaders(recordSet)
+        (recordSet, scanned.map(_.count).sum, hw)
+      }
+    }
+
+    /** Raw-batch write: produce the wire record set verbatim (the
+      * broker re-bases offsets by patching batch headers).
+      */
+    override def appendRawBatches(topic: String, partition: Int,
+                                  recordSet: Array[Byte]): Long = {
+      var base = -1L
+      if (flexData) {
+        val r = conn.request(ApiProduce, 9) { b =>
+          b.cnstr(null); b.i16(-1); b.i32(30000)
+          b.carray(Seq(topic)) { t =>
+            b.cstr(t)
+            b.carray(Seq(partition)) { p =>
+              b.i32(p); b.cnbytes(recordSet); b.tags() }
+            b.tags()
+          }
+          b.tags()
+        }
+        r.carray { r.cstr(); r.carray {
+          r.i32(); val err = r.i16(); val off = r.i64(); r.i64(); r.i64()
+          r.carray { r.i32(); r.cstr(); r.tags() } // record_errors
+          r.cstr() // error_message
+          r.tags()
+          if (err != ErrNone)
+            throw new WireError(err, s"Produce $topic/$partition")
+          base = off
+        }; r.tags() }
+        r.i32(); r.tags()
+      } else {
+        val r = conn.request(ApiProduce, 3) { b =>
+          b.nstr(null); b.i16(-1); b.i32(30000)
+          b.array(Seq(topic)) { t =>
+            b.str(t)
+            b.array(Seq(partition)) { p => b.i32(p); b.nbytes(recordSet) }
+          }
+        }
+        r.array { r.str(); r.array {
+          r.i32(); val err = r.i16(); val off = r.i64(); r.i64()
+          if (err != ErrNone)
+            throw new WireError(err, s"Produce $topic/$partition")
+          base = off
+        } }
+      }
+      base
     }
 
     override def commitGroupOffset(group: String, topic: String,

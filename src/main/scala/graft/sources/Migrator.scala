@@ -140,17 +140,41 @@ object Migrator {
           val dstBase = d.endOffset(topic, p)
           var from = 0L
           var n = 0L
-          while (from < end) {
-            val until = math.min(from + ch, end)
-            val records = s.fetch(topic, p, from, until).map { st =>
-              Broker.Record(
-                translateSchemaId(st.key, im),
-                translateSchemaId(st.value, im),
-                st.headers, st.timestampMs)
-            }.toSeq
-            d.append(topic, p, records)
-            n += records.size
-            from = until
+          (s, d) match {
+            case (sr: Broker.RawBatchTransport, dr: Broker.RawBatchTransport)
+                if im.isEmpty =>
+              // batch passthrough: no schema-id rewriting needed, so
+              // wire record-sets copy verbatim (source batches start at
+              // offset 0 and `from` advances by whole batches, keeping
+              // every fetch boundary-aligned → the broker serves raw
+              // bytes; the destination re-bases by header patch)
+              while (from < end) {
+                val (bytes, cnt, hw) = sr.fetchRawBatches(topic, p, from)
+                if (cnt == 0) {
+                  // nothing served (e.g. from == end race): re-check end
+                  from = math.max(from, math.min(end, hw))
+                  if (bytes.isEmpty && from < end)
+                    throw new IllegalStateException(
+                      s"raw fetch stalled at $topic/$p@$from")
+                } else {
+                  dr.appendRawBatches(topic, p, bytes)
+                  n += cnt
+                  from += cnt
+                }
+              }
+            case _ =>
+              while (from < end) {
+                val until = math.min(from + ch, end)
+                val records = s.fetch(topic, p, from, until).map { st =>
+                  Broker.Record(
+                    translateSchemaId(st.key, im),
+                    translateSchemaId(st.value, im),
+                    st.headers, st.timestampMs)
+                }.toSeq
+                d.append(topic, p, records)
+                n += records.size
+                from = until
+              }
           }
           (topic, p, dstBase, n)
         }.collect().toSeq

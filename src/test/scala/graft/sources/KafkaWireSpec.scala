@@ -295,6 +295,59 @@ class KafkaWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("raw batch passthrough: fetch/produce verbatim, broker re-bases") {
+    withServer { src =>
+      withServer { dst =>
+        val cs = new KafkaWire.Client("127.0.0.1", src.port)
+        val cd = new KafkaWire.Client("127.0.0.1", dst.port)
+        try {
+          cs.createTopic("raw", 1); cd.createTopic("raw", 1)
+          // pre-seed destination so re-basing is visible (dst ends at 2)
+          cd.append("raw", 0, (0 until 2).map(i =>
+            Broker.Record(null, s"seed-$i".getBytes, Map.empty, i.toLong)))
+          // three source appends = three wire batches
+          (0 until 3).foreach { b =>
+            cs.append("raw", 0, (0 until 4).map(i =>
+              Broker.Record(s"k$b-$i".getBytes, s"v$b-$i".getBytes,
+                Map("h" -> s"$b"), 100L + i)))
+          }
+          // copy raw: offsets advance by whole batches from 0
+          var from = 0L
+          var copied = 0
+          while (from < 12) {
+            val (bytes, cnt, _) = cs.fetchRawBatches("raw", 0, from)
+            assert(cnt > 0, s"no raw progress at $from")
+            val base = cd.appendRawBatches("raw", 0, bytes)
+            assert(base == 2 + from, "destination re-bases past the seed")
+            copied += cnt
+            from += cnt
+          }
+          assert(copied == 12)
+          val got = cd.fetch("raw", 0, 2L, 14L).toVector
+          assert(got.map(r => new String(r.value)) ==
+            (0 until 3).flatMap(b => (0 until 4).map(i => s"v$b-$i")))
+          assert(got.map(_.offset) == (2L until 14L))
+          assert(got.head.headers == Map("h" -> "0"))
+        } finally { cs.close(); cd.close() }
+      }
+    }
+  }
+
+  test("mid-batch fetch offsets still resolve (re-encode fallback)") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("mid", 1)
+        c.append("mid", 0, (0 until 10).map(i =>
+          Broker.Record(null, s"m$i".getBytes, Map.empty, i.toLong)))
+        // offset 3 is inside the single 10-record batch
+        val got = c.fetch("mid", 0, 3L, 7L).toVector
+        assert(got.map(r => new String(r.value)) ==
+          (3 until 7).map(i => s"m$i"))
+      } finally c.close()
+    }
+  }
+
   test("kafka:// address query selects the producer codec") {
     withServer { srv =>
       val addr = s"127.0.0.1:${srv.port}?compression=snappy"
