@@ -98,6 +98,56 @@ object ThroughputBench {
       results("scan_parquet_mb_per_sec") = bytes / 1e6 / sec
     }
 
+    // ── pg_decode: pgoutput WAL decode, one replication connection ────
+    // Baseline analog: the reference's Postgres snapshot peaks at
+    // 318,660 msg/s on 8 cores / 134,287 on 1 (BASELINE.md,
+    // postgres.md:11-31; ~600 B rows). The DB side of that number is
+    // Postgres itself; the ENGINE side is the logical-replication
+    // decode, which like the reference runs one connection per slot —
+    // measured here over a synthesized pgoutput stream in txns of 1000.
+    {
+      import graft.sources.PgOutput
+      import graft.sources.PgOutput.Fixture._
+      val rows = sys.env.getOrElse("SPARK_GRAFT_PG_ROWS", "1000000").toInt
+      val payload = "x" * 560 // ~600 B text tuples, like the baseline corpus
+      val relCols = Seq(
+        (1, "id", PgOutput.OidInt8, -1),
+        (0, "payload", PgOutput.OidText, -1))
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var lsn = 1000L
+      def add(m: Array[Byte]): Unit = {
+        frames += xlog(lsn, 1L, m); lsn += m.length
+      }
+      var i = 0
+      while (i < rows) {
+        val n = math.min(1000, rows - i)
+        add(begin(i.toLong, 1L, i.toLong))
+        if (i == 0) // RELATION rides inside the first txn, as pg sends it
+          add(relation(9L, "public", "cart", 'd', relCols))
+        var j = 0
+        while (j < n) {
+          add(insert(9L, Seq(VText((i + j).toString), VText(payload))))
+          j += 1
+        }
+        add(commit(i.toLong, i.toLong, 1L))
+        i += n
+      }
+      // 3 passes, best one: the earlier migrate phase leaves GC debt
+      // that lands on whichever pass triggers the old-gen collection,
+      // and the first pass pays JIT warmup
+      System.gc()
+      val sec = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val changes = PgOutput.decodeChanges(frames)
+        val s = (System.nanoTime() - t0) / 1e9
+        require(changes.size == rows, s"decoded ${changes.size} of $rows")
+        s
+      }.min
+      results("pg_decode_msgs_per_sec") = rows / sec
+      results("pg_decode_mb_per_sec") =
+        rows * (payload.length + 40).toDouble / 1e6 / sec
+    }
+
     val json = results.map { case (k, v) => s""""$k":${f"$v%.0f"}""" }
       .mkString("{", ",", s""","msgs":$msgs,"sf":"$sfDir"}""")
     println(s"""{"metric":"throughput","unit":"per_sec","values":$json""" + "}")
