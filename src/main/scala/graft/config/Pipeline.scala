@@ -1653,10 +1653,12 @@ object Pipeline {
       df.createOrReplaceTempView("inproc_" + b.asText)
     case ("stdout", _) =>
       // outputs/stdout.adoc — newline-delimited messages to standard
-      // out; driver-side ordered drain (a console is one consumer)
+      // out; driver-side ordered drain (a console is one consumer),
+      // streamed partition-by-partition so the driver never holds the
+      // full result (toLocalIterator, same shape as Tcp/HttpPush)
       val orderedOut = if (df.columns.contains("__seq"))
         df.orderBy(col("__seq")) else df
-      orderedOut.select(col("value")).collect()
+      orderedOut.select(col("value")).toLocalIterator().asScala
         .foreach(r => Console.out.println(r.getString(0)))
     case ("nats_kv", b) =>
       // outputs/nats_kv.adoc — put each value under its interpolated

@@ -1591,7 +1591,7 @@ object Iceberg {
     * cutoff for exactly this reason); tests pass 0 for immediate sweep.
     */
   def removeOrphanFiles(spark: SparkSession, location: String,
-                        olderThanMs: Long = 3L * 60 * 60 * 1000)
+                        olderThanMs: Long = 3L * 24 * 60 * 60 * 1000)
       : Seq[String] = {
     val (_, m) = load(spark, location).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg table at $location"))

@@ -629,14 +629,24 @@ object KafkaWire {
 
     private def dispatch(api: Int, ver: Int, r: Rd, b: Buf): Unit = api match {
       case ApiVersions =>
-        // the broker speaks the legacy AND the flexible generation of
-        // the data-path apis (a modern client picks the max)
-        val supported = Seq(ApiProduce -> (3, 9), ApiFetch -> (4, 13),
-          ApiListOffsets -> (1, 1), ApiMetadata -> (1, 12),
+        // Advertise ONLY versions whose wire shape is implemented. The
+        // broker dispatches two generations of each data-path api
+        // (legacy Produce v3 / Fetch v4 / Metadata v1 and flexible
+        // v9/v13/v12) but an ApiVersions entry is one contiguous range
+        // per key, and advertising the span (e.g. Produce 3-9) invites a
+        // real client to negotiate an intermediate version (sarama's
+        // Fetch v11, Produce v7) whose field layout differs from both
+        // implemented shapes — misparse, corrupted connection. min=max
+        // at the flexible shape means a client that can't speak it fails
+        // version negotiation CLEANLY instead; the legacy shapes stay
+        // dispatchable for clients (like this file's `protocol=legacy`
+        // mode) that pin versions without negotiating.
+        val supported = Seq(ApiProduce -> (9, 9), ApiFetch -> (13, 13),
+          ApiListOffsets -> (1, 1), ApiMetadata -> (12, 12),
           ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 2),
           ApiFindCoordinator -> (0, 0), ApiJoinGroup -> (2, 2),
           ApiHeartbeat -> (1, 1), ApiLeaveGroup -> (1, 1),
-          ApiSyncGroup -> (1, 1), ApiVersions -> (0, 3),
+          ApiSyncGroup -> (1, 1), ApiVersions -> (3, 3),
           ApiCreateTopics -> (1, 1))
         if (ver >= 3) { // flexible BODY (response header stays v0)
           r.cstr(); r.cstr(); r.tags() // client_software_name/version
@@ -791,10 +801,9 @@ object KafkaWire {
         // v13: topics addressed by KIP-516 topic id, flexible encoding,
         // incremental-session fields present but sessions unused (0/-1
         // from our client = full fetch, like a sessionless consumer).
-        // ApiVersions advertises contiguous (min,max) ranges as the
-        // protocol requires; this loopback broker implements the two
-        // endpoint generations of each range (legacy + flexible), which
-        // is what the paired client negotiates.
+        // ApiVersions advertises only this flexible shape (min=max);
+        // the legacy v4 shape below stays dispatchable for clients that
+        // pin versions without negotiating — see the ApiVersions case.
         r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
         r.i32(); r.i32() // session_id, session_epoch
         val byId = topics.keys.map(n => topicUuid(n) -> n).toMap

@@ -151,11 +151,30 @@ object Migrator {
               while (from < end) {
                 val (bytes, cnt, hw) = sr.fetchRawBatches(topic, p, from)
                 if (cnt == 0) {
+                  if (bytes.nonEmpty)
+                    // bytes with zero decodable records: `from` can
+                    // never advance — fail loudly instead of spinning
+                    throw new IllegalStateException(
+                      s"raw fetch returned ${bytes.length} bytes but 0 " +
+                        s"records at $topic/$p@$from")
                   // nothing served (e.g. from == end race): re-check end
                   from = math.max(from, math.min(end, hw))
-                  if (bytes.isEmpty && from < end)
+                  if (from < end)
                     throw new IllegalStateException(
                       s"raw fetch stalled at $topic/$p@$from")
+                } else if (from + cnt > end) {
+                  // the served batch spills past the end-offset snapshot
+                  // (live topic, records produced after `end` was read):
+                  // batches are indivisible on the raw path, so copy the
+                  // remaining [from, end) slice through the bounded
+                  // record path — the migration stays an exact snapshot
+                  val records = s.fetch(topic, p, from, end).map { st =>
+                    Broker.Record(st.key, st.value, st.headers,
+                      st.timestampMs)
+                  }.toSeq
+                  d.append(topic, p, records)
+                  n += records.size
+                  from = end
                 } else {
                   dr.appendRawBatches(topic, p, bytes)
                   n += cnt

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Pins the r13 adaptive exact-dup-collapse staging of
+  * [[Dedupe.ngramJaccardPairs]]:
+  *   - a near-distinct corpus takes the DIRECT plan (no collapse
+  *     overhead — the r12 driver-harness 17 s mode),
+  *   - a duplicate-heavy corpus takes the STAGED plan and its output is
+  *     byte-identical to the direct plan's,
+  *   - the collapse key is case-SENSITIVE (token-consistent), so docs
+  *     differing only in case are NOT merged (ADVICE r12 high finding).
+  */
+class DedupeStagingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("staged output is byte-identical to direct on a dup-heavy corpus") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(200).collect()
+    // replicate 3x: dup-ratio 3 forces the staged path
+    val rows = (0 until 3).flatMap { rep =>
+      base.map(r => (r.getLong(0) + rep * 1000000L, r.getString(1)))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val staged = pairs(
+      Dedupe.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.35))
+    // reference: the direct (no-collapse) plan over the SAME dup-heavy
+    // data — it computes every pair exactly, including J=1 dups
+    val ref = pairs(Dedupe.ngramJaccardPairsDirect(
+      docs.select(col("doc_id").as("id"), col("text").as("__txt")),
+      "__txt", "id", 3, 0.35))
+    assert(staged == ref,
+      s"staged != direct: only-staged=${(staged -- ref).take(5)} " +
+        s"only-direct=${(ref -- staged).take(5)}")
+    assert(staged.nonEmpty)
+  }
+
+  test("near-distinct corpus takes the direct plan (no collapse joins)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = Dedupe.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.35)
+    // the staged plan contains the literal 1.0 within-group projection
+    // and a first(__txt) aggregate; the direct plan has neither
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__fp"),
+      s"near-distinct corpus must skip the collapse staging:\n$plan")
+  }
+
+  test("case-differing docs are not merged by the collapse (ADVICE r12)") {
+    // "alpha beta gamma delta" vs its uppercase: identical lowercased
+    // fingerprint, but zero shared case-sensitive shingles. A lowercasing
+    // collapse key would emit this pair with jaccard=1.0. Replicated so
+    // the dup-ratio check triggers the staged path.
+    val rows = (0 until 4).flatMap { rep =>
+      Seq((rep * 100L + 1L, "alpha beta gamma delta epsilon"),
+          (rep * 100L + 2L, "ALPHA BETA GAMMA DELTA EPSILON"))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = pairs(
+      Dedupe.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.35))
+    // expected: all-lower pairs with each other (J=1), all-upper pairs
+    // with each other (J=1), never cross-case
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, j) =>
+      assert(a % 100 == b % 100,
+        s"cross-case pair ($a,$b) J=$j emitted — collapse key lowercases")
+      assert(j == 1.0)
+    }
+    val lowerIds = rows.filter(_._2.head.isLower).map(_._1)
+    val expected = (for {
+      x <- lowerIds; y <- lowerIds if x < y
+    } yield (x, y, 1.0)).toSet
+    assert(got.filter(_._1 % 100 == 1) == expected)
+  }
+}
