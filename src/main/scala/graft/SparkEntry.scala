@@ -3959,6 +3959,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_agent" -> ((s, d) => {
+      // agent runtime (internal/agent/agent_processor.go:49 +
+      // internal/cli/mcp_server.go): each document makes one
+      // InvokeAgent gRPC round-trip (handshake `1|1|tcp|addr|grpc`,
+      // h2c + redpanda.runtime.v1alpha1 protobuf) to a pooled guest
+      // subprocess, and the guest dispatches its work through an MCP
+      // `to_upper` tool over HTTP+SSE — the full agent ⇄ MCP loop the
+      // reference's `agent` entry point runs. Input is sanitized to
+      // printable ASCII so Java/DuckDB upper-casing agree; tool calls
+      // are control-plane (one message each), so the gate is bounded.
+      import graft.agent.AgentRuntime
+      val repo = java.nio.file.Files.createTempDirectory("p_agent_mcp")
+      val procs = repo.resolve("resources").resolve("processors")
+      java.nio.file.Files.createDirectories(procs)
+      java.nio.file.Files.writeString(procs.resolve("to_upper.yaml"),
+        "label: to_upper\nmeta:\n  mcp:\n    enabled: true\n" +
+          "    description: Uppercase the value\n" +
+          "mapping: root = content().uppercase()\n")
+      val srv = new graft.mcp.McpServer(s, repo.toString)
+      val http = srv.serveHttp()
+      val cmd = Seq(System.getProperty("java.home") + "/bin/java",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.agent.AgentGuestMain", "tool:to_upper")
+      try {
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id") < 40 && col("text").isNotNull)
+          .select(col("doc_id"),
+            regexp_replace(substring(col("text"), 1, 40), "[^ -~]", " ")
+              .as("value"),
+            lit(null).cast("string").as("error"))
+          .repartition(2)
+        AgentRuntime.processor(docs, cmd, http.sseUrl)
+          .select(col("doc_id"), col("value"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally {
+        AgentRuntime.releaseGuest(cmd, http.sseUrl)
+        http.stop()
+      }
+    }),
+
     "p_wasm" -> ((s, d) => {
       // wasm processor (internal/impl/wasm/processor_wazero.go:31 —
       // graft's own core-spec interpreter, graft.wasm): the guest
@@ -4804,6 +4845,13 @@ object SparkEntry {
         |  CASE WHEN lang = 'en' THEN doc_id || ':' || (n_chars * 2)
         |       ELSE doc_id || ':' || n_chars END AS value
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    "p_agent" ->
+      """SELECT doc_id,
+        |  upper(regexp_replace(substring(text, 1, 40), '[^ -~]', ' ', 'g'))
+        |    AS value
+        |FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "p_wasm" ->
       """SELECT upper(CAST(doc_id AS VARCHAR) || ':' || text) AS value,

@@ -1415,7 +1415,7 @@ object Pipeline {
       case None => df
     }
 
-  private def writeOutput(df: DataFrame, n: JsonNode): Unit = one(n) match {
+  private[graft] def writeOutput(df: DataFrame, n: JsonNode): Unit = one(n) match {
     case ("lakehouse", b) =>
       // iceberg-shaped upsert output (output_iceberg.go contract):
       // identifier keys + optional partitioning + delete column
@@ -2211,6 +2211,16 @@ object Processors {
             out.withColumn("__seq", monotonically_increasing_id())
           else out
         }
+
+      case "redpanda_agent_runtime" =>
+        // internal/agent/agent_processor.go:49 — per-message InvokeAgent
+        // to a pooled guest subprocess (handshake + gRPC over h2c); the
+        // guest's MCP tool calls resolve against `mcp_server`
+        val command = Option(body.get("command")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText)
+        val mcpServer = body.path("mcp_server").asText("")
+        val cwd = body.path("cwd").asText("")
+        df => graft.agent.AgentRuntime.processor(df, command, mcpServer, cwd)
 
       // ── flow control / error channel (§2.2) ──────────────────────
       case "switch" =>

@@ -1,0 +1,190 @@
+package graft.agent
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Agent runtime + MCP server — the reference's last execution
+  * surfaces (internal/agent/agent_processor.go, internal/cli/
+  * mcp_server.go): the handshake/gRPC guest loop, the MCP JSON-RPC
+  * dispatch over stdio and HTTP+SSE, and the full
+  * pipeline → guest → MCP-tool conversation over real sockets.
+  */
+class AgentSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def javaCmd(mode: String): Seq[String] = Seq(
+    System.getProperty("java.home") + "/bin/java",
+    "-cp", System.getProperty("java.class.path"),
+    "graft.agent.AgentGuestMain", mode)
+
+  private def writeRepo(dir: java.nio.file.Path): Unit = {
+    val procs = dir.resolve("resources/processors")
+    Files.createDirectories(procs)
+    Files.writeString(procs.resolve("to_upper.yaml"),
+      """label: to_upper
+        |meta:
+        |  mcp:
+        |    enabled: true
+        |    description: Uppercase the value
+        |mapping: root = content().uppercase()
+        |""".stripMargin)
+    val caches = dir.resolve("resources/caches")
+    Files.createDirectories(caches)
+    Files.writeString(caches.resolve("scratch.yaml"),
+      """label: scratch
+        |meta:
+        |  mcp:
+        |    enabled: true
+        |    description: the scratch cache
+        |memory:
+        |  init:
+        |    greeting: hello
+        |""".stripMargin)
+  }
+
+  private def envelope(values: Seq[String]) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(values.zipWithIndex.map { case (v, i) =>
+        Row(v, Map.empty[String, String], null, i.toLong)
+      }: _*),
+      StructType(Seq(
+        StructField("value", StringType),
+        StructField("metadata", MapType(StringType, StringType)),
+        StructField("error", StringType),
+        StructField("__seq", LongType))))
+
+  test("runtimepb: message round-trips every value kind") {
+    val struct = mapper.createObjectNode()
+    struct.put("s", "x"); struct.put("i", 42L); struct.put("d", 1.5)
+    struct.put("b", true); struct.putNull("n")
+    val arr = struct.putArray("l"); arr.add(1L); arr.add("two")
+    val nested = struct.putObject("o"); nested.put("k", "v")
+
+    val m = RuntimePb.Msg(Array.emptyByteArray, Some(struct),
+      Map("meta_a" -> "1", "meta_b" -> "2"), Some("boom"))
+    val back = RuntimePb.decodeMessage(
+      new RuntimePb.Rd(RuntimePb.encodeMessage(m)))
+    assert(back.structured.map(_.toString) == Some(struct.toString))
+    assert(back.metadata == m.metadata)
+    assert(back.error == Some("boom"))
+
+    val raw = RuntimePb.Msg("payload".getBytes(UTF_8), None,
+      Map.empty, None)
+    val rawBack = RuntimePb.decodeInvokeResponse(
+      RuntimePb.encodeInvokeResponse(raw))
+    assert(new String(rawBack.payload, UTF_8) == "payload")
+    assert(rawBack.error.isEmpty)
+  }
+
+  test("mcp server: stdio transport serves initialize/tools/call") {
+    val dir = Files.createTempDirectory("mcp_repo")
+    writeRepo(dir)
+    val srv = new graft.mcp.McpServer(spark, dir.toString)
+    assert(srv.tools.map(_.name).toSet ==
+      Set("to_upper", "get-scratch", "set-scratch"))
+
+    val requests = Seq(
+      """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05","capabilities":{},"clientInfo":{"name":"t","version":"0"}}}""",
+      """{"jsonrpc":"2.0","method":"notifications/initialized"}""",
+      """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""",
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"to_upper","arguments":{"value":"hi there"}}}""",
+      """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"get-scratch","arguments":{"key":"greeting"}}}""",
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"set-scratch","arguments":{"key":"k2","value":"v2"}}}""",
+      """{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{"name":"get-scratch","arguments":{"key":"k2"}}}""")
+    val out = new ByteArrayOutputStream()
+    srv.serveStdio(new ByteArrayInputStream(
+      requests.mkString("\n").getBytes(UTF_8)), out)
+    val responses = out.toString(UTF_8).trim.split("\n").map(mapper.readTree)
+    assert(responses.length == 6) // the notification gets no reply
+    assert(responses(0).at("/result/serverInfo/name").asText == "graft-runtime")
+    val toolNames = responses(1).at("/result/tools").elements()
+    val names = scala.collection.mutable.Set.empty[String]
+    toolNames.forEachRemaining(t => names += t.path("name").asText)
+    assert(names == Set("to_upper", "get-scratch", "set-scratch"))
+    assert(responses(2).at("/result/content/0/text").asText == "HI THERE")
+    assert(responses(3).at("/result/content/0/text").asText == "hello")
+    assert(responses(5).at("/result/content/0/text").asText == "v2")
+  }
+
+  test("mcp server: unknown tool and missing key are reported in-band") {
+    val dir = Files.createTempDirectory("mcp_repo2")
+    writeRepo(dir)
+    val srv = new graft.mcp.McpServer(spark, dir.toString)
+    val bad = mapper.readTree(srv.handle(
+      """{"jsonrpc":"2.0","id":9,"method":"tools/call","params":{"name":"nope"}}""").get)
+    assert(bad.at("/error/message").asText.contains("unknown tool"))
+    val miss = mapper.readTree(srv.handle(
+      """{"jsonrpc":"2.0","id":10,"method":"tools/call","params":{"name":"get-scratch","arguments":{"key":"absent"}}}""").get)
+    assert(miss.at("/result/isError").asBoolean())
+  }
+
+  test("agent processor: guest handshake + InvokeAgent over gRPC (upper)") {
+    val out = AgentRuntime.processor(
+      envelope(Seq("alpha one", "beta two")).repartition(1),
+      javaCmd("upper"), mcpServer = "", cwd = "")
+      .orderBy("__seq")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("ALPHA ONE", "BETA TWO"))
+    assert(out.forall(_.getString(2) == null), out.mkString("; "))
+    assert(out.forall(_.getMap[String, String](1).get("agent")
+      .contains("upper")))
+  }
+
+  test("agent ⇄ MCP: guest dispatches its work through a tool (full loop)") {
+    val dir = Files.createTempDirectory("mcp_repo3")
+    writeRepo(dir)
+    val srv = new graft.mcp.McpServer(spark, dir.toString,
+      labelFilter = Set("to_upper", "scratch").contains)
+    val http = srv.serveHttp()
+    try {
+      // repartition(2): two tasks → two concurrent h2c connections →
+      // two concurrent MCP sessions in the guest (regression: a shared
+      // SSE session interleaved concurrent requests and deadlocked)
+      val out = AgentRuntime.processor(
+        envelope(Seq("hello world", "spark agent", "third doc",
+          "fourth doc")).repartition(2),
+        javaCmd("tool:to_upper"), mcpServer = http.sseUrl, cwd = "")
+        .orderBy("__seq").collect()
+      assert(out.map(_.getString(0)).toSeq ==
+        Seq("HELLO WORLD", "SPARK AGENT", "THIRD DOC", "FOURTH DOC"),
+        out.mkString("; "))
+      assert(out.forall(_.getMap[String, String](1).get("tool")
+        .contains("to_upper")))
+    } finally http.stop()
+  }
+
+  test("agent runner: redpanda_agents.yaml builds input→agent→output") {
+    val dir = Files.createTempDirectory("agent_repo")
+    Files.createDirectories(dir.resolve("mcp"))
+    writeRepo(dir.resolve("mcp"))
+    val cmd = javaCmd("tool:to_upper")
+      .map(c => "\"" + c.replace("\\", "\\\\") + "\"").mkString("[", ", ", "]")
+    Files.writeString(dir.resolve("redpanda_agents.yaml"),
+      s"""agents:
+         |  upper_agent:
+         |    input:
+         |      generate:
+         |        count: 3
+         |        mapping: 'root = "msg " + this.seq.string()'
+         |    tools: [to_upper]
+         |    command: $cmd
+         |    output:
+         |      inproc: agent_out
+         |""".stripMargin)
+    val results = AgentRuntime.run(spark, dir.toString)
+    try {
+      assert(results.map(_.name) == Seq("upper_agent"))
+      val rows = spark.table("inproc_agent_out")
+        .orderBy("value").select("value").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("MSG 0", "MSG 1", "MSG 2"))
+    } finally results.foreach(_.mcp.stop())
+  }
+}
