@@ -1,0 +1,187 @@
+package graft.wasm
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Foreign-toolchain binaries through the graft.wasm engine. Every
+  * module the decoder had seen before round 13 was assembled by its own
+  * WasmAsm; these fixtures were built by clang/wasi-sdk (extracted from
+  * the local Node.js 20 distribution, which embeds them base64-coded:
+  * undici's llhttp HTTP parser and the es-module-lexer — both public
+  * MIT-licensed projects) and exercise encodings and opcode mixes the
+  * self-referential corpus can't: LLVM section layouts, br_table jump
+  * tables, a shared function table with element segments, multi-page
+  * data segments, and the wasi reactor `_initialize` convention.
+  *
+  * The llhttp case is a full EXECUTION differential, not just a decode:
+  * the interpreter drives the real parser through request/response/
+  * error traffic and the callback trace is compared against V8 running
+  * the identical bytes (when `node` is present on the machine).
+  */
+class WasmForeignSpec extends AnyFunSuite {
+
+  private val fixtureDir = Paths.get("src/test/resources/wasm")
+  private def fixture(name: String): Array[Byte] =
+    Files.readAllBytes(fixtureDir.resolve(name))
+
+  test("clang-built es-module-lexer decodes: sections, exports, bodies") {
+    val m = WasmModule.decode(fixture("es_module_lexer.wasm"))
+    assert(m.imports.isEmpty)
+    // counts V8 reports for the same bytes (WebAssembly.Module.exports)
+    assert(m.exports.size == 14)
+    assert(m.funcTypeIdx.size == 50)
+    assert(m.exports.exists(e => e.name == "memory" && e.kind == 2))
+    assert(m.exports.exists(e => e.name == "__heap_base" && e.kind == 3))
+    // every function body decoded into structured instructions
+    assert(m.codes.size == m.funcTypeIdx.size)
+    assert(m.codes.forall(_.body.nonEmpty))
+  }
+
+  /** llhttp host callbacks: record the event trace like the reference's
+    * wazero host module does (undici's llhttp ABI — 8 env imports).
+    */
+  private final class Recorder {
+    val events = ArrayBuffer.empty[String]
+    var inst: WasmInterp.Instance = _
+    private def cb(name: String, withData: Boolean): WasmInterp.HostFn =
+      args => {
+        if (withData) {
+          val at = args(1).toInt
+          val len = args(2).toInt
+          events += s"$name:${new String(inst.readBytes(at, len), UTF_8)}"
+        } else events += name
+        Array(0L)
+      }
+    val host: Map[(String, String), WasmInterp.HostFn] = Map(
+      ("env", "wasm_on_message_begin") -> cb("begin", withData = false),
+      ("env", "wasm_on_url") -> cb("url", withData = true),
+      ("env", "wasm_on_status") -> cb("status", withData = true),
+      ("env", "wasm_on_header_field") -> cb("field", withData = true),
+      ("env", "wasm_on_header_value") -> cb("value", withData = true),
+      ("env", "wasm_on_headers_complete") ->
+        cb("headers_complete", withData = false),
+      ("env", "wasm_on_body") -> cb("body", withData = true),
+      ("env", "wasm_on_message_complete") ->
+        cb("complete", withData = false))
+  }
+
+  /** Parse `payload` with the real llhttp on the graft interpreter;
+    * returns (execute rc, method, keep-alive, event trace).
+    */
+  private def runLlhttp(payload: String, parserType: Long)
+      : (Long, Long, Long, Seq[String]) = {
+    val m = WasmModule.decode(fixture("llhttp.wasm"))
+    val rec = new Recorder
+    val inst = new WasmInterp.Instance(m, rec.host)
+    rec.inst = inst
+    inst.invoke("_initialize")
+    val p = inst.invoke("llhttp_alloc", parserType)(0)
+    val bytes = payload.getBytes(UTF_8)
+    val buf = inst.invoke("malloc", bytes.length.toLong)(0)
+    inst.writeBytes(buf.toInt, bytes)
+    val rc = inst.invoke("llhttp_execute", p, buf, bytes.length.toLong)(0)
+    val method = inst.invoke("llhttp_get_method", p)(0)
+    val keepAlive = inst.invoke("llhttp_should_keep_alive", p)(0)
+    (rc, method, keepAlive, rec.events.toSeq)
+  }
+
+  test("clang-built llhttp EXECUTES: full request parse, correct trace") {
+    val (rc, method, keepAlive, events) = runLlhttp(
+      "POST /hello?x=1 HTTP/1.1\r\nHost: example.com\r\n" +
+        "Content-Length: 5\r\n\r\nabcde", parserType = 1L)
+    assert(rc == 0, s"HPE errno $rc")
+    assert(method == 3L) // POST in llhttp's method enum
+    assert(keepAlive == 1L)
+    assert(events == Seq("begin", "url:/hello?x=1", "field:Host",
+      "value:example.com", "field:Content-Length", "value:5",
+      "headers_complete", "body:abcde", "complete"))
+  }
+
+  test("llhttp: chunked response body reassembles through br_table paths") {
+    val (rc, _, _, events) = runLlhttp(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n", parserType = 2L)
+    assert(rc == 0, s"HPE errno $rc")
+    assert(events.contains("status:OK"))
+    assert(events.filter(_.startsWith("body:")) ==
+      Seq("body:Wiki", "body:pedia"))
+    assert(events.last == "complete")
+  }
+
+  test("llhttp: malformed input surfaces the parser's own errno") {
+    val (rc, _, _, _) =
+      runLlhttp("NOT A REQUEST\r\n\r\n", parserType = 1L)
+    assert(rc != 0) // llhttp rejects; the interpreter must not trap
+  }
+
+  test("llhttp_simd is rejected loudly (v128 unsupported, documented)") {
+    val e = intercept[WasmModule.DecodeError] {
+      WasmModule.decode(fixture("llhttp_simd.wasm"))
+    }
+    assert(e.getMessage.contains("0xfd"))
+  }
+
+  test("execution differential vs V8: identical trace on identical bytes") {
+    val node = new java.io.File("/usr/bin/node")
+    assume(node.canExecute, "node not available on this machine")
+    val payload = "POST /hello?x=1 HTTP/1.1\r\nHost: example.com\r\n" +
+      "Content-Length: 5\r\n\r\nabcde"
+    val script =
+      s"""const fs = require('fs');
+         |const bytes = fs.readFileSync('${fixtureDir.resolve("llhttp.wasm")}');
+         |const events = [];
+         |let mem;
+         |const data = (name) => (p, at, len) => {
+         |  events.push(name + ':' + Buffer.from(mem.buffer, at, len).toString());
+         |  return 0; };
+         |const plain = (name) => () => { events.push(name); return 0; };
+         |(async () => {
+         |  const { instance } = await WebAssembly.instantiate(bytes, { env: {
+         |    wasm_on_message_begin: plain('begin'),
+         |    wasm_on_url: data('url'),
+         |    wasm_on_status: data('status'),
+         |    wasm_on_header_field: data('field'),
+         |    wasm_on_header_value: data('value'),
+         |    wasm_on_headers_complete: plain('headers_complete'),
+         |    wasm_on_body: data('body'),
+         |    wasm_on_message_complete: plain('complete'),
+         |  }});
+         |  const e = instance.exports;
+         |  mem = e.memory;
+         |  e._initialize();
+         |  const p = e.llhttp_alloc(1);
+         |  const req = Buffer.from(${jsString(payload)});
+         |  const buf = e.malloc(req.length);
+         |  Buffer.from(mem.buffer, buf, req.length).set(req);
+         |  const rc = e.llhttp_execute(p, buf, req.length);
+         |  console.log(JSON.stringify({rc, method: e.llhttp_get_method(p),
+         |    keepAlive: e.llhttp_should_keep_alive(p), events}));
+         |})();
+         |""".stripMargin
+    val tmp = Files.createTempFile("llhttp_v8", ".js")
+    Files.writeString(tmp, script)
+    val proc = new ProcessBuilder("/usr/bin/node", tmp.toString).start()
+    val out = new String(proc.getInputStream.readAllBytes(), UTF_8).trim
+    assert(proc.waitFor() == 0,
+      new String(proc.getErrorStream.readAllBytes(), UTF_8))
+    val v8 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    val (rc, method, keepAlive, events) = runLlhttp(payload, 1L)
+    assert(v8.get("rc").asLong == rc)
+    assert(v8.get("method").asLong == method)
+    assert(v8.get("keepAlive").asLong == keepAlive)
+    val v8Events = {
+      val b = Vector.newBuilder[String]
+      v8.get("events").elements().forEachRemaining(e => b += e.asText)
+      b.result()
+    }
+    assert(v8Events == events.toVector)
+  }
+
+  private def jsString(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\r", "\\r")
+      .replace("\n", "\\n").replace("\"", "\\\"") + "\""
+}
