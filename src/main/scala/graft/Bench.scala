@@ -112,13 +112,59 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val (maxName, maxSec) =
       if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
+    // self-describing env block (round-12 lesson: a 4.8× cross-harness
+    // divergence on one query was undiagnosable from the artifact
+    // alone) — split sizing, AQE state, and the PHYSICAL row-group
+    // layout of every input table, since row groups are the atomic
+    // scan-split unit and a one-row-group file serializes its scan no
+    // matter what maxPartitionBytes says
+    val envJson = {
+      def conf(k: String): String =
+        try spark.conf.get(k) catch { case _: Exception => "?" }
+      val rowGroups = {
+        import scala.jdk.CollectionConverters._
+        val dir = java.nio.file.Paths.get(sfDir)
+        val tables =
+          if (java.nio.file.Files.isDirectory(dir))
+            java.nio.file.Files.list(dir).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          else Seq.empty
+        tables.sortBy(_.toString).map { t =>
+          val parts =
+            if (java.nio.file.Files.isDirectory(t))
+              java.nio.file.Files.list(t).iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            else Seq(t)
+          val n = parts.map { f =>
+            try {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f.toString),
+                  spark.sparkContext.hadoopConfiguration)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getFooter.getBlocks.size finally r.close()
+            } catch { case _: Exception => 0 }
+          }.sum
+          val name = t.getFileName.toString.stripSuffix(".parquet")
+          s""""$name":$n"""
+        }.mkString("{", ",", "}")
+      }
+      s""""env":{"cpus":$cpus,""" +
+        s""""max_partition_bytes":"${conf("spark.sql.files.maxPartitionBytes")}",""" +
+        s""""open_cost_bytes":"${conf("spark.sql.files.openCostInBytes")}",""" +
+        s""""min_partition_size":"${conf("spark.sql.adaptive.coalescePartitions.minPartitionSize")}",""" +
+        s""""aqe":${conf("spark.sql.adaptive.enabled")},""" +
+        s""""shuffle_partitions":"${conf("spark.sql.shuffle.partitions")}",""" +
+        s""""row_groups":$rowGroups}"""
+    }
     val extra =
       s""""max_query":"$maxName","max_sec":${fmt(maxSec)},"runs":$runs,"n_queries":${results.size}"""
     // full per-query detail first (humans / logs) …
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // env rides on the FULL artifact only — the tail headline line must
+    // stay inside the driver's bounded stdout window
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$extra,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$extra,$envJson,"queries":$qs,"sf":"$sfDir"}"""
     println(fullJson)
     // … and as a FILE artifact with every per-query row: the driver's
     // stdout-tail parse is capped under ~1900 chars, which truncates the

@@ -4562,7 +4562,7 @@ object SparkEntry {
       // approximate path, gated by recall ≥ 0.9 in RecallSpec.
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
-          nCells = 16, nprobe = 16, fitIter = 3)
+          nCells = 16, nprobe = 16, fitIter = 3, trainSample = 0.25)
         .orderBy(col("query_id"), col("rank"))
     }))
 

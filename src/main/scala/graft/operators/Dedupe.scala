@@ -237,7 +237,41 @@ object Dedupe {
     * don't need it.
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20,
-                      roundsPerCheck: Int = 2): DataFrame = {
+                      roundsPerCheck: Int = 2,
+                      driverMaxEdges: Long = 500000L): DataFrame = {
+    // ADAPTIVE: near-dup pair lists are duplicate-density-sized, not
+    // corpus-sized — when the whole edge list fits on the driver
+    // (≤ driverMaxEdges ≈ 8 MB), iterative Spark label propagation is
+    // pure fixed overhead (each check block is a fresh plan+codegen
+    // cycle, ~3 s for a 25-edge graph) and union-find on the driver is
+    // exact and instant. The distributed path below stays the shape for
+    // real duplicate volumes; IVF makes the same centroids-on-driver
+    // call. Both paths emit identical (id, min-rep) labels.
+    val spark = pairs.sparkSession
+    val collected = pairs.select(col("id_a"), col("id_b"))
+      .limit((driverMaxEdges + 1).toInt).collect()
+    if (collected.length <= driverMaxEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      collected.foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        // union by MIN root so the representative is the smallest id
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        else { parent.getOrElseUpdate(a, a); () }
+      }
+      val ids = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+        .distinct.sorted
+      import spark.implicits._
+      return ids.toSeq.map(id => (id, find(id))).toDF("id", "rep")
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

@@ -93,9 +93,13 @@ object Similarity {
     * moderate-similarity neighbor search where hyperplane LSH recall
     * collapses (see [[lshTopK]]).
     *
-    * Fit: a spherical k-means coarse quantizer (MLlib, cosine distance)
-    * trained on a bounded sample; only the `nCells` centroid vectors
-    * ever reach the driver. Search: every corpus vector is assigned to
+    * Fit: a spherical k-means coarse quantizer trained DRIVER-SIDE on
+    * a bounded sample (collect ≤ maxTrainRows vectors, Lloyd with
+    * normalized-dot assignment) — the standard IVF practice: quantizer
+    * training is a sample-sized local computation even when the corpus
+    * is 100 TB, and it removes the per-iteration distributed-job
+    * overhead a full MLlib fit pays. Search: every corpus vector is
+    * assigned to
     * its single nearest cell, each query probes its `nprobe` nearest
     * cells (graft_ivf_cells kernel — centroids ride into generated code
     * as one broadcast reference object), and only the probed cells'
@@ -109,18 +113,15 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 64, nprobe: Int = 8,
-              trainSample: Double = 1.0, fitIter: Int = 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              trainSample: Double = 1.0, fitIter: Int = 20,
+              maxTrainRows: Int = 200000): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val train0 = corpus.select(array_to_vector(col("embedding")).as("features"))
-    val train = if (trainSample < 1.0) train0.sample(trainSample, 42L) else train0
-    val model = new KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(fitIter)
-      .setDistanceMeasure("cosine")
-      .fit(train)
-    val centroids: Array[Array[Float]] =
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val train0 = corpus.select(col("embedding"))
+    val train =
+      if (trainSample < 1.0) train0.sample(trainSample, 42L) else train0
+    val sample: Array[Array[Float]] = train.limit(maxTrainRows).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = trainSphericalKMeans(sample, nCells, fitIter, seed = 42L)
     def cells(e: Column, n: Int): Column =
       GraftColumnBridge.column(
         IvfCells(GraftColumnBridge.expression(e), centroids, n))
@@ -140,5 +141,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Spherical k-means (Lloyd) on a driver-resident sample: vectors and
+    * centroids are L2-normalized, assignment maximizes the dot product
+    * (= cosine), the new centroid is the normalized member mean, and an
+    * emptied cell keeps its previous centroid. Seeded shuffle init —
+    * deterministic for the oracle gates.
+    */
+  private[operators] def trainSphericalKMeans(
+      sample: Array[Array[Float]], k: Int, iters: Int,
+      seed: Long): Array[Array[Float]] = {
+    require(sample.nonEmpty, "ivf: empty training sample")
+    val dim = sample(0).length
+    def normalized(v: Array[Float]): Array[Float] = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v.clone()
+      else { val o = new Array[Float](v.length)
+        i = 0; while (i < v.length) { o(i) = (v(i) / n).toFloat; i += 1 }; o }
+    }
+    val vecs = sample.map(normalized)
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, vecs.length)
+    var cents: Array[Array[Float]] =
+      rnd.shuffle(vecs.indices.toVector).take(kk).map(vecs(_).clone).toArray
+    def nearest(v: Array[Float]): Int = {
+      var best = 0; var bestDot = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        var dot = 0.0; var i = 0
+        val cent = cents(c)
+        while (i < dim) { dot += v(i).toDouble * cent(i); i += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      vecs.foreach { v =>
+        val c = nearest(v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else normalized(sums(c).map(_.toFloat))
+      }
+      it += 1
+    }
+    cents
   }
 }

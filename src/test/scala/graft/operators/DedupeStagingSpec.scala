@@ -52,6 +52,21 @@ class DedupeStagingSpec extends SparkSpec {
       s"near-distinct corpus must skip the collapse staging:\n$plan")
   }
 
+  test("resolveClusters: driver union-find == distributed propagation") {
+    // chain 1-2-3, pair 10-11, singleton-pair 20-21, and a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L), (30L, 32L), (31L, 32L)).toDF("id_a", "id_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val driver = labels(Dedupe.resolveClusters(pairs))
+    val dist = labels(Dedupe.resolveClusters(pairs, driverMaxEdges = 0L))
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (20L, 20L), (21L, 20L), (30L, 30L), (31L, 30L),
+      (32L, 30L))
+    assert(driver == expected)
+    assert(dist == expected)
+  }
+
   test("case-differing docs are not merged by the collapse (ADVICE r12)") {
     // "alpha beta gamma delta" vs its uppercase: identical lowercased
     // fingerprint, but zero shared case-sensitive shingles. A lowercasing
