@@ -238,15 +238,17 @@ object Dedupe {
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20,
                       roundsPerCheck: Int = 2,
-                      driverMaxEdges: Long = 500000L): DataFrame = {
+                      driverMaxEdges: Long = 5000000L): DataFrame = {
     // ADAPTIVE: near-dup pair lists are duplicate-density-sized, not
     // corpus-sized — when the whole edge list fits on the driver
-    // (≤ driverMaxEdges ≈ 8 MB), iterative Spark label propagation is
-    // pure fixed overhead (each check block is a fresh plan+codegen
-    // cycle, ~3 s for a 25-edge graph) and union-find on the driver is
-    // exact and instant. The distributed path below stays the shape for
-    // real duplicate volumes; IVF makes the same centroids-on-driver
-    // call. Both paths emit identical (id, min-rep) labels.
+    // (≤ driverMaxEdges: 5 M edges ≈ 80 MB), iterative Spark label
+    // propagation is pure fixed overhead (each check block is a fresh
+    // plan+codegen cycle — ~3 s on a 25-edge graph, ~39 s on a 2.2 M-
+    // edge one whose components have diameter 1) and union-find on the
+    // driver is exact and instant. The distributed path below stays
+    // the shape for beyond-driver edge volumes; IVF makes the same
+    // centroids-on-driver call. Both paths emit identical
+    // (id, min-rep) labels, pinned by spec.
     val spark = pairs.sparkSession
     val collected = pairs.select(col("id_a"), col("id_b"))
       .limit((driverMaxEdges + 1).toInt).collect()
