@@ -78,6 +78,11 @@ object WasmAsm {
     def i32Store8(offset: Int = 0): Code = memop(0x3a, 0, offset)
     def memorySize(): Code = { u8(0x3f); u8(0x00) }
     def memoryGrow(): Code = { u8(0x40); u8(0x00) }
+    // bulk memory (0xFC-prefixed)
+    def memoryInit(dataIdx: Int): Code = { u8(0xfc); u(8); u(dataIdx); u8(0x00) }
+    def dataDrop(dataIdx: Int): Code = { u8(0xfc); u(9); u(dataIdx) }
+    def memoryCopy(): Code = { u8(0xfc); u(10); u8(0x00); u8(0x00) }
+    def memoryFill(): Code = { u8(0xfc); u(11); u8(0x00) }
     def i32Const(v: Int): Code = { u8(0x41); s(v.toLong) }
     def i64Const(v: Long): Code = { u8(0x42); s(v) }
     def f32Const(v: Float): Code = {
@@ -137,7 +142,7 @@ object WasmAsm {
     private var memLimits: Option[(Int, Option[Int])] = None
     private var exportMemName: Option[String] = None
     private val globals = ArrayBuffer.empty[(Int, Boolean, Code)]
-    private val datas = ArrayBuffer.empty[(Int, Array[Byte])]
+    private val datas = ArrayBuffer.empty[(Option[Int], Array[Byte])]
     private var tableMin = -1
     private val elems = ArrayBuffer.empty[(Int, Seq[Int])]
     private var startFn = -1
@@ -173,7 +178,13 @@ object WasmAsm {
       val c = new Code; init(c); globals += ((valType, mutable, c))
       globals.length - 1
     }
-    def data(offset: Int, bytes: Array[Byte]): Unit = datas += ((offset, bytes))
+    def data(offset: Int, bytes: Array[Byte]): Unit =
+      datas += ((Some(offset), bytes))
+    /** Passive data segment (bulk memory) — returns its index for
+      * memory.init / data.drop. */
+    def dataPassive(bytes: Array[Byte]): Int = {
+      datas += ((None, bytes)); datas.length - 1
+    }
     def table(min: Int): Unit = tableMin = min
     def elem(offset: Int, funcIdxs: Seq[Int]): Unit = elems += ((offset, funcIdxs))
     def start(funcIdx: Int): Unit = startFn = funcIdx
@@ -251,6 +262,10 @@ object WasmAsm {
           leb(b, fns.length.toLong); fns.foreach(f => leb(b, f.toLong))
         }
       }
+      // DataCount (id 12) must PRECEDE code when memory.init/data.drop
+      // are used — emitted whenever a passive segment exists
+      if (datas.exists(_._1.isEmpty))
+        section(12)(b => leb(b, datas.length.toLong))
       if (funcs.nonEmpty) section(10) { b =>
         vec(b, funcs.length) { i =>
           val f = funcs(i)
@@ -273,8 +288,13 @@ object WasmAsm {
       if (datas.nonEmpty) section(11) { b =>
         vec(b, datas.length) { i =>
           val (off, bytes) = datas(i)
-          leb(b, 0L)
-          b += 0x41.toByte; sleb(b, off.toLong); b += 0x0b.toByte
+          off match {
+            case Some(o) =>
+              leb(b, 0L)
+              b += 0x41.toByte; sleb(b, o.toLong); b += 0x0b.toByte
+            case None =>
+              leb(b, 1L) // passive
+          }
           leb(b, bytes.length.toLong); b ++= bytes
         }
       }

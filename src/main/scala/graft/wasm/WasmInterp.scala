@@ -63,23 +63,29 @@ object WasmInterp {
     private val globals: Array[Long] =
       module.globals.map(g => evalConst(g.init)).toArray
 
-    // ── table ─────────────────────────────────────────────────────────
-    private val table: Array[Int] =
+    // ── table (growable — bulk-memory table.grow) ─────────────────────
+    private var table: Array[Int] =
       Array.fill(module.tables.headOption.map(_.min).getOrElse(0))(-1)
-    module.elems.foreach { e =>
+    private val tableMax: Int = module.tables.headOption
+      .flatMap(_.max).getOrElse(1 << 20)
+    module.elems.withFilter(!_.passive).foreach { e =>
       val off = evalConst(e.offset).toInt
       if (off < 0 || off + e.funcs.length > table.length)
         throw new Trap("element segment out of bounds")
       e.funcs.indices.foreach(i => table(off + i) = e.funcs(i))
     }
+    // passive elem segments stay addressable by table.init until dropped
+    private val droppedElems = new Array[Boolean](module.elems.length)
 
     // ── data segments ─────────────────────────────────────────────────
-    module.datas.foreach { d =>
+    module.datas.withFilter(!_.passive).foreach { d =>
       val off = evalConst(d.offset).toInt
       if (off < 0 || off.toLong + d.bytes.length > mem.length)
         throw new Trap("data segment out of bounds")
       System.arraycopy(d.bytes, 0, mem, off, d.bytes.length)
     }
+    // passive data segments stay addressable by memory.init until dropped
+    private val droppedData = new Array[Boolean](module.datas.length)
 
     private val exportsByName: Map[String, Export] =
       module.exports.map(e => e.name -> e).toMap
@@ -466,6 +472,69 @@ object WasmInterp {
       case 0xfc05 => push(satI64(f32(pop()).toDouble, signed = false)); NORMAL
       case 0xfc06 => push(satI64(f64(pop()), signed = true)); NORMAL
       case 0xfc07 => push(satI64(f64(pop()), signed = false)); NORMAL
+
+      // ── 0xFC bulk memory (memory.* / data.drop / table.*) ────────────
+      case 0xfc08 => // memory.init dataidx
+        val n = pop().toInt; val s = pop().toInt; val d = pop().toInt
+        val seg = module.datas(ins.a.toInt)
+        val src = if (droppedData(ins.a.toInt)) Array.emptyByteArray
+                  else seg.bytes
+        if (s < 0 || n < 0 || s.toLong + n > src.length ||
+            d < 0 || d.toLong + n > mem.length)
+          throw new Trap("memory.init out of bounds")
+        System.arraycopy(src, s, mem, d, n)
+        NORMAL
+      case 0xfc09 => droppedData(ins.a.toInt) = true; NORMAL // data.drop
+      case 0xfc0a => // memory.copy (overlap-safe per spec)
+        val n = pop().toInt; val s = pop().toInt; val d = pop().toInt
+        if (s < 0 || d < 0 || n < 0 || s.toLong + n > mem.length ||
+            d.toLong + n > mem.length)
+          throw new Trap("memory.copy out of bounds")
+        System.arraycopy(mem, s, mem, d, n) // arraycopy is overlap-safe
+        NORMAL
+      case 0xfc0b => // memory.fill
+        val n = pop().toInt; val v = pop().toByte; val d = pop().toInt
+        if (d < 0 || n < 0 || d.toLong + n > mem.length)
+          throw new Trap("memory.fill out of bounds")
+        java.util.Arrays.fill(mem, d, d + n, v)
+        NORMAL
+      case 0xfc0c => // table.init elemidx
+        val n = pop().toInt; val s = pop().toInt; val d = pop().toInt
+        val seg = module.elems(ins.a.toInt)
+        val src = if (droppedElems(ins.a.toInt)) Vector.empty[Int]
+                  else seg.funcs
+        if (s < 0 || n < 0 || s.toLong + n > src.length ||
+            d < 0 || d.toLong + n > table.length)
+          throw new Trap("table.init out of bounds")
+        var i = 0
+        while (i < n) { table(d + i) = src(s + i); i += 1 }
+        NORMAL
+      case 0xfc0d => droppedElems(ins.a.toInt) = true; NORMAL // elem.drop
+      case 0xfc0e => // table.copy
+        val n = pop().toInt; val s = pop().toInt; val d = pop().toInt
+        if (s < 0 || d < 0 || n < 0 || s.toLong + n > table.length ||
+            d.toLong + n > table.length)
+          throw new Trap("table.copy out of bounds")
+        System.arraycopy(table, s, table, d, n)
+        NORMAL
+      case 0xfc0f => // table.grow (ref null only — funcs are ints here)
+        val delta = pop().toInt; val _ref = pop() // ref.null funcref
+        val old = table.length
+        if (delta < 0 || old.toLong + delta > tableMax) push(-1L)
+        else {
+          val grown = Array.fill(old + delta)(-1)
+          System.arraycopy(table, 0, grown, 0, old)
+          table = grown
+          push(old.toLong)
+        }
+        NORMAL
+      case 0xfc10 => push(table.length.toLong); NORMAL // table.size
+      case 0xfc11 => // table.fill
+        val n = pop().toInt; val v = pop().toInt; val d = pop().toInt
+        if (d < 0 || n < 0 || d.toLong + n > table.length)
+          throw new Trap("table.fill out of bounds")
+        java.util.Arrays.fill(table, d, d + n, v)
+        NORMAL
 
       case op => throw new Trap(f"unimplemented opcode 0x$op%x")
     }

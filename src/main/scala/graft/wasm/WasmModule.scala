@@ -32,8 +32,10 @@ object WasmModule {
   final case class Import(module: String, name: String, kind: Int, desc: Any)
   final case class Export(name: String, kind: Int, idx: Int)
   final case class GlobalDef(valType: Int, mutable: Boolean, init: Vector[Instr])
-  final case class ElemSeg(tableIdx: Int, offset: Vector[Instr], funcs: Vector[Int])
-  final case class DataSeg(memIdx: Int, offset: Vector[Instr], bytes: Array[Byte])
+  final case class ElemSeg(tableIdx: Int, offset: Vector[Instr],
+                           funcs: Vector[Int], passive: Boolean = false)
+  final case class DataSeg(memIdx: Int, offset: Vector[Instr],
+                           bytes: Array[Byte], passive: Boolean = false)
   final case class FuncBody(locals: Vector[Int], body: Vector[Instr])
 
   /** One structured instruction. `op` is the opcode byte (0xFC-prefixed
@@ -178,9 +180,26 @@ object WasmModule {
           case 8 => start = Some(u32().toInt)
           case 9 =>
             elems = vec {
-              val flags = u32().toInt
-              if (flags != 0) throw new DecodeError(s"elem flags $flags unsupported")
-              ElemSeg(0, exprUntilEnd(), vec(u32().toInt))
+              // bulk-memory elem flags (funcidx-vector forms 0-3; the
+              // expr forms 4-7 are not emitted by the toolchains here)
+              u32().toInt match {
+                case 0 => ElemSeg(0, exprUntilEnd(), vec(u32().toInt))
+                case 1 =>
+                  val k = u8()
+                  if (k != 0) throw new DecodeError(s"elemkind $k")
+                  ElemSeg(0, Vector.empty, vec(u32().toInt), passive = true)
+                case 2 =>
+                  val t = u32().toInt
+                  val off = exprUntilEnd()
+                  val k = u8()
+                  if (k != 0) throw new DecodeError(s"elemkind $k")
+                  ElemSeg(t, off, vec(u32().toInt))
+                case 3 => // declared: validation-only, no runtime content
+                  val k = u8()
+                  if (k != 0) throw new DecodeError(s"elemkind $k")
+                  ElemSeg(0, Vector.empty, vec(u32().toInt), passive = true)
+                case f => throw new DecodeError(s"elem flags $f unsupported")
+              }
             }
           case 10 => // code
             codes = vec {
@@ -196,12 +215,14 @@ object WasmModule {
           case 11 =>
             datas = vec {
               val flags = u32().toInt
-              if (flags != 0) throw new DecodeError(s"data flags $flags unsupported")
-              val off = exprUntilEnd()
+              if (flags > 2) throw new DecodeError(s"data flags $flags unsupported")
+              val memIdx = if (flags == 2) u32().toInt else 0
+              val off =
+                if (flags == 1) Vector.empty[Instr] else exprUntilEnd()
               val n = u32().toInt
               val b = java.util.Arrays.copyOfRange(buf, pos, pos + n)
               pos += n
-              DataSeg(0, off, b)
+              DataSeg(memIdx, off, b, passive = flags == 1)
             }
           case 12 => pos = end // data count (bulk-memory): informational
           case s => throw new DecodeError(s"unknown section $s")
@@ -255,8 +276,32 @@ object WasmModule {
           case o if o >= 0x45 && o <= 0xc4 => out += Instr(o)   // numeric + extend
           case 0xfc =>
             val sub = u32().toInt
-            if (sub > 7) throw new DecodeError(s"0xFC $sub unsupported")
-            out += Instr(0xfc00 | sub)                          // sat-trunc
+            sub match {
+              case s if s <= 7 => out += Instr(0xfc00 | s)      // sat-trunc
+              case 8 =>                                         // memory.init
+                val d = u32(); val m = u8()
+                if (m != 0) throw new DecodeError("memory.init memidx")
+                out += Instr(0xfc08, d)
+              case 9 => out += Instr(0xfc09, u32())             // data.drop
+              case 10 =>                                        // memory.copy
+                if (u8() != 0 || u8() != 0)
+                  throw new DecodeError("memory.copy memidx")
+                out += Instr(0xfc0a)
+              case 11 =>                                        // memory.fill
+                if (u8() != 0) throw new DecodeError("memory.fill memidx")
+                out += Instr(0xfc0b)
+              case 12 =>                                        // table.init
+                val e = u32(); val t = u32()
+                out += Instr(0xfc0c, e, t)
+              case 13 => out += Instr(0xfc0d, u32())            // elem.drop
+              case 14 =>                                        // table.copy
+                val d = u32(); val s = u32()
+                out += Instr(0xfc0e, d, s)
+              case 15 => out += Instr(0xfc0f, u32())            // table.grow
+              case 16 => out += Instr(0xfc10, u32())            // table.size
+              case 17 => out += Instr(0xfc11, u32())            // table.fill
+              case s => throw new DecodeError(s"0xFC $s unsupported")
+            }
           case o => throw new DecodeError(f"opcode 0x$o%02x unsupported at ${pos - 1}")
         }
       }
