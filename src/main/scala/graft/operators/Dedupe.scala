@@ -242,15 +242,17 @@ object Dedupe {
     * rep = smallest id in its component — the canonical document the
     * cluster keeps.
     *
-    * Scale/latency notes: the edge list carries SELF-LOOPS so one round
-    * is a single join + min-aggregation with ONE reference to the label
-    * set ("adopt the min over self ∪ neighbors"), which lets
-    * `roundsPerCheck` rounds compose lazily into one Spark action —
-    * rounds needed = graph diameter (near-dup clusters are shallow), and
-    * the driver only materializes a changed-label COUNT once per check
-    * block instead of once per round. For adversarial long-chain graphs
-    * switch to star-contraction; duplicate clusters in real corpora
-    * don't need it.
+    * Scale/latency notes: two adaptive regimes. Edge lists that fit on
+    * the driver resolve by exact union-find (instant); beyond that,
+    * DELTA-ITERATION label propagation — each round only labels that
+    * changed last round flow along edges, so a diameter-d component
+    * costs d shrinking joins, not d full-edge rejoins + full-edge
+    * convergence counts. Rounds needed = graph diameter (near-dup
+    * clusters are shallow). For adversarial long-chain graphs switch to
+    * star-contraction; duplicate clusters in real corpora don't need it.
+    * `roundsPerCheck` is retained for source compatibility; the delta
+    * form checks convergence every round from the (cheap) improved-set
+    * count.
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20,
                       roundsPerCheck: Int = 2,
@@ -290,39 +292,56 @@ object Dedupe {
       import spark.implicits._
       return ids.toSeq.map(id => (id, find(id))).toDF("id", "rep")
     }
+    // DELTA-ITERATION min-label propagation (the Pregel/Flink shape):
+    // a round only propagates labels that CHANGED last round, so a
+    // diameter-d component costs d shrinking edge joins instead of
+    // d × (full-edge join + full-edge convergence count). On the sf10
+    // ladder rung (24.7 M edges, diameter 1) the full-rejoin form
+    // measured ~200 s of propagation; delta form does one full join +
+    // one near-empty confirm.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-    // self-loops make the round's min cover the node's own label
-    val withSelf = edges
-      .union(edges.select(col("src"), col("src").as("dst")).distinct())
       .cache()
-    var labels = withSelf.select(col("src").as("id")).distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .cache()
-    var converged = false
+    // round 0: everything is "changed"
+    var delta = labels
     var done = 0
-    while (!converged && done < maxIter) {
-      val n = math.min(roundsPerCheck, maxIter - done)
-      var cur = labels
-      for (_ <- 1 to n)
-        cur = withSelf
-          .join(cur.withColumnRenamed("id", "dst")
-            .withColumnRenamed("rep", "nbr_rep"), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min(col("nbr_rep")).as("rep"))
-      val next = cur.cache()
-      // one materializing action per check block: count labels that
-      // still changed across the whole block
-      val changed = next.join(
-          labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      done += n
+    var active = true
+    while (active && done < maxIter) {
+      // candidates flow FROM changed nodes along edges: a neighbor of a
+      // changed node may now see a smaller label
+      val cand = edges
+        .join(delta.select(col("id").as("dst"), col("rep").as("nbr_rep")),
+          "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_rep")).as("cand"))
+      val improved = cand
+        .join(labels, "id")
+        .filter(col("cand") < col("rep"))
+        .select(col("id"), col("cand").as("rep"))
+        .cache()
+      val n = improved.count()
+      if (n == 0) {
+        improved.unpersist()
+        active = false
+      } else {
+        val next = labels.as("l")
+          .join(improved.as("u"), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("u.rep"), col("l.rep")).as("rep"))
+          .cache()
+        next.count() // materialize before unpersisting the parents
+        labels.unpersist()
+        if (delta ne labels) delta.unpersist()
+        labels = next
+        delta = improved
+      }
+      done += 1
     }
-    withSelf.unpersist()
+    edges.unpersist()
     labels
   }
 
