@@ -184,4 +184,114 @@ class WasmForeignSpec extends AnyFunSuite {
   private def jsString(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\r", "\\r")
       .replace("\n", "\\n").replace("\"", "\\\"") + "\""
+
+  // ── cjs-module-lexer: the second foreign EXECUTION differential ─────
+
+  /** Drive the clang-built cjs lexer on the graft interpreter with its
+    * real wire protocol (wrapper contract: addr = sa(len+1), UTF-16LE
+    * source, status = parseCJS(addr, len, 0, 0, 0), then the
+    * rre/ru/re span iterators; status 0 = success, 5/6/7 = ESM syntax).
+    */
+  private def runCjsLexer(src: String)
+      : (Long, Seq[String], Seq[String], Seq[String], Long) = {
+    val m = WasmModule.decode(fixture("es_module_lexer.wasm"))
+    val inst = new WasmInterp.Instance(m)
+    val w = src.length + 1
+    val addr = inst.invoke("sa", w.toLong)(0).toInt
+    val utf16 = new Array[Byte](2 * w)
+    for (i <- 0 until src.length) {
+      val c = src.charAt(i)
+      utf16(2 * i) = (c & 0xff).toByte
+      utf16(2 * i + 1) = ((c >> 8) & 0xff).toByte
+    }
+    inst.writeBytes(addr, utf16)
+    // 6 declared params (the JS wrapper passes 5 — the JS-wasm API
+    // zero-fills the missing trailing argument)
+    val status = inst.invoke("parseCJS", addr.toLong, src.length.toLong,
+      0L, 0L, 0L, 0L)(0)
+    def span(s: Long, e: Long): String = src.substring(s.toInt, e.toInt)
+    def drain(next: String, a: String, b: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      while (inst.invoke(next)(0) != 0L)
+        out += span(inst.invoke(a)(0), inst.invoke(b)(0))
+      out.result()
+    }
+    val reexports = drain("rre", "res", "ree")
+    val unsafe = drain("ru", "us", "ue")
+    val exports = drain("re", "es", "ee")
+    val errPos = if (status != 0L) inst.invoke("e")(0) else -1L
+    (status, exports, reexports, unsafe, errPos)
+  }
+
+  private val lexerSources = Seq(
+    "exports.alpha = 1; module.exports.beta = 2;",
+    "module.exports = require(\"./other.js\");",
+    "Object.defineProperty(exports, \"gamma\", { get(){ return 1 } });",
+    "export const esm = 1;", // ESM syntax → nonzero status
+    "exports['a-b'] = 0; exports.ok = true; // trailing comment")
+
+  test("clang-built cjs-module-lexer EXECUTES: exports/reexports/errors") {
+    val (s1, e1, r1, u1, _) = runCjsLexer(lexerSources.head)
+    assert(s1 == 0L && e1 == Seq("alpha", "beta") && r1.isEmpty && u1.isEmpty)
+    val (s2, e2, r2, _, _) = runCjsLexer(lexerSources(1))
+    assert(s2 == 0L && e2.isEmpty && r2 == Seq("\"./other.js\""))
+    val (s3, _, _, u3, _) = runCjsLexer(lexerSources(2))
+    assert(s3 == 0L && u3 == Seq("\"gamma\""))
+    val (s4, _, _, _, p4) = runCjsLexer(lexerSources(3))
+    assert(s4 == 7L && p4 == 7L) // ESM `export` keyword at position 7
+  }
+
+  test("cjs-lexer execution differential vs V8: identical on all sources") {
+    val node = new java.io.File("/usr/bin/node")
+    assume(node.canExecute, "node not available on this machine")
+    val srcList = lexerSources.map(jsString).mkString("[", ",", "]")
+    val script =
+      s"""const fs = require('fs');
+         |const bytes = fs.readFileSync('${fixtureDir.resolve("es_module_lexer.wasm")}');
+         |(async () => {
+         |  const { instance } = await WebAssembly.instantiate(bytes, {});
+         |  const x = instance.exports;
+         |  const results = [];
+         |  for (const src of $srcList) {
+         |    const w = src.length + 1;
+         |    const need = (x.__heap_base.value || x.__heap_base) + 4*w
+         |      - x.memory.buffer.byteLength;
+         |    if (need > 0) x.memory.grow(Math.ceil(need / 65536));
+         |    const addr = x.sa(w);
+         |    const mem = new Uint16Array(x.memory.buffer, addr, w);
+         |    for (let i = 0; i < src.length; i++) mem[i] = src.charCodeAt(i);
+         |    mem[src.length] = 0;
+         |    const status = x.parseCJS(addr, src.length, 0, 0, 0);
+         |    const reexports = [], unsafe = [], exports = [];
+         |    while (x.rre()) reexports.push(src.slice(x.res(), x.ree()));
+         |    while (x.ru()) unsafe.push(src.slice(x.us(), x.ue()));
+         |    while (x.re()) exports.push(src.slice(x.es(), x.ee()));
+         |    results.push({status, exports, reexports, unsafe,
+         |      errPos: status ? x.e() : -1});
+         |  }
+         |  console.log(JSON.stringify(results));
+         |})();
+         |""".stripMargin
+    val js = Files.createTempFile("cjs_v8", ".js")
+    Files.writeString(js, script)
+    val proc = new ProcessBuilder("/usr/bin/node", js.toString).start()
+    val out = new String(proc.getInputStream.readAllBytes(), UTF_8).trim
+    assert(proc.waitFor() == 0,
+      new String(proc.getErrorStream.readAllBytes(), UTF_8))
+    val v8 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    lexerSources.zipWithIndex.foreach { case (src, i) =>
+      val (status, exports, reexports, unsafe, errPos) = runCjsLexer(src)
+      val r = v8.get(i)
+      def arr(f: String): Seq[String] = {
+        val b = Seq.newBuilder[String]
+        r.get(f).elements().forEachRemaining(e => b += e.asText)
+        b.result()
+      }
+      assert(r.get("status").asLong == status, src)
+      assert(arr("exports") == exports, src)
+      assert(arr("reexports") == reexports, src)
+      assert(arr("unsafe") == unsafe, src)
+      assert(r.get("errPos").asLong == errPos, src)
+    }
+  }
 }
