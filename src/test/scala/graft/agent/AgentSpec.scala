@@ -161,6 +161,43 @@ class AgentSpec extends SparkSpec {
     } finally http.stop()
   }
 
+  test("http gateway: POST /<agent>/invoke runs one message (agent.go http block)") {
+    val dir = Files.createTempDirectory("agent_repo_http")
+    Files.createDirectories(dir.resolve("mcp"))
+    writeRepo(dir.resolve("mcp"))
+    val cmd = javaCmd("tool:to_upper")
+      .map(c => "\"" + c.replace("\\", "\\\\") + "\"").mkString("[", ", ", "]")
+    Files.writeString(dir.resolve("redpanda_agents.yaml"),
+      s"""agents:
+         |  gw_agent:
+         |    input:
+         |      generate: { count: 1, mapping: 'root = "seed"' }
+         |    tools: [to_upper]
+         |    command: $cmd
+         |    output:
+         |      inproc: gw_out
+         |http:
+         |  enabled: true
+         |  address: 127.0.0.1:0
+         |""".stripMargin)
+    val (results, gw) = AgentRuntime.runWithGateway(spark, dir.toString)
+    try {
+      assert(gw.isDefined)
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${gw.get.port}/gw_agent/invoke").toURL
+      val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("POST"); c.setDoOutput(true)
+      c.getOutputStream.write("gateway ping".getBytes(UTF_8))
+      c.getOutputStream.close()
+      assert(c.getResponseCode == 200)
+      val resp = new String(c.getInputStream.readAllBytes(), UTF_8)
+      assert(resp == "GATEWAY PING")
+    } finally {
+      gw.foreach(_.stop())
+      results.foreach(_.mcp.stop())
+    }
+  }
+
   test("agent runner: redpanda_agents.yaml builds input→agent→output") {
     val dir = Files.createTempDirectory("agent_repo")
     Files.createDirectories(dir.resolve("mcp"))
