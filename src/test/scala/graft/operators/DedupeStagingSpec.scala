@@ -52,6 +52,24 @@ class DedupeStagingSpec extends SparkSpec {
       s"near-distinct corpus must skip the collapse staging:\n$plan")
   }
 
+  test("minhash staged output is byte-identical to direct on dup-heavy corpus") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(150).collect()
+    val rows = (0 until 4).flatMap { rep =>
+      base.map(r => (r.getLong(0) + rep * 1000000L, r.getString(1)))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val staged = pairs(
+      Dedupe.minhashLshPairs(docs, "text", "doc_id", 3, 16, 4, 0.35))
+    val direct = pairs(Dedupe.minhashLshPairsDirect(
+      docs.select(col("doc_id").as("id"), col("text").as("__txt")),
+      "__txt", "id", 3, 16, 4, 0.35))
+    assert(staged == direct,
+      s"only-staged=${(staged -- direct).take(5)} " +
+        s"only-direct=${(direct -- staged).take(5)}")
+    assert(staged.nonEmpty)
+  }
+
   test("resolveClusters: driver union-find == distributed propagation") {
     // chain 1-2-3, pair 10-11, singleton-pair 20-21, and a triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
