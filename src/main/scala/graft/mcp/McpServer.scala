@@ -448,9 +448,14 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
       ex.close()
       resp.foreach { r =>
         sessions.get(sid).foreach { os =>
-          os.synchronized {
+          try os.synchronized {
             os.write(s"event: message\ndata: $r\n\n".getBytes(UTF_8))
             os.flush()
+          } catch {
+            case _: java.io.IOException =>
+              // client went away mid-call: drop the dead session so the
+              // map doesn't accumulate closed streams
+              sessions.remove(sid); ()
           }
         }
       }
