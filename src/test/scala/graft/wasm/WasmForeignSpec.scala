@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * module the decoder had seen before round 13 was assembled by its own
   * WasmAsm; these fixtures were built by clang/wasi-sdk (extracted from
   * the local Node.js 20 distribution, which embeds them base64-coded:
-  * undici's llhttp HTTP parser and the es-module-lexer — both public
+  * undici's llhttp HTTP parser and the cjs-module-lexer — both public
   * MIT-licensed projects) and exercise encodings and opcode mixes the
   * self-referential corpus can't: LLVM section layouts, br_table jump
   * tables, a shared function table with element segments, multi-page
@@ -28,8 +28,8 @@ class WasmForeignSpec extends AnyFunSuite {
   private def fixture(name: String): Array[Byte] =
     Files.readAllBytes(fixtureDir.resolve(name))
 
-  test("clang-built es-module-lexer decodes: sections, exports, bodies") {
-    val m = WasmModule.decode(fixture("es_module_lexer.wasm"))
+  test("clang-built cjs-module-lexer decodes: sections, exports, bodies") {
+    val m = WasmModule.decode(fixture("cjs_module_lexer.wasm"))
     assert(m.imports.isEmpty)
     // counts V8 reports for the same bytes (WebAssembly.Module.exports)
     assert(m.exports.size == 14)
@@ -194,7 +194,7 @@ class WasmForeignSpec extends AnyFunSuite {
     */
   private def runCjsLexer(src: String)
       : (Long, Seq[String], Seq[String], Seq[String], Long) = {
-    val m = WasmModule.decode(fixture("es_module_lexer.wasm"))
+    val m = WasmModule.decode(fixture("cjs_module_lexer.wasm"))
     val inst = new WasmInterp.Instance(m)
     val w = src.length + 1
     val addr = inst.invoke("sa", w.toLong)(0).toInt
@@ -247,7 +247,7 @@ class WasmForeignSpec extends AnyFunSuite {
     val srcList = lexerSources.map(jsString).mkString("[", ",", "]")
     val script =
       s"""const fs = require('fs');
-         |const bytes = fs.readFileSync('${fixtureDir.resolve("es_module_lexer.wasm")}');
+         |const bytes = fs.readFileSync('${fixtureDir.resolve("cjs_module_lexer.wasm")}');
          |(async () => {
          |  const { instance } = await WebAssembly.instantiate(bytes, {});
          |  const x = instance.exports;
