@@ -4000,6 +4000,45 @@ object SparkEntry {
       }
     }),
 
+    "p_agent_py" -> ((s, d) => {
+      // cross-language agent guest (agent_processor.go:92 — the
+      // reference's default guest is `uv run agents/<name>.py`): the
+      // same full agent ⇄ MCP loop as p_agent, but the guest is the
+      // bundled PYTHON program speaking the handshake, h2c gRPC and
+      // MCP SSE from its standard library — the ABI proven against a
+      // non-JVM peer. Different doc range from p_agent so a shared
+      // fixture can't mask a broken guest.
+      import graft.agent.AgentRuntime
+      val repo = java.nio.file.Files.createTempDirectory("p_agent_py_mcp")
+      val procs = repo.resolve("resources").resolve("processors")
+      java.nio.file.Files.createDirectories(procs)
+      java.nio.file.Files.writeString(procs.resolve("to_upper.yaml"),
+        "label: to_upper\nmeta:\n  mcp:\n    enabled: true\n" +
+          "    description: Uppercase the value\n" +
+          "mapping: root = content().uppercase()\n")
+      val srv = new graft.mcp.McpServer(s, repo.toString)
+      val http = srv.serveHttp()
+      val cmd = Seq("python3", AgentRuntime.pythonGuestScript.toString,
+        "tool:to_upper")
+      try {
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id") >= 40 && col("doc_id") < 80 &&
+            col("text").isNotNull)
+          .select(col("doc_id"),
+            regexp_replace(substring(col("text"), 1, 40), "[^ -~]", " ")
+              .as("value"),
+            lit(null).cast("string").as("error"))
+          .repartition(2)
+        AgentRuntime.processor(docs, cmd, http.sseUrl)
+          .select(col("doc_id"), col("value"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally {
+        AgentRuntime.releaseGuest(cmd, http.sseUrl)
+        http.stop()
+      }
+    }),
+
     "p_wasm" -> ((s, d) => {
       // wasm processor (internal/impl/wasm/processor_wazero.go:31 —
       // graft's own core-spec interpreter, graft.wasm): the guest
@@ -4851,6 +4890,14 @@ object SparkEntry {
         |  upper(regexp_replace(substring(text, 1, 40), '[^ -~]', ' ', 'g'))
         |    AS value
         |FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_agent_py" ->
+      """SELECT doc_id,
+        |  upper(regexp_replace(substring(text, 1, 40), '[^ -~]', ' ', 'g'))
+        |    AS value
+        |FROM documents WHERE doc_id >= 40 AND doc_id < 80
+        |  AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
     "p_wasm" ->

@@ -37,6 +37,27 @@ object AgentRuntime {
   /** Env var the reference exports to guests (agent_processor.go:137). */
   val McpServerEnvVar = "REDPANDA_CONNECT_AGENT_RUNTIME_MCP_SERVER"
 
+  /** The bundled reference PYTHON guest (the role `agents/<name>.py`
+    * plays under the reference's `uv run` default —
+    * agent_processor.go:92, internal/agent/template/
+    * redpanda_agents.yaml), extracted from the classpath to a temp
+    * file. It speaks the same ABI as the JVM stand-in guest — the
+    * handshake line, InvokeAgent over h2c gRPC, MCP tool calls over
+    * SSE — from the Python standard library alone, proving the
+    * runtime's contract is language-neutral rather than an artifact of
+    * the in-repo h2c stack talking to itself.
+    */
+  lazy val pythonGuestScript: java.nio.file.Path = {
+    val in = getClass.getResourceAsStream("/graft/agent/agent_guest.py")
+    require(in != null, "bundled agent_guest.py resource missing")
+    val p = java.nio.file.Files.createTempFile("agent_guest", ".py")
+    try java.nio.file.Files.copy(in, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    p.toFile.deleteOnExit()
+    p
+  }
+
   private final case class Guest(process: Process, host: String, port: Int)
 
   /** Guest pool, keyed by (command, mcp address, cwd) — one live guest
@@ -256,8 +277,26 @@ object AgentRuntime {
     require(java.nio.file.Files.exists(cfgPath),
       s"reading redpanda_agents.yaml (are you in the right directory?)")
     val root = yaml.readTree(java.nio.file.Files.readString(cfgPath))
+    // MCP bind surface: `mcp.address` (host:port; port 0 = ephemeral —
+    // required when more than one agent runs, each gets its own server).
+    // The default is loopback, which only works when executors share the
+    // driver's network namespace, i.e. local mode — the processor spawns
+    // guests per EXECUTOR JVM, so a cluster deployment must bind a
+    // reachable interface (the reference defaults to 0.0.0.0).
+    val mcpAddr = root.at("/mcp/address").asText("127.0.0.1:0")
+    val sep = mcpAddr.lastIndexOf(':')
+    require(sep > 0, s"mcp.address must be host:port, got '$mcpAddr'")
+    val (mcpHost, mcpPort) = (mcpAddr.take(sep), mcpAddr.drop(sep + 1).toInt)
+    val loopbackBind = mcpHost == "127.0.0.1" || mcpHost == "localhost"
+    require(spark.sparkContext.isLocal || !loopbackBind,
+      "agent runtime on a multi-node master needs a guest-reachable MCP " +
+        "bind: set mcp.address in redpanda_agents.yaml (e.g. 0.0.0.0:0) — " +
+        "executor-side guests cannot dial the driver's loopback")
     val agents = Option(root.get("agents")).map(_.properties().asScala.toSeq)
       .getOrElse(Seq.empty)
+    require(mcpPort == 0 || agents.size <= 1,
+      "mcp.address with a fixed port only supports a single agent " +
+        "(each agent runs its own MCP server); use port 0")
     val results = agents.map { e =>
       val name = e.getKey
       val a = e.getValue
@@ -266,7 +305,7 @@ object AgentRuntime {
       val mcpServer = new graft.mcp.McpServer(spark,
         java.nio.file.Paths.get(repositoryDir, "mcp").toString,
         labelFilter = tools.contains, env = env)
-      val http = mcpServer.serveHttp()
+      val http = mcpServer.serveHttp(mcpHost, mcpPort)
       val command = Option(a.get("command"))
         .map(_.elements().asScala.map(_.asText).toSeq)
         .getOrElse(Seq("uv", "run", s"agents/$name.py"))

@@ -222,14 +222,26 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
     val (enabled, description, _) = mcpMeta(res)
     if (!enabled) { registeredOnly += label; return }
 
+    // Keys come from the MCP caller (an agent guest or anything that can
+    // POST to the HTTP endpoint), so a file-backed cache must confine the
+    // resolved path to its directory: reject separators / parent refs and
+    // double-check the normalized result stays under `dir`.
+    def keyPath(dir: Path, key: String): Path = {
+      require(key.nonEmpty && !key.contains('/') && !key.contains('\\') &&
+        key != "." && key != "..",
+        s"invalid cache key (path separators and '..' are not allowed): $key")
+      val p = dir.resolve(key).normalize()
+      require(p.startsWith(dir.normalize()), s"cache key escapes directory: $key")
+      p
+    }
     def get(key: String): Option[String] = fileDir match {
       case Some(dir) =>
-        val p = dir.resolve(key)
+        val p = keyPath(dir, key)
         if (Files.exists(p)) Some(Files.readString(p)) else None
       case None => cacheStores(label).get(key)
     }
     def set(key: String, value: String): Unit = fileDir match {
-      case Some(dir) => Files.writeString(dir.resolve(key), value); ()
+      case Some(dir) => Files.writeString(keyPath(dir, key), value); ()
       case None => cacheStores(label).put(key, value); ()
     }
 
@@ -269,12 +281,20 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
 
   // ── inputs / outputs ───────────────────────────────────────────────
 
+  /** Input tools drain a BOUNDED input and return its messages. A tool
+    * call is a one-shot control-plane operation, so the drain is capped
+    * (default 10,000 rows) — a repository that points a tool at a large
+    * bounded input would otherwise materialize it onto the driver. Raise
+    * or lower per resource with `meta.mcp.max_rows`.
+    */
   private def addInput(res: JsonNode): Unit = {
     if (!passesFilters(res)) return
     val label = labelOf(res)
     val node = componentNode(res)
     val (enabled, description, _) = mcpMeta(res)
     if (!enabled) { registeredOnly += label; return }
+    val maxRows = res.at("/meta/mcp/max_rows").asInt(10000)
+    require(maxRows > 0, s"$label: meta.mcp.max_rows must be positive")
     val schema = mapper.createObjectNode()
     schema.put("type", "object")
     schema.putObject("properties")
@@ -282,7 +302,12 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
       val cfg = mapper.createObjectNode()
       cfg.set[ObjectNode]("input", node.deepCopy())
       val df = Pipeline.build(spark, yaml.writeValueAsString(cfg), env)
-      df.select("value").collect().toSeq.map(_.getString(0))
+      val drained = df.select("value").limit(maxRows + 1)
+        .collect().toSeq.map(_.getString(0))
+      require(drained.size <= maxRows,
+        s"$label: input exceeds the MCP drain cap of $maxRows rows " +
+          "(raise meta.mcp.max_rows, or route data-plane volume through a pipeline)")
+      drained
     })
   }
 
@@ -417,11 +442,18 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
   /** HTTP+SSE transport: `GET /sse` opens the event stream and
     * announces the session's message endpoint; the client POSTs
     * JSON-RPC there (202) and responses arrive as `message` events.
+    *
+    * `bindHost` defaults to loopback (a library embedder decides its
+    * own listening surface); a multi-node deployment whose agent guests
+    * run on executors must bind a reachable interface (the reference
+    * defaults to 0.0.0.0) — [[graft.agent.AgentRuntime.runWithGateway]]
+    * asserts this. When bound to 0.0.0.0 the advertised [[sseUrl]] uses
+    * the local host address so guests receive a dialable URL.
     */
-  final class HttpSse {
+  final class HttpSse(bindHost: String = "127.0.0.1", bindPort: Int = 0) {
     private val sessions = TrieMap.empty[String, OutputStream]
     private val httpServer = HttpServer.create(
-      new InetSocketAddress("127.0.0.1", 0), 16)
+      new InetSocketAddress(bindHost, bindPort), 16)
 
     httpServer.createContext("/sse", (ex: HttpExchange) => {
       val sid = java.util.UUID.randomUUID().toString
@@ -441,8 +473,16 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
         .collectFirst { case Array("sessionId", v) => v }.getOrElse("")
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val resp = try handle(body) catch {
-        case e: Exception => Some(
-          s"""{"jsonrpc":"2.0","id":null,"error":{"code":-32700,"message":"${e.getMessage}"}}""")
+        case e: Exception =>
+          // built with the mapper so quotes/newlines in the exception
+          // message cannot produce a malformed JSON-RPC frame
+          val r = mapper.createObjectNode()
+          r.put("jsonrpc", "2.0")
+          r.putNull("id")
+          val err = r.putObject("error")
+          err.put("code", -32700)
+          err.put("message", Option(e.getMessage).getOrElse(e.toString))
+          Some(mapper.writeValueAsString(r))
       }
       ex.sendResponseHeaders(202, -1)
       ex.close()
@@ -465,12 +505,17 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
     httpServer.start()
 
     def port: Int = httpServer.getAddress.getPort
-    def sseUrl: String = s"http://127.0.0.1:$port/sse"
+    private def advertiseHost: String =
+      if (bindHost == "0.0.0.0")
+        java.net.InetAddress.getLocalHost.getHostAddress
+      else bindHost
+    def sseUrl: String = s"http://$advertiseHost:$port/sse"
     def stop(): Unit = {
       sessions.values.foreach(os => try os.close() catch { case _: Exception => () })
       httpServer.stop(0)
     }
   }
 
-  def serveHttp(): HttpSse = new HttpSse
+  def serveHttp(bindHost: String = "127.0.0.1", bindPort: Int = 0): HttpSse =
+    new HttpSse(bindHost, bindPort)
 }

@@ -297,21 +297,31 @@ object Dedupe {
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20,
                       roundsPerCheck: Int = 2,
-                      driverMaxEdges: Long = 5000000L): DataFrame = {
+                      driverMaxEdges: Long = 2000000L): DataFrame = {
     // ADAPTIVE: near-dup pair lists are duplicate-density-sized, not
-    // corpus-sized — when the whole edge list fits on the driver
-    // (≤ driverMaxEdges: 5 M edges ≈ 80 MB), iterative Spark label
-    // propagation is pure fixed overhead (each check block is a fresh
-    // plan+codegen cycle — ~3 s on a 25-edge graph, ~39 s on a 2.2 M-
-    // edge one whose components have diameter 1) and union-find on the
-    // driver is exact and instant. The distributed path below stays
-    // the shape for beyond-driver edge volumes; IVF makes the same
+    // corpus-sized — when the whole edge list fits on the driver,
+    // iterative Spark label propagation is pure fixed overhead (each
+    // check block is a fresh plan+codegen cycle — ~3 s on a 25-edge
+    // graph, ~39 s on a 2.2 M-edge one whose components have diameter
+    // 1) and union-find on the driver is exact and instant. The path
+    // choice is gated by a cheap limit+count FIRST (against the
+    // persisted edge list, so nothing is computed twice and nothing
+    // big is collected just to be discarded); only a list already
+    // known to fit is then collected, as primitive pairs. Memory math
+    // at the 2 M default: ~16 B/edge retained in the long arrays +
+    // ~64 B/edge transient boxed tuples ≈ 160 MB peak — safe at
+    // default driver heaps. The distributed path below stays the
+    // shape for beyond-driver edge volumes; IVF makes the same
     // centroids-on-driver call. Both paths emit identical
     // (id, min-rep) labels, pinned by spec.
     val spark = pairs.sparkSession
-    val collected = pairs.select(col("id_a"), col("id_b"))
-      .limit((driverMaxEdges + 1).toInt).collect()
-    if (collected.length <= driverMaxEdges) {
+    val raw = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gateCount = raw.limit((driverMaxEdges + 1).toInt).count()
+    if (gateCount <= driverMaxEdges) {
+      import spark.implicits._
+      val collected = raw.as[(Long, Long)].collect()
+      raw.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -322,15 +332,14 @@ object Dedupe {
         }
         r
       }
-      collected.foreach { r =>
-        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      collected.foreach { case (ra, rb) =>
+        val (a, b) = (find(ra), find(rb))
         // union by MIN root so the representative is the smallest id
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
         else { parent.getOrElseUpdate(a, a); () }
       }
-      val ids = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      val ids = collected.flatMap { case (a, b) => Seq(a, b) }
         .distinct.sorted
-      import spark.implicits._
       return ids.toSeq.map(id => (id, find(id))).toDF("id", "rep")
     }
     // DELTA-ITERATION min-label propagation (the Pregel/Flink shape):
@@ -340,8 +349,8 @@ object Dedupe {
     // ladder rung (24.7 M edges, diameter 1) the full-rejoin form
     // measured ~200 s of propagation; delta form does one full join +
     // one near-empty confirm.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = raw.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(raw.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -383,6 +392,7 @@ object Dedupe {
       done += 1
     }
     edges.unpersist()
+    raw.unpersist()
     labels
   }
 

@@ -74,8 +74,14 @@ object WasmInterp {
         throw new Trap("element segment out of bounds")
       e.funcs.indices.foreach(i => table(off + i) = e.funcs(i))
     }
-    // passive elem segments stay addressable by table.init until dropped
+    // passive elem segments stay addressable by table.init until dropped;
+    // the spec drops ACTIVE segments after instantiation and DECLARED
+    // (flags-3) segments immediately, so table.init on them traps for n>0
     private val droppedElems = new Array[Boolean](module.elems.length)
+    module.elems.indices.foreach { i =>
+      if (!module.elems(i).passive || module.elems(i).declared)
+        droppedElems(i) = true
+    }
 
     // ── data segments ─────────────────────────────────────────────────
     module.datas.withFilter(!_.passive).foreach { d =>
@@ -84,8 +90,13 @@ object WasmInterp {
         throw new Trap("data segment out of bounds")
       System.arraycopy(d.bytes, 0, mem, off, d.bytes.length)
     }
-    // passive data segments stay addressable by memory.init until dropped
+    // passive data segments stay addressable by memory.init until dropped;
+    // active segments are dropped after instantiation per the spec, so
+    // memory.init on them traps for n>0 rather than re-copying their bytes
     private val droppedData = new Array[Boolean](module.datas.length)
+    module.datas.indices.foreach { i =>
+      if (!module.datas(i).passive) droppedData(i) = true
+    }
 
     private val exportsByName: Map[String, Export] =
       module.exports.map(e => e.name -> e).toMap

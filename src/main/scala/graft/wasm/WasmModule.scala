@@ -33,7 +33,8 @@ object WasmModule {
   final case class Export(name: String, kind: Int, idx: Int)
   final case class GlobalDef(valType: Int, mutable: Boolean, init: Vector[Instr])
   final case class ElemSeg(tableIdx: Int, offset: Vector[Instr],
-                           funcs: Vector[Int], passive: Boolean = false)
+                           funcs: Vector[Int], passive: Boolean = false,
+                           declared: Boolean = false)
   final case class DataSeg(memIdx: Int, offset: Vector[Instr],
                            bytes: Array[Byte], passive: Boolean = false)
   final case class FuncBody(locals: Vector[Int], body: Vector[Instr])
@@ -197,7 +198,8 @@ object WasmModule {
                 case 3 => // declared: validation-only, no runtime content
                   val k = u8()
                   if (k != 0) throw new DecodeError(s"elemkind $k")
-                  ElemSeg(0, Vector.empty, vec(u32().toInt), passive = true)
+                  ElemSeg(0, Vector.empty, vec(u32().toInt), passive = true,
+                    declared = true)
                 case f => throw new DecodeError(s"elem flags $f unsupported")
               }
             }

@@ -161,6 +161,152 @@ class AgentSpec extends SparkSpec {
     } finally http.stop()
   }
 
+  private def pyCmd(mode: String): Seq[String] =
+    Seq("python3", AgentRuntime.pythonGuestScript.toString, mode)
+
+  test("python guest: handshake + InvokeAgent over gRPC (upper)") {
+    val out = AgentRuntime.processor(
+      envelope(Seq("alpha one", "beta two")).repartition(1),
+      pyCmd("upper"), mcpServer = "", cwd = "")
+      .orderBy("__seq")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("ALPHA ONE", "BETA TWO"))
+    assert(out.forall(_.getString(2) == null), out.mkString("; "))
+    assert(out.forall(_.getMap[String, String](1).get("agent")
+      .contains("upper")))
+  }
+
+  test("python guest ⇄ MCP: cross-language ABI over real sockets") {
+    val dir = Files.createTempDirectory("mcp_repo_py")
+    writeRepo(dir)
+    val srv = new graft.mcp.McpServer(spark, dir.toString,
+      labelFilter = Set("to_upper", "scratch").contains)
+    val http = srv.serveHttp()
+    val cmd = pyCmd("tool:to_upper")
+    try {
+      // two partitions → two h2c connections → two MCP SSE sessions in
+      // the python guest, same concurrency shape as the JVM guest case
+      val out = AgentRuntime.processor(
+        envelope(Seq("hello world", "spark agent", "third doc",
+          "fourth doc")).repartition(2),
+        cmd, mcpServer = http.sseUrl, cwd = "")
+        .orderBy("__seq").collect()
+      assert(out.map(_.getString(0)).toSeq ==
+        Seq("HELLO WORLD", "SPARK AGENT", "THIRD DOC", "FOURTH DOC"),
+        out.mkString("; "))
+      assert(out.forall(_.getString(2) == null), out.mkString("; "))
+      assert(out.forall(_.getMap[String, String](1).get("tool")
+        .contains("to_upper")))
+    } finally {
+      AgentRuntime.releaseGuest(cmd, http.sseUrl)
+      http.stop()
+    }
+  }
+
+  test("mcp file cache rejects path-escaping keys") {
+    val dir = Files.createTempDirectory("mcp_repo_file")
+    val caches = dir.resolve("resources/caches")
+    Files.createDirectories(caches)
+    val store = Files.createTempDirectory("mcp_file_store")
+    Files.writeString(caches.resolve("disk.yaml"),
+      s"""label: disk
+         |meta:
+         |  mcp:
+         |    enabled: true
+         |    description: file cache
+         |file:
+         |  directory: ${store.toString}
+         |""".stripMargin)
+    val srv = new graft.mcp.McpServer(spark, dir.toString)
+    def call(tool: String, args: String): com.fasterxml.jackson.databind.JsonNode =
+      mapper.readTree(srv.handle(
+        s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"$tool","arguments":$args}}""").get)
+    // normal keys round-trip
+    assert(!call("set-disk", """{"key":"ok","value":"v1"}""")
+      .at("/result/isError").asBoolean())
+    assert(call("get-disk", """{"key":"ok"}""")
+      .at("/result/content/0/text").asText == "v1")
+    // traversal and absolute keys are rejected in-band, nothing written
+    for (bad <- Seq("../../escape", "/etc/hostname", "a/b", "..")) {
+      val r = call("set-disk", s"""{"key":"${bad}","value":"x"}""")
+      assert(r.at("/result/isError").asBoolean(), s"key '$bad' accepted")
+    }
+    assert(call("get-disk", """{"key":"../../../etc/hostname"}""")
+      .at("/result/isError").asBoolean())
+  }
+
+  test("mcp input tool drain cap (meta.mcp.max_rows)") {
+    val dir = Files.createTempDirectory("mcp_repo_drain")
+    val inputs = dir.resolve("resources/inputs")
+    Files.createDirectories(inputs)
+    Files.writeString(inputs.resolve("feed.yaml"),
+      """label: feed
+        |meta:
+        |  mcp:
+        |    enabled: true
+        |    description: bounded feed
+        |    max_rows: 10
+        |generate:
+        |  count: 15
+        |  mapping: 'root = "m" + this.seq.string()'
+        |""".stripMargin)
+    Files.writeString(inputs.resolve("feed_ok.yaml"),
+      """label: feed_ok
+        |meta:
+        |  mcp:
+        |    enabled: true
+        |    description: bounded feed under cap
+        |generate:
+        |  count: 15
+        |  mapping: 'root = "m" + this.seq.string()'
+        |""".stripMargin)
+    val srv = new graft.mcp.McpServer(spark, dir.toString)
+    val over = mapper.readTree(srv.handle(
+      """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"feed"}}""").get)
+    assert(over.at("/result/isError").asBoolean())
+    assert(over.at("/result/content/0/text").asText.contains("drain cap"))
+    val ok = mapper.readTree(srv.handle(
+      """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"feed_ok"}}""").get)
+    assert(!ok.at("/result/isError").asBoolean())
+    assert(ok.at("/result/content").size() == 15)
+  }
+
+  test("mcp http /message: malformed JSON yields a well-formed error frame") {
+    val dir = Files.createTempDirectory("mcp_repo_err")
+    writeRepo(dir)
+    val srv = new graft.mcp.McpServer(spark, dir.toString)
+    val http = srv.serveHttp()
+    try {
+      val sse = java.net.URI.create(http.sseUrl).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      sse.setReadTimeout(15000)
+      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sse.getInputStream, UTF_8))
+      var line = rd.readLine() // event: endpoint
+      val data = rd.readLine()
+      assert(data.startsWith("data:"))
+      val endpoint = "http://127.0.0.1:" + http.port +
+        data.stripPrefix("data:").trim
+      rd.readLine() // blank
+      // a Jackson parse error message contains quotes/newlines — the
+      // pre-fix string interpolation emitted a malformed SSE JSON frame
+      val post = java.net.URI.create(endpoint).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      post.setRequestMethod("POST"); post.setDoOutput(true)
+      post.getOutputStream.write("{not json".getBytes(UTF_8))
+      post.getOutputStream.close()
+      assert(post.getResponseCode == 202)
+      var payload = ""
+      line = rd.readLine()
+      while (line != null && payload.isEmpty) {
+        if (line.startsWith("data:")) payload = line.stripPrefix("data:").trim
+        line = rd.readLine()
+      }
+      val node = mapper.readTree(payload) // must parse cleanly
+      assert(node.at("/error/code").asInt == -32700)
+    } finally http.stop()
+  }
+
   test("http gateway: POST /<agent>/invoke runs one message (agent.go http block)") {
     val dir = Files.createTempDirectory("agent_repo_http")
     Files.createDirectories(dir.resolve("mcp"))
