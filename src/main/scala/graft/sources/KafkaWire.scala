@@ -629,19 +629,18 @@ object KafkaWire {
 
     private def dispatch(api: Int, ver: Int, r: Rd, b: Buf): Unit = api match {
       case ApiVersions =>
-        // Advertise ONLY versions whose wire shape is implemented. The
-        // broker dispatches two generations of each data-path api
-        // (legacy Produce v3 / Fetch v4 / Metadata v1 and flexible
-        // v9/v13/v12) but an ApiVersions entry is one contiguous range
-        // per key, and advertising the span (e.g. Produce 3-9) invites a
-        // real client to negotiate an intermediate version (sarama's
-        // Fetch v11, Produce v7) whose field layout differs from both
-        // implemented shapes — misparse, corrupted connection. min=max
-        // at the flexible shape means a client that can't speak it fails
-        // version negotiation CLEANLY instead; the legacy shapes stay
-        // dispatchable for clients (like this file's `protocol=legacy`
-        // mode) that pin versions without negotiating.
-        val supported = Seq(ApiProduce -> (9, 9), ApiFetch -> (13, 13),
+        // Advertise ONLY versions whose wire shape is implemented — an
+        // ApiVersions entry is one contiguous range per key, so every
+        // version inside the range must dispatch correctly. The
+        // data-path apis now cover their full negotiation windows:
+        // Produce 3–9 (one request shape 3–8, version-gated response
+        // fields, flexible v9) and Fetch 4–13 (non-flexible 4–11 with
+        // version-gated session/epoch/rack fields, flexible v12 by
+        // name, v13 by topic id) — so sarama-era defaults (Produce v7,
+        // Fetch v11) and any franz-go pick interop instead of failing
+        // negotiation. Control-plane apis stay min=max: a client that
+        // can't speak the one shape fails version negotiation CLEANLY.
+        val supported = Seq(ApiProduce -> (3, 9), ApiFetch -> (4, 13),
           ApiListOffsets -> (1, 1), ApiMetadata -> (12, 12),
           ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 2),
           ApiFindCoordinator -> (0, 0), ApiJoinGroup -> (2, 2),
@@ -771,6 +770,12 @@ object KafkaWire {
         b.tags()
 
       case ApiProduce =>
+        // non-flexible v3–v8: ONE request shape across the range (the
+        // fields sarama/franz-go send never changed between v3 and v8);
+        // the RESPONSE grows by version — log_start_offset at v5,
+        // record_errors + error_message at v8. This is what lets
+        // ApiVersions advertise the contiguous 3–9 range real clients
+        // negotiate inside (sarama's default Produce v7 lands here).
         r.nstr() // transactional_id
         r.i16()  // acks
         r.i32()  // timeout
@@ -793,23 +798,28 @@ object KafkaWire {
           b.str(topic)
           b.array(parts) { case (p, err, off) =>
             b.i32(p); b.i16(err); b.i64(off); b.i64(-1L) // log_append_time
+            if (ver >= 5) b.i64(0L) // log_start_offset
+            if (ver >= 8) {
+              b.i32(0)     // record_errors: empty
+              b.nstr(null) // error_message
+            }
           }
         }
         b.i32(0) // throttle
 
-      case ApiFetch if ver >= 13 =>
-        // v13: topics addressed by KIP-516 topic id, flexible encoding,
-        // incremental-session fields present but sessions unused (0/-1
-        // from our client = full fetch, like a sessionless consumer).
-        // ApiVersions advertises only this flexible shape (min=max);
-        // the legacy v4 shape below stays dispatchable for clients that
-        // pin versions without negotiating — see the ApiVersions case.
+      case ApiFetch if ver >= 12 =>
+        // v12/v13 flexible: v13 addresses topics by KIP-516 topic id,
+        // v12 (the first flexible fetch) still by name; the rest of the
+        // shape is shared. Incremental-session fields are present but
+        // sessions unused (0/-1 from our client = full fetch, like a
+        // sessionless consumer).
         r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
         r.i32(); r.i32() // session_id, session_epoch
         val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
         val results = r.carray {
-          val tid = r.uuid()
-          val topic = byId.getOrElse(tid, null)
+          val (tid, topic) =
+            if (ver >= 13) { val u = r.uuid(); (u, byId.getOrElse(u, null)) }
+            else { val n = r.cstr(); ((0L, 0L), n) }
           val parts = r.carray {
             val p = r.i32(); r.i32() // current_leader_epoch
             val off = r.i64()
@@ -838,16 +848,19 @@ object KafkaWire {
             }
           }
           r.tags()
-          (tid, parts)
+          (tid, topic, parts)
         }
-        r.carray { r.uuid(); r.carray(r.i32()); r.tags() } // forgotten topics
+        r.carray { // forgotten topics: id (v13+) or name (v12)
+          if (ver >= 13) r.uuid() else r.cstr()
+          r.carray(r.i32()); r.tags()
+        }
         r.cstr() // rack_id
         r.tags()
         b.i32(0)       // throttle
         b.i16(ErrNone) // top-level error
         b.i32(0)       // session_id
-        b.carray(results) { case (tid, parts) =>
-          b.uuid(tid._1, tid._2)
+        b.carray(results) { case (tid, topic, parts) =>
+          if (ver >= 13) b.uuid(tid._1, tid._2) else b.cstr(topic)
           b.carray(parts) { case (p, err, hw, bytes) =>
             b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
             b.i64(0L)          // log_start_offset
@@ -859,6 +872,57 @@ object KafkaWire {
           b.tags()
         }
         b.tags()
+
+      case ApiFetch if ver >= 5 =>
+        // non-flexible v5–v11 — the window sarama and older franz-go
+        // negotiate into (Fetch v11 is the sarama-era default). Request
+        // grows: session fields at v7, current_leader_epoch at v9,
+        // rack_id at v11; response grows: log_start_offset at v5,
+        // top-level error + session_id at v7, preferred_read_replica
+        // at v11.
+        r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+        if (ver >= 7) { r.i32(); r.i32() } // session_id, session_epoch
+        val results = r.array {
+          val topic = r.str()
+          val parts = r.array {
+            val p = r.i32()
+            if (ver >= 9) r.i32() // current_leader_epoch
+            val off = r.i64()
+            r.i64() // log_start_offset
+            r.i32() // partition_max_bytes
+            topics.get(topic).map(_.lift(p)) match {
+              case Some(Some(log)) =>
+                val end = log.end
+                if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
+                else {
+                  val bytes = (if (fetchCodec == CodecNone)
+                      log.rawSlice(off, maxFetchRecords) else None)
+                    .getOrElse {
+                      val recs = log.slice(off, maxFetchRecords)
+                      if (recs.isEmpty) Array.empty[Byte]
+                      else encodeBatch(recs, fetchCodec)
+                    }
+                  (p, ErrNone, end, bytes)
+                }
+              case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
+            }
+          }
+          (topic, parts)
+        }
+        if (ver >= 7) r.array { r.str(); r.array(r.i32()) } // forgotten topics
+        if (ver >= 11) r.str() // rack_id
+        b.i32(0) // throttle
+        if (ver >= 7) { b.i16(ErrNone); b.i32(0) } // error_code, session_id
+        b.array(results) { case (topic, parts) =>
+          b.str(topic)
+          b.array(parts) { case (p, err, hw, bytes) =>
+            b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
+            b.i64(0L) // log_start_offset
+            b.i32(-1) // aborted_transactions (null)
+            if (ver >= 11) b.i32(-1) // preferred_read_replica
+            if (bytes.isEmpty) b.i32(-1) else b.nbytes(bytes)
+          }
+        }
 
       case ApiFetch =>
         r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
@@ -1158,6 +1222,15 @@ object KafkaWire {
       require(err == ErrNone, s"ApiVersions error $err")
       r.array { (r.i16().toInt, (r.i16().toInt, r.i16().toInt)) }.toMap
     }
+
+    /** One exchange at an EXPLICIT api version — the hook the wire spec
+      * uses to drive every version inside the advertised ranges (the
+      * broker must parse any intermediate version a real client
+      * negotiates, not just this client's own two generations).
+      */
+    private[sources] def rawRequest(apiKey: Int, apiVersion: Int)
+                                   (write: Buf => Unit): Rd =
+      conn.request(apiKey, apiVersion)(write)
 
     /** Real-client negotiation: speak the flexible generation (Produce
       * v9 / Fetch v13 / Metadata v12) when the broker advertises it.

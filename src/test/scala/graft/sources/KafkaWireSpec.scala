@@ -254,6 +254,148 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("intermediate Produce versions v3–v8: one request shape, growing response") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("iv", 1)
+        val advertised = c.apiVersions()(0) // Produce
+        assert(advertised == (3, 9), s"Produce range $advertised")
+        var expectBase = 0L
+        for (ver <- 3 to 8) {
+          val batch = KafkaWire.encodeBatch(Seq(
+            Broker.Stored(0, 0L, s"k$ver".getBytes, s"v$ver".getBytes,
+              Map.empty, 1000L + ver)))
+          val r = c.rawRequest(0, ver) { b =>
+            b.nstr(null) // transactional_id
+            b.i16(1)     // acks
+            b.i32(5000)  // timeout
+            b.array(Seq("iv")) { t =>
+              b.str(t)
+              b.array(Seq(0)) { p => b.i32(p); b.nbytes(batch) }
+            }
+          }
+          // response: [topic, [p, err, base_off, lat(v2+), lso(v5+),
+          // record_errors+error_message(v8+)]], throttle(v1+)
+          val topics = r.array {
+            val t = r.str()
+            val parts = r.array {
+              val p = r.i32(); val err = r.i16(); val off = r.i64()
+              r.i64() // log_append_time
+              if (ver >= 5) assert(r.i64() == 0L) // log_start_offset
+              if (ver >= 8) {
+                assert(r.i32() == 0)    // record_errors empty
+                assert(r.nstr() == null) // error_message
+              }
+              (p, err, off)
+            }
+            (t, parts)
+          }
+          r.i32() // throttle
+          assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+          assert(topics == Seq(("iv", Seq((0, 0.toShort, expectBase)))),
+            s"produce v$ver -> $topics")
+          expectBase += 1
+        }
+        assert(c.endOffset("iv", 0) == 6L)
+      } finally c.close()
+    }
+  }
+
+  test("intermediate Fetch versions v5–v12: session/epoch/rack fields version-gated") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("fv", 1)
+        assert(c.apiVersions()(1) == (4, 13)) // Fetch range
+        c.append("fv", 0, (0 until 7).map(i =>
+          Broker.Record(s"k$i".getBytes, s"v$i".getBytes, Map.empty, 50L + i)))
+        // non-flexible v5–v11
+        for (ver <- 5 to 11) {
+          val r = c.rawRequest(1, ver) { b =>
+            b.i32(-1); b.i32(100); b.i32(1); b.i32(1 << 20); b.i8(0)
+            if (ver >= 7) { b.i32(0); b.i32(-1) } // session_id, epoch
+            b.array(Seq("fv")) { t =>
+              b.str(t)
+              b.array(Seq(0)) { p =>
+                b.i32(p)
+                if (ver >= 9) b.i32(-1) // current_leader_epoch
+                b.i64(0L)               // fetch_offset
+                b.i64(-1L)              // log_start_offset
+                b.i32(1 << 20)          // partition_max_bytes
+              }
+            }
+            if (ver >= 7) b.array(Seq.empty[String]) { t =>
+              b.str(t); b.array(Seq.empty[Int])(b.i32)
+            }
+            if (ver >= 11) b.str("rack-a")
+          }
+          r.i32() // throttle
+          if (ver >= 7) { assert(r.i16() == 0); r.i32() } // err, session
+          val topics = r.array {
+            val t = r.str()
+            val parts = r.array {
+              val p = r.i32(); val err = r.i16(); val hw = r.i64()
+              r.i64()                 // last_stable_offset
+              assert(r.i64() == 0L)   // log_start_offset (v5+)
+              assert(r.i32() == -1)   // aborted_transactions null
+              if (ver >= 11) assert(r.i32() == -1) // preferred_read_replica
+              val recs = r.nbytes()
+              (p, err, hw, recs)
+            }
+            (t, parts)
+          }
+          assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+          val (t, Seq((p, err, hw, recs))) = topics.head
+          assert((t, p, err.toInt, hw) == ("fv", 0, 0, 7L), s"fetch v$ver")
+          val decoded = KafkaWire.decodeBatches(recs, 0, assignFrom = None)
+          assert(decoded.size == 7, s"fetch v$ver got ${decoded.size}")
+          assert(new String(decoded(3).value) == "v3")
+        }
+        // flexible v12: topics addressed by NAME (ids arrive at v13)
+        val r12 = c.rawRequest(1, 12) { b =>
+          b.i32(-1); b.i32(100); b.i32(1); b.i32(1 << 20); b.i8(0)
+          b.i32(0); b.i32(-1) // session_id, epoch
+          b.carray(Seq("fv")) { t =>
+            b.cstr(t)
+            b.carray(Seq(0)) { p =>
+              b.i32(p); b.i32(-1) // current_leader_epoch
+              b.i64(0L); b.i32(-1) // fetch_offset, last_fetched_epoch
+              b.i64(-1L); b.i32(1 << 20) // log_start, max_bytes
+              b.tags()
+            }
+            b.tags()
+          }
+          b.carray(Seq.empty[String]) { _ => } // forgotten topics
+          b.cstr("") // rack
+          b.tags()
+        }
+        r12.i32() // throttle
+        assert(r12.i16() == 0) // top-level error
+        r12.i32() // session_id
+        val t12 = r12.carray {
+          val name = r12.cstr()
+          val parts = r12.carray {
+            val p = r12.i32(); val err = r12.i16(); val hw = r12.i64()
+            r12.i64(); r12.i64() // lso, log_start
+            r12.carray(r12.i32()) // aborted_transactions
+            r12.i32()             // preferred_read_replica
+            val recs = r12.cbytes()
+            r12.tags()
+            (p, err, hw, recs)
+          }
+          r12.tags()
+          (name, parts)
+        }
+        r12.tags()
+        assert(r12.remaining == 0, s"v12: ${r12.remaining} trailing bytes")
+        val (n12, Seq((p12, e12, hw12, recs12))) = t12.head
+        assert((n12, p12, e12.toInt, hw12) == ("fv", 0, 0, 7L))
+        assert(KafkaWire.decodeBatches(recs12, 0, assignFrom = None).size == 7)
+      } finally c.close()
+    }
+  }
+
   test("auto protocol negotiates flexible; legacy and flexible interoperate") {
     withServer { srv =>
       val auto = new KafkaWire.Client("127.0.0.1", srv.port) // auto
