@@ -127,6 +127,28 @@ object WasmAsm {
     def i32WrapI64(): Code = op(0xa7)
     def i64ExtendI32U(): Code = op(0xad)
     def i64ExtendI32S(): Code = op(0xac)
+
+    // ── SIMD (0xFD prefix) ───────────────────────────────────────────
+    /** Any no-immediate SIMD op by sub-opcode: i8x16.add = 110, … */
+    def simd(sub: Int): Code = { u8(0xfd); u(sub.toLong); this }
+    /** Lane-immediate SIMD op (extract/replace): sub, lane byte. */
+    def simdLane(sub: Int, lane: Int): Code = {
+      u8(0xfd); u(sub.toLong); u8(lane)
+    }
+    def v128Const(bytes: Array[Byte]): Code = {
+      require(bytes.length == 16, "v128.const needs 16 bytes")
+      u8(0xfd); u(12L); bytes.foreach(out += _); this
+    }
+    def i8x16Shuffle(lanes: Array[Byte]): Code = {
+      require(lanes.length == 16, "shuffle needs 16 lane indices")
+      u8(0xfd); u(13L); lanes.foreach(out += _); this
+    }
+    def v128Load(offset: Int = 0, align: Int = 4): Code = {
+      u8(0xfd); u(0L); u(align.toLong); u(offset.toLong); this
+    }
+    def v128Store(offset: Int = 0, align: Int = 4): Code = {
+      u8(0xfd); u(11L); u(align.toLong); u(offset.toLong); this
+    }
   }
 
   final case class FuncDef(typeIdx: Int, locals: Seq[Int], code: Code)

@@ -9,7 +9,11 @@ import WasmModule._
   * Value representation: one `Long` per wasm value — i32 sign-extended,
   * i64 as-is, f32 as 32-bit float bits, f64 as 64-bit double bits. The
   * operand stack is a growable `Array[Long]`; call frames get a plain
-  * `Array[Long]` of locals. Traps (unreachable, division by zero,
+  * `Array[Long]` of locals. v128 values (SIMD proposal) keep the
+  * one-slot invariant by living in a per-invocation side table of
+  * immutable 16-byte little-endian arrays — the slot holds the box
+  * index, so block arities, `select`, `drop` and local slots stay
+  * type-oblivious; the table drains when the outermost call returns. Traps (unreachable, division by zero,
   * out-of-bounds access, invalid conversion, bad indirect call) throw
   * [[WasmInterp.Trap]], which the embedding processor maps to the
   * message error channel.
@@ -101,6 +105,14 @@ object WasmInterp {
     private val exportsByName: Map[String, Export] =
       module.exports.map(e => e.name -> e).toMap
 
+    // ── v128 boxes (SIMD): immutable 16-byte LE arrays, slot = index ──
+    private val v128s = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    private def boxV128(bytes: Array[Byte]): Long = {
+      v128s += bytes; (v128s.length - 1).toLong
+    }
+    private def popV(): Array[Byte] = v128s(pop().toInt)
+    private def pushV(bytes: Array[Byte]): Unit = push(boxV128(bytes))
+
     // ── operand stack ─────────────────────────────────────────────────
     private var stack = new Array[Long](256)
     private var sp = 0
@@ -163,6 +175,14 @@ object WasmInterp {
         val body = module.codes(idx - nImported)
         val locals = new Array[Long](args.length + body.locals.length)
         System.arraycopy(args, 0, locals, 0, args.length)
+        // v128 locals default to the zero vector — slot 0 of the box
+        // table would otherwise alias whatever box was allocated first
+        var li = 0
+        while (li < body.locals.length) {
+          if (body.locals(li) == WasmModule.V128)
+            locals(args.length + li) = boxV128(new Array[Byte](16))
+          li += 1
+        }
         val base = sp
         val r = run(body.body, locals)
         val nRes = ft.results.length
@@ -172,7 +192,13 @@ object WasmInterp {
         sp = base
         val _ = r
         out
-      } finally depth -= 1
+      } finally {
+        depth -= 1
+        // v128 boxes are per-top-level-invocation: values can flow
+        // across nested frames, so the table drains only when the
+        // outermost call returns (bounds growth without lifetime juggling)
+        if (depth == 0 && v128s.nonEmpty) v128s.clear()
+      }
     }
 
     /** Run a sequence; returns NORMAL, RETURN, or a branch depth
@@ -547,7 +573,238 @@ object WasmInterp {
         java.util.Arrays.fill(table, d, d + n, v)
         NORMAL
 
+      // ── 0xFD SIMD (v128) — the integer MVP subset ────────────────────
+      case 0xfd00 => // v128.load
+        val addr = (pop() & 0xffffffffL) + ins.b
+        if (addr < 0 || addr + 16 > mem.length)
+          throw new Trap(s"out of bounds memory access: $addr+16")
+        pushV(java.util.Arrays.copyOfRange(mem, addr.toInt, addr.toInt + 16))
+        NORMAL
+      case 0xfd0b => // v128.store
+        val v = popV()
+        val addr = (pop() & 0xffffffffL) + ins.b
+        if (addr < 0 || addr + 16 > mem.length)
+          throw new Trap(s"out of bounds memory access: $addr+16")
+        System.arraycopy(v, 0, mem, addr.toInt, 16)
+        NORMAL
+      case 0xfd0c => // v128.const (16-byte immediate in a/b, LE)
+        val bytes = new Array[Byte](16)
+        var i = 0
+        while (i < 8) {
+          bytes(i) = (ins.a >>> (8 * i)).toByte
+          bytes(8 + i) = (ins.b >>> (8 * i)).toByte
+          i += 1
+        }
+        pushV(bytes)
+        NORMAL
+      case 0xfd0d => // i8x16.shuffle (16 lane-index immediates in a/b)
+        val y = popV(); val x = popV()
+        val r = new Array[Byte](16)
+        var i = 0
+        while (i < 16) {
+          val sel = (if (i < 8) (ins.a >>> (8 * i)) else (ins.b >>> (8 * (i - 8)))).toInt & 0xff
+          r(i) = if (sel < 16) x(sel) else y(sel - 16)
+          i += 1
+        }
+        pushV(r)
+        NORMAL
+      case 0xfd0e => // i8x16.swizzle
+        val s = popV(); val x = popV()
+        val r = new Array[Byte](16)
+        var i = 0
+        while (i < 16) {
+          val sel = s(i) & 0xff
+          r(i) = if (sel < 16) x(sel) else 0
+          i += 1
+        }
+        pushV(r)
+        NORMAL
+      case 0xfd0f | 0xfd10 | 0xfd11 | 0xfd12 => // iNxM.splat
+        val sz = 1 << ((ins.op & 0xff) - 0x0f)
+        val v = pop()
+        val r = new Array[Byte](16)
+        var j = 0
+        while (j < 16 / sz) { putLane(r, sz, j, v); j += 1 }
+        pushV(r)
+        NORMAL
+      case 0xfd15 => push(getLaneS(popV(), 1, ins.a.toInt)); NORMAL // i8x16.extract_lane_s
+      case 0xfd16 => push(getLaneU(popV(), 1, ins.a.toInt)); NORMAL // _u
+      case 0xfd17 => vReplaceLane(1, ins.a.toInt)                   // i8x16.replace_lane
+      case 0xfd18 => push(getLaneS(popV(), 2, ins.a.toInt)); NORMAL // i16x8.extract_lane_s
+      case 0xfd19 => push(getLaneU(popV(), 2, ins.a.toInt)); NORMAL
+      case 0xfd1a => vReplaceLane(2, ins.a.toInt)
+      case 0xfd1b => push(getLaneS(popV(), 4, ins.a.toInt)); NORMAL // i32x4.extract_lane
+      case 0xfd1c => vReplaceLane(4, ins.a.toInt)
+      case 0xfd1d => push(getLaneS(popV(), 8, ins.a.toInt)); NORMAL // i64x2.extract_lane
+      case 0xfd1e => vReplaceLane(8, ins.a.toInt)
+      // integer lane compares (result lanes all-ones / all-zeros)
+      case 0xfd23 => vCmp(1)(_ == _)                                       // i8x16.eq
+      case 0xfd24 => vCmp(1)(_ != _)                                       // i8x16.ne
+      case 0xfd25 => vCmp(1)(_ < _)                                        // lt_s
+      case 0xfd26 => vCmp(1)((a, b) => (a & 0xff) < (b & 0xff))            // lt_u
+      case 0xfd27 => vCmp(1)(_ > _)                                        // gt_s
+      case 0xfd28 => vCmp(1)((a, b) => (a & 0xff) > (b & 0xff))            // gt_u
+      case 0xfd29 => vCmp(1)(_ <= _)                                       // le_s
+      case 0xfd2a => vCmp(1)((a, b) => (a & 0xff) <= (b & 0xff))           // le_u
+      case 0xfd2b => vCmp(1)(_ >= _)                                       // ge_s
+      case 0xfd2c => vCmp(1)((a, b) => (a & 0xff) >= (b & 0xff))           // ge_u
+      case 0xfd2d => vCmp(2)(_ == _)                                       // i16x8.eq
+      case 0xfd2e => vCmp(2)(_ != _)
+      case 0xfd2f => vCmp(2)(_ < _)
+      case 0xfd30 => vCmp(2)((a, b) => (a & 0xffff) < (b & 0xffff))
+      case 0xfd31 => vCmp(2)(_ > _)
+      case 0xfd32 => vCmp(2)((a, b) => (a & 0xffff) > (b & 0xffff))
+      case 0xfd33 => vCmp(2)(_ <= _)
+      case 0xfd34 => vCmp(2)((a, b) => (a & 0xffff) <= (b & 0xffff))
+      case 0xfd35 => vCmp(2)(_ >= _)
+      case 0xfd36 => vCmp(2)((a, b) => (a & 0xffff) >= (b & 0xffff))
+      case 0xfd37 => vCmp(4)(_ == _)                                       // i32x4.eq
+      case 0xfd38 => vCmp(4)(_ != _)
+      case 0xfd39 => vCmp(4)(_ < _)
+      case 0xfd3a => vCmp(4)((a, b) => (a & 0xffffffffL) < (b & 0xffffffffL))
+      case 0xfd3b => vCmp(4)(_ > _)
+      case 0xfd3c => vCmp(4)((a, b) => (a & 0xffffffffL) > (b & 0xffffffffL))
+      case 0xfd3d => vCmp(4)(_ <= _)
+      case 0xfd3e => vCmp(4)((a, b) => (a & 0xffffffffL) <= (b & 0xffffffffL))
+      case 0xfd3f => vCmp(4)(_ >= _)
+      case 0xfd40 => vCmp(4)((a, b) => (a & 0xffffffffL) >= (b & 0xffffffffL))
+      // bitwise
+      case 0xfd4d => // v128.not
+        val x = popV(); val r = new Array[Byte](16)
+        var i = 0
+        while (i < 16) { r(i) = (~x(i)).toByte; i += 1 }
+        pushV(r); NORMAL
+      case 0xfd4e => vBits((a, b) => (a & b).toByte)                // v128.and
+      case 0xfd4f => vBits((a, b) => (a & ~b).toByte)               // v128.andnot
+      case 0xfd50 => vBits((a, b) => (a | b).toByte)                // v128.or
+      case 0xfd51 => vBits((a, b) => (a ^ b).toByte)                // v128.xor
+      case 0xfd52 => // v128.bitselect
+        val c = popV(); val y = popV(); val x = popV()
+        val r = new Array[Byte](16)
+        var i = 0
+        while (i < 16) { r(i) = ((x(i) & c(i)) | (y(i) & ~c(i))).toByte; i += 1 }
+        pushV(r); NORMAL
+      case 0xfd53 => // v128.any_true
+        val x = popV()
+        push(b2l(x.exists(_ != 0))); NORMAL
+      // i8x16 unary/arith
+      case 0xfd60 => vUnop(1)(a => math.abs(a))                     // i8x16.abs (wraps at -128 via truncation)
+      case 0xfd61 => vUnop(1)(a => -a)                              // i8x16.neg
+      case 0xfd62 => vUnop(1)(a => java.lang.Long.bitCount(a & 0xff).toLong) // popcnt
+      case 0xfd63 => vAllTrue(1)
+      case 0xfd64 => vBitmask(1)
+      case 0xfd6b => vShift(1)((a, s) => a << s)                    // i8x16.shl
+      case 0xfd6c => vShift(1)((a, s) => a >> s)                    // shr_s
+      case 0xfd6d => vShift(1)((a, s) => (a & 0xff) >>> s)          // shr_u
+      case 0xfd6e => vBinop(1)(_ + _)                               // i8x16.add
+      case 0xfd71 => vBinop(1)(_ - _)                               // i8x16.sub
+      case 0xfd76 => vBinop(1)(math.min)                            // min_s
+      case 0xfd77 => vBinop(1)((a, b) => math.min(a & 0xff, b & 0xff)) // min_u
+      case 0xfd78 => vBinop(1)(math.max)                            // max_s
+      case 0xfd79 => vBinop(1)((a, b) => math.max(a & 0xff, b & 0xff)) // max_u
+      // i16x8
+      case 0xfd83 => vAllTrue(2)
+      case 0xfd84 => vBitmask(2)
+      case 0xfd8b => vShift(2)((a, s) => a << s)
+      case 0xfd8c => vShift(2)((a, s) => a >> s)
+      case 0xfd8d => vShift(2)((a, s) => (a & 0xffff) >>> s)
+      case 0xfd8e => vBinop(2)(_ + _)                               // i16x8.add
+      case 0xfd91 => vBinop(2)(_ - _)                               // i16x8.sub
+      case 0xfd95 => vBinop(2)(_ * _)                               // i16x8.mul
+      // i32x4
+      case 0xfda3 => vAllTrue(4)
+      case 0xfda4 => vBitmask(4)
+      case 0xfdab => vShift(4)((a, s) => a << s)
+      case 0xfdac => vShift(4)((a, s) => a >> s)
+      case 0xfdad => vShift(4)((a, s) => (a & 0xffffffffL) >>> s)
+      case 0xfdae => vBinop(4)(_ + _)                               // i32x4.add
+      case 0xfdb1 => vBinop(4)(_ - _)                               // i32x4.sub
+      case 0xfdb5 => vBinop(4)(_ * _)                               // i32x4.mul
+      // i64x2
+      case 0xfdc3 => vAllTrue(8)
+      case 0xfdc4 => vBitmask(8)
+      case 0xfdcb => vShift(8)((a, s) => a << s)
+      case 0xfdcc => vShift(8)((a, s) => a >> s)
+      case 0xfdcd => vShift(8)((a, s) => a >>> s)
+      case 0xfdce => vBinop(8)(_ + _)                               // i64x2.add
+      case 0xfdd1 => vBinop(8)(_ - _)                               // i64x2.sub
+      case 0xfdd5 => vBinop(8)(_ * _)                               // i64x2.mul
+
+      case op if (op & 0xff00) == 0xfd00 =>
+        throw new Trap(f"simd opcode 0xFD ${op & 0xff}%d unimplemented " +
+          "(integer MVP subset only)")
       case op => throw new Trap(f"unimplemented opcode 0x$op%x")
+    }
+
+    // ── v128 lane helpers: little-endian lanes of size 1/2/4/8 bytes ──
+    private def getLaneU(v: Array[Byte], sz: Int, j: Int): Long = {
+      var out = 0L
+      var i = 0
+      while (i < sz) { out |= (v(sz * j + i) & 0xffL) << (8 * i); i += 1 }
+      out
+    }
+    private def getLaneS(v: Array[Byte], sz: Int, j: Int): Long = {
+      val bits = 8 * sz
+      val u = getLaneU(v, sz, j)
+      if (bits == 64) u else (u << (64 - bits)) >> (64 - bits)
+    }
+    private def putLane(v: Array[Byte], sz: Int, j: Int, x: Long): Unit = {
+      var i = 0
+      while (i < sz) { v(sz * j + i) = (x >>> (8 * i)).toByte; i += 1 }
+    }
+    private def vBits(f: (Byte, Byte) => Byte): Int = {
+      val y = popV(); val x = popV()
+      val r = new Array[Byte](16)
+      var i = 0
+      while (i < 16) { r(i) = f(x(i), y(i)); i += 1 }
+      pushV(r); NORMAL
+    }
+    private def vBinop(sz: Int)(f: (Long, Long) => Long): Int = {
+      val y = popV(); val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 16 / sz) {
+        putLane(r, sz, j, f(getLaneS(x, sz, j), getLaneS(y, sz, j))); j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vUnop(sz: Int)(f: Long => Long): Int = {
+      val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 16 / sz) { putLane(r, sz, j, f(getLaneS(x, sz, j))); j += 1 }
+      pushV(r); NORMAL
+    }
+    private def vCmp(sz: Int)(f: (Long, Long) => Boolean): Int =
+      vBinop(sz)((a, b) => if (f(a, b)) -1L else 0L)
+    private def vShift(sz: Int)(f: (Long, Long) => Long): Int = {
+      val s = pop() & (8 * sz - 1) // shift count mod lane width, per spec
+      val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 16 / sz) { putLane(r, sz, j, f(getLaneS(x, sz, j), s)); j += 1 }
+      pushV(r); NORMAL
+    }
+    private def vAllTrue(sz: Int): Int = {
+      val x = popV()
+      var all = true
+      var j = 0
+      while (j < 16 / sz) { if (getLaneU(x, sz, j) == 0L) all = false; j += 1 }
+      push(b2l(all)); NORMAL
+    }
+    private def vBitmask(sz: Int): Int = {
+      val x = popV()
+      var m = 0L
+      var j = 0
+      while (j < 16 / sz) { if (getLaneS(x, sz, j) < 0) m |= 1L << j; j += 1 }
+      push(m); NORMAL
+    }
+    private def vReplaceLane(sz: Int, j: Int): Int = {
+      val x = pop()
+      val v = popV()
+      val r = java.util.Arrays.copyOf(v, 16)
+      putLane(r, sz, j, x)
+      pushV(r); NORMAL
     }
 
     private def invokeByIndexPoppingArgs(fIdx: Int): Array[Long] = {

@@ -23,6 +23,7 @@ object WasmModule {
   final val I64 = 0x7e
   final val F32 = 0x7d
   final val F64 = 0x7c
+  final val V128 = 0x7b
   final val FuncRef = 0x70
 
   final case class FuncType(params: Vector[Int], results: Vector[Int])
@@ -112,7 +113,8 @@ object WasmModule {
       Vector.fill(u32().toInt)(f)
     private def valType(): Int = {
       val t = u8()
-      if (t != I32 && t != I64 && t != F32 && t != F64 && t != FuncRef)
+      if (t != I32 && t != I64 && t != F32 && t != F64 && t != V128 &&
+          t != FuncRef)
         throw new DecodeError(f"bad value type 0x$t%02x at ${pos - 1}")
       t
     }
@@ -175,6 +177,10 @@ object WasmModule {
           case 6 => // globals
             globals = vec {
               val t = valType(); val mut = u8() == 1
+              // v128 values live in a per-invocation box table (see
+              // WasmInterp) — a global would outlive it
+              if (t == V128)
+                throw new DecodeError("v128 globals unsupported")
               GlobalDef(t, mut, exprUntilEnd())
             }
           case 7 => exports = vec(Export(name(), u8(), u32().toInt))
@@ -304,6 +310,27 @@ object WasmModule {
               case 17 => out += Instr(0xfc11, u32())            // table.fill
               case s => throw new DecodeError(s"0xFC $s unsupported")
             }
+          case 0xfd => // SIMD proposal: sub-opcode as u32 LEB
+            val sub = u32().toInt
+            val sop = 0xfd00 | sub
+            sub match {
+              case s if s <= 11 || s == 92 || s == 93 => // loads/stores: memarg
+                out += Instr(sop, u32(), u32())
+              case 12 | 13 => // v128.const / i8x16.shuffle: 16 bytes LE
+                var lo = 0L; var hi = 0L
+                var i = 0
+                while (i < 8) { lo |= (u8() & 0xffL) << (8 * i); i += 1 }
+                i = 0
+                while (i < 8) { hi |= (u8() & 0xffL) << (8 * i); i += 1 }
+                out += Instr(sop, lo, hi)
+              case s if s >= 21 && s <= 34 => // extract/replace: lane idx
+                out += Instr(sop, u8().toLong)
+              case s if s >= 84 && s <= 91 => // load/store lane: memarg+lane
+                out += Instr(sop, u32(), u32(), table = Vector(u8()))
+              case s if s > 255 =>
+                throw new DecodeError(s"0xFD $s (relaxed simd) unsupported")
+              case _ => out += Instr(sop) // remaining MVP ops: no immediates
+            }
           case o => throw new DecodeError(f"opcode 0x$o%02x unsupported at ${pos - 1}")
         }
       }
@@ -313,7 +340,7 @@ object WasmModule {
     private def blockType(): Int = {
       val t = u8()
       if (t == 0x40) -1
-      else if (t == I32 || t == I64 || t == F32 || t == F64) t
+      else if (t == I32 || t == I64 || t == F32 || t == F64 || t == V128) t
       else throw new DecodeError(f"block type 0x$t%02x unsupported (multi-value)")
     }
 

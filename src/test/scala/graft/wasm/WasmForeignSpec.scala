@@ -72,9 +72,10 @@ class WasmForeignSpec extends AnyFunSuite {
   /** Parse `payload` with the real llhttp on the graft interpreter;
     * returns (execute rc, method, keep-alive, event trace).
     */
-  private def runLlhttp(payload: String, parserType: Long)
+  private def runLlhttp(payload: String, parserType: Long,
+                        fixtureName: String = "llhttp.wasm")
       : (Long, Long, Long, Seq[String]) = {
-    val m = WasmModule.decode(fixture("llhttp.wasm"))
+    val m = WasmModule.decode(fixture(fixtureName))
     val rec = new Recorder
     val inst = new WasmInterp.Instance(m, rec.host)
     rec.inst = inst
@@ -118,21 +119,36 @@ class WasmForeignSpec extends AnyFunSuite {
     assert(rc != 0) // llhttp rejects; the interpreter must not trap
   }
 
-  test("llhttp_simd is rejected loudly (v128 unsupported, documented)") {
-    val e = intercept[WasmModule.DecodeError] {
-      WasmModule.decode(fixture("llhttp_simd.wasm"))
-    }
-    assert(e.getMessage.contains("0xfd"))
+  test("llhttp_simd EXECUTES: the SIMD build parses identically to scalar") {
+    // the wasi-sdk SIMD build (0xfd v128 opcodes — v128.const +
+    // v128.store in this binary) must produce the exact scalar-build
+    // behavior: same rc/method/keep-alive, same callback trace
+    val payload = "POST /hello?x=1 HTTP/1.1\r\nHost: example.com\r\n" +
+      "Content-Length: 5\r\n\r\nabcde"
+    val scalar = runLlhttp(payload, parserType = 1L)
+    val simd = runLlhttp(payload, parserType = 1L, "llhttp_simd.wasm")
+    assert(simd == scalar)
+    assert(simd._1 == 0L && simd._2 == 3L)
+    // and the chunked-response path (br_table heavy)
+    val chunked = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    assert(runLlhttp(chunked, 2L, "llhttp_simd.wasm") ==
+      runLlhttp(chunked, 2L))
   }
 
   test("execution differential vs V8: identical trace on identical bytes") {
+    for (fixtureName <- Seq("llhttp.wasm", "llhttp_simd.wasm"))
+      v8Differential(fixtureName)
+  }
+
+  private def v8Differential(fixtureName: String): Unit = {
     val node = new java.io.File("/usr/bin/node")
     assume(node.canExecute, "node not available on this machine")
     val payload = "POST /hello?x=1 HTTP/1.1\r\nHost: example.com\r\n" +
       "Content-Length: 5\r\n\r\nabcde"
     val script =
       s"""const fs = require('fs');
-         |const bytes = fs.readFileSync('${fixtureDir.resolve("llhttp.wasm")}');
+         |const bytes = fs.readFileSync('${fixtureDir.resolve(fixtureName)}');
          |const events = [];
          |let mem;
          |const data = (name) => (p, at, len) => {
@@ -169,16 +185,16 @@ class WasmForeignSpec extends AnyFunSuite {
     assert(proc.waitFor() == 0,
       new String(proc.getErrorStream.readAllBytes(), UTF_8))
     val v8 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
-    val (rc, method, keepAlive, events) = runLlhttp(payload, 1L)
-    assert(v8.get("rc").asLong == rc)
-    assert(v8.get("method").asLong == method)
-    assert(v8.get("keepAlive").asLong == keepAlive)
+    val (rc, method, keepAlive, events) = runLlhttp(payload, 1L, fixtureName)
+    assert(v8.get("rc").asLong == rc, fixtureName)
+    assert(v8.get("method").asLong == method, fixtureName)
+    assert(v8.get("keepAlive").asLong == keepAlive, fixtureName)
     val v8Events = {
       val b = Vector.newBuilder[String]
       v8.get("events").elements().forEachRemaining(e => b += e.asText)
       b.result()
     }
-    assert(v8Events == events.toVector)
+    assert(v8Events == events.toVector, fixtureName)
   }
 
   private def jsString(s: String): String =
