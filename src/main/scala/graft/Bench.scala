@@ -16,7 +16,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle-partition count is a ladder knob like split bytes: at
+      // the top rungs (sf10) a 600 M-row shuffle at 32 partitions
+      // exceeds memory-resident size per partition — a real cluster
+      // scales this with executor count, so the ladder protocol may too
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // AQE's default 1MB minPartitionSize coalesces the post-shuffle

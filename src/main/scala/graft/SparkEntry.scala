@@ -1591,17 +1591,23 @@ object SparkEntry {
       // auto-guess boundaries and escape edge cases live in
       // QuestDbSpec.
       import graft.sinks.QuestDb
-      val name = "qd_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val svc = QuestDb.named(name)
+      // SPARK_GRAFT_QUESTDB_SHARDS=N fans partitions over N loopback
+      // endpoints (writeSharded) — the ladder measurement for the
+      // "shard servers to scale" claim; rows merge afterwards so the
+      // gate output is byte-identical at any shard count
+      val shards = sys.env.getOrElse("SPARK_GRAFT_QUESTDB_SHARDS", "1").toInt
+      val base = "qd_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val names = (0 until shards).map(i => s"${base}_$i")
+      val svcs = names.map(QuestDb.named)
       val docs = Tables.events(s, d)
         .select(to_json(struct(col("event_id"), col("user_id"),
           col("event_type"), col("value"),
           unix_micros(col("ts")).as("ts_us"))).as("value"))
-      QuestDb.write(docs, s"mem://$name", "events",
+      QuestDb.writeSharded(docs, names.map(n => s"mem://$n"), "events",
         symbols = Set("event_type"), doubles = Set("value"),
         designatedTimestampField = "ts_us",
         designatedTimestampUnit = "micros")
-      val rows = svc.rows("events").map { case (m, ts) =>
+      val rows = svcs.flatMap(_.rows("events")).map { case (m, ts) =>
         org.apache.spark.sql.Row(
           m("event_id").asInstanceOf[Long],
           m("user_id").asInstanceOf[Long],
@@ -1617,7 +1623,7 @@ object SparkEntry {
           col("value"), timestamp_micros(col("ts_us")).as("ts"))
         .orderBy(col("event_id"))
         .localCheckpoint()
-      QuestDb.drop(name)
+      names.foreach(QuestDb.drop)
       out
     }),
 

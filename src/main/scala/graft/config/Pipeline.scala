@@ -1867,12 +1867,17 @@ object Pipeline {
         chC)
     case ("questdb", b) =>
       // outputs/questdb.adoc — ILP/HTTP lines; symbols/doubles/
-      // designated timestamp field map straight through
+      // designated timestamp field map straight through. `addresses`
+      // (a list) is the sharded scale extension: partitions fan out
+      // round-robin over the ingest endpoints (QuestDb.writeSharded)
       import scala.jdk.CollectionConverters._
       def strSet(field: String): Set[String] =
         Option(b.get(field)).map(_.elements().asScala.map(_.asText).toSet)
           .getOrElse(Set.empty)
-      graft.sinks.QuestDb.write(df, b.get("address").asText,
+      val addresses = Option(b.get("addresses"))
+        .map(_.elements().asScala.map(_.asText).toSeq)
+        .getOrElse(Seq(b.get("address").asText))
+      graft.sinks.QuestDb.writeSharded(df, addresses,
         b.get("table").asText,
         symbols = strSet("symbols"), doubles = strSet("doubles"),
         designatedTimestampField =

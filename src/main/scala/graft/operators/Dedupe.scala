@@ -301,9 +301,12 @@ object Dedupe {
     // ADAPTIVE: near-dup pair lists are duplicate-density-sized, not
     // corpus-sized — when the whole edge list fits on the driver,
     // iterative Spark label propagation is pure fixed overhead (each
-    // check block is a fresh plan+codegen cycle — ~3 s on a 25-edge
-    // graph, ~39 s on a 2.2 M-edge one whose components have diameter
-    // 1) and union-find on the driver is exact and instant. The path
+    // check block is a fresh plan+codegen cycle — ~3 s even on a
+    // 25-edge graph) and union-find on the driver is exact and
+    // instant; past the threshold the delta-iteration path costs one
+    // full join + a near-empty confirm on shallow graphs, so the
+    // crossover is flat (sf3's 2.2 M-edge rung measures FASTER
+    // distributed than the r13 driver path did). The path
     // choice is gated by a cheap limit+count FIRST (against the
     // persisted edge list, so nothing is computed twice and nothing
     // big is collected just to be discarded); only a list already

@@ -103,12 +103,40 @@ object QuestDb {
             timestampStringFields: Set[String] = Set.empty,
             timestampStringFormat: String = "yyyy-MM-dd'T'HH:mm:ss",
             batchSize: Int = 1000,
-            client: Http.Client = null): Unit = {
+            client: Http.Client = null): Unit =
+    writeSharded(df, Seq(url), table, symbols, doubles,
+      designatedTimestampField, designatedTimestampUnit,
+      timestampStringFields, timestampStringFormat, batchSize, client)
+
+  /** Sharded form: partitions fan out over `urls` round-robin
+    * (partition id mod endpoint count) — the horizontal-scale shape
+    * for a clustered ingest tier: each executor-side partition keeps
+    * ONE endpoint, no driver funnel, and aggregate throughput divides
+    * across shards once a single server's ILP intake saturates (the
+    * sf3 ladder's 33 s reading — SCALE_NOTES.md). Row→shard mapping is
+    * deterministic per partitioning but carries no semantic key: ILP
+    * appends are order-free per QuestDB's dedup/ordering model.
+    */
+  def writeSharded(df: DataFrame, urls: Seq[String], table: String,
+                   symbols: Set[String] = Set.empty,
+                   doubles: Set[String] = Set.empty,
+                   designatedTimestampField: String = "",
+                   designatedTimestampUnit: String = "auto",
+                   timestampStringFields: Set[String] = Set.empty,
+                   timestampStringFormat: String = "yyyy-MM-dd'T'HH:mm:ss",
+                   batchSize: Int = 1000,
+                   client: Http.Client = null): Unit = {
+    require(urls.nonEmpty, "questdb: at least one url")
     require(Set("nanos", "micros", "millis", "seconds", "auto")(
       designatedTimestampUnit), s"questdb: invalid unit")
-    val resolved = Option(client).getOrElse(resolveClient(url))
-    val endpoint = url.stripSuffix("/") + "/write"
+    val endpoints = urls.map(_.stripSuffix("/") + "/write").toIndexedSeq
+    val fixedClient = Option(client)
     df.select(col("value").cast("string")).rdd.foreachPartition { it =>
+      val pid = Option(org.apache.spark.TaskContext.get())
+        .map(_.partitionId()).getOrElse(0)
+      val endpoint = endpoints(pid % endpoints.size)
+      val resolved = fixedClient.getOrElse(
+        resolveClient(urls(pid % endpoints.size)))
       val mapper = new ObjectMapper()
       it.grouped(batchSize).foreach { rows =>
         val lines = rows.flatMap { r =>

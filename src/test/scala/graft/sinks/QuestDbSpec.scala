@@ -88,6 +88,38 @@ class QuestDbSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("400")))
   }
 
+  test("sharded write fans partitions over endpoints; union is complete") {
+    val base = "qds_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val names = (0 until 3).map(i => s"${base}_$i")
+    val svcs = names.map(QuestDb.named)
+    val docs = (0 until 120).map(i => s"""{"id":$i}""").toDF("value")
+      .repartition(8)
+    QuestDb.writeSharded(docs, names.map(n => s"mem://$n"), "t")
+    val perShard = svcs.map(_.rows("t").size)
+    // every shard took traffic (8 partitions round-robin over 3)
+    assert(perShard.forall(_ > 0), perShard.toString)
+    val ids = svcs.flatMap(_.rows("t")).map(_._1("id").asInstanceOf[Long])
+    assert(ids.sorted == (0L until 120L).toVector, "union must be lossless")
+    names.foreach(QuestDb.drop)
+  }
+
+  test("config output form: questdb addresses list shards the ingest") {
+    val base = "qdl_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val names = Seq(s"${base}_0", s"${base}_1")
+    val svcs = names.map(QuestDb.named)
+    val config =
+      s"""input:
+         |  generate: { count: 40, mapping: 'root.id = this.seq' }
+         |output:
+         |  questdb:
+         |    addresses: [${names.map(n => s""""mem://$n"""").mkString(", ")}]
+         |    table: gen
+         |""".stripMargin
+    graft.config.Pipeline.run(spark, config)
+    assert(svcs.map(_.rows("gen").size).sum == 40)
+    names.foreach(QuestDb.drop)
+  }
+
   test("config output form: questdb") {
     val name = "qdc_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val svc = QuestDb.named(name)
