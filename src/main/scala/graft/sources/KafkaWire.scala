@@ -641,7 +641,7 @@ object KafkaWire {
         // negotiation. Control-plane apis stay min=max: a client that
         // can't speak the one shape fails version negotiation CLEANLY.
         val supported = Seq(ApiProduce -> (3, 9), ApiFetch -> (4, 13),
-          ApiListOffsets -> (1, 1), ApiMetadata -> (12, 12),
+          ApiListOffsets -> (1, 1), ApiMetadata -> (0, 12),
           ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 2),
           ApiFindCoordinator -> (0, 0), ApiJoinGroup -> (2, 2),
           ApiHeartbeat -> (1, 1), ApiLeaveGroup -> (1, 1),
@@ -660,10 +660,16 @@ object KafkaWire {
         }
 
       case ApiMetadata if ver >= 9 =>
-        // v12 shape: topics asked by name OR topic id; response carries
-        // KIP-516 topic ids
-        val asked = r.carray { r.uuid(); val n = r.cstr(); r.tags(); n }
-        r.i8(); r.i8() // allow_auto_topic_creation, include_authorized_ops
+        // flexible v9–v12: topic ids enter the RESPONSE at v10 and the
+        // REQUEST topic struct at v10; include_cluster_authorized_
+        // operations exists v9–v10 only (KIP-700 removed it at v11)
+        val asked = r.carray {
+          if (ver >= 10) r.uuid()
+          val n = r.cstr(); r.tags(); n
+        }
+        r.i8() // allow_auto_topic_creation
+        if (ver <= 10) r.i8() // include_cluster_authorized_operations
+        r.i8() // include_topic_authorized_operations
         r.tags()
         val names =
           if (asked == null || asked.isEmpty) topics.keys.toSeq.sorted
@@ -677,7 +683,9 @@ object KafkaWire {
           val (hi, lo) = topicUuid(name)
           topics.get(name) match {
             case Some(parts) =>
-              b.i16(ErrNone); b.cnstr(name); b.uuid(hi, lo); b.i8(0)
+              b.i16(ErrNone); b.cnstr(name)
+              if (ver >= 10) b.uuid(hi, lo)
+              b.i8(0) // is_internal
               b.carray(parts.indices) { p =>
                 b.i16(ErrNone); b.i32(p); b.i32(1); b.i32(0)
                 b.carray(Seq(1))(b.i32); b.carray(Seq(1))(b.i32)
@@ -687,33 +695,54 @@ object KafkaWire {
               b.tags()
             case None =>
               b.i16(ErrUnknownTopicOrPartition); b.cnstr(name)
-              b.uuid(0L, 0L); b.i8(0)
+              if (ver >= 10) b.uuid(0L, 0L)
+              b.i8(0)
               b.carray(Seq.empty[Int])(_ => ())
               b.i32(-2147483648); b.tags()
           }
         }
+        if (ver <= 10) b.i32(-2147483648) // cluster_authorized_operations
         b.tags()
 
       case ApiMetadata =>
+        // non-flexible v0–v8: the fields sarama-era clients expect grow
+        // by version — rack/controller/is_internal at v1, cluster_id at
+        // v2, throttle at v3, allow_auto request flag at v4, offline
+        // replicas at v5, leader_epoch at v7, authorized-operations
+        // request flags + response ints at v8
         val asked = r.narray(r.str())
+        if (ver >= 4) r.i8() // allow_auto_topic_creation
+        if (ver >= 8) { r.i8(); r.i8() } // include_*_authorized_operations
         val names =
           if (asked == null || asked.isEmpty) topics.keys.toSeq.sorted
           else asked
-        b.array(Seq(1)) { id => b.i32(id); b.str("127.0.0.1"); b.i32(port); b.nstr(null) }
-        b.i32(1) // controller id
+        if (ver >= 3) b.i32(0) // throttle
+        b.array(Seq(1)) { id =>
+          b.i32(id); b.str("127.0.0.1"); b.i32(port)
+          if (ver >= 1) b.nstr(null) // rack
+        }
+        if (ver >= 2) b.nstr("graft-loopback") // cluster_id
+        if (ver >= 1) b.i32(1) // controller id
         b.array(names) { name =>
           topics.get(name) match {
             case Some(parts) =>
-              b.i16(ErrNone); b.str(name); b.i8(0) // is_internal=false
+              b.i16(ErrNone); b.str(name)
+              if (ver >= 1) b.i8(0) // is_internal=false
               b.array(parts.indices) { p =>
                 b.i16(ErrNone); b.i32(p); b.i32(1)
+                if (ver >= 7) b.i32(0) // leader_epoch
                 b.array(Seq(1))(b.i32); b.array(Seq(1))(b.i32)
+                if (ver >= 5) b.array(Seq.empty[Int])(b.i32) // offline
               }
+              if (ver >= 8) b.i32(-2147483648) // topic_authorized_operations
             case None =>
-              b.i16(ErrUnknownTopicOrPartition); b.str(name); b.i8(0)
+              b.i16(ErrUnknownTopicOrPartition); b.str(name)
+              if (ver >= 1) b.i8(0)
               b.array(Seq.empty[Int])(_ => ())
+              if (ver >= 8) b.i32(-2147483648)
           }
         }
+        if (ver >= 8) b.i32(-2147483648) // cluster_authorized_operations
 
       case ApiCreateTopics =>
         val reqs = r.array {

@@ -396,6 +396,89 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("intermediate Metadata versions v0–v11: version-gated fields parse exactly") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("mv", 2)
+        assert(c.apiVersions()(3) == (0, 12)) // Metadata range
+        // non-flexible v0–v8
+        for (ver <- 0 to 8) {
+          val r = c.rawRequest(3, ver) { b =>
+            b.array(Seq("mv"))(b.str)
+            if (ver >= 4) b.i8(0) // allow_auto_topic_creation
+            if (ver >= 8) { b.i8(0); b.i8(0) } // include_*_authorized_ops
+          }
+          if (ver >= 3) r.i32() // throttle
+          val brokers = r.array {
+            val id = r.i32(); val host = r.str(); val port = r.i32()
+            if (ver >= 1) r.nstr() // rack
+            (id, host, port)
+          }
+          assert(brokers == Seq((1, "127.0.0.1", srv.port)), s"v$ver")
+          if (ver >= 2) assert(r.nstr() == "graft-loopback")
+          if (ver >= 1) assert(r.i32() == 1) // controller
+          val ts = r.array {
+            val err = r.i16(); val name = r.str()
+            if (ver >= 1) r.i8() // is_internal
+            val parts = r.array {
+              val pe = r.i16(); val idx = r.i32(); val leader = r.i32()
+              if (ver >= 7) r.i32() // leader_epoch
+              r.array(r.i32()); r.array(r.i32())
+              if (ver >= 5) r.array(r.i32()) // offline
+              (pe, idx, leader)
+            }
+            if (ver >= 8) r.i32() // topic_authorized_operations
+            (err, name, parts)
+          }
+          if (ver >= 8) r.i32() // cluster_authorized_operations
+          assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+          assert(ts == Seq((0.toShort, "mv",
+            Seq((0.toShort, 0, 1), (0.toShort, 1, 1)))), s"metadata v$ver")
+        }
+        // flexible v9–v11 (topic ids in request/response at v10;
+        // cluster_authorized_operations gone at v11)
+        for (ver <- 9 to 11) {
+          val r = c.rawRequest(3, ver) { b =>
+            b.carray(Seq("mv")) { t =>
+              if (ver >= 10) b.uuid(0L, 0L)
+              b.cnstr(t); b.tags()
+            }
+            b.i8(0)
+            if (ver <= 10) b.i8(0)
+            b.i8(0)
+            b.tags()
+          }
+          r.i32() // throttle
+          r.carray { r.i32(); r.cstr(); r.i32(); r.cstr(); r.tags() }
+          assert(r.cstr() == "graft-loopback")
+          assert(r.i32() == 1)
+          val ts = r.carray {
+            val err = r.i16(); val name = r.cstr()
+            val tid = if (ver >= 10) r.uuid() else (0L, 0L)
+            r.i8()
+            val parts = r.carray {
+              val pe = r.i16(); val idx = r.i32(); r.i32(); r.i32()
+              r.carray(r.i32()); r.carray(r.i32()); r.carray(r.i32())
+              r.tags()
+              (pe, idx)
+            }
+            r.i32() // topic_authorized_operations
+            r.tags()
+            (err, name, tid, parts)
+          }
+          if (ver <= 10) r.i32() // cluster_authorized_operations
+          r.tags()
+          assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+          val (err, name, tid, parts) = ts.head
+          assert(err == 0 && name == "mv" &&
+            parts == Seq((0.toShort, 0), (0.toShort, 1)), s"metadata v$ver")
+          if (ver >= 10) assert(tid == KafkaWire.topicUuid("mv"))
+        }
+      } finally c.close()
+    }
+  }
+
   test("auto protocol negotiates flexible; legacy and flexible interoperate") {
     withServer { srv =>
       val auto = new KafkaWire.Client("127.0.0.1", srv.port) // auto
