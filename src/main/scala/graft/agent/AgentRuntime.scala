@@ -306,9 +306,19 @@ object AgentRuntime {
         java.nio.file.Paths.get(repositoryDir, "mcp").toString,
         labelFilter = tools.contains, env = env)
       val http = mcpServer.serveHttp(mcpHost, mcpPort)
+      // default guest command: the reference pins `uv run agents/<name>.py`
+      // (agent_processor.go:92); when uv is absent from PATH the runner
+      // falls back to plain python3 so Python guests still run — the
+      // script is the contract, uv is only its launcher
       val command = Option(a.get("command"))
         .map(_.elements().asScala.map(_.asText).toSeq)
-        .getOrElse(Seq("uv", "run", s"agents/$name.py"))
+        .getOrElse {
+          val uvOnPath = sys.env.getOrElse("PATH", "").split(':')
+            .exists(p => p.nonEmpty &&
+              java.nio.file.Files.isExecutable(java.nio.file.Paths.get(p, "uv")))
+          if (uvOnPath) Seq("uv", "run", s"agents/$name.py")
+          else Seq("python3", s"agents/$name.py")
+        }
       val cfg = json.createObjectNode()
       cfg.set[com.fasterxml.jackson.databind.JsonNode]("input",
         a.get("input").deepCopy())

@@ -344,6 +344,41 @@ class AgentSpec extends SparkSpec {
     }
   }
 
+  test("agent runner: agents/<name>.py runs via the default command (no override)") {
+    // the reference's default UX: redpanda_agents.yaml names an agent,
+    // the runtime launches agents/<name>.py — here the agent program
+    // reuses the bundled guest as its SDK (runpy) and dispatches
+    // through the to_upper MCP tool
+    val dir = Files.createTempDirectory("agent_repo_py")
+    Files.createDirectories(dir.resolve("mcp"))
+    writeRepo(dir.resolve("mcp"))
+    Files.createDirectories(dir.resolve("agents"))
+    Files.writeString(dir.resolve("agents/py_upper.py"),
+      s"""import runpy, sys
+         |sys.argv = ["agent_guest.py", "tool:to_upper"]
+         |runpy.run_path(r"${AgentRuntime.pythonGuestScript}",
+         |               run_name="__main__")
+         |""".stripMargin)
+    Files.writeString(dir.resolve("redpanda_agents.yaml"),
+      """agents:
+        |  py_upper:
+        |    input:
+        |      generate:
+        |        count: 3
+        |        mapping: 'root = "py msg " + this.seq.string()'
+        |    tools: [to_upper]
+        |    output:
+        |      inproc: py_agent_out
+        |""".stripMargin)
+    val results = AgentRuntime.run(spark, dir.toString)
+    try {
+      assert(results.map(_.name) == Seq("py_upper"))
+      val rows = spark.table("inproc_py_agent_out")
+        .orderBy("value").select("value").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("PY MSG 0", "PY MSG 1", "PY MSG 2"))
+    } finally results.foreach(_.mcp.stop())
+  }
+
   test("agent runner: redpanda_agents.yaml builds input→agent→output") {
     val dir = Files.createTempDirectory("agent_repo")
     Files.createDirectories(dir.resolve("mcp"))
