@@ -146,6 +146,11 @@ object WasmAsm {
     def v128Load(offset: Int = 0, align: Int = 4): Code = {
       u8(0xfd); u(0L); u(align.toLong); u(offset.toLong); this
     }
+    /** The load-shape family (extend 1–6, splat 7–10, zero 92/93):
+      * sub-opcode + memarg. */
+    def v128LoadShape(sub: Int, offset: Int = 0, align: Int = 0): Code = {
+      u8(0xfd); u(sub.toLong); u(align.toLong); u(offset.toLong); this
+    }
     def v128Store(offset: Int = 0, align: Int = 4): Code = {
       u8(0xfd); u(11L); u(align.toLong); u(offset.toLong); this
     }

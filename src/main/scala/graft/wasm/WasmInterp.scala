@@ -573,12 +573,51 @@ object WasmInterp {
         java.util.Arrays.fill(table, d, d + n, v)
         NORMAL
 
-      // ── 0xFD SIMD (v128) — the integer MVP subset ────────────────────
+      // ── 0xFD SIMD (v128) — integer + float MVP subset ────────────────
       case 0xfd00 => // v128.load
         val addr = (pop() & 0xffffffffL) + ins.b
         if (addr < 0 || addr + 16 > mem.length)
           throw new Trap(s"out of bounds memory access: $addr+16")
         pushV(java.util.Arrays.copyOfRange(mem, addr.toInt, addr.toInt + 16))
+        NORMAL
+      case 0xfd01 | 0xfd02 | 0xfd03 | 0xfd04 | 0xfd05 | 0xfd06 =>
+        // load extend: 8x8 / 16x4 / 32x2, signed/unsigned halves
+        val sub = ins.op & 0xff
+        val srcSz = 1 << ((sub - 1) / 2) // 1, 2, 4
+        val signed = sub % 2 == 1
+        val half = ld(8, ins.b) // pops addr; 8 source bytes
+        val r = new Array[Byte](16)
+        var j = 0
+        val n = 8 / srcSz
+        while (j < n) {
+          var v = 0L
+          var i = 0
+          while (i < srcSz) {
+            v |= ((half >>> (8 * (srcSz * j + i))) & 0xffL) << (8 * i); i += 1
+          }
+          if (signed) {
+            val bits = 8 * srcSz
+            v = (v << (64 - bits)) >> (64 - bits)
+          }
+          putLane(r, srcSz * 2, j, v)
+          j += 1
+        }
+        pushV(r)
+        NORMAL
+      case 0xfd07 | 0xfd08 | 0xfd09 | 0xfd0a => // loadN_splat
+        val sz = 1 << ((ins.op & 0xff) - 7)
+        val v = ld(sz, ins.b)
+        val r = new Array[Byte](16)
+        var j = 0
+        while (j < 16 / sz) { putLane(r, sz, j, v); j += 1 }
+        pushV(r)
+        NORMAL
+      case 0xfd5c | 0xfd5d => // v128.load32_zero / load64_zero
+        val sz = if ((ins.op & 0xff) == 92) 4 else 8
+        val v = ld(sz, ins.b)
+        val r = new Array[Byte](16)
+        putLane(r, sz, 0, v)
+        pushV(r)
         NORMAL
       case 0xfd0b => // v128.store
         val v = popV()
@@ -730,9 +769,185 @@ object WasmInterp {
       case 0xfdd1 => vBinop(8)(_ - _)                               // i64x2.sub
       case 0xfdd5 => vBinop(8)(_ * _)                               // i64x2.mul
 
+      // float lanes: f32x4 / f64x2 (bits live in lanes; scalars on the
+      // operand stack use the interpreter's f32-bits / f64-bits forms)
+      case 0xfd13 => // f32x4.splat
+        val bits = pop() & 0xffffffffL
+        val r = new Array[Byte](16)
+        var j = 0
+        while (j < 4) { putLane(r, 4, j, bits); j += 1 }
+        pushV(r); NORMAL
+      case 0xfd14 => // f64x2.splat
+        val bits = pop()
+        val r = new Array[Byte](16)
+        putLane(r, 8, 0, bits); putLane(r, 8, 1, bits)
+        pushV(r); NORMAL
+      case 0xfd1f => push(getLaneU(popV(), 4, ins.a.toInt)); NORMAL // f32x4.extract_lane
+      case 0xfd20 => vReplaceLane(4, ins.a.toInt)                   // f32x4.replace_lane
+      case 0xfd21 => push(getLaneU(popV(), 8, ins.a.toInt)); NORMAL // f64x2.extract_lane
+      case 0xfd22 => vReplaceLane(8, ins.a.toInt)                   // f64x2.replace_lane
+      case 0xfd41 => vF32Cmp(_ == _)                                // f32x4.eq
+      case 0xfd42 => vF32Cmp(_ != _)
+      case 0xfd43 => vF32Cmp(_ < _)
+      case 0xfd44 => vF32Cmp(_ > _)
+      case 0xfd45 => vF32Cmp(_ <= _)
+      case 0xfd46 => vF32Cmp(_ >= _)
+      case 0xfd47 => vF64Cmp(_ == _)                                // f64x2.eq
+      case 0xfd48 => vF64Cmp(_ != _)
+      case 0xfd49 => vF64Cmp(_ < _)
+      case 0xfd4a => vF64Cmp(_ > _)
+      case 0xfd4b => vF64Cmp(_ <= _)
+      case 0xfd4c => vF64Cmp(_ >= _)
+      // narrowing (saturating) and widening integer conversions
+      case 0xfd65 => vNarrow(2, signed = true)   // i8x16.narrow_i16x8_s
+      case 0xfd66 => vNarrow(2, signed = false)  // i8x16.narrow_i16x8_u
+      case 0xfd85 => vNarrow(4, signed = true)   // i16x8.narrow_i32x4_s
+      case 0xfd86 => vNarrow(4, signed = false)  // i16x8.narrow_i32x4_u
+      case 0xfd87 | 0xfd88 | 0xfd89 | 0xfd8a => // i16x8.extend_*_i8x16_*
+        vExtend(1, high = ((ins.op & 0xff) - 135) % 2 == 1,
+          signed = (ins.op & 0xff) <= 136)
+      case 0xfda7 | 0xfda8 | 0xfda9 | 0xfdaa => // i32x4.extend_*_i16x8_*
+        vExtend(2, high = ((ins.op & 0xff) - 167) % 2 == 1,
+          signed = (ins.op & 0xff) <= 168)
+      case 0xfdc7 | 0xfdc8 | 0xfdc9 | 0xfdca => // i64x2.extend_*_i32x4_*
+        vExtend(4, high = ((ins.op & 0xff) - 199) % 2 == 1,
+          signed = (ins.op & 0xff) <= 200)
+      // saturating add/sub + unsigned rounding average
+      case 0xfd6f => vBinop(1)((a, b) => satS(a + b, 1))            // i8x16.add_sat_s
+      case 0xfd70 => vBinop(1)((a, b) => satU((a & 0xff) + (b & 0xff), 1))
+      case 0xfd72 => vBinop(1)((a, b) => satS(a - b, 1))            // i8x16.sub_sat_s
+      case 0xfd73 => vBinop(1)((a, b) => satU((a & 0xff) - (b & 0xff), 1))
+      case 0xfd7b => vBinop(1)((a, b) => ((a & 0xff) + (b & 0xff) + 1) >> 1) // i8x16.avgr_u
+      case 0xfd8f => vBinop(2)((a, b) => satS(a + b, 2))            // i16x8.add_sat_s
+      case 0xfd90 => vBinop(2)((a, b) => satU((a & 0xffff) + (b & 0xffff), 2))
+      case 0xfd92 => vBinop(2)((a, b) => satS(a - b, 2))            // i16x8.sub_sat_s
+      case 0xfd93 => vBinop(2)((a, b) => satU((a & 0xffff) - (b & 0xffff), 2))
+      case 0xfd9b => vBinop(2)((a, b) => ((a & 0xffff) + (b & 0xffff) + 1) >> 1) // i16x8.avgr_u
+      case 0xfd96 => vBinop(2)(math.min)                            // i16x8.min_s
+      case 0xfd97 => vBinop(2)((a, b) => math.min(a & 0xffff, b & 0xffff))
+      case 0xfd98 => vBinop(2)(math.max)                            // i16x8.max_s
+      case 0xfd99 => vBinop(2)((a, b) => math.max(a & 0xffff, b & 0xffff))
+      case 0xfda0 => vUnop(4)(math.abs)                             // i32x4.abs
+      case 0xfda1 => vUnop(4)(a => -a)                              // i32x4.neg
+      case 0xfd80 => vUnop(2)(math.abs)                             // i16x8.abs
+      case 0xfd81 => vUnop(2)(a => -a)                              // i16x8.neg
+      case 0xfdc0 => vUnop(8)(math.abs)                             // i64x2.abs
+      case 0xfdc1 => vUnop(8)(a => -a)                              // i64x2.neg
+      case 0xfdb6 => vBinop(4)(math.min)                            // i32x4.min_s
+      case 0xfdb7 => vBinop(4)((a, b) =>                            // i32x4.min_u
+        math.min(a & 0xffffffffL, b & 0xffffffffL))
+      case 0xfdb8 => vBinop(4)(math.max)                            // i32x4.max_s
+      case 0xfdb9 => vBinop(4)((a, b) =>                            // i32x4.max_u
+        math.max(a & 0xffffffffL, b & 0xffffffffL))
+      // f32x4 rounding / arithmetic
+      case 0xfd67 => vF32Unop(x => math.ceil(x).toFloat)            // f32x4.ceil
+      case 0xfd68 => vF32Unop(x => math.floor(x).toFloat)           // floor
+      case 0xfd69 => vF32Unop(x =>                                  // trunc
+        (if (x < 0) math.ceil(x) else math.floor(x)).toFloat)
+      case 0xfd6a => vF32Unop(x => math.rint(x).toFloat)            // nearest
+      case 0xfde0 => vF32Unop(math.abs)                             // f32x4.abs
+      case 0xfde1 => vF32Unop(x => -x)                              // neg
+      case 0xfde3 => vF32Unop(x => math.sqrt(x).toFloat)            // sqrt
+      case 0xfde4 => vF32Binop(_ + _)                               // add
+      case 0xfde5 => vF32Binop(_ - _)                               // sub
+      case 0xfde6 => vF32Binop(_ * _)                               // mul
+      case 0xfde7 => vF32Binop(_ / _)                               // div
+      case 0xfde8 => vF32Binop((x, y) =>                            // min (NaN-propagating)
+        if (x.isNaN || y.isNaN) Float.NaN else math.min(x, y))
+      case 0xfde9 => vF32Binop((x, y) =>
+        if (x.isNaN || y.isNaN) Float.NaN else math.max(x, y))
+      case 0xfdea => vF32Binop((x, y) => if (y < x) y else x)       // pmin
+      case 0xfdeb => vF32Binop((x, y) => if (x < y) y else x)       // pmax
+      // f64x2 rounding / arithmetic
+      case 0xfd74 => vF64Unop(math.ceil)                            // f64x2.ceil
+      case 0xfd75 => vF64Unop(math.floor)                           // floor
+      case 0xfd7a => vF64Unop(x =>                                  // trunc
+        if (x < 0) math.ceil(x) else math.floor(x))
+      case 0xfd94 => vF64Unop(math.rint)                            // nearest
+      case 0xfdec => vF64Unop(math.abs)                             // f64x2.abs
+      case 0xfded => vF64Unop(x => -x)                              // neg
+      case 0xfdef => vF64Unop(math.sqrt)                            // sqrt
+      case 0xfdf0 => vF64Binop(_ + _)                               // add
+      case 0xfdf1 => vF64Binop(_ - _)                               // sub
+      case 0xfdf2 => vF64Binop(_ * _)                               // mul
+      case 0xfdf3 => vF64Binop(_ / _)                               // div
+      case 0xfdf4 => vF64Binop((x, y) =>
+        if (x.isNaN || y.isNaN) Double.NaN else math.min(x, y))
+      case 0xfdf5 => vF64Binop((x, y) =>
+        if (x.isNaN || y.isNaN) Double.NaN else math.max(x, y))
+      case 0xfdf6 => vF64Binop((x, y) => if (y < x) y else x)       // pmin
+      case 0xfdf7 => vF64Binop((x, y) => if (x < y) y else x)       // pmax
+      // float ⇄ int conversions, demote/promote
+      case 0xfd5e => // f32x4.demote_f64x2_zero
+        val x = popV(); val r = new Array[Byte](16)
+        var j = 0
+        while (j < 2) {
+          val f = java.lang.Double.longBitsToDouble(getLaneU(x, 8, j)).toFloat
+          putLane(r, 4, j, java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL)
+          j += 1
+        }
+        pushV(r); NORMAL
+      case 0xfd5f => // f64x2.promote_low_f32x4
+        val x = popV(); val r = new Array[Byte](16)
+        var j = 0
+        while (j < 2) {
+          val d = java.lang.Float.intBitsToFloat(getLaneU(x, 4, j).toInt).toDouble
+          putLane(r, 8, j, java.lang.Double.doubleToLongBits(d))
+          j += 1
+        }
+        pushV(r); NORMAL
+      case 0xfdf8 => // i32x4.trunc_sat_f32x4_s
+        vF32ToI32(f => if (f.isNaN) 0L
+          else math.max(Int.MinValue.toDouble,
+            math.min(Int.MaxValue.toDouble, f.toDouble)).toLong)
+      case 0xfdf9 => // i32x4.trunc_sat_f32x4_u
+        vF32ToI32(f => if (f.isNaN) 0L
+          else math.max(0.0, math.min(4294967295.0, f.toDouble)).toLong)
+      case 0xfdfa => // f32x4.convert_i32x4_s
+        vI32ToF32(v => v.toInt.toFloat)
+      case 0xfdfb => // f32x4.convert_i32x4_u
+        vI32ToF32(v => (v & 0xffffffffL).toFloat)
+      case 0xfdfc => // i32x4.trunc_sat_f64x2_s_zero
+        val x = popV(); val r = new Array[Byte](16)
+        var j = 0
+        while (j < 2) {
+          val d = java.lang.Double.longBitsToDouble(getLaneU(x, 8, j))
+          val v = if (d.isNaN) 0L
+            else math.max(Int.MinValue.toDouble,
+              math.min(Int.MaxValue.toDouble, d)).toLong
+          putLane(r, 4, j, v & 0xffffffffL); j += 1
+        }
+        pushV(r); NORMAL
+      case 0xfdfd => // i32x4.trunc_sat_f64x2_u_zero
+        val x = popV(); val r = new Array[Byte](16)
+        var j = 0
+        while (j < 2) {
+          val d = java.lang.Double.longBitsToDouble(getLaneU(x, 8, j))
+          val v = if (d.isNaN) 0L
+            else math.max(0.0, math.min(4294967295.0, d)).toLong
+          putLane(r, 4, j, v & 0xffffffffL); j += 1
+        }
+        pushV(r); NORMAL
+      case 0xfdfe => // f64x2.convert_low_i32x4_s
+        val x = popV(); val r = new Array[Byte](16)
+        var j = 0
+        while (j < 2) {
+          putLane(r, 8, j, java.lang.Double.doubleToLongBits(
+            getLaneS(x, 4, j).toDouble)); j += 1
+        }
+        pushV(r); NORMAL
+      case 0xfdff => // f64x2.convert_low_i32x4_u
+        val x = popV(); val r = new Array[Byte](16)
+        var j = 0
+        while (j < 2) {
+          putLane(r, 8, j, java.lang.Double.doubleToLongBits(
+            getLaneU(x, 4, j).toDouble)); j += 1
+        }
+        pushV(r); NORMAL
+
       case op if (op & 0xff00) == 0xfd00 =>
         throw new Trap(f"simd opcode 0xFD ${op & 0xff}%d unimplemented " +
-          "(integer MVP subset only)")
+          "(extmul/extadd/dot/q15 family)")
       case op => throw new Trap(f"unimplemented opcode 0x$op%x")
     }
 
@@ -804,6 +1019,138 @@ object WasmInterp {
       val v = popV()
       val r = java.util.Arrays.copyOf(v, 16)
       putLane(r, sz, j, x)
+      pushV(r); NORMAL
+    }
+    // saturate a widened result back into a signed/unsigned lane
+    private def satS(v: Long, sz: Int): Long = {
+      val max = (1L << (8 * sz - 1)) - 1
+      if (v > max) max else if (v < -max - 1) -max - 1 else v
+    }
+    private def satU(v: Long, sz: Int): Long = {
+      val max = (1L << (8 * sz)) - 1
+      if (v > max) max else if (v < 0) 0L else v
+    }
+    private def vNarrow(srcSz: Int, signed: Boolean): Int = {
+      val y = popV(); val x = popV()
+      val dstSz = srcSz / 2
+      val n = 16 / srcSz
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < n) {
+        val v = getLaneS(x, srcSz, j)
+        putLane(r, dstSz, j, if (signed) satS(v, dstSz) else satU(v, dstSz))
+        j += 1
+      }
+      j = 0
+      while (j < n) {
+        val v = getLaneS(y, srcSz, j)
+        putLane(r, dstSz, n + j,
+          if (signed) satS(v, dstSz) else satU(v, dstSz))
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vExtend(srcSz: Int, high: Boolean, signed: Boolean): Int = {
+      val x = popV()
+      val dstSz = srcSz * 2
+      val n = 16 / dstSz
+      val off = if (high) n else 0
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < n) {
+        val v = if (signed) getLaneS(x, srcSz, off + j)
+                else getLaneU(x, srcSz, off + j)
+        putLane(r, dstSz, j, v)
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def f32Of(bits: Long): Float =
+      java.lang.Float.intBitsToFloat(bits.toInt)
+    private def f32Bits(f: Float): Long =
+      java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL
+    private def vF32Binop(f: (Float, Float) => Float): Int = {
+      val y = popV(); val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 4) {
+        putLane(r, 4, j, f32Bits(f(f32Of(getLaneU(x, 4, j)),
+          f32Of(getLaneU(y, 4, j)))))
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vF32Unop(f: Float => Float): Int = {
+      val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 4) {
+        putLane(r, 4, j, f32Bits(f(f32Of(getLaneU(x, 4, j))))); j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vF32Cmp(f: (Float, Float) => Boolean): Int = {
+      val y = popV(); val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 4) {
+        putLane(r, 4, j, if (f(f32Of(getLaneU(x, 4, j)),
+          f32Of(getLaneU(y, 4, j)))) 0xffffffffL else 0L)
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vF64Binop(f: (Double, Double) => Double): Int = {
+      val y = popV(); val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 2) {
+        putLane(r, 8, j, java.lang.Double.doubleToLongBits(f(
+          java.lang.Double.longBitsToDouble(getLaneU(x, 8, j)),
+          java.lang.Double.longBitsToDouble(getLaneU(y, 8, j)))))
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vF64Unop(f: Double => Double): Int = {
+      val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 2) {
+        putLane(r, 8, j, java.lang.Double.doubleToLongBits(
+          f(java.lang.Double.longBitsToDouble(getLaneU(x, 8, j)))))
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vF64Cmp(f: (Double, Double) => Boolean): Int = {
+      val y = popV(); val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 2) {
+        putLane(r, 8, j, if (f(
+          java.lang.Double.longBitsToDouble(getLaneU(x, 8, j)),
+          java.lang.Double.longBitsToDouble(getLaneU(y, 8, j)))) -1L else 0L)
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vF32ToI32(f: Float => Long): Int = {
+      val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 4) {
+        putLane(r, 4, j, f(f32Of(getLaneU(x, 4, j))) & 0xffffffffL); j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vI32ToF32(f: Long => Float): Int = {
+      val x = popV()
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 4) {
+        putLane(r, 4, j, f32Bits(f(getLaneS(x, 4, j)))); j += 1
+      }
       pushV(r); NORMAL
     }
 

@@ -34,6 +34,19 @@ class WasmSimdSpec extends AnyFunSuite {
   private val resultBase = 64
   private val slots = scala.collection.mutable.LinkedHashMap.empty[String, Int]
 
+  private def f32x4(a: Float, b: Float, c: Float, d: Float): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(a).putFloat(b).putFloat(c).putFloat(d)
+    bb.array()
+  }
+  private def f64x2(a: Double, b: Double): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(a).putDouble(b)
+    bb.array()
+  }
+
   /** Build one module running the whole op surface: `run` stores each
     * v128 result at a recorded slot; scalar ops export as functions.
     */
@@ -125,6 +138,106 @@ class WasmSimdSpec extends AnyFunSuite {
       store("repl16") { loadA(); c.i32Const(0x1234); c.simdLane(26, 3) }
       store("repl32") { loadA(); c.i32Const(0xdead); c.simdLane(28, 2) }
       store("repl64") { loadA(); c.i64Const(-2L); c.simdLane(30, 1) }
+      // saturating arithmetic + rounding average
+      store("addsat_s8") { loadA(); loadB(); c.simd(111) }
+      store("addsat_u8") { loadA(); loadB(); c.simd(112) }
+      store("subsat_s8") { loadA(); loadB(); c.simd(114) }
+      store("subsat_u8") { loadA(); loadB(); c.simd(115) }
+      store("avgr_u8") { loadA(); loadB(); c.simd(123) }
+      store("addsat_s16") { loadA(); loadB(); c.simd(143) }
+      store("subsat_u16") { loadA(); loadB(); c.simd(147) }
+      store("avgr_u16") { loadA(); loadB(); c.simd(155) }
+      store("minmax16") { loadA(); loadB(); c.simd(150) } // i16x8.min_s
+      store("max_u16") { loadA(); loadB(); c.simd(153) }
+      store("min_s32") { loadA(); loadB(); c.simd(182) }
+      store("max_u32") { loadA(); loadB(); c.simd(185) }
+      store("abs16") { loadA(); c.simd(128) }
+      store("neg32") { loadA(); c.simd(161) }
+      store("abs64") { loadA(); c.simd(192) }
+      // narrowing / widening
+      store("narrow8s") { loadA(); loadB(); c.simd(101) }
+      store("narrow8u") { loadA(); loadB(); c.simd(102) }
+      store("narrow16s") { loadA(); loadB(); c.simd(133) }
+      store("extlo8s") { loadA(); c.simd(135) }
+      store("exthi8s") { loadA(); c.simd(136) }
+      store("extlo8u") { loadA(); c.simd(137) }
+      store("exthi16u") { loadA(); c.simd(170) }
+      store("extlo32s") { loadA(); c.simd(199) }
+      store("exthi32u") { loadA(); c.simd(202) }
+      // load-shape variants over A's bytes
+      store("load8x8_s") { c.i32Const(0); c.v128LoadShape(1) }
+      store("load8x8_u") { c.i32Const(0); c.v128LoadShape(2) }
+      store("load16x4_s") { c.i32Const(8); c.v128LoadShape(3) }
+      store("load32x2_u") { c.i32Const(0); c.v128LoadShape(6) }
+      store("load8_splat") { c.i32Const(9); c.v128LoadShape(7) }
+      store("load32_splat") { c.i32Const(4); c.v128LoadShape(9) }
+      store("load64_splat") { c.i32Const(8); c.v128LoadShape(10) }
+      store("load32_zero") { c.i32Const(12); c.v128LoadShape(92) }
+      store("load64_zero") { c.i32Const(0); c.v128LoadShape(93) }
+      // f32x4 / f64x2: constants assembled inline (no NaN inputs — lane
+      // NaN PAYLOADS are impl-defined; ops below never produce one from
+      // these operands except where both engines canonicalize)
+      def fa() = c.v128Const(f32x4(1.5f, -2.25f, 0.0f, -0.0f))
+      def fb() = c.v128Const(f32x4(3.0f, 0.5f, -1.0f, 16.0f))
+      def fr() = c.v128Const(f32x4(1.5f, -2.5f, 2.5f, -1.5f))
+      def da() = c.v128Const(f64x2(2.5, -7.25))
+      def db() = c.v128Const(f64x2(0.5, 3.0))
+      store("fadd") { fa(); fb(); c.simd(228) }
+      store("fsub") { fa(); fb(); c.simd(229) }
+      store("fmul") { fa(); fb(); c.simd(230) }
+      store("fdiv") { fa(); fb(); c.simd(231) }
+      store("fmin_zeros") { fa(); c.v128Const(f32x4(0.0f, 1.0f, 0.0f, 0.0f))
+        c.simd(232) } // min(-0,+0) must be -0
+      store("fmax") { fa(); fb(); c.simd(233) }
+      store("fpmin") { fa(); fb(); c.simd(234) }
+      store("fpmax") { fa(); fb(); c.simd(235) }
+      store("fabs") { fa(); c.simd(224) }
+      store("fneg") { fa(); c.simd(225) }
+      // no NaN-producing inputs in the differential module: a wasm
+      // arithmetic NaN's PAYLOAD (incl. sign) is impl-defined — V8 on
+      // x86 emits the hardware default QNaN 0xFFC00000 for sqrt(-1),
+      // the JVM the canonical 0x7FC00000; both legal. NaN-ness itself
+      // is pinned payload-agnostically in the hand-computed test.
+      store("fsqrt") { c.v128Const(f32x4(3.0f, 0.5f, 2.25f, 16.0f))
+        c.simd(227) }
+      store("fceil") { fr(); c.simd(103) }
+      store("ffloor") { fr(); c.simd(104) }
+      store("ftrunc") { fr(); c.simd(105) }
+      store("fnearest") { fr(); c.simd(106) } // ties to even: 2.5 -> 2, -2.5 -> -2
+      store("feq") { fa(); fb(); c.simd(65) }
+      store("flt") { fa(); fb(); c.simd(67) }
+      store("fge") { fa(); fb(); c.simd(70) }
+      store("fsplat") { c.f32Const(7.75f); c.simd(19) }
+      store("frepl") { fa(); c.f32Const(9.5f); c.simdLane(32, 2) }
+      store("fext_splat") { fa(); c.simdLane(31, 1); c.simd(19) } // extract -> splat
+      store("dadd") { da(); db(); c.simd(240) }
+      store("dmul") { da(); db(); c.simd(242) }
+      store("ddiv") { da(); db(); c.simd(243) }
+      store("dmin") { da(); db(); c.simd(244) }
+      store("dpmax") { da(); db(); c.simd(247) }
+      store("dneg") { da(); c.simd(237) }
+      store("dsqrt") { db(); c.simd(239) }
+      store("dceil") { da(); c.simd(116) }
+      store("dfloor") { da(); c.simd(117) }
+      store("dtrunc") { da(); c.simd(122) }
+      store("dnearest") { c.v128Const(f64x2(2.5, -0.5)); c.simd(148) }
+      store("deq") { da(); db(); c.simd(71) }
+      store("dlt") { da(); db(); c.simd(73) }
+      store("dsplat") { c.f64Const(-3.125); c.simd(20) }
+      store("drepl") { da(); c.f64Const(11.0); c.simdLane(34, 0) }
+      // conversions
+      store("trunc_f32_s") { c.v128Const(f32x4(1.9f, -2.9f, 3e9f, -0.5f))
+        c.simd(248) } // saturates lane 2
+      store("trunc_f32_u") { c.v128Const(f32x4(1.9f, -2.9f, 3e9f, 0.5f))
+        c.simd(249) }
+      store("conv_i32_s") { loadA(); c.simd(250) }
+      store("conv_i32_u") { loadA(); c.simd(251) }
+      store("trunc_f64_s") { c.v128Const(f64x2(1e12, -3.7)); c.simd(252) }
+      store("trunc_f64_u") { c.v128Const(f64x2(1e12, 3.7)); c.simd(253) }
+      store("conv_low_s") { loadA(); c.simd(254) }
+      store("conv_low_u") { loadA(); c.simd(255) }
+      store("demote") { da(); c.simd(94) }
+      store("promote") { fa(); c.simd(95) }
       ()
     }
     m.exportFunc("run", run)
@@ -225,6 +338,54 @@ class WasmSimdSpec extends AnyFunSuite {
       A.map(a => java.lang.Integer.bitCount(a & 0xff).toByte)))
     val repl = A.clone(); repl(5) = 0x7c
     assert(got("repl8").sameElements(repl))
+    // saturating / average / narrow / extend / load shapes
+    assert(got("addsat_s8").sameElements(laneWise(1, A, B) { (a, b) =>
+      math.max(-128L, math.min(127L, a + b)) }))
+    assert(got("subsat_u8").sameElements(laneWise(1, A, B) { (a, b) =>
+      math.max(0L, (a & 0xff) - (b & 0xff)) }))
+    assert(got("avgr_u8").sameElements(laneWise(1, A, B) { (a, b) =>
+      ((a & 0xff) + (b & 0xff) + 1) >> 1 }))
+    assert(got("narrow8s").sameElements(fromLanes(1,
+      (lanesOf(2, A) ++ lanesOf(2, B)).map(v =>
+        math.max(-128L, math.min(127L, v))))))
+    assert(got("extlo8s").sameElements(fromLanes(2,
+      lanesOf(1, A).take(8))))
+    assert(got("exthi8s").sameElements(fromLanes(2,
+      lanesOf(1, A).drop(8))))
+    assert(got("load8_splat").sameElements(Array.fill(16)(A(9))))
+    assert(got("load32_zero").sameElements(
+      fromLanes(4, Seq(lanesOf(4, A)(3) & 0xffffffffL, 0L, 0L, 0L))))
+    assert(got("load8x8_s").sameElements(fromLanes(2,
+      lanesOf(1, A).take(8))))
+    // float lanes (exact bit compare through the byte image)
+    assert(got("fadd").sameElements(f32x4(4.5f, -1.75f, -1.0f, 16.0f)))
+    assert(got("fdiv").sameElements(f32x4(0.5f, -4.5f, -0.0f, -0.0f)))
+    assert(got("fmin_zeros").sameElements(f32x4(0.0f, -2.25f, 0.0f, -0.0f)))
+    assert(got("fnearest").sameElements(f32x4(2.0f, -2.0f, 2.0f, -2.0f)))
+    assert(got("ftrunc").sameElements(f32x4(1.0f, -2.0f, 2.0f, -1.0f)))
+    assert(got("fsplat").sameElements(f32x4(7.75f, 7.75f, 7.75f, 7.75f)))
+    assert(got("fext_splat").sameElements(
+      f32x4(-2.25f, -2.25f, -2.25f, -2.25f)))
+    assert(got("feq").sameElements(fromLanes(4, Seq(0L, 0L, 0L, 0L))))
+    assert(got("flt").sameElements(
+      fromLanes(4, Seq(0xffffffffL, 0xffffffffL, 0L, 0xffffffffL))))
+    assert(got("dadd").sameElements(f64x2(3.0, -4.25)))
+    assert(got("dnearest").sameElements(f64x2(2.0, -0.0)))
+    assert(got("drepl").sameElements(f64x2(11.0, -7.25)))
+    // conversions
+    assert(got("trunc_f32_s").sameElements(
+      fromLanes(4, Seq(1L, -2L & 0xffffffffL, Int.MaxValue.toLong, 0L))))
+    assert(got("trunc_f32_u").sameElements(
+      fromLanes(4, Seq(1L, 0L, 3000000000L, 0L))))
+    assert(got("conv_i32_s").sameElements(f32x4(
+      lanesOf(4, A)(0).toFloat, lanesOf(4, A)(1).toFloat,
+      lanesOf(4, A)(2).toFloat, lanesOf(4, A)(3).toFloat)))
+    assert(got("trunc_f64_s").sameElements(
+      fromLanes(4, Seq(Int.MaxValue.toLong, -3L & 0xffffffffL, 0L, 0L))))
+    assert(got("demote").sameElements(f32x4(2.5f, -7.25f, 0.0f, 0.0f)))
+    assert(got("promote").sameElements(f64x2(1.5, -2.25)))
+    assert(got("fsqrt").sameElements(f32x4(math.sqrt(3.0).toFloat,
+      math.sqrt(0.5).toFloat, 1.5f, 4.0f)))
     // scalar surface
     assert(inst.invoke("ex8s")(0) == (B(15): Long)) // 0x7e
     assert(inst.invoke("ex8u")(0) == (B(15) & 0xffL))
@@ -238,6 +399,30 @@ class WasmSimdSpec extends AnyFunSuite {
     assert(inst.invoke("bitmask8")(0) == expectMask8)
     // v128 through a local + block result
     assert(inst.invoke("via_local_block")(0) == ((0x90 + 0x90) & 0xff))
+  }
+
+  test("simd: sqrt of a negative lane is an arithmetic NaN (payload-agnostic)") {
+    val m = new WasmAsm.ModuleBuilder
+    m.memory(1, exportAs = Some("memory"))
+    val t = m.funcType(Seq(), Seq())
+    val run = m.func(t) { c =>
+      c.i32Const(0)
+      c.v128Const(f32x4(-1.0f, 4.0f, -0.0f, 9.0f)); c.simd(227)
+      c.v128Store(); ()
+    }
+    m.exportFunc("run", run)
+    val inst = newInstance(m.build())
+    inst.invoke("run")
+    val bytes = inst.readBytes(0, 16)
+    val lanes = (0 until 4).map { j =>
+      java.lang.Float.intBitsToFloat(
+        (0 until 4).map(i => (bytes(4 * j + i) & 0xff) << (8 * i)).sum)
+    }
+    assert(lanes(0).isNaN)        // payload impl-defined, NaN-ness is not
+    assert(lanes(1) == 2.0f)
+    assert(lanes(2) == 0.0f &&    // sqrt(-0.0) == -0.0 per IEEE 754
+      java.lang.Float.floatToRawIntBits(lanes(2)) == Int.MinValue)
+    assert(lanes(3) == 3.0f)
   }
 
   test("simd differential vs V8: identical memory image and scalar surface") {
