@@ -151,6 +151,11 @@ object WasmAsm {
     def v128LoadShape(sub: Int, offset: Int = 0, align: Int = 0): Code = {
       u8(0xfd); u(sub.toLong); u(align.toLong); u(offset.toLong); this
     }
+    /** load/store lane (84–91): sub-opcode + memarg + lane index. */
+    def simdLaneMem(sub: Int, lane: Int, offset: Int = 0,
+                    align: Int = 0): Code = {
+      u8(0xfd); u(sub.toLong); u(align.toLong); u(offset.toLong); u8(lane)
+    }
     def v128Store(offset: Int = 0, align: Int = 4): Code = {
       u8(0xfd); u(11L); u(align.toLong); u(offset.toLong); this
     }

@@ -612,6 +612,21 @@ object WasmInterp {
         while (j < 16 / sz) { putLane(r, sz, j, v); j += 1 }
         pushV(r)
         NORMAL
+      case 0xfd54 | 0xfd55 | 0xfd56 | 0xfd57 => // v128.loadN_lane
+        val sz = 1 << ((ins.op & 0xff) - 84)
+        val lane = ins.table.head
+        val v = popV()
+        val x = ld(sz, ins.b) // pops addr
+        val r = java.util.Arrays.copyOf(v, 16)
+        putLane(r, sz, lane, x)
+        pushV(r)
+        NORMAL
+      case 0xfd58 | 0xfd59 | 0xfd5a | 0xfd5b => // v128.storeN_lane
+        val sz = 1 << ((ins.op & 0xff) - 88)
+        val lane = ins.table.head
+        val v = popV()
+        st(sz, ins.b, getLaneU(v, sz, lane)) // pops addr
+        NORMAL
       case 0xfd5c | 0xfd5d => // v128.load32_zero / load64_zero
         val sz = if ((ins.op & 0xff) == 92) 4 else 8
         val v = ld(sz, ins.b)
@@ -823,6 +838,40 @@ object WasmInterp {
       case 0xfd92 => vBinop(2)((a, b) => satS(a - b, 2))            // i16x8.sub_sat_s
       case 0xfd93 => vBinop(2)((a, b) => satU((a & 0xffff) - (b & 0xffff), 2))
       case 0xfd9b => vBinop(2)((a, b) => ((a & 0xffff) + (b & 0xffff) + 1) >> 1) // i16x8.avgr_u
+      // pairwise extending adds, q15 rounding mul, dot product, extmul
+      case 0xfd7c => vExtAddPairwise(1, signed = true)  // i16x8.extadd_pairwise_i8x16_s
+      case 0xfd7d => vExtAddPairwise(1, signed = false)
+      case 0xfd7e => vExtAddPairwise(2, signed = true)  // i32x4.extadd_pairwise_i16x8_s
+      case 0xfd7f => vExtAddPairwise(2, signed = false)
+      case 0xfd82 => // i16x8.q15mulr_sat_s
+        vBinop(2)((a, b) => satS((a * b + (1L << 14)) >> 15, 2))
+      case 0xfdba => // i32x4.dot_i16x8_s
+        val y = popV(); val x = popV()
+        val r = new Array[Byte](16)
+        var j = 0
+        while (j < 4) {
+          val lo = getLaneS(x, 2, 2 * j) * getLaneS(y, 2, 2 * j)
+          val hi = getLaneS(x, 2, 2 * j + 1) * getLaneS(y, 2, 2 * j + 1)
+          putLane(r, 4, j, lo + hi)
+          j += 1
+        }
+        pushV(r); NORMAL
+      case 0xfd9c | 0xfd9d | 0xfd9e | 0xfd9f => // i16x8.extmul_*_i8x16_*
+        vExtMul(1, high = ((ins.op & 0xff) - 156) % 2 == 1,
+          signed = (ins.op & 0xff) <= 157)
+      case 0xfdbc | 0xfdbd | 0xfdbe | 0xfdbf => // i32x4.extmul_*_i16x8_*
+        vExtMul(2, high = ((ins.op & 0xff) - 188) % 2 == 1,
+          signed = (ins.op & 0xff) <= 189)
+      case 0xfddc | 0xfddd | 0xfdde | 0xfddf => // i64x2.extmul_*_i32x4_*
+        vExtMul(4, high = ((ins.op & 0xff) - 220) % 2 == 1,
+          signed = (ins.op & 0xff) <= 221)
+      // i64x2 compares (signed forms only exist in the proposal)
+      case 0xfdd6 => vCmp(8)(_ == _) // i64x2.eq
+      case 0xfdd7 => vCmp(8)(_ != _)
+      case 0xfdd8 => vCmp(8)(_ < _)  // lt_s
+      case 0xfdd9 => vCmp(8)(_ > _)  // gt_s
+      case 0xfdda => vCmp(8)(_ <= _) // le_s
+      case 0xfddb => vCmp(8)(_ >= _) // ge_s
       case 0xfd96 => vBinop(2)(math.min)                            // i16x8.min_s
       case 0xfd97 => vBinop(2)((a, b) => math.min(a & 0xffff, b & 0xffff))
       case 0xfd98 => vBinop(2)(math.max)                            // i16x8.max_s
@@ -946,8 +995,9 @@ object WasmInterp {
         pushV(r); NORMAL
 
       case op if (op & 0xff00) == 0xfd00 =>
-        throw new Trap(f"simd opcode 0xFD ${op & 0xff}%d unimplemented " +
-          "(extmul/extadd/dot/q15 family)")
+        // the MVP surface is complete; only reserved encodings land here
+        throw new Trap(f"simd opcode 0xFD ${op & 0xff}%d is a reserved " +
+          "encoding (not part of the SIMD MVP)")
       case op => throw new Trap(f"unimplemented opcode 0x$op%x")
     }
 
@@ -1061,6 +1111,38 @@ object WasmInterp {
         val v = if (signed) getLaneS(x, srcSz, off + j)
                 else getLaneU(x, srcSz, off + j)
         putLane(r, dstSz, j, v)
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vExtAddPairwise(srcSz: Int, signed: Boolean): Int = {
+      val x = popV()
+      val dstSz = srcSz * 2
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < 16 / dstSz) {
+        val a = if (signed) getLaneS(x, srcSz, 2 * j)
+                else getLaneU(x, srcSz, 2 * j)
+        val b = if (signed) getLaneS(x, srcSz, 2 * j + 1)
+                else getLaneU(x, srcSz, 2 * j + 1)
+        putLane(r, dstSz, j, a + b)
+        j += 1
+      }
+      pushV(r); NORMAL
+    }
+    private def vExtMul(srcSz: Int, high: Boolean, signed: Boolean): Int = {
+      val y = popV(); val x = popV()
+      val dstSz = srcSz * 2
+      val n = 16 / dstSz
+      val off = if (high) n else 0
+      val r = new Array[Byte](16)
+      var j = 0
+      while (j < n) {
+        val a = if (signed) getLaneS(x, srcSz, off + j)
+                else getLaneU(x, srcSz, off + j)
+        val b = if (signed) getLaneS(y, srcSz, off + j)
+                else getLaneU(y, srcSz, off + j)
+        putLane(r, dstSz, j, a * b)
         j += 1
       }
       pushV(r); NORMAL

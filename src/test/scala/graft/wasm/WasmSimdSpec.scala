@@ -238,6 +238,25 @@ class WasmSimdSpec extends AnyFunSuite {
       store("conv_low_u") { loadA(); c.simd(255) }
       store("demote") { da(); c.simd(94) }
       store("promote") { fa(); c.simd(95) }
+      // extending adds/muls, q15 rounding mul, dot, i64x2 compares,
+      // load/store lane — the last MVP families
+      store("extadd8s") { loadA(); c.simd(124) }
+      store("extadd8u") { loadA(); c.simd(125) }
+      store("extadd16s") { loadA(); c.simd(126) }
+      store("q15mulr") { loadA(); loadB(); c.simd(130) }
+      store("dot16") { loadA(); loadB(); c.simd(186) }
+      store("extmul8ls") { loadA(); loadB(); c.simd(156) }
+      store("extmul8hu") { loadA(); loadB(); c.simd(159) }
+      store("extmul16ls") { loadA(); loadB(); c.simd(188) }
+      store("extmul32hs") { loadA(); loadB(); c.simd(221) }
+      store("eq64") { loadA(); loadB(); c.simd(214) }
+      store("lt_s64") { loadA(); loadB(); c.simd(216) }
+      store("ge_s64") { loadA(); loadB(); c.simd(219) }
+      store("load16_lane") { // replace A's 16-bit lane 3 from mem[18]
+        c.i32Const(18); loadA(); c.simdLaneMem(85, 3) }
+      store("store_then_load") { // store32_lane writes B's lane 1 to mem[40]
+        c.i32Const(40); loadB(); c.simdLaneMem(90, 1)
+        c.i32Const(40); c.v128LoadShape(92) } // read it back zero-padded
       ()
     }
     m.exportFunc("run", run)
@@ -386,6 +405,32 @@ class WasmSimdSpec extends AnyFunSuite {
     assert(got("promote").sameElements(f64x2(1.5, -2.25)))
     assert(got("fsqrt").sameElements(f32x4(math.sqrt(3.0).toFloat,
       math.sqrt(0.5).toFloat, 1.5f, 4.0f)))
+    // the last MVP families
+    assert(got("extadd8s").sameElements(fromLanes(2,
+      lanesOf(1, A).grouped(2).map(_.sum).toSeq)))
+    assert(got("extadd8u").sameElements(fromLanes(2,
+      lanesOf(1, A).map(_ & 0xffL).grouped(2).map(_.sum).toSeq)))
+    assert(got("q15mulr").sameElements(laneWise(2, A, B) { (a, b) =>
+      val v = (a * b + (1L << 14)) >> 15
+      math.max(-32768L, math.min(32767L, v)) }))
+    assert(got("dot16").sameElements(fromLanes(4,
+      lanesOf(2, A).zip(lanesOf(2, B)).map { case (a, b) => a * b }
+        .grouped(2).map(_.sum).toSeq)))
+    assert(got("extmul8ls").sameElements(fromLanes(2,
+      lanesOf(1, A).take(8).zip(lanesOf(1, B).take(8))
+        .map { case (a, b) => a * b })))
+    assert(got("extmul8hu").sameElements(fromLanes(2,
+      lanesOf(1, A).drop(8).zip(lanesOf(1, B).drop(8))
+        .map { case (a, b) => (a & 0xff) * (b & 0xff) })))
+    assert(got("eq64").sameElements(laneWise(8, A, B)((a, b) =>
+      if (a == b) -1L else 0L)))
+    assert(got("lt_s64").sameElements(laneWise(8, A, B)((a, b) =>
+      if (a < b) -1L else 0L)))
+    val l16 = A.clone()
+    l16(6) = B(2); l16(7) = B(3) // 16-bit lane 3 replaced from mem[18]
+    assert(got("load16_lane").sameElements(l16))
+    assert(got("store_then_load").sameElements(
+      fromLanes(4, Seq(lanesOf(4, B)(1) & 0xffffffffL, 0L, 0L, 0L))))
     // scalar surface
     assert(inst.invoke("ex8s")(0) == (B(15): Long)) // 0x7e
     assert(inst.invoke("ex8u")(0) == (B(15) & 0xffL))
