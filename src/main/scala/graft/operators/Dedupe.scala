@@ -26,6 +26,20 @@ object Dedupe {
   private def cacheGuard(): Unit =
     if (dupStatsCache.size > 1024) dupStatsCache.clear()
 
+  // persisted membership tables from stagedByExactDup, evicted FIFO —
+  // the returned pair frame is lazy so the function can't unpersist
+  // its own cache; unpersisting an old frame is always safe (a
+  // re-evaluated plan just recomputes it)
+  private val stagedPersists =
+    scala.collection.mutable.Queue.empty[org.apache.spark.sql.DataFrame]
+  private def registerStagedPersist(df: org.apache.spark.sql.DataFrame): Unit =
+    stagedPersists.synchronized {
+      stagedPersists.enqueue(df)
+      while (stagedPersists.size > 8) {
+        stagedPersists.dequeue().unpersist(); ()
+      }
+    }
+
   /** Exact dedup on a canonical text fingerprint: keeps the row with the
     * lowest `idCol` per fingerprint. One shuffle on the md5 key; the key
     * is high-cardinality and uniform, so no skew at scale.
@@ -168,9 +182,15 @@ object Dedupe {
       .withColumn("__fp", tokenFingerprint(col("__txt")))
     val reps = keyed.groupBy(col("__fp"))
       .agg(min(col("id")).as("id"), first(col("__txt")).as("__txt"))
+    // membership is consumed three times (two expansion joins + the
+    // within-group self-join); persisted it is a tiny (rep, id) table —
+    // ~16 B/row — while recomputing it re-fingerprints the whole corpus
+    // per use (exchange reuse does not span all the union branches)
     val members = keyed.select(col("__fp"), col("id"))
       .join(reps.select(col("__fp"), col("id").as("rep")), "__fp")
       .select(col("rep"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerStagedPersist(members)
     val repPairs = minePairs(reps)
     // cross-group: every member combo of the two rep groups, re-ordered
     val cross = repPairs
