@@ -191,7 +191,15 @@ object Dedupe {
       .select(col("rep"), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     registerStagedPersist(members)
+    // rep-level pairs are duplicate-pair-sized (tiny next to the
+    // expanded output); materializing them hands the planner their TRUE
+    // size so the expansion joins go broadcast — estimated stats of an
+    // array-bearing verify subtree (the minhash miner) otherwise deny
+    // it and force two shuffle joins of the full expansion volume
     val repPairs = minePairs(reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerStagedPersist(repPairs)
+    repPairs.count()
     // cross-group: every member combo of the two rep groups, re-ordered
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
