@@ -94,7 +94,9 @@ def encode_value(v):
     if isinstance(v, bool):
         return _tag(5, 0) + _varint(1 if v else 0)
     if isinstance(v, str):
-        return _len_field(2, v.encode()) if v else b""
+        # a oneof member is present even at its default: "" must still
+        # emit its field, or it decodes as null on the other side
+        return _len_field(2, v.encode())
     if isinstance(v, int):
         return _tag(3, 0) + _varint(v & 0xFFFFFFFFFFFFFFFF)
     if isinstance(v, float):
@@ -209,7 +211,9 @@ def decode_message(buf):
             structured = decode_value(b)
         elif field == 3:
             b, pos = _read_len(buf, pos)
-            metadata = {k: str(v) for k, v in decode_struct(b).items()}
+            # metadata is a string map: a kind-less Value decodes as ""
+            metadata = {k: ("" if v is None else str(v))
+                        for k, v in decode_struct(b).items()}
         elif field == 4:
             b, pos = _read_len(buf, pos)
             p = 0
@@ -518,19 +522,33 @@ def serve_connection(sock, transform):
         if read_exact(sock, len(PREFACE)) != PREFACE:
             return
         write_frame(sock, F_SETTINGS, 0, 0)
+        # RFC 7540 lets a client pipeline its first request immediately
+        # after its own SETTINGS, ACKing ours a round-trip later — any
+        # non-SETTINGS frame that arrives during the handshake must be
+        # BUFFERED, not dropped, or a pipelining client deadlocks
+        pending = []
         saw_settings = saw_ack = False
         while not (saw_settings and saw_ack):
-            tpe, flags, stream, payload = read_frame(sock)
+            frame = read_frame(sock)
+            tpe, flags, stream, payload = frame
             if tpe == F_SETTINGS and flags & FLAG_ACK:
                 saw_ack = True
             elif tpe == F_SETTINGS:
                 write_frame(sock, F_SETTINGS, FLAG_ACK, 0)
                 saw_settings = True
+            else:
+                pending.append(frame)
+
+        def next_frame():
+            if pending:
+                return pending.pop(0)
+            return read_frame(sock)
+
         decoder = HpackDecoder()
         while True:
             headers, data, sid, done = [], b"", -1, False
             while not done:
-                tpe, flags, stream, payload = read_frame(sock)
+                tpe, flags, stream, payload = next_frame()
                 if tpe == F_SETTINGS and not flags & FLAG_ACK:
                     write_frame(sock, F_SETTINGS, FLAG_ACK, 0)
                 elif tpe == F_PING and not flags & FLAG_ACK:

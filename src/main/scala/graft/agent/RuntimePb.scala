@@ -92,7 +92,10 @@ object RuntimePb {
   def encodeValue(v: JsonNode): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     if (v == null || v.isNull) { tag(out, 1, 0); varint(out, 0L) }
-    else if (v.isTextual) strField(out, 2, v.asText)
+    // a oneof member is PRESENT even at its default, so the empty
+    // string must still emit its field — otherwise "" decodes as null
+    // (and a guest's metadata round-trip corrupts "" to "null")
+    else if (v.isTextual) lenField(out, 2, v.asText.getBytes(UTF_8))
     else if (v.isIntegralNumber) { tag(out, 3, 0); varint(out, v.asLong) }
     else if (v.isFloatingPointNumber) {
       tag(out, 4, 1)
@@ -221,7 +224,10 @@ object RuntimePb {
         case 3 =>
           val o = decodeStruct(r.sub())
           val b = Map.newBuilder[String, String]
-          o.properties().forEach(e => b += e.getKey -> e.getValue.asText)
+          // tolerate kind-less Values from older encoders: metadata is
+          // a string map, so absence decodes as "" (never "null")
+          o.properties().forEach(e => b += e.getKey ->
+            (if (e.getValue.isNull) "" else e.getValue.asText))
           metadata = b.result()
         case 4 =>
           val e = r.sub()

@@ -506,9 +506,28 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
 
     def port: Int = httpServer.getAddress.getPort
     private def advertiseHost: String =
-      if (bindHost == "0.0.0.0")
-        java.net.InetAddress.getLocalHost.getHostAddress
-      else bindHost
+      if (bindHost != "0.0.0.0") bindHost
+      else {
+        // getLocalHost alone is not enough: Debian-style /etc/hosts
+        // maps the hostname to 127.0.1.1, which would re-create the
+        // unreachable-loopback problem the 0.0.0.0 bind exists to
+        // avoid — prefer a real non-loopback interface address
+        val fromHostname = java.net.InetAddress.getLocalHost
+        if (!fromHostname.isLoopbackAddress &&
+            !fromHostname.getHostAddress.startsWith("127."))
+          fromHostname.getHostAddress
+        else {
+          import scala.jdk.CollectionConverters._
+          java.net.NetworkInterface.getNetworkInterfaces.asScala
+            .filter(i => i.isUp && !i.isLoopback)
+            .flatMap(_.getInetAddresses.asScala)
+            .collectFirst {
+              case a: java.net.Inet4Address if !a.isLoopbackAddress =>
+                a.getHostAddress
+            }
+            .getOrElse(fromHostname.getHostAddress)
+        }
+      }
     def sseUrl: String = s"http://$advertiseHost:$port/sse"
     def stop(): Unit = {
       sessions.values.foreach(os => try os.close() catch { case _: Exception => () })

@@ -35,7 +35,13 @@ object Dedupe {
   private def registerStagedPersist(df: org.apache.spark.sql.DataFrame): Unit =
     stagedPersists.synchronized {
       stagedPersists.enqueue(df)
-      while (stagedPersists.size > 8) {
+      // generous bound: each entry is a narrow (rep, id) or pair table
+      // (MBs, not GBs); evicting one that backs a NOT-YET-CONSUMED
+      // staged result would silently re-plan its expansion against
+      // estimated stats (the shuffle-join regression the persistence
+      // exists to prevent), so the cap only guards a pipeline that
+      // builds dozens of staged dedups without materializing any
+      while (stagedPersists.size > 64) {
         stagedPersists.dequeue().unpersist(); ()
       }
     }

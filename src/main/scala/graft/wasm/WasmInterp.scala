@@ -106,8 +106,19 @@ object WasmInterp {
       module.exports.map(e => e.name -> e).toMap
 
     // ── v128 boxes (SIMD): immutable 16-byte LE arrays, slot = index ──
+    // The table drains when the outermost call returns; WITHIN one
+    // invocation every v128-producing instruction appends (slots are
+    // untyped longs, so safe in-place compaction would need refcounts
+    // at every slot copy). A hard cap turns a pathological
+    // SIMD-op-per-byte guest into a loud trap (~350 MB retained at the
+    // cap) instead of a silent executor OOM; ordinary guests — llhttp's
+    // SIMD build, transform batches — use a few boxes per message.
+    private val V128TableMax = 8 * 1024 * 1024
     private val v128s = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     private def boxV128(bytes: Array[Byte]): Long = {
+      if (v128s.length >= V128TableMax)
+        throw new Trap(s"v128 value table exceeded $V128TableMax entries " +
+          "in one invocation (see WasmInterp's boxed-v128 design note)")
       v128s += bytes; (v128s.length - 1).toLong
     }
     private def popV(): Array[Byte] = v128s(pop().toInt)

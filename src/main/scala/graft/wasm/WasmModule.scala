@@ -319,14 +319,41 @@ object WasmModule {
               case 12 | 13 => // v128.const / i8x16.shuffle: 16 bytes LE
                 var lo = 0L; var hi = 0L
                 var i = 0
-                while (i < 8) { lo |= (u8() & 0xffL) << (8 * i); i += 1 }
+                var maxLane = 0
+                while (i < 8) {
+                  val v = u8(); maxLane = math.max(maxLane, v)
+                  lo |= (v & 0xffL) << (8 * i); i += 1
+                }
                 i = 0
-                while (i < 8) { hi |= (u8() & 0xffL) << (8 * i); i += 1 }
+                while (i < 8) {
+                  val v = u8(); maxLane = math.max(maxLane, v)
+                  hi |= (v & 0xffL) << (8 * i); i += 1
+                }
+                // shuffle selectors index the 32 lanes of a||b — a
+                // validation error, not a runtime trap, per the spec
+                if (sub == 13 && maxLane >= 32)
+                  throw new DecodeError(s"i8x16.shuffle lane $maxLane >= 32")
                 out += Instr(sop, lo, hi)
               case s if s >= 21 && s <= 34 => // extract/replace: lane idx
-                out += Instr(sop, u8().toLong)
+                val lane = u8()
+                // lane count by shape: i8x16(21-23)=16, i16x8(24-26)=8,
+                // i32x4(27-28)/f32x4(31-32)=4, i64x2(29-30)/f64x2(33-34)=2
+                val lanes = s match {
+                  case x if x <= 23 => 16
+                  case x if x <= 26 => 8
+                  case 27 | 28 | 31 | 32 => 4
+                  case _ => 2
+                }
+                if (lane >= lanes)
+                  throw new DecodeError(s"0xFD $s lane $lane >= $lanes")
+                out += Instr(sop, lane.toLong)
               case s if s >= 84 && s <= 91 => // load/store lane: memarg+lane
-                out += Instr(sop, u32(), u32(), table = Vector(u8()))
+                val (align, offset) = (u32(), u32())
+                val lane = u8()
+                val lanes = 16 >> ((s - 84) & 3) // 16/8/4/2 by width
+                if (lane >= lanes)
+                  throw new DecodeError(s"0xFD $s lane $lane >= $lanes")
+                out += Instr(sop, align, offset, table = Vector(lane))
               case s if s > 255 =>
                 throw new DecodeError(s"0xFD $s (relaxed simd) unsupported")
               case _ => out += Instr(sop) // remaining MVP ops: no immediates

@@ -82,6 +82,15 @@ class AgentSpec extends SparkSpec {
       RuntimePb.encodeInvokeResponse(raw))
     assert(new String(rawBack.payload, UTF_8) == "payload")
     assert(rawBack.error.isEmpty)
+
+    // an EMPTY metadata value must survive the round-trip as "" — a
+    // oneof member is present even at its default, so "" still emits
+    // its string field (and a kind-less Value decodes as "", not "null")
+    val emptyMeta = RuntimePb.Msg("p".getBytes(UTF_8), None,
+      Map("x" -> "", "y" -> "v"), None)
+    val emBack = RuntimePb.decodeMessage(
+      new RuntimePb.Rd(RuntimePb.encodeMessage(emptyMeta)))
+    assert(emBack.metadata == Map("x" -> "", "y" -> "v"))
   }
 
   test("mcp server: stdio transport serves initialize/tools/call") {

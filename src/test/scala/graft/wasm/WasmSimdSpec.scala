@@ -446,6 +446,37 @@ class WasmSimdSpec extends AnyFunSuite {
     assert(inst.invoke("via_local_block")(0) == ((0x90 + 0x90) & 0xff))
   }
 
+  test("simd: out-of-range lane immediates are DECODE errors, not runtime crashes") {
+    def tinyModule(body: WasmAsm.Code => Unit): Array[Byte] = {
+      val m = new WasmAsm.ModuleBuilder
+      m.memory(1, exportAs = Some("memory"))
+      val t = m.funcType(Seq(), Seq())
+      m.exportFunc("run", m.func(t)(body))
+      m.build()
+    }
+    // shuffle selector >= 32
+    val badShuffle = tinyModule { c =>
+      c.v128Const(new Array[Byte](16)); c.v128Const(new Array[Byte](16))
+      c.i8x16Shuffle(Array.tabulate(16)(i => if (i == 7) 40: Byte else 0: Byte))
+      c.drop(); ()
+    }
+    val e1 = intercept[WasmModule.DecodeError](WasmModule.decode(badShuffle))
+    assert(e1.getMessage.contains("shuffle lane 40"))
+    // i8x16.extract_lane_u lane 16
+    val badLane = tinyModule { c =>
+      c.v128Const(new Array[Byte](16)); c.simdLane(22, 16); c.drop(); ()
+    }
+    val e2 = intercept[WasmModule.DecodeError](WasmModule.decode(badLane))
+    assert(e2.getMessage.contains("lane 16 >= 16"))
+    // v128.load16_lane lane 8
+    val badMemLane = tinyModule { c =>
+      c.i32Const(0); c.v128Const(new Array[Byte](16))
+      c.simdLaneMem(85, 8); c.drop(); ()
+    }
+    val e3 = intercept[WasmModule.DecodeError](WasmModule.decode(badMemLane))
+    assert(e3.getMessage.contains("lane 8 >= 8"))
+  }
+
   test("simd: sqrt of a negative lane is an arithmetic NaN (payload-agnostic)") {
     val m = new WasmAsm.ModuleBuilder
     m.memory(1, exportAs = Some("memory"))
