@@ -319,15 +319,15 @@ object Dedupe {
     *
     * Scale/latency notes: two adaptive regimes. Edge lists that fit on
     * the driver resolve by exact union-find (instant); beyond that,
-    * DELTA-ITERATION label propagation — each round only labels that
-    * changed last round flow along edges, so a diameter-d component
-    * costs d shrinking joins, not d full-edge rejoins + full-edge
-    * convergence counts. Rounds needed = graph diameter (near-dup
-    * clusters are shallow). For adversarial long-chain graphs switch to
-    * star-contraction; duplicate clusters in real corpora don't need it.
-    * `roundsPerCheck` is retained for source compatibility; the delta
-    * form checks convergence every round from the (cheap) improved-set
-    * count.
+    * alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — O(log d) rounds
+    * for diameter d, and round 1's distinct collapses dense components
+    * (near-dup clusters are cliques) to stars, so later rounds touch
+    * node-sized data instead of re-joining the full edge list the way
+    * the r14 delta-iteration label propagation did (sf30, 224 M edges:
+    * 161 s delta vs star rounds that shrink after the first pass).
+    * `roundsPerCheck` is retained for source compatibility; contraction
+    * checks its fixpoint every round from a count+hash aggregate.
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20,
                       roundsPerCheck: Int = 2,
@@ -337,14 +337,10 @@ object Dedupe {
     // iterative Spark label propagation is pure fixed overhead (each
     // check block is a fresh plan+codegen cycle — ~3 s even on a
     // 25-edge graph) and union-find on the driver is exact and
-    // instant; past the threshold the delta-iteration path costs one
-    // full join + a near-empty confirm on shallow graphs, so the
-    // crossover is flat (sf3's 2.2 M-edge rung measures FASTER
-    // distributed than the r13 driver path did). The path
-    // choice is gated by a cheap limit+count FIRST (against the
-    // persisted edge list, so nothing is computed twice and nothing
-    // big is collected just to be discarded); only a list already
-    // known to fit is then collected, as primitive pairs. Memory math
+    // instant; past the threshold the star-contraction path costs
+    // ~one full-volume round before the edge set collapses, so the
+    // crossover is flat (sf3's 2.2 M-edge rung measured FASTER
+    // distributed than the r13 driver path did). Memory math
     // at the 2 M default: ~16 B/edge retained in the long arrays +
     // ~64 B/edge transient boxed tuples ≈ 160 MB peak — safe at
     // default driver heaps. The distributed path below stays the
@@ -352,11 +348,27 @@ object Dedupe {
     // centroids-on-driver call. Both paths emit identical
     // (id, min-rep) labels, pinned by spec.
     val spark = pairs.sparkSession
+    import spark.implicits._
+    // OOM-guard (r15 shape): ONE fully-parallel count() sizes the edge
+    // list while materializing the columnar cache; only a list already
+    // known to fit is then collected (from cache — tens of ms). The r14
+    // limit(cap+1).count() gate's incremental partition ramp (1→4→16…)
+    // serialized the mining work into under-parallelized jobs
+    // (t_dedup_clusters 1.08→1.64 s at sf0.1); a boxed-tuple RDD cache
+    // measured faster still at small scale but its 4-scan re-encode +
+    // GC pressure at 224 M edges (sf30) read slower than the round's
+    // whole shuffle budget, so the columnar cache — which the
+    // contraction's round-1 scans need anyway — is the single shared
+    // representation.
     val raw = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gateCount = raw.limit((driverMaxEdges + 1).toInt).count()
-    if (gateCount <= driverMaxEdges) {
-      import spark.implicits._
+    val cap = math.min(driverMaxEdges, (Int.MaxValue - 8).toLong)
+    val t0 = System.nanoTime()
+    val edgeCount = raw.count()
+    if (edgeCount > cap)
+      Console.err.println(f"[dedupe] edge materialization: $edgeCount edges " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    if (edgeCount <= cap) {
       val collected = raw.as[(Long, Long)].collect()
       raw.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -379,58 +391,157 @@ object Dedupe {
         .distinct.sorted
       return ids.toSeq.map(id => (id, find(id))).toDF("id", "rep")
     }
-    // DELTA-ITERATION min-label propagation (the Pregel/Flink shape):
-    // a round only propagates labels that CHANGED last round, so a
-    // diameter-d component costs d shrinking edge joins instead of
-    // d × (full-edge join + full-edge convergence count). On the sf10
-    // ladder rung (24.7 M edges, diameter 1) the full-rejoin form
-    // measured ~200 s of propagation; delta form does one full join +
-    // one near-empty confirm.
-    val edges = raw.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(raw.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .cache()
-    // round 0: everything is "changed"
-    var delta = labels
-    var done = 0
-    var active = true
-    while (active && done < maxIter) {
-      // candidates flow FROM changed nodes along edges: a neighbor of a
-      // changed node may now see a smaller label
-      val cand = edges
-        .join(delta.select(col("id").as("dst"), col("rep").as("nbr_rep")),
-          "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nbr_rep")).as("cand"))
-      val improved = cand
-        .join(labels, "id")
-        .filter(col("cand") < col("rep"))
-        .select(col("id"), col("cand").as("rep"))
-        .cache()
-      val n = improved.count()
-      if (n == 0) {
-        improved.unpersist()
-        active = false
-      } else {
-        val next = labels.as("l")
-          .join(improved.as("u"), Seq("id"), "left")
-          .select(col("id"),
-            coalesce(col("u.rep"), col("l.rep")).as("rep"))
-          .cache()
-        next.count() // materialize before unpersisting the parents
-        labels.unpersist()
-        if (delta ne labels) delta.unpersist()
-        labels = next
-        delta = improved
-      }
-      done += 1
+    // ALTERNATING LARGE-STAR / SMALL-STAR CONTRACTION (the
+    // Kiveris et al. "Connected Components in MapReduce and Beyond"
+    // shape, also what GraphFrames ships): each round rewires every
+    // node's larger neighbors (large-star), then its smaller neighbors
+    // plus itself (small-star), to the locally-smallest id. The edge
+    // set converges to per-component STARS centered at the component
+    // minimum in O(log d) rounds — replacing the r14 delta-iteration
+    // label propagation, whose every round re-joined the FULL edge
+    // list against the changed labels (on the sf30 rung, 224 M edges
+    // diameter-1 cliques still cost two full-volume joins + label
+    // maintenance = 161 s; contraction collapses the cliques to stars
+    // inside round 1's distinct, so later rounds touch node-sized
+    // data). No upfront distinct: min-aggregates are
+    // duplicate-insensitive and round 1's own distinct collapses the
+    // emitted pairs — deduplicating the raw edge list first would be
+    // one extra full-volume shuffle for nothing.
+    // Canonicalization (least/greatest) is two long ops computed on the
+    // fly over the columnar cache — no second materialization; round
+    // 1's scans all hit the cache built by the guard's count().
+    val edges0 = raw.select(
+      least(col("id_a"), col("id_b")).as("s"),
+      greatest(col("id_a"), col("id_b")).as("l"))
+    var edges = edges0.filter(col("s") =!= col("l"))
+    var prev: (Long, Long) = (-1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val tr = System.nanoTime()
+      // localCheckpoint (eager) both materializes the round AND
+      // truncates the logical plan — without it each round's plan
+      // embeds the whole previous round's tree and Catalyst re-analyzes
+      // a geometrically growing plan every iteration (the classic
+      // iterative-algorithm trap; GraphFrames checkpoints its
+      // connected-components rounds for the same reason). Block
+      // storage is MEMORY_AND_DISK and reaped by the ContextCleaner
+      // when the round's RDD goes out of scope.
+      val (afterLarge, largeMins) = largeStar(edges)
+      val (afterSmall, smallMins) = smallStar(afterLarge)
+      val next = afterSmall.localCheckpoint(true)
+      largeMins.unpersist()
+      smallMins.unpersist()
+      // fixpoint check: (count, order-independent hash XOR — the edge
+      // set is distinct, so XOR is a true set hash and can't overflow
+      // under ANSI mode) — one agg job per round over the (rapidly
+      // shrinking) edge set
+      val row = next.agg(count(lit(1)),
+        call_function("bit_xor", xxhash64(col("s"), col("l")))).head()
+      val stat = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      edges = next
+      converged = stat == prev
+      prev = stat
+      it += 1
+      // one line per round on stderr — star contraction rounds are the
+      // scale frontier; seeing the edge-set collapse is worth a line
+      Console.err.println(f"[dedupe] star-contraction round $it " +
+        f"edges=${stat._1} (${(System.nanoTime() - tr) / 1e9}%.1f s)")
     }
-    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters: star contraction did not converge in $maxIter " +
+          s"rounds (diameter > 2^$maxIter is not a real graph — check for " +
+          "adversarial input)")
+    // At the fixpoint every edge is (component-min, member). One
+    // min-aggregate builds the labels AND absorbs degenerate self-pair
+    // nodes (id_a == id_b only — they reach here with no star edge but
+    // must still label themselves, matching the driver path).
+    val selfOnly = edges0.filter(col("s") === col("l"))
+      .select(col("s").as("id"), col("s").as("rep"))
+    val labels = edges.select(col("l").as("id"), col("s").as("rep"))
+      .union(edges.select(col("s").as("id"), col("s").as("rep")))
+      .union(selfOnly)
+      .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tl = System.nanoTime()
+    labels.count() // materialize so the edge cache can be released
+    Console.err.println(
+      f"[dedupe] labels materialized in ${(System.nanoTime() - tl) / 1e9}%.1f s")
     raw.unpersist()
+    registerStagedPersist(labels) // node-sized; released by FIFO pressure
     labels
+  }
+
+  /** Large-star round: every node connects each of its LARGER neighbors
+    * to the smallest id in its closed neighborhood. Edges stay in
+    * canonical (s < l) orientation; the trailing distinct is what
+    * collapses a clique to a star in one round.
+    */
+  /** Node count under which a contraction round's per-node minima
+    * table is broadcast to the probe side (~16 B/node — 64 MB at the
+    * limit): near-dup graphs have edge counts orders of magnitude above
+    * node counts (cliques), so skipping the full-|E| probe shuffle is
+    * the single biggest round-1 saving. Above the limit the join falls
+    * back to a shuffle join, the 1000-executor-safe shape.
+    */
+  private val BroadcastNodeLimit = 4000000L
+
+  /** Closed-neighborhood minima per node: ONE exploded scan feeds a
+    * partially-aggregated group-by, so the exchange is ~node-sized
+    * (map-side combine) and the edge cache is decoded once, not once
+    * per orientation. Returned PERSISTED + counted — the caller joins
+    * against it (broadcast when small) and must unpersist it after the
+    * round materializes.
+    */
+  private def neighborhoodMins(e: DataFrame, src: String, dst: String,
+                               includeSelf: Boolean): (DataFrame, Long) = {
+    val dir = e.select(explode(array(
+        struct(col(src).as("a"), col(dst).as("b")),
+        struct(col(dst).as("a"), col(src).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val grouped = dir.groupBy(col("a")).agg(min(col("b")).as("mn"))
+    val mins = (if (includeSelf)
+        grouped.select(col("a"), least(col("a"), col("mn")).as("m"))
+      else grouped.select(col("a"), col("mn").as("m")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (mins, mins.count())
+  }
+
+  private def maybeBroadcast(mins: DataFrame, n: Long): DataFrame =
+    if (n <= BroadcastNodeLimit) broadcast(mins) else mins
+
+  /** Large-star round body; the second element is the round's
+    * persisted minima table, to unpersist once the round's output is
+    * materialized.
+    */
+  private def largeStar(e: DataFrame): (DataFrame, DataFrame) = {
+    // Emission needs each node's LARGER neighbors, which in canonical
+    // orientation is exactly the (s, l) edge itself: emit (m(s), l),
+    // already canonical since m(s) <= s < l. With the minima broadcast,
+    // the |E|-sized probe never shuffles — round 1's only exchange is
+    // the (post-partial-agg) distinct.
+    val (mins, n) = neighborhoodMins(e, "s", "l", includeSelf = true)
+    val out = e.join(maybeBroadcast(mins, n), col("s") === col("a"))
+      .select(col("m").as("s"), col("l")) // m <= s < l: canonical
+      .distinct()
+    (out, mins)
+  }
+
+  /** Small-star round: every node connects its SMALLER neighbors and
+    * itself to the smallest of them. Input is already oriented s < l,
+    * so grouping by `l` is exactly "group by the larger endpoint".
+    * Second element as in [[largeStar]].
+    */
+  private def smallStar(e: DataFrame): (DataFrame, DataFrame) = {
+    val mins = e.groupBy(col("l")).agg(min(col("s")).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = mins.count()
+    val rewired = e.join(maybeBroadcast(mins, n), "l")
+      .filter(col("s") =!= col("m"))
+      .select(col("m").as("s"), col("s").as("l")) // m < s: canonical
+    val own = mins.select(col("m").as("s"), col("l")) // m < l: canonical
+    (rewired.union(own).distinct(), mins)
   }
 
   /** Deduplicated corpus: drop every non-representative member of each

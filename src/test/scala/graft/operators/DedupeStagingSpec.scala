@@ -85,6 +85,50 @@ class DedupeStagingSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("resolveClusters contraction: long chain converges in O(log d) rounds") {
+    // a 200-node path graph (diameter 199) with shuffled ids — the
+    // adversarial case for label propagation; star contraction must
+    // resolve it well inside the default maxIter=20 (2^20 diameter)
+    val n = 200
+    val perm = new scala.util.Random(7).shuffle((0 until n).toVector)
+    val ids = perm.map(_.toLong * 13 + 5)
+    val chain = (0 until n - 1).map(i => (ids(i), ids(i + 1)))
+      .toDF("id_a", "id_b")
+    val dist = Dedupe.resolveClusters(chain, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val driver = Dedupe.resolveClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rep = ids.min
+    assert(dist == ids.map(id => (id, rep)).toSet)
+    assert(dist == driver)
+  }
+
+  test("resolveClusters contraction: random multigraph parity with union-find") {
+    // random graph WITH duplicate and reversed pairs (the public-API
+    // shape the miners never emit) — both paths must agree exactly
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 800).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter { case (a, b) => a != b }
+    val withRev = pairs ++ pairs.take(100).map(_.swap)
+    val df = withRev.toDF("id_a", "id_b")
+    def labels(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = labels(Dedupe.resolveClusters(df, driverMaxEdges = 0L))
+    val driver = labels(Dedupe.resolveClusters(df))
+    assert(dist == driver)
+    assert(dist.nonEmpty)
+  }
+
+  test("resolveClusters: self-pair-only nodes label themselves (both paths)") {
+    val df = Seq((5L, 5L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")
+    def labels(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((5L, 5L), (1L, 1L), (2L, 1L))
+    assert(labels(Dedupe.resolveClusters(df)) == expected)
+    assert(labels(Dedupe.resolveClusters(df, driverMaxEdges = 0L)) == expected)
+  }
+
   test("case-differing docs are not merged by the collapse (ADVICE r12)") {
     // "alpha beta gamma delta" vs its uppercase: identical lowercased
     // fingerprint, but zero shared case-sensitive shingles. A lowercasing
