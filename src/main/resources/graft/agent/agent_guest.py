@@ -22,6 +22,14 @@ Modes (argv[1], mirroring the JVM stand-in guest AgentGuestMain):
   upper        payload -> upper-case, metadata agent=upper
   tool:<name>  call MCP tool <name> with {"value": payload}; the tool's
                text content becomes the new payload
+  chain:<a>,<b>,...  multi-tool turn: call each MCP tool in order,
+               each output feeding the next tool's {"value": ...}
+
+Error channel: an APPLICATION failure (a tool returning isError) is
+reported IN-BAND as the proto's Message.Error{1:message} with
+grpc-status 0 — the engine maps it to the row's error column, matching
+proto/redpanda/runtime/v1alpha1/message.proto. Only transport/protocol
+failures use a non-zero grpc-status trailer.
 """
 import json
 import os
@@ -487,6 +495,23 @@ class McpClient:
 _tls = threading.local()
 
 
+class AgentError(Exception):
+    """Application-level failure: reported in-band as the proto's
+    Message.Error{1:message} (grpc-status stays 0), which the engine
+    routes to the row's error column."""
+
+
+def _mcp():
+    if not hasattr(_tls, "mcp"):
+        sse_url = os.environ.get(
+            "REDPANDA_CONNECT_AGENT_RUNTIME_MCP_SERVER")
+        if not sse_url:
+            raise RuntimeError(
+                "REDPANDA_CONNECT_AGENT_RUNTIME_MCP_SERVER not set")
+        _tls.mcp = McpClient(sse_url)
+    return _tls.mcp
+
+
 def make_transform(mode):
     if mode == "upper":
         def transform(payload, metadata):
@@ -496,20 +521,31 @@ def make_transform(mode):
         return transform
     if mode.startswith("tool:"):
         tool = mode[5:]
-        sse_url = os.environ.get(
-            "REDPANDA_CONNECT_AGENT_RUNTIME_MCP_SERVER")
-        if not sse_url:
-            raise RuntimeError(
-                "REDPANDA_CONNECT_AGENT_RUNTIME_MCP_SERVER not set")
 
         def transform(payload, metadata):
-            if not hasattr(_tls, "mcp"):
-                _tls.mcp = McpClient(sse_url)
-            result = _tls.mcp.call_tool(tool, {"value": payload.decode()})
+            try:
+                result = _mcp().call_tool(tool, {"value": payload.decode()})
+            except RuntimeError as e:
+                raise AgentError(str(e))
             meta = dict(metadata)
             meta["agent"] = "tool"
             meta["tool"] = tool
             return result.encode(), meta
+        return transform
+    if mode.startswith("chain:"):
+        tools = [t for t in mode[6:].split(",") if t]
+
+        def transform(payload, metadata):
+            value = payload.decode()
+            for tool in tools:
+                try:
+                    value = _mcp().call_tool(tool, {"value": value})
+                except RuntimeError as e:
+                    raise AgentError(str(e))
+            meta = dict(metadata)
+            meta["agent"] = "chain"
+            meta["tools"] = ",".join(tools)
+            return value.encode(), meta
         return transform
     raise ValueError("unknown guest mode: %s" % mode)
 
@@ -582,7 +618,12 @@ def serve_connection(sock, transform):
                 out_payload, out_meta = transform(payload, metadata)
                 resp = encode_invoke_response(out_payload, out_meta)
                 status, msg = "0", ""
-            except Exception as e:  # guest error -> grpc-status 13
+            except AgentError as e:
+                # application failure -> proto Message.Error, rpc OK
+                resp = encode_invoke_response(b"", {},
+                                              error=str(e) or "agent error")
+                status, msg = "0", ""
+            except Exception as e:  # transport/protocol -> grpc-status 13
                 resp = encode_invoke_response(b"", {})
                 status, msg = "13", str(e) or "internal"
             write_frame(sock, F_HEADERS, FLAG_END_HEADERS, sid,

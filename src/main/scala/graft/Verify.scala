@@ -35,6 +35,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the write above materialized the query, so the dedup miners'
+      // staging caches are consumed — release instead of accumulating
+      // up to the FIFO cap across the ~200-query sweep
+      finally graft.operators.Dedupe.releaseStaged()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -46,6 +46,19 @@ object Dedupe {
       }
     }
 
+  /** Release every staging table persisted by the dedup miners so far
+    * (ADVICE r14: entries were only released by FIFO pressure, so up
+    * to 64 consumed (rep, id)/pair frames could linger per session).
+    * Call AFTER the consuming action has materialized its result —
+    * releasing earlier re-plans the expansion joins against estimated
+    * stats, the exact regression the persistence exists to prevent.
+    * Unpersisting a consumed frame is always safe: a re-evaluated plan
+    * just recomputes it.
+    */
+  def releaseStaged(): Unit = stagedPersists.synchronized {
+    while (stagedPersists.nonEmpty) stagedPersists.dequeue().unpersist()
+  }
+
   /** Exact dedup on a canonical text fingerprint: keeps the row with the
     * lowest `idCol` per fingerprint. One shuffle on the md5 key; the key
     * is high-cardinality and uniform, so no skew at scale.

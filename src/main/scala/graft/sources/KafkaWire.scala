@@ -19,10 +19,11 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
   * protocol spec (kafka.apache.org/protocol):
   *
   *   - [[KafkaWire.Server]]: a loopback broker that accepts real
-  *     clients — ApiVersions, Metadata, CreateTopics, Produce v3,
-  *     Fetch v4, ListOffsets v1, FindCoordinator, the consumer-group
-  *     state machine (JoinGroup/SyncGroup/Heartbeat/LeaveGroup with
-  *     generations and a join barrier), OffsetCommit/OffsetFetch. It
+  *     clients — ApiVersions, Metadata v0–12, CreateTopics, Produce
+  *     v3–9, Fetch v4–13, ListOffsets v1–7, FindCoordinator v0–4,
+  *     the consumer-group state machine (JoinGroup/SyncGroup/
+  *     Heartbeat/LeaveGroup with generations and a join barrier),
+  *     OffsetCommit, OffsetFetch v2–8. It
   *     VALIDATES record-batch CRC32C on produce (rejecting
   *     CORRUPT_MESSAGE) so the client's encoder is checked by an
   *     independent decoder, not by itself.
@@ -59,6 +60,7 @@ object KafkaWire {
   val ErrUnknownMemberId: Short = 25
   val ErrRebalanceInProgress: Short = 27
   val ErrTopicAlreadyExists: Short = 36
+  val ErrUnknownTopicId: Short = 100
 
   // api keys
   private val ApiProduce = 0
@@ -363,6 +365,9 @@ object KafkaWire {
     case ApiFetch => ver >= 12
     case ApiMetadata => ver >= 9
     case ApiVersions => ver >= 3
+    case ApiListOffsets => ver >= 6
+    case ApiFindCoordinator => ver >= 3
+    case ApiOffsetFetch => ver >= 6
     case _ => false
   }
 
@@ -638,12 +643,19 @@ object KafkaWire {
         // version-gated session/epoch/rack fields, flexible v12 by
         // name, v13 by topic id) — so sarama-era defaults (Produce v7,
         // Fetch v11) and any franz-go pick interop instead of failing
-        // negotiation. Control-plane apis stay min=max: a client that
-        // can't speak the one shape fails version negotiation CLEANLY.
+        // negotiation. r15 extends the offset/coordinator control plane
+        // the same way: ListOffsets 1–7 (isolation at v2, leader epoch
+        // at v4, flexible v6, -3/max-timestamp at v7), FindCoordinator
+        // 0–4 (key_type at v1, flexible v3, batched coordinator_keys at
+        // v4 per KIP-699) and OffsetFetch 2–8 (throttle v3, leader
+        // epoch v5, flexible v6, require_stable v7, batched groups v8
+        // per KIP-709) — the shapes a franz-go-era consumer group
+        // actually sends. Remaining group apis stay min=max: a client
+        // that can't speak the one shape fails negotiation CLEANLY.
         val supported = Seq(ApiProduce -> (3, 9), ApiFetch -> (4, 13),
-          ApiListOffsets -> (1, 1), ApiMetadata -> (0, 12),
-          ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 2),
-          ApiFindCoordinator -> (0, 0), ApiJoinGroup -> (2, 2),
+          ApiListOffsets -> (1, 7), ApiMetadata -> (0, 12),
+          ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 8),
+          ApiFindCoordinator -> (0, 4), ApiJoinGroup -> (2, 2),
           ApiHeartbeat -> (1, 1), ApiLeaveGroup -> (1, 1),
           ApiSyncGroup -> (1, 1), ApiVersions -> (3, 3),
           ApiCreateTopics -> (1, 1))
@@ -662,44 +674,58 @@ object KafkaWire {
       case ApiMetadata if ver >= 9 =>
         // flexible v9–v12: topic ids enter the RESPONSE at v10 and the
         // REQUEST topic struct at v10; include_cluster_authorized_
-        // operations exists v9–v10 only (KIP-700 removed it at v11)
-        val asked = r.carray {
-          if (ver >= 10) r.uuid()
-          val n = r.cstr(); r.tags(); n
+        // operations exists v9–v10 only (KIP-700 removed it at v11).
+        // A v10+ ask may address a topic by id with a NULL name — those
+        // resolve through the uuid reverse map (same as Fetch v13); an
+        // id no topic has answers UNKNOWN_TOPIC_ID with the id echoed.
+        val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
+        val asked: Seq[Either[(Long, Long), String]] = r.carray {
+          val id = if (ver >= 10) r.uuid() else (0L, 0L)
+          val n = r.cstr(); r.tags()
+          if (n != null) Right(n)
+          else byId.get(id).toRight(id)
         }
         r.i8() // allow_auto_topic_creation
         if (ver <= 10) r.i8() // include_cluster_authorized_operations
         r.i8() // include_topic_authorized_operations
         r.tags()
-        val names =
-          if (asked == null || asked.isEmpty) topics.keys.toSeq.sorted
+        val names: Seq[Either[(Long, Long), String]] =
+          if (asked == null || asked.isEmpty)
+            topics.keys.toSeq.sorted.map(Right(_))
           else asked
         b.i32(0) // throttle
         b.carray(Seq(1)) { id =>
           b.i32(id); b.cstr("127.0.0.1"); b.i32(port); b.cnstr(null); b.tags() }
         b.cnstr("graft-loopback") // cluster_id
         b.i32(1)                  // controller id
-        b.carray(names) { name =>
-          val (hi, lo) = topicUuid(name)
-          topics.get(name) match {
-            case Some(parts) =>
-              b.i16(ErrNone); b.cnstr(name)
-              if (ver >= 10) b.uuid(hi, lo)
-              b.i8(0) // is_internal
-              b.carray(parts.indices) { p =>
-                b.i16(ErrNone); b.i32(p); b.i32(1); b.i32(0)
-                b.carray(Seq(1))(b.i32); b.carray(Seq(1))(b.i32)
-                b.carray(Seq.empty[Int])(b.i32); b.tags()
-              }
-              b.i32(-2147483648) // topic_authorized_operations
-              b.tags()
-            case None =>
-              b.i16(ErrUnknownTopicOrPartition); b.cnstr(name)
-              if (ver >= 10) b.uuid(0L, 0L)
-              b.i8(0)
-              b.carray(Seq.empty[Int])(_ => ())
-              b.i32(-2147483648); b.tags()
-          }
+        b.carray(names) {
+          case Right(name) =>
+            val (hi, lo) = topicUuid(name)
+            topics.get(name) match {
+              case Some(parts) =>
+                b.i16(ErrNone); b.cnstr(name)
+                if (ver >= 10) b.uuid(hi, lo)
+                b.i8(0) // is_internal
+                b.carray(parts.indices) { p =>
+                  b.i16(ErrNone); b.i32(p); b.i32(1); b.i32(0)
+                  b.carray(Seq(1))(b.i32); b.carray(Seq(1))(b.i32)
+                  b.carray(Seq.empty[Int])(b.i32); b.tags()
+                }
+                b.i32(-2147483648) // topic_authorized_operations
+                b.tags()
+              case None =>
+                b.i16(ErrUnknownTopicOrPartition); b.cnstr(name)
+                if (ver >= 10) b.uuid(0L, 0L)
+                b.i8(0)
+                b.carray(Seq.empty[Int])(_ => ())
+                b.i32(-2147483648); b.tags()
+            }
+          case Left((ihi, ilo)) =>
+            b.i16(ErrUnknownTopicId); b.cnstr(null)
+            if (ver >= 10) b.uuid(ihi, ilo)
+            b.i8(0)
+            b.carray(Seq.empty[Int])(_ => ())
+            b.i32(-2147483648); b.tags()
         }
         if (ver <= 10) b.i32(-2147483648) // cluster_authorized_operations
         b.tags()
@@ -989,31 +1015,85 @@ object KafkaWire {
         }
 
       case ApiListOffsets =>
+        // v1–v7: isolation_level at v2, current_leader_epoch in the
+        // partition ask at v4, flexible at v6; response gains throttle
+        // at v2 and leader_epoch at v4. Timestamps: -1 latest (log
+        // end), -2 earliest, -3 max-timestamp (v7, KIP-734 — the
+        // loopback log answers with its last offset).
+        val flex = ver >= 6
         r.i32() // replica_id
-        val results = r.array {
-          val topic = r.str()
-          val parts = r.array {
-            val p = r.i32(); val ts = r.i64()
-            topics.get(topic).map(_.lift(p)) match {
-              case Some(Some(log)) =>
-                // -1 = latest (log end), -2 = earliest
-                val off = if (ts == -2L) 0L else log.end
-                (p, ErrNone, off)
-              case _ => (p, ErrUnknownTopicOrPartition, -1L)
-            }
+        if (ver >= 2) r.i8() // isolation_level
+        def partAsk(topic: String): (Int, Short, Long) = {
+          val p = r.i32()
+          if (ver >= 4) r.i32() // current_leader_epoch
+          val ts = r.i64()
+          if (flex) r.tags()
+          topics.get(topic).map(_.lift(p)) match {
+            case Some(Some(log)) =>
+              val off =
+                if (ts == -2L) 0L
+                else if (ts == -3L) math.max(log.end - 1, -1L)
+                else log.end
+              (p, ErrNone, off)
+            case _ => (p, ErrUnknownTopicOrPartition, -1L)
           }
-          (topic, parts)
         }
-        b.array(results) { case (topic, parts) =>
-          b.str(topic)
-          b.array(parts) { case (p, err, off) =>
-            b.i32(p); b.i16(err); b.i64(-1L); b.i64(off)
+        def topicAsk(): (String, Seq[(Int, Short, Long)]) =
+          if (flex) {
+            val topic = r.cstr()
+            val parts = r.carray(partAsk(topic)); r.tags()
+            (topic, parts)
+          } else {
+            val topic = r.str()
+            (topic, r.array(partAsk(topic)))
           }
+        val results = if (flex) { val x = r.carray(topicAsk()); r.tags(); x }
+          else r.array(topicAsk())
+        if (ver >= 2) b.i32(0) // throttle
+        def writePart(p: Int, err: Short, off: Long): Unit = {
+          b.i32(p); b.i16(err); b.i64(-1L); b.i64(off)
+          if (ver >= 4) b.i32(0) // leader_epoch
+          if (flex) b.tags()
+        }
+        if (flex) {
+          b.carray(results) { case (topic, parts) =>
+            b.cstr(topic)
+            b.carray(parts) { case (p, err, off) => writePart(p, err, off) }
+            b.tags()
+          }
+          b.tags()
+        } else b.array(results) { case (topic, parts) =>
+          b.str(topic)
+          b.array(parts) { case (p, err, off) => writePart(p, err, off) }
         }
 
       case ApiFindCoordinator =>
-        r.str() // group key — single node: always this broker
-        b.i16(ErrNone); b.i32(1); b.str("127.0.0.1"); b.i32(port)
+        // v0–v4: key_type (group/txn) at v1 — a single node coordinates
+        // everything, so the type only has to parse; flexible at v3;
+        // v4 batches coordinator_keys and answers per key (KIP-699).
+        if (ver >= 4) {
+          r.i8() // key_type
+          val keys = r.carray(r.cstr())
+          r.tags()
+          b.i32(0) // throttle
+          b.carray(keys) { k =>
+            b.cstr(k); b.i32(1); b.cstr("127.0.0.1"); b.i32(port)
+            b.i16(ErrNone); b.cnstr(null); b.tags()
+          }
+          b.tags()
+        } else {
+          val flex = ver >= 3
+          if (flex) r.cstr() else r.str() // key — always this broker
+          if (ver >= 1) r.i8() // key_type
+          if (flex) r.tags()
+          if (ver >= 1) b.i32(0) // throttle
+          b.i16(ErrNone)
+          if (ver >= 1) { if (flex) b.cnstr(null) else b.nstr(null) } // error_message
+          b.i32(1)
+          if (flex) b.cstr("127.0.0.1") else b.str("127.0.0.1")
+          b.i32(port)
+          if (flex) b.tags()
+        }
 
       case ApiJoinGroup =>
         val groupId = r.str()
@@ -1099,25 +1179,76 @@ object KafkaWire {
         }
 
       case ApiOffsetFetch =>
-        val groupId = r.str()
-        val asked = r.narray { val t = r.str(); val ps = r.array(r.i32()); (t, ps) }
-        val g = groups.getOrElseUpdate(groupId, new Group)
-        val results = g.synchronized {
-          if (asked == null)
-            g.committed.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).map {
-              case (t, offs) => (t, offs.map { case ((_, p), o) => (p, o) }.sortBy(_._1))
+        // v2–v8: throttle at v3, committed_leader_epoch at v5, flexible
+        // at v6, require_stable at v7, and v8 batches whole GROUPS
+        // (KIP-709) — group-level error replaces the top-level one.
+        val flex = ver >= 6
+        def lookup(groupId: String, asked: Seq[(String, Seq[Int])])
+            : Seq[(String, Seq[(Int, Long)])] = {
+          val g = groups.getOrElseUpdate(groupId, new Group)
+          g.synchronized {
+            if (asked == null)
+              g.committed.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+                case (t, offs) => (t, offs.map { case ((_, p), o) => (p, o) }.sortBy(_._1))
+              }
+            else asked.map { case (t, ps) =>
+              (t, ps.map(p => (p, g.committed.getOrElse((t, p), -1L))))
             }
-          else asked.map { case (t, ps) =>
-            (t, ps.map(p => (p, g.committed.getOrElse((t, p), -1L))))
           }
         }
-        b.array(results) { case (topic, parts) =>
-          b.str(topic)
-          b.array(parts) { case (p, off) =>
-            b.i32(p); b.i64(off); b.nstr(null); b.i16(ErrNone)
+        def writeParts(parts: Seq[(Int, Long)]): Unit =
+          if (flex) b.carray(parts) { case (p, off) =>
+            b.i32(p); b.i64(off); b.i32(-1); b.cnstr(null); b.i16(ErrNone)
+            b.tags()
+          } else b.array(parts) { case (p, off) =>
+            b.i32(p); b.i64(off)
+            if (ver >= 5) b.i32(-1) // committed_leader_epoch
+            b.nstr(null); b.i16(ErrNone)
+          }
+        if (ver >= 8) {
+          val gs = r.carray {
+            val gid = r.cstr()
+            val asked = r.carray {
+              val t = r.cstr(); val ps = r.carray(r.i32()); r.tags(); (t, ps)
+            }
+            r.tags()
+            (gid, asked)
+          }
+          r.i8() // require_stable
+          r.tags()
+          b.i32(0) // throttle
+          b.carray(gs) { case (gid, asked) =>
+            b.cstr(gid)
+            b.carray(lookup(gid, asked)) { case (topic, parts) =>
+              b.cstr(topic); writeParts(parts); b.tags()
+            }
+            b.i16(ErrNone) // group-level error
+            b.tags()
+          }
+          b.tags()
+        } else {
+          val groupId = if (flex) r.cstr() else r.str()
+          val asked =
+            if (flex) r.carray {
+              val t = r.cstr(); val ps = r.carray(r.i32()); r.tags(); (t, ps)
+            } else r.narray { val t = r.str(); val ps = r.array(r.i32()); (t, ps) }
+          if (ver >= 7) r.i8() // require_stable
+          if (flex) r.tags()
+          val results = lookup(groupId, asked)
+          if (ver >= 3) b.i32(0) // throttle
+          if (flex) {
+            b.carray(results) { case (topic, parts) =>
+              b.cstr(topic); writeParts(parts); b.tags()
+            }
+            b.i16(ErrNone) // top-level error
+            b.tags()
+          } else {
+            b.array(results) { case (topic, parts) =>
+              b.str(topic); writeParts(parts)
+            }
+            b.i16(ErrNone) // v2+ top-level error
           }
         }
-        b.i16(ErrNone) // v2 top-level error
 
       case other =>
         throw new IllegalArgumentException(s"unsupported api key $other")

@@ -154,10 +154,28 @@ object WasmInterp {
         invokeByIndex(e.idx, args)
       }
 
-    def invoke(fnName: String, args: Long*): Array[Long] =
+    def invoke(fnName: String, args: Long*): Array[Long] = {
+      // v128 boxes live in a per-invocation side table cleared when the
+      // outermost invoke returns — a v128 param/result at the HOST
+      // boundary would exchange dangling box-table indices as
+      // meaningless longs, so reject such signatures loudly (ADVICE
+      // r14). Internal calls pass v128 freely; only the host seam is
+      // scalar-typed.
+      val fnIdx = module.exports.collectFirst {
+        case e if e.name == fnName && e.kind == 0 => e.idx
+      }
+      fnIdx.foreach { idx =>
+        val ft = module.typeOf(idx)
+        if (ft.params.contains(WasmModule.V128) ||
+            ft.results.contains(WasmModule.V128))
+          throw new LinkError(s"exported function $fnName takes/returns " +
+            "v128 — not representable at the host Long boundary; wrap it " +
+            "in a wasm-side shim that passes vectors through linear memory")
+      }
       exportedFunction(fnName)
         .getOrElse(throw new LinkError(s"no exported function $fnName"))
         .apply(args.toArray)
+    }
 
     def memorySizeBytes: Int = mem.length
 

@@ -113,6 +113,15 @@ object WasmModule {
       Vector.fill(u32().toInt)(f)
     private def valType(): Int = {
       val t = u8()
+      // unimplemented-proposal value types rejected BY NAME so a
+      // foreign binary fails loudly at decode, not mid-execution
+      if (t == 0x6a || t == 0x6b || t == 0x6c || t == 0x6d || t == 0x6e ||
+          t == 0x71 || t == 0x72 || t == 0x73)
+        throw new DecodeError(
+          f"value type 0x$t%02x: wasm GC proposal reference types not implemented")
+      if (t == 0x63 || t == 0x64)
+        throw new DecodeError(
+          f"value type 0x$t%02x: typed function references proposal not implemented")
       if (t != I32 && t != I64 && t != F32 && t != F64 && t != V128 &&
           t != FuncRef)
         throw new DecodeError(f"bad value type 0x$t%02x at ${pos - 1}")
@@ -358,6 +367,22 @@ object WasmModule {
                 throw new DecodeError(s"0xFD $s (relaxed simd) unsupported")
               case _ => out += Instr(sop) // remaining MVP ops: no immediates
             }
+          // Unimplemented-proposal opcodes rejected BY NAME at decode —
+          // a foreign binary using them fails loudly here with the
+          // proposal spelled out, not mid-execution with a bare opcode
+          // number (the discipline SIMD had before r14 implemented it)
+          case 0x12 | 0x13 =>
+            throw new DecodeError(f"opcode 0x$op%02x: tail-call proposal " +
+              "(return_call/return_call_indirect) not implemented")
+          case 0x14 =>
+            throw new DecodeError("opcode 0x14: typed function references " +
+              "proposal (call_ref) not implemented")
+          case 0x06 | 0x07 | 0x08 | 0x09 | 0x0a | 0x18 | 0x19 =>
+            throw new DecodeError(f"opcode 0x$op%02x: exception-handling " +
+              "proposal not implemented")
+          case 0xfe =>
+            throw new DecodeError("0xFE prefix: threads proposal (atomics) " +
+              "not implemented")
           case o => throw new DecodeError(f"opcode 0x$o%02x unsupported at ${pos - 1}")
         }
       }

@@ -212,6 +212,80 @@ class AgentSpec extends SparkSpec {
     }
   }
 
+  test("python guest chain mode: multi-tool turn over MCP (r15)") {
+    val dir = Files.createTempDirectory("mcp_repo_py_chain")
+    writeRepo(dir)
+    Files.writeString(dir.resolve("resources/processors/exclaim.yaml"),
+      """label: exclaim
+        |meta:
+        |  mcp:
+        |    enabled: true
+        |    description: Append a bang
+        |mapping: root = content() + "!"
+        |""".stripMargin)
+    val srv = new graft.mcp.McpServer(spark, dir.toString,
+      labelFilter = Set("to_upper", "exclaim").contains)
+    val http = srv.serveHttp()
+    val cmd = pyCmd("chain:to_upper,exclaim")
+    try {
+      val out = AgentRuntime.processor(
+        envelope(Seq("hello", "chain me")).repartition(1),
+        cmd, mcpServer = http.sseUrl, cwd = "")
+        .orderBy("__seq").collect()
+      assert(out.map(_.getString(0)).toSeq == Seq("HELLO!", "CHAIN ME!"),
+        out.mkString("; "))
+      assert(out.forall(_.getString(2) == null), out.mkString("; "))
+      assert(out.forall(_.getMap[String, String](1).get("tools")
+        .contains("to_upper,exclaim")))
+      assert(out.forall(_.getMap[String, String](1).get("agent")
+        .contains("chain")))
+    } finally {
+      AgentRuntime.releaseGuest(cmd, http.sseUrl)
+      http.stop()
+    }
+  }
+
+  test("python guest error channel: tool failure -> proto Error -> error column (r15)") {
+    // a strict-JSON tool: a non-JSON row lands on the processor's error
+    // channel, the MCP call comes back isError, the python guest maps
+    // it to the proto's Message.Error{message} (grpc-status stays 0),
+    // and the engine routes it to the row's error column — the
+    // reference's message.proto error contract, cross-language
+    val dir = Files.createTempDirectory("mcp_repo_py_err")
+    writeRepo(dir)
+    Files.writeString(dir.resolve("resources/processors/strict_json.yaml"),
+      """label: strict_json
+        |meta:
+        |  mcp:
+        |    enabled: true
+        |    description: Uppercase the msg field of a JSON value
+        |mapping: root = content().parse_json().msg.uppercase()
+        |""".stripMargin)
+    val srv = new graft.mcp.McpServer(spark, dir.toString,
+      labelFilter = Set("strict_json").contains)
+    val http = srv.serveHttp()
+    val cmd = pyCmd("tool:strict_json")
+    try {
+      val out = AgentRuntime.processor(
+        envelope(Seq("""{"msg":"fine row"}""", "not json at all",
+          """{"msg":"also fine"}""")).repartition(1),
+        cmd, mcpServer = http.sseUrl, cwd = "")
+        .orderBy("__seq").collect()
+      // successes transform; the failure carries the in-band error
+      assert(out(0).getString(0) == "FINE ROW" && out(0).getString(2) == null)
+      assert(out(2).getString(0) == "ALSO FINE" && out(2).getString(2) == null)
+      val bad = out(1)
+      assert(bad.getString(2) != null, "row 1 must carry an error")
+      assert(bad.getString(2).startsWith("agent: "),
+        s"in-band proto Error expected, got: ${bad.getString(2)}")
+      assert(bad.getString(2).contains("strict_json"),
+        s"error should name the failing tool: ${bad.getString(2)}")
+    } finally {
+      AgentRuntime.releaseGuest(cmd, http.sseUrl)
+      http.stop()
+    }
+  }
+
   test("mcp file cache rejects path-escaping keys") {
     val dir = Files.createTempDirectory("mcp_repo_file")
     val caches = dir.resolve("resources/caches")

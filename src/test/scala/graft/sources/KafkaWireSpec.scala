@@ -573,6 +573,246 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("ListOffsets v1-v7: isolation/epoch/flexible/max-timestamp version-gated") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("lo", 1)
+        assert(c.apiVersions()(2) == (1, 7)) // ListOffsets range
+        c.append("lo", 0, (0 until 5).map(i =>
+          Broker.Record(null, s"o$i".getBytes, Map.empty, 10L + i)))
+        for (ver <- 1 to 7) {
+          val flex = ver >= 6
+          def ask(ts: Long): Long = {
+            val r = c.rawRequest(2, ver) { b =>
+              b.i32(-1) // replica_id
+              if (ver >= 2) b.i8(0) // isolation_level
+              if (flex) {
+                b.carray(Seq("lo")) { t =>
+                  b.cstr(t)
+                  b.carray(Seq(0)) { p =>
+                    b.i32(p); b.i32(-1); b.i64(ts); b.tags()
+                  }
+                  b.tags()
+                }
+                b.tags()
+              } else b.array(Seq("lo")) { t =>
+                b.str(t)
+                b.array(Seq(0)) { p =>
+                  b.i32(p)
+                  if (ver >= 4) b.i32(-1) // current_leader_epoch
+                  b.i64(ts)
+                }
+              }
+            }
+            if (ver >= 2) r.i32() // throttle
+            val out = if (flex) {
+              val ts2 = r.carray {
+                val t = r.cstr()
+                val ps = r.carray {
+                  val p = r.i32(); val err = r.i16(); r.i64() // timestamp
+                  val off = r.i64(); r.i32() // leader_epoch
+                  r.tags()
+                  (p, err, off)
+                }
+                r.tags(); (t, ps)
+              }
+              r.tags(); ts2
+            } else r.array {
+              val t = r.str()
+              val ps = r.array {
+                val p = r.i32(); val err = r.i16(); r.i64()
+                val off = r.i64()
+                if (ver >= 4) r.i32() // leader_epoch
+                (p, err, off)
+              }
+              (t, ps)
+            }
+            assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+            val (t, Seq((p, err, off))) = out.head
+            assert(t == "lo" && p == 0 && err == 0, s"list_offsets v$ver")
+            off
+          }
+          assert(ask(-1L) == 5L, s"latest v$ver")
+          assert(ask(-2L) == 0L, s"earliest v$ver")
+          if (ver >= 7) assert(ask(-3L) == 4L, "max-timestamp v7 (KIP-734)")
+        }
+      } finally c.close()
+    }
+  }
+
+  test("FindCoordinator v0-v4: key_type, flexible, batched keys (KIP-699)") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        assert(c.apiVersions()(10) == (0, 4))
+        for (ver <- 0 to 3) {
+          val flex = ver >= 3
+          val r = c.rawRequest(10, ver) { b =>
+            if (flex) b.cstr("g1") else b.str("g1")
+            if (ver >= 1) b.i8(0) // key_type
+            if (flex) b.tags()
+          }
+          if (ver >= 1) r.i32() // throttle
+          assert(r.i16() == 0, s"v$ver error")
+          if (ver >= 1)
+            assert((if (flex) r.cstr() else r.nstr()) == null) // error_message
+          assert(r.i32() == 1) // node_id
+          assert((if (flex) r.cstr() else r.str()) == "127.0.0.1")
+          assert(r.i32() == srv.port)
+          if (flex) r.tags()
+          assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+        }
+        val r4 = c.rawRequest(10, 4) { b =>
+          b.i8(0) // key_type
+          b.carray(Seq("g1", "g2"))(b.cstr)
+          b.tags()
+        }
+        r4.i32() // throttle
+        val coords = r4.carray {
+          val k = r4.cstr(); val node = r4.i32(); val host = r4.cstr()
+          val port = r4.i32(); val err = r4.i16(); val msg = r4.cstr()
+          r4.tags()
+          (k, node, host, port, err, msg)
+        }
+        r4.tags()
+        assert(r4.remaining == 0, s"v4: ${r4.remaining} trailing bytes")
+        assert(coords == Seq(
+          ("g1", 1, "127.0.0.1", srv.port, 0.toShort, null),
+          ("g2", 1, "127.0.0.1", srv.port, 0.toShort, null)))
+      } finally c.close()
+    }
+  }
+
+  test("OffsetFetch v2-v8: epoch/flexible/require_stable/batched groups (KIP-709)") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        assert(c.apiVersions()(9) == (2, 8))
+        c.createTopic("of", 2)
+        // simple (non-group) commit: generation -1, empty member
+        val rc = c.rawRequest(8, 2) { b =>
+          b.str("og"); b.i32(-1); b.str(""); b.i64(-1L)
+          b.array(Seq("of")) { t =>
+            b.str(t)
+            b.array(Seq((0, 41L), (1, 42L))) { case (p, off) =>
+              b.i32(p); b.i64(off); b.nstr(null)
+            }
+          }
+        }
+        rc.array { rc.str(); rc.array { rc.i32(); assert(rc.i16() == 0) } }
+        for (ver <- 2 to 7) {
+          val flex = ver >= 6
+          val r = c.rawRequest(9, ver) { b =>
+            if (flex) b.cstr("og") else b.str("og")
+            if (flex) b.carray(Seq("of")) { t =>
+              b.cstr(t); b.carray(Seq(0, 1))(b.i32); b.tags()
+            } else b.array(Seq("of")) { t =>
+              b.str(t); b.array(Seq(0, 1))(b.i32)
+            }
+            if (ver >= 7) b.i8(0) // require_stable
+            if (flex) b.tags()
+          }
+          if (ver >= 3) r.i32() // throttle
+          val ts = if (flex) r.carray {
+            val t = r.cstr()
+            val ps = r.carray {
+              val p = r.i32(); val off = r.i64(); r.i32(); r.cstr()
+              assert(r.i16() == 0); r.tags(); (p, off)
+            }
+            r.tags(); (t, ps)
+          } else r.array {
+            val t = r.str()
+            val ps = r.array {
+              val p = r.i32(); val off = r.i64()
+              if (ver >= 5) r.i32() // committed_leader_epoch
+              r.nstr(); assert(r.i16() == 0); (p, off)
+            }
+            (t, ps)
+          }
+          assert(r.i16() == 0) // top-level error
+          if (flex) r.tags()
+          assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+          assert(ts == Seq(("of", Seq((0, 41L), (1, 42L)))),
+            s"offset_fetch v$ver -> $ts")
+        }
+        // v8: whole groups batched; per-group error replaces top-level
+        val r8 = c.rawRequest(9, 8) { b =>
+          b.carray(Seq("og", "absent")) { g =>
+            b.cstr(g)
+            b.carray(Seq("of")) { t =>
+              b.cstr(t); b.carray(Seq(0, 1))(b.i32); b.tags()
+            }
+            b.tags()
+          }
+          b.i8(0) // require_stable
+          b.tags()
+        }
+        r8.i32() // throttle
+        val gs = r8.carray {
+          val g = r8.cstr()
+          val ts = r8.carray {
+            val t = r8.cstr()
+            val ps = r8.carray {
+              val p = r8.i32(); val off = r8.i64(); r8.i32(); r8.cstr()
+              assert(r8.i16() == 0); r8.tags(); (p, off)
+            }
+            r8.tags(); (t, ps)
+          }
+          assert(r8.i16() == 0); r8.tags()
+          (g, ts)
+        }
+        r8.tags()
+        assert(r8.remaining == 0, s"v8: ${r8.remaining} trailing bytes")
+        assert(gs == Seq(
+          ("og", Seq(("of", Seq((0, 41L), (1, 42L))))),
+          ("absent", Seq(("of", Seq((0, -1L), (1, -1L)))))))
+      } finally c.close()
+    }
+  }
+
+  test("Metadata v10+: lookup by topic id with null name (ADVICE r14)") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("byid", 1)
+        val (hi, lo) = KafkaWire.topicUuid("byid")
+        for (ver <- 10 to 12) {
+          val r = c.rawRequest(3, ver) { b =>
+            b.carray(Seq(0, 1)) { i =>
+              if (i == 0) b.uuid(hi, lo) else b.uuid(123L, 456L)
+              b.cnstr(null); b.tags()
+            }
+            b.i8(0)
+            if (ver <= 10) b.i8(0)
+            b.i8(0)
+            b.tags()
+          }
+          r.i32() // throttle
+          r.carray { r.i32(); r.cstr(); r.i32(); r.cstr(); r.tags() }
+          r.cstr(); r.i32() // cluster_id, controller
+          val ts = r.carray {
+            val err = r.i16(); val name = r.cstr(); val tid = r.uuid()
+            r.i8()
+            val nparts = r.carray {
+              r.i16(); r.i32(); r.i32(); r.i32()
+              r.carray(r.i32()); r.carray(r.i32()); r.carray(r.i32())
+              r.tags()
+            }.size
+            r.i32(); r.tags()
+            (err, name, tid, nparts)
+          }
+          if (ver <= 10) r.i32()
+          r.tags()
+          assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+          assert(ts == Seq(
+            (0.toShort, "byid", (hi, lo), 1),
+            (100.toShort, null, (123L, 456L), 0)), s"metadata-by-id v$ver")
+        }
+      } finally c.close()
+    }
+  }
+
   test("kafka:// address query selects the producer codec") {
     withServer { srv =>
       val addr = s"127.0.0.1:${srv.port}?compression=snappy"

@@ -219,6 +219,58 @@ class WasmSpec extends AnyFunSuite {
     assert(new String(inst.readBytes(699, 1), "UTF-8") == "0")
   }
 
+  test("unimplemented proposals are rejected BY NAME at decode (r15)") {
+    // each binary is structurally valid up to the offending opcode, so
+    // the named rejection — not a framing error — must fire
+    def bodyWith(emit: WasmAsm.Code => Unit): Array[Byte] = {
+      val m = new WasmAsm.ModuleBuilder
+      val t = m.funcType(Seq(I32), Seq(I32))
+      val f = m.func(t) { c => c.localGet(0); emit(c) }
+      m.exportFunc("f", f)
+      m.build()
+    }
+    val tailCall = intercept[WasmModule.DecodeError](
+      WasmModule.decode(bodyWith(_.op(0x12))))
+    assert(tailCall.getMessage.contains("tail-call proposal"))
+    val callRef = intercept[WasmModule.DecodeError](
+      WasmModule.decode(bodyWith(_.op(0x14))))
+    assert(callRef.getMessage.contains("typed function references"))
+    val eh = intercept[WasmModule.DecodeError](
+      WasmModule.decode(bodyWith(_.op(0x06))))
+    assert(eh.getMessage.contains("exception-handling proposal"))
+    val threads = intercept[WasmModule.DecodeError](
+      WasmModule.decode(bodyWith(_.op(0xfe))))
+    assert(threads.getMessage.contains("threads proposal"))
+    // GC / function-references VALUE TYPES reject in the type section
+    def typeWith(vt: Int): Array[Byte] = {
+      val m = new WasmAsm.ModuleBuilder
+      val t = m.funcType(Seq(vt), Seq(I32))
+      val f = m.func(t)(c => c.i32Const(0))
+      m.exportFunc("f", f)
+      m.build()
+    }
+    val gc = intercept[WasmModule.DecodeError](
+      WasmModule.decode(typeWith(0x6b))) // structref
+    assert(gc.getMessage.contains("GC proposal"))
+    val refNull = intercept[WasmModule.DecodeError](
+      WasmModule.decode(typeWith(0x63))) // (ref null ht)
+    assert(refNull.getMessage.contains("typed function references"))
+  }
+
+  test("v128-signature exports are rejected at the host invoke boundary (ADVICE r14)") {
+    val inst = instance { m =>
+      val tv = m.funcType(Seq(WasmModule.V128), Seq(WasmModule.V128))
+      val f = m.func(tv)(c => c.localGet(0))
+      m.exportFunc("vec_id", f)
+      val ti = m.funcType(Seq(I32), Seq(I32))
+      val g = m.func(ti)(c => c.localGet(0))
+      m.exportFunc("ok", g)
+    }
+    val e = intercept[WasmInterp.LinkError](inst.invoke("vec_id", 1L))
+    assert(e.getMessage.contains("v128"))
+    assert(inst.invoke("ok", 7L)(0) == 7L) // scalar exports unaffected
+  }
+
   private def stubHost(): Map[(String, String), WasmInterp.HostFn] = Map(
     ("benthos_wasm", "v0_msg_as_bytes") -> (_ => Array(0L)),
     ("benthos_wasm", "v0_msg_set_bytes") -> (_ => Array.empty),
