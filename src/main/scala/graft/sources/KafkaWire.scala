@@ -632,627 +632,668 @@ object KafkaWire {
       }
     }
 
+    // dispatch is the per-request hot path: it stays a thin jump
+    // table because HotSpot refuses to JIT-compile methods past the
+    // ~8 KB bytecode HugeMethodLimit — inlining the handler bodies
+    // here measurably de-optimized produce/fetch (migrate throughput
+    // dropped ~25% when r15 first grew this method; same lesson as
+    // WasmInterp.exec)
     private def dispatch(api: Int, ver: Int, r: Rd, b: Buf): Unit = api match {
-      case ApiVersions =>
-        // Advertise ONLY versions whose wire shape is implemented — an
-        // ApiVersions entry is one contiguous range per key, so every
-        // version inside the range must dispatch correctly. The
-        // data-path apis now cover their full negotiation windows:
-        // Produce 3–9 (one request shape 3–8, version-gated response
-        // fields, flexible v9) and Fetch 4–13 (non-flexible 4–11 with
-        // version-gated session/epoch/rack fields, flexible v12 by
-        // name, v13 by topic id) — so sarama-era defaults (Produce v7,
-        // Fetch v11) and any franz-go pick interop instead of failing
-        // negotiation. r15 extends the offset/coordinator control plane
-        // the same way: ListOffsets 1–7 (isolation at v2, leader epoch
-        // at v4, flexible v6, -3/max-timestamp at v7), FindCoordinator
-        // 0–4 (key_type at v1, flexible v3, batched coordinator_keys at
-        // v4 per KIP-699) and OffsetFetch 2–8 (throttle v3, leader
-        // epoch v5, flexible v6, require_stable v7, batched groups v8
-        // per KIP-709) — the shapes a franz-go-era consumer group
-        // actually sends. Remaining group apis stay min=max: a client
-        // that can't speak the one shape fails negotiation CLEANLY.
-        val supported = Seq(ApiProduce -> (3, 9), ApiFetch -> (4, 13),
-          ApiListOffsets -> (1, 7), ApiMetadata -> (0, 12),
-          ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 8),
-          ApiFindCoordinator -> (0, 4), ApiJoinGroup -> (2, 2),
-          ApiHeartbeat -> (1, 1), ApiLeaveGroup -> (1, 1),
-          ApiSyncGroup -> (1, 1), ApiVersions -> (3, 3),
-          ApiCreateTopics -> (1, 1))
-        if (ver >= 3) { // flexible BODY (response header stays v0)
-          r.cstr(); r.cstr(); r.tags() // client_software_name/version
-          b.i16(ErrNone)
-          b.carray(supported) { case (k, (lo, hi)) =>
-            b.i16(k); b.i16(lo); b.i16(hi); b.tags() }
-          b.i32(0) // throttle
-          b.tags()
-        } else {
-          b.i16(ErrNone)
-          b.array(supported) { case (k, (lo, hi)) => b.i16(k); b.i16(lo); b.i16(hi) }
-        }
-
-      case ApiMetadata if ver >= 9 =>
-        // flexible v9–v12: topic ids enter the RESPONSE at v10 and the
-        // REQUEST topic struct at v10; include_cluster_authorized_
-        // operations exists v9–v10 only (KIP-700 removed it at v11).
-        // A v10+ ask may address a topic by id with a NULL name — those
-        // resolve through the uuid reverse map (same as Fetch v13); an
-        // id no topic has answers UNKNOWN_TOPIC_ID with the id echoed.
-        val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
-        val asked: Seq[Either[(Long, Long), String]] = r.carray {
-          val id = if (ver >= 10) r.uuid() else (0L, 0L)
-          val n = r.cstr(); r.tags()
-          if (n != null) Right(n)
-          else byId.get(id).toRight(id)
-        }
-        r.i8() // allow_auto_topic_creation
-        if (ver <= 10) r.i8() // include_cluster_authorized_operations
-        r.i8() // include_topic_authorized_operations
-        r.tags()
-        val names: Seq[Either[(Long, Long), String]] =
-          if (asked == null || asked.isEmpty)
-            topics.keys.toSeq.sorted.map(Right(_))
-          else asked
-        b.i32(0) // throttle
-        b.carray(Seq(1)) { id =>
-          b.i32(id); b.cstr("127.0.0.1"); b.i32(port); b.cnstr(null); b.tags() }
-        b.cnstr("graft-loopback") // cluster_id
-        b.i32(1)                  // controller id
-        b.carray(names) {
-          case Right(name) =>
-            val (hi, lo) = topicUuid(name)
-            topics.get(name) match {
-              case Some(parts) =>
-                b.i16(ErrNone); b.cnstr(name)
-                if (ver >= 10) b.uuid(hi, lo)
-                b.i8(0) // is_internal
-                b.carray(parts.indices) { p =>
-                  b.i16(ErrNone); b.i32(p); b.i32(1); b.i32(0)
-                  b.carray(Seq(1))(b.i32); b.carray(Seq(1))(b.i32)
-                  b.carray(Seq.empty[Int])(b.i32); b.tags()
-                }
-                b.i32(-2147483648) // topic_authorized_operations
-                b.tags()
-              case None =>
-                b.i16(ErrUnknownTopicOrPartition); b.cnstr(name)
-                if (ver >= 10) b.uuid(0L, 0L)
-                b.i8(0)
-                b.carray(Seq.empty[Int])(_ => ())
-                b.i32(-2147483648); b.tags()
-            }
-          case Left((ihi, ilo)) =>
-            b.i16(ErrUnknownTopicId); b.cnstr(null)
-            if (ver >= 10) b.uuid(ihi, ilo)
-            b.i8(0)
-            b.carray(Seq.empty[Int])(_ => ())
-            b.i32(-2147483648); b.tags()
-        }
-        if (ver <= 10) b.i32(-2147483648) // cluster_authorized_operations
-        b.tags()
-
-      case ApiMetadata =>
-        // non-flexible v0–v8: the fields sarama-era clients expect grow
-        // by version — rack/controller/is_internal at v1, cluster_id at
-        // v2, throttle at v3, allow_auto request flag at v4, offline
-        // replicas at v5, leader_epoch at v7, authorized-operations
-        // request flags + response ints at v8
-        val asked = r.narray(r.str())
-        if (ver >= 4) r.i8() // allow_auto_topic_creation
-        if (ver >= 8) { r.i8(); r.i8() } // include_*_authorized_operations
-        val names =
-          if (asked == null || asked.isEmpty) topics.keys.toSeq.sorted
-          else asked
-        if (ver >= 3) b.i32(0) // throttle
-        b.array(Seq(1)) { id =>
-          b.i32(id); b.str("127.0.0.1"); b.i32(port)
-          if (ver >= 1) b.nstr(null) // rack
-        }
-        if (ver >= 2) b.nstr("graft-loopback") // cluster_id
-        if (ver >= 1) b.i32(1) // controller id
-        b.array(names) { name =>
-          topics.get(name) match {
-            case Some(parts) =>
-              b.i16(ErrNone); b.str(name)
-              if (ver >= 1) b.i8(0) // is_internal=false
-              b.array(parts.indices) { p =>
-                b.i16(ErrNone); b.i32(p); b.i32(1)
-                if (ver >= 7) b.i32(0) // leader_epoch
-                b.array(Seq(1))(b.i32); b.array(Seq(1))(b.i32)
-                if (ver >= 5) b.array(Seq.empty[Int])(b.i32) // offline
-              }
-              if (ver >= 8) b.i32(-2147483648) // topic_authorized_operations
-            case None =>
-              b.i16(ErrUnknownTopicOrPartition); b.str(name)
-              if (ver >= 1) b.i8(0)
-              b.array(Seq.empty[Int])(_ => ())
-              if (ver >= 8) b.i32(-2147483648)
-          }
-        }
-        if (ver >= 8) b.i32(-2147483648) // cluster_authorized_operations
-
-      case ApiCreateTopics =>
-        val reqs = r.array {
-          val name = r.str(); val nParts = r.i32(); r.i16() // replication
-          r.array { r.i32(); r.array(r.i32()); () }         // assignments
-          r.array { r.str(); r.nstr(); () }                 // configs
-          (name, nParts)
-        }
-        r.i32() // timeout
-        b.array(reqs) { case (name, nParts) =>
-          b.str(name)
-          if (topics.putIfAbsent(name,
-              Array.tabulate(math.max(nParts, 1))(new PartitionLog(_))).isEmpty)
-            b.i16(ErrNone)
-          else b.i16(ErrTopicAlreadyExists)
-        }
-
-      case ApiProduce if ver >= 9 =>
-        r.cstr() // transactional_id
-        r.i16()  // acks
-        r.i32()  // timeout
-        val results = r.carray {
-          val topic = r.cstr()
-          val parts = r.carray {
-            val p = r.i32()
-            val recordSet = r.cbytes()
-            r.tags()
-            val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
-              case Some(Some(log)) =>
-                // header-scan + CRC only; bodies parse lazily on demand
-                try (ErrNone, log.appendRaw(recordSet))
-                catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
-              case _ => (ErrUnknownTopicOrPartition, -1L)
-            }
-            (p, err, baseOff)
-          }
-          r.tags()
-          (topic, parts)
-        }
-        r.tags()
-        b.carray(results) { case (topic, parts) =>
-          b.cstr(topic)
-          b.carray(parts) { case (p, err, off) =>
-            b.i32(p); b.i16(err); b.i64(off)
-            b.i64(-1L) // log_append_time
-            b.i64(0L)  // log_start_offset
-            b.carray(Seq.empty[Int])(_ => ()) // record_errors
-            b.cnstr(null)                     // error_message
-            b.tags()
-          }
-          b.tags()
-        }
-        b.i32(0) // throttle
-        b.tags()
-
-      case ApiProduce =>
-        // non-flexible v3–v8: ONE request shape across the range (the
-        // fields sarama/franz-go send never changed between v3 and v8);
-        // the RESPONSE grows by version — log_start_offset at v5,
-        // record_errors + error_message at v8. This is what lets
-        // ApiVersions advertise the contiguous 3–9 range real clients
-        // negotiate inside (sarama's default Produce v7 lands here).
-        r.nstr() // transactional_id
-        r.i16()  // acks
-        r.i32()  // timeout
-        val results = r.array {
-          val topic = r.str()
-          val parts = r.array {
-            val p = r.i32()
-            val recordSet = r.nbytes()
-            val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
-              case Some(Some(log)) =>
-                try (ErrNone, log.appendRaw(recordSet))
-                catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
-              case _ => (ErrUnknownTopicOrPartition, -1L)
-            }
-            (p, err, baseOff)
-          }
-          (topic, parts)
-        }
-        b.array(results) { case (topic, parts) =>
-          b.str(topic)
-          b.array(parts) { case (p, err, off) =>
-            b.i32(p); b.i16(err); b.i64(off); b.i64(-1L) // log_append_time
-            if (ver >= 5) b.i64(0L) // log_start_offset
-            if (ver >= 8) {
-              b.i32(0)     // record_errors: empty
-              b.nstr(null) // error_message
-            }
-          }
-        }
-        b.i32(0) // throttle
-
-      case ApiFetch if ver >= 12 =>
-        // v12/v13 flexible: v13 addresses topics by KIP-516 topic id,
-        // v12 (the first flexible fetch) still by name; the rest of the
-        // shape is shared. Incremental-session fields are present but
-        // sessions unused (0/-1 from our client = full fetch, like a
-        // sessionless consumer).
-        r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
-        r.i32(); r.i32() // session_id, session_epoch
-        val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
-        val results = r.carray {
-          val (tid, topic) =
-            if (ver >= 13) { val u = r.uuid(); (u, byId.getOrElse(u, null)) }
-            else { val n = r.cstr(); ((0L, 0L), n) }
-          val parts = r.carray {
-            val p = r.i32(); r.i32() // current_leader_epoch
-            val off = r.i64()
-            r.i32()  // last_fetched_epoch
-            r.i64()  // log_start_offset
-            r.i32()  // partition_max_bytes
-            r.tags()
-            (if (topic == null) None else topics.get(topic).flatMap(_.lift(p))) match {
-              case Some(log) =>
-                val end = log.end
-                if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
-                else {
-                  // batch passthrough at boundaries (fetchCodec honored
-                  // only on the re-encode fallback, like a real broker
-                  // serving producer compression as-is)
-                  val bytes = (if (fetchCodec == CodecNone)
-                      log.rawSlice(off, maxFetchRecords) else None)
-                    .getOrElse {
-                      val recs = log.slice(off, maxFetchRecords)
-                      if (recs.isEmpty) Array.empty[Byte]
-                      else encodeBatch(recs, fetchCodec)
-                    }
-                  (p, ErrNone, end, bytes)
-                }
-              case None => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
-            }
-          }
-          r.tags()
-          (tid, topic, parts)
-        }
-        r.carray { // forgotten topics: id (v13+) or name (v12)
-          if (ver >= 13) r.uuid() else r.cstr()
-          r.carray(r.i32()); r.tags()
-        }
-        r.cstr() // rack_id
-        r.tags()
-        b.i32(0)       // throttle
-        b.i16(ErrNone) // top-level error
-        b.i32(0)       // session_id
-        b.carray(results) { case (tid, topic, parts) =>
-          if (ver >= 13) b.uuid(tid._1, tid._2) else b.cstr(topic)
-          b.carray(parts) { case (p, err, hw, bytes) =>
-            b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
-            b.i64(0L)          // log_start_offset
-            b.carray(Seq.empty[Int])(_ => ()) // aborted_transactions ([], non-null)
-            b.i32(-1)          // preferred_read_replica
-            if (bytes.isEmpty) b.uv(0) else b.cnbytes(bytes)
-            b.tags()
-          }
-          b.tags()
-        }
-        b.tags()
-
-      case ApiFetch if ver >= 5 =>
-        // non-flexible v5–v11 — the window sarama and older franz-go
-        // negotiate into (Fetch v11 is the sarama-era default). Request
-        // grows: session fields at v7, current_leader_epoch at v9,
-        // rack_id at v11; response grows: log_start_offset at v5,
-        // top-level error + session_id at v7, preferred_read_replica
-        // at v11.
-        r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
-        if (ver >= 7) { r.i32(); r.i32() } // session_id, session_epoch
-        val results = r.array {
-          val topic = r.str()
-          val parts = r.array {
-            val p = r.i32()
-            if (ver >= 9) r.i32() // current_leader_epoch
-            val off = r.i64()
-            r.i64() // log_start_offset
-            r.i32() // partition_max_bytes
-            topics.get(topic).map(_.lift(p)) match {
-              case Some(Some(log)) =>
-                val end = log.end
-                if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
-                else {
-                  val bytes = (if (fetchCodec == CodecNone)
-                      log.rawSlice(off, maxFetchRecords) else None)
-                    .getOrElse {
-                      val recs = log.slice(off, maxFetchRecords)
-                      if (recs.isEmpty) Array.empty[Byte]
-                      else encodeBatch(recs, fetchCodec)
-                    }
-                  (p, ErrNone, end, bytes)
-                }
-              case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
-            }
-          }
-          (topic, parts)
-        }
-        if (ver >= 7) r.array { r.str(); r.array(r.i32()) } // forgotten topics
-        if (ver >= 11) r.str() // rack_id
-        b.i32(0) // throttle
-        if (ver >= 7) { b.i16(ErrNone); b.i32(0) } // error_code, session_id
-        b.array(results) { case (topic, parts) =>
-          b.str(topic)
-          b.array(parts) { case (p, err, hw, bytes) =>
-            b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
-            b.i64(0L) // log_start_offset
-            b.i32(-1) // aborted_transactions (null)
-            if (ver >= 11) b.i32(-1) // preferred_read_replica
-            if (bytes.isEmpty) b.i32(-1) else b.nbytes(bytes)
-          }
-        }
-
-      case ApiFetch =>
-        r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
-        val results = r.array {
-          val topic = r.str()
-          val parts = r.array {
-            val p = r.i32(); val off = r.i64(); r.i32() // partition_max_bytes
-            topics.get(topic).map(_.lift(p)) match {
-              case Some(Some(log)) =>
-                val end = log.end
-                if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
-                else {
-                  val bytes = (if (fetchCodec == CodecNone)
-                      log.rawSlice(off, maxFetchRecords) else None)
-                    .getOrElse {
-                      val recs = log.slice(off, maxFetchRecords)
-                      if (recs.isEmpty) Array.empty[Byte]
-                      else encodeBatch(recs, fetchCodec)
-                    }
-                  (p, ErrNone, end, bytes)
-                }
-              case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
-            }
-          }
-          (topic, parts)
-        }
-        b.i32(0) // throttle
-        b.array(results) { case (topic, parts) =>
-          b.str(topic)
-          b.array(parts) { case (p, err, hw, bytes) =>
-            b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
-            b.i32(-1)                                  // aborted_transactions (null)
-            if (bytes.isEmpty) b.i32(-1) else b.nbytes(bytes)
-          }
-        }
-
-      case ApiListOffsets =>
-        // v1–v7: isolation_level at v2, current_leader_epoch in the
-        // partition ask at v4, flexible at v6; response gains throttle
-        // at v2 and leader_epoch at v4. Timestamps: -1 latest (log
-        // end), -2 earliest, -3 max-timestamp (v7, KIP-734 — the
-        // loopback log answers with its last offset).
-        val flex = ver >= 6
-        r.i32() // replica_id
-        if (ver >= 2) r.i8() // isolation_level
-        def partAsk(topic: String): (Int, Short, Long) = {
-          val p = r.i32()
-          if (ver >= 4) r.i32() // current_leader_epoch
-          val ts = r.i64()
-          if (flex) r.tags()
-          topics.get(topic).map(_.lift(p)) match {
-            case Some(Some(log)) =>
-              val off =
-                if (ts == -2L) 0L
-                else if (ts == -3L) math.max(log.end - 1, -1L)
-                else log.end
-              (p, ErrNone, off)
-            case _ => (p, ErrUnknownTopicOrPartition, -1L)
-          }
-        }
-        def topicAsk(): (String, Seq[(Int, Short, Long)]) =
-          if (flex) {
-            val topic = r.cstr()
-            val parts = r.carray(partAsk(topic)); r.tags()
-            (topic, parts)
-          } else {
-            val topic = r.str()
-            (topic, r.array(partAsk(topic)))
-          }
-        val results = if (flex) { val x = r.carray(topicAsk()); r.tags(); x }
-          else r.array(topicAsk())
-        if (ver >= 2) b.i32(0) // throttle
-        def writePart(p: Int, err: Short, off: Long): Unit = {
-          b.i32(p); b.i16(err); b.i64(-1L); b.i64(off)
-          if (ver >= 4) b.i32(0) // leader_epoch
-          if (flex) b.tags()
-        }
-        if (flex) {
-          b.carray(results) { case (topic, parts) =>
-            b.cstr(topic)
-            b.carray(parts) { case (p, err, off) => writePart(p, err, off) }
-            b.tags()
-          }
-          b.tags()
-        } else b.array(results) { case (topic, parts) =>
-          b.str(topic)
-          b.array(parts) { case (p, err, off) => writePart(p, err, off) }
-        }
-
-      case ApiFindCoordinator =>
-        // v0–v4: key_type (group/txn) at v1 — a single node coordinates
-        // everything, so the type only has to parse; flexible at v3;
-        // v4 batches coordinator_keys and answers per key (KIP-699).
-        if (ver >= 4) {
-          r.i8() // key_type
-          val keys = r.carray(r.cstr())
-          r.tags()
-          b.i32(0) // throttle
-          b.carray(keys) { k =>
-            b.cstr(k); b.i32(1); b.cstr("127.0.0.1"); b.i32(port)
-            b.i16(ErrNone); b.cnstr(null); b.tags()
-          }
-          b.tags()
-        } else {
-          val flex = ver >= 3
-          if (flex) r.cstr() else r.str() // key — always this broker
-          if (ver >= 1) r.i8() // key_type
-          if (flex) r.tags()
-          if (ver >= 1) b.i32(0) // throttle
-          b.i16(ErrNone)
-          if (ver >= 1) { if (flex) b.cnstr(null) else b.nstr(null) } // error_message
-          b.i32(1)
-          if (flex) b.cstr("127.0.0.1") else b.str("127.0.0.1")
-          b.i32(port)
-          if (flex) b.tags()
-        }
-
-      case ApiJoinGroup =>
-        val groupId = r.str()
-        r.i32() // session_timeout
-        val rebalanceTimeout = r.i32()
-        val memberIdIn = r.str()
-        val protocolType = r.str()
-        val protocols = r.array { (r.str(), r.bytes()) }
-        val g = groups.getOrElseUpdate(groupId, new Group)
-        val (err, gen, proto, leader, memberId, members) =
-          joinGroup(g, memberIdIn, protocolType, protocols,
-            math.max(rebalanceTimeout, 1000))
-        b.i32(0) // throttle
-        b.i16(err); b.i32(gen); b.str(proto); b.str(leader); b.str(memberId)
-        b.array(members) { case (m, meta) => b.str(m); b.bytes(meta) }
-
-      case ApiSyncGroup =>
-        val groupId = r.str()
-        val gen = r.i32()
-        val memberId = r.str()
-        val assignments = r.array { (r.str(), r.bytes()) }
-        val g = groups.getOrElseUpdate(groupId, new Group)
-        val (err, assignment) = syncGroup(g, gen, memberId, assignments)
-        b.i32(0); b.i16(err); b.bytes(assignment)
-
-      case ApiHeartbeat =>
-        val groupId = r.str(); val gen = r.i32(); val memberId = r.str()
-        val err = groups.get(groupId) match {
-          case None => ErrUnknownMemberId
-          case Some(g) => g.synchronized {
-            if (!g.members.contains(memberId)) ErrUnknownMemberId
-            else if (gen != g.generation) ErrIllegalGeneration
-            else if (g.state != "Stable") ErrRebalanceInProgress
-            else ErrNone
-          }
-        }
-        b.i32(0); b.i16(err)
-
-      case ApiLeaveGroup =>
-        val groupId = r.str(); val memberId = r.str()
-        groups.get(groupId).foreach { g =>
-          g.synchronized {
-            g.members.remove(memberId); g.joiners.remove(memberId)
-            if (g.members.isEmpty) { g.state = "Empty"; g.leader = null }
-            else {
-              // remaining members must rejoin: heartbeats now fail
-              g.state = "Joining"
-              g.expected = g.members.keySet.toSet
-              g.joiners.clear()
-              g.joinDeadline = System.currentTimeMillis() + joinDelayMs
-            }
-            g.notifyAll()
-          }
-        }
-        b.i32(0); b.i16(ErrNone)
-
-      case ApiOffsetCommit =>
-        val groupId = r.str()
-        val gen = r.i32()
-        val memberId = r.str()
-        r.i64() // retention
-        val reqs = r.array {
-          val topic = r.str()
-          val parts = r.array { val p = r.i32(); val off = r.i64(); r.nstr(); (p, off) }
-          (topic, parts)
-        }
-        val g = groups.getOrElseUpdate(groupId, new Group)
-        val err = g.synchronized {
-          // generation -1 + empty member = simple (non-group) commit
-          if (gen == -1 && memberId.isEmpty) ErrNone
-          else if (!g.members.contains(memberId)) ErrUnknownMemberId
-          else if (gen != g.generation) ErrIllegalGeneration
-          else ErrNone
-        }
-        if (err == ErrNone) g.synchronized {
-          reqs.foreach { case (t, parts) =>
-            parts.foreach { case (p, off) => g.committed((t, p)) = off }
-          }
-        }
-        b.array(reqs) { case (topic, parts) =>
-          b.str(topic)
-          b.array(parts) { case (p, _) => b.i32(p); b.i16(err) }
-        }
-
-      case ApiOffsetFetch =>
-        // v2–v8: throttle at v3, committed_leader_epoch at v5, flexible
-        // at v6, require_stable at v7, and v8 batches whole GROUPS
-        // (KIP-709) — group-level error replaces the top-level one.
-        val flex = ver >= 6
-        def lookup(groupId: String, asked: Seq[(String, Seq[Int])])
-            : Seq[(String, Seq[(Int, Long)])] = {
-          val g = groups.getOrElseUpdate(groupId, new Group)
-          g.synchronized {
-            if (asked == null)
-              g.committed.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).map {
-                case (t, offs) => (t, offs.map { case ((_, p), o) => (p, o) }.sortBy(_._1))
-              }
-            else asked.map { case (t, ps) =>
-              (t, ps.map(p => (p, g.committed.getOrElse((t, p), -1L))))
-            }
-          }
-        }
-        def writeParts(parts: Seq[(Int, Long)]): Unit =
-          if (flex) b.carray(parts) { case (p, off) =>
-            b.i32(p); b.i64(off); b.i32(-1); b.cnstr(null); b.i16(ErrNone)
-            b.tags()
-          } else b.array(parts) { case (p, off) =>
-            b.i32(p); b.i64(off)
-            if (ver >= 5) b.i32(-1) // committed_leader_epoch
-            b.nstr(null); b.i16(ErrNone)
-          }
-        if (ver >= 8) {
-          val gs = r.carray {
-            val gid = r.cstr()
-            val asked = r.carray {
-              val t = r.cstr(); val ps = r.carray(r.i32()); r.tags(); (t, ps)
-            }
-            r.tags()
-            (gid, asked)
-          }
-          r.i8() // require_stable
-          r.tags()
-          b.i32(0) // throttle
-          b.carray(gs) { case (gid, asked) =>
-            b.cstr(gid)
-            b.carray(lookup(gid, asked)) { case (topic, parts) =>
-              b.cstr(topic); writeParts(parts); b.tags()
-            }
-            b.i16(ErrNone) // group-level error
-            b.tags()
-          }
-          b.tags()
-        } else {
-          val groupId = if (flex) r.cstr() else r.str()
-          val asked =
-            if (flex) r.carray {
-              val t = r.cstr(); val ps = r.carray(r.i32()); r.tags(); (t, ps)
-            } else r.narray { val t = r.str(); val ps = r.array(r.i32()); (t, ps) }
-          if (ver >= 7) r.i8() // require_stable
-          if (flex) r.tags()
-          val results = lookup(groupId, asked)
-          if (ver >= 3) b.i32(0) // throttle
-          if (flex) {
-            b.carray(results) { case (topic, parts) =>
-              b.cstr(topic); writeParts(parts); b.tags()
-            }
-            b.i16(ErrNone) // top-level error
-            b.tags()
-          } else {
-            b.array(results) { case (topic, parts) =>
-              b.str(topic); writeParts(parts)
-            }
-            b.i16(ErrNone) // v2+ top-level error
-          }
-        }
-
+      case ApiVersions => handleApiVersions(ver, r, b)
+      case ApiMetadata if ver >= 9 => handleMetadataFlex(ver, r, b)
+      case ApiMetadata => handleMetadataLegacy(ver, r, b)
+      case ApiCreateTopics => handleCreateTopics(ver, r, b)
+      case ApiProduce if ver >= 9 => handleProduceFlex(ver, r, b)
+      case ApiProduce => handleProduceLegacy(ver, r, b)
+      case ApiFetch if ver >= 12 => handleFetchFlex(ver, r, b)
+      case ApiFetch if ver >= 5 => handleFetchMid(ver, r, b)
+      case ApiFetch => handleFetchV4(ver, r, b)
+      case ApiListOffsets => handleListOffsets(ver, r, b)
+      case ApiFindCoordinator => handleFindCoordinator(ver, r, b)
+      case ApiJoinGroup => handleJoinGroup(ver, r, b)
+      case ApiSyncGroup => handleSyncGroup(ver, r, b)
+      case ApiHeartbeat => handleHeartbeat(ver, r, b)
+      case ApiLeaveGroup => handleLeaveGroup(ver, r, b)
+      case ApiOffsetCommit => handleOffsetCommit(ver, r, b)
+      case ApiOffsetFetch => handleOffsetFetch(ver, r, b)
       case other =>
         throw new IllegalArgumentException(s"unsupported api key $other")
     }
+
+    private def handleApiVersions(ver: Int, r: Rd, b: Buf): Unit = {
+          // Advertise ONLY versions whose wire shape is implemented — an
+          // ApiVersions entry is one contiguous range per key, so every
+          // version inside the range must dispatch correctly. The
+          // data-path apis now cover their full negotiation windows:
+          // Produce 3–9 (one request shape 3–8, version-gated response
+          // fields, flexible v9) and Fetch 4–13 (non-flexible 4–11 with
+          // version-gated session/epoch/rack fields, flexible v12 by
+          // name, v13 by topic id) — so sarama-era defaults (Produce v7,
+          // Fetch v11) and any franz-go pick interop instead of failing
+          // negotiation. r15 extends the offset/coordinator control plane
+          // the same way: ListOffsets 1–7 (isolation at v2, leader epoch
+          // at v4, flexible v6, -3/max-timestamp at v7), FindCoordinator
+          // 0–4 (key_type at v1, flexible v3, batched coordinator_keys at
+          // v4 per KIP-699) and OffsetFetch 2–8 (throttle v3, leader
+          // epoch v5, flexible v6, require_stable v7, batched groups v8
+          // per KIP-709) — the shapes a franz-go-era consumer group
+          // actually sends. Remaining group apis stay min=max: a client
+          // that can't speak the one shape fails negotiation CLEANLY.
+          val supported = Seq(ApiProduce -> (3, 9), ApiFetch -> (4, 13),
+            ApiListOffsets -> (1, 7), ApiMetadata -> (0, 12),
+            ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 8),
+            ApiFindCoordinator -> (0, 4), ApiJoinGroup -> (2, 2),
+            ApiHeartbeat -> (1, 1), ApiLeaveGroup -> (1, 1),
+            ApiSyncGroup -> (1, 1), ApiVersions -> (3, 3),
+            ApiCreateTopics -> (1, 1))
+          if (ver >= 3) { // flexible BODY (response header stays v0)
+            r.cstr(); r.cstr(); r.tags() // client_software_name/version
+            b.i16(ErrNone)
+            b.carray(supported) { case (k, (lo, hi)) =>
+              b.i16(k); b.i16(lo); b.i16(hi); b.tags() }
+            b.i32(0) // throttle
+            b.tags()
+          } else {
+            b.i16(ErrNone)
+            b.array(supported) { case (k, (lo, hi)) => b.i16(k); b.i16(lo); b.i16(hi) }
+          }
+    }
+
+    private def handleMetadataFlex(ver: Int, r: Rd, b: Buf): Unit = {
+          // flexible v9–v12: topic ids enter the RESPONSE at v10 and the
+          // REQUEST topic struct at v10; include_cluster_authorized_
+          // operations exists v9–v10 only (KIP-700 removed it at v11).
+          // A v10+ ask may address a topic by id with a NULL name — those
+          // resolve through the uuid reverse map (same as Fetch v13); an
+          // id no topic has answers UNKNOWN_TOPIC_ID with the id echoed.
+          val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
+          val asked: Seq[Either[(Long, Long), String]] = r.carray {
+            val id = if (ver >= 10) r.uuid() else (0L, 0L)
+            val n = r.cstr(); r.tags()
+            if (n != null) Right(n)
+            else byId.get(id).toRight(id)
+          }
+          r.i8() // allow_auto_topic_creation
+          if (ver <= 10) r.i8() // include_cluster_authorized_operations
+          r.i8() // include_topic_authorized_operations
+          r.tags()
+          val names: Seq[Either[(Long, Long), String]] =
+            if (asked == null || asked.isEmpty)
+              topics.keys.toSeq.sorted.map(Right(_))
+            else asked
+          b.i32(0) // throttle
+          b.carray(Seq(1)) { id =>
+            b.i32(id); b.cstr("127.0.0.1"); b.i32(port); b.cnstr(null); b.tags() }
+          b.cnstr("graft-loopback") // cluster_id
+          b.i32(1)                  // controller id
+          b.carray(names) {
+            case Right(name) =>
+              val (hi, lo) = topicUuid(name)
+              topics.get(name) match {
+                case Some(parts) =>
+                  b.i16(ErrNone); b.cnstr(name)
+                  if (ver >= 10) b.uuid(hi, lo)
+                  b.i8(0) // is_internal
+                  b.carray(parts.indices) { p =>
+                    b.i16(ErrNone); b.i32(p); b.i32(1); b.i32(0)
+                    b.carray(Seq(1))(b.i32); b.carray(Seq(1))(b.i32)
+                    b.carray(Seq.empty[Int])(b.i32); b.tags()
+                  }
+                  b.i32(-2147483648) // topic_authorized_operations
+                  b.tags()
+                case None =>
+                  b.i16(ErrUnknownTopicOrPartition); b.cnstr(name)
+                  if (ver >= 10) b.uuid(0L, 0L)
+                  b.i8(0)
+                  b.carray(Seq.empty[Int])(_ => ())
+                  b.i32(-2147483648); b.tags()
+              }
+            case Left((ihi, ilo)) =>
+              b.i16(ErrUnknownTopicId); b.cnstr(null)
+              if (ver >= 10) b.uuid(ihi, ilo)
+              b.i8(0)
+              b.carray(Seq.empty[Int])(_ => ())
+              b.i32(-2147483648); b.tags()
+          }
+          if (ver <= 10) b.i32(-2147483648) // cluster_authorized_operations
+          b.tags()
+    }
+
+    private def handleMetadataLegacy(ver: Int, r: Rd, b: Buf): Unit = {
+          // non-flexible v0–v8: the fields sarama-era clients expect grow
+          // by version — rack/controller/is_internal at v1, cluster_id at
+          // v2, throttle at v3, allow_auto request flag at v4, offline
+          // replicas at v5, leader_epoch at v7, authorized-operations
+          // request flags + response ints at v8
+          val asked = r.narray(r.str())
+          if (ver >= 4) r.i8() // allow_auto_topic_creation
+          if (ver >= 8) { r.i8(); r.i8() } // include_*_authorized_operations
+          val names =
+            if (asked == null || asked.isEmpty) topics.keys.toSeq.sorted
+            else asked
+          if (ver >= 3) b.i32(0) // throttle
+          b.array(Seq(1)) { id =>
+            b.i32(id); b.str("127.0.0.1"); b.i32(port)
+            if (ver >= 1) b.nstr(null) // rack
+          }
+          if (ver >= 2) b.nstr("graft-loopback") // cluster_id
+          if (ver >= 1) b.i32(1) // controller id
+          b.array(names) { name =>
+            topics.get(name) match {
+              case Some(parts) =>
+                b.i16(ErrNone); b.str(name)
+                if (ver >= 1) b.i8(0) // is_internal=false
+                b.array(parts.indices) { p =>
+                  b.i16(ErrNone); b.i32(p); b.i32(1)
+                  if (ver >= 7) b.i32(0) // leader_epoch
+                  b.array(Seq(1))(b.i32); b.array(Seq(1))(b.i32)
+                  if (ver >= 5) b.array(Seq.empty[Int])(b.i32) // offline
+                }
+                if (ver >= 8) b.i32(-2147483648) // topic_authorized_operations
+              case None =>
+                b.i16(ErrUnknownTopicOrPartition); b.str(name)
+                if (ver >= 1) b.i8(0)
+                b.array(Seq.empty[Int])(_ => ())
+                if (ver >= 8) b.i32(-2147483648)
+            }
+          }
+          if (ver >= 8) b.i32(-2147483648) // cluster_authorized_operations
+    }
+
+    private def handleCreateTopics(ver: Int, r: Rd, b: Buf): Unit = {
+          val reqs = r.array {
+            val name = r.str(); val nParts = r.i32(); r.i16() // replication
+            r.array { r.i32(); r.array(r.i32()); () }         // assignments
+            r.array { r.str(); r.nstr(); () }                 // configs
+            (name, nParts)
+          }
+          r.i32() // timeout
+          b.array(reqs) { case (name, nParts) =>
+            b.str(name)
+            if (topics.putIfAbsent(name,
+                Array.tabulate(math.max(nParts, 1))(new PartitionLog(_))).isEmpty)
+              b.i16(ErrNone)
+            else b.i16(ErrTopicAlreadyExists)
+          }
+    }
+
+    private def handleProduceFlex(ver: Int, r: Rd, b: Buf): Unit = {
+          r.cstr() // transactional_id
+          r.i16()  // acks
+          r.i32()  // timeout
+          val results = r.carray {
+            val topic = r.cstr()
+            val parts = r.carray {
+              val p = r.i32()
+              val recordSet = r.cbytes()
+              r.tags()
+              val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
+                case Some(Some(log)) =>
+                  // header-scan + CRC only; bodies parse lazily on demand
+                  try (ErrNone, log.appendRaw(recordSet))
+                  catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
+                case _ => (ErrUnknownTopicOrPartition, -1L)
+              }
+              (p, err, baseOff)
+            }
+            r.tags()
+            (topic, parts)
+          }
+          r.tags()
+          b.carray(results) { case (topic, parts) =>
+            b.cstr(topic)
+            b.carray(parts) { case (p, err, off) =>
+              b.i32(p); b.i16(err); b.i64(off)
+              b.i64(-1L) // log_append_time
+              b.i64(0L)  // log_start_offset
+              b.carray(Seq.empty[Int])(_ => ()) // record_errors
+              b.cnstr(null)                     // error_message
+              b.tags()
+            }
+            b.tags()
+          }
+          b.i32(0) // throttle
+          b.tags()
+    }
+
+    private def handleProduceLegacy(ver: Int, r: Rd, b: Buf): Unit = {
+          // non-flexible v3–v8: ONE request shape across the range (the
+          // fields sarama/franz-go send never changed between v3 and v8);
+          // the RESPONSE grows by version — log_start_offset at v5,
+          // record_errors + error_message at v8. This is what lets
+          // ApiVersions advertise the contiguous 3–9 range real clients
+          // negotiate inside (sarama's default Produce v7 lands here).
+          r.nstr() // transactional_id
+          r.i16()  // acks
+          r.i32()  // timeout
+          val results = r.array {
+            val topic = r.str()
+            val parts = r.array {
+              val p = r.i32()
+              val recordSet = r.nbytes()
+              val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
+                case Some(Some(log)) =>
+                  try (ErrNone, log.appendRaw(recordSet))
+                  catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
+                case _ => (ErrUnknownTopicOrPartition, -1L)
+              }
+              (p, err, baseOff)
+            }
+            (topic, parts)
+          }
+          b.array(results) { case (topic, parts) =>
+            b.str(topic)
+            b.array(parts) { case (p, err, off) =>
+              b.i32(p); b.i16(err); b.i64(off); b.i64(-1L) // log_append_time
+              if (ver >= 5) b.i64(0L) // log_start_offset
+              if (ver >= 8) {
+                b.i32(0)     // record_errors: empty
+                b.nstr(null) // error_message
+              }
+            }
+          }
+          b.i32(0) // throttle
+    }
+
+    private def handleFetchFlex(ver: Int, r: Rd, b: Buf): Unit = {
+          // v12/v13 flexible: v13 addresses topics by KIP-516 topic id,
+          // v12 (the first flexible fetch) still by name; the rest of the
+          // shape is shared. Incremental-session fields are present but
+          // sessions unused (0/-1 from our client = full fetch, like a
+          // sessionless consumer).
+          r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+          r.i32(); r.i32() // session_id, session_epoch
+          val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
+          val results = r.carray {
+            val (tid, topic) =
+              if (ver >= 13) { val u = r.uuid(); (u, byId.getOrElse(u, null)) }
+              else { val n = r.cstr(); ((0L, 0L), n) }
+            val parts = r.carray {
+              val p = r.i32(); r.i32() // current_leader_epoch
+              val off = r.i64()
+              r.i32()  // last_fetched_epoch
+              r.i64()  // log_start_offset
+              r.i32()  // partition_max_bytes
+              r.tags()
+              (if (topic == null) None else topics.get(topic).flatMap(_.lift(p))) match {
+                case Some(log) =>
+                  val end = log.end
+                  if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
+                  else {
+                    // batch passthrough at boundaries (fetchCodec honored
+                    // only on the re-encode fallback, like a real broker
+                    // serving producer compression as-is)
+                    val bytes = (if (fetchCodec == CodecNone)
+                        log.rawSlice(off, maxFetchRecords) else None)
+                      .getOrElse {
+                        val recs = log.slice(off, maxFetchRecords)
+                        if (recs.isEmpty) Array.empty[Byte]
+                        else encodeBatch(recs, fetchCodec)
+                      }
+                    (p, ErrNone, end, bytes)
+                  }
+                case None => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
+              }
+            }
+            r.tags()
+            (tid, topic, parts)
+          }
+          r.carray { // forgotten topics: id (v13+) or name (v12)
+            if (ver >= 13) r.uuid() else r.cstr()
+            r.carray(r.i32()); r.tags()
+          }
+          r.cstr() // rack_id
+          r.tags()
+          b.i32(0)       // throttle
+          b.i16(ErrNone) // top-level error
+          b.i32(0)       // session_id
+          b.carray(results) { case (tid, topic, parts) =>
+            if (ver >= 13) b.uuid(tid._1, tid._2) else b.cstr(topic)
+            b.carray(parts) { case (p, err, hw, bytes) =>
+              b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
+              b.i64(0L)          // log_start_offset
+              b.carray(Seq.empty[Int])(_ => ()) // aborted_transactions ([], non-null)
+              b.i32(-1)          // preferred_read_replica
+              if (bytes.isEmpty) b.uv(0) else b.cnbytes(bytes)
+              b.tags()
+            }
+            b.tags()
+          }
+          b.tags()
+    }
+
+    private def handleFetchMid(ver: Int, r: Rd, b: Buf): Unit = {
+          // non-flexible v5–v11 — the window sarama and older franz-go
+          // negotiate into (Fetch v11 is the sarama-era default). Request
+          // grows: session fields at v7, current_leader_epoch at v9,
+          // rack_id at v11; response grows: log_start_offset at v5,
+          // top-level error + session_id at v7, preferred_read_replica
+          // at v11.
+          r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+          if (ver >= 7) { r.i32(); r.i32() } // session_id, session_epoch
+          val results = r.array {
+            val topic = r.str()
+            val parts = r.array {
+              val p = r.i32()
+              if (ver >= 9) r.i32() // current_leader_epoch
+              val off = r.i64()
+              r.i64() // log_start_offset
+              r.i32() // partition_max_bytes
+              topics.get(topic).map(_.lift(p)) match {
+                case Some(Some(log)) =>
+                  val end = log.end
+                  if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
+                  else {
+                    val bytes = (if (fetchCodec == CodecNone)
+                        log.rawSlice(off, maxFetchRecords) else None)
+                      .getOrElse {
+                        val recs = log.slice(off, maxFetchRecords)
+                        if (recs.isEmpty) Array.empty[Byte]
+                        else encodeBatch(recs, fetchCodec)
+                      }
+                    (p, ErrNone, end, bytes)
+                  }
+                case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
+              }
+            }
+            (topic, parts)
+          }
+          if (ver >= 7) r.array { r.str(); r.array(r.i32()) } // forgotten topics
+          if (ver >= 11) r.str() // rack_id
+          b.i32(0) // throttle
+          if (ver >= 7) { b.i16(ErrNone); b.i32(0) } // error_code, session_id
+          b.array(results) { case (topic, parts) =>
+            b.str(topic)
+            b.array(parts) { case (p, err, hw, bytes) =>
+              b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
+              b.i64(0L) // log_start_offset
+              b.i32(-1) // aborted_transactions (null)
+              if (ver >= 11) b.i32(-1) // preferred_read_replica
+              if (bytes.isEmpty) b.i32(-1) else b.nbytes(bytes)
+            }
+          }
+    }
+
+    private def handleFetchV4(ver: Int, r: Rd, b: Buf): Unit = {
+          r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+          val results = r.array {
+            val topic = r.str()
+            val parts = r.array {
+              val p = r.i32(); val off = r.i64(); r.i32() // partition_max_bytes
+              topics.get(topic).map(_.lift(p)) match {
+                case Some(Some(log)) =>
+                  val end = log.end
+                  if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
+                  else {
+                    val bytes = (if (fetchCodec == CodecNone)
+                        log.rawSlice(off, maxFetchRecords) else None)
+                      .getOrElse {
+                        val recs = log.slice(off, maxFetchRecords)
+                        if (recs.isEmpty) Array.empty[Byte]
+                        else encodeBatch(recs, fetchCodec)
+                      }
+                    (p, ErrNone, end, bytes)
+                  }
+                case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
+              }
+            }
+            (topic, parts)
+          }
+          b.i32(0) // throttle
+          b.array(results) { case (topic, parts) =>
+            b.str(topic)
+            b.array(parts) { case (p, err, hw, bytes) =>
+              b.i32(p); b.i16(err); b.i64(hw); b.i64(hw) // last_stable_offset
+              b.i32(-1)                                  // aborted_transactions (null)
+              if (bytes.isEmpty) b.i32(-1) else b.nbytes(bytes)
+            }
+          }
+    }
+
+    private def handleListOffsets(ver: Int, r: Rd, b: Buf): Unit = {
+          // v1–v7: isolation_level at v2, current_leader_epoch in the
+          // partition ask at v4, flexible at v6; response gains throttle
+          // at v2 and leader_epoch at v4. Timestamps: -1 latest (log
+          // end), -2 earliest, -3 max-timestamp (v7, KIP-734 — the
+          // loopback log answers with its last offset).
+          val flex = ver >= 6
+          r.i32() // replica_id
+          if (ver >= 2) r.i8() // isolation_level
+          def partAsk(topic: String): (Int, Short, Long) = {
+            val p = r.i32()
+            if (ver >= 4) r.i32() // current_leader_epoch
+            val ts = r.i64()
+            if (flex) r.tags()
+            topics.get(topic).map(_.lift(p)) match {
+              case Some(Some(log)) =>
+                val off =
+                  if (ts == -2L) 0L
+                  else if (ts == -3L) math.max(log.end - 1, -1L)
+                  else log.end
+                (p, ErrNone, off)
+              case _ => (p, ErrUnknownTopicOrPartition, -1L)
+            }
+          }
+          def topicAsk(): (String, Seq[(Int, Short, Long)]) =
+            if (flex) {
+              val topic = r.cstr()
+              val parts = r.carray(partAsk(topic)); r.tags()
+              (topic, parts)
+            } else {
+              val topic = r.str()
+              (topic, r.array(partAsk(topic)))
+            }
+          val results = if (flex) { val x = r.carray(topicAsk()); r.tags(); x }
+            else r.array(topicAsk())
+          if (ver >= 2) b.i32(0) // throttle
+          def writePart(p: Int, err: Short, off: Long): Unit = {
+            b.i32(p); b.i16(err); b.i64(-1L); b.i64(off)
+            if (ver >= 4) b.i32(0) // leader_epoch
+            if (flex) b.tags()
+          }
+          if (flex) {
+            b.carray(results) { case (topic, parts) =>
+              b.cstr(topic)
+              b.carray(parts) { case (p, err, off) => writePart(p, err, off) }
+              b.tags()
+            }
+            b.tags()
+          } else b.array(results) { case (topic, parts) =>
+            b.str(topic)
+            b.array(parts) { case (p, err, off) => writePart(p, err, off) }
+          }
+    }
+
+    private def handleFindCoordinator(ver: Int, r: Rd, b: Buf): Unit = {
+          // v0–v4: key_type (group/txn) at v1 — a single node coordinates
+          // everything, so the type only has to parse; flexible at v3;
+          // v4 batches coordinator_keys and answers per key (KIP-699).
+          if (ver >= 4) {
+            r.i8() // key_type
+            val keys = r.carray(r.cstr())
+            r.tags()
+            b.i32(0) // throttle
+            b.carray(keys) { k =>
+              b.cstr(k); b.i32(1); b.cstr("127.0.0.1"); b.i32(port)
+              b.i16(ErrNone); b.cnstr(null); b.tags()
+            }
+            b.tags()
+          } else {
+            val flex = ver >= 3
+            if (flex) r.cstr() else r.str() // key — always this broker
+            if (ver >= 1) r.i8() // key_type
+            if (flex) r.tags()
+            if (ver >= 1) b.i32(0) // throttle
+            b.i16(ErrNone)
+            if (ver >= 1) { if (flex) b.cnstr(null) else b.nstr(null) } // error_message
+            b.i32(1)
+            if (flex) b.cstr("127.0.0.1") else b.str("127.0.0.1")
+            b.i32(port)
+            if (flex) b.tags()
+          }
+    }
+
+    private def handleJoinGroup(ver: Int, r: Rd, b: Buf): Unit = {
+          val groupId = r.str()
+          r.i32() // session_timeout
+          val rebalanceTimeout = r.i32()
+          val memberIdIn = r.str()
+          val protocolType = r.str()
+          val protocols = r.array { (r.str(), r.bytes()) }
+          val g = groups.getOrElseUpdate(groupId, new Group)
+          val (err, gen, proto, leader, memberId, members) =
+            joinGroup(g, memberIdIn, protocolType, protocols,
+              math.max(rebalanceTimeout, 1000))
+          b.i32(0) // throttle
+          b.i16(err); b.i32(gen); b.str(proto); b.str(leader); b.str(memberId)
+          b.array(members) { case (m, meta) => b.str(m); b.bytes(meta) }
+    }
+
+    private def handleSyncGroup(ver: Int, r: Rd, b: Buf): Unit = {
+          val groupId = r.str()
+          val gen = r.i32()
+          val memberId = r.str()
+          val assignments = r.array { (r.str(), r.bytes()) }
+          val g = groups.getOrElseUpdate(groupId, new Group)
+          val (err, assignment) = syncGroup(g, gen, memberId, assignments)
+          b.i32(0); b.i16(err); b.bytes(assignment)
+    }
+
+    private def handleHeartbeat(ver: Int, r: Rd, b: Buf): Unit = {
+          val groupId = r.str(); val gen = r.i32(); val memberId = r.str()
+          val err = groups.get(groupId) match {
+            case None => ErrUnknownMemberId
+            case Some(g) => g.synchronized {
+              if (!g.members.contains(memberId)) ErrUnknownMemberId
+              else if (gen != g.generation) ErrIllegalGeneration
+              else if (g.state != "Stable") ErrRebalanceInProgress
+              else ErrNone
+            }
+          }
+          b.i32(0); b.i16(err)
+    }
+
+    private def handleLeaveGroup(ver: Int, r: Rd, b: Buf): Unit = {
+          val groupId = r.str(); val memberId = r.str()
+          groups.get(groupId).foreach { g =>
+            g.synchronized {
+              g.members.remove(memberId); g.joiners.remove(memberId)
+              if (g.members.isEmpty) { g.state = "Empty"; g.leader = null }
+              else {
+                // remaining members must rejoin: heartbeats now fail
+                g.state = "Joining"
+                g.expected = g.members.keySet.toSet
+                g.joiners.clear()
+                g.joinDeadline = System.currentTimeMillis() + joinDelayMs
+              }
+              g.notifyAll()
+            }
+          }
+          b.i32(0); b.i16(ErrNone)
+    }
+
+    private def handleOffsetCommit(ver: Int, r: Rd, b: Buf): Unit = {
+          val groupId = r.str()
+          val gen = r.i32()
+          val memberId = r.str()
+          r.i64() // retention
+          val reqs = r.array {
+            val topic = r.str()
+            val parts = r.array { val p = r.i32(); val off = r.i64(); r.nstr(); (p, off) }
+            (topic, parts)
+          }
+          val g = groups.getOrElseUpdate(groupId, new Group)
+          val err = g.synchronized {
+            // generation -1 + empty member = simple (non-group) commit
+            if (gen == -1 && memberId.isEmpty) ErrNone
+            else if (!g.members.contains(memberId)) ErrUnknownMemberId
+            else if (gen != g.generation) ErrIllegalGeneration
+            else ErrNone
+          }
+          if (err == ErrNone) g.synchronized {
+            reqs.foreach { case (t, parts) =>
+              parts.foreach { case (p, off) => g.committed((t, p)) = off }
+            }
+          }
+          b.array(reqs) { case (topic, parts) =>
+            b.str(topic)
+            b.array(parts) { case (p, _) => b.i32(p); b.i16(err) }
+          }
+    }
+
+    private def handleOffsetFetch(ver: Int, r: Rd, b: Buf): Unit = {
+          // v2–v8: throttle at v3, committed_leader_epoch at v5, flexible
+          // at v6, require_stable at v7, and v8 batches whole GROUPS
+          // (KIP-709) — group-level error replaces the top-level one.
+          val flex = ver >= 6
+          def lookup(groupId: String, asked: Seq[(String, Seq[Int])])
+              : Seq[(String, Seq[(Int, Long)])] = {
+            val g = groups.getOrElseUpdate(groupId, new Group)
+            g.synchronized {
+              if (asked == null)
+                g.committed.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+                  case (t, offs) => (t, offs.map { case ((_, p), o) => (p, o) }.sortBy(_._1))
+                }
+              else asked.map { case (t, ps) =>
+                (t, ps.map(p => (p, g.committed.getOrElse((t, p), -1L))))
+              }
+            }
+          }
+          def writeParts(parts: Seq[(Int, Long)]): Unit =
+            if (flex) b.carray(parts) { case (p, off) =>
+              b.i32(p); b.i64(off); b.i32(-1); b.cnstr(null); b.i16(ErrNone)
+              b.tags()
+            } else b.array(parts) { case (p, off) =>
+              b.i32(p); b.i64(off)
+              if (ver >= 5) b.i32(-1) // committed_leader_epoch
+              b.nstr(null); b.i16(ErrNone)
+            }
+          if (ver >= 8) {
+            val gs = r.carray {
+              val gid = r.cstr()
+              val asked = r.carray {
+                val t = r.cstr(); val ps = r.carray(r.i32()); r.tags(); (t, ps)
+              }
+              r.tags()
+              (gid, asked)
+            }
+            r.i8() // require_stable
+            r.tags()
+            b.i32(0) // throttle
+            b.carray(gs) { case (gid, asked) =>
+              b.cstr(gid)
+              b.carray(lookup(gid, asked)) { case (topic, parts) =>
+                b.cstr(topic); writeParts(parts); b.tags()
+              }
+              b.i16(ErrNone) // group-level error
+              b.tags()
+            }
+            b.tags()
+          } else {
+            val groupId = if (flex) r.cstr() else r.str()
+            val asked =
+              if (flex) r.carray {
+                val t = r.cstr(); val ps = r.carray(r.i32()); r.tags(); (t, ps)
+              } else r.narray { val t = r.str(); val ps = r.array(r.i32()); (t, ps) }
+            if (ver >= 7) r.i8() // require_stable
+            if (flex) r.tags()
+            val results = lookup(groupId, asked)
+            if (ver >= 3) b.i32(0) // throttle
+            if (flex) {
+              b.carray(results) { case (topic, parts) =>
+                b.cstr(topic); writeParts(parts); b.tags()
+              }
+              b.i16(ErrNone) // top-level error
+              b.tags()
+            } else {
+              b.array(results) { case (topic, parts) =>
+                b.str(topic); writeParts(parts)
+              }
+              b.i16(ErrNone) // v2+ top-level error
+            }
+          }
+    }
+
 
     /** The join barrier: a rebalance completes when every member of
       * the previous generation has rejoined, or the join window
