@@ -323,10 +323,7 @@ object Dedupe {
   }
 
   /** Resolve near-dup PAIRS into duplicate clusters: connected
-    * components by iterative min-label propagation (the
-    * small-star/large-star family's simple form — each node repeatedly
-    * adopts the smallest label among itself and its neighbors until a
-    * fixpoint). Returns (id, rep) for every id appearing in a pair,
+    * components. Returns (id, rep) for every id appearing in a pair,
     * rep = smallest id in its component — the canonical document the
     * cluster keeps.
     *
@@ -440,9 +437,15 @@ object Dedupe {
       // connected-components rounds for the same reason). Block
       // storage is MEMORY_AND_DISK and reaped by the ContextCleaner
       // when the round's RDD goes out of scope.
-      val (afterLarge, largeMins) = largeStar(edges)
+      val (afterLarge0, largeMins) = largeStar(edges)
+      // afterLarge is consumed TWICE (small-star's minima aggregate,
+      // then the checkpoint below) — without this persist each round
+      // re-ran the whole large-star join+distinct a second time
+      val afterLarge = afterLarge0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (afterSmall, smallMins) = smallStar(afterLarge)
       val next = afterSmall.localCheckpoint(true)
+      afterLarge.unpersist()
       largeMins.unpersist()
       smallMins.unpersist()
       // fixpoint check: (count, order-independent hash XOR — the edge
