@@ -368,6 +368,11 @@ object KafkaWire {
     case ApiListOffsets => ver >= 6
     case ApiFindCoordinator => ver >= 3
     case ApiOffsetFetch => ver >= 6
+    case ApiJoinGroup => ver >= 6
+    case ApiSyncGroup => ver >= 4
+    case ApiHeartbeat => ver >= 4
+    case ApiLeaveGroup => ver >= 4
+    case ApiOffsetCommit => ver >= 8
     case _ => false
   }
 
@@ -548,6 +553,10 @@ object KafkaWire {
     var assignments = Map.empty[String, Array[Byte]]
     val committed = mutable.Map.empty[(String, Int), Long]
     val memberSeq = new AtomicInteger(0)
+    // selected at join completion; echoed by JoinGroup v7+ / SyncGroup
+    // v5+ responses (KIP-559 — clients cross-check the group's protocol)
+    var protocolType: String = "consumer"
+    var protocolName: String = "range"
   }
 
   /** Loopback Kafka broker: real frames in, real frames out, CRC
@@ -677,14 +686,20 @@ object KafkaWire {
           // v4 per KIP-699) and OffsetFetch 2–8 (throttle v3, leader
           // epoch v5, flexible v6, require_stable v7, batched groups v8
           // per KIP-709) — the shapes a franz-go-era consumer group
-          // actually sends. Remaining group apis stay min=max: a client
-          // that can't speak the one shape fails negotiation CLEANLY.
+          // actually sends. The group-membership apis complete the
+          // window (r15): JoinGroup 2–9 (group_instance_id v5, flexible
+          // v6, KIP-559 protocol_type v7, reason v8, skip_assignment
+          // v9), SyncGroup 1–5, Heartbeat 1–4, LeaveGroup 1–5 (batched
+          // members at v3), OffsetCommit 2–8 (retention dropped at v5
+          // per KIP-211, leader epoch v6, flexible v8) — so a default
+          // franz-go/librdkafka consumer group negotiates its native
+          // versions end to end instead of the floor of each range.
           val supported = Seq(ApiProduce -> (3, 9), ApiFetch -> (4, 13),
             ApiListOffsets -> (1, 7), ApiMetadata -> (0, 12),
-            ApiOffsetCommit -> (2, 2), ApiOffsetFetch -> (2, 8),
-            ApiFindCoordinator -> (0, 4), ApiJoinGroup -> (2, 2),
-            ApiHeartbeat -> (1, 1), ApiLeaveGroup -> (1, 1),
-            ApiSyncGroup -> (1, 1), ApiVersions -> (3, 3),
+            ApiOffsetCommit -> (2, 8), ApiOffsetFetch -> (2, 8),
+            ApiFindCoordinator -> (0, 4), ApiJoinGroup -> (2, 9),
+            ApiHeartbeat -> (1, 4), ApiLeaveGroup -> (1, 5),
+            ApiSyncGroup -> (1, 5), ApiVersions -> (3, 3),
             ApiCreateTopics -> (1, 1))
           if (ver >= 3) { // flexible BODY (response header stays v0)
             r.cstr(); r.cstr(); r.tags() // client_software_name/version
@@ -1134,33 +1149,79 @@ object KafkaWire {
     }
 
     private def handleJoinGroup(ver: Int, r: Rd, b: Buf): Unit = {
-          val groupId = r.str()
+          // v2–v9: group_instance_id parsed at v5+ (static membership is
+          // ACCEPTED but treated as dynamic — this single-node
+          // coordinator has no fencing to skip), flexible at v6,
+          // nullable response protocol_type/name at v7 (KIP-559), join
+          // reason at v8 (KIP-800), skip_assignment at v9 (always false:
+          // the leader computes assignments exactly as in classic
+          // groups). Franz-go-era clients pick v9 from the advertised
+          // range; sarama-era ones pick v2–v5.
+          val flex = ver >= 6
+          val groupId = if (flex) r.cstr() else r.str()
           r.i32() // session_timeout
           val rebalanceTimeout = r.i32()
-          val memberIdIn = r.str()
-          val protocolType = r.str()
-          val protocols = r.array { (r.str(), r.bytes()) }
+          val memberIdIn = if (flex) r.cstr() else r.str()
+          if (ver >= 5) { if (flex) r.cstr() else r.nstr() } // group_instance_id
+          val protocolType = if (flex) r.cstr() else r.str()
+          val protocols =
+            if (flex) r.carray {
+              val n = r.cstr(); val m = r.cbytes(); r.tags(); (n, m)
+            } else r.array { (r.str(), r.bytes()) }
+          if (ver >= 8) { if (flex) r.cstr() else r.nstr() } // reason
+          if (flex) r.tags()
           val g = groups.getOrElseUpdate(groupId, new Group)
           val (err, gen, proto, leader, memberId, members) =
             joinGroup(g, memberIdIn, protocolType, protocols,
               math.max(rebalanceTimeout, 1000))
           b.i32(0) // throttle
-          b.i16(err); b.i32(gen); b.str(proto); b.str(leader); b.str(memberId)
-          b.array(members) { case (m, meta) => b.str(m); b.bytes(meta) }
+          b.i16(err); b.i32(gen)
+          if (ver >= 7) { if (flex) b.cnstr(g.protocolType) else b.nstr(g.protocolType) }
+          if (flex) b.cstr(proto) else b.str(proto)
+          if (flex) b.cstr(leader) else b.str(leader)
+          if (ver >= 9) b.i8(0) // skip_assignment
+          if (flex) b.cstr(memberId) else b.str(memberId)
+          if (flex) b.carray(members) { case (m, meta) =>
+            b.cstr(m); b.cnstr(null); b.cbytes(meta); b.tags()
+          } else b.array(members) { case (m, meta) =>
+            b.str(m)
+            if (ver >= 5) b.nstr(null) // group_instance_id
+            b.bytes(meta)
+          }
+          if (flex) b.tags()
     }
 
     private def handleSyncGroup(ver: Int, r: Rd, b: Buf): Unit = {
-          val groupId = r.str()
+          // v1–v5: group_instance_id at v3, flexible at v4, the group's
+          // protocol_type/name echoed both ways at v5 (KIP-559).
+          val flex = ver >= 4
+          val groupId = if (flex) r.cstr() else r.str()
           val gen = r.i32()
-          val memberId = r.str()
-          val assignments = r.array { (r.str(), r.bytes()) }
+          val memberId = if (flex) r.cstr() else r.str()
+          if (ver >= 3) { if (flex) r.cstr() else r.nstr() } // group_instance_id
+          if (ver >= 5) { r.cstr(); r.cstr() } // protocol_type/name (flex-only versions)
+          val assignments =
+            if (flex) r.carray {
+              val m = r.cstr(); val a = r.cbytes(); r.tags(); (m, a)
+            } else r.array { (r.str(), r.bytes()) }
+          if (flex) r.tags()
           val g = groups.getOrElseUpdate(groupId, new Group)
           val (err, assignment) = syncGroup(g, gen, memberId, assignments)
-          b.i32(0); b.i16(err); b.bytes(assignment)
+          b.i32(0) // throttle
+          b.i16(err)
+          if (ver >= 5) { b.cnstr(g.protocolType); b.cnstr(g.protocolName) }
+          if (flex) { b.cbytes(assignment); b.tags() } else b.bytes(assignment)
     }
 
     private def handleHeartbeat(ver: Int, r: Rd, b: Buf): Unit = {
-          val groupId = r.str(); val gen = r.i32(); val memberId = r.str()
+          // v1–v4: group_instance_id at v3, flexible at v4; the response
+          // is throttle + error at every version.
+          val flex = ver >= 4
+          val groupId = if (flex) r.cstr() else r.str()
+          val gen = r.i32()
+          val memberId = if (flex) r.cstr() else r.str()
+          if (ver >= 3) { if (flex) r.cstr() else r.nstr() } // group_instance_id
+          if (flex) r.tags()
           val err = groups.get(groupId) match {
             case None => ErrUnknownMemberId
             case Some(g) => g.synchronized {
@@ -1171,13 +1232,31 @@ object KafkaWire {
             }
           }
           b.i32(0); b.i16(err)
+          if (flex) b.tags()
     }
 
     private def handleLeaveGroup(ver: Int, r: Rd, b: Buf): Unit = {
-          val groupId = r.str(); val memberId = r.str()
+          // v1–v5: v3 batches members (KIP-345 static-membership
+          // removals) and adds per-member results; flexible at v4;
+          // leave reason at v5 (KIP-800).
+          val flex = ver >= 4
+          val groupId = if (flex) r.cstr() else r.str()
+          val leaving: Seq[(String, String)] = // (member_id, instance_id)
+            if (ver >= 3) {
+              val ms =
+                if (flex) r.carray {
+                  val m = r.cstr(); val gi = r.cstr()
+                  if (ver >= 5) r.cstr() // reason
+                  r.tags(); (m, gi)
+                } else r.array { (r.str(), r.nstr()) }
+              if (flex) r.tags()
+              ms
+            } else Seq((r.str(), null))
           groups.get(groupId).foreach { g =>
             g.synchronized {
-              g.members.remove(memberId); g.joiners.remove(memberId)
+              leaving.foreach { case (memberId, _) =>
+                g.members.remove(memberId); g.joiners.remove(memberId); ()
+              }
               if (g.members.isEmpty) { g.state = "Empty"; g.leader = null }
               else {
                 // remaining members must rejoin: heartbeats now fail
@@ -1190,18 +1269,46 @@ object KafkaWire {
             }
           }
           b.i32(0); b.i16(ErrNone)
+          if (ver >= 3) {
+            if (flex) b.carray(leaving) { case (m, gi) =>
+              b.cstr(m); b.cnstr(gi); b.i16(ErrNone); b.tags()
+            } else b.array(leaving) { case (m, gi) =>
+              b.str(m); b.nstr(gi); b.i16(ErrNone)
+            }
+          }
+          if (flex) b.tags()
     }
 
     private def handleOffsetCommit(ver: Int, r: Rd, b: Buf): Unit = {
-          val groupId = r.str()
+          // v2–v8: retention_time_ms exists ONLY at v2–v4 (KIP-211
+          // removed it at v5), committed_leader_epoch arrives at v6,
+          // group_instance_id at v7, flexible at v8. Response shape is
+          // stable (throttle at v3 + per-partition error codes).
+          val flex = ver >= 8
+          val groupId = if (flex) r.cstr() else r.str()
           val gen = r.i32()
-          val memberId = r.str()
-          r.i64() // retention
-          val reqs = r.array {
-            val topic = r.str()
-            val parts = r.array { val p = r.i32(); val off = r.i64(); r.nstr(); (p, off) }
-            (topic, parts)
-          }
+          val memberId = if (flex) r.cstr() else r.str()
+          if (ver >= 7) { if (flex) r.cstr() else r.nstr() } // group_instance_id
+          if (ver <= 4) r.i64() // retention_time_ms
+          val reqs =
+            if (flex) r.carray {
+              val topic = r.cstr()
+              val parts = r.carray {
+                val p = r.i32(); val off = r.i64()
+                r.i32() // committed_leader_epoch
+                r.cstr(); r.tags(); (p, off)
+              }
+              r.tags(); (topic, parts)
+            } else r.array {
+              val topic = r.str()
+              val parts = r.array {
+                val p = r.i32(); val off = r.i64()
+                if (ver >= 6) r.i32() // committed_leader_epoch
+                r.nstr(); (p, off)
+              }
+              (topic, parts)
+            }
+          if (flex) r.tags()
           val g = groups.getOrElseUpdate(groupId, new Group)
           val err = g.synchronized {
             // generation -1 + empty member = simple (non-group) commit
@@ -1215,7 +1322,15 @@ object KafkaWire {
               parts.foreach { case (p, off) => g.committed((t, p)) = off }
             }
           }
-          b.array(reqs) { case (topic, parts) =>
+          if (ver >= 3) b.i32(0) // throttle
+          if (flex) {
+            b.carray(reqs) { case (topic, parts) =>
+              b.cstr(topic)
+              b.carray(parts) { case (p, _) => b.i32(p); b.i16(err); b.tags() }
+              b.tags()
+            }
+            b.tags()
+          } else b.array(reqs) { case (topic, parts) =>
             b.str(topic)
             b.array(parts) { case (p, _) => b.i32(p); b.i16(err) }
           }
@@ -1338,6 +1453,8 @@ object KafkaWire {
           g.notifyAll()
         }
         val protoName = protocols.headOption.map(_._1).getOrElse("range")
+        g.protocolName = protoName
+        if (protocolType.nonEmpty) g.protocolType = protocolType
         val memberList =
           if (memberId == g.leader) g.members.toSeq
           else Seq.empty

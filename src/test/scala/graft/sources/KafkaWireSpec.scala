@@ -771,6 +771,193 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("group membership lifecycle at every advertised version (r15)") {
+    // JoinGroup 2-9 / SyncGroup 1-5 / Heartbeat 1-4 / LeaveGroup 1-5 /
+    // OffsetCommit 2-8: one full join→sync→heartbeat→commit→leave
+    // lifecycle per JoinGroup version, with the companion apis at the
+    // version a client of that era pairs with it. Every request is
+    // hand-built field-by-field so a version-gated field in the wrong
+    // place fails loudly (trailing-bytes assert).
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        val vs = c.apiVersions()
+        assert(vs(11) == (2, 9), s"JoinGroup range: ${vs(11)}")
+        assert(vs(14) == (1, 5), s"SyncGroup range: ${vs(14)}")
+        assert(vs(12) == (1, 4), s"Heartbeat range: ${vs(12)}")
+        assert(vs(13) == (1, 5), s"LeaveGroup range: ${vs(13)}")
+        assert(vs(8) == (2, 8), s"OffsetCommit range: ${vs(8)}")
+        c.createTopic("grp-t", 1)
+        val meta = "sub-meta".getBytes
+        val assign = "assignment-bytes".getBytes
+        // (join, sync, heartbeat, leave, commit) version eras
+        val eras = Seq((2, 1, 1, 1, 2), (3, 1, 1, 1, 3), (4, 2, 2, 2, 4),
+          (5, 3, 3, 3, 5), (6, 4, 4, 4, 6), (7, 5, 4, 5, 7),
+          (8, 5, 4, 5, 8), (9, 5, 4, 5, 8))
+        for ((jv, sv, hv, lv, cv) <- eras) {
+          val group = s"g-v$jv"
+          // ── JoinGroup ────────────────────────────────────────────
+          val flexJ = jv >= 6
+          val rj = c.rawRequest(11, jv) { b =>
+            if (flexJ) {
+              b.cstr(group); b.i32(30000); b.i32(5000); b.cstr("")
+              if (jv >= 5) b.cnstr(null) // group_instance_id
+              b.cstr("consumer")
+              b.carray(Seq("range")) { n => b.cstr(n); b.cbytes(meta); b.tags() }
+              if (jv >= 8) b.cnstr("rebalance test") // reason
+              b.tags()
+            } else {
+              b.str(group); b.i32(30000); b.i32(5000); b.str("")
+              if (jv >= 5) b.nstr(null)
+              b.str("consumer")
+              b.array(Seq("range")) { n => b.str(n); b.bytes(meta) }
+            }
+          }
+          rj.i32() // throttle
+          assert(rj.i16() == 0, s"join v$jv error")
+          val gen = rj.i32()
+          if (jv >= 7)
+            assert((if (flexJ) rj.cstr() else rj.nstr()) == "consumer",
+              s"join v$jv protocol_type (KIP-559)")
+          assert((if (flexJ) rj.cstr() else rj.str()) == "range")
+          val leader = if (flexJ) rj.cstr() else rj.str()
+          if (jv >= 9) assert(rj.i8() == 0) // skip_assignment
+          val me = if (flexJ) rj.cstr() else rj.str()
+          val members =
+            if (flexJ) rj.carray {
+              val m = rj.cstr(); rj.cstr(); val mm = rj.cbytes(); rj.tags()
+              (m, mm)
+            } else rj.array {
+              val m = rj.str()
+              if (jv >= 5) rj.nstr()
+              (m, rj.bytes())
+            }
+          if (flexJ) rj.tags()
+          assert(rj.remaining == 0, s"join v$jv: ${rj.remaining} trailing")
+          assert(leader == me && members.map(_._1) == Seq(me), s"join v$jv")
+          assert(new String(members.head._2) == "sub-meta")
+          // ── SyncGroup ────────────────────────────────────────────
+          val flexS = sv >= 4
+          val rs = c.rawRequest(14, sv) { b =>
+            if (flexS) {
+              b.cstr(group); b.i32(gen); b.cstr(me)
+              if (sv >= 3) b.cnstr(null)
+              if (sv >= 5) { b.cnstr("consumer"); b.cnstr("range") }
+              b.carray(Seq(me)) { m => b.cstr(m); b.cbytes(assign); b.tags() }
+              b.tags()
+            } else {
+              b.str(group); b.i32(gen); b.str(me)
+              if (sv >= 3) b.nstr(null)
+              b.array(Seq(me)) { m => b.str(m); b.bytes(assign) }
+            }
+          }
+          rs.i32() // throttle
+          assert(rs.i16() == 0, s"sync v$sv error")
+          if (sv >= 5) {
+            assert(rs.cstr() == "consumer"); assert(rs.cstr() == "range")
+          }
+          val back = if (flexS) rs.cbytes() else rs.bytes()
+          if (flexS) rs.tags()
+          assert(rs.remaining == 0, s"sync v$sv: ${rs.remaining} trailing")
+          assert(new String(back) == "assignment-bytes", s"sync v$sv")
+          // ── Heartbeat ────────────────────────────────────────────
+          val flexH = hv >= 4
+          val rh = c.rawRequest(12, hv) { b =>
+            if (flexH) {
+              b.cstr(group); b.i32(gen); b.cstr(me); b.cnstr(null); b.tags()
+            } else {
+              b.str(group); b.i32(gen); b.str(me)
+              if (hv >= 3) b.nstr(null)
+            }
+          }
+          rh.i32() // throttle
+          assert(rh.i16() == 0, s"heartbeat v$hv error")
+          if (flexH) rh.tags()
+          assert(rh.remaining == 0, s"heartbeat v$hv: ${rh.remaining} trailing")
+          // ── OffsetCommit ─────────────────────────────────────────
+          val flexC = cv >= 8
+          val off = 100L + jv
+          val rc = c.rawRequest(8, cv) { b =>
+            if (flexC) {
+              b.cstr(group); b.i32(gen); b.cstr(me); b.cnstr(null)
+              b.carray(Seq("grp-t")) { t =>
+                b.cstr(t)
+                b.carray(Seq(0)) { p =>
+                  b.i32(p); b.i64(off); b.i32(-1); b.cnstr(null); b.tags()
+                }
+                b.tags()
+              }
+              b.tags()
+            } else {
+              b.str(group); b.i32(gen); b.str(me)
+              if (cv >= 7) b.nstr(null) // group_instance_id
+              if (cv <= 4) b.i64(-1L) // retention_time_ms (KIP-211)
+              b.array(Seq("grp-t")) { t =>
+                b.str(t)
+                b.array(Seq(0)) { p =>
+                  b.i32(p); b.i64(off)
+                  if (cv >= 6) b.i32(-1) // committed_leader_epoch
+                  b.nstr(null)
+                }
+              }
+            }
+          }
+          if (cv >= 3) rc.i32() // throttle
+          if (flexC) {
+            rc.carray { rc.cstr(); rc.carray { rc.i32()
+              assert(rc.i16() == 0, s"commit v$cv"); rc.tags() }; rc.tags() }
+            rc.tags()
+          } else rc.array { rc.str(); rc.array { rc.i32()
+            assert(rc.i16() == 0, s"commit v$cv") } }
+          assert(rc.remaining == 0, s"commit v$cv: ${rc.remaining} trailing")
+          // committed offset visible through OffsetFetch (pinned v2)
+          val rf = c.rawRequest(9, 2) { b =>
+            b.str(group)
+            b.array(Seq("grp-t")) { t => b.str(t); b.array(Seq(0))(b.i32) }
+          }
+          rf.array { rf.str(); rf.array {
+            rf.i32(); assert(rf.i64() == off, s"fetch after commit v$cv")
+            rf.nstr(); assert(rf.i16() == 0) } }
+          assert(rf.i16() == 0)
+          // ── LeaveGroup ───────────────────────────────────────────
+          val flexL = lv >= 4
+          val rl = c.rawRequest(13, lv) { b =>
+            if (flexL) {
+              b.cstr(group)
+              b.carray(Seq(me)) { m =>
+                b.cstr(m); b.cnstr(null)
+                if (lv >= 5) b.cnstr("shutdown") // reason
+                b.tags()
+              }
+              b.tags()
+            } else if (lv >= 3) {
+              b.str(group)
+              b.array(Seq(me)) { m => b.str(m); b.nstr(null) }
+            } else { b.str(group); b.str(me) }
+          }
+          rl.i32() // throttle
+          assert(rl.i16() == 0, s"leave v$lv error")
+          if (lv >= 3) {
+            if (flexL) rl.carray {
+              assert(rl.cstr() == me); rl.cstr()
+              assert(rl.i16() == 0); rl.tags()
+            } else rl.array {
+              assert(rl.str() == me); rl.nstr(); assert(rl.i16() == 0)
+            }
+          }
+          if (flexL) rl.tags()
+          assert(rl.remaining == 0, s"leave v$lv: ${rl.remaining} trailing")
+          // heartbeat after leave: the member is gone
+          val rh2 = c.rawRequest(12, 1) { b =>
+            b.str(group); b.i32(gen); b.str(me)
+          }
+          rh2.i32()
+          assert(rh2.i16() != 0, s"heartbeat after leave v$lv should fail")
+        }
+      } finally c.close()
+    }
+  }
+
   test("Metadata v10+: lookup by topic id with null name (ADVICE r14)") {
     withServer { srv =>
       val c = new KafkaWire.Client("127.0.0.1", srv.port)
