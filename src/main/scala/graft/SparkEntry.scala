@@ -60,10 +60,25 @@ object SparkEntry {
 
     "q3_segment_revenue" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      // Shape for scale (r15): the naive l⋈o⋈c → groupBy plan
+      // sort-merge-joins the FULL lineitem shuffle (180 M rows at sf30)
+      // — measured 5.4 GB of sort spill and 20 s of GC in that one
+      // stage (PlanLab stage metrics). Two changes keep every stage
+      // sort-free and memory-bounded: (1) orders pre-filters through
+      // the customer broadcast BEFORE the big join, so the build side
+      // shrinks ~5×; (2) the big join is a shuffled HASH join — build
+      // the filtered orders (one narrow column), STREAM lineitem
+      // through it, never sort or materialize the 180 M-row side.
+      // (Pushing the revenue agg below the join was measured WORSE:
+      // per-order partial aggregation holds ~1.4 M keys per map task,
+      // which tips HashAggregate into its sort-based fallback — 19.8 GB
+      // spill.) The one-phase agg above the join reuses the join's
+      // hash partitioning (orderkey), so keys per task stay small.
       val o = Tables.orders(s, d)
-      val l = Tables.lineitem(s, d)
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      Tables.lineitem(s, d)
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
