@@ -1842,86 +1842,210 @@ object KafkaWire {
                                    partition: Int, offset: Long): Unit =
       commitOffsets(group, -1, "", Map((topic, partition) -> offset))
 
+    // ── group/control plane at NEGOTIATED versions (r15) ──────────────
+    // A real client speaks the highest version both sides support;
+    // `protocol="legacy"` pins the sarama-era floor so both request
+    // generations stay exercised through the same client code path.
+    private lazy val advertisedVersions: Map[Int, (Int, Int)] = apiVersions()
+    private def negotiated(api: Int, ourMax: Int, legacyPin: Int): Int =
+      if (protocol == "legacy") legacyPin
+      else advertisedVersions.get(api)
+        .map { case (lo, hi) => math.max(lo, math.min(hi, ourMax)) }
+        .getOrElse(legacyPin)
+
     def commitOffsets(group: String, generation: Int, memberId: String,
                       offsets: Map[(String, Int), Long]): Unit = {
+      val ver = negotiated(ApiOffsetCommit, 8, 2)
+      val flex = ver >= 8
       val byTopic = offsets.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
-      val r = conn.request(ApiOffsetCommit, 2) { b =>
-        b.str(group); b.i32(generation); b.str(memberId); b.i64(-1L)
-        b.array(byTopic) { case (t, parts) =>
-          b.str(t)
-          b.array(parts) { case ((_, p), off) =>
-            b.i32(p); b.i64(off); b.nstr(null)
+      val r = conn.request(ApiOffsetCommit, ver) { b =>
+        if (flex) {
+          b.cstr(group); b.i32(generation); b.cstr(memberId); b.cnstr(null)
+          b.carray(byTopic) { case (t, parts) =>
+            b.cstr(t)
+            b.carray(parts) { case ((_, p), off) =>
+              b.i32(p); b.i64(off); b.i32(-1); b.cnstr(null); b.tags()
+            }
+            b.tags()
+          }
+          b.tags()
+        } else {
+          b.str(group); b.i32(generation); b.str(memberId)
+          if (ver >= 7) b.nstr(null) // group_instance_id
+          if (ver <= 4) b.i64(-1L) // retention_time_ms (pre-KIP-211)
+          b.array(byTopic) { case (t, parts) =>
+            b.str(t)
+            b.array(parts) { case ((_, p), off) =>
+              b.i32(p); b.i64(off)
+              if (ver >= 6) b.i32(-1) // committed_leader_epoch
+              b.nstr(null)
+            }
           }
         }
       }
-      r.array { r.str(); r.array {
+      if (ver >= 3) r.i32() // throttle
+      def checkPart(): Unit = {
         r.i32(); val err = r.i16()
         if (err != ErrNone) throw new WireError(err, s"OffsetCommit $group")
-      } }
+      }
+      if (flex) {
+        r.carray { r.cstr(); r.carray { checkPart(); r.tags() }; r.tags() }
+        r.tags()
+      } else r.array { r.str(); r.array(checkPart()) }
       ()
     }
 
     override def committedOffsets(group: String): Seq[(String, Int, Long)] = {
-      val r = conn.request(ApiOffsetFetch, 2) { b =>
-        b.str(group); b.i32(-1) // null topics = all
+      val ver = negotiated(ApiOffsetFetch, 7, 2)
+      val flex = ver >= 6
+      val r = conn.request(ApiOffsetFetch, ver) { b =>
+        if (flex) {
+          b.cstr(group); b.cnarrayNull() // null topics = all
+          if (ver >= 7) b.i8(0) // require_stable
+          b.tags()
+        } else { b.str(group); b.i32(-1) }
       }
+      if (ver >= 3) r.i32() // throttle
       val out = ArrayBuffer.empty[(String, Int, Long)]
-      r.array { val t = r.str(); r.array {
-        val p = r.i32(); val off = r.i64(); r.nstr(); val err = r.i16()
+      if (flex) {
+        r.carray { val t = r.cstr(); r.carray {
+          val p = r.i32(); val off = r.i64(); r.i32(); r.cstr()
+          val err = r.i16(); r.tags()
+          if (err == ErrNone && off >= 0) out += ((t, p, off))
+        }; r.tags() }
+        r.i16(); r.tags() // top-level error
+      } else r.array { val t = r.str(); r.array {
+        val p = r.i32(); val off = r.i64()
+        if (ver >= 5) r.i32() // committed_leader_epoch
+        r.nstr(); val err = r.i16()
         if (err == ErrNone && off >= 0) out += ((t, p, off))
       } }
       out.toVector.sortBy(x => (x._1, x._2))
     }
 
     def findCoordinator(group: String): (String, Int) = {
-      val r = conn.request(ApiFindCoordinator, 0)(_.str(group))
+      val ver = negotiated(ApiFindCoordinator, 3, 0)
+      val flex = ver >= 3
+      val r = conn.request(ApiFindCoordinator, ver) { b =>
+        if (flex) b.cstr(group) else b.str(group)
+        if (ver >= 1) b.i8(0) // key_type = group
+        if (flex) b.tags()
+      }
+      if (ver >= 1) r.i32() // throttle
       val err = r.i16()
       if (err != ErrNone) throw new WireError(err, s"FindCoordinator $group")
-      r.i32()
-      (r.str(), r.i32())
+      if (ver >= 1) { if (flex) r.cstr() else r.nstr() } // error_message
+      r.i32() // node_id
+      val host = if (flex) r.cstr() else r.str()
+      (host, r.i32())
     }
 
     def joinGroup(group: String, memberId: String, topics: Seq[String],
                   rebalanceTimeoutMs: Int = 10000)
         : (Int, String, String, Seq[(String, Seq[String])]) = {
+      val ver = negotiated(ApiJoinGroup, 9, 2)
+      val flex = ver >= 6
       val meta = encodeSubscription(topics)
-      val r = conn.request(ApiJoinGroup, 2) { b =>
-        b.str(group); b.i32(30000); b.i32(rebalanceTimeoutMs)
-        b.str(memberId); b.str("consumer")
-        b.array(Seq("range")) { name => b.str(name); b.bytes(meta) }
+      val r = conn.request(ApiJoinGroup, ver) { b =>
+        if (flex) {
+          b.cstr(group); b.i32(30000); b.i32(rebalanceTimeoutMs)
+          b.cstr(memberId)
+          if (ver >= 5) b.cnstr(null) // group_instance_id
+          b.cstr("consumer")
+          b.carray(Seq("range")) { n => b.cstr(n); b.cbytes(meta); b.tags() }
+          if (ver >= 8) b.cnstr(null) // reason
+          b.tags()
+        } else {
+          b.str(group); b.i32(30000); b.i32(rebalanceTimeoutMs)
+          b.str(memberId)
+          if (ver >= 5) b.nstr(null)
+          b.str("consumer")
+          b.array(Seq("range")) { name => b.str(name); b.bytes(meta) }
+        }
       }
       r.i32() // throttle
       val err = r.i16()
       if (err != ErrNone) throw new WireError(err, s"JoinGroup $group")
-      val gen = r.i32(); r.str(); val leader = r.str(); val me = r.str()
-      val members = r.array { (r.str(), decodeSubscription(r.bytes())) }
+      val gen = r.i32()
+      if (ver >= 7) { if (flex) r.cstr() else r.nstr() } // protocol_type
+      if (flex) r.cstr() else r.str() // protocol_name
+      val leader = if (flex) r.cstr() else r.str()
+      if (ver >= 9) r.i8() // skip_assignment
+      val me = if (flex) r.cstr() else r.str()
+      val members =
+        if (flex) r.carray {
+          val m = r.cstr(); r.cstr(); val mm = r.cbytes(); r.tags()
+          (m, decodeSubscription(mm))
+        } else r.array {
+          val m = r.str()
+          if (ver >= 5) r.nstr()
+          (m, decodeSubscription(r.bytes()))
+        }
+      if (flex) r.tags()
       (gen, leader, me, members)
     }
 
     def syncGroup(group: String, generation: Int, memberId: String,
                   assignments: Seq[(String, Map[String, Seq[Int]])])
         : Map[String, Seq[Int]] = {
-      val r = conn.request(ApiSyncGroup, 1) { b =>
-        b.str(group); b.i32(generation); b.str(memberId)
-        b.array(assignments) { case (m, a) =>
-          b.str(m); b.bytes(encodeAssignment(a))
+      val ver = negotiated(ApiSyncGroup, 5, 1)
+      val flex = ver >= 4
+      val r = conn.request(ApiSyncGroup, ver) { b =>
+        if (flex) {
+          b.cstr(group); b.i32(generation); b.cstr(memberId)
+          if (ver >= 3) b.cnstr(null)
+          if (ver >= 5) { b.cnstr("consumer"); b.cnstr("range") }
+          b.carray(assignments) { case (m, a) =>
+            b.cstr(m); b.cbytes(encodeAssignment(a)); b.tags()
+          }
+          b.tags()
+        } else {
+          b.str(group); b.i32(generation); b.str(memberId)
+          if (ver >= 3) b.nstr(null)
+          b.array(assignments) { case (m, a) =>
+            b.str(m); b.bytes(encodeAssignment(a))
+          }
         }
       }
-      r.i32()
+      r.i32() // throttle
       val err = r.i16()
       if (err != ErrNone) throw new WireError(err, s"SyncGroup $group")
-      decodeAssignment(r.bytes())
+      if (ver >= 5) { r.cstr(); r.cstr() } // protocol_type/name echo
+      decodeAssignment(if (flex) r.cbytes() else r.bytes())
     }
 
     def heartbeat(group: String, generation: Int, memberId: String): Short = {
-      val r = conn.request(ApiHeartbeat, 1) { b =>
-        b.str(group); b.i32(generation); b.str(memberId)
+      val ver = negotiated(ApiHeartbeat, 4, 1)
+      val flex = ver >= 4
+      val r = conn.request(ApiHeartbeat, ver) { b =>
+        if (flex) {
+          b.cstr(group); b.i32(generation); b.cstr(memberId)
+          b.cnstr(null); b.tags()
+        } else {
+          b.str(group); b.i32(generation); b.str(memberId)
+          if (ver >= 3) b.nstr(null)
+        }
       }
       r.i32(); r.i16()
     }
 
     def leaveGroup(group: String, memberId: String): Unit = {
-      val r = conn.request(ApiLeaveGroup, 1) { b => b.str(group); b.str(memberId) }
+      val ver = negotiated(ApiLeaveGroup, 5, 1)
+      val flex = ver >= 4
+      val r = conn.request(ApiLeaveGroup, ver) { b =>
+        if (flex) {
+          b.cstr(group)
+          b.carray(Seq(memberId)) { m =>
+            b.cstr(m); b.cnstr(null)
+            if (ver >= 5) b.cnstr(null) // reason
+            b.tags()
+          }
+          b.tags()
+        } else if (ver >= 3) {
+          b.str(group)
+          b.array(Seq(memberId)) { m => b.str(m); b.nstr(null) }
+        } else { b.str(group); b.str(memberId) }
+      }
       r.i32(); r.i16()
       ()
     }

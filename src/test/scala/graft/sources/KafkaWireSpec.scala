@@ -958,6 +958,40 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("group client negotiates flexible versions; legacy pin still works") {
+    // the Client's group methods speak the negotiated max (JoinGroup v9
+    // / SyncGroup v5 / Heartbeat v4 / LeaveGroup v5 / OffsetCommit v8 /
+    // OffsetFetch v7 / FindCoordinator v3) against this broker, and the
+    // sarama-era floor under protocol="legacy" — both through the same
+    // GroupMember state machine
+    withServer { srv =>
+      for (proto <- Seq("auto", "legacy")) {
+        val c = new KafkaWire.Client("127.0.0.1", srv.port, protocol = proto)
+        try {
+          c.createTopic(s"neg-$proto", 2)
+          val (host, port) = c.findCoordinator(s"ng-$proto")
+          assert(host == "127.0.0.1" && port == srv.port, s"coord $proto")
+          val (gen, leader, me, members) =
+            c.joinGroup(s"ng-$proto", "", Seq(s"neg-$proto"))
+          assert(leader == me && members.map(_._1) == Seq(me), s"join $proto")
+          assert(members.head._2 == Seq(s"neg-$proto"), s"subscription $proto")
+          val assigned = c.syncGroup(s"ng-$proto", gen, me,
+            Seq(me -> Map(s"neg-$proto" -> Seq(0, 1))))
+          assert(assigned == Map(s"neg-$proto" -> Seq(0, 1)), s"sync $proto")
+          assert(c.heartbeat(s"ng-$proto", gen, me) == 0, s"heartbeat $proto")
+          c.commitOffsets(s"ng-$proto", gen, me,
+            Map((s"neg-$proto", 0) -> 17L, (s"neg-$proto", 1) -> 23L))
+          assert(c.committedOffsets(s"ng-$proto") ==
+            Seq((s"neg-$proto", 0, 17L), (s"neg-$proto", 1, 23L)),
+            s"committed $proto")
+          c.leaveGroup(s"ng-$proto", me)
+          assert(c.heartbeat(s"ng-$proto", gen, me) != 0,
+            s"heartbeat after leave $proto")
+        } finally c.close()
+      }
+    }
+  }
+
   test("Metadata v10+: lookup by topic id with null name (ADVICE r14)") {
     withServer { srv =>
       val c = new KafkaWire.Client("127.0.0.1", srv.port)
