@@ -28,14 +28,13 @@ object PlanLab {
     // always asks is WHICH exchange/sort is the time, and whether it
     // spilled; task-level metrics are the only honest answer local mode
     // offers (no UI, no event log)
-    val stages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = sc.stageInfo
           val m = i.taskMetrics
-          val line = f"[stage ${i.stageId}%3d] ${
+          Console.err.println(f"[stage ${i.stageId}%3d] ${
             (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
           }%7.1f s  tasks=${i.numTasks}%4d  input=${
             m.inputMetrics.bytesRead / 1e6}%8.0f MB  shufR=${
@@ -43,9 +42,7 @@ object PlanLab {
             m.shuffleWriteMetrics.bytesWritten / 1e6}%8.0f MB  spillMem=${
             m.memoryBytesSpilled / 1e6}%8.0f MB  spillDisk=${
             m.diskBytesSpilled / 1e6}%8.0f MB  gc=${
-            m.jvmGCTime / 1e3}%6.1f s  ${i.name.takeWhile(_ != '\n').take(60)}"
-          stages.put(i.stageId, line)
-          Console.err.println(line)
+            m.jvmGCTime / 1e3}%6.1f s  ${i.name.takeWhile(_ != '\n').take(60)}")
         }
       })
     names.foreach { name =>
