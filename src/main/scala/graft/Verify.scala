@@ -52,7 +52,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // SPARK_GRAFT_DEMOTE=a,b drops the named oracle entries so those
+    // queries compare rows-only — the sf1+ ladder protocol demotes the
+    // three whose oracles are intentionally quadratic (all-pairs DuckDB
+    // verification, infeasible at 50 k docs BY DESIGN; they stay fully
+    // oracle-gated at sf0.01/sf0.1). An env knob instead of hand-editing
+    // oracle_sql.json after the dump, so the protocol is reproducible.
+    val demote = sys.env.get("SPARK_GRAFT_DEMOTE")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => !demote.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // explicit exemption manifest: the driver ignores unknown files, but
