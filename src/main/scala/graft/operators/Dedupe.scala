@@ -370,6 +370,12 @@ object Dedupe {
     // whole shuffle budget, so the columnar cache — which the
     // contraction's round-1 scans need anyway — is the single shared
     // representation.
+    // MEMORY_AND_DISK, measured: DISK_ONLY (to stop the multi-GB edge
+    // cache competing with execution memory in-suite) read 96.0 s vs
+    // 42.2 s isolated min-of-2 at sf30 — the contraction scans this
+    // cache three times (large-star, its re-read, the self-label pass)
+    // and the hot-partition hits are worth far more than the evicted
+    // storage costs the sorts (r15 experiment).
     val raw = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = math.min(driverMaxEdges, (Int.MaxValue - 8).toLong)
