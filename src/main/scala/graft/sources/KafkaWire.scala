@@ -57,9 +57,19 @@ object KafkaWire {
   val ErrCorruptMessage: Short = 2
   val ErrUnknownTopicOrPartition: Short = 3
   val ErrIllegalGeneration: Short = 22
+  val ErrInconsistentGroupProtocol: Short = 23
   val ErrUnknownMemberId: Short = 25
   val ErrRebalanceInProgress: Short = 27
+  val ErrUnsupportedSaslMechanism: Short = 33
+  val ErrUnsupportedVersion: Short = 35
   val ErrTopicAlreadyExists: Short = 36
+  val ErrOutOfOrderSequence: Short = 45
+  val ErrDuplicateSequence: Short = 46
+  val ErrInvalidProducerEpoch: Short = 47
+  val ErrSaslAuthenticationFailed: Short = 58
+  val ErrUnknownProducerId: Short = 59
+  val ErrGroupIdNotFound: Short = 69
+  val ErrMemberIdRequired: Short = 79
   val ErrUnknownTopicId: Short = 100
 
   // api keys
@@ -74,8 +84,14 @@ object KafkaWire {
   private val ApiHeartbeat = 12
   private val ApiLeaveGroup = 13
   private val ApiSyncGroup = 14
+  private val ApiDescribeGroups = 15
+  private val ApiListGroups = 16
+  private val ApiSaslHandshake = 17
   private val ApiVersions = 18
   private val ApiCreateTopics = 19
+  private val ApiDeleteTopics = 20
+  private val ApiInitProducerId = 22
+  private val ApiSaslAuthenticate = 36
 
   // ── primitive codecs ────────────────────────────────────────────────
 
@@ -241,7 +257,10 @@ object KafkaWire {
     * the compressed bytes as they go on the wire.
     */
   def encodeBatch(records: Seq[Broker.Stored],
-                  codec: Int = CodecNone): Array[Byte] = {
+                  codec: Int = CodecNone,
+                  producerId: Long = -1L,
+                  producerEpoch: Short = -1,
+                  baseSequence: Int = -1): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
     val base = records.head.offset
     val baseTs = records.map(_.timestampMs).min
@@ -257,9 +276,9 @@ object KafkaWire {
     b.i32((records.last.offset - base).toInt) // lastOffsetDelta
     b.i64(baseTs)
     b.i64(maxTs)
-    b.i64(-1L)                             // producerId
-    b.i16(-1)                              // producerEpoch
-    b.i32(-1)                              // baseSequence
+    b.i64(producerId)
+    b.i16(producerEpoch)
+    b.i32(baseSequence)
     b.i32(records.size)
     val recBuf = new Buf(256)
     records.foreach { r =>
@@ -373,7 +392,12 @@ object KafkaWire {
     case ApiHeartbeat => ver >= 4
     case ApiLeaveGroup => ver >= 4
     case ApiOffsetCommit => ver >= 8
-    case _ => false
+    case ApiInitProducerId => ver >= 2
+    case ApiListGroups => ver >= 3
+    case ApiDescribeGroups => ver >= 5
+    case ApiDeleteTopics => ver >= 4
+    case ApiSaslAuthenticate => ver >= 2
+    case _ => false // SaslHandshake is never flexible
   }
 
   /** Deterministic topic id (KIP-516): md5(name) as the 16-byte uuid —
@@ -395,8 +419,14 @@ object KafkaWire {
 
   /** One wire record-batch as scanned by [[scanBatchHeaders]]:
     * `pos`/`len` span the batch INCLUDING its 12-byte preamble.
+    * `producerId`/`producerEpoch`/`baseSeq` are the idempotent-producer
+    * fields of the v2 batch header (-1/-1/-1 for a non-idempotent
+    * producer).
     */
-  final case class BatchInfo(pos: Int, len: Int, base: Long, count: Int)
+  final case class BatchInfo(pos: Int, len: Int, base: Long, count: Int,
+                             producerId: Long = -1L,
+                             producerEpoch: Short = -1,
+                             baseSeq: Int = -1)
 
   /** Header-only walk of a record set: validates magic + CRC per batch
     * and returns (position, length, baseOffset, recordCount) without
@@ -422,10 +452,13 @@ object KafkaWire {
         if (check.getValue != crc)
           throw new CorruptBatch(
             s"crc mismatch: wire=$crc computed=${check.getValue}")
-        r.skip(2 + 4 + 8 + 8 + 8 + 2 + 4) // attrs..baseSequence
+        r.skip(2 + 4 + 8 + 8) // attrs, lastOffsetDelta, baseTs, maxTs
+        val pid = r.i64()
+        val pEpoch = r.i16()
+        val baseSeq = r.i32()
         val count = r.i32()
         if (count < 0) throw new CorruptBatch(s"negative record count $count")
-        out += BatchInfo(pos, 12 + batchLen, base, count)
+        out += BatchInfo(pos, 12 + batchLen, base, count, pid, pEpoch, baseSeq)
         pos += 12 + batchLen
       }
     }
@@ -452,6 +485,60 @@ object KafkaWire {
     private val entries = ArrayBuffer.empty[Entry]
     private var endOff = 0L
 
+    // ── idempotent-producer state (KIP-98): per producer id, the
+    // current epoch on this partition, the next expected sequence and
+    // the last ≤5 appended batches (the protocol's dedup window — a
+    // retried batch whose (firstSeq,lastSeq) matches a cached entry is
+    // acked with its ORIGINAL base offset instead of re-appended) ──────
+    private final class ProducerSlot {
+      var epoch: Short = -1
+      var nextSeq: Int = 0
+      val recent = mutable.ArrayDeque.empty[(Int, Int, Long)]
+    }
+    private val producers = mutable.Map.empty[Long, ProducerSlot]
+    /** Sequences are int31 and wrap (KIP-98). */
+    private def seqAdd(seq: Int, n: Int): Int =
+      ((seq.toLong + n) % 0x80000000L).toInt
+
+    /** Validate one producer batch against this partition's state.
+      * Left(base) = exact duplicate of a cached batch (ack `base`,
+      * skip the append); Right(slot) = in-order append allowed — the
+      * caller records (firstSeq,lastSeq,base) after appending. Throws
+      * [[WireError]] for fenced epochs and sequence gaps.
+      */
+    private def producerCheck(b: BatchInfo,
+                              curEpoch: Short): Either[Long, ProducerSlot] = {
+      val slot = producers.getOrElseUpdate(b.producerId, new ProducerSlot)
+      if (b.producerEpoch < curEpoch)
+        throw new WireError(ErrInvalidProducerEpoch,
+          s"producer ${b.producerId} epoch ${b.producerEpoch} fenced by $curEpoch")
+      if (b.producerEpoch < slot.epoch)
+        throw new WireError(ErrInvalidProducerEpoch,
+          s"producer ${b.producerId} epoch ${b.producerEpoch} fenced by ${slot.epoch}")
+      if (b.producerEpoch > slot.epoch) {
+        // first batch of a new epoch: sequences restart at 0 (KIP-360)
+        if (b.baseSeq != 0)
+          throw new WireError(ErrOutOfOrderSequence,
+            s"producer ${b.producerId} epoch ${b.producerEpoch}: first batch " +
+            s"must carry sequence 0, got ${b.baseSeq}")
+        slot.epoch = b.producerEpoch
+        slot.nextSeq = 0
+        slot.recent.clear()
+      }
+      val lastSeq = seqAdd(b.baseSeq, b.count - 1)
+      slot.recent.collectFirst {
+        case (f, l, base) if f == b.baseSeq && l == lastSeq => base
+      } match {
+        case Some(base) => Left(base) // duplicate retry: ack original offset
+        case None =>
+          if (b.baseSeq != slot.nextSeq)
+            throw new WireError(ErrOutOfOrderSequence,
+              s"producer ${b.producerId}: sequence ${b.baseSeq} out of order " +
+              s"(expected ${slot.nextSeq})")
+          Right(slot)
+      }
+    }
+
     def end: Long = synchronized(endOff)
 
     def append(batch: Seq[Broker.Stored]): Long = synchronized {
@@ -464,20 +551,48 @@ object KafkaWire {
       base
     }
 
-    /** Append producer wire batches verbatim (CRC-checked, re-based). */
-    def appendRaw(recordSet: Array[Byte]): Long = {
+    /** Append producer wire batches verbatim (CRC-checked, re-based).
+      * `epochOf` is the broker's InitProducerId registry: a batch whose
+      * producer id is REGISTERED there goes through the idempotence
+      * checks (epoch fencing, duplicate dedup, in-order sequences); an
+      * unregistered id appends verbatim — on a single-node broker with
+      * no pid expiry that can only be a MIRRORED batch (the raw
+      * passthrough keeps the source cluster's producer ids, and fencing
+      * them against a registry they never joined would break
+      * broker→broker migration).
+      */
+    def appendRaw(recordSet: Array[Byte],
+                  epochOf: Long => Option[Short] = _ => None): Long = {
       val scanned = scanBatchHeaders(recordSet) // validate OUTSIDE the lock
       synchronized {
-        val first = endOff
+        var first = -1L
         scanned.foreach { b =>
-          val bytes = java.util.Arrays.copyOfRange(
-            recordSet, b.pos, b.pos + b.len)
-          // patch baseOffset (bytes 0-7, big-endian) to the assigned base
-          var v = endOff; var i = 7
-          while (i >= 0) { bytes(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
-          entries += new Entry(endOff, b.count, bytes, null)
-          endOff += b.count
+          val verdict: Either[Long, ProducerSlot] =
+            if (b.producerId >= 0L) epochOf(b.producerId) match {
+              case Some(cur) => producerCheck(b, cur)
+              case None => Right(null)
+            } else Right(null)
+          verdict match {
+            case Left(dupBase) =>
+              if (first < 0) first = dupBase
+            case Right(slot) =>
+              val bytes = java.util.Arrays.copyOfRange(
+                recordSet, b.pos, b.pos + b.len)
+              // patch baseOffset (bytes 0-7, big-endian) to the assigned base
+              var v = endOff; var i = 7
+              while (i >= 0) { bytes(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+              entries += new Entry(endOff, b.count, bytes, null)
+              if (slot != null) {
+                val lastSeq = seqAdd(b.baseSeq, b.count - 1)
+                slot.recent.append((b.baseSeq, lastSeq, endOff))
+                while (slot.recent.size > 5) slot.recent.removeHead()
+                slot.nextSeq = seqAdd(lastSeq, 1)
+              }
+              if (first < 0) first = endOff
+              endOff += b.count
+          }
         }
+        if (first < 0) first = endOff
         first
       }
     }
@@ -566,9 +681,16 @@ object KafkaWire {
     */
   final class Server(joinDelayMs: Long = 150L,
                      maxFetchRecords: Int = 500,
-                     fetchCodec: Int = CodecNone) {
+                     fetchCodec: Int = CodecNone,
+                     saslUsers: Map[String, String] = Map.empty) {
     private val topics = TrieMap.empty[String, Array[PartitionLog]]
     private val groups = TrieMap.empty[String, Group]
+    // ── idempotent-producer registry (InitProducerId): pid → current
+    // epoch. A re-init for the same transactional id or the same pid
+    // (KIP-360) bumps the epoch, fencing every older-epoch producer ──
+    private val producerEpochs = TrieMap.empty[Long, Short]
+    private val txnProducers = TrieMap.empty[String, Long]
+    private val nextProducerId = new AtomicLong(1L)
     private val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     val port: Int = server.getLocalPort
@@ -608,6 +730,11 @@ object KafkaWire {
         sock.setTcpNoDelay(true)
         val in = new DataInputStream(sock.getInputStream)
         val out = new DataOutputStream(sock.getOutputStream)
+        // SASL is per-CONNECTION state, so it lives here rather than in
+        // the stateless dispatch table: a broker with saslUsers answers
+        // only ApiVersions + the SASL handshake pair until the
+        // connection authenticates, then behaves normally
+        var authed = saslUsers.isEmpty
         while (running.get) {
           val size = in.readInt()
           val frame = new Array[Byte](size)
@@ -626,7 +753,16 @@ object KafkaWire {
           // can always parse the version-negotiation response
           if (flexibleVersion(apiKey, apiVersion) && apiKey != ApiVersions)
             body.tags()
-          dispatch(apiKey, apiVersion, r, body)
+          apiKey match {
+            case ApiSaslHandshake => handleSaslHandshake(apiVersion, r, body)
+            case ApiSaslAuthenticate =>
+              authed |= handleSaslAuthenticate(apiVersion, r, body)
+            case ApiVersions => dispatch(apiKey, apiVersion, r, body)
+            case _ if !authed =>
+              // real SASL listeners kill unauthenticated connections
+              throw new EOFException("unauthenticated request")
+            case _ => dispatch(apiKey, apiVersion, r, body)
+          }
           val resp = body.result
           out.writeInt(resp.length)
           out.write(resp)
@@ -665,8 +801,203 @@ object KafkaWire {
       case ApiLeaveGroup => handleLeaveGroup(ver, r, b)
       case ApiOffsetCommit => handleOffsetCommit(ver, r, b)
       case ApiOffsetFetch => handleOffsetFetch(ver, r, b)
+      case ApiInitProducerId => handleInitProducerId(ver, r, b)
+      case ApiListGroups => handleListGroups(ver, r, b)
+      case ApiDescribeGroups => handleDescribeGroups(ver, r, b)
+      case ApiDeleteTopics => handleDeleteTopics(ver, r, b)
       case other =>
         throw new IllegalArgumentException(s"unsupported api key $other")
+    }
+
+    /** SaslHandshake v0–v1 (never flexible): the mechanism menu. Only
+      * PLAIN is spoken — the mechanism the reference's `sasl` config
+      * block defaults to for loopback-style tests.
+      */
+    private def handleSaslHandshake(ver: Int, r: Rd, b: Buf): Unit = {
+      val mechanism = r.str()
+      if (mechanism == "PLAIN") b.i16(ErrNone)
+      else b.i16(ErrUnsupportedSaslMechanism)
+      b.array(Seq("PLAIN"))(b.str)
+    }
+
+    /** SaslAuthenticate v0–v2: RFC 4616 PLAIN — `[authzid] \0 authcid
+      * \0 passwd`. Returns whether the connection is now authenticated.
+      */
+    private def handleSaslAuthenticate(ver: Int, r: Rd, b: Buf): Boolean = {
+      val flex = ver >= 2
+      val auth = if (flex) r.cbytes() else r.bytes()
+      if (flex) r.tags()
+      val parts = new String(auth, UTF_8).split("\u0000", -1)
+      val ok = parts.length == 3 &&
+        saslUsers.get(parts(1)).contains(parts(2))
+      if (ok) { b.i16(ErrNone); if (flex) b.cnstr(null) else b.nstr(null) }
+      else {
+        b.i16(ErrSaslAuthenticationFailed)
+        val msg = "Authentication failed: Invalid username or password"
+        if (flex) b.cnstr(msg) else b.nstr(msg)
+      }
+      if (flex) b.cbytes(Array.empty[Byte]) else b.bytes(Array.empty[Byte])
+      if (ver >= 1) b.i64(0L) // session_lifetime_ms (no re-auth required)
+      if (flex) b.tags()
+      ok
+    }
+
+    /** The public state names (Kafka's GroupState) for our internal
+      * join-machine states.
+      */
+    private def publicState(s: String): String = s match {
+      case "Joining" => "PreparingRebalance"
+      case "AwaitSync" => "CompletingRebalance"
+      case other => other // Empty | Stable
+    }
+
+    /** ListGroups v0–v4: every group the coordinator knows (including
+      * Empty ones holding only committed offsets — what group tooling
+      * and the migrator's source-side discovery expect to see).
+      * states_filter (v4, KIP-518) narrows by public state name.
+      */
+    private def handleListGroups(ver: Int, r: Rd, b: Buf): Unit = {
+      val flex = ver >= 3
+      val statesFilter: Set[String] =
+        if (ver >= 4) r.carray(r.cstr()).toSet else Set.empty
+      if (flex) r.tags()
+      val listed = groups.readOnlySnapshot().toSeq.sortBy(_._1).filter {
+        case (_, g) => statesFilter.isEmpty ||
+          statesFilter.contains(g.synchronized(publicState(g.state)))
+      }
+      if (ver >= 1) b.i32(0) // throttle
+      b.i16(ErrNone)
+      if (flex) {
+        b.carray(listed) { case (name, g) =>
+          b.cstr(name); b.cstr(g.protocolType)
+          if (ver >= 4) b.cstr(g.synchronized(publicState(g.state)))
+          b.tags()
+        }
+        b.tags()
+      } else b.array(listed) { case (name, g) =>
+        b.str(name); b.str(g.protocolType)
+      }
+    }
+
+    /** DescribeGroups v0–v5: state, protocol and member roster per
+      * group; a group the coordinator has no record of answers state
+      * "Dead" with no error, as real brokers do.
+      */
+    private def handleDescribeGroups(ver: Int, r: Rd, b: Buf): Unit = {
+      val flex = ver >= 5
+      val asked = if (flex) r.carray(r.cstr()) else r.array(r.str())
+      if (ver >= 3) r.i8() // include_authorized_operations
+      if (flex) r.tags()
+      if (ver >= 1) b.i32(0) // throttle
+      def wstr(s: String): Unit = if (flex) b.cstr(s) else b.str(s)
+      def wbytes(x: Array[Byte]): Unit = if (flex) b.cbytes(x) else b.bytes(x)
+      def writeGroup(name: String): Unit = groups.get(name) match {
+        case Some(g) => g.synchronized {
+          b.i16(ErrNone); wstr(name); wstr(publicState(g.state))
+          wstr(g.protocolType)
+          wstr(if (g.state == "Stable") g.protocolName else "")
+          val members = g.members.toSeq
+          def writeMember(m: (String, Array[Byte])): Unit = {
+            wstr(m._1)
+            if (ver >= 4) { if (flex) b.cnstr(null) else b.nstr(null) }
+            wstr("") // client_id (not tracked by the loopback broker)
+            wstr("/127.0.0.1")
+            wbytes(m._2)
+            wbytes(g.assignments.getOrElse(m._1, Array.empty[Byte]))
+            if (flex) b.tags()
+          }
+          if (flex) b.carray(members)(writeMember)
+          else b.array(members)(writeMember)
+          if (ver >= 3) b.i32(-2147483648) // authorized_operations
+          if (flex) b.tags()
+        }
+        case None =>
+          b.i16(ErrNone); wstr(name); wstr("Dead"); wstr(""); wstr("")
+          if (flex) b.carray(Seq.empty[Int])(_ => ())
+          else b.array(Seq.empty[Int])(_ => ())
+          if (ver >= 3) b.i32(-2147483648)
+          if (flex) b.tags()
+      }
+      if (flex) { b.carray(asked)(writeGroup); b.tags() }
+      else b.array(asked)(writeGroup)
+    }
+
+    /** DeleteTopics v0–v6: by name through v5, by (name|uuid) struct at
+      * v6 (KIP-516). Unknown names answer UNKNOWN_TOPIC_OR_PARTITION,
+      * unknown ids UNKNOWN_TOPIC_ID.
+      */
+    private def handleDeleteTopics(ver: Int, r: Rd, b: Buf): Unit = {
+      val flex = ver >= 4
+      // asked: Right(name) | Left(uuid) — mirrors handleMetadataFlex
+      val asked: Seq[Either[(Long, Long), String]] =
+        if (ver >= 6) {
+          val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
+          r.carray {
+            val n = r.cstr(); val id = r.uuid(); r.tags()
+            if (n != null) Right(n)
+            else byId.get(id).toRight(id)
+          }
+        } else if (flex) r.carray(r.cstr()).map(Right(_))
+        else r.array(r.str()).map(Right(_))
+      r.i32() // timeout_ms
+      if (flex) r.tags()
+      if (ver >= 1) b.i32(0) // throttle
+      def writeResult(name: String, id: (Long, Long), err: Short): Unit = {
+        if (ver >= 6) { if (flex) b.cnstr(name) else b.nstr(name) }
+        else { if (flex) b.cstr(name) else b.str(name) }
+        if (ver >= 6) b.uuid(id._1, id._2)
+        b.i16(err)
+        if (ver >= 5) b.cnstr(null) // error_message
+        if (flex) b.tags()
+      }
+      def one(t: Either[(Long, Long), String]): Unit = t match {
+        case Right(name) =>
+          val err = if (topics.remove(name).isDefined) ErrNone
+                    else ErrUnknownTopicOrPartition
+          writeResult(name, topicUuid(name), err)
+        case Left(id) =>
+          writeResult(null, id, ErrUnknownTopicId)
+      }
+      if (flex) { b.carray(asked)(one); b.tags() }
+      else b.array(asked)(one)
+    }
+
+    /** InitProducerId v0–v4 (KIP-98/KIP-360): allocate a producer id +
+      * epoch. A null transactional id gets a fresh pid at epoch 0 (the
+      * idempotent-only path franz-go's default `idempotent_write` takes);
+      * re-init with the same transactional id, or with an explicit
+      * current pid (v3+), bumps that pid's epoch — fencing every
+      * producer still on an older epoch.
+      */
+    private def handleInitProducerId(ver: Int, r: Rd, b: Buf): Unit = {
+      val flex = ver >= 2
+      val txnId = if (flex) r.cstr() else r.nstr()
+      r.i32() // transaction_timeout_ms
+      val askedPid = if (ver >= 3) r.i64() else -1L
+      if (ver >= 3) r.i16() // producer_epoch (KIP-360 safety echo)
+      if (flex) r.tags()
+      def bump(pid: Long): Short =
+        producerEpochs.updateWith(pid) {
+          case Some(e) => Some((e + 1).toShort)
+          case None => Some(0: Short)
+        }.get
+      val (pid, epoch): (Long, Short) =
+        if (askedPid >= 0L && producerEpochs.contains(askedPid))
+          (askedPid, bump(askedPid))
+        else if (txnId != null && txnId.nonEmpty) {
+          val p = txnProducers.getOrElseUpdate(txnId,
+            nextProducerId.getAndIncrement())
+          (p, bump(p))
+        } else {
+          val p = nextProducerId.getAndIncrement()
+          producerEpochs.put(p, 0)
+          (p, 0: Short)
+        }
+      b.i32(0) // throttle
+      b.i16(ErrNone)
+      b.i64(pid)
+      b.i16(epoch)
+      if (flex) b.tags()
     }
 
     private def handleApiVersions(ver: Int, r: Rd, b: Buf): Unit = {
@@ -700,7 +1031,10 @@ object KafkaWire {
             ApiFindCoordinator -> (0, 4), ApiJoinGroup -> (2, 9),
             ApiHeartbeat -> (1, 4), ApiLeaveGroup -> (1, 5),
             ApiSyncGroup -> (1, 5), ApiVersions -> (3, 3),
-            ApiCreateTopics -> (1, 1))
+            ApiCreateTopics -> (1, 1), ApiInitProducerId -> (0, 4),
+            ApiListGroups -> (0, 4), ApiDescribeGroups -> (0, 5),
+            ApiDeleteTopics -> (0, 6), ApiSaslHandshake -> (0, 1),
+            ApiSaslAuthenticate -> (0, 2))
           if (ver >= 3) { // flexible BODY (response header stays v0)
             r.cstr(); r.cstr(); r.tags() // client_software_name/version
             b.i16(ErrNone)
@@ -845,8 +1179,11 @@ object KafkaWire {
               val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
                 case Some(Some(log)) =>
                   // header-scan + CRC only; bodies parse lazily on demand
-                  try (ErrNone, log.appendRaw(recordSet))
-                  catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
+                  try (ErrNone, log.appendRaw(recordSet, producerEpochs.get))
+                  catch {
+                    case _: CorruptBatch => (ErrCorruptMessage, -1L)
+                    case e: WireError => (e.code, -1L)
+                  }
                 case _ => (ErrUnknownTopicOrPartition, -1L)
               }
               (p, err, baseOff)
@@ -888,8 +1225,11 @@ object KafkaWire {
               val recordSet = r.nbytes()
               val (err, baseOff) = topics.get(topic).map(_.lift(p)) match {
                 case Some(Some(log)) =>
-                  try (ErrNone, log.appendRaw(recordSet))
-                  catch { case _: CorruptBatch => (ErrCorruptMessage, -1L) }
+                  try (ErrNone, log.appendRaw(recordSet, producerEpochs.get))
+                  catch {
+                    case _: CorruptBatch => (ErrCorruptMessage, -1L)
+                    case e: WireError => (e.code, -1L)
+                  }
                 case _ => (ErrUnknownTopicOrPartition, -1L)
               }
               (p, err, baseOff)
@@ -1172,11 +1512,28 @@ object KafkaWire {
           if (flex) r.tags()
           val g = groups.getOrElseUpdate(groupId, new Group)
           val (err, gen, proto, leader, memberId, members) =
-            joinGroup(g, memberIdIn, protocolType, protocols,
+            if (ver >= 4 && memberIdIn.isEmpty)
+              // KIP-394: v4+ dynamic members must first be issued a
+              // member id and rejoin with it — the two-round-trip join
+              // every modern client performs
+              (ErrMemberIdRequired, -1, "", "",
+                s"graft-${g.memberSeq.incrementAndGet()}",
+                Seq.empty[(String, Array[Byte])])
+            else if (g.synchronized(g.members.nonEmpty &&
+                     protocolType.nonEmpty && protocolType != g.protocolType))
+              // KIP-559 cross-check: a joiner whose protocol type
+              // contradicts the live group's is rejected, not silently
+              // admitted as dynamic
+              (ErrInconsistentGroupProtocol, -1, "", "", memberIdIn,
+                Seq.empty[(String, Array[Byte])])
+            else joinGroup(g, memberIdIn, protocolType, protocols,
               math.max(rebalanceTimeout, 1000))
           b.i32(0) // throttle
           b.i16(err); b.i32(gen)
-          if (ver >= 7) { if (flex) b.cnstr(g.protocolType) else b.nstr(g.protocolType) }
+          if (ver >= 7) {
+            val pt = if (err == ErrNone) g.protocolType else null
+            if (flex) b.cnstr(pt) else b.nstr(pt)
+          }
           if (flex) b.cstr(proto) else b.str(proto)
           if (flex) b.cstr(leader) else b.str(leader)
           if (ver >= 9) b.i8(0) // skip_assignment
@@ -1199,14 +1556,21 @@ object KafkaWire {
           val gen = r.i32()
           val memberId = if (flex) r.cstr() else r.str()
           if (ver >= 3) { if (flex) r.cstr() else r.nstr() } // group_instance_id
-          if (ver >= 5) { r.cstr(); r.cstr() } // protocol_type/name (flex-only versions)
+          // v5 (KIP-559): the client's view of the group's protocol —
+          // cross-checked below, not discarded (flex-only versions)
+          val (ptIn, pnIn) =
+            if (ver >= 5) (r.cstr(), r.cstr()) else (null, null)
           val assignments =
             if (flex) r.carray {
               val m = r.cstr(); val a = r.cbytes(); r.tags(); (m, a)
             } else r.array { (r.str(), r.bytes()) }
           if (flex) r.tags()
           val g = groups.getOrElseUpdate(groupId, new Group)
-          val (err, assignment) = syncGroup(g, gen, memberId, assignments)
+          val (err, assignment) =
+            if ((ptIn != null && ptIn != g.protocolType) ||
+                (pnIn != null && pnIn != g.protocolName))
+              (ErrInconsistentGroupProtocol, Array.empty[Byte])
+            else syncGroup(g, gen, memberId, assignments)
           b.i32(0) // throttle
           b.i16(err)
           if (ver >= 5) { b.cnstr(g.protocolType); b.cnstr(g.protocolName) }
@@ -1524,15 +1888,43 @@ object KafkaWire {
     */
   final class Client(host: String, port: Int, clientId: String = "graft",
                      produceCodec: Int = CodecNone,
-                     protocol: String = "auto")
+                     protocol: String = "auto",
+                     idempotent: Boolean = false,
+                     saslPlain: Option[(String, String)] = None)
       extends Broker.Transport with Broker.RawBatchTransport {
     require(Set("auto", "legacy", "flexible")(protocol),
       s"protocol must be auto|legacy|flexible, got $protocol")
     private val conns = TrieMap.empty[Long, Conn]
     private def conn: Conn =
-      conns.getOrElseUpdate(Thread.currentThread().getId,
-        new Conn(host, port, clientId))
+      conns.getOrElseUpdate(Thread.currentThread().getId, {
+        val c = new Conn(host, port, clientId)
+        // SASL is per-connection: every new socket authenticates before
+        // it carries anything else, exactly as real clients do
+        saslPlain.foreach { case (user, pass) =>
+          try authenticate(c, user, pass)
+          catch { case e: Throwable => c.close(); throw e }
+        }
+        c
+      })
     def close(): Unit = { conns.values.foreach(_.close()); conns.clear() }
+
+    /** SaslHandshake v1 + SaslAuthenticate v2 with a PLAIN (RFC 4616)
+      * initial response.
+      */
+    private def authenticate(c: Conn, user: String, pass: String): Unit = {
+      val rh = c.request(ApiSaslHandshake, 1)(b => b.str("PLAIN"))
+      val herr = rh.i16()
+      if (herr != ErrNone) throw new WireError(herr, "SaslHandshake PLAIN")
+      rh.array(rh.str()) // enabled mechanisms
+      val authBytes = ("\u0000" + user + "\u0000" + pass).getBytes(UTF_8)
+      val ra = c.request(ApiSaslAuthenticate, 2) { b =>
+        b.cbytes(authBytes); b.tags()
+      }
+      val aerr = ra.i16()
+      val msg = ra.cstr()
+      if (aerr != ErrNone)
+        throw new WireError(aerr, s"SaslAuthenticate: $msg")
+    }
 
     def apiVersions(): Map[Int, (Int, Int)] = {
       val r = conn.request(ApiVersions, 0)(_ => ())
@@ -1644,6 +2036,32 @@ object KafkaWire {
       result
     }
 
+    // ── idempotent produce (KIP-98, franz_writer.go:129's
+    // `idempotent_write`): one InitProducerId per client, then every
+    // batch carries (pid, epoch, baseSequence) with sequences advancing
+    // per partition. The client is synchronous per thread, so at most
+    // one request is in flight per partition — inside the protocol's
+    // cap of 5 — and a send retry re-sends the SAME encoded bytes, so
+    // the broker's sequence dedup makes the retry exactly-once (the
+    // "retries only when safe" contract of franz_writer.go:101) ────────
+    def initProducerId(transactionalId: String = null): (Long, Short) = {
+      val ver = negotiated(ApiInitProducerId, 4, 0)
+      val flex = ver >= 2
+      val r = conn.request(ApiInitProducerId, ver) { b =>
+        if (flex) b.cnstr(transactionalId) else b.nstr(transactionalId)
+        b.i32(60000) // transaction_timeout_ms
+        if (ver >= 3) { b.i64(-1L); b.i16(-1) } // no KIP-360 re-init
+        if (flex) b.tags()
+      }
+      r.i32() // throttle
+      val err = r.i16()
+      if (err != ErrNone) throw new WireError(err, "InitProducerId")
+      (r.i64(), r.i16())
+    }
+
+    private lazy val producerSession: (Long, Short) = initProducerId()
+    private val produceSeqs = TrieMap.empty[(String, Int), AtomicInteger]
+
     override def append(topic: String, partition: Int,
                         records: Seq[Broker.Record]): Long = {
       if (records.isEmpty) return endOffset(topic, partition)
@@ -1651,42 +2069,22 @@ object KafkaWire {
         Broker.Stored(partition, i.toLong, rec.key, rec.value, rec.headers,
           rec.timestampMs)
       }
-      val batch = encodeBatch(stored, produceCodec)
-      var base = -1L
-      if (flexData) {
-        val r = conn.request(ApiProduce, 9) { b =>
-          b.cnstr(null); b.i16(-1); b.i32(30000)
-          b.carray(Seq(topic)) { t =>
-            b.cstr(t)
-            b.carray(Seq(partition)) { p =>
-              b.i32(p); b.cnbytes(batch); b.tags() }
-            b.tags()
-          }
-          b.tags()
+      if (idempotent) {
+        val (pid, epoch) = producerSession
+        val slot = produceSeqs.getOrElseUpdate((topic, partition),
+          new AtomicInteger(0))
+        // sequence assignment and the send are one critical section per
+        // partition: gapless sequences are the protocol's contract
+        slot.synchronized {
+          val baseSeq = slot.get()
+          val batch = encodeBatch(stored, produceCodec, pid, epoch, baseSeq)
+          val base = produceRecordSet(topic, partition, batch)
+          slot.set(((baseSeq.toLong + records.size) % 0x80000000L).toInt)
+          base
         }
-        r.carray { r.cstr(); r.carray {
-          r.i32(); val err = r.i16(); val off = r.i64(); r.i64(); r.i64()
-          r.carray { r.i32(); r.cstr(); r.tags() } // record_errors
-          r.cstr() // error_message
-          r.tags()
-          if (err != ErrNone) throw new WireError(err, s"Produce $topic/$partition")
-          base = off
-        }; r.tags() }
       } else {
-        val r = conn.request(ApiProduce, 3) { b =>
-          b.nstr(null); b.i16(-1); b.i32(30000)
-          b.array(Seq(topic)) { t =>
-            b.str(t)
-            b.array(Seq(partition)) { p => b.i32(p); b.nbytes(batch) }
-          }
-        }
-        r.array { r.str(); r.array {
-          r.i32(); val err = r.i16(); val off = r.i64(); r.i64()
-          if (err != ErrNone) throw new WireError(err, s"Produce $topic/$partition")
-          base = off
-        } }
+        produceRecordSet(topic, partition, encodeBatch(stored, produceCodec))
       }
-      base
     }
 
     /** One Fetch round: (error, highWatermark, rawRecordSet|null). */
@@ -1797,7 +2195,27 @@ object KafkaWire {
       * broker re-bases offsets by patching batch headers).
       */
     override def appendRawBatches(topic: String, partition: Int,
-                                  recordSet: Array[Byte]): Long = {
+                                  recordSet: Array[Byte]): Long =
+      produceRecordSet(topic, partition, recordSet)
+
+    /** One produce exchange. When the client is idempotent, a broken
+      * connection is retried ONCE on a fresh socket with the SAME bytes
+      * — exactly-once because the broker dedupes on (pid, epoch,
+      * sequence). Non-idempotent sends never retry: an ack lost on the
+      * wire could otherwise duplicate records.
+      */
+    private def produceRecordSet(topic: String, partition: Int,
+                                 recordSet: Array[Byte]): Long = {
+      try produceOnce(topic, partition, recordSet)
+      catch {
+        case _: java.io.IOException if idempotent =>
+          conns.remove(Thread.currentThread().getId).foreach(_.close())
+          produceOnce(topic, partition, recordSet)
+      }
+    }
+
+    private def produceOnce(topic: String, partition: Int,
+                            recordSet: Array[Byte]): Long = {
       var base = -1L
       if (flexData) {
         val r = conn.request(ApiProduce, 9) { b =>
@@ -1849,9 +2267,19 @@ object KafkaWire {
     private lazy val advertisedVersions: Map[Int, (Int, Int)] = apiVersions()
     private def negotiated(api: Int, ourMax: Int, legacyPin: Int): Int =
       if (protocol == "legacy") legacyPin
-      else advertisedVersions.get(api)
-        .map { case (lo, hi) => math.max(lo, math.min(hi, ourMax)) }
-        .getOrElse(legacyPin)
+      else advertisedVersions.get(api) match {
+        case None => legacyPin
+        case Some((lo, hi)) =>
+          // this client encodes versions [legacyPin, ourMax]; a broker
+          // range that does not overlap it cannot be spoken — fail
+          // loudly instead of emitting a frame the other side (or this
+          // one) would misparse (ADVICE r15)
+          if (lo > ourMax || hi < legacyPin)
+            throw new WireError(ErrUnsupportedVersion,
+              s"api $api: broker advertises [$lo,$hi], client implements " +
+              s"[$legacyPin,$ourMax] — no overlap")
+          math.max(lo, math.min(hi, ourMax))
+      }
 
     def commitOffsets(group: String, generation: Int, memberId: String,
                       offsets: Map[(String, Int), Long]): Unit = {
@@ -1913,13 +2341,25 @@ object KafkaWire {
           val err = r.i16(); r.tags()
           if (err == ErrNone && off >= 0) out += ((t, p, off))
         }; r.tags() }
-        r.i16(); r.tags() // top-level error
-      } else r.array { val t = r.str(); r.array {
-        val p = r.i32(); val off = r.i64()
-        if (ver >= 5) r.i32() // committed_leader_epoch
-        r.nstr(); val err = r.i16()
-        if (err == ErrNone && off >= 0) out += ((t, p, off))
-      } }
+        // coordinator-level error (e.g. COORDINATOR_LOAD_IN_PROGRESS)
+        // must fail the call, not silently yield a partial offset list
+        // (ADVICE r15)
+        val topErr = r.i16(); r.tags()
+        if (topErr != ErrNone)
+          throw new WireError(topErr, s"OffsetFetch $group")
+      } else {
+        r.array { val t = r.str(); r.array {
+          val p = r.i32(); val off = r.i64()
+          if (ver >= 5) r.i32() // committed_leader_epoch
+          r.nstr(); val err = r.i16()
+          if (err == ErrNone && off >= 0) out += ((t, p, off))
+        } }
+        // the non-flexible top-level error exists from v2 (this
+        // client's floor)
+        val topErr = r.i16()
+        if (topErr != ErrNone)
+          throw new WireError(topErr, s"OffsetFetch $group")
+      }
       out.toVector.sortBy(x => (x._1, x._2))
     }
 
@@ -1965,7 +2405,6 @@ object KafkaWire {
       }
       r.i32() // throttle
       val err = r.i16()
-      if (err != ErrNone) throw new WireError(err, s"JoinGroup $group")
       val gen = r.i32()
       if (ver >= 7) { if (flex) r.cstr() else r.nstr() } // protocol_type
       if (flex) r.cstr() else r.str() // protocol_name
@@ -1982,7 +2421,11 @@ object KafkaWire {
           (m, decodeSubscription(r.bytes()))
         }
       if (flex) r.tags()
-      (gen, leader, me, members)
+      if (err == ErrMemberIdRequired && memberId.isEmpty && me.nonEmpty)
+        // KIP-394: rejoin with the broker-issued member id
+        joinGroup(group, me, topics, rebalanceTimeoutMs)
+      else if (err != ErrNone) throw new WireError(err, s"JoinGroup $group")
+      else (gen, leader, me, members)
     }
 
     def syncGroup(group: String, generation: Int, memberId: String,
@@ -2047,6 +2490,93 @@ object KafkaWire {
         } else { b.str(group); b.str(memberId) }
       }
       r.i32(); r.i16()
+      ()
+    }
+
+    /** ListGroups at the negotiated version — the migrator's
+      * source-side group discovery (migrator_groups.go reads the same
+      * API through franz-go's admin client).
+      */
+    override def listGroups(): Seq[String] = {
+      val ver = negotiated(ApiListGroups, 4, 0)
+      val flex = ver >= 3
+      val r = conn.request(ApiListGroups, ver) { b =>
+        if (ver >= 4) b.carray(Seq.empty[String])(_ => ()) // all states
+        if (flex) b.tags()
+      }
+      if (ver >= 1) r.i32() // throttle
+      val err = r.i16()
+      if (err != ErrNone) throw new WireError(err, "ListGroups")
+      val out =
+        if (flex) r.carray {
+          val g = r.cstr(); r.cstr() // protocol_type
+          if (ver >= 4) r.cstr()     // group_state
+          r.tags(); g
+        } else r.array { val g = r.str(); r.str(); g }
+      if (flex) r.tags()
+      out.sorted
+    }
+
+    /** DescribeGroups: (group, publicState, protocolType, memberIds). */
+    def describeGroups(groupIds: Seq[String])
+        : Seq[(String, String, String, Seq[String])] = {
+      val ver = negotiated(ApiDescribeGroups, 5, 0)
+      val flex = ver >= 5
+      val r = conn.request(ApiDescribeGroups, ver) { b =>
+        if (flex) b.carray(groupIds)(b.cstr) else b.array(groupIds)(b.str)
+        if (ver >= 3) b.i8(0) // include_authorized_operations
+        if (flex) b.tags()
+      }
+      if (ver >= 1) r.i32() // throttle
+      def rstr(): String = if (flex) r.cstr() else r.str()
+      def one(): (String, String, String, Seq[String]) = {
+        val err = r.i16()
+        val gid = rstr(); val state = rstr(); val pt = rstr(); rstr() // protocol_data
+        val members =
+          if (flex) r.carray {
+            val m = r.cstr(); r.cstr() // group_instance_id (v4+≡flex here)
+            r.cstr(); r.cstr(); r.cbytes(); r.cbytes(); r.tags(); m
+          } else r.array {
+            val m = r.str()
+            if (ver >= 4) r.nstr()
+            r.str(); r.str(); r.bytes(); r.bytes(); m
+          }
+        if (ver >= 3) r.i32() // authorized_operations
+        if (flex) r.tags()
+        if (err != ErrNone) throw new WireError(err, s"DescribeGroups $gid")
+        (gid, state, pt, members)
+      }
+      val out = if (flex) r.carray(one()) else r.array(one())
+      if (flex) r.tags()
+      out
+    }
+
+    /** DeleteTopics at the negotiated version (v6 sends the KIP-516
+      * name+id struct). Unknown topics throw.
+      */
+    def deleteTopics(names: Seq[String]): Unit = {
+      val ver = negotiated(ApiDeleteTopics, 6, 1)
+      val flex = ver >= 4
+      val r = conn.request(ApiDeleteTopics, ver) { b =>
+        if (ver >= 6) b.carray(names) { n =>
+          b.cnstr(n); b.uuid(0L, 0L); b.tags()
+        }
+        else if (flex) b.carray(names)(b.cstr)
+        else b.array(names)(b.str)
+        b.i32(10000) // timeout_ms
+        if (flex) b.tags()
+      }
+      if (ver >= 1) r.i32() // throttle
+      def one(): Unit = {
+        val name = if (ver >= 6) { if (flex) r.cstr() else r.nstr() }
+                   else if (flex) r.cstr() else r.str()
+        if (ver >= 6) r.uuid()
+        val err = r.i16()
+        if (ver >= 5) r.cstr() // error_message
+        if (flex) r.tags()
+        if (err != ErrNone) throw new WireError(err, s"DeleteTopics $name")
+      }
+      if (flex) { r.carray(one()); r.tags() } else r.array(one())
       ()
     }
   }
@@ -2150,22 +2680,26 @@ object KafkaWire {
     * registry-by-name shape as [[Broker.InMemory.named]]).
     */
   private val clients = TrieMap.empty[String, Client]
-  /** `host:port` or `host:port?compression=gzip|snappy|lz4|zstd` —
-    * the query form sets the producer-side batch codec.
+  /** `host:port` with optional query options:
+    * `compression=gzip|snappy|lz4|zstd` sets the producer-side batch
+    * codec; `idempotent=true` enables the idempotent producer
+    * (InitProducerId + per-partition sequences — the kafka output's
+    * `idempotent_write`, on by default like franz-go's).
     */
   def clientFor(hostPort: String): Client =
     clients.getOrElseUpdate(hostPort, {
-      val (hp, codec) = hostPort.split("\\?", 2) match {
-        case Array(a) => (a, CodecNone)
+      val (hp, codec, idem) = hostPort.split("\\?", 2) match {
+        case Array(a) => (a, CodecNone, false)
         case Array(a, q) =>
-          val c = q.split("&").collectFirst {
+          val kvs = q.split("&").toSeq
+          val c = kvs.collectFirst {
             case kv if kv.startsWith("compression=") =>
               codecId(kv.stripPrefix("compression="))
           }.getOrElse(CodecNone)
-          (a, c)
+          (a, c, kvs.contains("idempotent=true"))
       }
       val Array(h, p) = hp.split(":", 2)
-      new Client(h, p.toInt, produceCodec = codec)
+      new Client(h, p.toInt, produceCodec = codec, idempotent = idem)
     })
   def dropClient(hostPort: String): Unit = {
     clients.remove(hostPort).foreach(_.close())

@@ -798,22 +798,40 @@ class KafkaWireSpec extends SparkSpec {
           val group = s"g-v$jv"
           // ── JoinGroup ────────────────────────────────────────────
           val flexJ = jv >= 6
-          val rj = c.rawRequest(11, jv) { b =>
+          def doJoin(memberIdIn: String) = c.rawRequest(11, jv) { b =>
             if (flexJ) {
-              b.cstr(group); b.i32(30000); b.i32(5000); b.cstr("")
+              b.cstr(group); b.i32(30000); b.i32(5000); b.cstr(memberIdIn)
               if (jv >= 5) b.cnstr(null) // group_instance_id
               b.cstr("consumer")
               b.carray(Seq("range")) { n => b.cstr(n); b.cbytes(meta); b.tags() }
               if (jv >= 8) b.cnstr("rebalance test") // reason
               b.tags()
             } else {
-              b.str(group); b.i32(30000); b.i32(5000); b.str("")
+              b.str(group); b.i32(30000); b.i32(5000); b.str(memberIdIn)
               if (jv >= 5) b.nstr(null)
               b.str("consumer")
               b.array(Seq("range")) { n => b.str(n); b.bytes(meta) }
             }
           }
+          var rj = doJoin("")
           rj.i32() // throttle
+          if (jv >= 4) {
+            // KIP-394: v4+ first join with an empty member id answers
+            // MEMBER_ID_REQUIRED plus a broker-issued id; rejoin with it
+            assert(rj.i16() == 79, s"join v$jv should demand a member id")
+            rj.i32() // generation (-1)
+            if (jv >= 7) { if (flexJ) rj.cstr() else rj.nstr() }
+            if (flexJ) rj.cstr() else rj.str() // protocol_name
+            if (flexJ) rj.cstr() else rj.str() // leader
+            if (jv >= 9) rj.i8()
+            val issued = if (flexJ) rj.cstr() else rj.str()
+            if (flexJ) { rj.carray { rj.cstr(); rj.cstr(); rj.cbytes(); rj.tags() }; rj.tags() }
+            else rj.array { rj.str(); if (jv >= 5) rj.nstr(); rj.bytes() }
+            assert(rj.remaining == 0, s"join-394 v$jv: ${rj.remaining} trailing")
+            assert(issued.nonEmpty, s"join v$jv issued id")
+            rj = doJoin(issued)
+            rj.i32() // throttle
+          }
           assert(rj.i16() == 0, s"join v$jv error")
           val gen = rj.i32()
           if (jv >= 7)
@@ -1043,6 +1061,347 @@ class KafkaWireSpec extends SparkSpec {
         Map.empty, timestampMs = 9L)))
       assert(new String(t.fetch("q", 0, 0L, 1L).next().value) == "v")
       KafkaWire.dropClient(addr)
+    }
+  }
+
+  test("KIP-559: protocol cross-checks answer INCONSISTENT_GROUP_PROTOCOL") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("kp", 1)
+        // establish a live "consumer"/"range" group
+        val (gen, _, me, _) = c.joinGroup("kp-g", "", Seq("kp"))
+        c.syncGroup("kp-g", gen, me, Seq(me -> Map("kp" -> Seq(0))))
+        // a joiner with a contradicting protocol TYPE is rejected
+        val rj = c.rawRequest(11, 9) { b =>
+          b.cstr("kp-g"); b.i32(30000); b.i32(5000); b.cstr("someone")
+          b.cnstr(null); b.cstr("connect")
+          b.carray(Seq("range")) { n => b.cstr(n); b.cbytes(Array[Byte](0, 0)); b.tags() }
+          b.cnstr(null); b.tags()
+        }
+        rj.i32()
+        assert(rj.i16() == 23, "join with wrong protocol_type")
+        // SyncGroup v5 carrying the wrong protocol NAME is rejected
+        val rs = c.rawRequest(14, 5) { b =>
+          b.cstr("kp-g"); b.i32(gen); b.cstr(me); b.cnstr(null)
+          b.cnstr("consumer"); b.cnstr("roundrobin")
+          b.carray(Seq.empty[Int])(_ => ()); b.tags()
+        }
+        rs.i32()
+        assert(rs.i16() == 23, "sync with wrong protocol_name")
+      } finally c.close()
+    }
+  }
+
+  test("ListGroups v0–v4 + DescribeGroups v0–v5: live and empty groups") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("lg", 2)
+        // one live Stable group...
+        val (gen, _, me, _) = c.joinGroup("lg-live", "", Seq("lg"))
+        c.syncGroup("lg-live", gen, me, Seq(me -> Map("lg" -> Seq(0, 1))))
+        // ...and one Empty group holding only committed offsets
+        c.commitGroupOffset("lg-empty", "lg", 0, 5L)
+        assert(c.listGroups() == Seq("lg-empty", "lg-live"))
+        // raw-frame sweep: every advertised ListGroups version parses
+        for (ver <- 0 to 4) {
+          val flex = ver >= 3
+          val r = c.rawRequest(16, ver) { b =>
+            if (ver >= 4) b.carray(Seq.empty[String])(_ => ())
+            if (flex) b.tags()
+          }
+          if (ver >= 1) r.i32() // throttle
+          assert(r.i16() == 0, s"list v$ver error")
+          val gs =
+            if (flex) r.carray {
+              val g = r.cstr(); r.cstr()
+              val st = if (ver >= 4) r.cstr() else null
+              r.tags(); (g, st)
+            } else r.array { val g = r.str(); r.str(); (g, null) }
+          if (flex) r.tags()
+          assert(r.remaining == 0, s"list v$ver: ${r.remaining} trailing")
+          assert(gs.map(_._1).sorted == Seq("lg-empty", "lg-live"))
+          if (ver >= 4)
+            assert(gs.toMap.apply("lg-live") == "Stable" &&
+                   gs.toMap.apply("lg-empty") == "Empty")
+        }
+        // v4 states_filter narrows
+        val rf = c.rawRequest(16, 4) { b =>
+          b.carray(Seq("Stable"))(b.cstr); b.tags()
+        }
+        rf.i32(); assert(rf.i16() == 0)
+        val filtered = rf.carray { val g = rf.cstr(); rf.cstr(); rf.cstr(); rf.tags(); g }
+        assert(filtered == Seq("lg-live"))
+        // DescribeGroups at the negotiated version + unknown group → Dead
+        val desc = c.describeGroups(Seq("lg-live", "nope"))
+          .map { case (g, st, pt, ms) => g -> ((st, pt, ms)) }.toMap
+        assert(desc("lg-live") == (("Stable", "consumer", Seq(me))))
+        assert(desc("nope")._1 == "Dead")
+        // raw-frame sweep across DescribeGroups versions
+        for (ver <- 0 to 5) {
+          val flex = ver >= 5
+          val r = c.rawRequest(15, ver) { b =>
+            if (flex) b.carray(Seq("lg-live"))(b.cstr)
+            else b.array(Seq("lg-live"))(b.str)
+            if (ver >= 3) b.i8(0)
+            if (flex) b.tags()
+          }
+          if (ver >= 1) r.i32()
+          def rs(): String = if (flex) r.cstr() else r.str()
+          def oneGroup(): Seq[String] = {
+            assert(r.i16() == 0, s"describe v$ver error")
+            assert(rs() == "lg-live" && rs() == "Stable" && rs() == "consumer")
+            assert(rs() == "range", s"describe v$ver protocol_data")
+            val ms = if (flex) r.carray {
+              val m = r.cstr(); r.cstr(); r.cstr(); r.cstr()
+              r.cbytes(); r.cbytes(); r.tags(); m
+            } else r.array {
+              val m = r.str(); if (ver >= 4) r.nstr()
+              r.str(); r.str(); r.bytes(); r.bytes(); m
+            }
+            if (ver >= 3) r.i32()
+            if (flex) r.tags()
+            ms
+          }
+          val groupRows = if (flex) r.carray(oneGroup()) else r.array(oneGroup())
+          if (flex) r.tags()
+          assert(r.remaining == 0, s"describe v$ver: ${r.remaining} trailing")
+          assert(groupRows == Seq(Seq(me)), s"describe v$ver members")
+        }
+      } finally c.close()
+    }
+  }
+
+  test("DeleteTopics v1–v6: delete by name and by id; unknowns answer errors") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        for (ver <- 1 to 6) {
+          val t = s"del-v$ver"
+          c.createTopic(t, 1)
+          val flex = ver >= 4
+          val r = c.rawRequest(20, ver) { b =>
+            if (ver >= 6) b.carray(Seq(t)) { n => b.cnstr(n); b.uuid(0L, 0L); b.tags() }
+            else if (flex) b.carray(Seq(t))(b.cstr)
+            else b.array(Seq(t))(b.str)
+            b.i32(10000)
+            if (flex) b.tags()
+          }
+          r.i32() // throttle (v1+)
+          def one(): Short = {
+            if (ver >= 6) { if (flex) r.cstr() else r.nstr() }
+            else if (flex) r.cstr() else r.str()
+            if (ver >= 6) r.uuid()
+            val err = r.i16()
+            if (ver >= 5) r.cstr()
+            if (flex) r.tags()
+            err
+          }
+          val errs = if (flex) { val e = r.carray(one()); r.tags(); e }
+                     else r.array(one())
+          assert(r.remaining == 0, s"delete v$ver: ${r.remaining} trailing")
+          assert(errs == Seq(0.toShort), s"delete v$ver")
+          intercept[KafkaWire.WireError] { c.partitionCount(t) }
+        }
+        // client helper + unknown-name / unknown-id errors
+        c.createTopic("del-x", 1)
+        c.deleteTopics(Seq("del-x"))
+        val e = intercept[KafkaWire.WireError] { c.deleteTopics(Seq("del-x")) }
+        assert(e.code == KafkaWire.ErrUnknownTopicOrPartition)
+        val r6 = c.rawRequest(20, 6) { b =>
+          b.carray(Seq(1)) { _ => b.cnstr(null); b.uuid(42L, 43L); b.tags() }
+          b.i32(10000); b.tags()
+        }
+        r6.i32()
+        r6.carray {
+          assert(r6.cstr() == null); assert(r6.uuid() == ((42L, 43L)))
+          assert(r6.i16() == KafkaWire.ErrUnknownTopicId)
+          r6.cstr(); r6.tags()
+        }
+        r6.tags()
+        assert(r6.remaining == 0)
+      } finally c.close()
+    }
+  }
+
+  test("SASL PLAIN: gated broker rejects anonymous and bad credentials") {
+    val srv = new KafkaWire.Server(joinDelayMs = 80,
+      saslUsers = Map("svc" -> "hunter2"))
+    try {
+      // authenticated client: full produce/fetch lifecycle works
+      val ok = new KafkaWire.Client("127.0.0.1", srv.port,
+        saslPlain = Some(("svc", "hunter2")))
+      try {
+        ok.createTopic("sasl-t", 1)
+        ok.append("sasl-t", 0, Seq(Broker.Record("k".getBytes, "v".getBytes)))
+        assert(new String(ok.fetch("sasl-t", 0, 0L, 1L).next().value) == "v")
+      } finally ok.close()
+      // wrong password: SaslAuthenticate answers 58
+      val bad = new KafkaWire.Client("127.0.0.1", srv.port,
+        saslPlain = Some(("svc", "wrong")))
+      val e = intercept[KafkaWire.WireError] { bad.listTopics() }
+      assert(e.code == KafkaWire.ErrSaslAuthenticationFailed)
+      bad.close()
+      // unknown mechanism: handshake answers 33 + the PLAIN menu
+      val probe = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        val rh = probe.rawRequest(17, 1)(b => b.str("SCRAM-SHA-256"))
+        assert(rh.i16() == KafkaWire.ErrUnsupportedSaslMechanism)
+        assert(rh.array(rh.str()) == Seq("PLAIN"))
+        // the still-unauthenticated connection is killed on a data request
+        intercept[Exception] { probe.listTopics() }
+      } finally probe.close()
+      // ApiVersions stays answerable pre-auth (clients need it to pick
+      // handshake versions)
+      val anon = new KafkaWire.Client("127.0.0.1", srv.port)
+      try assert(anon.apiVersions().contains(17)) finally anon.close()
+    } finally srv.stop()
+  }
+
+  test("wire-to-wire migration discovers groups via ListGroups") {
+    val src = new KafkaWire.Server(joinDelayMs = 80)
+    val dst = new KafkaWire.Server(joinDelayMs = 80)
+    try {
+      val sc = new KafkaWire.Client("127.0.0.1", src.port)
+      sc.createTopic("mt", 2)
+      sc.append("mt", 0, (0 until 30).map(i =>
+        Broker.Record(s"k$i".getBytes, s"v$i".getBytes)))
+      sc.append("mt", 1, (0 until 20).map(i =>
+        Broker.Record(null, s"w$i".getBytes)))
+      sc.commitGroupOffset("analytics", "mt", 0, 12L)
+      sc.commitGroupOffset("audit", "mt", 1, 20L)
+      sc.close()
+      val report = Migrator.migrate(spark,
+        s"kafka://127.0.0.1:${src.port}", s"kafka://127.0.0.1:${dst.port}",
+        syncAcls = false)
+      assert(report.records == 50L, s"records ${report.records}")
+      assert(report.groups == 2, s"groups ${report.groups}")
+      val dc = new KafkaWire.Client("127.0.0.1", dst.port)
+      try {
+        assert(dc.committedOffsets("analytics") == Seq(("mt", 0, 12L)))
+        assert(dc.committedOffsets("audit") == Seq(("mt", 1, 20L)))
+      } finally dc.close()
+      KafkaWire.dropClient(s"127.0.0.1:${src.port}")
+      KafkaWire.dropClient(s"127.0.0.1:${dst.port}")
+    } finally { src.stop(); dst.stop() }
+  }
+
+  test("InitProducerId v0–v4: fresh pid at epoch 0 at every version") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        assert(c.apiVersions().get(22).contains((0, 4)))
+        val pids = (0 to 4).map { ver =>
+          val flex = ver >= 2
+          val r = c.rawRequest(22, ver) { b =>
+            if (flex) b.cnstr(null) else b.nstr(null)
+            b.i32(30000)
+            if (ver >= 3) { b.i64(-1L); b.i16(-1) }
+            if (flex) b.tags()
+          }
+          r.i32() // throttle
+          assert(r.i16() == KafkaWire.ErrNone, s"v$ver error")
+          val pid = r.i64()
+          val epoch = r.i16()
+          if (flex) r.tags()
+          assert(r.remaining == 0, s"v$ver: ${r.remaining} trailing bytes")
+          assert(pid > 0L && epoch == 0, s"v$ver pid/epoch")
+          pid
+        }
+        assert(pids.distinct.size == 5) // each init allocates a new pid
+      } finally c.close()
+    }
+  }
+
+  test("idempotent produce: duplicate retry deduplicated, gaps rejected") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("idem", 1)
+        val (pid, epoch) = c.initProducerId()
+        assert(pid > 0L && epoch == 0)
+        val recs = (0 until 10).map(i => Broker.Stored(0, i.toLong,
+          s"k$i".getBytes, s"v$i".getBytes, Map.empty, 100L + i))
+        val batch = KafkaWire.encodeBatch(recs,
+          producerId = pid, producerEpoch = epoch, baseSequence = 0)
+        assert(c.appendRawBatches("idem", 0, batch) == 0L)
+        // the retry (identical bytes) is acked with the ORIGINAL base
+        // offset and appends nothing
+        assert(c.appendRawBatches("idem", 0, batch) == 0L)
+        assert(c.endOffset("idem", 0) == 10L)
+        // the next in-order batch (sequence 10) appends normally
+        val recs2 = (0 until 5).map(i => Broker.Stored(0, i.toLong,
+          null, s"w$i".getBytes, Map.empty, 200L + i))
+        val next = KafkaWire.encodeBatch(recs2,
+          producerId = pid, producerEpoch = epoch, baseSequence = 10)
+        assert(c.appendRawBatches("idem", 0, next) == 10L)
+        // a sequence gap answers OUT_OF_ORDER_SEQUENCE_NUMBER
+        val gap = KafkaWire.encodeBatch(recs2,
+          producerId = pid, producerEpoch = epoch, baseSequence = 99)
+        val e = intercept[KafkaWire.WireError] {
+          c.appendRawBatches("idem", 0, gap)
+        }
+        assert(e.code == KafkaWire.ErrOutOfOrderSequence)
+        // the log holds exactly the 15 deduplicated records
+        val got = c.fetch("idem", 0, 0L, 15L).toVector
+        assert(got.size == 15)
+        assert(new String(got(14).value) == "w4")
+      } finally c.close()
+    }
+  }
+
+  test("idempotent produce: a stale epoch is fenced") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        c.createTopic("fence", 1)
+        val (pid, e0) = c.initProducerId("txn-1")
+        val (pid2, e1) = c.initProducerId("txn-1") // re-init bumps the epoch
+        assert(pid2 == pid && e1 == e0 + 1)
+        val rec = Seq(Broker.Stored(0, 0L, null, "x".getBytes, Map.empty, 1L))
+        val stale = KafkaWire.encodeBatch(rec,
+          producerId = pid, producerEpoch = e0, baseSequence = 0)
+        val err = intercept[KafkaWire.WireError] {
+          c.appendRawBatches("fence", 0, stale)
+        }
+        assert(err.code == KafkaWire.ErrInvalidProducerEpoch)
+        // the current epoch produces fine, sequences restarting at 0
+        val fresh = KafkaWire.encodeBatch(rec,
+          producerId = pid, producerEpoch = e1, baseSequence = 0)
+        assert(c.appendRawBatches("fence", 0, fresh) == 0L)
+        // a new-epoch batch NOT starting at sequence 0 is out of order
+        val (_, e2) = c.initProducerId("txn-1")
+        val nonzero = KafkaWire.encodeBatch(rec,
+          producerId = pid, producerEpoch = e2, baseSequence = 7)
+        val err2 = intercept[KafkaWire.WireError] {
+          c.appendRawBatches("fence", 0, nonzero)
+        }
+        assert(err2.code == KafkaWire.ErrOutOfOrderSequence)
+      } finally c.close()
+    }
+  }
+
+  test("idempotent client: append() sequences end to end; foreign pids pass through") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port, idempotent = true)
+      try {
+        c.createTopic("auto", 2)
+        val b1 = c.append("auto", 0,
+          (0 until 7).map(i => Broker.Record(null, s"a$i".getBytes)))
+        val b2 = c.append("auto", 0,
+          (0 until 3).map(i => Broker.Record(null, s"b$i".getBytes)))
+        assert(b1 == 0L && b2 == 7L)
+        assert(c.endOffset("auto", 0) == 10L)
+        // a MIRRORED batch carrying a pid this broker never issued
+        // appends verbatim (the raw-passthrough migration path keeps
+        // the source cluster's producer ids)
+        val foreign = KafkaWire.encodeBatch(
+          Seq(Broker.Stored(0, 0L, null, "m".getBytes, Map.empty, 1L)),
+          producerId = 999999L, producerEpoch = 3, baseSequence = 57)
+        assert(c.appendRawBatches("auto", 0, foreign) == 10L)
+        assert(c.fetch("auto", 0, 0L, 11L).size == 11)
+      } finally c.close()
     }
   }
 }
