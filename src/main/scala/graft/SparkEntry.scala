@@ -27,6 +27,25 @@ import graft.operators.{Ai, BatchOps, Command, Dedupe, Embeddings, FlowControl, 
 object SparkEntry {
 
   /** Exact decimal view of a double column (2-decimal money/qty data). */
+  /** Pair-miner gate contract. At sf0.1/sf1 (where the DuckDB oracle
+    * runs) the pairs are globally ordered for the driver's compare. On
+    * the upper ladder rungs the protocol sets SPARK_GRAFT_PAIR_DIGEST=1
+    * and the gate emits ONE commutative digest row instead — count +
+    * bit_xor of per-row xxhash64 over every output column, an
+    * order-insensitive set hash that still pins the exact value set —
+    * because the contract's global sort was measured as HALF of
+    * t_ngram_jaccard's sf100 wall (112 s of 262: an 18.7 GB shuffle +
+    * 104 GB-spill sort of 2.75 B pairs the operator itself never
+    * performs; VERDICT r15 #2). The miners' regression signal at the
+    * top rungs now reads mining, not harness.
+    */
+  private def pairGate(pairs: DataFrame): DataFrame =
+    if (sys.env.contains("SPARK_GRAFT_PAIR_DIGEST"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        call_function("bit_xor",
+          xxhash64(pairs.columns.map(col).toSeq: _*)).as("digest"))
+    else pairs.orderBy(col("id_a"), col("id_b"))
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def sumd(c: Column): Column = sum(dec(c)).cast("double")
   private val revenue: Column = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
@@ -4500,21 +4519,19 @@ object SparkEntry {
         .select(col("doc_id"), A.langId(col("text")).as("lang_pred"))),
 
     "t_ngram_jaccard" -> ((s, d) =>
-      Dedupe.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 3, 0.35)
-        .orderBy(col("id_a"), col("id_b"))),
+      pairGate(Dedupe.ngramJaccardPairs(
+        Tables.documents(s, d), "text", "doc_id", 3, 0.35))),
 
     "t_minhash_lsh" -> ((s, d) =>
       // probabilistic recall — rows-only check (no oracle)
-      Dedupe.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
-          3, 16, 4, 0.35)
-        .orderBy(col("id_a"), col("id_b"))),
+      pairGate(Dedupe.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+          3, 16, 4, 0.35))),
 
     "t_simhash" -> ((s, d) =>
       // xxhash-based fingerprints — rows-only check (no oracle).
       // maxHamming=3 → 4 blocks of 16 bits: candidate recall is exactly
       // 1.0 for the advertised radius (see Dedupe.simhashPairs).
-      Dedupe.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3)
-        .orderBy(col("id_a"), col("id_b"))),
+      pairGate(Dedupe.simhashPairs(Tables.documents(s, d), "text", "doc_id", 3))),
 
     "t_simhash_md5" -> ((s, d) => {
       // the simhash COMPUTATION, oracle-gated: md5 feature hashes make

@@ -60,13 +60,21 @@ object Verify {
     // oracle_sql.json after the dump, so the protocol is reproducible.
     val demote = sys.env.get("SPARK_GRAFT_DEMOTE")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // a demoted name not in oracleSql is a typo that would silently
+    // weaken the sweep — warn loudly (ADVICE r15)
+    demote.diff(SparkEntry.oracleSql.keySet).foreach { k =>
+      System.err.println(s"[verify] SPARK_GRAFT_DEMOTE names unknown query '$k'")
+    }
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => !demote.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // explicit exemption manifest: the driver ignores unknown files, but
-    // the rows-only entries in the sweep are now declared, not silent
-    val exempt = SparkEntry.oracleExempt
+    // the rows-only entries in the sweep are now declared, not silent —
+    // including anything demoted by the env knob (ADVICE r15)
+    val exempt = (SparkEntry.oracleExempt ++
+        demote.intersect(SparkEntry.oracleSql.keySet)
+          .map(_ -> "quadratic-oracle-demoted-at-this-sf").toMap)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_exempt.json"), exempt)
     spark.stop()

@@ -1453,9 +1453,19 @@ object Pipeline {
         else None
       val orderC = if (df.columns.contains("__seq")) col("__seq")
                    else monotonically_increasing_id()
+      // outputs/kafka.adoc `idempotent_write` (franz_writer.go:129,
+      // default true): over the real wire this turns on the
+      // InitProducerId + per-partition-sequence producer; the mem://
+      // in-JVM broker is exactly-once by construction, so the option is
+      // a no-op there
+      val idem = Option(b.get("idempotent_write")).forall(_.asBoolean)
       addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
         case Some(mem) =>
-          Sinks.brokerWrite(df, mem, topic, keyC, col("value"), orderC,
+          val addr =
+            if (idem && mem.startsWith("kafka://"))
+              mem + (if (mem.contains("?")) "&" else "?") + "idempotent=true"
+            else mem
+          Sinks.brokerWrite(df, addr, topic, keyC, col("value"), orderC,
             partitioner, partC)
         case None =>
           // real brokers: the connector's batch writer (symmetric with

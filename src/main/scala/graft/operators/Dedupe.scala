@@ -26,6 +26,20 @@ object Dedupe {
   private def cacheGuard(): Unit =
     if (dupStatsCache.size > 1024) dupStatsCache.clear()
 
+  /** Edge-count predictions for staged miner outputs, keyed by the
+    * result plan's semanticHash: exact cross-group count + an upper
+    * bound on within-group pairs, both computable from the PERSISTED
+    * rep-level staging tables in milliseconds. [[resolveClusters]]
+    * consults (and consumes) this to pick its driver-collect protocol
+    * without paying a full expansion pass for the decision. Stored as
+    * thunks so miners whose output never reaches resolveClusters
+    * (e.g. the pair gates) pay nothing.
+    */
+  private val predictedEdges =
+    scala.collection.concurrent.TrieMap.empty[Int, () => Long]
+  private def predictionGuard(): Unit =
+    if (predictedEdges.size > 256) predictedEdges.clear()
+
   // persisted membership tables from stagedByExactDup, evicted FIFO —
   // the returned pair frame is lazy so the function can't unpersist
   // its own cache; unpersisting an old frame is always safe (a
@@ -233,7 +247,26 @@ object Dedupe {
         col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    val result = cross.unionByName(within)
+    // edge-count prediction for resolveClusters: exact cross count
+    // (Σ |group_a|×|group_b| over rep pairs) plus an upper bound on
+    // within-group pairs (Σ C(n,2) over ALL groups — the nonempty-
+    // shingle filter only removes pairs, so the bound is conservative).
+    // Both are rep-level aggregates over the persisted staging tables.
+    predictionGuard()
+    predictedEdges.put(
+      result.queryExecution.analyzed.semanticHash(), () => {
+        val sizes = members.groupBy(col("rep")).agg(count(lit(1)).as("n"))
+        val crossRow = repPairs
+          .join(sizes.select(col("rep").as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col("rep").as("id_b"), col("n").as("nb")), "id_b")
+          .agg(sum(col("na") * col("nb"))).head()
+        val withinRow =
+          sizes.agg(sum(col("n") * (col("n") - lit(1)))).head()
+        (if (crossRow.isNullAt(0)) 0L else crossRow.getLong(0)) +
+          (if (withinRow.isNullAt(0)) 0L else withinRow.getLong(0)) / 2
+      })
+    result
   }
 
   /** The direct (no exact-dup collapse) pair join — see
@@ -359,34 +392,9 @@ object Dedupe {
     // (id, min-rep) labels, pinned by spec.
     val spark = pairs.sparkSession
     import spark.implicits._
-    // OOM-guard (r15 shape): ONE fully-parallel count() sizes the edge
-    // list while materializing the columnar cache; only a list already
-    // known to fit is then collected (from cache — tens of ms). The r14
-    // limit(cap+1).count() gate's incremental partition ramp (1→4→16…)
-    // serialized the mining work into under-parallelized jobs
-    // (t_dedup_clusters 1.08→1.64 s at sf0.1); a boxed-tuple RDD cache
-    // measured faster still at small scale but its 4-scan re-encode +
-    // GC pressure at 224 M edges (sf30) read slower than the round's
-    // whole shuffle budget, so the columnar cache — which the
-    // contraction's round-1 scans need anyway — is the single shared
-    // representation.
-    // MEMORY_AND_DISK, measured: DISK_ONLY (to stop the multi-GB edge
-    // cache competing with execution memory in-suite) read 96.0 s vs
-    // 42.2 s isolated min-of-2 at sf30 — the contraction scans this
-    // cache three times (large-star, its re-read, the self-label pass)
-    // and the hot-partition hits are worth far more than the evicted
-    // storage costs the sorts (r15 experiment).
-    val raw = pairs.select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = math.min(driverMaxEdges, (Int.MaxValue - 8).toLong)
-    val t0 = System.nanoTime()
-    val edgeCount = raw.count()
-    if (edgeCount > cap)
-      Console.err.println(f"[dedupe] edge materialization: $edgeCount edges " +
-        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    if (edgeCount <= cap) {
-      val collected = raw.as[(Long, Long)].collect()
-      raw.unpersist()
+
+    def unionFind(collected: Array[(Long, Long)]): DataFrame = {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -405,7 +413,72 @@ object Dedupe {
       }
       val ids = collected.flatMap { case (a, b) => Seq(a, b) }
         .distinct.sorted
-      return ids.toSeq.map(id => (id, find(id))).toDF("id", "rep")
+      ids.toSeq.map(id => (id, find(id))).toDF("id", "rep")
+    }
+
+    // ── OOM guard, three protocols (r16; VERDICT r15 #3) ─────────────
+    // The driver path's edge list is consumed exactly once (the
+    // collect), so the r15 persist-then-count paid a columnar cache
+    // build for nothing there. Now:
+    //  1. a staged miner PREDICTED the edge count from its rep-level
+    //     tables: ≤ cap → one unpersisted pass collects directly (no
+    //     cache build, no second scan); > cap → straight to the
+    //     distributed protocol, skipping the probe.
+    //  2. unpredicted input: ONE fused pass counts every partition and
+    //     keeps up to cap+1 rows per partition — if the total fits,
+    //     those rows ARE the collect. Only an unpredicted >cap edge
+    //     list (a near-distinct corpus with >2 M near-dup pairs — none
+    //     of the ladder's rungs) pays the probe AND the distributed
+    //     materialization.
+    val rawPlan = pairs.select(col("id_a"), col("id_b"))
+    val predicted = predictedEdges
+      .remove(pairs.queryExecution.analyzed.semanticHash()).map(_())
+    predicted match {
+      case Some(p) if p <= cap =>
+        return unionFind(rawPlan.as[(Long, Long)].collect())
+      case Some(_) => () // provably big: fall through to contraction
+      case None =>
+        val capL = cap
+        val perPart: Array[(Long, Array[(Long, Long)])] =
+          rawPlan.as[(Long, Long)].rdd.mapPartitions { it =>
+            val buf =
+              new scala.collection.mutable.ArrayBuffer[(Long, Long)](1024)
+            var n = 0L
+            var keep = true
+            while (it.hasNext) {
+              val x = it.next(); n += 1
+              if (keep) {
+                if (n <= capL + 1) buf += x
+                else { buf.clear(); keep = false }
+              }
+            }
+            Iterator.single((n, if (keep) buf.toArray else null))
+          }.collect()
+        val n = perPart.map(_._1).sum
+        if (n <= cap && perPart.forall(_._2 != null))
+          return unionFind(Array.concat(perPart.map(_._2): _*))
+        Console.err.println(s"[dedupe] OOM-guard probe overflowed " +
+          s"($n edges > cap $cap) on an unpredicted input — paying one " +
+          "extra pass for the distributed materialization")
+    }
+    // distributed protocol (r15 shape): persist → one fully-parallel
+    // count() that doubles as the columnar cache materialization — the
+    // contraction scans this cache three times (large-star, its
+    // re-read, the self-label pass), so MEMORY_AND_DISK hot-partition
+    // hits are worth far more than the evicted storage costs the sorts
+    // (DISK_ONLY measured 96.0 vs 42.2 s isolated at sf30, r15).
+    val raw = rawPlan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val edgeCount = raw.count()
+    Console.err.println(f"[dedupe] edge materialization: $edgeCount edges " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    if (edgeCount <= cap) {
+      // a conservative prediction (> cap) can land a small list here:
+      // collect from the just-built cache, exactly the r15 driver path
+      val collected = raw.as[(Long, Long)].collect()
+      raw.unpersist()
+      return unionFind(collected)
     }
     // ALTERNATING LARGE-STAR / SMALL-STAR CONTRACTION (the
     // Kiveris et al. "Connected Components in MapReduce and Beyond"
