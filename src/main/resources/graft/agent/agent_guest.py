@@ -555,6 +555,8 @@ INVOKE_PATH = "/redpanda.runtime.v1alpha1.AgentRuntime/InvokeAgent"
 
 def serve_connection(sock, transform):
     try:
+        # response frames must not sit in Nagle behind the next read
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         if read_exact(sock, len(PREFACE)) != PREFACE:
             return
         write_frame(sock, F_SETTINGS, 0, 0)

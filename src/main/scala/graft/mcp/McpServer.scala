@@ -454,6 +454,13 @@ final class McpServer(spark: SparkSession, repositoryDir: String,
     private val sessions = TrieMap.empty[String, OutputStream]
     private val httpServer = HttpServer.create(
       new InetSocketAddress(bindHost, bindPort), 16)
+    // without an explicit executor the JDK server dispatches every
+    // exchange on its single poller thread — concurrent tool calls from
+    // parallel executor tasks then serialize behind each other (and
+    // behind open SSE streams); daemon threads so a live fixture never
+    // pins a JVM
+    httpServer.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      r => { val t = new Thread(r, "mcp-http"); t.setDaemon(true); t }))
 
     httpServer.createContext("/sse", (ex: HttpExchange) => {
       val sid = java.util.UUID.randomUUID().toString

@@ -357,6 +357,7 @@ object Http2 {
   def connect(host: String, port: Int): Endpoint = {
     val s = new Socket()
     s.connect(new InetSocketAddress(host, port), 10000)
+    s.setTcpNoDelay(true) // request/response frames must not sit in Nagle
     val e = new Endpoint(s, isServer = false)
     e.handshake()
     e
@@ -375,6 +376,7 @@ object Http2 {
       while (running) {
         try {
           val s = server.accept()
+          s.setTcpNoDelay(true)
           val t = new Thread(() => {
             try {
               val e = new Endpoint(s, isServer = true)
