@@ -14,8 +14,40 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[N,cores,memMB] runs REAL separate
+    // executor JVMs on one box (in-process Master/Worker, forked
+    // executors) — the harness for "does executor count absorb what one
+    // big JVM's task-memory pool cannot" experiments. Requires
+    // SPARK_HOME (the worker shells out to the distribution's launcher)
+    // and the executors need our compiled classes + the same JDK17
+    // --add-opens the driver gets from build.sbt.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
+    if (master.startsWith("local-cluster")) {
+      // the in-process Worker resolves the distribution through the
+      // spark.test.home sysprop (falling back to a cwd that has no
+      // jars/ — "Cannot find any build directories")
+      sys.props("spark.test.home") =
+        sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      builder0
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          s"$opens -Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8")
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "12g"))
+    }
+    val spark = builder0
       // shuffle-partition count is a ladder knob like split bytes: at
       // the top rungs (sf10) a 600 M-row shuffle at 32 partitions
       // exceeds memory-resident size per partition — a real cluster
