@@ -493,7 +493,8 @@ object Pipeline {
             require(topics.size == 1,
               "streaming kafka input: one topic per input (use a broker combinator for fan-in)")
             spark.readStream.format("graft.sources.BrokerSourceProvider")
-              .option("address", mem).option("topic", topics.head).load()
+              .option("address", kafkaAddr(mem, kafkaSaslQuery(b).toSeq))
+              .option("topic", topics.head).load()
           case None =>
             Sources.kafka(spark, addrs.mkString(","), topics.mkString(","))
         }
@@ -673,7 +674,8 @@ object Pipeline {
             "kafka input needs seed_brokers/addresses"))
         val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
         addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
-          case Some(mem) =>
+          case Some(mem0) =>
+            val mem = kafkaAddr(mem0, kafkaSaslQuery(b).toSeq)
             Sources.broker(topics.map(t => Sources.brokerRead(spark, mem, t)))
           case None =>
             // batch runner → bounded earliest→latest scan, NOT the
@@ -1372,6 +1374,34 @@ object Pipeline {
     }
   }
 
+  /** Kafka connector `sasl` block (the reference's conf_sasl field
+    * set): the first entry's PLAIN credentials ride the kafka://
+    * address as URL-encoded query options, so every transport-seam
+    * consumer (batch read, streaming source, sink writer) authenticates
+    * each connection it opens. Only PLAIN is implemented — matching the
+    * loopback broker — and any other mechanism fails loudly here rather
+    * than silently connecting unauthenticated.
+    */
+  private def kafkaSaslQuery(b: JsonNode): Option[String] = {
+    val n = b.at("/sasl/0")
+    if (n.isMissingNode) None
+    else {
+      val mech = Option(n.get("mechanism")).map(_.asText).getOrElse("PLAIN")
+      require(mech.equalsIgnoreCase("PLAIN"),
+        s"kafka sasl mechanism '$mech': only PLAIN is implemented")
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      Some(s"sasl_user=${enc(n.get("username").asText)}" +
+        s"&sasl_pass=${enc(n.get("password").asText)}")
+    }
+  }
+
+  /** Append query options to a kafka:// address (mem:// and native
+    * addresses pass through untouched).
+    */
+  private def kafkaAddr(addr: String, opts: Seq[String]): String =
+    if (!addr.startsWith("kafka://") || opts.isEmpty) addr
+    else addr + (if (addr.contains("?")) "&" else "?") + opts.mkString("&")
+
   private def awsCreds(b: JsonNode): graft.sources.S3.Credentials =
     graft.sources.S3.Credentials(
       b.at("/credentials/id").asText("AK"),
@@ -1461,10 +1491,9 @@ object Pipeline {
       val idem = Option(b.get("idempotent_write")).forall(_.asBoolean)
       addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
         case Some(mem) =>
-          val addr =
-            if (idem && mem.startsWith("kafka://"))
-              mem + (if (mem.contains("?")) "&" else "?") + "idempotent=true"
-            else mem
+          val addr = kafkaAddr(mem,
+            (if (idem) Seq("idempotent=true") else Nil) ++
+              kafkaSaslQuery(b).toSeq)
           Sinks.brokerWrite(df, addr, topic, keyC, col("value"), orderC,
             partitioner, partC)
         case None =>

@@ -2684,22 +2684,31 @@ object KafkaWire {
     * `compression=gzip|snappy|lz4|zstd` sets the producer-side batch
     * codec; `idempotent=true` enables the idempotent producer
     * (InitProducerId + per-partition sequences — the kafka output's
-    * `idempotent_write`, on by default like franz-go's).
+    * `idempotent_write`, on by default like franz-go's);
+    * `sasl_user=…&sasl_pass=…` (URL-encoded) authenticates every
+    * connection with SASL PLAIN — the connector `sasl` config block.
     */
   def clientFor(hostPort: String): Client =
     clients.getOrElseUpdate(hostPort, {
-      val (hp, codec, idem) = hostPort.split("\\?", 2) match {
-        case Array(a) => (a, CodecNone, false)
+      val (hp, codec, idem, sasl) = hostPort.split("\\?", 2) match {
+        case Array(a) => (a, CodecNone, false, None)
         case Array(a, q) =>
           val kvs = q.split("&").toSeq
           val c = kvs.collectFirst {
             case kv if kv.startsWith("compression=") =>
               codecId(kv.stripPrefix("compression="))
           }.getOrElse(CodecNone)
-          (a, c, kvs.contains("idempotent=true"))
+          def qv(k: String): Option[String] = kvs.collectFirst {
+            case kv if kv.startsWith(k + "=") =>
+              java.net.URLDecoder.decode(kv.stripPrefix(k + "="), "UTF-8")
+          }
+          val s = for (u <- qv("sasl_user"); p <- qv("sasl_pass"))
+            yield (u, p)
+          (a, c, kvs.contains("idempotent=true"), s)
       }
       val Array(h, p) = hp.split(":", 2)
-      new Client(h, p.toInt, produceCodec = codec, idempotent = idem)
+      new Client(h, p.toInt, produceCodec = codec, idempotent = idem,
+        saslPlain = sasl)
     })
   def dropClient(hostPort: String): Unit = {
     clients.remove(hostPort).foreach(_.close())

@@ -378,4 +378,58 @@ class KafkaSpec extends SparkSpec {
       assert(out == (0L until 24L by 2L).toSeq)
     } finally q.stop()
   }
+
+  test("kafka yaml sasl block: PLAIN credentials flow to the wire client") {
+    // a SASL-gated broker (inputs/kafka.adoc `sasl` block): the yaml
+    // credentials must reach every connection the transport opens —
+    // produce via the output, then read back via the batch input
+    val srv = new KafkaWire.Server(saslUsers = Map("svc" -> "pw"))
+    try {
+      val admin = new KafkaWire.Client("127.0.0.1", srv.port,
+        saslPlain = Some(("svc", "pw")))
+      admin.createTopic("sasl-t", 1)
+      admin.close()
+      val addr = s"kafka://127.0.0.1:${srv.port}"
+      val writeCfg =
+        s"""input:
+           |  generate:
+           |    count: 3
+           |    mapping: 'root.n = this.seq'
+           |output:
+           |  kafka:
+           |    seed_brokers: [$addr]
+           |    topic: sasl-t
+           |    sasl:
+           |      - mechanism: PLAIN
+           |        username: svc
+           |        password: pw
+           |""".stripMargin
+      graft.config.Pipeline.run(spark, writeCfg)
+      val readCfg =
+        s"""input:
+           |  kafka:
+           |    seed_brokers: [$addr]
+           |    topics: [sasl-t]
+           |    sasl:
+           |      - mechanism: PLAIN
+           |        username: svc
+           |        password: pw
+           |output:
+           |  parquet:
+           |    path: /tmp/kafka_sasl_spec_out
+           |""".stripMargin
+      graft.config.Pipeline.run(spark, readCfg)
+      val got = spark.read.parquet("/tmp/kafka_sasl_spec_out")
+        .select(col("value")).as[String].collect().sorted
+      assert(got.length == 3 && got.forall(_.contains("\"n\":")))
+      // wrong credentials: the gated broker kills the unauthenticated
+      // produce — the pipeline must fail loudly, not write nothing
+      val badCfg = writeCfg.replace("password: pw", "password: nope")
+      intercept[Exception] { graft.config.Pipeline.run(spark, badCfg) }
+      // an unimplemented mechanism is rejected at config time
+      val scramCfg = writeCfg.replace("mechanism: PLAIN", "mechanism: SCRAM-SHA-256")
+      val e = intercept[Exception] { graft.config.Pipeline.run(spark, scramCfg) }
+      assert(e.getMessage != null && e.getMessage.contains("PLAIN"))
+    } finally srv.stop()
+  }
 }
