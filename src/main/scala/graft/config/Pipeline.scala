@@ -1386,12 +1386,14 @@ object Pipeline {
     val n = b.at("/sasl/0")
     if (n.isMissingNode) None
     else {
-      val mech = Option(n.get("mechanism")).map(_.asText).getOrElse("PLAIN")
-      require(mech.equalsIgnoreCase("PLAIN"),
-        s"kafka sasl mechanism '$mech': only PLAIN is implemented")
+      val mech = Option(n.get("mechanism")).map(_.asText.toUpperCase)
+        .getOrElse("PLAIN")
+      require(mech == "PLAIN" || mech == "SCRAM-SHA-256",
+        s"kafka sasl mechanism '$mech': PLAIN and SCRAM-SHA-256 are implemented")
       def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
       Some(s"sasl_user=${enc(n.get("username").asText)}" +
-        s"&sasl_pass=${enc(n.get("password").asText)}")
+        s"&sasl_pass=${enc(n.get("password").asText)}" +
+        s"&sasl_mechanism=${enc(mech)}")
     }
   }
 

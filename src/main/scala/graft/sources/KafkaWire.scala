@@ -415,6 +415,51 @@ object KafkaWire {
   final class WireError(val code: Short, msg: String)
     extends RuntimeException(s"kafka error $code: $msg")
 
+  /** SCRAM-SHA-256 primitives (RFC 5802 / RFC 7677) — the mechanism
+    * real Kafka deployments default to for password auth. The server
+    * stores only the DERIVED credentials (salt, iteration count,
+    * StoredKey, ServerKey), exactly what a real broker keeps in
+    * ZooKeeper/KRaft — the plaintext never participates in a handshake.
+    */
+  object Scram {
+    import javax.crypto.{Mac, SecretKeyFactory}
+    import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+    final case class Credentials(salt: Array[Byte], iterations: Int,
+                                 storedKey: Array[Byte],
+                                 serverKey: Array[Byte])
+    private val rnd = new java.security.SecureRandom()
+    def nonce(): String = {
+      val b = new Array[Byte](18); rnd.nextBytes(b)
+      java.util.Base64.getEncoder.encodeToString(b)
+    }
+    def b64(b: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(b)
+    def unb64(s: String): Array[Byte] =
+      java.util.Base64.getDecoder.decode(s)
+    def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(msg.getBytes(UTF_8))
+    }
+    def sha256(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    def saltedPassword(password: String, salt: Array[Byte],
+                       iterations: Int): Array[Byte] =
+      SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(
+          new PBEKeySpec(password.toCharArray, salt, iterations, 256))
+        .getEncoded
+    def clientKey(salted: Array[Byte]): Array[Byte] = hmac(salted, "Client Key")
+    def serverKey(salted: Array[Byte]): Array[Byte] = hmac(salted, "Server Key")
+    def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      a.zip(b).map { case (x, y) => (x ^ y).toByte }
+    def derive(password: String, iterations: Int = 4096): Credentials = {
+      val salt = new Array[Byte](16); rnd.nextBytes(salt)
+      val sp = saltedPassword(password, salt, iterations)
+      Credentials(salt, iterations, sha256(clientKey(sp)), serverKey(sp))
+    }
+  }
+
   // ── server ──────────────────────────────────────────────────────────
 
   /** One wire record-batch as scanned by [[scanBatchHeaders]]:
@@ -733,8 +778,12 @@ object KafkaWire {
         // SASL is per-CONNECTION state, so it lives here rather than in
         // the stateless dispatch table: a broker with saslUsers answers
         // only ApiVersions + the SASL handshake pair until the
-        // connection authenticates, then behaves normally
+        // connection authenticates, then behaves normally. The
+        // handshake SELECTS the mechanism; SCRAM additionally carries a
+        // multi-round session.
         var authed = saslUsers.isEmpty
+        var saslMechanism: String = null
+        var scram: ScramSession = null
         while (running.get) {
           val size = in.readInt()
           val frame = new Array[Byte](size)
@@ -754,7 +803,13 @@ object KafkaWire {
           if (flexibleVersion(apiKey, apiVersion) && apiKey != ApiVersions)
             body.tags()
           apiKey match {
-            case ApiSaslHandshake => handleSaslHandshake(apiVersion, r, body)
+            case ApiSaslHandshake =>
+              saslMechanism = handleSaslHandshake(apiVersion, r, body)
+              scram = null
+            case ApiSaslAuthenticate if saslMechanism == "SCRAM-SHA-256" =>
+              val (done, next) = handleSaslScram(apiVersion, r, body, scram)
+              scram = next
+              authed |= done
             case ApiSaslAuthenticate =>
               authed |= handleSaslAuthenticate(apiVersion, r, body)
             case ApiVersions => dispatch(apiKey, apiVersion, r, body)
@@ -809,15 +864,96 @@ object KafkaWire {
         throw new IllegalArgumentException(s"unsupported api key $other")
     }
 
-    /** SaslHandshake v0–v1 (never flexible): the mechanism menu. Only
-      * PLAIN is spoken — the mechanism the reference's `sasl` config
-      * block defaults to for loopback-style tests.
+    /** SaslHandshake v0–v1 (never flexible): the mechanism menu —
+      * PLAIN (RFC 4616) and SCRAM-SHA-256 (RFC 7677), the two the
+      * reference's `sasl` config block is most commonly set to.
+      * Returns the selected mechanism (null if unsupported).
       */
-    private def handleSaslHandshake(ver: Int, r: Rd, b: Buf): Unit = {
+    private val saslMechanisms = Seq("PLAIN", "SCRAM-SHA-256")
+    private def handleSaslHandshake(ver: Int, r: Rd, b: Buf): String = {
       val mechanism = r.str()
-      if (mechanism == "PLAIN") b.i16(ErrNone)
-      else b.i16(ErrUnsupportedSaslMechanism)
-      b.array(Seq("PLAIN"))(b.str)
+      val ok = saslMechanisms.contains(mechanism)
+      b.i16(if (ok) ErrNone else ErrUnsupportedSaslMechanism)
+      b.array(saslMechanisms)(b.str)
+      if (ok) mechanism else null
+    }
+
+    // SCRAM server credentials, derived ONCE per broker from the
+    // configured users — the broker side never sees plaintext again
+    private lazy val scramCreds: Map[String, Scram.Credentials] =
+      saslUsers.map { case (u, p) => u -> Scram.derive(p) }
+
+    /** One in-flight SCRAM exchange (client-first seen, client-final
+      * pending): the pieces of the RFC 5802 AuthMessage.
+      */
+    private final class ScramSession(val user: String,
+                                     val clientFirstBare: String,
+                                     val serverFirst: String,
+                                     val nonce: String)
+
+    /** SCRAM-SHA-256 over SaslAuthenticate: round 1 answers the
+      * server-first-message (salt + iterations + combined nonce),
+      * round 2 verifies the client proof against StoredKey and answers
+      * the server signature. Returns (authenticated, nextState).
+      */
+    private def handleSaslScram(ver: Int, r: Rd, b: Buf,
+                                st: ScramSession): (Boolean, ScramSession) = {
+      val flex = ver >= 2
+      val auth = new String(if (flex) r.cbytes() else r.bytes(), UTF_8)
+      if (flex) r.tags()
+      def respond(err: Short, msg: String, bytes: Array[Byte]): Unit = {
+        b.i16(err)
+        if (flex) b.cnstr(msg) else b.nstr(msg)
+        if (flex) b.cbytes(bytes) else b.bytes(bytes)
+        if (ver >= 1) b.i64(0L)
+        if (flex) b.tags()
+      }
+      def fail(msg: String): (Boolean, ScramSession) = {
+        respond(ErrSaslAuthenticationFailed, msg, Array.empty[Byte])
+        (false, null)
+      }
+      def attrs(s: String): Map[String, String] =
+        s.split(",").iterator.filter(_.length >= 2)
+          .map(kv => kv.substring(0, 1) -> kv.substring(2)).toMap
+      if (st == null) {
+        // client-first-message = gs2-header "n,," + client-first-bare
+        if (!auth.startsWith("n,,")) return fail("channel binding unsupported")
+        val bare = auth.substring(3)
+        val a = attrs(bare)
+        (a.get("n"), a.get("r")) match {
+          case (Some(user), Some(cnonce)) =>
+            scramCreds.get(user) match {
+              case None => fail("unknown user")
+              case Some(c) =>
+                val combined = cnonce + Scram.nonce()
+                val serverFirst =
+                  s"r=$combined,s=${Scram.b64(c.salt)},i=${c.iterations}"
+                respond(ErrNone, null, serverFirst.getBytes(UTF_8))
+                (false, new ScramSession(user, bare, serverFirst, combined))
+            }
+          case _ => fail("malformed client-first-message")
+        }
+      } else {
+        // client-final-message = c=biws,r=<nonce>,p=<proof>
+        val a = attrs(auth)
+        val c = scramCreds(st.user)
+        if (!a.get("r").contains(st.nonce) || !a.get("c").contains("biws") ||
+            !a.contains("p") || !auth.contains(",p="))
+          return fail("malformed client-final-message")
+        val withoutProof = auth.substring(0, auth.lastIndexOf(",p="))
+        val authMessage =
+          st.clientFirstBare + "," + st.serverFirst + "," + withoutProof
+        val clientSig = Scram.hmac(c.storedKey, authMessage)
+        val recoveredKey = Scram.xor(Scram.unb64(a("p")), clientSig)
+        if (!java.security.MessageDigest.isEqual(
+            Scram.sha256(recoveredKey), c.storedKey))
+          fail("Authentication failed: invalid proof")
+        else {
+          val serverSig = Scram.hmac(c.serverKey, authMessage)
+          respond(ErrNone, null, s"v=${Scram.b64(serverSig)}".getBytes(UTF_8))
+          (true, null)
+        }
+      }
     }
 
     /** SaslAuthenticate v0–v2: RFC 4616 PLAIN — `[authzid] \0 authcid
@@ -1890,7 +2026,8 @@ object KafkaWire {
                      produceCodec: Int = CodecNone,
                      protocol: String = "auto",
                      idempotent: Boolean = false,
-                     saslPlain: Option[(String, String)] = None)
+                     saslPlain: Option[(String, String)] = None,
+                     saslMechanism: String = "PLAIN")
       extends Broker.Transport with Broker.RawBatchTransport {
     require(Set("auto", "legacy", "flexible")(protocol),
       s"protocol must be auto|legacy|flexible, got $protocol")
@@ -1908,22 +2045,65 @@ object KafkaWire {
       })
     def close(): Unit = { conns.values.foreach(_.close()); conns.clear() }
 
-    /** SaslHandshake v1 + SaslAuthenticate v2 with a PLAIN (RFC 4616)
-      * initial response.
+    /** SaslHandshake v1 then the mechanism's SaslAuthenticate v2
+      * exchange: one round for PLAIN (RFC 4616), the client-first /
+      * server-first / client-final / server-final conversation for
+      * SCRAM-SHA-256 (RFC 5802/7677) — the client VERIFIES the server
+      * signature, so a spoofed broker that doesn't know the password
+      * fails the session even after answering error NONE.
       */
     private def authenticate(c: Conn, user: String, pass: String): Unit = {
-      val rh = c.request(ApiSaslHandshake, 1)(b => b.str("PLAIN"))
+      val rh = c.request(ApiSaslHandshake, 1)(b => b.str(saslMechanism))
       val herr = rh.i16()
-      if (herr != ErrNone) throw new WireError(herr, "SaslHandshake PLAIN")
+      if (herr != ErrNone)
+        throw new WireError(herr, s"SaslHandshake $saslMechanism")
       rh.array(rh.str()) // enabled mechanisms
-      val authBytes = ("\u0000" + user + "\u0000" + pass).getBytes(UTF_8)
-      val ra = c.request(ApiSaslAuthenticate, 2) { b =>
-        b.cbytes(authBytes); b.tags()
+      def round(payload: Array[Byte]): Array[Byte] = {
+        val ra = c.request(ApiSaslAuthenticate, 2) { b =>
+          b.cbytes(payload); b.tags()
+        }
+        val aerr = ra.i16()
+        val msg = ra.cstr()
+        val bytes = ra.cbytes()
+        if (aerr != ErrNone)
+          throw new WireError(aerr, s"SaslAuthenticate: $msg")
+        bytes
       }
-      val aerr = ra.i16()
-      val msg = ra.cstr()
-      if (aerr != ErrNone)
-        throw new WireError(aerr, s"SaslAuthenticate: $msg")
+      saslMechanism match {
+        case "PLAIN" =>
+          round(("\u0000" + user + "\u0000" + pass).getBytes(UTF_8))
+          ()
+        case "SCRAM-SHA-256" =>
+          val cnonce = Scram.nonce()
+          val clientFirstBare = s"n=$user,r=$cnonce"
+          val serverFirst =
+            new String(round(("n,," + clientFirstBare).getBytes(UTF_8)), UTF_8)
+          val a = serverFirst.split(",").iterator.filter(_.length >= 2)
+            .map(kv => kv.substring(0, 1) -> kv.substring(2)).toMap
+          val combined = a.getOrElse("r",
+            throw new WireError(ErrSaslAuthenticationFailed,
+              "server-first missing nonce"))
+          require(combined.startsWith(cnonce),
+            "scram: server nonce must extend the client nonce")
+          val salted = Scram.saltedPassword(pass, Scram.unb64(a("s")),
+            a("i").toInt)
+          val clientKey = Scram.clientKey(salted)
+          val withoutProof = s"c=biws,r=$combined"
+          val authMessage =
+            clientFirstBare + "," + serverFirst + "," + withoutProof
+          val proof = Scram.xor(clientKey,
+            Scram.hmac(Scram.sha256(clientKey), authMessage))
+          val serverFinal = new String(round(
+            (withoutProof + ",p=" + Scram.b64(proof)).getBytes(UTF_8)), UTF_8)
+          val expected =
+            "v=" + Scram.b64(Scram.hmac(Scram.serverKey(salted), authMessage))
+          if (serverFinal != expected)
+            throw new WireError(ErrSaslAuthenticationFailed,
+              "scram: server signature mismatch (peer does not know the password)")
+        case other =>
+          throw new WireError(ErrUnsupportedSaslMechanism,
+            s"client mechanism $other")
+      }
     }
 
     def apiVersions(): Map[Int, (Int, Int)] = {
@@ -2704,11 +2884,13 @@ object KafkaWire {
           }
           val s = for (u <- qv("sasl_user"); p <- qv("sasl_pass"))
             yield (u, p)
-          (a, c, kvs.contains("idempotent=true"), s)
+          (a, c, kvs.contains("idempotent=true"),
+            s.map(cred => (cred, qv("sasl_mechanism").getOrElse("PLAIN"))))
       }
       val Array(h, p) = hp.split(":", 2)
       new Client(h, p.toInt, produceCodec = codec, idempotent = idem,
-        saslPlain = sasl)
+        saslPlain = sasl.map(_._1),
+        saslMechanism = sasl.map(_._2).getOrElse("PLAIN"))
     })
   def dropClient(hostPort: String): Unit = {
     clients.remove(hostPort).foreach(_.close())

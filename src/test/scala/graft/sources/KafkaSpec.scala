@@ -426,9 +426,14 @@ class KafkaSpec extends SparkSpec {
       // produce — the pipeline must fail loudly, not write nothing
       val badCfg = writeCfg.replace("password: pw", "password: nope")
       intercept[Exception] { graft.config.Pipeline.run(spark, badCfg) }
+      // SCRAM-SHA-256 from the yaml block works end-to-end too
+      val scramCfg = writeCfg
+        .replace("mechanism: PLAIN", "mechanism: SCRAM-SHA-256")
+        .replace("count: 3", "count: 2")
+      graft.config.Pipeline.run(spark, scramCfg)
       // an unimplemented mechanism is rejected at config time
-      val scramCfg = writeCfg.replace("mechanism: PLAIN", "mechanism: SCRAM-SHA-256")
-      val e = intercept[Exception] { graft.config.Pipeline.run(spark, scramCfg) }
+      val oauthCfg = writeCfg.replace("mechanism: PLAIN", "mechanism: OAUTHBEARER")
+      val e = intercept[Exception] { graft.config.Pipeline.run(spark, oauthCfg) }
       assert(e.getMessage != null && e.getMessage.contains("PLAIN"))
     } finally srv.stop()
   }

@@ -1243,12 +1243,12 @@ class KafkaWireSpec extends SparkSpec {
       val e = intercept[KafkaWire.WireError] { bad.listTopics() }
       assert(e.code == KafkaWire.ErrSaslAuthenticationFailed)
       bad.close()
-      // unknown mechanism: handshake answers 33 + the PLAIN menu
+      // unknown mechanism: handshake answers 33 + the mechanism menu
       val probe = new KafkaWire.Client("127.0.0.1", srv.port)
       try {
-        val rh = probe.rawRequest(17, 1)(b => b.str("SCRAM-SHA-256"))
+        val rh = probe.rawRequest(17, 1)(b => b.str("OAUTHBEARER"))
         assert(rh.i16() == KafkaWire.ErrUnsupportedSaslMechanism)
-        assert(rh.array(rh.str()) == Seq("PLAIN"))
+        assert(rh.array(rh.str()) == Seq("PLAIN", "SCRAM-SHA-256"))
         // the still-unauthenticated connection is killed on a data request
         intercept[Exception] { probe.listTopics() }
       } finally probe.close()
@@ -1256,6 +1256,43 @@ class KafkaWireSpec extends SparkSpec {
       // handshake versions)
       val anon = new KafkaWire.Client("127.0.0.1", srv.port)
       try assert(anon.apiVersions().contains(17)) finally anon.close()
+    } finally srv.stop()
+  }
+
+  test("SASL SCRAM-SHA-256: full RFC 5802 conversation, bad proof rejected") {
+    val srv = new KafkaWire.Server(joinDelayMs = 80,
+      saslUsers = Map("svc" -> "hunter2"))
+    try {
+      val ok = new KafkaWire.Client("127.0.0.1", srv.port,
+        saslPlain = Some(("svc", "hunter2")),
+        saslMechanism = "SCRAM-SHA-256")
+      try {
+        ok.createTopic("scram-t", 1)
+        ok.append("scram-t", 0,
+          Seq(Broker.Record("k".getBytes, "v".getBytes)))
+        assert(new String(ok.fetch("scram-t", 0, 0L, 1L).next().value) == "v")
+      } finally ok.close()
+      // wrong password: the client's proof fails StoredKey verification
+      val bad = new KafkaWire.Client("127.0.0.1", srv.port,
+        saslPlain = Some(("svc", "wrong")),
+        saslMechanism = "SCRAM-SHA-256")
+      val e = intercept[KafkaWire.WireError] { bad.listTopics() }
+      assert(e.code == KafkaWire.ErrSaslAuthenticationFailed)
+      bad.close()
+      // unknown user fails on the FIRST round (before any proof)
+      val ghost = new KafkaWire.Client("127.0.0.1", srv.port,
+        saslPlain = Some(("nobody", "x")),
+        saslMechanism = "SCRAM-SHA-256")
+      val e2 = intercept[KafkaWire.WireError] { ghost.listTopics() }
+      assert(e2.code == KafkaWire.ErrSaslAuthenticationFailed)
+      ghost.close()
+      // the handshake menu advertises both mechanisms
+      val probe = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        val rh = probe.rawRequest(17, 1)(b => b.str("GSSAPI"))
+        assert(rh.i16() == KafkaWire.ErrUnsupportedSaslMechanism)
+        assert(rh.array(rh.str()) == Seq("PLAIN", "SCRAM-SHA-256"))
+      } finally probe.close()
     } finally srv.stop()
   }
 
