@@ -64,7 +64,11 @@ object ThroughputBench {
         // BEFORE the timed phases measures the representative mode
         // instead of sampling a coin flip
         locally {
-          val warm = math.max(10000, msgs / 20)
+          // volume matters: a tiny warmup (msgs/20) JIT-compiled the
+          // copy loop against a single-small-batch profile and the
+          // timed phases inherited it — msgs/5 reproduces the timed
+          // phase's multi-chunk shape per partition
+          val warm = math.max(10000, msgs / 5)
           Broker.transportFor(srcAddr).createTopic("warmup", nParts)
           spark.sparkContext.parallelize(0 until nParts, nParts).foreach { p =>
             val t = Broker.transportFor(srcAddr)
