@@ -493,7 +493,8 @@ object Pipeline {
             require(topics.size == 1,
               "streaming kafka input: one topic per input (use a broker combinator for fan-in)")
             spark.readStream.format("graft.sources.BrokerSourceProvider")
-              .option("address", kafkaAddr(mem, kafkaSaslQuery(b).toSeq))
+              .option("address", kafkaAddr(mem,
+                kafkaSaslQuery(b).toSeq ++ kafkaIsolationQuery(b).toSeq))
               .option("topic", topics.head).load()
           case None =>
             Sources.kafka(spark, addrs.mkString(","), topics.mkString(","))
@@ -675,7 +676,8 @@ object Pipeline {
         val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
         addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
           case Some(mem0) =>
-            val mem = kafkaAddr(mem0, kafkaSaslQuery(b).toSeq)
+            val mem = kafkaAddr(mem0,
+              kafkaSaslQuery(b).toSeq ++ kafkaIsolationQuery(b).toSeq)
             Sources.broker(topics.map(t => Sources.brokerRead(spark, mem, t)))
           case None =>
             // batch runner → bounded earliest→latest scan, NOT the
@@ -1403,6 +1405,17 @@ object Pipeline {
   private def kafkaAddr(addr: String, opts: Seq[String]): String =
     if (!addr.startsWith("kafka://") || opts.isEmpty) addr
     else addr + (if (addr.contains("?")) "&" else "?") + opts.mkString("&")
+
+  /** Kafka input `transaction_isolation_level` (franz_reader.go:67):
+    * read_committed rides the address query so the wire client fetches
+    * at isolation level 1 (LSO-bounded, aborted records withheld).
+    */
+  private def kafkaIsolationQuery(b: JsonNode): Option[String] =
+    Option(b.get("transaction_isolation_level")).map(_.asText).map { lvl =>
+      require(lvl == "read_committed" || lvl == "read_uncommitted",
+        s"transaction_isolation_level: $lvl")
+      s"isolation=$lvl"
+    }
 
   private def awsCreds(b: JsonNode): graft.sources.S3.Credentials =
     graft.sources.S3.Credentials(

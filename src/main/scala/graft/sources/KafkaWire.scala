@@ -91,6 +91,8 @@ object KafkaWire {
   private val ApiCreateTopics = 19
   private val ApiDeleteTopics = 20
   private val ApiInitProducerId = 22
+  private val ApiAddPartitionsToTxn = 24
+  private val ApiEndTxn = 26
   private val ApiSaslAuthenticate = 36
 
   // ── primitive codecs ────────────────────────────────────────────────
@@ -260,7 +262,8 @@ object KafkaWire {
                   codec: Int = CodecNone,
                   producerId: Long = -1L,
                   producerEpoch: Short = -1,
-                  baseSequence: Int = -1): Array[Byte] = {
+                  baseSequence: Int = -1,
+                  attrsExtra: Int = 0): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
     val base = records.head.offset
     val baseTs = records.map(_.timestampMs).min
@@ -272,7 +275,9 @@ object KafkaWire {
     b.i8(2)                                // magic
     val crcPos = b.size; b.i32(0)          // crc (patched)
     val crcFrom = b.size
-    b.i16((codec & 7).toShort)             // attributes: compression bits
+    // attributes: compression bits 0-2; bit 4 = transactional, bit 5 =
+    // control (attrsExtra — the transaction-marker encoder sets both)
+    b.i16(((codec & 7) | attrsExtra).toShort)
     b.i32((records.last.offset - base).toInt) // lastOffsetDelta
     b.i64(baseTs)
     b.i64(maxTs)
@@ -332,12 +337,20 @@ object KafkaWire {
         check.update(buf, pos + 12 + crcFrom, batchLen - crcFrom)
         if (check.getValue != crc)
           throw new CorruptBatch(s"crc mismatch: wire=$crc computed=${check.getValue}")
-        val codec = r.i16() & 7 // attributes: compression bits 0-2
+        val attrs = r.i16()
+        val codec = attrs & 7 // attributes: compression bits 0-2
         r.skip(4) // lastOffsetDelta
         val baseTs = r.i64()
         r.skip(8) // maxTimestamp
         r.skip(8 + 2 + 4) // producerId, producerEpoch, baseSequence
         val count = r.i32()
+        // control batches (bit 5: transaction commit/abort markers)
+        // occupy offsets but never surface as records — consume their
+        // offset range and move on, like every real consumer
+        if ((attrs & 0x20) != 0) {
+          nextAssigned += count
+          pos += 12 + batchLen
+        } else {
         // the records block (everything after recordsCount) is what a
         // producer compressed; decompress it and parse from the plain form
         val rr = if (codec == CodecNone) r
@@ -370,6 +383,7 @@ object KafkaWire {
           i += 1
         }
         pos += 12 + batchLen
+        }
       }
     }
     out.toVector
@@ -397,6 +411,8 @@ object KafkaWire {
     case ApiDescribeGroups => ver >= 5
     case ApiDeleteTopics => ver >= 4
     case ApiSaslAuthenticate => ver >= 2
+    case ApiAddPartitionsToTxn => ver >= 3
+    case ApiEndTxn => ver >= 3
     case _ => false // SaslHandshake is never flexible
   }
 
@@ -471,7 +487,11 @@ object KafkaWire {
   final case class BatchInfo(pos: Int, len: Int, base: Long, count: Int,
                              producerId: Long = -1L,
                              producerEpoch: Short = -1,
-                             baseSeq: Int = -1)
+                             baseSeq: Int = -1,
+                             attrs: Short = 0) {
+    def isTransactional: Boolean = (attrs & 0x10) != 0
+    def isControl: Boolean = (attrs & 0x20) != 0
+  }
 
   /** Header-only walk of a record set: validates magic + CRC per batch
     * and returns (position, length, baseOffset, recordCount) without
@@ -497,13 +517,15 @@ object KafkaWire {
         if (check.getValue != crc)
           throw new CorruptBatch(
             s"crc mismatch: wire=$crc computed=${check.getValue}")
-        r.skip(2 + 4 + 8 + 8) // attrs, lastOffsetDelta, baseTs, maxTs
+        val attrs = r.i16()
+        r.skip(4 + 8 + 8) // lastOffsetDelta, baseTs, maxTs
         val pid = r.i64()
         val pEpoch = r.i16()
         val baseSeq = r.i32()
         val count = r.i32()
         if (count < 0) throw new CorruptBatch(s"negative record count $count")
-        out += BatchInfo(pos, 12 + batchLen, base, count, pid, pEpoch, baseSeq)
+        out += BatchInfo(pos, 12 + batchLen, base, count, pid, pEpoch,
+          baseSeq, attrs)
         pos += 12 + batchLen
       }
     }
@@ -522,7 +544,8 @@ object KafkaWire {
   private final class PartitionLog(partition: Int) {
     private final class Entry(val base: Long, val count: Int,
                               val bytes: Array[Byte],
-                              preParsed: Vector[Broker.Stored]) {
+                              preParsed: Vector[Broker.Stored],
+                              val producerId: Long = -1L) {
       lazy val records: Vector[Broker.Stored] =
         if (preParsed != null) preParsed
         else decodeBatches(bytes, partition, assignFrom = None).toVector
@@ -544,6 +567,41 @@ object KafkaWire {
     /** Sequences are int31 and wrap (KIP-98). */
     private def seqAdd(seq: Int, n: Int): Int =
       ((seq.toLong + n) % 0x80000000L).toInt
+
+    // ── transaction state (KIP-98 EOS, the read_committed side):
+    // open txns by producer id → first offset of the txn on this
+    // partition; aborted ranges (pid, firstOffset, markerOffset).
+    // A partition that never sees a transactional batch keeps both
+    // empty — the raw-passthrough fetch fast path stays untouched. ──
+    private val openTxns = mutable.Map.empty[Long, Long]
+    private val abortedRanges = ArrayBuffer.empty[(Long, Long, Long)]
+    def hasTxnState: Boolean =
+      synchronized(openTxns.nonEmpty || abortedRanges.nonEmpty)
+    /** Last stable offset: everything below is decided. */
+    def lso: Long = synchronized(
+      if (openTxns.isEmpty) endOff else openTxns.values.min)
+
+    /** Write the transaction marker (a CONTROL batch — attribute bits
+      * 4+5, one record whose key is [version=0, type] and whose value
+      * is [version=0, coordinator_epoch=0]) and close the txn's range.
+      * No-op when this partition has no open txn for the pid.
+      */
+    def endTxn(pid: Long, epoch: Short, commit: Boolean): Unit =
+      synchronized {
+        openTxns.remove(pid).foreach { first =>
+          if (!commit) abortedRanges += ((pid, first, endOff))
+          val key = ByteBuffer.allocate(4)
+            .putShort(0).putShort(if (commit) 1 else 0).array()
+          val value = ByteBuffer.allocate(6).putShort(0).putInt(0).array()
+          val marker = encodeBatch(
+            Seq(Broker.Stored(partition, endOff, key, value, Map.empty, 0L)),
+            CodecNone, pid, epoch, -1, attrsExtra = 0x30)
+          // control records occupy an offset but never surface: the
+          // record-level view is pinned empty
+          entries += new Entry(endOff, 1, marker, Vector.empty, pid)
+          endOff += 1
+        }
+      }
 
     /** Validate one producer batch against this partition's state.
       * Left(base) = exact duplicate of a cached batch (ack `base`,
@@ -626,7 +684,13 @@ object KafkaWire {
               // patch baseOffset (bytes 0-7, big-endian) to the assigned base
               var v = endOff; var i = 7
               while (i >= 0) { bytes(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
-              entries += new Entry(endOff, b.count, bytes, null)
+              entries += new Entry(endOff, b.count, bytes, null, b.producerId)
+              // a transactional data batch opens (or extends) its pid's
+              // txn on this partition — the LSO holds below it until
+              // EndTxn writes the marker
+              if (b.isTransactional && !b.isControl && b.producerId >= 0L) {
+                openTxns.getOrElseUpdate(b.producerId, endOff); ()
+              }
               if (slot != null) {
                 val lastSeq = seqAdd(b.baseSeq, b.count - 1)
                 slot.recent.append((b.baseSeq, lastSeq, endOff))
@@ -642,9 +706,18 @@ object KafkaWire {
       }
     }
 
-    def slice(from: Long, limit: Int): Vector[Broker.Stored] = {
-      val (snapshot, hw) = synchronized((entries.toVector, endOff))
-      if (from >= hw) return Vector.empty
+    /** Record-level read. `until` bounds the scan (the read_committed
+      * path passes the LSO); `committedOnly` additionally drops whole
+      * batches inside aborted transaction ranges (batch granularity is
+      * exact — a txn's range only ever contains its own pid's batches
+      * plus interleaved OTHER-pid batches, which stay visible).
+      */
+    def slice(from: Long, limit: Int, until: Long = Long.MaxValue,
+              committedOnly: Boolean = false): Vector[Broker.Stored] = {
+      val (snapshot, hw, abortedSnap) = synchronized(
+        (entries.toVector, endOff,
+          if (committedOnly) abortedRanges.toVector else Vector.empty))
+      if (from >= hw || from >= until) return Vector.empty
       val start = math.max(0, {
         var lo = 0; var hi = snapshot.length - 1; var ans = 0
         while (lo <= hi) {
@@ -657,9 +730,16 @@ object KafkaWire {
       val out = Vector.newBuilder[Broker.Stored]
       var n = 0
       var i = start
-      while (i < snapshot.length && n < limit) {
-        snapshot(i).records.foreach { r =>
-          if (r.offset >= from && n < limit) { out += r; n += 1 }
+      while (i < snapshot.length && n < limit &&
+             snapshot(i).base < until) {
+        val e = snapshot(i)
+        val dropAborted = committedOnly && abortedSnap.exists { case (pid, f, m) =>
+          e.producerId == pid && e.base >= f && e.base < m
+        }
+        if (!dropAborted) e.records.foreach { r =>
+          if (r.offset >= from && r.offset < until && n < limit) {
+            out += r; n += 1
+          }
         }
         i += 1
       }
@@ -736,6 +816,9 @@ object KafkaWire {
     private val producerEpochs = TrieMap.empty[Long, Short]
     private val txnProducers = TrieMap.empty[String, Long]
     private val nextProducerId = new AtomicLong(1L)
+    // partitions each producer id has added to its current transaction
+    // (AddPartitionsToTxn) — EndTxn writes markers to exactly these
+    private val txnPartitions = TrieMap.empty[Long, Set[(String, Int)]]
     private val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     val port: Int = server.getLocalPort
@@ -860,8 +943,81 @@ object KafkaWire {
       case ApiListGroups => handleListGroups(ver, r, b)
       case ApiDescribeGroups => handleDescribeGroups(ver, r, b)
       case ApiDeleteTopics => handleDeleteTopics(ver, r, b)
+      case ApiAddPartitionsToTxn => handleAddPartitionsToTxn(ver, r, b)
+      case ApiEndTxn => handleEndTxn(ver, r, b)
       case other =>
         throw new IllegalArgumentException(s"unsupported api key $other")
+    }
+
+    /** AddPartitionsToTxn v0–v3 (the pre-KIP-890 shape, flexible at
+      * v3): register the partitions the producer's current transaction
+      * will touch — EndTxn writes markers to exactly these. A stale
+      * epoch is fenced here, before any data moves.
+      */
+    private def handleAddPartitionsToTxn(ver: Int, r: Rd, b: Buf): Unit = {
+      val flex = ver >= 3
+      if (flex) r.cstr() else r.str() // transactional_id
+      val pid = r.i64()
+      val epoch = r.i16()
+      val asked: Seq[(String, Seq[Int])] =
+        if (flex) r.carray {
+          val t = r.cstr(); val ps = r.carray(r.i32()); r.tags(); (t, ps)
+        } else r.array { (r.str(), r.array(r.i32())) }
+      if (flex) r.tags()
+      val fenced = producerEpochs.get(pid) match {
+        case Some(cur) => epoch < cur
+        case None => true // unknown pid cannot transact
+      }
+      def partErr(t: String, p: Int): Short =
+        if (fenced) ErrInvalidProducerEpoch
+        else if (!topics.get(t).exists(_.isDefinedAt(p)))
+          ErrUnknownTopicOrPartition
+        else {
+          txnPartitions.updateWith(pid) {
+            case Some(s) => Some(s + ((t, p)))
+            case None => Some(Set((t, p)))
+          }
+          ErrNone
+        }
+      b.i32(0) // throttle
+      if (flex) {
+        b.carray(asked) { case (t, ps) =>
+          b.cstr(t)
+          b.carray(ps) { p => b.i32(p); b.i16(partErr(t, p)); b.tags() }
+          b.tags()
+        }
+        b.tags()
+      } else b.array(asked) { case (t, ps) =>
+        b.str(t)
+        b.array(ps) { p => b.i32(p); b.i16(partErr(t, p)) }
+      }
+    }
+
+    /** EndTxn v0–v3 (flexible at v3): write the commit/abort marker (a
+      * control batch) to every partition the transaction touched and
+      * release the LSO there.
+      */
+    private def handleEndTxn(ver: Int, r: Rd, b: Buf): Unit = {
+      val flex = ver >= 3
+      if (flex) r.cstr() else r.str() // transactional_id
+      val pid = r.i64()
+      val epoch = r.i16()
+      val committed = r.i8() != 0
+      if (flex) r.tags()
+      val err: Short = producerEpochs.get(pid) match {
+        case Some(cur) if epoch >= cur =>
+          txnPartitions.remove(pid).getOrElse(Set.empty).foreach {
+            case (t, p) =>
+              topics.get(t).flatMap(_.lift(p))
+                .foreach(_.endTxn(pid, epoch, committed))
+          }
+          ErrNone
+        case Some(_) => ErrInvalidProducerEpoch
+        case None => ErrUnknownProducerId
+      }
+      b.i32(0) // throttle
+      b.i16(err)
+      if (flex) b.tags()
     }
 
     /** SaslHandshake v0–v1 (never flexible): the mechanism menu —
@@ -1170,7 +1326,8 @@ object KafkaWire {
             ApiCreateTopics -> (1, 1), ApiInitProducerId -> (0, 4),
             ApiListGroups -> (0, 4), ApiDescribeGroups -> (0, 5),
             ApiDeleteTopics -> (0, 6), ApiSaslHandshake -> (0, 1),
-            ApiSaslAuthenticate -> (0, 2))
+            ApiSaslAuthenticate -> (0, 2), ApiAddPartitionsToTxn -> (0, 3),
+            ApiEndTxn -> (0, 3))
           if (ver >= 3) { // flexible BODY (response header stays v0)
             r.cstr(); r.cstr(); r.tags() // client_software_name/version
             b.i16(ErrNone)
@@ -1386,13 +1543,42 @@ object KafkaWire {
           b.i32(0) // throttle
     }
 
+    /** Shared per-partition fetch serving: (error, endToReport, bytes).
+      * isolation 1 (read_committed, KIP-98) reports the LSO as the end
+      * offset and serves only committed records; the raw batch
+      * passthrough (fetchCodec honored only on the re-encode fallback,
+      * like a real broker serving producer compression as-is) runs for
+      * read_uncommitted — control batches travel verbatim and consumers
+      * skip them, exactly the real contract.
+      */
+    private def serveFetch(logOpt: Option[PartitionLog], off: Long,
+                           isolation: Int): (Short, Long, Array[Byte]) =
+      logOpt match {
+        case Some(log) =>
+          val committed = isolation == 1
+          val end = if (committed) log.lso else log.end
+          if (off > end) (ErrOffsetOutOfRange, end, Array.empty[Byte])
+          else {
+            val bytes = (if (fetchCodec == CodecNone && !committed)
+                log.rawSlice(off, maxFetchRecords) else None)
+              .getOrElse {
+                val recs = log.slice(off, maxFetchRecords, end, committed)
+                if (recs.isEmpty) Array.empty[Byte]
+                else encodeBatch(recs, fetchCodec)
+              }
+            (ErrNone, end, bytes)
+          }
+        case None => (ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
+      }
+
     private def handleFetchFlex(ver: Int, r: Rd, b: Buf): Unit = {
           // v12/v13 flexible: v13 addresses topics by KIP-516 topic id,
           // v12 (the first flexible fetch) still by name; the rest of the
           // shape is shared. Incremental-session fields are present but
           // sessions unused (0/-1 from our client = full fetch, like a
           // sessionless consumer).
-          r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+          r.i32(); r.i32(); r.i32(); r.i32() // replica/wait/min/max
+          val isolation = r.i8().toInt
           r.i32(); r.i32() // session_id, session_epoch
           val byId = topics.keys.map(n => topicUuid(n) -> n).toMap
           val results = r.carray {
@@ -1406,25 +1592,10 @@ object KafkaWire {
               r.i64()  // log_start_offset
               r.i32()  // partition_max_bytes
               r.tags()
-              (if (topic == null) None else topics.get(topic).flatMap(_.lift(p))) match {
-                case Some(log) =>
-                  val end = log.end
-                  if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
-                  else {
-                    // batch passthrough at boundaries (fetchCodec honored
-                    // only on the re-encode fallback, like a real broker
-                    // serving producer compression as-is)
-                    val bytes = (if (fetchCodec == CodecNone)
-                        log.rawSlice(off, maxFetchRecords) else None)
-                      .getOrElse {
-                        val recs = log.slice(off, maxFetchRecords)
-                        if (recs.isEmpty) Array.empty[Byte]
-                        else encodeBatch(recs, fetchCodec)
-                      }
-                    (p, ErrNone, end, bytes)
-                  }
-                case None => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
-              }
+              val (err, end, bytes) = serveFetch(
+                if (topic == null) None else topics.get(topic).flatMap(_.lift(p)),
+                off, isolation)
+              (p, err, end, bytes)
             }
             r.tags()
             (tid, topic, parts)
@@ -1460,7 +1631,8 @@ object KafkaWire {
           // rack_id at v11; response grows: log_start_offset at v5,
           // top-level error + session_id at v7, preferred_read_replica
           // at v11.
-          r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+          r.i32(); r.i32(); r.i32(); r.i32() // replica/wait/min/max
+          val isolation = r.i8().toInt
           if (ver >= 7) { r.i32(); r.i32() } // session_id, session_epoch
           val results = r.array {
             val topic = r.str()
@@ -1470,22 +1642,9 @@ object KafkaWire {
               val off = r.i64()
               r.i64() // log_start_offset
               r.i32() // partition_max_bytes
-              topics.get(topic).map(_.lift(p)) match {
-                case Some(Some(log)) =>
-                  val end = log.end
-                  if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
-                  else {
-                    val bytes = (if (fetchCodec == CodecNone)
-                        log.rawSlice(off, maxFetchRecords) else None)
-                      .getOrElse {
-                        val recs = log.slice(off, maxFetchRecords)
-                        if (recs.isEmpty) Array.empty[Byte]
-                        else encodeBatch(recs, fetchCodec)
-                      }
-                    (p, ErrNone, end, bytes)
-                  }
-                case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
-              }
+              val (err, end, bytes) = serveFetch(
+                topics.get(topic).flatMap(_.lift(p)), off, isolation)
+              (p, err, end, bytes)
             }
             (topic, parts)
           }
@@ -1506,27 +1665,15 @@ object KafkaWire {
     }
 
     private def handleFetchV4(ver: Int, r: Rd, b: Buf): Unit = {
-          r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+          r.i32(); r.i32(); r.i32(); r.i32() // replica/wait/min/max
+          val isolation = r.i8().toInt
           val results = r.array {
             val topic = r.str()
             val parts = r.array {
               val p = r.i32(); val off = r.i64(); r.i32() // partition_max_bytes
-              topics.get(topic).map(_.lift(p)) match {
-                case Some(Some(log)) =>
-                  val end = log.end
-                  if (off > end) (p, ErrOffsetOutOfRange, end, Array.empty[Byte])
-                  else {
-                    val bytes = (if (fetchCodec == CodecNone)
-                        log.rawSlice(off, maxFetchRecords) else None)
-                      .getOrElse {
-                        val recs = log.slice(off, maxFetchRecords)
-                        if (recs.isEmpty) Array.empty[Byte]
-                        else encodeBatch(recs, fetchCodec)
-                      }
-                    (p, ErrNone, end, bytes)
-                  }
-                case _ => (p, ErrUnknownTopicOrPartition, -1L, Array.empty[Byte])
-              }
+              val (err, end, bytes) = serveFetch(
+                topics.get(topic).flatMap(_.lift(p)), off, isolation)
+              (p, err, end, bytes)
             }
             (topic, parts)
           }
@@ -2027,10 +2174,18 @@ object KafkaWire {
                      protocol: String = "auto",
                      idempotent: Boolean = false,
                      saslPlain: Option[(String, String)] = None,
-                     saslMechanism: String = "PLAIN")
+                     saslMechanism: String = "PLAIN",
+                     isolation: String = "read_uncommitted")
       extends Broker.Transport with Broker.RawBatchTransport {
     require(Set("auto", "legacy", "flexible")(protocol),
       s"protocol must be auto|legacy|flexible, got $protocol")
+    require(Set("read_uncommitted", "read_committed")(isolation),
+      s"isolation must be read_uncommitted|read_committed, got $isolation")
+    // the fetch isolation byte (franz_reader.go:70's
+    // transaction_isolation_level): 1 = read_committed — the broker
+    // bounds the read at the LSO and withholds aborted records
+    private val isolationByte: Int =
+      if (isolation == "read_committed") 1 else 0
     private val conns = TrieMap.empty[Long, Conn]
     private def conn: Conn =
       conns.getOrElseUpdate(Thread.currentThread().getId, {
@@ -2274,7 +2429,8 @@ object KafkaWire {
       if (flexData) {
           val tid = topicIdOf(topic)
           val r = conn.request(ApiFetch, 13) { b =>
-            b.i32(-1); b.i32(100); b.i32(1); b.i32(4 * 1024 * 1024); b.i8(0)
+            b.i32(-1); b.i32(100); b.i32(1); b.i32(4 * 1024 * 1024)
+            b.i8(isolationByte)
             b.i32(0); b.i32(-1) // session_id, session_epoch (sessionless)
             b.carray(Seq(topic)) { _ =>
               b.uuid(tid._1, tid._2)
@@ -2306,7 +2462,8 @@ object KafkaWire {
           out0
         } else {
           val r = conn.request(ApiFetch, 4) { b =>
-            b.i32(-1); b.i32(100); b.i32(1); b.i32(4 * 1024 * 1024); b.i8(0)
+            b.i32(-1); b.i32(100); b.i32(1); b.i32(4 * 1024 * 1024)
+            b.i8(isolationByte)
             b.array(Seq(topic)) { t =>
               b.str(t)
               b.array(Seq(partition)) { p => b.i32(p); b.i64(cur); b.i32(1024 * 1024) }
@@ -2759,6 +2916,55 @@ object KafkaWire {
       if (flex) { r.carray(one()); r.tags() } else r.array(one())
       ()
     }
+
+    /** AddPartitionsToTxn at the negotiated version: register the
+      * partitions this producer's open transaction will write.
+      */
+    def addPartitionsToTxn(transactionalId: String, pid: Long, epoch: Short,
+                           parts: Seq[(String, Int)]): Unit = {
+      val ver = negotiated(ApiAddPartitionsToTxn, 3, 0)
+      val flex = ver >= 3
+      val byTopic = parts.groupBy(_._1).toSeq.sortBy(_._1)
+      val r = conn.request(ApiAddPartitionsToTxn, ver) { b =>
+        if (flex) b.cstr(transactionalId) else b.str(transactionalId)
+        b.i64(pid); b.i16(epoch)
+        if (flex) {
+          b.carray(byTopic) { case (t, ps) =>
+            b.cstr(t); b.carray(ps.map(_._2))(b.i32); b.tags()
+          }
+          b.tags()
+        } else b.array(byTopic) { case (t, ps) =>
+          b.str(t); b.array(ps.map(_._2))(b.i32)
+        }
+      }
+      r.i32() // throttle
+      def one(): Unit = {
+        r.i32(); val err = r.i16()
+        if (flex) r.tags()
+        if (err != ErrNone)
+          throw new WireError(err, s"AddPartitionsToTxn $transactionalId")
+      }
+      if (flex) {
+        r.carray { r.cstr(); r.carray(one()); r.tags() }; r.tags()
+      } else r.array { r.str(); r.array(one()) }
+      ()
+    }
+
+    /** EndTxn at the negotiated version: commit or abort. */
+    def endTxn(transactionalId: String, pid: Long, epoch: Short,
+               commit: Boolean): Unit = {
+      val ver = negotiated(ApiEndTxn, 3, 0)
+      val flex = ver >= 3
+      val r = conn.request(ApiEndTxn, ver) { b =>
+        if (flex) b.cstr(transactionalId) else b.str(transactionalId)
+        b.i64(pid); b.i16(epoch); b.i8(if (commit) 1 else 0)
+        if (flex) b.tags()
+      }
+      r.i32() // throttle
+      val err = r.i16()
+      if (err != ErrNone)
+        throw new WireError(err, s"EndTxn $transactionalId")
+    }
   }
 
   // ── ConsumerProtocol subscription/assignment (public format) ────────
@@ -2870,8 +3076,8 @@ object KafkaWire {
     */
   def clientFor(hostPort: String): Client =
     clients.getOrElseUpdate(hostPort, {
-      val (hp, codec, idem, sasl) = hostPort.split("\\?", 2) match {
-        case Array(a) => (a, CodecNone, false, None)
+      val (hp, codec, idem, sasl, iso) = hostPort.split("\\?", 2) match {
+        case Array(a) => (a, CodecNone, false, None, "read_uncommitted")
         case Array(a, q) =>
           val kvs = q.split("&").toSeq
           val c = kvs.collectFirst {
@@ -2885,12 +3091,14 @@ object KafkaWire {
           val s = for (u <- qv("sasl_user"); p <- qv("sasl_pass"))
             yield (u, p)
           (a, c, kvs.contains("idempotent=true"),
-            s.map(cred => (cred, qv("sasl_mechanism").getOrElse("PLAIN"))))
+            s.map(cred => (cred, qv("sasl_mechanism").getOrElse("PLAIN"))),
+            qv("isolation").getOrElse("read_uncommitted"))
       }
       val Array(h, p) = hp.split(":", 2)
       new Client(h, p.toInt, produceCodec = codec, idempotent = idem,
         saslPlain = sasl.map(_._1),
-        saslMechanism = sasl.map(_._2).getOrElse("PLAIN"))
+        saslMechanism = sasl.map(_._2).getOrElse("PLAIN"),
+        isolation = iso)
     })
   def dropClient(hostPort: String): Unit = {
     clients.remove(hostPort).foreach(_.close())

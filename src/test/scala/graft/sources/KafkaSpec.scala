@@ -379,6 +379,44 @@ class KafkaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka yaml transaction_isolation_level: read_committed hides aborted data") {
+    val srv = new KafkaWire.Server()
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      c.createTopic("iso-t", 1)
+      c.append("iso-t", 0, Seq(Broker.Record(null, """{"k":"keep"}""".getBytes)))
+      val (pid, ep) = c.initProducerId("iso-tx")
+      c.addPartitionsToTxn("iso-tx", pid, ep, Seq(("iso-t", 0)))
+      c.appendRawBatches("iso-t", 0, KafkaWire.encodeBatch(
+        Seq(Broker.Stored(0, 0L, null, """{"k":"dropped"}""".getBytes,
+          Map.empty, 1L)),
+        producerId = pid, producerEpoch = ep, baseSequence = 0,
+        attrsExtra = 0x10))
+      c.endTxn("iso-tx", pid, ep, commit = false)
+      c.close()
+      def readWith(level: String, out: String): Unit =
+        graft.config.Pipeline.run(spark,
+          s"""input:
+             |  kafka:
+             |    seed_brokers: ["kafka://127.0.0.1:${srv.port}"]
+             |    topics: [iso-t]
+             |    transaction_isolation_level: $level
+             |output:
+             |  parquet:
+             |    path: $out
+             |""".stripMargin)
+      readWith("read_committed", "/tmp/kafka_iso_committed")
+      readWith("read_uncommitted", "/tmp/kafka_iso_uncommitted")
+      val committed = spark.read.parquet("/tmp/kafka_iso_committed")
+        .select(col("value")).as[String].collect().toSet
+      val uncommitted = spark.read.parquet("/tmp/kafka_iso_uncommitted")
+        .select(col("value")).as[String].collect().toSet
+      assert(committed == Set("""{"k":"keep"}"""))
+      assert(uncommitted ==
+        Set("""{"k":"keep"}""", """{"k":"dropped"}"""))
+    } finally srv.stop()
+  }
+
   test("kafka yaml sasl block: PLAIN credentials flow to the wire client") {
     // a SASL-gated broker (inputs/kafka.adoc `sasl` block): the yaml
     // credentials must reach every connection the transport opens —

@@ -1296,6 +1296,65 @@ class KafkaWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("transactions: read_committed honors the LSO and hides aborted ranges") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      val cc = new KafkaWire.Client("127.0.0.1", srv.port,
+        isolation = "read_committed")
+      try {
+        c.createTopic("txn", 1)
+        assert(c.apiVersions().get(24).contains((0, 3))) // AddPartitionsToTxn
+        assert(c.apiVersions().get(26).contains((0, 3))) // EndTxn
+        def rec(s: String, off: Long = 0L) = Broker.Stored(0, off,
+          null, s.getBytes, Map.empty, 1L)
+        // plain record at offset 0
+        c.append("txn", 0, Seq(Broker.Record(null, "plain".getBytes)))
+        // open a transaction, write offsets 1-2
+        val (pid, ep) = c.initProducerId("tx-1")
+        c.addPartitionsToTxn("tx-1", pid, ep, Seq(("txn", 0)))
+        val txBatch = KafkaWire.encodeBatch(Seq(rec("t0"), rec("t1", 1L)),
+          producerId = pid, producerEpoch = ep, baseSequence = 0,
+          attrsExtra = 0x10)
+        c.appendRawBatches("txn", 0, txBatch)
+        // OPEN txn: read_committed stops at the LSO (1); uncommitted sees all
+        assert(cc.fetch("txn", 0, 0L, 10L).toVector.map(_.offset) == Seq(0L))
+        assert(c.fetch("txn", 0, 0L, 10L).toVector.map(_.offset) ==
+          Seq(0L, 1L, 2L))
+        assert(cc.endOffset("txn", 0) == 3L) // ListOffsets is hwm-based
+        // ABORT: marker at 3; committed reader skips the aborted range
+        c.endTxn("tx-1", pid, ep, commit = false)
+        assert(c.endOffset("txn", 0) == 4L)
+        assert(c.fetch("txn", 0, 0L, 10L).toVector.map(_.offset) ==
+          Seq(0L, 1L, 2L), "uncommitted sees aborted data, never markers")
+        assert(cc.fetch("txn", 0, 0L, 10L).toVector.map(_.offset) == Seq(0L),
+          "committed skips the aborted range and the marker")
+        // COMMIT: a second txn at offsets 4-5, marker at 6
+        val (pid2, ep2) = c.initProducerId("tx-2")
+        c.addPartitionsToTxn("tx-2", pid2, ep2, Seq(("txn", 0)))
+        val txBatch2 = KafkaWire.encodeBatch(Seq(rec("c0", 4L), rec("c1", 5L)),
+          producerId = pid2, producerEpoch = ep2, baseSequence = 0,
+          attrsExtra = 0x10)
+        c.appendRawBatches("txn", 0, txBatch2)
+        c.endTxn("tx-2", pid2, ep2, commit = true)
+        val committed = cc.fetch("txn", 0, 0L, 10L).toVector
+        assert(committed.map(_.offset) == Seq(0L, 4L, 5L),
+          s"committed view: ${committed.map(_.offset)}")
+        assert(new String(committed(1).value) == "c0")
+        assert(c.fetch("txn", 0, 0L, 10L).toVector.map(_.offset) ==
+          Seq(0L, 1L, 2L, 4L, 5L))
+        // a fenced epoch cannot end a transaction
+        val (pid3, ep3) = c.initProducerId("tx-3")
+        c.addPartitionsToTxn("tx-3", pid3, ep3, Seq(("txn", 0)))
+        val (_, ep3b) = c.initProducerId("tx-3") // bump fences ep3
+        assert(ep3b == ep3 + 1)
+        val e = intercept[KafkaWire.WireError] {
+          c.endTxn("tx-3", pid3, ep3, commit = true)
+        }
+        assert(e.code == KafkaWire.ErrInvalidProducerEpoch)
+      } finally { c.close(); cc.close() }
+    }
+  }
+
   test("wire-to-wire migration discovers groups via ListGroups") {
     val src = new KafkaWire.Server(joinDelayMs = 80)
     val dst = new KafkaWire.Server(joinDelayMs = 80)
