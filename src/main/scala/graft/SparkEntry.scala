@@ -1661,22 +1661,41 @@ object SparkEntry {
         .select(to_json(struct(col("event_id"), col("user_id"),
           col("event_type"), col("value"),
           unix_micros(col("ts")).as("ts_us"))).as("value"))
+        // the per-row ILP encode+decode dominates this gate; the events
+        // scan yields only as many partitions as row groups (4 at sf1),
+        // so spread the kernel over every core — the shuffle moves the
+        // same bytes the sink writes, a fair trade at any SF
+        .repartition(s.sparkContext.defaultParallelism)
       QuestDb.writeSharded(docs, names.map(n => s"mem://$n"), "events",
         symbols = Set("event_type"), doubles = Set("value"),
         designatedTimestampField = "ts_us",
         designatedTimestampUnit = "micros")
-      val rows = svcs.flatMap(_.rows("events")).map { case (m, ts) =>
-        org.apache.spark.sql.Row(
-          m("event_id").asInstanceOf[Long],
-          m("user_id").asInstanceOf[Long],
-          m("event_type").asInstanceOf[String],
-          m("value").asInstanceOf[Double],
-          ts.map(_ / 1000L).getOrElse(0L))
+      // re-materialize the decoded rows DISTRIBUTED: tasks read slices
+      // of each shard's row buffer by name (same single-JVM registry
+      // access pattern as Broker.InMemory) instead of one driver-side
+      // flatMap + parallelize of the whole table — at sf1 that driver
+      // funnel, not the sink, was the gate's floor
+      val specs = names.flatMap { n =>
+        val cnt = QuestDb.named(n).rowCount("events")
+        val per = math.max(1, (cnt + 7) / 8)
+        (0 until cnt by per).map(a => (n, a, math.min(a + per, cnt)))
       }
+      val rowsRdd = s.sparkContext
+        .parallelize(specs, math.max(specs.size, 1))
+        .flatMap { case (n, a, b) =>
+          QuestDb.named(n).rowsSlice("events", a, b).map { case (m, ts) =>
+            org.apache.spark.sql.Row(
+              m("event_id").asInstanceOf[Long],
+              m("user_id").asInstanceOf[Long],
+              m("event_type").asInstanceOf[String],
+              m("value").asInstanceOf[Double],
+              ts.map(_ / 1000L).getOrElse(0L))
+          }
+        }
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "event_id bigint, user_id bigint, event_type string, " +
           "value double, ts_us bigint")
-      val out = s.createDataFrame(s.sparkContext.parallelize(rows, 8), schema)
+      val out = s.createDataFrame(rowsRdd, schema)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), timestamp_micros(col("ts_us")).as("ts"))
         .orderBy(col("event_id"))
@@ -2907,6 +2926,71 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .localCheckpoint()
       KafkaWire.dropClient(hostPort)
+      srv.stop()
+      out
+    }),
+
+    "p_kafka_txn" -> ((s, d) => {
+      // transactional produce end-to-end (KIP-98 EOS; the broker
+      // semantics franz_writer.go's transactional sessions rely on
+      // Redpanda for): the kafka output's `transactional_id` wraps
+      // each partition task's produce in AddPartitionsToTxn →
+      // transactional batches → EndTxn(commit), aborting on task
+      // failure. The gate plants a FAILED first attempt (30 rows per
+      // partition, dies before EndTxn → abort markers), then runs the
+      // committed write; a read_committed consumer must see ONLY the
+      // committed rows — at offsets PAST the aborted ones, proving
+      // skip-by-marker rather than stop-at-LSO — while
+      // read_uncommitted also surfaces the 60 aborted rows.
+      import graft.sources.{Broker, KafkaWire, Sources}
+      val srv = new KafkaWire.Server()
+      val hostPort = s"127.0.0.1:${srv.port}"
+      val txnHostPort = s"$hostPort?transactional_id=gate"
+      val addr = s"kafka://$txnHostPort"
+      val t = Broker.transportFor(addr)
+      t.createTopic("docs", 2)
+      // failed attempt: the same per-task txn session brokerWrite runs,
+      // driven directly so the mid-stream death is deterministic —
+      // 30 synthetic rows per partition land at offsets 0-29, the
+      // abort marker at 30
+      val txc = KafkaWire.clientFor(txnHostPort)
+      Seq(0, 1).foreach { p =>
+        try txc.transactional("docs", p) {
+          txc.append("docs", p, (0 until 30).map(i =>
+            Broker.Record(null, s"aborted_$p$i".getBytes)))
+          throw new RuntimeException("injected task failure")
+        } catch { case e: RuntimeException
+          if e.getMessage == "injected task failure" => }
+      }
+      // the committed write: the config path's address (the kafka
+      // output with `transactional_id: gate` builds exactly this) —
+      // per-partition transactions commit, so committed data starts
+      // at offset 31 on each partition
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      sinks.Sinks.brokerWrite(docs, addr, "docs", col("doc_id"),
+        col("text"), col("doc_id"), partitionCol = Some(col("doc_id") % 2))
+      // read_uncommitted sees committed + aborted data (markers are
+      // skipped by the record decode); read_committed sees neither
+      // the aborted rows nor the markers
+      val uncommitted = Sources.brokerRead(s, s"kafka://$hostPort", "docs")
+        .count()
+      val committed = Sources.brokerRead(s,
+          s"kafka://$hostPort?isolation=read_committed", "docs")
+        .select(
+          col("metadata")("kafka_key").cast("long").as("doc_id"),
+          col("metadata")("kafka_partition").cast("long")
+            .as("kafka_partition"),
+          col("metadata")("kafka_offset").cast("long").as("kafka_offset"),
+          col("value").as("text"))
+      val committedCnt = docs.count()
+      val out = committed
+        .withColumn("aborted_visible", lit(uncommitted - committedCnt))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      KafkaWire.dropClient(txnHostPort)
+      KafkaWire.dropClient(hostPort)
+      KafkaWire.dropClient(s"$hostPort?isolation=read_committed")
       srv.stop()
       out
     }),
@@ -4712,11 +4796,17 @@ object SparkEntry {
       "oracle-gated via t_simhash_md5 (md5 feature hashes DuckDB can " +
       "recompute); pair-mining recall ≥ 0.9 is gated by RecallSpec."),
     "t_chunk_recursive" -> ("recursive-character chunker; the separator " +
-      "descent is algorithmic, not relational. Invariants (coverage, " +
-      "bounds, reconstruction) are gated by ArchiveChunkSpec; the token " +
-      "strategy has the FULL oracle (t_chunk_token)."),
+      "descent is algorithmic, not relational — no DuckDB oracle. " +
+      "CROSS-CHECKED value-for-value by an independent pure-python " +
+      "reimplementation of the public langchain algorithm " +
+      "(scripts/chunker_check.py via ChunkerCrossCheckSpec, 1000 sf0.1 " +
+      "docs, zero shared code); invariants (coverage, bounds, " +
+      "reconstruction) additionally gated by ArchiveChunkSpec; the " +
+      "token strategy has the FULL oracle (t_chunk_token)."),
     "t_chunk_markdown" -> ("markdown-structure chunker; same gating as " +
-      "t_chunk_recursive (ArchiveChunkSpec invariants)."))
+      "t_chunk_recursive — CROSS-CHECKED value-for-value by " +
+      "scripts/chunker_check.py (ChunkerCrossCheckSpec, 1000 sf0.1 " +
+      "docs) plus ArchiveChunkSpec invariants."))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -5247,6 +5337,16 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS gen_bump
         |FROM w WHERE off >= CAST(FLOOR(cnt / 2.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    // committed rows start at offset 31 on each partition: the failed
+    // attempt's 30 aborted rows occupy 0-29 and its abort marker 30;
+    // 60 aborted rows stay visible to read_uncommitted only
+    "p_kafka_txn" ->
+      """SELECT doc_id, doc_id % 2 AS kafka_partition,
+        |  30 + ROW_NUMBER() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id)
+        |    AS kafka_offset,
+        |  text, CAST(60 AS BIGINT) AS aborted_visible
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     "p_amqp_roundtrip" ->
       """SELECT doc_id, 'doc.' || lang AS rk,

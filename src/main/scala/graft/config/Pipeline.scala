@@ -1504,10 +1504,18 @@ object Pipeline {
       // in-JVM broker is exactly-once by construction, so the option is
       // a no-op there
       val idem = Option(b.get("idempotent_write")).forall(_.asBoolean)
+      // `transactional_id` (KIP-98 EOS, franz-go's kgo.TransactionalID):
+      // each partition task's produce becomes AddPartitionsToTxn →
+      // produce → EndTxn, aborting on task failure, so read_committed
+      // consumers see all-or-nothing per task
+      val txnId = Option(b.get("transactional_id")).map(_.asText)
+        .filter(_.nonEmpty)
       addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
         case Some(mem) =>
           val addr = kafkaAddr(mem,
-            (if (idem) Seq("idempotent=true") else Nil) ++
+            txnId.map(t => "transactional_id=" +
+              java.net.URLEncoder.encode(t, "UTF-8")).toSeq ++
+              (if (idem) Seq("idempotent=true") else Nil) ++
               kafkaSaslQuery(b).toSeq)
           Sinks.brokerWrite(df, addr, topic, keyC, col("value"), orderC,
             partitioner, partC)

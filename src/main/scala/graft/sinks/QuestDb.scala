@@ -168,9 +168,14 @@ object QuestDb {
       mutable.ArrayBuffer[(Map[String, Any], Option[Long])]] =
       mutable.LinkedHashMap.empty
 
-    def handle(q: Http.Request): Http.Response = synchronized {
+    def handle(q: Http.Request): Http.Response = {
+      // decode OUTSIDE the lock: the mem:// client invokes this on the
+      // calling executor thread, so concurrent writer partitions parse
+      // in parallel and only the per-table append serializes — the
+      // same shape as a real server's per-connection decode feeding a
+      // shared WAL (this lock was the gate's single-threaded floor)
       try {
-        q.body.split('\n').filter(_.nonEmpty).foreach { line =>
+        val parsed = q.body.split('\n').filter(_.nonEmpty).map { line =>
           val (table, rest) = splitUnescaped(line, startAt = 0)
           val (tagsPart, afterTags) =
             if (rest.startsWith(",")) splitSection(rest.drop(1))
@@ -185,9 +190,13 @@ object QuestDb {
             val Array(k, v) = splitKv(kv)
             values(unescape(k)) = parseFieldValue(v)
           }
-          val ts = tsPart.map(_.toLong)
-          tables.getOrElseUpdate(unescape(table), mutable.ArrayBuffer.empty)
-            .append((values.toMap, ts))
+          (unescape(table), (values.toMap, tsPart.map(_.toLong)))
+        }
+        synchronized {
+          parsed.foreach { case (table, row) =>
+            tables.getOrElseUpdate(table, mutable.ArrayBuffer.empty)
+              .append(row)
+          }
         }
         Http.Response(204, "")
       } catch {
@@ -198,6 +207,22 @@ object QuestDb {
 
     def rows(table: String): Seq[(Map[String, Any], Option[Long])] =
       synchronized { tables.getOrElse(table, mutable.ArrayBuffer.empty).toSeq }
+
+    def rowCount(table: String): Int =
+      synchronized { tables.get(table).map(_.size).getOrElse(0) }
+
+    /** Copy only [from, until) of a table's rows — lets gate readers
+      * fan the re-materialization over many tasks instead of one
+      * driver-side flatMap of the whole table.
+      */
+    def rowsSlice(table: String, from: Int,
+                  until: Int): Seq[(Map[String, Any], Option[Long])] =
+      synchronized {
+        tables.get(table) match {
+          case Some(b) => b.slice(from, until).toSeq
+          case None => Seq.empty
+        }
+      }
 
     // measurement ends at the first unescaped ',' or ' '
     private def splitUnescaped(s: String, startAt: Int): (String, String) = {

@@ -151,17 +151,27 @@ object Sinks {
     }
     keyed.repartitionAndSortWithinPartitions(onePerPartition)
       .foreachPartition { it =>
-        val t = Broker.transportFor(address)
-        // sequential chunked appends inside the one task that owns this
-        // broker partition: bounded memory, order preserved
-        it.grouped(1024).foreach { chunk =>
-          val part = chunk.head._1._1
-          t.append(topic, part, chunk.map { case (_, (kb, v, ts)) =>
-            Broker.Record(kb,
-              if (v == null) null else v.getBytes("UTF-8"),
-              timestampMs = ts)
-          })
-          ()
+        if (it.hasNext) {
+          val t = Broker.transportFor(address)
+          val taskPart = org.apache.spark.TaskContext.getPartitionId()
+          // one transaction per task when the transport carries a
+          // transactional id (no-op otherwise): a task failure aborts
+          // everything this attempt produced, the retry re-inits the
+          // producer (epoch bump fences the zombie) and re-produces —
+          // read_committed consumers see exactly one committed copy
+          t.transactional(topic, taskPart) {
+            // sequential chunked appends inside the one task that owns
+            // this broker partition: bounded memory, order preserved
+            it.grouped(1024).foreach { chunk =>
+              val part = chunk.head._1._1
+              t.append(topic, part, chunk.map { case (_, (kb, v, ts)) =>
+                Broker.Record(kb,
+                  if (v == null) null else v.getBytes("UTF-8"),
+                  timestampMs = ts)
+              })
+              ()
+            }
+          }
         }
       }
   }

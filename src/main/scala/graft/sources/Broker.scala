@@ -61,6 +61,16 @@ object Broker {
       */
     def append(topic: String, partition: Int, records: Seq[Record]): Long
 
+    /** Run `body` (this thread's appends) inside a transaction where
+      * the transport supports one — the kafka output's
+      * `transactional_id` (KIP-98 EOS). The default is a passthrough:
+      * in-memory transports are exactly-once by construction, so the
+      * option is a no-op there. [[graft.sources.KafkaWire.Client]]
+      * overrides this with a real InitProducerId → AddPartitionsToTxn →
+      * produce → EndTxn session, aborting when `body` throws.
+      */
+    def transactional[T](topic: String, partition: Int)(body: => T): T = body
+
     // ── admin surface the migrator family needs (kadm-shaped);
     //    defaults so minimal transports stay valid ──
     def listTopics(): Seq[String] =

@@ -546,6 +546,9 @@ object KafkaWire {
                               val bytes: Array[Byte],
                               preParsed: Vector[Broker.Stored],
                               val producerId: Long = -1L) {
+      // set ONCE by the abort marker's endTxn; read by committedOnly
+      // slices after an unsynchronized snapshot, hence volatile
+      @volatile var aborted: Boolean = false
       lazy val records: Vector[Broker.Stored] =
         if (preParsed != null) preParsed
         else decodeBatches(bytes, partition, assignFrom = None).toVector
@@ -570,13 +573,16 @@ object KafkaWire {
 
     // ── transaction state (KIP-98 EOS, the read_committed side):
     // open txns by producer id → first offset of the txn on this
-    // partition; aborted ranges (pid, firstOffset, markerOffset).
-    // A partition that never sees a transactional batch keeps both
+    // partition. Aborted transactions are NOT kept as ranges: the
+    // abort marker's endTxn flags the txn's own entries in place
+    // (O(txn span), once), so read_committed fetch cost is flat in
+    // the number of past aborts and broker txn state never grows.
+    // A partition that never sees a transactional batch keeps this
     // empty — the raw-passthrough fetch fast path stays untouched. ──
     private val openTxns = mutable.Map.empty[Long, Long]
-    private val abortedRanges = ArrayBuffer.empty[(Long, Long, Long)]
+    private var hadAborts = false
     def hasTxnState: Boolean =
-      synchronized(openTxns.nonEmpty || abortedRanges.nonEmpty)
+      synchronized(openTxns.nonEmpty || hadAborts)
     /** Last stable offset: everything below is decided. */
     def lso: Long = synchronized(
       if (openTxns.isEmpty) endOff else openTxns.values.min)
@@ -589,7 +595,24 @@ object KafkaWire {
     def endTxn(pid: Long, epoch: Short, commit: Boolean): Unit =
       synchronized {
         openTxns.remove(pid).foreach { first =>
-          if (!commit) abortedRanges += ((pid, first, endOff))
+          if (!commit) {
+            hadAborts = true
+            // flag the txn's own batches in [first, endOff): a pid's
+            // txns are sequential, so everything of this pid at or
+            // above `first` belongs to the txn being aborted;
+            // interleaved OTHER-pid batches stay visible
+            var lo = 0; var hi = entries.length - 1; var i = entries.length
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (entries(mid).base >= first) { i = mid; hi = mid - 1 }
+              else lo = mid + 1
+            }
+            while (i < entries.length) {
+              val e = entries(i)
+              if (e.producerId == pid) e.aborted = true
+              i += 1
+            }
+          }
           val key = ByteBuffer.allocate(4)
             .putShort(0).putShort(if (commit) 1 else 0).array()
           val value = ByteBuffer.allocate(6).putShort(0).putInt(0).array()
@@ -708,15 +731,14 @@ object KafkaWire {
 
     /** Record-level read. `until` bounds the scan (the read_committed
       * path passes the LSO); `committedOnly` additionally drops whole
-      * batches inside aborted transaction ranges (batch granularity is
-      * exact — a txn's range only ever contains its own pid's batches
-      * plus interleaved OTHER-pid batches, which stay visible).
+      * batches whose transaction aborted (batch granularity is exact —
+      * a txn only ever contains its own pid's batches, and interleaved
+      * OTHER-pid batches stay visible; the abort marker flagged the
+      * txn's entries at write time).
       */
     def slice(from: Long, limit: Int, until: Long = Long.MaxValue,
               committedOnly: Boolean = false): Vector[Broker.Stored] = {
-      val (snapshot, hw, abortedSnap) = synchronized(
-        (entries.toVector, endOff,
-          if (committedOnly) abortedRanges.toVector else Vector.empty))
+      val (snapshot, hw) = synchronized((entries.toVector, endOff))
       if (from >= hw || from >= until) return Vector.empty
       val start = math.max(0, {
         var lo = 0; var hi = snapshot.length - 1; var ans = 0
@@ -733,9 +755,10 @@ object KafkaWire {
       while (i < snapshot.length && n < limit &&
              snapshot(i).base < until) {
         val e = snapshot(i)
-        val dropAborted = committedOnly && abortedSnap.exists { case (pid, f, m) =>
-          e.producerId == pid && e.base >= f && e.base < m
-        }
+        // O(1) per batch regardless of how many aborts the log has
+        // seen: the abort marker flagged its txn's entries at write
+        // time, so no range list is consulted (or even kept)
+        val dropAborted = committedOnly && e.aborted
         if (!dropAborted) e.records.foreach { r =>
           if (r.offset >= from && r.offset < until && n < limit) {
             out += r; n += 1
@@ -819,6 +842,33 @@ object KafkaWire {
     // partitions each producer id has added to its current transaction
     // (AddPartitionsToTxn) — EndTxn writes markers to exactly these
     private val txnPartitions = TrieMap.empty[Long, Set[(String, Int)]]
+    // transaction.timeout.ms (KIP-98): InitProducerId's requested
+    // timeout per pid, and when each pid's current transaction was
+    // last extended. A transaction idle past its timeout is aborted
+    // BROKER-side — markers written, LSO released — and the pid's
+    // epoch is bumped so the stale producer is fenced on its next
+    // request, exactly the real coordinator's expiry path. This is
+    // what keeps open-txn state bounded on a long-lived broker.
+    private val txnTimeoutMs = TrieMap.empty[Long, Int]
+    private val txnTouchedAtMs = TrieMap.empty[Long, Long]
+
+    private def expireStaleTxns(): Unit = {
+      if (txnTouchedAtMs.isEmpty) return
+      val now = System.currentTimeMillis()
+      txnTouchedAtMs.foreach { case (pid, t0) =>
+        if (now - t0 > txnTimeoutMs.getOrElse(pid, 60000).toLong &&
+            txnTouchedAtMs.remove(pid).isDefined) {
+          val epoch = producerEpochs.updateWith(pid) {
+            case Some(e) => Some((e + 1).toShort)
+            case None => Some(0: Short)
+          }.get
+          txnPartitions.remove(pid).getOrElse(Set.empty).foreach {
+            case (t, p) => topics.get(t).flatMap(_.lift(p))
+              .foreach(_.endTxn(pid, epoch, commit = false))
+          }
+        }
+      }
+    }
     private val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     val port: Int = server.getLocalPort
@@ -955,6 +1005,7 @@ object KafkaWire {
       * epoch is fenced here, before any data moves.
       */
     private def handleAddPartitionsToTxn(ver: Int, r: Rd, b: Buf): Unit = {
+      expireStaleTxns()
       val flex = ver >= 3
       if (flex) r.cstr() else r.str() // transactional_id
       val pid = r.i64()
@@ -977,6 +1028,7 @@ object KafkaWire {
             case Some(s) => Some(s + ((t, p)))
             case None => Some(Set((t, p)))
           }
+          txnTouchedAtMs.put(pid, System.currentTimeMillis())
           ErrNone
         }
       b.i32(0) // throttle
@@ -998,6 +1050,7 @@ object KafkaWire {
       * release the LSO there.
       */
     private def handleEndTxn(ver: Int, r: Rd, b: Buf): Unit = {
+      expireStaleTxns()
       val flex = ver >= 3
       if (flex) r.cstr() else r.str() // transactional_id
       val pid = r.i64()
@@ -1006,6 +1059,7 @@ object KafkaWire {
       if (flex) r.tags()
       val err: Short = producerEpochs.get(pid) match {
         case Some(cur) if epoch >= cur =>
+          txnTouchedAtMs.remove(pid)
           txnPartitions.remove(pid).getOrElse(Set.empty).foreach {
             case (t, p) =>
               topics.get(t).flatMap(_.lift(p))
@@ -1264,7 +1318,7 @@ object KafkaWire {
     private def handleInitProducerId(ver: Int, r: Rd, b: Buf): Unit = {
       val flex = ver >= 2
       val txnId = if (flex) r.cstr() else r.nstr()
-      r.i32() // transaction_timeout_ms
+      val txnTimeout = r.i32() // transaction_timeout_ms
       val askedPid = if (ver >= 3) r.i64() else -1L
       if (ver >= 3) r.i16() // producer_epoch (KIP-360 safety echo)
       if (flex) r.tags()
@@ -1273,13 +1327,29 @@ object KafkaWire {
           case Some(e) => Some((e + 1).toShort)
           case None => Some(0: Short)
         }.get
+      // KIP-98: re-initialising an existing pid ABORTS any transaction
+      // the previous epoch left open (the crashed producer's data must
+      // never commit under the successor's EndTxn — same pid, so the
+      // partitions' open ranges would otherwise merge into its txn)
+      def abortDangling(p: Long, e: Short): Unit = {
+        txnTouchedAtMs.remove(p)
+        txnPartitions.remove(p).getOrElse(Set.empty).foreach {
+          case (t, pt) => topics.get(t).flatMap(_.lift(pt))
+            .foreach(_.endTxn(p, e, commit = false))
+        }
+      }
       val (pid, epoch): (Long, Short) =
-        if (askedPid >= 0L && producerEpochs.contains(askedPid))
-          (askedPid, bump(askedPid))
-        else if (txnId != null && txnId.nonEmpty) {
+        if (askedPid >= 0L && producerEpochs.contains(askedPid)) {
+          val e = bump(askedPid)
+          abortDangling(askedPid, e)
+          (askedPid, e)
+        } else if (txnId != null && txnId.nonEmpty) {
           val p = txnProducers.getOrElseUpdate(txnId,
             nextProducerId.getAndIncrement())
-          (p, bump(p))
+          if (txnTimeout > 0) txnTimeoutMs.put(p, txnTimeout)
+          val e = bump(p)
+          abortDangling(p, e)
+          (p, e)
         } else {
           val p = nextProducerId.getAndIncrement()
           producerEpochs.put(p, 0)
@@ -1556,6 +1626,10 @@ object KafkaWire {
       logOpt match {
         case Some(log) =>
           val committed = isolation == 1
+          // a read_committed fetch is where a hung transaction blocks
+          // progress (the LSO pins below it) — the expiry sweep runs
+          // here so a timed-out txn aborts and the LSO advances
+          if (committed) expireStaleTxns()
           val end = if (committed) log.lso else log.end
           if (off > end) (ErrOffsetOutOfRange, end, Array.empty[Byte])
           else {
@@ -1696,7 +1770,8 @@ object KafkaWire {
           // loopback log answers with its last offset).
           val flex = ver >= 6
           r.i32() // replica_id
-          if (ver >= 2) r.i8() // isolation_level
+          val isolation = if (ver >= 2) r.i8().toInt else 0
+          if (isolation == 1) expireStaleTxns()
           def partAsk(topic: String): (Int, Short, Long) = {
             val p = r.i32()
             if (ver >= 4) r.i32() // current_leader_epoch
@@ -1707,6 +1782,9 @@ object KafkaWire {
                 val off =
                   if (ts == -2L) 0L
                   else if (ts == -3L) math.max(log.end - 1, -1L)
+                  // KIP-98: a read_committed "latest" is the LSO — the
+                  // consumer's planned end never crosses an open txn
+                  else if (isolation == 1) log.lso
                   else log.end
                 (p, ErrNone, off)
               case _ => (p, ErrUnknownTopicOrPartition, -1L)
@@ -2175,7 +2253,8 @@ object KafkaWire {
                      idempotent: Boolean = false,
                      saslPlain: Option[(String, String)] = None,
                      saslMechanism: String = "PLAIN",
-                     isolation: String = "read_uncommitted")
+                     isolation: String = "read_uncommitted",
+                     transactionalId: Option[String] = None)
       extends Broker.Transport with Broker.RawBatchTransport {
     require(Set("auto", "legacy", "flexible")(protocol),
       s"protocol must be auto|legacy|flexible, got $protocol")
@@ -2355,13 +2434,19 @@ object KafkaWire {
         throw new WireError(ErrUnknownTopicOrPartition, topic))
 
     def endOffset(topic: String, partition: Int): Long = {
-      val r = conn.request(ApiListOffsets, 1) { b =>
+      // a read_committed client plans against the LSO (ListOffsets v2+
+      // carries the isolation level — KIP-98), so its offset ranges
+      // never cross an open transaction
+      val ver = if (isolationByte == 1) 2 else 1
+      val r = conn.request(ApiListOffsets, ver) { b =>
         b.i32(-1)
+        if (ver >= 2) b.i8(isolationByte)
         b.array(Seq(topic)) { t =>
           b.str(t)
           b.array(Seq(partition)) { p => b.i32(p); b.i64(-1L) }
         }
       }
+      if (ver >= 2) r.i32() // throttle
       var result = -1L
       r.array { r.str(); r.array {
         r.i32(); val err = r.i16(); r.i64(); val off = r.i64()
@@ -2379,12 +2464,13 @@ object KafkaWire {
     // cap of 5 — and a send retry re-sends the SAME encoded bytes, so
     // the broker's sequence dedup makes the retry exactly-once (the
     // "retries only when safe" contract of franz_writer.go:101) ────────
-    def initProducerId(transactionalId: String = null): (Long, Short) = {
+    def initProducerId(transactionalId: String = null,
+                       txnTimeoutMs: Int = 60000): (Long, Short) = {
       val ver = negotiated(ApiInitProducerId, 4, 0)
       val flex = ver >= 2
       val r = conn.request(ApiInitProducerId, ver) { b =>
         if (flex) b.cnstr(transactionalId) else b.nstr(transactionalId)
-        b.i32(60000) // transaction_timeout_ms
+        b.i32(txnTimeoutMs) // transaction_timeout_ms
         if (ver >= 3) { b.i64(-1L); b.i16(-1) } // no KIP-360 re-init
         if (flex) b.tags()
       }
@@ -2397,6 +2483,55 @@ object KafkaWire {
     private lazy val producerSession: (Long, Short) = initProducerId()
     private val produceSeqs = TrieMap.empty[(String, Int), AtomicInteger]
 
+    // ── transactional produce (KIP-98 EOS, the session shape of
+    // franz-go's GroupTransactSession): one transaction per writer
+    // TASK. Each Spark task owns one broker partition (brokerWrite's
+    // one-reducer-per-partition contract) and runs on one thread, so
+    // the session is a ThreadLocal: InitProducerId(tid) at begin —
+    // which BUMPS the epoch, fencing any zombie from a failed attempt
+    // of the same task — then lazy AddPartitionsToTxn per touched
+    // partition, transactional data batches, and EndTxn commit/abort.
+    // The tid is suffixed with the partition so concurrent tasks are
+    // independent transactions, the same per-task tid scheme Kafka
+    // Connect's exactly-once source tasks use. ──────────────────────
+    private final class TxnSession(val tid: String, val pid: Long,
+                                   val epoch: Short) {
+      val seqs = mutable.Map.empty[(String, Int), Int]
+      var parts = Set.empty[(String, Int)]
+    }
+    private val txnSession = new ThreadLocal[TxnSession]
+    private[sources] def inTxn: Boolean = txnSession.get != null
+
+    override def transactional[T](topic: String, partition: Int)
+                                 (body: => T): T =
+      transactionalId match {
+        case None => body
+        case Some(base) =>
+          require(txnSession.get == null, "nested transaction")
+          val tid = if (partition >= 0) s"$base-$partition" else base
+          val (pid, epoch) = initProducerId(tid)
+          val st = new TxnSession(tid, pid, epoch)
+          txnSession.set(st)
+          try {
+            val out = body
+            // a transaction that wrote nothing has nothing to end
+            // (EndTxn on an empty txn is INVALID_TXN_STATE on a real
+            // coordinator)
+            if (st.parts.nonEmpty) endTxn(tid, pid, epoch, commit = true)
+            out
+          } catch {
+            case e: Throwable =>
+              // abort-on-task-failure: the broker writes abort markers
+              // so read_committed consumers skip everything this
+              // attempt produced; the retry's InitProducerId bumps the
+              // epoch and re-produces from scratch
+              if (st.parts.nonEmpty)
+                try endTxn(tid, pid, epoch, commit = false)
+                catch { case abortErr: Throwable => e.addSuppressed(abortErr) }
+              throw e
+          } finally txnSession.remove()
+      }
+
     override def append(topic: String, partition: Int,
                         records: Seq[Broker.Record]): Long = {
       if (records.isEmpty) return endOffset(topic, partition)
@@ -2404,7 +2539,25 @@ object KafkaWire {
         Broker.Stored(partition, i.toLong, rec.key, rec.value, rec.headers,
           rec.timestampMs)
       }
-      if (idempotent) {
+      val st = txnSession.get
+      if (st != null) {
+        // inside this task's transaction: register the partition on
+        // first touch, then produce transactional batches (attribute
+        // bit 4) under the txn session's pid/epoch with per-partition
+        // sequences — single-threaded by construction, no locking
+        if (!st.parts((topic, partition))) {
+          addPartitionsToTxn(st.tid, st.pid, st.epoch,
+            Seq((topic, partition)))
+          st.parts += ((topic, partition))
+        }
+        val baseSeq = st.seqs.getOrElse((topic, partition), 0)
+        val batch = encodeBatch(stored, produceCodec, st.pid, st.epoch,
+          baseSeq, attrsExtra = 0x10)
+        val base = produceRecordSet(topic, partition, batch)
+        st.seqs((topic, partition)) =
+          ((baseSeq.toLong + records.size) % 0x80000000L).toInt
+        base
+      } else if (idempotent) {
         val (pid, epoch) = producerSession
         val slot = produceSeqs.getOrElseUpdate((topic, partition),
           new AtomicInteger(0))
@@ -2545,18 +2698,26 @@ object KafkaWire {
                                  recordSet: Array[Byte]): Long = {
       try produceOnce(topic, partition, recordSet)
       catch {
-        case _: java.io.IOException if idempotent =>
+        // a transactional batch carries (pid, epoch, sequence) too, so
+        // the same dedup makes its retry exactly-once
+        case _: java.io.IOException if idempotent || inTxn =>
           conns.remove(Thread.currentThread().getId).foreach(_.close())
           produceOnce(topic, partition, recordSet)
       }
     }
+
+    /** The produce request's transactional_id field: the open txn's id
+      * on this thread, else null (idempotent/plain produce).
+      */
+    private def curTxnId: String =
+      Option(txnSession.get).map(_.tid).orNull
 
     private def produceOnce(topic: String, partition: Int,
                             recordSet: Array[Byte]): Long = {
       var base = -1L
       if (flexData) {
         val r = conn.request(ApiProduce, 9) { b =>
-          b.cnstr(null); b.i16(-1); b.i32(30000)
+          b.cnstr(curTxnId); b.i16(-1); b.i32(30000)
           b.carray(Seq(topic)) { t =>
             b.cstr(t)
             b.carray(Seq(partition)) { p =>
@@ -2577,7 +2738,7 @@ object KafkaWire {
         r.i32(); r.tags()
       } else {
         val r = conn.request(ApiProduce, 3) { b =>
-          b.nstr(null); b.i16(-1); b.i32(30000)
+          b.nstr(curTxnId); b.i16(-1); b.i32(30000)
           b.array(Seq(topic)) { t =>
             b.str(t)
             b.array(Seq(partition)) { p => b.i32(p); b.nbytes(recordSet) }
@@ -3072,33 +3233,40 @@ object KafkaWire {
     * (InitProducerId + per-partition sequences — the kafka output's
     * `idempotent_write`, on by default like franz-go's);
     * `sasl_user=…&sasl_pass=…` (URL-encoded) authenticates every
-    * connection with SASL PLAIN — the connector `sasl` config block.
+    * connection with SASL PLAIN — the connector `sasl` config block;
+    * `transactional_id=…` makes each writer task's produce a KIP-98
+    * transaction (AddPartitionsToTxn → produce → EndTxn, abort on
+    * task failure) — the kafka output's `transactional_id`.
     */
   def clientFor(hostPort: String): Client =
     clients.getOrElseUpdate(hostPort, {
-      val (hp, codec, idem, sasl, iso) = hostPort.split("\\?", 2) match {
-        case Array(a) => (a, CodecNone, false, None, "read_uncommitted")
-        case Array(a, q) =>
-          val kvs = q.split("&").toSeq
-          val c = kvs.collectFirst {
-            case kv if kv.startsWith("compression=") =>
-              codecId(kv.stripPrefix("compression="))
-          }.getOrElse(CodecNone)
-          def qv(k: String): Option[String] = kvs.collectFirst {
-            case kv if kv.startsWith(k + "=") =>
-              java.net.URLDecoder.decode(kv.stripPrefix(k + "="), "UTF-8")
-          }
-          val s = for (u <- qv("sasl_user"); p <- qv("sasl_pass"))
-            yield (u, p)
-          (a, c, kvs.contains("idempotent=true"),
-            s.map(cred => (cred, qv("sasl_mechanism").getOrElse("PLAIN"))),
-            qv("isolation").getOrElse("read_uncommitted"))
-      }
+      val (hp, codec, idem, sasl, iso, txnId) =
+        hostPort.split("\\?", 2) match {
+          case Array(a) => (a, CodecNone, false, None, "read_uncommitted",
+            None)
+          case Array(a, q) =>
+            val kvs = q.split("&").toSeq
+            val c = kvs.collectFirst {
+              case kv if kv.startsWith("compression=") =>
+                codecId(kv.stripPrefix("compression="))
+            }.getOrElse(CodecNone)
+            def qv(k: String): Option[String] = kvs.collectFirst {
+              case kv if kv.startsWith(k + "=") =>
+                java.net.URLDecoder.decode(kv.stripPrefix(k + "="), "UTF-8")
+            }
+            val s = for (u <- qv("sasl_user"); p <- qv("sasl_pass"))
+              yield (u, p)
+            (a, c, kvs.contains("idempotent=true"),
+              s.map(cred => (cred, qv("sasl_mechanism").getOrElse("PLAIN"))),
+              qv("isolation").getOrElse("read_uncommitted"),
+              qv("transactional_id").filter(_.nonEmpty))
+        }
       val Array(h, p) = hp.split(":", 2)
       new Client(h, p.toInt, produceCodec = codec, idempotent = idem,
         saslPlain = sasl.map(_._1),
         saslMechanism = sasl.map(_._2).getOrElse("PLAIN"),
-        isolation = iso)
+        isolation = iso,
+        transactionalId = txnId)
     })
   def dropClient(hostPort: String): Unit = {
     clients.remove(hostPort).foreach(_.close())

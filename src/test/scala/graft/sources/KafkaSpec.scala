@@ -475,4 +475,64 @@ class KafkaSpec extends SparkSpec {
       assert(e.getMessage != null && e.getMessage.contains("PLAIN"))
     } finally srv.stop()
   }
+
+  test("kafka yaml transactional_id: config-driven produce is a real transaction") {
+    // outputs/kafka `transactional_id` end to end through the YAML
+    // path: each partition task's produce runs as InitProducerId →
+    // AddPartitionsToTxn → transactional batches → EndTxn(commit);
+    // a planted failed attempt's rows abort and never reach a
+    // read_committed consumer, while read_uncommitted still sees them
+    val srv = new KafkaWire.Server()
+    try {
+      val admin = new KafkaWire.Client("127.0.0.1", srv.port)
+      admin.createTopic("txn-t", 2)
+      admin.close()
+      val addr = s"kafka://127.0.0.1:${srv.port}"
+      // a failed first attempt: same per-task tid scheme the config
+      // path uses ("session-<partition>"), dies before EndTxn
+      val attempt = KafkaWire.clientFor(
+        s"127.0.0.1:${srv.port}?transactional_id=session")
+      intercept[RuntimeException] {
+        attempt.transactional("txn-t", 0) {
+          attempt.append("txn-t", 0,
+            Seq(Broker.Record(null, "{\"n\":999}".getBytes)))
+          throw new RuntimeException("attempt died")
+        }
+      }
+      graft.config.Pipeline.run(spark,
+        s"""input:
+           |  generate:
+           |    count: 6
+           |    mapping: 'root.n = this.seq'
+           |output:
+           |  kafka:
+           |    seed_brokers: [$addr]
+           |    topic: txn-t
+           |    transactional_id: session
+           |""".stripMargin)
+      def readBack(level: String, out: String): Seq[String] = {
+        graft.config.Pipeline.run(spark,
+          s"""input:
+             |  kafka:
+             |    seed_brokers: [$addr]
+             |    topics: [txn-t]
+             |    transaction_isolation_level: $level
+             |output:
+             |  parquet:
+             |    path: $out
+             |""".stripMargin)
+        spark.read.parquet(out).select(col("value")).as[String]
+          .collect().toSeq.sorted
+      }
+      val committed = readBack("read_committed", "/tmp/kafka_txn_committed")
+      val all = readBack("read_uncommitted", "/tmp/kafka_txn_uncommitted")
+      assert(committed.length == 6 && !committed.exists(_.contains("999")),
+        s"read_committed = exactly the committed produce, got $committed")
+      assert(all.length == 7 && all.exists(_.contains("999")),
+        "read_uncommitted sees the aborted attempt's row")
+    } finally {
+      KafkaWire.dropClient(s"127.0.0.1:${srv.port}?transactional_id=session")
+      srv.stop()
+    }
+  }
 }

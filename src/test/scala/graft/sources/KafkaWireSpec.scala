@@ -1320,7 +1320,9 @@ class KafkaWireSpec extends SparkSpec {
         assert(cc.fetch("txn", 0, 0L, 10L).toVector.map(_.offset) == Seq(0L))
         assert(c.fetch("txn", 0, 0L, 10L).toVector.map(_.offset) ==
           Seq(0L, 1L, 2L))
-        assert(cc.endOffset("txn", 0) == 3L) // ListOffsets is hwm-based
+        assert(cc.endOffset("txn", 0) == 1L,
+          "read_committed ListOffsets answers the LSO (KIP-98)")
+        assert(c.endOffset("txn", 0) == 3L) // uncommitted stays hwm-based
         // ABORT: marker at 3; committed reader skips the aborted range
         c.endTxn("tx-1", pid, ep, commit = false)
         assert(c.endOffset("txn", 0) == 4L)
@@ -1498,6 +1500,150 @@ class KafkaWireSpec extends SparkSpec {
         assert(c.appendRawBatches("auto", 0, foreign) == 10L)
         assert(c.fetch("auto", 0, 0L, 11L).size == 11)
       } finally c.close()
+    }
+  }
+
+  test("transactional client: commit, abort-on-failure, zombie fenced mid-txn") {
+    withServer { srv =>
+      val tc = new KafkaWire.Client("127.0.0.1", srv.port,
+        transactionalId = Some("job"))
+      val cc = new KafkaWire.Client("127.0.0.1", srv.port,
+        isolation = "read_committed")
+      // a second connection posing as the FIRST attempt of the same
+      // task (same per-task tid "job-0") that hangs mid-transaction
+      val zombie = new KafkaWire.Client("127.0.0.1", srv.port)
+      try {
+        tc.createTopic("t", 1)
+        def recs(ss: String*) = ss.map(s => Broker.Record(null, s.getBytes))
+        def committedValues = cc.fetch("t", 0, 0L, 1000L).toVector
+          .map(r => new String(r.value))
+        // happy path: the session wraps append in
+        // AddPartitionsToTxn → produce → EndTxn(commit)
+        tc.transactional("t", 0) { tc.append("t", 0, recs("a", "b")) }
+        assert(committedValues == Seq("a", "b"))
+        // a throwing body aborts: its rows stay behind an abort marker
+        val boom = intercept[RuntimeException] {
+          tc.transactional("t", 0) {
+            tc.append("t", 0, recs("x1", "x2"))
+            throw new RuntimeException("task died")
+          }
+        }
+        assert(boom.getMessage == "task died")
+        assert(committedValues == Seq("a", "b"),
+          "read_committed never sees the aborted attempt")
+        assert(tc.fetch("t", 0, 0L, 1000L).toVector.map(r =>
+          new String(r.value)) == Seq("a", "b", "x1", "x2"),
+          "read_uncommitted sees aborted data (markers skipped by decode)")
+        // the retry commits exactly once
+        tc.transactional("t", 0) { tc.append("t", 0, recs("c")) }
+        assert(committedValues == Seq("a", "b", "c"))
+        // zombie: first attempt opens a txn and HANGS (no EndTxn, no
+        // abort). The retry's InitProducerId must bump the epoch,
+        // abort the dangling txn, and fence the zombie's next moves.
+        val (zpid, zep) = zombie.initProducerId("job-0")
+        zombie.addPartitionsToTxn("job-0", zpid, zep, Seq(("t", 0)))
+        zombie.appendRawBatches("t", 0, KafkaWire.encodeBatch(
+          Seq(Broker.Stored(0, 0L, null, "zzz".getBytes, Map.empty, 1L)),
+          producerId = zpid, producerEpoch = zep, baseSequence = 0,
+          attrsExtra = 0x10))
+        assert(cc.endOffset("t", 0) < tc.endOffset("t", 0),
+          "the hung txn pins the LSO below the hwm")
+        tc.transactional("t", 0) { tc.append("t", 0, recs("d")) }
+        assert(committedValues == Seq("a", "b", "c", "d"),
+          "re-init aborted the zombie's dangling txn — 'zzz' never commits")
+        assert(cc.endOffset("t", 0) == tc.endOffset("t", 0),
+          "LSO released: nothing stays open")
+        // the zombie is fenced on produce AND on EndTxn
+        val fencedProduce = intercept[KafkaWire.WireError] {
+          zombie.appendRawBatches("t", 0, KafkaWire.encodeBatch(
+            Seq(Broker.Stored(0, 0L, null, "z2".getBytes, Map.empty, 1L)),
+            producerId = zpid, producerEpoch = zep, baseSequence = 1,
+            attrsExtra = 0x10))
+        }
+        assert(fencedProduce.code == KafkaWire.ErrInvalidProducerEpoch)
+        val fencedEnd = intercept[KafkaWire.WireError] {
+          zombie.endTxn("job-0", zpid, zep, commit = true)
+        }
+        assert(fencedEnd.code == KafkaWire.ErrInvalidProducerEpoch)
+      } finally { tc.close(); cc.close(); zombie.close() }
+    }
+  }
+
+  test("transactions: abort-heavy log stays correct and keeps no range state") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port,
+        transactionalId = Some("churn"))
+      val cc = new KafkaWire.Client("127.0.0.1", srv.port,
+        isolation = "read_committed")
+      try {
+        c.createTopic("heavy", 1)
+        // 200 transactions, 3 of every 4 aborted, interleaved with
+        // plain records — the flag-at-abort design means the broker
+        // keeps NO per-abort state, so read_committed fetch cost does
+        // not grow with abort count (the old range list grew forever
+        // and was scanned per batch)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until 200).foreach { i =>
+          if (i % 4 == 0) {
+            c.transactional("heavy", 0) {
+              c.append("heavy", 0, Seq(
+                Broker.Record(null, s"keep$i".getBytes)))
+            }
+            kept += s"keep$i"
+          } else {
+            intercept[RuntimeException] {
+              c.transactional("heavy", 0) {
+                c.append("heavy", 0, Seq(
+                  Broker.Record(null, s"drop$i".getBytes)))
+                throw new RuntimeException("abort")
+              }
+            }
+          }
+        }
+        val got = cc.fetch("heavy", 0, 0L, 100000L).toVector
+          .map(r => new String(r.value))
+        assert(got == kept.toVector,
+          s"read_committed sees exactly the 50 committed rows, got ${got.size}")
+        assert(cc.endOffset("heavy", 0) == c.endOffset("heavy", 0),
+          "no txn left open after 200 end-to-end transactions")
+        // mid-log window reads stay exact too (the committedOnly scan
+        // is per-entry flag checks, not a range-list walk)
+        val mid = cc.fetch("heavy", 0, 100L, 300L).toVector
+        assert(mid.forall(r => new String(r.value).startsWith("keep")))
+      } finally { c.close(); cc.close() }
+    }
+  }
+
+  test("transactions: an idle transaction expires, releasing the LSO") {
+    withServer { srv =>
+      val c = new KafkaWire.Client("127.0.0.1", srv.port)
+      val cc = new KafkaWire.Client("127.0.0.1", srv.port,
+        isolation = "read_committed")
+      try {
+        c.createTopic("exp", 1)
+        c.append("exp", 0, Seq(Broker.Record(null, "plain".getBytes)))
+        // a transaction with a 150 ms transaction.timeout.ms that
+        // writes one batch and then goes silent
+        val (pid, ep) = c.initProducerId("exp-tx", txnTimeoutMs = 150)
+        c.addPartitionsToTxn("exp-tx", pid, ep, Seq(("exp", 0)))
+        c.appendRawBatches("exp", 0, KafkaWire.encodeBatch(
+          Seq(Broker.Stored(0, 0L, null, "hung".getBytes, Map.empty, 1L)),
+          producerId = pid, producerEpoch = ep, baseSequence = 0,
+          attrsExtra = 0x10))
+        assert(cc.endOffset("exp", 0) == 1L, "open txn pins the LSO")
+        Thread.sleep(300)
+        // the expiry sweep runs on the read_committed path: the broker
+        // aborts the hung txn, writes the marker, and the LSO advances
+        assert(cc.endOffset("exp", 0) == 3L,
+          "expired txn aborted broker-side (data + marker below the LSO)")
+        assert(cc.fetch("exp", 0, 0L, 10L).toVector.map(r =>
+          new String(r.value)) == Seq("plain"))
+        // the timed-out producer was fenced by the expiry's epoch bump
+        val fenced = intercept[KafkaWire.WireError] {
+          c.endTxn("exp-tx", pid, ep, commit = true)
+        }
+        assert(fenced.code == KafkaWire.ErrInvalidProducerEpoch)
+      } finally { c.close(); cc.close() }
     }
   }
 }
