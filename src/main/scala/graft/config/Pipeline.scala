@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Amqp1, AzureQueue, Beanstalkd, Cassandra, CloudQueue, CloudWatch, Cockroach, Cursors, Discord, DynamoCdc, HttpClient, HttpPushServer, HttpServeServer, Jira, Kinesis, MongoCdc, Mq, Nanomsg, NatsKv, Nsq, Otlp, OtlpGrpc, PubSub, Redis, Salesforce, SalesforceApi, SalesforceCdc, SchemaRegistryIO, Slack, SlackSocket, Sources, SpannerCdc, SpiceDb, Mongo, Splunk, Tcp, Twitter, WebSocket}
+import graft.sources.{Amqp1, Envelope, AzureQueue, Beanstalkd, Cassandra, CloudQueue, CloudWatch, Cockroach, Cursors, Discord, DynamoCdc, HttpClient, HttpPushServer, HttpServeServer, Jira, Kinesis, MongoCdc, Mq, Nanomsg, NatsKv, Nsq, Otlp, OtlpGrpc, PubSub, Redis, Salesforce, SalesforceApi, SalesforceCdc, SchemaRegistryIO, Slack, SlackSocket, Sources, SpannerCdc, SpiceDb, Mongo, Splunk, Tcp, Twitter, WebSocket}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -2153,8 +2153,160 @@ object Pipeline {
       df.write.format("noop").mode("overwrite").save()
     case ("memory", b) =>
       df.createOrReplaceTempView(b.get("name").asText)
+    // ── output combinators (outputs/broker.adoc, switch.adoc,
+    // fallback.adoc, reject.adoc, drop.adoc, sync_response.adoc) —
+    // the YAML forms over the Sinks combinator functions ──────────────
+    case ("broker", b) =>
+      val kids = Option(b.get("outputs")).getOrElse(
+        throw new IllegalArgumentException("broker output needs outputs"))
+        .elements().asScala.toSeq
+      require(kids.nonEmpty, "broker output needs outputs")
+      b.path("pattern").asText("fan_out") match {
+        case "fan_out" | "fan_out_sequential" | "fan_out_fail_fast" =>
+          // sequential vs parallel delivery is a real-broker concern;
+          // the batch writers below are each internally parallel, so
+          // all three patterns share the persist-once fan
+          Sinks.fanOut(df, kids.map(k => (d: DataFrame) =>
+            writeOutput(d, k)))
+        case "round_robin" | "greedy" =>
+          // rows rotate across children by PARTITION-LOCAL ordinal —
+          // no global coordination, so the split stays shuffle-free at
+          // any scale and is fair within ±numPartitions rows. greedy's
+          // work-stealing has no batch analog, so it shares the
+          // rotation (documented divergence).
+          val n = kids.size
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(spark_partition_id())
+            .orderBy(monotonically_increasing_id())
+          val cached = df.withColumn("__rr",
+            pmod(row_number().over(w) - 1, lit(n))).persist()
+          try kids.zipWithIndex.foreach { case (k, i) =>
+            writeOutput(cached.filter(col("__rr") === i).drop("__rr"), k)
+          } finally { cached.unpersist(); () }
+        case other => throw new IllegalArgumentException(
+          s"broker output pattern '$other' not supported")
+      }
+    case ("switch", b) =>
+      // outputs/switch.adoc: first matching case wins unless the match
+      // carries `continue: true`, in which case later cases still test
+      val cases = Option(b.get("cases")).getOrElse(
+        throw new IllegalArgumentException("switch output needs cases"))
+        .elements().asScala.toSeq
+      val metaCol = if (df.columns.contains("metadata")) Some("metadata")
+                    else None
+      val cached = df.persist()
+      try {
+        // reach(i): rows not yet claimed by an earlier non-continue match
+        var reach: Column = lit(true)
+        cases.foreach { c =>
+          val check = Option(c.get("check")).map(_.asText)
+            .filter(_.nonEmpty)
+            .map(t => Blobl.predicateJson(cached, t, Map.empty,
+              metadataCol = metaCol))
+            .getOrElse(lit(true))
+          val matched = reach && coalesce(check, lit(false))
+          writeOutput(cached.filter(matched), Option(c.get("output"))
+            .getOrElse(throw new IllegalArgumentException(
+              "switch output case needs an output")))
+          if (!c.path("continue").asBoolean(false))
+            reach = reach && !coalesce(check, lit(false))
+        }
+      } finally { cached.unpersist(); () }
+    case ("fallback", b) =>
+      // the body is an ARRAY of child outputs, tried in order
+      Sinks.fallback(df,
+        b.elements().asScala.toSeq.map(k => (d: DataFrame) =>
+          writeOutput(d, k)))
+    case ("reject_errored", b) =>
+      // healthy rows to the wrapped output; errored rows are REJECTED —
+      // in a bounded run a nack has nowhere to requeue, so it fails the
+      // run loudly with the first error (the reference nacks upstream)
+      val d = graft.sources.Envelope.ensure(df).persist()
+      try {
+        writeOutput(d.filter(col(Envelope.ErrorCol).isNull), b)
+        val bad = d.filter(col(Envelope.ErrorCol).isNotNull)
+          .select(col(Envelope.ErrorCol)).limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"reject_errored: ${bad.head.getString(0)}")
+      } finally { d.unpersist(); () }
+    case ("reject", b) =>
+      // every row reaching this output is rejected with the
+      // interpolated reason (outputs/reject.adoc)
+      val tpl = if (b.isTextual) b.asText else b.path("reason").asText("rejected")
+      val metaCol = if (df.columns.contains("metadata")) Some("metadata")
+                    else None
+      val hit = df.withColumn("__reason",
+          Blobl.interpolateJson(df, tpl, metadataCol = metaCol))
+        .select(col("__reason")).limit(1).collect()
+      if (hit.nonEmpty)
+        throw new IllegalStateException(hit.head.getString(0))
+    case ("drop", _) =>
+      // acknowledge-and-discard: the pipeline's processors still run
+      // (side effects count), the rows just go nowhere
+      df.write.format("noop").mode("overwrite").save()
+    case ("sync_response", _) =>
+      // store the processed payloads for the request-scoped reader —
+      // the http server's synchronous reply and the serverless
+      // handler's return value (internal/serverless/handler.go:99-133)
+      SyncResponse.store(
+        graft.sources.Envelope.ensure(df)
+          .select(col(Envelope.ValueCol)).collect()
+          .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq)
+    case ("cache", b) =>
+      // outputs/cache.adoc: upsert each row into a cache resource under
+      // the interpolated key. File caches write one file per key;
+      // view-backed caches (memory/lru/...) merge into the temp view.
+      val label = b.get("target").asText
+      val keyTpl = b.path("key").asText("${! uuid_v4() }")
+      val metaCol = if (df.columns.contains("metadata")) Some("metadata")
+                    else None
+      val kv = graft.sources.Envelope.ensure(df).select(
+        Blobl.interpolateJson(df, keyTpl, metadataCol = metaCol).as("key"),
+        col(Envelope.ValueCol).as("value"))
+      fileCacheDirs.get(label) match {
+        case Some(dir) =>
+          kv.collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, r.getString(0)),
+              Option(r.getString(1)).getOrElse("").getBytes("UTF-8"))
+          }
+        case None =>
+          val spark = df.sparkSession
+          val view = s"cache_$label"
+          require(spark.catalog.tableExists(view),
+            s"cache output: unknown cache resource '$label'")
+          // last-write-wins upsert into the view (new keys shadow old)
+          val merged = spark.table(view).join(kv, Seq("key"), "left_anti")
+            .unionByName(kv).localCheckpoint()
+          merged.createOrReplaceTempView(view)
+      }
     case (other, _) =>
       throw new IllegalArgumentException(s"output '$other' not supported")
+  }
+
+  /** Request-scoped synchronous responses (output `sync_response`): the
+    * caller (http server sync path, the serverless handler) opens a
+    * collection scope, runs the pipeline, and reads back whatever the
+    * sync_response output stored — the WithSyncResponseStore shape of
+    * internal/serverless/handler.go:99-110.
+    */
+  object SyncResponse {
+    private val scope =
+      new ThreadLocal[scala.collection.mutable.Buffer[Seq[String]]]
+    private[config] def store(batch: Seq[String]): Unit = {
+      val b = scope.get
+      require(b != null,
+        "sync_response output outside a synchronous caller " +
+          "(http server sync / serverless handler)")
+      b.append(batch); ()
+    }
+    /** Run `body` with a fresh store; returns the batches it captured. */
+    def collect[T](body: => T): (T, Seq[Seq[String]]) = {
+      val buf = scala.collection.mutable.Buffer.empty[Seq[String]]
+      scope.set(buf)
+      try { val out = body; (out, buf.toSeq) }
+      finally scope.remove()
+    }
   }
 }
 
