@@ -1,4 +1,6 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import graft.functions.expressions.GraftFunctions
 
@@ -12,6 +14,9 @@ import graft.functions.expressions.GraftFunctions
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // query name → first failure message across passes (see failedJson)
+    val failedQueries =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER=local-cluster[N,cores,memMB] runs REAL separate
@@ -133,12 +138,17 @@ object Bench {
         graft.operators.Dedupe.releaseStaged() // drain the staging FIFO too
         System.gc()
         val t0 = System.nanoTime()
+        var ok = true
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          ok = false
+          failedQueries.putIfAbsent(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] pass $pass $name ${sec}%.3f")
+        System.err.println(f"[bench] pass $pass $name ${sec}%.3f" +
+          (if (ok) "" else " FAILED"))
         name -> sec
       }
     }
@@ -194,8 +204,19 @@ object Bench {
         s""""shuffle_partitions":"${conf("spark.sql.shuffle.partitions")}",""" +
         s""""row_groups":$rowGroups}"""
     }
+    // a failed query's short wall is NOT a measurement (r17: a
+    // misconfigured local-cluster run read as a 17x "speedup" because
+    // every task failed fast) — the artifact must carry the failures so
+    // no parser can mistake a broken run for a fast one
+    val failedJson =
+      if (failedQueries.isEmpty) ""
+      else failedQueries.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + k + "\":\"" + v.replace("\\", "\\\\")
+            .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+        }.mkString(""""failed":{""", ",", "},")
     val extra =
-      s""""max_query":"$maxName","max_sec":${fmt(maxSec)},"runs":$runs,"n_queries":${results.size}"""
+      s"""$failedJson"max_query":"$maxName","max_sec":${fmt(maxSec)},"runs":$runs,"n_queries":${results.size}"""
     // full per-query detail first (humans / logs) …
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
