@@ -104,10 +104,27 @@ object Sftp {
 
     private def next(): Long = { reqId += 1; reqId }
 
+    // ── response demux: requests PIPELINE (many outstanding ids, the
+    // OpenSSH client's 64-in-flight behavior — per-file round-trip
+    // stalls become per-WAVE stalls), and responses resolve by id in
+    // whatever order the server answers ───────────────────────────────
+    private final case class Resp(t: Int, r: Reader)
+    private val pending = mutable.Map.empty[Long, Resp]
+    private def responseFor(id: Long): Resp =
+      pending.remove(id).getOrElse {
+        var out: Resp = null
+        while (out == null) {
+          val rd = new Reader(f.receivePacket())
+          val t = rd.u8().toInt
+          val rid = rd.u32()
+          if (rid == id) out = Resp(t, rd)
+          else { pending(rid) = Resp(t, rd); () }
+        }
+        out
+      }
+
     private def expectHandle(id: Long): Array[Byte] = {
-      val r = new Reader(f.receivePacket())
-      val t = r.u8()
-      require(r.u32() == id, "sftp: response id mismatch")
+      val Resp(t, r) = responseFor(id)
       t match {
         case FxpHandle => r.str()
         case FxpStatus => throw new IllegalStateException(
@@ -118,9 +135,8 @@ object Sftp {
     }
 
     private def expectStatus(id: Long): Int = {
-      val r = new Reader(f.receivePacket())
-      require(r.u8() == FxpStatus, "sftp: expected STATUS")
-      require(r.u32() == id, "sftp: response id mismatch")
+      val Resp(t, r) = responseFor(id)
+      require(t == FxpStatus, "sftp: expected STATUS")
       r.u32().toInt
     }
 
@@ -134,10 +150,9 @@ object Sftp {
       while (!done) {
         val id = next()
         f.sendPacket(new Buf().u8(FxpReaddir).u32(id).str(handle).bytes)
-        val r = new Reader(f.receivePacket())
-        r.u8() match {
+        val Resp(t, r) = responseFor(id)
+        t match {
           case FxpName =>
-            require(r.u32() == id)
             val count = r.u32().toInt
             (0 until count).foreach { _ =>
               names += r.strUtf8() // filename
@@ -145,7 +160,6 @@ object Sftp {
               skipAttrs(r)
             }
           case FxpStatus =>
-            require(r.u32() == id)
             require(r.u32().toInt == FxEof, "sftp: READDIR failed")
             done = true
           case other => throw new IllegalStateException(
@@ -172,15 +186,13 @@ object Sftp {
           .raw(new Buf().u32((offset >> 32) & 0xFFFFFFFFL)
             .u32(offset & 0xFFFFFFFFL).bytes)
           .u32(chunk.toLong).bytes)
-        val r = new Reader(f.receivePacket())
-        r.u8() match {
+        val Resp(t, r) = responseFor(id)
+        t match {
           case FxpData =>
-            require(r.u32() == id)
             val data = r.str()
             out.write(data)
             offset += data.length
           case FxpStatus =>
-            require(r.u32() == id)
             require(r.u32().toInt == FxEof, "sftp: READ failed")
             done = true
           case other => throw new IllegalStateException(
@@ -214,6 +226,98 @@ object Sftp {
       f.sendPacket(new Buf().u8(FxpClose).u32(closeId).str(handle).bytes)
       require(expectStatus(closeId) == FxOk)
     }
+
+    /** Pipelined upload of many files: OPENs, WRITEs, and CLOSEs go
+      * out in WAVES of `window` outstanding requests, so a thousand
+      * small files cost a handful of round-trip stalls instead of
+      * three each — the request pipelining every serious SFTP client
+      * does. Waves stay modest so the response stream never outruns
+      * what we are about to read back. Over LOOPBACK the stall saving
+      * is microseconds and unmeasurable against this host's ambient
+      * swing (gate read 0.7-4.3 s on identical code either way); on a
+      * real link it is RTT x files, which is the point.
+      */
+    def uploadAll(files: Seq[(String, Array[Byte])],
+                  window: Int = 16, chunk: Int = 32768): Unit =
+      files.grouped(window).foreach { batch =>
+        val openIds = batch.map { case (p, _) =>
+          val id = next()
+          f.sendPacket(new Buf().u8(FxpOpen).u32(id).str(p)
+            .u32((FlagWrite | FlagCreat | FlagTrunc).toLong).u32(0).bytes)
+          id
+        }
+        val handles = openIds.map(expectHandle)
+        val writeIds = batch.zip(handles).flatMap { case ((_, body), h) =>
+          val slices =
+            if (body.isEmpty) Seq(Array.emptyByteArray)
+            else body.grouped(chunk).toSeq
+          slices.zipWithIndex.map { case (s, i) =>
+            val id = next()
+            f.sendPacket(new Buf().u8(FxpWrite).u32(id).str(h)
+              .raw(new Buf().u32(0).u32((i.toLong * chunk)).bytes)
+              .str(s).bytes)
+            id
+          }
+        }
+        writeIds.foreach(id =>
+          require(expectStatus(id) == FxOk, "sftp: WRITE failed"))
+        val closeIds = handles.map { h =>
+          val id = next()
+          f.sendPacket(new Buf().u8(FxpClose).u32(id).str(h).bytes)
+          id
+        }
+        closeIds.foreach(id => require(expectStatus(id) == FxOk))
+      }
+
+    /** Pipelined download of many files (same wave discipline as
+      * [[uploadAll]]): OPEN wave, then READ waves until every file in
+      * the window hits EOF, then a CLOSE wave.
+      */
+    def downloadAll(paths: Seq[String], window: Int = 16,
+                    chunk: Int = 32768): Seq[Array[Byte]] =
+      paths.grouped(window).flatMap { batch =>
+        val openIds = batch.map { p =>
+          val id = next()
+          f.sendPacket(new Buf().u8(FxpOpen).u32(id).str(p)
+            .u32(FlagRead.toLong).u32(0).bytes)
+          id
+        }
+        val handles = openIds.map(expectHandle)
+        val bufs = batch.map(_ => new java.io.ByteArrayOutputStream())
+        val offsets = Array.fill(batch.size)(0L)
+        val live = mutable.LinkedHashSet(batch.indices: _*)
+        while (live.nonEmpty) {
+          val reads = live.toSeq.map { i =>
+            val id = next()
+            f.sendPacket(new Buf().u8(FxpRead).u32(id).str(handles(i))
+              .raw(new Buf().u32((offsets(i) >> 32) & 0xFFFFFFFFL)
+                .u32(offsets(i) & 0xFFFFFFFFL).bytes)
+              .u32(chunk.toLong).bytes)
+            (i, id)
+          }
+          reads.foreach { case (i, id) =>
+            val Resp(t, r) = responseFor(id)
+            t match {
+              case FxpData =>
+                val data = r.str()
+                bufs(i).write(data)
+                offsets(i) += data.length
+              case FxpStatus =>
+                require(r.u32().toInt == FxEof, "sftp: READ failed")
+                live.remove(i); ()
+              case other => throw new IllegalStateException(
+                s"sftp: unexpected packet $other")
+            }
+          }
+        }
+        val closeIds = handles.map { h =>
+          val id = next()
+          f.sendPacket(new Buf().u8(FxpClose).u32(id).str(h).bytes)
+          id
+        }
+        closeIds.foreach(id => require(expectStatus(id) == FxOk))
+        bufs.map(_.toByteArray)
+      }.toSeq
 
     def close(): Unit = ssh.close()
 
@@ -383,6 +487,11 @@ object Sftp {
                 finally lister.close()
     val (h, p, u, pw, dir) = (host, port, user, password, directory)
     import spark.implicits._
+    // full fan: a connection per core. The handshake is cheap next to
+    // the transfer stream (measured: shrinking the fan to amortize kex
+    // cost LOST a second at 300 files — the loopback server serves
+    // connections concurrently, so fewer connections just means less
+    // parallel transfer)
     names.toDF("name")
       .repartition(math.max(1, math.min(names.size,
         spark.sparkContext.defaultParallelism)))
@@ -390,11 +499,12 @@ object Sftp {
         if (!it.hasNext) Iterator.empty
         else {
           val c = new Client(h, p, u, pw)
-          val out = it.map { r =>
-            val path = s"${dir.stripSuffix("/")}/${r.getString(0)}"
-            (new String(c.download(path), UTF_8),
-              Map("sftp_path" -> path))
-          }.toVector // drain before closing the connection
+          val paths = it.map(r =>
+            s"${dir.stripSuffix("/")}/${r.getString(0)}").toVector
+          // pipelined waves: one connection, ~3 stalls per 16 files
+          val out = paths.zip(c.downloadAll(paths)).map { case (path, b) =>
+            (new String(b, UTF_8), Map("sftp_path" -> path))
+          }
           c.close()
           out.iterator
         }
@@ -413,9 +523,12 @@ object Sftp {
       .rdd.foreachPartition { it =>
         if (it.hasNext) {
           val c = new Client(h, p, u, pw)
-          try it.foreach(r =>
-            c.upload(r.getString(0), r.getString(1).getBytes(UTF_8)))
-          finally c.close()
+          // bounded staging per wave keeps memory flat; the pipelined
+          // client turns 3 round-trips per file into 3 per wave
+          try it.grouped(64).foreach { rows =>
+            c.uploadAll(rows.map(r =>
+              (r.getString(0), r.getString(1).getBytes(UTF_8))))
+          } finally c.close()
         }
       }
   }
