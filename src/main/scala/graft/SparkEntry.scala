@@ -1038,6 +1038,47 @@ object SparkEntry {
       out
     }),
 
+    "p_serverless_handler" -> ((s, d) => {
+      // serverless entry point end-to-end (cmd/serverless/
+      // connect-lambda + internal/serverless/handler.go): the Lambda
+      // event is a JSON array of documents rows; the handler splits it
+      // (unarchive json_array), maps each message, and the DEFAULTED
+      // output (errored→reject, else sync_response) returns the batch
+      // as the invocation result — parsed back into rows and
+      // hash-matched against the SQL oracle. One invocation drives the
+      // whole handler path, so the gate stays cheap while the result
+      // value covers handler.go's batch-array shaping.
+      import org.apache.spark.sql.types._
+      val rows = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("j"))
+        .orderBy(col("doc_id"))
+        .collect().map(_.getString(0)) // ≤300 small rows: the EVENT body
+      val event = rows.mkString("[", ",", "]")
+      val handler = new graft.serverless.Lambda.Handler(s,
+        """pipeline:
+          |  processors:
+          |    - unarchive:
+          |        format: json_array
+          |    - mapping: |
+          |        root.doc_id = this.doc_id
+          |        root.lang = this.lang
+          |        root.big = this.n_chars > 500
+          |""".stripMargin)
+      val result = handler.handle(event) match {
+        case Right(r) => r
+        case Left(e) => throw new IllegalStateException(s"handler: $e")
+      }
+      import s.implicits._
+      val schema = ArrayType(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("big", BooleanType))))
+      s.createDataset(Seq(result)).toDF("r")
+        .select(explode(from_json(col("r"), schema)).as("m"))
+        .select(col("m.doc_id"), col("m.lang"), col("m.big"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p_dynamodb_partiql" -> ((s, d) => {
       // aws_dynamodb_partiql contract (processor_partiql.go over the
       // public ExecuteStatement JSON-1.0 shape, SigV4
@@ -6081,6 +6122,10 @@ object SparkEntry {
         |  CAST(length(lang || '/' || n_chars) AS VARCHAR) || ':' ||
         |    upper(lang || '/' || n_chars) AS reply
         |FROM documents WHERE doc_id < 350 ORDER BY doc_id""".stripMargin,
+
+    "p_serverless_handler" ->
+      """SELECT doc_id, lang, n_chars > 500 AS big
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     "p_dynamodb_partiql" ->
       """SELECT doc_id, lang || '|' || n_chars AS stored
