@@ -2244,6 +2244,53 @@ object Pipeline {
       // acknowledge-and-discard: the pipeline's processors still run
       // (side effects count), the rows just go nowhere
       df.write.format("noop").mode("overwrite").save()
+    case ("drop_on", b) =>
+      // outputs/drop_on.adoc: silently drop rows matching the
+      // configured conditions, pass the rest to the wrapped output.
+      // `error: true` drops errored rows; `error_patterns` drops rows
+      // whose error matches any regex. `back_pressure` is a liveness
+      // condition with no batch analog (a bounded run has no broker to
+      // time out against) — rejected loudly rather than faked.
+      require(!b.has("back_pressure"),
+        "drop_on.back_pressure has no bounded-batch analog here")
+      val child = Option(b.get("output")).getOrElse(
+        throw new IllegalArgumentException("drop_on needs an output"))
+      val d = graft.sources.Envelope.ensure(df)
+      val dropErr = b.path("error").asBoolean(false)
+      val patterns = Option(b.get("error_patterns"))
+        .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil)
+      val dropCond: Column =
+        if (patterns.nonEmpty)
+          patterns.map(p => col(Envelope.ErrorCol).isNotNull &&
+            col(Envelope.ErrorCol).rlike(p)).reduce(_ || _)
+        else if (dropErr) col(Envelope.ErrorCol).isNotNull
+        else lit(false)
+      writeOutput(d.filter(!coalesce(dropCond, lit(false))), child)
+    case ("retry", b) =>
+      // outputs/retry.adoc: re-attempt the wrapped output until it
+      // succeeds, with the reference's bounded exponential backoff
+      val child = Option(b.get("output")).getOrElse(
+        throw new IllegalArgumentException("retry output needs an output"))
+      val maxRetries = b.at("/backoff/max_retries").asInt(
+        b.path("max_retries").asInt(3))
+      var attempt = 0
+      var delayMs = durMs(b.at("/backoff/initial_interval").asText("50ms"))
+      val maxDelayMs = durMs(b.at("/backoff/max_interval").asText("1s"))
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && attempt <= maxRetries) {
+        try { writeOutput(df, child); done = true }
+        catch { case e: Throwable =>
+          lastErr = e
+          attempt += 1
+          if (attempt <= maxRetries) {
+            Thread.sleep(delayMs)
+            delayMs = math.min(delayMs * 2, maxDelayMs)
+          }
+        }
+      }
+      if (!done) throw new IllegalStateException(
+        s"retry output: $attempt attempts failed", lastErr)
     case ("sync_response", _) =>
       // store the processed payloads for the request-scoped reader —
       // the http server's synchronous reply and the serverless

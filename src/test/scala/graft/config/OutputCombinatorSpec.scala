@@ -164,6 +164,80 @@ class OutputCombinatorSpec extends SparkSpec {
     assert(rows("key1").contains("\"k\""), "new value shadows the init row")
   }
 
+  test("drop_on error: errored rows vanish, healthy rows reach the child") {
+    val ok = tmp("dropon_ok")
+    Pipeline.run(spark,
+      s"""input:
+         |  generate: { count: 4, mapping: 'root.k = if this.seq % 2 == 0 { "hit" } else { "miss" + this.seq.string() }' }
+         |cache_resources:
+         |  - label: do_lut
+         |    memory:
+         |      init:
+         |        hit: '{"ok":1}'
+         |pipeline:
+         |  processors:
+         |    - cache: { resource: do_lut, key: '$${! json("k") }' }
+         |output:
+         |  drop_on:
+         |    error: true
+         |    output:
+         |      parquet: { path: $ok/out }
+         |""".stripMargin)
+    val vals = readValues(s"$ok/out")
+    assert(vals.size == 2 && vals.forall(_.contains("\"ok\"")),
+      s"only the cache hits survive: $vals")
+    // error_patterns: only matching errors drop; others pass through
+    val ok2 = tmp("dropon_pat")
+    Pipeline.run(spark,
+      s"""input:
+         |  generate: { count: 2, mapping: 'root.k = "miss" + this.seq.string()' }
+         |cache_resources:
+         |  - label: do_lut2
+         |    memory: {}
+         |pipeline:
+         |  processors:
+         |    - cache: { resource: do_lut2, key: '$${! json("k") }' }
+         |output:
+         |  drop_on:
+         |    error_patterns: [ "no-such-pattern" ]
+         |    output:
+         |      parquet: { path: $ok2/out }
+         |""".stripMargin)
+    assert(readValues(s"$ok2/out").size == 2,
+      "non-matching errors pass to the child")
+  }
+
+  test("retry output: succeeds clean, exhausts loudly on a dead child") {
+    val ok = tmp("retry_ok")
+    Pipeline.run(spark,
+      s"""input:
+         |  generate: { count: 2, mapping: 'root.n = this.seq' }
+         |output:
+         |  retry:
+         |    output:
+         |      parquet: { path: $ok/out }
+         |""".stripMargin)
+    assert(readValues(s"$ok/out").size == 2)
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      Pipeline.run(spark,
+        """input:
+          |  generate: { count: 1, mapping: 'root.n = this.seq' }
+          |output:
+          |  retry:
+          |    max_retries: 2
+          |    backoff: { initial_interval: 20ms, max_interval: 40ms }
+          |    output:
+          |      kafka:
+          |        seed_brokers: [ mem://retry_no_such_broker ]
+          |        topic: missing
+          |""".stripMargin)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(e.getMessage.contains("3 attempts"), e.getMessage)
+    assert(elapsedMs >= 60, s"backoff slept between attempts: $elapsedMs ms")
+  }
+
   test("cache output writes file-cache entries to disk") {
     val dir = tmp("cache_files")
     Pipeline.run(spark,
