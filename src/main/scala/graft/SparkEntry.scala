@@ -4833,9 +4833,14 @@ object SparkEntry {
     */
   def oracleExempt: Map[String, String] = Map(
     "t_simhash" -> ("simhash pair mining over the real xxhash feature " +
-      "hasher; SQL cannot reproduce the hash kernel. The COMPUTATION is " +
-      "oracle-gated via t_simhash_md5 (md5 feature hashes DuckDB can " +
-      "recompute); pair-mining recall ≥ 0.9 is gated by RecallSpec."),
+      "hasher; SQL cannot reproduce the hash kernel. CROSS-CHECKED " +
+      "value-for-value by an independent pure-python reimplementation " +
+      "(scripts/simhash_check.py: XXH64 from the public xxHash spec + " +
+      "the sign-vote fingerprint + pigeonhole mining, zero shared " +
+      "code; SimhashCrossCheckSpec, 525 pairs across the 5000-doc " +
+      "sf0.1 corpus). The COMPUTATION is additionally oracle-gated via " +
+      "t_simhash_md5 (md5 feature hashes DuckDB can recompute); " +
+      "pair-mining recall ≥ 0.9 is gated by RecallSpec."),
     "t_chunk_recursive" -> ("recursive-character chunker; the separator " +
       "descent is algorithmic, not relational — no DuckDB oracle. " +
       "CROSS-CHECKED value-for-value by an independent pure-python " +
