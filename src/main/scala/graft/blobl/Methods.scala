@@ -110,7 +110,13 @@ object Methods {
     case "uppercase" => BV(upper(asString(recv)), S)
     case "lowercase" => BV(lower(asString(recv)), S)
     case "capitalize" => BV(initcap(asString(recv)), S)
-    case "trim" => BV(trim(asString(recv)), S)
+    case "trim" =>
+      // no-arg form strips ALL whitespace (Go strings.TrimSpace —
+      // Spark's trim() strips only 0x20); the cutset form strips any
+      // leading/trailing characters IN the cutset (methods.adoc trim)
+      if (args.isEmpty)
+        BV(regexp_replace(asString(recv), lit("^\\s+|\\s+$"), lit("")), S)
+      else BV(trim(asString(recv), litStr(args(0))), S)
     case "trim_prefix" =>
       val p = asString(v(args(0)))
       val s = asString(recv)
@@ -175,7 +181,18 @@ object Methods {
       // Go's %v verb (render any value) maps to %s — arguments coerce
       // to string (config/test/unit_test_example.yaml "%vend")
       val fmt = litStr(args.head).replace("%v", "%s")
-      BV(format_string(fmt, args.tail.map(a => asString(v(a))): _*), S)
+      // cast each argument to its verb's type: %d/%x/%o want integers,
+      // %f/%e/%g doubles — a stringified arg there throws at runtime
+      val verbs = "%[-+ #0]*[0-9]*(?:\\.[0-9]+)?([a-zA-Z%])".r
+        .findAllMatchIn(fmt).map(_.group(1)).filter(_ != "%").toSeq
+      val cast = args.tail.zipWithIndex.map { case (a, i) =>
+        verbs.lift(i) match {
+          case Some("d" | "x" | "X" | "o" | "b" | "c") => asLong(v(a))
+          case Some("f" | "e" | "E" | "g" | "G") => asDouble(v(a))
+          case _ => asString(v(a))
+        }
+      }
+      BV(format_string(fmt, cast: _*), S)
     case "escape_url_query" => BV(url_encode(asString(recv)), S)
     case "unescape_url_query" => BV(url_decode(asString(recv)), S)
     case "slug" =>

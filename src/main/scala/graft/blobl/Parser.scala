@@ -19,7 +19,15 @@ object Parser extends RegexParsers {
   private val ident = """[A-Za-z_][A-Za-z0-9_]*""".r
 
   // ── literals ────────────────────────────────────────────────────────
+  // triple-quoted strings are RAW: literal newlines and backslashes, no
+  // escape processing, terminated only by `"""` (bloblang/about.adoc:190-225)
+  private def tripleStrLit: Parser[StrLit] =
+    """\"\"\"(?s:[^"]|"(?!""))*\"\"\"""".r ^^ { raw =>
+      StrLit(raw.substring(3, raw.length - 3))
+    }
+
   private def strLit: Parser[StrLit] =
+    tripleStrLit |
     ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { raw =>
       StrLit(unescape(raw.substring(1, raw.length - 1)))
     }
@@ -93,8 +101,16 @@ object Parser extends RegexParsers {
 
   private def metaRef: Parser[Expr] = "@" ~> opt(ident) ^^ MetaRef.apply
 
+  // call arguments may be NAMED (`format_json(no_indent: true)` —
+  // bloblang named params). Names are accepted in declaration order and
+  // stripped to positional values: every named-call site in the
+  // reference corpus lists params in signature order, and methods here
+  // dispatch positionally.
+  private def callArg: Parser[Expr] =
+    opt(ident <~ ":" <~ not("=")) ~ expr ^^ { case _ ~ e => e }
+
   private def fnOrBare: Parser[Expr] =
-    ident ~ opt("(" ~> repsep(expr, ",") <~ ")") ^^ {
+    ident ~ opt("(" ~> repsep(callArg, ",") <~ ")") ^^ {
       case name ~ Some(args) => FnCall(name, args)
       case name ~ None => BarePath(Seq(name))
     }
@@ -112,7 +128,7 @@ object Parser extends RegexParsers {
     (strLit ^^ (s => (s.v, None: Option[Seq[Expr]]))) |
       // numeric segment = array index (`this.0`, reference path syntax)
       ("[0-9]+".r ^^ (n => (n, None: Option[Seq[Expr]]))) |
-      (ident ~ opt("(" ~> repsep(expr, ",") <~ ")") ^^ {
+      (ident ~ opt("(" ~> repsep(callArg, ",") <~ ")") ^^ {
         case n ~ a => (n, a.map(_.toSeq))
       })
 

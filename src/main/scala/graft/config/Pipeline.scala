@@ -3,6 +3,7 @@ package graft.config
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,6 +37,7 @@ import graft.sources.{Amqp1, Envelope, AzureQueue, Beanstalkd, Cassandra, CloudQ
 object Pipeline {
 
   private val yaml = new ObjectMapper(new YAMLFactory())
+  private val F = JsonNodeFactory.instance
 
   /** file-backend cache label → directory, recorded at registration so
     * inputs needing a WRITABLE store (jira's cursor) can reach the
@@ -304,8 +306,18 @@ object Pipeline {
                 "nats_kv: only mem:// transports exist in this environment"))
             graft.sources.NatsKv.cacheView(spark, mem,
               e.getValue.get("bucket").asText).createOrReplaceTempView(view)
-          case other => throw new IllegalArgumentException(
-            s"cache backend '$other' is environment-blocked here (network service)")
+          case other => Templates.lookup("cache", other) match {
+            case Some(t) => Templates.guard("cache", other) {
+              val expanded = F.objectNode()
+              expanded.put("label", label)
+              Templates.expand(spark, t, e.getValue).properties().asScala
+                .foreach(en =>
+                  expanded.set[JsonNode](en.getKey, en.getValue))
+              registerCaches(spark, Seq(expanded))
+            }
+            case None => throw new IllegalArgumentException(
+              s"cache backend '$other' is environment-blocked here (network service)")
+          }
         }
       }
     }
@@ -616,6 +628,7 @@ object Pipeline {
 
   private def one(n: JsonNode): (String, JsonNode) = {
     val fields = n.properties().asScala.toSeq
+      .filterNot(_.getKey == "label")
     require(fields.size == 1, s"component must have exactly one key: $n")
     (fields.head.getKey, fields.head.getValue)
   }
@@ -1354,8 +1367,14 @@ object Pipeline {
             coalesce(col("metadata"), map().cast("map<string,string>")),
             map(lit("dynamic_input"), lit(label))))
         }.reduce(_ unionByName _)
-      case (other, _) =>
-        throw new IllegalArgumentException(s"input '$other' not supported")
+      case (other, b) =>
+        Templates.lookup("input", other) match {
+          case Some(t) => Templates.guard("input", other) {
+            compileInput(spark, Templates.expand(spark, t, b, env), env)
+          }
+          case None => throw new IllegalArgumentException(
+            s"input '$other' not supported")
+        }
     }
 
   /** Runtime enable/disable registry behind the `dynamic` input/output
@@ -1460,7 +1479,24 @@ object Pipeline {
       case None => df
     }
 
-  private[graft] def writeOutput(df: DataFrame, n: JsonNode): Unit = one(n) match {
+  private[graft] def writeOutput(df: DataFrame, n0: JsonNode): Unit = {
+    // output-level `processors:` run on every batch as it is written
+    // (components/outputs/about.adoc "Processors" — the retrieval
+    // configs shape their sync_response reply this way)
+    val (n, df2) = Option(n0.get("processors")) match {
+      case Some(procs) if n0.isObject =>
+        val stripped = n0.asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode].deepCopy()
+        stripped.remove("processors")
+        (stripped: JsonNode,
+          procs.elements().asScala.toSeq.foldLeft(df)((d, p) =>
+            Processors.compile(p, Map.empty)(d)))
+      case _ => (n0, df)
+    }
+    writeOutputInner(df2, n)
+  }
+
+  private def writeOutputInner(df: DataFrame, n: JsonNode): Unit = one(n) match {
     case ("lakehouse", b) =>
       // iceberg-shaped upsert output (output_iceberg.go contract):
       // identifier keys + optional partitioning + delete column
@@ -2327,8 +2363,14 @@ object Pipeline {
             .unionByName(kv).localCheckpoint()
           merged.createOrReplaceTempView(view)
       }
-    case (other, _) =>
-      throw new IllegalArgumentException(s"output '$other' not supported")
+    case (other, b) =>
+      Templates.lookup("output", other) match {
+        case Some(t) => Templates.guard("output", other) {
+          writeOutput(df, Templates.expand(df.sparkSession, t, b))
+        }
+        case None => throw new IllegalArgumentException(
+          s"output '$other' not supported")
+      }
   }
 
   /** Request-scoped synchronous responses (output `sync_response`): the
@@ -2384,7 +2426,9 @@ object Processors {
   import graft.functions.{CodecFunctions, TextFunctions}
 
   def compile(p: JsonNode, env: Map[String, String]): DataFrame => DataFrame = {
+    // `label:` names a component for metrics/tests — not a component key
     val fields = p.properties().asScala.toSeq
+      .filterNot(_.getKey == "label")
     require(fields.size == 1, s"processor must have exactly one key: $p")
     val (kind, body) = (fields.head.getKey, fields.head.getValue)
     kind match {
@@ -3582,8 +3626,17 @@ object Processors {
         throw new IllegalArgumentException(
           s"processor '$other' is environment-blocked here: it needs a connector jar, " +
             "network egress, or an embedded runtime this container lacks")
-      case other => throw new IllegalArgumentException(
-        s"processor '$other' not supported in config form yet")
+      case other => Templates.lookup("processor", other) match {
+        case Some(t) =>
+          // expansion needs a session; defer to first use so compile
+          // stays callable before any frame exists
+          df => Templates.guard("processor", other) {
+            compile(Templates.expand(df.sparkSession, t, body, env),
+              env)(df)
+          }
+        case None => throw new IllegalArgumentException(
+          s"processor '$other' not supported in config form yet")
+      }
     }
   }
 
