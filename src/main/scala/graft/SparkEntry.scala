@@ -1079,6 +1079,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_rag_e2e" -> ((s, d) =>
+      // the reference's RAG trio end-to-end through config templates
+      // (templating.adoc + config/rag/): kafka-seeded documents →
+      // indexing/openai_pgvector.yaml (rag_topics/oai_embed/pgvector
+      // templates expand through the Bloblang engine) → pgvector
+      // store → retrieval/openai_pgvector.yaml served over a real
+      // HTTP socket. Returned rows = the store's single-chunk docs
+      // (oracle-exact); multi-chunk reassembly and retrieval ranking
+      // are require()-asserted inside graft.config.Rag.e2e.
+      graft.config.Rag.e2e(s, d)),
+
     "p_dynamodb_partiql" -> ((s, d) => {
       // aws_dynamodb_partiql contract (processor_partiql.go over the
       // public ExecuteStatement JSON-1.0 shape, SigV4
@@ -6131,6 +6142,17 @@ object SparkEntry {
     "p_serverless_handler" ->
       """SELECT doc_id, lang, n_chars > 500 AS big
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    "p_rag_e2e" ->
+      """SELECT 'rp.ai.rag.docs' AS topic,
+        |  CAST(doc_id AS VARCHAR) AS key,
+        |  CAST(0 AS BIGINT) AS chunk_id,
+        |  text AS document
+        |FROM documents
+        |WHERE n_chars <= 400
+        |  AND text IN (SELECT text FROM documents
+        |               GROUP BY text HAVING COUNT(*) = 1)
+        |ORDER BY doc_id LIMIT 24""".stripMargin,
 
     "p_dynamodb_partiql" ->
       """SELECT doc_id, lang || '|' || n_chars AS stored

@@ -222,6 +222,23 @@ object Blobl {
     Compiler.compile(Parser.parseExpr(src), env).col
   }
 
+  /** Like [[exprJson]] but returns the value's JSON TEXT regardless of
+    * its compiled type (arrays/objects render as JSON, not as Spark's
+    * toString) — for config fields consumed as documents, e.g.
+    * sql_raw's args_mapping array.
+    */
+  def exprJsonText(df: DataFrame, src: String,
+                   envVars: Map[String, String] = Map.empty,
+                   valueCol: String = "value",
+                   metadataCol: Option[String] = None): Column = {
+    Compiler.prepare(df)
+    val env = Compiler.Env(
+      Compiler.Json(try_parse_json(col(valueCol)), col(valueCol)),
+      Map.empty, metadataCol.map(col), envVars,
+      batchCol = batchColOf(df))
+    Values.toJsonText(Compiler.compile(Parser.parseExpr(src), env))
+  }
+
   /** Batch identity column when the envelope carries one — batch-scoped
     * functions (batch_index/batch_size/from_all/from) partition by it. */
   private def batchColOf(df: DataFrame): Option[Column] =

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 import graft.blobl.Blobl
 import graft.operators.{BatchOps, Jq, Observe}
 import graft.sinks.Sinks
-import graft.sources.{Amqp1, Envelope, AzureQueue, Beanstalkd, Cassandra, CloudQueue, CloudWatch, Cockroach, Cursors, Discord, DynamoCdc, HttpClient, HttpPushServer, HttpServeServer, Jira, Kinesis, MongoCdc, Mq, Nanomsg, NatsKv, Nsq, Otlp, OtlpGrpc, PubSub, Redis, Salesforce, SalesforceApi, SalesforceCdc, SchemaRegistryIO, Slack, SlackSocket, Sources, SpannerCdc, SpiceDb, Mongo, Splunk, Tcp, Twitter, WebSocket}
+import graft.sources.{Amqp1, Broker, Envelope, AzureQueue, Beanstalkd, Cassandra, CloudQueue, CloudWatch, Cockroach, Cursors, Discord, DynamoCdc, HttpClient, HttpPushServer, HttpServeServer, Jira, Kinesis, MongoCdc, Mq, Nanomsg, NatsKv, Nsq, Otlp, OtlpGrpc, PubSub, Redis, Salesforce, SalesforceApi, SalesforceCdc, SchemaRegistryIO, Slack, SlackSocket, Sources, SpannerCdc, SpiceDb, Mongo, Splunk, Tcp, Twitter, WebSocket}
 
 /** Declarative pipeline runner — the reference's primary UX
   * (README.md:7-21: a YAML config of input → pipeline.processors →
@@ -52,6 +52,16 @@ object Pipeline {
                         buffer: Option[JsonNode] = None,
                         metrics: Option[JsonNode] = None,
                         tracer: Option[JsonNode] = None)
+
+  /** Config-level `${VAR}` / `${VAR:default}` env interpolation — the
+    * reference substitutes these over the raw config text BEFORE any
+    * component parses it (configuration/about.adoc environment
+    * variables). Bloblang's own `${! … }` interpolations are left alone.
+    */
+  def substEnv(text: String, env: Map[String, String]): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\\}".r.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
 
   def load(configYaml: String): Spec = {
     val root = yaml.readTree(configYaml)
@@ -686,17 +696,41 @@ object Pipeline {
           .map(_.elements().asScala.toSeq.map(_.asText))
           .getOrElse(throw new IllegalArgumentException(
             "kafka input needs seed_brokers/addresses"))
-        val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
+        val topics0 = b.get("topics").elements().asScala.toSeq.map(_.asText)
         addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
           case Some(mem0) =>
             val mem = kafkaAddr(mem0,
               kafkaSaslQuery(b).toSeq ++ kafkaIsolationQuery(b).toSeq)
-            Sources.broker(topics.map(t => Sources.brokerRead(spark, mem, t)))
+            // `regexp_topics: true` (inputs/kafka.adoc): the topic list
+            // is regex patterns matched against the broker's metadata
+            val topics =
+              if (b.path("regexp_topics").asBoolean(false))
+                Broker.transportFor(mem).listTopics()
+                  .filter(t => topics0.exists(p => t.matches(p)))
+              else topics0
+            require(topics.nonEmpty,
+              s"kafka input: no topics match ${topics0.mkString(", ")}")
+            val read =
+              Sources.broker(topics.map(t => Sources.brokerRead(spark, mem, t)))
+            // `batching:` count/period policy at the input — batch
+            // identity scopes group_by_value / batch_index downstream
+            // period has no effect on a bounded snapshot (all messages
+            // of the replay share one instant) — count is the operative
+            // bound, exactly like the batched input without event time
+            Option(b.get("batching")).filterNot(_.isEmpty)
+              .filter(_.path("count").asInt(0) > 0) match {
+              case Some(pol) =>
+                BatchOps.formBatches(
+                  read.withColumn("__gseq", monotonically_increasing_id()),
+                  "__gseq", pol.path("count").asInt(0), 0, 0, None,
+                  None).drop("__gseq")
+              case None => read
+            }
           case None =>
             // batch runner → bounded earliest→latest scan, NOT the
             // streaming source (a readStream frame can't be executed by
             // the batch processors/writeOutput path)
-            Sources.kafkaBatch(spark, addrs.mkString(","), topics.mkString(","))
+            Sources.kafkaBatch(spark, addrs.mkString(","), topics0.mkString(","))
         }
       case ("socket", b) =>
         // inputs/socket.adoc (client mode): connect and read
@@ -2206,16 +2240,18 @@ object Pipeline {
             writeOutput(d, k)))
         case "round_robin" | "greedy" =>
           // rows rotate across children by PARTITION-LOCAL ordinal —
-          // no global coordination, so the split stays shuffle-free at
-          // any scale and is fair within ±numPartitions rows. greedy's
-          // work-stealing has no batch analog, so it shares the
-          // rotation (documented divergence).
+          // monotonically_increasing_id is (pid << 33) + consecutive
+          // local ordinal, so its value mod n cycles through every
+          // child within each partition: a plain projection, NO
+          // exchange and no sort, fair within ±numPartitions rows
+          // (a row_number window here would hash-exchange and sort the
+          // whole input — r17 advice). greedy's work-stealing has no
+          // batch analog, so it shares the rotation (documented
+          // divergence). persist() pins the nondeterministic ids so
+          // every child filter sees the same assignment.
           val n = kids.size
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(spark_partition_id())
-            .orderBy(monotonically_increasing_id())
           val cached = df.withColumn("__rr",
-            pmod(row_number().over(w) - 1, lit(n))).persist()
+            pmod(monotonically_increasing_id(), lit(n))).persist()
           try kids.zipWithIndex.foreach { case (k, i) =>
             writeOutput(cached.filter(col("__rr") === i).drop("__rr"), k)
           } finally { cached.unpersist(); () }
@@ -2307,26 +2343,38 @@ object Pipeline {
       // succeeds, with the reference's bounded exponential backoff
       val child = Option(b.get("output")).getOrElse(
         throw new IllegalArgumentException("retry output needs an output"))
-      val maxRetries = b.at("/backoff/max_retries").asInt(
-        b.path("max_retries").asInt(3))
+      // upstream defaults (outputs/retry.adoc:53-110): max_retries is
+      // TOP-level and 0 means NO limit (the reference retries forever —
+      // the alternative is nacking to the source); backoff defaults
+      // 500ms/3s; max_elapsed_time 0s = unlimited
+      val maxRetries = b.path("max_retries").asInt(0)
+      var delayMs = durMs(b.at("/backoff/initial_interval").asText("500ms"))
+      val maxDelayMs = durMs(b.at("/backoff/max_interval").asText("3s"))
+      val maxElapsedMs = durMs(b.at("/backoff/max_elapsed_time").asText("0s"))
+      val startNs = System.nanoTime()
       var attempt = 0
-      var delayMs = durMs(b.at("/backoff/initial_interval").asText("50ms"))
-      val maxDelayMs = durMs(b.at("/backoff/max_interval").asText("1s"))
       var done = false
-      var lastErr: Throwable = null
-      while (!done && attempt <= maxRetries) {
+      while (!done) {
         try { writeOutput(df, child); done = true }
-        catch { case e: Throwable =>
-          lastErr = e
-          attempt += 1
-          if (attempt <= maxRetries) {
+        catch {
+          case e: InterruptedException => throw e
+          case e: Throwable =>
+            attempt += 1
+            val elapsedMs = (System.nanoTime() - startNs) / 1000000L
+            if ((maxRetries > 0 && attempt > maxRetries) ||
+                (maxElapsedMs > 0 && elapsedMs >= maxElapsedMs))
+              throw new IllegalStateException(
+                s"retry output: $attempt attempts failed", e)
             Thread.sleep(delayMs)
             delayMs = math.min(delayMs * 2, maxDelayMs)
-          }
         }
       }
-      if (!done) throw new IllegalStateException(
-        s"retry output: $attempt attempts failed", lastErr)
+    case ("sql_raw", b) =>
+      // outputs/sql_raw.adoc — per-message statements (or a `queries`
+      // list) against the DSN-selected engine; `batching`/`max_in_flight`
+      // are delivery knobs with no bounded-batch effect. A statement
+      // failure fails the output (fallback/reject_errored see it).
+      SqlRaw.output(df, b)
     case ("sync_response", _) =>
       // store the processed payloads for the request-scoped reader —
       // the http server's synchronous reply and the serverless
@@ -2566,21 +2614,28 @@ object Processors {
           // splitting — otherwise a re-read with different row order
           // joins branch results onto the wrong originals. Streaming
           // plans can't checkpoint here and must carry a real __seq.
-          val seqd = withSeq(df)
-          val keyed =
-            if (seqd.isStreaming || df.columns.contains("__seq")) seqd
-            else seqd.localCheckpoint()
-          val req0 = keyed.select(col("__seq").as("__bid"),
+          // the rejoin needs a GLOBALLY unique row id: __seq is only
+          // unique within a batch (group_by_value resets it per group),
+          // and joining on a colliding id cross-multiplies rows (r18
+          // bug: branch after group_by_value duplicated every chunk by
+          // the number of groups). Batch plans pin a fresh id with a
+          // localCheckpoint; streaming plans keep their real __seq.
+          val (keyed, idCol) =
+            if (df.isStreaming) (withSeq(df), "__seq")
+            else (df.withColumn("__brid", monotonically_increasing_id())
+              .localCheckpoint(), "__brid")
+          val req0 = keyed.select(col(idCol).as("__bid"),
             col("value"))
           val req = reqMap.map(Blobl.mapping(req0, _, env)).getOrElse(req0)
           val branched = procs(req)
             .select(col("__bid"), col("value").as("__branch_value"))
           val joined = keyed.join(branched,
-            keyed("__seq") === branched("__bid"), "left").drop("__bid")
+            keyed(idCol) === branched("__bid"), "left").drop("__bid")
           resMap match {
             case Some(rm) => Blobl.resultMap(joined, rm,
               "__branch_value", "value", env, metaColOf(df))
-            case None => joined.drop("__branch_value")
+              .drop("__brid")
+            case None => joined.drop("__branch_value", "__brid")
           }
         }
       case "try" =>
@@ -2798,9 +2853,20 @@ object Processors {
             case other => throw new IllegalArgumentException(
               s"archive format '$other' unsupported in config form (tar/zip are source scanners)")
           }
-          archived.select(col("archived").as("value"),
-            col("key").cast("long").as("__seq"),
-            map().cast("map<string,string>").as("metadata"))
+          // "The resulting archived message adopts the metadata of the
+          // _first_ message part of the batch" (processors/archive.adoc:38)
+          val firstMeta =
+            if (df.columns.contains("metadata"))
+              d.groupBy(batchKey.as("key"))
+                .agg(min_by(col("metadata"), col("__seq")).as("metadata"))
+            else null
+          val res = archived.select(col("archived").as("value"),
+            col("key").cast("long").as("__seq"), col("key"))
+          val withMeta =
+            if (firstMeta == null)
+              res.withColumn("metadata", map().cast("map<string,string>"))
+            else res.join(firstMeta, Seq("key"))
+          withMeta.drop("key")
         }
       case "unarchive" =>
         val fmt = body.path("format").asText("lines")
@@ -3283,13 +3349,21 @@ object Processors {
         val argv = argvOf(body)
         df => Command.perPartition(df, argv)
       case "sql_raw" | "sql" =>
-        // processors/sql_raw.adoc:26 — Spark IS the SQL engine: the
-        // current stream registers as view `stream` and the query's
-        // result becomes the new frame
-        val query = body.path("query").asText(body.asText)
-        df => {
-          df.createOrReplaceTempView("stream")
-          df.sparkSession.sql(query)
+        if (body.has("dsn"))
+          // external-database form (processors/sql_raw.adoc): driver +
+          // dsn + query/queries with per-message args_mapping —
+          // postgres:// resolves to the in-process pgvector engine,
+          // jdbc: URLs run through JDBC (Derby on this classpath)
+          df => SqlRaw.processor(df, body, env)
+        else {
+          // dsn-less form — Spark IS the SQL engine: the current stream
+          // registers as view `stream` and the query's result becomes
+          // the new frame
+          val query = body.path("query").asText(body.asText)
+          df => {
+            df.createOrReplaceTempView("stream")
+            df.sparkSession.sql(query)
+          }
         }
       case "sql_select" =>
         // processors/sql_select.adoc:26 — enrichment lookup against a

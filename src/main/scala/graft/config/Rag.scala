@@ -1,0 +1,184 @@
+package graft.config
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship RAG pipeline trio, run end-to-end through
+  * the YAML runner with its OWN config files (ported verbatim under
+  * resources/rag/ from config/rag/ — indexing/openai_pgvector.yaml,
+  * retrieval/openai_pgvector.yaml, and the templates they expand:
+  * rag_topics → kafka consume, oai_embed → openai_embeddings,
+  * pgvector → sql_raw against the pgvector engine).
+  *
+  * Gate design (p_rag_e2e): seed documents into a kafka topic, run the
+  * indexing config (chunk → group per key → embed via branch → archive
+  * → DELETE+INSERT into pgvector through fallback/reject_errored), then
+  * serve the retrieval config over a real HTTP socket and query it.
+  *
+  * The RETURNED rows are the pgvector store's content for the
+  * single-chunk documents — (topic, key, chunk_id, document) — which
+  * the DuckDB oracle states directly from the parquet table (a doc
+  * under the 512-char chunk size stores as exactly one chunk of its
+  * own text). Multi-chunk documents and the retrieval loop are
+  * hard-asserted inside the gate instead (chunk boundaries and hash
+  * embeddings aren't SQL-expressible):
+  *  - every >512-char doc stores ≥2 chunks, each a substring of the
+  *    original, covering ≥90% of its length in order;
+  *  - each HTTP query returns exactly `limit` hits whose keys/topics
+  *    exist in the store, whose reassembled `document` equals the
+  *    ordered concat of that key's stored chunks, and whose ranking
+  *    equals a gate-side brute-force top-k over the dumped vectors
+  *    using the embedding of the exact posted body — verifying the
+  *    text that reached the embedder, the vector's JSON→pgvector
+  *    round-trip, and the distance ordering end to end.
+  */
+object Rag {
+
+  private val mapper = new ObjectMapper()
+
+  def resource(name: String): String = {
+    val in = getClass.getResourceAsStream("/rag/" + name)
+    require(in != null, s"missing bundled RAG fixture: $name")
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def registerTemplates(): Unit =
+    Seq("pgvector_output", "openai_embeddings", "pgvector_query",
+        "redpanda", "cohere_embeddings", "ollama_embeddings")
+      .foreach(f => Templates.register(resource(s"templates/$f.yaml")))
+
+  /** Index + retrieve; returns the oracle-checkable store rows. */
+  def e2e(spark: SparkSession, sfDir: String, nSmall: Int = 24,
+          nBig: Int = 16, nQueries: Int = 8): DataFrame = {
+    registerTemplates()
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val broker = s"mem://rag-$runId"
+    val dsn = s"postgres://rag-$runId/db"
+    val topic = "rp.ai.rag.docs"
+
+    // document selection — restated verbatim by the oracle SQL:
+    // globally unique texts; n_chars <= 400 docs are single-chunk
+    // (chunk size 512) and become the oracle rows; n_chars > 512 docs
+    // exercise multi-chunk reassembly
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val uniq = docs.groupBy("text").count()
+      .filter(col("count") === 1).select("text")
+    val base = docs.join(uniq, Seq("text"), "left_semi")
+    val small = base.filter(col("n_chars") <= 400)
+      .orderBy("doc_id").limit(nSmall)
+    val big = base.filter(col("n_chars") > 512)
+      .orderBy("doc_id").limit(nBig)
+    val seed = small.unionByName(big)
+      .select(col("doc_id").cast("string").as("key"),
+        col("text").as("value"), col("doc_id"))
+
+    graft.sources.Broker.transportFor(broker).createTopic(topic, 4)
+    graft.sinks.Sinks.brokerWrite(seed, broker, topic,
+      col("key"), col("value"), col("doc_id"))
+
+    val env = Map(
+      "REDPANDA_BROKERS" -> broker,
+      "INDEXING_CONSUMER" -> "rag-index",
+      "REDPANDA_USER" -> "", "REDPANDA_PASS" -> "",
+      "OPENAI_API_KEY" -> "test-key",
+      "POSTGRES_DSN" -> dsn, "POSTGRES_TABLE" -> "rag")
+
+    // 1. indexing — the reference config, env-substituted like the CLI
+    Pipeline.run(spark,
+      Pipeline.substEnv(resource("indexing/openai_pgvector.yaml"), env), env)
+
+    // 2. the store after indexing
+    val table = graft.sources.PgVector.table(dsn, "rag_openai").getOrElse(
+      throw new IllegalStateException("indexing created no pgvector table"))
+    val stored = synchronized {
+      table.rows.map { r =>
+        (String.valueOf(r(0)), String.valueOf(r(1)),
+          r(2).asInstanceOf[Long], String.valueOf(r(3)),
+          r(4).asInstanceOf[Array[Float]])
+      }.toVector
+    }
+    val bigDocs = big.select(col("doc_id").cast("string"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    bigDocs.foreach { case (k, text) =>
+      val chunks = stored.filter(_._2 == k).sortBy(_._3)
+      require(chunks.size >= 2,
+        s"doc $k (${text.length} chars) stored ${chunks.size} chunks")
+      require(chunks.forall(c => text.contains(c._4)),
+        s"doc $k: a stored chunk is not a substring of the original")
+      require(chunks.map(_._4.length).sum >= (text.length * 9) / 10,
+        s"doc $k: chunks cover <90% of the text")
+      val idx = chunks.map(c => text.indexOf(c._4))
+      require(idx == idx.sorted,
+        s"doc $k: chunk order does not follow the text")
+    }
+
+    // 3. retrieval over a real socket; ranking cross-checked against a
+    // gate-side brute-force top-k from the dumped store
+    val server = new graft.sources.HttpSyncServer(spark,
+      Pipeline.substEnv(resource("retrieval/openai_pgvector.yaml"), env), env)
+    try {
+      val client = graft.operators.Http.javaClient(timeoutMs = 120000)
+      val embed = graft.operators.AiApis.offlineEmbeddings(768)
+      val queryTexts = small.select(col("text")).limit(nQueries)
+        .collect().map(_.getString(0)) // bounded: nQueries rows
+      queryTexts.foreach { qt =>
+        val q = mapper.createObjectNode()
+        q.put("query", qt)
+        val body = mapper.writeValueAsString(q)
+        val resp = client(Seq(graft.operators.Http.Request(server.url,
+          "POST", Map("Content-Type" -> "application/json"), body))).head
+        require(resp.status == 200,
+          s"retrieval returned ${resp.status}: ${resp.body}")
+        val hits = mapper.readTree(resp.body)
+        require(hits.isArray && hits.size == 3,
+          s"retrieval returned ${hits.size} hits, want 3")
+        // the pipeline embeds the request body verbatim
+        // (openai_embeddings' default text mapping is the content) —
+        // so the expected ranking is derivable from the posted bytes
+        val qv = embed(Seq(body)).head
+        val expected = stored.sortBy { s =>
+          val v = s._5
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) {
+            acc += (v(i) - qv(i)) * (v(i) - qv(i)); i += 1
+          }
+          (math.sqrt(acc), Seq(s._1, s._2, s._3).mkString(" "))
+        }.take(3)
+        expected.zipWithIndex.foreach { case (e, i) =>
+          val h = hits.get(i)
+          require(h.get("key").asText == e._2 &&
+              h.get("topic").asText == e._1,
+            s"rank $i: got ${h.get("key")}, want ${e._2}")
+          val reassembled = stored.filter(s => s._2 == e._2 && s._1 == e._1)
+            .sortBy(_._3).map(_._4).mkString("")
+          require(h.get("document").asText == reassembled,
+            s"rank $i: reassembled document mismatch for key ${e._2}")
+        }
+      }
+    } finally server.stop()
+
+    // 4. oracle rows: the store's single-chunk documents
+    val smallKeys = small.select(col("doc_id").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val rows = stored.filter(s => smallKeys(s._2)).map { s =>
+      Row(s._1, s._2, s._3, s._4)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("topic",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("chunk_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("document",
+          org.apache.spark.sql.types.StringType))))
+      .orderBy(col("key").cast("long"))
+  }
+}
