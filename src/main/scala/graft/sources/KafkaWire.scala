@@ -583,6 +583,9 @@ object KafkaWire {
     private var hadAborts = false
     def hasTxnState: Boolean =
       synchronized(openTxns.nonEmpty || hadAborts)
+    /** An open (unmarked) txn for this pid — the expiry sweep re-checks
+      * this after writing markers to catch a racing produce. */
+    def hasOpenTxn(pid: Long): Boolean = synchronized(openTxns.contains(pid))
     /** Last stable offset: everything below is decided. */
     def lso: Long = synchronized(
       if (openTxns.isEmpty) endOff else openTxns.values.min)
@@ -830,7 +833,10 @@ object KafkaWire {
   final class Server(joinDelayMs: Long = 150L,
                      maxFetchRecords: Int = 500,
                      fetchCodec: Int = CodecNone,
-                     saslUsers: Map[String, String] = Map.empty) {
+                     saslUsers: Map[String, String] = Map.empty,
+                     // seam clock (the CloudQueue/Memcached convention):
+                     // txn-expiry specs advance it instead of sleeping
+                     clock: () => Long = () => System.currentTimeMillis()) {
     private val topics = TrieMap.empty[String, Array[PartitionLog]]
     private val groups = TrieMap.empty[String, Group]
     // ── idempotent-producer registry (InitProducerId): pid → current
@@ -854,7 +860,7 @@ object KafkaWire {
 
     private def expireStaleTxns(): Unit = {
       if (txnTouchedAtMs.isEmpty) return
-      val now = System.currentTimeMillis()
+      val now = clock()
       txnTouchedAtMs.foreach { case (pid, t0) =>
         if (now - t0 > txnTimeoutMs.getOrElse(pid, 60000).toLong &&
             txnTouchedAtMs.remove(pid).isDefined) {
@@ -862,9 +868,24 @@ object KafkaWire {
             case Some(e) => Some((e + 1).toShort)
             case None => Some(0: Short)
           }.get
-          txnPartitions.remove(pid).getOrElse(Set.empty).foreach {
+          val touched = txnPartitions.remove(pid).getOrElse(Set.empty)
+          touched.foreach {
             case (t, p) => topics.get(t).flatMap(_.lift(p))
               .foreach(_.endTxn(pid, epoch, commit = false))
+          }
+          // a produce that passed the OLD epoch check concurrently may
+          // append after the markers, reopening the txn on a pid whose
+          // timeout entry is gone — the LSO would pin until the
+          // producer retried. Re-arm such a pid so the NEXT sweep
+          // aborts the reopened txn with the bumped epoch.
+          val reopened = touched.filter { case (t, p) =>
+            topics.get(t).flatMap(_.lift(p)).exists(_.hasOpenTxn(pid))
+          }
+          if (reopened.nonEmpty) {
+            txnPartitions.update(pid, reopened)
+            txnTouchedAtMs.put(pid, now -
+              txnTimeoutMs.getOrElse(pid, 60000).toLong - 1)
+            ()
           }
         }
       }
@@ -1028,7 +1049,7 @@ object KafkaWire {
             case Some(s) => Some(s + ((t, p)))
             case None => Some(Set((t, p)))
           }
-          txnTouchedAtMs.put(pid, System.currentTimeMillis())
+          txnTouchedAtMs.put(pid, clock())
           ErrNone
         }
       b.i32(0) // throttle

@@ -215,8 +215,10 @@ object Sftp {
       while (offset < body.length || (offset == 0 && body.isEmpty)) {
         val n = math.min(chunk, body.length - offset)
         val id = next()
+        val off = offset.toLong
         f.sendPacket(new Buf().u8(FxpWrite).u32(id).str(handle)
-          .raw(new Buf().u32(0).u32(offset.toLong).bytes)
+          .raw(new Buf().u32((off >> 32) & 0xFFFFFFFFL)
+            .u32(off & 0xFFFFFFFFL).bytes)
           .str(body.slice(offset, offset + n)).bytes)
         require(expectStatus(id) == FxOk, "sftp: WRITE failed")
         offset += n
@@ -247,20 +249,35 @@ object Sftp {
           id
         }
         val handles = openIds.map(expectHandle)
-        val writeIds = batch.zip(handles).flatMap { case ((_, body), h) =>
+        // the window bounds OUTSTANDING REQUESTS, not files: a wave of
+        // large files would otherwise push thousands of unacked WRITEs
+        // while the server's STATUS responses back up — on a real link
+        // both sides' flow-control windows fill and the session
+        // deadlocks (OpenSSH pipelines ~64 requests for this reason).
+        // Offsets are the full 64-bit form — a u32 write offset wraps
+        // at 4 GiB and silently corrupts (downloadAll always had it).
+        val maxOutstanding = 64
+        val pending = mutable.Queue.empty[Long]
+        batch.zip(handles).foreach { case ((_, body), h) =>
           val slices =
             if (body.isEmpty) Seq(Array.emptyByteArray)
             else body.grouped(chunk).toSeq
-          slices.zipWithIndex.map { case (s, i) =>
+          slices.zipWithIndex.foreach { case (s, i) =>
+            val off = i.toLong * chunk
             val id = next()
             f.sendPacket(new Buf().u8(FxpWrite).u32(id).str(h)
-              .raw(new Buf().u32(0).u32((i.toLong * chunk)).bytes)
+              .raw(new Buf().u32((off >> 32) & 0xFFFFFFFFL)
+                .u32(off & 0xFFFFFFFFL).bytes)
               .str(s).bytes)
-            id
+            pending += id
+            if (pending.size >= maxOutstanding)
+              require(expectStatus(pending.dequeue()) == FxOk,
+                "sftp: WRITE failed")
           }
         }
-        writeIds.foreach(id =>
+        pending.foreach(id =>
           require(expectStatus(id) == FxOk, "sftp: WRITE failed"))
+        pending.clear()
         val closeIds = handles.map { h =>
           val id = next()
           f.sendPacket(new Buf().u8(FxpClose).u32(id).str(h).bytes)

@@ -1615,7 +1615,13 @@ class KafkaWireSpec extends SparkSpec {
   }
 
   test("transactions: an idle transaction expires, releasing the LSO") {
-    withServer { srv =>
+    // timing runs on the SEAM clock (no sleeps): the spec advances it
+    // past transaction.timeout.ms and the next read_committed request
+    // runs the expiry sweep deterministically
+    val nowMs = new java.util.concurrent.atomic.AtomicLong(1000000L)
+    val srv = new KafkaWire.Server(joinDelayMs = 80,
+      clock = () => nowMs.get())
+    try {
       val c = new KafkaWire.Client("127.0.0.1", srv.port)
       val cc = new KafkaWire.Client("127.0.0.1", srv.port,
         isolation = "read_committed")
@@ -1631,7 +1637,11 @@ class KafkaWireSpec extends SparkSpec {
           producerId = pid, producerEpoch = ep, baseSequence = 0,
           attrsExtra = 0x10))
         assert(cc.endOffset("exp", 0) == 1L, "open txn pins the LSO")
-        Thread.sleep(300)
+        // under the timeout: still open
+        nowMs.addAndGet(100L)
+        assert(cc.endOffset("exp", 0) == 1L,
+          "txn under transaction.timeout.ms stays open")
+        nowMs.addAndGet(100L) // 200 ms total > 150 ms timeout
         // the expiry sweep runs on the read_committed path: the broker
         // aborts the hung txn, writes the marker, and the LSO advances
         assert(cc.endOffset("exp", 0) == 3L,
@@ -1644,6 +1654,6 @@ class KafkaWireSpec extends SparkSpec {
         }
         assert(fenced.code == KafkaWire.ErrInvalidProducerEpoch)
       } finally { c.close(); cc.close() }
-    }
+    } finally srv.stop()
   }
 }
