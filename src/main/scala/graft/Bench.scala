@@ -125,6 +125,11 @@ object Bench {
     // steady-state up to 2× (t_dedup_clusters 7.8 s reported vs 3.5 s
     // warm). Pass 1 effectively serves as the discarded warm-up.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    // host-drift guard: sample the fixed reference kernel before and
+    // after the sweep (SCALE_NOTES r16/r17 — this box swings 2-8x on
+    // identical code). Readings ride the artifact so a cross-round
+    // compare can reject runs whose kernels disagree.
+    val kernelStart = graft.tools.RefKernel.mbPerSec()
     val passTimes = (1 to runs).map { pass =>
       selected.map { case (name, fn) =>
         // each attempt is an independent measurement: drop cached plans
@@ -156,8 +161,14 @@ object Bench {
     val results = selected.map { case (name, _) =>
       name -> byPass.map(_(name)).min
     }
+    val kernelEnd = graft.tools.RefKernel.mbPerSec()
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // dimensionless normalized total: seconds × (kernel MB/s ÷ 1000) —
+    // a run on a half-speed box reads ~the same normalized value.
+    // Trust it only when start/end kernels agree within ~20%.
+    val kernelAvg = (kernelStart + kernelEnd) / 2.0
+    val totalNorm = total * kernelAvg / 1000.0
     val (maxName, maxSec) =
       if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
     // self-describing env block (round-12 lesson: a 4.8× cross-harness
@@ -216,7 +227,11 @@ object Bench {
             .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
         }.mkString(""""failed":{""", ",", "},")
     val extra =
-      s"""$failedJson"max_query":"$maxName","max_sec":${fmt(maxSec)},"runs":$runs,"n_queries":${results.size}"""
+      s"""$failedJson"max_query":"$maxName","max_sec":${fmt(maxSec)},""" +
+        s""""runs":$runs,"n_queries":${results.size},""" +
+        s""""kernel_mb_per_sec":{"start":${fmt(kernelStart)},""" +
+        s""""end":${fmt(kernelEnd)}},""" +
+        s""""total_kernel_normalized":${fmt(totalNorm)}"""
     // full per-query detail first (humans / logs) …
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

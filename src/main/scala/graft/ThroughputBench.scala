@@ -43,28 +43,7 @@ object ThroughputBench {
     // the raw phase numbers. Each phase below re-measures the kernel
     // right before it runs and publishes phase:kernel ratios; compare
     // THOSE across rounds, not the raw per-second values. ─────────────
-    var kernelSink = 0L
-    def refKernelMbPerSec(): Double = {
-      val buf = new Array[Byte](8 * 1024 * 1024)
-      java.util.Arrays.fill(buf, 0x5a.toByte)
-      val passes = 24
-      val best = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        var p = 0
-        while (p < passes) {
-          var i = 0
-          var h = -3750763034362895579L // FNV-1a 64 offset basis
-          while (i < buf.length) {
-            h = (h ^ (buf(i) & 0xffL)) * 1099511628211L
-            i += 1
-          }
-          kernelSink ^= h
-          p += 1
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      passes.toDouble * buf.length / 1e6 / best
-    }
+    def refKernelMbPerSec(): Double = graft.tools.RefKernel.mbPerSec()
     // dimensionless normalization: phase metric per kernel MB/s —
     // stable across ambient swings that slow phase and kernel alike
     def ratio(metricKey: String, kernel: Double): Unit =
@@ -138,6 +117,28 @@ object ThroughputBench {
         val produceSec = (System.nanoTime() - t0) / 1e9
         val total = (perPart * nParts).toLong
         results("produce_msgs_per_sec") = total / produceSec
+
+        // transactional produce at the SAME volume/shape: per-partition
+        // txn sessions (InitProducerId → AddPartitionsToTxn → batches →
+        // EndTxn commit marker) — quantifies the marker/AddPartitions
+        // overhead per chunk against the plain phase above
+        locally {
+          val txnAddr = srcAddr + "?transactional_id=bench-txn"
+          Broker.transportFor(srcAddr).createTopic("bulk_txn", nParts)
+          val t1 = System.nanoTime()
+          spark.sparkContext.parallelize(0 until nParts, nParts).foreach { p =>
+            val t = Broker.transportFor(txnAddr)
+            t.transactional("bulk_txn", p) {
+              (0 until perPart).grouped(10000).foreach { chunk =>
+                t.append("bulk_txn", p, chunk.map(i =>
+                  Broker.Record(s"k$i".getBytes, value, Map.empty, 1L + i)))
+              }
+            }
+          }
+          val txnSec = (System.nanoTime() - t1) / 1e9
+          results("produce_txn_msgs_per_sec") = total / txnSec
+          ratio("produce_txn_msgs_per_sec", kernel)
+        }
 
         // best of 3 passes (same discipline as pg_decode below): the
         // copy loop is JIT/GC-mode bimodal in a fresh JVM — observed
@@ -270,8 +271,6 @@ object ThroughputBench {
         rows * (payload.length + 40).toDouble / 1e6 / sec
       ratio("pg_decode_msgs_per_sec", kernel)
     }
-    // the sink keeps the kernel loops observable; never printed as data
-    if (kernelSink == 42L) System.err.println("kernel sink collision")
 
     val json = results.map { case (k, v) => s""""$k":${f"$v%.0f"}""" }
       .mkString("{", ",", s""","msgs":$msgs,"sf":"$sfDir"}""")

@@ -19,6 +19,10 @@ object Ast {
   case object NullLit extends Expr
   case class ArrLit(items: Seq[Expr]) extends Expr
   case class ObjLit(fields: Seq[(String, Expr)]) extends Expr
+  /** Object literal with at least one COMPUTED key (bloblang dynamic
+    * keys, e.g. `{ $results.index(i): v }` — config/rag/eval.yaml).
+    */
+  case class ObjLitDyn(fields: Seq[(Either[String, Expr], Expr)]) extends Expr
 
   /** `this` or `this.a.b`; empty segs = whole document. */
   case class ThisPath(segs: Seq[String]) extends Expr

@@ -93,7 +93,10 @@ object Compiler {
                  maps: Map[String, Seq[Stmt]] = Map.empty, // named maps
                  depth: Int = 0,                 // apply() inline depth
                  applying: Set[String] = Set.empty, // maps on the inline stack
-                 batchCol: Option[Column] = None) { // batch identity (__batch)
+                 batchCol: Option[Column] = None, // batch identity (__batch)
+                 // JSON text of the root UNDER CONSTRUCTION — RHS `root`
+                 // reads (result_map `root.x = root.x.append(this)`)
+                 rootCol: Option[Column] = None) {
     def withVar(name: String, v: BV): Env = copy(vars = vars + (name -> v))
     /** Rebind `this` to a value — expression-form lambda bodies
       * (`items.map_each($d.merge(this))`) see the ELEMENT as `this`.
@@ -114,6 +117,11 @@ object Compiler {
     case FloatLit(n) => BV(lit(n), F)
     case BoolLit(b) => BV(lit(b), B)
     case NullLit => BV(lit(null), N)
+
+    case ArrLit(items) if items.isEmpty =>
+      // array() alone infers ARRAY<VOID>, which can't cast to variant
+      // (fold/append seeds like `fold([], …)`)
+      BV(array().cast("array<variant>"), A(V))
 
     case ArrLit(items) =>
       val vs = items.map(compile(_, env))
@@ -151,6 +159,30 @@ object Compiler {
       }
       BV(to_json(struct(fvs: _*), Map("ignoreNullFields" -> "true")), J)
 
+    case ObjLitDyn(fields) =>
+      // computed keys can't be a static struct — assemble the JSON text
+      // per pair (key serialized as a JSON string, value via its JSON
+      // form) and drop null/deleted pairs at runtime, matching the
+      // static literal's ignoreNullFields semantics
+      val pairs = fields.map { case (k, fe) =>
+        val keyText = k match {
+          case Left(s) => toJsonText(BV(lit(s), S))
+          case Right(e) => toJsonText(BV(asString(compile(e, env)), S))
+        }
+        val v0 = compile(fe, env)
+        if (v0.t == Del) lit(null).cast("string")
+        else {
+          val valText = toJsonText(v0)
+          val dropped = valText.isNull ||
+            (valText.cast("string") <=> lit("\"" + DeletedSentinel + "\""))
+          when(dropped, lit(null).cast("string"))
+            .otherwise(concat(keyText, lit(":"), valText))
+        }
+      }
+      BV(concat(lit("{"),
+        array_join(filter(array(pairs: _*), x => x.isNotNull), ","),
+        lit("}")), J)
+
     case ThisPath(segs) => env.resolveThis(segs)
 
     case BarePath(segs) =>
@@ -158,6 +190,14 @@ object Compiler {
         case Some(base) =>
           segs.tail.foldLeft(base)((b, seg) =>
             BV(variant_get(asVariant(b), vpath(Seq(seg)), "variant"), V))
+        case None if segs.head == "root" && env.rootCol.nonEmpty =>
+          // RHS `root` reads the document UNDER CONSTRUCTION (bloblang
+          // about.adoc: root paths are readable mid-mapping —
+          // result_map `root.processed = root.processed.append(this)`)
+          val doc = BV(try_parse_json(env.rootCol.get), V)
+          if (segs.tail.isEmpty) doc
+          else BV(try_variant_get(asVariant(doc), vpath(segs.tail),
+            "variant"), V)
         case None => env.resolveThis(segs)
       }
 
@@ -219,12 +259,20 @@ object Compiler {
 
     case MethodCall(recv, "fold", args) if args.length == 2 =>
       // fold(init, expr) — expr sees `tally` (accumulator) and `value`
-      // (element), reference: config/test/bloblang/windowed.yaml:4-8
+      // (element), reference: config/test/bloblang/windowed.yaml:4-8.
+      // The lambda form `fold(init, i -> …)` binds i to the
+      // {tally, value} OBJECT (config/rag/eval.yaml:80-89).
       val arr = asArray(compile(recv, env))
       val init = compile(args(0), env)
-      BV(aggregate(arr.col, asVariant(init), (acc, x) => {
-        val env2 = env.withVar("tally", BV(acc, V)).withVar("value", BV(x, Methods.elemT(arr)))
-        asVariant(compile(args(1), env2))
+      BV(aggregate(arr.col, asVariant(init), (acc, x) => args(1) match {
+        case Lambda(p, b) =>
+          val pair = BV(parse_json(to_json(struct(acc.as("tally"),
+            asVariant(BV(x, Methods.elemT(arr))).as("value")))), V)
+          asVariant(compile(b, env.withVar(p, pair)))
+        case b =>
+          val env2 = env.withVar("tally", BV(acc, V))
+            .withVar("value", BV(x, Methods.elemT(arr)))
+          asVariant(compile(b, env2))
       }), V)
 
     case MethodCall(recv, "format", args) =>
@@ -412,6 +460,8 @@ object Compiler {
         cs.flatMap { case (c, b) => c.toSeq.flatMap(inExpr) ++ inExpr(b) }
       case ArrLit(xs) => xs.flatMap(inExpr).toSet
       case ObjLit(fs) => fs.flatMap(f => inExpr(f._2)).toSet
+      case ObjLitDyn(fs) => fs.flatMap(f =>
+        f._1.toOption.toSeq.flatMap(inExpr) ++ inExpr(f._2)).toSet
       case Lambda(_, b) => inExpr(b)
       case _ => Set.empty
     }
@@ -510,11 +560,14 @@ object Compiler {
     })
     var meta = env0.metaCol
 
-    def apply(ss: Seq[Stmt], cond: Column): Unit = ss.foreach {
+    def apply(ss: Seq[Stmt], cond: Column): Unit = {
+      // statements see the root built SO FAR (RHS `root` reads)
+      def envNow: Env = env.copy(rootCol = Some(root))
+      ss.foreach {
       case MapDecl(_, _) => () // collected above
 
       case LetAssign(name, value) =>
-        env = env.withVar(name, compile(value, env))
+        env = env.withVar(name, compile(value, envNow))
 
       // `root = if c { X } [else { Y }]` desugars to the statement form
       // so a false condition with no else SKIPS the assignment (the
@@ -539,7 +592,7 @@ object Compiler {
         apply(toIf(mcases), cond)
 
       case RootAssign(Seq(), value) =>
-        compile(value, env) match {
+        compile(value, envNow) match {
           case BV(_, Del, _) =>
             deleted = deleted || cond
           case v0 if v0.omitNull =>
@@ -558,7 +611,7 @@ object Compiler {
         // nulls preserved so an assigned null survives into the merge —
         // except omit-null values (false if-without-else), which skip
         // the assignment entirely
-        val v0 = compile(value, env)
+        val v0 = compile(value, envNow)
         val patch = nestedPatch(segs, v0)
         val assignCond = if (v0.omitNull) cond && v0.col.isNotNull else cond
         root = when(assignCond,
@@ -567,13 +620,14 @@ object Compiler {
 
       case MetaAssign(key, value) =>
         val m = meta.getOrElse(map().cast("map<string,string>"))
-        val v0 = asString(compile(value, env))
+        val v0 = asString(compile(value, envNow))
         meta = Some(when(cond, map_concat(m, map(lit(key), v0))).otherwise(m))
 
       case IfStmt(c, thn, els) =>
-        val cc = asBool(compile(c, env))
+        val cc = asBool(compile(c, envNow))
         apply(thn, cond && coalesce(cc, lit(false)))
         if (els.nonEmpty) apply(els, cond && !coalesce(cc, lit(false)))
+      }
     }
 
     apply(stmts, lit(true))

@@ -98,6 +98,17 @@ object MapInterp {
         if (!(v eq Deleted) && !v.isNull) o.set[JsonNode](k, v)
       }
       o
+    case ObjLitDyn(fields) =>
+      val o = F.objectNode()
+      fields.foreach { case (k, ve) =>
+        val key = k match {
+          case Left(s) => s
+          case Right(e) => strForm(eval(e, thisV, vars, ctx, depth))
+        }
+        val v = eval(ve, thisV, vars, ctx, depth)
+        if (!(v eq Deleted) && !v.isNull) o.set[JsonNode](key, v)
+      }
+      o
 
     case FnCall("deleted", _) => Deleted
     case FnCall("env", Seq(StrLit(k))) =>

@@ -146,24 +146,35 @@ object Methods {
     case "slice" =>
       // slice(low, high?) — 0-based, high exclusive; negatives count
       // from the end (methods.adoc slice)
+      def bounds(n: Column): (Column, Column) = {
+        val lo = asLong(v(args(0)))
+        val hi = if (args.length > 1) asLong(v(args(1))) else n
+        (when(lo < 0, greatest(n + lo, lit(0L))).otherwise(least(lo, n)),
+         when(hi < 0, greatest(n + hi, lit(0L))).otherwise(least(hi, n)))
+      }
+      def arrSlice(arr: Column): Column = {
+        val n = size(arr).cast("long")
+        val (lo1, hi1) = bounds(n)
+        slice(arr, (lo1 + 1).cast("int"),
+          greatest(hi1 - lo1, lit(0L)).cast("int"))
+      }
+      def strSlice(s: Column): Column = {
+        val n = length(s).cast("long")
+        val (lo1, hi1) = bounds(n)
+        s.substr((lo1 + 1).cast("int"),
+          greatest(hi1 - lo1, lit(0L)).cast("int"))
+      }
       recv.t match {
-        case A(_) =>
-          val arr = asArray(recv)
-          val lo = asLong(v(args(0)))
-          val hi = if (args.length > 1) asLong(v(args(1))) else size(arr.col).cast("long")
-          val n = size(arr.col).cast("long")
-          val lo1 = when(lo < 0, greatest(n + lo, lit(0L))).otherwise(least(lo, n))
-          val hi1 = when(hi < 0, greatest(n + hi, lit(0L))).otherwise(least(hi, n))
-          BV(slice(arr.col, (lo1 + 1).cast("int"), greatest(hi1 - lo1, lit(0L)).cast("int")),
-            recv.t)
+        case A(_) => BV(arrSlice(asArray(recv).col), recv.t)
+        case S => BV(strSlice(asString(recv)), S)
         case _ =>
-          val s = asString(recv)
-          val n = length(s).cast("long")
-          val lo = asLong(v(args(0)))
-          val hi = if (args.length > 1) asLong(v(args(1))) else n
-          val lo1 = when(lo < 0, greatest(n + lo, lit(0L))).otherwise(least(lo, n))
-          val hi1 = when(hi < 0, greatest(n + hi, lit(0L))).otherwise(least(hi, n))
-          BV(s.substr((lo1 + 1).cast("int"), greatest(hi1 - lo1, lit(0L)).cast("int")), S)
+          // variant receiver: array vs string is a RUNTIME property
+          // (config/rag/eval.yaml `this.unprocessed.slice(1)`)
+          val varn = asVariant(recv)
+          val isArr = schema_of_variant(varn).startsWith("ARRAY")
+          BV(when(isArr,
+              parse_json(to_json(arrSlice(varn.cast("array<variant>")))))
+            .otherwise(asVariant(BV(strSlice(asString(recv)), S))), V)
       }
     case "split" => BV(split(asString(recv),
       java.util.regex.Pattern.quote(litStr(args(0)))), A(S))
@@ -417,8 +428,19 @@ object Methods {
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType))), A(S))
     case "get" =>
-      val path = litStr(args(0))
-      BV(variant_get(asVariant(recv), s"$$.${path}", "variant"), V)
+      args(0) match {
+        case MVal(_, Some(path)) =>
+          BV(variant_get(asVariant(recv), s"$$.${path}", "variant"), V)
+        case _ =>
+          // DYNAMIC key (config/rag/eval.yaml `this.get($results.index(i))`)
+          // — variant_get needs a constant path, so read through a
+          // variant-valued map view; top-level keys only
+          BV(element_at(from_json(toJsonText(recv),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.VariantType)),
+            asString(v(args(0)))), V)
+      }
     case "get_field" =>
       // parser-synthesized: `.name` field access chained onto a method
       // RESULT (e.g. this.ip.geoip_city(db).city) — path form of get

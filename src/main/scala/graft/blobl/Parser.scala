@@ -67,11 +67,24 @@ object Parser extends RegexParsers {
   private def arrLit: Parser[Expr] =
     "[" ~> repsep(expr, ",") <~ opt(",") <~ "]" ^^ ArrLit.apply
 
-  private def objField: Parser[(String, Expr)] =
-    (strLit ^^ (_.v) | ident) ~ (":" ~> expr) ^^ { case k ~ v => (k, v) }
+  // a key is a literal (quoted string / bare ident) or a COMPUTED
+  // expression (bloblang dynamic keys — `{ $x.index(i): v }`). The
+  // literal forms must win first: a bare ident key is a NAME, not a
+  // this-relative reference.
+  private def objField: Parser[(Either[String, Expr], Expr)] =
+    ((strLit ^^ (_.v) | ident) ~ (":" ~> expr) ^^ {
+      case k ~ v => (Left(k): Either[String, Expr], v)
+    }) |
+    (expr ~ (":" ~> expr) ^^ {
+      case k ~ v => (Right(k): Either[String, Expr], v)
+    })
 
   private def objLit: Parser[Expr] =
-    "{" ~> repsep(objField, ",") <~ opt(",") <~ "}" ^^ ObjLit.apply
+    "{" ~> repsep(objField, ",") <~ opt(",") <~ "}" ^^ { fields =>
+      if (fields.forall(_._1.isLeft))
+        ObjLit(fields.map { case (k, v) => (k.left.get, v) })
+      else ObjLitDyn(fields)
+    }
 
   // ── primary expressions ─────────────────────────────────────────────
   private def lambda: Parser[Expr] =

@@ -2627,16 +2627,36 @@ object Processors {
           val req0 = keyed.select(col(idCol).as("__bid"),
             col("value"))
           val req = reqMap.map(Blobl.mapping(req0, _, env)).getOrElse(req0)
-          val branched = procs(req)
-            .select(col("__bid"), col("value").as("__branch_value"))
+          val branchedRaw = procs(req)
+          // a failed child errors the ORIGINAL message (branch.adoc:
+          // abort semantics) — carry the branch-side error through the
+          // rejoin and leave such rows' documents untouched
+          val branched = branchedRaw.select(col("__bid"),
+            col("value").as("__branch_value"),
+            (if (branchedRaw.columns.contains("error")) col("error")
+             else lit(null).cast("string")).as("__branch_err"))
+          // drop branched's __bid BY REFERENCE: a by-name drop would
+          // also remove an OUTER branch's __bid when branches nest
+          // (workflow score branch wrapping a while-loop branch)
           val joined = keyed.join(branched,
-            keyed(idCol) === branched("__bid"), "left").drop("__bid")
-          resMap match {
-            case Some(rm) => Blobl.resultMap(joined, rm,
-              "__branch_value", "value", env, metaColOf(df))
-              .drop("__brid")
-            case None => joined.drop("__branch_value", "__brid")
+            keyed(idCol) === branched("__bid"), "left")
+            .drop(branched("__bid"))
+          val merged = resMap match {
+            case Some(rm) =>
+              val pre = joined.withColumn("__orig_value", col("value"))
+              Blobl.resultMap(pre, rm,
+                "__branch_value", "value", env, metaColOf(df))
+                .withColumn("value", when(col("__branch_err").isNotNull,
+                  col("__orig_value")).otherwise(col("value")))
+                .drop("__orig_value")
+            case None => joined.drop("__branch_value")
           }
+          val withErr =
+            if (merged.columns.contains("error"))
+              merged.withColumn("error",
+                coalesce(col("error"), col("__branch_err")))
+            else merged.withColumn("error", col("__branch_err"))
+          withErr.drop("__branch_err", "__brid")
         }
       case "try" =>
         // processors/try.adoc:26 — children skip already-errored rows
@@ -2709,14 +2729,126 @@ object Processors {
             metadataCol = metaColOf(d))).isEmpty,
           procs, maxLoops)
       case "workflow" =>
-        // processors/workflow.adoc:25-90 — DAG of named branches; each
-        // stage is a branch-shaped processor applied in dependency order
-        val order = body.get("order").elements().asScala.toSeq
-          .map(_.asText)
+        // processors/workflow.adoc — DAG of named branches. `order`
+        // may be flat or tiered; when omitted, the DAG is INFERRED
+        // from the mappings (workflow.adoc:100-105): branch B depends
+        // on branch A when B's request_map reads a root field A's
+        // result_map assigns. `meta_path` (default meta.workflow)
+        // stores the {succeeded, skipped, failed} execution record IN
+        // the message (workflow.adoc:351-371), branch failures are
+        // recorded rather than failing the message, an existing record
+        // at the path skips already-done branches on replay, and the
+        // old record is preserved under `.previous`.
         val stages = body.get("branches")
-        order.map(n => compile(
-            yamlObj("branch", stages.get(n)), env))
-          .reduce((a, b) => a.andThen(b))
+        val names = stages.properties().asScala.map(_.getKey).toSeq
+        val metaPath = body.path("meta_path").asText("meta.workflow")
+        def srcOf(n: String, f: String): Option[String] =
+          Option(stages.at(s"/$n/$f")).filterNot(_.isMissingNode)
+            .map(_.asText).filter(_.nonEmpty)
+        def thisHeads(x: Any): Set[String] = x match {
+          case graft.blobl.Ast.ThisPath(segs) if segs.nonEmpty =>
+            Set(segs.head)
+          case s: Seq[_] => s.flatMap(thisHeads).toSet
+          case o: Option[_] => o.toSeq.flatMap(thisHeads).toSet
+          case p: Product => p.productIterator.flatMap(thisHeads).toSet
+          case _ => Set.empty
+        }
+        val provides: Map[String, Set[String]] = names.map(n =>
+          n -> srcOf(n, "result_map").map(src =>
+            graft.blobl.Parser.parse(src).stmts.collect {
+              case graft.blobl.Ast.RootAssign(segs, _) if segs.nonEmpty =>
+                segs.head
+            }.toSet).getOrElse(Set.empty)).toMap
+        val needs: Map[String, Set[String]] = names.map(n =>
+          n -> srcOf(n, "request_map").map(src =>
+            thisHeads(graft.blobl.Parser.parse(src))).getOrElse(Set.empty))
+          .toMap
+        val deps: Map[String, Seq[String]] = names.map(b =>
+          b -> names.filter(a => a != b && (provides(a) & needs(b)).nonEmpty))
+          .toMap
+        val declared = Option(body.get("order"))
+          .map(_.elements().asScala.toSeq.flatMap(n =>
+            if (n.isArray) n.elements().asScala.toSeq.map(_.asText)
+            else Seq(n.asText))).filter(_.nonEmpty)
+        val order = declared.getOrElse {
+          // Kahn topological sort; ties keep declaration order
+          val done = scala.collection.mutable.LinkedHashSet.empty[String]
+          while (done.size < names.size) {
+            val ready = names.filter(n => !done(n) &&
+              deps(n).forall(done))
+            require(ready.nonEmpty, "workflow: cyclic branch " +
+              s"dependencies among ${names.filterNot(done).mkString(", ")}")
+            done ++= ready
+          }
+          done.toSeq
+        }
+        val branchFns = order.map(n =>
+          n -> compile(yamlObj("branch", stages.get(n)), env)).toMap
+        df0 => {
+          val df = FlowControl.withErrorChannel(df0)
+          val emptyArr = array().cast("array<string>")
+          var cur = df
+            .withColumn("__wf_succ", emptyArr)
+            .withColumn("__wf_skip", emptyArr)
+            .withColumn("__wf_fail", map().cast("map<string,string>"))
+          val vpath = "$." + metaPath
+          // replay support: branches recorded succeeded/skipped in an
+          // existing meta object do not run again; failed ones retry
+          cur = cur
+            .withColumn("__wf_done0", coalesce(
+              concat(
+                variant_get(try_parse_json(col("value")),
+                  vpath + ".succeeded", "array<string>"),
+                variant_get(try_parse_json(col("value")),
+                  vpath + ".skipped", "array<string>")),
+              emptyArr))
+            .withColumn("__wf_prev",
+              to_json(variant_get(try_parse_json(col("value")), vpath,
+                "variant")))
+          order.foreach { b =>
+            val eligC = deps(b).foldLeft(
+              col("error").isNull && !array_contains(col("__wf_done0"),
+                lit(b)))((c, a) => c && array_contains(col("__wf_succ"),
+                lit(a)))
+            val elig = cur.filter(coalesce(eligC, lit(false)))
+            val rest = cur.filter(!coalesce(eligC, lit(false)))
+              .withColumn("__wf_skip",
+                array_append(col("__wf_skip"), lit(b)))
+            val ran = branchFns(b)(elig)
+            val ok = ran.filter(col("error").isNull)
+              .withColumn("__wf_succ",
+                array_append(col("__wf_succ"), lit(b)))
+            val bad = ran.filter(col("error").isNotNull)
+              .withColumn("__wf_fail", map_concat(col("__wf_fail"),
+                map(lit(b), coalesce(col("error"), lit("failed")))))
+              .withColumn("error", lit(null).cast("string"))
+            cur = ok.unionByName(bad).unionByName(rest)
+          }
+          // store the execution record in the document at metaPath
+          // (only JSON-object payloads can carry it — same constraint
+          // as the reference's dot-path set)
+          val recObj = to_json(struct(
+            col("__wf_succ").as("succeeded"),
+            col("__wf_skip").as("skipped"),
+            col("__wf_fail").as("failed")))
+          val withPrev = when(col("__wf_prev").isNotNull,
+            call_function("graft_json_assign", recObj,
+              concat(lit("{\"previous\":"), col("__wf_prev"), lit("}"))))
+            .otherwise(recObj)
+          val nested = metaPath.split("\\.").foldRight(withPrev)(
+            (seg, inner) => concat(lit("{\"" + seg + "\":"), inner,
+              lit("}")))
+          cur.withColumn("value",
+              when(try_parse_json(col("value")).isNotNull &&
+                   schema_of_variant(try_parse_json(col("value")))
+                     .startsWith("OBJECT"),
+                call_function("graft_json_assign",
+                  call_function("graft_json_normalize", col("value")),
+                  nested))
+                .otherwise(col("value")))
+            .drop("__wf_succ", "__wf_skip", "__wf_fail", "__wf_done0",
+              "__wf_prev")
+        }
       case "crash" =>
         val check = body.path("check").asText("true")
         val msg = body.path("message").asText("crash processor reached")

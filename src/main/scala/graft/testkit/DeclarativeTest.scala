@@ -153,7 +153,13 @@ object DeclarativeTest {
       val env = mapOf(tc.get("environment"))
       // per-case env substitution over the whole config text (the
       // reference parses the config fresh per test environment)
-      val root = yaml.readTree(substEnv(rawText, env))
+      val root0 = yaml.readTree(substEnv(rawText, env))
+      // tests[].mocks (unit_testing.adoc:359-377): keys are a processor
+      // LABEL or a JSON POINTER; the value replaces the processor
+      val root = Option(tc.get("mocks")) match {
+        case Some(ms) => applyMocks(root0, ms)
+        case None => root0
+      }
       // input_batch (one batch) or input_batches (several, fed in
       // order as one bounded stream with batch identity —
       // config/test/deduplicate.yaml, deduplicate_by_batch.yaml)
@@ -191,6 +197,49 @@ object DeclarativeTest {
         .map(_.elements().asScala.toSeq).getOrElse(Nil)
       TestCase(name, env, input, expected, procs, caches)
     }
+  }
+
+  /** Replace mocked processors in the config tree. A pointer key
+    * replaces the node it addresses; a label key replaces every
+    * processor object carrying that `label` (the node keeps nothing of
+    * the original — the mock IS the processor, per unit_testing.adoc).
+    */
+  private def applyMocks(root: JsonNode, mocks: JsonNode): JsonNode = {
+    val copy = root.deepCopy[JsonNode]()
+    mocks.properties().asScala.foreach { e =>
+      val (key, mock) = (e.getKey, e.getValue)
+      if (key.startsWith("/")) {
+        val parentPtr = key.substring(0, key.lastIndexOf('/'))
+        val leaf = key.substring(key.lastIndexOf('/') + 1)
+        val parent = copy.at(parentPtr)
+        require(!parent.isMissingNode, s"mock pointer $key: no such node")
+        parent match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+            a.set(leaf.toInt, mock.deepCopy[JsonNode]()); ()
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            o.set[JsonNode](leaf, mock.deepCopy[JsonNode]()); ()
+          case other => throw new IllegalArgumentException(
+            s"mock pointer $key: cannot replace inside $other")
+        }
+      } else {
+        var hits = 0
+        def walk(n: JsonNode): Unit = n match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+            (0 until a.size()).foreach { i =>
+              val el = a.get(i)
+              if (el.isObject && el.path("label").asText("") == key) {
+                a.set(i, mock.deepCopy[JsonNode]()); hits += 1
+              } else walk(el)
+            }
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            o.properties().asScala.foreach(p => walk(p.getValue))
+          case _ => ()
+        }
+        walk(copy)
+        require(hits > 0, s"mock label '$key': no processor carries it")
+      }
+    }
+    copy
   }
 
   /** Processor vocabulary shared with the production config runner

@@ -380,7 +380,50 @@ class ProcessorsVocabSpec extends SparkSpec {
         |          - mapping: 'root.s = "sq=" + this.s.string()'
         |        result_map: 'root.label = this.s'
         |""".stripMargin)
-    assert(values(out) == Seq("""{"base":2,"label":"sq=4","sq":4}"""))
+    // the default meta_path (meta.workflow) records the execution —
+    // workflow.adoc:351-365
+    assert(values(out) == Seq("""{"base":2,"label":"sq=4",""" +
+      """"meta":{"workflow":{"failed":{},"skipped":[],""" +
+      """"succeeded":["square","label"]}},"sq":4}"""))
+  }
+
+  test("workflow infers branch order from the mappings and records " +
+       "failures without failing the message") {
+    val in = envelope("""{"base":3}""")
+    locally { // empty cache resource: boom's get("absent") errors the row
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("key", "value")
+        .createOrReplaceTempView("cache_wf_missing")
+    }
+    // declared in REVERSE dependency order on purpose: label reads
+    // this.sq which square's result_map assigns — inference must run
+    // square first (workflow.adoc:100-105)
+    val out = apply(in,
+      """- workflow:
+        |    branches:
+        |      label:
+        |        request_map: 'root.s = this.sq'
+        |        processors:
+        |          - mapping: 'root.s = "sq=" + this.s.string()'
+        |        result_map: 'root.label = this.s'
+        |      square:
+        |        request_map: 'root.x = this.base'
+        |        processors:
+        |          - mapping: 'root.x = this.x * this.x'
+        |        result_map: 'root.sq = this.x'
+        |      boom:
+        |        request_map: 'root.x = this.base'
+        |        processors:
+        |          - cache: { resource: wf_missing, operator: get, key: absent }
+        |        result_map: 'root.never = this'
+        |""".stripMargin)
+    val doc = values(out).head
+    assert(doc.contains(""""label":"sq=9""""))
+    assert(doc.contains(""""succeeded":["square","label"]""") ||
+           doc.contains(""""succeeded":["square","boom","label"]""") ||
+           doc.contains("\"failed\":{\"boom\""),
+      s"execution record missing: $doc")
+    assert(doc.contains("\"boom\""), s"failed branch not recorded: $doc")
   }
 
   test("retry leaves healthy rows converged; environment-blocked names are explicit") {
