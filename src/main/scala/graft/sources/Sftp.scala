@@ -60,25 +60,44 @@ object Sftp {
     */
   final class Framing(send: Array[Byte] => Unit,
                       receive: () => Array[Byte]) {
-    private var buf = Array.empty[Byte]
+    // growable window buffer with a read cursor — the previous
+    // `buf ++ chunk` / `buf.drop(n)` re-COPIED the whole backlog per
+    // chunk and per packet, quadratic when request pipelining makes
+    // responses stream back-to-back. (The r17 wave client's measured
+    // 2.4x loopback regression was NOT this, though — it was Nagle +
+    // delayed-ACK stalls, see the TCP_NODELAY note in Client.)
+    private var buf = new Array[Byte](64 * 1024)
+    private var start = 0
+    private var end = 0
 
     def sendPacket(body: Array[Byte]): Unit =
       send(new Buf().u32(body.length.toLong).raw(body).bytes)
 
+    private def fill(): Unit = {
+      val c = receive()
+      require(c != null, "sftp: channel closed")
+      if (end + c.length > buf.length) {
+        val used = end - start
+        if (used + c.length > buf.length) {
+          val nb = new Array[Byte](
+            math.max(buf.length * 2, used + c.length))
+          System.arraycopy(buf, start, nb, 0, used)
+          buf = nb
+        } else System.arraycopy(buf, start, buf, 0, used)
+        end = used
+        start = 0
+      }
+      System.arraycopy(c, 0, buf, end, c.length)
+      end += c.length
+    }
+
     def receivePacket(): Array[Byte] = {
-      while (buf.length < 4) {
-        val chunk = receive()
-        require(chunk != null, "sftp: channel closed")
-        buf = buf ++ chunk
-      }
-      val len = new Reader(buf).u32().toInt
-      while (buf.length < 4 + len) {
-        val chunk = receive()
-        require(chunk != null, "sftp: channel closed")
-        buf = buf ++ chunk
-      }
-      val pkt = buf.slice(4, 4 + len)
-      buf = buf.drop(4 + len)
+      while (end - start < 4) fill()
+      val len = ((buf(start) & 0xff) << 24) | ((buf(start + 1) & 0xff) << 16) |
+        ((buf(start + 2) & 0xff) << 8) | (buf(start + 3) & 0xff)
+      while (end - start < 4 + len) fill()
+      val pkt = java.util.Arrays.copyOfRange(buf, start + 4, start + 4 + len)
+      start += 4 + len
       pkt
     }
   }
@@ -86,7 +105,14 @@ object Sftp {
   final class Client(host: String, port: Int, user: String,
                      password: String) {
     private val ssh = new Ssh.Client(
-      new java.net.Socket(host, port), user, password)
+      {
+        val sock = new java.net.Socket(host, port)
+        // request pipelining sends waves of small packets; without
+        // NODELAY, Nagle + the peer's delayed ACK stall every wave
+        // ~40 ms x3 (measured 2.5 s vs 60 ms for 300 uploads)
+        sock.setTcpNoDelay(true)
+        sock
+      }, user, password)
     ssh.connect()
     private val channel = ssh.openSubsystem("sftp")
     private val f = new Framing(
@@ -365,6 +391,7 @@ object Sftp {
         try {
           while (!server.isClosed) {
             val sock = server.accept()
+            sock.setTcpNoDelay(true) // symmetric with the client (Nagle)
             val h = new Thread(() => serve(sock))
             h.setDaemon(true)
             h.start()
