@@ -118,27 +118,6 @@ object ThroughputBench {
         val total = (perPart * nParts).toLong
         results("produce_msgs_per_sec") = total / produceSec
 
-        // transactional produce at the SAME volume/shape: per-partition
-        // txn sessions (InitProducerId → AddPartitionsToTxn → batches →
-        // EndTxn commit marker) — quantifies the marker/AddPartitions
-        // overhead per chunk against the plain phase above
-        locally {
-          val txnAddr = srcAddr + "?transactional_id=bench-txn"
-          Broker.transportFor(srcAddr).createTopic("bulk_txn", nParts)
-          val t1 = System.nanoTime()
-          spark.sparkContext.parallelize(0 until nParts, nParts).foreach { p =>
-            val t = Broker.transportFor(txnAddr)
-            t.transactional("bulk_txn", p) {
-              (0 until perPart).grouped(10000).foreach { chunk =>
-                t.append("bulk_txn", p, chunk.map(i =>
-                  Broker.Record(s"k$i".getBytes, value, Map.empty, 1L + i)))
-              }
-            }
-          }
-          val txnSec = (System.nanoTime() - t1) / 1e9
-          results("produce_txn_msgs_per_sec") = total / txnSec
-          ratio("produce_txn_msgs_per_sec", kernel)
-        }
 
         // best of 3 passes (same discipline as pg_decode below): the
         // copy loop is JIT/GC-mode bimodal in a fresh JVM — observed
@@ -164,6 +143,30 @@ object ThroughputBench {
         }.min
         results("migrate_msgs_per_sec") = total / migrateSec
         results("migrate_mb_per_sec") = total * (value.length + 8) / 1e6 / migrateSec
+
+        // transactional produce at the SAME volume/shape (AFTER the
+        // migrate phase so the new code path cannot deopt the copy
+        // loop's warm mode): per-partition txn sessions
+        // (InitProducerId → AddPartitionsToTxn → batches → EndTxn
+        // commit marker) — quantifies the marker/AddPartitions overhead
+        // per chunk against the plain produce phase
+        locally {
+          val txnAddr = srcAddr + "?transactional_id=bench-txn"
+          Broker.transportFor(srcAddr).createTopic("bulk_txn", nParts)
+          val t1 = System.nanoTime()
+          spark.sparkContext.parallelize(0 until nParts, nParts).foreach { p =>
+            val t = Broker.transportFor(txnAddr)
+            t.transactional("bulk_txn", p) {
+              (0 until perPart).grouped(10000).foreach { chunk =>
+                t.append("bulk_txn", p, chunk.map(i =>
+                  Broker.Record(s"k$i".getBytes, value, Map.empty, 1L + i)))
+              }
+            }
+          }
+          val txnSec = (System.nanoTime() - t1) / 1e9
+          results("produce_txn_msgs_per_sec") = total / txnSec
+          ratio("produce_txn_msgs_per_sec", kernel)
+        }
         ratio("produce_msgs_per_sec", kernel)
         ratio("migrate_msgs_per_sec", kernel)
       } finally {

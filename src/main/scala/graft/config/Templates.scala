@@ -195,6 +195,14 @@ object Templates {
     override def initialValue(): Integer = 0
   }
 
+  // expansion is PURE in (template, resolved fields, env) — memoize it:
+  // a config that uses the same templated component N times (the RAG
+  // gate's per-request retrieval pipeline) pays the one-row evaluation
+  // job once
+  private val expandCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String,
+      Map[String, String]), JsonNode]
+
   /** Expand the template against a user config node → the concrete
     * component config (a single-key object, compiled by the normal
     * component dispatch).
@@ -206,17 +214,21 @@ object Templates {
     depth.set(depth.get + 1)
     try {
       val fields = fieldsObject(t, cfg)
-      import spark.implicits._
-      val df = Seq(json.writeValueAsString(fields)).toDF("value")
-      val rows = graft.blobl.Blobl.mapping(df, t.mapping, env)
-        .select("value").collect()
-      require(rows.length == 1 && rows(0).getString(0) != null,
-        s"template '${t.name}': mapping produced no document")
-      val out = json.readTree(rows(0).getString(0))
-      require(out.isObject && out.size() >= 1,
-        s"template '${t.name}': mapping must build a component object, " +
-          s"got $out")
-      out
+      val key = (t.tpe + ":" + t.name, t.mapping,
+        json.writeValueAsString(fields), env)
+      expandCache.getOrElseUpdate(key, {
+        import spark.implicits._
+        val df = Seq(json.writeValueAsString(fields)).toDF("value")
+        val rows = graft.blobl.Blobl.mapping(df, t.mapping, env)
+          .select("value").collect()
+        require(rows.length == 1 && rows(0).getString(0) != null,
+          s"template '${t.name}': mapping produced no document")
+        val out = json.readTree(rows(0).getString(0))
+        require(out.isObject && out.size() >= 1,
+          s"template '${t.name}': mapping must build a component object, " +
+            s"got $out")
+        out
+      }).deepCopy[JsonNode]()
     } finally depth.set(depth.get - 1)
   }
 
