@@ -1079,6 +1079,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "p_rag_ingest" -> ((s, d) =>
+      // the RAG trio's ingestion config verbatim (config/rag/ingestion/
+      // redpanda-docs.yaml): a real git repo fixture → git input
+      // (include/exclude globs, max_file_size, full git_* metadata) →
+      // whole-metadata rename + is_binary drop → kafka_franz output
+      // with metadata include_patterns as record headers — read back
+      // from the topic by the stripped file_path header. Planted
+      // excluded/binary/oversize files must be absent.
+      graft.config.Rag.ingestE2E(s, d)),
+
     "p_rag_e2e" -> ((s, d) =>
       // the reference's RAG trio end-to-end through config templates
       // (templating.adoc + config/rag/): kafka-seeded documents →
@@ -6142,6 +6152,12 @@ object SparkEntry {
     "p_serverless_handler" ->
       """SELECT doc_id, lang, n_chars > 500 AS big
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    "p_rag_ingest" ->
+      """SELECT 'modules/s' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '/doc_' || CAST(doc_id AS VARCHAR) || '.adoc' AS path,
+        |  text AS document
+        |FROM documents WHERE doc_id < 120 ORDER BY path""".stripMargin,
 
     "p_rag_e2e" ->
       """SELECT 'rp.ai.rag.docs' AS topic,

@@ -55,6 +55,10 @@ object Ast {
   case class RootAssign(segs: Seq[String], value: Expr) extends Stmt
   /** Bare `foo.bar = expr` — shorthand for root.foo.bar. */
   case class MetaAssign(key: String, value: Expr) extends Stmt
+  /** `meta = expr` — replace the WHOLE metadata map (bloblang
+    * about.adoc metadata assignment; config/rag/ingestion strips key
+    * prefixes this way). */
+  case class MetaWholeAssign(value: Expr) extends Stmt
   case class LetAssign(name: String, value: Expr) extends Stmt
   /** Statement-level `if cond { stmts } else { stmts }`. */
   case class IfStmt(cond: Expr, thn: Seq[Stmt], els: Seq[Stmt]) extends Stmt

@@ -41,7 +41,8 @@ object Blobl {
   // statement boundaries may be newlines OR plain spaces (YAML folds
   // quoted-scalar line breaks to spaces)
   private val metaStmt =
-    java.util.regex.Pattern.compile("(?:^|[\\s;])meta\\s+[\"'\\w]")
+    java.util.regex.Pattern.compile(
+      "(?:^|[\\s;])meta(?:\\s+[\"'\\w]|\\s*=)")
   def ensureMeta(df: DataFrame, src: String,
                  metadataCol: String = "metadata"): (DataFrame, Option[String]) =
     if (df.columns.contains(metadataCol)) (df, Some(metadataCol))

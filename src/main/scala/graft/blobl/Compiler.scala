@@ -561,8 +561,10 @@ object Compiler {
     var meta = env0.metaCol
 
     def apply(ss: Seq[Stmt], cond: Column): Unit = {
-      // statements see the root built SO FAR (RHS `root` reads)
-      def envNow: Env = env.copy(rootCol = Some(root))
+      // statements see the root built SO FAR (RHS `root` reads) and the
+      // metadata as updated by EARLIER statements (`meta = …` then
+      // `@key` — config/rag/ingestion strips prefixes then reads)
+      def envNow: Env = env.copy(rootCol = Some(root), metaCol = meta)
       ss.foreach {
       case MapDecl(_, _) => () // collected above
 
@@ -622,6 +624,17 @@ object Compiler {
         val m = meta.getOrElse(map().cast("map<string,string>"))
         val v0 = asString(compile(value, envNow))
         meta = Some(when(cond, map_concat(m, map(lit(key), v0))).otherwise(m))
+
+      case MetaWholeAssign(value) =>
+        // `meta = expr` replaces the whole map (the expr must produce
+        // an object; values coerce to their string forms)
+        val m = meta.getOrElse(map().cast("map<string,string>"))
+        val v0 = compile(value, envNow)
+        val newMap = from_json(toJsonText(v0),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))
+        meta = Some(when(cond, coalesce(newMap, m)).otherwise(m))
 
       case IfStmt(c, thn, els) =>
         val cc = asBool(compile(c, envNow))

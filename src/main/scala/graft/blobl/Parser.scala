@@ -191,6 +191,9 @@ object Parser extends RegexParsers {
       case k ~ v => MetaAssign(k, v)
     }
 
+  private def metaWholeAssign: Parser[Stmt] =
+    ("meta\\b".r ~> "=" ~> expr) ^^ MetaWholeAssign.apply
+
   private def letAssign: Parser[Stmt] =
     ("let\\b".r ~> ident) ~ ("=" ~> expr) ^^ { case n ~ v => LetAssign(n, v) }
 
@@ -209,7 +212,7 @@ object Parser extends RegexParsers {
     }
 
   private def stmt: Parser[Stmt] =
-    mapDecl | rootAssign | metaAssign | letAssign | ifStmt | bareAssign
+    mapDecl | rootAssign | metaAssign | metaWholeAssign | letAssign | ifStmt | bareAssign
 
   def mapping: Parser[Mapping] = rep(stmt) ^^ Mapping.apply
 

@@ -1073,7 +1073,8 @@ object Pipeline {
           include = Option(b.get("include_patterns")).map(
             _.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil),
           exclude = Option(b.get("exclude_patterns")).map(
-            _.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil))
+            _.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil),
+          maxFileSize = b.path("max_file_size").asLong(0L))
       case ("timeplus", b) =>
         // inputs/timeplus.adoc — one message per query result row
         graft.sources.Timeplus.read(spark, b.get("url").asText,
@@ -1580,6 +1581,16 @@ object Pipeline {
       // consumers see all-or-nothing per task
       val txnId = Option(b.get("transactional_id")).map(_.asText)
         .filter(_.nonEmpty)
+      // `metadata.include_patterns` (outputs/kafka.adoc Metadata):
+      // matching metadata entries travel as record HEADERS
+      val headerPats = Option(b.at("/metadata/include_patterns"))
+        .filterNot(_.isMissingNode)
+        .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil)
+      val headersC =
+        if (headerPats.nonEmpty && df.columns.contains("metadata"))
+          Some(map_filter(col("metadata"),
+            (k, _) => headerPats.map(p => k.rlike(p)).reduce(_ || _)))
+        else None
       addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
         case Some(mem) =>
           val addr = kafkaAddr(mem,
@@ -1588,7 +1599,7 @@ object Pipeline {
               (if (idem) Seq("idempotent=true") else Nil) ++
               kafkaSaslQuery(b).toSeq)
           Sinks.brokerWrite(df, addr, topic, keyC, col("value"), orderC,
-            partitioner, partC)
+            partitioner, partC, headersCol = headersC)
         case None =>
           // real brokers: the connector's batch writer (symmetric with
           // the input case; needs the spark-sql-kafka jar at runtime)

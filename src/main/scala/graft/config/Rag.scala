@@ -51,6 +51,79 @@ object Rag {
         "redpanda", "cohere_embeddings", "ollama_embeddings")
       .foreach(f => Templates.register(resource(s"templates/$f.yaml")))
 
+  /** The trio's INGESTION config (config/rag/ingestion/redpanda-docs
+    * .yaml, bundled verbatim): a real git repository (CLI fixture) →
+    * git input (include/exclude globs, max_file_size, git_* metadata)
+    * → `meta = @.map_each_key(key -> key.trim_prefix("git_"))` +
+    * is_binary drop → kafka_franz output with metadata
+    * include_patterns riding as record headers. Only the egress-bound
+    * repository_url is rewritten to the local fixture (the upstream
+    * URL needs network). Returns (path, document) read back from the
+    * topic via the stripped `file_path` HEADER — oracle-exact: the
+    * fixture writes each document row at a doc_id-derived path, and
+    * planted ROOT/ (excluded), binary (is_binary-dropped), and
+    * oversize (max_file_size-skipped) files must all be absent.
+    */
+  def ingestE2E(spark: SparkSession, sfDir: String,
+                nDocs: Int = 120): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val broker = s"mem://rag-ingest-$runId"
+    val topic = "rp.ai.rag.rpdocs"
+    val dir = java.nio.file.Files.createTempDirectory("graft_rag_ingest")
+    def sh(cmd: String*): Unit = {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(dir.toFile)
+      pb.environment().put("GIT_AUTHOR_NAME", "g")
+      pb.environment().put("GIT_AUTHOR_EMAIL", "g@x")
+      pb.environment().put("GIT_COMMITTER_NAME", "g")
+      pb.environment().put("GIT_COMMITTER_EMAIL", "g@x")
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      require(p.waitFor() == 0, s"git fixture: $out")
+    }
+    sh("git", "init", "-q", "-b", "main")
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+      .filter(col("doc_id") < nDocs)
+      .select(col("doc_id"), col("text")).collect() // bounded fixture
+    docs.foreach { r =>
+      val p = dir.resolve(s"modules/s${r.getLong(0) % 5}/doc_${r.getLong(0)}.adoc")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, r.getString(1))
+    }
+    // planted negatives: excluded section, binary content, oversize
+    java.nio.file.Files.createDirectories(dir.resolve("modules/ROOT"))
+    java.nio.file.Files.writeString(
+      dir.resolve("modules/ROOT/skip.adoc"), "excluded by pattern")
+    java.nio.file.Files.createDirectories(dir.resolve("modules/bin"))
+    java.nio.file.Files.write(dir.resolve("modules/bin/binary.adoc"),
+      Array[Byte](0x25, 0x00, 0x01, 0x42, 0x00, 0x7f))
+    java.nio.file.Files.createDirectories(dir.resolve("modules/big"))
+    java.nio.file.Files.writeString(dir.resolve("modules/big/huge.adoc"),
+      "x" * (1048576 + 1))
+    sh("git", "add", "-A")
+    sh("git", "commit", "-q", "-m", "fixture")
+
+    graft.sources.Broker.transportFor(broker).createTopic(topic, 4)
+    val env = Map("REDPANDA_BROKERS" -> broker)
+    val yamlM = new ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val cfg = yamlM.readTree(Pipeline.substEnv(
+      resource("ingestion/redpanda-docs.yaml"), env))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    cfg.at("/input/git")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("repository_url", dir.toString)
+    Pipeline.run(spark, yamlM.writeValueAsString(cfg), env)
+
+    graft.sources.Sources.brokerRead(spark, broker, topic)
+      .select(element_at(col("metadata"), "file_path").as("path"),
+        col("value").as("document"))
+      .orderBy("path")
+  }
+
   /** Index + retrieve; returns the oracle-checkable store rows. */
   def e2e(spark: SparkSession, sfDir: String, nSmall: Int = 24,
           nBig: Int = 16, nQueries: Int = 8): DataFrame = {

@@ -115,14 +115,16 @@ object Sinks {
                   orderCol: Column,
                   partitioner: String = "fnv1a_hash",
                   partitionCol: Option[Column] = None,
-                  timestampMsCol: Option[Column] = None): Unit = {
+                  timestampMsCol: Option[Column] = None,
+                  headersCol: Option[Column] = None): Unit = {
     import graft.sources.Broker
     val n = Broker.transportFor(address).partitionCount(topic)
     val prepared = df.select(
       keyCol.cast("string").as("k"), valueCol.cast("string").as("v"),
       partitionCol.map(_.cast("int")).getOrElse(lit(null).cast("int")).as("p"),
       orderCol.cast("long").as("o"),
-      timestampMsCol.map(_.cast("long")).getOrElse(lit(0L)).as("ts"))
+      timestampMsCol.map(_.cast("long")).getOrElse(lit(0L)).as("ts"),
+      headersCol.getOrElse(lit(null).cast("map<string,string>")).as("h"))
     val keyed = prepared.rdd.map { r =>
       // null and empty keys are distinct records on the wire: an empty
       // key hashes like any other byte string, a NULL key has no hash
@@ -141,8 +143,12 @@ object Sinks {
               "for every row (the partition interpolation produced null)")
         else if (kb == null) (((ord % n) + n) % n).toInt
         else Broker.partitionFor(partitioner, kb, n)
+      val hdrs =
+        if (r.isNullAt(5)) Map.empty[String, String]
+        else r.getMap[String, String](5).toMap
       ((part, ord),
-        (kb, if (r.isNullAt(1)) null else r.getString(1), r.getLong(4)))
+        (kb, if (r.isNullAt(1)) null else r.getString(1), r.getLong(4),
+          hdrs))
     }
     val onePerPartition = new org.apache.spark.Partitioner {
       override def numPartitions: Int = n
@@ -164,10 +170,10 @@ object Sinks {
             // this broker partition: bounded memory, order preserved
             it.grouped(1024).foreach { chunk =>
               val part = chunk.head._1._1
-              t.append(topic, part, chunk.map { case (_, (kb, v, ts)) =>
+              t.append(topic, part, chunk.map { case (_, (kb, v, ts, hdrs)) =>
                 Broker.Record(kb,
                   if (v == null) null else v.getBytes("UTF-8"),
-                  timestampMs = ts)
+                  headers = hdrs, timestampMs = ts)
               })
               ()
             }

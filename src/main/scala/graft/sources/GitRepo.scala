@@ -347,22 +347,73 @@ object GitRepo {
     (include.isEmpty || include.exists(globMatch(_, path))) &&
       !exclude.exists(globMatch(_, path))
 
-  /** One message per file at the branch head. */
+  /** Binary detection: git's own heuristic — a NUL byte in the first
+    * 8000 bytes (buffer_is_binary in the git sources, public behavior).
+    */
+  private def isBinary(body: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(body.length, 8000)
+    while (i < n) { if (body(i) == 0) return true; i += 1 }
+    false
+  }
+
+  /** Extension → MIME type for the documented `git_mime_type` field
+    * (inputs/git.adoc:60-73; the reference detects by content — an
+    * extension map covers the formats this environment round-trips).
+    */
+  private def mimeOf(path: String): String = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "json" => "application/json"
+      case "yaml" | "yml" => "application/yaml"
+      case "xml" => "application/xml"
+      case "html" | "htm" => "text/html"
+      case "md" => "text/markdown"
+      case "adoc" | "asciidoc" => "text/asciidoc"
+      case "csv" => "text/csv"
+      case "png" => "image/png"
+      case "jpg" | "jpeg" => "image/jpeg"
+      case "gif" => "image/gif"
+      case "pdf" => "application/pdf"
+      case "zip" => "application/zip"
+      case _ => "text/plain"
+    }
+  }
+
+  /** One message per file at the branch head. Binary files travel
+    * base64 in the string envelope with `git_encoding: base64`
+    * (inputs/git.adoc); files over `maxFileSize` are skipped like the
+    * reference's max_file_size.
+    */
   def read(spark: SparkSession, repo: String, branchName: String = "",
            include: Seq[String] = Nil,
-           exclude: Seq[String] = Nil): DataFrame = {
+           exclude: Seq[String] = Nil,
+           maxFileSize: Long = 0L): DataFrame = {
     val store = new Store(repo)
     val commitHash =
       if (branchName.isEmpty) store.head() else store.branch(branchName)
     val files = store.listFiles(commitHash).toSeq
       .filter { case (p, _) => selected(p, include, exclude) }
       .sortBy(_._1)
-    val rows = files.map { case (path, blobHash) =>
-      org.apache.spark.sql.Row(
-        new String(store.blob(blobHash), UTF_8),
-        Map("git_file_path" -> path, "git_commit" -> commitHash,
-          "git_deleted" -> "false"),
-        null)
+    val rows = files.flatMap { case (path, blobHash) =>
+      val body = store.blob(blobHash)
+      if (maxFileSize > 0 && body.length > maxFileSize) None
+      else {
+        val bin = isBinary(body)
+        val meta = Map(
+          "git_file_path" -> path,
+          "git_file_size" -> body.length.toString,
+          "git_file_mode" -> "100644",
+          "git_commit" -> commitHash,
+          "git_mime_type" -> mimeOf(path),
+          "git_is_binary" -> bin.toString,
+          "git_deleted" -> "false") ++
+          (if (bin) Map("git_encoding" -> "base64") else Map.empty)
+        Some(org.apache.spark.sql.Row(
+          if (bin) java.util.Base64.getEncoder.encodeToString(body)
+          else new String(body, UTF_8),
+          meta, null))
+      }
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows,
