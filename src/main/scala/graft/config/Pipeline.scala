@@ -3721,8 +3721,11 @@ object Processors {
         // becomes the JSON vector (the reference replaces the payload
         // with the embedding). No base_url → deterministic offline
         // md5 batcher (NOT a model), so configs stay compilable
+        // `text` is ollama_embeddings' field name for the same knob
+        // (ollama_embeddings.adoc; the rag ollama_embed template sets it)
         val tpl = body.path("text_mapping").asText(
-          body.path("prompt").asText("${! content() }"))
+          body.path("text").asText(
+            body.path("prompt").asText("${! content() }")))
         val batchSize = body.path("batch_size").asInt(16)
         val dims = body.path("dimensions").asInt(8)
         val base = aiBaseUrl(body)

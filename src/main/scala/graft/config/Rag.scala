@@ -124,9 +124,13 @@ object Rag {
       .orderBy("path")
   }
 
-  /** Index + retrieve; returns the oracle-checkable store rows. */
+  /** Index + retrieve; returns the oracle-checkable store rows.
+    * nQueries sizes only the retrieval-loop ASSERTS (the oracle rows
+    * come from the store) — 5 keeps the gate's full-loop coverage at
+    * ~half the HTTP round-trips.
+    */
   def e2e(spark: SparkSession, sfDir: String, nSmall: Int = 24,
-          nBig: Int = 16, nQueries: Int = 8): DataFrame = {
+          nBig: Int = 16, nQueries: Int = 5): DataFrame = {
     registerTemplates()
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val broker = s"mem://rag-$runId"

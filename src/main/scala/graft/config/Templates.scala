@@ -32,6 +32,13 @@ object Templates {
                              default: Option[JsonNode],
                              options: Seq[String])
 
+  /** `metricsMapping` is parsed and carried but INERT here: the
+    * reference uses it to rename/drop per-component metric paths at
+    * export, and this engine's metrics surface is the fixed small set
+    * Pipeline.exportMetrics emits (no per-component path namespace to
+    * rewrite). Accepting the field keeps upstream template files
+    * loading verbatim; the divergence is observable only in exported
+    * metric NAMES, never in data. */
   final case class Template(name: String, tpe: String,
                             fields: Seq[FieldSpec], mapping: String,
                             metricsMapping: Option[String],

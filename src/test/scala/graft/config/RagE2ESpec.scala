@@ -9,6 +9,29 @@ import graft.SparkSpec
   */
 class RagE2ESpec extends SparkSpec {
 
+  test("cohere and ollama variant configs build through the runner") {
+    Rag.registerTemplates()
+    val env = Map("REDPANDA_BROKERS" -> "mem://rag-var-build",
+      "INDEXING_CONSUMER" -> "g", "REDPANDA_USER" -> "",
+      "REDPANDA_PASS" -> "", "COHERE_API_KEY" -> "k",
+      "POSTGRES_DSN" -> "postgres://ragvar/db", "POSTGRES_TABLE" -> "rag")
+    graft.sources.Broker.transportFor("mem://rag-var-build")
+      .createTopic("rp.ai.rag.x", 1)
+    Seq("indexing/cohere_pgvector.yaml", "indexing/ollama_pgvector.yaml")
+      .foreach { f =>
+        // build = full plan construction (templates expand, every
+        // processor compiles); output compilation is covered by the
+        // openai run since all three share the pgvector template
+        Pipeline.build(spark,
+          Pipeline.substEnv(Rag.resource(f), env), env)
+      }
+    Seq("retrieval/cohere_pgvector.yaml", "retrieval/ollama_pgvector.yaml")
+      .foreach { f =>
+        new graft.sources.HttpSyncServer(spark,
+          Pipeline.substEnv(Rag.resource(f), env), env).stop()
+      }
+  }
+
   test("indexing stores every single-chunk doc verbatim; retrieval ranks " +
        "by the posted body's embedding") {
     val out = Rag.e2e(spark, "/root/testdata/sf0.001", nSmall = 8,
