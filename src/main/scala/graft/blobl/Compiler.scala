@@ -423,14 +423,43 @@ object Compiler {
     } else {
       var e2 = env.withThis(v).copy(depth = env.depth + 1,
         applying = env.applying + name)
-      var result: Option[BV] = None
+      var result: Option[BV] = None       // last whole-root value
+      var built: Option[Column] = None    // JSON text under construction
+      var sawNested = false
       stmts.foreach {
         case LetAssign(n, ve) => e2 = e2.withVar(n, compile(ve, e2))
-        case RootAssign(Seq(), ve) => result = Some(compile(ve, e2))
+        case RootAssign(Seq(), ve) =>
+          val v0 = compile(ve, e2)
+          result = Some(v0)
+          built = Some(serializeRoot(v0))
+        case RootAssign(segs, ve)
+            if segs.exists(s => s == "-" || s.forall(_.isDigit)) =>
+          // array path segments — same kernel route as runStatements
+          sawNested = true
+          val v0 = compile(ve, e2)
+          val pathJson = lit(segs.map(s =>
+            "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+            .mkString("[", ",", "]"))
+          val leaf = v0.t match {
+            case Del => lit("\"" + DeletedSentinel + "\"")
+            case N => lit("null")
+            case _ => coalesce(toJsonText(v0), lit("null"))
+          }
+          built = Some(call_function("graft_json_set",
+            built.getOrElse(lit("{}")), pathJson, leaf))
+        case RootAssign(segs, ve) =>
+          // nested path assignment builds the map's document
+          // progressively (config/template_examples/
+          // processor_hydration.yaml map bodies)
+          sawNested = true
+          val v0 = compile(ve, e2)
+          built = Some(call_function("graft_json_merge",
+            built.getOrElse(lit("{}")), nestedPatch(segs, v0)))
         case other => throw new IllegalArgumentException(
-          s"map $name: map bodies support let + whole-root assignment, got $other")
+          s"map $name: map bodies support let + root assignments, got $other")
       }
-      result.getOrElse(BV(asVariant(v), V))
+      if (sawNested) BV(parse_json(built.get), V)
+      else result.getOrElse(BV(asVariant(v), V))
     }
   }
 
@@ -607,6 +636,28 @@ object Compiler {
             root = when(cond, serializeRoot(v0)).otherwise(root)
             assigned = assigned || cond
         }
+
+      case RootAssign(segs, value)
+          if segs.exists(s => s == "-" || s.forall(_.isDigit)) =>
+        // ARRAY path segments (`root.fallback."-".retry = x` appends,
+        // `root.fallback."0".x = y` indexes — bloblang path assignment,
+        // config/template_examples/output_dead_letter.yaml): the
+        // object-patch merge can't express these, so route through the
+        // graft_json_set kernel
+        val v0 = compile(value, envNow)
+        val pathJson = lit(segs.map(s =>
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+          .mkString("[", ",", "]"))
+        val leaf = v0.t match {
+          case Del => lit("\"" + DeletedSentinel + "\"")
+          case N => lit("null")
+          case _ => coalesce(toJsonText(v0), lit("null"))
+        }
+        val assignCond = if (v0.omitNull) cond && v0.col.isNotNull else cond
+        root = when(assignCond,
+          call_function("graft_json_set", root, pathJson, leaf))
+          .otherwise(root)
+        assigned = assigned || assignCond
 
       case RootAssign(segs, value) =>
         // nested one-path patch {a:{b:<v>}} deep-merged into the doc;

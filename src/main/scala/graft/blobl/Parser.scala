@@ -182,9 +182,12 @@ object Parser extends RegexParsers {
 
   // ── statements ──────────────────────────────────────────────────────
   private def rootAssign: Parser[Stmt] =
-    ("root\\b".r ~> rep("." ~> (ident | strLit ^^ (_.v)))) ~ ("=" ~> expr) ^^ {
-      case segs ~ v => RootAssign(segs, v)
-    }
+    // segments: idents, quoted keys ("-"/"0" address arrays), and bare
+    // numeric indexes (root.items.0.name = …)
+    ("root\\b".r ~> rep("." ~> (ident | strLit ^^ (_.v) | "[0-9]+".r))) ~
+      ("=" ~> expr) ^^ {
+        case segs ~ v => RootAssign(segs, v)
+      }
 
   private def metaAssign: Parser[Stmt] =
     ("meta\\b".r ~> (strLit ^^ (_.v) | ident)) ~ ("=" ~> expr) ^^ {

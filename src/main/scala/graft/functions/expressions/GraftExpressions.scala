@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 
 /** Custom Catalyst expressions for the hot per-row kernels where the
@@ -370,6 +371,38 @@ case class JsonBinaryOp(left: Expression, right: Expression, op: String)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_json_set(doc, pathJsonArray, valueJson) — path assignment with
+  * array index/append semantics (JsonKernel.setPath).
+  */
+case class JsonSetPath(doc: Expression, path: Expression,
+                       value: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = doc
+  override def second: Expression = path
+  override def third: Expression = value
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireTypes(prettyName,
+      Seq(doc, path, value).map(_.dataType), Seq.fill(3)(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_json_set"
+  // doc may legally be null (assignment seeds a fresh container)
+  override def nullable: Boolean = path.nullable || value.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val p = path.eval(input)
+    val v = value.eval(input)
+    if (p == null || v == null) null
+    else JsonKernel.setPath(
+      doc.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(doc = f, path = s, value = t)
+}
+
 /** One-arg JSON kernel (collapse / squash — methods.adoc object ops). */
 case class JsonUnaryOp(child: Expression, op: String) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -506,6 +539,7 @@ object GraftFunctions {
     "graft_json_squash" -> ((es: Seq[Expression]) => JsonUnaryOp(es(0), "squash")),
     "graft_json_infer_schema" -> ((es: Seq[Expression]) => JsonUnaryOp(es(0), "inferSchema")),
     "graft_json_assign" -> ((es: Seq[Expression]) => JsonBinaryOp(es(0), es(1), "assign")),
+    "graft_json_set" -> ((es: Seq[Expression]) => JsonSetPath(es(0), es(1), es(2))),
     "graft_json_diff" -> ((es: Seq[Expression]) => JsonBinaryOp(es(0), es(1), "diff")),
     "graft_json_patch" -> ((es: Seq[Expression]) => JsonBinaryOp(es(0), es(1), "patchChangelog")),
     "graft_json_explode" -> ((es: Seq[Expression]) => JsonExplodePath(es(0), es(1))),

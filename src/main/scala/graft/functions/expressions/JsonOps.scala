@@ -197,6 +197,70 @@ object JsonKernel {
     * "Type":…}` — the r3 diff changelog shape the reference emits.
     * Paths walk objects by key (sorted) and arrays by string index.
     */
+  /** Path assignment with ARRAY semantics (bloblang path assignment:
+    * `root.fallback."-".retry = x` appends, `root.fallback."0".x = y`
+    * indexes — config/template_examples/output_dead_letter.yaml).
+    * `pathJson` is a JSON array of segments; a numeric segment indexes
+    * (padding with nulls), `-` appends, anything else is an object key.
+    * Containers are created on the way down, typed by the NEXT segment.
+    * A deleted-sentinel value removes the addressed key/element.
+    */
+  def setPath(doc: UTF8String, pathJson: UTF8String,
+              value: UTF8String): UTF8String = {
+    val segs = {
+      val it = mapper.readTree(pathJson.toString).elements()
+      val b = List.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
+    require(segs.nonEmpty, "setPath: empty path")
+    val v = mapper.readTree(value.toString)
+    def isIdx(s: String) = s == "-" || s.forall(_.isDigit)
+    val parsed = if (doc == null) null else mapper.readTree(doc.toString)
+    val root: JsonNode =
+      if (parsed != null && (parsed.isObject || parsed.isArray)) parsed
+      else if (isIdx(segs.head)) mapper.createArrayNode()
+      else mapper.createObjectNode()
+    def container(next: String): JsonNode =
+      if (isIdx(next)) mapper.createArrayNode()
+      else mapper.createObjectNode()
+    def descend(cur: JsonNode, seg: String, next: String): JsonNode =
+      cur match {
+        case o: ObjectNode =>
+          val c = o.get(seg)
+          if (c != null && (c.isObject || c.isArray)) c
+          else { val n = container(next); o.set[JsonNode](seg, n); n }
+        case a: ArrayNode =>
+          val i = if (seg == "-") a.size else seg.toInt
+          while (a.size <= i) a.addNull()
+          val c = a.get(i)
+          if (c != null && (c.isObject || c.isArray)) c
+          else { val n = container(next); a.set(i, n); n }
+        case other => throw new IllegalArgumentException(
+          s"setPath: cannot descend into $other at '$seg'")
+      }
+    def setLeaf(cur: JsonNode, seg: String): Unit = cur match {
+      case o: ObjectNode =>
+        if (isDeleted(v)) { o.remove(seg); () }
+        else { o.set[JsonNode](seg, v); () }
+      case a: ArrayNode =>
+        if (seg == "-") { a.add(v); () }
+        else {
+          val i = seg.toInt
+          if (isDeleted(v)) { if (i < a.size) a.remove(i); () }
+          else { while (a.size <= i) a.addNull(); a.set(i, v); () }
+        }
+      case other => throw new IllegalArgumentException(
+        s"setPath: cannot assign into $other at '$seg'")
+    }
+    var cur = root
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      if (i == segs.length - 1) setLeaf(cur, seg)
+      else cur = descend(cur, seg, segs(i + 1))
+    }
+    UTF8String.fromString(write(root))
+  }
+
   def diff(before: UTF8String, after: UTF8String): UTF8String = {
     val out = mapper.createArrayNode()
     def emit(tpe: String, path: List[String], from: JsonNode, to: JsonNode): Unit = {

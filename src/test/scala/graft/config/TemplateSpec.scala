@@ -74,6 +74,17 @@ class TemplateSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("reference template_examples parse and their embedded tests lint") {
+    val dir = "/root/reference/config/template_examples"
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val ts = Templates.registerDir(dir)
+    assert(ts.map(_.name).toSet == Set("dead_letter", "stdin_uppercase",
+      "hydration", "log_and_drop", "log_message", "plugin_alias",
+      "aws_sqs_list"))
+    val failures = ts.flatMap(Templates.lint(spark, _))
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("templated input runs through the YAML runner") {
     Templates.register(
       """name: gen_range
