@@ -63,8 +63,44 @@ object Pipeline {
       java.util.regex.Matcher.quoteReplacement(
         env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
 
+  /** Inline `- resource: <label>` processor references from the
+    * config's `processor_resources` blocks (processors/resource.adoc:
+    * reusable named processors). A reference keeps nothing of its own;
+    * the resource's config (label stripped) takes its place.
+    */
+  private[graft] def resolveProcessorResources(root: JsonNode): JsonNode = {
+    val resources = Option(root.get("processor_resources"))
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+    if (resources.isEmpty) return root
+    val byLabel = resources.map(r => r.path("label").asText -> r).toMap
+    def walk(n: JsonNode): Unit = n match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        (0 until a.size()).foreach { i =>
+          val el = a.get(i)
+          val isRef = el.isObject && el.has("resource") &&
+            el.properties().asScala.forall(e =>
+              e.getKey == "resource" || e.getKey == "label")
+          if (isRef) {
+            byLabel.get(el.get("resource").asText).foreach { res =>
+              val copy = res.deepCopy[
+                com.fasterxml.jackson.databind.node.ObjectNode]()
+              copy.remove("label")
+              a.set(i, copy)
+              ()
+            }
+          } else walk(el)
+        }
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.properties().asScala.foreach(e => walk(e.getValue))
+      case _ => ()
+    }
+    val copy = root.deepCopy[JsonNode]()
+    walk(copy)
+    copy
+  }
+
   def load(configYaml: String): Spec = {
-    val root = yaml.readTree(configYaml)
+    val root = resolveProcessorResources(yaml.readTree(configYaml))
     val input = Option(root.get("input")).getOrElse(
       throw new IllegalArgumentException("config needs an input"))
     val procs = Option(root.at("/pipeline/processors"))

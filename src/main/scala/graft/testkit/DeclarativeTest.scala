@@ -156,10 +156,11 @@ object DeclarativeTest {
       val root0 = yaml.readTree(substEnv(rawText, env))
       // tests[].mocks (unit_testing.adoc:359-377): keys are a processor
       // LABEL or a JSON POINTER; the value replaces the processor
-      val root = Option(tc.get("mocks")) match {
-        case Some(ms) => applyMocks(root0, ms)
-        case None => root0
-      }
+      val root = graft.config.Pipeline.resolveProcessorResources(
+        Option(tc.get("mocks")) match {
+          case Some(ms) => applyMocks(root0, ms)
+          case None => root0
+        })
       // input_batch (one batch) or input_batches (several, fed in
       // order as one bounded stream with batch identity —
       // config/test/deduplicate.yaml, deduplicate_by_batch.yaml)
@@ -215,7 +216,9 @@ object DeclarativeTest {
         require(!parent.isMissingNode, s"mock pointer $key: no such node")
         parent match {
           case a: com.fasterxml.jackson.databind.node.ArrayNode =>
-            a.set(leaf.toInt, mock.deepCopy[JsonNode]()); ()
+            if (leaf == "-") a.add(mock.deepCopy[JsonNode]())
+            else a.set(leaf.toInt, mock.deepCopy[JsonNode]())
+            ()
           case o: com.fasterxml.jackson.databind.node.ObjectNode =>
             o.set[JsonNode](leaf, mock.deepCopy[JsonNode]()); ()
           case other => throw new IllegalArgumentException(
@@ -228,7 +231,13 @@ object DeclarativeTest {
             (0 until a.size()).foreach { i =>
               val el = a.get(i)
               if (el.isObject && el.path("label").asText("") == key) {
-                a.set(i, mock.deepCopy[JsonNode]()); hits += 1
+                val repl = mock.deepCopy[JsonNode]()
+                repl match {
+                  case o2: com.fasterxml.jackson.databind.node.ObjectNode =>
+                    o2.put("label", key); ()
+                  case _ => ()
+                }
+                a.set(i, repl); hits += 1
               } else walk(el)
             }
           case o: com.fasterxml.jackson.databind.node.ObjectNode =>
