@@ -130,6 +130,11 @@ object Bench {
     // identical code). Readings ride the artifact so a cross-round
     // compare can reject runs whose kernels disagree.
     val kernelStart = graft.tools.RefKernel.mbPerSec()
+    // the single-thread kernel is blind to multi-core contention (r18:
+    // 25% wall gap on identical code at coherent kernels) — sample an
+    // all-cores variant + /proc/loadavg alongside
+    val kernelParStart = graft.tools.RefKernel.mbPerSecParallel()
+    val loadStart = graft.tools.RefKernel.loadAvg()
     val passTimes = (1 to runs).map { pass =>
       selected.map { case (name, fn) =>
         // each attempt is an independent measurement: drop cached plans
@@ -162,6 +167,8 @@ object Bench {
       name -> byPass.map(_(name)).min
     }
     val kernelEnd = graft.tools.RefKernel.mbPerSec()
+    val kernelParEnd = graft.tools.RefKernel.mbPerSecParallel()
+    val loadEnd = graft.tools.RefKernel.loadAvg()
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // dimensionless normalized total: seconds × (kernel MB/s ÷ 1000) —
@@ -231,6 +238,9 @@ object Bench {
         s""""runs":$runs,"n_queries":${results.size},""" +
         s""""kernel_mb_per_sec":{"start":${fmt(kernelStart)},""" +
         s""""end":${fmt(kernelEnd)}},""" +
+        s""""kernel_par_mb_per_sec":{"start":${fmt(kernelParStart)},""" +
+        s""""end":${fmt(kernelParEnd)}},""" +
+        s""""loadavg":{"start":"$loadStart","end":"$loadEnd"},""" +
         s""""total_kernel_normalized":${fmt(totalNorm)}"""
     // full per-query detail first (humans / logs) …
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

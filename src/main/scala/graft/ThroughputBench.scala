@@ -44,6 +44,15 @@ object ThroughputBench {
     // right before it runs and publishes phase:kernel ratios; compare
     // THOSE across rounds, not the raw per-second values. ─────────────
     def refKernelMbPerSec(): Double = graft.tools.RefKernel.mbPerSec()
+    // all-cores contention guard (r18 finding: single-thread kernels
+    // stayed "coherent" across a 25% wall gap on identical code) —
+    // sampled at start and end, plus the 1-minute loadavg
+    def loadAvg1m(): Double =
+      try graft.tools.RefKernel.loadAvg().split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    results("ref_kernel_par_mb_per_sec_start") =
+      graft.tools.RefKernel.mbPerSecParallel()
+    results("loadavg_1m_x100_start") = loadAvg1m() * 100
     // dimensionless normalization: phase metric per kernel MB/s —
     // stable across ambient swings that slow phase and kernel alike
     def ratio(metricKey: String, kernel: Double): Unit =
@@ -274,6 +283,10 @@ object ThroughputBench {
         rows * (payload.length + 40).toDouble / 1e6 / sec
       ratio("pg_decode_msgs_per_sec", kernel)
     }
+
+    results("ref_kernel_par_mb_per_sec_end") =
+      graft.tools.RefKernel.mbPerSecParallel()
+    results("loadavg_1m_x100_end") = loadAvg1m() * 100
 
     val json = results.map { case (k, v) => s""""$k":${f"$v%.0f"}""" }
       .mkString("{", ",", s""","msgs":$msgs,"sf":"$sfDir"}""")
