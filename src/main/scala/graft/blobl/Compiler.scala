@@ -235,6 +235,22 @@ object Compiler {
     case MethodCall(MethodCall(inner, "from_all", _), "unique", _) =>
       val v = compile(inner, env)
       BV(collect_set(asVariant(v)).over(batchFrame(env)), A(V))
+    case MethodCall(MethodCall(inner, "from_all", _), "max", _) =>
+      // integral inputs keep an integral extreme (same rendering rule
+      // as sum); config/examples/stateful_polling.yaml's cursor write
+      val v = compile(inner, env)
+      val w = batchFrame(env)
+      val lm = max(asLong(v)).over(w)
+      val dm = max(asDouble(v)).over(w)
+      BV(when(dm === lm.cast("double"), lm.cast("variant"))
+        .otherwise(dm.cast("variant")), V)
+    case MethodCall(MethodCall(inner, "from_all", _), "min", _) =>
+      val v = compile(inner, env)
+      val w = batchFrame(env)
+      val lm = min(asLong(v)).over(w)
+      val dm = min(asDouble(v)).over(w)
+      BV(when(dm === lm.cast("double"), lm.cast("variant"))
+        .otherwise(dm.cast("variant")), V)
     case MethodCall(MethodCall(inner, "from_all", _), "fold", args)
         if args.length == 2 =>
       val v = compile(inner, env)
@@ -246,7 +262,7 @@ object Compiler {
       }), V)
     case MethodCall(MethodCall(inner, "from_all", _), name, _) =>
       throw new IllegalArgumentException(
-        s"from_all().$name: supported reducers are sum/unique/fold")
+        s"from_all().$name: supported reducers are sum/unique/fold/max/min")
 
     // `expr.from(n)` (functions.adoc from): evaluate the expression in
     // the context of batch message n — nth value over the batch window
@@ -276,13 +292,20 @@ object Compiler {
       }), V)
 
     case MethodCall(recv, "format", args) =>
-      val fmt = recv match {
-        case StrLit(s) => s
-        case other => throw new IllegalArgumentException(
-          s"format receiver must be a literal string, got $other")
+      recv match {
+        case StrLit(fmt) =>
+          Methods(BV(lit(fmt), S), "format",
+            MVal(BV(lit(fmt), S), Some(fmt)) +: args.map(a => MVal(compile(a, env))))
+        case other =>
+          // dynamic receiver (config/examples/discord_bot.yaml picks
+          // the format string from an array at runtime): no
+          // compile-time verb casts — %v renders as %s and every
+          // argument coerces to its string form
+          val fmtC = regexp_replace(asString(compile(other, env)),
+            lit("%v"), lit("%s"))
+          val cast = args.map(a => asString(compile(a, env)))
+          BV(call_function("format_string", fmtC +: cast: _*), S)
       }
-      Methods(BV(lit(fmt), S), "format",
-        MVal(BV(lit(fmt), S), Some(fmt)) +: args.map(a => MVal(compile(a, env))))
 
     case MethodCall(recv, name, args) =>
       val r = compile(recv, env)
@@ -672,9 +695,14 @@ object Compiler {
         assigned = assigned || assignCond
 
       case MetaAssign(key, value) =>
+        // assignment REPLACES an existing key (map_concat alone trips
+        // DUPLICATED_MAP_KEY when the key is already present —
+        // config/examples/joining_streams.yaml reassigns output_topic)
         val m = meta.getOrElse(map().cast("map<string,string>"))
         val v0 = asString(compile(value, envNow))
-        meta = Some(when(cond, map_concat(m, map(lit(key), v0))).otherwise(m))
+        meta = Some(when(cond, map_concat(
+          map_filter(m, (k, _) => k =!= lit(key)),
+          map(lit(key), v0))).otherwise(m))
 
       case MetaWholeAssign(value) =>
         // `meta = expr` replaces the whole map (the expr must produce

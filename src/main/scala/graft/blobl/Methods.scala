@@ -128,7 +128,18 @@ object Methods {
     case "has_prefix" => BV(asString(recv).startsWith(asString(v(args(0)))), B)
     case "has_suffix" => BV(asString(recv).endsWith(asString(v(args(0)))), B)
     case "contains" => recv.t match {
-      case A(_) => BV(array_contains(asArray(recv).col, v(args(0)).col), B)
+      case A(_) =>
+        val arr = asArray(recv)
+        val needle = v(args(0))
+        arr.t match {
+          case A(V) =>
+            // variant elements have no ordering for array_contains —
+            // membership compares canonical JSON text (metrics
+            // mappings test names against string lists this way)
+            BV(exists(arr.col, x =>
+              to_json(x) === to_json(asVariant(needle))), B)
+          case _ => BV(array_contains(arr.col, needle.col), B)
+        }
       case _ => BV(asString(recv).contains(asString(v(args(0)))), B)
     }
     case "index_of" => BV((instr(asString(recv), asString(v(args(0)))) - 1).cast("long"), I)

@@ -139,6 +139,11 @@ object Parser extends RegexParsers {
   // about.adoc path syntax) is always a field access
   private def pathSeg: Parser[(String, Option[Seq[Expr]])] =
     (strLit ^^ (s => (s.v, None: Option[Seq[Expr]]))) |
+      // digit-LEADING but letter-bearing segment = field name
+      // (`this.analytics.install.30d.benthos`,
+      // config/examples/track_benthos_downloads.yaml)
+      ("[0-9]+[A-Za-z_][A-Za-z0-9_]*".r ^^
+        (n => (n, None: Option[Seq[Expr]]))) |
       // numeric segment = array index (`this.0`, reference path syntax)
       ("[0-9]+".r ^^ (n => (n, None: Option[Seq[Expr]]))) |
       (ident ~ opt("(" ~> repsep(callArg, ",") <~ ")") ^^ {

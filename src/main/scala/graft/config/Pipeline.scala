@@ -43,8 +43,156 @@ object Pipeline {
     * inputs needing a WRITABLE store (jira's cursor) can reach the
     * backing files rather than the read-only relational view.
     */
-  private val fileCacheDirs =
+  private[graft] val fileCacheDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** In-process MUTABLE stores behind the memory-family cache backends
+    * (memory/lru/ttlru/ristretto/noop), keyed by label — the live form
+    * of the relational `cache_<label>` views, so the cache PROCESSOR's
+    * set/add/delete operators (processors/cache.adoc) and mid-batch
+    * get-after-set coherence (config/examples/joining_streams.yaml's
+    * for_each hydration) have upstream semantics. A memory cache in the
+    * reference is per-PROCESS state; a per-JVM singleton is the same
+    * contract on an executor (seeded init_values live on the driver —
+    * documented seam for multi-executor runs).
+    */
+  private[graft] val liveCacheStores =
+    scala.collection.concurrent.TrieMap
+      .empty[String, scala.collection.concurrent.TrieMap[String, String]]
+
+  /** multilevel label → child labels, in read order. */
+  private[graft] val multilevelLabels =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** sql cache backend config (caches/sql.adoc) for DSNs the in-process
+    * engines serve — postgres:// resolves to the pgvector engine,
+    * jdbc: to the embedded JDBC driver. `setSuffix` is the upsert
+    * clause appended to the INSERT (stateful_polling.yaml's
+    * `ON CONFLICT(key) DO UPDATE SET val=excluded.val`).
+    */
+  private[graft] final case class SqlCacheCfg(dsn: String, table: String,
+      keyColumn: String, valueColumn: String, setSuffix: String)
+      extends Serializable {
+    private def textArg(v: String) =
+      com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+        .textNode(v)
+    private def isPg = dsn.startsWith("postgres://") ||
+      dsn.startsWith("postgresql://")
+    def get(k: String): Option[String] =
+      if (isPg)
+        graft.sources.PgVector.exec(dsn,
+            s"SELECT $valueColumn FROM $table WHERE $keyColumn = $$1",
+            Seq(textArg(k)))
+          .headOption.map(_.path(valueColumn).asText)
+      else {
+        val c = java.sql.DriverManager.getConnection(dsn)
+        try {
+          val ps = c.prepareStatement(
+            s"SELECT $valueColumn FROM $table WHERE $keyColumn = ?")
+          ps.setString(1, k)
+          val rs = ps.executeQuery()
+          val out = if (rs.next()) Some(rs.getString(1)) else None
+          rs.close(); ps.close(); out
+        } finally c.close()
+      }
+    def put(k: String, v: String): Unit =
+      if (isPg) {
+        graft.sources.PgVector.exec(dsn,
+          s"INSERT INTO $table ($keyColumn, $valueColumn) " +
+            s"VALUES ($$1, $$2) $setSuffix".trim,
+          Seq(textArg(k), textArg(Option(v).getOrElse(""))))
+        ()
+      } else {
+        val c = java.sql.DriverManager.getConnection(dsn)
+        try {
+          val del = c.prepareStatement(
+            s"DELETE FROM $table WHERE $keyColumn = ?")
+          del.setString(1, k); del.executeUpdate(); del.close()
+          val ps = c.prepareStatement(
+            s"INSERT INTO $table ($keyColumn, $valueColumn) VALUES (?, ?)")
+          ps.setString(1, k); ps.setString(2, Option(v).getOrElse(""))
+          ps.executeUpdate(); ps.close()
+        } finally c.close()
+      }
+    def delete(k: String): Unit =
+      if (isPg) {
+        graft.sources.PgVector.exec(dsn,
+          s"DELETE FROM $table WHERE $keyColumn = $$1", Seq(textArg(k)))
+        ()
+      } else {
+        val c = java.sql.DriverManager.getConnection(dsn)
+        try {
+          val ps = c.prepareStatement(
+            s"DELETE FROM $table WHERE $keyColumn = ?")
+          ps.setString(1, k); ps.executeUpdate(); ps.close()
+        } finally c.close()
+      }
+  }
+
+  private[graft] val sqlCacheCfgs =
+    scala.collection.concurrent.TrieMap.empty[String, SqlCacheCfg]
+
+  /** Observations attached by `metric` processors in the current
+    * pipeline compile, drained into the metrics exporter at flush —
+    * the path a custom metric takes from plan to exposition text
+    * (config/examples/site_analytics.yaml, track_benthos_downloads).
+    * (name, type, observation); label dimensionality flattens here
+    * (observe() aggregates the whole frame — documented divergence).
+    */
+  private[graft] val pendingMetricObs =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, org.apache.spark.sql.Observation)]
+
+  /** One resolvable level for the kernel-form cache processor: a
+    * memory-family live store (per-JVM), a file directory (coherent
+    * across executors on shared storage), or a sql-backed table.
+    * Serializable — executor closures capture the label/dir/cfg and
+    * resolve the store at use time.
+    */
+  private[graft] final case class CacheLevel(label: String,
+      fileDir: Option[String], sql: Option[SqlCacheCfg] = None)
+      extends Serializable {
+    private def store = Pipeline.liveCacheStores.getOrElseUpdate(label,
+      scala.collection.concurrent.TrieMap.empty)
+    def get(k: String): Option[String] = (fileDir, sql) match {
+      case (Some(d), _) =>
+        val p = java.nio.file.Paths.get(d, k)
+        if (java.nio.file.Files.exists(p))
+          Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        else None
+      case (_, Some(s)) => s.get(k)
+      case _ => store.get(k)
+    }
+    def put(k: String, v: String): Unit = (fileDir, sql) match {
+      case (Some(d), _) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(d, k),
+          Option(v).getOrElse("").getBytes("UTF-8")); ()
+      case (_, Some(s)) => s.put(k, v)
+      case _ => store.put(k, Option(v).getOrElse("")); ()
+    }
+    def delete(k: String): Unit = (fileDir, sql) match {
+      case (Some(d), _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(d, k)); ()
+      case (_, Some(s)) => s.delete(k)
+      case _ => store.remove(k); ()
+    }
+  }
+
+  /** Resolve a cache label to kernel levels: the label itself, or its
+    * multilevel children in read order. None when any level is a
+    * view-only (snapshot) backend — callers fall back to the
+    * relational path.
+    */
+  private[graft] def cacheLevelsOf(label: String): Option[Seq[CacheLevel]] = {
+    val kids = multilevelLabels.getOrElse(label, Seq(label))
+    val lv = kids.map { l =>
+      if (liveCacheStores.contains(l)) Some(CacheLevel(l, None))
+      else fileCacheDirs.get(l).map(d => CacheLevel(l, Some(d)))
+        .orElse(sqlCacheCfgs.get(l).map(c => CacheLevel(l, None, Some(c))))
+    }
+    if (lv.forall(_.isDefined)) Some(lv.flatten) else None
+  }
 
   final case class Spec(input: JsonNode, processors: Seq[JsonNode],
                         output: Option[JsonNode],
@@ -91,6 +239,33 @@ object Pipeline {
           } else walk(el)
         }
       case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        // workflow branches may live in processor_resources, referenced
+        // by name from `order` / `branch_resources` (workflow.adoc:189,
+        // 377) — inject the resources' branch bodies into `branches`
+        Option(o.get("workflow")).collect {
+          case wf: com.fasterxml.jackson.databind.node.ObjectNode =>
+            val wanted =
+              Option(wf.get("order")).map(_.elements().asScala.toSeq
+                .flatMap(n => if (n.isArray)
+                  n.elements().asScala.toSeq.map(_.asText)
+                else Seq(n.asText))).getOrElse(Nil) ++
+              Option(wf.get("branch_resources"))
+                .map(_.elements().asScala.toSeq.map(_.asText))
+                .getOrElse(Nil)
+            val missing = wanted.filterNot(n =>
+              Option(wf.get("branches")).exists(_.has(n)))
+            if (missing.nonEmpty) {
+              val stages = Option(wf.get("branches")) match {
+                case Some(b: com.fasterxml.jackson.databind.node.ObjectNode) => b
+                case _ =>
+                  val b = wf.putObject("branches"); b
+              }
+              missing.foreach { n =>
+                byLabel.get(n).flatMap(r => Option(r.get("branch")))
+                  .foreach(b => stages.set[JsonNode](n, b.deepCopy[JsonNode]()))
+              }
+            }
+        }
         o.properties().asScala.foreach(e => walk(e.getValue))
       case _ => ()
     }
@@ -165,20 +340,39 @@ object Pipeline {
     * one file per key, filename = key, contents = value) are real;
     * network backends (redis/memcached/nats_kv/…) stay env-blocked.
     */
-  private[graft] def registerCaches(spark: SparkSession, caches: Seq[JsonNode]): Unit =
-    caches.foreach { r =>
+  private[graft] def registerCaches(spark: SparkSession, caches: Seq[JsonNode]): Unit = {
+    // multilevel views resolve their children eagerly — register them
+    // AFTER the plain backends regardless of declaration order
+    // (config/examples/stateful_polling.yaml declares the multilevel
+    // first)
+    val (multi, plain) = caches.partition(r =>
+      r.properties().asScala.exists(_.getKey == "multilevel"))
+    (plain ++ multi).foreach { r =>
       val label = Option(r.get("label")).map(_.asText).getOrElse(
         throw new IllegalArgumentException("cache resource needs a label"))
       val view = s"cache_$label"
+      // a label re-registered as a DIFFERENT backend must not keep the
+      // old backend's live routing (suites reuse labels across cases)
+      liveCacheStores.remove(label)
+      sqlCacheCfgs.remove(label)
+      multilevelLabels.remove(label)
+      fileCacheDirs.remove(label)
       r.properties().asScala.filterNot(_.getKey == "label").foreach { e =>
         e.getKey match {
           case "memory" | "lru" | "ttlru" | "noop" | "ristretto" =>
             // ristretto (caches/ristretto.adoc) is the reference's
             // embedded dgraph cache — in-process, same view semantics
-            // as memory/lru here
-            val rows = Option(e.getValue.get("init"))
+            // as memory/lru here. The seed field is `init_values`
+            // (caches/memory.adoc:40); `init` stays as a legacy alias.
+            val rows = Option(e.getValue.get("init_values"))
+              .orElse(Option(e.getValue.get("init")))
               .map(_.properties().asScala.toSeq.map(kv =>
                 (kv.getKey, kv.getValue.asText))).getOrElse(Seq.empty)
+            // fresh live store per registration (test isolation)
+            val store =
+              scala.collection.concurrent.TrieMap.empty[String, String]
+            rows.foreach { case (k, v) => store.put(k, v) }
+            liveCacheStores.put(label, store)
             import spark.implicits._
             val df =
               if (rows.isEmpty)
@@ -216,6 +410,7 @@ object Pipeline {
             // eagerly here).
             val levels = e.getValue.elements().asScala.map(_.asText).toSeq
             require(levels.nonEmpty, "multilevel cache needs levels")
+            multilevelLabels.put(label, levels)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col("key")).orderBy(col("__lvl"))
             levels.zipWithIndex.map { case (l, i) =>
@@ -281,13 +476,42 @@ object Pipeline {
               .createOrReplaceTempView(view)
           case "sql" =>
             // caches/sql.adoc — key/value columns of a table reached
-            // through JDBC (embedded Derby here; the sql_driver_* jar
-            // registrations are env-blocked, dialect seam documented)
+            // through JDBC (embedded Derby) or, for postgres:// DSNs,
+            // the in-process pgvector engine. The cfg registers as a
+            // LIVE level so cache set/add/delete and multilevel
+            // write-through reach the table
+            // (config/examples/stateful_polling.yaml's pgstate).
             val bn = e.getValue
             val dsn = bn.get("dsn").asText
             val table = bn.get("table").asText
             val kc = bn.path("key_column").asText("key")
             val vc = bn.path("value_column").asText("value")
+            val cfg = SqlCacheCfg(dsn, table, kc, vc,
+              bn.path("set_suffix").asText(""))
+            Option(bn.get("init_statement")).map(_.asText)
+              .filter(_.nonEmpty).foreach { init =>
+                init.split(";").map(_.trim).filter(_.nonEmpty).foreach { s =>
+                  if (dsn.startsWith("postgres://") ||
+                      dsn.startsWith("postgresql://"))
+                    graft.sources.PgVector.exec(dsn, s, Nil)
+                  else {
+                    val c = java.sql.DriverManager.getConnection(dsn)
+                    try { c.createStatement().execute(s); () }
+                    finally c.close()
+                  }
+                }
+              }
+            sqlCacheCfgs.put(label, cfg)
+            if (dsn.startsWith("postgres://") ||
+                dsn.startsWith("postgresql://")) {
+              // snapshot view from the engine (may be empty pre-init)
+              import spark.implicits._
+              val rows = graft.sources.PgVector.table(dsn, table)
+                .map(t => t.rows.toSeq.map(r =>
+                  (String.valueOf(r(t.colIdx(kc))),
+                    String.valueOf(r(t.colIdx(vc)))))).getOrElse(Seq.empty)
+              rows.toDF("key", "value").createOrReplaceTempView(view)
+            } else {
             val rows = {
               val c = java.sql.DriverManager.getConnection(dsn)
               try {
@@ -301,6 +525,7 @@ object Pipeline {
             }
             import spark.implicits._
             rows.toDF("key", "value").createOrReplaceTempView(view)
+            }
           case "couchbase" =>
             // caches/couchbase.adoc — KV bucket entries over the
             // binary protocol; hydrated by a bounded key sweep from
@@ -367,10 +592,67 @@ object Pipeline {
         }
       }
     }
+  }
 
-  /** Build the full DataFrame (input + processors), unexecuted. */
-  def build(spark: SparkSession, configYaml: String,
+  /** Streams mode (inputs/inproc.adoc, outputs/inproc.adoc): run N
+    * NAMED configs in ONE session, wired by inproc ids — the
+    * reference's `streams` subcommand runs each file in a directory as
+    * its own stream with shared resources. The reference schedules
+    * streams concurrently with inproc as a live channel; the bounded
+    * analog executes streams in dependency order — a stream consuming
+    * inproc X runs after the stream whose output provides X. Cycles
+    * are rejected (the inproc docs themselves warn that feedback loops
+    * deadlock). Returns each stream's final frame by name.
+    */
+  def runStreams(spark: SparkSession, streams: Seq[(String, String)],
+                 env: Map[String, String] = Map.empty)
+      : Map[String, DataFrame] = {
+    def inprocIds(n: JsonNode): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      def walk(x: JsonNode): Unit = x match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          Option(o.get("inproc")).filter(_.isTextual)
+            .foreach(v => out += v.asText)
+          o.properties().asScala.foreach(e => walk(e.getValue))
+        case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+          a.elements().asScala.foreach(walk)
+        case _ => ()
+      }
+      walk(n); out.toSet
+    }
+    val parsed = streams.map { case (name, text) =>
+      val root = yaml.readTree(substEnv(text, env))
+      val provides = Option(root.get("output")).map(inprocIds)
+        .getOrElse(Set.empty[String])
+      val needs = Option(root.get("input")).map(inprocIds)
+        .getOrElse(Set.empty[String])
+      (name, text, provides, needs)
+    }
+    val providers: Map[String, String] = parsed.flatMap { case (n, _, p, _) =>
+      p.map(_ -> n)
+    }.toMap // later stream wins an id collision, as the docs specify
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (done.size < parsed.size) {
+      val ready = parsed.filter { case (n, _, _, needs) =>
+        !done(n) && needs.forall(id =>
+          providers.get(id).forall(p => p == n || done(p)))
+      }
+      require(ready.nonEmpty, "streams mode: cyclic inproc wiring among " +
+        parsed.map(_._1).filterNot(done).mkString(", "))
+      ready.foreach(r => done += r._1)
+    }
+    val byName = parsed.map(p => p._1 -> p._2).toMap
+    done.toSeq.map(n => n -> run(spark, byName(n), env)).toMap
+  }
+
+  /** Build the full DataFrame (input + processors), unexecuted.
+    * Config-level `${VAR}` / `${VAR:default}` substitutes over the raw
+    * text first, as the reference parses configs — defaults apply even
+    * with an empty env (config/examples/jira_input.yaml).
+    */
+  def build(spark: SparkSession, configYaml0: String,
             env: Map[String, String] = Map.empty): DataFrame = {
+    val configYaml = substEnv(configYaml0, env)
     val spec = load(configYaml)
     registerCaches(spark, spec.cacheResources)
     val src = compileInput(spark, spec.input, env)
@@ -380,8 +662,9 @@ object Pipeline {
   }
 
   /** Build and execute through the output; returns the final frame. */
-  def run(spark: SparkSession, configYaml: String,
+  def run(spark: SparkSession, configYaml0: String,
           env: Map[String, String] = Map.empty): DataFrame = {
+    val configYaml = substEnv(configYaml0, env)
     val spec = load(configYaml)
     val df0 = build(spark, configYaml, env)
     // metrics: observe the delivered row count on the SAME action the
@@ -405,7 +688,7 @@ object Pipeline {
           // the same tolerance the reference's counters have)
           if (partsAcc.value == 0L && counted.rdd.getNumPartitions > 0)
             counted.write.format("noop").mode("overwrite").save()
-          exportMetrics(m, rowsAcc.value)
+          exportMetrics(spark, m, rowsAcc.value)
         }))
       case None => (df0, None)
     }
@@ -466,11 +749,69 @@ object Pipeline {
     * prometheus / influxdb / logger — metrics_statsd.go,
     * metrics_prometheus.go, metrics_influxdb.go shapes).
     */
-  private def exportMetrics(m: JsonNode, rows: Long): Unit = {
+  private def exportMetrics(spark: SparkSession, m0: JsonNode,
+                            rows: Long): Unit = {
     import graft.operators.MetricsExport
     val reg = new MetricsExport.Registry
     reg.counter("output_sent").addAndGet(rows)
     reg.counter("input_received").addAndGet(rows)
+    // custom metric-processor observations land in the same registry
+    var pending = Pipeline.pendingMetricObs.poll()
+    while (pending != null) {
+      val (name, kind, obs) = pending
+      // non-blocking read of the completed observation (getOrEmpty is
+      // private[sql]); an un-actioned plan's future is simply pending
+      val vals: Map[String, Any] = obs.future.value match {
+        case Some(scala.util.Success(row)) if row.schema != null =>
+          row.schema.fieldNames.zip(row.toSeq).toMap
+        case _ => Map.empty
+      }
+      if (vals.nonEmpty) kind match {
+        case "gauge" => Option(vals.getOrElse("value", null)).foreach(v =>
+          reg.gaugeSet(name, String.valueOf(v).toDouble))
+        case _ => reg.counter(name).addAndGet(
+          String.valueOf(vals.getOrElse("count", 0L)).toLong)
+      }
+      pending = Pipeline.pendingMetricObs.poll()
+    }
+    // `metrics.mapping` renames/drops metric NAMES before exposition
+    // (config/examples/site_analytics.yaml filters to its own counter).
+    // The name arrives as `this` and, for the $path convention, as a
+    // pre-bound variable.
+    val (m, regOut) = Option(m0.get("mapping")).map(_.asText)
+        .filter(_.nonEmpty) match {
+      case Some(src) =>
+        val stripped = m0.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        stripped.remove("mapping")
+        val names = (reg.counterValues.keys.map(_._1) ++
+          reg.gaugeValues.keys.map(_._1) ++
+          reg.timingValues.keys.map(_._1)).toSeq.distinct
+        val jm = new ObjectMapper()
+        import spark.implicits._
+        val df = names.map(n =>
+            (jm.writeValueAsString(
+              com.fasterxml.jackson.databind.node.JsonNodeFactory
+                .instance.textNode(n)), n))
+          .toDF("value", "__orig")
+        val out = graft.blobl.Blobl.mapping(df,
+            "let path = this\n" + src, Map.empty)
+          .select(col("__orig"), col("value")).collect()
+          .map(r => r.getString(0) ->
+            jm.readTree(r.getString(1)).asText).toMap
+        val r2 = new MetricsExport.Registry
+        reg.counterValues.foreach { case ((n, ls), v) =>
+          out.get(n).foreach(n2 => { r2.counter(n2, ls).addAndGet(v); () }) }
+        reg.gaugeValues.foreach { case ((n, ls), v) =>
+          out.get(n).foreach(n2 => r2.gaugeSet(n2, v, ls)) }
+        (stripped: JsonNode, r2)
+      case None => (m0, reg)
+    }
+    exportMetricsTo(m, regOut, rows)
+  }
+
+  private def exportMetricsTo(m: JsonNode,
+      reg: graft.operators.MetricsExport.Registry, rows: Long): Unit = {
+    import graft.operators.MetricsExport
     one(m) match {
       case ("statsd", b) =>
         val flusher = new MetricsExport.StatsdFlusher(reg,
@@ -679,11 +1020,33 @@ object Pipeline {
     (fields.head.getKey, fields.head.getValue)
   }
 
-  private def compileInput(spark: SparkSession, n: JsonNode,
-                           env: Map[String, String]): DataFrame =
+  private def compileInput(spark: SparkSession, n0: JsonNode,
+                           env: Map[String, String]): DataFrame = {
+    // input-level `processors:` run on every batch as it is read
+    // (components/inputs/about.adoc — site_analytics.yaml counts and
+    // deletes at the input)
+    val (n, post) = Option(n0.get("processors")) match {
+      case Some(procs) if n0.isObject =>
+        val stripped = n0.asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode].deepCopy()
+        stripped.remove("processors")
+        (stripped: JsonNode,
+          procs.elements().asScala.toSeq.map(Processors.compile(_, env)))
+      case _ => (n0, Nil)
+    }
+    val base = compileInputInner(spark, n, env)
+    post.foldLeft(base)((d, p) => p(d))
+  }
+
+  private def compileInputInner(spark: SparkSession, n: JsonNode,
+                                env: Map[String, String]): DataFrame =
     one(n) match {
       case ("generate", b) =>
-        Sources.generate(spark, b.get("count").asLong,
+        // count absent = unbounded in the reference (interval-driven);
+        // the bounded engine executes ONE interval tick per run —
+        // repeated runs are repeated ticks (the stateful_polling.yaml
+        // cron shape)
+        Sources.generate(spark, b.path("count").asLong(1L),
           b.get("mapping").asText, env)
       case ("file", b) =>
         val path = b.get("path").asText
@@ -2441,12 +2804,20 @@ object Pipeline {
       val kv = graft.sources.Envelope.ensure(df).select(
         Blobl.interpolateJson(df, keyTpl, metadataCol = metaCol).as("key"),
         col(Envelope.ValueCol).as("value"))
-      fileCacheDirs.get(label) match {
-        case Some(dir) =>
+      cacheLevelsOf(label) match {
+        case Some(levels) =>
+          // write-through all resolvable levels (multilevel contract);
+          // bounded control-state batch (a cursor, a dedupe key…)
           kv.collect().foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, r.getString(0)),
-              Option(r.getString(1)).getOrElse("").getBytes("UTF-8"))
+            levels.foreach(_.put(r.getString(0), r.getString(1)))
+          }
+          // keep the relational view in step for store-backed labels —
+          // downstream plans read `cache_<label>` as a table
+          if (liveCacheStores.contains(label)) {
+            val spark = df.sparkSession
+            import spark.implicits._
+            liveCacheStores(label).toSeq.toDF("key", "value")
+              .createOrReplaceTempView(s"cache_$label")
           }
         case None =>
           val spark = df.sparkSession
@@ -2760,7 +3131,49 @@ object Processors {
         }
       case "for_each" | "processors" =>
         // per-message singleton batches = Spark's default row semantics
-        children(body, env)
+        // — UNLESS the chain mutates a cache, where the reference's
+        // contract is that message i finishes the WHOLE chain before
+        // message i+1 starts (config/examples/joining_streams.yaml:
+        // "a given message of a batch is cached before the next
+        // message is hydrated"). That cross-message coherence is
+        // inherently sequential in ANY engine; only then do we run a
+        // driver loop over the (control-sized) batch. Stateless chains
+        // keep the distributed row-wise plan.
+        val mutatesCache = {
+          def walk(n: JsonNode): Boolean = n match {
+            case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+              a.elements().asScala.exists(walk)
+            case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+              Option(o.get("cache")).exists(c => Set("set", "add", "delete")(
+                c.path("operator").asText("get"))) ||
+                o.properties().asScala.exists(e => walk(e.getValue))
+            case _ => false
+          }
+          kind == "for_each" && walk(body)
+        }
+        val chain = children(body, env)
+        if (!mutatesCache) chain
+        else df => {
+          val spark = df.sparkSession
+          val inSchema = df.schema
+          val ordered = if (df.columns.contains("__seq"))
+            df.orderBy(col("__seq")) else df
+          val rows = ordered.collect() // bounded: for_each control batch
+          if (rows.isEmpty) chain(df.limit(0))
+          else {
+            val outs = rows.toSeq.map { r =>
+              val single = spark.createDataFrame(
+                java.util.Arrays.asList(r), inSchema)
+              val out = chain(single)
+              // materialize NOW so this message's cache writes precede
+              // the next message's reads
+              (out.schema, out.collect().toSeq)
+            }
+            outs.map { case (sch, rs) =>
+              spark.createDataFrame(rs.asJava, sch)
+            }.reduce(_.unionByName(_, allowMissingColumns = true))
+          }
+        }
       case "parallel" =>
         val procs = children(body.get("processors"), env)
         val cap = body.path("cap").asInt(0)
@@ -2914,9 +3327,24 @@ object Processors {
         df => Observe.logSample(df, every = body.path("every").asLong(1000),
           prefix = body.path("prefix").asText("pipeline"))
       case "metric" =>
+        // processors/metric.adoc — attach a named metric at this point
+        // of the flow; readings surface through the `metrics:` exporter
+        // at flush. counter = rows seen; gauge = the interpolated
+        // `value` (max over the frame — observe() is whole-frame).
         val name = body.path("name").asText("pipeline_metric")
-        df => Observe.metric(df, name,
-          Seq(count(lit(1)).as("count")))._1
+        val mtype = body.path("type").asText("counter")
+        df => {
+          val (d, obs) = mtype match {
+            case "gauge" if body.has("value") =>
+              val vC = Blobl.interpolateJson(df, body.get("value").asText,
+                env, metadataCol = metaColOf(df)).cast("double")
+              Observe.metric(df, name, Seq(max(vC).as("value")))
+            case _ =>
+              Observe.metric(df, name, Seq(count(lit(1)).as("count")))
+          }
+          Pipeline.pendingMetricObs.add((name, mtype, obs))
+          d
+        }
       case "benchmark" =>
         // processors/benchmark.adoc:26 — rows/s via an Observation; the
         // plan is unchanged
@@ -3077,9 +3505,19 @@ object Processors {
             s"unarchive format '$other' unsupported in config form")
         }
       case "string_split" =>
+        // processor_string_split.go:84-115 — the message's structured
+        // content BECOMES the array of segments (no batch expansion);
+        // empty_as_null maps empty segments to null. Spark split keeps
+        // trailing empties (limit -1), matching Go strings.Split.
         val delim = body.path("delimiter").asText("\n")
-        df => explodeParts(df,
-          split(col("value"), java.util.regex.Pattern.quote(delim)))
+        val emptyAsNull = body.path("empty_as_null").asBoolean(false)
+        df => df.withColumn("value", to_json {
+          val parts = split(col("value"),
+            java.util.regex.Pattern.quote(delim), -1)
+          if (emptyAsNull)
+            transform(parts, s => when(length(s) === 0, lit(null)).otherwise(s))
+          else parts
+        })
       case "text_chunker" =>
         val size = body.path("chunk_size").asInt(512)
         val overlap = body.path("chunk_overlap").asInt(0)
@@ -3299,24 +3737,88 @@ object Processors {
       // ── caches / resources / external calls ──────────────────────
       case "cache" =>
         // processors/cache.adoc:26 — `get` replaces content with the
-        // cache value for the key; a miss feeds the error channel. The
-        // cache table is a registered temp view `cache_<resource>`
-        // (key, value) — the relational form of the 17 cache backends.
+        // cache value for the key; a miss feeds the error channel.
+        // In-process mutable backends (memory family + file +
+        // multilevel over those) run as an ORDERED per-row kernel over
+        // the live stores, so set/add/delete and mid-batch
+        // get-after-set coherence have upstream semantics
+        // (config/examples/joining_streams.yaml's for_each hydration).
+        // Snapshot backends (redis/memcached/… views) keep the
+        // broadcast-join form — the scale path for read-only
+        // enrichment. Multilevel: read-through with promotion into
+        // earlier levels, write-through to all levels.
         val resource = body.get("resource").asText
         val keyTpl = body.path("key").asText("${! content() }")
+        val valueTpl = body.path("value").asText("${! content() }")
         val op = body.path("operator").asText("get")
-        require(op == "get", s"cache operator '$op': only get is a plan-side op; set/add are sinks")
-        df => {
-          val cacheDf = df.sparkSession.table(s"cache_$resource")
-            .select(col("key").as("__ck"), col("value").as("__cv"))
-          val keyed = df.withColumn("__ck",
-            Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
-          val d = FlowControl.withErrorChannel(keyed)
-            .join(broadcast(cacheDf), Seq("__ck"), "left")
-          d.withColumn("value", coalesce(col("__cv"), col("value")))
-            .withColumn("error", when(col("__cv").isNull,
-              lit("cache miss")).otherwise(col("error")))
-            .drop("__ck", "__cv")
+        df => Pipeline.cacheLevelsOf(resource) match {
+          case Some(levels) =>
+            val writing = op == "set" || op == "add"
+            val withErr = FlowControl.withErrorChannel(df)
+            val keyed0 = withErr.withColumn("__ck",
+              Blobl.interpolateJson(withErr, keyTpl, env,
+                metadataCol = metaColOf(withErr)).cast("string"))
+            val keyed = if (writing)
+              keyed0.withColumn("__cvw",
+                Blobl.interpolateJson(keyed0, valueTpl, env,
+                  metadataCol = metaColOf(keyed0)).cast("string"))
+              else keyed0
+            // a MUTATING cache is a sequential per-process construct in
+            // the reference; serialize exactly here (tiny control-state
+            // batches), never on the relational path
+            val ordered =
+              if (keyed.columns.contains("__seq"))
+                keyed.coalesce(1).sortWithinPartitions(col("__seq"))
+              else keyed.coalesce(1)
+            val schema = ordered.schema
+            implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+            val vI = schema.fieldIndex("value")
+            val eI = schema.fieldIndex("error")
+            val kI = schema.fieldIndex("__ck")
+            val wI = if (writing) schema.fieldIndex("__cvw") else -1
+            val lvls = levels
+            val theOp = op
+            val out = ordered.mapPartitions { it =>
+              it.map { r =>
+                val vals = r.toSeq.toArray
+                val k = r.getString(kI)
+                theOp match {
+                  case "get" =>
+                    val hitIdx = lvls.indexWhere(_.get(k).isDefined)
+                    if (hitIdx >= 0) {
+                      val v = lvls(hitIdx).get(k).get
+                      vals(vI) = v
+                      // read-through promotion into warmer levels
+                      (0 until hitIdx).foreach(i => lvls(i).put(k, v))
+                    } else vals(eI) = "cache miss"
+                  case "set" =>
+                    lvls.foreach(_.put(k, r.getString(wI)))
+                  case "add" =>
+                    if (lvls.exists(_.get(k).isDefined))
+                      vals(eI) = "key already exists"
+                    else lvls.foreach(_.put(k, r.getString(wI)))
+                  case "delete" =>
+                    lvls.foreach(_.delete(k))
+                  case other => throw new IllegalArgumentException(
+                    s"cache operator '$other' not supported")
+                }
+                org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+              }
+            }
+            if (writing) out.drop("__ck", "__cvw") else out.drop("__ck")
+          case None =>
+            require(op == "get",
+              s"cache operator '$op': snapshot cache backends are read-only here")
+            val cacheDf = df.sparkSession.table(s"cache_$resource")
+              .select(col("key").as("__ck"), col("value").as("__cv"))
+            val keyed = df.withColumn("__ck",
+              Blobl.interpolateJson(df, keyTpl, env, metadataCol = metaColOf(df)))
+            val d = FlowControl.withErrorChannel(keyed)
+              .join(broadcast(cacheDf), Seq("__ck"), "left")
+            d.withColumn("value", coalesce(col("__cv"), col("value")))
+              .withColumn("error", when(col("__cv").isNull,
+                lit("cache miss")).otherwise(col("error")))
+              .drop("__ck", "__cv")
         }
       case "cached" =>
         // processors/cached.adoc:26 — memoize children per distinct key
@@ -3544,6 +4046,45 @@ object Processors {
             df.sparkSession.sql(query)
           }
         }
+      case "sql_select" if body.has("dsn") =>
+        // external-database form (processors/sql_select.adoc: driver +
+        // dsn + table/columns/where/args_mapping/prefix/suffix) — the
+        // message becomes the ARRAY of result rows. Built as one
+        // sql_raw statement so the DSN routing (postgres:// → pgvector
+        // engine, jdbc: → JDBC) and the per-partition executor are
+        // shared. `?` placeholders normalize to $N for postgres-style
+        // drivers, as the reference's query builder does.
+        val driver = body.path("driver").asText("")
+        val table = body.get("table").asText
+        val cols = body.get("columns").elements().asScala.toSeq
+          .map(_.asText).mkString(", ")
+        val prefix = body.path("prefix").asText("")
+        val suffix = body.path("suffix").asText("")
+        val whereC = Option(body.get("where")).map(_.asText)
+          .filter(_.nonEmpty)
+        var q = s"SELECT $cols FROM $table" +
+          whereC.map(w => s" WHERE $w").getOrElse("") +
+          (if (suffix.nonEmpty) s" $suffix" else "")
+        if (prefix.nonEmpty) q = s"$prefix $q"
+        if (driver == "postgres" || driver == "clickhouse") {
+          var n = 0
+          q = q.map(c => c.toString).map {
+            case "?" => n += 1; s"$$$n"
+            case c => c
+          }.mkString
+        }
+        val raw = {
+          val o = com.fasterxml.jackson.databind.node.JsonNodeFactory
+            .instance.objectNode()
+          o.put("dsn", body.get("dsn").asText)
+          o.put("query", q)
+          Option(body.get("args_mapping")).foreach(m =>
+            o.set[JsonNode]("args_mapping", m.deepCopy[JsonNode]()))
+          Option(body.get("init_statement")).foreach(m =>
+            o.set[JsonNode]("init_statement", m.deepCopy[JsonNode]()))
+          o
+        }
+        df => SqlRaw.processor(df, raw, env)
       case "sql_select" =>
         // processors/sql_select.adoc:26 — enrichment lookup against a
         // registered table OR, with `url`, a real JDBC table (driver

@@ -18,9 +18,19 @@ object Observe {
     * completes.
     */
   def metric(df: DataFrame, name: String, exprs: Seq[Column]): (DataFrame, Observation) = {
-    val obs = Observation(name)
+    // observation ids must be unique WITHIN a plan (Spark rejects
+    // duplicates) but the same metric NAME may be attached at several
+    // points — e.g. a metric resource referenced from three workflow
+    // branches (config/examples/track_benthos_downloads.yaml). The
+    // disambiguating suffix is stripped when readings are reported.
+    val obs = Observation(s"$name#${metricSeq.incrementAndGet()}")
     (df.observe(obs, exprs.head, exprs.tail: _*), obs)
   }
+
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Strip the per-plan disambiguating suffix from an observation id. */
+  def metricName(obsId: String): String = obsId.replaceAll("#\\d+$", "")
 
   /** `benchmark` (processors/benchmark.adoc:26): rows + bytes + wall
     * seconds for one materialization of the frame.
@@ -82,7 +92,7 @@ object Observe {
       private def emit(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
                        durationNs: Long, error: Option[String]): Unit = {
         val metrics = qe.observedMetrics.map { case (name, row) =>
-          "\"" + name + "\":" + row.json
+          "\"" + metricName(name) + "\":" + row.json
         }.mkString("{", ",", "}")
         val err = error.map { e =>
           // JSON-escape via Jackson — backslashes, newlines, and

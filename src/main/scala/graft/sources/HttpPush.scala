@@ -27,13 +27,23 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * parallelizes: rows distribute round-robin across the session's
   * default parallelism.
   */
-final class HttpPushServer(path: String = "/post") {
+final class HttpPushServer(path: String = "/post",
+    bindAddress: Option[String] = None) {
 
   private val received = ArrayBuffer.empty[(String, Map[String, String])]
   @volatile private var rejectRemaining = 0
 
+  // bindAddress ("0.0.0.0:4196") pins the configured host:port so a
+  // config's own `address` field resolves verbatim
+  // (config/examples/site_analytics.yaml); default stays an ephemeral
+  // loopback port
   private val server = JdkHttpServer.create(
-    new InetSocketAddress("127.0.0.1", 0), 0)
+    bindAddress match {
+      case Some(a) =>
+        val i = a.lastIndexOf(':')
+        new InetSocketAddress(a.substring(0, i), a.substring(i + 1).toInt)
+      case None => new InetSocketAddress("127.0.0.1", 0)
+    }, 0)
   server.createContext(path, (ex: HttpExchange) => handle(ex))
   // daemon workers: a leaked server must never pin the JVM open
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
@@ -100,10 +110,13 @@ final class HttpPushServer(path: String = "/post") {
   def receivedCount: Int = received.synchronized(received.size)
 
   HttpPushServer.servers.put(s"127.0.0.1:$port", this)
+  bindAddress.foreach(a => HttpPushServer.servers.put(a, this))
 
   def stop(): Unit = {
     server.stop(0); pool.shutdown()
-    HttpPushServer.servers.remove(s"127.0.0.1:$port"); ()
+    HttpPushServer.servers.remove(s"127.0.0.1:$port")
+    bindAddress.foreach(HttpPushServer.servers.remove)
+    ()
   }
 }
 

@@ -45,10 +45,14 @@ object PgVector {
 
   final case class Col(name: String, tpe: String, dim: Int = 0)
 
-  final class Table(val cols: Seq[Col], val pk: Seq[String]) {
+  final class Table(val cols: Seq[Col], val pk: Seq[String],
+                    val serial: Set[String] = Set.empty) {
     val rows = new ArrayBuffer[Array[Any]]()
     val colIdx: Map[String, Int] = cols.map(_.name).zipWithIndex.toMap
     def pkOf(r: Array[Any]): Seq[Any] = pk.map(k => r(colIdx(k)))
+    // serial columns auto-assign on insert when no value arrives
+    private val seq = new java.util.concurrent.atomic.AtomicLong()
+    def nextSerial(): Long = seq.incrementAndGet()
   }
 
   private val tables =
@@ -92,6 +96,7 @@ object PgVector {
       if (tables.contains((norm(dsn), name)) &&
           flat.toUpperCase.contains("IF NOT EXISTS")) return
       var pk = Seq.empty[String]
+      var serial = Set.empty[String]
       val cols = ArrayBuffer.empty[Col]
       // split on top-level commas (vector(768) has inner parens)
       var depth = 0; val cur = new StringBuilder
@@ -111,11 +116,15 @@ object PgVector {
         } else {
           val name = p.split("\\s+", 2)(0)
           val tpe = p.split("\\s+", 2)(1).trim.toLowerCase
+          // inline column constraint: `key varchar(64) PRIMARY KEY`
+          if (tpe.contains("primary key")) pk = pk :+ name
+          if (tpe.split("\\s+")(0).startsWith("serial")) serial += name
           val vec = "vector\\((\\d+)\\)".r.findFirstMatchIn(tpe)
           cols += (vec match {
             case Some(m) => Col(name, "vector", m.group(1).toInt)
             case None => Col(name, tpe.split("\\s+")(0) match {
-              case "int" | "integer" | "bigint" | "smallint" => "integer"
+              case "int" | "integer" | "bigint" | "smallint" |
+                   "serial" | "bigserial" => "integer"
               case "real" | "double" | "float" | "numeric" => "double"
               case "boolean" | "bool" => "boolean"
               case _ => "text"
@@ -123,7 +132,7 @@ object PgVector {
           })
         }
       }
-      tables.update((norm(dsn), name), new Table(cols.toSeq, pk))
+      tables.update((norm(dsn), name), new Table(cols.toSeq, pk, serial))
     case _ => throw new IllegalArgumentException(
       s"pgvector engine: cannot parse CREATE TABLE: $flat")
   }
@@ -171,12 +180,42 @@ object PgVector {
 
   private val InsertValuesRe =
     "(?i)INSERT INTO ([\\w.]+) \\(([^)]*)\\) VALUES \\((.*)\\)".r
+  // upsert: `… VALUES ($1,$2) ON CONFLICT(key) DO UPDATE SET
+  // val=excluded.val[, …]` (postgres upsert syntax — the sql cache's
+  // set_suffix in config/examples/stateful_polling.yaml) and the
+  // DO NOTHING variant
+  private val InsertConflictRe =
+    ("(?i)INSERT INTO ([\\w.]+) \\(([^)]*)\\) VALUES \\((.*)\\) " +
+      "ON CONFLICT ?\\(([^)]*)\\) DO (NOTHING|UPDATE SET .*)").r
   private val InsertSelectRe =
     ("(?i)INSERT INTO ([\\w.]+) \\(([^)]*)\\) SELECT (.*) FROM " +
       "JSONB_ARRAY_ELEMENTS\\(\\$(\\d+)\\) AS (\\w+)").r
 
   private def insert(dsn: String, flat: String, args: Seq[JsonNode]): Unit =
     flat match {
+      case InsertConflictRe(name, colList, valList, conflictCols, action) =>
+        val t = tableOf(dsn, name)
+        val cols = colList.split(",").map(_.trim).toSeq
+        val ords = valList.split(",").map(_.trim.stripPrefix("$").toInt)
+        require(cols.length == ords.length, s"insert arity: $flat")
+        val vals = cols.zip(ords.map(o => args(o - 1)).toSeq)
+        val ck = conflictCols.split(",").map(_.trim).toSeq
+        val ckIdx = ck.map(c => t.colIdx(c))
+        val newByCol = vals.toMap
+        val key = ck.map(c => cell(t.cols(t.colIdx(c)), newByCol(c)))
+        t.rows.indexWhere(r => ckIdx.map(r(_)) == key) match {
+          case -1 => insertRow(t, vals)
+          case i if action.toUpperCase.startsWith("UPDATE SET") =>
+            // items are `col = excluded.col` — take the new row's value
+            action.substring("UPDATE SET".length).split(",")
+              .map(_.trim).filter(_.nonEmpty).foreach { item =>
+                val Array(l, r) = item.split("=", 2).map(_.trim)
+                val src = r.stripPrefix("excluded.")
+                t.rows(i)(t.colIdx(l)) =
+                  cell(t.cols(t.colIdx(l)), newByCol(src))
+              }
+          case _ => () // DO NOTHING
+        }
       case InsertValuesRe(name, colList, valList) =>
         val t = tableOf(dsn, name)
         val cols = colList.split(",").map(_.trim)
@@ -223,6 +262,11 @@ object PgVector {
       val i = t.colIdx.getOrElse(c, throw new IllegalArgumentException(
         s"pgvector engine: unknown column '$c'"))
       row(i) = cell(t.cols(i), v)
+    }
+    // serial columns self-assign when the insert omits them
+    t.serial.foreach { c =>
+      val i = t.colIdx(c)
+      if (row(i) == null) row(i) = java.lang.Long.valueOf(t.nextSerial())
     }
     if (t.pk.nonEmpty) {
       val k = t.pkOf(row)
@@ -314,9 +358,80 @@ object PgVector {
       val top = t.rows.sortBy(r => (dist(r), t.pkOf(r).mkString(" ")))
         .take(limit.toInt)
       top.map { r => render(t, outerAlias, splitTop(selList), r, dsn) }.toSeq
+    case GeneralSelectRe(selList, name, alias0, whereOpt, orderOpt,
+                         dirOpt, limitOpt) =>
+      // the general scalar form: SELECT cols|* FROM t [WHERE col op $n
+      // [AND ...]] [ORDER BY col [ASC|DESC]] [LIMIT n] -- the shape
+      // sql_select builds (config/examples/stateful_polling.yaml)
+      val t = tableOf(dsn, name)
+      val outerAlias = Option(alias0).getOrElse(name)
+      val kept0 = Option(whereOpt).map(_.trim) match {
+        case Some(w) if w.nonEmpty =>
+          val conds = w.split("(?i) AND ").toSeq.map { c =>
+            val m = "(?i)([\\w.]+) *(=|!=|<>|>=|<=|>|<) *\\$(\\d+)".r
+              .findFirstMatchIn(c.trim).getOrElse(
+                throw new IllegalArgumentException(
+                  s"pgvector engine: cannot parse WHERE condition: $c"))
+            (m.group(1).stripPrefix(outerAlias + "."), m.group(2),
+              m.group(3).toInt)
+          }
+          t.rows.filter { r =>
+            conds.forall { case (cName, op, ord) =>
+              val i = t.colIdx.getOrElse(cName,
+                throw new IllegalArgumentException(
+                  s"pgvector engine: unknown column '$cName'"))
+              val want = cell(t.cols(i), args(ord - 1))
+              val got = r(i)
+              def cmpNum = (got, want) match {
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  java.lang.Long.compare(a, b)
+                case (a: java.lang.Number, b: java.lang.Number) =>
+                  java.lang.Double.compare(a.doubleValue, b.doubleValue)
+                case (a, b) => String.valueOf(a).compareTo(String.valueOf(b))
+              }
+              op match {
+                case "=" => got == want
+                case "!=" | "<>" => got != want
+                case ">" => got != null && cmpNum > 0
+                case "<" => got != null && cmpNum < 0
+                case ">=" => got != null && cmpNum >= 0
+                case "<=" => got != null && cmpNum <= 0
+              }
+            }
+          }
+        case _ => t.rows
+      }
+      val ordered = Option(orderOpt) match {
+        case Some(oc) =>
+          val i = t.colIdx.getOrElse(oc.stripPrefix(outerAlias + "."),
+            throw new IllegalArgumentException(
+              s"pgvector engine: unknown ORDER BY column '$oc'"))
+          val asc = kept0.sortBy(r => r(i) match {
+            case l: java.lang.Long => (l.doubleValue, "")
+            case d: java.lang.Double => (d.doubleValue, "")
+            case v => (0.0, String.valueOf(v))
+          })
+          if (Option(dirOpt).exists(_.trim.equalsIgnoreCase("DESC")))
+            asc.reverse
+          else asc
+        case None => kept0
+      }
+      val limited = Option(limitOpt) match {
+        case Some(n) => ordered.take(n.toInt)
+        case None => ordered
+      }
+      val items =
+        if (selList.trim == "*") t.cols.map(_.name)
+        else splitTop(selList)
+      limited.map(r => render(t, outerAlias, items, r, dsn)).toSeq
     case _ => throw new IllegalArgumentException(
       s"pgvector engine: cannot parse SELECT: $flat")
   }
+
+  private val GeneralSelectRe =
+    ("(?i)SELECT (.*?) FROM ([\\w.]+)(?: (?:AS )?(\\w+))?" +
+      "(?: WHERE (.*?))?(?: ORDER BY ([\\w.]+)( ASC| DESC)?)?" +
+      "(?: LIMIT (\\d+))?").r
 
   private def render(t: Table, outerAlias: String, items: Seq[String],
                      r: Array[Any], dsn: String): ObjectNode = {

@@ -142,18 +142,57 @@ object DeclarativeTest {
       java.util.regex.Matcher.quoteReplacement(
         env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
 
-  /** Load every test case from a declarative YAML file. */
-  def load(path: String): Seq[TestCase] = {
-    val rawText = Files.readString(Paths.get(path))
-    val rawRoot = yaml.readTree(rawText)
-    val cases = Option(rawRoot.get("tests")).map(_.elements().asScala.toSeq)
+  /** Load every test case from a declarative YAML file.
+    *
+    * Companion-file convention (unit_testing.adoc:41,240): a file named
+    * `foo_benthos_test.yaml` that carries only `tests:` takes its CONFIG
+    * from the sibling `foo.yaml` — `test ./config.yaml` and
+    * `test ./config_benthos_test.yaml` are equivalent. `resources`
+    * mirrors the CLI's `-r resources.yaml`: top-level `cache_resources`
+    * / `processor_resources` lists from each file merge into the config
+    * before compilation.
+    */
+  def load(path: String, resources: Seq[String] = Nil): Seq[TestCase] = {
+    val testText = Files.readString(Paths.get(path))
+    val testRoot = yaml.readTree(testText)
+    val companion: Option[java.nio.file.Path] = {
+      val f = new File(path)
+      val n = f.getName
+      val base =
+        if (n.endsWith("_benthos_test.yaml")) Some(n.stripSuffix("_benthos_test.yaml") + ".yaml")
+        else if (n.endsWith("_benthos_test.yml")) Some(n.stripSuffix("_benthos_test.yml") + ".yml")
+        else None
+      base.map(b => new File(f.getParentFile, b).toPath)
+        .filter(p => Files.exists(p) &&
+          // only redirect when the test file holds no config of its own
+          testRoot.properties().asScala.map(_.getKey).toSet == Set("tests"))
+    }
+    val rawText = companion.map(Files.readString).getOrElse(testText)
+    val cases = Option(testRoot.get("tests")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
     cases.map { tc =>
       val name = tc.get("name").asText()
       val env = mapOf(tc.get("environment"))
       // per-case env substitution over the whole config text (the
       // reference parses the config fresh per test environment)
-      val root0 = yaml.readTree(substEnv(rawText, env))
+      val root0 = {
+        val base = yaml.readTree(substEnv(rawText, env))
+        resources.foldLeft(base) { (acc, rf) =>
+          val rn = yaml.readTree(substEnv(Files.readString(Paths.get(rf)), env))
+          Seq("cache_resources", "processor_resources").foreach { k =>
+            Option(rn.get(k)).foreach { arr =>
+              val obj = acc.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              val tgt = Option(obj.get(k)) match {
+                case Some(a: com.fasterxml.jackson.databind.node.ArrayNode) => a
+                case _ =>
+                  val a = obj.putArray(k); a
+              }
+              arr.elements().asScala.foreach(e => tgt.add(e.deepCopy[JsonNode]()))
+            }
+          }
+          acc
+        }
+      }
       // tests[].mocks (unit_testing.adoc:359-377): keys are a processor
       // LABEL or a JSON POINTER; the value replaces the processor
       val root = graft.config.Pipeline.resolveProcessorResources(
@@ -181,9 +220,33 @@ object DeclarativeTest {
           Seq((df: DataFrame) =>
             Blobl.mapping(df, src, env, metadataCol = Some("metadata")))
         case (_, Some(ptr)) =>
-          val node = root.at(ptr.asText())
-          require(!node.isMissingNode, s"target_processors ${ptr.asText()} not found in $path")
-          node.elements().asScala.toSeq.map(compileProcessor(_, env))
+          val t = ptr.asText()
+          if (t.startsWith("/")) {
+            val node = root.at(t)
+            require(!node.isMissingNode, s"target_processors $t not found in $path")
+            // the pointer may address a processor LIST or a single
+            // processor object (unit_testing.adoc: "a processor, or
+            // list of processors")
+            if (node.isArray)
+              node.elements().asScala.toSeq.map(compileProcessor(_, env))
+            else Seq(compileProcessor(node, env))
+          } else {
+            // unit_testing.adoc: a non-pointer target is a processor
+            // LABEL — the single processor carrying it is the target
+            val hits = scala.collection.mutable.Buffer.empty[JsonNode]
+            def walk(n: JsonNode): Unit = n match {
+              case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+                a.elements().asScala.foreach(walk)
+              case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+                if (o.path("label").asText("") == t) hits += o
+                else o.properties().asScala.foreach(p => walk(p.getValue))
+              case _ => ()
+            }
+            walk(root)
+            require(hits.size == 1,
+              s"target_processors label '$t': ${hits.size} matches in $path")
+            Seq(compileProcessor(hits.head, env))
+          }
         case _ =>
           // unit_testing.adoc: the default target is the config's own
           // pipeline processors

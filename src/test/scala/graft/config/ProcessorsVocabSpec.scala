@@ -147,9 +147,14 @@ class ProcessorsVocabSpec extends SparkSpec {
   }
 
   test("string_split and text_chunker explode with stable ordering") {
+    // string_split: content becomes the ARRAY of segments, one message
+    // out per message in (processor_string_split.go:84-115)
     val in = envelope("a|b|c")
     assert(values(apply(in, """- string_split: { delimiter: "|" }""")) ==
-      Seq("a", "b", "c"))
+      Seq("""["a","b","c"]"""))
+    assert(values(apply(envelope("a,,b,"),
+      """- string_split: { delimiter: ",", empty_as_null: true }""")) ==
+      Seq("""["a",null,"b",null]"""))
     val chunked = apply(envelope("abcdefghij"),
       "- text_chunker: { chunk_size: 4, chunk_overlap: 0 }")
     assert(values(chunked) == Seq("abcd", "efgh", "ij"))
