@@ -131,6 +131,15 @@ object Rag {
     */
   def e2e(spark: SparkSession, sfDir: String, nSmall: Int = 24,
           nBig: Int = 16, nQueries: Int = 5): DataFrame = {
+    // stage attribution for the r15 heavy-query protocol: set
+    // SPARK_GRAFT_RAG_STAGES=1 to print per-stage wall on stderr
+    val stageT0 = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def stage(name: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_RAG_STAGES")) {
+        val now = System.nanoTime()
+        System.err.println(f"[rag-e2e] $name ${(now - stageT0.get) / 1e9}%.2f s")
+        stageT0.set(now)
+      }
     registerTemplates()
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val broker = s"mem://rag-$runId"
@@ -164,9 +173,11 @@ object Rag {
       "OPENAI_API_KEY" -> "test-key",
       "POSTGRES_DSN" -> dsn, "POSTGRES_TABLE" -> "rag")
 
+    stage("seed (docs select + broker write)")
     // 1. indexing — the reference config, env-substituted like the CLI
     Pipeline.run(spark,
       Pipeline.substEnv(resource("indexing/openai_pgvector.yaml"), env), env)
+    stage("indexing pipeline")
 
     // 2. the store after indexing
     val table = graft.sources.PgVector.table(dsn, "rag_openai").getOrElse(
@@ -193,6 +204,7 @@ object Rag {
         s"doc $k: chunk order does not follow the text")
     }
 
+    stage("store dump + multi-chunk reassembly asserts")
     // 3. retrieval over a real socket; ranking cross-checked against a
     // gate-side brute-force top-k from the dumped store
     val server = new graft.sources.HttpSyncServer(spark,
@@ -238,6 +250,7 @@ object Rag {
         }
       }
     } finally server.stop()
+    stage("retrieval loop + ranking verification")
 
     // 4. oracle rows: the store's single-chunk documents
     val smallKeys = small.select(col("doc_id").cast("string"))

@@ -47,12 +47,91 @@ object PgVector {
 
   final class Table(val cols: Seq[Col], val pk: Seq[String],
                     val serial: Set[String] = Set.empty) {
-    val rows = new ArrayBuffer[Array[Any]]()
+    // storage with null tombstones + LAZY equality indexes per column
+    // tuple: the RAG indexing output issues one DELETE-by-key +
+    // INSERT per document batch, and a linear scan per statement made
+    // the store quadratic in corpus size (sf1: 50k docs = 467 s, the
+    // r19 rung's first reading). All mutation runs under exec's
+    // global lock, so index maintenance is single-threaded.
+    private val store = new ArrayBuffer[Array[Any]]()
+    private var dead = 0
+    private val indexes = scala.collection.mutable.HashMap
+      .empty[Seq[Int], scala.collection.mutable.HashMap[
+        Seq[Any], scala.collection.mutable.LinkedHashSet[Int]]]
     val colIdx: Map[String, Int] = cols.map(_.name).zipWithIndex.toMap
     def pkOf(r: Array[Any]): Seq[Any] = pk.map(k => r(colIdx(k)))
     // serial columns auto-assign on insert when no value arrives
     private val seq = new java.util.concurrent.atomic.AtomicLong()
     def nextSerial(): Long = seq.incrementAndGet()
+
+    /** Dense live rows; compacts tombstones first (indexes rebuild
+      * lazily afterwards). The public read surface.
+      */
+    def rows: ArrayBuffer[Array[Any]] = { compact(); store }
+
+    private def compact(): Unit = if (dead > 0) {
+      store.filterInPlace(_ != null)
+      dead = 0
+      indexes.clear()
+    }
+
+    private def indexFor(colIdxs: Seq[Int])
+        : scala.collection.mutable.HashMap[
+            Seq[Any], scala.collection.mutable.LinkedHashSet[Int]] =
+      indexes.getOrElseUpdate(colIdxs, {
+        val m = scala.collection.mutable.HashMap.empty[
+          Seq[Any], scala.collection.mutable.LinkedHashSet[Int]]
+        var i = 0
+        while (i < store.size) {
+          val r = store(i)
+          if (r != null)
+            m.getOrElseUpdate(colIdxs.map(r(_)),
+              scala.collection.mutable.LinkedHashSet.empty[Int]) += i
+          i += 1
+        }
+        m
+      })
+
+    private[PgVector] def append(r: Array[Any]): Unit = {
+      store += r
+      val slot = store.size - 1
+      indexes.foreach { case (ci, m) =>
+        m.getOrElseUpdate(ci.map(r(_)),
+          scala.collection.mutable.LinkedHashSet.empty[Int]) += slot
+      }
+    }
+
+    /** Live slots whose `colIdxs` values equal `key` (indexed). */
+    private[PgVector] def slotsEq(colIdxs: Seq[Int],
+                                  key: Seq[Any]): Seq[Int] =
+      indexFor(colIdxs).get(key).map(_.toSeq).getOrElse(Nil)
+
+    private[PgVector] def rowAt(slot: Int): Array[Any] = store(slot)
+
+    private[PgVector] def updateAt(slot: Int, col: Int, v: Any): Unit = {
+      val r = store(slot)
+      // re-index only tuples involving the column
+      indexes.foreach { case (ci, m) =>
+        if (ci.contains(col)) { m.get(ci.map(r(_))).foreach(_ -= slot); () }
+      }
+      r(col) = v
+      indexes.foreach { case (ci, m) =>
+        if (ci.contains(col))
+          m.getOrElseUpdate(ci.map(r(_)),
+            scala.collection.mutable.LinkedHashSet.empty[Int]) += slot
+      }
+    }
+
+    private[PgVector] def deleteAt(slot: Int): Unit = {
+      val r = store(slot)
+      if (r != null) {
+        indexes.foreach { case (ci, m) =>
+          m.get(ci.map(r(_))).foreach(_ -= slot); ()
+        }
+        store(slot) = null
+        dead += 1
+      }
+    }
   }
 
   private val tables =
@@ -172,7 +251,7 @@ object PgVector {
         val eqs = parseEq(where).map { case (c, ord) =>
           (t.colIdx(c), cell(t.cols(t.colIdx(c)), args(ord - 1)))
         }
-        t.rows.filterInPlace(r => !eqs.forall { case (i, v) => r(i) == v })
+        t.slotsEq(eqs.map(_._1), eqs.map(_._2)).foreach(t.deleteAt)
         ()
       case _ => throw new IllegalArgumentException(
         s"pgvector engine: cannot parse DELETE: $flat")
@@ -203,16 +282,16 @@ object PgVector {
         val ckIdx = ck.map(c => t.colIdx(c))
         val newByCol = vals.toMap
         val key = ck.map(c => cell(t.cols(t.colIdx(c)), newByCol(c)))
-        t.rows.indexWhere(r => ckIdx.map(r(_)) == key) match {
-          case -1 => insertRow(t, vals)
-          case i if action.toUpperCase.startsWith("UPDATE SET") =>
+        t.slotsEq(ckIdx, key).headOption match {
+          case None => insertRow(t, vals)
+          case Some(i) if action.toUpperCase.startsWith("UPDATE SET") =>
             // items are `col = excluded.col` — take the new row's value
             action.substring("UPDATE SET".length).split(",")
               .map(_.trim).filter(_.nonEmpty).foreach { item =>
                 val Array(l, r) = item.split("=", 2).map(_.trim)
                 val src = r.stripPrefix("excluded.")
-                t.rows(i)(t.colIdx(l)) =
-                  cell(t.cols(t.colIdx(l)), newByCol(src))
+                t.updateAt(i, t.colIdx(l),
+                  cell(t.cols(t.colIdx(l)), newByCol(src)))
               }
           case _ => () // DO NOTHING
         }
@@ -270,10 +349,10 @@ object PgVector {
     }
     if (t.pk.nonEmpty) {
       val k = t.pkOf(row)
-      require(!t.rows.exists(r => t.pkOf(r) == k),
+      require(t.slotsEq(t.pk.map(t.colIdx), k).isEmpty,
         s"pgvector engine: duplicate key ${t.pk.mkString(",")}=$k")
     }
-    t.rows += row
+    t.append(row)
     ()
   }
 
