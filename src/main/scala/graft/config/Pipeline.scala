@@ -887,7 +887,8 @@ object Pipeline {
           .getOrElse(throw new IllegalArgumentException(
             "kafka input needs seed_brokers/addresses"))
         val topics = b.get("topics").elements().asScala.toSeq.map(_.asText)
-        addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
+        addrs.map(a => if (a.contains("://")) a else s"kafka://$a")
+          .find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
           case Some(mem) =>
             require(topics.size == 1,
               "streaming kafka input: one topic per input (use a broker combinator for fan-in)")
@@ -1585,14 +1586,58 @@ object Pipeline {
           .toDF()
       case ("aws_dynamodb_cdc", b) =>
         // inputs/aws_dynamodb_cdc.adoc — segmented snapshot + shard
-        // lineage streams over the SigV4-verified JSON protocol
-        DynamoCdc.read(spark, b.get("endpoint").asText,
-            awsCreds(b), b.get("table").asText,
+        // lineage streams over the SigV4-verified JSON protocol.
+        // `tables:` is the documented list form; the single-table
+        // engine reads its head. `checkpoint_table` stores checkpoints
+        // in DynamoDB itself (auto-created; `global_table` +
+        // `global_table_replicas` provision it as a Global Table v2
+        // for cross-region failover resume — adoc:144,178).
+        val dEndpoint = awsEndpoint(b, env, "DYNAMODB")
+        val dCreds = awsCreds(b)
+        val dTable = Option(b.get("table")).map(_.asText).getOrElse(
+          b.get("tables").elements().asScala.next().asText)
+        val ckStore = Option(b.get("checkpoint_table")).map(_.asText)
+          .map { ct =>
+            new DynamoCdc.DynamoCkptStore(dEndpoint, dCreds, ct, dTable,
+              globalTable = b.path("global_table").asBoolean(false),
+              replicas = Option(b.get("global_table_replicas"))
+                .map(_.elements().asScala.toSeq.map(_.asText))
+                .getOrElse(Nil)): DynamoCdc.CkptStore
+          }
+        val dEvents = DynamoCdc.read(spark, dEndpoint, dCreds, dTable,
             snapshotSegments = b.path("snapshot_segments").asInt(4),
             checkpointPath = Option(b.get("checkpoint_cache"))
               .map(_.asText),
-            streamSnapshot = b.path("stream_snapshot").asBoolean(true))
+            streamSnapshot = b.path("stream_snapshot").asBoolean(true),
+            checkpoint = ckStore)
           .toDF()
+        // message shape + metadata per input_cdc.go:2256-2295 and the
+        // adoc Metadata section (snapshot records: READ, empty
+        // shard/sequence/creation-time)
+        val isSnap = col("operation") === "read"
+        dEvents.select(
+          to_json(struct(
+            lit(dTable).as("tableName"),
+            upper(col("operation")).as("eventName"),
+            struct(
+              try_parse_json(col("keys")).as("keys"),
+              try_parse_json(col("newImage")).as("newImage"),
+              try_parse_json(col("oldImage")).as("oldImage"),
+              when(isSnap, lit(null).cast("string"))
+                .otherwise(col("seq").cast("string"))
+                .as("sequenceNumber")).as("dynamodb"))).as("value"),
+          map(
+            lit("dynamodb_shard_id"), coalesce(col("shard"), lit("")),
+            lit("dynamodb_sequence_number"),
+            when(isSnap, lit("")).otherwise(col("seq").cast("string")),
+            lit("dynamodb_approximate_creation_time"),
+            when(isSnap || col("tsSec") === 0.0, lit("")).otherwise(
+              date_format(timestamp_seconds(col("tsSec")),
+                "yyyy-MM-dd'T'HH:mm:ssXXX")),
+            lit("dynamodb_event_name"), upper(col("operation")),
+            lit("dynamodb_table"), lit(dTable)).as("metadata"),
+          lit(null).cast("string").as("error"),
+          monotonically_increasing_id().as("__seq"))
       case ("gcp_spanner_cdc", b) =>
         // inputs/gcp_spanner_cdc.adoc — change-stream TVF partitions
         // with per-partition watermarks
@@ -1629,17 +1674,25 @@ object Pipeline {
             startCursor = Option(b.get("start_cursor")).map(_.asText))
           .toDF()
       case ("aws_cloudwatch_logs", b) =>
-        // inputs/aws_cloudwatch_logs.adoc — FilterLogEvents page walk
-        CloudWatch.logsRead(spark, b.get("endpoint").asText,
+        // inputs/aws_cloudwatch_logs.adoc — FilterLogEvents page walk.
+        // start_time accepts RFC3339, "now", or epoch millis
+        val startMs = b.path("start_time").asText("") match {
+          case "" => 0L
+          case "now" => System.currentTimeMillis()
+          case t if t.forall(_.isDigit) => t.toLong
+          case t => java.time.Instant.parse(t).toEpochMilli
+        }
+        CloudWatch.logsRead(spark, awsEndpoint(b, env, "CLOUDWATCH_LOGS"),
           awsCreds(b), b.get("log_group_name").asText,
           streamNames = Option(b.get("log_stream_names"))
             .map(_.elements().asScala.toSeq.map(_.asText))
             .getOrElse(Nil),
           streamPrefix = Option(b.get("log_stream_prefix"))
             .map(_.asText).orNull,
-          startTime = b.path("start_time").asLong(0L),
+          startTime = startMs,
           filterPattern = Option(b.get("filter_pattern"))
-            .map(_.asText).orNull)
+            .map(_.asText).orNull,
+          structuredLog = b.path("structured_log").asBoolean(true))
       case ("amqp_1", b) =>
         // inputs/amqp_1.adoc — drain one receiver link over the native
         // AMQP 1.0 stack; url = amqp://host:port (loopback Amqp1.Server)
@@ -1876,6 +1929,22 @@ object Pipeline {
       b.at("/credentials/secret").asText("SK"),
       b.path("region").asText("us-east-1"))
 
+  /** AWS endpoint the way the reference's SDK resolves it: an explicit
+    * config `endpoint` wins; otherwise the SDK's PUBLIC
+    * `AWS_ENDPOINT_URL_<SERVICE>` / `AWS_ENDPOINT_URL` environment
+    * variables — which is how the verbatim docs examples (no endpoint
+    * field) run against a local fixture.
+    */
+  private def awsEndpoint(b: JsonNode, env: Map[String, String],
+                          service: String): String =
+    Option(b.get("endpoint")).map(_.asText)
+      .orElse(env.get(s"AWS_ENDPOINT_URL_$service"))
+      .orElse(env.get("AWS_ENDPOINT_URL"))
+      .orElse(sys.env.get(s"AWS_ENDPOINT_URL_$service"))
+      .orElse(sys.env.get("AWS_ENDPOINT_URL"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"endpoint required (config field or AWS_ENDPOINT_URL_$service)"))
+
   /** `scheme://host:port` (or bare `host:port`) → (host, port). */
   private def hostPort(url: String): (String, Int) = {
     val stripped = url.replaceFirst("^[a-z0-9+.-]+://", "")
@@ -1990,7 +2059,11 @@ object Pipeline {
           Some(map_filter(col("metadata"),
             (k, _) => headerPats.map(p => k.rlike(p)).reduce(_ || _)))
         else None
-      addrs.find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
+      // a bare host:port speaks the same Kafka wire protocol our
+      // kafka:// client implements (config/examples/
+      // aws_cloudwatch_logs.yaml's `addresses: [localhost:9092]`)
+      addrs.map(a => if (a.contains("://")) a else s"kafka://$a")
+        .find(a => a.startsWith("mem://") || a.startsWith("kafka://")) match {
         case Some(mem) =>
           val addr = kafkaAddr(mem,
             txnId.map(t => "transactional_id=" +

@@ -48,6 +48,7 @@ object CloudWatch {
                logGroup: String, streamNames: Seq[String] = Nil,
                streamPrefix: String = null, startTime: Long = 0L,
                filterPattern: String = null,
+               structuredLog: Boolean = false,
                client: Http.Client = null): DataFrame = {
     require(streamNames.isEmpty || streamPrefix == null,
       "cannot specify both log_stream_names and log_stream_prefix")
@@ -77,8 +78,19 @@ object CloudWatch {
       going = nextToken != null
     }
     val rows = events.toSeq.map { case (g, s, ts, msg, id) =>
-      Row(msg, Map("cloudwatch_log_group" -> g, "cloudwatch_log_stream" -> s,
-        "cloudwatch_event_id" -> id), null, ts)
+      if (structuredLog) {
+        // input_logs.go:442-457 — Confluent-style structured JSON body
+        val o = mapper.createObjectNode()
+        o.put("message", msg)
+        o.put("log_group", g)
+        o.put("timestamp", ts)
+        o.put("ingestion_time", ts)
+        o.put("log_stream", s)
+        o.put("event_id", id)
+        Row(o.toString, Map.empty[String, String], null, ts)
+      } else
+        Row(msg, Map("cloudwatch_log_group" -> g, "cloudwatch_log_stream" -> s,
+          "cloudwatch_event_id" -> id), null, ts)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows,

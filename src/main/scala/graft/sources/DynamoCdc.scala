@@ -47,7 +47,8 @@ object DynamoCdc {
     * stream records (0 = snapshot).
     */
   case class Event(operation: String, keys: String, newImage: String,
-                   oldImage: String, seq: Long, shard: String)
+                   oldImage: String, seq: Long, shard: String,
+                   tsSec: Double = 0.0)
 
   // ───────────────── AttributeValue JSON helpers ─────────────────
 
@@ -90,7 +91,98 @@ object DynamoCdc {
 
   // ──────────────────────── checkpoints ────────────────────────
 
-  private case class Ckpt(snapshotDone: Boolean, shards: Map[String, Long])
+  case class Ckpt(snapshotDone: Boolean, shards: Map[String, Long],
+                  lastEventSec: Double = 0.0)
+
+  /** Pluggable checkpoint persistence: the local-file form, or the
+    * DynamoDB checkpoint TABLE the reference documents
+    * (inputs/aws_dynamodb_cdc.adoc:144 — auto-created, optionally a
+    * Global Table v2 so a failed-over region resumes time-based).
+    */
+  trait CkptStore { def load(): Ckpt; def save(ck: Ckpt): Unit }
+
+  final class FileCkptStore(path: String) extends CkptStore {
+    def load(): Ckpt = loadCkpt(path)
+    def save(ck: Ckpt): Unit = storeCkpt(path, ck)
+  }
+
+  /** Checkpoints in a DynamoDB table (hash key `TableId`), created on
+    * first use. `globalTable` provisions/reconciles it as a Global
+    * Table v2 (replicas added via UpdateTable); pointing it at an
+    * existing NON-global table fails fast (adoc:349).
+    */
+  final class DynamoCkptStore(endpoint: String, creds: Credentials,
+      checkpointTable: String, sourceTable: String,
+      globalTable: Boolean = false, replicas: Seq[String] = Nil,
+      client: Http.Client = null) extends CkptStore {
+    private val c = Option(client).getOrElse(resolveClient(endpoint))
+    private val m = new ObjectMapper()
+    locally { // ensure the table exists with the right shape
+      val desc = AwsApi.signedPost(c, endpoint, creds, "dynamodb", "/",
+        s"""{"TableName":"$checkpointTable"}""",
+        Map("X-Amz-Target" -> "DynamoDB_20120810.DescribeTable",
+          "Content-Type" -> "application/x-amz-json-1.0"))
+      if (desc.status / 100 == 2) {
+        val t = m.readTree(desc.body).path("Table")
+        val hashKey = t.path("KeySchema").elements().asScala.toSeq
+          .find(k => k.path("KeyType").asText == "HASH")
+          .map(_.path("AttributeName").asText).getOrElse("")
+        if (globalTable) {
+          require(hashKey == "TableId",
+            s"checkpoint_table '$checkpointTable' exists but was not " +
+              "created in global mode (hash key must be TableId); " +
+              "refusing to mutate it")
+          // reconcile: add any missing replica regions
+          val have = t.path("Replicas").elements().asScala
+            .map(_.path("RegionName").asText).toSet
+          val missing = replicas.filterNot(have)
+          if (missing.nonEmpty) {
+            val updates = missing.map(r =>
+              s"""{"Create":{"RegionName":"$r"}}""").mkString(",")
+            call(c, endpoint, creds, "dynamodb",
+              "DynamoDB_20120810.UpdateTable",
+              s"""{"TableName":"$checkpointTable","ReplicaUpdates":[$updates]}""")
+            ()
+          }
+        }
+      } else {
+        call(c, endpoint, creds, "dynamodb", "DynamoDB_20120810.CreateTable",
+          s"""{"TableName":"$checkpointTable","KeySchema":[{"AttributeName":"TableId","KeyType":"HASH"}],"AttributeDefinitions":[{"AttributeName":"TableId","AttributeType":"S"}]}""")
+        if (globalTable && replicas.nonEmpty) {
+          val updates = replicas.map(r =>
+            s"""{"Create":{"RegionName":"$r"}}""").mkString(",")
+          call(c, endpoint, creds, "dynamodb",
+            "DynamoDB_20120810.UpdateTable",
+            s"""{"TableName":"$checkpointTable","ReplicaUpdates":[$updates]}""")
+          ()
+        }
+      }
+    }
+    def load(): Ckpt = {
+      val r = call(c, endpoint, creds, "dynamodb",
+        "DynamoDB_20120810.GetItem",
+        s"""{"TableName":"$checkpointTable","Key":{"TableId":{"S":"$sourceTable"}}}""")
+      val item = r.path("Item")
+      if (item.isMissingNode || !item.properties().iterator().hasNext)
+        Ckpt(snapshotDone = false, Map.empty)
+      else {
+        val shards = Option(item.at("/Shards/S")).filterNot(_.isMissingNode)
+          .map(_.asText).filter(_.nonEmpty).map { j =>
+            m.readTree(j).properties().asScala
+              .map(e => e.getKey -> e.getValue.asLong).toMap
+          }.getOrElse(Map.empty[String, Long])
+        Ckpt(item.at("/SnapshotDone/BOOL").asBoolean(false), shards,
+          item.at("/LastEventSec/N").asText("0").toDouble)
+      }
+    }
+    def save(ck: Ckpt): Unit = {
+      val sh = m.createObjectNode()
+      ck.shards.foreach { case (k, v) => sh.put(k, v) }
+      call(c, endpoint, creds, "dynamodb", "DynamoDB_20120810.PutItem",
+        s"""{"TableName":"$checkpointTable","Item":{"TableId":{"S":"$sourceTable"},"SnapshotDone":{"BOOL":${ck.snapshotDone}},"Shards":{"S":${m.writeValueAsString(sh.toString)}},"LastEventSec":{"N":"${ck.lastEventSec}"}}}""")
+      ()
+    }
+  }
 
   private def loadCkpt(path: String): Ckpt = {
     val p = Paths.get(path)
@@ -98,12 +190,14 @@ object DynamoCdc {
     val n = mapper.readTree(new String(Files.readAllBytes(p), UTF_8))
     Ckpt(n.path("snapshotDone").asBoolean(false),
       Option(n.get("shards")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty))
+        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty),
+      n.path("lastEventSec").asDouble(0.0))
   }
 
   private def storeCkpt(path: String, ck: Ckpt): Unit = {
     val o = mapper.createObjectNode()
     o.put("snapshotDone", ck.snapshotDone)
+    o.put("lastEventSec", ck.lastEventSec)
     val sh = o.putObject("shards")
     ck.shards.foreach { case (k, v) => sh.put(k, v) }
     Files.write(Paths.get(path), o.toString.getBytes(UTF_8))
@@ -141,9 +235,12 @@ object DynamoCdc {
            table: String, snapshotSegments: Int = 4,
            checkpointPath: Option[String] = None,
            streamSnapshot: Boolean = true,
-           client: Http.Client = null): Dataset[Event] = {
+           client: Http.Client = null,
+           checkpoint: Option[CkptStore] = None): Dataset[Event] = {
     import spark.implicits._
-    val ck = checkpointPath.map(loadCkpt)
+    val store: Option[CkptStore] =
+      checkpoint.orElse(checkpointPath.map(new FileCkptStore(_)))
+    val ck = store.map(_.load())
       .getOrElse(Ckpt(snapshotDone = false, Map.empty))
     val c = Option(client).getOrElse(resolveClient(endpoint))
     val (e, cr, tbl) = (endpoint, creds, table)
@@ -183,8 +280,17 @@ object DynamoCdc {
       remaining = rest
     }
 
-    // 3. walk each wave's shards in parallel tasks
-    val ckShards = ck.shards
+    // 3. walk each wave's shards in parallel tasks.
+    // Cross-region failover (adoc:178): a checkpoint whose shard ids
+    // belong to ANOTHER region's stream resumes TIME-BASED — trim
+    // horizon, dropping records older than the last replicated record
+    // time (at-least-once; the boundary record replays).
+    val knownShardIds = shards.map(_._1).toSet
+    val foreignCkpt = ck.shards.nonEmpty &&
+      ck.shards.keys.forall(id => !knownShardIds.contains(id))
+    val timeFloor = if (foreignCkpt) ck.lastEventSec else 0.0
+    val ckShards: Map[String, Long] =
+      if (foreignCkpt) Map.empty else ck.shards
     var streamed: Dataset[Event] = spark.emptyDataset[Event]
     waves.foreach { wave =>
       val part = spark.createDataset(wave).repartition(wave.size)
@@ -209,11 +315,13 @@ object DynamoCdc {
               val recs = r.path("Records").elements().asScala.toVector
               recs.foreach { rec =>
                 val dy = rec.get("dynamodb")
-                out += Event(rec.get("eventName").asText,
-                  itemToJson(dy.get("Keys")),
-                  Option(dy.get("NewImage")).map(itemToJson).orNull,
-                  Option(dy.get("OldImage")).map(itemToJson).orNull,
-                  dy.get("SequenceNumber").asText.toLong, shardId)
+                val ts = dy.path("ApproximateCreationDateTime").asDouble(0.0)
+                if (ts >= timeFloor)
+                  out += Event(rec.get("eventName").asText,
+                    itemToJson(dy.get("Keys")),
+                    Option(dy.get("NewImage")).map(itemToJson).orNull,
+                    Option(dy.get("OldImage")).map(itemToJson).orNull,
+                    dy.get("SequenceNumber").asText.toLong, shardId, ts)
               }
               val next = r.path("NextShardIterator").asText(null)
               if (next == null || recs.isEmpty) going = false
@@ -230,11 +338,18 @@ object DynamoCdc {
     }
 
     // 4. advance checkpoint: max sequence per shard seen this read
-    checkpointPath.foreach { p =>
+    // (this REGION's shards only after a cross-region takeover), plus
+    // the newest record time for future time-based resumes elsewhere
+    store.foreach { st =>
       val maxSeqs = streamed.groupByKey(_.shard)
         .mapValues(_.seq).reduceGroups((a: Long, b: Long) => math.max(a, b))
         .collect().toMap
-      storeCkpt(p, Ckpt(snapshotDone = true, ck.shards ++ maxSeqs))
+      val maxTs = streamed.agg(org.apache.spark.sql.functions
+          .max(org.apache.spark.sql.functions.col("tsSec")))
+        .collect().headOption.flatMap(r => Option(r.get(0)))
+        .map(_.toString.toDouble).getOrElse(0.0)
+      st.save(Ckpt(snapshotDone = true, ckShards ++ maxSeqs,
+        math.max(ck.lastEventSec, maxTs)))
     }
     snapshot.unionByName(streamed)
   }
@@ -337,9 +452,58 @@ object DynamoCdc {
     * append stream records; [[rotateShards]] closes the open shards
     * and opens children (re-sharding, for lineage tests).
     */
-  final class MemDynamoStreams(creds: Credentials, keyAttr: String = "k") {
+  final class MemDynamoStreams(creds: Credentials, keyAttr: String = "k",
+      clock: () => Long = () => System.currentTimeMillis()) {
     private val m = new ObjectMapper()
     private val items = mutable.LinkedHashMap.empty[String, ObjectNode]
+    // generic (non-stream) tables — the checkpoint-table surface
+    // (CreateTable/DescribeTable/UpdateTable/GetItem routed by
+    // TableName; the CDC source table keeps the legacy table-less path)
+    private final case class GenMeta(hashKey: String,
+        replicas: mutable.LinkedHashSet[String], var global: Boolean)
+    private val genTables = mutable.LinkedHashMap
+      .empty[String, mutable.LinkedHashMap[String, ObjectNode]]
+    private val genMeta = mutable.LinkedHashMap.empty[String, GenMeta]
+    private var peers: Map[String, MemDynamoStreams] = Map.empty
+
+    /** Link another region's server for global-table write-through. */
+    def linkRegion(region: String, srv: MemDynamoStreams): Unit =
+      synchronized { peers += region -> srv }
+
+    /** Test hook: a generic table's item by hash-key VALUE (stored
+      * keys are AttributeValue JSON like {"S":"t"}). */
+    def genItem(table: String, key: String): Option[String] = synchronized {
+      genTables.get(table).flatMap(_.collectFirst {
+        case (k, v) if k.contains("\"" + key + "\"") => v.toString
+      })
+    }
+    def genTableMeta(table: String): Option[(String, Set[String], Boolean)] =
+      synchronized {
+        genMeta.get(table).map(mm =>
+          (mm.hashKey, mm.replicas.toSet, mm.global))
+      }
+
+    private[DynamoCdc] def ensureGen(table: String, hashKey: String): Unit =
+      synchronized {
+        if (!genMeta.contains(table)) {
+          genMeta(table) = GenMeta(hashKey,
+            mutable.LinkedHashSet.empty[String], global = false)
+          genTables(table) = mutable.LinkedHashMap.empty
+        }
+      }
+
+    private[DynamoCdc] def genPut(table: String, item: ObjectNode,
+                                  replicate: Boolean): Unit = synchronized {
+      val meta = genMeta(table)
+      val k = item.get(meta.hashKey).toString
+      genTables.getOrElseUpdate(table,
+        mutable.LinkedHashMap.empty)(k) = item
+      if (replicate) meta.replicas.foreach(r => peers.get(r).foreach { pr =>
+        pr.ensureGen(table, meta.hashKey)
+        pr.synchronized { pr.genMeta(table).global = true }
+        pr.genPut(table, item.deepCopy[ObjectNode](), replicate = false)
+      })
+    }
     private final case class Shard(id: String, parent: Option[String],
                                    records: mutable.ArrayBuffer[ObjectNode],
                                    var open: Boolean)
@@ -388,6 +552,7 @@ object DynamoCdc {
       newImage.foreach(ni => { dy.set[JsonNode]("NewImage", ni.deepCopy()); () })
       oldImage.foreach(oi => { dy.set[JsonNode]("OldImage", oi.deepCopy()); () })
       dy.put("SequenceNumber", seq.incrementAndGet().toString)
+      dy.put("ApproximateCreationDateTime", clock() / 1000.0)
       shard.records += rec
       ()
     }
@@ -404,7 +569,63 @@ object DynamoCdc {
       }
       val target = q.headers.getOrElse("X-Amz-Target", "")
       val body = m.readTree(q.body)
+      val bodyTable = body.path("TableName").asText("")
       target.split("\\.").last match {
+        case "CreateTable" =>
+          val hashKey = body.path("KeySchema").elements().asScala.toSeq
+            .find(k => k.path("KeyType").asText == "HASH")
+            .map(_.path("AttributeName").asText)
+            .getOrElse(return err(400, "ValidationException"))
+          if (genMeta.contains(bodyTable))
+            return err(400, "ResourceInUseException")
+          ensureGen(bodyTable, hashKey)
+          ok(s"""{"TableDescription":{"TableName":"$bodyTable","TableStatus":"ACTIVE"}}""")
+        case "DescribeTable" =>
+          genMeta.get(bodyTable) match {
+            case None => err(400, "ResourceNotFoundException")
+            case Some(meta) =>
+              val reps = meta.replicas.map(r =>
+                s"""{"RegionName":"$r","ReplicaStatus":"ACTIVE"}""")
+                .mkString(",")
+              val gv = if (meta.global)
+                ""","GlobalTableVersion":"2019.11.21"""" else ""
+              ok(s"""{"Table":{"TableName":"$bodyTable","TableStatus":"ACTIVE","KeySchema":[{"AttributeName":"${meta.hashKey}","KeyType":"HASH"}],"Replicas":[$reps]$gv}}""")
+          }
+        case "UpdateTable" =>
+          val meta = genMeta.getOrElse(bodyTable,
+            return err(400, "ResourceNotFoundException"))
+          body.path("ReplicaUpdates").elements().asScala.foreach { u =>
+            val r = u.at("/Create/RegionName").asText("")
+            if (r.nonEmpty && !meta.replicas.contains(r)) {
+              meta.replicas += r
+              meta.global = true
+              // back-fill existing items into the new replica
+              peers.get(r).foreach { pr =>
+                pr.ensureGen(bodyTable, meta.hashKey)
+                pr.synchronized { pr.genMeta(bodyTable).global = true }
+                genTables.getOrElse(bodyTable, mutable.LinkedHashMap.empty)
+                  .values.foreach(i =>
+                    pr.genPut(bodyTable, i.deepCopy[ObjectNode](),
+                      replicate = false))
+              }
+            }
+          }
+          ok(s"""{"TableDescription":{"TableName":"$bodyTable","TableStatus":"ACTIVE"}}""")
+        case "GetItem" if genMeta.contains(bodyTable) =>
+          val meta = genMeta(bodyTable)
+          val k = body.at(s"/Key/${meta.hashKey}").toString
+          genTables.getOrElse(bodyTable, mutable.LinkedHashMap.empty)
+            .get(k) match {
+            case Some(item) =>
+              val o = m.createObjectNode()
+              o.set[JsonNode]("Item", item.deepCopy[ObjectNode]())
+              ok(o.toString)
+            case None => ok("{}")
+          }
+        case "PutItem" if genMeta.contains(bodyTable) =>
+          genPut(bodyTable, body.get("Item").deepCopy[ObjectNode](),
+            replicate = true)
+          ok("{}")
         case "PutItem" =>
           val item = body.get("Item").deepCopy[ObjectNode]()
           val key = item.get(keyAttr).toString
@@ -511,8 +732,11 @@ object DynamoCdc {
     new java.util.concurrent.ConcurrentHashMap[String, MemDynamoStreams]()
 
   def register(name: String, creds: Credentials,
-               keyAttr: String = "k"): MemDynamoStreams =
-    registry.computeIfAbsent(name, _ => new MemDynamoStreams(creds, keyAttr))
+               keyAttr: String = "k",
+               clock: () => Long = () => System.currentTimeMillis())
+      : MemDynamoStreams =
+    registry.computeIfAbsent(name,
+      _ => new MemDynamoStreams(creds, keyAttr, clock))
   def drop(name: String): Unit = { registry.remove(name); () }
 
   def resolveClient(url: String): Http.Client =

@@ -836,7 +836,12 @@ object KafkaWire {
                      saslUsers: Map[String, String] = Map.empty,
                      // seam clock (the CloudQueue/Memcached convention):
                      // txn-expiry specs advance it instead of sleeping
-                     clock: () => Long = () => System.currentTimeMillis()) {
+                     clock: () => Long = () => System.currentTimeMillis(),
+                     // pin the listen port so a config's verbatim
+                     // `addresses: [localhost:9092]` resolves
+                     // (config/examples/aws_cloudwatch_logs.yaml);
+                     // default stays an ephemeral port
+                     bindPort: Int = 0) {
     private val topics = TrieMap.empty[String, Array[PartitionLog]]
     private val groups = TrieMap.empty[String, Group]
     // ── idempotent-producer registry (InitProducerId): pid → current
@@ -891,7 +896,7 @@ object KafkaWire {
       }
     }
     private val server = new ServerSocket()
-    server.bind(new InetSocketAddress("127.0.0.1", 0))
+    server.bind(new InetSocketAddress("127.0.0.1", bindPort))
     val port: Int = server.getLocalPort
     private val running = new AtomicBoolean(true)
     private val conns = TrieMap.empty[Socket, Unit]

@@ -110,6 +110,72 @@ class ExamplesConformanceSpec extends SparkSpec {
       "jira cursor file cache is empty")
   }
 
+  test("aws_cloudwatch_logs.yaml: fixture log events flow to the kafka topic") {
+    import graft.sources.{Broker, CloudWatch, KafkaWire}
+    import graft.sources.S3.Credentials
+    // the config names no endpoint — the SDK's public
+    // AWS_ENDPOINT_URL_CLOUDWATCH_LOGS env points it at the fixture
+    val creds = Credentials("AK", "SK", "us-east-1")
+    val name = "excw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val srv = CloudWatch.register(name, creds)
+    // start_time: now — seed events just past it
+    val t0 = System.currentTimeMillis() + 60000
+    srv.seedEvent("/aws/lambda/my-function", "2024/01/01/[$LATEST]abc123",
+      t0 + 1, "ERROR boom")
+    srv.seedEvent("/aws/lambda/my-function", "2024/01/01/[$LATEST]abc123",
+      t0 + 2, "all fine") // INFO — filtered by the second mapping
+    srv.seedEvent("/aws/lambda/my-function", "2024/01/01/[$LATEST]def456",
+      t0 + 3, "WARN wobbly")
+    // the config's `addresses: [localhost:9092]` — a wire broker
+    // pinned to the verbatim port
+    val kafka = new KafkaWire.Server(bindPort = 9092)
+    try {
+      Broker.transportFor("kafka://127.0.0.1:9092")
+        .createTopic("cloudwatch-logs", 1)
+      Pipeline.run(spark, example("aws_cloudwatch_logs.yaml"),
+        env = Map("AWS_ENDPOINT_URL_CLOUDWATCH_LOGS" -> s"mem://$name"))
+      val got = Broker.transportFor("kafka://127.0.0.1:9092")
+        .fetch("cloudwatch-logs", 0, 0L, Long.MaxValue).toSeq
+      assert(got.size == 2, s"expected ERROR+WARN only, got ${got.size}")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val docs = got.map(r => new String(r.value, "UTF-8"))
+        .map(mapper.readTree)
+      assert(docs.map(_.get("severity").asText).toSet == Set("ERROR", "INFO"))
+      assert(docs.forall(_.get("application").asText == "2024"))
+      assert(docs.forall(d => d.get("source").get("log_group").asText ==
+        "/aws/lambda/my-function"))
+      // key = log_stream (the config's ordering key)
+      assert(got.map(r => new String(r.key, "UTF-8")).toSet ==
+        Set("2024/01/01/[$LATEST]abc123", "2024/01/01/[$LATEST]def456"))
+    } finally {
+      KafkaWire.dropClient("127.0.0.1:9092")
+      kafka.stop()
+    }
+  }
+
+  test("dynamodb_cdc_global_table.yaml: checkpoints land in the global checkpoint table") {
+    import graft.sources.DynamoCdc
+    import graft.sources.S3.Credentials
+    val creds = Credentials("AK", "SK", "us-east-1")
+    val name = "exddb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val westName = name + "_west"
+    val east = DynamoCdc.register(name, creds, "k")
+    val west = DynamoCdc.register(westName, creds, "k")
+    east.linkRegion("us-west-2", west)
+    east.seed("""{"S":"o1"}""", Map("k" -> "o1", "total" -> 42L))
+    east.seed("""{"S":"o2"}""", Map("k" -> "o2", "total" -> 7L))
+    val out = Pipeline.run(spark, example("dynamodb_cdc_global_table.yaml"),
+      env = Map("AWS_ENDPOINT_URL_DYNAMODB" -> s"mem://$name"))
+    assert(out.count() == 2) // the snapshot of the orders table
+    // checkpoint auto-created as a Global Table v2 and replicated
+    assert(east.genTableMeta("redpanda_dynamodb_checkpoints")
+      .exists { case (hk, reps, global) =>
+        hk == "TableId" && reps == Set("us-west-2") && global })
+    assert(east.genItem("redpanda_dynamodb_checkpoints", "orders").isDefined)
+    assert(west.genItem("redpanda_dynamodb_checkpoints", "orders").isDefined,
+      "checkpoint did not replicate to the replica region")
+  }
+
   test("site_analytics.yaml: http_server hits are counted then deleted") {
     val server = new graft.sources.HttpPushServer("/poke",
       bindAddress = Some("0.0.0.0:4196"))

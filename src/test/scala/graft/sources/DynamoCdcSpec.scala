@@ -111,4 +111,66 @@ class DynamoCdcSpec extends SparkSpec {
     assert(srv.rejected > 0)
     DynamoCdc.drop(name)
   }
+  test("global-table checkpoints survive a regional failover (time-based resume)") {
+    // two regions, each with its own stream (distinct shards/sequence
+    // numbers) over the same logical source; the checkpoint table is a
+    // Global Table v2, so the failed-over region resumes time-based
+    // (inputs/aws_dynamodb_cdc.adoc:144,178)
+    @volatile var nowMs = 10_000L
+    val clk = () => nowMs
+    val eastName = "ddbge_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val westName = "ddbgw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val east = DynamoCdc.register(eastName, creds, "k", clk)
+    val west = DynamoCdc.register(westName, creds, "k", clk)
+    east.linkRegion("us-west-2", west)
+    west.linkRegion("us-east-1", east)
+    def putBoth(k: Long, v: String): Unit = {
+      put(eastName, k, v); put(westName, k, v)
+    }
+
+    putBoth(1, "a1"); putBoth(2, "a2") // ancient history, t=10s
+    val eastStore = new DynamoCdc.DynamoCkptStore(s"mem://$eastName", creds,
+      "ckpts", "t", globalTable = true, replicas = Seq("us-west-2"))
+    val r1 = DynamoCdc.read(spark, s"mem://$eastName", creds, "t",
+      checkpoint = Some(eastStore)).collect()
+    assert(r1.count(_.operation == "INSERT") == 2)
+
+    nowMs = 1_000_000L
+    putBoth(3, "b1")
+    val r2 = DynamoCdc.read(spark, s"mem://$eastName", creds, "t",
+      checkpoint = Some(eastStore)).collect()
+    assert(r2.map(e => mapper.readTree(e.newImage).get("v").asText).toSet ==
+      Set("b1"), "seq-based same-region resume")
+
+    // checkpoint replicated into the west region's table
+    assert(west.genItem("ckpts", "t").isDefined,
+      "checkpoint row did not replicate to the replica region")
+
+    nowMs = 2_000_000L
+    putBoth(4, "c1")
+    // FAILOVER: the west region consumes with the replicated checkpoint.
+    // Its shard ids are foreign, so resume is time-based: the ancient
+    // records are skipped, the boundary-time record (b1) may replay,
+    // c1 must arrive, and no snapshot re-runs.
+    val westStore = new DynamoCdc.DynamoCkptStore(s"mem://$westName", creds,
+      "ckpts", "t", globalTable = true, replicas = Seq("us-east-1"))
+    val r3 = DynamoCdc.read(spark, s"mem://$westName", creds, "t",
+      checkpoint = Some(westStore)).collect()
+    assert(!r3.exists(_.operation == "read"), "snapshot must not re-run")
+    val vals = r3.map(e => mapper.readTree(e.newImage).get("v").asText).toSet
+    assert(vals.contains("c1"), s"new record missing: $vals")
+    assert(!vals.contains("a1") && !vals.contains("a2"),
+      s"ancient records replayed (full-stream replay): $vals")
+    // and the pre-existing-non-global guard fails fast
+    val plainName = "ddbgp_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    DynamoCdc.register(plainName, creds, "k", clk)
+    mutate(plainName, "DynamoDB_20120810.CreateTable",
+      """{"TableName":"ckpts","KeySchema":[{"AttributeName":"Other","KeyType":"HASH"}],"AttributeDefinitions":[]}""")
+    val e = intercept[IllegalArgumentException] {
+      new DynamoCdc.DynamoCkptStore(s"mem://$plainName", creds,
+        "ckpts", "t", globalTable = true, replicas = Seq("us-west-2"))
+    }
+    assert(e.getMessage.contains("global mode"))
+  }
+
 }
