@@ -3676,6 +3676,63 @@ object Processors {
           case _ => kernels { df => df.withColumn("value",
             CodecFunctions.avroDecode(unbase64(col("value")), schema)) }
         }
+      case "protobuf" if body.has("message") =>
+        // the real config form (processors/protobuf.adoc): a message
+        // FQN + `.proto` schema files from import_paths, proto3 JSON
+        // mapping both ways. Errors (unknown fields, bad wire bytes)
+        // land on the ROW's error channel so try/catch composes
+        // (config/test/protobuf/{house,people}.yaml).
+        val fqn = body.get("message").asText
+        val fromJson = body.path("operator").asText("to_json") == "from_json"
+        val joined = Option(body.get("import_paths"))
+          .map(_.elements().asScala.toSeq.map(_.asText)).getOrElse(Nil)
+          .flatMap { dir =>
+            val d = java.nio.file.Paths.get(dir)
+            if (!java.nio.file.Files.isDirectory(d)) Nil
+            else {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.list(d).iterator().asScala
+                .filter(_.toString.endsWith(".proto")).toSeq.sortBy(_.toString)
+                .map(p => java.nio.file.Files.readString(p))
+            }
+          }.mkString(graft.functions.expressions.ProtoSchema.FileSep)
+        require(joined.nonEmpty,
+          s"protobuf: no .proto files found under import_paths")
+        // compile-time parse so schema errors surface at build
+        graft.functions.expressions.ProtoSchema.registryFor(joined)
+          .message(fqn)
+        df0 => {
+          val df = FlowControl.withErrorChannel(df0)
+          val schema = df.schema
+          implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+          val vI = schema.fieldIndex("value")
+          val eI = schema.fieldIndex("error")
+          df.mapPartitions { it =>
+            val reg = graft.functions.expressions.ProtoSchema
+              .registryFor(joined)
+            val m = new ObjectMapper()
+            it.map { r =>
+              if (r.get(eI) != null) r // errored rows skip (try contract)
+              else try {
+                val out =
+                  if (fromJson)
+                    java.util.Base64.getEncoder.encodeToString(
+                      graft.functions.expressions.ProtoSchema
+                        .jsonToWire(reg, fqn, m.readTree(r.getString(vI))))
+                  else
+                    graft.functions.expressions.ProtoSchema.wireToJson(
+                      reg, fqn, java.util.Base64.getDecoder
+                        .decode(r.getString(vI))).toString
+                org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(vI, out))
+              } catch {
+                case e: Exception =>
+                  org.apache.spark.sql.Row.fromSeq(
+                    r.toSeq.updated(eI, Option(e.getMessage)
+                      .getOrElse(e.getClass.getSimpleName)))
+              }
+            }
+          }
+        }
       case "protobuf" =>
         val schema = body.get("schema").asText
         body.path("operator").asText("to_json") match {

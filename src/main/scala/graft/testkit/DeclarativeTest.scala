@@ -221,7 +221,21 @@ object DeclarativeTest {
             Blobl.mapping(df, src, env, metadataCol = Some("metadata")))
         case (_, Some(ptr)) =>
           val t = ptr.asText()
-          if (t.startsWith("/")) {
+          if (t.contains(".yaml#") || t.contains(".yml#")) {
+            // cross-file target: `./other.yaml#/pipeline/processors`
+            // (config/test/bloblang/also_tests_boolean_operands.yaml) —
+            // the processors come from a SIBLING config file
+            val Array(file, p2) = t.split("#", 2)
+            val cfgPath = new File(new File(path).getParentFile, file)
+            val cfgRoot = graft.config.Pipeline.resolveProcessorResources(
+              yaml.readTree(substEnv(Files.readString(cfgPath.toPath), env)))
+            val node = cfgRoot.at(p2)
+            require(!node.isMissingNode,
+              s"target_processors $t: $p2 not found in $cfgPath")
+            if (node.isArray)
+              node.elements().asScala.toSeq.map(compileProcessor(_, env))
+            else Seq(compileProcessor(node, env))
+          } else if (t.startsWith("/")) {
             val node = root.at(t)
             require(!node.isMissingNode, s"target_processors $t not found in $path")
             // the pointer may address a processor LIST or a single

@@ -13,10 +13,13 @@ class ConformanceSpec extends SparkSpec {
 
   private val dir = new File("src/test/resources/conformance")
 
-  private val files = Option(dir.listFiles())
-    .getOrElse(Array.empty[File])
-    .filter(_.getName.endsWith("_test.yaml"))
-    .sortBy(_.getName)
+  private val files = {
+    def walk(d: File): Seq[File] = Option(d.listFiles())
+      .getOrElse(Array.empty[File]).toSeq
+      .flatMap(f => if (f.isDirectory && f.getName != "schema" &&
+        f.getName != "files") walk(f) else Seq(f))
+    walk(dir).filter(_.getName.endsWith("_test.yaml")).sortBy(_.getName)
+  }
 
   assert(files.nonEmpty, s"no conformance fixtures found in $dir")
 
