@@ -130,7 +130,11 @@ object DeclarativeTest {
       input: Seq[Msg],
       expected: Seq[Seq[Check]],
       processors: Seq[DataFrame => DataFrame],
-      cacheResources: Seq[JsonNode] = Nil)
+      cacheResources: Seq[JsonNode] = Nil,
+      // declared sizes of each expected output batch; with 2+ batches
+      // the run compares batch STRUCTURE, not just the flattened
+      // message list (config/test/deduplicate_by_batch.yaml)
+      batchSizes: Seq[Int] = Nil)
 
   /** Config-level `${VAR}` / `${VAR:default}` env interpolation — the
     * reference substitutes these at config parse, BEFORE any component
@@ -209,10 +213,10 @@ object DeclarativeTest {
           .getOrElse(Seq.empty).zipWithIndex.flatMap { case (b, bi) =>
             b.elements().asScala.toSeq.map(parseMsg(_, path).copy(batch = bi))
           }
-      val expected = Option(tc.get("output_batches"))
+      val expectedBatches = Option(tc.get("output_batches"))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-        .flatMap(_.elements().asScala.toSeq)
-        .map(parseChecks(_, path))
+        .map(_.elements().asScala.toSeq.map(parseChecks(_, path)))
+      val expected = expectedBatches.flatten
       val procs = (Option(tc.get("target_mapping")), Option(tc.get("target_processors"))) match {
         case (Some(mp), _) =>
           val f = new File(new File(path).getParentFile, mp.asText())
@@ -273,7 +277,8 @@ object DeclarativeTest {
       // cache_resources are live during its runs (unit_testing.adoc)
       val caches = Option(root.get("cache_resources"))
         .map(_.elements().asScala.toSeq).getOrElse(Nil)
-      TestCase(name, env, input, expected, procs, caches)
+      TestCase(name, env, input, expected, procs, caches,
+        expectedBatches.map(_.size))
     }
   }
 
@@ -390,12 +395,32 @@ object DeclarativeTest {
       .map { case (m, i) => (i.toLong, m.batch.toLong, m.content, m.metadata) }
       .toDF("__seq", "__batch", "value", "metadata")
     val out = tc.processors.foldLeft(in: DataFrame)((df, p) => p(df))
-    val rows = out.orderBy(col("__seq"))
-      .select(col("value"), col("metadata"))
+    val hasBatch = out.columns.contains("__batch")
+    val collected = out.orderBy(col("__seq"))
+      .select(col("value"), col("metadata"),
+        (if (hasBatch) col("__batch") else lit(0L)).as("__batch"))
       .collect()
+    val rows = collected
       .map(r => Msg(r.getString(0),
         Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
       .toSeq
+    // multi-batch expectations assert the BATCH SHAPE too: batches in
+    // first-appearance order must match the declared sizes
+    val batchErr =
+      if (tc.batchSizes.size < 2) Seq.empty
+      else {
+        val gotSizes = collected.map(_.getLong(2)).foldLeft(
+          Vector.empty[(Long, Int)]) { (acc, b) =>
+          acc.lastOption match {
+            case Some((id, n)) if id == b => acc.init :+ ((id, n + 1))
+            case _ => acc :+ ((b, 1))
+          }
+        }.map(_._2)
+        if (gotSizes != tc.batchSizes.toVector)
+          Seq(s"batch shape ${gotSizes.mkString("[", ",", "]")} != " +
+            s"expected ${tc.batchSizes.mkString("[", ",", "]")}")
+        else Seq.empty
+      }
     val sizeErr =
       if (rows.size != tc.expected.size)
         Seq(s"output size ${rows.size} != expected ${tc.expected.size}")
@@ -403,6 +428,6 @@ object DeclarativeTest {
     val msgErrs = rows.zip(tc.expected).zipWithIndex.flatMap {
       case ((msg, checks), i) => checks.flatMap(_.apply(msg)).map(e => s"msg[$i] $e")
     }
-    sizeErr ++ msgErrs
+    batchErr ++ sizeErr ++ msgErrs
   }
 }
