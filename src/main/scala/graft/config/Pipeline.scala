@@ -136,12 +136,46 @@ object Pipeline {
     * pipeline compile, drained into the metrics exporter at flush —
     * the path a custom metric takes from plan to exposition text
     * (config/examples/site_analytics.yaml, track_benthos_downloads).
-    * (name, type, observation); label dimensionality flattens here
-    * (observe() aggregates the whole frame — documented divergence).
+    * (name, type, observation) — the LABEL-LESS form; labeled metrics
+    * ride [[pendingLabeledMetrics]] with per-label-set readings.
     */
   private[graft] val pendingMetricObs =
     new java.util.concurrent.ConcurrentLinkedQueue[
       (String, String, org.apache.spark.sql.Observation)]
+
+  /** Per-label-set readings for LABELED `metric` processors: key = the
+    * JSON array of interpolated label values, value = (count,
+    * gauge-max). Accumulated inside the SAME action as the flow (no
+    * recompute, no second job); task-retry overcount is the documented
+    * metrics tolerance. Gauge aggregates as max (accumulator merge
+    * order is nondeterministic — documented divergence from "last").
+    */
+  final class MetricAcc extends org.apache.spark.util.AccumulatorV2[
+      Map[String, (Long, Double)], Map[String, (Long, Double)]] {
+    private val m =
+      scala.collection.mutable.HashMap.empty[String, (Long, Double)]
+    def isZero: Boolean = m.isEmpty
+    def copy(): MetricAcc = {
+      val c = new MetricAcc
+      c.synchronized { m.foreach { case (k, v) => c.m(k) = v } }
+      c
+    }
+    def reset(): Unit = synchronized { m.clear() }
+    def add(v: Map[String, (Long, Double)]): Unit = synchronized {
+      v.foreach { case (k, (cnt, g)) =>
+        val cur = m.getOrElse(k, (0L, Double.NegativeInfinity))
+        m(k) = (cur._1 + cnt, math.max(cur._2, g))
+      }
+    }
+    def merge(other: org.apache.spark.util.AccumulatorV2[
+        Map[String, (Long, Double)], Map[String, (Long, Double)]]): Unit =
+      add(other.value)
+    def value: Map[String, (Long, Double)] = synchronized { m.toMap }
+  }
+
+  private[graft] val pendingLabeledMetrics =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, Seq[String], MetricAcc)]
 
   /** One resolvable level for the kernel-form cache processor: a
     * memory-family live store (per-JVM), a file directory (coherent
@@ -773,6 +807,24 @@ object Pipeline {
           String.valueOf(vals.getOrElse("count", 0L)).toLong)
       }
       pending = Pipeline.pendingMetricObs.poll()
+    }
+    // labeled metric processors: per-label-set accumulator readings
+    var lp = Pipeline.pendingLabeledMetrics.poll()
+    while (lp != null) {
+      val (name, kind, labelNames, acc) = lp
+      val jm = new ObjectMapper()
+      acc.value.foreach { case (labelJson, (cnt, gmax)) =>
+        val vals = jm.readTree(labelJson).elements().asScala
+          .map(n => if (n.isNull) "" else n.asText).toSeq
+        val labels = labelNames.zip(vals)
+        kind match {
+          case "gauge" if gmax > Double.NegativeInfinity =>
+            reg.gaugeSet(name, gmax, labels)
+          case "gauge" => ()
+          case _ => reg.counter(name, labels).addAndGet(cnt); ()
+        }
+      }
+      lp = Pipeline.pendingLabeledMetrics.poll()
     }
     // `metrics.mapping` renames/drops metric NAMES before exposition
     // (config/examples/site_analytics.yaml filters to its own counter).
@@ -3406,7 +3458,10 @@ object Processors {
         // `value` (max over the frame — observe() is whole-frame).
         val name = body.path("name").asText("pipeline_metric")
         val mtype = body.path("type").asText("counter")
-        df => {
+        val labelTpls: Seq[(String, String)] =
+          Option(body.get("labels")).map(_.properties().asScala.toSeq
+            .map(e => e.getKey -> e.getValue.asText)).getOrElse(Nil)
+        if (labelTpls.isEmpty) df => {
           val (d, obs) = mtype match {
             case "gauge" if body.has("value") =>
               val vC = Blobl.interpolateJson(df, body.get("value").asText,
@@ -3417,6 +3472,40 @@ object Processors {
           }
           Pipeline.pendingMetricObs.add((name, mtype, obs))
           d
+        }
+        else df => {
+          // labeled form: per-label-set readings via an accumulator on
+          // the SAME action (labels interpolate per message —
+          // processors/metric.adoc labels)
+          val meta = metaColOf(df)
+          val lvC = to_json(array(labelTpls.map { case (_, tpl) =>
+            Blobl.interpolateJson(df, tpl, env, metadataCol = meta)
+              .cast("string")
+          }: _*))
+          val gvC = if (mtype == "gauge" && body.has("value"))
+            Blobl.interpolateJson(df, body.get("value").asText, env,
+              metadataCol = meta).cast("double")
+          else lit(Double.NegativeInfinity)
+          val acc = new Pipeline.MetricAcc
+          df.sparkSession.sparkContext.register(acc, s"graft_metric_$name")
+          Pipeline.pendingLabeledMetrics.add(
+            (name, mtype, labelTpls.map(_._1), acc))
+          val tagged = df.withColumn("__mlv", lvC).withColumn("__mgv", gvC)
+          val schema = tagged.schema
+          implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+          val lI = schema.fieldIndex("__mlv")
+          val gI = schema.fieldIndex("__mgv")
+          tagged.mapPartitions { it =>
+            val local = scala.collection.mutable
+              .HashMap.empty[String, (Long, Double)]
+            it.map { r =>
+              val k = r.getString(lI)
+              val g = r.getDouble(gI)
+              val cur = local.getOrElse(k, (0L, Double.NegativeInfinity))
+              local(k) = (cur._1 + 1, math.max(cur._2, g))
+              r
+            } ++ { acc.add(local.toMap); Iterator.empty }
+          }.drop("__mlv", "__mgv")
         }
       case "benchmark" =>
         // processors/benchmark.adoc:26 — rows/s via an Observation; the

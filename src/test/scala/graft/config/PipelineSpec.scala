@@ -185,4 +185,31 @@ class PipelineSpec extends SparkSpec {
       assert(sample.contains(""""tagged":"""), s"mapping did not run: $sample")
     } finally q.stop()
   }
+  test("labeled metric readings reach the prometheus exposition per label set") {
+    val f = java.nio.file.Files.createTempFile("prom", ".txt")
+    Pipeline.run(spark,
+      s"""input:
+         |  generate:
+         |    count: 6
+         |    mapping: 'root.lang = if this.seq % 2 == 0 { "en" } else { "fr" }'
+         |pipeline:
+         |  processors:
+         |    - metric:
+         |        type: counter
+         |        name: docs_seen
+         |        labels:
+         |          lang: $${! json("lang") }
+         |output:
+         |  drop: {}
+         |metrics:
+         |  mapping: 'root = if this != "docs_seen" { deleted() }'
+         |  prometheus:
+         |    file: $f
+         |""".stripMargin)
+    val text = java.nio.file.Files.readString(f)
+    assert(text.contains("""docs_seen{lang="en"} 3"""), text)
+    assert(text.contains("""docs_seen{lang="fr"} 3"""), text)
+    // the metrics mapping dropped the internal counters
+    assert(!text.contains("input_received"), text)
+  }
 }
