@@ -3794,8 +3794,16 @@ object SparkEntry {
             F.objectNode().put("iso_code", name)): com.fasterxml.jackson.databind.JsonNode)
       })
       graft.functions.expressions.GraftFunctions.register(s)
-      val ev = Tables.events(s, d).withColumn("ip",
-        concat(lit("10."), (col("user_id") % 200).cast("string"), lit(".5.9")))
+      // the mmdb trie walk + JSON round-trip is a per-row CPU kernel:
+      // spread the single parquet split across cores before it (same
+      // rationale as p_javascript; at real scale file splits already
+      // provide the parallelism). Project to the two consumed columns
+      // BEFORE the exchange so the props payload never shuffles.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("ip",
+          concat(lit("10."), (col("user_id") % 200).cast("string"), lit(".5.9")))
       ev.select(col("event_id"),
           get_json_object(call_function("graft_geoip_lookup",
             col("ip"), lit(dbFile.getPath)), "$.country.iso_code").as("country"))

@@ -73,11 +73,37 @@ object Dedupe {
     while (stagedPersists.nonEmpty) stagedPersists.dequeue().unpersist()
   }
 
+  /** Scale-adaptive kernel parallelism (r19, guide §2.5 "input skew:
+    * one huge unsplittable file"): a single-row-group parquet input
+    * yields ONE scan task regardless of maxPartitionBytes (the row
+    * group is the split unit), serializing every per-row hashing
+    * kernel above it. When the input's scan parallelism is below the
+    * session's, redistribute by the unique doc id BEFORE the expensive
+    * per-row work; when the scan already has >= defaultParallelism
+    * partitions (any real-scale corpus), this adds NOTHING — no
+    * exchange, identical plan. Safe only where downstream output is
+    * partition-invariant (joins/aggregations), which holds for every
+    * miner here. Hash distribution by the unique id is deterministic
+    * (no round-robin sort, no rand()).
+    */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    // ONLY call on scan-side frames (scan/filter/project lineage): .rdd
+    // on a post-exchange frame under AQE executes the upstream stages
+    // eagerly, paying the query once extra just to read its partition
+    // count. All call sites below pass raw inputs.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(idCol)) else df
+  }
+
   /** Exact dedup on a canonical text fingerprint: keeps the row with the
     * lowest `idCol` per fingerprint. One shuffle on the md5 key; the key
     * is high-cardinality and uniform, so no skew at scale.
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    // no [[spread]] here: one md5 per doc is too cheap to pay an extra
+    // exchange of the full text for (measured in-suite +0.44 s at
+    // sf0.1; the groupBy's partial agg already bounds the single-task
+    // work to one hash pass)
     docs.withColumn("fp", fingerprint(col(textCol)))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
@@ -148,7 +174,8 @@ object Dedupe {
     // pick the slower of two byte-identical plans.
     if (nearDistinctCorpus(docs, textCol))
       ngramJaccardPairsDirect(
-        docs.select(col(idCol).as("id"), col(textCol).as("__txt")),
+        spread(docs.select(col(idCol).as("id"), col(textCol).as("__txt")),
+          "id"),
         "__txt", "id", shingleN, threshold)
     else
       ngramJaccardPairsStaged(docs, textCol, idCol, shingleN, threshold)
@@ -211,7 +238,8 @@ object Dedupe {
   private def stagedByExactDup(
       docs: DataFrame, textCol: String, idCol: String, shingleN: Int,
       minePairs: DataFrame => DataFrame): DataFrame = {
-    val keyed = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    val keyed = spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
       .withColumn("__fp", tokenFingerprint(col("__txt")))
     val reps = keyed.groupBy(col("__fp"))
       .agg(min(col("id")).as("id"), first(col("__txt")).as("__txt"))
@@ -271,46 +299,58 @@ object Dedupe {
 
   /** The direct (no exact-dup collapse) pair join — see
     * [[ngramJaccardPairs]] for the staged entry point.
+    *
+    * Plan (r19 optimization, guide §2.3 "aggregate before you shuffle"):
+    * a pure inverted-index co-occurrence COUNT. Because shingle sets are
+    * DISTINCT 64-bit hashes (HashOps.shingleHashes de-dups), the number
+    * of index rows two docs co-occur on IS |A ∩ B|, so Jaccard falls out
+    * of one hash aggregation: J = cnt / (|A| + |B| - cnt). Identical
+    * arithmetic to the r18 plan's jaccard(sh_a, sh_b) kernel
+    * (size(array_intersect) over the same hash arrays, same double
+    * casts), but with NO array column past the explode, no per-pair
+    * array_intersect hash-set build, no candidate `distinct` exchange
+    * and no two verify joins — the r18 shape burned ~14 core-seconds on
+    * 0.6 M candidate rows at sf0.1 (allocation-bound; 19.7 s in-suite).
+    * Partial map-side aggregation crushes the join fan-out before the
+    * one pair-keyed exchange.
+    *
+    * The r18 PPJoin prefix filter (index only the first
+    * |X|-ceil(t|X|)+1 sorted hashes) cut index fan-out to ~(1-t)² of
+    * Σ C(df,2) but paid for it with the per-candidate array verify —
+    * measured strictly slower at every rung tried (sf0.1: 9.5 s
+    * isolated vs 1.8 s for this plan). The length-ratio predicate
+    * (J >= t forces t <= |A|/|B| <= 1/t) still prunes cross-size pairs
+    * inside the join, before aggregation; fan-out on boilerplate-heavy
+    * corpora remains Σ C(df,2), where the right default is
+    * [[minhashLshPairs]] (see [[ngramJaccardPairs]] scale notes).
     */
   private[operators] def ngramJaccardPairsDirect(
       docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol, shingleN)
-    // PPJoin-style prefix filtering (Xiao et al., WWW'08): under any
-    // global total order on shingles (here: the 64-bit hash value), two
-    // sets with Jaccard >= t must share at least one element within
-    // their first |X| - ceil(t*|X|) + 1 elements (J >= t forces overlap
-    // >= ceil(t*|X|) for BOTH sets given the length filter, and sets
-    // sharing i elements always collide in their (|X|-i+1)-prefixes).
-    // Indexing only the prefix cuts the inverted-index fan-out from
-    // Σ C(df,2) to ~(1-t)² of it on the non-duplicate mass — the term
-    // that explodes when boilerplate (or replication) inflates shingle
-    // document frequencies — while staying EXACT: candidates are then
-    // verified against the full sets. The 1e-9 slack keeps fp rounding
-    // in t*|X| from ever shortening a prefix (which could drop a pair);
-    // lengthening it is merely conservative.
-    // `sz`/`plen` must be projected BEFORE the explode: computed
-    // alongside it, Catalyst moves size(sh) after the Generate and then
-    // carries (and unsafe-copies) the whole array on every exploded row.
-    val pre = sets.withColumn("sh", array_sort(col("sh")))
-      .withColumn("sz", size(col("sh")))
+    // `sz` must be projected BEFORE the explode: computed alongside it,
+    // Catalyst moves size(sh) after the Generate and then carries (and
+    // unsafe-copies) the whole array on every exploded row.
+    val ex = sets.withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .withColumn("plen",
-        (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
-      .select(col("id"), col("sz"),
-        explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
-    // The length-ratio predicate (Jaccard >= t forces t <= |A|/|B| <= 1/t)
-    // prunes candidates inside the join, before the distinct shuffle.
-    val cand = pre.as("a").join(pre.as("b"),
+      .select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val inter = count(lit(1)).cast("double")
+    val pairs = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("a.sz") >= col("b.sz") * threshold - 1e-9 &&
           col("b.sz") >= col("a.sz") * threshold - 1e-9)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // Exact verification restores the precise intersection; threshold
-    // applies to the UNROUNDED ratio (documented semantics and the
-    // oracle's), rounding only in the output projection.
-    verifyJaccard(cand, sets, threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg((inter / ((col("sz_a") + col("sz_b")).cast("double") - inter))
+        .as("jaccard_raw"))
+    // Threshold applies to the UNROUNDED ratio (documented semantics and
+    // the oracle's), rounding only in the output projection. Pairs with
+    // an empty intersection never reach the join (no shared index row),
+    // and are below any threshold > 0 anyway.
+    pairs.filter(col("jaccard_raw") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** MinHash + LSH near-dup pairs: signatures of k = bands*rowsPerBand
@@ -330,7 +370,8 @@ object Dedupe {
     // replication; the staged plan re-mines 5 000 reps)
     if (nearDistinctCorpus(docs, textCol))
       minhashLshPairsDirect(
-        docs.select(col(idCol).as("id"), col(textCol).as("__txt")),
+        spread(docs.select(col(idCol).as("id"), col(textCol).as("__txt")),
+          "id"),
         "__txt", "id", shingleN, bands, rowsPerBand, threshold)
     else
       stagedByExactDup(docs, textCol, idCol, shingleN,
@@ -665,6 +706,9 @@ object Dedupe {
                      planes: Int = 16, tables: Int = 4): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     import graft.functions.VectorFunctions.cosineFast
+    // no [[spread]]: the per-row LSH-keys kernel (planes×tables dot
+    // products on a 64-dim vector) is light next to an exchange of the
+    // vectors (measured in-suite +0.22 s at sf0.1)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cand =
       if (exact)
@@ -708,8 +752,10 @@ object Dedupe {
     GraftFunctions.register(docs.sparkSession)
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks // floor; last block absorbs the remainder
-    val fp = docs.select(col(idCol).as("id"),
-      call_function("graft_simhash", tokens(col(textCol))).as("sh"))
+    val fp = spread(docs.select(col(idCol).as("id"),
+        col(textCol).as("__txt")), "id")
+      .select(col("id"),
+        call_function("graft_simhash", tokens(col("__txt"))).as("sh"))
     val blockKey: Int => Column = b => {
       val lo = b * width
       val w = if (b == nBlocks - 1) 64 - lo else width

@@ -531,13 +531,19 @@ object Sftp {
                 finally lister.close()
     val (h, p, u, pw, dir) = (host, port, user, password, directory)
     import spark.implicits._
-    // full fan: a connection per core. The handshake is cheap next to
-    // the transfer stream (measured: shrinking the fan to amortize kex
-    // cost LOST a second at 300 files — the loopback server serves
-    // connections concurrently, so fewer connections just means less
-    // parallel transfer)
+    // Fan sized to amortize the SSH handshake (r19): one connection per
+    // ~64 files, capped at a connection per core. The r16 "full fan
+    // wins" measurement predates the r18 TCP_NODELAY fix — with the
+    // Nagle stalls gone, a pipelined connection drains its wave queue
+    // at line rate and the per-connection cost is the kex+auth
+    // handshake (X25519 + Ed25519 + AES/HMAC setup on BOTH ends), which
+    // grows linearly with the fan while the transfer work is fixed.
+    // Measured on the 300-file gate: 32 connections = 2.6-2.7 s
+    // in-suite at 32 cores vs 8 connections = 0.58 s (the 8-core
+    // suite); 5 connections keep >= 4 waves per connection. Large
+    // listings still fan to every core.
     names.toDF("name")
-      .repartition(math.max(1, math.min(names.size,
+      .repartition(math.max(1, math.min((names.size + 63) / 64,
         spark.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
