@@ -70,6 +70,66 @@ class DedupeStagingSpec extends SparkSpec {
     assert(staged.nonEmpty)
   }
 
+  test("r19 co-occurrence count plan == brute-force Jaccard (independent reference)") {
+    // independent reference: plain-Scala word-trigram STRING sets and
+    // exact set intersection — no shingle hashing, no Spark plan shared
+    // with the miner. Pins the r19 re-plan (inverted-index count
+    // replacing the per-pair array verify) to the mathematical
+    // definition it must compute.
+    val docs0 = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(300).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs0.map { case (id, t) => id -> shingles(t) }.toMap
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b && (sa.nonEmpty || sb.nonEmpty)
+      inter = (sa & sb).size.toDouble
+      uni = sa.size + sb.size - inter
+      j = if (uni == 0) 0.0 else inter / uni
+      if j >= 0.35
+    } yield (a, b, BigDecimal(j).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = pairs(Dedupe.ngramJaccardPairsDirect(
+      docs0.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id").as("id"), col("text").as("__txt")),
+      "__txt", "id", 3, 0.35))
+    assert(got == expected,
+      s"only-miner=${(got -- expected).take(5)} " +
+        s"only-brute=${(expected -- got).take(5)}")
+    assert(got.nonEmpty)
+  }
+
+  test("r19 plan contract: no array column crosses any exchange in the ngram plan") {
+    // the count plan's point: shingle ARRAYS never shuffle — only the
+    // exploded 8-byte hashes and the pair aggregates do. Stricter than
+    // PlanContractSpec's array<string> ban: NO array type at all.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val q = Dedupe.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.35)
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.schema.map(_.dataType.simpleString)
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.flatten.foreach { t =>
+        assert(!t.startsWith("array"),
+          s"ngram exchange carries an array column ($t)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("resolveClusters: driver union-find == distributed propagation") {
     // chain 1-2-3, pair 10-11, singleton-pair 20-21, and a triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
