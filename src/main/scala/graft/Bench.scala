@@ -254,9 +254,23 @@ object Bench {
     // stdout-tail parse is capped under ~1900 chars, which truncates the
     // full map to a dozen entries — the file is the complete record
     // a SPARK_GRAFT_ONLY-filtered run must not clobber the full-sweep
-    // artifact with a partial query map
+    // artifact with a partial query map; nor must a DIFFERENT-cpu-count
+    // run clobber the committed close artifact (VERDICT r19 #3: the
+    // driver's 8-cpu scaling pass overwrote the 32-cpu BENCH_FULL) —
+    // when the existing artifact carries another cpus value, divert to
+    // a cpu-suffixed name instead
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
+      .orElse(if (only.nonEmpty) None else {
+        val default = java.nio.file.Paths.get("BENCH_FULL.json")
+        val otherCpus =
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(default),
+              "UTF-8")
+            """"cpus":(\d+)""".r.findFirstMatchIn(txt)
+              .exists(_.group(1) != cpus)
+          } catch { case _: Exception => false }
+        Some(if (otherCpus) s"BENCH_FULL_c$cpus.json" else "BENCH_FULL.json")
+      })
     outFile.foreach { f =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (fullJson + "\n").getBytes("UTF-8"))

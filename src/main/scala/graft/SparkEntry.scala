@@ -1719,15 +1719,14 @@ object SparkEntry {
       val base = "qd_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val names = (0 until shards).map(i => s"${base}_$i")
       val svcs = names.map(QuestDb.named)
-      val docs = Tables.events(s, d)
+      // the per-row ILP encode+decode dominates this gate; the events
+      // scan yields only as many partitions as row groups (4 at sf1),
+      // so spread the kernel over every core — conditional (r20): on a
+      // multi-split input the exchange would add nothing but cost
+      val docs = graft.operators.Spread.spread(Tables.events(s, d)
         .select(to_json(struct(col("event_id"), col("user_id"),
           col("event_type"), col("value"),
-          unix_micros(col("ts")).as("ts_us"))).as("value"))
-        // the per-row ILP encode+decode dominates this gate; the events
-        // scan yields only as many partitions as row groups (4 at sf1),
-        // so spread the kernel over every core — the shuffle moves the
-        // same bytes the sink writes, a fair trade at any SF
-        .repartition(s.sparkContext.defaultParallelism)
+          unix_micros(col("ts")).as("ts_us"))).as("value")))
       QuestDb.writeSharded(docs, names.map(n => s"mem://$n"), "events",
         symbols = Set("event_type"), doubles = Set("value"),
         designatedTimestampField = "ts_us",
@@ -3797,11 +3796,13 @@ object SparkEntry {
       // the mmdb trie walk + JSON round-trip is a per-row CPU kernel:
       // spread the single parquet split across cores before it (same
       // rationale as p_javascript; at real scale file splits already
-      // provide the parallelism). Project to the two consumed columns
-      // BEFORE the exchange so the props payload never shuffles.
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"))
-        .repartition(s.sparkContext.defaultParallelism)
+      // provide the parallelism — Spread.spread is a no-op there, r20:
+      // the r19 unconditional repartition would have forced a needless
+      // exchange AND capped scan parallelism on a multi-split input).
+      // Project to the two consumed columns BEFORE the exchange so the
+      // props payload never shuffles.
+      val ev = graft.operators.Spread.spread(Tables.events(s, d)
+          .select(col("event_id"), col("user_id")), col("event_id"))
         .withColumn("ip",
           concat(lit("10."), (col("user_id") % 200).cast("string"), lit(".5.9")))
       ev.select(col("event_id"),
@@ -4246,8 +4247,9 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
         .select(concat_ws(":", col("doc_id"), col("text")).as("value"))
       // CPU-bound row kernel: spread the single small test split
-      // across cores first (real-scale file splits already do this)
-      val env = docs.repartition(s.sparkContext.defaultParallelism)
+      // across cores first (conditional, r20 — a multi-split input
+      // already provides the parallelism and skips the exchange)
+      val env = graft.operators.Spread.spread(docs)
         .withColumn("metadata", map().cast("map<string,string>"))
         .withColumn("error", lit(null).cast("string"))
       Wasm.processor(env, graft.wasm.DemoModules.upperLen())
@@ -4270,7 +4272,8 @@ object SparkEntry {
         .select(col("text").as("value"),
           map(lit("doc_id"), col("doc_id").cast("string")).as("metadata"))
         .withColumn("error", lit(null).cast("string"))
-      val env = docs.repartition(s.sparkContext.defaultParallelism)
+      // conditional kernel spread (r20): no-op on multi-split inputs
+      val env = graft.operators.Spread.spread(docs)
       Ffi.processor(env, lib, "GraftReverseBytes",
           Ffi.Signature(Ffi.RInt32, Seq(Ffi.Param(Ffi.PBytePtr),
             Ffi.Param(Ffi.PBytePtr, out = true), Ffi.Param(Ffi.PInt32))),
@@ -4294,7 +4297,8 @@ object SparkEntry {
         .select(col("text").as("value"),
           map(lit("doc_id"), col("doc_id").cast("string")).as("metadata"))
         .withColumn("error", lit(null).cast("string"))
-      val env = docs.repartition(s.sparkContext.defaultParallelism)
+      // conditional kernel spread (r20): no-op on multi-split inputs
+      val env = graft.operators.Spread.spread(docs)
       RedpandaTransform.processor(env,
           graft.wasm.TransformModules.reverseValue(), batchSize = 128)
         .select(
@@ -4314,8 +4318,10 @@ object SparkEntry {
         col("o_totalprice"), col("o_orderpriority"))
       // the JS kernel is CPU-bound: spread the single parquet input
       // split across cores BEFORE the per-row VM work (at real scale
-      // file splits already provide this; a 10 MB test file does not)
-      val env = orders.repartition(s.sparkContext.defaultParallelism)
+      // file splits already provide this and spread is a no-op — r20:
+      // previously an unconditional repartition, which would have
+      // forced the exchange there too)
+      val env = graft.operators.Spread.spread(orders, col("o_orderkey"))
         .select(to_json(struct(orders.columns.map(col): _*)).as("value"))
       val code =
         """(() => {

@@ -214,7 +214,13 @@ object Rag {
       val embed = graft.operators.AiApis.offlineEmbeddings(768)
       val queryTexts = small.select(col("text")).limit(nQueries)
         .collect().map(_.getString(0)) // bounded: nQueries rows
-      queryTexts.foreach { qt =>
+      // the round-trips are independent retrievals against a server
+      // whose handler pool is 4 threads and whose sync_response capture
+      // is ThreadLocal — run them CONCURRENTLY (VERDICT r19 #7: the
+      // serial loop held ~35% of the gate's wall in back-to-back HTTP
+      // waits). Verification per query is UNCHANGED: same brute-force
+      // ranking, same asserts, every future's failure re-thrown.
+      def verifyOne(qt: String): Unit = {
         val q = mapper.createObjectNode()
         q.put("query", qt)
         val body = mapper.writeValueAsString(q)
@@ -249,6 +255,22 @@ object Rag {
             s"rank $i: reassembled document mismatch for key ${e._2}")
         }
       }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, math.max(1, queryTexts.length)),
+        (r: Runnable) => {
+          val th = new Thread(r, "rag-retrieval"); th.setDaemon(true); th
+        })
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+          queryTexts.toSeq.map(qt =>
+            (() => verifyOne(qt)): java.util.concurrent.Callable[Unit])
+        pool.invokeAll(tasks.asJava).asScala.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        }
+      } finally pool.shutdown()
     } finally server.stop()
     stage("retrieval loop + ranking verification")
 

@@ -86,14 +86,12 @@ object Dedupe {
     * miner here. Hash distribution by the unique id is deterministic
     * (no round-robin sort, no rand()).
     */
-  private def spread(df: DataFrame, idCol: String): DataFrame = {
-    // ONLY call on scan-side frames (scan/filter/project lineage): .rdd
-    // on a post-exchange frame under AQE executes the upstream stages
-    // eagerly, paying the query once extra just to read its partition
-    // count. All call sites below pass raw inputs.
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(idCol)) else df
-  }
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    // delegates to the shared util (r20), which gates the partition
+    // probe on scan-side lineage itself — a caller-supplied
+    // post-exchange frame skips spread instead of eagerly executing
+    // its upstream stages just to read a partition count (ADVICE r19)
+    Spread.spread(df, col(idCol))
 
   /** Exact dedup on a canonical text fingerprint: keeps the row with the
     * lowest `idCol` per fingerprint. One shuffle on the md5 key; the key
@@ -151,6 +149,12 @@ object Dedupe {
     * text), this op stays exact but the right default is
     * [[minhashLshPairs]] — banded candidates track duplicate density,
     * not df² — keeping this as the exact oracle for sampled validation.
+    *
+    * PRECONDITION: `idCol` must be unique per row (ADVICE r19). The
+    * co-occurrence-count plan keys pairs by (id_a, id_b); duplicate ids
+    * merge counts across distinct rows and can emit jaccard_raw > 1 or
+    * wrong ratios, where the old verify-join plan emitted one row per
+    * row-pair combination. Every catalog caller passes a primary key.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
@@ -359,6 +363,10 @@ object Dedupe {
     * exact precision thanks to the verify step. One shuffle on the band
     * key — this is the 100 TB default: candidate volume tracks
     * true-duplicate density, not corpus size squared.
+    *
+    * PRECONDITION: `idCol` must be unique per row — the banded
+    * candidate join and the staged expand both key rows by it (see
+    * [[ngramJaccardPairs]]).
     */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       shingleN: Int, bands: Int, rowsPerBand: Int,

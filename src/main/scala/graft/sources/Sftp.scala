@@ -542,9 +542,17 @@ object Sftp {
     // in-suite at 32 cores vs 8 connections = 0.58 s (the 8-core
     // suite); 5 connections keep >= 4 waves per connection. Large
     // listings still fan to every core.
+    // files-per-connection is a TUNABLE (ADVICE r19): 64 amortizes the
+    // handshake on loopback/LAN; real high-latency servers (where r16's
+    // full-fan measurement favored more parallel streams) and memory-
+    // bound listings (each task buffers one wave of whole files) can
+    // lower it. Env over config: the reader has no per-source config.
+    val filesPerConn = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SFTP_FILES_PER_CONN", "64").toInt)
     names.toDF("name")
-      .repartition(math.max(1, math.min((names.size + 63) / 64,
-        spark.sparkContext.defaultParallelism)))
+      .repartition(math.max(1,
+        math.min((names.size + filesPerConn - 1) / filesPerConn,
+          spark.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {

@@ -19,6 +19,13 @@ object PlanLab {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same per-SF ladder knobs as Bench, so a PlanLab explain can
+      // reproduce a rung's scan-split grain (r20: needed to show the
+      // conditional kernel spread is a no-op on multi-split inputs)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "128MB"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
