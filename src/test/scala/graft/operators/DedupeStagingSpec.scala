@@ -215,4 +215,79 @@ class DedupeStagingSpec extends SparkSpec {
     } yield (x, y, 1.0)).toSet
     assert(got.filter(_._1 % 100 == 1) == expected)
   }
+
+  // r20: the direct miner's fan-out guard (VERDICT r19 #1) — a df
+  // census dispatches between the count plan and the df-ordered
+  // prefix-filter plan; both must be byte-identical and the census
+  // must flip exactly on ubiquitous-shingle mass.
+
+  private def setsAndIndex(docs: org.apache.spark.sql.DataFrame) = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val sets = docs.select(col("doc_id").as("id"),
+      call_function("graft_shingle_hashes",
+        graft.functions.TextFunctions.tokens(col("text")), lit(3)).as("sh"))
+    val ex = sets.withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    (sets, ex)
+  }
+
+  test("r20 df census: clean corpus is not boilerplate-heavy; " +
+      "ubiquitous-shingle corpus is") {
+    val clean = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    assert(!Dedupe.boilerplateHeavy(setsAndIndex(clean)._2))
+    // ratio = Σ C(df,2) / Σ df is bounded by (max df − 1)/2, so the
+    // census can only flip when some shingle appears in > ~2×cap docs:
+    // 1 400 docs sharing a 10-token boiler block (8 ubiquitous
+    // trigrams at df 1400) against ~11 unique shingles per doc reads
+    // ratio ≈ 294 > 256
+    val boiler = (0 until 10).map(i => s"boil$i").mkString(" ")
+    val docs = (0L until 1400L).map { i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g " +
+        s"u${i}h u${i}i u${i}j u${i}k $boiler")
+    }.toDF("doc_id", "text")
+    assert(Dedupe.boilerplateHeavy(setsAndIndex(docs)._2))
+  }
+
+  test("r20 prefix-filter plan == brute-force Jaccard on a " +
+      "boilerplate-heavy corpus (and == count plan)") {
+    // near-dup structure UNDER boilerplate: doc 3k+1 and 3k+2 share
+    // their unique block, doc 3k is distinct; every doc carries the
+    // same boiler block, inflating shingle df without pushing distinct
+    // pairs over the threshold
+    val boiler = (0 until 10).map(i => s"boil$i").mkString(" ")
+    val rows = (0L until 300L).map { i =>
+      val g = i / 3
+      val uniq =
+        if (i % 3 == 0) (0 until 12).map(j => s"x${i}w$j").mkString(" ")
+        else (0 until 12).map(j => s"g${g}w$j").mkString(" ") +
+          (if (i % 3 == 2) s" tail$i" else "")
+      (i, s"$uniq $boiler")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val (sets, ex) = setsAndIndex(docs)
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val ref = rows.map { case (id, t) => id -> shingles(t) }.toMap
+    val expected = (for {
+      (a, sa) <- ref.toSeq; (b, sb) <- ref.toSeq
+      if a < b && (sa.nonEmpty || sb.nonEmpty)
+      inter = (sa & sb).size.toDouble
+      uni = sa.size + sb.size - inter
+      j = if (uni == 0) 0.0 else inter / uni
+      if j >= 0.35
+    } yield (a, b, BigDecimal(j).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val prefix = pairs(Dedupe.prefixFilteredPairs(sets, ex, 0.35))
+    val count = pairs(Dedupe.countPairs(ex, 0.35))
+    assert(prefix == expected,
+      s"only-prefix=${(prefix -- expected).take(5)} " +
+        s"only-brute=${(expected -- prefix).take(5)}")
+    assert(count == expected)
+    assert(prefix.nonEmpty)
+  }
 }
